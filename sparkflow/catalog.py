@@ -1,0 +1,52 @@
+"""Table catalog over the driver-provided parquet directories.
+
+Schemas come from the parquet footers (documented in FIXTURES.md); we do
+not re-declare them, so predicate pushdown + column pruning reach the
+scan untouched. At 100 TB each "table" would be a partitioned parquet
+dataset or an Iceberg/Delta table — the access path (``spark.read``)
+is identical, which is why nothing above this module cares.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to broadcast at ANY scale factor (TPC-H
+# region/nation are fixed-size). customer/supplier/part grow with SF, so
+# broadcasting them is a per-query decision, not a catalog property.
+ALWAYS_BROADCAST = ("region", "nation")
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    if name == "events":
+        # events.ts is parquet timestamp[ns]; Spark rejects NANOS outright
+        # (PARQUET_TYPE_ILLEGAL) unless read as raw long. Truncate ns -> µs
+        # (integer div, matching DuckDB's ns->TIMESTAMP truncation) so every
+        # engine sees identical microsecond timestamps.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if isinstance(df.schema["ts"].dataType, LongType):
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        return df
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: table(spark, sf_dir, t) for t in TABLES}

@@ -1,0 +1,375 @@
+"""Join operators (SURVEY §2.3).
+
+Flink-side equivalents (public DataStream/Table API — the reference's
+pattern vocabulary): ``DataStream.join.where.equalTo`` for equi-joins,
+broadcast state / KeyedCoProcessFunction for the "full cache join"
+dimension-enrichment pattern, Table API outer/theta joins, the temporal
+table join (``FOR SYSTEM_TIME AS OF``) for as-of, and the interval join
+(``between(lower, upper)``).
+
+Spark-first design notes:
+- Equi-joins are declared with ``df.join`` and left to Catalyst/AQE:
+  sort-merge for fact⋈fact, runtime broadcast conversion when a side is
+  small. We force ``F.broadcast`` only on the fixed-size dims
+  (region/nation) — the one case where we know better than statistics at
+  any scale factor.
+- The as-of join (no batch asofJoin in PySpark 4.1.2) is the union+window
+  formulation: tag both sides, one shuffle on the key, a single ordered
+  window carrying the last left-side value forward. O(n log n) per key
+  group, no UDF, no broadcast of either side — survives 100 TB, unlike
+  the naive join+filter+argmax which materializes every candidate pair.
+- The interval join is a range-predicate join on a bucketized equi-key
+  (user_id) so Spark still gets a hash/sort-merge shuffle on the equi
+  part and evaluates the time predicate post-match.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..oracle_compat import dsum, revenue, sql_dsum_expr, sql_revenue
+from ..registry import register
+
+
+@register(
+    "join_inner_equi",
+    oracle="""
+    SELECT o.o_orderkey, o.o_totalprice, c.c_name, c.c_mktsegment
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_orderstatus = 'F'
+    """,
+)
+def join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    customer = table(spark, sf_dir, "customer")
+    return orders.join(customer, orders.o_custkey == customer.c_custkey, "inner").select(
+        "o_orderkey", "o_totalprice", "c_name", "c_mktsegment"
+    )
+
+
+@register(
+    "join_broadcast_dim",
+    oracle="""
+    SELECT r.r_name AS region, n.n_name AS nation, COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_acctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    """,
+)
+def join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Flink "full cache join" pattern (broadcast-state enrichment of a
+    big stream against small cached dims) in its batch form: explicit
+    broadcast hash joins against the fixed-size dims — zero shuffle of the
+    fact side regardless of scale."""
+    customer = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region")
+    return (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            dsum("c_acctbal", "total_acctbal"),
+        )
+    )
+
+
+@register(
+    "join_outer",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+    FROM customer c LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 400000) o
+      ON c.c_custkey = o.o_custkey
+    """,
+)
+def join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer with null-extension: every customer, big orders if any."""
+    customer = table(spark, sf_dir, "customer")
+    big = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return customer.join(big, customer.c_custkey == big.o_custkey, "left").select(
+        "c_custkey", "c_name", "o_orderkey", "o_totalprice"
+    )
+
+
+@register(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = table(spark, sf_dir, "customer")
+    urgent = table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return customer.join(
+        urgent, customer.c_custkey == urgent.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = table(spark, sf_dir, "customer")
+    open_orders = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    return customer.join(
+        open_orders, customer.c_custkey == open_orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "join_cross",
+    oracle="""
+    SELECT r.r_name, n.n_name FROM region r CROSS JOIN nation n
+    """,
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = table(spark, sf_dir, "region")
+    nation = table(spark, sf_dir, "nation")
+    return region.crossJoin(nation).select("r_name", "n_name")
+
+
+@register(
+    "join_theta_range",
+    oracle="""
+    SELECT p.p_partkey, p.p_name, COUNT(*) AS n_lines
+    FROM part p JOIN lineitem l
+      ON l.l_partkey = p.p_partkey
+     AND l.l_extendedprice BETWEEN p.p_retailprice * 10 AND p.p_retailprice * 40
+    GROUP BY p.p_partkey, p.p_name
+    """,
+)
+def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi key + range band: the equi part keeps this a shuffled hash join
+    (NOT a nested-loop cartesian), the theta predicate is applied
+    post-match — the only formulation that scales."""
+    part = table(spark, sf_dir, "part")
+    li = table(spark, sf_dir, "lineitem")
+    cond = (
+        (li.l_partkey == part.p_partkey)
+        & (li.l_extendedprice >= part.p_retailprice * 10)
+        & (li.l_extendedprice <= part.p_retailprice * 40)
+    )
+    return (
+        part.join(li, cond)
+        .groupBy("p_partkey", "p_name")
+        .agg(F.count(F.lit(1)).alias("n_lines"))
+    )
+
+
+@register(
+    "join_asof",
+    oracle="""
+    WITH tagged AS (
+      SELECT user_id AS k, CAST(ts AS TIMESTAMP) AS t, 0 AS side,
+             event_id, NULL::BIGINT AS o_orderkey
+      FROM events
+      UNION ALL
+      SELECT o_custkey AS k,
+             TIMESTAMP '2024-01-01' + INTERVAL (o_orderkey % 2592000) SECOND AS t,
+             1 AS side, NULL::BIGINT AS event_id, o_orderkey
+      FROM orders WHERE o_custkey < 150
+    ), w AS (
+      SELECT *,
+        LAST_VALUE(CASE WHEN side = 0 THEN event_id END IGNORE NULLS)
+          OVER (PARTITION BY k ORDER BY t, side, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_event_id
+      FROM tagged
+    )
+    SELECT o_orderkey, k AS user_id, asof_event_id
+    FROM w WHERE side = 1
+    """,
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (Flink temporal table join, `FOR SYSTEM_TIME AS OF`):
+    for each probe row, the latest event of the same user at-or-before the
+    probe time. Ties broken by max event_id.
+
+    Probe side is synthesized from orders (deterministic timestamp inside
+    the events range) because the two time domains in the testdata don't
+    overlap. Implementation: union-tag + `last(..., ignorenulls)` over one
+    ordered window — a single shuffle on the key, linear scan per key, no
+    pairwise blow-up. Window order (t, side, event_id) puts the latest
+    event (tie: max event_id) immediately before each probe row, so the
+    carried value implements the documented tie rule exactly.
+    """
+    events = table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("k"),
+        F.col("ts").cast("timestamp").alias("t"),
+        F.lit(0).alias("side"),
+        "event_id",
+        F.lit(None).cast("long").alias("o_orderkey"),
+    )
+    probes = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") < 150)
+        .select(
+            F.col("o_custkey").alias("k"),
+            F.expr(
+                "timestamp'2024-01-01' + make_interval(0,0,0,0,0,0, o_orderkey % 2592000)"
+            ).alias("t"),
+            F.lit(1).alias("side"),
+            F.lit(None).cast("long").alias("event_id"),
+            "o_orderkey",
+        )
+    )
+    tagged = events.unionByName(probes)
+    w = (
+        Window.partitionBy("k")
+        .orderBy("t", "side", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = tagged.withColumn(
+        "asof_event_id",
+        F.last(F.when(F.col("side") == 0, F.col("event_id")), ignorenulls=True).over(w),
+    )
+    return carried.filter(F.col("side") == 1).select(
+        "o_orderkey", F.col("k").alias("user_id"), "asof_event_id"
+    )
+
+
+@register(
+    "join_interval",
+    oracle="""
+    SELECT a.event_id AS click_id, b.event_id AS purchase_id, a.user_id
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_type = 'click' AND b.event_type = 'purchase'
+     AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 10 MINUTE
+    """,
+)
+def join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flink interval join (`between(0, +10min)`): purchases within 10
+    minutes after a click by the same user. Batch form: equi-join on
+    user_id (one shuffle) + time-range residual predicate. The true
+    streaming twin (stream-stream join with watermarks) is in
+    streaming/stateful.py and covered by pytest."""
+    ev = table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("click_ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    cond = (
+        (clicks.user_id == purchases.p_user_id)
+        & (purchases.p_ts >= clicks.click_ts)
+        & (purchases.p_ts <= clicks.click_ts + F.expr("INTERVAL 10 MINUTES"))
+    )
+    return clicks.join(purchases, cond).select("click_id", "purchase_id", "user_id")
+
+
+@register(
+    "join_multiway_star",
+    oracle=f"""
+    SELECT n.n_name AS nation,
+           {sql_dsum_expr(sql_revenue('l.l_extendedprice', 'l.l_discount'), 'revenue')}
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY n.n_name
+    """,
+)
+def join_multiway_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship (TPC-H Q5 shape): 6-table star join + grouped revenue.
+
+    Join order: fact-to-fact first (lineitem⋈orders⋈customer shuffles on
+    their keys, AQE may broadcast customer at small SF), then the
+    supplier local-nation condition, then explicit broadcasts of the
+    fixed-size nation/region dims. Date filter sits directly on the
+    orders scan so it pushes into the parquet reader.
+    """
+    customer = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    lineitem = table(spark, sf_dir, "lineitem")
+    supplier = table(spark, sf_dir, "supplier")
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region")
+    joined = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(
+            supplier,
+            (F.col("l_suppkey") == supplier.s_suppkey)
+            & (F.col("c_nationkey") == supplier.s_nationkey),
+        )
+        .join(F.broadcast(nation), supplier.s_nationkey == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return (
+        joined.groupBy(F.col("n_name").alias("nation"))
+        .agg(F.sum(revenue()).cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "join_stream_static",
+    oracle="""
+    SELECT e.event_id, e.event_type, e.value, c.c_name, c.c_mktsegment
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    WHERE e.event_type = 'purchase'
+    """,
+)
+def join_stream_static(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment (the "full cache join" streaming form).
+    Batch analog for the oracle; the true `readStream.join(static)` twin
+    is exercised in tests/test_streaming.py. At scale the static side is
+    re-read per micro-batch, so dim updates are picked up — same
+    semantics as Flink's periodically-reloaded cache."""
+    events = table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    customer = table(spark, sf_dir, "customer")
+    return events.join(customer, events.user_id == customer.c_custkey).select(
+        "event_id", "event_type", "value", "c_name", "c_mktsegment"
+    )
+
+
+@register(
+    "join_lateral",
+    oracle="""
+    SELECT o.o_orderkey, t.l_linenumber AS top_linenumber,
+           t.l_extendedprice AS top_price
+    FROM orders o, LATERAL (
+      SELECT l_linenumber, l_extendedprice FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey
+      ORDER BY l_extendedprice DESC, l_linenumber ASC LIMIT 1
+    ) t
+    WHERE o.o_totalprice > 450000
+    """,
+)
+def join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated per-row subquery (Table API LATERAL): top-priced line of
+    each big order. Spark 4 `lateralJoin` decorrelates this into a
+    window-ranked join — no per-row execution."""
+    orders = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 450000)
+    li = table(spark, sf_dir, "lineitem")
+    top = (
+        li.where(F.col("l_orderkey") == F.col("o_orderkey").outer())
+        .orderBy(F.col("l_extendedprice").desc(), F.col("l_linenumber").asc())
+        .limit(1)
+        .select(
+            F.col("l_linenumber").alias("top_linenumber"),
+            F.col("l_extendedprice").alias("top_price"),
+        )
+    )
+    return orders.lateralJoin(top).select("o_orderkey", "top_linenumber", "top_price")

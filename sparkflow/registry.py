@@ -1,0 +1,42 @@
+"""Central query registry.
+
+Every operator in SURVEY.md §2 registers itself here with a name, a
+callable ``(spark, sf_dir) -> DataFrame``, and (when SQL-expressible) a
+DuckDB oracle SQL string. ``__spark_entry__.py`` exposes these dicts to
+the driver's correctness harness.
+
+Design note (scale): the registry is declaration-only — each entry is a
+pure function of ``sf_dir`` that builds a *lazy* DataFrame plan. Nothing
+here collects or caches, so the same entries run unchanged on a real
+cluster against arbitrarily large inputs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn]:
+    """Decorator: register ``fn`` under ``name`` with an optional DuckDB oracle.
+
+    ``oracle=None`` means the op is not SQL-expressible (driver records a
+    rows-only check); pytest covers its semantics instead.
+    """
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in QUERIES:
+            raise ValueError(f"duplicate query registration: {name}")
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
