@@ -1,0 +1,366 @@
+"""Aggregation operators (SURVEY §2.4).
+
+Flink-side equivalents: `keyBy().aggregate(AggregateFunction)` for
+grouped aggs, `AllWindowedStream.aggregate` for global, keyed MapState
+dedup for count-distinct, Table API ROLLUP/CUBE/GROUPING SETS.
+
+Spark-first: `groupBy().agg()` — Catalyst plans every one of these as a
+partial (map-side) HashAggregate + shuffle on the group key + final
+HashAggregate, which is exactly the two-phase combine a hand-written
+Flink AggregateFunction implements. Grouping-set variants expand via the
+built-in `Expand` operator (one shuffle, no N-pass union).
+
+Oracle determinism: money sums go through the oracle_compat decimal
+path (order-independent); statistical aggregates are computed on
+small-magnitude columns and rounded, because Spark and DuckDB use
+different accumulation algorithms (documented per-query).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..oracle_compat import davg, dsum, sql_davg, sql_dsum
+from ..registry import register
+
+# Tight decimal types for exact multi-factor products (price ~<1e6 with 2
+# decimals, rates in [0,1] with 2 decimals). (9,2)*(5,2)*(5,2) stays well
+# under the 38-digit cap in both engines, so products are exact and the
+# sums order-independent.
+_P = "decimal(9,2)"
+_R = "decimal(4,2)"
+
+
+def _disc_price():
+    return F.col("l_extendedprice").cast(_P) * (
+        F.lit(1).cast(_R) - F.col("l_discount").cast(_R)
+    )
+
+
+def _charge():
+    return _disc_price() * (F.lit(1).cast(_R) + F.col("l_tax").cast(_R))
+
+
+_SQL_DISC_PRICE = (
+    "CAST(l_extendedprice AS DECIMAL(9,2)) * "
+    "(CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))"
+)
+_SQL_CHARGE = (
+    f"{_SQL_DISC_PRICE} * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))"
+)
+
+
+@register(
+    "agg_global",
+    oracle=f"""
+    SELECT COUNT(*) AS n_rows,
+           {sql_dsum('l_quantity', 'sum_qty')},
+           MIN(l_extendedprice) AS min_price,
+           MAX(l_extendedprice) AS max_price,
+           {sql_davg('l_extendedprice', 'avg_price')}
+    FROM lineitem
+    """,
+)
+def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ungrouped aggregate — Spark still runs it partial+final across all
+    partitions, no single-node bottleneck."""
+    return table(spark, sf_dir, "lineitem").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum("l_quantity", "sum_qty"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+        davg("l_extendedprice", "avg_price"),
+    )
+
+
+@register(
+    "agg_hash_group",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_dsum('l_quantity', 'sum_qty')},
+           {sql_dsum('l_extendedprice', 'sum_base_price')},
+           CAST(SUM({_SQL_DISC_PRICE}) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM({_SQL_CHARGE}) AS DOUBLE) AS sum_charge,
+           {sql_davg('l_quantity', 'avg_qty')},
+           {sql_davg('l_extendedprice', 'avg_price')},
+           {sql_davg('l_discount', 'avg_disc')},
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_hash_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: filter + group by 2 low-cardinality keys + 8
+    aggregates. The classic partial-agg showcase: map-side combine
+    reduces the shuffle to (#groups × #partitions) rows regardless of
+    input size."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp")
+    )
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        dsum("l_quantity", "sum_qty"),
+        dsum("l_extendedprice", "sum_base_price"),
+        F.sum(_disc_price()).cast("double").alias("sum_disc_price"),
+        F.sum(_charge()).cast("double").alias("sum_charge"),
+        davg("l_quantity", "avg_qty"),
+        davg("l_extendedprice", "avg_price"),
+        davg("l_discount", "avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@register(
+    "agg_distinct",
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS n_users,
+           COUNT(*) AS n_events
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct — Spark plans this as a two-level aggregate
+    (dedup on (event_type, user_id) then count), the same keyed-MapState
+    dedup a Flink pattern hand-codes."""
+    return (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+@register("agg_approx_distinct")  # rows-only: HLL sketches differ across engines
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ count-distinct (rsd=5%). No SQL oracle — sketch estimates are
+    engine-specific; pytest asserts |approx - exact| <= 5% instead. At
+    100 TB this is THE distinct-count to use: fixed-size sketch, one
+    pass, mergeable across partitions."""
+    return (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", rsd=0.05).alias("approx_users"))
+    )
+
+
+@register(
+    "agg_stats",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(STDDEV_SAMP(l_discount), 6) AS disc_stddev,
+           ROUND(VAR_SAMP(l_discount), 6) AS disc_var,
+           ROUND(CORR(l_extendedprice, l_quantity), 6) AS price_qty_corr,
+           ROUND(COVAR_SAMP(l_quantity, l_discount), 6) AS qty_disc_covar
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates. Spark and DuckDB accumulate differently
+    (Welford vs sum-of-squares), so outputs are computed on small-
+    magnitude columns and rounded to 6dp — fp disagreement lives at
+    ~1e-15 relative, far below the rounding step."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_discount"), 6).alias("disc_stddev"),
+        F.round(F.var_samp("l_discount"), 6).alias("disc_var"),
+        F.round(F.corr("l_extendedprice", "l_quantity"), 6).alias("price_qty_corr"),
+        F.round(F.covar_samp("l_quantity", "l_discount"), 6).alias("qty_disc_covar"),
+    )
+
+
+@register(
+    "agg_percentile",
+    oracle="""
+    SELECT o_orderpriority,
+           ROUND(MEDIAN(o_totalprice), 2) AS median_price,
+           ROUND(QUANTILE_CONT(o_totalprice, 0.95), 2) AS p95_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median + exact p95 (linear interpolation in both engines,
+    rounded to absorb interpolation fp noise). The approx variant
+    (percentile_approx — the 100 TB path) is asserted in pytest against
+    these exact values."""
+    return (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(F.median("o_totalprice"), 2).alias("median_price"),
+            F.round(F.percentile("o_totalprice", 0.95), 2).alias("p95_price"),
+        )
+    )
+
+
+@register(
+    "agg_rollup",
+    oracle="""
+    SELECT COALESCE(r_name, 'ALL') AS region,
+           COALESCE(n_name, 'ALL') AS nation,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal,
+           COUNT(*) AS n_customers
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP(r_name, n_name)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP(region, nation): per-nation, per-region subtotal, grand
+    total in one Expand+aggregate pass. COALESCE disambiguation is safe —
+    the data has no NULL names (FIXTURES.md)."""
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    joined = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(dsum("c_acctbal", "total_bal"), F.count(F.lit(1)).alias("n_customers"))
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+            "total_bal",
+            "n_customers",
+        )
+    )
+
+
+@register(
+    "agg_cube",
+    oracle="""
+    SELECT COALESCE(c_mktsegment, 'ALL') AS segment,
+           COALESCE(o_orderstatus, 'ALL') AS status,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_orders
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY CUBE(c_mktsegment, o_orderstatus)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .cube("c_mktsegment", "o_orderstatus")
+        .agg(dsum("o_totalprice", "revenue"), F.count(F.lit(1)).alias("n_orders"))
+        .select(
+            F.coalesce("c_mktsegment", F.lit("ALL")).alias("segment"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            "revenue",
+            "n_orders",
+        )
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+           COALESCE(o_orderstatus, 'ALL') AS status,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit grouping sets: by priority, by status, grand total —
+    one Expand pass, not a 3-way union of separate scans."""
+    o = table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("gs_orders")
+    return spark.sql(
+        """
+        SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+               COALESCE(o_orderstatus, 'ALL') AS status,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+        FROM gs_orders
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+        """
+    )
+
+
+@register(
+    "agg_filtered",
+    oracle=f"""
+    SELECT l_linestatus,
+           CAST(SUM(CASE WHEN l_returnflag = 'R'
+                         THEN CAST(l_extendedprice AS DECIMAL(12,2)) END) AS DOUBLE)
+             AS returned_value,
+           COUNT(CASE WHEN l_discount > 0.05 THEN 1 END) AS n_high_discount,
+           {sql_dsum('l_extendedprice', 'total_value')}
+    FROM lineitem GROUP BY l_linestatus
+    """,
+)
+def agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregates — sum/count over a predicate without a
+    second scan (what a Flink AggregateFunction does with an in-add
+    filter)."""
+    li = table(spark, sf_dir, "lineitem")
+    from ..oracle_compat import dec
+
+    return li.groupBy("l_linestatus").agg(
+        F.sum(F.when(F.col("l_returnflag") == "R", dec("l_extendedprice")))
+        .cast("double")
+        .alias("returned_value"),
+        F.count(F.when(F.col("l_discount") > 0.05, F.lit(1))).alias("n_high_discount"),
+        dsum("l_extendedprice", "total_value"),
+    )
+
+
+@register(
+    "agg_pivot",
+    oracle="""
+    SELECT user_id % 10 AS cohort,
+           COUNT(CASE WHEN event_type = 'click'    THEN 1 END) AS click,
+           COUNT(CASE WHEN event_type = 'error'    THEN 1 END) AS error,
+           COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+           COUNT(CASE WHEN event_type = 'signup'   THEN 1 END) AS signup,
+           COUNT(CASE WHEN event_type = 'view'     THEN 1 END) AS view
+    FROM events GROUP BY user_id % 10
+    """,
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with an explicit value list — skipping value-discovery keeps
+    it a single pass (and deterministic columns for the oracle)."""
+    ev = table(spark, sf_dir, "events").withColumn("cohort", F.col("user_id") % 10)
+    piv = (
+        ev.groupBy("cohort")
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .count()
+    )
+    # pivot-count yields NULL for empty cells; oracle COUNT yields 0
+    return piv.select(
+        "cohort",
+        *[F.coalesce(F.col(c), F.lit(0)).alias(c) for c in ["click", "error", "purchase", "signup", "view"]],
+    )
+
+
+@register(
+    "agg_collect",
+    oracle="""
+    SELECT o_custkey AS custkey,
+           STRING_AGG(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey) AS order_keys,
+           COUNT(*) AS n_orders
+    FROM orders
+    WHERE o_totalprice > 420000
+    GROUP BY o_custkey
+    """,
+)
+def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group ordered list (Flink ListState accumulation pattern),
+    rendered as a joined string so the comparison is array-layout-proof.
+    collect_list is unordered across partitions → array_sort makes it
+    deterministic."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 420000)
+    return o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.array_join(F.transform(F.array_sort(F.collect_list("o_orderkey")), lambda x: x.cast("string")), ",").alias("order_keys"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )

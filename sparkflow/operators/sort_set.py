@@ -1,0 +1,177 @@
+"""Global sort / top-k (SURVEY §2.6) and set operations (§2.7).
+
+Flink-side equivalents: bounded sort, Table Top-N; `stream.union` and
+keyed co-process dedup for the set ops.
+
+Spark-first: `orderBy().limit(k)` compiles to TakeOrderedAndProject —
+per-partition heaps + a k-row merge at the driver, never a full global
+sort. Global sort itself uses range partitioning (sampled split points),
+the scalable distributed sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..oracle_compat import revenue, sql_dsum_expr, sql_revenue
+from ..registry import register
+
+
+@register(
+    "sort_multi",
+    oracle="""
+    SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+    FROM supplier ORDER BY s_nationkey ASC, s_acctbal DESC, s_suppkey
+    """,
+)
+def sort_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global multi-column sort (range-partitioned exchange). The driver's
+    hash is order-insensitive; the actual ordering is asserted in pytest."""
+    return (
+        table(spark, sf_dir, "supplier")
+        .orderBy(F.col("s_nationkey").asc(), F.col("s_acctbal").desc(), F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+    )
+
+
+@register(
+    "limit_topk",
+    oracle=f"""
+    SELECT o_orderkey, o_orderdate,
+           {sql_dsum_expr(sql_revenue(), 'revenue')}
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+    GROUP BY o_orderkey, o_orderdate
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join + agg + global top-10. orderBy().limit()
+    → TakeOrderedAndProject (heap per partition, k-merge), not a sort of
+    the whole aggregate. Revenue is exact decimal, and o_orderkey breaks
+    ties, so the top-10 *set* is deterministic across engines."""
+    c = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("l_orderkey") == o.o_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.sum(revenue()).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "set_union_all",
+    oracle="""
+    SELECT user_id, event_type, value FROM events WHERE event_type = 'click'
+    UNION ALL
+    SELECT user_id, event_type, value FROM events WHERE event_type = 'purchase'
+    """,
+)
+def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag union (Flink stream.union): no shuffle at all — partitions are
+    simply concatenated."""
+    ev = table(spark, sf_dir, "events").select("user_id", "event_type", "value")
+    return ev.filter(F.col("event_type") == "click").unionByName(
+        ev.filter(F.col("event_type") == "purchase")
+    )
+
+
+@register(
+    "set_union_distinct",
+    oracle="""
+    SELECT user_id FROM events WHERE event_type = 'click'
+    UNION
+    SELECT user_id FROM events WHERE event_type = 'view'
+    """,
+)
+def set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("event_type") == "click")
+        .select("user_id")
+        .union(ev.filter(F.col("event_type") == "view").select("user_id"))
+        .distinct()
+    )
+
+
+@register(
+    "set_intersect",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with both a finished and an open order (keyed co-process
+    membership pattern) — planned as a left-semi join on the dedup'd sides."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.filter(F.col("o_orderstatus") == "F")
+        .select("o_custkey")
+        .intersect(o.filter(F.col("o_orderstatus") == "O").select("o_custkey"))
+    )
+
+
+@register(
+    "set_except",
+    oracle="""
+    SELECT o_custkey FROM orders
+    EXCEPT
+    SELECT user_id AS o_custkey FROM events WHERE event_type = 'error'
+    """,
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Buyers minus error-reporters (left-anti under the hood)."""
+    buyers = table(spark, sf_dir, "orders").select("o_custkey")
+    error_users = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "error")
+        .select(F.col("user_id").alias("o_custkey"))
+    )
+    return buyers.subtract(error_users)
+
+
+@register(
+    "set_except_all",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus IN ('F', 'O')
+    EXCEPT ALL
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics EXCEPT ALL (multiplicity-preserving) — the variant a
+    keyed co-process with counters implements."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.filter(F.col("o_orderstatus").isin("F", "O"))
+        .select("o_custkey")
+        .exceptAll(o.filter(F.col("o_orderstatus") == "O").select("o_custkey"))
+    )
+
+
+@register(
+    "set_intersect_all",
+    oracle="""
+    SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R'
+    INTERSECT ALL
+    SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'A'
+    """,
+)
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_returnflag") == "R")
+        .select("l_suppkey")
+        .intersectAll(li.filter(F.col("l_returnflag") == "A").select("l_suppkey"))
+    )

@@ -1,0 +1,194 @@
+"""Analytic window functions (SURVEY §2.5).
+
+Flink-side equivalents: Table API Top-N / OVER windows; in DataStream
+terms these are KeyedProcessFunction patterns holding a ValueState of
+the previous record (lag), a running accumulator (cumulative sum), or a
+bounded buffer (sliding rows).
+
+Spark-first: `Window.partitionBy().orderBy()` — one shuffle on the
+partition key, sorted within partitions, no per-row Python. Every window
+ordering includes a unique tiebreaker column so results are total-ordered
+and deterministic (SURVEY §7 M1 gotcha).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..oracle_compat import dec
+from ..registry import register
+
+
+@register(
+    "win_topk_per_group",
+    oracle="""
+    SELECT c_custkey, o_orderkey, o_totalprice, rn
+    FROM (
+      SELECT c_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY c_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    ) WHERE rn <= 3
+    """,
+)
+def win_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer (Flink Table Top-N). row_number with a
+    unique tiebreaker (o_orderkey) so ranks are deterministic."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("c_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+@register(
+    "win_rank_dense_ntile",
+    oracle="""
+    SELECT s_suppkey, s_name,
+           RANK()       OVER (ORDER BY ROUND(s_acctbal, 0) DESC) AS bal_rank,
+           DENSE_RANK() OVER (ORDER BY ROUND(s_acctbal, 0) DESC) AS bal_dense_rank,
+           NTILE(4)     OVER (ORDER BY s_acctbal DESC, s_suppkey) AS bal_quartile
+    FROM supplier
+    """,
+)
+def win_rank_dense_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank (on a coarsened key so ties actually occur and
+    the three functions genuinely differ) + ntile quartiles."""
+    s = table(spark, sf_dir, "supplier")
+    coarse_ties = Window.orderBy(F.round("s_acctbal", 0).desc())
+    exact = Window.orderBy(F.col("s_acctbal").desc(), F.col("s_suppkey"))
+    return s.select(
+        "s_suppkey",
+        "s_name",
+        F.rank().over(coarse_ties).alias("bal_rank"),
+        F.dense_rank().over(coarse_ties).alias("bal_dense_rank"),
+        F.ntile(4).over(exact).alias("bal_quartile"),
+    )
+
+
+@register(
+    "win_lag_lead",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           LAG(ts)  OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts,
+           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_ts,
+           (epoch_us(ts) - epoch_us(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)))
+                // 1000000 AS gap_seconds
+    FROM events
+    """,
+)
+def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user previous/next event + gap — the ValueState(prev record)
+    KeyedProcessFunction pattern as a single window pass."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        prev.alias("prev_ts"),
+        F.lead("ts").over(w).alias("next_ts"),
+        # whole-second gap: diff in µs then integer-divide (gaps are >= 0
+        # within the ascending order, so floor == trunc in both engines)
+        ((F.unix_micros(F.col("ts")) - F.unix_micros(prev)) / F.lit(1000000))
+        .cast("long")
+        .alias("gap_seconds"),
+    )
+
+
+@register(
+    "win_running_sum",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS running_revenue
+    FROM orders
+    """,
+)
+def win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative revenue per customer over order date (keyed running
+    aggregate). Decimal accumulation keeps every prefix sum exact."""
+    o = table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(dec("o_totalprice")).over(w).cast("double").alias("running_revenue"),
+    )
+
+
+@register(
+    "win_sliding_rows",
+    oracle="""
+    SELECT event_id, user_id, value,
+           CAST(SUM(CAST(value AS DECIMAL(12,2)))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+             AS moving_avg
+    FROM events
+    """,
+)
+def win_sliding_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving average over the last 4 rows per user (Flink count window):
+    exact decimal sum / count, so partial-window edges are exact too."""
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-3, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        (F.sum(dec("value")).over(w).cast("double") / F.count(F.lit(1)).over(w)).alias(
+            "moving_avg"
+        ),
+    )
+
+
+@register(
+    "win_range_frame",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+                OVER (PARTITION BY o_custkey ORDER BY EPOCH(o_orderdate)
+                      RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS revenue_7d
+    FROM orders
+    """,
+)
+def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame on epoch seconds: same-customer revenue within the
+    trailing 7 days — the event-time range-state pattern. Range frames
+    need no tiebreaker: equal timestamps share one frame by definition."""
+    o = table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-604800, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(dec("o_totalprice")).over(w).cast("double").alias("revenue_7d"),
+    )
