@@ -1,0 +1,258 @@
+"""Scalar function surface (SURVEY §2.8): string / regexp / split /
+date / math / json / array / map / conditional.
+
+Flink-side equivalent: Table API built-in functions, or `map()` /
+`flatMap()` with hand-written Java in DataStream patterns.
+
+Spark-first: everything here is a built-in `pyspark.sql.functions`
+expression — JVM-side, inside whole-stage codegen, zero Python in the
+row path. This is the hot-path rule for 100 TB: a scalar UDF would be
+10-100× slower (see functions/udfs.py for the deliberate UDF surface).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import register
+
+
+@register(
+    "fn_string",
+    oracle="""
+    SELECT p_partkey,
+           LOWER(p_name) AS name_lower,
+           UPPER(p_brand) AS brand_upper,
+           SUBSTRING(p_name, 1, 8) AS name_prefix,
+           CONCAT_WS('|', p_brand, p_type) AS brand_type,
+           TRIM(CONCAT(' ', p_name, ' ')) AS name_trimmed,
+           LPAD(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
+           LENGTH(p_name) AS name_len
+    FROM part
+    """,
+)
+def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.lower("p_name").alias("name_lower"),
+        F.upper("p_brand").alias("brand_upper"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.trim(F.concat(F.lit(" "), F.col("p_name"), F.lit(" "))).alias("name_trimmed"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.length("p_name").alias("name_len"),
+    )
+
+
+@register(
+    "fn_regexp",
+    oracle="""
+    SELECT p_partkey,
+           CAST(REGEXP_EXTRACT(p_brand, 'Brand#(\\d+)', 1) AS INT) AS brand_num,
+           REGEXP_REPLACE(p_name, '[aeiou]', '_', 'g') AS name_censored
+    FROM part
+    WHERE REGEXP_MATCHES(p_type, '^(PROMO|ECONOMY)')
+    """,
+)
+def fn_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """regexp_extract / regexp_replace / rlike. Note: Spark replaces all
+    matches by default; DuckDB needs the 'g' flag — encoded in the oracle."""
+    p = table(spark, sf_dir, "part")
+    return p.filter(F.col("p_type").rlike("^(PROMO|ECONOMY)")).select(
+        "p_partkey",
+        F.regexp_extract("p_brand", r"Brand#(\d+)", 1).cast("int").alias("brand_num"),
+        F.regexp_replace("p_name", "[aeiou]", "_").alias("name_censored"),
+    )
+
+
+@register(
+    "fn_split_explode",
+    oracle="""
+    SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS token
+    FROM documents WHERE lang = 'en'
+    """,
+)
+def fn_split_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize → one row per token (Flink flatMap). split+explode stays
+    JVM-side; at 100 TB this is the shape of every tokenization pass."""
+    d = table(spark, sf_dir, "documents").filter(F.col("lang") == "en")
+    return d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+
+
+@register(
+    "fn_date",
+    oracle="""
+    SELECT o_orderkey,
+           DATE_TRUNC('month', o_orderdate) AS order_month,
+           CAST(YEAR(o_orderdate) AS INT) AS order_year,
+           CAST(MONTH(o_orderdate) AS INT) AS order_mon,
+           CAST(ISODOW(o_orderdate) AS INT) AS dow_iso,
+           DATEDIFF('day', TIMESTAMP '1995-01-01', o_orderdate) AS days_since_epoch_start,
+           o_orderdate + INTERVAL 30 DAY AS due_date
+    FROM orders
+    """,
+)
+def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal functions. Day-of-week uses the ISO convention (Mon=1) —
+    Spark's `dayofweek` is Sun=1 while DuckDB's is Sun=0, so `weekday()+1`
+    is the portable spelling."""
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.date_trunc("month", "o_orderdate").alias("order_month"),
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_mon"),
+        (F.weekday("o_orderdate") + 1).alias("dow_iso"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date")).alias(
+            "days_since_epoch_start"
+        ),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("due_date"),
+    )
+
+
+@register(
+    "fn_math",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ROUND(l_extendedprice / 7.0, 2) AS price_seventh,
+           ABS(l_discount - 0.05) AS disc_dev,
+           POWER(l_quantity, 2) AS qty_sq,
+           ROUND(LN(l_extendedprice), 6) AS price_ln,
+           SQRT(l_quantity) AS qty_sqrt,
+           l_partkey % 7 AS partkey_mod
+    FROM lineitem
+    """,
+)
+def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math functions. round() targets a continuous quotient (never an
+    exact decimal midpoint) and ln() is rounded: libm vs JVM Math differ
+    in the last ulp. sqrt/abs/power-of-int are IEEE-exact."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_extendedprice") / 7.0, 2).alias("price_seventh"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.pow("l_quantity", 2).alias("qty_sq"),
+        F.round(F.log("l_extendedprice"), 6).alias("price_ln"),
+        F.sqrt("l_quantity").alias("qty_sqrt"),
+        (F.col("l_partkey") % 7).alias("partkey_mod"),
+    )
+
+
+@register(
+    "fn_json",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+           MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE)
+             / COUNT(*) AS k_avg
+    FROM events GROUP BY event_type
+    """,
+)
+def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON payload extraction (`props` is a JSON string column) +
+    aggregate. get_json_object evaluates JVM-side; for repeated access
+    one would `from_json` once into a struct column."""
+    ev = table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").alias("k_sum"),
+            F.max("k").alias("k_max"),
+            (F.sum("k") / F.count(F.lit(1))).alias("k_avg"),
+        )
+    )
+
+
+@register(
+    "fn_array",
+    oracle="""
+    SELECT vec_id,
+           LEN(embedding) AS dim,
+           LEN(LIST_FILTER(embedding, x -> x > 0)) AS n_pos,
+           ROUND(LIST_AGGREGATE(LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)),
+                                'sum'), 4) AS vec_sum,
+           ROUND(LIST_AGGREGATE(LIST_TRANSFORM(embedding,
+                                x -> CAST(x AS DOUBLE) * 2.0), 'sum'), 4) AS vec_sum_x2,
+           ARRAY_CONTAINS([0, 1, 2], label) AS label_low
+    FROM embeddings
+    """,
+)
+def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array construct/size/contains + higher-order transform/filter/
+    aggregate over the embedding column — all codegen'd, the scalable way
+    to process vector columns without Python."""
+    e = table(spark, sf_dir, "embeddings")
+    to_d = F.transform("embedding", lambda x: x.cast("double"))
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.size(F.filter("embedding", lambda x: x > 0)).alias("n_pos"),
+        F.round(F.aggregate(to_d, F.lit(0.0), lambda acc, x: acc + x), 4).alias("vec_sum"),
+        F.round(
+            F.aggregate(
+                F.transform("embedding", lambda x: x.cast("double") * 2.0),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            4,
+        ).alias("vec_sum_x2"),
+        F.array_contains(F.array(F.lit(0), F.lit(1), F.lit(2)), F.col("label")).alias(
+            "label_low"
+        ),
+    )
+
+
+@register(
+    "fn_map",
+    oracle="""
+    SELECT event_id, 'k' AS prop_key,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_value
+    FROM events WHERE event_type = 'signup'
+    """,
+)
+def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType construction + explode: parse props into a map column,
+    explode to (key, value) rows. The oracle flattens the same content
+    relationally (DuckDB has no MAP explode of this shape)."""
+    ev = table(spark, sf_dir, "events").filter(F.col("event_type") == "signup")
+    m = F.create_map(F.lit("k"), F.get_json_object("props", "$.k").cast("long"))
+    return ev.select("event_id", F.explode(m).alias("prop_key", "prop_value"))
+
+
+@register(
+    "fn_conditional",
+    oracle="""
+    SELECT c_custkey,
+           CASE WHEN c_acctbal < 0 THEN 'debt'
+                WHEN c_acctbal < 3000 THEN 'low'
+                WHEN c_acctbal < 7000 THEN 'mid'
+                ELSE 'high' END AS bal_tier,
+           COALESCE(NULLIF(c_mktsegment, 'MACHINERY'), 'OTHER') AS segment_or_other,
+           GREATEST(c_acctbal, 0.0) AS bal_floor0,
+           LEAST(c_acctbal, 5000.0) AS bal_cap5k
+    FROM customer
+    """,
+)
+def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") < 0, "debt")
+        .when(F.col("c_acctbal") < 3000, "low")
+        .when(F.col("c_acctbal") < 7000, "mid")
+        .otherwise("high")
+        .alias("bal_tier"),
+        F.coalesce(F.nullif("c_mktsegment", F.lit("MACHINERY")), F.lit("OTHER")).alias(
+            "segment_or_other"
+        ),
+        F.greatest("c_acctbal", F.lit(0.0)).alias("bal_floor0"),
+        F.least("c_acctbal", F.lit(5000.0)).alias("bal_cap5k"),
+    )

@@ -1,0 +1,149 @@
+"""UDF / UDAF / UDTF surface (SURVEY §2.10).
+
+Flink-side equivalents: ScalarFunction, AggregateFunction /
+ProcessWindowFunction, TableFunction.
+
+These four operators exist to exercise the user-extension surface — the
+rest of the engine deliberately avoids Python in the row path. Ranked by
+100 TB suitability:
+  pandas_udf / applyInPandas (Arrow-batched)  ≫  row-at-a-time F.udf.
+The scalar F.udf entry is the anti-pattern kept for API parity; its
+pandas twin computes the same thing ~10-100× faster.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf, udf, udtf
+from pyspark.sql.types import StringType
+
+from ..catalog import table
+from ..registry import register
+
+_BRACKET_SQL = """
+    CASE WHEN o_totalprice < 100000 THEN 'low'
+         WHEN o_totalprice < 300000 THEN 'standard'
+         WHEN o_totalprice < 450000 THEN 'premium'
+         ELSE 'luxury' END
+"""
+
+
+@register(
+    "udf_scalar",
+    oracle=f"""
+    SELECT o_orderkey, {_BRACKET_SQL} AS bracket
+    FROM orders
+    """,
+)
+def udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-at-a-time Python UDF (Flink ScalarFunction analog)."""
+
+    @udf(returnType=StringType())
+    def bracket(price: float) -> str:
+        if price < 100000:
+            return "low"
+        if price < 300000:
+            return "standard"
+        if price < 450000:
+            return "premium"
+        return "luxury"
+
+    o = table(spark, sf_dir, "orders")
+    return o.select("o_orderkey", bracket("o_totalprice").alias("bracket"))
+
+
+@register(
+    "udf_pandas",
+    oracle=f"""
+    SELECT o_orderkey, {_BRACKET_SQL} AS bracket,
+           LEAST(o_totalprice, 300000.0) * 0.1 AS capped_fee
+    FROM orders
+    """,
+)
+def udf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized Arrow pandas UDF — same bracket logic over whole
+    columns per batch. This is the 100 TB-sane way to run Python."""
+
+    @pandas_udf(StringType())
+    def bracket_vec(price: pd.Series) -> pd.Series:
+        return pd.cut(
+            price,
+            bins=[float("-inf"), 100000, 300000, 450000, float("inf")],
+            labels=["low", "standard", "premium", "luxury"],
+            right=False,
+        ).astype(str)
+
+    @pandas_udf("double")
+    def capped_fee(price: pd.Series) -> pd.Series:
+        return price.clip(upper=300000.0) * 0.1
+
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        bracket_vec("o_totalprice").alias("bracket"),
+        capped_fee("o_totalprice").alias("capped_fee"),
+    )
+
+
+@register(
+    "udaf_grouped_map",
+    oracle="""
+    SELECT event_id, event_type,
+           ROUND((value - AVG(value) OVER (PARTITION BY event_type))
+                 / STDDEV_SAMP(value) OVER (PARTITION BY event_type), 6) AS value_z
+    FROM events
+    """,
+)
+def udaf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group normalization via applyInPandas (Flink
+    AggregateFunction/ProcessWindowFunction analog): each group arrives
+    as one pandas DataFrame over Arrow. Output rounded — pandas and the
+    oracle accumulate variance differently at the 1e-12 level."""
+
+    def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+        mean = pdf["value"].mean()
+        std = pdf["value"].std(ddof=1)
+        return pd.DataFrame(
+            {
+                "event_id": pdf["event_id"],
+                "event_type": pdf["event_type"],
+                "value_z": ((pdf["value"] - mean) / std).round(6),
+            }
+        )
+
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").applyInPandas(
+        normalize, schema="event_id long, event_type string, value_z double"
+    )
+
+
+@register(
+    "udtf_generator",
+    oracle="""
+    SELECT doc_id,
+           UNNEST(STRING_SPLIT(text, ' ')) AS token,
+           UNNEST(RANGE(1, LEN(STRING_SPLIT(text, ' ')) + 1)) AS pos
+    FROM documents WHERE lang = 'zh'
+    """,
+)
+def udtf_generator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Flink TableFunction analog): one input row → N output
+    rows with position. (Parallel UNNESTs zip in the DuckDB oracle.)"""
+
+    @udtf(returnType="token: string, pos: int")
+    class Tokenize:
+        def eval(self, text: str):
+            for i, tok in enumerate(text.split(" "), start=1):
+                yield tok, i
+
+    spark.udtf.register("sparkflow_tokenize", Tokenize)
+    d = table(spark, sf_dir, "documents").filter(F.col("lang") == "zh")
+    d.createOrReplaceTempView("udtf_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.token, t.pos
+        FROM udtf_docs d, LATERAL sparkflow_tokenize(d.text) t
+        """
+    )

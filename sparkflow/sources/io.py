@@ -1,0 +1,190 @@
+"""Sources & sinks (SURVEY §2.1).
+
+Flink-side equivalents: FileSource (bounded + streaming modes), CSV/JSON
+deserializers, FileSink (bulk parquet), SinkFunction.
+
+Spark-first notes:
+- scan_parquet demonstrates pushdown: the filter + projection reach the
+  parquet reader (PushedFilters / ReadSchema in explain).
+- sink_parquet demonstrates partitionBy + partition-pruned read-back —
+  at 100 TB, partition layout IS the primary index.
+- Round-trips write under /tmp/sparkflow_io (never the read-only
+  testdata), deterministic content, overwrite mode so re-runs are
+  idempotent.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..oracle_compat import dsum, sql_dsum
+from ..registry import register
+
+_TMP = "/tmp/sparkflow_io"
+
+
+@register(
+    "scan_parquet",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_shipdate, l_extendedprice
+    FROM lineitem WHERE l_shipdate >= TIMESTAMP '2001-06-01'
+    """,
+)
+def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection + predicate that both push into the parquet scan."""
+    return (
+        table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") >= F.lit("2001-06-01").cast("timestamp"))
+        .select("l_orderkey", "l_linenumber", "l_shipdate", "l_extendedprice")
+    )
+
+
+@register(
+    "scan_csv_json",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey FROM nation
+    """,
+)
+def scan_csv_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-ful CSV and JSON read: round-trip nation through both
+    formats, join the two read-backs — equality with the parquet truth is
+    what the oracle checks."""
+    n = table(spark, sf_dir, "nation")
+    csv_dir = os.path.join(_TMP, "nation_csv")
+    json_dir = os.path.join(_TMP, "nation_json")
+    n.write.mode("overwrite").option("header", True).csv(csv_dir)
+    n.write.mode("overwrite").json(json_dir)
+    schema = "n_nationkey INT, n_name STRING, n_regionkey INT"
+    from_csv = spark.read.schema(schema).option("header", True).csv(csv_dir)
+    from_json = spark.read.schema(schema).json(json_dir)
+    return from_csv.join(from_json, ["n_nationkey", "n_name", "n_regionkey"], "inner").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+
+
+@register(
+    "sink_parquet",
+    oracle=f"""
+    SELECT l_linestatus, COUNT(*) AS n_lines,
+           {sql_dsum('l_extendedprice', 'total_price')}
+    FROM lineitem WHERE l_returnflag = 'R'
+    GROUP BY l_linestatus
+    """,
+)
+def sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned parquet write + partition-pruned read-back: only the
+    l_returnflag=R directory is scanned (dynamic pruning via the
+    partition column filter), then aggregated."""
+    out = os.path.join(_TMP, "lineitem_by_flag")
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus", "l_extendedprice"
+    )
+    li.write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
+    back = spark.read.parquet(out).filter(F.col("l_returnflag") == "R")
+    return back.groupBy("l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        dsum("l_extendedprice", "total_price"),
+    )
+
+
+@register(
+    "source_stream_files",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_events FROM events GROUP BY event_type
+    """,
+)
+def source_stream_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental file-stream source (Flink FileSource streaming mode):
+    readStream over the events parquet, aggregated with
+    Trigger.AvailableNow into a memory sink, returned as the batch
+    result. The streaming answer must equal the batch oracle — the
+    bounded-stream equivalence that makes every streaming analog here
+    checkable."""
+    batch = table(spark, sf_dir, "events")  # sets nanosAsLong + gives schema
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .parquet(f"{sf_dir}/events*.parquet")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    sink_name = "sparkflow_stream_files_sink"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(sink_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink_name)
+
+
+@register("source_rate")  # rows-only: rate source row count is wall-clock-dependent
+def source_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic rate-micro-batch source (Flink DataGeneratorSource):
+    deterministic rowsPerBatch, bounded by availableNow. Returns the
+    generated rows' aggregate; rows-only check (the batch count depends
+    on the trigger schedule, not on sf_dir)."""
+    stream = (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", 100)
+        .option("startTimestamp", 0)
+        .load()
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("value").alias("min_value"),
+        )
+    )
+    sink_name = "sparkflow_rate_sink"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(sink_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink_name)
+
+
+@register(
+    "sink_foreachbatch",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_events FROM events GROUP BY event_type
+    """,
+)
+def sink_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch — the universal SinkFunction analog: each micro-batch
+    lands in a parquet staging dir keyed by batch_id (idempotent on
+    retry, the exactly-once recipe), then the staged batches are
+    re-aggregated. Same per-type counts as the batch oracle."""
+    import shutil
+
+    out = os.path.join(_TMP, "foreachbatch_sink")
+    shutil.rmtree(out, ignore_errors=True)
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .write.mode("overwrite")
+            .parquet(os.path.join(out, f"batch_{batch_id}"))
+        )
+
+    table(spark, sf_dir, "events")  # ensure nanosAsLong conf
+    q = (
+        spark.readStream.schema(raw_schema)
+        .parquet(f"{sf_dir}/events*.parquet")
+        .writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    staged = spark.read.parquet(os.path.join(out, "batch_*"))
+    return staged.groupBy("event_type").agg(F.sum("n_events").alias("n_events"))
