@@ -1,0 +1,414 @@
+"""Streaming patterns (SURVEY §2.9) — the heart of the Flink pattern
+catalog, as oracle-checkable event-time computations.
+
+The driver oracle is batch, so each pattern here is its *batch
+event-time analog*: the same event-time semantics evaluated over the
+bounded `events` table (SURVEY §2.9's analog strategy — sound because
+Spark's watermark-gated windows and Flink's are defined on event time,
+not arrival time). True streaming twins (readStream + watermarks +
+Trigger.AvailableNow, transformWithStateInPandas with timers) live in
+streaming/stateful.py and are exercised by pytest; `stream_tumbling`
+runs as a REAL streaming query even here, proving the equivalence the
+other analogs rely on.
+
+Flink-side equivalents per op are noted in each docstring (public
+DataStream API vocabulary — TumblingEventTimeWindows, SessionWindows,
+KeyedProcessFunction + ValueState/timers, CEP Pattern, dedup-with-TTL).
+
+Scale notes: every analog is a window function or groupBy over the key
+— one shuffle, no driver-side loops. The true-streaming forms use
+watermarks to bound state (the 100 TB requirement); globally-ordered
+constructs appear ONLY where Flink's semantics are inherently global
+(the watermark itself), marked below.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..oracle_compat import dec
+from ..registry import register
+
+# µs-precision hour bucket, identical in both engines.
+_SPARK_HOUR = "timestamp_micros(((unix_micros(ts) div 1000000) div 3600) * 3600 * 1000000)"
+_SQL_HOUR = "make_timestamp(((epoch_us(ts)//1000000//3600)*3600)*1000000)"
+
+
+@register(
+    "stream_tumbling",
+    oracle="""
+    SELECT make_timestamp(((epoch_us(ts)//1000000//3600)*3600)*1000000) AS hour_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS value_sum
+    FROM events GROUP BY 1, 2
+    """,
+)
+def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling event-time window (TumblingEventTimeWindows.of(1h))
+    — run as a TRUE Structured Streaming query: file-stream source →
+    F.window aggregation → memory sink via Trigger.AvailableNow. The
+    result equals the batch date_trunc analog, which is exactly the
+    equivalence the other analogs in this module rely on."""
+    table(spark, sf_dir, "events")  # set nanos conf
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .parquet(f"{sf_dir}/events*.parquet")
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec("value")).cast("double").alias("value_sum"),
+        )
+        .select(
+            F.col("w.start").alias("hour_start"), "event_type", "n_events", "value_sum"
+        )
+    )
+    name = "sparkflow_tumbling_sink"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+@register(
+    "stream_sliding",
+    oracle="""
+    SELECT make_timestamp((((epoch_us(ts)//1000000//900)*900) - k.k*900)*1000000)
+             AS window_start,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS value_sum
+    FROM events CROSS JOIN (VALUES (0),(1),(2),(3)) k(k)
+    GROUP BY 1
+    """,
+)
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1h window sliding every 15min (SlidingEventTimeWindows): each event
+    belongs to exactly 4 windows. F.window(ts, 1h, 15m) does the fan-out
+    natively (works identically on batch and streaming DataFrames); the
+    oracle reproduces it with an explicit 4-way bucket expansion."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec("value")).cast("double").alias("value_sum"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "value_sum")
+    )
+
+
+@register(
+    "stream_session",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, value,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800*1000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM marked
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS value_sum
+    FROM sess GROUP BY user_id, sess_id
+    """,
+)
+def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows with 30-min gap
+    (EventTimeSessionWindows.withGap): native F.session_window — Spark
+    merges adjacent intervals per key, the same merge a Flink session
+    window performs. The oracle is the classic lag-gap → cumulative
+    session-id rewrite; pytest asserts both forms agree (SURVEY §7
+    hard-item 4)."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec("value")).cast("double").alias("value_sum"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "value_sum",
+        )
+    )
+
+
+@register(
+    "stream_watermark_late",
+    oracle="""
+    WITH wm AS (
+      SELECT event_type, ts,
+             MAX(ts) OVER (ORDER BY event_id
+                           ROWS UNBOUNDED PRECEDING) AS arrival_max_ts
+      FROM events
+    )
+    SELECT event_type,
+           COUNT(CASE WHEN epoch_us(arrival_max_ts) - epoch_us(ts)
+                           <= 600*1000000 THEN 1 END) AS n_kept,
+           COUNT(CASE WHEN epoch_us(arrival_max_ts) - epoch_us(ts)
+                           >  600*1000000 THEN 1 END) AS n_late
+    FROM wm GROUP BY event_type
+    """,
+)
+def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-out-of-orderness watermark + late-data side output
+    (WatermarkStrategy.forBoundedOutOfOrderness(10m) + side output): an
+    event is late if it arrives (event_id = arrival order) more than 10
+    minutes behind the running max event time — precisely the Flink/Spark
+    watermark definition. Kept/late routed to two counters per type (the
+    filter-split side-output pattern). NOTE: the watermark is inherently
+    a global running max — acceptable here because the true streaming
+    form (withWatermark + dropDuplicatesWithinWatermark, pytest) keeps it
+    per-executor-merged, not window-ordered."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.orderBy("event_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lateness = F.unix_micros(F.max("ts").over(w)) - F.unix_micros(F.col("ts"))
+    flagged = ev.select("event_type", (lateness > 600 * 1_000_000).alias("is_late"))
+    return flagged.groupBy("event_type").agg(
+        F.count(F.when(~F.col("is_late"), 1)).alias("n_kept"),
+        F.count(F.when(F.col("is_late"), 1)).alias("n_late"),
+    )
+
+
+@register(
+    "stream_dedup",
+    oracle="""
+    SELECT user_id, event_type, event_id AS first_event_id, ts AS first_ts
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                   ORDER BY ts, event_id) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First event per (user_id, event_type) — the classic Flink keyed
+    ValueState seen-flag + TTL dedup. Batch analog: row_number()=1.
+    The true streaming twin is dropDuplicatesWithinWatermark (pytest),
+    whose watermark TTL is what bounds state at 100 TB."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("event_id").alias("first_event_id"),
+            F.col("ts").alias("first_ts"),
+        )
+    )
+
+
+@register(
+    "stream_stateful_counter",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           COUNT(*) OVER w AS running_count,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE) AS running_sum
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING)
+    """,
+)
+def stream_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running count + sum emitted per event — the canonical
+    KeyedProcessFunction + ValueState pattern. Batch analog: cumulative
+    window. True twin: transformWithStateInPandas StatefulProcessor
+    (streaming/stateful.py), pytest-asserted equal to this."""
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count(F.lit(1)).over(w).alias("running_count"),
+        F.sum(dec("value")).over(w).cast("double").alias("running_sum"),
+    )
+
+
+@register(
+    "stream_timeout_session",
+    oracle="""
+    SELECT user_id, event_id, ts AS quiet_since,
+           (epoch_us(LEAD(ts) OVER w) - epoch_us(ts)) // 1000000 AS silence_seconds
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    QUALIFY LEAD(ts) OVER w IS NULL
+         OR epoch_us(LEAD(ts) OVER w) - epoch_us(ts) > 1800*1000000
+    """,
+)
+def stream_timeout_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'User went quiet' after 30 min of inactivity — the
+    registerEventTimeTimer pattern (timer fires when no newer event
+    resets it). Batch analog: lead-gap > 30 min, or no next event at all
+    (final silence, silence_seconds NULL). True twin with real timers in
+    streaming/stateful.py."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    gap_us = F.unix_micros(nxt) - F.unix_micros(F.col("ts"))
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            F.col("ts").alias("quiet_since"),
+            (gap_us / F.lit(1_000_000)).cast("long").alias("silence_seconds"),
+            nxt.alias("_nxt"),
+            gap_us.alias("_gap"),
+        )
+        .filter(F.col("_nxt").isNull() | (F.col("_gap") > 1800 * 1_000_000))
+        .drop("_nxt", "_gap")
+    )
+
+
+@register(
+    "stream_cep_funnel",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_id, event_type, ts,
+             MAX(CASE WHEN event_type = 'view' THEN ts END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS last_view_ts
+      FROM events
+    ), with_click AS (
+      SELECT *,
+             MAX(CASE WHEN event_type = 'click' THEN last_view_ts END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS best_view_before_click
+      FROM ordered
+    )
+    SELECT user_id, event_id AS purchase_id, ts AS purchase_ts,
+           best_view_before_click AS funnel_open_ts
+    FROM with_click
+    WHERE event_type = 'purchase'
+      AND best_view_before_click IS NOT NULL
+      AND epoch_us(ts) - epoch_us(best_view_before_click) <= 86400000000
+    """,
+)
+def stream_cep_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP funnel view →(followedBy) click →(followedBy) purchase within
+    24 hours (FlinkCEP Pattern.begin('view').followedBy('click')
+    .followedBy('purchase').within(24h); 24h chosen so the testdata's
+    ~10h per-user event spacing yields matches at every SF).
+
+    NFA-free formulation in two carried windows: (1) latest view at or
+    before each event; (2) over clicks, the latest such view — i.e. the
+    best funnel-opening view that already has a click after it. A
+    purchase completes the funnel iff that carried view is within 1h.
+    Maximizing the view timestamp is optimal, so this detects exactly the
+    existence of a matching triple — linear per key, no triple self-join
+    blow-up, which is what makes it viable at 100 TB."""
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    last_view = F.max(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    staged = ev.withColumn("last_view_ts", last_view)
+    best = F.max(
+        F.when(F.col("event_type") == "click", F.col("last_view_ts"))
+    ).over(w)
+    staged = staged.withColumn("best_view_before_click", best)
+    return (
+        staged.filter(
+            (F.col("event_type") == "purchase")
+            & F.col("best_view_before_click").isNotNull()
+            & (
+                F.unix_micros("ts") - F.unix_micros("best_view_before_click")
+                <= 86400 * 1_000_000
+            )
+        )
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("best_view_before_click").alias("funnel_open_ts"),
+        )
+    )
+
+
+@register(
+    "stream_gap_fill",
+    oracle="""
+    WITH bounds AS (
+      SELECT user_id,
+             make_timestamp(((MIN(epoch_us(ts))//1000000//3600)*3600)*1000000) AS h0,
+             make_timestamp(((MAX(epoch_us(ts))//1000000//3600)*3600)*1000000) AS h1
+      FROM events GROUP BY user_id
+    ), spine AS (
+      SELECT user_id, UNNEST(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+      FROM bounds
+    ), hourly AS (
+      SELECT user_id,
+             make_timestamp(((epoch_us(ts)//1000000//3600)*3600)*1000000) AS hour,
+             MAX_BY(value, ts) AS hour_value
+      FROM events GROUP BY 1, 2
+    )
+    SELECT s.user_id, s.hour,
+           LAST_VALUE(h.hour_value IGNORE NULLS)
+             OVER (PARTITION BY s.user_id ORDER BY s.hour
+                   ROWS UNBOUNDED PRECEDING) AS filled_value
+    FROM spine s LEFT JOIN hourly h
+      ON s.user_id = h.user_id AND s.hour = h.hour
+    """,
+)
+def stream_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill: one row per (user, hour) between the user's
+    first and last event, carrying the last observed value through empty
+    hours — the KeyedProcessFunction-with-timers carry-forward pattern
+    [RECALL: this author's signature time-series pattern, SURVEY §2.9].
+
+    Spark-first: hour spine via sequence()+explode (no timer machinery),
+    left join the hourly last-values, last(ignorenulls) carry-forward.
+    (user_id, ts) is unique in the data (verified), so max_by(value, ts)
+    is deterministic."""
+    ev = table(spark, sf_dir, "events")
+    hour = F.expr(_SPARK_HOUR)
+    bounds = ev.groupBy("user_id").agg(
+        F.min(hour).alias("h0"), F.max(hour).alias("h1")
+    )
+    spine = bounds.select(
+        "user_id",
+        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("hour"),
+    )
+    hourly = (
+        ev.withColumn("hour", hour)
+        .groupBy("user_id", "hour")
+        .agg(F.max_by("value", "ts").alias("hour_value"))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(hourly, ["user_id", "hour"], "left")
+        .withColumn("filled_value", F.last("hour_value", ignorenulls=True).over(w))
+        .select("user_id", "hour", "filled_value")
+    )

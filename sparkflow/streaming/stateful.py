@@ -1,0 +1,330 @@
+"""True Structured-Streaming twins of the §2.9 patterns (pytest layer).
+
+Where analogs.py proves semantics against the SQL oracle, this module
+runs the REAL streaming machinery — multi-micro-batch file streams,
+watermarks, `dropDuplicatesWithinWatermark`, stream-stream interval
+joins, and keyed stateful processing with event-time timeouts (the
+Spark equivalent of a Flink KeyedProcessFunction with ValueState +
+registerEventTimeTimer).
+
+Two stateful APIs exist in PySpark 4.x:
+- `transformWithStateInPandas` (the new StatefulProcessor API). Its
+  Python state server requires google.protobuf, which is NOT installed
+  in this environment (verified: ImportError crashes the tws driver
+  worker) — implementations are provided and exercised only when
+  protobuf is importable (HAS_PROTOBUF).
+- `applyInPandasWithState` (GroupState API, Arrow-only) — used as the
+  primary, tested implementation here. Same per-key state + event-time
+  timeout semantics.
+
+tests/test_streaming.py feeds events as N sequential files
+(maxFilesPerTrigger=1 → N micro-batches, simulating arrival) and
+asserts each twin equals its batch analog.
+
+Scale notes: state is per-key and O(1) (a counter, a last-seen
+timestamp); watermark-driven timeouts clean it up — the
+unbounded-key-safe shape for 100 TB. RocksDB state store provider is
+set in the test session, as it would be on a real cluster.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+import shutil
+from typing import Any, Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..catalog import table
+
+try:  # find_spec("google.protobuf") raises if the 'google' namespace is absent
+    HAS_PROTOBUF = importlib.util.find_spec("google.protobuf") is not None
+except ModuleNotFoundError:
+    HAS_PROTOBUF = False
+
+GAP_SECONDS = 1800  # 30-minute inactivity gap, same as the analogs
+
+
+def split_events_to_files(spark: SparkSession, sf_dir: str, out_dir: str, n_files: int = 3) -> str:
+    """Materialize events as n sequential parquet files (by event_id range,
+    which equals arrival AND event-time order in this data) so the file
+    stream source replays them as distinct micro-batches."""
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir)
+    ev = table(spark, sf_dir, "events")
+    n_total = ev.count()
+    step = (n_total + n_files - 1) // n_files
+    for i in range(n_files):
+        (
+            ev.filter(
+                (F.col("event_id") >= i * step) & (F.col("event_id") < (i + 1) * step)
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(os.path.join(out_dir, f"stage_{i}"))
+        )
+    # flatten: file source needs one directory of files, arriving in name order
+    final = os.path.join(out_dir, "stream")
+    os.makedirs(final)
+    for i in range(n_files):
+        stage = os.path.join(out_dir, f"stage_{i}")
+        part = [f for f in os.listdir(stage) if f.endswith(".parquet")][0]
+        dst = os.path.join(final, f"{i:03d}.parquet")
+        shutil.copy(os.path.join(stage, part), dst)
+        # the file source replays in MODIFICATION-TIME order, not name
+        # order — give each file a strictly increasing mtime
+        os.utime(dst, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+    return final
+
+
+def _events_stream(spark: SparkSession, files_dir: str, sf_dir: str) -> DataFrame:
+    """File-stream over split events, one file per micro-batch, with the
+    ns→µs timestamp normalization applied (files carry ts as long ns)."""
+    table(spark, sf_dir, "events")  # ensure nanosAsLong conf on this session
+    schema = spark.read.parquet(files_dir).schema
+    df = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(files_dir)
+    )
+    if dict(df.dtypes)["ts"] == "bigint":
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
+def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append") -> None:
+    """Execute a streaming DataFrame to completion into a memory sink."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def _ts_us(series: pd.Series) -> pd.Series:
+    return pd.to_datetime(series).astype("datetime64[us]").astype("int64")
+
+
+# ---------------------------------------------------------------------------
+# Running counter — KeyedProcessFunction + ValueState pattern
+# ---------------------------------------------------------------------------
+
+
+def _counter_fn(
+    key: Tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-user running count + exact running sum, one row per event.
+    Sum accumulates in integer cents — associative and exact, matching
+    the oracle's decimal path (values are exact 2-decimal doubles)."""
+    cnt, cents0 = state.get if state.exists else (0, 0)
+    # Arrow chunks for a key within one micro-batch arrive unordered —
+    # concat + sort by arrival id before accumulating (a Flink keyed
+    # operator would see them in arrival order already).
+    chunks = [p for p in pdf_iter if len(p)]
+    if not chunks:
+        return
+    pdf = pd.concat(chunks).sort_values("event_id")
+    counts = cnt + pd.RangeIndex(1, len(pdf) + 1).to_numpy()
+    cents = cents0 + (pdf["value"].to_numpy() * 100).round().astype("int64").cumsum()
+    state.update((int(counts[-1]), int(cents[-1])))
+    yield pd.DataFrame(
+        {
+            "event_id": pdf["event_id"].to_numpy(),
+            "running_count": counts,
+            "running_sum": cents / 100.0,
+        }
+    )
+
+
+def stateful_counter_stream(spark: SparkSession, files_dir: str, sf_dir: str) -> DataFrame:
+    """True-streaming twin of `stream_stateful_counter`."""
+    ev = _events_stream(spark, files_dir, sf_dir)
+    return ev.groupBy("user_id").applyInPandasWithState(
+        _counter_fn,
+        outputStructType="event_id BIGINT, running_count BIGINT, running_sum DOUBLE",
+        stateStructType="cnt BIGINT, cents BIGINT",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quiet-user timeout — registerEventTimeTimer pattern
+# ---------------------------------------------------------------------------
+
+
+def _quiet_fn(
+    key: Tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Emit (user went quiet) rows. In-batch gaps are detected inline (a
+    Flink processor sees them as timer-fire-then-event, in order); the
+    trailing silence is a real event-time timeout that fires when the
+    watermark passes last_ts + gap. silence_seconds = -1 marks a
+    timeout-emitted trailing silence."""
+    if state.hasTimedOut:
+        (last_us,) = state.get
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "quiet_since_us": [last_us],
+                "silence_seconds": [-1],
+            }
+        )
+        # keep state: a later event for this user would re-open the session
+        return
+    prev = state.get[0] if state.exists else None
+    quiet_since, silence = [], []
+    chunks = [p for p in pdf_iter if len(p)]
+    if chunks:
+        pdf = pd.concat(chunks).sort_values("event_id")
+        for t in _ts_us(pdf["ts"]).to_numpy():
+            if prev is not None and t - prev > GAP_SECONDS * 1_000_000:
+                quiet_since.append(prev)
+                silence.append(int((t - prev) // 1_000_000))
+            prev = int(t)
+    if prev is not None:
+        state.update((prev,))
+        state.setTimeoutTimestamp(prev // 1000 + GAP_SECONDS * 1000)
+    if quiet_since:
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(quiet_since),
+                "quiet_since_us": quiet_since,
+                "silence_seconds": silence,
+            }
+        )
+
+
+def timeout_session_stream(spark: SparkSession, files_dir: str, sf_dir: str) -> DataFrame:
+    """True-streaming twin of `stream_timeout_session` with real
+    event-time timeouts (requires a watermark on ts)."""
+    ev = _events_stream(spark, files_dir, sf_dir).withWatermark("ts", "0 seconds")
+    return ev.groupBy("user_id").applyInPandasWithState(
+        _quiet_fn,
+        outputStructType="user_id BIGINT, quiet_since_us BIGINT, silence_seconds BIGINT",
+        stateStructType="last_us BIGINT",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+# ---------------------------------------------------------------------------
+# transformWithStateInPandas variant (PySpark 4.x StatefulProcessor API).
+# Gated: its Python state-server worker imports google.protobuf, which is
+# not installed in this environment (HAS_PROTOBUF False → callers skip).
+# ---------------------------------------------------------------------------
+
+if HAS_PROTOBUF:  # pragma: no cover - environment lacks protobuf
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningCounterProcessor(StatefulProcessor):
+        """StatefulProcessor twin of _counter_fn (ValueState handle API)."""
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("acc", "cnt BIGINT, cents BIGINT")
+
+        def handleInputRows(
+            self, key: Any, rows: Iterator[pd.DataFrame], timerValues: Any
+        ) -> Iterator[pd.DataFrame]:
+            pdf = pd.concat(list(rows)).sort_values("event_id")
+            cnt, cents0 = self._state.get() if self._state.exists() else (0, 0)
+            counts = cnt + pd.RangeIndex(1, len(pdf) + 1).to_numpy()
+            cents = cents0 + (pdf["value"].to_numpy() * 100).round().astype("int64").cumsum()
+            self._state.update((int(counts[-1]), int(cents[-1])))
+            yield pd.DataFrame(
+                {
+                    "event_id": pdf["event_id"].to_numpy(),
+                    "running_count": counts,
+                    "running_sum": cents / 100.0,
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    def stateful_counter_stream_tws(
+        spark: SparkSession, files_dir: str, sf_dir: str
+    ) -> DataFrame:
+        ev = _events_stream(spark, files_dir, sf_dir)
+        return ev.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=RunningCounterProcessor(),
+            outputStructType="event_id BIGINT, running_count BIGINT, running_sum DOUBLE",
+            outputMode="append",
+            timeMode="none",
+        )
+
+
+# ---------------------------------------------------------------------------
+# Watermark-based built-ins
+# ---------------------------------------------------------------------------
+
+
+def dedup_within_watermark_stream(
+    spark: SparkSession, files_dir: str, sf_dir: str, delay: str = "30 days"
+) -> DataFrame:
+    """True-streaming twin of `stream_dedup`: dropDuplicatesWithinWatermark
+    keeps the first arrival per (user_id, event_type); the delay bounds
+    dedup state — the TTL that makes this safe on unbounded keys."""
+    ev = _events_stream(spark, files_dir, sf_dir).withWatermark("ts", delay)
+    return ev.dropDuplicatesWithinWatermark(["user_id", "event_type"]).select(
+        "user_id",
+        "event_type",
+        F.col("event_id").alias("first_event_id"),
+        F.col("ts").alias("first_ts"),
+    )
+
+
+def interval_join_stream(spark: SparkSession, files_dir: str, sf_dir: str) -> DataFrame:
+    """True-streaming twin of `join_interval`: stream-stream inner join
+    with watermarks on both sides + the time-range condition. Watermarks
+    let Spark evict buffered rows — the bounded-state requirement."""
+    ev = _events_stream(spark, files_dir, sf_dir)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    cond = (
+        (clicks.user_id == purchases.p_user_id)
+        & (purchases.p_ts >= clicks.click_ts)
+        & (purchases.p_ts <= clicks.click_ts + F.expr("INTERVAL 10 MINUTES"))
+    )
+    return clicks.join(purchases, cond).select("click_id", "purchase_id", "user_id")
+
+
+def tumbling_append_stream(
+    spark: SparkSession, files_dir: str, sf_dir: str, delay: str = "10 minutes"
+) -> DataFrame:
+    """Watermarked tumbling windows in APPEND mode: only windows the
+    watermark has closed are emitted — Flink's on-watermark window firing.
+    (analogs' stream_tumbling uses complete mode; this is the
+    production-shaped variant.)"""
+    ev = _events_stream(spark, files_dir, sf_dir).withWatermark("ts", delay)
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("hour_start"), "event_type", "n_events")
+    )

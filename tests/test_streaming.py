@@ -1,0 +1,135 @@
+"""True-streaming twins vs their oracle-checked batch analogs.
+
+Events are replayed as 3 sequential files → 3 micro-batches
+(maxFilesPerTrigger=1), so keyed state genuinely crosses batch
+boundaries and event-time timers genuinely fire on watermark advance.
+"""
+
+from __future__ import annotations
+
+import sys
+
+import pandas as pd
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+import sparkflow
+from sparkflow.streaming import stateful
+
+
+@pytest.fixture(scope="module")
+def stream_dir(spark, sf_small, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("events_stream"))
+    return stateful.split_events_to_files(spark, sf_small, out, n_files=3)
+
+
+def _collect(spark, stream_df, name, mode="append"):
+    stateful.run_to_memory(stream_df, name, mode)
+    return spark.table(name).toPandas()
+
+
+def test_stateful_counter_matches_analog(spark, stream_dir, sf_small):
+    got = _collect(
+        spark,
+        stateful.stateful_counter_stream(spark, stream_dir, sf_small),
+        "t_counter",
+    ).sort_values("event_id").reset_index(drop=True)
+    want = (
+        sparkflow.QUERIES["stream_stateful_counter"](spark, sf_small)
+        .toPandas()[["event_id", "running_count", "running_sum"]]
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[["event_id", "running_count", "running_sum"]], want, check_dtype=False
+    )
+
+
+def test_dedup_within_watermark_matches_analog(spark, stream_dir, sf_small):
+    got = _collect(
+        spark,
+        stateful.dedup_within_watermark_stream(spark, stream_dir, sf_small),
+        "t_dedup",
+    ).sort_values(["user_id", "event_type"]).reset_index(drop=True)
+    want = (
+        sparkflow.QUERIES["stream_dedup"](spark, sf_small)
+        .toPandas()
+        .sort_values(["user_id", "event_type"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_interval_join_stream_matches_batch(spark, stream_dir, sf_small):
+    got = _collect(
+        spark,
+        stateful.interval_join_stream(spark, stream_dir, sf_small),
+        "t_ivjoin",
+    ).sort_values(["click_id", "purchase_id"]).reset_index(drop=True)
+    want = (
+        sparkflow.QUERIES["join_interval"](spark, sf_small)
+        .toPandas()
+        .sort_values(["click_id", "purchase_id"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_timeout_timers_fire(spark, stream_dir, sf_small):
+    """In-batch gaps must exactly match the analog's non-final rows;
+    timer-emitted trailing silences (-1) must be a subset of users whose
+    final gap the analog marks with NULL silence."""
+    got = _collect(
+        spark,
+        stateful.timeout_session_stream(spark, stream_dir, sf_small),
+        "t_quiet",
+    )
+    analog = sparkflow.QUERIES["stream_timeout_session"](spark, sf_small).toPandas()
+    analog_us = (
+        pd.to_datetime(analog["quiet_since"]).astype("datetime64[us]").astype("int64")
+    )
+    # non-final (real gap) rows
+    got_gaps = got[got["silence_seconds"] >= 0]
+    want_gaps = analog[analog["silence_seconds"].notna()]
+    assert sorted(got_gaps["quiet_since_us"]) == sorted(
+        analog_us[analog["silence_seconds"].notna()]
+    )
+    assert sorted(got_gaps["silence_seconds"]) == sorted(
+        want_gaps["silence_seconds"].astype("int64")
+    )
+    # trailing silences: subset of analog's NULL-silence rows (watermark
+    # only advances with data, so the very last users' timers may not fire)
+    final_want = set(analog_us[analog["silence_seconds"].isna()])
+    got_final = got[got["silence_seconds"] == -1]
+    assert set(got_final["quiet_since_us"]).issubset(final_want)
+
+
+def test_tumbling_append_emits_closed_windows_only(spark, stream_dir, sf_small):
+    got = _collect(
+        spark,
+        stateful.tumbling_append_stream(spark, stream_dir, sf_small),
+        "t_tumble_append",
+    )
+    complete = (
+        sparkflow.QUERIES["stream_tumbling"](spark, sf_small)
+        .toPandas()[["hour_start", "event_type", "n_events"]]
+    )
+    # append-mode output ⊆ complete-mode output, and every emitted window
+    # agrees exactly on its counts
+    merged = got.merge(
+        complete, on=["hour_start", "event_type"], suffixes=("_got", "_want")
+    )
+    assert len(merged) == len(got)
+    assert (merged["n_events_got"] == merged["n_events_want"]).all()
+    assert len(got) > 0, "watermark must have closed at least one window"
+
+
+def test_session_window_native_equals_lag_cumsum_rewrite(spark, duck, sf_small):
+    """SURVEY §7 hard item 4: F.session_window merge semantics equal the
+    lag-gap cumulative rewrite (which is the DuckDB oracle)."""
+    sdf = sparkflow.QUERIES["stream_session"](spark, sf_small).toPandas()
+    odf = duck(sf_small).execute(sparkflow.ORACLES["stream_session"]).fetchdf()
+    from tools.check import compare
+
+    assert compare(sdf, odf) == "EXACT"
