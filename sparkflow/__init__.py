@@ -15,23 +15,11 @@ from __future__ import annotations
 from . import catalog, oracle_compat, registry, session  # noqa: F401
 
 # Operator modules register themselves on import.
-from .operators import joins  # noqa: F401
-
-try:  # modules added incrementally; keep package importable mid-build
-    from .operators import projections  # noqa: F401
-    from .operators import aggregates  # noqa: F401
-    from .operators import windows  # noqa: F401
-    from .operators import sort_set  # noqa: F401
-    from .functions import scalar  # noqa: F401
-    from .functions import udfs  # noqa: F401
-    from .sources import io  # noqa: F401
-    from .streaming import analogs  # noqa: F401
-    from .streaming import stateful  # noqa: F401
-    from .llm import dedup  # noqa: F401
-    from .llm import similarity  # noqa: F401
-    from .llm import text  # noqa: F401
-except ImportError:  # pragma: no cover - during scaffolding only
-    pass
+from .functions import scalar, udfs  # noqa: F401
+from .llm import dedup, multimodal, similarity, text  # noqa: F401
+from .operators import aggregates, joins, projections, sort_set, windows  # noqa: F401
+from .sources import io  # noqa: F401
+from .streaming import analogs, stateful  # noqa: F401
 
 QUERIES = registry.QUERIES
 ORACLES = registry.ORACLES

@@ -1,0 +1,262 @@
+"""Deduplication operators for LLM training-data pipelines (SURVEY §2.11).
+
+The provided corpus has no duplicate texts (verified), so each operator
+first builds a duplicate-rich corpus DETERMINISTICALLY inside the query
+(original docs ∪ synthesized copies with offset ids — mirrored exactly
+in the oracle SQL). The dedup logic itself never sees the synthesis.
+
+Scale design:
+- exact dedup: hash-groupBy on sha256(text) — one shuffle on a 32-byte
+  key regardless of document size; keep-first by min(doc_id).
+- near-dup: char-5-shingles → K=12 MinHash signatures (string-min of
+  salted md5, a valid min-wise scheme and expressible identically in
+  SQL) → 4 LSH bands of 3 → band-equality self-join proposes candidate
+  pairs → exact token-Jaccard verifies. NEVER an all-pairs O(n²) join:
+  the only self-join is on band hash, whose buckets stay tiny at any
+  corpus size (that is the whole point of LSH at 100 TB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import register
+
+# deterministic duplicate synthesis: every 7th doc gets an exact copy,
+# every 5th doc a near-copy with a small appended suffix
+_CORPUS_SQL = """
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+    UNION ALL
+    SELECT doc_id + 2000000 AS doc_id, text || ' zq xw' AS text
+    FROM documents WHERE doc_id % 5 = 0
+"""
+
+
+def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    exact_copies = (
+        d.filter(F.col("doc_id") % 7 == 0)
+        .select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    )
+    near_copies = (
+        d.filter(F.col("doc_id") % 5 == 0)
+        .select(
+            (F.col("doc_id") + 2000000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" zq xw")).alias("text"),
+        )
+    )
+    return d.unionByName(exact_copies).unionByName(near_copies)
+
+
+@register(
+    "llm_dedup_exact",
+    oracle=f"""
+    WITH corpus AS ({_CORPUS_SQL})
+    SELECT MIN(doc_id) AS keeper_id,
+           COUNT(*) AS n_copies,
+           sha256(text) AS text_hash
+    FROM corpus GROUP BY sha256(text)
+    """,
+)
+def llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: sha256 content hash → keep lowest doc_id per hash.
+    One row per distinct text with its keeper and multiplicity."""
+    c = _corpus(spark, sf_dir)
+    return c.groupBy(F.sha2("text", 256).alias("text_hash")).agg(
+        F.min("doc_id").alias("keeper_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    ).select("keeper_id", "n_copies", "text_hash")
+
+
+# ---- MinHash + LSH near-dup --------------------------------------------
+
+_K = 12  # minhash functions (salted md5, string-min)
+_BAND = 3  # rows per band -> 4 bands
+_SHINGLE = 5  # char shingle width
+_JACCARD_MIN = 0.5  # exact-verification threshold on token jaccard
+
+_SALTS = list(range(_K))
+
+
+@register(
+    "llm_dedup_near",
+    oracle=f"""
+    WITH corpus AS ({_CORPUS_SQL}),
+    shingles AS (
+      SELECT doc_id, substr(text, i, {_SHINGLE}) AS sh
+      FROM corpus, LATERAL (SELECT UNNEST(range(1, len(text) - {_SHINGLE - 2}))) t(i)
+    ),
+    salts AS (SELECT UNNEST(range(0, {_K})) AS salt),
+    minhash AS (
+      SELECT doc_id, salt, MIN(md5(salt || sh)) AS mh
+      FROM shingles CROSS JOIN salts
+      GROUP BY doc_id, salt
+    ),
+    sigs AS (
+      SELECT doc_id,
+             {", ".join(f"MIN(CASE WHEN salt = {i} THEN mh END) AS s{i}" for i in range(_K))}
+      FROM minhash GROUP BY doc_id
+    ),
+    bands AS (
+      {" UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_id, md5(s{3*b} || s{3*b+1} || s{3*b+2}) AS bh FROM sigs"
+        for b in range(_K // _BAND)
+      )}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.bh = b.bh AND a.doc_id < b.doc_id
+    ),
+    toks AS (
+      SELECT DISTINCT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM corpus
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS ni
+      FROM cand c
+      JOIN toks ta ON ta.doc_id = c.doc_a
+      JOIN toks tb ON tb.doc_id = c.doc_b AND tb.tok = ta.tok
+      GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT i.doc_a, i.doc_b,
+           ROUND(CAST(i.ni AS DOUBLE) / (sa.n + sb.n - i.ni), 6) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE CAST(i.ni AS DOUBLE) / (sa.n + sb.n - i.ni) >= {_JACCARD_MIN}
+    """,
+)
+def llm_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs: MinHash+LSH candidates, token-Jaccard
+    verified. The hash pipeline (salted md5, string min) is reimplemented
+    verbatim in the oracle, so the check is end-to-end deterministic
+    (SURVEY §7 hard item 2)."""
+    corpus = _corpus(spark, sf_dir)
+
+    shingles = corpus.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("text") - (_SHINGLE - 1)),
+                lambda i: F.substring(F.col("text"), i, _SHINGLE),
+            )
+        ).alias("sh"),
+    )
+    salted = shingles.crossJoin(
+        spark.range(_K).select(F.col("id").cast("int").alias("salt"))
+    )
+    minhash = salted.groupBy("doc_id", "salt").agg(
+        F.min(F.md5(F.concat(F.col("salt").cast("string"), F.col("sh")))).alias("mh")
+    )
+    sigs = minhash.groupBy("doc_id").agg(
+        *[
+            F.min(F.when(F.col("salt") == i, F.col("mh"))).alias(f"s{i}")
+            for i in range(_K)
+        ]
+    )
+    bands = None
+    for b in range(_K // _BAND):
+        piece = sigs.select(
+            "doc_id",
+            F.lit(b).alias("band_id"),
+            F.md5(F.concat(*[F.col(f"s{3 * b + j}") for j in range(_BAND)])).alias("bh"),
+        )
+        bands = piece if bands is None else bands.unionByName(piece)
+
+    left = bands.select(
+        F.col("doc_id").alias("doc_a"), "band_id", F.col("bh").alias("bh_a")
+    )
+    right = bands.select(
+        F.col("doc_id").alias("doc_b"), "band_id", F.col("bh").alias("bh_b")
+    )
+    cand = (
+        left.join(
+            right,
+            (left.band_id == right.band_id)
+            & (left.bh_a == right.bh_b)
+            & (left.doc_a < right.doc_b),
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+    toks = corpus.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).distinct()
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    ta = toks.select(F.col("doc_id").alias("doc_a"), "tok")
+    tb = toks.select(F.col("doc_id").alias("doc_b"), "tok")
+    inter = (
+        cand.join(ta, "doc_a")
+        .join(tb, ["doc_b", "tok"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("ni"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("ni").cast("double") / (F.col("na") + F.col("nb") - F.col("ni"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= _JACCARD_MIN)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+@register(
+    "llm_dedup_simhash",
+    oracle=f"""
+    WITH corpus AS ({_CORPUS_SQL}),
+    toks AS (
+      SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM corpus
+    ),
+    bits AS (
+      SELECT doc_id, b.b AS bit,
+             SUM(CASE WHEN substr(md5(tok), b.b + 1, 1)
+                           IN ('1','3','5','7','9','b','d','f')
+                      THEN 1 ELSE -1 END) AS w
+      FROM toks CROSS JOIN (SELECT UNNEST(range(0, 16)) AS b) b(b)
+      GROUP BY doc_id, b.b
+    )
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN w > 0 THEN (1 << bit) ELSE 0 END) AS BIGINT)
+             AS simhash16
+    FROM bits GROUP BY doc_id
+    """,
+)
+def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash fingerprint per document (token-level): bit b of
+    the fingerprint is the sign of the tally of ±1 votes, where a token
+    votes +1 iff hex digit b of md5(token) is odd. Near-identical docs
+    differ in O(1) bits — Hamming-ball lookup replaces pairwise
+    comparison at scale. SQL-oracle-exact because the bit derivation is
+    md5-based in both engines."""
+    corpus = _corpus(spark, sf_dir)
+    toks = corpus.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    odd_hex = ["1", "3", "5", "7", "9", "b", "d", "f"]
+    bits = toks.crossJoin(
+        spark.range(16).select(F.col("id").cast("int").alias("bit"))
+    ).select(
+        "doc_id",
+        "bit",
+        F.when(
+            F.md5("tok").substr(F.col("bit") + 1, F.lit(1)).isin(odd_hex), 1
+        )
+        .otherwise(-1)
+        .alias("vote"),
+    )
+    tallies = bits.groupBy("doc_id", "bit").agg(F.sum("vote").alias("w"))
+    return tallies.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("w") > 0, F.expr("shiftleft(1, bit)")).otherwise(0)
+        )
+        .cast("long")
+        .alias("simhash16")
+    )

@@ -1,0 +1,296 @@
+"""Text analysis operators for LLM pipelines (SURVEY §2.11 + task brief:
+language-ID, quality scoring, token counting, fingerprinting, TF-IDF,
+keyword search).
+
+Everything is split/explode + JVM aggregation — the tokenize-and-count
+shape that dominates LLM data prep; no Python in the row path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import register
+
+
+@register(
+    "llm_text_stats",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang, source, n_chars,
+             UNNEST(string_split(text, ' ')) AS tok
+      FROM documents
+    ),
+    per_doc AS (
+      SELECT doc_id, lang, source,
+             MAX(n_chars) AS n_chars,
+             COUNT(*) AS n_tokens,
+             CAST(SUM(len(tok)) AS BIGINT) AS tok_chars
+      FROM toks GROUP BY doc_id, lang, source
+    )
+    SELECT lang, source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(tok_chars) AS DOUBLE) / SUM(n_tokens) AS avg_token_len
+    FROM per_doc GROUP BY lang, source
+    """,
+)
+def llm_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lang × source quality matrix: docs, chars, whitespace-token counts,
+    average token length — integer sums + one exact double division."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "lang", "source", "n_chars", F.explode(F.split("text", " ")).alias("tok")
+    )
+    per_doc = toks.groupBy("doc_id", "lang", "source").agg(
+        F.max("n_chars").alias("n_chars"),
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.length("tok")).alias("tok_chars"),
+    )
+    return per_doc.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum("n_tokens").alias("total_tokens"),
+        (F.sum("tok_chars").cast("double") / F.sum("n_tokens")).alias("avg_token_len"),
+    )
+
+
+@register(
+    "llm_quality_score",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents
+    ),
+    stats AS (
+      SELECT t.doc_id,
+             COUNT(*) AS n_tokens,
+             COUNT(DISTINCT t.tok) AS n_unique,
+             COUNT(CASE WHEN t.tok IN ('select','from','where','join','the','a')
+                        THEN 1 END) AS n_stop
+      FROM toks t GROUP BY t.doc_id
+    )
+    SELECT d.doc_id, d.lang,
+           s.n_tokens,
+           ROUND(CAST(s.n_unique AS DOUBLE) / s.n_tokens, 6) AS unique_ratio,
+           ROUND(CAST(s.n_stop AS DOUBLE) / s.n_tokens, 6) AS stopword_ratio,
+           ROUND(CAST(d.n_chars AS DOUBLE) / s.n_tokens, 6) AS chars_per_token,
+           CASE WHEN s.n_tokens BETWEEN 10 AND 1000
+                 AND CAST(s.n_unique AS DOUBLE) / s.n_tokens > 0.2
+                THEN 1 ELSE 0 END AS keep_flag
+    FROM documents d JOIN stats s ON d.doc_id = s.doc_id
+    """,
+)
+def llm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality scoring (length band, lexical diversity,
+    stopword ratio) + a keep/drop flag — the filter stage of a training
+    data pipeline, as pure column algebra."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    stop = ["select", "from", "where", "join", "the", "a"]
+    stats = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("tok").alias("n_unique"),
+        F.count(F.when(F.col("tok").isin(stop), 1)).alias("n_stop"),
+    )
+    uniq = F.col("n_unique").cast("double") / F.col("n_tokens")
+    return (
+        d.join(stats, "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            F.round(uniq, 6).alias("unique_ratio"),
+            F.round(F.col("n_stop").cast("double") / F.col("n_tokens"), 6).alias(
+                "stopword_ratio"
+            ),
+            F.round(F.col("n_chars").cast("double") / F.col("n_tokens"), 6).alias(
+                "chars_per_token"
+            ),
+            F.when(
+                F.col("n_tokens").between(10, 1000) & (uniq > 0.2), 1
+            )
+            .otherwise(0)
+            .alias("keep_flag"),
+        )
+    )
+
+
+@register(
+    "llm_lang_id",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang, UNNEST(string_split(text, ' ')) AS tok FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, lang AS true_lang,
+             COUNT(CASE WHEN md5(tok) LIKE '0%' OR md5(tok) LIKE '1%'
+                        THEN 1 END) AS bucket_hits,
+             COUNT(*) AS n
+      FROM toks GROUP BY doc_id, lang
+    )
+    SELECT true_lang,
+           COUNT(*) AS n_docs,
+           ROUND(CAST(SUM(bucket_hits) AS DOUBLE) / SUM(n), 6) AS avg_marker_rate
+    FROM scored GROUP BY true_lang
+    """,
+)
+def llm_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID scaffolding: n-gram/marker-rate per language. The
+    corpus is synthetic (same vocab for all langs), so the 'model' is a
+    deterministic hash-bucket marker rate — the distributed shape
+    (tokenize → per-doc rates → per-lang calibration) is the real
+    pipeline; swap the marker predicate for real n-gram tables in
+    production."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.col("lang").alias("true_lang"), F.explode(F.split("text", " ")).alias("tok")
+    )
+    scored = toks.groupBy("doc_id", "true_lang").agg(
+        F.count(
+            F.when(
+                F.substring(F.md5("tok"), 1, 1).isin("0", "1"), 1
+            )
+        ).alias("bucket_hits"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return scored.groupBy("true_lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.sum("bucket_hits").cast("double") / F.sum("n"), 6).alias(
+            "avg_marker_rate"
+        ),
+    )
+
+
+@register(
+    "llm_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           CAST(SUM((ascii(substr(text, i, 1)) * ((i * 31) % 1000)) % 100000)
+                AS BIGINT) AS rolling_fp,
+           CAST(MAX(len(text)) AS BIGINT) AS n_chars_fp
+    FROM documents, LATERAL (SELECT UNNEST(range(1, len(text) + 1))) t(i)
+    GROUP BY doc_id
+    """,
+)
+def llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint via a position-weighted rolling hash over
+    characters — integer arithmetic only, so it is exactly reproducible
+    in any engine/language (the property a fingerprint needs)."""
+    d = table(spark, sf_dir, "documents")
+    chars = d.select(
+        "doc_id",
+        F.length("text").alias("n_chars_fp"),
+        F.posexplode(F.split("text", "")).alias("i0", "ch"),
+    ).filter(F.col("ch") != "")
+    term = (F.ascii("ch") * (((F.col("i0") + 1) * 31) % 1000)) % 100000
+    return chars.groupBy("doc_id").agg(
+        F.sum(term).alias("rolling_fp"),
+        F.max("n_chars_fp").cast("long").alias("n_chars_fp"),
+    )
+
+
+@register(
+    "llm_tfidf_top_terms",
+    oracle="""
+    WITH toks AS (
+      SELECT lang, UNNEST(string_split(text, ' ')) AS term FROM documents
+    ),
+    tf AS (SELECT lang, term, COUNT(*) AS tf FROM toks GROUP BY lang, term),
+    df AS (SELECT term, COUNT(DISTINCT lang) AS df FROM toks GROUP BY term),
+    scored AS (
+      SELECT tf.lang, tf.term, tf.tf, df.df,
+             ROUND(tf.tf * ln(5.0 / df.df), 6) AS tfidf
+      FROM tf JOIN df ON tf.term = df.term
+    )
+    SELECT lang, term, tf, df, tfidf
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+                                       ORDER BY tfidf DESC, term) AS rn
+          FROM scored)
+    WHERE rn <= 5
+    """,
+)
+def llm_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF treating each language slice as one class: term frequency ×
+    ln(N/df), top-5 terms per lang (explode → two aggregations → window
+    top-k; the df side is a tiny broadcastable table)."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("lang", F.explode(F.split("text", " ")).alias("term"))
+    tf = toks.groupBy("lang", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = toks.groupBy("term").agg(F.countDistinct("lang").alias("df"))
+    scored = tf.join(F.broadcast(df), "term").select(
+        "lang",
+        "term",
+        "tf",
+        "df",
+        F.round(F.col("tf") * F.log(F.lit(5.0) / F.col("df")), 6).alias("tfidf"),
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("tfidf").desc(), "term")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("lang", "term", "tf", "df", "tfidf")
+    )
+
+
+@register(
+    "llm_keyword_search",
+    oracle="""
+    SELECT doc_id, lang, score FROM (
+      SELECT doc_id, lang,
+             (CASE WHEN text LIKE '%join%'   THEN 1 ELSE 0 END
+            + CASE WHEN text LIKE '%filter%' THEN 1 ELSE 0 END
+            + CASE WHEN text LIKE '%window%' THEN 1 ELSE 0 END
+            + CASE WHEN text LIKE '%merge%'  THEN 1 ELSE 0 END) AS score
+      FROM documents
+    ) WHERE score >= 2
+    ORDER BY score DESC, doc_id LIMIT 20
+    """,
+)
+def llm_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-keyword containment + relevance score, global top-20
+    (TakeOrderedAndProject — heap-based top-k, no full sort)."""
+    d = table(spark, sf_dir, "documents")
+    score = sum(
+        F.when(F.col("text").contains(kw), 1).otherwise(0)
+        for kw in ["join", "filter", "window", "merge"]
+    )
+    return (
+        d.select("doc_id", "lang", score.alias("score"))
+        .filter(F.col("score") >= 2)
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(20)
+    )
+
+
+@register(
+    "llm_multimodal_join",
+    oracle="""
+    SELECT d.doc_id, d.lang, d.n_chars, e.label,
+           len(e.embedding) AS dim
+    FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    WHERE d.lang IN ('en', 'de')
+    """,
+)
+def llm_multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ⋈ embeddings into a multimodal record: builds the
+    {text, embedding, label} struct column (the nested row shape a
+    training pipeline carries), then flattens scalars for the oracle
+    compare (struct columns don't hash portably)."""
+    d = table(spark, sf_dir, "documents").filter(F.col("lang").isin("en", "de"))
+    e = table(spark, sf_dir, "embeddings")
+    joined = d.join(e, d.doc_id == e.vec_id).withColumn(
+        "record",
+        F.struct(
+            F.col("text"), F.col("embedding"), F.col("label"), F.col("lang")
+        ),
+    )
+    return joined.select(
+        "doc_id",
+        F.col("record.lang").alias("lang"),
+        "n_chars",
+        F.col("record.label").alias("label"),
+        F.size("record.embedding").alias("dim"),
+    )

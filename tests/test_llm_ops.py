@@ -1,0 +1,109 @@
+"""Semantics tests for the LLM-pipeline operators: things the oracle
+hash-compare can't express (LSH recall vs brute force, dedup actually
+finding the synthesized duplicates, simhash locality)."""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+import sparkflow
+
+
+def _brute_force(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").toPandas()
+    ids = emb["vec_id"].to_numpy()
+    X = np.stack(emb["embedding"].to_numpy()).astype("float64")
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    S = Xn @ Xn.T
+    np.fill_diagonal(S, -2)
+    order = np.argsort(-S, axis=1)
+    return ids, ids[order[:, :10]]
+
+
+def test_lsh_ann_recall(spark, sf_small):
+    """LSH best-neighbor must be a genuinely near vector: contained in
+    the true top-10 for >= 80% of vectors, with >= 95% coverage.
+    (Measured ~0.97 / 1.00 on this data; thresholds leave slack.)"""
+    ids, top10 = _brute_force(spark, sf_small)
+    lsh = sparkflow.QUERIES["llm_knn_all_pairs_lsh"](spark, sf_small).toPandas()
+    m = dict(zip(lsh["vec_id"], lsh["neighbor_id"]))
+    assert len(m) >= 0.95 * len(ids)
+    hits = [m[i] in set(t) for i, t in zip(ids, top10) if i in m]
+    assert np.mean(hits) >= 0.80
+
+
+def test_knn_cosine_matches_numpy(spark, sf_small):
+    ids, top10 = _brute_force(spark, sf_small)
+    got = sparkflow.QUERIES["llm_knn_cosine"](spark, sf_small).toPandas()
+    true_top10 = set(top10[list(ids).index(0)])
+    assert set(got["vec_id"]) == true_top10
+
+
+def test_exact_dedup_finds_synthesized_copies(spark, sf_small):
+    """Every doc_id % 7 == 0 original got an exact copy — each such hash
+    group must have n_copies == 2 with the original as keeper."""
+    got = sparkflow.QUERIES["llm_dedup_exact"](spark, sf_small).toPandas()
+    dups = got[got["n_copies"] > 1]
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet").toPandas()
+    expected_keepers = set(docs[docs["doc_id"] % 7 == 0]["doc_id"])
+    assert set(dups["keeper_id"]) == expected_keepers
+    assert (dups["n_copies"] == 2).all()
+
+
+def test_near_dedup_finds_near_copies(spark, sf_small):
+    """Every doc_id % 5 == 0 original has a near-copy (suffix appended):
+    the pair (doc, doc+2000000) must be discovered by the LSH pipeline.
+    Exact copies (%7) must also pair with jaccard 1.0."""
+    got = sparkflow.QUERIES["llm_dedup_near"](spark, sf_small).toPandas()
+    pairs = set(zip(got["doc_a"], got["doc_b"]))
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet").toPandas()
+    near_expected = [(d, d + 2000000) for d in docs["doc_id"] if d % 5 == 0]
+    found = sum((a, b) in pairs for a, b in near_expected)
+    assert found >= 0.95 * len(near_expected), f"only {found}/{len(near_expected)}"
+    exact_expected = [(d, d + 1000000) for d in docs["doc_id"] if d % 7 == 0]
+    exact_found = {
+        (a, b): j
+        for a, b, j in zip(got["doc_a"], got["doc_b"], got["jaccard"])
+        if (a, b) in set(exact_expected)
+    }
+    assert len(exact_found) == len(exact_expected)
+    assert all(j == 1.0 for j in exact_found.values())
+
+
+def test_simhash_locality(spark, sf_small):
+    """Near-duplicate docs must have close fingerprints: hamming distance
+    of (doc, doc+2000000) pairs well below that of random pairs."""
+    got = sparkflow.QUERIES["llm_dedup_simhash"](spark, sf_small).toPandas()
+    fp = dict(zip(got["doc_id"], got["simhash16"]))
+
+    def ham(a, b):
+        return bin(a ^ b).count("1")
+
+    near = [ham(fp[d], fp[d + 2000000]) for d in fp if d < 1000000 and d % 5 == 0]
+    rng = np.random.RandomState(42)
+    base_ids = [d for d in fp if d < 1000000]
+    rand = [
+        ham(fp[a], fp[b])
+        for a, b in zip(rng.choice(base_ids, 200), rng.choice(base_ids, 200))
+        if a != b
+    ]
+    assert np.mean(near) < np.mean(rand) / 2
+
+
+def test_quality_score_flags(spark, sf_small):
+    got = sparkflow.QUERIES["llm_quality_score"](spark, sf_small).toPandas()
+    assert got["keep_flag"].isin([0, 1]).all()
+    assert (got["unique_ratio"] <= 1.0).all() and (got["unique_ratio"] > 0).all()
+
+
+def test_multimodal_features_deterministic(spark, sf_small):
+    a = sparkflow.QUERIES["llm_multimodal_features"](spark, sf_small).toPandas()
+    b = sparkflow.QUERIES["llm_multimodal_features"](spark, sf_small).toPandas()
+    a = a.sort_values("doc_id").reset_index(drop=True)
+    b = b.sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
+    assert (a["fake_width"] == a["n_bytes"] % 640 + 1).all()
