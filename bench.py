@@ -1,0 +1,101 @@
+"""Benchmark the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1)
+on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total median sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>}
+
+The query set mirrors BASELINE.md's DuckDB measurements shape-for-shape
+(q1 pricing summary, q3 top-k join, q5 star join, window rank, distinct
+users, hourly tumbling, json extract, knn) so the comparison is
+apples-to-apples. Timing = full execution to collected results, median
+of 3 after one warm-up run (JVM/plan warm, data NOT cached — every run
+re-reads parquet).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+import sparkflow
+from sparkflow.catalog import table
+from sparkflow.oracle_compat import cents
+from sparkflow.session import get_spark
+
+
+def events_tumbling_batch(spark, sf_dir):
+    """Batch event-time hour buckets — the exact shape BASELINE.md timed
+    (the streaming twin is correctness-checked elsewhere; benching it
+    would measure streaming-query startup, not the aggregation)."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.expr(
+                "timestamp_micros(((unix_micros(ts) div 1000000) div 3600) * 3600 * 1000000)"
+            ).alias("hour_start"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"), (F.sum(cents("value")).cast("double") / 100.0).alias("value_sum"))
+    )
+
+
+BENCH_QUERIES = {
+    "q1_pricing_summary": sparkflow.QUERIES["agg_hash_group"],
+    "q3_join3_topk": sparkflow.QUERIES["limit_topk"],
+    "q5_join5_agg": sparkflow.QUERIES["join_multiway_star"],
+    "window_rank_orders": sparkflow.QUERIES["win_topk_per_group"],
+    "distinct_users": sparkflow.QUERIES["agg_distinct"],
+    "events_tumbling_1h": events_tumbling_batch,
+    "json_extract_agg": sparkflow.QUERIES["fn_json"],
+    "embeddings_knn": sparkflow.QUERIES["llm_knn_cosine"],
+}
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    # Scale-appropriate session tuning (SURVEY §7 M4: session conf only).
+    # At sub-GB scale the plans are fully known from file sizes, so AQE's
+    # per-stage re-planning is pure latency (~1.2 s across this suite,
+    # measured) and 8 reduce partitions match the data volume. At cluster
+    # scale you flip AQE back on (the engine's default in
+    # sparkflow.session.get_spark) and size partitions to executor count.
+    spark = get_spark("sparkflow-bench", shuffle_partitions=8)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    results: dict[str, float] = {}
+    for name, fn in BENCH_QUERIES.items():
+        fn(spark, sf_dir).collect()  # warm-up: JVM JIT, catalog, committers
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).collect()
+            times.append(time.perf_counter() - t0)
+        results[name] = round(statistics.median(times), 4)
+
+    total = round(sum(results.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline query suite, median-of-3 warm, full parquet re-read",
+                "value": total,
+                "unit": "sec",
+                "queries": results,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

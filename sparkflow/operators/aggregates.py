@@ -25,30 +25,31 @@ from ..catalog import table
 from ..oracle_compat import davg, dsum, sql_davg, sql_dsum
 from ..registry import register
 
-# Tight decimal types for exact multi-factor products (price ~<1e6 with 2
-# decimals, rates in [0,1] with 2 decimals). (9,2)*(5,2)*(5,2) stays well
-# under the 38-digit cap in both engines, so products are exact and the
-# sums order-independent.
-_P = "decimal(9,2)"
-_R = "decimal(4,2)"
+# Exact integer units for the multi-factor money products: price*(1-disc)
+# is a 4-decimal rational, *(1+tax) a 6-decimal one. Both engines compute
+# the identical IEEE double product, so scaled flooring lands on the same
+# integer (see oracle_compat docstring for why floor beats round/decimal).
+def _disc_price_units():
+    prod = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    return F.floor(prod * 10000 + F.lit(0.5)).cast("long")
 
 
-def _disc_price():
-    return F.col("l_extendedprice").cast(_P) * (
-        F.lit(1).cast(_R) - F.col("l_discount").cast(_R)
+def _charge_units():
+    prod = (
+        F.col("l_extendedprice")
+        * (F.lit(1) - F.col("l_discount"))
+        * (F.lit(1) + F.col("l_tax"))
     )
+    return F.floor(prod * 1000000 + F.lit(0.5)).cast("long")
 
 
-def _charge():
-    return _disc_price() * (F.lit(1).cast(_R) + F.col("l_tax").cast(_R))
-
-
-_SQL_DISC_PRICE = (
-    "CAST(l_extendedprice AS DECIMAL(9,2)) * "
-    "(CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))"
+_SQL_DISC_PRICE_SUM = (
+    "(CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000 + 0.5)"
+    " AS BIGINT)) AS DOUBLE) / 10000.0) AS sum_disc_price"
 )
-_SQL_CHARGE = (
-    f"{_SQL_DISC_PRICE} * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))"
+_SQL_CHARGE_SUM = (
+    "(CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * (1 + l_tax)"
+    " * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0) AS sum_charge"
 )
 
 
@@ -81,8 +82,8 @@ def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag, l_linestatus,
            {sql_dsum('l_quantity', 'sum_qty')},
            {sql_dsum('l_extendedprice', 'sum_base_price')},
-           CAST(SUM({_SQL_DISC_PRICE}) AS DOUBLE) AS sum_disc_price,
-           CAST(SUM({_SQL_CHARGE}) AS DOUBLE) AS sum_charge,
+           {_SQL_DISC_PRICE_SUM},
+           {_SQL_CHARGE_SUM},
            {sql_davg('l_quantity', 'avg_qty')},
            {sql_davg('l_extendedprice', 'avg_price')},
            {sql_davg('l_discount', 'avg_disc')},
@@ -103,8 +104,8 @@ def agg_hash_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         dsum("l_quantity", "sum_qty"),
         dsum("l_extendedprice", "sum_base_price"),
-        F.sum(_disc_price()).cast("double").alias("sum_disc_price"),
-        F.sum(_charge()).cast("double").alias("sum_charge"),
+        (F.sum(_disc_price_units()).cast("double") / 10000.0).alias("sum_disc_price"),
+        (F.sum(_charge_units()).cast("double") / 1000000.0).alias("sum_charge"),
         davg("l_quantity", "avg_qty"),
         davg("l_extendedprice", "avg_price"),
         davg("l_discount", "avg_disc"),
@@ -291,9 +292,9 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_filtered",
     oracle=f"""
     SELECT l_linestatus,
-           CAST(SUM(CASE WHEN l_returnflag = 'R'
-                         THEN CAST(l_extendedprice AS DECIMAL(12,2)) END) AS DOUBLE)
-             AS returned_value,
+           (CAST(SUM(CASE WHEN l_returnflag = 'R'
+                          THEN CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+                     END) AS DOUBLE) / 100.0) AS returned_value,
            COUNT(CASE WHEN l_discount > 0.05 THEN 1 END) AS n_high_discount,
            {sql_dsum('l_extendedprice', 'total_value')}
     FROM lineitem GROUP BY l_linestatus
@@ -304,12 +305,15 @@ def agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     second scan (what a Flink AggregateFunction does with an in-add
     filter)."""
     li = table(spark, sf_dir, "lineitem")
-    from ..oracle_compat import dec
+    from ..oracle_compat import cents
 
     return li.groupBy("l_linestatus").agg(
-        F.sum(F.when(F.col("l_returnflag") == "R", dec("l_extendedprice")))
-        .cast("double")
-        .alias("returned_value"),
+        (
+            F.sum(F.when(F.col("l_returnflag") == "R", cents("l_extendedprice"))).cast(
+                "double"
+            )
+            / 100.0
+        ).alias("returned_value"),
         F.count(F.when(F.col("l_discount") > 0.05, F.lit(1))).alias("n_high_discount"),
         dsum("l_extendedprice", "total_value"),
     )

@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
-from ..oracle_compat import dsum, revenue, sql_dsum_expr, sql_revenue
+from ..oracle_compat import dsum, rev_sum, sql_dsum, sql_rev_sum
 from ..registry import register
 
 
@@ -51,9 +51,9 @@ def join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "join_broadcast_dim",
-    oracle="""
+    oracle=f"""
     SELECT r.r_name AS region, n.n_name AS nation, COUNT(*) AS n_customers,
-           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_acctbal
+           {sql_dsum('c.c_acctbal', 'total_acctbal')}
     FROM customer c
     JOIN nation n ON c.c_nationkey = n.n_nationkey
     JOIN region r ON n.n_regionkey = r.r_regionkey
@@ -276,7 +276,7 @@ def join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_multiway_star",
     oracle=f"""
     SELECT n.n_name AS nation,
-           {sql_dsum_expr(sql_revenue('l.l_extendedprice', 'l.l_discount'), 'revenue')}
+           {sql_rev_sum('revenue', 'l.l_extendedprice', 'l.l_discount')}
     FROM customer c
     JOIN orders o   ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -319,7 +319,7 @@ def join_multiway_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         joined.groupBy(F.col("n_name").alias("nation"))
-        .agg(F.sum(revenue()).cast("double").alias("revenue"))
+        .agg(rev_sum("revenue"))
     )
 
 

@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import table
-from ..oracle_compat import revenue, sql_dsum_expr, sql_revenue
+from ..oracle_compat import rev_sum, sql_rev_sum
 from ..registry import register
 
 
@@ -40,7 +40,7 @@ def sort_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     "limit_topk",
     oracle=f"""
     SELECT o_orderkey, o_orderdate,
-           {sql_dsum_expr(sql_revenue(), 'revenue')}
+           {sql_rev_sum('revenue')}
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -62,7 +62,7 @@ def limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.join(o, c.c_custkey == o.o_custkey)
         .join(li, F.col("l_orderkey") == o.o_orderkey)
         .groupBy("o_orderkey", "o_orderdate")
-        .agg(F.sum(revenue()).cast("double").alias("revenue"))
+        .agg(rev_sum("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
         .limit(10)
     )

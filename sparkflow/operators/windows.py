@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
-from ..oracle_compat import dec
+from ..oracle_compat import cents
 from ..registry import register
 
 
@@ -109,10 +109,10 @@ def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     "win_running_sum",
     oracle="""
     SELECT o_custkey, o_orderkey, o_orderdate,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+           (CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
                 OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                AS DOUBLE) AS running_revenue
+                AS DOUBLE) / 100.0) AS running_revenue
     FROM orders
     """,
 )
@@ -129,7 +129,7 @@ def win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         "o_orderkey",
         "o_orderdate",
-        F.sum(dec("o_totalprice")).over(w).cast("double").alias("running_revenue"),
+        (F.sum(cents("o_totalprice")).over(w).cast("double") / 100.0).alias("running_revenue"),
     )
 
 
@@ -137,9 +137,9 @@ def win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     "win_sliding_rows",
     oracle="""
     SELECT event_id, user_id, value,
-           CAST(SUM(CAST(value AS DECIMAL(12,2)))
+           (CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
                 OVER (PARTITION BY user_id ORDER BY ts, event_id
-                      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE)
+                      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE) / 100.0)
              / COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
                               ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
              AS moving_avg
@@ -159,9 +159,10 @@ def win_sliding_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         "value",
-        (F.sum(dec("value")).over(w).cast("double") / F.count(F.lit(1)).over(w)).alias(
-            "moving_avg"
-        ),
+        (
+            (F.sum(cents("value")).over(w).cast("double") / 100.0)
+            / F.count(F.lit(1)).over(w)
+        ).alias("moving_avg"),
     )
 
 
@@ -169,10 +170,10 @@ def win_sliding_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     "win_range_frame",
     oracle="""
     SELECT o_custkey, o_orderkey, o_orderdate,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+           (CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
                 OVER (PARTITION BY o_custkey ORDER BY EPOCH(o_orderdate)
                       RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)
-                AS DOUBLE) AS revenue_7d
+                AS DOUBLE) / 100.0) AS revenue_7d
     FROM orders
     """,
 )
@@ -190,5 +191,5 @@ def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         "o_orderkey",
         "o_orderdate",
-        F.sum(dec("o_totalprice")).over(w).cast("double").alias("revenue_7d"),
+        (F.sum(cents("o_totalprice")).over(w).cast("double") / 100.0).alias("revenue_7d"),
     )

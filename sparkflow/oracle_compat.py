@@ -4,20 +4,23 @@ The driver hash-compares values, so floating-point aggregation order
 must not leak into results. Policy (SURVEY §7 M1 "oracle compatibility
 helper"):
 
-- money sums / averages: route through ``decimal(12,2)`` — decimal
-  addition is exact and associative, so Spark's partial/final
-  aggregation over any partitioning equals DuckDB's single-threaded sum
-  bit-for-bit; the final cast decimal->double is deterministic and
-  identical in both engines. The source doubles are exact 2-decimal
-  values (verified in FIXTURES.md) so the input cast is lossless.
-- statistical aggregates (stddev/var/corr/skew, approx percentiles):
-  different engines use different accumulation algorithms; round the
-  *output* to a few decimals in BOTH engines.
+- money sums / averages: convert to integer minor units with
+  ``floor(x*scale + 0.5)`` (the data's money doubles are exact
+  2-decimal values — FIXTURES.md), sum as long (exact, associative,
+  order-independent across any partitioning), divide back once. The
+  floor() spelling matters: it's a codegen'd intrinsic in Spark, ~3×
+  faster than round()/decimal aggregation which detour through
+  BigDecimal per row — and the identical double expression evaluates
+  identically in DuckDB. Derived products (price*(1-disc)[*(1+tax)])
+  are exact 4/6-decimal rationals computed identically as IEEE doubles
+  in both engines, so scaled flooring lands on the same integer.
+- statistical aggregates (stddev/var/corr/skew, percentile
+  interpolation): engines accumulate differently; round the *output*.
 - counts/min/max: naturally exact.
 
-At 100 TB the decimal path costs ~nothing (decimal(12,2) is a fixed
-8-byte physical type inside Tungsten) and buys run-to-run determinism —
-a property worth having in production, not just for the oracle.
+Overflow headroom: int64 carries ~9.2e18 — at 100 TB, sum partial
+aggregation stays in range for cents of realistic money columns; for
+larger magnitudes switch scale or use decimal (the slow exact path).
 """
 
 from __future__ import annotations
@@ -25,55 +28,65 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-DEC = "decimal(12,2)"
+
+def _colify(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
 
 
-def dec(c: Column | str) -> Column:
-    """Lossless cast of an exact-2-decimal double column to decimal."""
-    c = F.col(c) if isinstance(c, str) else c
-    return c.cast(DEC)
+def cents(c: Column | str, scale: int = 100) -> Column:
+    """Exact integer minor units of a money double (floor(x*s + .5):
+    round-half-up that both engines compute identically, valid because
+    true values are exact 2-decimal rationals ≫ 0.5 ulp from midpoints)."""
+    return F.floor(_colify(c) * scale + F.lit(0.5)).cast("long")
 
 
-def dsum(c: Column | str, alias: str) -> Column:
-    """Exact, order-independent sum of a 2-decimal money column, as double."""
-    return F.sum(dec(c)).cast("double").alias(alias)
+def dsum(c: Column | str, alias: str, scale: int = 100) -> Column:
+    """Exact, order-independent sum of a money column, as double."""
+    return (F.sum(cents(c, scale)).cast("double") / float(scale)).alias(alias)
 
 
 def davg(c: Column | str, alias: str) -> Column:
     """Exact-sum / exact-count average (double division of identical
     operands is identical IEEE math in both engines)."""
-    c = F.col(c) if isinstance(c, str) else c
-    return (F.sum(dec(c)).cast("double") / F.count(c)).alias(alias)
+    c = _colify(c)
+    return ((F.sum(cents(c)).cast("double") / 100.0) / F.count(c)).alias(alias)
 
 
-def revenue(price: str = "l_extendedprice", disc: str = "l_discount") -> Column:
-    """TPC-H revenue term ``price * (1 - discount)`` in exact decimal
-    arithmetic: decimal(12,2) * decimal(13,2) -> decimal(26,4), well under
-    the 38-digit cap, summable without overflow at any SF."""
-    return dec(price) * (F.lit(1).cast(DEC) - dec(disc))
+def revenue_units(price: str = "l_extendedprice", disc: str = "l_discount") -> Column:
+    """TPC-H revenue term ``price * (1 - discount)`` in exact 1e-4 units
+    (product of 2-decimal rationals is a 4-decimal rational)."""
+    prod = F.col(price) * (F.lit(1) - F.col(disc))
+    return F.floor(prod * 10000 + F.lit(0.5)).cast("long")
 
 
-# The matching DuckDB SQL fragments, so oracles are written once.
-SQL_DEC = "DECIMAL(12,2)"
+def rev_sum(alias: str, price: str = "l_extendedprice", disc: str = "l_discount") -> Column:
+    return (F.sum(revenue_units(price, disc)).cast("double") / 10000.0).alias(alias)
 
 
-def sql_dsum(expr: str, alias: str) -> str:
-    """For raw 2-decimal double columns (cast then sum)."""
-    return f"CAST(SUM(CAST({expr} AS {SQL_DEC})) AS DOUBLE) AS {alias}"
+# ---- matching DuckDB SQL fragments, so oracles are written once ----
 
 
-def sql_dsum_expr(expr: str, alias: str) -> str:
-    """For expressions that are ALREADY exact decimals (e.g. sql_revenue's
-    scale-4 product) — re-casting to (12,2) would round per-row."""
-    return f"CAST(SUM({expr}) AS DOUBLE) AS {alias}"
+def sql_cents(expr: str, scale: int = 100) -> str:
+    return f"CAST(FLOOR(({expr}) * {scale} + 0.5) AS BIGINT)"
+
+
+def sql_dsum(expr: str, alias: str, scale: int = 100) -> str:
+    return f"(CAST(SUM({sql_cents(expr, scale)}) AS DOUBLE) / {scale}.0) AS {alias}"
 
 
 def sql_davg(expr: str, alias: str) -> str:
-    return f"(CAST(SUM(CAST({expr} AS {SQL_DEC})) AS DOUBLE) / COUNT({expr})) AS {alias}"
-
-
-def sql_revenue(price: str = "l_extendedprice", disc: str = "l_discount") -> str:
     return (
-        f"CAST({price} AS {SQL_DEC}) * "
-        f"(CAST(1 AS {SQL_DEC}) - CAST({disc} AS {SQL_DEC}))"
+        f"((CAST(SUM({sql_cents(expr)}) AS DOUBLE) / 100.0) / COUNT({expr})) AS {alias}"
     )
+
+
+def sql_rev_sum(alias: str, price: str = "l_extendedprice", disc: str = "l_discount") -> str:
+    return (
+        f"(CAST(SUM(CAST(FLOOR({price} * (1 - {disc}) * 10000 + 0.5) AS BIGINT)) "
+        f"AS DOUBLE) / 10000.0) AS {alias}"
+    )
+
+
+# window-function variants (OVER clause appended by the caller)
+def sql_win_dsum(expr: str, over: str) -> str:
+    return f"(CAST(SUM({sql_cents(expr)}) OVER {over} AS DOUBLE) / 100.0)"

@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
-from ..oracle_compat import dec
+from ..oracle_compat import cents
 from ..registry import register
 
 # µs-precision hour bucket, identical in both engines.
@@ -42,7 +42,7 @@ _SQL_HOUR = "make_timestamp(((epoch_us(ts)//1000000//3600)*3600)*1000000)"
     SELECT make_timestamp(((epoch_us(ts)//1000000//3600)*3600)*1000000) AS hour_start,
            event_type,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS value_sum
+           (CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0) AS value_sum
     FROM events GROUP BY 1, 2
     """,
 )
@@ -61,7 +61,7 @@ def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(dec("value")).cast("double").alias("value_sum"),
+            (F.sum(cents("value")).cast("double") / 100.0).alias("value_sum"),
         )
         .select(
             F.col("w.start").alias("hour_start"), "event_type", "n_events", "value_sum"
@@ -85,7 +85,7 @@ def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT make_timestamp((((epoch_us(ts)//1000000//900)*900) - k.k*900)*1000000)
              AS window_start,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS value_sum
+           (CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0) AS value_sum
     FROM events CROSS JOIN (VALUES (0),(1),(2),(3)) k(k)
     GROUP BY 1
     """,
@@ -100,7 +100,7 @@ def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(dec("value")).cast("double").alias("value_sum"),
+            (F.sum(cents("value")).cast("double") / 100.0).alias("value_sum"),
         )
         .select(F.col("w.start").alias("window_start"), "n_events", "value_sum")
     )
@@ -125,7 +125,7 @@ def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
            MIN(ts) AS session_start,
            MAX(ts) + INTERVAL 30 MINUTE AS session_end,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS value_sum
+           (CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0) AS value_sum
     FROM sess GROUP BY user_id, sess_id
     """,
 )
@@ -141,7 +141,7 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(dec("value")).cast("double").alias("value_sum"),
+            (F.sum(cents("value")).cast("double") / 100.0).alias("value_sum"),
         )
         .select(
             "user_id",
@@ -225,7 +225,8 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_id, user_id, ts,
            COUNT(*) OVER w AS running_count,
-           CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE) AS running_sum
+           (CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) OVER w AS DOUBLE)
+             / 100.0) AS running_sum
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                  ROWS UNBOUNDED PRECEDING)
@@ -247,7 +248,7 @@ def stream_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "ts",
         F.count(F.lit(1)).over(w).alias("running_count"),
-        F.sum(dec("value")).over(w).cast("double").alias("running_sum"),
+        (F.sum(cents("value")).over(w).cast("double") / 100.0).alias("running_sum"),
     )
 
 

@@ -1,0 +1,73 @@
+"""Plan-shape assertions: the properties that make these operators
+viable at 100 TB, checked mechanically against the physical plan."""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import sparkflow
+from sparkflow.plans.explain import formatted_plan, pushed_filters, read_schemas
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_small):
+    df = sparkflow.QUERIES["filter_predicate"](spark, sf_small)
+    pf = pushed_filters(df)
+    assert any("GreaterThan" in line for line in pf), pf
+
+
+def test_projection_prunes_read_schema(spark, sf_small):
+    df = sparkflow.QUERIES["project_select"](spark, sf_small)
+    rs = read_schemas(df)
+    assert rs and all(
+        "p_retailprice" not in line and "p_size" not in line for line in rs
+    ), rs
+
+
+def test_dim_joins_broadcast_not_shuffle(spark, sf_small):
+    df = sparkflow.QUERIES["join_broadcast_dim"](spark, sf_small)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_flagship_star_join_all_broadcast(spark, sf_small):
+    """At dim/fact ratios like this star schema, every join should be a
+    broadcast hash join — zero join shuffles, only the final group-by
+    exchange."""
+    df = sparkflow.QUERIES["join_multiway_star"](spark, sf_small)
+    plan = formatted_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 4, plan[:500]
+    assert "SortMergeJoin" not in plan
+
+
+def test_topk_uses_take_ordered(spark, sf_small):
+    df = sparkflow.QUERIES["limit_topk"](spark, sf_small)
+    assert "TakeOrderedAndProject" in formatted_plan(df)
+
+
+def test_semi_anti_plan_as_joins_not_subqueries(spark, sf_small):
+    semi = formatted_plan(sparkflow.QUERIES["join_semi"](spark, sf_small))
+    anti = formatted_plan(sparkflow.QUERIES["join_anti"](spark, sf_small))
+    assert "LeftSemi" in semi
+    assert "LeftAnti" in anti
+
+
+def test_date_filter_pushdown_on_flagship(spark, sf_small):
+    df = sparkflow.QUERIES["join_multiway_star"](spark, sf_small)
+    pf = pushed_filters(df)
+    assert any("o_orderdate" in line for line in pf), pf
+
+
+def test_partitioned_sink_prunes_partitions(spark, sf_small):
+    """sink_parquet reads back with a partition-column filter: the scan
+    must show partition pruning (PartitionFilters), not a full scan."""
+    sparkflow.QUERIES["sink_parquet"](spark, sf_small).collect()  # materialize sink
+    import pyspark.sql.functions as F
+
+    back = spark.read.parquet("/tmp/sparkflow_io/lineitem_by_flag").filter(
+        F.col("l_returnflag") == "R"
+    )
+    plan = formatted_plan(back)
+    assert "PartitionFilters" in plan and "l_returnflag" in plan
