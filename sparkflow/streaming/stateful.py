@@ -328,3 +328,44 @@ def tumbling_append_stream(
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(F.col("w.start").alias("hour_start"), "event_type", "n_events")
     )
+
+
+def split_events_out_of_order(
+    spark: SparkSession, sf_dir: str, out_dir: str, n_files: int = 3
+) -> str:
+    """Replay variant for late-data tests: files are interleaved slices
+    (event_id % n), so every micro-batch spans the full time range and
+    each batch after the first delivers events far behind the watermark."""
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir)
+    ev = table(spark, sf_dir, "events")
+    final = os.path.join(out_dir, "stream")
+    os.makedirs(final)
+    for i in range(n_files):
+        stage = os.path.join(out_dir, f"stage_{i}")
+        (
+            ev.filter(F.col("event_id") % n_files == i)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(stage)
+        )
+        part = [f for f in os.listdir(stage) if f.endswith(".parquet")][0]
+        dst = os.path.join(final, f"{i:03d}.parquet")
+        shutil.copy(os.path.join(stage, part), dst)
+        os.utime(dst, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+    return final
+
+
+def stream_static_join_stream(spark: SparkSession, files_dir: str, sf_dir: str) -> DataFrame:
+    """True-streaming twin of `join_stream_static`: streaming events
+    enriched against the static customer dim (the 'full cache join').
+    The static side is re-planned per micro-batch — dim updates between
+    batches are picked up, same semantics as Flink's periodically
+    reloaded broadcast cache."""
+    ev = _events_stream(spark, files_dir, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    customer = table(spark, sf_dir, "customer")
+    return ev.join(customer, ev.user_id == customer.c_custkey).select(
+        "event_id", "event_type", "value", "c_name", "c_mktsegment"
+    )

@@ -1,0 +1,101 @@
+"""Property-based invariants (hypothesis) — SURVEY §5.4.
+
+Each example runs real Spark jobs, so example counts are kept small;
+deadline disabled (JVM warm-up noise)."""
+
+from __future__ import annotations
+
+import sys
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+sys.path.insert(0, "/root/repo")
+
+from sparkflow.catalog import table
+from sparkflow.oracle_compat import cents
+
+SF = "/root/testdata/sf0.001"
+_spark = None
+
+
+def _get_spark():
+    global _spark
+    if _spark is None:
+        from sparkflow.session import get_spark
+
+        _spark = get_spark("sparkflow-props", shuffle_partitions=4)
+        _spark.sparkContext.setLogLevel("ERROR")
+    return _spark
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.floats(min_value=0, max_value=600000, allow_nan=False))
+def test_filter_partition_invariant(threshold):
+    """filter(p) and filter(NOT p) partition the table for any predicate."""
+    spark = _get_spark()
+    o = table(spark, SF, "orders")
+    total = o.count()
+    above = o.filter(F.col("o_totalprice") > threshold).count()
+    below = o.filter(~(F.col("o_totalprice") > threshold)).count()
+    assert above + below == total
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.integers(min_value=1, max_value=48))
+def test_tumbling_buckets_partition_events(hours):
+    """Any tumbling bucket width partitions events: bucket counts sum to
+    the table count (no row lost or double-bucketed)."""
+    spark = _get_spark()
+    ev = table(spark, SF, "events")
+    total = ev.count()
+    secs = hours * 3600
+    bucketed = (
+        ev.groupBy(
+            F.expr(
+                f"timestamp_micros(((unix_micros(ts) div 1000000) div {secs})"
+                f" * {secs} * 1000000)"
+            ).alias("bucket")
+        )
+        .count()
+        .agg(F.sum("count"))
+        .collect()[0][0]
+    )
+    assert bucketed == total
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.integers(min_value=2, max_value=10))
+def test_cents_sum_scale_consistency(divisor):
+    """Exact-cents sums are linear: sum(x)/d == sum over pre-divided
+    partitions recombined — i.e. splitting the data arbitrarily and
+    summing cents per split always recombines to the global sum."""
+    spark = _get_spark()
+    li = table(spark, SF, "lineitem")
+    total = li.agg(F.sum(cents("l_extendedprice"))).collect()[0][0]
+    per_split = (
+        li.groupBy(F.col("l_orderkey") % divisor)
+        .agg(F.sum(cents("l_extendedprice")).alias("s"))
+        .agg(F.sum("s"))
+        .collect()[0][0]
+    )
+    assert total == per_split
+
+
+@settings(max_examples=4, deadline=None)
+@given(
+    st.lists(
+        st.sampled_from(["join", "filter", "scan", "merge", "window", "index"]),
+        min_size=1,
+        max_size=4,
+        unique=True,
+    )
+)
+def test_keyword_score_bounded(keywords):
+    spark = _get_spark()
+    d = table(spark, SF, "documents")
+    score = sum(
+        F.when(F.col("text").contains(kw), 1).otherwise(0) for kw in keywords
+    )
+    mx = d.select(score.alias("s")).agg(F.max("s")).collect()[0][0]
+    assert 0 <= mx <= len(keywords)

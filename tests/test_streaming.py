@@ -133,3 +133,49 @@ def test_session_window_native_equals_lag_cumsum_rewrite(spark, duck, sf_small):
     from tools.check import compare
 
     assert compare(sdf, odf) == "EXACT"
+
+
+def test_stream_static_join_matches_batch(spark, stream_dir, sf_small):
+    got = _collect(
+        spark,
+        stateful.stream_static_join_stream(spark, stream_dir, sf_small),
+        "t_ss_join",
+    ).sort_values("event_id").reset_index(drop=True)
+    want = (
+        sparkflow.QUERIES["join_stream_static"](spark, sf_small)
+        .toPandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_out_of_order_replay_drops_late_rows(spark, sf_small, tmp_path_factory):
+    """SURVEY §5.3: replay events in interleaved (out-of-order) slices.
+    With a finite watermark delay, windows closed by batch 1's watermark
+    must reject batch 2/3's late rows: append-mode totals come out
+    strictly below the complete-mode totals, and every emitted window
+    must match the analog's bucket count minus late arrivals (i.e. never
+    exceed it)."""
+    out = str(tmp_path_factory.mktemp("ooo_stream"))
+    files = stateful.split_events_out_of_order(spark, sf_small, out, n_files=3)
+    got = _collect(
+        spark,
+        stateful.tumbling_append_stream(spark, files, sf_small, delay="10 minutes"),
+        "t_ooo_tumble",
+    )
+    complete = (
+        sparkflow.QUERIES["stream_tumbling"](spark, sf_small)
+        .toPandas()[["hour_start", "event_type", "n_events"]]
+    )
+    merged = got.merge(
+        complete, on=["hour_start", "event_type"], suffixes=("_got", "_want")
+    )
+    assert len(merged) == len(got)
+    assert (merged["n_events_got"] <= merged["n_events_want"]).all()
+    assert (merged["n_events_got"] < merged["n_events_want"]).any(), (
+        "out-of-order replay should have produced at least one late drop"
+    )
+    total_got = got["n_events"].sum()
+    total_all = complete["n_events"].sum()
+    assert total_got < total_all
