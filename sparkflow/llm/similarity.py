@@ -224,3 +224,92 @@ def llm_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(norms, "label")
         .select("label", "n_vecs", "avg_dist", "centroid_norm")
     )
+
+
+@register(
+    "llm_dedup_embedding",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      UNION ALL
+      SELECT vec_id + 100000 AS vec_id, embedding::DOUBLE[] AS v
+      FROM embeddings WHERE vec_id % 10 = 0
+    ),
+    cand AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.v AS va, b.v AS vb
+      FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(a.v, b.v) > 0.98  -- loose prefilter only
+    )
+    SELECT vec_a, vec_b,
+           ROUND(
+             {_dot_sql('va', 'vb')}
+             / (sqrt({_dot_sql('va', 'va')}) * sqrt({_dot_sql('vb', 'vb')})),
+             6) AS cos_sim
+    FROM cand
+    WHERE ROUND({_dot_sql('va', 'vb')}
+             / (sqrt({_dot_sql('va', 'va')}) * sqrt({_dot_sql('vb', 'vb')})),
+             6) >= 0.99
+    """,
+)
+def llm_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cos >= 0.99). The corpus
+    gets deterministic duplicate vectors injected (exact copies at
+    vec_id+100000 for every 10th id — the natural max cosine in this
+    data is ~0.51, so only injected dups cross the threshold and the LSH
+    candidate set provably contains them: identical vectors share every
+    bucket).
+
+    Scale shape: hyperplane-LSH bucket join proposes candidates (the
+    oracle's O(n²) cross join is the sf0.01-only referee, never the
+    plan); exact cosine confirms. This is the embedding-dedup stage of a
+    training-data pipeline."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    corpus = e.unionByName(
+        e.filter(F.col("vec_id") % 10 == 0).select(
+            (F.col("vec_id") + 100000).alias("vec_id"), "v"
+        )
+    )
+
+    def bucket(t: int):
+        bits = []
+        for b in range(8):
+            proj = F.array(*[F.lit(_proj(t, b, d)) for d in range(_DIM)])
+            dot = F.aggregate(
+                F.zip_with("v", proj, lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            bits.append(F.when(dot >= 0, F.lit(1 << b)).otherwise(F.lit(0)))
+        code = bits[0]
+        for x in bits[1:]:
+            code = code + x
+        return (F.lit(t * 1000) + code).alias("bucket")
+
+    buckets = None
+    for t in range(2):
+        piece = corpus.select("vec_id", "v", bucket(t))
+        buckets = piece if buckets is None else buckets.unionByName(piece)
+
+    a = buckets.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), "bucket")
+    b = buckets.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), "bucket")
+
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda acc, z: acc + z
+        )
+
+    cos = F.round(
+        dot(F.col("va"), F.col("vb"))
+        / (F.sqrt(dot(F.col("va"), F.col("va"))) * F.sqrt(dot(F.col("vb"), F.col("vb")))),
+        6,
+    )
+    return (
+        a.join(b, ["bucket"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", cos.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= 0.99)
+        .groupBy("vec_a", "vec_b")
+        .agg(F.first("cos_sim").alias("cos_sim"))
+    )

@@ -294,3 +294,31 @@ def llm_multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("record.label").alias("label"),
         F.size("record.embedding").alias("dim"),
     )
+
+
+@register(
+    "llm_token_count",
+    oracle="""
+    SELECT doc_id, lang,
+           len(string_split(text, ' ')) AS n_ws_tokens,
+           len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+             AS n_re_tokens,
+           len(list_distinct(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')))
+             AS n_unique_re_tokens
+    FROM documents
+    """,
+)
+def llm_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways (task brief): whitespace tokens and a
+    BPE-ish regex tokenizer (letter runs | digit runs | single
+    punctuation). regexp_extract_all stays JVM-side; the same pattern is
+    valid Java regex and RE2, so both engines tokenize identically."""
+    d = table(spark, sf_dir, "documents")
+    re_toks = F.expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")
+    return d.select(
+        "doc_id",
+        "lang",
+        F.size(F.split("text", " ")).alias("n_ws_tokens"),
+        F.size(re_toks).alias("n_re_tokens"),
+        F.size(F.array_distinct(re_toks)).alias("n_unique_re_tokens"),
+    )
