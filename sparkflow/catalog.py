@@ -32,9 +32,27 @@ TABLES = (
 ALWAYS_BROADCAST = ("region", "nation")
 
 
+# (session, sf_dir, table) -> DataFrame. A DataFrame is an immutable
+# lazy plan, so reuse across queries is safe; caching skips the file
+# listing + parquet footer read spark.read.parquet repeats per call
+# (~0.1 s/table of py4j+IO at local scale, and the testdata is
+# read-only so the resolved schema can never go stale).
+_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    key = (id(spark), sf_dir.rstrip("/"), name)
+    cached = _CACHE.get(key)
+    if cached is not None:
+        return cached
+    df = _load(spark, sf_dir, name)
+    _CACHE[key] = df
+    return df
+
+
+def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # events.ts is parquet timestamp[ns]; Spark rejects NANOS outright
         # (PARQUET_TYPE_ILLEGAL) unless read as raw long. Truncate ns -> µs

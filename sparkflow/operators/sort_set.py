@@ -53,7 +53,7 @@ def sort_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
 def limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: 3-way join + agg + global top-10. orderBy().limit()
     → TakeOrderedAndProject (heap per partition, k-merge), not a sort of
-    the whole aggregate. Revenue is exact decimal, and o_orderkey breaks
+    the whole aggregate. Revenue is exact integer units, and o_orderkey breaks
     ties, so the top-10 *set* is deterministic across engines."""
     c = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = table(spark, sf_dir, "orders")

@@ -118,7 +118,7 @@ def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cumulative revenue per customer over order date (keyed running
-    aggregate). Decimal accumulation keeps every prefix sum exact."""
+    aggregate). Integer-cents accumulation keeps every prefix sum exact."""
     o = table(spark, sf_dir, "orders")
     w = (
         Window.partitionBy("o_custkey")
@@ -148,7 +148,7 @@ def win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def win_sliding_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Moving average over the last 4 rows per user (Flink count window):
-    exact decimal sum / count, so partial-window edges are exact too."""
+    exact cents sum / count, so partial-window edges are exact too."""
     ev = table(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")

@@ -122,7 +122,7 @@ def _counter_fn(
 ) -> Iterator[pd.DataFrame]:
     """Per-user running count + exact running sum, one row per event.
     Sum accumulates in integer cents — associative and exact, matching
-    the oracle's decimal path (values are exact 2-decimal doubles)."""
+    the oracle's cents path (values are exact 2-decimal doubles)."""
     cnt, cents0 = state.get if state.exists else (0, 0)
     # Arrow chunks for a key within one micro-batch arrive unordered —
     # concat + sort by arrival id before accumulating (a Flink keyed
