@@ -313,3 +313,69 @@ def llm_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("vec_a", "vec_b")
         .agg(F.first("cos_sim").alias("cos_sim"))
     )
+
+
+@register("llm_knn_ivf")  # rows-only: pytest asserts recall vs brute force
+def llm_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: coarse quantizer = per-label centroids (the label
+    column stands in for a k-means codebook — same plan shape), probe
+    the nprobe nearest cells, exact cosine only within them. At 100 TB
+    the inverted lists are partition-pruned reads (cell id = partition
+    key); the scan touches nprobe/k of the data."""
+    nprobe = 3
+    e = table(spark, sf_dir, "embeddings")
+    flat = e.select(
+        "label",
+        "vec_id",
+        F.posexplode(F.transform("embedding", lambda x: x.cast("double"))).alias(
+            "dim", "val"
+        ),
+    )
+    cent = flat.groupBy("label", "dim").agg(
+        (F.sum("val") / F.count(F.lit(1))).alias("c")
+    )
+    q = e.filter(F.col("vec_id") == _QUERY_VEC_ID).select(
+        F.posexplode(F.transform("embedding", lambda x: x.cast("double"))).alias(
+            "dim", "qv"
+        )
+    )
+    # centroid scores: sum over dims of c*qv / norms — tiny (k rows), all agg
+    scored = (
+        cent.join(F.broadcast(q), "dim")
+        .groupBy("label")
+        .agg(
+            (
+                F.sum(F.col("c") * F.col("qv"))
+                / (
+                    F.sqrt(F.sum(F.col("c") * F.col("c")))
+                    * F.sqrt(F.sum(F.col("qv") * F.col("qv")))
+                )
+            ).alias("cell_score")
+        )
+        .orderBy(F.col("cell_score").desc(), "label")
+        .limit(nprobe)
+    )
+    probe_labels = scored.select("label")
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+        )
+
+    qvec = e.filter(F.col("vec_id") == _QUERY_VEC_ID).select(
+        F.transform("embedding", lambda x: x.cast("double")).alias("qv")
+    )
+    ev = F.transform("embedding", lambda x: x.cast("double"))
+    cos = F.round(
+        dot(ev, F.col("qv"))
+        / (F.sqrt(dot(ev, ev)) * F.sqrt(dot(F.col("qv"), F.col("qv")))),
+        9,
+    )
+    return (
+        e.join(F.broadcast(probe_labels), "label")  # partition-pruned read at scale
+        .filter(F.col("vec_id") != _QUERY_VEC_ID)
+        .crossJoin(F.broadcast(qvec))
+        .select("vec_id", "label", cos.alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), "vec_id")
+        .limit(_TOP_K)
+    )

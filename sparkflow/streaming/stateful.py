@@ -369,3 +369,65 @@ def stream_static_join_stream(spark: SparkSession, files_dir: str, sf_dir: str) 
     return ev.join(customer, ev.user_id == customer.c_custkey).select(
         "event_id", "event_type", "value", "c_name", "c_mktsegment"
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental gap-fill — the time-series carry-forward signature pattern
+# ---------------------------------------------------------------------------
+
+_HOUR_US = 3600 * 1_000_000
+
+
+def _gap_fill_fn(
+    key: Tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Incremental per-user hourly gap fill: maintains (current hour,
+    latest value in it); when an event lands in a later hour, emits the
+    completed hour plus one carried row per empty hour between. The
+    user's final (never-completed) hour is not emitted — exactly the
+    watermark semantics of the timer formulation."""
+    if not state.exists:
+        cur_hour, cur_val_cents = None, None
+    else:
+        cur_hour, cur_val_cents = state.get
+    out_hours, out_vals = [], []
+    chunks = [p for p in pdf_iter if len(p)]
+    if not chunks:
+        return
+    pdf = pd.concat(chunks).sort_values("event_id")
+    ts = _ts_us(pdf["ts"]).to_numpy()
+    vals = (pdf["value"].to_numpy() * 100).round().astype("int64")
+    for t, v in zip(ts, vals):
+        h = (t // _HOUR_US) * _HOUR_US
+        if cur_hour is None or h == cur_hour:
+            cur_hour, cur_val_cents = int(h), int(v)
+            continue
+        # close the current hour, carry through any empty hours
+        for hh in range(cur_hour, h, _HOUR_US):
+            out_hours.append(hh)
+            out_vals.append(cur_val_cents)
+        cur_hour, cur_val_cents = int(h), int(v)
+    state.update((cur_hour, cur_val_cents))
+    if out_hours:
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(out_hours),
+                "hour_us": out_hours,
+                "filled_value": [c / 100.0 for c in out_vals],
+            }
+        )
+
+
+def gap_fill_stream(spark: SparkSession, files_dir: str, sf_dir: str) -> DataFrame:
+    """True-streaming twin of `stream_gap_fill` (this author's signature
+    time-series pattern): one output row per (user, hour) with the last
+    observed value carried through empty hours, emitted incrementally as
+    later events close each hour."""
+    ev = _events_stream(spark, files_dir, sf_dir)
+    return ev.groupBy("user_id").applyInPandasWithState(
+        _gap_fill_fn,
+        outputStructType="user_id BIGINT, hour_us BIGINT, filled_value DOUBLE",
+        stateStructType="cur_hour BIGINT, cur_val_cents BIGINT",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -107,3 +107,14 @@ def test_multimodal_features_deterministic(spark, sf_small):
     b = b.sort_values("doc_id").reset_index(drop=True)
     assert a.equals(b)
     assert (a["fake_width"] == a["n_bytes"] % 640 + 1).all()
+
+
+def test_ivf_ann_recall(spark, sf_small):
+    """IVF top-10 must overlap the true top-10 substantially (probing
+    3/10 cells; label-as-codebook is a weak quantizer on this data, so
+    the bar is recall >= 0.5, measured before setting)."""
+    ids, top10 = _brute_force(spark, sf_small)
+    true_top = set(top10[list(ids).index(0)])
+    got = sparkflow.QUERIES["llm_knn_ivf"](spark, sf_small).toPandas()
+    overlap = len(set(got["vec_id"]) & true_top) / 10.0
+    assert overlap >= 0.5, f"IVF recall {overlap}"

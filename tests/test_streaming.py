@@ -179,3 +179,24 @@ def test_out_of_order_replay_drops_late_rows(spark, sf_small, tmp_path_factory):
     total_got = got["n_events"].sum()
     total_all = complete["n_events"].sum()
     assert total_got < total_all
+
+
+def test_gap_fill_stream_matches_analog(spark, stream_dir, sf_small):
+    """Streaming gap-fill must equal the oracle-checked analog on every
+    hour except each user's final hour (which the incremental form can
+    only close when a later event arrives — it never does for the last
+    one)."""
+    got = _collect(
+        spark, stateful.gap_fill_stream(spark, stream_dir, sf_small), "t_gapfill"
+    )
+    analog = sparkflow.QUERIES["stream_gap_fill"](spark, sf_small).toPandas()
+    analog = analog.assign(
+        hour_us=pd.to_datetime(analog["hour"]).astype("datetime64[us]").astype("int64")
+    )
+    last_hour = analog.groupby("user_id")["hour_us"].max()
+    want = analog[
+        analog["hour_us"] < analog["user_id"].map(last_hour)
+    ][["user_id", "hour_us", "filled_value"]]
+    got_s = got.sort_values(["user_id", "hour_us"]).reset_index(drop=True)
+    want_s = want.sort_values(["user_id", "hour_us"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got_s, want_s, check_dtype=False)
