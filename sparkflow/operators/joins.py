@@ -373,3 +373,47 @@ def join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return orders.lateralJoin(top).select("o_orderkey", "top_linenumber", "top_price")
+
+
+@register(
+    "join_bucketed",
+    oracle="""
+    SELECT o.o_orderkey, o.o_totalprice, COUNT(*) AS n_lines
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderstatus = 'F'
+    GROUP BY o.o_orderkey, o.o_totalprice
+    """,
+)
+def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located fact⋈fact join via bucketing: both tables are written
+    bucketBy(8, orderkey).sortBy(orderkey), so the sort-merge join reads
+    matching buckets directly — ZERO join-side shuffle (asserted in
+    tests/test_plans.py: the only Exchange left is the final group-by).
+    This is THE lever for repeated big joins at 100 TB: pay the
+    partitioning once at write time, never at query time. Bucketed data
+    lands under /tmp (session-scoped table metadata, idempotent
+    re-create per session)."""
+    sfkey = sf_dir.rstrip("/").rsplit("sf", 1)[-1].replace(".", "_")
+    tables = {}
+    for tname, key in (("lineitem", "l_orderkey"), ("orders", "o_orderkey")):
+        reg = f"sparkflow_bucketed_{tname}_{sfkey}"
+        if not spark.catalog.tableExists(reg):
+            (
+                table(spark, sf_dir, tname)
+                .write.bucketBy(8, key)
+                .sortBy(key)
+                .option("path", f"/tmp/sparkflow_io/bucketed/{tname}_{sfkey}")
+                .mode("overwrite")
+                .saveAsTable(reg)
+            )
+        tables[tname] = spark.table(reg)
+    o = tables["orders"].filter(F.col("o_orderstatus") == "F")
+    li = tables["lineitem"]
+    # MERGE hint: at test SF the planner would broadcast instead, which
+    # never exercises the buckets; at real fact⋈fact scale SMJ is what it
+    # picks anyway — the hint pins the scale-representative plan.
+    return (
+        o.hint("merge").join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderkey", "o_totalprice")
+        .agg(F.count(F.lit(1)).alias("n_lines"))
+    )

@@ -71,3 +71,13 @@ def test_partitioned_sink_prunes_partitions(spark, sf_small):
     )
     plan = formatted_plan(back)
     assert "PartitionFilters" in plan and "l_returnflag" in plan
+
+
+def test_bucketed_join_has_no_join_shuffle(spark, sf_small):
+    """Both sides bucketed on the join key: the SMJ must consume buckets
+    directly — no Exchange on either join input (the single remaining
+    Exchange belongs to the final aggregation, at most)."""
+    df = sparkflow.QUERIES["join_bucketed"](spark, sf_small)
+    plan = formatted_plan(df)
+    assert "SortMergeJoin" in plan
+    assert plan.count("Exchange") <= 1, plan[:800]
