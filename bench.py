@@ -9,7 +9,7 @@ The query set mirrors BASELINE.md's DuckDB measurements shape-for-shape
 (q1 pricing summary, q3 top-k join, q5 star join, window rank, distinct
 users, hourly tumbling, json extract, knn) so the comparison is
 apples-to-apples. Timing = full execution to collected results, median
-of 3 after one warm-up run (JVM/plan warm, data NOT cached — every run
+of 5 after one warm-up run (JVM/plan warm, data NOT cached — every run
 re-reads parquet).
 """
 
@@ -76,7 +76,7 @@ def main() -> None:
     for name, fn in BENCH_QUERIES.items():
         fn(spark, sf_dir).collect()  # warm-up: JVM JIT, catalog, committers
         times = []
-        for _ in range(3):
+        for _ in range(5):
             t0 = time.perf_counter()
             fn(spark, sf_dir).collect()
             times.append(time.perf_counter() - t0)
@@ -86,7 +86,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "headline query suite, median-of-3 warm, full parquet re-read",
+                "metric": "headline query suite, median-of-5 warm, full parquet re-read",
                 "value": total,
                 "unit": "sec",
                 "queries": results,

@@ -417,3 +417,64 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderkey", "o_totalprice")
         .agg(F.count(F.lit(1)).alias("n_lines"))
     )
+
+
+@register(
+    "join_skew_salted",
+    oracle="""
+    WITH skewed AS (
+      SELECT event_id, user_id % 5 AS hot_key, value FROM events
+      UNION ALL
+      SELECT event_id + 1000000 AS event_id, 0 AS hot_key, value
+      FROM events WHERE event_id % 2 = 0
+    ),
+    dim AS (
+      SELECT r_regionkey AS hot_key, r_name FROM region
+    )
+    SELECT s.hot_key, d.r_name,
+           COUNT(*) AS n_events,
+           (CAST(SUM(CAST(FLOOR(s.value * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+              / 100.0) AS value_sum
+    FROM skewed s JOIN dim d ON s.hot_key = d.hot_key
+    GROUP BY s.hot_key, d.r_name
+    """,
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated join via salting: a deterministic hot key (key 0
+    carries ~60% of rows after the in-query skew synthesis) would pin
+    one reducer in a plain shuffle join. Salting appends a 16-way salt
+    to the fact key and explodes the dim side 16×, spreading the hot key
+    over 16 reducers; the aggregate then removes the salt. The oracle is
+    the plain (semantically identical) join.
+
+    At 100 TB this is the manual fallback when AQE skew-join splitting
+    can't help (e.g. skewed aggregation keys, or pre-AQE engines); the
+    session factory also enables spark.sql.adaptive.skewJoin."""
+    from ..oracle_compat import cents
+
+    ev = table(spark, sf_dir, "events")
+    skewed = ev.select(
+        "event_id", (F.col("user_id") % 5).alias("hot_key"), "value"
+    ).unionByName(
+        ev.filter(F.col("event_id") % 2 == 0).select(
+            (F.col("event_id") + 1000000).alias("event_id"),
+            F.lit(0).cast("long").alias("hot_key"),
+            "value",
+        )
+    )
+    n_salt = 16
+    salted_fact = skewed.withColumn("salt", (F.col("event_id") % n_salt).cast("int"))
+    dim = table(spark, sf_dir, "region").select(
+        F.col("r_regionkey").cast("long").alias("hot_key"), "r_name"
+    )
+    salted_dim = dim.withColumn(
+        "salt", F.explode(F.array(*[F.lit(i) for i in range(n_salt)]))
+    )
+    return (
+        salted_fact.join(salted_dim, ["hot_key", "salt"])
+        .groupBy("hot_key", "r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(cents("value")).cast("double") / 100.0).alias("value_sum"),
+        )
+    )
