@@ -256,3 +256,31 @@ def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.greatest("c_acctbal", F.lit(0.0)).alias("bal_floor0"),
         F.least("c_acctbal", F.lit(5000.0)).alias("bal_cap5k"),
     )
+
+
+@register(
+    "fn_bitwise",
+    oracle="""
+    SELECT event_id,
+           event_id & 255 AS low_byte,
+           event_id | 4096 AS with_flag,
+           xor(event_id, user_id) AS id_xor,
+           event_id << 2 AS shifted_l,
+           event_id >> 3 AS shifted_r,
+           CAST(bit_count(event_id) AS INT) AS popcount
+    FROM events WHERE event_type = 'error'
+    """,
+)
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise operators (AND/OR/XOR/shifts/popcount) — exact integer
+    semantics, identical in any engine."""
+    ev = table(spark, sf_dir, "events").filter(F.col("event_type") == "error")
+    return ev.select(
+        "event_id",
+        F.col("event_id").bitwiseAND(F.lit(255)).alias("low_byte"),
+        F.col("event_id").bitwiseOR(F.lit(4096)).alias("with_flag"),
+        F.col("event_id").bitwiseXOR(F.col("user_id")).alias("id_xor"),
+        F.expr("shiftleft(event_id, 2)").alias("shifted_l"),
+        F.expr("shiftright(event_id, 3)").alias("shifted_r"),
+        F.bit_count("event_id").alias("popcount"),
+    )

@@ -431,3 +431,23 @@ def gap_fill_stream(spark: SparkSession, files_dir: str, sf_dir: str) -> DataFra
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def session_window_stream(
+    spark: SparkSession, files_dir: str, sf_dir: str, delay: str = "10 minutes"
+) -> DataFrame:
+    """True-streaming session windows (EventTimeSessionWindows.withGap):
+    watermarked append-mode F.session_window — sessions emit when the
+    watermark passes their close. Merge semantics are identical to the
+    batch form (asserted: emitted sessions ⊆ batch sessions, exact)."""
+    ev = _events_stream(spark, files_dir, sf_dir).withWatermark("ts", delay)
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )

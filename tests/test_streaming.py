@@ -200,3 +200,95 @@ def test_gap_fill_stream_matches_analog(spark, stream_dir, sf_small):
     got_s = got.sort_values(["user_id", "hour_us"]).reset_index(drop=True)
     want_s = want.sort_values(["user_id", "hour_us"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(got_s, want_s, check_dtype=False)
+
+
+def test_session_window_streaming_append(spark, stream_dir, sf_small):
+    got = _collect(
+        spark,
+        stateful.session_window_stream(spark, stream_dir, sf_small),
+        "t_sess_stream",
+    )
+    batch = (
+        sparkflow.QUERIES["stream_session"](spark, sf_small)
+        .toPandas()[["user_id", "session_start", "session_end", "n_events"]]
+    )
+    merged = got.merge(
+        batch, on=["user_id", "session_start", "session_end"], suffixes=("_g", "_w")
+    )
+    assert len(merged) == len(got), "every emitted session must exist in batch"
+    assert (merged["n_events_g"] == merged["n_events_w"]).all()
+    assert len(got) > 0
+
+
+def test_checkpoint_recovery_exactly_once(spark, sf_small, tmp_path_factory):
+    """Exactly-once restart: run a checkpointed foreachBatch aggregation
+    over the first half of the files, STOP the query, then restart from
+    the same checkpoint with all files present. The recovered run must
+    not reprocess committed batches (batch-id staging stays consistent)
+    and the final re-aggregated result must equal the batch answer."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    base = str(tmp_path_factory.mktemp("ckpt_stream"))
+    full = stateful.split_events_to_files(spark, sf_small, base, n_files=4)
+    half_dir = os.path.join(base, "half")
+    os.makedirs(half_dir)
+    files = sorted(os.listdir(full))
+    for f in files[:2]:
+        shutil.copy(os.path.join(full, f), os.path.join(half_dir, f))
+        os.utime(os.path.join(half_dir, f), (1_700_000_000, 1_700_000_000))
+
+    ckpt = os.path.join(base, "ckpt")
+    sink = os.path.join(base, "sink")
+    schema = spark.read.parquet(full).schema
+
+    def run(src_dir):
+        def write_batch(bdf, bid):
+            (
+                bdf.groupBy("event_type")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .write.mode("overwrite")
+                .parquet(os.path.join(sink, f"batch_{bid}"))
+            )
+
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+            .writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run(half_dir)  # first run: 2 files, then clean stop
+    batches_after_first = set(os.listdir(sink))
+    # "restart" against the full directory (the 2 committed files + 2 new)
+    for f in files:
+        dst = os.path.join(half_dir, f)
+        if not os.path.exists(dst):
+            shutil.copy(os.path.join(full, f), dst)
+            os.utime(dst, (1_700_000_100, 1_700_000_100))
+    run(half_dir)
+    # committed batches were not reprocessed into new ids
+    assert batches_after_first.issubset(set(os.listdir(sink)))
+    got = (
+        spark.read.parquet(os.path.join(sink, "batch_*"))
+        .groupBy("event_type")
+        .agg(F.sum("n").alias("n_events"))
+        .toPandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    want = (
+        sparkflow.catalog.table(spark, sf_small, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .toPandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
