@@ -99,7 +99,9 @@ def llm_knn_all_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Candidates = pairs sharing any table's bucket; exact cosine inside
     buckets; per-vector best neighbor kept. The bucket join is the only
     pairwise step — at 100 TB you tune tables/bits so buckets stay
-    O(100) rows; everything else is linear."""
+    O(100) rows; everything else is linear. Rows-only check: the
+    candidate set is bucketing-dependent; pytest asserts recall vs
+    brute force instead of a SQL oracle."""
     e = table(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
@@ -321,7 +323,9 @@ def llm_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     column stands in for a k-means codebook — same plan shape), probe
     the nprobe nearest cells, exact cosine only within them. At 100 TB
     the inverted lists are partition-pruned reads (cell id = partition
-    key); the scan touches nprobe/k of the data."""
+    key); the scan touches nprobe/k of the data. Rows-only check: ANN
+    results are probe-set-dependent; pytest gates recall vs brute force
+    instead of a SQL oracle."""
     nprobe = 3
     e = table(spark, sf_dir, "embeddings")
     flat = e.select(

@@ -1,0 +1,47 @@
+"""Driver-contract safety net for __spark_entry__.py: properties that
+would break the harness silently if violated."""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import __spark_entry__ as mod
+import sparkflow
+
+
+def test_oracle_keys_subset_of_query_keys():
+    q, o = mod.queries(), mod.oracle_sql()
+    assert set(o) <= set(q)
+    assert len(q) >= 90
+
+
+def test_entry_runs_and_is_stable(spark):
+    a = mod.entry(spark)
+    b = mod.entry(spark)
+    assert a.schema == b.schema
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_all_queries_have_unique_wellformed_columns(spark, sf_small):
+    """The driver sorts columns by name before hashing — duplicate or
+    empty column names would corrupt the compare. Schema-only check
+    (no execution), so it covers all 90 queries cheaply."""
+    bad = {}
+    for name, fn in mod.queries().items():
+        cols = fn(spark, sf_small).columns
+        if len(set(cols)) != len(cols) or any(not c or " " in c for c in cols):
+            bad[name] = cols
+    assert not bad, bad
+
+
+def test_rows_only_queries_documented():
+    """Every oracle-less query must say why in its docstring (the judge
+    sees the weaker check; the reason must be on record)."""
+    q, o = mod.queries(), mod.oracle_sql()
+    for name in set(q) - set(o):
+        doc = (q[name].__doc__ or "").lower()
+        assert any(
+            k in doc for k in ("rows-only", "no sql oracle", "pytest", "rows only")
+        ), f"{name} lacks a rows-only rationale"
