@@ -413,3 +413,39 @@ def stream_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("filled_value", F.last("hour_value", ignorenulls=True).over(w))
         .select("user_id", "hour", "filled_value")
     )
+
+
+@register(
+    "stream_dynamic_rules",
+    oracle="""
+    WITH rules AS (
+      SELECT 'click' AS rule_type, 5.0 AS threshold UNION ALL
+      SELECT 'purchase', 10.0 UNION ALL
+      SELECT 'error', 1.0
+    )
+    SELECT e.event_id, e.event_type, e.value, r.threshold,
+           CASE WHEN e.value > r.threshold THEN 1 ELSE 0 END AS alert
+    FROM events e JOIN rules r ON e.event_type = r.rule_type
+    """,
+)
+def stream_dynamic_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast-state dynamic rules (Flink's BroadcastProcessFunction:
+    a low-volume control stream of rules replicated to all tasks,
+    applied to the high-volume event stream). Batch analog: the rule set
+    as a broadcast-joined tiny DataFrame. The true-streaming twin
+    (streaming/stateful.py dynamic_rules_stream) re-reads the rules
+    location every micro-batch, so rule changes land without restarting
+    the query — pytest swaps the rules file between batches and asserts
+    both rule versions took effect."""
+    rules = spark.createDataFrame(
+        [("click", 5.0), ("purchase", 10.0), ("error", 1.0)],
+        "rule_type string, threshold double",
+    )
+    ev = table(spark, sf_dir, "events")
+    return ev.join(F.broadcast(rules), ev.event_type == rules.rule_type).select(
+        "event_id",
+        "event_type",
+        "value",
+        "threshold",
+        F.when(F.col("value") > F.col("threshold"), 1).otherwise(0).alias("alert"),
+    )

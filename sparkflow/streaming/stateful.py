@@ -451,3 +451,25 @@ def session_window_stream(
             "n_events",
         )
     )
+
+
+def dynamic_rules_stream(
+    spark: SparkSession, files_dir: str, sf_dir: str, rules_dir: str
+) -> DataFrame:
+    """True-streaming twin of `stream_dynamic_rules`: the rules live in a
+    csv directory that foreachBatch-free stream-static joins re-read
+    EVERY micro-batch — editing the rules files between batches changes
+    behavior mid-query (Flink broadcast-state updates, Spark-style)."""
+    ev = _events_stream(spark, files_dir, sf_dir)
+    rules = (
+        spark.read.schema("rule_type STRING, threshold DOUBLE")
+        .option("header", False)
+        .csv(rules_dir)
+    )
+    return ev.join(F.broadcast(rules), ev.event_type == rules.rule_type).select(
+        "event_id",
+        "event_type",
+        "value",
+        "threshold",
+        F.when(F.col("value") > F.col("threshold"), 1).otherwise(0).alias("alert"),
+    )

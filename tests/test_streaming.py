@@ -292,3 +292,38 @@ def test_checkpoint_recovery_exactly_once(spark, sf_small, tmp_path_factory):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_dynamic_rules_reload_between_batches(spark, sf_small, tmp_path_factory):
+    """Broadcast-state dynamic rules: rules csv is swapped while the
+    query runs (between micro-batches, via foreachBatch hook) — events
+    in later batches must be judged by the NEW thresholds."""
+    import os
+
+    base = str(tmp_path_factory.mktemp("rules_stream"))
+    files = stateful.split_events_to_files(spark, sf_small, base, n_files=2)
+    rules_dir = os.path.join(base, "rules")
+    os.makedirs(rules_dir)
+
+    def write_rules(threshold):
+        with open(os.path.join(rules_dir, "rules.csv"), "w") as f:
+            for t in ["click", "purchase", "error", "view", "signup"]:
+                f.write(f"{t},{threshold}\n")
+
+    write_rules(1000.0)  # batch 0: nothing alerts
+    seen = {}
+
+    stream = stateful.dynamic_rules_stream(spark, files, sf_small, rules_dir)
+
+    def sink(bdf, bid):
+        from pyspark.sql import functions as F
+
+        seen[bid] = bdf.agg(F.sum("alert")).collect()[0][0]
+        write_rules(-1.0)  # after the first batch: everything alerts
+
+    q = stream.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
+    q.awaitTermination()
+    assert len(seen) >= 2
+    batches = sorted(seen)
+    assert seen[batches[0]] == 0, "threshold 1000 must alert nothing"
+    assert seen[batches[-1]] > 0, "reloaded threshold -1 must alert everything"
