@@ -322,3 +322,74 @@ def llm_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(re_toks).alias("n_re_tokens"),
         F.size(F.array_distinct(re_toks)).alias("n_unique_re_tokens"),
     )
+
+
+@register(
+    "llm_pipeline_e2e",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, text, lang, n_chars FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text, lang, n_chars
+      FROM documents WHERE doc_id % 7 = 0
+    ),
+    dedup AS (
+      SELECT MIN(doc_id) AS doc_id FROM corpus GROUP BY sha256(text)
+    ),
+    kept AS (
+      SELECT c.doc_id, c.lang, c.n_chars, c.text
+      FROM corpus c JOIN dedup d ON c.doc_id = d.doc_id
+    ),
+    toks AS (
+      SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM kept
+    ),
+    stats AS (
+      SELECT doc_id, COUNT(*) AS n_tokens, COUNT(DISTINCT tok) AS n_unique
+      FROM toks GROUP BY doc_id
+    )
+    SELECT k.lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(s.n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(k.n_chars) AS BIGINT) AS total_chars
+    FROM kept k JOIN stats s ON k.doc_id = s.doc_id
+    WHERE s.n_tokens BETWEEN 10 AND 1000
+      AND CAST(s.n_unique AS DOUBLE) / s.n_tokens > 0.2
+    GROUP BY k.lang
+    """,
+)
+def llm_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data pipeline, composed from the same
+    primitives the standalone operators use: ingest (+injected dups) →
+    exact dedup (sha256 keep-first) → tokenize → quality filter (length
+    band + lexical diversity) → per-language corpus stats. One lazy
+    plan: Catalyst fuses the whole chain; nothing materializes between
+    stages. This is the shape of a real 100 TB data-prep job."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "text", "lang", "n_chars")
+    corpus = d.unionByName(
+        d.filter(F.col("doc_id") % 7 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text", "lang", "n_chars"
+        )
+    )
+    keepers = corpus.groupBy(F.sha2("text", 256).alias("h")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    kept = corpus.join(keepers.select("doc_id"), "doc_id")
+    toks = kept.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    stats = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("tok").alias("n_unique"),
+    )
+    quality = (
+        F.col("n_tokens").between(10, 1000)
+        & (F.col("n_unique").cast("double") / F.col("n_tokens") > 0.2)
+    )
+    return (
+        kept.join(stats, "doc_id")
+        .filter(quality)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )

@@ -81,3 +81,18 @@ def test_bucketed_join_has_no_join_shuffle(spark, sf_small):
     plan = formatted_plan(df)
     assert "SortMergeJoin" in plan
     assert plan.count("Exchange") <= 1, plan[:800]
+
+
+def test_asof_join_single_shuffle(spark, sf_small):
+    """The as-of join's union+window formulation must cost exactly ONE
+    exchange (the key partition for the window) — the property that
+    makes it viable at 100 TB (SCALE.md)."""
+    import re
+
+    df = sparkflow.QUERIES["join_asof"](spark, sf_small)
+    plan = formatted_plan(df)
+    # count Exchange NODES (the formatted text mentions each node twice:
+    # once in the tree, once in the detail section)
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchanges == 1, plan[:600]
+    assert "Window" in plan
