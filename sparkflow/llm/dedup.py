@@ -82,10 +82,10 @@ _JACCARD_MIN = 0.5  # exact-verification threshold on token jaccard
 _SALTS = list(range(_K))
 
 
-@register(
-    "llm_dedup_near",
-    oracle=f"""
-    WITH corpus AS ({_CORPUS_SQL}),
+# The full MinHash+LSH+Jaccard pipeline as CTEs ending in `pairs`, shared
+# by the near-dup oracle and the clusters oracle (which adds a recursive
+# connected-components closure on top).
+_NEAR_CTES = f"""corpus AS ({_CORPUS_SQL}),
     shingles AS (
       SELECT doc_id, substr(text, i, {_SHINGLE}) AS sh
       FROM corpus, LATERAL (SELECT UNNEST(range(1, len(text) - {_SHINGLE - 2}))) t(i)
@@ -122,13 +122,22 @@ _SALTS = list(range(_K))
       JOIN toks ta ON ta.doc_id = c.doc_a
       JOIN toks tb ON tb.doc_id = c.doc_b AND tb.tok = ta.tok
       GROUP BY c.doc_a, c.doc_b
-    )
-    SELECT i.doc_a, i.doc_b,
-           ROUND(CAST(i.ni AS DOUBLE) / (sa.n + sb.n - i.ni), 6) AS jaccard
-    FROM inter i
-    JOIN sizes sa ON sa.doc_id = i.doc_a
-    JOIN sizes sb ON sb.doc_id = i.doc_b
-    WHERE CAST(i.ni AS DOUBLE) / (sa.n + sb.n - i.ni) >= {_JACCARD_MIN}
+    ),
+    pairs AS (
+      SELECT i.doc_a, i.doc_b,
+             ROUND(CAST(i.ni AS DOUBLE) / (sa.n + sb.n - i.ni), 6) AS jaccard
+      FROM inter i
+      JOIN sizes sa ON sa.doc_id = i.doc_a
+      JOIN sizes sb ON sb.doc_id = i.doc_b
+      WHERE CAST(i.ni AS DOUBLE) / (sa.n + sb.n - i.ni) >= {_JACCARD_MIN}
+    )"""
+
+
+@register(
+    "llm_dedup_near",
+    oracle=f"""
+    WITH {_NEAR_CTES}
+    SELECT doc_a, doc_b, jaccard FROM pairs
     """,
 )
 def llm_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -260,3 +269,68 @@ def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("simhash16")
     )
+
+
+@register(
+    "llm_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_NEAR_CTES},
+    verts AS (SELECT doc_a AS doc FROM pairs UNION SELECT doc_b FROM pairs),
+    edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+              UNION SELECT doc_b AS a, doc_a AS b FROM pairs),
+    reach AS (
+      SELECT doc, doc AS r FROM verts
+      UNION
+      SELECT e.b AS doc, reach.r AS r FROM reach JOIN edges e ON e.a = reach.doc
+    )
+    SELECT doc AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc
+    """,
+)
+def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS (connected components over the verified
+    LSH pair graph): each doc in a pair gets the minimum doc_id of its
+    component as cluster_id — the canonical-representative assignment a
+    dedup pipeline keeps.
+
+    This is the engine's iterative-algorithm representative: min-label
+    propagation driven by a Python loop over DataFrame joins, converging
+    in O(graph diameter) rounds (dedup components are tiny, so 2-3).
+    `localCheckpoint` truncates the growing lineage each round — the
+    standard large-graph practice. The oracle is a recursive-CTE
+    transitive closure over the identical pair set, so even the
+    iterative op is SQL-oracle-exact."""
+    pairs = llm_dedup_near(spark, sf_dir).select("doc_a", "doc_b")
+    # materialize the pair graph ONCE — otherwise every propagation round
+    # (and its convergence count) re-executes the whole LSH pipeline
+    edges = pairs.unionByName(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).localCheckpoint()
+    labels = (
+        edges.select(F.col("doc_a").alias("doc"))
+        .distinct()
+        .withColumn("cluster_id", F.col("doc"))
+        .localCheckpoint()
+    )
+    for _ in range(10):
+        nbr = (
+            edges.join(labels, edges.doc_b == labels.doc)
+            .groupBy(F.col("doc_a").alias("doc"))
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.withColumnRenamed("cluster_id", "old_id")
+            .join(nbr, "doc", "left")
+            .select(
+                "doc",
+                "old_id",
+                F.least(F.col("old_id"), F.coalesce("nbr_min", F.col("old_id"))).alias(
+                    "cluster_id"
+                ),
+            )
+            .localCheckpoint()
+        )
+        changed = new_labels.filter(F.col("cluster_id") != F.col("old_id")).count()
+        labels = new_labels.select("doc", "cluster_id")
+        if changed == 0:
+            break
+    return labels.select(F.col("doc").alias("doc_id"), "cluster_id")

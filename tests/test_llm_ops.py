@@ -118,3 +118,21 @@ def test_ivf_ann_recall(spark, sf_small):
     got = sparkflow.QUERIES["llm_knn_ivf"](spark, sf_small).toPandas()
     overlap = len(set(got["vec_id"]) & true_top) / 10.0
     assert overlap >= 0.5, f"IVF recall {overlap}"
+
+
+def test_dedup_clusters_group_all_copies(spark, sf_small):
+    """Docs divisible by 35 have BOTH an exact copy (+1e6) and a near
+    copy (+2e6): all three must land in the SAME cluster. (The cluster
+    root need not be the doc itself — the tiny synthetic vocabulary
+    produces natural token-set duplicates that legitimately merge
+    components further.)"""
+    got = sparkflow.QUERIES["llm_dedup_clusters"](spark, sf_small).toPandas()
+    cl = dict(zip(got["doc_id"], got["cluster_id"]))
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet").toPandas()
+    both = [d for d in docs["doc_id"] if d % 35 == 0]
+    assert both, "fixture must contain %35 docs"
+    for d in both:
+        assert d in cl and cl[d] == cl.get(d + 1000000) == cl.get(d + 2000000)
+    # cluster ids are canonical: every cluster_id is itself a member doc
+    ids = set(cl)
+    assert all(c in ids for c in cl.values())
