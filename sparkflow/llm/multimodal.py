@@ -74,3 +74,62 @@ def llm_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.encode("text", "utf-8").alias("payload")
     )
     return d.mapInPandas(_extract_features, schema=_FEATURE_SCHEMA)
+
+
+_FRAME = 64  # bytes per fake "frame"
+_STRIDE = 4  # sample every 4th frame
+
+
+def _sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        doc_ids, idxs, lens, sums = [], [], [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            n_frames = len(payload) // _FRAME
+            for fi in range(0, n_frames, _STRIDE):
+                block = payload[fi * _FRAME : (fi + 1) * _FRAME]
+                doc_ids.append(doc_id)
+                idxs.append(fi)
+                lens.append(len(block))
+                sums.append(int(sum(block)))
+        yield pd.DataFrame(
+            {
+                "doc_id": doc_ids,
+                "frame_idx": idxs,
+                "frame_len": lens,
+                "frame_checksum": sums,
+            }
+        )
+
+
+@register(
+    "llm_multimodal_frames",
+    oracle=f"""
+    WITH frames AS (
+      SELECT doc_id, text,
+             UNNEST(range(0, len(text) // {_FRAME}, {_STRIDE})) AS frame_idx
+      FROM documents
+    )
+    SELECT f.doc_id, f.frame_idx,
+           {_FRAME} AS frame_len,
+           CAST(SUM(ascii(substr(f.text, f.frame_idx * {_FRAME} + i, 1))) AS BIGINT)
+             AS frame_checksum
+    FROM frames f, LATERAL (SELECT UNNEST(range(1, {_FRAME} + 1))) t(i)
+    GROUP BY f.doc_id, f.frame_idx
+    """,
+)
+def llm_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling for video-like binary payloads (task brief): slice
+    the payload into fixed-size frames, keep every 4th, emit one row per
+    sampled frame with a checksum. The decode is a STUB (byte windows
+    stand in for decoded frames — no codecs in this container) but the
+    Spark shape is the real thing: mapInPandas producing MULTIPLE output
+    rows per input row over Arrow, schema'd and partition-preserving.
+    ASCII corpus ⇒ byte values == character codes, so the oracle can
+    recompute checksums relationally."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    return d.mapInPandas(
+        _sample_frames,
+        schema="doc_id BIGINT, frame_idx INT, frame_len INT, frame_checksum BIGINT",
+    )
