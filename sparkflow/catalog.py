@@ -43,6 +43,10 @@ _CACHE: dict[tuple[int, str, str], DataFrame] = {}
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    # Data timestamps are UTC wall times and the DuckDB oracle is
+    # timezone-naive: pin the session timezone so results are identical
+    # under any host/driver timezone (runtime-settable, idempotent).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     key = (id(spark), sf_dir.rstrip("/"), name)
     cached = _CACHE.get(key)
     if cached is not None:

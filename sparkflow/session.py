@@ -33,6 +33,7 @@ def get_spark(app_name: str = "sparkflow", shuffle_partitions: int | None = None
         .config("spark.sql.session.timeZone", "UTC")
         # keep local-mode overhead down; harmless on a cluster
         .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
     )
     return builder.getOrCreate()
