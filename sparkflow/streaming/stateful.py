@@ -473,3 +473,38 @@ def dynamic_rules_stream(
         "threshold",
         F.when(F.col("value") > F.col("threshold"), 1).otherwise(0).alias("alert"),
     )
+
+
+def interval_left_join_stream(spark: SparkSession, files_dir: str, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: clicks keep waiting for a
+    purchase within [0, +10min]; the null-extended row is emitted only
+    once the watermark passes the click's join window (proof no match
+    can still arrive) — the streaming-correct outer join semantics
+    watermarks exist for."""
+    ev = _events_stream(spark, files_dir, sf_dir)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "10 seconds")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "10 seconds")
+    )
+    cond = (
+        (clicks.user_id == purchases.p_user_id)
+        & (purchases.p_ts >= clicks.click_ts)
+        & (purchases.p_ts <= clicks.click_ts + F.expr("INTERVAL 10 MINUTES"))
+    )
+    return clicks.join(purchases, cond, "leftOuter").select(
+        "click_id", "user_id", "purchase_id"
+    )

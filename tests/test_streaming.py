@@ -327,3 +327,23 @@ def test_dynamic_rules_reload_between_batches(spark, sf_small, tmp_path_factory)
     batches = sorted(seen)
     assert seen[batches[0]] == 0, "threshold 1000 must alert nothing"
     assert seen[batches[-1]] > 0, "reloaded threshold -1 must alert everything"
+
+
+def test_stream_stream_left_outer_join(spark, stream_dir, sf_small):
+    """Matched rows must equal the batch inner join; null-extended rows
+    must be exactly clicks WITHOUT a matching purchase (modulo trailing
+    clicks whose watermark never closed — availableNow ends with the
+    data, so the tail can be missing but never wrong)."""
+    got = _collect(
+        spark,
+        stateful.interval_left_join_stream(spark, stream_dir, sf_small),
+        "t_loj",
+    )
+    inner = sparkflow.QUERIES["join_interval"](spark, sf_small).toPandas()
+    matched = got[got["purchase_id"].notna()]
+    assert sorted(matched["click_id"]) == sorted(inner["click_id"])
+    # every null-extension is a genuinely unmatched click
+    unmatched_got = set(got[got["purchase_id"].isna()]["click_id"])
+    assert not (unmatched_got & set(inner["click_id"]))
+    # and the watermark did close some windows (null rows were emitted)
+    assert len(unmatched_got) > 0
