@@ -105,3 +105,47 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) > 0
     assert set(df.columns) == {"nation", "revenue"}
+
+
+def test_asof_join_invariants(spark, sf_small):
+    """Every probe row emits exactly one output row; the matched event is
+    at-or-before the probe time; ties break to the max event_id."""
+    import pandas as pd
+
+    from sparkflow.catalog import table
+
+    got = sparkflow.QUERIES["join_asof"](spark, sf_small).toPandas()
+    probes = (
+        table(spark, sf_small, "orders")
+        .filter("o_custkey < 150")
+        .count()
+    )
+    assert len(got) == probes
+    assert got["o_orderkey"].is_unique
+    # verify at-or-before + latest against a pandas recomputation
+    ev = table(spark, sf_small, "events").toPandas()[["event_id", "user_id", "ts"]]
+    ev["ts"] = pd.to_datetime(ev["ts"])
+    sample = got.dropna(subset=["asof_event_id"]).head(50)
+    ev_by_id = ev.set_index("event_id")
+    for _, row in sample.iterrows():
+        matched = ev_by_id.loc[row["asof_event_id"]]
+        assert matched["user_id"] == row["user_id"]
+        later = ev[(ev.user_id == row.user_id) & (ev.ts > matched["ts"])]
+        # probe time = 2024-01-01 + (o_orderkey % 2592000) s
+        probe_t = pd.Timestamp("2024-01-01") + pd.Timedelta(
+            seconds=int(row["o_orderkey"]) % 2592000
+        )
+        assert matched["ts"] <= probe_t
+        assert (later.ts > probe_t).all() or later.empty
+
+
+def test_catalog_cache_is_per_sf_dir(spark):
+    from sparkflow.catalog import table
+
+    small = table(spark, "/root/testdata/sf0.001", "orders").count()
+    med = table(spark, "/root/testdata/sf0.01", "orders").count()
+    assert small == 1500 and med == 15000
+    # same handle returned on repeat call (memoized)
+    a = table(spark, "/root/testdata/sf0.001", "orders")
+    b = table(spark, "/root/testdata/sf0.001/", "orders")
+    assert a is b
