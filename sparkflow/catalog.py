@@ -36,8 +36,13 @@ ALWAYS_BROADCAST = ("region", "nation")
 # lazy plan, so reuse across queries is safe; caching skips the file
 # listing + parquet footer read spark.read.parquet repeats per call
 # (~0.1 s/table of py4j+IO at local scale, and the testdata is
-# read-only so the resolved schema can never go stale).
-_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+# read-only so the resolved schema can never go stale). The stored
+# weakref guards against id() reuse: if the original session was
+# garbage-collected and a new one landed at the same address, the
+# stale entry is discarded instead of handing out a dead plan.
+_CACHE: dict[tuple[int, str, str], tuple["weakref.ref", DataFrame]] = {}
+
+import weakref  # noqa: E402
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -48,11 +53,11 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # under any host/driver timezone (runtime-settable, idempotent).
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     key = (id(spark), sf_dir.rstrip("/"), name)
-    cached = _CACHE.get(key)
-    if cached is not None:
-        return cached
+    hit = _CACHE.get(key)
+    if hit is not None and hit[0]() is spark:
+        return hit[1]
     df = _load(spark, sf_dir, name)
-    _CACHE[key] = df
+    _CACHE[key] = (weakref.ref(spark), df)
     return df
 
 
