@@ -79,8 +79,6 @@ _BAND = 3  # rows per band -> 4 bands
 _SHINGLE = 5  # char shingle width
 _JACCARD_MIN = 0.5  # exact-verification threshold on token jaccard
 
-_SALTS = list(range(_K))
-
 
 # The full MinHash+LSH+Jaccard pipeline as CTEs ending in `pairs`, shared
 # by the near-dup oracle and the clusters oracle (which adds a recursive

@@ -8,7 +8,6 @@ import sys
 sys.path.insert(0, "/root/repo")
 
 import __spark_entry__ as mod
-import sparkflow
 
 
 def test_oracle_keys_subset_of_query_keys():
