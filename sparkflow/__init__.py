@@ -14,12 +14,22 @@ from __future__ import annotations
 
 from . import catalog, oracle_compat, registry, session  # noqa: F401
 
-# Operator modules register themselves on import.
-from .functions import scalar, udfs  # noqa: F401
-from .llm import dedup, multimodal, similarity, text  # noqa: F401
-from .operators import aggregates, joins, projections, sort_set, windows  # noqa: F401
-from .sources import io  # noqa: F401
-from .streaming import analogs, stateful  # noqa: F401
+# Operator modules register themselves on import. ORDER MATTERS: the
+# driver's correctness harness walks queries() in registration order under
+# a budget, so the cheap spec-core relational/window/streaming operators
+# register first and the expensive LLM pipeline operators register last —
+# that way a truncated run still attests the SURVEY §2 core.
+from .operators import projections  # noqa: F401  (§2.2 projection/filter)
+from .operators import joins  # noqa: F401  (§2.3 joins)
+from .operators import aggregates  # noqa: F401  (§2.4 aggregations)
+from .operators import windows  # noqa: F401  (§2.5 window functions)
+from .operators import sort_set  # noqa: F401  (§2.6 sort/limit, §2.7 set ops)
+from .sources import io  # noqa: F401  (§2.1 sources & sinks)
+from .streaming import analogs, stateful  # noqa: F401  (§2.9 streaming)
+from .functions import scalar  # noqa: F401  (§2.8 scalar functions)
+from .functions import udfs  # noqa: F401  (§2.10 UDF surface)
+from .llm import text  # noqa: F401  (§2.11 LLM ops — cheap text first)
+from .llm import dedup, multimodal, similarity  # noqa: F401  (heavy LLM last)
 
 QUERIES = registry.QUERIES
 ORACLES = registry.ORACLES

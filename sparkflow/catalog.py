@@ -51,7 +51,18 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # Data timestamps are UTC wall times and the DuckDB oracle is
     # timezone-naive: pin the session timezone so results are identical
     # under any host/driver timezone (runtime-settable, idempotent).
+    # NOTE: deliberate session mutation — documented engine contract
+    # (results must be timezone-independent); applied here because the
+    # driver hands us ITS session and this accessor is the one choke
+    # point every query passes through.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # If the caller left shuffle parallelism at Spark's out-of-the-box
+    # 200, right-size it for the local test scale (200 near-empty tasks
+    # per exchange is pure scheduler overhead at sf<=0.1). Any
+    # explicitly tuned value — our session factory's, the bench's, a
+    # cluster operator's — is NOT 200 and is left untouched.
+    if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
     key = (id(spark), sf_dir.rstrip("/"), name)
     hit = _CACHE.get(key)
     if hit is not None and hit[0]() is spark:

@@ -156,10 +156,12 @@ def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON payload extraction (`props` is a JSON string column) +
-    aggregate. get_json_object evaluates JVM-side; for repeated access
-    one would `from_json` once into a struct column."""
+    aggregate. `from_json` with an explicit schema parses each payload
+    once into a typed struct (Jackson, JVM-side) — measurably faster
+    than per-path `get_json_object` and the right shape when several
+    fields are extracted (one parse, N struct reads)."""
     ev = table(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("long")
+    k = F.from_json("props", "k LONG").getField("k")
     return (
         ev.select("event_type", k.alias("k"))
         .groupBy("event_type")

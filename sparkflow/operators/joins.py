@@ -391,9 +391,13 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_plans.py: the only Exchange left is the final group-by).
     This is THE lever for repeated big joins at 100 TB: pay the
     partitioning once at write time, never at query time. Bucketed data
-    lands under /tmp (session-scoped table metadata, idempotent
-    re-create per session)."""
+    lands under /tmp, NAMESPACED BY applicationId: the catalog's
+    tableExists guard is per-session, so two concurrent processes (e.g.
+    a pytest run beside a harness run) would otherwise both see "not
+    there yet" and race mode('overwrite') writes onto one directory,
+    corrupting whichever scan is in flight."""
     sfkey = sf_dir.rstrip("/").rsplit("sf", 1)[-1].replace(".", "_")
+    app_id = spark.sparkContext.applicationId
     tables = {}
     for tname, key in (("lineitem", "l_orderkey"), ("orders", "o_orderkey")):
         reg = f"sparkflow_bucketed_{tname}_{sfkey}"
@@ -402,7 +406,7 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
                 table(spark, sf_dir, tname)
                 .write.bucketBy(8, key)
                 .sortBy(key)
-                .option("path", f"/tmp/sparkflow_io/bucketed/{tname}_{sfkey}")
+                .option("path", f"/tmp/sparkflow_io/bucketed/{app_id}/{tname}_{sfkey}")
                 .mode("overwrite")
                 .saveAsTable(reg)
             )

@@ -61,16 +61,89 @@ def win_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def win_rank_dense_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """rank / dense_rank (on a coarsened key so ties actually occur and
-    the three functions genuinely differ) + ntile quartiles."""
+    the three functions genuinely differ) + ntile quartiles — via a
+    BANDED TWO-PASS plan, never a global single-task window.
+
+    A naive ``Window.orderBy(...)`` with no partitionBy shuffles every
+    row to ONE task — fatal at scale. Instead:
+
+    1. Range-band the table on the sort key (percentile_approx cut
+       points, broadcast). ``round`` is monotone in ``s_acctbal``, so
+       banding on the COARSE key is order-consistent for the exact
+       ``(s_acctbal DESC, s_suppkey)`` ntile ordering too, and equal
+       coarse keys always share a band (required for rank/dense_rank).
+    2. rank/dense_rank/row_number within each band in parallel
+       (``Window.partitionBy("band")``).
+    3. Recover global values by adding per-band offsets (cumulative
+       row / distinct-key counts of earlier bands) computed from a
+       B-row band-stats table via a broadcast triangular self-join —
+       O(B²) on B=8 rows, so the plan contains NO unpartitioned Window
+       or single-partition Exchange (asserted in tests/test_plans.py).
+
+    ntile(k) is reconstructed from the global row_number by the SQL
+    NTILE definition: with n rows, q=n//k, r=n%k, the first r buckets
+    get q+1 rows, the rest q."""
+    n_bands, k = 8, 4
     s = table(spark, sf_dir, "supplier")
-    coarse_ties = Window.orderBy(F.round("s_acctbal", 0).desc())
-    exact = Window.orderBy(F.col("s_acctbal").desc(), F.col("s_suppkey"))
-    return s.select(
+    coarse = F.round("s_acctbal", 0)
+
+    # pass 0: broadcast B-1 deterministic cut points on the coarse key
+    cuts = s.select(
+        F.percentile_approx(coarse, [i / n_bands for i in range(1, n_bands)], 10000).alias(
+            "cuts"
+        )
+    )
+    banded = s.crossJoin(F.broadcast(cuts)).withColumn(
+        # descending order: band 0 holds the largest keys; equal coarse
+        # keys get equal bands (strict < against every cut point)
+        "band",
+        F.size(F.filter("cuts", lambda c: coarse < c)),
+    )
+
+    # pass 1: per-band window functions (parallel across bands)
+    wb = Window.partitionBy("band").orderBy(coarse.desc())
+    wx = Window.partitionBy("band").orderBy(F.col("s_acctbal").desc(), "s_suppkey")
+    local = banded.select(
         "s_suppkey",
         "s_name",
-        F.rank().over(coarse_ties).alias("bal_rank"),
-        F.dense_rank().over(coarse_ties).alias("bal_dense_rank"),
-        F.ntile(4).over(exact).alias("bal_quartile"),
+        "band",
+        F.rank().over(wb).alias("rk"),
+        F.dense_rank().over(wb).alias("drk"),
+        F.row_number().over(wx).alias("rn"),
+    )
+
+    # band stats → cumulative offsets via triangular self-join (B rows)
+    stats = banded.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct(coarse).alias("n_keys"),
+    )
+    a, b = stats.alias("a"), stats.alias("b")
+    offsets = (
+        a.join(F.broadcast(b), F.col("b.band") < F.col("a.band"), "left")
+        .groupBy(F.col("a.band").alias("band"))
+        .agg(
+            F.coalesce(F.sum("b.n_rows"), F.lit(0)).alias("off_rows"),
+            F.coalesce(F.sum("b.n_keys"), F.lit(0)).alias("off_keys"),
+        )
+    )
+    total = stats.agg(F.sum("n_rows").alias("n_total"))
+
+    g_rn = F.col("rn") + F.col("off_rows")  # global row_number
+    q = F.floor(F.col("n_total") / k)
+    r = F.col("n_total") % k
+    ntile = F.when(
+        g_rn <= r * (q + 1), F.ceil(g_rn / (q + 1))
+    ).otherwise(r + F.ceil((g_rn - r * (q + 1)) / F.greatest(q, F.lit(1))))
+    return (
+        local.join(F.broadcast(offsets), "band")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.col("rk") + F.col("off_rows")).alias("bal_rank"),
+            (F.col("drk") + F.col("off_keys")).alias("bal_dense_rank"),
+            ntile.cast("int").alias("bal_quartile"),
+        )
     )
 
 

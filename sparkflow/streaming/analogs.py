@@ -355,6 +355,68 @@ def stream_cep_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_cep_negation",
+    oracle="""
+    WITH nxt AS (
+      SELECT user_id, event_id, event_type, ts,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+               AS next_purchase_ts
+      FROM events
+    )
+    SELECT user_id, event_id AS view_id, ts AS view_ts, next_purchase_ts
+    FROM nxt
+    WHERE event_type = 'view'
+      AND (next_purchase_ts IS NULL
+           OR epoch_us(next_purchase_ts) - epoch_us(ts) > 3600000000::BIGINT)
+    """,
+)
+def stream_cep_negation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP negation — FlinkCEP `begin('view').notFollowedBy('purchase')
+    .within(1h)`: views with NO purchase by the same user in the next
+    hour (the abandoned-funnel query every funnel user writes next).
+
+    NFA-free and anti-join-free: one forward-looking window carries the
+    EARLIEST following purchase per user; the negation holds iff it is
+    absent or beyond the horizon. Linear per key with a single shuffle —
+    the naive formulation (left anti range-join views×purchases) pays a
+    second shuffle and a per-row range probe. Streaming twin via a
+    watermarked left-outer interval join in streaming/stateful.py
+    (cep_negation_stream): Spark emits the unmatched left rows exactly
+    when the watermark passes view_ts + 1h — the timer FlinkCEP would
+    set for the `within` clause."""
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    next_purchase = F.min(
+        F.when(F.col("event_type") == "purchase", F.col("ts"))
+    ).over(w)
+    return (
+        ev.withColumn("next_purchase_ts", next_purchase)
+        .filter(
+            (F.col("event_type") == "view")
+            & (
+                F.col("next_purchase_ts").isNull()
+                | (
+                    F.unix_micros("next_purchase_ts") - F.unix_micros("ts")
+                    > 3600 * 1_000_000
+                )
+            )
+        )
+        .select(
+            "user_id",
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+            "next_purchase_ts",
+        )
+    )
+
+
+@register(
     "stream_gap_fill",
     oracle="""
     WITH bounds AS (

@@ -56,12 +56,17 @@ def split_events_to_files(spark: SparkSession, sf_dir: str, out_dir: str, n_file
     shutil.rmtree(out_dir, ignore_errors=True)
     os.makedirs(out_dir)
     ev = table(spark, sf_dir, "events")
-    n_total = ev.count()
-    step = (n_total + n_files - 1) // n_files
+    # Slice by the ACTUAL id range, not an assumed 0-based dense one:
+    # with 1-based (or offset) ids, count-derived bounds would silently
+    # drop the max-id rows from the replay and the streaming-vs-batch
+    # equality tests would compare unequal populations.
+    lo, hi = ev.agg(F.min("event_id"), F.max("event_id")).first()
+    step = (hi - lo + n_files) // n_files
     for i in range(n_files):
         (
             ev.filter(
-                (F.col("event_id") >= i * step) & (F.col("event_id") < (i + 1) * step)
+                (F.col("event_id") >= lo + i * step)
+                & (F.col("event_id") < lo + (i + 1) * step)
             )
             .coalesce(1)
             .write.mode("overwrite")
@@ -394,11 +399,20 @@ def _gap_fill_fn(
     chunks = [p for p in pdf_iter if len(p)]
     if not chunks:
         return
-    pdf = pd.concat(chunks).sort_values("event_id")
+    # sort by event TIME (event_id only as tiebreaker): the carry-forward
+    # recurrence below assumes non-decreasing hours; feeding it an
+    # out-of-order replay sorted by id alone would silently regress
+    # cur_hour and drop fills. Within one micro-batch we can restore
+    # time order ourselves; ACROSS batches a row in an hour the state
+    # has already passed is late data — skip it (same drop semantics as
+    # the watermarked timer formulation).
+    pdf = pd.concat(chunks).sort_values(["ts", "event_id"])
     ts = _ts_us(pdf["ts"]).to_numpy()
     vals = (pdf["value"].to_numpy() * 100).round().astype("int64")
     for t, v in zip(ts, vals):
         h = (t // _HOUR_US) * _HOUR_US
+        if cur_hour is not None and h < cur_hour:
+            continue  # late arrival below state's hour: already closed
         if cur_hour is None or h == cur_hour:
             cur_hour, cur_val_cents = int(h), int(v)
             continue
@@ -507,4 +521,42 @@ def interval_left_join_stream(spark: SparkSession, files_dir: str, sf_dir: str) 
     )
     return clicks.join(purchases, cond, "leftOuter").select(
         "click_id", "user_id", "purchase_id"
+    )
+
+
+def cep_negation_stream(spark: SparkSession, files_dir: str, sf_dir: str) -> DataFrame:
+    """True-streaming twin of `stream_cep_negation` (FlinkCEP
+    notFollowedBy + within(1h)): a watermarked LEFT OUTER interval join
+    views⟕purchases; a view with no purchase in (view_ts, view_ts+1h]
+    is emitted null-extended exactly when the watermark passes the end
+    of its join window — the same moment FlinkCEP's `within` timer would
+    fire and declare the negation matched."""
+    ev = _events_stream(spark, files_dir, sf_dir)
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            "user_id",
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "10 seconds")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "10 seconds")
+    )
+    cond = (
+        (views.user_id == purchases.p_user_id)
+        & (purchases.p_ts >= views.view_ts)
+        & (purchases.p_ts <= views.view_ts + F.expr("INTERVAL 1 HOUR"))
+    )
+    return (
+        views.join(purchases, cond, "leftOuter")
+        .filter(F.col("purchase_id").isNull())
+        .select("user_id", "view_id", "view_ts")
     )

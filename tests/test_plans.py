@@ -83,6 +83,29 @@ def test_bucketed_join_has_no_join_shuffle(spark, sf_small):
     assert plan.count("Exchange") <= 1, plan[:800]
 
 
+def test_banded_rank_never_single_partition(spark, sf_small):
+    """win_rank_dense_ntile is a banded two-pass rank: the plan must not
+    contain a single-partition Exchange (the scale-killer shape of a
+    global ``Window.orderBy`` with no partitionBy) nor a Window node
+    with an empty partition spec over the full table."""
+    import re
+
+    df = sparkflow.QUERIES["win_rank_dense_ntile"](spark, sf_small)
+    plan = formatted_plan(df)
+    # every window spec is partitioned by the band column — never global
+    specs = re.findall(r"windowspecdefinition\(([^,]+),", plan)
+    assert specs and all(s.startswith("band#") for s in specs), specs
+    # any SinglePartition exchange must carry aggregate partials (one row
+    # per upstream partition), never table rows: its input node is an
+    # aggregate, not a scan/sort/window
+    for m in re.finditer(r"\((\d+)\) Exchange\n", plan):
+        node = int(m.group(1))
+        detail = plan[m.start() : m.start() + 200]
+        if "SinglePartition" in detail:
+            prev = re.search(rf"\(({node - 1})\) (\w+)", plan)
+            assert prev and "Aggregate" in prev.group(2), detail
+
+
 def test_asof_join_single_shuffle(spark, sf_small):
     """The as-of join's union+window formulation must cost exactly ONE
     exchange (the key partition for the window) — the property that

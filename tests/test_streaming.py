@@ -76,6 +76,96 @@ def test_interval_join_stream_matches_batch(spark, stream_dir, sf_small):
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
 
+def test_cep_negation_stream_matches_analog(spark, stream_dir, sf_small):
+    """Streaming negations must be a subset of the batch analog's (the
+    join can only suppress a negation near ties / the stream tail, never
+    invent one), and every batch negation whose 1 h horizon closes well
+    before the stream's end must be emitted."""
+    got = _collect(
+        spark,
+        stateful.cep_negation_stream(spark, stream_dir, sf_small),
+        "t_cepneg",
+    )
+    want = sparkflow.QUERIES["stream_cep_negation"](spark, sf_small).toPandas()
+    got_ids = set(got["view_id"])
+    want_ids = set(want["view_id"])
+    assert got_ids.issubset(want_ids), sorted(got_ids - want_ids)[:5]
+    # the watermark that evicts outer-join state is the one computed
+    # BEFORE the final micro-batch (availableNow does not run an extra
+    # eviction-only batch), so the guaranteed-fired horizon derives from
+    # the max event time of all replay files except the last
+    import os
+
+    ev = sparkflow.catalog.table(spark, sf_small, "events").toPandas()
+    parts = sorted(
+        os.path.join(stream_dir, f)
+        for f in os.listdir(stream_dir)
+        if f.endswith(".parquet")
+    )
+    head = pd.concat([pd.read_parquet(p) for p in parts[:-1]])
+    max_us = pd.to_datetime(head["ts"]).astype("datetime64[us]").astype("int64").max()
+    want_us = (
+        pd.to_datetime(want["view_ts"]).astype("datetime64[us]").astype("int64")
+    )
+    safe = set(want.loc[want_us + 3_600_000_000 < max_us - 10_000_000, "view_id"])
+    # tie edge: the streaming join's p_ts >= view_ts cannot see the
+    # event_id tiebreak, so a purchase at EXACTLY view_ts (earlier id)
+    # suppresses the streaming negation while the batch keeps it
+    ev_us = pd.to_datetime(ev["ts"]).astype("datetime64[us]").astype("int64")
+    purchase_keys = set(
+        zip(ev.loc[ev["event_type"] == "purchase", "user_id"],
+            ev_us[ev["event_type"] == "purchase"])
+    )
+    view_key = dict(zip(want["view_id"], zip(want["user_id"], want_us)))
+    tied = {vid for vid in safe if view_key[vid] in purchase_keys}
+    assert (safe - tied).issubset(got_ids), sorted(safe - tied - got_ids)[:5]
+
+
+def test_update_mode_aggregation_upserts_to_batch(spark, stream_dir, sf_small):
+    """Flink retract-stream analog: a watermarked groupBy in
+    outputMode('update') emits per-batch UPSERTS through foreachBatch;
+    applying them in order (last write per key wins) must converge to
+    the batch aggregation exactly."""
+    from pyspark.sql import functions as F
+
+    ev = stateful._events_stream(spark, stream_dir, sf_small)
+    agg = ev.withWatermark("ts", "10 seconds").groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)")).alias("cents"),
+    )
+    upserts: dict[tuple, tuple] = {}
+    batches = []
+
+    def apply_upserts(bdf, bid):
+        rows = bdf.collect()
+        batches.append(len(rows))
+        for r in rows:
+            upserts[(r["user_id"], r["event_type"])] = (r["n"], r["cents"])
+
+    q = (
+        agg.writeStream.outputMode("update")
+        .foreachBatch(apply_upserts)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # update mode re-emits only CHANGED keys per micro-batch: total rows
+    # across batches must exceed the distinct key count (proof of true
+    # upserts, not a single complete dump)
+    assert sum(batches) > len(upserts)
+    want = {
+        (r["user_id"], r["event_type"]): (r["n"], r["cents"])
+        for r in sparkflow.catalog.table(spark, sf_small, "events")
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)")).alias("cents"),
+        )
+        .collect()
+    }
+    assert upserts == want
+
+
 def test_timeout_timers_fire(spark, stream_dir, sf_small):
     """In-batch gaps must exactly match the analog's non-final rows;
     timer-emitted trailing silences (-1) must be a subset of users whose
