@@ -76,6 +76,13 @@ def llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---- MinHash + LSH near-dup --------------------------------------------
 
+# MinHash/LSH parameters — CONFIG, not architecture (the band-join plan
+# is identical at any setting). Sizing rule for 100 TB: with b bands of
+# r rows the candidate threshold is ~(1/b)^(1/r); keep expected band
+# bucket occupancy O(100) by raising r (sharper threshold, fewer false
+# candidates) and b (recall) together — e.g. 16 bands × 8 rows (K=128)
+# for a 10^9-doc corpus. The exact-Jaccard verification stage makes the
+# OUTPUT insensitive to these: only candidate recall/cost moves.
 _K = 12  # minhash functions (salted md5, string-min)
 _BAND = 3  # rows per band -> 4 bands
 _SHINGLE = 5  # char shingle width
