@@ -76,7 +76,7 @@ def llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---- MinHash + LSH near-dup --------------------------------------------
 
-# MinHash/LSH parameters — CONFIG, not architecture (the band-join plan
+# MinHash/LSH parameters — CONFIG, not architecture. (the band-join plan
 # is identical at any setting). Sizing rule for 100 TB: with b bands of
 # r rows the candidate threshold is ~(1/b)^(1/r); keep expected band
 # bucket occupancy O(100) by raising r (sharper threshold, fewer false

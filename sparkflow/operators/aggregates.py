@@ -368,3 +368,34 @@ def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.transform(F.array_sort(F.collect_list("o_orderkey")), lambda x: x.cast("string")), ",").alias("order_keys"),
         F.count(F.lit(1)).alias("n_orders"),
     )
+
+
+@register(
+    "agg_histogram",
+    oracle="""
+    SELECT event_type,
+           CAST(FLOOR(value / 5.0) AS BIGINT) AS bucket,
+           CAST(FLOOR(value / 5.0) AS BIGINT) * 5 AS bucket_lo,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY event_type, CAST(FLOOR(value / 5.0) AS BIGINT)
+    """,
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram per event type (Flink's windowed distribution
+    pattern / the profiling pass every pipeline runs before choosing
+    skew/salting strategy). Bucketing is a projection, so the whole
+    histogram is one partial-aggregating shuffle of (type, bucket) pairs
+    — at 100 TB the map-side combine reduces each partition to at most
+    |types|x|buckets| rows before the exchange. floor(value/5.0) is the
+    same IEEE double op in both engines -> exact bucket identity."""
+    ev = table(spark, sf_dir, "events")
+    bucket = F.floor(F.col("value") / 5.0)
+    return ev.groupBy(
+        "event_type", bucket.alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("n")).select(
+        "event_type",
+        "bucket",
+        (F.col("bucket") * 5).alias("bucket_lo"),
+        "n",
+    )

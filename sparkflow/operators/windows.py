@@ -148,6 +148,33 @@ def win_rank_dense_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "win_distribution",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           ROUND(PERCENT_RANK() OVER w, 9) AS price_pct_rank,
+           ROUND(CUME_DIST() OVER w, 9) AS price_cume_dist
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / cume_dist per order priority — the distribution
+    functions completing the ranking family. Partitioned on a bounded
+    key (5 priorities), unique tiebreaker, exact: both functions are
+    ratios of integer counts, so the doubles agree bit-for-bit (rounded
+    to 9dp only as belt-and-braces)."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.percent_rank().over(w), 9).alias("price_pct_rank"),
+        F.round(F.cume_dist().over(w), 9).alias("price_cume_dist"),
+    )
+
+
+@register(
     "win_lag_lead",
     oracle="""
     SELECT event_id, user_id, ts,

@@ -67,6 +67,30 @@ def scan_csv_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scan_orc",
+    oracle="""
+    SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+    FROM supplier WHERE s_acctbal > 0
+    """,
+)
+def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC round-trip (the other first-class columnar format Spark
+    ships): write supplier to ORC, read back with a pushed filter —
+    pushdown/pruning work identically to parquet (same DataSource V2
+    scan machinery). Output equality with the parquet truth is the
+    oracle. Path is applicationId-namespaced so concurrent processes
+    never race the overwrite (DuckDB cannot read ORC, so the oracle is
+    the logically-identical parquet query — the round-trip itself is
+    what's under test)."""
+    out = os.path.join(_TMP, "orc", spark.sparkContext.applicationId, "supplier")
+    s = table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+    )
+    s.write.mode("overwrite").orc(out)
+    return spark.read.orc(out).filter(F.col("s_acctbal") > 0)
+
+
+@register(
     "sink_parquet",
     oracle=f"""
     SELECT l_linestatus, COUNT(*) AS n_lines,

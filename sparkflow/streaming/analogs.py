@@ -417,6 +417,94 @@ def stream_cep_negation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_cep_times",
+    oracle="""
+    WITH clicks AS (
+      SELECT user_id, event_id, ts,
+             LAG(ts, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS ts_2back
+      FROM events WHERE event_type = 'click'
+    )
+    SELECT user_id, event_id AS streak_end_id,
+           ts_2back AS streak_start_ts, ts AS streak_end_ts
+    FROM clicks
+    WHERE ts_2back IS NOT NULL
+      AND epoch_us(ts) - epoch_us(ts_2back) <= 86400000000::BIGINT
+    """,
+)
+def stream_cep_times(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP quantifier — FlinkCEP `Pattern.begin('click').times(3)
+    .within(24h)` (contiguous relaxed to same-type stream): every point
+    where a user's 3rd consecutive click lands within 24 h of the 1st.
+
+    The `times(n)` NFA collapses to ONE lag(n-1) window over the
+    filtered event stream: each row sees the timestamp n-1 same-type
+    events back; the quantifier matches iff the span fits the window.
+    Linear per key, one shuffle — `oneOrMore` is the same shape with a
+    running count instead of a fixed lag."""
+    ev = table(spark, sf_dir, "events").filter(F.col("event_type") == "click")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_2back = F.lag("ts", 2).over(w)
+    return (
+        ev.withColumn("ts_2back", ts_2back)
+        .filter(
+            F.col("ts_2back").isNotNull()
+            & (
+                F.unix_micros("ts") - F.unix_micros("ts_2back")
+                <= 86400 * 1_000_000
+            )
+        )
+        .select(
+            "user_id",
+            F.col("event_id").alias("streak_end_id"),
+            F.col("ts_2back").alias("streak_start_ts"),
+            F.col("ts").alias("streak_end_ts"),
+        )
+    )
+
+
+@register(
+    "stream_window_topn",
+    oracle="""
+    WITH hourly AS (
+      SELECT make_timestamp(((epoch_us(ts)//1000000//3600)*3600)*1000000)
+               AS hour_start,
+             user_id, COUNT(*) AS n_events
+      FROM events GROUP BY 1, 2
+    )
+    SELECT hour_start, user_id, n_events, rn FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY hour_start
+                                   ORDER BY n_events DESC, user_id) AS rn
+      FROM hourly
+    ) WHERE rn <= 3
+    """,
+)
+def stream_window_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed Top-N (the canonical Flink SQL pattern: ROW_NUMBER over
+    a window aggregate, rn <= N — 'top 3 most active users per hour').
+    Two shuffles total: the (hour, user) partial-agg exchange, then the
+    per-hour rank window; the rank input is already one row per (hour,
+    user), orders of magnitude smaller than the event stream. In true
+    streaming this runs as a watermarked tumbling aggregate feeding an
+    in-memory per-window heap (the analog's row_number)."""
+    ev = table(spark, sf_dir, "events")
+    hour = F.expr(
+        "timestamp_micros(((unix_micros(ts) div 1000000) div 3600) * 3600 * 1000000)"
+    )
+    hourly = ev.groupBy(hour.alias("hour_start"), "user_id").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    w = Window.partitionBy("hour_start").orderBy(
+        F.col("n_events").desc(), "user_id"
+    )
+    return (
+        hourly.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("hour_start", "user_id", "n_events", "rn")
+    )
+
+
+@register(
     "stream_gap_fill",
     oracle="""
     WITH bounds AS (

@@ -136,3 +136,29 @@ def test_dedup_clusters_group_all_copies(spark, sf_small):
     # cluster ids are canonical: every cluster_id is itself a member doc
     ids = set(cl)
     assert all(c in ids for c in cl.values())
+
+
+def test_split_fractions_and_determinism(spark, sf_small):
+    pdf = sparkflow.QUERIES["llm_split_train_test"](spark, sf_small).toPandas()
+    frac = pdf["split"].value_counts(normalize=True)
+    assert 0.70 <= frac.get("train", 0) <= 0.90
+    assert frac.get("val", 0) >= 0.03 and frac.get("test", 0) >= 0.03
+    again = sparkflow.QUERIES["llm_split_train_test"](spark, sf_small).toPandas()
+    assert pdf.sort_values("doc_id").reset_index(drop=True).equals(
+        again.sort_values("doc_id").reset_index(drop=True)
+    )
+
+
+def test_stratified_sample_balances_classes(spark, sf_small):
+    pdf = sparkflow.QUERIES["llm_sample_stratified"](spark, sf_small).toPandas()
+    sizes = pdf.groupby("lang").size()
+    assert sizes.nunique() == 1  # every class sampled to the same count
+    docs = sparkflow.catalog.table(spark, sf_small, "documents").toPandas()
+    assert sizes.iloc[0] == docs.groupby("lang").size().min()
+
+
+def test_pii_scrub_masks_digits(spark, sf_small):
+    pdf = sparkflow.QUERIES["llm_pii_scrub"](spark, sf_small).toPandas()
+    # every scrubbed prefix is digit-free, masks aside
+    assert not pdf["scrub_prefix"].str.contains("[0-9]", regex=True).any()
+    assert (pdf["n_digit_chars"] >= 0).all()
