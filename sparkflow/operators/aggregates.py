@@ -399,3 +399,26 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("bucket") * 5).alias("bucket_lo"),
         "n",
     )
+
+
+@register("agg_hll_merge")  # rows-only: sketch estimates are engine-specific
+def agg_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE distinct-count sketches — the 100 TB pattern
+    agg_approx_distinct only hints at: build one HLL sketch per (day,
+    type) partition of the data, then union the per-day sketches into a
+    per-type estimate WITHOUT touching rows again. This is how
+    incremental pipelines maintain distinct counts: yesterday's sketches
+    are a few KB, today's partition is the only data scanned, and the
+    union is associative/commutative (datasketches HLL). Rows-only
+    check; pytest gates |estimate - exact| <= 5%."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day"), "event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
+            F.count(F.lit(1)).alias("n_merged_sketches"),
+        )
+    )

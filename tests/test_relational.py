@@ -50,6 +50,22 @@ def test_approx_distinct_within_tolerance(spark, sf_small):
         assert abs(row["approx_users"] - e) <= 0.1 * e + 3
 
 
+def test_hll_merged_sketches_within_tolerance(spark, sf_small):
+    """Per-day sketches unioned per type must estimate the same distinct
+    count as a direct pass — the mergeability property that makes
+    sketches incremental at scale."""
+    merged = sparkflow.QUERIES["agg_hll_merge"](spark, sf_small).toPandas()
+    exact = (
+        sparkflow.QUERIES["agg_distinct"](spark, sf_small)
+        .toPandas()
+        .set_index("event_type")["n_users"]
+    )
+    assert (merged["n_merged_sketches"] > 1).all()  # real merges happened
+    for _, row in merged.iterrows():
+        e = exact[row["event_type"]]
+        assert abs(row["approx_users"] - e) <= 0.05 * e + 3
+
+
 def test_percentile_approx_near_exact(spark, sf_small):
     from pyspark.sql import functions as F
 
