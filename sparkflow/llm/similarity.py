@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
@@ -411,4 +411,86 @@ def llm_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "label", cos.alias("cos_sim"))
         .orderBy(F.col("cos_sim").desc(), "vec_id")
         .limit(_TOP_K)
+    )
+
+
+_KMEANS_K = 8
+_KMEANS_ITERS = 3
+
+
+@register("llm_kmeans")  # rows-only: pytest asserts Lloyd's invariants
+def llm_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-means (Lloyd's algorithm, 3 iterations, k=8) over
+    the embedding table — the iterative-ML representative beyond the
+    label-propagation op. Deterministic throughout: init picks the k
+    hash-smallest vec_ids' vectors; distances use fixed-point int64
+    arithmetic (order-independent); argmin ties break on centroid id.
+
+    Scale shape (the MapReduce Lloyd's standard): ASSIGN = broadcast the
+    k x dim centroid table against the vector scan (n x k candidate rows,
+    min_by per vector — no shuffle of the vectors themselves); UPDATE =
+    posexplode to (cluster, dim) partial sums — the same
+    no-driver-assembly pattern as llm_centroids. The plan stays fully
+    lazy: 3 unrolled iterations chain linearly (each references the
+    previous centroid table once), so there is no action, checkpoint, or
+    driver loop state — a pure DataFrame program.
+
+    Rows-only check; pytest asserts inertia is non-increasing in the
+    iteration count (Lloyd's invariant) and cluster sizes partition the
+    input."""
+    return _kmeans(spark, sf_dir, _KMEANS_ITERS)
+
+
+def _kmeans(spark: SparkSession, sf_dir: str, iters: int) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+
+    def dist2(a, b):
+        # squared L2 on fixed-point ints (exact, order-independent)
+        q = lambda c: F.transform(c, lambda x: F.floor(x * _FXP + 0.5).cast("long"))
+        d = F.zip_with(q(a), q(b), lambda x, y: x - y)
+        return F.aggregate(d, F.lit(0).cast("long"), lambda acc, x: acc + x * x)
+
+    # deterministic init: vectors of the k hash-smallest vec_ids.
+    # orderBy().limit(k) plans as TakeOrderedAndProject (per-partition
+    # heaps, k-row merge) — never a global window; the row_number that
+    # assigns cid 0..k-1 runs over the k-row result only.
+    seeds = e.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id").limit(
+        _KMEANS_K
+    )
+    tiny_w = Window.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+    cents = seeds.select(
+        (F.row_number().over(tiny_w) - 1).alias("cid"), F.col("v").alias("c")
+    )
+
+    assigned = None
+    for _ in range(iters):
+        # evaluate the distance ONCE per candidate row, then reduce
+        scored = e.crossJoin(F.broadcast(cents)).select(
+            "vec_id", "v", "cid", dist2("v", "c").alias("d")
+        )
+        assigned = scored.groupBy("vec_id").agg(
+            F.first("v").alias("v"),
+            F.min_by("cid", F.struct("d", "cid")).alias("cid"),
+            F.min("d").alias("d2"),
+        )
+        cents = (
+            assigned.select("cid", F.posexplode("v").alias("dim", "val"))
+            .groupBy("cid", "dim")
+            .agg((F.sum("val") / F.count(F.lit(1))).alias("cv"))
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "cv"))),
+                    lambda s: s.cv,
+                ).alias("c")
+            )
+        )
+    return (
+        assigned.groupBy(F.col("cid").alias("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            (F.sum("d2").cast("double") / (_FXP * float(_FXP))).alias("inertia"),
+        )
     )

@@ -150,25 +150,28 @@ def win_rank_dense_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "win_distribution",
     oracle="""
-    SELECT o_orderkey, o_orderpriority,
+    SELECT o_orderkey, o_custkey,
            ROUND(PERCENT_RANK() OVER w, 9) AS price_pct_rank,
            ROUND(CUME_DIST() OVER w, 9) AS price_cume_dist
     FROM orders
-    WINDOW w AS (PARTITION BY o_orderpriority
+    WINDOW w AS (PARTITION BY o_custkey
                  ORDER BY o_totalprice, o_orderkey)
     """,
 )
 def win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """percent_rank / cume_dist per order priority — the distribution
-    functions completing the ranking family. Partitioned on a bounded
-    key (5 priorities), unique tiebreaker, exact: both functions are
-    ratios of integer counts, so the doubles agree bit-for-bit (rounded
-    to 9dp only as belt-and-braces)."""
+    """percent_rank / cume_dist of each order's price within its
+    customer's history — the distribution functions completing the
+    ranking family. Partitioned on a HIGH-CARDINALITY key (custkey
+    grows with the data, so parallelism scales; a low-cardinality key
+    like the 5 order priorities would cap the stage at 5 tasks — for a
+    global distribution use the banded two-pass shape of
+    win_rank_dense_ntile). Unique tiebreaker; exact: both functions are
+    ratios of integer counts, so the doubles agree bit-for-bit."""
     o = table(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
     return o.select(
         "o_orderkey",
-        "o_orderpriority",
+        "o_custkey",
         F.round(F.percent_rank().over(w), 9).alias("price_pct_rank"),
         F.round(F.cume_dist().over(w), 9).alias("price_cume_dist"),
     )

@@ -54,10 +54,15 @@ def scan_csv_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     formats, join the two read-backs — equality with the parquet truth is
     what the oracle checks."""
     n = table(spark, sf_dir, "nation")
-    csv_dir = os.path.join(_TMP, "nation_csv")
-    json_dir = os.path.join(_TMP, "nation_json")
-    n.write.mode("overwrite").option("header", True).csv(csv_dir)
-    n.write.mode("overwrite").json(json_dir)
+    # applicationId-namespaced (concurrent processes must not race the
+    # overwrite) and written once per app — the write is setup for the
+    # read-back under test, not the operator's subject
+    app = spark.sparkContext.applicationId
+    csv_dir = os.path.join(_TMP, app, "nation_csv")
+    json_dir = os.path.join(_TMP, app, "nation_json")
+    if not os.path.isdir(csv_dir):
+        n.write.mode("overwrite").option("header", True).csv(csv_dir)
+        n.write.mode("overwrite").json(json_dir)
     schema = "n_nationkey INT, n_name STRING, n_regionkey INT"
     from_csv = spark.read.schema(schema).option("header", True).csv(csv_dir)
     from_json = spark.read.schema(schema).json(json_dir)
@@ -103,7 +108,9 @@ def sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partitioned parquet write + partition-pruned read-back: only the
     l_returnflag=R directory is scanned (dynamic pruning via the
     partition column filter), then aggregated."""
-    out = os.path.join(_TMP, "lineitem_by_flag")
+    # the write IS the operator here, so it always runs; the path is
+    # applicationId-namespaced against concurrent-process overwrite races
+    out = os.path.join(_TMP, spark.sparkContext.applicationId, "lineitem_by_flag")
     li = table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus", "l_extendedprice"
     )

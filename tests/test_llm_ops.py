@@ -162,3 +162,16 @@ def test_pii_scrub_masks_digits(spark, sf_small):
     # every scrubbed prefix is digit-free, masks aside
     assert not pdf["scrub_prefix"].str.contains("[0-9]", regex=True).any()
     assert (pdf["n_digit_chars"] >= 0).all()
+
+
+def test_kmeans_lloyds_invariants(spark, sf_small):
+    """Lloyd's algorithm: total inertia is non-increasing in iteration
+    count, clusters partition the input, k clusters exist."""
+    from sparkflow.llm.similarity import _KMEANS_K, _kmeans
+
+    n = sparkflow.catalog.table(spark, sf_small, "embeddings").count()
+    final = sparkflow.QUERIES["llm_kmeans"](spark, sf_small).toPandas()
+    assert len(final) == _KMEANS_K
+    assert final["n_vecs"].sum() == n
+    one = _kmeans(spark, sf_small, 1).toPandas()
+    assert final["inertia"].sum() <= one["inertia"].sum() + 1e-9

@@ -66,7 +66,8 @@ def test_partitioned_sink_prunes_partitions(spark, sf_small):
     sparkflow.QUERIES["sink_parquet"](spark, sf_small).collect()  # materialize sink
     import pyspark.sql.functions as F
 
-    back = spark.read.parquet("/tmp/sparkflow_io/lineitem_by_flag").filter(
+    app = spark.sparkContext.applicationId
+    back = spark.read.parquet(f"/tmp/sparkflow_io/{app}/lineitem_by_flag").filter(
         F.col("l_returnflag") == "R"
     )
     plan = formatted_plan(back)
