@@ -161,6 +161,62 @@ def stateful_counter_stream(spark: SparkSession, files_dir: str, sf_dir: str) ->
 
 
 # ---------------------------------------------------------------------------
+# CEP times(3) quantifier — bounded-buffer keyed state
+# ---------------------------------------------------------------------------
+
+
+def _times_fn(
+    key: Tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """FlinkCEP times(3).within(24h) as keyed state: keep the last TWO
+    click timestamps per user (the bounded NFA buffer); each new click
+    matches iff the click two-back is within the window. State is O(n-1)
+    timestamps regardless of stream length."""
+    t1, t2 = state.get if state.exists else (-1, -1)  # two-back, one-back
+    chunks = [p for p in pdf_iter if len(p)]
+    if not chunks:
+        return
+    pdf = pd.concat(chunks).sort_values(["ts", "event_id"])
+    ids = pdf["event_id"].to_numpy()
+    out_id, out_start, out_end = [], [], []
+    for eid, t in zip(ids, _ts_us(pdf["ts"]).to_numpy()):
+        t = int(t)
+        if t1 >= 0 and t - t1 <= 86400 * 1_000_000:
+            out_id.append(int(eid))
+            out_start.append(t1)
+            out_end.append(t)
+        t1, t2 = t2, t
+    state.update((t1, t2))
+    if out_id:
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(out_id),
+                "streak_end_id": out_id,
+                "streak_start_us": out_start,
+                "streak_end_us": out_end,
+            }
+        )
+
+
+def cep_times_stream(spark: SparkSession, files_dir: str, sf_dir: str) -> DataFrame:
+    """True-streaming twin of `stream_cep_times`: the quantifier's
+    bounded buffer (last n-1 timestamps) as applyInPandasWithState."""
+    ev = _events_stream(spark, files_dir, sf_dir).filter(
+        F.col("event_type") == "click"
+    )
+    return ev.groupBy("user_id").applyInPandasWithState(
+        _times_fn,
+        outputStructType=(
+            "user_id BIGINT, streak_end_id BIGINT,"
+            " streak_start_us BIGINT, streak_end_us BIGINT"
+        ),
+        stateStructType="t1 BIGINT, t2 BIGINT",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# ---------------------------------------------------------------------------
 # Quiet-user timeout — registerEventTimeTimer pattern
 # ---------------------------------------------------------------------------
 

@@ -121,6 +121,32 @@ def test_cep_negation_stream_matches_analog(spark, stream_dir, sf_small):
     assert (safe - tied).issubset(got_ids), sorted(safe - tied - got_ids)[:5]
 
 
+def test_cep_times_stream_matches_analog(spark, stream_dir, sf_small):
+    """The bounded-buffer quantifier must reproduce the batch analog
+    exactly: state crosses micro-batch boundaries (a streak can span
+    files), and every match is emitted exactly once."""
+    got = _collect(
+        spark,
+        stateful.cep_times_stream(spark, stream_dir, sf_small),
+        "t_ceptimes",
+    ).sort_values("streak_end_id").reset_index(drop=True)
+    want = (
+        sparkflow.QUERIES["stream_cep_times"](spark, sf_small)
+        .toPandas()
+        .sort_values("streak_end_id")
+        .reset_index(drop=True)
+    )
+    want_us = want.assign(
+        streak_start_us=pd.to_datetime(want["streak_start_ts"])
+        .astype("datetime64[us]")
+        .astype("int64"),
+        streak_end_us=pd.to_datetime(want["streak_end_ts"])
+        .astype("datetime64[us]")
+        .astype("int64"),
+    )[["user_id", "streak_end_id", "streak_start_us", "streak_end_us"]]
+    pd.testing.assert_frame_equal(got, want_us, check_dtype=False)
+
+
 def test_update_mode_aggregation_upserts_to_batch(spark, stream_dir, sf_small):
     """Flink retract-stream analog: a watermarked groupBy in
     outputMode('update') emits per-batch UPSERTS through foreachBatch;
