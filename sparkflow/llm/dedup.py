@@ -408,3 +408,72 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return labels.select(F.col("doc").alias("doc_id"), "cluster_id")
+
+
+@register(
+    "llm_dedup_ngram",
+    oracle=f"""
+    WITH {_NEAR_CTES},
+    words AS (SELECT doc_id, string_split(text, ' ') AS l FROM corpus),
+    tri AS (
+      SELECT DISTINCT doc_id,
+             l[i] || ' ' || l[i + 1] || ' ' || l[i + 2] AS g
+      FROM words, LATERAL (SELECT UNNEST(range(1, len(l) - 1))) t(i)
+      WHERE len(l) >= 3
+    ),
+    sizes3 AS (SELECT doc_id, COUNT(*) AS n FROM tri GROUP BY doc_id),
+    inter3 AS (
+      SELECT p.doc_a, p.doc_b, COUNT(*) AS ni
+      FROM pairs p
+      JOIN tri ta ON ta.doc_id = p.doc_a
+      JOIN tri tb ON tb.doc_id = p.doc_b AND tb.g = ta.g
+      GROUP BY p.doc_a, p.doc_b
+    )
+    SELECT i.doc_a, i.doc_b,
+           ROUND(CAST(i.ni AS DOUBLE) / (sa.n + sb.n - i.ni), 6) AS jaccard3
+    FROM inter3 i
+    JOIN sizes3 sa ON sa.doc_id = i.doc_a
+    JOIN sizes3 sb ON sb.doc_id = i.doc_b
+    """,
+)
+def llm_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-3-gram Jaccard similarity of the verified near-duplicate
+    pairs (task brief: the n-gram-Jaccard dedup flavor). Re-scores each
+    LSH-proposed, token-verified pair with a stricter order-sensitive
+    set: trigram overlap collapses for shuffled/boilerplate text where
+    unigram Jaccard stays high, so pipelines threshold on BOTH. Reuses
+    the session-memoized pair set (the LSH pipeline runs once across
+    llm_dedup_near / _clusters / _ngram); trigram sets are built with
+    one posexplode + two leads — no per-element lambdas."""
+    pairs = _near_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    corpus = _corpus(spark, sf_dir)
+    toks = corpus.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    tri = (
+        toks.withColumn("w2", F.lead("w", 1).over(w))
+        .withColumn("w3", F.lead("w", 2).over(w))
+        .filter(F.col("w3").isNotNull())
+        .select("doc_id", F.concat_ws(" ", "w", "w2", "w3").alias("g"))
+        .distinct()
+    )
+    sizes = tri.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    ta = tri.toDF("doc_a", "g")
+    tb = tri.toDF("doc_b", "g")
+    inter = (
+        pairs.join(ta, "doc_a")
+        .join(tb, ["doc_b", "g"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("ni"))
+    )
+    sa = sizes.toDF("doc_a", "na")
+    sb = sizes.toDF("doc_b", "nb")
+    jac = F.col("ni").cast("double") / (F.col("na") + F.col("nb") - F.col("ni"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard3"))
+    )

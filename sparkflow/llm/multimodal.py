@@ -133,3 +133,55 @@ def llm_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         _sample_frames,
         schema="doc_id BIGINT, frame_idx INT, frame_len INT, frame_checksum BIGINT",
     )
+
+
+_THUMB = 32  # fake thumbnail edge: first _THUMB*_THUMB payload bytes
+
+
+def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    n = _THUMB * _THUMB
+    for pdf in batches:
+        payloads = pdf["payload"]
+        thumbs = [p[:n] for p in payloads]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "thumb_w": [_THUMB] * len(payloads),
+                "thumb_h": [_THUMB] * len(payloads),
+                "thumb_bytes": [len(t) for t in thumbs],
+                "thumb_checksum": [int(sum(t)) for t in thumbs],
+            }
+        )
+
+
+@register(
+    "llm_multimodal_resize",
+    oracle=f"""
+    SELECT doc_id,
+           {_THUMB} AS thumb_w, {_THUMB} AS thumb_h,
+           CAST(LEAST(octet_length(encode(text)), {_THUMB * _THUMB}) AS INT)
+             AS thumb_bytes,
+           CAST((SELECT COALESCE(SUM(ascii(substr(text, i, 1))), 0)
+                 FROM UNNEST(range(1, LEAST(len(text), {_THUMB * _THUMB}) + 1)) t(i))
+                AS BIGINT) AS thumb_checksum
+    FROM documents
+    """,
+)
+def llm_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize step of the multimodal pipeline (task brief): produce a
+    fixed-size "thumbnail" per binary payload. The DECODE+RESAMPLE is a
+    STUB (no codecs in this container: the thumbnail is the payload's
+    leading {32x32} bytes, SQL-recomputable so the plumbing is
+    oracle-verified) — swapping in PIL `Image.resize` changes only
+    `_resize`'s body; the mapInPandas signature, Arrow batching, and
+    fixed-size output schema are exactly what the real kernel needs."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    return d.mapInPandas(
+        _resize,
+        schema=(
+            "doc_id BIGINT, thumb_w INT, thumb_h INT,"
+            " thumb_bytes INT, thumb_checksum BIGINT"
+        ),
+    )
