@@ -78,11 +78,17 @@ def main() -> None:
     results: dict[str, float] = {}
     for name, fn in BENCH_QUERIES.items():
         df = fn(spark, sf_dir)  # build the plan once (prepared-query model)
-        df.collect()  # warm-up: JVM JIT, catalog, committers
+        df.toPandas()  # warm-up: JVM JIT, catalog, committers
         times = []
         for _ in range(5):
             t0 = time.perf_counter()
-            df.collect()  # full re-execution: parquet re-read, shuffles, all stages
+            # full re-execution: parquet re-read, shuffles, all stages.
+            # Arrow toPandas, not collect(): materializing py4j Row
+            # objects costs ~0.16 s on a 45k-row result and measures the
+            # Python object layer, not the engine; columnar Arrow fetch
+            # is the apples-to-apples analog of the baseline's DuckDB
+            # fetchdf().
+            df.toPandas()
             times.append(time.perf_counter() - t0)
         results[name] = round(statistics.median(times), 4)
 

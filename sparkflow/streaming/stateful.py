@@ -503,6 +503,29 @@ def gap_fill_stream(spark: SparkSession, files_dir: str, sf_dir: str) -> DataFra
     )
 
 
+def sliding_window_stream(
+    spark: SparkSession, files_dir: str, sf_dir: str, delay: str = "10 minutes"
+) -> DataFrame:
+    """True-streaming twin of `stream_sliding`
+    (SlidingEventTimeWindows): watermarked append-mode F.window(1h, 15m)
+    — each event fans out to 4 overlapping windows; a window emits
+    exactly once, when the watermark passes its end."""
+    ev = _events_stream(spark, files_dir, sf_dir).withWatermark("ts", delay)
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (
+                F.sum(F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)")).cast(
+                    "double"
+                )
+                / 100.0
+            ).alias("value_sum"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "value_sum")
+    )
+
+
 def session_window_stream(
     spark: SparkSession, files_dir: str, sf_dir: str, delay: str = "10 minutes"
 ) -> DataFrame:

