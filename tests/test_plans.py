@@ -107,6 +107,17 @@ def test_banded_rank_never_single_partition(spark, sf_small):
             assert prev and "Aggregate" in prev.group(2), detail
 
 
+def test_knn_scan_path_stays_jvm_side(spark, sf_small):
+    """llm_knn_cosine's scan side must contain no Python evaluation node
+    (ArrowEval/BatchEval) — the whole dot-product pipeline is posexplode
+    + broadcast join + integer aggregation inside codegen."""
+    df = sparkflow.QUERIES["llm_knn_cosine"](spark, sf_small)
+    plan = formatted_plan(df)
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "Generate" in plan  # the posexplode
+    assert "BroadcastHashJoin" in plan
+
+
 def test_asof_join_single_shuffle(spark, sf_small):
     """The as-of join's union+window formulation must cost exactly ONE
     exchange (the key partition for the window) — the property that
