@@ -410,8 +410,8 @@ def llm_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     c1 AS (SELECT w1, COUNT(*) AS n1 FROM bg GROUP BY w1)
     SELECT bg.doc_id,
            COUNT(*) AS n_bigrams,
-           ROUND(CAST(SUM((c12.n12 * 1000000) // c1.n1) AS DOUBLE)
-                 / (1000000.0 * COUNT(*)), 9) AS fluency
+           CAST(SUM((c12.n12 * 1000000) // c1.n1) AS DOUBLE)
+                 / (1000000.0 * COUNT(*)) AS fluency
     FROM bg JOIN c12 ON bg.w1 = c12.w1 AND bg.w2 = c12.w2
             JOIN c1 ON bg.w1 = c1.w1
     GROUP BY bg.doc_id
@@ -452,10 +452,14 @@ def llm_bigram_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
-            F.round(
+            # NO rounding: the integer sum converts to double exactly and
+            # IEEE division is deterministic, so both engines produce the
+            # identical double — while ROUND(x, 9) tie-breaks DIFFERENTLY
+            # across engines when the exact rational terminates at the
+            # 10th digit (observed at sf0.1: ...4375 rounded both ways)
+            (
                 F.sum(F.expr("(n12 * 1000000) div n1")).cast("double")
-                / (1000000.0 * F.count(F.lit(1))),
-                9,
+                / (1000000.0 * F.count(F.lit(1)))
             ).alias("fluency"),
         )
     )

@@ -165,3 +165,15 @@ def test_catalog_cache_is_per_sf_dir(spark):
     a = table(spark, "/root/testdata/sf0.001", "orders")
     b = table(spark, "/root/testdata/sf0.001/", "orders")
     assert a is b
+
+
+def test_catalog_rightsizes_only_default_shuffle_partitions(spark, sf_small):
+    """catalog.table() replaces Spark's untouched 200-partition default
+    with a local-scale value, but never overrides an explicit setting."""
+    ns = spark.newSession()
+    ns.conf.set("spark.sql.shuffle.partitions", "200")
+    sparkflow.catalog.table(ns, sf_small, "nation")
+    assert ns.conf.get("spark.sql.shuffle.partitions") == "32"
+    ns.conf.set("spark.sql.shuffle.partitions", "16")
+    sparkflow.catalog.table(ns, sf_small, "region")
+    assert ns.conf.get("spark.sql.shuffle.partitions") == "16"
