@@ -181,6 +181,11 @@ def _times_fn(
     out_id, out_start, out_end = [], [], []
     for eid, t in zip(ids, _ts_us(pdf["ts"]).to_numpy()):
         t = int(t)
+        if t2 >= 0 and t < t2:
+            # late arrival behind the buffered timestamps: appending it
+            # would corrupt the (two-back, one-back) order invariant —
+            # drop it, the watermarked-timer formulation's semantics
+            continue
         if t1 >= 0 and t - t1 <= 86400 * 1_000_000:
             out_id.append(int(eid))
             out_start.append(t1)
