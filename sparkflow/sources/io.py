@@ -87,11 +87,14 @@ def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     never race the overwrite (DuckDB cannot read ORC, so the oracle is
     the logically-identical parquet query — the round-trip itself is
     what's under test)."""
-    out = os.path.join(_TMP, "orc", spark.sparkContext.applicationId, "supplier")
-    s = table(spark, sf_dir, "supplier").select(
-        "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+    sfkey = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    out = os.path.join(
+        _TMP, "orc", spark.sparkContext.applicationId, f"supplier_{sfkey}"
     )
-    s.write.mode("overwrite").orc(out)
+    if not os.path.isdir(out):
+        table(spark, sf_dir, "supplier").select(
+            "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+        ).write.mode("overwrite").orc(out)
     return spark.read.orc(out).filter(F.col("s_acctbal") > 0)
 
 
