@@ -1,18 +1,22 @@
 """Similarity search over the embedding column (SURVEY §2.11).
 
-- llm_knn_cosine: brute-force top-k against a fixed query vector — the
-  correctness baseline. Dot products/norms are sequential left-to-right
-  double folds (F.aggregate / DuckDB list_aggregate), so both engines
-  produce bit-identical cosines.
-- llm_knn_all_pairs_lsh: the scale path — random-hyperplane LSH buckets
-  (multiple tables) + in-bucket exact cosine. The only join is on bucket
-  signature; no O(n²) cross join ever materializes. Projections are
-  deterministic rational constants (integer arithmetic → double), so the
-  bucketing is reproducible everywhere; pytest asserts recall vs brute
-  force.
-- llm_centroids: per-label centroid + dispersion via posexplode +
-  (label, dim) aggregation — embarrassingly parallel, no vector ever
-  assembled on the driver.
+All vector scoring is FIXED-POINT (round(x·1e6) int64 — see _FXP):
+integer dots are order-independent, hence simultaneously vectorizable
+(numpy matmul / JVM integer aggregation) and bit-identical to the DuckDB
+oracle's BIGINT list folds. Two execution regimes:
+
+- one query vector vs a scan (llm_knn_cosine): fully JVM-side —
+  posexplode + broadcast quantized-query join + integer partial agg
+  (map-side complete; no Python worker in the loop).
+- pairwise scoring after an LSH bucket join (llm_dedup_embedding,
+  llm_knn_all_pairs_lsh): Arrow pandas_udf (_fxp_cosine), since both
+  sides vary per row.
+
+LSH bucketing computes all tables' sign bits in one numpy matmul
+(_bucket_codes_udf); the only pairwise step anywhere is the bucket
+equi-join — no O(n²) cross join ever materializes. llm_centroids /
+llm_kmeans aggregate via posexplode (label, dim) partial sums — no
+vector is ever assembled on the driver.
 """
 
 from __future__ import annotations
@@ -115,12 +119,6 @@ def _fxp_dot_sql(a: str, b: str) -> str:
     return (
         f"list_aggregate(list_transform(list_zip({qa}, {qb}),"
         f" p -> p[1] * p[2]), 'sum')"
-    )
-
-
-def _dot_sql(a: str, b: str) -> str:
-    return (
-        f"list_aggregate(list_transform(list_zip({a}, {b}), p -> p[1] * p[2]), 'sum')"
     )
 
 
