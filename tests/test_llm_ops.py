@@ -175,3 +175,26 @@ def test_kmeans_lloyds_invariants(spark, sf_small):
     assert final["n_vecs"].sum() == n
     one = _kmeans(spark, sf_small, 1).toPandas()
     assert final["inertia"].sum() <= one["inertia"].sum() + 1e-9
+
+
+def test_dedup_clusters_reach_fixpoint(spark, sf_small):
+    """The returned labels must be a min-label fixpoint: one more
+    propagation round changes nothing (guards the pointer-doubling loop
+    against silent non-convergence on deeper similarity chains)."""
+    from pyspark.sql import functions as F
+
+    from sparkflow.llm.dedup import _near_pairs
+
+    labels = sparkflow.QUERIES["llm_dedup_clusters"](spark, sf_small)
+    pairs = _near_pairs(spark, sf_small).select("doc_a", "doc_b")
+    edges = pairs.unionByName(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    )
+    lab = labels.select(F.col("doc_id").alias("doc"), "cluster_id")
+    nbr = (
+        edges.join(lab, edges.doc_b == lab.doc)
+        .groupBy(F.col("doc_a").alias("doc"))
+        .agg(F.min("cluster_id").alias("nbr_min"))
+    )
+    viol = lab.join(nbr, "doc").filter(F.col("nbr_min") < F.col("cluster_id")).count()
+    assert viol == 0
