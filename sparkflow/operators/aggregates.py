@@ -422,3 +422,35 @@ def agg_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_merged_sketches"),
         )
     )
+
+
+@register(
+    "agg_unpivot",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, 'quantity' AS measure,
+           CAST(l_quantity AS DOUBLE) AS value
+    FROM lineitem WHERE l_orderkey < 1000
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'extendedprice', l_extendedprice
+    FROM lineitem WHERE l_orderkey < 1000
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'discount', l_discount
+    FROM lineitem WHERE l_orderkey < 1000
+    """,
+)
+def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT / melt — the inverse of agg_pivot: three measure columns
+    become (measure, value) rows via `stack`, which expands in ONE
+    projection pass (an Expand node, no join or shuffle; the oracle's
+    3-way UNION ALL re-scans per measure — at 100 TB the single-scan
+    stack form reads a third of the bytes)."""
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 1000)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr(
+            "stack(3, 'quantity', CAST(l_quantity AS DOUBLE),"
+            " 'extendedprice', l_extendedprice,"
+            " 'discount', l_discount) AS (measure, value)"
+        ),
+    )
