@@ -161,6 +161,68 @@ def stateful_counter_stream(spark: SparkSession, files_dir: str, sf_dir: str) ->
 
 
 # ---------------------------------------------------------------------------
+# CEP funnel — carried-state NFA (view → click → purchase within 24h)
+# ---------------------------------------------------------------------------
+
+
+def _funnel_fn(
+    key: Tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """FlinkCEP begin('view').followedBy('click').followedBy('purchase')
+    .within(24h) as O(1) keyed state: (latest view ts, latest view ts
+    that a click has confirmed). A purchase matches iff the confirmed
+    view is within the horizon — identical to the batch analog's two
+    carried windows, incrementalized. max() updates make the state
+    monotone, so a late row can never regress it."""
+    last_view, best_view = state.get if state.exists else (-1, -1)
+    chunks = [p for p in pdf_iter if len(p)]
+    if not chunks:
+        return
+    pdf = pd.concat(chunks).sort_values(["ts", "event_id"])
+    out_id, out_ts, out_open = [], [], []
+    for eid, etype, t in zip(
+        pdf["event_id"].to_numpy(),
+        pdf["event_type"].to_numpy(),
+        _ts_us(pdf["ts"]).to_numpy(),
+    ):
+        t = int(t)
+        if etype == "view":
+            last_view = max(last_view, t)
+        elif etype == "click":
+            best_view = max(best_view, last_view)
+        elif etype == "purchase" and best_view >= 0:
+            if t - best_view <= 86400 * 1_000_000:
+                out_id.append(int(eid))
+                out_ts.append(t)
+                out_open.append(best_view)
+    state.update((last_view, best_view))
+    if out_id:
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(out_id),
+                "purchase_id": out_id,
+                "purchase_us": out_ts,
+                "funnel_open_us": out_open,
+            }
+        )
+
+
+def cep_funnel_stream(spark: SparkSession, files_dir: str, sf_dir: str) -> DataFrame:
+    """True-streaming twin of `stream_cep_funnel`."""
+    ev = _events_stream(spark, files_dir, sf_dir)
+    return ev.groupBy("user_id").applyInPandasWithState(
+        _funnel_fn,
+        outputStructType=(
+            "user_id BIGINT, purchase_id BIGINT,"
+            " purchase_us BIGINT, funnel_open_us BIGINT"
+        ),
+        stateStructType="last_view BIGINT, best_view BIGINT",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# ---------------------------------------------------------------------------
 # CEP times(3) quantifier — bounded-buffer keyed state
 # ---------------------------------------------------------------------------
 

@@ -121,6 +121,32 @@ def test_cep_negation_stream_matches_analog(spark, stream_dir, sf_small):
     assert (safe - tied).issubset(got_ids), sorted(safe - tied - got_ids)[:5]
 
 
+def test_cep_funnel_stream_matches_analog(spark, stream_dir, sf_small):
+    """The carried-state funnel must reproduce the batch analog exactly
+    (funnels span micro-batch boundaries; every completed funnel emits
+    once with the same opening view)."""
+    got = _collect(
+        spark,
+        stateful.cep_funnel_stream(spark, stream_dir, sf_small),
+        "t_cepfunnel",
+    ).sort_values("purchase_id").reset_index(drop=True)
+    want = (
+        sparkflow.QUERIES["stream_cep_funnel"](spark, sf_small)
+        .toPandas()
+        .sort_values("purchase_id")
+        .reset_index(drop=True)
+    )
+    want_us = want.assign(
+        purchase_us=pd.to_datetime(want["purchase_ts"])
+        .astype("datetime64[us]")
+        .astype("int64"),
+        funnel_open_us=pd.to_datetime(want["funnel_open_ts"])
+        .astype("datetime64[us]")
+        .astype("int64"),
+    )[["user_id", "purchase_id", "purchase_us", "funnel_open_us"]]
+    pd.testing.assert_frame_equal(got, want_us, check_dtype=False)
+
+
 def test_cep_times_stream_matches_analog(spark, stream_dir, sf_small):
     """The bounded-buffer quantifier must reproduce the batch analog
     exactly: state crosses micro-batch boundaries (a streak can span
