@@ -286,3 +286,66 @@ def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("shiftright(event_id, 3)").alias("shifted_r"),
         F.bit_count("event_id").alias("popcount"),
     )
+
+
+@register(
+    "fn_url",
+    oracle="""
+    WITH urls AS (
+      SELECT doc_id,
+             'https://' || source || '.example.com/docs/' || CAST(doc_id AS VARCHAR)
+               || '?lang=' || lang AS url
+      FROM documents
+    )
+    SELECT doc_id,
+           split_part(split_part(url, '://', 2), '/', 1) AS host,
+           '/' || split_part(split_part(url, '://', 2), '/', 2) || '/'
+               || split_part(split_part(split_part(url, '://', 2), '/', 3), '?', 1)
+             AS path,
+           split_part(url, '?', 2) AS query,
+           split_part(split_part(url, '?', 2), '=', 2) AS lang_param
+    FROM urls
+    """,
+)
+def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL parsing (`parse_url` — JVM-side java.net parsing): host, path,
+    query string, and one query parameter, over deterministic synthesized
+    URLs. Web-corpus pipelines canonicalize/dedup on exactly these parts;
+    the oracle recomputes them with string splits, which doubles as a
+    check that parse_url agrees with the grammar for well-formed URLs."""
+    d = table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"), F.lit("?lang="), F.col("lang"),
+    )
+    return d.select(
+        "doc_id",
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY")).alias("query"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
+    )
+
+
+@register(
+    "fn_binary",
+    oracle="""
+    SELECT n_nationkey,
+           to_base64(encode(n_name)) AS name_b64,
+           lower(hex(encode(n_name))) AS name_hex,
+           CAST(octet_length(encode(n_name)) AS INT) AS name_bytes
+    FROM nation
+    """,
+)
+def fn_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary encodings: base64 and hex of UTF-8 bytes plus byte length —
+    the encode/decode surface multimodal columns rely on. All JVM
+    expressions; hex is lowercased on both sides (Spark emits upper,
+    DuckDB lower — case is presentation, bytes are identical)."""
+    n = table(spark, sf_dir, "nation")
+    return n.select(
+        "n_nationkey",
+        F.base64(F.encode("n_name", "utf-8")).alias("name_b64"),
+        F.lower(F.hex(F.encode("n_name", "utf-8"))).alias("name_hex"),
+        F.octet_length(F.encode("n_name", "utf-8")).alias("name_bytes"),
+    )
