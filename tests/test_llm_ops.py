@@ -198,3 +198,39 @@ def test_dedup_clusters_reach_fixpoint(spark, sf_small):
     )
     viol = lab.join(nbr, "doc").filter(F.col("nbr_min") < F.col("cluster_id")).count()
     assert viol == 0
+
+
+def test_gopher_quality_rules_bind(spark, sf_small):
+    """Each rule must actually reject some docs (thresholds are tuned to
+    bind), and keep == conjunction of the four rules recomputed in pandas."""
+    got = sparkflow.QUERIES["llm_gopher_quality"](spark, sf_small).toPandas()
+    assert 0 < got["keep"].sum() < len(got)
+    recomputed = (
+        got["n_words"].between(20, 90)
+        & got["mean_word_len"].between(4.0, 5.0)
+        & (got["uniq_ratio"] >= 0.4)
+        & (got["top_word_ratio"] <= 0.12)
+    )
+    assert (got["keep"] == recomputed).all()
+    assert (got["uniq_ratio"] <= 1.0).all()
+    assert (got["top_word_ratio"] * got["n_words"] >= 1).all()
+
+
+def test_repetition_fractions_ordered(spark, sf_small):
+    """Dup fractions are in [0,1) and higher-order n-grams repeat no more
+    than lower-order ones (a trigram dup implies a bigram dup)."""
+    got = sparkflow.QUERIES["llm_repetition"](spark, sf_small).toPandas()
+    for c in ["dup_word_frac", "dup_bigram_frac", "dup_trigram_frac"]:
+        assert (got[c] >= 0).all() and (got[c] < 1).all()
+    assert (got["dup_trigram_frac"] <= got["dup_bigram_frac"] + 1e-12).all()
+    assert (got["dup_bigram_frac"] <= got["dup_word_frac"] + 1e-12).all()
+
+
+def test_decontaminate_excludes_benchmark_and_flags_known_overlap(spark, sf_small):
+    """Benchmark docs (doc_id % 53 == 0) never appear in the output; the
+    synthesized near-copies of benchmark docs are flagged contaminated."""
+    got = sparkflow.QUERIES["llm_decontaminate"](spark, sf_small).toPandas()
+    assert (got["doc_id"] % 53 != 0).all()
+    assert got["contaminated"].any() and not got["contaminated"].all()
+    assert ((got["n_hits"] > 0) == got["contaminated"]).all()
+    assert (got["n_hits"] <= got["n_grams"]).all()
