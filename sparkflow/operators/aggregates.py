@@ -454,3 +454,80 @@ def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
             " 'discount', l_discount) AS (measure, value)"
         ),
     )
+
+
+@register(
+    "agg_misc",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) FILTER (o_totalprice > 100000) AS BIGINT) AS n_big,
+           bool_and(o_totalprice > 0) AS all_positive,
+           bool_or(o_totalprice > 400000) AS any_huge,
+           median(o_totalprice) AS median_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional/boolean/median aggregate surface: count_if, bool_and,
+    bool_or, and exact median per order priority.
+
+    count_if/bool_* are algebraic (map-side partial agg applies). Exact
+    median is the one holistic agg here — Spark sorts within each group;
+    its per-group cost is bounded by the largest group, which is why
+    production paths prefer approx_percentile at extreme group sizes
+    (agg_percentile covers that). Median of an even group is the IEEE
+    mean of the two middle doubles in BOTH engines — bit-exact."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count_if(F.col("o_totalprice") > 100000).alias("n_big"),
+        F.bool_and(F.col("o_totalprice") > 0).alias("all_positive"),
+        F.bool_or(F.col("o_totalprice") > 400000).alias("any_huge"),
+        F.median("o_totalprice").alias("median_price"),
+    )
+
+
+@register(
+    "agg_string_agg",
+    oracle="""
+    SELECT n_regionkey,
+           string_agg(n_name, '|' ORDER BY n_name) AS nations
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+def agg_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG ... WITHIN GROUP): nation
+    names per region, '|'-joined in name order. The explicit WITHIN
+    GROUP ordering is what makes the result deterministic and therefore
+    oracle-exact — an unordered listagg is nondeterministic under
+    parallel merge and would be a correctness bug at any scale."""
+    n = table(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.expr("listagg(n_name, '|') WITHIN GROUP (ORDER BY n_name)").alias("nations")
+    )
+
+
+@register(
+    "agg_bitmap_distinct",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting via mergeable bitmaps — the scale path
+    between count(distinct) (re-shuffles raw values) and HLL (approx).
+    bitmap_bit_position slots each key into a fixed 4 MB bucket bitmap;
+    bitmaps OR-merge associatively, so the plan is two algebraic
+    hash-aggregations with map-side partials and NO distinct expansion.
+    This is how incremental/rollup pipelines keep exact uniques: the
+    per-(group, bucket) bitmaps are storable and re-mergeable across
+    days without rescanning history. Oracle: plain COUNT(DISTINCT)."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderpriority", F.col("o_custkey").alias("k"))
+        .groupBy("o_orderpriority", F.bitmap_bucket_number("k").alias("bucket"))
+        .agg(F.bitmap_construct_agg(F.bitmap_bit_position("k")).alias("bm"))
+        .groupBy("o_orderpriority")
+        .agg(F.sum(F.bitmap_count("bm")).cast("bigint").alias("n_customers"))
+    )

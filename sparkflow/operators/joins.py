@@ -482,3 +482,58 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(cents("value")).cast("double") / 100.0).alias("value_sum"),
         )
     )
+
+
+@register(
+    "join_range_binned",
+    oracle="""
+    SELECT c.event_id AS click_id,
+           CAST(COUNT(p.event_id) AS BIGINT) AS n_nearby_purchases
+    FROM (SELECT event_id, ts FROM events WHERE event_type = 'click') c
+    LEFT JOIN (SELECT event_id, ts FROM events WHERE event_type = 'purchase') p
+      ON p.ts >= c.ts AND p.ts < c.ts + INTERVAL 60 SECOND
+    GROUP BY c.event_id
+    """,
+)
+def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyless band join, bin-bucketed: purchases (by ANY user) within
+    60 s after each click. With no equi key the naive plan is a
+    BroadcastNestedLoopJoin — O(clicks × purchases), a 100 TB
+    death sentence. The bin trick manufactures an equi key: bucket time
+    into band-width bins, join each click against its own and the next
+    bin (every match is in one of the two), then apply the exact range
+    residual. Catalyst plans a shuffled hash join on bin_id; cost drops
+    to O(n × per-bin density). This is the standard range-join
+    optimization; the oracle is the plain (quadratic) formulation."""
+    ev = table(spark, sf_dir, "events")
+    _BAND_US = 60_000_000  # 60 s in microseconds (ts is µs-precision)
+    c_us = F.unix_micros(F.col("ts"))
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        c_us.alias("c_us"),
+        # a match lies in the click's own bin or the next one, never both
+        F.explode(
+            F.array(
+                F.floor(c_us / _BAND_US).cast("long"),
+                F.floor(c_us / _BAND_US).cast("long") + 1,
+            )
+        ).alias("bin_id"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.unix_micros(F.col("ts")).alias("p_us"),
+        F.floor(F.unix_micros(F.col("ts")) / _BAND_US).cast("long").alias("bin_id"),
+    )
+    # LEFT join + conditional count (not a post-join filter): a click whose
+    # candidate bins contain only out-of-band purchases must still appear
+    # with count 0, exactly like the oracle's LEFT JOIN.
+    in_band = (F.col("p_us") >= F.col("c_us")) & (
+        F.col("p_us") < F.col("c_us") + _BAND_US
+    )
+    return (
+        clicks.join(purchases, "bin_id", "left")
+        .groupBy("click_id")
+        .agg(F.count_if(F.coalesce(in_band, F.lit(False))).cast("bigint").alias(
+            "n_nearby_purchases"
+        ))
+    )

@@ -296,3 +296,38 @@ def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderdate",
         (F.sum(cents("o_totalprice")).over(w).cast("double") / 100.0).alias("revenue_7d"),
     )
+
+
+@register(
+    "win_value_fns",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           first_value(o_orderkey) OVER w AS first_key,
+           last_value(o_orderkey)  OVER w AS last_key,
+           nth_value(o_orderkey, 2) OVER w AS second_key
+    FROM orders
+    WHERE o_custkey < 200
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def win_value_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window value functions (first_value / last_value / nth_value) over
+    each customer's order history in date order. The frame is explicitly
+    UNBOUNDED..UNBOUNDED: last_value under the default frame (..CURRENT
+    ROW) is a classic SQL trap that silently returns the current row —
+    both engines get the full-frame semantics here, and the (date, key)
+    order is total so every value is deterministic."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 200)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_orderkey").over(w).alias("first_key"),
+        F.last("o_orderkey").over(w).alias("last_key"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_key"),
+    )

@@ -131,3 +131,20 @@ def test_asof_join_single_shuffle(spark, sf_small):
     n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
     assert n_exchanges == 1, plan[:600]
     assert "Window" in plan
+
+
+def test_range_binned_join_is_hash_not_nested_loop(spark, sf_small):
+    """The whole point of the bin trick: the keyless band join must plan
+    as a hash join on bin_id, never a nested-loop cartesian."""
+    df = sparkflow.QUERIES["join_range_binned"](spark, sf_small)
+    plan = formatted_plan(df)
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan, plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan, plan
+
+
+def test_bitmap_distinct_has_no_expand_distinct(spark, sf_small):
+    """Bitmap path must stay two algebraic HashAggregates — no Expand
+    node and no Distinct re-shuffle of raw keys."""
+    df = sparkflow.QUERIES["agg_bitmap_distinct"](spark, sf_small)
+    plan = formatted_plan(df)
+    assert "Expand" not in plan, plan

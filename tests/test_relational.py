@@ -177,3 +177,18 @@ def test_catalog_rightsizes_only_default_shuffle_partitions(spark, sf_small):
     ns.conf.set("spark.sql.shuffle.partitions", "16")
     sparkflow.catalog.table(ns, sf_small, "region")
     assert ns.conf.get("spark.sql.shuffle.partitions") == "16"
+
+
+def test_bitmap_distinct_equals_count_distinct(spark, sf_small):
+    """Bitmap OR-merge counting is EXACT, not approximate."""
+    import pyspark.sql.functions as F
+
+    got = sparkflow.QUERIES["agg_bitmap_distinct"](spark, sf_small).toPandas()
+    o = spark.read.parquet(f"{sf_small}/orders.parquet")
+    ref = (
+        o.groupBy("o_orderpriority")
+        .agg(F.countDistinct("o_custkey").alias("n"))
+        .toPandas()
+    )
+    m = dict(zip(ref["o_orderpriority"], ref["n"]))
+    assert all(m[p] == n for p, n in zip(got["o_orderpriority"], got["n_customers"]))
