@@ -537,3 +537,82 @@ def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_nearby_purchases"
         ))
     )
+
+
+@register(
+    "join_temporal_versioned",
+    oracle="""
+    WITH versions AS (
+      SELECT user_id, value AS dim_value, ts AS valid_from,
+             LEAD(ts) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS valid_to,
+             event_id
+      FROM events
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                                 ORDER BY event_id DESC) = 1
+    ),
+    probes AS (
+      SELECT o_orderkey, o_custkey AS user_id,
+             TIMESTAMP '2024-01-01'
+               + INTERVAL (o_orderkey % 2592000) SECOND AS probe_ts
+      FROM orders WHERE o_custkey < 150
+    )
+    SELECT p.o_orderkey, p.user_id, v.event_id AS version_event_id,
+           v.dim_value
+    FROM probes p JOIN versions v
+      ON v.user_id = p.user_id
+     AND p.probe_ts >= v.valid_from
+     AND (v.valid_to IS NULL OR p.probe_ts < v.valid_to)
+    """,
+)
+def join_temporal_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal table join against a VERSIONED dimension (Flink's
+    `FOR SYSTEM_TIME AS OF` over a changelog-backed table, the SCD2
+    shape): first BUILD the versioned dim from the event changelog —
+    one version per (user, distinct ts), valid [ts, next-ts), latest
+    event_id winning within a timestamp — then join each probe to the
+    version whose validity interval contains the probe time.
+
+    Same question as join_asof, deliberately different plan: asof uses
+    union+last-over-window (one shuffle, no dim materialization);
+    this materializes the SCD2 dim — the right trade when ONE slowly-
+    changing dim serves MANY probe streams, because the versioned table
+    is built once and each join is a plain equi+range hash join on the
+    key. Versions-per-key is bounded by change rate, so the range
+    residual scans a handful of versions per probe."""
+    ev = table(spark, sf_dir, "events")
+    wv = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    wl = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    versions = (
+        ev.withColumn("rn", F.row_number().over(wv))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("value").alias("dim_value"),
+            F.col("ts").alias("valid_from"),
+            F.lead("ts").over(wl).alias("valid_to"),
+            "event_id",
+        )
+    )
+    probes = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") < 150)
+        .select(
+            "o_orderkey",
+            F.col("o_custkey").alias("user_id"),
+            F.expr(
+                "timestamp'2024-01-01' + make_interval(0,0,0,0,0,0, o_orderkey % 2592000)"
+            ).alias("probe_ts"),
+        )
+    )
+    cond = (
+        (probes.user_id == versions.user_id)
+        & (probes.probe_ts >= versions.valid_from)
+        & (versions.valid_to.isNull() | (probes.probe_ts < versions.valid_to))
+    )
+    return probes.join(versions, cond).select(
+        "o_orderkey",
+        probes.user_id.alias("user_id"),
+        F.col("event_id").alias("version_event_id"),
+        "dim_value",
+    )

@@ -175,3 +175,28 @@ def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_suppkey")
         .intersectAll(li.filter(F.col("l_returnflag") == "A").select("l_suppkey"))
     )
+
+
+@register(
+    "sort_within_partitions",
+    oracle="""
+    SELECT event_id, user_id, ts, event_type FROM events
+    """,
+)
+def sort_within_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Secondary sort (Flink: keyBy + per-key ordered processing; classic
+    MapReduce 'secondary sort'): hash-partition by user_id, then sort
+    WITHIN each partition by (user_id, ts, event_id) — every user's
+    events are contiguous and time-ordered inside one partition, with NO
+    global sort barrier (contrast sort_multi's range-partitioned total
+    order). This is the physical layout stateful per-key operators want
+    as input; at 100 TB it's one shuffle, and each partition streams
+    sorted runs straight to the consumer. Content is order-insensitively
+    identical to the plain table (the oracle); the partition-locality and
+    intra-partition order properties are asserted in pytest."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.select("event_id", "user_id", "ts", "event_type")
+        .repartition(8, "user_id")
+        .sortWithinPartitions("user_id", "ts", "event_id")
+    )

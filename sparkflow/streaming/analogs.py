@@ -599,3 +599,90 @@ def stream_dynamic_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         "threshold",
         F.when(F.col("value") > F.col("threshold"), 1).otherwise(0).alias("alert"),
     )
+
+
+@register(
+    "events_markov_chain",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type AS a,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS b
+      FROM events
+    ),
+    trans AS (
+      SELECT a, b, COUNT(*) AS n_ab FROM ordered
+      WHERE b IS NOT NULL GROUP BY a, b
+    ),
+    totals AS (SELECT a, SUM(n_ab) AS n_a FROM trans GROUP BY a),
+    p1 AS (
+      SELECT t.a, t.b, t.n_ab,
+             CAST((t.n_ab * 1000000) // x.n_a AS BIGINT) AS p_e6
+      FROM trans t JOIN totals x ON t.a = x.a
+    ),
+    p2 AS (
+      SELECT l.a AS a, r.b AS c,
+             CAST(SUM(l.p_e6 * r.p_e6) // 1000000 AS BIGINT) AS p2_e6
+      FROM p1 l JOIN p1 r ON l.b = r.a
+      GROUP BY l.a, r.b
+    )
+    SELECT p1.a AS from_type, p1.b AS to_type,
+           CAST(p1.n_ab AS BIGINT) AS n_trans, p1.p_e6 AS p1_e6,
+           COALESCE(p2.p2_e6, 0) AS p2_e6
+    FROM p1 LEFT JOIN p2 ON p1.a = p2.a AND p1.b = p2.c
+    """,
+)
+def events_markov_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-sequence pattern analysis: the per-user event-type Markov
+    chain — 1-step transition probabilities from consecutive-event pairs,
+    plus the 2-step probability (matrix square) for each observed
+    transition. The CEP-adjacent 'what follows what' question asked of
+    clickstreams, answered relationally.
+
+    Exactness: probabilities are fixed-point integers
+    (floor(n_ab·1e6/n_a)); the 2-step entries sum int64 products and
+    floor-divide once — order-independent, bit-identical to the oracle.
+
+    Scale: one shuffle for the per-user lead() window over the corpus;
+    everything after operates on the |event_types|² transition matrix —
+    constant-size no matter how many events flowed in. The matrix
+    self-join is name-based (renamed projections), never attribute refs
+    on one plan (which Catalyst resolves trivially-true)."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            "user_id",
+            F.col("event_type").alias("a"),
+            F.lead("event_type").over(w).alias("b"),
+        )
+        .filter(F.col("b").isNotNull())
+    )
+    trans = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("n_ab"))
+    totals = trans.groupBy("a").agg(F.sum("n_ab").alias("n_a"))
+    p1 = (
+        trans.join(F.broadcast(totals), "a")
+        .withColumn("p_e6", F.expr("(n_ab * 1000000) div n_a"))
+        .select("a", "b", "n_ab", "p_e6")
+    )
+    left = p1.select(F.col("a"), F.col("b").alias("mid"), F.col("p_e6").alias("pl"))
+    right = p1.select(F.col("a").alias("mid"), F.col("b").alias("c"), F.col("p_e6").alias("pr"))
+    p2 = (
+        left.join(right, "mid")
+        .groupBy("a", "c")
+        .agg(F.expr("CAST(sum(pl * pr) div 1000000 AS BIGINT)").alias("p2_e6"))
+        .select(F.col("a").alias("from_type"), F.col("c").alias("to_type"), "p2_e6")
+    )
+    direct = p1.select(
+        F.col("a").alias("from_type"),
+        F.col("b").alias("to_type"),
+        F.col("n_ab").cast("bigint").alias("n_trans"),
+        F.col("p_e6").alias("p1_e6"),
+    )
+    return direct.join(p2, ["from_type", "to_type"], "left").select(
+        "from_type",
+        "to_type",
+        "n_trans",
+        "p1_e6",
+        F.coalesce(F.col("p2_e6"), F.lit(0)).cast("bigint").alias("p2_e6"),
+    )

@@ -192,3 +192,36 @@ def test_bitmap_distinct_equals_count_distinct(spark, sf_small):
     )
     m = dict(zip(ref["o_orderpriority"], ref["n"]))
     assert all(m[p] == n for p, n in zip(got["o_orderpriority"], got["n_customers"]))
+
+
+def test_temporal_versioned_agrees_with_asof(spark, sf_small):
+    """Two formulations of the same temporal question must agree: the
+    SCD2 versioned-dim join returns exactly join_asof's non-null matches."""
+    asof = sparkflow.QUERIES["join_asof"](spark, sf_small).toPandas()
+    scd2 = sparkflow.QUERIES["join_temporal_versioned"](spark, sf_small).toPandas()
+    a = dict(zip(asof["o_orderkey"], asof["asof_event_id"]))
+    assert len(scd2) == asof["asof_event_id"].notna().sum()
+    assert all(a[k] == v for k, v in zip(scd2["o_orderkey"], scd2["version_event_id"]))
+
+
+def test_markov_rows_are_probability_rows(spark, sf_small):
+    """Each from_type's 1-step probabilities must sum to 1e6 minus floor
+    loss (< one ulp per destination); 2-step entries stay in [0, 1e6]."""
+    got = sparkflow.QUERIES["events_markov_chain"](spark, sf_small).toPandas()
+    sums = got.groupby("from_type")["p1_e6"].sum()
+    nd = got.groupby("from_type")["p1_e6"].count()
+    assert ((sums <= 1_000_000) & (sums > 1_000_000 - nd)).all()
+    assert got["p2_e6"].between(0, 1_000_000).all()
+
+
+def test_sort_within_partitions_locality_and_order(spark, sf_small):
+    """Every user confined to one partition; (user_id, ts, event_id)
+    non-decreasing within each partition."""
+    import pyspark.sql.functions as F
+
+    df = sparkflow.QUERIES["sort_within_partitions"](spark, sf_small)
+    pdf = df.withColumn("pid", F.spark_partition_id()).toPandas()
+    assert (pdf.groupby("user_id")["pid"].nunique() == 1).all()
+    for _, g in pdf.groupby("pid", sort=False):
+        key = list(zip(g["user_id"], g["ts"], g["event_id"]))
+        assert key == sorted(key)
