@@ -32,6 +32,7 @@ from .functions import udfs  # noqa: F401  (§2.10 UDF surface)
 from .llm import text  # noqa: F401  (§2.11 LLM ops — cheap text first)
 from .llm import sampling  # noqa: F401  (split/sample/scrub — projection-cheap)
 from .llm import curation  # noqa: F401  (quality rules / repetition / decontam)
+from .llm import prep  # noqa: F401  (chunking / mixing / quantize / packing)
 from .llm import dedup, multimodal, similarity  # noqa: F401  (heavy LLM last)
 
 QUERIES = registry.QUERIES

@@ -686,3 +686,55 @@ def events_markov_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p1_e6",
         F.coalesce(F.col("p2_e6"), F.lit(0)).cast("bigint").alias("p2_e6"),
     )
+
+
+@register(
+    "stream_changelog_cdc",
+    oracle="""
+    WITH ops AS (
+      SELECT user_id, ts, event_id, value,
+             CASE event_type WHEN 'signup' THEN 'I'
+                             WHEN 'error' THEN 'D'
+                             ELSE 'U' END AS op
+      FROM events
+    ),
+    last_op AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM ops
+    )
+    SELECT user_id, event_id AS last_event_id, value AS final_value
+    FROM last_op WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def stream_changelog_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog/CDC materialization (Flink retract-stream → table; Spark
+    update-mode sink): interpret events as an upsert/delete changelog
+    (signup=INSERT, click/view/purchase=UPSERT, error=DELETE) and
+    materialize the final table state — a user survives iff their
+    LAST op in (ts, event_id) order is not a delete, carrying that op's
+    value. Batch analog of applying a Debezium-style feed.
+
+    Last-writer-wins needs only the max-(ts,event_id) row per key: one
+    shuffle, and at 100 TB the window degenerates to a max-aggregation
+    with map-side partials (no per-key history retained) — the same
+    reason Flink's changelog state is O(keys), not O(ops)."""
+    ev = table(spark, sf_dir, "events")
+    op = (
+        F.when(F.col("event_type") == "signup", "I")
+        .when(F.col("event_type") == "error", "D")
+        .otherwise("U")
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.select("user_id", "ts", "event_id", "value", op.alias("op"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("op") != "D"))
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("value").alias("final_value"),
+        )
+    )

@@ -234,3 +234,54 @@ def test_decontaminate_excludes_benchmark_and_flags_known_overlap(spark, sf_smal
     assert got["contaminated"].any() and not got["contaminated"].all()
     assert ((got["n_hits"] > 0) == got["contaminated"]).all()
     assert (got["n_hits"] <= got["n_grams"]).all()
+
+
+def test_chunking_covers_every_token(spark, sf_small):
+    """Per doc: chunk count == ceil(n/16), sizes in [1,32], and summing
+    the stride-disjoint prefix lengths re-covers the whole token count."""
+    import math
+
+    got = sparkflow.QUERIES["llm_chunking"](spark, sf_small).toPandas()
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet").toPandas()
+    n_toks = {r.doc_id: len(r.text.split(" ")) for r in docs.itertuples()}
+    per = got.groupby("doc_id")
+    assert got["chunk_tokens"].between(1, 32).all()
+    for doc_id, g in per:
+        n = n_toks[doc_id]
+        assert len(g) == math.ceil(n / 16)
+        assert g["chunk_idx"].max() == (n - 1) // 16
+    # full reconstruction: the first 16 tokens of each chunk tile the doc
+    sample = got[got["doc_id"] == got["doc_id"].iloc[0]].sort_values("chunk_idx")
+    orig = docs[docs["doc_id"] == got["doc_id"].iloc[0]]["text"].iloc[0]
+    rebuilt = " ".join(
+        " ".join(t.split(" ")[:16]) for t in sample["chunk_text"]
+    ).split(" ")
+    assert rebuilt == orig.split(" ")
+
+
+def test_dataset_mix_tracks_configured_rates(spark, sf_small):
+    from sparkflow.llm.prep import _MIX_RATES
+
+    got = sparkflow.QUERIES["llm_dataset_mix"](spark, sf_small).toPandas()
+    for r in got.itertuples():
+        assert abs(r.n_kept / r.n_total - _MIX_RATES[r.source]) < 0.2
+    # aggregate mix must slope downward from src0 to src19 overall
+    lo = got[got["source"].isin(["src0", "src1", "src2"])]
+    hi = got[got["source"].isin(["src17", "src18", "src19"])]
+    assert lo["n_kept"].sum() / lo["n_total"].sum() > hi["n_kept"].sum() / hi["n_total"].sum()
+
+
+def test_quantize_range_and_saturation(spark, sf_small):
+    got = sparkflow.QUERIES["llm_embedding_quantize"](spark, sf_small).toPandas()
+    assert got["q"].between(-127, 127).all()
+    peak = got.groupby("vec_id")["q"].apply(lambda s: s.abs().max())
+    assert (peak == 127).all()
+
+
+def test_packed_sequences_offsets_are_contiguous(spark, sf_small):
+    got = sparkflow.QUERIES["llm_packed_sequences"](spark, sf_small).toPandas()
+    for _, g in got.groupby("source"):
+        g = g.sort_values("doc_id")
+        expect = g["n_tokens"].cumsum().shift(fill_value=0)
+        assert (g["tok_offset"].to_numpy() == expect.to_numpy()).all()
+    assert (got["bin_id"] == got["tok_offset"] // 512).all()

@@ -509,3 +509,26 @@ def test_stream_stream_left_outer_join(spark, stream_dir, sf_small):
     assert not (unmatched_got & set(inner["click_id"]))
     # and the watermark did close some windows (null rows were emitted)
     assert len(unmatched_got) > 0
+
+
+def test_cdc_final_state_matches_pandas_replay(spark, sf_small):
+    """Replaying the changelog imperatively in pandas must produce the
+    same final table as the window formulation."""
+    got = sparkflow.QUERIES["stream_changelog_cdc"](spark, sf_small).toPandas()
+    ev = (
+        spark.read.parquet(f"{sf_small}/events.parquet")
+        .selectExpr("user_id", "timestamp_micros(ts div 1000) as ts",
+                    "event_id", "event_type", "value")
+        .toPandas()
+        .sort_values(["user_id", "ts", "event_id"])
+    )
+    state = {}
+    for r in ev.itertuples():
+        if r.event_type == "error":
+            state.pop(r.user_id, None)
+        else:
+            state[r.user_id] = (r.event_id, r.value)
+    assert len(got) == len(state)
+    for r in got.itertuples():
+        eid, val = state[r.user_id]
+        assert r.last_event_id == eid and r.final_value == val
