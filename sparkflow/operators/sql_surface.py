@@ -52,3 +52,79 @@ def sql_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     base table."""
     table(spark, sf_dir, "orders").createOrReplaceTempView("sparkflow_sql_orders")
     return spark.sql(_SQL.format(orders="sparkflow_sql_orders"))
+
+
+@register(
+    "sql_merge_upsert",
+    oracle="""
+    WITH src AS (
+      SELECT o_custkey AS k,
+             CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS delta_cents
+      FROM orders WHERE o_orderstatus = 'F'
+      GROUP BY o_custkey
+    ),
+    source AS (
+      SELECT k, delta_cents FROM src
+      UNION ALL
+      SELECT k + 1000000, delta_cents FROM src WHERE k < 50
+    ),
+    tgt AS (
+      SELECT c_custkey, c_name,
+             CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents
+      FROM customer
+    )
+    SELECT COALESCE(t.c_custkey, s.k) AS c_custkey,
+           COALESCE(t.c_name, 'NEW') AS c_name,
+           CAST(COALESCE(t.bal_cents, 0) + COALESCE(s.delta_cents, 0)
+                AS DOUBLE) / 100.0 AS c_acctbal_new,
+           CASE WHEN t.c_custkey IS NULL THEN 'insert'
+                WHEN s.k IS NULL THEN 'noop'
+                ELSE 'update' END AS merge_action
+    FROM tgt t FULL OUTER JOIN source s ON t.c_custkey = s.k
+    """,
+)
+def sql_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO emulation (upsert): apply per-customer order deltas to
+    the customer balance — WHEN MATCHED update, WHEN NOT MATCHED insert
+    (synthetic new keys), untouched target rows pass through ('noop').
+    Spark's MERGE INTO statement needs a v2/ACID table; on plain files
+    the equivalent is this full-outer-join + coalesce rewrite, which is
+    also exactly the physical plan MERGE compiles to (a full outer hash
+    join on the merge key) — one shuffle of each side at any scale.
+    Money moves through integer cents so the merged balances are
+    bit-identical to the oracle."""
+    from pyspark.sql import functions as F
+
+    from ..oracle_compat import cents
+
+    src = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(F.sum(cents("o_totalprice")).alias("delta_cents"))
+    )
+    source = src.unionByName(
+        src.filter(F.col("k") < 50).select(
+            (F.col("k") + 1000000).alias("k"), "delta_cents"
+        )
+    )
+    tgt = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", cents("c_acctbal").alias("bal_cents")
+    )
+    merged = tgt.join(source, tgt.c_custkey == source.k, "full_outer")
+    return merged.select(
+        F.coalesce(tgt.c_custkey, source.k).alias("c_custkey"),
+        F.coalesce(tgt.c_name, F.lit("NEW")).alias("c_name"),
+        (
+            (
+                F.coalesce(F.col("bal_cents"), F.lit(0))
+                + F.coalesce(F.col("delta_cents"), F.lit(0))
+            ).cast("double")
+            / 100.0
+        ).alias("c_acctbal_new"),
+        F.when(tgt.c_custkey.isNull(), "insert")
+        .when(source.k.isNull(), "noop")
+        .otherwise("update")
+        .alias("merge_action"),
+    )

@@ -706,3 +706,70 @@ def cep_negation_stream(spark: SparkSession, files_dir: str, sf_dir: str) -> Dat
         .filter(F.col("purchase_id").isNull())
         .select("user_id", "view_id", "view_ts")
     )
+
+
+# ---------------------------------------------------------------------------
+# CDC changelog apply — retract-stream materialization twin
+# ---------------------------------------------------------------------------
+
+
+def _cdc_fn(
+    key: Tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-user changelog state machine (INSERT/UPSERT on signup/click/
+    view/purchase, DELETE on error), last-writer-wins by (ts, event_id).
+    Emits one snapshot row per key per micro-batch; the final snapshot is
+    the materialized table row (alive=0 means retracted). Ops behind the
+    stored (ts, event_id) high-water mark are ignored — an out-of-order
+    replay must not let an older op overwrite a newer one."""
+    if state.exists:
+        ts_us, eid, val_c, alive = state.get
+    else:
+        ts_us, eid, val_c, alive = -1, -1, 0, 0
+    chunks = [p for p in pdf_iter if len(p)]
+    if not chunks:
+        return
+    pdf = pd.concat(chunks).sort_values(["ts", "event_id"])
+    for t, e, typ, v in zip(
+        _ts_us(pdf["ts"]).to_numpy(),
+        pdf["event_id"].to_numpy(),
+        pdf["event_type"].to_numpy(),
+        pdf["value"].to_numpy(),
+    ):
+        t = int(t)
+        if (t, int(e)) <= (ts_us, eid):
+            continue
+        ts_us, eid = t, int(e)
+        if typ == "error":
+            alive, val_c = 0, 0
+        else:
+            alive, val_c = 1, int(round(v * 100))
+    state.update((ts_us, eid, val_c, alive))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "ts_us": [ts_us],
+            "last_event_id": [eid],
+            "final_value": [val_c / 100.0],
+            "alive": [alive],
+        }
+    )
+
+
+def changelog_cdc_stream(spark: SparkSession, files_dir: str, sf_dir: str) -> DataFrame:
+    """True-streaming twin of `stream_changelog_cdc`: the upsert/delete
+    state machine as applyInPandasWithState — O(1) state per key (the
+    high-water mark and current value), exactly Flink's changelog-state
+    size. The batch analog's window degenerates to the same per-key
+    max."""
+    ev = _events_stream(spark, files_dir, sf_dir)
+    return ev.groupBy("user_id").applyInPandasWithState(
+        _cdc_fn,
+        outputStructType=(
+            "user_id BIGINT, ts_us BIGINT, last_event_id BIGINT,"
+            " final_value DOUBLE, alive INT"
+        ),
+        stateStructType="ts_us BIGINT, event_id BIGINT, val_c BIGINT, alive INT",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

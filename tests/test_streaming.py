@@ -532,3 +532,28 @@ def test_cdc_final_state_matches_pandas_replay(spark, sf_small):
     for r in got.itertuples():
         eid, val = state[r.user_id]
         assert r.last_event_id == eid and r.final_value == val
+
+
+def test_cdc_stream_matches_batch_analog(spark, stream_dir, sf_small):
+    """Final per-user snapshot from the streaming CDC state machine must
+    equal the batch last-writer-wins materialization."""
+    got = _collect(
+        spark,
+        stateful.changelog_cdc_stream(spark, stream_dir, sf_small),
+        "t_cdc",
+    )
+    last = (
+        got.sort_values(["ts_us", "last_event_id"])
+        .groupby("user_id")
+        .tail(1)
+    )
+    alive = last[last["alive"] == 1].set_index("user_id")
+    want = (
+        sparkflow.QUERIES["stream_changelog_cdc"](spark, sf_small)
+        .toPandas()
+        .set_index("user_id")
+    )
+    assert set(alive.index) == set(want.index)
+    want = want.loc[alive.index]
+    assert (alive["last_event_id"].to_numpy() == want["last_event_id"].to_numpy()).all()
+    assert (alive["final_value"].to_numpy() == want["final_value"].to_numpy()).all()
