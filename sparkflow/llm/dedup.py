@@ -477,3 +477,46 @@ def llm_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sb, "doc_b")
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard3"))
     )
+
+
+@register(
+    "llm_fuzzy_match",
+    oracle="""
+    WITH blocked AS (
+      SELECT doc_id, substr(text, 1, 12) AS blk, substr(text, 1, 64) AS head
+      FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(levenshtein(a.head, b.head) AS BIGINT) AS edit_dist
+    FROM blocked a JOIN blocked b
+      ON a.blk = b.blk AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.head, b.head) <= 20
+    """,
+)
+def llm_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy duplicate detection by edit distance, block-and-verify: block
+    on the 12-char text prefix (an equi key — candidates must agree on
+    it), then verify candidate pairs with levenshtein over the 64-char
+    head, keeping pairs within distance 20. Both engines implement the
+    classic Wagner–Fischer distance, so the integers agree exactly.
+
+    Scale: the block key turns an all-pairs O(n²) problem into an
+    equi-join — the same shape as the MinHash band join in
+    llm_dedup_near, but with an edit-distance verifier instead of
+    Jaccard. Edit distance is O(len²) per pair, which is why the
+    verifier runs on a fixed-width head and only inside blocks."""
+    d = table(spark, sf_dir, "documents")
+    blocked = d.select(
+        "doc_id",
+        F.substring("text", 1, 12).alias("blk"),
+        F.substring("text", 1, 64).alias("head"),
+    )
+    a = blocked.toDF("doc_a", "blk", "head_a")
+    b = blocked.toDF("doc_b", "blk", "head_b")
+    dist = F.levenshtein("head_a", "head_b")
+    return (
+        a.join(b, "blk")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", dist.cast("bigint").alias("edit_dist"))
+        .filter(F.col("edit_dist") <= 20)
+    )

@@ -1,0 +1,120 @@
+"""Graph analytics on relational substrates (iterative-algorithm
+family, alongside llm_dedup_clusters' connected components).
+
+The graph is derived from the event stream: within each hour, an edge
+connects the user of each event to the user of the next event (by
+event_id) — a co-activity graph. PageRank then runs a fixed number of
+synchronous iterations.
+
+Scale design: edge construction partitions by hour (never a global
+order); each PageRank iteration is one join (ranks ⋈ edges on src) +
+one aggregation (sum by dst) — the canonical MapReduce PageRank, all
+shuffles keyed, no driver-side state beyond the loop counter. Ranks are
+integer fixed-point (1e6 scale) so the per-iteration sums are
+order-independent and the final values bit-identical to the unrolled
+SQL oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import register
+
+_ITER = 3
+# damping 0.85 in integer arithmetic: r' = 0.15e6 + (85 * Σ contrib) / 100
+_BASE_E6 = 150_000
+
+_HOUR = "(unix_micros(ts) div 3600000000)"
+_SQL_HOUR = "(epoch_us(ts) // 3600000000)"
+
+
+def _oracle() -> str:
+    it = """
+    r{n} AS (
+      SELECT n.u,
+             CAST({base} + (85 * COALESCE(s.c, 0)) // 100 AS BIGINT) AS r
+      FROM nodes n LEFT JOIN (
+        SELECT e.dst AS u, SUM(r.r // d.deg) AS c
+        FROM edges e
+        JOIN r{p} r ON r.u = e.src
+        JOIN deg d ON d.u = e.src
+        GROUP BY e.dst
+      ) s ON s.u = n.u
+    )"""
+    iters = ",".join(
+        it.format(n=i, p=i - 1, base=_BASE_E6) for i in range(1, _ITER + 1)
+    )
+    return f"""
+    WITH seq AS (
+      SELECT {_SQL_HOUR} AS h, event_id, user_id,
+             LEAD(user_id) OVER (PARTITION BY {_SQL_HOUR}
+                                 ORDER BY event_id) AS next_user
+      FROM events
+    ),
+    edges AS (
+      SELECT DISTINCT user_id AS src, next_user AS dst
+      FROM seq WHERE next_user IS NOT NULL AND next_user <> user_id
+    ),
+    nodes AS (
+      SELECT DISTINCT u FROM (SELECT src AS u FROM edges
+                              UNION SELECT dst FROM edges)
+    ),
+    deg AS (SELECT src AS u, COUNT(*) AS deg FROM edges GROUP BY src),
+    r0 AS (SELECT u, CAST(1000000 AS BIGINT) AS r FROM nodes),
+    {iters}
+    SELECT u AS user_id, r AS rank_e6 FROM r{_ITER}
+    """
+
+
+@register("graph_pagerank", oracle=_oracle())
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (damping 0.85, 3 synchronous iterations, simplified: no
+    dangling-mass redistribution) over the hourly co-activity graph.
+    Demonstrates the iterative-join algorithm family beyond connected
+    components: the loop lives in Python, every iteration is declared
+    lazily, and Catalyst sees one straight-line plan of 3 join+agg
+    rounds (at higher iteration counts, localCheckpoint per round —
+    as llm_dedup_clusters does — keeps lineage bounded).
+
+    Integer fixed-point throughout: contrib = r div deg, r' = 150000 +
+    (85·Σcontrib) div 100 — order-independent sums, EXACT oracle."""
+    ev = table(spark, sf_dir, "events")
+    h = F.expr(_HOUR).alias("h")
+    w = Window.partitionBy("h").orderBy("event_id")
+    seq = ev.select(h, "event_id", "user_id").withColumn(
+        "next_user", F.lead("user_id").over(w)
+    )
+    edges = (
+        seq.filter(F.col("next_user").isNotNull() & (F.col("next_user") != F.col("user_id")))
+        .select(F.col("user_id").alias("src"), F.col("next_user").alias("dst"))
+        .distinct()
+    )
+    nodes = (
+        edges.select(F.col("src").alias("u"))
+        .union(edges.select(F.col("dst").alias("u")))
+        .distinct()
+    )
+    deg = edges.groupBy(F.col("src").alias("u")).agg(F.count(F.lit(1)).alias("deg"))
+    ranks = nodes.withColumn("r", F.lit(1_000_000).cast("bigint"))
+    for _ in range(_ITER):
+        contrib = (
+            edges.join(ranks.withColumnRenamed("u", "src"), "src")
+            .join(deg.withColumnRenamed("u", "src"), "src")
+            .select("dst", F.expr("r div deg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("c"))
+        )
+        ranks = (
+            nodes.join(contrib.withColumnRenamed("dst", "u"), "u", "left")
+            .select(
+                "u",
+                (
+                    F.lit(_BASE_E6)
+                    + F.expr("(85 * coalesce(c, 0)) div 100")
+                ).cast("bigint").alias("r"),
+            )
+        )
+    return ranks.select(F.col("u").alias("user_id"), F.col("r").alias("rank_e6"))

@@ -331,3 +331,47 @@ def win_value_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("o_orderkey").over(w).alias("last_key"),
         F.nth_value("o_orderkey", 2).over(w).alias("second_key"),
     )
+
+
+@register(
+    "win_ewma",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_id, ts,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v
+      FROM events
+    )
+    SELECT user_id, event_id,
+           (  v * 0.5
+            + COALESCE(LAG(v, 1) OVER w, 0) * 0.25
+            + COALESCE(LAG(v, 2) OVER w, 0) * 0.125
+            + COALESCE(LAG(v, 3) OVER w, 0) * 0.0625
+            + COALESCE(LAG(v, 4) OVER w, 0) * 0.03125
+            + COALESCE(LAG(v, 5) OVER w, 0) * 0.015625
+            + COALESCE(LAG(v, 6) OVER w, 0) * 0.0078125
+            + COALESCE(LAG(v, 7) OVER w, 0) * 0.00390625) / 100.0
+             AS ewma_value
+    FROM c
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def win_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average (α = 1/2), truncated at
+    depth 8 — the time-series smoothing every monitoring pipeline wants.
+    The true EWMA recurrence is sequential (Spark window frames can't
+    express y[i] = α·x[i] + (1-α)·y[i-1]); the depth-8 truncation is a
+    fixed linear combination of lags, which IS expressible, embarrassingly
+    parallel, and within 2⁻⁸ of the infinite recurrence.
+
+    Exactness: weights are dyadic (2⁻¹ … 2⁻⁸), values are integer cents —
+    every product and the left-to-right sum are exact in binary floating
+    point, so both engines produce identical doubles with NO tolerance."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    v = cents("value")
+    expr = v * F.lit(0.5)
+    for k in range(1, 8):
+        expr = expr + F.coalesce(F.lag(v, k).over(w), F.lit(0)) * F.lit(0.5 ** (k + 1))
+    return ev.select(
+        "user_id", "event_id", (expr / 100.0).alias("ewma_value")
+    )

@@ -285,3 +285,13 @@ def test_packed_sequences_offsets_are_contiguous(spark, sf_small):
         expect = g["n_tokens"].cumsum().shift(fill_value=0)
         assert (g["tok_offset"].to_numpy() == expect.to_numpy()).all()
     assert (got["bin_id"] == got["tok_offset"] // 512).all()
+
+
+def test_fuzzy_match_finds_exact_copies(spark, sf_small):
+    """The synthesized exact copies (doc_id % 7 == 0 originals) share the
+    full text, so they must surface as edit-distance-0 pairs."""
+    got = sparkflow.QUERIES["llm_fuzzy_match"](spark, sf_small).toPandas()
+    assert (got["doc_a"] < got["doc_b"]).all()
+    assert got["edit_dist"].between(0, 20).all()
+    zero = got[got["edit_dist"] == 0]
+    assert len(zero) > 0

@@ -225,3 +225,61 @@ def test_sort_within_partitions_locality_and_order(spark, sf_small):
     for _, g in pdf.groupby("pid", sort=False):
         key = list(zip(g["user_id"], g["ts"], g["event_id"]))
         assert key == sorted(key)
+
+
+def test_ewma_matches_pandas_recompute(spark, sf_small):
+    """Depth-8 truncated EWMA recomputed imperatively in pandas must be
+    bit-identical (dyadic weights on integer cents are exact)."""
+    got = (
+        sparkflow.QUERIES["win_ewma"](spark, sf_small)
+        .toPandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    ev = (
+        spark.read.parquet(f"{sf_small}/events.parquet")
+        .selectExpr("user_id", "event_id", "timestamp_micros(ts div 1000) AS ts", "value")
+        .toPandas()
+        .sort_values(["user_id", "ts", "event_id"])
+    )
+    out = {}
+    for _, g in ev.groupby("user_id"):
+        v = (g["value"].to_numpy() * 100).round().astype("int64")
+        for i, eid in enumerate(g["event_id"].to_numpy()):
+            acc = 0.0
+            for k in range(0, min(8, i + 1)):
+                acc += float(v[i - k]) * (0.5 ** (k + 1))
+            out[eid] = acc / 100.0
+    assert all(out[e] == w for e, w in zip(got["event_id"], got["ewma_value"]))
+
+
+def test_pagerank_matches_numpy_replay(spark, sf_small):
+    """3 fixed-point iterations replayed in numpy over the same edge set
+    must reproduce every rank integer exactly."""
+    import pyspark.sql.functions as F
+
+    got = sparkflow.QUERIES["graph_pagerank"](spark, sf_small).toPandas()
+    ev = (
+        spark.read.parquet(f"{sf_small}/events.parquet")
+        .selectExpr("event_id", "user_id", "(ts div 3600000000000) AS h")
+        .toPandas()
+        .sort_values(["h", "event_id"])
+    )
+    edges = set()
+    for _, g in ev.groupby("h"):
+        u = g["user_id"].to_numpy()
+        for a, b in zip(u, u[1:]):
+            if a != b:
+                edges.add((a, b))
+    nodes = sorted({x for e in edges for x in e})
+    deg = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    r = {n: 1_000_000 for n in nodes}
+    for _ in range(3):
+        c = {n: 0 for n in nodes}
+        for s, d in edges:
+            c[d] += r[s] // deg[s]
+        r = {n: 150_000 + (85 * c[n]) // 100 for n in nodes}
+    assert len(got) == len(nodes)
+    assert all(r[u] == v for u, v in zip(got["user_id"], got["rank_e6"]))
