@@ -349,3 +349,42 @@ def fn_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lower(F.hex(F.encode("n_name", "utf-8"))).alias("name_hex"),
         F.octet_length(F.encode("n_name", "utf-8")).alias("name_bytes"),
     )
+
+
+@register(
+    "fn_try",
+    oracle="""
+    SELECT event_id,
+           TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_int,
+           TRY_CAST(event_type AS BIGINT) AS bad_int,
+           CASE WHEN CAST(FLOOR(value) AS BIGINT) - 50 = 0 THEN NULL
+                ELSE CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                     / (CAST(FLOOR(value) AS BIGINT) - 50) END AS safe_div,
+           CASE WHEN event_id = 0 THEN NULL ELSE
+             CAST(9223372036854775807 AS BIGINT) // event_id END AS big_div
+    FROM events WHERE event_id < 1000
+    """,
+)
+def fn_try(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-tolerant expression surface (try_cast / try_divide): malformed
+    casts and zero denominators yield NULL instead of failing the job —
+    at 100 TB a single dirty row must not kill a 1000-executor stage.
+    Spark's try_* family maps to TRY_CAST / NULLIF-guarded division in
+    the oracle. try_divide(int, int) in Spark is double division; the
+    floor-div variant uses `div` with an explicit zero guard."""
+    ev = table(spark, sf_dir, "events").filter(F.col("event_id") < 1000)
+    denom = F.floor("value").cast("bigint") - 50
+    return ev.select(
+        "event_id",
+        F.try_to_number(
+            F.get_json_object("props", "$.k"), F.lit("999999")
+        ).cast("bigint").alias("k_int"),
+        F.expr("try_cast(event_type AS BIGINT)").alias("bad_int"),
+        F.try_divide(F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)"), denom).alias(
+            "safe_div"
+        ),
+        F.when(
+            F.col("event_id") != 0,
+            F.expr("9223372036854775807L div event_id"),
+        ).alias("big_div"),
+    )

@@ -463,3 +463,71 @@ def llm_bigram_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("fluency"),
         )
     )
+
+
+@register(
+    "llm_word_cooccurrence",
+    oracle="""
+    WITH dt AS (
+      SELECT DISTINCT doc_id, UNNEST(string_split(text, ' ')) AS tok
+      FROM documents
+    ),
+    n_docs AS (SELECT COUNT(DISTINCT doc_id) AS n FROM dt),
+    df AS (SELECT tok, COUNT(*) AS n_t FROM dt GROUP BY tok),
+    pairs AS (
+      SELECT a.tok AS w1, b.tok AS w2, COUNT(*) AS n_ab
+      FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.tok < b.tok
+      GROUP BY a.tok, b.tok
+    )
+    SELECT w1, w2, CAST(n_ab AS BIGINT) AS n_ab,
+           CAST((n_ab * n.n * 1000000) // (fa.n_t * fb.n_t) AS BIGINT)
+             AS lift_e6
+    FROM pairs
+    JOIN df fa ON fa.tok = pairs.w1
+    JOIN df fb ON fb.tok = pairs.w2
+    CROSS JOIN n_docs n
+    """,
+)
+def llm_word_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word co-occurrence with lift (the log-free PMI variant):
+    lift(a,b) = P(a,b) / (P(a)·P(b)) over document-level presence —
+    the distributional-statistics stage behind phrase mining and
+    compound-token discovery. Fixed-point: lift_e6 = ⌊n_ab·N·1e6 /
+    (n_a·n_b)⌋, pure int64 arithmetic (max ~7e14, no overflow),
+    bit-identical to the oracle.
+
+    Scale: the doc×token distinct set is corpus-sized, but every
+    aggregate after the per-doc pair expansion is VOCABULARY²-bounded.
+    The pair self-join is per-doc (equi on doc_id) and the per-doc cost
+    is |unique tokens|² — production caps per-doc unique tokens (or
+    samples) before this stage; the token doc-frequency table is
+    broadcast. Self-join is name-based (toDF), never attribute refs on
+    one plan."""
+    d = table(spark, sf_dir, "documents")
+    dt = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .distinct()
+    )
+    n_docs = dt.select(F.countDistinct("doc_id").alias("n"))
+    df_tok = dt.groupBy("tok").agg(F.count(F.lit(1)).alias("n_t"))
+    a = dt.toDF("doc_id", "w1")
+    b = dt.toDF("doc_id", "w2")
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(F.col("w1") < F.col("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    return (
+        pairs.join(F.broadcast(df_tok.toDF("w1", "na")), "w1")
+        .join(F.broadcast(df_tok.toDF("w2", "nb")), "w2")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "w1",
+            "w2",
+            F.col("n_ab").cast("bigint").alias("n_ab"),
+            F.expr("CAST((n_ab * n * 1000000) div (na * nb) AS BIGINT)").alias(
+                "lift_e6"
+            ),
+        )
+    )

@@ -738,3 +738,65 @@ def stream_changelog_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("value").alias("final_value"),
         )
     )
+
+
+@register(
+    "events_attribution",
+    oracle="""
+    WITH tagged AS (
+      SELECT user_id, event_id, ts, event_type, epoch_us(ts) AS t_us
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    attributed AS (
+      SELECT user_id, event_id, event_type, t_us,
+             MAX(CASE WHEN event_type = 'click' THEN event_id END)
+               OVER (PARTITION BY user_id ORDER BY t_us
+                     RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
+               AS last_touch_click,
+             MIN(CASE WHEN event_type = 'click' THEN event_id END)
+               OVER (PARTITION BY user_id ORDER BY t_us
+                     RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
+               AS first_touch_click
+      FROM tagged
+    )
+    SELECT user_id, event_id AS purchase_id,
+           first_touch_click, last_touch_click
+    FROM attributed WHERE event_type = 'purchase'
+    """,
+)
+def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing attribution: for every purchase, the first-touch and
+    last-touch click of the same user within the preceding 24 h — the
+    conversion-credit query behind every ads pipeline. One RANGE frame
+    on event-time microseconds computes both touches in a single pass
+    (conditional MIN/MAX over the trailing day); no self-join, no
+    per-purchase probe.
+
+    Caveat shared with the oracle: MAX(event_id) stands in for
+    'latest click' (event_id order ≈ time order within a user-day);
+    a same-µs click+purchase tie is included by the RANGE frame on both
+    sides identically. Scale: one shuffle on user_id; frame state is
+    bounded by the 24 h horizon."""
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    t_us = F.unix_micros(F.col("ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(t_us)
+        .rangeBetween(-86_400_000_000, Window.currentRow)
+    )
+    click_id = F.when(F.col("event_type") == "click", F.col("event_id"))
+    attributed = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.max(click_id).over(w).alias("last_touch_click"),
+        F.min(click_id).over(w).alias("first_touch_click"),
+    )
+    return attributed.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        "first_touch_click",
+        "last_touch_click",
+    )

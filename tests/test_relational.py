@@ -283,3 +283,33 @@ def test_pagerank_matches_numpy_replay(spark, sf_small):
         r = {n: 150_000 + (85 * c[n]) // 100 for n in nodes}
     assert len(got) == len(nodes)
     assert all(r[u] == v for u, v in zip(got["user_id"], got["rank_e6"]))
+
+
+def test_attribution_touches_are_real_clicks(spark, sf_small):
+    """Sampled purchases: first/last touch must be clicks of the same
+    user within the trailing 24h, with first <= last."""
+    got = sparkflow.QUERIES["events_attribution"](spark, sf_small).toPandas()
+    ev = (
+        spark.read.parquet(f"{sf_small}/events.parquet")
+        .selectExpr("event_id", "user_id", "event_type", "(ts div 1000) AS t_us")
+        .toPandas()
+    )
+    by_id = ev.set_index("event_id")
+    touched = got.dropna(subset=["last_touch_click"])
+    assert (touched["first_touch_click"] <= touched["last_touch_click"]).all()
+    sample = touched.sample(min(50, len(touched)), random_state=7)
+    for r in sample.itertuples():
+        p = by_id.loc[r.purchase_id]
+        for c in (r.first_touch_click, r.last_touch_click):
+            click = by_id.loc[c]
+            assert click["event_type"] == "click" and click["user_id"] == r.user_id
+            assert 0 <= p["t_us"] - click["t_us"] <= 86_400_000_000
+
+
+def test_fn_try_nulls_instead_of_errors(spark, sf_small):
+    got = sparkflow.QUERIES["fn_try"](spark, sf_small).toPandas()
+    assert got["bad_int"].isna().all()
+    assert got["k_int"].notna().all()
+    # big_div guards division by zero: null exactly on the event_id=0 row
+    assert got.loc[got["event_id"] == 0, "big_div"].isna().all()
+    assert got.loc[got["event_id"] != 0, "big_div"].notna().all()
