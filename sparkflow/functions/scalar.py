@@ -388,3 +388,36 @@ def fn_try(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("9223372036854775807L div event_id"),
         ).alias("big_div"),
     )
+
+
+@register(
+    "fn_struct",
+    oracle="""
+    SELECT doc_id,
+           to_json(struct_pack(lang := lang, n_chars := n_chars))
+             AS doc_meta,
+           struct_pack(lang := lang, n_chars := n_chars).lang
+             AS lang_again,
+           CAST(json_extract(
+             to_json(struct_pack(lang := lang, n_chars := n_chars)),
+             '$.n_chars') AS BIGINT) AS n_chars_roundtrip
+    FROM documents WHERE doc_id < 100
+    """,
+)
+def fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct (nested-type) surface: build a struct column, serialize it
+    with to_json, access a field, and round-trip a value through JSON —
+    the nested-row vocabulary of a typed pipeline. Field ORDER is part
+    of struct identity, so both engines emit identical JSON; fields are
+    restricted to ints/strings (float rendering inside JSON is the one
+    place engines could diverge)."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    meta = F.struct(F.col("lang"), F.col("n_chars"))
+    return d.select(
+        "doc_id",
+        F.to_json(meta).alias("doc_meta"),
+        meta.getField("lang").alias("lang_again"),
+        F.get_json_object(F.to_json(meta), "$.n_chars")
+        .cast("bigint")
+        .alias("n_chars_roundtrip"),
+    )

@@ -531,3 +531,31 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(F.sum(F.bitmap_count("bm")).cast("bigint").alias("n_customers"))
     )
+
+
+@register(
+    "agg_decimal_sum",
+    oracle="""
+    SELECT l_returnflag,
+           SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price,
+           SUM(CAST(l_discount AS DECIMAL(18,2))) AS sum_disc,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_decimal_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact DECIMAL aggregation surface: sums over DECIMAL(18,2) casts.
+    Decimal arithmetic is base-10 exact and order-independent in both
+    engines, so the sums match digit-for-digit with no fixed-point
+    trick. The engine's money path still prefers integer cents
+    (oracle_compat) because decimal aggregation detours through
+    BigDecimal per row (~1.6× slower, measured) — this operator exists
+    to cover the TYPE, and the trade-off is documented here. AVG is
+    deliberately absent: decimal division scale rules differ between
+    engines (Spark yields decimal(…,6), DuckDB a double)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("sum_price"),
+        F.sum(F.col("l_discount").cast("decimal(18,2)")).alias("sum_disc"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+    )

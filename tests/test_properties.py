@@ -131,3 +131,48 @@ def test_fixed_point_cosine_error_bound(a, b):
     fxp = (Ai @ Bi) / (np.sqrt(float(Ai @ Ai)) * np.sqrt(float(Bi @ Bi)))
     ref = (A @ B) / (na * nb)
     assert abs(fxp - ref) < 1e-4
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.integers(min_value=10, max_value=900))
+def test_binned_band_join_equals_naive(band_secs):
+    """For any band width, the bin-bucketed band join must return exactly
+    the naive theta-join counts (bins are an optimization, not a
+    semantics change)."""
+    spark = _get_spark()
+    ev = table(spark, SF, "events")
+    band_us = band_secs * 1_000_000
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("cid"), F.unix_micros("ts").alias("cu")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"), F.unix_micros("ts").alias("pu")
+    )
+    naive = (
+        c.join(p, (F.col("pu") >= F.col("cu")) & (F.col("pu") < F.col("cu") + band_us), "left")
+        .groupBy("cid")
+        .agg(F.count("pid").alias("n"))
+        .toPandas()
+        .set_index("cid")["n"]
+        .sort_index()
+    )
+    cb = c.withColumn(
+        "bin_id", F.explode(F.array(F.floor(F.col("cu") / band_us), F.floor(F.col("cu") / band_us) + 1))
+    )
+    pb = p.withColumn("bin_id", F.floor(F.col("pu") / band_us))
+    binned = (
+        cb.join(pb, "bin_id", "left")
+        .groupBy("cid")
+        .agg(
+            F.count_if(
+                F.coalesce(
+                    (F.col("pu") >= F.col("cu")) & (F.col("pu") < F.col("cu") + band_us),
+                    F.lit(False),
+                )
+            ).alias("n")
+        )
+        .toPandas()
+        .set_index("cid")["n"]
+        .sort_index()
+    )
+    assert (naive == binned).all()
