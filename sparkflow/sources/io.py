@@ -222,3 +222,41 @@ def sink_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination()
     staged = spark.read.parquet(os.path.join(out, "batch_*"))
     return staged.groupBy("event_type").agg(F.sum("n_events").alias("n_events"))
+
+
+@register(
+    "scan_schema_evolution",
+    oracle="""
+    SELECT event_id, user_id, NULL::DOUBLE AS value
+    FROM events WHERE event_id < 2000
+    UNION ALL
+    SELECT event_id, NULL::BIGINT AS user_id, value
+    FROM events WHERE event_id >= 2000 AND event_id < 4000
+    """,
+)
+def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on read: two parquet files written with DIFFERENT
+    column sets (an old producer with user_id, a new one with value)
+    merged into one logical table via mergeSchema — each side
+    null-extends the columns it lacks. This is the lakehouse reality of
+    a long-lived 100 TB dataset: producers evolve; readers must unify.
+    mergeSchema reconciles footers at planning time (cost scales with
+    file count, not data — at very large file counts you pin the schema
+    in a catalog instead). Oracle: explicit null-extended UNION ALL."""
+    sfkey = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    base = os.path.join(
+        _TMP, "evolve", spark.sparkContext.applicationId, f"events_{sfkey}"
+    )
+    if not os.path.isdir(base):
+        ev = table(spark, sf_dir, "events")
+        ev.filter(F.col("event_id") < 2000).select("event_id", "user_id").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(base, "v1"))
+        ev.filter((F.col("event_id") >= 2000) & (F.col("event_id") < 4000)).select(
+            "event_id", "value"
+        ).write.mode("overwrite").parquet(os.path.join(base, "v2"))
+    return (
+        spark.read.option("mergeSchema", "true")
+        .parquet(os.path.join(base, "v1"), os.path.join(base, "v2"))
+        .select("event_id", "user_id", "value")
+    )
