@@ -237,3 +237,64 @@ def llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("hit").cast("bigint").alias("n_hits"),
         (F.count("hit") > 0).alias("contaminated"),
     )
+
+
+@register(
+    "llm_repeated_spans",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS l FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' || l[i+3]
+               || ' ' || l[i+4] AS span
+      FROM toks, LATERAL (SELECT UNNEST(range(1, len(l) - 3))) t(i)
+      WHERE len(l) >= 5
+    )
+    SELECT span,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM g
+    GROUP BY span
+    HAVING COUNT(DISTINCT doc_id) >= 2
+    """,
+)
+def llm_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide repeated-span mining (the relational core of
+    suffix-array substring dedup, Lee et al. 2022): every 5-token span
+    occurring in 2+ DISTINCT documents, with occurrence and document
+    counts — the catalog from which cross-document boilerplate is cut.
+    Differs from llm_decontaminate (overlap vs a fixed benchmark set):
+    this is all-vs-all within the corpus.
+
+    Scale: one posexplode + lead chain builds the span stream in place;
+    the only shuffle is the groupBy on the span string (map-side
+    partials apply to both counts — COUNT(DISTINCT doc) expands once).
+    A true suffix array finds arbitrary-length repeats; fixed-width
+    spans are the standard scalable approximation (run with several
+    widths in production)."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    span = F.concat_ws(
+        " ",
+        "w",
+        F.lead("w", 1).over(w),
+        F.lead("w", 2).over(w),
+        F.lead("w", 3).over(w),
+        F.lead("w", 4).over(w),
+    )
+    spans = (
+        toks.select("doc_id", span.alias("span"), F.lead("w", 4).over(w).alias("w5"))
+        .filter(F.col("w5").isNotNull())
+        .drop("w5")
+    )
+    return (
+        spans.groupBy("span")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )

@@ -616,3 +616,72 @@ def join_temporal_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").alias("version_event_id"),
         "dim_value",
     )
+
+
+@register(
+    "join_asof_forward",
+    oracle="""
+    WITH tagged AS (
+      SELECT user_id AS k, CAST(ts AS TIMESTAMP) AS t, 1 AS side,
+             event_id, NULL::BIGINT AS o_orderkey
+      FROM events
+      UNION ALL
+      SELECT o_custkey AS k,
+             TIMESTAMP '2024-01-01' + INTERVAL (o_orderkey % 2592000) SECOND AS t,
+             0 AS side, NULL::BIGINT AS event_id, o_orderkey
+      FROM orders WHERE o_custkey < 150
+    ), w AS (
+      SELECT *,
+        FIRST_VALUE(CASE WHEN side = 1 THEN event_id END IGNORE NULLS)
+          OVER (PARTITION BY k ORDER BY t, side, event_id
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+          AS next_event_id
+      FROM tagged
+    )
+    SELECT o_orderkey, k AS user_id, next_event_id
+    FROM w WHERE side = 0
+    """,
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join: for each probe, the EARLIEST event of the same
+    user at-or-after the probe time (the look-ahead direction — "what
+    happened next"; join_asof is the look-back). Same union+window
+    machinery mirrored: probes sort BEFORE events at equal timestamps
+    (side 0 < 1), and a forward-unbounded frame carries the first
+    following event id back. Ties at the same ts break to MIN event_id
+    via the window order. One shuffle on the key, like join_asof."""
+    events = table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("k"),
+        F.col("ts").cast("timestamp").alias("t"),
+        F.lit(1).alias("side"),
+        "event_id",
+        F.lit(None).cast("long").alias("o_orderkey"),
+    )
+    probes = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") < 150)
+        .select(
+            F.col("o_custkey").alias("k"),
+            F.expr(
+                "timestamp'2024-01-01' + make_interval(0,0,0,0,0,0, o_orderkey % 2592000)"
+            ).alias("t"),
+            F.lit(0).alias("side"),
+            F.lit(None).cast("long").alias("event_id"),
+            "o_orderkey",
+        )
+    )
+    tagged = events.unionByName(probes)
+    w = (
+        Window.partitionBy("k")
+        .orderBy("t", "side", "event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    carried = tagged.withColumn(
+        "next_event_id",
+        F.first(
+            F.when(F.col("side") == 1, F.col("event_id")), ignorenulls=True
+        ).over(w),
+    )
+    return carried.filter(F.col("side") == 0).select(
+        "o_orderkey", F.col("k").alias("user_id"), "next_event_id"
+    )

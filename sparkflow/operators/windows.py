@@ -375,3 +375,59 @@ def win_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "user_id", "event_id", (expr / 100.0).alias("ewma_value")
     )
+
+
+@register(
+    "win_rolling_median",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_id, ts,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v
+      FROM events
+    ),
+    fr AS (
+      SELECT user_id, event_id,
+             list_sort(list(v) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id
+                                     ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))
+               AS vs
+      FROM c
+    )
+    SELECT user_id, event_id,
+           CASE WHEN len(vs) % 2 = 1
+                THEN CAST(vs[(len(vs) + 1) // 2] AS DOUBLE) / 100.0
+                ELSE CAST(vs[len(vs) // 2] + vs[len(vs) // 2 + 1] AS DOUBLE)
+                     / 200.0 END AS rolling_median
+    FROM fr
+    """,
+)
+def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling median of the last 5 values per user — the robust
+    (outlier-proof) twin of win_sliding_rows' moving average. Spark
+    forbids median() with a window frame, so the operator materializes
+    the frame with collect_list, sorts the (≤5-element) array, and picks
+    the middle — O(k log k) per row for constant k, a standard rewrite.
+    Values ride as integer cents; odd frames divide by 100, even frames
+    average two cents values exactly, so both engines emit identical
+    doubles."""
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, Window.currentRow)
+    )
+    vs = F.array_sort(F.collect_list(cents("value")).over(w))
+    n = F.size(vs)
+    odd = F.element_at(vs, ((n + 1) / 2).cast("int")).cast("double") / 100.0
+    even = (
+        (
+            F.element_at(vs, (n / 2).cast("int"))
+            + F.element_at(vs, (n / 2).cast("int") + 1)
+        ).cast("double")
+        / 200.0
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.when(n % 2 == 1, odd).otherwise(even).alias("rolling_median"),
+    )

@@ -295,3 +295,16 @@ def test_fuzzy_match_finds_exact_copies(spark, sf_small):
     assert got["edit_dist"].between(0, 20).all()
     zero = got[got["edit_dist"] == 0]
     assert len(zero) > 0
+
+
+def test_repeated_spans_cover_synthesized_copies(spark, sf_small):
+    """Exact copies (doc_id%7) share every 5-token span with their
+    original, so the catalog must contain spans with n_docs >= 2, and
+    occurrence counts always >= doc counts."""
+    got = sparkflow.QUERIES["llm_repeated_spans"](spark, sf_small).toPandas()
+    assert (got["n_docs"] >= 2).all()
+    assert (got["n_occurrences"] >= got["n_docs"]).all()
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet").toPandas()
+    orig = docs[docs["doc_id"] % 7 == 0].iloc[0]["text"].split(" ")
+    span0 = " ".join(orig[:5])
+    assert (got["span"] == span0).any()

@@ -313,3 +313,55 @@ def test_fn_try_nulls_instead_of_errors(spark, sf_small):
     # big_div guards division by zero: null exactly on the event_id=0 row
     assert got.loc[got["event_id"] == 0, "big_div"].isna().all()
     assert got.loc[got["event_id"] != 0, "big_div"].notna().all()
+
+
+def test_rolling_median_matches_pandas(spark, sf_small):
+    got = (
+        sparkflow.QUERIES["win_rolling_median"](spark, sf_small)
+        .toPandas()
+        .set_index("event_id")["rolling_median"]
+    )
+    ev = (
+        spark.read.parquet(f"{sf_small}/events.parquet")
+        .selectExpr("user_id", "event_id", "(ts div 1000) AS t_us", "value")
+        .toPandas()
+        .sort_values(["user_id", "t_us", "event_id"])
+    )
+    import numpy as np
+
+    for _, g in ev.groupby("user_id"):
+        v = (g["value"].to_numpy() * 100).round().astype("int64")
+        for i, eid in enumerate(g["event_id"].to_numpy()):
+            frame = np.sort(v[max(0, i - 4) : i + 1])
+            n = len(frame)
+            want = (
+                frame[n // 2] / 100.0
+                if n % 2
+                else (frame[n // 2 - 1] + frame[n // 2]) / 200.0
+            )
+            assert got[eid] == want
+
+
+def test_asof_forward_backward_bracket_probe(spark, sf_small):
+    """Where both directions match, the backward event is at-or-before
+    and the forward event at-or-after the probe time."""
+    import pandas as pd
+
+    back = sparkflow.QUERIES["join_asof"](spark, sf_small).toPandas()
+    fwd = sparkflow.QUERIES["join_asof_forward"](spark, sf_small).toPandas()
+    assert len(back) == len(fwd)
+    ev = (
+        spark.read.parquet(f"{sf_small}/events.parquet")
+        .selectExpr("event_id", "(ts div 1000) AS t_us")
+        .toPandas()
+        .set_index("event_id")["t_us"]
+    )
+    m = back.merge(fwd, on=["o_orderkey", "user_id"]).dropna(
+        subset=["asof_event_id", "next_event_id"]
+    )
+    assert len(m) > 0
+    for r in m.itertuples():
+        probe_us = (
+            pd.Timestamp("2024-01-01") + pd.Timedelta(seconds=int(r.o_orderkey) % 2592000)
+        ).value // 1000
+        assert ev[r.asof_event_id] <= probe_us <= ev[r.next_event_id]
