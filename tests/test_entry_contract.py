@@ -44,3 +44,19 @@ def test_rows_only_queries_documented():
         assert any(
             k in doc for k in ("rows-only", "no sql oracle", "pytest", "rows only")
         ), f"{name} lacks a rows-only rationale"
+
+
+def test_custom_python_source_partitions_per_file(spark, sf_small):
+    """The custom DataSource must plan one partition per staged file
+    (the parallel unit) and round-trip every row."""
+    from sparkflow.sources.custom import DocMetaSource, _stage_files
+
+    path = _stage_files(spark, sf_small)
+    spark.dataSource.register(DocMetaSource)
+    df = spark.read.format("docmeta").option("path", path).load()
+    assert df.rdd.getNumPartitions() == 4
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    assert df.count() == docs.count()
+    got = df.agg({"n_chars": "sum"}).first()[0]
+    want = docs.agg({"n_chars": "sum"}).first()[0]
+    assert got == want
