@@ -147,3 +147,52 @@ def udtf_generator(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM udtf_docs d, LATERAL sparkflow_tokenize(d.text) t
         """
     )
+
+
+@register(
+    "udtf_table_arg",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS DOUBLE) / 100.0 AS total_value
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def udtf_table_arg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-argument UDTF (PySpark 4: `SELECT * FROM f(TABLE(t)
+    PARTITION BY k)`): a per-partition summarizer that consumes a whole
+    relation — the polymorphic table function surface (Flink's
+    ProcessTableFunction direction). Each partition's rows stream
+    through eval(); terminate() emits the summary, so state is one
+    accumulator per group no matter the partition size. Rows arrive in
+    arbitrary order — the accumulator is integer cents, so the total is
+    order-independent and exact. The oracle is the plain GROUP BY the
+    UDTF reimplements (the API surface, not the plan, is what's under
+    test: for pure aggregation the built-in agg is the fast path)."""
+
+    @udtf(returnType="priority STRING, n_orders BIGINT, total_value DOUBLE")
+    class SummarizeOrders:
+        def __init__(self):
+            self.key = None
+            self.n = 0
+            self.cents = 0
+
+        def eval(self, row):
+            self.key = row["o_orderpriority"]
+            self.n += 1
+            self.cents += int(row["o_totalprice"] * 100 + 0.5)
+
+        def terminate(self):
+            if self.key is not None:
+                yield self.key, self.n, self.cents / 100.0
+
+    spark.udtf.register("sparkflow_summarize_orders", SummarizeOrders)
+    table(spark, sf_dir, "orders").createOrReplaceTempView("udtf_orders")
+    return spark.sql(
+        """
+        SELECT * FROM sparkflow_summarize_orders(
+          TABLE(udtf_orders) PARTITION BY o_orderpriority
+        )
+        """
+    )
