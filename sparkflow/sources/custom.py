@@ -21,7 +21,12 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 from ..catalog import table
 from ..registry import register
@@ -106,3 +111,66 @@ def source_custom_python(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum("n_chars").cast("bigint").alias("total_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Custom STREAMING source (offset-tracked) — pytest-exercised twin
+# ---------------------------------------------------------------------------
+
+_SLICES = 5
+
+
+class _EventSliceStreamReader(SimpleDataSourceStreamReader):
+    """Replays the events table in `_SLICES` offset-tracked micro-batches
+    (offset = slice index over event_id ranges) — the Kafka-shaped
+    contract: resumable offsets, re-readable ranges (readBetweenOffsets
+    is what checkpoint recovery calls), deterministic content."""
+
+    def __init__(self, options):
+        self.path = options["events_parquet"]
+        self.lo = int(options["min_id"])
+        self.hi = int(options["max_id"])  # inclusive
+        self.step = (self.hi - self.lo + _SLICES) // _SLICES
+
+    def initialOffset(self):
+        return {"slice": 0}
+
+    def _rows(self, s):
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(self.path, columns=["event_id", "user_id", "value"])
+        lo = self.lo + s * self.step
+        hi = min(self.lo + (s + 1) * self.step, self.hi + 1)
+        out = []
+        for eid, uid, val in zip(
+            t.column("event_id").to_pylist(),
+            t.column("user_id").to_pylist(),
+            t.column("value").to_pylist(),
+        ):
+            if lo <= eid < hi:
+                out.append((eid, uid, val))
+        return out
+
+    def read(self, start):
+        s = start["slice"]
+        if s >= _SLICES:
+            return iter([]), {"slice": s}
+        return iter(self._rows(s)), {"slice": s + 1}
+
+    def readBetweenOffsets(self, start, end):
+        out = []
+        for s in range(start["slice"], end["slice"]):
+            out.extend(self._rows(s))
+        return iter(out)
+
+
+class EventSliceStreamSource(DataSource):
+    @classmethod
+    def name(cls):
+        return "event_slices"
+
+    def schema(self):
+        return "event_id BIGINT, user_id BIGINT, value DOUBLE"
+
+    def simpleStreamReader(self, schema):
+        return _EventSliceStreamReader(self.options)

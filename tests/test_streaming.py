@@ -557,3 +557,49 @@ def test_cdc_stream_matches_batch_analog(spark, stream_dir, sf_small):
     want = want.loc[alive.index]
     assert (alive["last_event_id"].to_numpy() == want["last_event_id"].to_numpy()).all()
     assert (alive["final_value"].to_numpy() == want["final_value"].to_numpy()).all()
+
+
+def test_custom_stream_source_replays_all_events(spark, sf_small):
+    """The offset-tracked custom streaming source must replay the whole
+    events table across micro-batches with no loss or duplication, and
+    its exact cents total must equal the batch read."""
+    import time
+
+    from sparkflow.sources.custom import EventSliceStreamSource
+
+    ev = sparkflow.catalog.table(spark, sf_small, "events")
+    lo, hi = ev.selectExpr("min(event_id)", "max(event_id)").first()
+    n = ev.count()
+    spark.dataSource.register(EventSliceStreamSource)
+    df = (
+        spark.readStream.format("event_slices")
+        .option("events_parquet", f"{sf_small}/events.parquet")
+        .option("min_id", lo)
+        .option("max_id", hi)
+        .load()
+    )
+    q = (
+        df.writeStream.format("memory")
+        .queryName("t_custom_stream")
+        .outputMode("append")
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        if spark.table("t_custom_stream").count() >= n:
+            break
+        time.sleep(0.5)
+    q.stop()
+    got = spark.table("t_custom_stream")
+    assert got.count() == n
+    assert got.select("event_id").distinct().count() == n
+    import pyspark.sql.functions as F
+
+    got_cents = got.select(
+        F.sum(F.floor(F.col("value") * 100 + 0.5).cast("bigint"))
+    ).first()[0]
+    want_cents = ev.select(
+        F.sum(F.floor(F.col("value") * 100 + 0.5).cast("bigint"))
+    ).first()[0]
+    assert got_cents == want_cents
