@@ -773,3 +773,20 @@ def changelog_cdc_stream(spark: SparkSession, files_dir: str, sf_dir: str) -> Da
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def window_topn_stream(spark: SparkSession, files_dir: str, sf_dir: str) -> DataFrame:
+    """True-streaming half of `stream_window_topn`: a watermarked hourly
+    (window, user) count in APPEND mode — rows emit only when the
+    watermark closes the window, so every emitted (hour, user, n) is
+    final and the consumer can rank within each closed hour knowing no
+    revision will follow (the per-window-heap contract of Flink's
+    windowed Top-N; the rank itself runs on the emitted window, which is
+    already aggregate-sized)."""
+    ev = _events_stream(spark, files_dir, sf_dir)
+    return (
+        ev.withWatermark("ts", "10 seconds")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("hour_start"), "user_id", "n_events")
+    )

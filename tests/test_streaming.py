@@ -603,3 +603,29 @@ def test_custom_stream_source_replays_all_events(spark, sf_small):
         F.sum(F.floor(F.col("value") * 100 + 0.5).cast("bigint"))
     ).first()[0]
     assert got_cents == want_cents
+
+
+def test_window_topn_stream_matches_analog_on_closed_windows(spark, stream_dir, sf_small):
+    """Ranking the append-mode (closed-window) counts must reproduce the
+    batch Top-N exactly for every hour the watermark closed."""
+    got = _collect(
+        spark,
+        stateful.window_topn_stream(spark, stream_dir, sf_small),
+        "t_wtopn",
+    )
+    ranked = got.sort_values(
+        ["hour_start", "n_events", "user_id"], ascending=[True, False, True]
+    )
+    ranked["rn"] = ranked.groupby("hour_start").cumcount() + 1
+    ranked = ranked[ranked["rn"] <= 3]
+    want = sparkflow.QUERIES["stream_window_topn"](spark, sf_small).toPandas()
+    closed = set(ranked["hour_start"])
+    assert closed, "no window closed during replay"
+    want = want[want["hour_start"].isin(closed)]
+    a = ranked.sort_values(["hour_start", "rn"]).reset_index(drop=True)
+    b = want.sort_values(["hour_start", "rn"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        a[["hour_start", "user_id", "n_events", "rn"]],
+        b[["hour_start", "user_id", "n_events", "rn"]],
+        check_dtype=False,
+    )
