@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import weakref
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
@@ -519,4 +519,62 @@ def llm_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b", dist.cast("bigint").alias("edit_dist"))
         .filter(F.col("edit_dist") <= 20)
+    )
+
+
+@register(
+    "llm_dedup_priority",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, source, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, 'src0', text
+      FROM documents WHERE doc_id % 7 = 0
+    ),
+    ranked AS (
+      SELECT doc_id, source, md5(text) AS h,
+             ROW_NUMBER() OVER (
+               PARTITION BY md5(text)
+               ORDER BY CAST(substr(source, 4) AS INT), doc_id
+             ) AS rn,
+             COUNT(*) OVER (PARTITION BY md5(text)) AS n_copies
+      FROM corpus
+    )
+    SELECT doc_id AS keeper_id, source AS keeper_source,
+           CAST(n_copies AS BIGINT) AS n_copies
+    FROM ranked WHERE rn = 1 AND n_copies > 1
+    """,
+)
+def llm_dedup_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source dedup with a KEEP POLICY: when the same text appears
+    under several sources, keep the copy from the highest-priority
+    source (lower src index wins; doc_id breaks ties) — the rule real
+    pipelines apply when a curated source and a crawl both carry a
+    document. The synthesized duplicates (every 7th doc, re-ingested
+    under top-priority 'src0') make the policy BITE: unless the
+    original is already src0, the re-ingested copy survives despite its
+    larger doc_id — priority overrides the min-id rule llm_dedup_exact
+    uses. Same hash-groupBy shuffle; only the survivor rule (min over a
+    priority tuple, deterministic by construction) differs."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    copies = (
+        d.filter(F.col("doc_id") % 7 == 0)
+        .select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.lit("src0").alias("source"),
+            "text",
+        )
+    )
+    corpus = d.unionByName(copies)
+    prio = F.substring("source", 4, 10).cast("int")
+    w = Window.partitionBy("h").orderBy(prio.asc(), F.col("doc_id").asc())
+    ranked = (
+        corpus.select("doc_id", "source", F.md5("text").alias("h"))
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n_copies", F.count(F.lit(1)).over(Window.partitionBy("h")))
+    )
+    return ranked.filter((F.col("rn") == 1) & (F.col("n_copies") > 1)).select(
+        F.col("doc_id").alias("keeper_id"),
+        F.col("source").alias("keeper_source"),
+        F.col("n_copies").cast("bigint").alias("n_copies"),
     )

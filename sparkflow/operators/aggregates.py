@@ -559,3 +559,33 @@ def agg_decimal_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("l_discount").cast("decimal(18,2)")).alias("sum_disc"),
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
     )
+
+
+@register(
+    "agg_arg_extremes",
+    oracle="""
+    SELECT o_orderpriority,
+           (MAX(struct_pack(p := o_totalprice, k := o_orderkey))).k
+             AS top_order,
+           (MIN(struct_pack(p := o_totalprice, k := o_orderkey))).k
+             AS bottom_order
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_arg_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ARG_MAX / ARG_MIN (max_by/min_by): the order key holding the
+    extreme price per priority. The comparator is a (price, key) STRUCT
+    — the key tiebreak makes the answer deterministic under parallel
+    merge (bare max_by(x, price) with duplicate prices returns whichever
+    partition merges last: a real nondeterminism bug at scale). The
+    oracle mirrors the trick with struct-valued MAX/MIN, which compare
+    lexicographically in both engines."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.expr("max_by(o_orderkey, struct(o_totalprice, o_orderkey))").alias(
+            "top_order"
+        ),
+        F.expr("min_by(o_orderkey, struct(o_totalprice, o_orderkey))").alias(
+            "bottom_order"
+        ),
+    )

@@ -308,3 +308,19 @@ def test_repeated_spans_cover_synthesized_copies(spark, sf_small):
     orig = docs[docs["doc_id"] % 7 == 0].iloc[0]["text"].split(" ")
     span0 = " ".join(orig[:5])
     assert (got["span"] == span0).any()
+
+
+def test_priority_dedup_policy_overrides_min_id(spark, sf_small):
+    """Re-ingested src0 copies must win their hash group unless the
+    original is itself src0 (then the smaller doc_id keeps)."""
+    got = sparkflow.QUERIES["llm_dedup_priority"](spark, sf_small).toPandas()
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet").toPandas()
+    dup_orig = docs[docs["doc_id"] % 7 == 0]
+    assert len(got) == len(dup_orig)
+    src = dict(zip(dup_orig["doc_id"], dup_orig["source"]))
+    for r in got.itertuples():
+        base = r.keeper_id % 1000000
+        if src[base] == "src0":
+            assert r.keeper_id == base  # tie on priority -> min doc_id
+        else:
+            assert r.keeper_id == base + 1000000 and r.keeper_source == "src0"
