@@ -148,3 +148,12 @@ def test_bitmap_distinct_has_no_expand_distinct(spark, sf_small):
     df = sparkflow.QUERIES["agg_bitmap_distinct"](spark, sf_small)
     plan = formatted_plan(df)
     assert "Expand" not in plan, plan
+
+
+def test_topk_per_group_gets_window_group_limit(spark, sf_small):
+    """rank<=k filters must trigger WindowGroupLimit (partial top-k
+    BEFORE the rank shuffle — each map task forwards only k rows per
+    group, the difference between shuffling k rows and the whole table
+    at 100 TB)."""
+    df = sparkflow.QUERIES["win_topk_per_group"](spark, sf_small)
+    assert "WindowGroupLimit" in formatted_plan(df)

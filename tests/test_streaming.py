@@ -629,3 +629,58 @@ def test_window_topn_stream_matches_analog_on_closed_windows(spark, stream_dir, 
         b[["hour_start", "user_id", "n_events", "rn"]],
         check_dtype=False,
     )
+
+
+def test_custom_stream_source_checkpoint_resume(spark, sf_small, tmp_path_factory):
+    """Kill the custom-source query mid-stream and restart from its
+    checkpoint: the combined file-sink output must be exactly-once (no
+    loss, no duplication) — this drives the readBetweenOffsets recovery
+    path (the memory sink cannot recover; the parquet sink can)."""
+    import time
+
+    from sparkflow.sources.custom import EventSliceStreamSource
+
+    ev = sparkflow.catalog.table(spark, sf_small, "events")
+    lo, hi = ev.selectExpr("min(event_id)", "max(event_id)").first()
+    n = ev.count()
+    spark.dataSource.register(EventSliceStreamSource)
+    ckpt = str(tmp_path_factory.mktemp("cs_ckpt"))
+    out = str(tmp_path_factory.mktemp("cs_out"))
+
+    def start():
+        df = (
+            spark.readStream.format("event_slices")
+            .option("events_parquet", f"{sf_small}/events.parquet")
+            .option("min_id", lo)
+            .option("max_id", hi)
+            .load()
+        )
+        return (
+            df.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(processingTime="200 milliseconds")
+            .start()
+        )
+
+    def written():
+        try:
+            return spark.read.parquet(out).count()
+        except Exception:
+            return 0
+
+    q1 = start()
+    deadline = time.time() + 60
+    while time.time() < deadline and written() == 0:
+        time.sleep(0.2)
+    q1.stop()  # mid-stream kill
+    assert written() < n, "first run already finished; nothing to resume"
+    q2 = start()
+    deadline = time.time() + 120
+    while time.time() < deadline and written() < n:
+        time.sleep(0.5)
+    q2.stop()
+    got = spark.read.parquet(out)
+    assert got.count() == n
+    assert got.select("event_id").distinct().count() == n
