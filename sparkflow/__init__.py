@@ -25,12 +25,12 @@ from .operators import aggregates  # noqa: F401  (§2.4 aggregations)
 from .operators import windows  # noqa: F401  (§2.5 window functions)
 from .operators import sort_set  # noqa: F401  (§2.6 sort/limit, §2.7 set ops)
 from .operators import sql_surface  # noqa: F401  (spark.sql API surface)
-from .operators import graph  # noqa: F401  (iterative graph analytics)
 from .sources import io  # noqa: F401  (§2.1 sources & sinks)
-from .sources import custom  # noqa: F401  (Python DataSource connector)
 from .streaming import analogs, stateful  # noqa: F401  (§2.9 streaming)
 from .functions import scalar  # noqa: F401  (§2.8 scalar functions)
 from .functions import udfs  # noqa: F401  (§2.10 UDF surface)
+from .operators import graph  # noqa: F401  (iterative graph analytics — joins-heavy)
+from .sources import custom  # noqa: F401  (Python DataSource connector — python-worker heavy)
 from .llm import text  # noqa: F401  (§2.11 LLM ops — cheap text first)
 from .llm import sampling  # noqa: F401  (split/sample/scrub — projection-cheap)
 from .llm import curation  # noqa: F401  (quality rules / repetition / decontam)
