@@ -589,3 +589,41 @@ def agg_arg_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bottom_order"
         ),
     )
+
+
+@register(
+    "agg_observed_metrics",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) FILTER (event_type = 'error') AS BIGINT)
+             AS n_errors,
+           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+             / 100.0 AS value_total
+    FROM events
+    """,
+)
+def agg_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Observation API (Spark's named-metrics hook — the analog of
+    Flink's operator metrics/accumulators): metrics ride ON a query via
+    df.observe() and are harvested after any action WITHOUT a second
+    scan. Here the observed pipeline is a pass-through count; the
+    operator returns the harvested metrics as a 1-row DataFrame. At
+    100 TB this is how you get row counts / error rates / money totals
+    out of a production job for free — observe() adds a streaming-safe
+    CollectMetrics node, not another aggregation over the input."""
+    from pyspark.sql import Observation
+
+    ev = table(spark, sf_dir, "events")
+    obs = Observation()
+    observed = ev.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_if(F.col("event_type") == "error").alias("n_errors"),
+        F.sum(F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)")).alias("cents"),
+    )
+    observed.count()  # the action the metrics piggyback on
+    m = obs.get
+    return spark.createDataFrame(
+        [(int(m["n_rows"]), int(m["n_errors"]), m["cents"] / 100.0)],
+        "n_rows BIGINT, n_errors BIGINT, value_total DOUBLE",
+    )
