@@ -421,3 +421,64 @@ def fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_chars_roundtrip"),
     )
+
+
+@register(
+    "fn_variant",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value,
+           'OBJECT<k: BIGINT>' AS var_schema
+    FROM events WHERE event_type = 'click' AND event_id < 2000
+    """,
+)
+def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The VARIANT type (Spark 4's semi-structured column): parse_json →
+    binary variant, typed extraction with variant_get, and
+    schema_of_variant for discovery. Unlike from_json, VARIANT keeps the
+    full document without committing to a schema — the open-schema
+    ingestion path for heterogeneous JSON at scale (shredding decides
+    layout later). The oracle checks the extracted value and pins the
+    discovered schema literal."""
+    ev = table(spark, sf_dir, "events").filter(
+        (F.col("event_type") == "click") & (F.col("event_id") < 2000)
+    )
+    v = F.parse_json("props")
+    return ev.select(
+        "event_id",
+        F.variant_get(v, "$.k", "bigint").alias("k_value"),
+        F.schema_of_variant(v).alias("var_schema"),
+    )
+
+
+@register(
+    "fn_xml",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_parsed,
+           event_type AS type_parsed
+    FROM events WHERE event_type IN ('signup', 'error') AND event_id < 3000
+    """,
+)
+def fn_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML ingestion (from_xml, first-class in Spark 4): serialize each
+    event to an XML fragment, parse it back with an explicit struct
+    schema, and extract the fields — the enterprise-feed ingestion
+    round-trip. The oracle recomputes the same fields from the source
+    columns, so any parse/extract defect breaks equality."""
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("signup", "error") & (F.col("event_id") < 3000)
+    )
+    xml = F.concat(
+        F.lit("<event><k>"),
+        F.get_json_object("props", "$.k"),
+        F.lit("</k><type>"),
+        F.col("event_type"),
+        F.lit("</type></event>"),
+    )
+    parsed = F.from_xml(xml, "STRUCT<k: BIGINT, type: STRING>")
+    return ev.select(
+        "event_id",
+        parsed.getField("k").alias("k_parsed"),
+        parsed.getField("type").alias("type_parsed"),
+    )
