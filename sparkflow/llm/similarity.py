@@ -509,3 +509,102 @@ def _kmeans(spark: SparkSession, sf_dir: str, iters: int) -> DataFrame:
             (F.sum("d2").cast("double") / (_FXP * float(_FXP))).alias("inertia"),
         )
     )
+
+
+@register(
+    "llm_semdedup",
+    oracle="""
+    WITH sub AS (
+      SELECT vec_id, label, embedding FROM embeddings WHERE vec_id % 4 = 0
+      UNION ALL
+      SELECT vec_id + 100000, label, embedding
+      FROM embeddings WHERE vec_id % 20 = 0
+    ),
+    dims AS (
+      SELECT vec_id, label, d AS dim,
+             CAST(FLOOR(CAST(embedding[d + 1] AS DOUBLE) * 100 + 0.5)
+                  AS BIGINT) AS q
+      FROM sub, LATERAL (SELECT UNNEST(range(0, len(embedding)))) t(d)
+    ),
+    norms AS (
+      SELECT vec_id, SUM(q * q) AS n2 FROM dims GROUP BY vec_id
+    ),
+    dots AS (
+      SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+             SUM(a.q * b.q) AS dot
+      FROM dims a JOIN dims b
+        ON a.label = b.label AND a.dim = b.dim AND a.vec_id < b.vec_id
+      GROUP BY a.label, a.vec_id, b.vec_id
+    )
+    SELECT d.label, d.vec_a, d.vec_b,
+           d.dot / SQRT(CAST(na.n2 AS DOUBLE) * nb.n2) AS cosine_q
+    FROM dots d
+    JOIN norms na ON na.vec_id = d.vec_a
+    JOIN norms nb ON nb.vec_id = d.vec_b
+    WHERE d.dot > 0
+      AND 400 * d.dot * d.dot >= 361 * na.n2 * nb.n2
+    """,
+)
+def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic deduplication partitioned
+    by quantizer cell — embeddings are clustered coarsely (the label
+    column stands in for the k-means codebook, as in llm_knn_ivf), and
+    exact pairwise cosine runs ONLY inside each cell. Pairs with cosine
+    >= 0.95 are semantic duplicates.
+
+    Cross-engine exactness: dims are quantized to integers (×100); the
+    threshold test 400·dot² >= 361·|a|²·|b|² is pure int64 arithmetic
+    (no sqrt, no epsilon — bounds chosen so no product exceeds 2⁶³),
+    and the reported cosine divides exact integers under one
+    correctly-rounded IEEE sqrt, identical in both engines.
+
+    Scale: cost is Σ_cells |cell|² — the whole point of SemDeDup: the
+    quantizer bounds the quadratic term to within-cell work, and cells
+    are processed independently (embarrassingly parallel across the
+    cluster). When cells grow too big, re-quantize finer or fall back
+    to the LSH-confirm pipeline (llm_dedup_embedding). The %4 subsample
+    keeps the demo cells small (config, not architecture); injected
+    exact copies at vec_id+100000 are the ground-truth duplicates (the
+    natural within-cell max cosine is ~0.47)."""
+    base = table(spark, sf_dir, "embeddings")
+    e = base.filter(F.col("vec_id") % 4 == 0).select("vec_id", "label", "embedding").unionByName(
+        base.filter(F.col("vec_id") % 20 == 0).select(
+            (F.col("vec_id") + 100000).alias("vec_id"), "label", "embedding"
+        )
+    )
+    dims = e.select(
+        "vec_id", "label", F.posexplode("embedding").alias("dim", "xf")
+    ).select(
+        "vec_id",
+        "label",
+        "dim",
+        F.floor(F.col("xf").cast("double") * 100 + 0.5).cast("long").alias("q"),
+    )
+    norms = dims.groupBy("vec_id").agg(F.sum(F.col("q") * F.col("q")).alias("n2"))
+    a = dims.toDF("vec_a", "label", "dim", "qa")
+    b = dims.toDF("vec_b", "label", "dim", "qb")
+    dots = (
+        a.join(b, ["label", "dim"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .groupBy("label", "vec_a", "vec_b")
+        .agg(F.sum(F.col("qa") * F.col("qb")).alias("dot"))
+    )
+    na = norms.toDF("vec_a", "na2")
+    nb = norms.toDF("vec_b", "nb2")
+    return (
+        dots.join(F.broadcast(na), "vec_a")
+        .join(F.broadcast(nb), "vec_b")
+        .filter(
+            (F.col("dot") > 0)
+            & (400 * F.col("dot") * F.col("dot") >= 361 * F.col("na2") * F.col("nb2"))
+        )
+        .select(
+            "label",
+            "vec_a",
+            "vec_b",
+            (
+                F.col("dot")
+                / F.sqrt(F.col("na2").cast("double") * F.col("nb2"))
+            ).alias("cosine_q"),
+        )
+    )

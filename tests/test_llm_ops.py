@@ -324,3 +324,16 @@ def test_priority_dedup_policy_overrides_min_id(spark, sf_small):
             assert r.keeper_id == base  # tie on priority -> min doc_id
         else:
             assert r.keeper_id == base + 1000000 and r.keeper_source == "src0"
+
+
+def test_semdedup_finds_exactly_the_injected_copies(spark, sf_small):
+    """Within-cell exact cosine must flag every injected copy pair
+    (cosine 1.0) and nothing else (natural max within-cell cosine is far
+    below the 0.95 threshold)."""
+    got = sparkflow.QUERIES["llm_semdedup"](spark, sf_small).toPandas()
+    emb = spark.read.parquet(f"{sf_small}/embeddings.parquet").toPandas()
+    expected = {
+        (v, v + 100000) for v in emb["vec_id"] if v % 20 == 0
+    }
+    assert set(zip(got["vec_a"], got["vec_b"])) == expected
+    assert (got["cosine_q"] == 1.0).all()
