@@ -800,3 +800,52 @@ def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "first_touch_click",
         "last_touch_click",
     )
+
+
+@register(
+    "events_retention_cohort",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             MIN(epoch_us(ts) // 604800000000) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT e.user_id,
+             f.cohort_week,
+             (epoch_us(e.ts) // 604800000000) - f.cohort_week AS week_offset
+      FROM events e JOIN firsts f ON e.user_id = f.user_id
+    )
+    SELECT CAST(cohort_week AS BIGINT) AS cohort_week,
+           CAST(week_offset AS BIGINT) AS week_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_active_users
+    FROM activity GROUP BY cohort_week, week_offset
+    """,
+)
+def events_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-seen week, counted as
+    active in each subsequent week — the triangle matrix behind every
+    retention dashboard. Two passes expressed as one plan: per-user min
+    (the cohort) rejoined to the activity stream, then distinct
+    (user, week) counting per (cohort, offset).
+
+    Scale: both aggregations key on user_id / (cohort, offset) with
+    map-side partials; the firsts table is user-cardinality (broadcast
+    when users ≪ events, AQE's call). Epoch-week integer division is
+    identical in both engines."""
+    ev = table(spark, sf_dir, "events")
+    week = F.expr("unix_micros(ts) div 604800000000")
+    firsts = ev.groupBy("user_id").agg(F.min(week).alias("cohort_week"))
+    activity = (
+        ev.select("user_id", week.alias("w"))
+        .join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (F.col("w") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort_week", "week_offset").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_active_users")
+    )
