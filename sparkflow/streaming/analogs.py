@@ -849,3 +849,53 @@ def events_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     return activity.groupBy("cohort_week", "week_offset").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_active_users")
     )
+
+
+@register(
+    "events_anomaly_zscore",
+    oracle="""
+    WITH c AS (
+      SELECT event_id, user_id,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS x
+      FROM events
+    ),
+    stats AS (
+      SELECT user_id, COUNT(*) AS n, SUM(x) AS s, SUM(x * x) AS q
+      FROM c GROUP BY user_id
+    )
+    SELECT c.event_id, c.user_id,
+           CAST(c.n * c.x - c.s AS BIGINT) AS dev_num,
+           ((c.n * c.x - c.s) * (c.n * c.x - c.s)
+              > 9 * (c.n * c.q - c.s * c.s)) AS is_anomaly
+    FROM (SELECT c.*, s.n, s.s, s.q FROM c JOIN stats s USING (user_id)) c
+    WHERE c.n >= 10
+    """,
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score anomaly flags (|x − μ| > 3σ per user) with NO floating
+    point: the test (n·x − S)² > 9·(n·Q − S²) is algebra-identical to
+    z² > 9 over population moments (S = Σx, Q = Σx², cents-integer x)
+    and stays entirely in int64 — the determinism trick that makes an
+    anomaly detector reproducible across engines, partitionings, and
+    reruns (a double-σ threshold flickers on re-aggregation order).
+
+    Scale: one moments pass per user (algebraic, map-side partials), one
+    rejoin — the same two-pass shape as the versioned-dim join; the
+    per-user moments table broadcasts when users ≪ events."""
+    ev = table(spark, sf_dir, "events")
+    c = ev.select("event_id", "user_id", cents("value").alias("x"))
+    stats = c.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("s"),
+        F.sum(F.col("x") * F.col("x")).alias("q"),
+    )
+    j = c.join(F.broadcast(stats), "user_id").filter(F.col("n") >= 10)
+    dev = F.col("n") * F.col("x") - F.col("s")
+    return j.select(
+        "event_id",
+        "user_id",
+        dev.cast("bigint").alias("dev_num"),
+        (dev * dev > 9 * (F.col("n") * F.col("q") - F.col("s") * F.col("s"))).alias(
+            "is_anomaly"
+        ),
+    )

@@ -365,3 +365,27 @@ def test_asof_forward_backward_bracket_probe(spark, sf_small):
             pd.Timestamp("2024-01-01") + pd.Timedelta(seconds=int(r.o_orderkey) % 2592000)
         ).value // 1000
         assert ev[r.asof_event_id] <= probe_us <= ev[r.next_event_id]
+
+
+def test_anomaly_zscore_matches_float_recompute(spark, sf_small):
+    """The integer formulation must agree with the plain float z-score
+    away from the boundary, and some (but not all) events must flag."""
+    got = sparkflow.QUERIES["events_anomaly_zscore"](spark, sf_small).toPandas()
+    assert got["is_anomaly"].any() and not got["is_anomaly"].all()
+    ev = (
+        spark.read.parquet(f"{sf_small}/events.parquet")
+        .selectExpr("event_id", "user_id", "value")
+        .toPandas()
+    )
+    ev["x"] = (ev["value"] * 100).round().astype("int64")
+    flag = dict(zip(got["event_id"], got["is_anomaly"]))
+    import numpy as np
+
+    for uid, g in ev.groupby("user_id"):
+        if len(g) < 10:
+            continue
+        mu, sd = g["x"].mean(), g["x"].std(ddof=0)
+        for eid, x in zip(g["event_id"], g["x"]):
+            z2 = ((x - mu) / sd) ** 2 if sd else 0.0
+            if abs(z2 - 9) > 1e-6:  # away from the exact boundary
+                assert flag[eid] == (z2 > 9), (eid, z2)
