@@ -531,3 +531,50 @@ def llm_word_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "llm_bpe_pair_counts",
+    oracle="""
+    WITH words AS (
+      SELECT tok, COUNT(*) AS freq FROM (
+        SELECT UNNEST(string_split(text, ' ')) AS tok FROM documents
+      ) GROUP BY tok
+    ),
+    pairs AS (
+      SELECT tok, freq, substr(tok, i, 1) AS c1, substr(tok, i + 1, 1) AS c2
+      FROM words, LATERAL (SELECT UNNEST(range(1, len(tok)))) t(i)
+      WHERE len(tok) >= 2
+    )
+    SELECT c1, c2, CAST(SUM(freq) AS BIGINT) AS pair_count
+    FROM pairs GROUP BY c1, c2
+    """,
+)
+def llm_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first round of BPE tokenizer training: corpus-weighted
+    adjacent character-pair frequencies (the pair with the max count is
+    the first merge). The trick that makes this cheap at 100 TB: pair
+    enumeration runs over the DISTINCT word table (vocabulary-sized,
+    not corpus-sized) and corpus weights arrive as one count per word —
+    exactly how production BPE trainers pre-aggregate before merging.
+    One corpus scan for word counts; everything after is
+    vocab-bounded."""
+    d = table(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    chars = words.filter(F.length("tok") >= 2).select(
+        "tok",
+        "freq",
+        F.posexplode(F.split(F.col("tok"), "(?!^)(?=.)")).alias("pos", "c1"),
+    )
+    w = Window.partitionBy("tok").orderBy("pos")
+    pairs = (
+        chars.withColumn("c2", F.lead("c1").over(w))
+        .filter(F.col("c2").isNotNull())
+    )
+    return pairs.groupBy("c1", "c2").agg(
+        F.sum("freq").cast("bigint").alias("pair_count")
+    )
