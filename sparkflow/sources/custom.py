@@ -68,7 +68,13 @@ class DocMetaSource(DataSource):
 
 def _stage_files(spark: SparkSession, sf_dir: str) -> str:
     """Export documents metadata to the custom line format, once per
-    (application, sf). Files get deterministic doc_id-range splits."""
+    (application, sf). Files get deterministic doc_id-range splits.
+
+    FIXTURE STAGING, not the operator's data path: this materializes the
+    foreign format the connector exists to read (in production that data
+    already lives in the external system). The driver-side toPandas here
+    is the test harness building its fixture; the connector itself reads
+    partition-parallel with no driver involvement."""
     sfkey = sf_dir.rstrip("/").rsplit("/", 1)[-1]
     out = os.path.join(
         _TMP, "docmeta", spark.sparkContext.applicationId, sfkey
