@@ -482,3 +482,29 @@ def fn_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
         parsed.getField("k").alias("k_parsed"),
         parsed.getField("type").alias("type_parsed"),
     )
+
+
+@register(
+    "fn_mask",
+    oracle="""
+    SELECT event_id,
+           regexp_replace(regexp_replace(regexp_replace(
+             event_type || '-' || CAST(user_id AS VARCHAR),
+             '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g')
+             AS masked
+    FROM events WHERE event_id < 2000
+    """,
+)
+def fn_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data masking (`F.mask`): redact a value while preserving its
+    shape — uppercase→X, lowercase→x, digits→n — the reversible-format
+    redaction used for log shipping and PII-safe debugging. One JVM
+    expression; the oracle reproduces it with three character-class
+    replaces."""
+    ev = table(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    return ev.select(
+        "event_id",
+        F.mask(
+            F.concat_ws("-", "event_type", F.col("user_id").cast("string"))
+        ).alias("masked"),
+    )

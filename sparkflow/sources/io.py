@@ -260,3 +260,65 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(os.path.join(base, "v1"), os.path.join(base, "v2"))
         .select("event_id", "user_id", "value")
     )
+
+
+@register(
+    "scan_json_corrupt",
+    oracle="""
+    SELECT CAST(COUNT(*) FILTER (event_id % 97 <> 0) AS BIGINT) AS n_good,
+           CAST(COUNT(*) FILTER (event_id % 97 = 0) AS BIGINT) AS n_corrupt,
+           CAST(SUM(CASE WHEN event_id % 97 <> 0
+                         THEN CAST(json_extract_string(props, '$.k') AS BIGINT)
+                    END) AS BIGINT) AS k_total
+    FROM events WHERE event_id < 5000
+    """,
+)
+def scan_json_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dirty-data ingestion: a JSONL feed where every 97th record is
+    malformed (truncated JSON), read in PERMISSIVE mode — bad rows land
+    in the _corrupt_record column instead of failing the job, and the
+    operator reports good/corrupt counts plus an aggregate over the
+    parseable rows. At 100 TB a FAILFAST reader dies on the first bad
+    byte of a crawl; PERMISSIVE + corrupt-row routing is the production
+    posture (the side-output pattern at the parser level). The staging
+    export corrupts deterministically (event_id % 97), so the oracle
+    recomputes expectations from the clean table."""
+    sfkey = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    out = os.path.join(
+        _TMP, "jsonl", spark.sparkContext.applicationId, f"events_{sfkey}"
+    )
+    if not os.path.isdir(out):
+        os.makedirs(out, exist_ok=True)
+        ev = (
+            table(spark, sf_dir, "events")
+            .filter(F.col("event_id") < 5000)
+            .select("event_id", "props")
+            .toPandas()
+            .sort_values("event_id")
+        )
+        with open(os.path.join(out, "feed.jsonl"), "w", encoding="utf-8") as fh:
+            for r in ev.itertuples():
+                line = f'{{"event_id": {r.event_id}, "props": {r.props}}}'
+                if r.event_id % 97 == 0:
+                    line = line[: len(line) // 2]  # truncate -> malformed
+                fh.write(line + "\n")
+    df = (
+        spark.read.schema(
+            "event_id BIGINT, props STRUCT<k: BIGINT>, _corrupt_record STRING"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(out)
+    )
+    df = df.cache()  # corrupt-record column requires the cached raw plan
+    return df.agg(
+        F.count(F.when(F.col("_corrupt_record").isNull(), 1))
+        .cast("bigint")
+        .alias("n_good"),
+        F.count(F.when(F.col("_corrupt_record").isNotNull(), 1))
+        .cast("bigint")
+        .alias("n_corrupt"),
+        F.sum(F.when(F.col("_corrupt_record").isNull(), F.col("props.k")))
+        .cast("bigint")
+        .alias("k_total"),
+    )
