@@ -608,3 +608,97 @@ def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cosine_q"),
         )
     )
+
+
+@register(
+    "llm_hard_negatives",
+    oracle="""
+    WITH sub AS (
+      SELECT vec_id, label, embedding FROM embeddings
+    ),
+    dims AS (
+      SELECT vec_id, label, d AS dim,
+             CAST(FLOOR(CAST(embedding[d + 1] AS DOUBLE) * 100 + 0.5)
+                  AS BIGINT) AS q
+      FROM sub, LATERAL (SELECT UNNEST(range(0, len(embedding)))) t(d)
+    ),
+    norms AS (SELECT vec_id, SUM(q * q) AS n2 FROM dims GROUP BY vec_id),
+    queries AS (SELECT vec_id, label FROM sub WHERE vec_id % 50 = 0),
+    dots AS (
+      SELECT qd.vec_id AS query_id, cd.vec_id AS cand_id,
+             SUM(qd.q * cd.q) AS dot
+      FROM dims qd
+      JOIN queries qq ON qq.vec_id = qd.vec_id
+      JOIN dims cd ON cd.dim = qd.dim AND cd.label <> qq.label
+      GROUP BY qd.vec_id, cd.vec_id
+    ),
+    scored AS (
+      SELECT d.query_id, d.cand_id,
+             d.dot / SQRT(CAST(na.n2 AS DOUBLE) * nb.n2) AS cos_sim
+      FROM dots d
+      JOIN norms na ON na.vec_id = d.query_id
+      JOIN norms nb ON nb.vec_id = d.cand_id
+    )
+    SELECT query_id, cand_id AS hard_negative_id, cos_sim
+    FROM scored
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, cand_id) = 1
+    """,
+)
+def llm_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for retrieval/contrastive training: for each
+    query vector, the MOST similar vector of a DIFFERENT label — the
+    negatives that actually teach the model a boundary (random negatives
+    are too easy). Top-1 per query with a (cosine desc, id) tiebreak.
+
+    Exactness: the same ×100 integer quantization as llm_semdedup makes
+    every dot exact; cosines divide exact ints under one IEEE sqrt, so
+    the ranking (and thus the argmax) is identical across engines.
+
+    Scale: this brute-force form scores every query against the full
+    cross-label corpus — correct as the referee, and fine for sampled
+    query sets; the production path prunes candidates with the ANN
+    machinery (llm_knn_ivf cells / LSH buckets) before exact rescoring,
+    exactly as this module's dedup pipeline does."""
+    e = table(spark, sf_dir, "embeddings")
+    dims = e.select(
+        "vec_id", "label", F.posexplode("embedding").alias("dim", "xf")
+    ).select(
+        "vec_id",
+        "label",
+        "dim",
+        F.floor(F.col("xf").cast("double") * 100 + 0.5).cast("long").alias("q"),
+    )
+    norms = dims.groupBy("vec_id").agg(F.sum(F.col("q") * F.col("q")).alias("n2"))
+    qd = (
+        dims.filter(F.col("vec_id") % 50 == 0)
+        .toDF("query_id", "q_label", "dim", "qq")
+    )
+    cd = dims.toDF("cand_id", "c_label", "dim", "qc")
+    dots = (
+        qd.join(cd, "dim")
+        .filter(F.col("c_label") != F.col("q_label"))
+        .groupBy("query_id", "cand_id")
+        .agg(F.sum(F.col("qq") * F.col("qc")).alias("dot"))
+    )
+    na = norms.toDF("query_id", "na2")
+    nb = norms.toDF("cand_id", "nb2")
+    scored = (
+        dots.join(F.broadcast(na), "query_id")
+        .join(F.broadcast(nb), "cand_id")
+        .select(
+            "query_id",
+            "cand_id",
+            (
+                F.col("dot") / F.sqrt(F.col("na2").cast("double") * F.col("nb2"))
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("cand_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("query_id", F.col("cand_id").alias("hard_negative_id"), "cos_sim")
+    )

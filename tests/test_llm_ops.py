@@ -337,3 +337,34 @@ def test_semdedup_finds_exactly_the_injected_copies(spark, sf_small):
     }
     assert set(zip(got["vec_a"], got["vec_b"])) == expected
     assert (got["cosine_q"] == 1.0).all()
+
+
+def test_hard_negatives_match_numpy_brute_force(spark, sf_small):
+    """The top-1 cross-label neighbor per query must equal an independent
+    numpy brute force over the same x100-quantized vectors (same
+    cosine-desc, id-asc tiebreak)."""
+    got = (
+        sparkflow.QUERIES["llm_hard_negatives"](spark, sf_small)
+        .toPandas()
+        .set_index("query_id")
+    )
+    emb = spark.read.parquet(f"{sf_small}/embeddings.parquet").toPandas()
+    q = np.stack(
+        [np.floor(np.asarray(v, dtype=np.float64) * 100 + 0.5) for v in emb["embedding"]]
+    ).astype(np.int64)
+    norms = (q * q).sum(axis=1)
+    ids = emb["vec_id"].to_numpy()
+    labels = emb["label"].to_numpy()
+    order = np.argsort(ids, kind="stable")
+    for qi in np.flatnonzero(ids % 50 == 0):
+        dots = q @ q[qi]
+        cos = dots / np.sqrt(norms.astype(np.float64) * norms[qi])
+        mask = labels != labels[qi]
+        # argmax by (cos desc, vec_id asc): scan in ascending-id order
+        best, best_cos = None, -2.0
+        for j in order:
+            if mask[j] and cos[j] > best_cos:
+                best, best_cos = ids[j], cos[j]
+        row = got.loc[ids[qi]]
+        assert row["hard_negative_id"] == best
+        assert abs(row["cos_sim"] - best_cos) <= 1e-12
