@@ -685,3 +685,74 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     return carried.filter(F.col("side") == 0).select(
         "o_orderkey", F.col("k").alias("user_id"), "next_event_id"
     )
+
+
+@register(
+    "join_bloom_filter",
+    oracle=f"""
+    SELECT l_returnflag, COUNT(*) AS n_lines,
+           {sql_dsum('l_extendedprice', 'total_price')}
+    FROM lineitem
+    WHERE l_suppkey IN (SELECT s_suppkey FROM supplier WHERE s_nationkey < 5)
+    GROUP BY l_returnflag
+    """,
+)
+def join_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime-filter join (Flink's dynamic filtering / Spark's own
+    InjectRuntimeFilter, done explicitly): the build side's keys are
+    folded into a 1024-bit bloom filter ON THE DRIVER (16 longs — the
+    standard engine move: the build side is dim-sized by construction,
+    and a bloom is the only thing collected, never data rows), the
+    filter ships inside the plan as a literal array, and the fact scan
+    drops non-members with two xxhash64 probes BEFORE any join. The
+    exact semi-join that follows removes bloom false positives, so the
+    result is byte-identical to the plain semi-join oracle regardless
+    of hash choice or bloom size.
+
+    Scale: for broadcast-able dims Spark already semi-joins without a
+    shuffle; the bloom's value is the SMJ regime (both sides big) —
+    membership pruning happens map-side before the fact rows are
+    shuffled, cutting exchange volume by the filter's selectivity. The
+    pre-filter is a pure expression, so it rides inside the scan's
+    WholeStageCodegen span."""
+    _BITS = 1024  # 16 longs; size ~10 bits/key at dim scale, config at 100 TB
+    supp = table(spark, sf_dir, "supplier").filter(F.col("s_nationkey") < 5)
+    keys = supp.select(F.col("s_suppkey").alias("k"))
+
+    def positions(col):  # two independent probe positions per key
+        return [F.pmod(F.xxhash64(F.lit(i), col), F.lit(_BITS)) for i in (1, 2)]
+
+    bits = keys.select(
+        F.explode(F.array(*positions(F.col("k")))).alias("pos")
+    ).select(
+        (F.col("pos") / 64).cast("int").alias("word"),
+        # pyspark's shiftleft() only takes a literal bit count — SQL text
+        # accepts a column expression
+        F.expr("shiftleft(1L, cast(pmod(pos, 64) as int))").alias("bit"),
+    )
+    words = {
+        r["word"]: r["w"]
+        for r in bits.groupBy("word").agg(F.bit_or("bit").alias("w")).collect()
+    }
+    bloom_sql = (
+        "array(" + ", ".join(f"{words.get(i, 0)}L" for i in range(_BITS // 64)) + ")"
+    )
+
+    def member(seed):  # bit test: bloom[p/64] >> (p%64) & 1, p = hash position
+        p = f"pmod(xxhash64({seed}, l_suppkey), {_BITS})"
+        return (
+            f"(shiftright(element_at({bloom_sql}, cast({p} / 64 as int) + 1), "
+            f"cast(pmod({p}, 64) as int)) & 1L) = 1"
+        )
+
+    li = table(spark, sf_dir, "lineitem")
+    candidates = li.filter(F.expr(member(1)) & F.expr(member(2)))
+    confirmed = candidates.join(
+        F.broadcast(supp.select("s_suppkey")),
+        candidates.l_suppkey == F.col("s_suppkey"),
+        "left_semi",
+    )
+    return confirmed.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        dsum("l_extendedprice", "total_price"),
+    )

@@ -128,3 +128,51 @@ def sql_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("update")
         .alias("merge_action"),
     )
+
+
+_RECURSIVE_SQL = """
+    WITH RECURSIVE edges AS (
+      SELECT DISTINCT src, dst FROM (
+        SELECT event_type AS src,
+               LEAD(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS dst
+        FROM {events}
+      ) t
+      WHERE dst IS NOT NULL AND dst <> src
+    ),
+    walk(node, hops) AS (
+      SELECT 'signup', 0
+      UNION ALL
+      SELECT e.dst, w.hops + 1
+      FROM walk w JOIN edges e ON e.src = w.node
+      WHERE w.hops < 3
+    )
+    SELECT node, MIN(hops) AS min_hops, COUNT(*) AS n_walks
+    FROM walk
+    GROUP BY node
+    ORDER BY min_hops, node
+"""
+
+
+@register(
+    "sql_recursive",
+    oracle=_RECURSIVE_SQL.format(events="events"),
+)
+def sql_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4's WITH RECURSIVE — the Flink iterative /
+    Table-API-connect-by gap, closed in SQL): BFS over the event-type
+    transition graph. Edges are DISTINCT consecutive per-user
+    transitions (lead over (user_id, ts)); the recursion expands walks
+    from the 'signup' seed up to 3 hops, then aggregates min-hop
+    distance and bounded-walk counts per reachable node. The oracle is
+    the SAME statement text — DuckDB and Spark 4 share the syntax.
+
+    Scale: each recursion step is one self-join against the edge table —
+    Catalyst plans it as iterated joins with the depth bound as the
+    termination guard. The edge table is vocabulary-sized (|types|²
+    rows regardless of event count), so every step is a broadcast join;
+    the only data-sized work is the one window pass deriving edges. For
+    unbounded-depth reachability on big graphs, pointer doubling
+    (llm_dedup_clusters) is the O(log d) alternative."""
+    table(spark, sf_dir, "events").createOrReplaceTempView("sparkflow_sql_events")
+    return spark.sql(_RECURSIVE_SQL.format(events="sparkflow_sql_events"))

