@@ -200,3 +200,73 @@ def sort_within_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(8, "user_id")
         .sortWithinPartitions("user_id", "ts", "event_id")
     )
+
+
+def _morton16(x: str, y: str) -> str:
+    """SQL text for a 16-bit Morton (Z-order) code interleaving two 8-bit
+    coordinates — `<<`/`>>`/`&`/`|` evaluate identically in Spark SQL and
+    DuckDB, so one generated expression serves engine and oracle."""
+    terms = [f"((({x} >> {i}) & 1) << {2 * i})" for i in range(8)]
+    terms += [f"((({y} >> {i}) & 1) << {2 * i + 1})" for i in range(8)]
+    return "(" + " + ".join(terms) + ")"
+
+
+_Z_CELL = _morton16("zx", "zy") + " >> 8"
+
+
+@register(
+    "sort_zorder_layout",
+    oracle=f"""
+    WITH coords AS (
+      SELECT CAST(FLOOR(l_partkey * 256.0 /
+                        ((SELECT MAX(l_partkey) FROM lineitem) + 1))
+                  AS BIGINT) AS zx,
+             CAST(FLOOR(l_suppkey * 256.0 /
+                        ((SELECT MAX(l_suppkey) FROM lineitem) + 1))
+                  AS BIGINT) AS zy
+      FROM lineitem
+    )
+    SELECT {_Z_CELL} AS z_cell, COUNT(*) AS n_rows,
+           MIN(zx) AS min_x, MAX(zx) AS max_x,
+           MIN(zy) AS min_y, MAX(zy) AS max_y
+    FROM coords GROUP BY 1
+    """,
+)
+def sort_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering — the multi-dimensional file-layout
+    lever behind Delta/Iceberg OPTIMIZE ZORDER: interleave the bits of
+    two range-bucketed columns so that sorting by ONE key co-locates
+    rows that are close in BOTH dimensions, letting min/max footer stats
+    skip files for predicates on either column. The registered query
+    reports per-z-cell bounding boxes (each 16×16-cell must bound both
+    dims tightly — the skipping property itself, oracle-checked);
+    the companion pytest writes a repartitionByRange(z) layout and
+    verifies per-file footer spans shrink vs the natural order.
+
+    Scale: the z-value is pure bit arithmetic in the scan's codegen
+    span, and the layout write is repartitionByRange (sampled split
+    points) — the same distributed sort any 100 TB OPTIMIZE runs; no
+    driver bottleneck anywhere."""
+    li = table(spark, sf_dir, "lineitem")
+    bounds = li.agg(
+        F.max("l_partkey").alias("maxp"), F.max("l_suppkey").alias("maxs")
+    )
+    coords = li.crossJoin(F.broadcast(bounds)).select(
+        F.floor(F.col("l_partkey") * 256.0 / (F.col("maxp") + 1))
+        .cast("long")
+        .alias("zx"),
+        F.floor(F.col("l_suppkey") * 256.0 / (F.col("maxs") + 1))
+        .cast("long")
+        .alias("zy"),
+    )
+    return (
+        coords.withColumn("z_cell", F.expr(_Z_CELL))
+        .groupBy("z_cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("zx").alias("min_x"),
+            F.max("zx").alias("max_x"),
+            F.min("zy").alias("min_y"),
+            F.max("zy").alias("max_y"),
+        )
+    )

@@ -182,3 +182,58 @@ def test_recursive_cte_executes_and_bounds_depth(spark, sf_small):
     assert pdf["min_hops"].max() <= 3
     assert pdf.loc[pdf["node"] == "signup", "min_hops"].iloc[0] == 0
     assert (pdf["n_walks"] > 0).all()
+
+
+def test_zorder_layout_shrinks_file_bounding_boxes(spark, sf_small, tmp_path):
+    """Writing lineitem in z-order (repartitionByRange on the morton key)
+    must give parquet files whose per-file min/max span a small box in
+    BOTH clustered dims — the footer-stats skipping property. Natural
+    (unsorted) layout spans nearly the full domain per file."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+    from sparkflow.catalog import table as cat_table
+    from sparkflow.operators.sort_set import _morton16
+
+    li = cat_table(spark, sf_small, "lineitem")
+    bounds = li.agg(
+        F.max("l_partkey").alias("maxp"), F.max("l_suppkey").alias("maxs")
+    )
+    z = (
+        li.crossJoin(F.broadcast(bounds))
+        .select(
+            "l_partkey",
+            "l_suppkey",
+            F.floor(F.col("l_partkey") * 256.0 / (F.col("maxp") + 1))
+            .cast("long")
+            .alias("zx"),
+            F.floor(F.col("l_suppkey") * 256.0 / (F.col("maxs") + 1))
+            .cast("long")
+            .alias("zy"),
+        )
+        .withColumn("z", F.expr(_morton16("zx", "zy")))
+    )
+
+    def avg_span(path, col):
+        spans, total = [], 0
+        import glob, os
+        for f in glob.glob(os.path.join(path, "*.parquet")):
+            md = pq.ParquetFile(f).metadata
+            lo, hi = None, None
+            idx = md.schema.to_arrow_schema().get_field_index(col)
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+            spans.append(hi - lo)
+            total += 1
+        assert total >= 4, f"want multiple files, got {total}"
+        return sum(spans) / len(spans)
+
+    zdir, ndir = str(tmp_path / "zorder"), str(tmp_path / "natural")
+    z.repartitionByRange(32, "z").write.mode("overwrite").parquet(zdir)
+    z.repartition(32).write.mode("overwrite").parquet(ndir)
+
+    domain = z.agg(F.max("l_partkey") - F.min("l_partkey")).collect()[0][0]
+    for col in ("l_partkey", "l_suppkey"):
+        assert avg_span(zdir, col) < 0.55 * avg_span(ndir, col), col
+    assert avg_span(ndir, "l_partkey") > 0.9 * domain  # natural ~full span
