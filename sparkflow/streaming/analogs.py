@@ -899,3 +899,126 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_anomaly"
         ),
     )
+
+
+@register(
+    "events_ohlc",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS hour_start, event_type,
+           (MIN(struct_pack(t := ts, e := event_id, v := value))).v AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           (MAX(struct_pack(t := ts, e := event_id, v := value))).v AS close,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC candle downsampling — the canonical time-series rollup
+    (market data, metrics): per hour × type, the first/last value by
+    event time plus the high/low. First/last ride on lexicographic
+    MIN/MAX over a (ts, event_id, value) struct — a single partial-
+    aggregable pass (no window, no self-join), deterministic because
+    (ts, event_id) is unique, and bit-exact because the selected value
+    is copied, never recomputed. Flink-side: tumbling window +
+    ProcessWindowFunction keeping first/last/min/max accumulators.
+
+    Scale: one map-side-combining hash aggregate — the same shape as
+    agg_hash_group; no shuffle beyond the (hour, type) group exchange,
+    no ordering requirement on input splits."""
+    ev = table(spark, sf_dir, "events")
+    s = F.struct(F.col("ts").alias("t"), F.col("event_id").alias("e"), F.col("value").alias("v"))
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", "ts").alias("hour_start"), "event_type"
+        )
+        .agg(
+            F.min(s).getField("v").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(s).getField("v").alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+@register(
+    "events_interpolate_linear",
+    oracle="""
+    WITH anchors AS (
+      SELECT user_id, epoch_us(ts) // 1000000 // 3600 AS h,
+             (MAX(struct_pack(t := ts, e := event_id, v := value))).v AS v
+      FROM events GROUP BY 1, 2
+    ),
+    nx AS (
+      SELECT user_id, h, v,
+             LEAD(h) OVER (PARTITION BY user_id ORDER BY h) AS nh,
+             LEAD(v) OVER (PARTITION BY user_id ORDER BY h) AS nv
+      FROM anchors
+    ),
+    filled AS (
+      SELECT user_id, g AS h,
+             v + (nv - v) * (g - h) / (nh - h) AS value,
+             CAST(1 AS INT) AS is_interpolated
+      FROM nx, LATERAL (SELECT UNNEST(range(h + 1, nh))) t(g)
+      WHERE nh IS NOT NULL AND nh > h + 1
+    )
+    SELECT user_id,
+           make_timestamp(h * CAST(3600000000 AS BIGINT)) AS hour_start,
+           value, is_interpolated
+    FROM (
+      SELECT user_id, h, v AS value, CAST(0 AS INT) AS is_interpolated
+      FROM anchors
+      UNION ALL SELECT * FROM filled
+    ) u
+    """,
+)
+def events_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-interpolation gap fill — the numeric twin of
+    stream_gap_fill's carry-forward: per user, hourly anchor points
+    (last value in each observed hour, struct-max deterministic), then
+    every missing hour between consecutive anchors gets
+    v1 + (v2-v1)·(t-t1)/(t2-t1). The interpolation expression is the
+    SAME text in both engines, so the IEEE double sequence — and hence
+    the hash — is identical.
+
+    Scale: one hash aggregate + one lead window + an explode whose
+    output is bounded by the filled range, all partitioned by user_id —
+    no joins, no driver state. Flink-side: KeyedProcessFunction with a
+    pending-gap buffer flushed when the next element arrives."""
+    ev = table(spark, sf_dir, "events")
+    s = F.struct(F.col("ts").alias("t"), F.col("event_id").alias("e"), F.col("value").alias("v"))
+    anchors = ev.groupBy(
+        "user_id",
+        (F.unix_micros("ts") / 1000000 / 3600).cast("long").alias("h"),
+    ).agg(F.max(s).getField("v").alias("v"))
+    w = Window.partitionBy("user_id").orderBy("h")
+    nx = anchors.select(
+        "user_id", "h", "v",
+        F.lead("h").over(w).alias("nh"),
+        F.lead("v").over(w).alias("nv"),
+    )
+    filled = (
+        nx.filter(F.col("nh").isNotNull() & (F.col("nh") > F.col("h") + 1))
+        .select(
+            "user_id", "v", "nv", "h", "nh",
+            F.explode(F.sequence(F.col("h") + 1, F.col("nh") - 1)).alias("g"),
+        )
+        .select(
+            "user_id",
+            F.col("g").alias("h"),
+            F.expr("v + (nv - v) * (g - h) / (nh - h)").alias("value"),
+            F.lit(1).cast("int").alias("is_interpolated"),
+        )
+    )
+    base = anchors.select(
+        "user_id", "h", F.col("v").alias("value"),
+        F.lit(0).cast("int").alias("is_interpolated"),
+    )
+    return base.unionByName(filled).select(
+        "user_id",
+        F.timestamp_micros(F.col("h") * F.lit(3600000000).cast("long")).alias("hour_start"),
+        "value",
+        "is_interpolated",
+    )
