@@ -196,3 +196,52 @@ def udtf_table_arg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """
     )
+
+
+@register(
+    "udf_map_in_arrow",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                         AS BIGINT)) AS BIGINT) AS revenue_cents
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow — the lowest-overhead Python extension point: batches
+    arrive as raw pyarrow RecordBatches (no pandas conversion at all),
+    ideal for columnar libraries that speak Arrow natively (polars,
+    numpy via zero-copy buffers). Here each batch computes discounted
+    revenue in integer cents with pyarrow.compute kernels; Spark then
+    finishes the group-by. The batch step is a pure map — partial
+    aggregation stays in the JVM, so the shuffle carries only
+    per-batch-reduced columns.
+
+    The cents math mirrors oracle_compat: floor(x·100 + 0.5) on the
+    IEEE product, computed by pc.floor on float64 — bit-identical to
+    both the JVM expression and DuckDB."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def per_batch(batches):
+        for b in batches:
+            price = b.column("l_extendedprice")
+            disc = b.column("l_discount")
+            rev = pc.multiply(price, pc.subtract(pa.scalar(1.0), disc))
+            cents = pc.cast(
+                pc.floor(pc.add(pc.multiply(rev, pa.scalar(100.0)), pa.scalar(0.5))),
+                pa.int64(),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [b.column("l_returnflag"), cents], ["l_returnflag", "rev_cents"]
+            )
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_discount"
+    )
+    mapped = li.mapInArrow(per_batch, "l_returnflag string, rev_cents long")
+    return mapped.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum("rev_cents").cast("bigint").alias("revenue_cents"),
+    )

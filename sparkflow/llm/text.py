@@ -578,3 +578,56 @@ def llm_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.groupBy("c1", "c2").agg(
         F.sum("freq").cast("bigint").alias("pair_count")
     )
+
+
+@register(
+    "llm_unigram_surprise",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents
+    ),
+    model AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+    total AS (SELECT COUNT(*) AS n FROM toks)
+    SELECT t.doc_id,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(LENGTH(bin((SELECT n FROM total) // m.c)) - 1)
+                AS BIGINT) AS surprise_total,
+           CAST(SUM(LENGTH(bin((SELECT n FROM total) // m.c)) - 1) AS DOUBLE)
+             / COUNT(*) AS surprise_mean
+    FROM toks t JOIN model m ON m.tok = t.tok
+    GROUP BY t.doc_id
+    """,
+)
+def llm_unigram_surprise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality scoring under a corpus unigram LM:
+    per-token surprisal ⌊log₂(N/c_tok)⌋, summed and averaged per doc.
+    High-surprise docs are gibberish/rare-vocab candidates; low-surprise
+    docs are boilerplate — both tails get cut in LLM data curation.
+
+    Exactness: ⌊log₂(N/c)⌋ = ⌊log₂(N div c)⌋ (no power of two lies
+    between N div c and N/c), and ⌊log₂(x)⌋ on integers is
+    length(bin(x))−1 — pure integer/string ops, bit-identical across
+    engines, no libm log in sight. The mean is one exact int-ratio
+    division.
+
+    Scale: tokenize-explode (map-side), a vocabulary-sized model
+    aggregate, one broadcast-able model join back onto the token
+    stream, one per-doc aggregate — the same two-shuffle shape as
+    llm_tfidf_top_terms."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    model = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    n_total = toks.select(F.count(F.lit(1)).alias("n"))
+    scored = (
+        toks.join(model, "tok")
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "doc_id",
+            (F.length(F.bin(F.expr("n div c"))) - 1).cast("long").alias("surprise"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("surprise").cast("bigint").alias("surprise_total"),
+        (F.sum("surprise").cast("double") / F.count(F.lit(1))).alias("surprise_mean"),
+    )
