@@ -756,3 +756,35 @@ def join_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_lines"),
         dsum("l_extendedprice", "total_price"),
     )
+
+
+@register(
+    "join_null_safe",
+    oracle="""
+    SELECT c.nk AS nation_key, COUNT(*) AS n_pairs
+    FROM (SELECT NULLIF(c_nationkey, 3) AS nk FROM customer) c
+    JOIN (SELECT NULLIF(s_nationkey, 3) AS nk FROM supplier) s
+      ON c.nk IS NOT DISTINCT FROM s.nk
+    GROUP BY c.nk
+    """,
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (`<=>` / IS NOT DISTINCT FROM): NULL matches
+    NULL instead of vanishing — the semantics dimension-key joins need
+    when 'unknown' is itself a key. Nulls are synthesized
+    deterministically (NULLIF on nationkey 3) since the fixtures are
+    null-free. Catalyst plans eqNullSafe as a standard hash join (the
+    null bucket is just one more key), so the scale shape is identical
+    to join_inner_equi — this row exists for the semantics, which
+    silently differ from `=` and are a classic migration bug."""
+    c = table(spark, sf_dir, "customer").select(
+        F.nullif(F.col("c_nationkey"), F.lit(3)).alias("nk_c")
+    )
+    s = table(spark, sf_dir, "supplier").select(
+        F.nullif(F.col("s_nationkey"), F.lit(3)).alias("nk_s")
+    )
+    return (
+        c.join(s, F.col("nk_c").eqNullSafe(F.col("nk_s")))
+        .groupBy(F.col("nk_c").alias("nation_key"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )

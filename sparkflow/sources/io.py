@@ -201,6 +201,7 @@ def sink_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out = os.path.join(_TMP, "foreachbatch_sink")
     shutil.rmtree(out, ignore_errors=True)
+    table(spark, sf_dir, "events")  # set nanosAsLong BEFORE the schema read
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
@@ -211,7 +212,6 @@ def sink_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(os.path.join(out, f"batch_{batch_id}"))
         )
 
-    table(spark, sf_dir, "events")  # ensure nanosAsLong conf
     q = (
         spark.readStream.schema(raw_schema)
         .parquet(f"{sf_dir}/events*.parquet")
@@ -321,4 +321,123 @@ def scan_json_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("_corrupt_record").isNull(), F.col("props.k")))
         .cast("bigint")
         .alias("k_total"),
+    )
+
+
+@register(
+    "stream_side_output",
+    oracle="""
+    SELECT 'main' AS route, event_type, COUNT(*) AS n_events
+    FROM events WHERE event_type <> 'error'
+    GROUP BY event_type
+    UNION ALL
+    SELECT 'dlq' AS route, event_type, COUNT(*) AS n_events
+    FROM events WHERE event_type = 'error'
+    GROUP BY event_type
+    """,
+)
+def stream_side_output(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Side output / dead-letter routing (Flink OutputTag): one
+    streaming pass splits each micro-batch into the main flow and a
+    DLQ (here: 'error' events), each written to its own sink inside a
+    single foreachBatch — the records are never read twice and never
+    dropped. The batch read-back re-aggregates both sinks with a route
+    tag; counts must reconcile with the one-pass SQL oracle.
+
+    Scale: the split is two filters over the SAME cached micro-batch
+    (persist + two writes — one source scan per batch); both sinks are
+    keyed parquet appends. This is the production posture for poison
+    records at 100 TB: quarantine, don't crash, don't re-read."""
+    import shutil
+
+    out = os.path.join(_TMP, spark.sparkContext.applicationId, "side_output")
+    shutil.rmtree(out, ignore_errors=True)
+    table(spark, sf_dir, "events")  # set nanosAsLong BEFORE the schema read
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+    def route(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.persist()
+        try:
+            (
+                batch_df.filter(F.col("event_type") != "error")
+                .write.mode("overwrite")
+                .parquet(os.path.join(out, "main", f"batch_{batch_id}"))
+            )
+            (
+                batch_df.filter(F.col("event_type") == "error")
+                .write.mode("overwrite")
+                .parquet(os.path.join(out, "dlq", f"batch_{batch_id}"))
+            )
+        finally:
+            batch_df.unpersist()
+
+    q = (
+        spark.readStream.schema(raw_schema)
+        .parquet(f"{sf_dir}/events*.parquet")
+        .writeStream.foreachBatch(route)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    def agg(route_name: str) -> DataFrame:
+        return (
+            spark.read.parquet(os.path.join(out, route_name, "batch_*"))
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(F.lit(route_name).alias("route"), "event_type", "n_events")
+        )
+
+    return agg("main").unionByName(agg("dlq"))
+
+
+@register(
+    "maintenance_compaction",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events,
+           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS value_cents
+    FROM events GROUP BY user_id
+    """,
+)
+def maintenance_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction (OPTIMIZE / Flink file-sink compaction): a
+    fragmented table staged as one file per day (~30 small files) is
+    rewritten as a few large files, sorted within partitions by user_id
+    so footer stats tighten. Content identity with the pre-compaction
+    data is the oracle; the pytest companion asserts the file count
+    actually shrank. Small files are the silent killer at 100 TB — task
+    scheduling and footer reads scale with file COUNT, not bytes; this
+    op is the remedy loop every lakehouse runs.
+
+    repartition(4) is an explicit round-robin shuffle to equal-size
+    outputs (coalesce would skip the shuffle but inherit skew);
+    sortWithinPartitions costs no extra exchange."""
+    sfkey = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    base = os.path.join(
+        _TMP, "compact", spark.sparkContext.applicationId, f"events_{sfkey}"
+    )
+    frag, packed = os.path.join(base, "fragmented"), os.path.join(base, "compacted")
+    ev = table(spark, sf_dir, "events")
+    if not os.path.isdir(frag):
+        ev.withColumn("day", F.dayofmonth("ts")).repartition(
+            32, "day"
+        ).write.partitionBy("day").mode("overwrite").parquet(frag)
+    if not os.path.isdir(packed):
+        (
+            spark.read.parquet(frag)
+            .repartition(4)
+            .sortWithinPartitions("user_id")
+            .write.mode("overwrite")
+            .parquet(packed)
+        )
+    return (
+        spark.read.parquet(packed)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long"))
+            .cast("bigint")
+            .alias("value_cents"),
+        )
     )

@@ -237,3 +237,21 @@ def test_zorder_layout_shrinks_file_bounding_boxes(spark, sf_small, tmp_path):
     for col in ("l_partkey", "l_suppkey"):
         assert avg_span(zdir, col) < 0.55 * avg_span(ndir, col), col
     assert avg_span(ndir, "l_partkey") > 0.9 * domain  # natural ~full span
+
+
+def test_compaction_shrinks_file_count(spark, sf_small):
+    """After maintenance_compaction runs, the compacted dir must hold
+    far fewer data files than the fragmented staging dir."""
+    import glob
+    import os
+
+    sparkflow.QUERIES["maintenance_compaction"](spark, sf_small).collect()
+    base = os.path.join(
+        "/tmp/sparkflow_io/compact",
+        spark.sparkContext.applicationId,
+        f"events_{sf_small.rstrip('/').rsplit('/', 1)[-1]}",
+    )
+    frag = glob.glob(os.path.join(base, "fragmented", "**", "*.parquet"), recursive=True)
+    packed = glob.glob(os.path.join(base, "compacted", "*.parquet"))
+    assert len(frag) >= 20, frag
+    assert len(packed) <= 4, packed
