@@ -1022,3 +1022,67 @@ def events_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         "is_interpolated",
     )
+
+
+_TSTAT_EXPR = (
+    "(CAST(s_a AS DOUBLE) / n_a - CAST(s_b AS DOUBLE) / n_b) / "
+    "SQRT(((CAST(q_a AS DOUBLE) - CAST(s_a AS DOUBLE) * s_a / n_a) / (n_a - 1)) / n_a"
+    " + ((CAST(q_b AS DOUBLE) - CAST(s_b AS DOUBLE) * s_b / n_b) / (n_b - 1)) / n_b)"
+)
+
+
+@register(
+    "events_ab_test",
+    oracle=f"""
+    WITH m AS (
+      SELECT
+        COUNT(*) FILTER (event_type = 'click') AS n_a,
+        SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+          FILTER (event_type = 'click') AS s_a,
+        SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+            * CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+          FILTER (event_type = 'click') AS q_a,
+        COUNT(*) FILTER (event_type = 'view') AS n_b,
+        SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+          FILTER (event_type = 'view') AS s_b,
+        SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+            * CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+          FILTER (event_type = 'view') AS q_b
+      FROM events WHERE event_type IN ('click', 'view')
+    )
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           CAST(s_a AS DOUBLE) / n_a / 100.0 AS mean_a,
+           CAST(s_b AS DOUBLE) / n_b / 100.0 AS mean_b,
+           {_TSTAT_EXPR} AS t_stat
+    FROM m
+    """,
+)
+def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's t-test between two event cohorts ('click' vs 'view'
+    values) — the A/B-experiment readout every event pipeline ends in.
+    One filtered-aggregation pass collects exact integer moments
+    (n, Σcents, Σcents²) for both cohorts simultaneously (no second
+    scan, no join); the t-statistic is then a single shared-text IEEE
+    expression over those six integers, so Spark and DuckDB produce the
+    same bits. The moments are partial-aggregable → map-side combine,
+    one 1-row reduce at any scale."""
+    c = cents("value")
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    is_a = F.col("event_type") == "click"
+    m = ev.agg(
+        F.count(F.when(is_a, 1)).cast("bigint").alias("n_a"),
+        F.sum(F.when(is_a, c)).alias("s_a"),
+        F.sum(F.when(is_a, c * c)).alias("q_a"),
+        F.count(F.when(~is_a, 1)).cast("bigint").alias("n_b"),
+        F.sum(F.when(~is_a, c)).alias("s_b"),
+        F.sum(F.when(~is_a, c * c)).alias("q_b"),
+    )
+    return m.select(
+        "n_a",
+        "n_b",
+        F.expr("CAST(s_a AS DOUBLE) / n_a / 100.0").alias("mean_a"),
+        F.expr("CAST(s_b AS DOUBLE) / n_b / 100.0").alias("mean_b"),
+        F.expr(_TSTAT_EXPR).alias("t_stat"),
+    )

@@ -368,3 +368,33 @@ def test_hard_negatives_match_numpy_brute_force(spark, sf_small):
         row = got.loc[ids[qi]]
         assert row["hard_negative_id"] == best
         assert abs(row["cos_sim"] - best_cos) <= 1e-12
+
+
+def test_embedding_pca_matches_numpy_fixed_point_replay(spark, sf_small):
+    """The relational power iteration must be BIT-IDENTICAL to a numpy
+    replay of the same integer recursion, and each step must not
+    decrease the Rayleigh quotient (the power-iteration invariant)."""
+    got = (
+        sparkflow.QUERIES["llm_embedding_pca"](spark, sf_small)
+        .toPandas()
+        .sort_values("dim")["component_e6"]
+        .to_numpy()
+    )
+    emb = spark.read.parquet(f"{sf_small}/embeddings.parquet").toPandas()
+    Q = np.floor(
+        np.stack(emb["embedding"].to_numpy()).astype(np.float64) * 100 + 0.5
+    ).astype(np.int64)
+    G = (Q.T @ Q).astype(object)  # python ints: no int64 overflow ambiguity
+    v = np.full(64, 10**6, dtype=object)
+
+    def tdiv(a, b):  # truncation toward zero, matching SQL `div`
+        return -((-a) // b) if a < 0 else a // b
+
+    rq = []
+    for _ in range(3):
+        w = G @ v
+        rq.append(float(v @ G @ v) / float(v @ v))
+        m = max(tdiv(max(abs(x) for x in w), 10**6), 1)
+        v = np.array([tdiv(x, m) for x in w], dtype=object)
+    assert [int(x) for x in got] == [int(x) for x in v]
+    assert all(b >= a * (1 - 1e-9) for a, b in zip(rq, rq[1:]))
