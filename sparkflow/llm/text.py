@@ -631,3 +631,53 @@ def llm_unigram_surprise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("surprise").cast("bigint").alias("surprise_total"),
         (F.sum("surprise").cast("double") / F.count(F.lit(1))).alias("surprise_mean"),
     )
+
+
+@register(
+    "llm_dataset_card_stats",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, source, COUNT(*) AS n_toks
+      FROM (SELECT doc_id, source, UNNEST(string_split(text, ' ')) AS tok
+            FROM documents) t
+      GROUP BY doc_id, source
+    ),
+    total AS (SELECT COUNT(*) AS n FROM documents)
+    SELECT d.source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(d.n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(t.n_toks) AS BIGINT) AS total_tokens,
+           CAST(COUNT(DISTINCT d.lang) AS BIGINT) AS n_langs,
+           STRING_AGG(DISTINCT d.lang, ',' ORDER BY d.lang) AS langs,
+           CAST(COUNT(*) AS DOUBLE) / (SELECT n FROM total) AS corpus_share
+    FROM documents d JOIN toks t ON t.doc_id = d.doc_id
+    GROUP BY d.source
+    """,
+)
+def llm_dataset_card_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card generator: the per-source mixture summary every
+    training-data release publishes (docs, chars, tokens, language
+    coverage, corpus share). One tokenize-count pass joined back to the
+    doc table, then a per-source rollup — two keyed shuffles; the
+    distinct-lang list is an ORDERED string_agg so output is
+    deterministic under any partitioning."""
+    d = table(spark, sf_dir, "documents")
+    toks = (
+        d.select("doc_id", "source", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("doc_id", "source")
+        .agg(F.count(F.lit(1)).alias("n_toks"))
+    )
+    total = d.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        d.join(toks.select("doc_id", "n_toks"), "doc_id")
+        .crossJoin(F.broadcast(total))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.sum("n_toks").cast("bigint").alias("total_tokens"),
+            F.countDistinct("lang").cast("bigint").alias("n_langs"),
+            F.array_join(F.array_sort(F.collect_set("lang")), ",").alias("langs"),
+            (F.count(F.lit(1)).cast("double") / F.first("n")).alias("corpus_share"),
+        )
+    )

@@ -18,7 +18,7 @@ different accumulation algorithms (documented per-query).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
@@ -626,4 +626,47 @@ def agg_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(int(m["n_rows"]), int(m["n_errors"]), m["cents"] / 100.0)],
         "n_rows BIGINT, n_errors BIGINT, value_total DOUBLE",
+    )
+
+
+@register(
+    "agg_mode",
+    oracle="""
+    WITH counts AS (
+      SELECT c_mktsegment, o_orderpriority, COUNT(*) AS n
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY 1, 2
+    )
+    SELECT c_mktsegment, o_orderpriority AS mode_priority, n AS n_orders
+    FROM counts
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                               ORDER BY n DESC, o_orderpriority) = 1
+    """,
+)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic MODE (most frequent value) per group — built-in
+    mode() tie-breaks arbitrarily in BOTH engines (partition-order-
+    dependent: a nondeterminism this engine refuses to ship), so the
+    portable form is count + top-1 window with an explicit (count desc,
+    value) tiebreak. Two shuffles: the (group, value) count — map-side
+    combinable — then a window over groups whose input is already
+    reduced to distinct values per group."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    counts = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("n").desc(), F.col("o_orderpriority")
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "c_mktsegment",
+            F.col("o_orderpriority").alias("mode_priority"),
+            F.col("n").alias("n_orders"),
+        )
     )

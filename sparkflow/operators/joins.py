@@ -788,3 +788,54 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("nk_c").alias("nation_key"))
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
+
+
+@register(
+    "join_partition_pruned",
+    oracle="""
+    WITH fact AS (
+      SELECT event_id, user_id, CAST(day(ts) AS INT) AS day FROM events
+    ),
+    dim AS (
+      SELECT day, day % 7 AS dow FROM (SELECT DISTINCT day FROM fact) d
+    )
+    SELECT f.day, COUNT(*) AS n_events,
+           CAST(COUNT(DISTINCT f.user_id) AS BIGINT) AS n_users
+    FROM fact f JOIN dim ON dim.day = f.day AND dim.dow = 1
+    GROUP BY f.day
+    """,
+)
+def join_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: the fact table is LAID OUT partitioned
+    by day (staged once per app — fixture setup standing in for how a
+    100 TB event table is actually stored), the dim filter (dow = 1)
+    is only knowable at runtime, and Spark turns the broadcast build
+    side into a partition filter on the fact scan — only ~1/7 of the
+    day directories are read at all. This is THE mechanism that makes
+    star-schema queries on date-partitioned lakes cheap; the pytest
+    companion asserts `dynamicpruningexpression` lands on the scan."""
+    sfkey = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    import os
+
+    base = os.path.join(
+        "/tmp/sparkflow_io/dpp", spark.sparkContext.applicationId, f"events_{sfkey}"
+    )
+    ev = table(spark, sf_dir, "events")
+    if not os.path.isdir(base):
+        ev.select(
+            "event_id", "user_id", F.dayofmonth("ts").cast("int").alias("day")
+        ).write.partitionBy("day").mode("overwrite").parquet(base)
+    fact = spark.read.parquet(base)
+    dim = (
+        fact.select("day").distinct().select(
+            "day", (F.col("day") % 7).alias("dow")
+        )
+    )
+    return (
+        fact.join(F.broadcast(dim.filter(F.col("dow") == 1)), "day")
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        )
+    )

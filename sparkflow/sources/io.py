@@ -441,3 +441,61 @@ def maintenance_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("value_cents"),
         )
     )
+
+
+@register(
+    "scan_metadata_columns",
+    oracle="""
+    SELECT CASE WHEN event_id < 3000 THEN 'part_a.parquet'
+                WHEN event_id < 7000 THEN 'part_b.parquet'
+                ELSE 'part_c.parquet' END AS file_name,
+           COUNT(*) AS n_rows,
+           CAST(MIN(event_id) AS BIGINT) AS min_event_id,
+           CAST(MAX(event_id) AS BIGINT) AS max_event_id
+    FROM events GROUP BY 1
+    """,
+)
+def scan_metadata_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-lineage via the `_metadata` hidden column — row-level
+    provenance (which physical file did this row come from) with zero
+    schema intrusion; the lakehouse answer to 'which input shard
+    produced these bad rows'. Staging (fixture setup, not the operator)
+    splits events into three deterministically-named files by event_id
+    range, so the oracle can re-derive each row's file from the base
+    table alone. The operator reads the directory and aggregates per
+    `_metadata.file_name` — metadata columns are populated by the scan
+    itself (constant per split), cost-free at any scale."""
+    import pyarrow.parquet as pq
+
+    sfkey = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    base = os.path.join(
+        _TMP, "lineage", spark.sparkContext.applicationId, f"events_{sfkey}"
+    )
+    if not os.path.isdir(base):
+        os.makedirs(base, exist_ok=True)
+        pdf = (
+            table(spark, sf_dir, "events")
+            .select("event_id", "user_id")
+            .toPandas()
+            .sort_values("event_id")
+        )
+        import pyarrow as pa
+
+        cuts = {"part_a": pdf.event_id < 3000,
+                "part_b": (pdf.event_id >= 3000) & (pdf.event_id < 7000),
+                "part_c": pdf.event_id >= 7000}
+        for name, mask in cuts.items():
+            pq.write_table(
+                pa.Table.from_pandas(pdf[mask], preserve_index=False),
+                os.path.join(base, f"{name}.parquet"),
+            )
+    return (
+        spark.read.parquet(base)
+        .select("event_id", F.col("_metadata.file_name").alias("file_name"))
+        .groupBy("file_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("event_id").cast("bigint").alias("min_event_id"),
+            F.max("event_id").cast("bigint").alias("max_event_id"),
+        )
+    )

@@ -1086,3 +1086,75 @@ def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(s_b AS DOUBLE) / n_b / 100.0").alias("mean_b"),
         F.expr(_TSTAT_EXPR).alias("t_stat"),
     )
+
+
+@register(
+    "events_funnel_conversion",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN s1 ON s1.user_id = e.user_id
+      WHERE e.event_type = 'click' AND e.ts > s1.t1
+      GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN s2 ON s2.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+      GROUP BY e.user_id
+    )
+    SELECT (SELECT COUNT(*) FROM s1) AS n_view,
+           (SELECT COUNT(*) FROM s2) AS n_view_click,
+           (SELECT COUNT(*) FROM s3) AS n_full_funnel,
+           CAST((SELECT COUNT(*) FROM s2) AS DOUBLE)
+             / (SELECT COUNT(*) FROM s1) AS pct_click,
+           CAST((SELECT COUNT(*) FROM s3) AS DOUBLE)
+             / (SELECT COUNT(*) FROM s1) AS pct_full
+    """,
+)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel conversion-rate rollup (the aggregate readout over the CEP
+    funnel machinery): users reaching view → first later click → first
+    later purchase, as corpus-level counts and exact integer-ratio
+    conversion percentages. Each stage is a per-user MIN aggregate
+    joined to the previous stage's timestamps — three keyed aggregates
+    + three equi-joins on user_id, all partition-aligned on the same
+    key, so at scale the stages pipeline without re-shuffling."""
+    ev = table(spark, sf_dir, "events")
+    s1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    n1 = s1.agg(F.count(F.lit(1)).alias("n_view"))
+    n2 = s2.agg(F.count(F.lit(1)).alias("n_view_click"))
+    n3 = s3.agg(F.count(F.lit(1)).alias("n_full_funnel"))
+    return (
+        n1.crossJoin(n2)
+        .crossJoin(n3)
+        .select(
+            "n_view",
+            "n_view_click",
+            "n_full_funnel",
+            (F.col("n_view_click").cast("double") / F.col("n_view")).alias("pct_click"),
+            (F.col("n_full_funnel").cast("double") / F.col("n_view")).alias("pct_full"),
+        )
+    )

@@ -255,3 +255,11 @@ def test_compaction_shrinks_file_count(spark, sf_small):
     packed = glob.glob(os.path.join(base, "compacted", "*.parquet"))
     assert len(frag) >= 20, frag
     assert len(packed) <= 4, packed
+
+
+def test_dpp_prunes_fact_partitions(spark, sf_small):
+    """The day-partitioned fact scan must carry a dynamic pruning
+    expression fed by the dim broadcast — the runtime partition skip."""
+    df = sparkflow.QUERIES["join_partition_pruned"](spark, sf_small)
+    plan = formatted_plan(df).lower()
+    assert "dynamicpruning" in plan, plan[:2000]
