@@ -209,3 +209,85 @@ def llm_packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tok_offset",
         (F.col("tok_offset") / _PACK_BIN).cast("bigint").alias("bin_id"),
     )
+
+
+# deterministic mask selector: pure integer arithmetic, identical text in
+# both engines (no engine hash functions, whose seeds differ)
+_MASK = "((((doc_id * 131 + pos) % 1000003) * 2654435761) % 97) < 15"
+
+
+@register(
+    "llm_span_corruption",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, CAST(pos AS BIGINT) - 1 AS pos, tok
+      FROM (SELECT doc_id,
+                   UNNEST(string_split(text, ' ')) AS tok,
+                   generate_subscripts(string_split(text, ' '), 1) AS pos
+            FROM documents) t
+    ),
+    flagged AS (
+      SELECT doc_id, pos, tok, {_MASK} AS m
+      FROM toks
+    ),
+    runs AS (
+      SELECT doc_id, pos, tok, m,
+             COALESCE(LAG(m) OVER (PARTITION BY doc_id ORDER BY pos),
+                      FALSE) AS prev_m
+      FROM flagged
+    )
+    SELECT doc_id,
+           STRING_AGG(CASE WHEN NOT m THEN tok
+                           WHEN NOT prev_m THEN '<X>' END, ' ' ORDER BY pos)
+             AS corrupted_text,
+           STRING_AGG(CASE WHEN m THEN tok END, ' ' ORDER BY pos)
+             AS target_text,
+           CAST(COUNT(*) FILTER (m) AS BIGINT) AS n_masked
+    FROM runs GROUP BY doc_id
+    """,
+)
+def llm_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span-corruption prep: ~15% of tokens are masked by a
+    DETERMINISTIC arithmetic selector (pure modular integer math — no
+    engine hash whose seed differs), consecutive masked runs collapse
+    to a single `<X>` sentinel in the corrupted text, and the masked
+    tokens stream into the target side in order. This is the denoising-
+    objective data layout (corrupted input → span targets).
+
+    Scale: tokenize-explode, one lag window and one ordered-aggregate
+    per doc — everything partitions by doc_id; output is corpus-sized,
+    never wider than the input."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    ).select("doc_id", F.col("pos").cast("long").alias("pos"), "tok")
+    flagged = toks.withColumn("m", F.expr(_MASK))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    runs = flagged.withColumn(
+        "prev_m", F.coalesce(F.lag("m").over(w), F.lit(False))
+    )
+    piece = (
+        F.when(~F.col("m"), F.col("tok"))
+        .when(~F.col("prev_m"), F.lit("<X>"))
+        .otherwise(F.lit(None))
+    )
+    tgt = F.when(F.col("m"), F.col("tok"))
+
+    def ordered_join(col):
+        return F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(col.isNotNull(), F.struct(F.col("pos"), col.alias("p")))
+                    )
+                ),
+                lambda x: x["p"],
+            ),
+            " ",
+        )
+
+    return runs.groupBy("doc_id").agg(
+        ordered_join(piece).alias("corrupted_text"),
+        ordered_join(tgt).alias("target_text"),
+        F.count(F.when(F.col("m"), 1)).cast("bigint").alias("n_masked"),
+    )

@@ -839,3 +839,51 @@ def join_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("user_id").cast("bigint").alias("n_users"),
         )
     )
+
+
+@register(
+    "join_broadcast_nested_loop",
+    oracle=f"""
+    WITH bands AS (
+      SELECT r_regionkey AS band_id,
+             r_regionkey * 12000.0 AS lo,
+             (r_regionkey + 1) * 12000.0 AS hi
+      FROM region
+    )
+    SELECT b.band_id, COUNT(*) AS n_lines,
+           {sql_dsum('l.l_extendedprice', 'total_price')}
+    FROM lineitem l JOIN bands b
+      ON l.l_extendedprice >= b.lo AND l.l_extendedprice < b.hi
+    GROUP BY b.band_id
+    """,
+)
+def join_broadcast_nested_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyless theta join done the one way it scales: broadcast nested
+    loop with a DIM-SIZED build side (5 price bands). With no equi key
+    Spark cannot hash-partition the match, so the only viable plans are
+    (a) broadcast the small side and stream the fact — this operator —
+    or (b) manufacture an equi key by binning (join_range_binned). The
+    fact side never shuffles for the join; cost is |fact| × |bands|
+    predicate evaluations inside codegen.
+
+    This is the row that documents the decision boundary: BNLJ is
+    correct ONLY while the build side stays broadcast-able; past that,
+    bin it."""
+    r = table(spark, sf_dir, "region")
+    bands = r.select(
+        F.col("r_regionkey").alias("band_id"),
+        (F.col("r_regionkey") * 12000.0).alias("lo"),
+        ((F.col("r_regionkey") + 1) * 12000.0).alias("hi"),
+    )
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.join(
+            F.broadcast(bands),
+            (li.l_extendedprice >= bands.lo) & (li.l_extendedprice < bands.hi),
+        )
+        .groupBy("band_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            dsum("l_extendedprice", "total_price"),
+        )
+    )

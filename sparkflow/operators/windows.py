@@ -431,3 +431,56 @@ def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.when(n % 2 == 1, odd).otherwise(even).alias("rolling_median"),
     )
+
+
+@register(
+    "win_gaps_islands",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(day(ts) AS BIGINT) AS d FROM events
+    ),
+    grp AS (
+      SELECT user_id, d,
+             d - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d) AS g
+      FROM days
+    ),
+    islands AS (
+      SELECT user_id, MIN(d) AS streak_start, MAX(d) AS streak_end,
+             COUNT(*) AS streak_days
+      FROM grp GROUP BY user_id, g
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_streaks,
+           CAST(MAX(streak_days) AS BIGINT) AS longest_streak,
+           CAST(MIN(streak_start) AS BIGINT) AS first_day,
+           CAST(MAX(streak_end) AS BIGINT) AS last_day
+    FROM islands GROUP BY user_id
+    """,
+)
+def win_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: per-user consecutive-activity streaks via the
+    classic `value − row_number()` grouping trick — consecutive days
+    share the same difference, so one window + one aggregate finds
+    every island without self-joins or recursion. The canonical
+    engagement-streak / session-boundary analysis.
+
+    Scale: window and both aggregates all partition by user_id — a
+    single key-aligned shuffle; per-key data is distinct active DAYS
+    (bounded, tiny) regardless of event volume."""
+    ev = table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.dayofmonth("ts").cast("long").alias("d")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    grp = days.withColumn("g", F.col("d") - F.row_number().over(w))
+    islands = grp.groupBy("user_id", "g").agg(
+        F.min("d").alias("streak_start"),
+        F.max("d").alias("streak_end"),
+        F.count(F.lit(1)).alias("streak_days"),
+    )
+    return islands.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_streaks"),
+        F.max("streak_days").cast("bigint").alias("longest_streak"),
+        F.min("streak_start").cast("bigint").alias("first_day"),
+        F.max("streak_end").cast("bigint").alias("last_day"),
+    )

@@ -263,3 +263,12 @@ def test_dpp_prunes_fact_partitions(spark, sf_small):
     df = sparkflow.QUERIES["join_partition_pruned"](spark, sf_small)
     plan = formatted_plan(df).lower()
     assert "dynamicpruning" in plan, plan[:2000]
+
+
+def test_bnlj_broadcasts_the_dim_side(spark, sf_small):
+    """The keyless band join must plan as BroadcastNestedLoopJoin (fact
+    side unshuffled), never a cartesian product exchange."""
+    df = sparkflow.QUERIES["join_broadcast_nested_loop"](spark, sf_small)
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
