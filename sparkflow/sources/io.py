@@ -499,3 +499,72 @@ def scan_metadata_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("event_id").cast("bigint").alias("max_event_id"),
         )
     )
+
+
+@register(
+    "scan_snapshot_diff",
+    oracle="""
+    WITH v1 AS (
+      SELECT c_custkey AS k,
+             CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS bal
+      FROM customer WHERE c_custkey % 97 <> 0
+    ),
+    v2 AS (
+      SELECT c_custkey AS k,
+             CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)
+               + CASE WHEN c_custkey % 10 = 0 THEN 10000 ELSE 0 END AS bal
+      FROM customer
+      UNION ALL
+      SELECT c_custkey + 1000000 AS k,
+             CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS bal
+      FROM customer WHERE c_custkey < 30
+    )
+    SELECT COALESCE(v1.k, v2.k) AS c_custkey,
+           CASE WHEN v1.k IS NULL THEN 'added'
+                WHEN v2.k IS NULL THEN 'deleted'
+                ELSE 'changed' END AS change_type,
+           v1.bal AS old_bal_cents, v2.bal AS new_bal_cents
+    FROM v1 FULL OUTER JOIN v2 ON v1.k = v2.k
+    WHERE v1.k IS NULL OR v2.k IS NULL OR v1.bal <> v2.bal
+    """,
+)
+def scan_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation — the diff between two table versions
+    (added / deleted / changed rows), the audit primitive behind CDC
+    backfills, replication checks, and incremental-view maintenance.
+    Versions are derived deterministically from the base table (v1
+    drops %97 keys, v2 bumps %10 balances and appends new keys), so
+    the oracle rebuilds both sides itself. One full-outer hash join on
+    the key with change classification; unchanged rows are filtered
+    out BEFORE any collection, so output scales with the churn rate,
+    not the table. At 100 TB you'd first compare per-partition row
+    hashes and only full-outer-join partitions whose digests differ —
+    same plan, pre-gated."""
+    c = table(spark, sf_dir, "customer")
+    bal = F.floor(F.col("c_acctbal") * 100 + 0.5).cast("long")
+    v1 = c.filter(F.col("c_custkey") % 97 != 0).select(
+        F.col("c_custkey").alias("k1"), bal.alias("bal1")
+    )
+    v2 = c.select(
+        F.col("c_custkey").alias("k2"),
+        (
+            bal
+            + F.when(F.col("c_custkey") % 10 == 0, F.lit(10000)).otherwise(F.lit(0))
+        ).alias("bal2"),
+    ).unionByName(
+        c.filter(F.col("c_custkey") < 30).select(
+            (F.col("c_custkey") + 1000000).alias("k2"), bal.alias("bal2")
+        )
+    )
+    j = v1.join(v2, v1.k1 == v2.k2, "full_outer")
+    return j.filter(
+        F.col("k1").isNull() | F.col("k2").isNull() | (F.col("bal1") != F.col("bal2"))
+    ).select(
+        F.coalesce("k1", "k2").alias("c_custkey"),
+        F.when(F.col("k1").isNull(), "added")
+        .when(F.col("k2").isNull(), "deleted")
+        .otherwise("changed")
+        .alias("change_type"),
+        F.col("bal1").alias("old_bal_cents"),
+        F.col("bal2").alias("new_bal_cents"),
+    )
