@@ -37,5 +37,50 @@ from .llm import curation  # noqa: F401  (quality rules / repetition / decontam)
 from .llm import prep  # noqa: F401  (chunking / mixing / quantize / packing)
 from .llm import dedup, multimodal, similarity  # noqa: F401  (heavy LLM last)
 
+# Attestation rotation (round 3): the driver's correctness harness checks
+# a fixed-size PREFIX of queries() in registration order each round.
+# Rounds 1-2 attested the relational/agg/window core; rotate the
+# never-yet-sampled operators to the front so they get correctness rows.
+# Keys not listed keep their import order after these.
+_ATTEST_FIRST = [
+    # window functions (never sampled r1/r2)
+    "win_lag_lead", "win_running_sum", "win_sliding_rows", "win_range_frame",
+    "win_value_fns", "win_ewma", "win_rolling_median", "win_gaps_islands",
+    # sort / limit / set ops
+    "sort_multi", "limit_topk", "set_union_all", "set_union_distinct",
+    "set_intersect", "set_except", "set_except_all", "set_intersect_all",
+    "sort_within_partitions", "sort_zorder_layout",
+    # SQL surface
+    "sql_pipeline", "sql_merge_upsert", "sql_recursive",
+    # sources & sinks
+    "scan_parquet", "scan_csv_json", "scan_orc", "sink_parquet",
+    "source_stream_files", "source_rate", "sink_foreachbatch",
+    "scan_schema_evolution", "scan_json_corrupt", "stream_side_output",
+    "maintenance_compaction", "scan_metadata_columns", "scan_snapshot_diff",
+    # streaming analogs / event analytics
+    "stream_tumbling", "stream_sliding", "stream_session",
+    "stream_watermark_late", "stream_dedup", "stream_stateful_counter",
+    "stream_timeout_session", "stream_cep_funnel", "stream_cep_negation",
+    "stream_cep_times", "stream_window_topn", "stream_gap_fill",
+    "stream_dynamic_rules", "events_markov_chain", "stream_changelog_cdc",
+    "events_attribution", "events_retention_cohort", "events_anomaly_zscore",
+    "events_ohlc", "events_interpolate_linear", "events_ab_test",
+    "events_funnel_conversion",
+    # scalar fns / UDF surface / graph / custom source
+    "fn_url", "fn_binary", "fn_try", "fn_struct", "fn_variant", "fn_xml",
+    "fn_mask", "udtf_table_arg", "udf_map_in_arrow",
+    "graph_pagerank", "graph_triangle_count", "source_custom_python",
+    # LLM ops added in r2, never sampled
+    "llm_bigram_fluency", "llm_word_cooccurrence", "llm_bpe_pair_counts",
+    "llm_unigram_surprise", "llm_dataset_card_stats", "llm_split_train_test",
+    "llm_sample_stratified", "llm_pii_scrub", "llm_gopher_quality",
+    "llm_repetition", "llm_decontaminate", "llm_repeated_spans",
+    "llm_chunking", "llm_dataset_mix", "llm_embedding_quantize",
+    "llm_packed_sequences", "llm_span_corruption", "llm_dedup_ngram",
+    "llm_fuzzy_match", "llm_dedup_priority", "llm_multimodal_resize",
+    "llm_kmeans", "llm_semdedup", "llm_hard_negatives", "llm_embedding_pca",
+]
+registry.reorder(_ATTEST_FIRST)
+
 QUERIES = registry.QUERIES
 ORACLES = registry.ORACLES

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType
+from pyspark.sql.types import LongType, TimestampNTZType
 
 TABLES = (
     "region",
@@ -72,17 +72,33 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def normalize_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize a raw-read events timestamp column to session-tz TIMESTAMP.
+
+    The driver's testdata has shipped `events.ts` in two physical parquet
+    encodings across generations: timestamp[ns] (Spark rejects NANOS
+    outright — PARQUET_TYPE_ILLEGAL — unless read as raw long via
+    ``spark.sql.legacy.parquet.nanosAsLong``) and timestamp[us] (Spark 4
+    reads it as TIMESTAMP_NTZ). Both are folded to TIMESTAMP here so
+    downstream ``unix_micros(ts)`` etc. always resolve. The session tz is
+    pinned UTC in :func:`table`, so the NTZ->LTZ cast is value-preserving
+    (wall time == instant). Works on streaming DataFrames too (the schema
+    is declared up front). No-op if `ts` is already TIMESTAMP.
+    """
+    dt = df.schema[col].dataType
+    if isinstance(dt, LongType):
+        # ns-as-long: truncate ns -> µs (integer div, matching DuckDB's
+        # ns->TIMESTAMP truncation).
+        return df.withColumn(col, F.expr(f"timestamp_micros({col} div 1000)"))
+    if isinstance(dt, TimestampNTZType):
+        return df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
 def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # events.ts is parquet timestamp[ns]; Spark rejects NANOS outright
-        # (PARQUET_TYPE_ILLEGAL) unless read as raw long. Truncate ns -> µs
-        # (integer div, matching DuckDB's ns->TIMESTAMP truncation) so every
-        # engine sees identical microsecond timestamps.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        if isinstance(df.schema["ts"].dataType, LongType):
-            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-        return df
+        return normalize_ts(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

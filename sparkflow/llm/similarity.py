@@ -652,53 +652,76 @@ def llm_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     are too easy). Top-1 per query with a (cosine desc, id) tiebreak.
 
     Exactness: the same ×100 integer quantization as llm_semdedup makes
-    every dot exact; cosines divide exact ints under one IEEE sqrt, so
-    the ranking (and thus the argmax) is identical across engines.
+    every dot exact (|dot| ≤ 64·10⁶, n2 products < 2⁵³ so the double
+    conversion is lossless); cosines divide exact ints under one IEEE
+    sqrt, so the ranking (and thus the argmax) is bit-identical to the
+    oracle regardless of which Arrow batch scored which candidate.
 
-    Scale: this brute-force form scores every query against the full
-    cross-label corpus — correct as the referee, and fine for sampled
-    query sets; the production path prunes candidates with the ANN
-    machinery (llm_knn_ivf cells / LSH buckets) before exact rescoring,
-    exactly as this module's dedup pipeline does."""
+    Scale shape (replaces the earlier dim-only all-pairs join, which
+    shuffled 64·n_q·n_c intermediate rows): the query side of
+    hard-negative mining is a SAMPLE (1-in-50 here) — a broadcast dim
+    table by construction. The quantized query matrix ships to every
+    task inside the mapInPandas closure; each Arrow batch of candidates
+    scores against it with ONE int64 matmul and emits only its per-query
+    best row. The only shuffled data is n_batches·n_q candidate-winner
+    rows — the per-partition top-k + tiny global reduce pattern, same as
+    TakeOrderedAndProject. Nothing quadratic ever reaches an exchange,
+    and the candidate scan stays a straight parquet read (no explode).
+    When the query sample itself outgrows a broadcast (~10⁶ rows), shard
+    the query matrix and union, or prune candidates per query with the
+    IVF cells (llm_knn_ivf) / LSH buckets and exact-rescore — the
+    approximate-recall variants of this same reduce."""
     e = table(spark, sf_dir, "embeddings")
-    dims = e.select(
-        "vec_id", "label", F.posexplode("embedding").alias("dim", "xf")
-    ).select(
-        "vec_id",
-        "label",
-        "dim",
-        F.floor(F.col("xf").cast("double") * 100 + 0.5).cast("long").alias("q"),
+    # Resolve the query sample once at plan-build time (like
+    # llm_knn_cosine's single query vector): 1/50th of the corpus,
+    # quantized to the oracle's ×100 integer grid.
+    qrows = (
+        e.filter(F.col("vec_id") % 50 == 0)
+        .select("vec_id", "label", "embedding")
+        .collect()
     )
-    norms = dims.groupBy("vec_id").agg(F.sum(F.col("q") * F.col("q")).alias("n2"))
-    qd = (
-        dims.filter(F.col("vec_id") % 50 == 0)
-        .toDF("query_id", "q_label", "dim", "qq")
+    qids = np.array([r.vec_id for r in qrows], dtype=np.int64)
+    qlabels = np.array([r.label for r in qrows], dtype=np.int64)
+    Q = np.floor(
+        np.array([r.embedding for r in qrows], dtype=np.float64) * 100 + 0.5
+    ).astype(np.int64)
+    qn2 = (Q * Q).sum(axis=1)
+
+    def best_per_batch(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            # candidates sorted by id so np.argmax's first-occurrence
+            # rule implements the (cos desc, cand_id asc) tiebreak
+            pdf = pdf.sort_values("vec_id")
+            cid = pdf["vec_id"].to_numpy(dtype=np.int64)
+            clab = pdf["label"].to_numpy(dtype=np.int64)
+            C = np.floor(
+                np.array(pdf["embedding"].tolist(), dtype=np.float64) * 100 + 0.5
+            ).astype(np.int64)
+            cn2 = (C * C).sum(axis=1)
+            dots = C @ Q.T  # (n_cand, n_q) exact int64
+            cos = dots / np.sqrt((cn2[:, None] * qn2[None, :]).astype(np.float64))
+            cos[clab[:, None] == qlabels[None, :]] = -np.inf  # same-label: not a negative
+            best = np.argmax(cos, axis=0)  # first (= smallest cand_id) max
+            keep = cos[best, np.arange(len(qids))] > -np.inf
+            yield pd.DataFrame(
+                {
+                    "query_id": qids[keep],
+                    "cand_id": cid[best[keep]],
+                    "cos_sim": cos[best[keep], np.arange(len(qids))[keep]],
+                }
+            )
+
+    per_batch = e.select("vec_id", "label", "embedding").mapInPandas(
+        best_per_batch, "query_id LONG, cand_id LONG, cos_sim DOUBLE"
     )
-    cd = dims.toDF("cand_id", "c_label", "dim", "qc")
-    dots = (
-        qd.join(cd, "dim")
-        .filter(F.col("c_label") != F.col("q_label"))
-        .groupBy("query_id", "cand_id")
-        .agg(F.sum(F.col("qq") * F.col("qc")).alias("dot"))
-    )
-    na = norms.toDF("query_id", "na2")
-    nb = norms.toDF("cand_id", "nb2")
-    scored = (
-        dots.join(F.broadcast(na), "query_id")
-        .join(F.broadcast(nb), "cand_id")
-        .select(
-            "query_id",
-            "cand_id",
-            (
-                F.col("dot") / F.sqrt(F.col("na2").cast("double") * F.col("nb2"))
-            ).alias("cos_sim"),
-        )
-    )
+    # global argmax over the per-batch winners (tiny: n_batches·n_q rows)
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("cand_id")
     )
     return (
-        scored.withColumn("rn", F.row_number().over(w))
+        per_batch.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("query_id", F.col("cand_id").alias("hard_negative_id"), "cos_sim")
     )

@@ -40,3 +40,22 @@ def register(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Que
         return fn
 
     return deco
+
+
+def reorder(first: list[str]) -> None:
+    """Re-order QUERIES/ORACLES in place so ``first`` keys iterate first.
+
+    The driver's correctness harness attests a fixed-size prefix of
+    ``queries()`` in registration (= dict iteration) order each round, so
+    rotating the order is how previously-unattested operators get a
+    correctness row. Keys not in ``first`` keep their relative order
+    after it; unknown keys in ``first`` are ignored (registration is the
+    source of truth for what exists).
+    """
+    for d in (QUERIES, ORACLES):
+        snapshot = dict(d)
+        d.clear()
+        for k in first:
+            if k in snapshot:
+                d[k] = snapshot.pop(k)
+        d.update(snapshot)

@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import table
+from ..catalog import normalize_ts, table
 from ..oracle_compat import cents
 from ..registry import register
 
@@ -55,9 +55,9 @@ def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     table(spark, sf_dir, "events")  # set nanos conf
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     stream = (
-        spark.readStream.schema(raw_schema)
-        .parquet(f"{sf_dir}/events*.parquet")
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        normalize_ts(
+            spark.readStream.schema(raw_schema).parquet(f"{sf_dir}/events*.parquet")
+        )
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),

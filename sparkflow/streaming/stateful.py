@@ -39,7 +39,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from ..catalog import table
+from ..catalog import normalize_ts, table
 
 try:  # find_spec("google.protobuf") raises if the 'google' namespace is absent
     HAS_PROTOBUF = importlib.util.find_spec("google.protobuf") is not None
@@ -88,7 +88,8 @@ def split_events_to_files(spark: SparkSession, sf_dir: str, out_dir: str, n_file
 
 def _events_stream(spark: SparkSession, files_dir: str, sf_dir: str) -> DataFrame:
     """File-stream over split events, one file per micro-batch, with the
-    ns→µs timestamp normalization applied (files carry ts as long ns)."""
+    timestamp normalization applied (staged files may carry ts as long
+    ns, TIMESTAMP_NTZ, or TIMESTAMP depending on testdata generation)."""
     table(spark, sf_dir, "events")  # ensure nanosAsLong conf on this session
     schema = spark.read.parquet(files_dir).schema
     df = (
@@ -96,9 +97,7 @@ def _events_stream(spark: SparkSession, files_dir: str, sf_dir: str) -> DataFram
         .option("maxFilesPerTrigger", 1)
         .parquet(files_dir)
     )
-    if dict(df.dtypes)["ts"] == "bigint":
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    return df
+    return normalize_ts(df)
 
 
 def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append") -> None:

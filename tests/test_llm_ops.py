@@ -398,3 +398,21 @@ def test_embedding_pca_matches_numpy_fixed_point_replay(spark, sf_small):
         v = np.array([tdiv(x, m) for x in w], dtype=object)
     assert [int(x) for x in got] == [int(x) for x in v]
     assert all(b >= a * (1 - 1e-9) for a, b in zip(rq, rq[1:]))
+
+
+def test_near_dedup_short_docs_are_safely_ignored(spark, sf_small, monkeypatch):
+    """Docs shorter than the shingle width must produce NO signature (and
+    thus no candidate pairs) instead of junk shingles from a descending
+    sequence() — the same empty-range semantics as the oracle."""
+    from sparkflow.llm import dedup as D
+
+    base = D._corpus(spark, sf_small)
+    extra = spark.createDataFrame(
+        [(9000001, "ab"), (9000002, "ab"), (9000003, ""), (9000004, "abcd")],
+        "doc_id LONG, text STRING",
+    )
+    monkeypatch.setattr(D, "_corpus", lambda s, d: base.unionByName(extra))
+    out = D._near_pairs_plan(spark, sf_small).toPandas()
+    short_ids = {9000001, 9000002, 9000003, 9000004}
+    assert not ((set(out["doc_a"]) | set(out["doc_b"])) & short_ids)
+    assert len(out) > 0  # the real near-dups are still found

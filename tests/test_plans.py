@@ -272,3 +272,18 @@ def test_bnlj_broadcasts_the_dim_side(spark, sf_small):
     plan = formatted_plan(df)
     assert "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_hard_negatives_has_no_allpairs_dim_join(spark, sf_small):
+    """Hard-negative mining must score via the broadcast-query matmul
+    reduce (mapInPandas + tiny window), never the dim-only all-pairs
+    join that shuffles 64*n_q*n_c intermediate rows."""
+    df = sparkflow.QUERIES["llm_hard_negatives"](spark, sf_small)
+    plan = formatted_plan(df)
+    # one Python stage (the per-batch matmul), no join of any kind
+    assert "MapInPandas" in plan or "mapInPandas" in plan.lower()
+    for join_node in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin",
+                      "CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert join_node not in plan, join_node
+    # explode never touches the candidate scan
+    assert "Generate" not in plan

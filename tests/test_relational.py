@@ -13,6 +13,7 @@ import pytest
 sys.path.insert(0, "/root/repo")
 
 import sparkflow
+from sparkflow.catalog import table as cat_table
 from tools.check import compare
 
 
@@ -237,8 +238,8 @@ def test_ewma_matches_pandas_recompute(spark, sf_small):
         .reset_index(drop=True)
     )
     ev = (
-        spark.read.parquet(f"{sf_small}/events.parquet")
-        .selectExpr("user_id", "event_id", "timestamp_micros(ts div 1000) AS ts", "value")
+        cat_table(spark, sf_small, "events")
+        .selectExpr("user_id", "event_id", "ts", "value")
         .toPandas()
         .sort_values(["user_id", "ts", "event_id"])
     )
@@ -260,8 +261,8 @@ def test_pagerank_matches_numpy_replay(spark, sf_small):
 
     got = sparkflow.QUERIES["graph_pagerank"](spark, sf_small).toPandas()
     ev = (
-        spark.read.parquet(f"{sf_small}/events.parquet")
-        .selectExpr("event_id", "user_id", "(ts div 3600000000000) AS h")
+        cat_table(spark, sf_small, "events")
+        .selectExpr("event_id", "user_id", "(unix_micros(ts) div 3600000000) AS h")
         .toPandas()
         .sort_values(["h", "event_id"])
     )
@@ -290,8 +291,8 @@ def test_attribution_touches_are_real_clicks(spark, sf_small):
     user within the trailing 24h, with first <= last."""
     got = sparkflow.QUERIES["events_attribution"](spark, sf_small).toPandas()
     ev = (
-        spark.read.parquet(f"{sf_small}/events.parquet")
-        .selectExpr("event_id", "user_id", "event_type", "(ts div 1000) AS t_us")
+        cat_table(spark, sf_small, "events")
+        .selectExpr("event_id", "user_id", "event_type", "unix_micros(ts) AS t_us")
         .toPandas()
     )
     by_id = ev.set_index("event_id")
@@ -322,8 +323,8 @@ def test_rolling_median_matches_pandas(spark, sf_small):
         .set_index("event_id")["rolling_median"]
     )
     ev = (
-        spark.read.parquet(f"{sf_small}/events.parquet")
-        .selectExpr("user_id", "event_id", "(ts div 1000) AS t_us", "value")
+        cat_table(spark, sf_small, "events")
+        .selectExpr("user_id", "event_id", "unix_micros(ts) AS t_us", "value")
         .toPandas()
         .sort_values(["user_id", "t_us", "event_id"])
     )
@@ -351,8 +352,8 @@ def test_asof_forward_backward_bracket_probe(spark, sf_small):
     fwd = sparkflow.QUERIES["join_asof_forward"](spark, sf_small).toPandas()
     assert len(back) == len(fwd)
     ev = (
-        spark.read.parquet(f"{sf_small}/events.parquet")
-        .selectExpr("event_id", "(ts div 1000) AS t_us")
+        cat_table(spark, sf_small, "events")
+        .selectExpr("event_id", "unix_micros(ts) AS t_us")
         .toPandas()
         .set_index("event_id")["t_us"]
     )

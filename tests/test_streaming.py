@@ -516,9 +516,8 @@ def test_cdc_final_state_matches_pandas_replay(spark, sf_small):
     same final table as the window formulation."""
     got = sparkflow.QUERIES["stream_changelog_cdc"](spark, sf_small).toPandas()
     ev = (
-        spark.read.parquet(f"{sf_small}/events.parquet")
-        .selectExpr("user_id", "timestamp_micros(ts div 1000) as ts",
-                    "event_id", "event_type", "value")
+        sparkflow.catalog.table(spark, sf_small, "events")
+        .selectExpr("user_id", "ts", "event_id", "event_type", "value")
         .toPandas()
         .sort_values(["user_id", "ts", "event_id"])
     )
