@@ -82,5 +82,35 @@ _ATTEST_FIRST = [
 ]
 registry.reorder(_ATTEST_FIRST)
 
+
+def _rotate_never_attested() -> None:
+    """Self-maintaining attestation rotation: front the keys that have no
+    successful row in ANY committed CORRECTNESS_r*.json yet (driver
+    artifact, one per round). Keys keep their current relative order
+    within the attested/unattested groups, so the static priority above
+    still decides ordering among the unattested. A key whose only rows
+    are errors stays unattested and is retried. No artifacts → no-op."""
+    import glob
+    import json
+    import os
+
+    seen: set[str] = set()
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as fh:
+                data = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        for key, row in data.items():
+            if isinstance(row, dict) and row.get("spark_rows") is not None:
+                seen.add(key)
+    unattested = [k for k in registry.QUERIES if k not in seen]
+    if seen and unattested:
+        registry.reorder(unattested)
+
+
+_rotate_never_attested()
+
 QUERIES = registry.QUERIES
 ORACLES = registry.ORACLES

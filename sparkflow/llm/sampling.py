@@ -126,3 +126,108 @@ def llm_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_digits.cast("int").alias("n_digit_chars"),
         F.substring(scrubbed, 1, 80).alias("scrub_prefix"),
     )
+
+
+@register(
+    "llm_sampling_weights",
+    oracle="""
+    WITH counts AS (
+      SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+    ),
+    tot AS (SELECT SUM(n_docs) AS total, COUNT(*) AS n_sources FROM counts)
+    SELECT c.source, c.n_docs,
+           CAST(FLOOR(1000000.0 * t.total / (t.n_sources * c.n_docs))
+                AS BIGINT) AS weight_e6
+    FROM counts c CROSS JOIN tot t
+    """,
+)
+def llm_sampling_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-frequency epoch sampling weights per source — the 'data
+    recipe' counterpart to llm_dataset_mix's hash-sampling: weight_e6 =
+    1e6 · N_total / (n_sources · n_source), i.e. the multiplier that
+    equalizes every source's expected contribution per epoch
+    (upweights rare domains, downweights dominant ones — the standard
+    temperature-1 balancing step before training).
+
+    Exactness: counts are integers; 1e6·total < 2^53 so the double
+    division is computed on exactly-represented operands and FLOOR is
+    deterministic in both engines. Scale: one map-side-combinable count
+    per source, then a scalar broadcast (the totals row) — no data-sized
+    shuffle beyond the count itself."""
+    d = table(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = counts.agg(
+        F.sum("n_docs").alias("total"), F.count(F.lit(1)).alias("n_sources")
+    )
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        F.floor(
+            F.lit(1000000.0) * F.col("total") / (F.col("n_sources") * F.col("n_docs"))
+        )
+        .cast("bigint")
+        .alias("weight_e6"),
+    )
+
+
+@register(
+    "llm_curriculum_stages",
+    oracle="""
+    WITH cuts AS (
+      SELECT quantile_cont(n_chars, 0.25) AS q1,
+             quantile_cont(n_chars, 0.50) AS q2,
+             quantile_cont(n_chars, 0.75) AS q3
+      FROM documents
+    ),
+    staged AS (
+      SELECT d.doc_id, d.lang, d.n_chars,
+             1 + CASE WHEN d.n_chars > c.q1 THEN 1 ELSE 0 END
+               + CASE WHEN d.n_chars > c.q2 THEN 1 ELSE 0 END
+               + CASE WHEN d.n_chars > c.q3 THEN 1 ELSE 0 END AS stage
+      FROM documents d CROSS JOIN cuts c
+    )
+    SELECT stage, COUNT(*) AS n_docs,
+           MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
+           COUNT(DISTINCT lang) AS n_langs
+    FROM staged GROUP BY stage
+    """,
+)
+def llm_curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum bucketing: assign each document to one of 4 difficulty
+    stages by exact length quartiles (short→long is the classic
+    easy→hard axis), report per-stage composition. Deliberately NOT a
+    global NTILE — a single-partition window over every row is the
+    anti-pattern at 100 TB. Instead: ONE aggregate computes the three
+    cut points (exact interpolated percentiles, identical definition in
+    Spark `percentile` and DuckDB `quantile_cont`), broadcast as a
+    scalar row, and stage assignment is a row-local comparison — the
+    same two-phase shape a production pipeline uses (cuts from a sample
+    or sketch, then a map-only pass).
+
+    Exactness: n_chars is integer; the interpolated quartile is
+    (a + (b-a)·frac) on exactly-represented ints with dyadic fracs —
+    bit-identical across engines; boundary comparisons are int-vs-exact-
+    double."""
+    d = table(spark, sf_dir, "documents")
+    cuts = d.agg(
+        F.expr("percentile(n_chars, 0.25)").alias("q1"),
+        F.expr("percentile(n_chars, 0.50)").alias("q2"),
+        F.expr("percentile(n_chars, 0.75)").alias("q3"),
+    )
+    staged = d.crossJoin(F.broadcast(cuts)).select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        (
+            F.lit(1)
+            + (F.col("n_chars") > F.col("q1")).cast("int")
+            + (F.col("n_chars") > F.col("q2")).cast("int")
+            + (F.col("n_chars") > F.col("q3")).cast("int")
+        ).alias("stage"),
+    )
+    return staged.groupBy("stage").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+    )

@@ -681,3 +681,59 @@ def llm_dataset_card_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count(F.lit(1)).cast("double") / F.first("n")).alias("corpus_share"),
         )
     )
+
+
+# tokenizer vocabulary for coverage analysis: the 24 highest-frequency
+# corpus words (fixed literal — a real pipeline ships the tokenizer's
+# vocab file; OOV rate then measures domain shift against it)
+_COVERAGE_VOCAB = (
+    "join", "hash", "row", "batch", "scan", "customer", "column", "filter",
+    "small", "slow", "merge", "order", "vector", "line", "data", "table",
+    "agg", "value", "key", "stream", "window", "spark", "group", "part",
+)
+
+
+@register(
+    "llm_vocab_coverage",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang, UNNEST(string_split(text, ' ')) AS tok
+      FROM documents
+    ),
+    flags AS (
+      SELECT doc_id, lang,
+             CASE WHEN tok IN ({",".join("'" + w + "'" for w in _COVERAGE_VOCAB)})
+                  THEN 0 ELSE 1 END AS oov
+      FROM toks
+    )
+    SELECT lang,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(oov) AS BIGINT) AS n_oov,
+           ROUND(CAST(SUM(oov) AS DOUBLE) / COUNT(*), 6) AS oov_rate,
+           COUNT(DISTINCT doc_id) AS n_docs
+    FROM flags GROUP BY lang
+    """,
+)
+def llm_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer vocabulary coverage per language: fraction of corpus
+    tokens OUTSIDE a fixed vocabulary — the go/no-go check before
+    reusing a tokenizer on new data (high OOV = retrain or extend). The
+    vocab ships as a broadcast literal array; membership is a row-local
+    `array_contains`, so the only shuffle is the final per-lang
+    aggregate (counts are map-side combined; the explode never leaves
+    its partition). Integer counts + one rounded division = engine-exact."""
+    d = table(spark, sf_dir, "documents")
+    vocab = F.array(*[F.lit(w) for w in _COVERAGE_VOCAB])
+    toks = d.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("tok")
+    ).select(
+        "doc_id",
+        "lang",
+        (~F.array_contains(vocab, F.col("tok"))).cast("int").alias("oov"),
+    )
+    return toks.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("oov").alias("n_oov"),
+        F.round(F.sum("oov").cast("double") / F.count(F.lit(1)), 6).alias("oov_rate"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )

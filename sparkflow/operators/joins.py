@@ -887,3 +887,121 @@ def join_broadcast_nested_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("l_extendedprice", "total_price"),
         )
     )
+
+
+@register(
+    "join_asof_nearest",
+    oracle="""
+    WITH tagged AS (
+      SELECT user_id AS k, CAST(ts AS TIMESTAMP) AS t, 0 AS side,
+             event_id, NULL::BIGINT AS o_orderkey
+      FROM events
+      UNION ALL
+      SELECT o_custkey AS k,
+             TIMESTAMP '2024-01-01' + INTERVAL (o_orderkey % 2592000) SECOND AS t,
+             1 AS side, NULL::BIGINT AS event_id, o_orderkey
+      FROM orders WHERE o_custkey < 150
+    ), w AS (
+      SELECT *,
+        LAST_VALUE(CASE WHEN side = 0 THEN event_id END IGNORE NULLS)
+          OVER (PARTITION BY k ORDER BY t, side, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS back_id,
+        LAST_VALUE(CASE WHEN side = 0 THEN epoch_us(t) END IGNORE NULLS)
+          OVER (PARTITION BY k ORDER BY t, side, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS back_us,
+        FIRST_VALUE(CASE WHEN side = 0 THEN event_id END IGNORE NULLS)
+          OVER (PARTITION BY k ORDER BY t, side, event_id
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS fwd_id,
+        FIRST_VALUE(CASE WHEN side = 0 THEN epoch_us(t) END IGNORE NULLS)
+          OVER (PARTITION BY k ORDER BY t, side, event_id
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS fwd_us
+      FROM tagged
+    )
+    SELECT o_orderkey, k AS user_id,
+      CASE WHEN back_id IS NOT NULL
+                AND (fwd_id IS NULL OR epoch_us(t) - back_us <= fwd_us - epoch_us(t))
+           THEN back_id ELSE fwd_id END AS nearest_event_id,
+      CASE WHEN back_id IS NOT NULL
+                AND (fwd_id IS NULL OR epoch_us(t) - back_us <= fwd_us - epoch_us(t))
+           THEN 'backward' WHEN fwd_id IS NOT NULL THEN 'forward'
+           ELSE 'none' END AS direction,
+      CASE WHEN back_id IS NOT NULL
+                AND (fwd_id IS NULL OR epoch_us(t) - back_us <= fwd_us - epoch_us(t))
+           THEN epoch_us(t) - back_us
+           WHEN fwd_id IS NOT NULL THEN fwd_us - epoch_us(t) END AS dist_us
+    FROM w WHERE side = 1
+    """,
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor as-of join (both directions): for each probe, the
+    event of the same user CLOSEST in time — backward candidate is the
+    latest at-or-before (tie: max event_id), forward candidate the
+    earliest strictly-after (tie: min event_id), equal distances resolve
+    backward. The pandas `merge_asof(direction='nearest')` semantics,
+    done distributed.
+
+    Same union-tag single-window machinery as `join_asof` — BOTH
+    directional candidates come out of one shuffle on the key (two frame
+    specs over one sort), then the pick is a row-local CASE. No second
+    shuffle, no self-join; the deterministic (t, side, event_id) order
+    makes the carried id/timestamp pairs consistent (side 0 sorts before
+    the probe at equal t, so an exact-time event is the backward winner
+    at distance 0)."""
+    events = table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("k"),
+        F.col("ts").cast("timestamp").alias("t"),
+        F.lit(0).alias("side"),
+        "event_id",
+        F.lit(None).cast("long").alias("o_orderkey"),
+    )
+    probes = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") < 150)
+        .select(
+            F.col("o_custkey").alias("k"),
+            F.expr(
+                "timestamp'2024-01-01' + make_interval(0,0,0,0,0,0, o_orderkey % 2592000)"
+            ).alias("t"),
+            F.lit(1).alias("side"),
+            F.lit(None).cast("long").alias("event_id"),
+            "o_orderkey",
+        )
+    )
+    tagged = events.unionByName(probes)
+    order = [F.col("t"), F.col("side"), F.col("event_id")]
+    wb = (
+        Window.partitionBy("k")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("k")
+        .orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    ev_id = F.when(F.col("side") == 0, F.col("event_id"))
+    ev_us = F.when(F.col("side") == 0, F.unix_micros("t"))
+    carried = (
+        tagged.withColumn("back_id", F.last(ev_id, ignorenulls=True).over(wb))
+        .withColumn("back_us", F.last(ev_us, ignorenulls=True).over(wb))
+        .withColumn("fwd_id", F.first(ev_id, ignorenulls=True).over(wf))
+        .withColumn("fwd_us", F.first(ev_us, ignorenulls=True).over(wf))
+    )
+    t_us = F.unix_micros("t")
+    take_back = F.col("back_id").isNotNull() & (
+        F.col("fwd_id").isNull() | ((t_us - F.col("back_us")) <= (F.col("fwd_us") - t_us))
+    )
+    return carried.filter(F.col("side") == 1).select(
+        "o_orderkey",
+        F.col("k").alias("user_id"),
+        F.when(take_back, F.col("back_id")).otherwise(F.col("fwd_id")).alias(
+            "nearest_event_id"
+        ),
+        F.when(take_back, F.lit("backward"))
+        .when(F.col("fwd_id").isNotNull(), F.lit("forward"))
+        .otherwise(F.lit("none"))
+        .alias("direction"),
+        F.when(take_back, t_us - F.col("back_us"))
+        .when(F.col("fwd_id").isNotNull(), F.col("fwd_us") - t_us)
+        .alias("dist_us"),
+    )

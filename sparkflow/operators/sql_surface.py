@@ -176,3 +176,144 @@ def sql_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     (llm_dedup_clusters) is the O(log d) alternative."""
     table(spark, sf_dir, "events").createOrReplaceTempView("sparkflow_sql_events")
     return spark.sql(_RECURSIVE_SQL.format(events="sparkflow_sql_events"))
+
+
+_CORRELATED_EXISTS_SQL = """
+    SELECT o.o_orderpriority, COUNT(*) AS n_late_risk_orders
+    FROM {orders} o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+      AND EXISTS (SELECT 1 FROM {lineitem} l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+    GROUP BY o.o_orderpriority
+"""
+
+
+@register(
+    "sql_correlated_exists",
+    oracle=_CORRELATED_EXISTS_SQL.format(orders="orders", lineitem="lineitem"),
+)
+def sql_correlated_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: per-priority count of 1996 orders having at least
+    one line item shipped >90 days after the order date — a correlated
+    EXISTS whose inner predicate references BOTH sides. Catalyst
+    decorrelates this into a left-semi hash join on l_orderkey with the
+    date comparison as the join filter — one shuffle each side, no
+    per-row subquery execution ever happens (the thing that makes
+    correlated EXISTS usable at 100 TB). The oracle is the same
+    statement text."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("sparkflow_sql_orders")
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("sparkflow_sql_lineitem")
+    return spark.sql(
+        _CORRELATED_EXISTS_SQL.format(
+            orders="sparkflow_sql_orders", lineitem="sparkflow_sql_lineitem"
+        )
+    )
+
+
+_SCALAR_SUBQUERY_SQL = """
+    SELECT CAST(SUM(CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT))
+                AS DOUBLE) / 700.0 AS avg_weekly_small_lot_value
+    FROM {lineitem} l JOIN {part} p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#1'
+      AND l.l_quantity < (SELECT 0.5 * AVG(l2.l_quantity)
+                          FROM {lineitem} l2
+                          WHERE l2.l_partkey = l.l_partkey)
+"""
+
+
+@register(
+    "sql_scalar_subquery",
+    oracle=_SCALAR_SUBQUERY_SQL.format(lineitem="lineitem", part="part"),
+)
+def sql_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: value locked in small-lot orders of one brand,
+    where 'small' is defined per part by a CORRELATED SCALAR subquery
+    (half the part's average quantity). Catalyst rewrites the subquery
+    into a per-partkey aggregate joined back to the probe — the
+    decorrelation that turns O(rows × subquery) into two shuffles.
+    Exactness: l_quantity is integer-valued in this data, so AVG is a
+    sum of exactly-representable doubles (order-independent) and the
+    threshold comparison is deterministic; money is integer cents."""
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("sparkflow_sql_lineitem")
+    table(spark, sf_dir, "part").createOrReplaceTempView("sparkflow_sql_part")
+    return spark.sql(
+        _SCALAR_SUBQUERY_SQL.format(
+            lineitem="sparkflow_sql_lineitem", part="sparkflow_sql_part"
+        )
+    )
+
+
+_NESTED_IN_SQL = """
+    SELECT c.c_custkey, c.c_name, COUNT(*) AS n_big_orders,
+           CAST(SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT))
+                AS DOUBLE) / 100.0 AS big_order_value
+    FROM {customer} c JOIN {orders} o ON o.o_custkey = c.c_custkey
+    WHERE o.o_orderkey IN (
+        SELECT l_orderkey FROM {lineitem}
+        GROUP BY l_orderkey
+        HAVING SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) > 30000
+    )
+    GROUP BY c.c_custkey, c.c_name
+"""
+
+
+@register(
+    "sql_nested_in",
+    oracle=_NESTED_IN_SQL.format(
+        customer="customer", orders="orders", lineitem="lineitem"
+    ),
+)
+def sql_nested_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customers): orders whose total line
+    quantity exceeds a threshold, found via IN over a grouped+HAVING
+    subquery, rolled up per customer. The IN-subquery becomes a
+    left-semi join against the aggregated orderkey set — the aggregation
+    shrinks lineitem to one row per order BEFORE the join, so the semi
+    join probe is order-sized, not line-sized. Quantities compare in
+    exact integer cents."""
+    table(spark, sf_dir, "customer").createOrReplaceTempView("sparkflow_sql_customer")
+    table(spark, sf_dir, "orders").createOrReplaceTempView("sparkflow_sql_orders")
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("sparkflow_sql_lineitem")
+    return spark.sql(
+        _NESTED_IN_SQL.format(
+            customer="sparkflow_sql_customer",
+            orders="sparkflow_sql_orders",
+            lineitem="sparkflow_sql_lineitem",
+        )
+    )
+
+
+_EXISTS_CHAIN_SQL = """
+    SELECT s.s_suppkey, s.s_name, COUNT(*) AS n_solo_lines
+    FROM {supplier} s
+    JOIN {lineitem} l ON l.l_suppkey = s.s_suppkey
+    WHERE EXISTS (SELECT 1 FROM {lineitem} l2
+                  WHERE l2.l_orderkey = l.l_orderkey
+                    AND l2.l_linenumber <> l.l_linenumber)
+      AND NOT EXISTS (SELECT 1 FROM {lineitem} l3
+                      WHERE l3.l_orderkey = l.l_orderkey
+                        AND l3.l_suppkey <> l.l_suppkey)
+    GROUP BY s.s_suppkey, s.s_name
+"""
+
+
+@register(
+    "sql_exists_chain",
+    oracle=_EXISTS_CHAIN_SQL.format(supplier="supplier", lineitem="lineitem"),
+)
+def sql_exists_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: lines on multi-line orders where this supplier is
+    the ONLY supplier — an EXISTS and a NOT EXISTS against the same
+    fact, both correlated on the outer line. Catalyst plans the pair as
+    a left-semi then a left-anti hash join on l_orderkey (the anti join
+    is the scalable NOT EXISTS — no per-row probing). Counts only, so
+    no float hazards."""
+    table(spark, sf_dir, "supplier").createOrReplaceTempView("sparkflow_sql_supplier")
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("sparkflow_sql_lineitem")
+    return spark.sql(
+        _EXISTS_CHAIN_SQL.format(
+            supplier="sparkflow_sql_supplier", lineitem="sparkflow_sql_lineitem"
+        )
+    )

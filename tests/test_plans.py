@@ -287,3 +287,51 @@ def test_hard_negatives_has_no_allpairs_dim_join(spark, sf_small):
         assert join_node not in plan, join_node
     # explode never touches the candidate scan
     assert "Generate" not in plan
+
+
+def test_correlated_exists_decorrelates_to_semi_join(spark, sf_small):
+    """The correlated EXISTS (Q4 shape) must compile to a semi join —
+    never per-row subquery re-execution."""
+    df = sparkflow.QUERIES["sql_correlated_exists"](spark, sf_small)
+    plan = formatted_plan(df)
+    assert "LeftSemi" in plan or "Semi" in plan, plan[:1500]
+
+
+def test_exists_chain_plans_semi_and_anti(spark, sf_small):
+    """EXISTS + NOT EXISTS (Q21 shape) must become one semi and one anti
+    hash join on the correlation key."""
+    df = sparkflow.QUERIES["sql_exists_chain"](spark, sf_small)
+    plan = formatted_plan(df)
+    assert "LeftSemi" in plan, plan[:1500]
+    assert "LeftAnti" in plan, plan[:1500]
+
+
+def test_scalar_subquery_decorrelates_to_aggregate_join(spark, sf_small):
+    """The correlated scalar subquery (Q17 shape) must rewrite into a
+    per-key aggregate joined back — no scalar-subquery node left."""
+    df = sparkflow.QUERIES["sql_scalar_subquery"](spark, sf_small)
+    plan = formatted_plan(df)
+    assert "HashAggregate" in plan
+    assert "Subquery" not in plan, plan[:1500]
+
+
+def test_asof_nearest_single_shuffle(spark, sf_small):
+    """Both directional candidates must come from ONE key exchange (two
+    window frames over one sort), like the one-directional as-of."""
+    import re
+
+    df = sparkflow.QUERIES["join_asof_nearest"](spark, sf_small)
+    plan = formatted_plan(df)
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchanges == 1, plan[:800]
+    assert "Window" in plan
+
+
+def test_curriculum_stages_has_no_global_window(spark, sf_small):
+    """Stage assignment must be the two-phase cut+broadcast shape — a
+    global NTILE window (single-partition sort of every row) must NOT
+    appear anywhere in the plan."""
+    df = sparkflow.QUERIES["llm_curriculum_stages"](spark, sf_small)
+    plan = formatted_plan(df)
+    assert "Window" not in plan, plan[:1500]
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan

@@ -390,3 +390,28 @@ def test_anomaly_zscore_matches_float_recompute(spark, sf_small):
             z2 = ((x - mu) / sd) ** 2 if sd else 0.0
             if abs(z2 - 9) > 1e-6:  # away from the exact boundary
                 assert flag[eid] == (z2 > 9), (eid, z2)
+
+
+def test_registration_order_fronts_unattested_keys():
+    """The driver attests a fixed-size prefix of queries() per round; the
+    import-time rotation must put every key WITHOUT a successful
+    CORRECTNESS_r*.json row before every key with one."""
+    import glob
+    import json
+
+    seen = set()
+    for p in glob.glob("/root/repo/CORRECTNESS_r*.json"):
+        try:
+            rows = json.load(open(p))
+        except ValueError:
+            continue
+        for k, v in rows.items():
+            if isinstance(v, dict) and v.get("spark_rows") is not None:
+                seen.add(k)
+    if not seen:
+        return  # no artifacts (fresh clone): static order stands
+    ks = list(sparkflow.QUERIES)
+    n_unattested = sum(1 for k in ks if k not in seen)
+    assert all(k not in seen for k in ks[:n_unattested]), (
+        "attested key found inside the unattested prefix"
+    )
