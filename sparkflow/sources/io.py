@@ -568,3 +568,64 @@ def scan_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bal1").alias("old_bal_cents"),
         F.col("bal2").alias("new_bal_cents"),
     )
+
+
+@register(
+    "scan_binary_files",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+           sha256(text) AS content_sha,
+           lang
+    FROM documents WHERE doc_id % 10 = 0
+    """,
+)
+def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-blob ingestion via the built-in `binaryFile` source — THE
+    entry path for multimodal corpora (images/audio/video land as
+    `content: binary` + path/length/mtime metadata, one row per object;
+    at 100 TB this scan lists an object store prefix and parallelizes by
+    file). Staging (fixture setup, not the operator) writes every 10th
+    document's UTF-8 bytes as `doc_<id>.bin`; the operator reads the
+    directory, recovers the doc id from the filename, and emits byte
+    length + sha256 of the payload — which the oracle reproduces from
+    the base table because the bytes ARE the text. The decode step for
+    real media is llm_multimodal_features' mapInPandas stage; this op is
+    the scan in front of it. Scale: binaryFile splits by file (no
+    intra-file parallelism), so shard large media archives into object-
+    per-record or use `recursiveFileLookup` over a manifest."""
+    sfkey = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    base = os.path.join(
+        _TMP, "binfiles", spark.sparkContext.applicationId, f"docs_{sfkey}"
+    )
+    if not os.path.isdir(base):
+        os.makedirs(base, exist_ok=True)
+        pdf = (
+            table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") % 10 == 0)
+            .select("doc_id", "text")
+            .toPandas()
+        )
+        for r in pdf.itertuples():
+            with open(os.path.join(base, f"doc_{r.doc_id}.bin"), "wb") as fh:
+                fh.write(r.text.encode("utf-8"))
+    meta = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 10 == 0)
+        .select("doc_id", "lang")
+    )
+    blobs = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(base)
+        .select(
+            F.regexp_extract(F.col("path"), r"doc_(\d+)\.bin$", 1)
+            .cast("bigint")
+            .alias("doc_id"),
+            F.octet_length("content").cast("bigint").alias("n_bytes"),
+            F.sha2("content", 256).alias("content_sha"),
+        )
+    )
+    # typed-metadata join: blob payloads meet their catalog row (broadcast
+    # — metadata is always the small side next to media bytes)
+    return blobs.join(F.broadcast(meta), "doc_id")

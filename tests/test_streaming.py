@@ -683,3 +683,56 @@ def test_custom_stream_source_checkpoint_resume(spark, sf_small, tmp_path_factor
     got = spark.read.parquet(out)
     assert got.count() == n
     assert got.select("event_id").distinct().count() == n
+
+
+def test_rocksdb_state_store_matches_default(spark, stream_dir, sf_small):
+    """The RocksDB state store provider — the production backend once
+    keyed state outgrows executor heap (the 100 TB answer) — must
+    produce byte-identical results to the default HDFS-backed store on
+    a watermarked stateful aggregation AND on an applyInPandasWithState
+    twin. Provider choice is config, not semantics; this pins that."""
+    ns = spark.newSession()
+    ns.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    # windowed agg with watermark (built-in stateful operator)
+    got = (
+        _collect(
+            ns,
+            stateful.tumbling_append_stream(ns, stream_dir, sf_small),
+            "t_rocks_tumbling",
+        )
+        .sort_values(["hour_start", "event_type"])
+        .reset_index(drop=True)
+    )
+    want = (
+        _collect(
+            spark,
+            stateful.tumbling_append_stream(spark, stream_dir, sf_small),
+            "t_hdfs_tumbling",
+        )
+        .sort_values(["hour_start", "event_type"])
+        .reset_index(drop=True)
+    )
+    assert len(want) > 0
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # custom keyed state machine (applyInPandasWithState) under RocksDB
+    got_c = (
+        _collect(
+            ns,
+            stateful.stateful_counter_stream(ns, stream_dir, sf_small),
+            "t_rocks_counter",
+        )
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    want_c = (
+        sparkflow.QUERIES["stream_stateful_counter"](spark, sf_small)
+        .toPandas()[["event_id", "running_count", "running_sum"]]
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got_c[["event_id", "running_count", "running_sum"]], want_c, check_dtype=False
+    )
