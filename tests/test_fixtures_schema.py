@@ -94,3 +94,32 @@ def test_parquet_footer_types_unchanged(sf_dir, tname):
         "TESTDATA SCHEMA DRIFT (update sparkflow/catalog.py + FIXTURES.md):\n  "
         + "\n  ".join(drift)
     )
+
+
+def test_normalize_ts_folds_all_known_encodings(spark, tmp_path):
+    """The loader's contract: the SAME instants written as timestamp[us],
+    timestamp[ns], and raw int64-ns must all load to identical
+    microsecond values through catalog.normalize_ts."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sparkflow.catalog import normalize_ts
+
+    us_vals = [1_704_067_200_000_000, 1_704_067_200_123_456, 1_706_745_599_999_999]
+    variants = {
+        "us": pa.table({"ts": pa.array(us_vals, pa.timestamp("us"))}),
+        "ns": pa.table({"ts": pa.array([v * 1000 for v in us_vals], pa.timestamp("ns"))}),
+        "ns_long": pa.table({"ts": pa.array([v * 1000 for v in us_vals], pa.int64())}),
+    }
+    got = {}
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    for name, tbl in variants.items():
+        p = str(tmp_path / f"{name}.parquet")
+        pq.write_table(tbl, p)
+        df = normalize_ts(spark.read.parquet(p))
+        assert dict(df.dtypes)["ts"] == "timestamp", (name, df.dtypes)
+        got[name] = [
+            r[0] for r in df.selectExpr("unix_micros(ts)").orderBy("ts").collect()
+        ]
+    assert got["us"] == got["ns"] == got["ns_long"] == sorted(us_vals)
