@@ -335,3 +335,46 @@ def test_curriculum_stages_has_no_global_window(spark, sf_small):
     plan = formatted_plan(df)
     assert "Window" not in plan, plan[:1500]
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_aqe_splits_skewed_join_partition(spark, sf_small):
+    """AQE's runtime skew-join split — the no-code-change answer to hot
+    keys at 100 TB — must actually fire in this engine's config shape:
+    final plan shows SortMergeJoin(skew=true) over an AQEShuffleRead
+    marked skewed. Two operational preconditions (documented in
+    SCALE.md) are deliberately exercised: the shuffle needs >=2 mappers
+    (splits are mapper-granular; a single parquet row group scans as ONE
+    mapper), and the hot partition's COMPRESSED bytes must clear the
+    threshold (a constant key + repetitive payload can compress under
+    it; the double column here does not compress)."""
+    from pyspark.sql import functions as F
+
+    from sparkflow.catalog import table
+
+    ns = spark.newSession()
+    for k, v in {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "1KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "1KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.shuffle.partitions": "8",
+    }.items():
+        ns.conf.set(k, v)
+    ev = table(ns, sf_small, "events")
+    hot = F.when(F.col("user_id") % 10 > 0, F.lit(0)).otherwise(F.col("user_id"))
+    left = ev.select(hot.alias("k"), "value").repartition(12)
+    right = (
+        ev.select(hot.alias("k"), F.col("event_id").alias("rid"))
+        .filter(F.col("rid") % 100 == 0)
+    )
+    agg = left.join(right, "k").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.expr("CAST(FLOOR(value*100+0.5) AS BIGINT)")).alias("cents"),
+    )
+    n = agg.collect()[0]["n"]
+    assert n > 0
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert "skew=true" in plan, plan[:1200]
+    assert "skewed" in plan, plan[:1200]
