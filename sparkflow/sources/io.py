@@ -629,3 +629,68 @@ def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     # typed-metadata join: blob payloads meet their catalog row (broadcast
     # — metadata is always the small side next to media bytes)
     return blobs.join(F.broadcast(meta), "doc_id")
+
+
+@register(
+    "maintenance_incremental_rollup",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+             / 100.0 AS value_sum
+    FROM events GROUP BY event_type
+    """,
+)
+def maintenance_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance (IVM): keep a materialized rollup
+    current by merging yesterday's PARTIAL aggregates with a delta-only
+    scan — the pattern that turns a daily full recompute over 100 TB
+    into a group-count-sized read plus a scan of one day's increment.
+
+    Works because count/sum are commutative monoids: the staged base
+    table stores per-group (n, cents) partials (one row per group, not
+    per event), and merge = union + re-aggregate of partials. The fresh
+    scan touches ONLY rows past the cutoff (predicate pushed to the
+    parquet scan); the base rows are never re-read. Non-monoid measures
+    (exact distinct) need mergeable sketches instead — see
+    agg_hll_merge / agg_bitmap_distinct for both answers.
+
+    Staging (the 'yesterday' fixture, not the operator): the first call
+    materializes base partials for event_id < 60% of the id range under
+    an applicationId-namespaced path. The oracle is the full
+    recompute — equality IS the IVM correctness claim. Money flows as
+    integer cents end-to-end, so merged and recomputed results are
+    bit-identical."""
+    ev = table(spark, sf_dir, "events")
+    lo, hi = ev.agg(F.min("event_id"), F.max("event_id")).first()
+    cutoff = lo + ((hi - lo + 1) * 3) // 5
+    cents = F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)")
+
+    sfkey = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    base_path = os.path.join(
+        _TMP, "ivm", spark.sparkContext.applicationId, f"base_{sfkey}"
+    )
+    if not os.path.isdir(base_path):
+        (
+            ev.filter(F.col("event_id") < cutoff)
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum(cents).alias("cents"))
+            .write.mode("overwrite")
+            .parquet(base_path)
+        )
+    base_partials = spark.read.parquet(base_path)
+    delta_partials = (
+        ev.filter(F.col("event_id") >= cutoff)  # pushed to the scan
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(cents).alias("cents"))
+    )
+    return (
+        base_partials.unionByName(delta_partials)
+        .groupBy("event_type")
+        .agg(F.sum("n").alias("n_events"), F.sum("cents").alias("total_cents"))
+        .select(
+            "event_type",
+            "n_events",
+            (F.col("total_cents").cast("double") / 100.0).alias("value_sum"),
+        )
+    )

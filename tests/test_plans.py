@@ -378,3 +378,13 @@ def test_aqe_splits_skewed_join_partition(spark, sf_small):
     plan = agg._jdf.queryExecution().executedPlan().toString()
     assert "skew=true" in plan, plan[:1200]
     assert "skewed" in plan, plan[:1200]
+
+
+def test_incremental_rollup_scans_delta_only(spark, sf_small):
+    """IVM merge must read (a) the tiny staged partials and (b) an
+    events scan whose pushdown excludes the base rows — never a full
+    re-scan of history."""
+    df = sparkflow.QUERIES["maintenance_incremental_rollup"](spark, sf_small)
+    plan = formatted_plan(df)
+    assert "GreaterThanOrEqual(event_id" in plan, plan[:2000]
+    assert "/ivm/" in plan  # the staged base-partials read
