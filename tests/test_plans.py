@@ -388,3 +388,39 @@ def test_incremental_rollup_scans_delta_only(spark, sf_small):
     plan = formatted_plan(df)
     assert "GreaterThanOrEqual(event_id" in plan, plan[:2000]
     assert "/ivm/" in plan  # the staged base-partials read
+
+
+def test_operators_survive_forced_spill(spark, sf_small):
+    """Spill-awareness pin: with the in-memory buffer thresholds forced
+    down to 16 rows, window functions and the sort-merge join path spill
+    to disk on every group — results must be identical to the unspilled
+    run. (At 100 TB these buffers WILL spill; correctness must not
+    depend on fitting in memory.)"""
+    ns = spark.newSession()
+    for k in (
+        "spark.sql.windowExec.buffer.in.memory.threshold",
+        "spark.sql.windowExec.buffer.spill.threshold",
+        "spark.sql.sortMergeJoinExec.buffer.in.memory.threshold",
+        "spark.sql.sortMergeJoinExec.buffer.spill.threshold",
+    ):
+        ns.conf.set(k, "16")
+    for name, keys in (
+        ("win_topk_per_group", ["c_custkey", "o_orderkey"]),
+        ("win_rolling_median", ["event_id"]),
+        ("join_bucketed", ["o_orderkey"]),
+    ):
+        got = (
+            sparkflow.QUERIES[name](ns, sf_small)
+            .toPandas()
+            .sort_values(keys)
+            .reset_index(drop=True)
+        )
+        want = (
+            sparkflow.QUERIES[name](spark, sf_small)
+            .toPandas()
+            .sort_values(keys)
+            .reset_index(drop=True)
+        )
+        import pandas as pd
+
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
