@@ -221,3 +221,102 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return members.groupBy(F.col("m").alias("user_id")).agg(
         F.count(F.lit(1)).alias("n_triangles")
     )
+
+
+_LPA_ITER = 2
+
+
+def _lpa_oracle() -> str:
+    it = """
+    n{n} AS (
+      SELECT b.dst AS u, l.lbl, COUNT(*) AS c
+      FROM bidir b JOIN l{p} l ON l.u = b.src
+      GROUP BY b.dst, l.lbl
+    ),
+    l{n} AS (
+      SELECT u, lbl FROM (
+        SELECT u, lbl, ROW_NUMBER() OVER (PARTITION BY u
+                                          ORDER BY c DESC, lbl) AS rn
+        FROM n{n}
+      ) WHERE rn = 1
+    )"""
+    iters = ",".join(it.format(n=i, p=i - 1) for i in range(1, _LPA_ITER + 1))
+    return f"""
+    WITH seq AS (
+      SELECT user_id,
+             LEAD(user_id) OVER (PARTITION BY {_SQL_HOUR}, event_type
+                                 ORDER BY event_id) AS next_user
+      FROM events
+    ),
+    eu AS (
+      SELECT DISTINCT LEAST(user_id, next_user) AS a,
+                      GREATEST(user_id, next_user) AS b
+      FROM seq WHERE next_user IS NOT NULL AND next_user <> user_id
+    ),
+    bidir AS (
+      SELECT a AS src, b AS dst FROM eu
+      UNION ALL
+      SELECT b AS src, a AS dst FROM eu
+    ),
+    nodes AS (SELECT DISTINCT dst AS u FROM bidir),
+    l0 AS (SELECT u, u AS lbl FROM nodes),
+    {iters}
+    SELECT CAST(u AS BIGINT) AS user_id, CAST(lbl AS BIGINT) AS community
+    FROM l{_LPA_ITER}
+    """
+
+
+@register("graph_label_propagation", oracle=_lpa_oracle())
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label propagation (GraphX LPA shape) — community detection on the
+    per-(hour, event_type) co-activity graph (sparser than the pagerank
+    graph, so distinct communities survive the propagation): every node starts labeled by itself; each
+    synchronous round it adopts the MOST FREQUENT label among its
+    neighbors (ties → smallest label, which also makes a fixed
+    iteration count fully deterministic despite LPA's famous
+    oscillation). Two rounds here; the output is every node's final label (on this
+    uniform synthetic graph the labels largely collapse — expected LPA
+    behavior on an unstructured graph; the machinery, not the modularity,
+    is what transfers).
+
+    Scale shape: one round = one join (labels ⋈ bidirected edges on
+    src) + one (node, label) count + one per-node arg-max window —
+    every shuffle keyed by node id, no driver state. The per-node
+    window partitions by u (never global). Same iterative-join family
+    as graph_pagerank; unrolled-CTE oracle, integer-only values."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("h", "event_type").orderBy("event_id")
+    seq = ev.select(
+        F.expr(_HOUR).alias("h"), "event_type", "event_id", "user_id"
+    ).withColumn("next_user", F.lead("user_id").over(w))
+    eu = (
+        seq.filter(
+            F.col("next_user").isNotNull() & (F.col("next_user") != F.col("user_id"))
+        )
+        .select(
+            F.least("user_id", "next_user").alias("a"),
+            F.greatest("user_id", "next_user").alias("b"),
+        )
+        .distinct()
+    )
+    bidir = eu.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
+        eu.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    nodes = bidir.select(F.col("dst").alias("u")).distinct()
+    labels = nodes.withColumn("lbl", F.col("u"))
+    per_node = Window.partitionBy("u").orderBy(F.col("c").desc(), F.col("lbl"))
+    for _ in range(_LPA_ITER):
+        counts = (
+            bidir.join(labels.withColumnRenamed("u", "src"), "src")
+            .groupBy(F.col("dst").alias("u"), "lbl")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = (
+            counts.withColumn("rn", F.row_number().over(per_node))
+            .filter(F.col("rn") == 1)
+            .select("u", "lbl")
+        )
+    return labels.select(
+        F.col("u").cast("bigint").alias("user_id"),
+        F.col("lbl").cast("bigint").alias("community"),
+    )
