@@ -245,3 +245,56 @@ def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_lines"),
         F.sum("rev_cents").cast("bigint").alias("revenue_cents"),
     )
+
+
+@register(
+    "udtf_analyze_polymorphic",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS ts
+      FROM documents WHERE lang = 'fr'
+    )
+    SELECT doc_id,
+           ts[pos] AS w0, ts[pos + 1] AS w1, ts[pos + 2] AS w2,
+           CAST(pos AS INT) AS pos
+    FROM (SELECT doc_id, ts, UNNEST(range(1, len(ts) - 1)) AS pos
+          FROM toks WHERE len(ts) >= 3)
+    """,
+)
+def udtf_analyze_polymorphic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POLYMORPHIC UDTF (PySpark 4 static `analyze`): the output schema
+    is computed at plan time FROM THE ARGUMENTS — here an n-gram
+    generator whose column count (w0..w{n-1}) derives from the literal
+    n. This is the table-function shape Flink exposes via type
+    inference on TableFunction: one implementation, schema per call
+    site. Catalyst sees a fully-resolved schema (no runtime surprises);
+    only the literal-argument value crosses into analyze(). Called with
+    n=3 over the fr-language docs; the oracle zips DuckDB list slices."""
+    from pyspark.sql.types import IntegerType, StringType, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    @udtf
+    class NGrams:
+        @staticmethod
+        def analyze(text: AnalyzeArgument, n: AnalyzeArgument) -> AnalyzeResult:
+            if not isinstance(n.value, int) or n.value < 1:
+                raise ValueError("n must be a positive integer literal")
+            schema = StructType()
+            for i in range(n.value):
+                schema = schema.add(f"w{i}", StringType())
+            return AnalyzeResult(schema.add("pos", IntegerType()))
+
+        def eval(self, text: str, n: int):
+            toks = text.split(" ")
+            for i in range(len(toks) - n + 1):
+                yield (*toks[i : i + n], i + 1)
+
+    spark.udtf.register("sparkflow_ngrams", NGrams)
+    d = table(spark, sf_dir, "documents").filter(F.col("lang") == "fr")
+    d.createOrReplaceTempView("udtf_ngram_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.w0, t.w1, t.w2, t.pos
+        FROM udtf_ngram_docs d, LATERAL sparkflow_ngrams(d.text, 3) t
+        """
+    )

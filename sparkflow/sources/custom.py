@@ -180,3 +180,115 @@ class EventSliceStreamSource(DataSource):
 
     def simpleStreamReader(self, schema):
         return _EventSliceStreamReader(self.options)
+
+
+# ---------------------------------------------------------------------------
+# Custom WRITER (two-phase commit) — completes the connector: Spark can
+# now both read AND write the foreign docmeta format.
+# ---------------------------------------------------------------------------
+
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import DataSourceWriter, WriterCommitMessage
+
+
+@dataclass
+class _DocMetaCommit(WriterCommitMessage):
+    staged: str
+    final: str
+    n_rows: int
+
+
+class _DocMetaWriter(DataSourceWriter):
+    """Per-partition task writes to a UUID-staged file and returns a
+    commit message; the driver-side commit() renames staged files into
+    place ATOMICALLY-ENOUGH for a filesystem sink (task retries leave
+    only orphaned staging, never half-visible data) — the same
+    two-phase protocol every production Spark sink implements."""
+
+    def __init__(self, options, overwrite: bool):
+        self.path = options["path"]
+        self.overwrite = overwrite
+
+    def write(self, iterator):
+        import os
+        import uuid
+
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        staging = os.path.join(self.path, "_staging")
+        os.makedirs(staging, exist_ok=True)
+        staged = os.path.join(staging, f"{uuid.uuid4().hex}.txt")
+        n = 0
+        with open(staged, "w", encoding="utf-8") as fh:
+            for row in iterator:
+                fh.write(f"{row.doc_id}|{row.lang}|{row.n_chars}\n")
+                n += 1
+        final = os.path.join(self.path, f"docmeta-w{pid:04d}.txt")
+        return _DocMetaCommit(staged=staged, final=final, n_rows=n)
+
+    def commit(self, messages):
+        import os
+        import shutil
+
+        for m in messages:
+            os.replace(m.staged, m.final)
+        shutil.rmtree(os.path.join(self.path, "_staging"), ignore_errors=True)
+
+    def abort(self, messages):
+        import shutil
+
+        shutil.rmtree(os.path.join(self.path, "_staging"), ignore_errors=True)
+
+
+# extend the registered DataSource with the writer half
+def _docmeta_writer(self, schema, overwrite):
+    return _DocMetaWriter(self.options, overwrite)
+
+
+DocMetaSource.writer = _docmeta_writer
+
+
+@register(
+    "sink_custom_python",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def sink_custom_python(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full custom-connector round trip: documents flow OUT through the
+    Python DataSource WRITER (partition-parallel tasks, UUID staging,
+    driver-side two-phase commit) into the foreign pipe-delimited
+    format, then back IN through the reader, then aggregate. Oracle =
+    the same aggregation on the original table, so write-path
+    completeness (no lost/duplicated rows under the commit protocol) is
+    exactly what the hash equality certifies."""
+    sfkey = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    out = os.path.join(
+        _TMP, "docmeta_sink", spark.sparkContext.applicationId, sfkey
+    )
+    spark.dataSource.register(DocMetaSource)
+    if not os.path.isdir(out):
+        os.makedirs(out, exist_ok=True)
+        (
+            table(spark, sf_dir, "documents")
+            .select("doc_id", "lang", "n_chars")
+            .repartition(4)
+            .write.format("docmeta")
+            .option("path", out)
+            .mode("append")
+            .save()
+        )
+    df = spark.read.format("docmeta").option("path", out).load()
+    return df.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.min("doc_id").cast("bigint").alias("min_doc"),
+        F.max("doc_id").cast("bigint").alias("max_doc"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
