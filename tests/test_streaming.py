@@ -736,3 +736,51 @@ def test_rocksdb_state_store_matches_default(spark, stream_dir, sf_small):
     pd.testing.assert_frame_equal(
         got_c[["event_id", "running_count", "running_sum"]], want_c, check_dtype=False
     )
+
+
+def test_custom_writer_failure_leaves_no_visible_output(spark, sf_small, tmp_path):
+    """Two-phase commit atomicity: if write tasks fail, abort() must
+    clean the staging area and NO final docmeta-w files may be visible —
+    a failed job leaves the sink exactly as it found it."""
+    import os
+
+    import pytest as _pytest
+
+    from pyspark.sql.datasource import DataSource
+    from sparkflow.sources import custom as C
+
+    out = str(tmp_path / "sink_fail")
+    os.makedirs(out)
+
+    class FailingWriter(C._DocMetaWriter):
+        def write(self, iterator):
+            next(iterator)  # consume one row, then die mid-write
+            raise RuntimeError("injected write failure")
+
+    class FailingDocMeta(DataSource):
+        @classmethod
+        def name(cls):
+            return "docmeta_failing"
+
+        def schema(self):
+            return "doc_id BIGINT, lang STRING, n_chars BIGINT"
+
+        def writer(self, schema, overwrite):
+            return FailingWriter(self.options, overwrite)
+
+    spark.dataSource.register(FailingDocMeta)
+    df = (
+        sparkflow.catalog.table(spark, sf_small, "documents")
+        .select("doc_id", "lang", "n_chars")
+        .repartition(2)
+    )
+    with _pytest.raises(Exception):
+        (
+            df.write.format("docmeta_failing")
+            .option("path", out)
+            .mode("append")
+            .save()
+        )
+    visible = [f for f in os.listdir(out) if f.startswith("docmeta-")]
+    assert visible == [], visible
+    assert not os.path.isdir(os.path.join(out, "_staging")), "staging not cleaned"
