@@ -43,6 +43,9 @@ from .llm import dedup, multimodal, similarity  # noqa: F401  (heavy LLM last)
 # never-yet-sampled operators to the front so they get correctness rows.
 # Keys not listed keep their import order after these.
 _ATTEST_FIRST = [
+    # the one red CORRECTNESS_r02 row (ts regression, fixed in r3):
+    # re-attest it first
+    "join_range_binned",
     # window functions (never sampled r1/r2)
     "win_lag_lead", "win_running_sum", "win_sliding_rows", "win_range_frame",
     "win_value_fns", "win_ewma", "win_rolling_median", "win_gaps_islands",
