@@ -92,25 +92,44 @@ def _rotate_never_attested() -> None:
     artifact, one per round). Keys keep their current relative order
     within the attested/unattested groups, so the static priority above
     still decides ordering among the unattested. A key whose only rows
-    are errors stays unattested and is retried. No artifacts → no-op."""
+    are errors OR hash mismatches stays unattested and is retried. No
+    artifacts → no-op."""
+    seen = _attested_keys()
+    unattested = [k for k in registry.QUERIES if k not in seen]
+    if seen and unattested:
+        registry.reorder(unattested)
+
+
+def _attested_keys(root: str | None = None) -> set[str]:
+    """Keys with a SUCCESSFUL row in any committed CORRECTNESS_r*.json:
+    hash-matched against the oracle, or completed a rows-only check
+    (err == 'no_oracle' with a row count). A row that errored, or that
+    RAN but mismatched (rows/hash False), does NOT count — those need
+    re-attestation after the fix, so they stay in the front prefix."""
     import glob
     import json
     import os
 
     seen: set[str] = set()
-    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if root is None:
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
         try:
             with open(path) as fh:
                 data = json.load(fh)
         except (OSError, ValueError):
             continue
+        if not isinstance(data, dict):
+            continue  # unexpected artifact shape: ignore, never break import
         for key, row in data.items():
-            if isinstance(row, dict) and row.get("spark_rows") is not None:
+            if not isinstance(row, dict):
+                continue
+            ok = row.get("hash_match") is True or (
+                row.get("err") == "no_oracle" and row.get("spark_rows") is not None
+            )
+            if ok:
                 seen.add(key)
-    unattested = [k for k in registry.QUERIES if k not in seen]
-    if seen and unattested:
-        registry.reorder(unattested)
+    return seen
 
 
 _rotate_never_attested()

@@ -204,11 +204,20 @@ class _DocMetaWriter(DataSourceWriter):
     commit message; the driver-side commit() renames staged files into
     place ATOMICALLY-ENOUGH for a filesystem sink (task retries leave
     only orphaned staging, never half-visible data) — the same
-    two-phase protocol every production Spark sink implements."""
+    two-phase protocol every production Spark sink implements.
+
+    Final names carry a per-JOB token (minted on the driver, shipped to
+    tasks via pickling), so APPEND jobs never collide with a previous
+    job's files; OVERWRITE clears the prior visible files inside
+    commit(), after every task has succeeded — a failed overwrite leaves
+    the old data fully intact."""
 
     def __init__(self, options, overwrite: bool):
+        import uuid
+
         self.path = options["path"]
         self.overwrite = overwrite
+        self.job = uuid.uuid4().hex[:12]  # one token per write job
 
     def write(self, iterator):
         import os
@@ -225,13 +234,19 @@ class _DocMetaWriter(DataSourceWriter):
             for row in iterator:
                 fh.write(f"{row.doc_id}|{row.lang}|{row.n_chars}\n")
                 n += 1
-        final = os.path.join(self.path, f"docmeta-w{pid:04d}.txt")
+        final = os.path.join(self.path, f"docmeta-w{self.job}-{pid:04d}.txt")
         return _DocMetaCommit(staged=staged, final=final, n_rows=n)
 
     def commit(self, messages):
         import os
         import shutil
 
+        if self.overwrite:
+            for f in os.listdir(self.path):
+                if f.startswith("docmeta-") and not f.startswith(
+                    f"docmeta-w{self.job}-"
+                ):
+                    os.remove(os.path.join(self.path, f))
         for m in messages:
             os.replace(m.staged, m.final)
         shutil.rmtree(os.path.join(self.path, "_staging"), ignore_errors=True)
@@ -274,7 +289,10 @@ def sink_custom_python(spark: SparkSession, sf_dir: str) -> DataFrame:
         _TMP, "docmeta_sink", spark.sparkContext.applicationId, sfkey
     )
     spark.dataSource.register(DocMetaSource)
-    if not os.path.isdir(out):
+    # marker-based guard, not isdir: a first attempt that created the dir
+    # but failed mid-write must NOT make later calls read a partial sink
+    marker = os.path.join(out, "_STAGED_OK")
+    if not os.path.exists(marker):
         os.makedirs(out, exist_ok=True)
         (
             table(spark, sf_dir, "documents")
@@ -282,9 +300,11 @@ def sink_custom_python(spark: SparkSession, sf_dir: str) -> DataFrame:
             .repartition(4)
             .write.format("docmeta")
             .option("path", out)
-            .mode("append")
+            .mode("overwrite")
             .save()
         )
+        with open(marker, "w", encoding="utf-8"):
+            pass
     df = spark.read.format("docmeta").option("path", out).load()
     return df.groupBy("lang").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),

@@ -598,7 +598,10 @@ def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = os.path.join(
         _TMP, "binfiles", spark.sparkContext.applicationId, f"docs_{sfkey}"
     )
-    if not os.path.isdir(base):
+    # marker-based staging guard: an interrupted first staging loop must
+    # not leave a partial .bin set that later calls silently read
+    marker = os.path.join(base, "_STAGED_OK")
+    if not os.path.exists(marker):
         os.makedirs(base, exist_ok=True)
         pdf = (
             table(spark, sf_dir, "documents")
@@ -609,6 +612,8 @@ def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in pdf.itertuples():
             with open(os.path.join(base, f"doc_{r.doc_id}.bin"), "wb") as fh:
                 fh.write(r.text.encode("utf-8"))
+        with open(marker, "w", encoding="utf-8"):
+            pass
     meta = (
         table(spark, sf_dir, "documents")
         .filter(F.col("doc_id") % 10 == 0)
@@ -662,15 +667,21 @@ def maintenance_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFram
     integer cents end-to-end, so merged and recomputed results are
     bit-identical."""
     ev = table(spark, sf_dir, "events")
-    lo, hi = ev.agg(F.min("event_id"), F.max("event_id")).first()
-    cutoff = lo + ((hi - lo + 1) * 3) // 5
     cents = F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)")
 
     sfkey = sf_dir.rstrip("/").rsplit("/", 1)[-1]
     base_path = os.path.join(
         _TMP, "ivm", spark.sparkContext.applicationId, f"base_{sfkey}"
     )
-    if not os.path.isdir(base_path):
+    # The cutoff is persisted WITH the partials: re-deriving it from the
+    # live table on every call would (a) run a data-sized min/max job
+    # per plan build and (b) shift if the table grew, double-counting
+    # rows already folded into the base. Guard on Spark's own _SUCCESS
+    # marker, not isdir — a crashed first write must not be readable.
+    cutoff_file = os.path.join(base_path + "_cutoff.txt")
+    if not os.path.exists(os.path.join(base_path, "_SUCCESS")):
+        lo, hi = ev.agg(F.min("event_id"), F.max("event_id")).first()
+        cutoff = lo + ((hi - lo + 1) * 3) // 5
         (
             ev.filter(F.col("event_id") < cutoff)
             .groupBy("event_type")
@@ -678,6 +689,11 @@ def maintenance_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFram
             .write.mode("overwrite")
             .parquet(base_path)
         )
+        os.makedirs(os.path.dirname(cutoff_file), exist_ok=True)
+        with open(cutoff_file, "w", encoding="utf-8") as fh:
+            fh.write(str(cutoff))
+    with open(cutoff_file, encoding="utf-8") as fh:
+        cutoff = int(fh.read().strip())
     base_partials = spark.read.parquet(base_path)
     delta_partials = (
         ev.filter(F.col("event_id") >= cutoff)  # pushed to the scan

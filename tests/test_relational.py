@@ -415,3 +415,27 @@ def test_registration_order_fronts_unattested_keys():
     assert all(k not in seen for k in ks[:n_unattested]), (
         "attested key found inside the unattested prefix"
     )
+
+
+def test_attested_keys_semantics(tmp_path):
+    """The rotation's 'successful row' rule, pinned against a hand-built
+    artifact: hash-matched and rows-only rows count; errored rows and
+    ran-but-MISMATCHED rows must stay unattested (they need a re-attest
+    after their fix lands)."""
+    import json
+
+    artifact = {
+        "green": {"rows_match": True, "schema_match": True, "hash_match": True,
+                  "spark_rows": 5, "oracle_rows": 5, "err": None},
+        "rows_only": {"rows_match": None, "schema_match": None, "hash_match": None,
+                      "spark_rows": 5, "oracle_rows": None, "err": "no_oracle"},
+        "errored": {"rows_match": None, "schema_match": None, "hash_match": None,
+                    "spark_rows": None, "oracle_rows": None, "err": "Traceback ..."},
+        "ran_but_mismatched": {"rows_match": True, "schema_match": True,
+                               "hash_match": False, "spark_rows": 5,
+                               "oracle_rows": 5, "err": None},
+    }
+    (tmp_path / "CORRECTNESS_r99.json").write_text(json.dumps(artifact))
+    # a malformed artifact (non-dict top level) must be ignored, not crash
+    (tmp_path / "CORRECTNESS_r98.json").write_text(json.dumps([1, 2, 3]))
+    assert sparkflow._attested_keys(str(tmp_path)) == {"green", "rows_only"}

@@ -784,3 +784,33 @@ def test_custom_writer_failure_leaves_no_visible_output(spark, sf_small, tmp_pat
     visible = [f for f in os.listdir(out) if f.startswith("docmeta-")]
     assert visible == [], visible
     assert not os.path.isdir(os.path.join(out, "_staging")), "staging not cleaned"
+
+
+def test_custom_writer_append_and_overwrite_semantics(spark, sf_small, tmp_path):
+    """Append jobs must never clobber a previous job's files (final
+    names carry a per-job token); overwrite must replace ALL previously
+    visible files only after the new tasks succeeded."""
+    import os
+
+    from sparkflow.sources import custom as C
+
+    out = str(tmp_path / "sink_modes")
+    os.makedirs(out)
+    spark.dataSource.register(C.DocMetaSource)
+    df = (
+        sparkflow.catalog.table(spark, sf_small, "documents")
+        .select("doc_id", "lang", "n_chars")
+        .limit(100)
+        .repartition(2)
+    )
+    w = df.write.format("docmeta").option("path", out)
+    w.mode("append").save()
+    n1 = len([f for f in os.listdir(out) if f.startswith("docmeta-")])
+    w.mode("append").save()
+    n2 = len([f for f in os.listdir(out) if f.startswith("docmeta-")])
+    assert n2 == 2 * n1, (n1, n2)  # second append added, clobbered nothing
+    back = spark.read.format("docmeta").option("path", out).load()
+    assert back.count() == 200  # both appends' rows are all present
+    w.mode("overwrite").save()
+    back2 = spark.read.format("docmeta").option("path", out).load()
+    assert back2.count() == 100  # overwrite replaced everything
