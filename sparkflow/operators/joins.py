@@ -1005,3 +1005,43 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("fwd_id").isNotNull(), F.col("fwd_us") - t_us)
         .alias("dist_us"),
     )
+
+
+@register(
+    "join_interval_outer",
+    oracle="""
+    SELECT a.event_id AS click_id, a.user_id, b.event_id AS purchase_id
+    FROM events a LEFT JOIN events b
+      ON a.user_id = b.user_id
+     AND b.event_type = 'purchase'
+     AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 10 MINUTE
+    WHERE a.event_type = 'click'
+    """,
+)
+def join_interval_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER interval join: every click, null-extended when no
+    purchase by the same user lands within the next 10 minutes — the
+    batch analog of the watermarked stream-stream outer join twin
+    (`sparkflow/streaming/stateful.py::interval_left_join_stream`, whose
+    null rows may only emit once the watermark proves no match can
+    arrive). Same single-shuffle shape as the inner `join_interval`;
+    the outer side just keeps the unmatched probes."""
+    ev = table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    cond = (
+        (clicks.user_id == purchases.p_user_id)
+        & (purchases.p_ts >= clicks.click_ts)
+        & (purchases.p_ts <= clicks.click_ts + F.expr("INTERVAL 10 MINUTES"))
+    )
+    return clicks.join(purchases, cond, "left_outer").select(
+        "click_id", "user_id", "purchase_id"
+    )
