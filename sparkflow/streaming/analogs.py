@@ -1158,3 +1158,56 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_full_funnel").cast("double") / F.col("n_view")).alias("pct_full"),
         )
     )
+
+
+@register(
+    "stream_async_enrich",
+    oracle="""
+    SELECT event_id, user_id,
+           substr(md5(CAST(user_id AS VARCHAR)), 1, 2) AS user_tier,
+           CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS value_cents
+    FROM events WHERE event_type = 'purchase'
+    """,
+)
+def stream_async_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Async-I/O enrichment (Flink AsyncDataStream.unorderedWait): each
+    record needs a field from an EXTERNAL lookup service. The Spark
+    translation replaces per-record async callbacks with Arrow-BATCHED
+    lookups inside mapInPandas: one batch = one bulk request (Flink's
+    'capacity'), duplicate keys within the batch are deduplicated
+    before the call (the cache layer every async enricher grows), and
+    row order within the partition is preserved (orderedWait). The
+    'service' here is a deterministic md5-based tier function so the
+    oracle can replay it; swap `_lookup` for a real client and the
+    plumbing — batching, dedup, schema — is unchanged. When the service
+    can be snapshotted to a table, prefer the broadcast stream-static
+    join (join_stream_static); this shape is for lookups that must stay
+    remote."""
+    import hashlib
+
+    import pandas as pd
+
+    def _lookup(user_ids):
+        # stands in for one bulk RPC: unique keys -> tier strings
+        return {
+            u: hashlib.md5(str(u).encode()).hexdigest()[:2] for u in user_ids
+        }
+
+    def enrich(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            tiers = _lookup(pdf["user_id"].unique())  # dedup, then "call"
+            yield pd.DataFrame(
+                {
+                    "event_id": pdf["event_id"],
+                    "user_id": pdf["user_id"],
+                    "user_tier": pdf["user_id"].map(tiers),
+                    "value_cents": (pdf["value"] * 100 + 0.5).astype("int64"),
+                }
+            )
+
+    ev = table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    return ev.select("event_id", "user_id", "value").mapInPandas(
+        enrich, "event_id LONG, user_id LONG, user_tier STRING, value_cents LONG"
+    )
