@@ -89,31 +89,48 @@ registry.reorder(_ATTEST_FIRST)
 def _rotate_never_attested() -> None:
     """Self-maintaining attestation rotation: front the keys that have no
     successful row in ANY committed CORRECTNESS_r*.json yet (driver
-    artifact, one per round). Keys keep their current relative order
-    within the attested/unattested groups, so the static priority above
-    still decides ordering among the unattested. A key whose only rows
-    are errors OR hash mismatches stays unattested and is retried. No
-    artifacts → no-op."""
+    artifact, one per round), then queue the attested keys least-
+    recently-attested FIRST. The second half is the re-attestation
+    budget (round-3 advice): once the never-attested pool shrinks below
+    the driver's ~50-key prefix, the prefix automatically tops up with
+    the stalest previously-attested keys, so a regression in an old
+    operator re-enters the harness within ⌈192/50⌉ rounds instead of
+    becoming structurally invisible. A key whose only rows are errors
+    OR hash mismatches stays unattested and is retried first.
+
+    Determinism: the order is a pure function of the committed
+    CORRECTNESS_r*.json artifacts (which live in git), so every
+    checkout of a given commit iterates identically; with no artifacts
+    present (fresh pre-round-1 tree) the static priority above stands
+    unchanged."""
     seen = _attested_keys()
+    if not seen:
+        return
+    last_round = _last_attested_round()
     unattested = [k for k in registry.QUERIES if k not in seen]
-    if seen and unattested:
-        registry.reorder(unattested)
+    attested = [k for k in registry.QUERIES if k in seen]
+    # stable sort: within the same round, current registration order
+    attested.sort(key=lambda k: last_round[k])
+    registry.reorder(unattested + attested)
 
 
-def _attested_keys(root: str | None = None) -> set[str]:
-    """Keys with a SUCCESSFUL row in any committed CORRECTNESS_r*.json:
-    hash-matched against the oracle, or completed a rows-only check
-    (err == 'no_oracle' with a row count). A row that errored, or that
-    RAN but mismatched (rows/hash False), does NOT count — those need
-    re-attestation after the fix, so they stay in the front prefix."""
+def _successful_rows(root: str | None = None):
+    """Yield (round_number, key) for every SUCCESSFUL row in the
+    committed CORRECTNESS_r*.json artifacts: hash-matched against the
+    oracle, or completed a rows-only check (err == 'no_oracle' with a
+    row count). A row that errored, or that RAN but mismatched
+    (rows/hash False), is NOT yielded — those need re-attestation after
+    the fix, so they stay in the front prefix."""
     import glob
     import json
     import os
+    import re
 
-    seen: set[str] = set()
     if root is None:
         root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
         try:
             with open(path) as fh:
                 data = json.load(fh)
@@ -128,8 +145,24 @@ def _attested_keys(root: str | None = None) -> set[str]:
                 row.get("err") == "no_oracle" and row.get("spark_rows") is not None
             )
             if ok:
-                seen.add(key)
-    return seen
+                yield rnd, key
+
+
+def _attested_keys(root: str | None = None) -> set[str]:
+    """Keys with at least one successful row in any committed
+    CORRECTNESS_r*.json (see _successful_rows for the success rule)."""
+    return {key for _, key in _successful_rows(root)}
+
+
+def _last_attested_round(root: str | None = None) -> dict:
+    """key -> the LATEST round number whose artifact has a successful
+    row for it. Drives the re-attestation ordering: smaller = staler =
+    re-attested sooner."""
+    last: dict = {}
+    for rnd, key in _successful_rows(root):
+        if rnd > last.get(key, -1):
+            last[key] = rnd
+    return last
 
 
 _rotate_never_attested()

@@ -21,6 +21,8 @@ vector is ever assembled on the driver.
 
 from __future__ import annotations
 
+import weakref
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -34,9 +36,20 @@ from ..registry import register
 
 _QUERY_VEC_ID = 0  # deterministic query: the embedding of vec_id 0
 
-# (session id, sf_dir) -> collected hard-negatives query sample (see
-# llm_hard_negatives: avoids re-running the collect per plan build)
+# (session id, sf_dir) -> (weakref(session), collected hard-negatives
+# query sample). The weakref guards against CPython id() reuse after a
+# session is garbage-collected (same hazard catalog._CACHE documents);
+# entries whose referent is not the calling session are replaced.
 _HN_QUERY_CACHE: dict = {}
+# Hard bound on the driver-collected hard-negatives query sample: the
+# 1-in-50 sample is corpus-proportional, so an uncapped collect() would
+# scale with the data (corpus/50 rows on one JVM heap at 100 TB). The
+# deterministic (ORDER BY vec_id, LIMIT) cap bounds driver memory by a
+# CONSTANT (4096 × 64 dims × 8 B ≈ 2 MB) at any corpus size; the oracle
+# applies the identical cap so results stay EXACT. Corpora whose sample
+# exceeds the cap mine negatives for the first 4096 query ids — beyond
+# that, shard the query matrix and union (see docstring).
+_HN_MAX_QUERIES = 4096
 _TOP_K = 10
 
 # Deterministic rational projection matrix for hyperplane LSH:
@@ -614,6 +627,22 @@ def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hn_query_sample(e: DataFrame) -> DataFrame:
+    """The hard-negatives query sample as a BOUNDED DataFrame: 1-in-50
+    of the corpus, deterministically ordered, capped at
+    `_HN_MAX_QUERIES` rows. Every driver-side materialization of the
+    query matrix MUST go through this helper — the LIMIT is what keeps
+    llm_hard_negatives' one collect() constant-sized at any corpus
+    scale (tests/test_llm_similarity.py asserts the plan carries a
+    GlobalLimit and that the row count is capped)."""
+    return (
+        e.filter(F.col("vec_id") % 50 == 0)
+        .select("vec_id", "label", "embedding")
+        .orderBy("vec_id")
+        .limit(_HN_MAX_QUERIES)
+    )
+
+
 @register(
     "llm_hard_negatives",
     oracle="""
@@ -627,7 +656,8 @@ def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM sub, LATERAL (SELECT UNNEST(range(0, len(embedding)))) t(d)
     ),
     norms AS (SELECT vec_id, SUM(q * q) AS n2 FROM dims GROUP BY vec_id),
-    queries AS (SELECT vec_id, label FROM sub WHERE vec_id % 50 = 0),
+    queries AS (SELECT vec_id, label FROM sub WHERE vec_id % 50 = 0
+                ORDER BY vec_id LIMIT 4096),
     dots AS (
       SELECT qd.vec_id AS query_id, cd.vec_id AS cand_id,
              SUM(qd.q * cd.q) AS dot
@@ -663,11 +693,14 @@ def llm_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape (replaces the earlier dim-only all-pairs join, which
     shuffled 64·n_q·n_c intermediate rows): the query side of
-    hard-negative mining is a SAMPLE (1-in-50 here) — a broadcast dim
-    table by construction. The quantized query matrix ships to every
-    task inside the mapInPandas closure; each Arrow batch of candidates
-    scores against it with ONE int64 matmul and emits only its per-query
-    best row. The only shuffled data is n_batches·n_q candidate-winner
+    hard-negative mining is a SAMPLE (1-in-50 here), and the collect
+    that materializes it is bounded by a CONSTANT, not the corpus —
+    `_hn_query_sample` applies a deterministic (ORDER BY vec_id,
+    LIMIT _HN_MAX_QUERIES) cap mirrored in the oracle, so at 100 TB the
+    driver holds ≤ 4096×64 ints (~2 MB) regardless of data size. The
+    quantized query matrix ships to every task inside the mapInPandas
+    closure; each Arrow batch of candidates scores against it with ONE
+    int64 matmul and emits only its per-query best row. The only shuffled data is n_batches·n_q candidate-winner
     rows — the per-partition top-k + tiny global reduce pattern, same as
     TakeOrderedAndProject. Nothing quadratic ever reaches an exchange,
     and the candidate scan stays a straight parquet read (no explode).
@@ -682,14 +715,12 @@ def llm_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (session, sf_dir) so repeated plan builds (explain dumps, harness
     # re-invocations) don't re-run the collect job.
     memo_key = (id(spark), sf_dir.rstrip("/"))
-    qrows = _HN_QUERY_CACHE.get(memo_key)
-    if qrows is None:
-        qrows = (
-            e.filter(F.col("vec_id") % 50 == 0)
-            .select("vec_id", "label", "embedding")
-            .collect()
-        )
-        _HN_QUERY_CACHE[memo_key] = qrows
+    hit = _HN_QUERY_CACHE.get(memo_key)
+    if hit is not None and hit[0]() is spark:
+        qrows = hit[1]
+    else:
+        qrows = _hn_query_sample(e).collect()
+        _HN_QUERY_CACHE[memo_key] = (weakref.ref(spark), qrows)
     if not qrows:
         # empty query sample: no negatives to mine — empty result, same
         # as the oracle's empty QUALIFY output

@@ -676,10 +676,13 @@ def maintenance_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFram
     # The cutoff is persisted WITH the partials: re-deriving it from the
     # live table on every call would (a) run a data-sized min/max job
     # per plan build and (b) shift if the table grew, double-counting
-    # rows already folded into the base. Guard on Spark's own _SUCCESS
-    # marker, not isdir — a crashed first write must not be readable.
+    # rows already folded into the base. The cutoff file is written LAST
+    # (atomically, tmp+rename) and is the completeness marker: its
+    # presence implies the parquet write (and its _SUCCESS) finished. A
+    # crash between parquet _SUCCESS and the cutoff write therefore
+    # re-stages on the next call instead of failing at open().
     cutoff_file = os.path.join(base_path + "_cutoff.txt")
-    if not os.path.exists(os.path.join(base_path, "_SUCCESS")):
+    if not os.path.exists(cutoff_file):
         lo, hi = ev.agg(F.min("event_id"), F.max("event_id")).first()
         cutoff = lo + ((hi - lo + 1) * 3) // 5
         (
@@ -690,8 +693,10 @@ def maintenance_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFram
             .parquet(base_path)
         )
         os.makedirs(os.path.dirname(cutoff_file), exist_ok=True)
-        with open(cutoff_file, "w", encoding="utf-8") as fh:
+        tmp = cutoff_file + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as fh:
             fh.write(str(cutoff))
+        os.replace(tmp, cutoff_file)
     with open(cutoff_file, encoding="utf-8") as fh:
         cutoff = int(fh.read().strip())
     base_partials = spark.read.parquet(base_path)

@@ -1185,6 +1185,7 @@ def stream_async_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     remote."""
     import hashlib
 
+    import numpy as np
     import pandas as pd
 
     def _lookup(user_ids):
@@ -1203,7 +1204,9 @@ def stream_async_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "event_id": pdf["event_id"],
                     "user_id": pdf["user_id"],
                     "user_tier": pdf["user_id"].map(tiers),
-                    "value_cents": (pdf["value"] * 100 + 0.5).astype("int64"),
+                    "value_cents": np.floor(pdf["value"] * 100 + 0.5).astype(
+                        "int64"
+                    ),
                 }
             )
 

@@ -370,6 +370,34 @@ def test_hard_negatives_match_numpy_brute_force(spark, sf_small):
         assert abs(row["cos_sim"] - best_cos) <= 1e-12
 
 
+def test_hard_negatives_query_sample_is_bounded(spark, sf_small, monkeypatch):
+    """100 TB guard (round-3 verdict): the ONE driver collect() in
+    llm_hard_negatives must be bounded by a constant, not the corpus.
+    Three layers: the operator's only collect goes through the capped
+    helper; the helper's plan carries a GlobalLimit; and the cap
+    actually truncates deterministically when forced below the sample
+    size."""
+    import inspect
+
+    from sparkflow.llm import similarity
+
+    src = inspect.getsource(similarity.llm_hard_negatives)
+    assert src.count(".collect()") == 1, "new uncapped collect() added"
+    assert "_hn_query_sample(e).collect()" in src
+
+    e = similarity.table(spark, sf_small, "embeddings")
+    plan = similarity._hn_query_sample(e)._jdf.queryExecution().optimizedPlan().toString()
+    assert "GlobalLimit" in plan, plan[:800]
+
+    monkeypatch.setattr(similarity, "_HN_MAX_QUERIES", 3)
+    got = sorted(r.vec_id for r in similarity._hn_query_sample(e).collect())
+    all_ids = sorted(
+        r.vec_id
+        for r in e.filter("vec_id % 50 = 0").select("vec_id").collect()
+    )
+    assert got == all_ids[:3]
+
+
 def test_embedding_pca_matches_numpy_fixed_point_replay(spark, sf_small):
     """The relational power iteration must be BIT-IDENTICAL to a numpy
     replay of the same integer recursion, and each step must not

@@ -395,25 +395,35 @@ def test_anomaly_zscore_matches_float_recompute(spark, sf_small):
 def test_registration_order_fronts_unattested_keys():
     """The driver attests a fixed-size prefix of queries() per round; the
     import-time rotation must put every key WITHOUT a successful
-    CORRECTNESS_r*.json row before every key with one."""
-    import glob
-    import json
-
-    seen = set()
-    for p in glob.glob("/root/repo/CORRECTNESS_r*.json"):
-        try:
-            rows = json.load(open(p))
-        except ValueError:
-            continue
-        for k, v in rows.items():
-            if isinstance(v, dict) and v.get("spark_rows") is not None:
-                seen.add(k)
+    CORRECTNESS_r*.json row before every key with one. Uses
+    sparkflow._attested_keys() — the SAME success rule the rotation
+    runs on — so the test cannot drift from the implementation (a row
+    that ran but hash-mismatched is unattested in both)."""
+    seen = sparkflow._attested_keys()
     if not seen:
         return  # no artifacts (fresh clone): static order stands
     ks = list(sparkflow.QUERIES)
     n_unattested = sum(1 for k in ks if k not in seen)
     assert all(k not in seen for k in ks[:n_unattested]), (
         "attested key found inside the unattested prefix"
+    )
+
+
+def test_rotation_reattests_stalest_keys_first():
+    """Regression-visibility guard (round-3 advice): once the
+    never-attested pool shrinks below the driver's prefix size, the
+    prefix must fill with PREVIOUSLY-attested keys, least-recently-
+    attested first, so a regression in an old operator re-enters the
+    harness within a bounded number of rounds instead of never."""
+    seen = sparkflow._attested_keys()
+    if not seen:
+        return
+    rounds = sparkflow._last_attested_round()
+    ks = list(sparkflow.QUERIES)
+    attested_tail = [k for k in ks if k in seen]
+    tail_rounds = [rounds[k] for k in attested_tail]
+    assert tail_rounds == sorted(tail_rounds), (
+        "attested keys not ordered least-recently-attested first"
     )
 
 
