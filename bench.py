@@ -92,6 +92,19 @@ def main() -> None:
             times.append(time.perf_counter() - t0)
         results[name] = round(statistics.median(times), 4)
 
+    # Measured harness floor: the cheapest possible query (a 10-row
+    # range, no I/O, no shuffle) through the SAME prepared-plan +
+    # toPandas path. Any bench query within ~a few ms of this number is
+    # at the dispatch floor — its ratio vs an in-process engine measures
+    # the harness, not the plan (BASELINE.md "Per-query floor").
+    fdf = spark.range(10).select(F.col("id"))
+    fdf.toPandas()
+    floor_times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        fdf.toPandas()
+        floor_times.append(time.perf_counter() - t0)
+
     total = round(sum(results.values()), 4)
     print(
         json.dumps(
@@ -101,6 +114,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": results,
                 "sf": sf,
+                "dispatch_floor_sec": round(statistics.median(floor_times), 4),
             }
         )
     )
