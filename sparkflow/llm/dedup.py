@@ -310,19 +310,70 @@ def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cc_doubling_oracle(rounds: int) -> str:
+    """Non-recursive connected-components oracle: a FIXED chain of
+    min-label propagate + pointer-jump rounds, each round the IDENTICAL
+    update schedule the Spark loop executes (nbr-min over directed
+    edges, least with own label, then follow the label's label). With
+    the same initial state and the same per-round update, SQL state
+    after k rounds == Spark state after k rounds, so equality holds by
+    construction — even on a graph where k rounds hasn't converged.
+
+    Replaces the recursive-CTE transitive closure (round 1-3), whose
+    `reach` relation is Σ|component|² rows — quadratic per component,
+    which is exactly what made it die at sf0.1. Each doubling round
+    here is linear in |V|+|E| and the chain length is the Spark loop's
+    own iteration cap, so the oracle runs at any sf the operator does.
+
+    Every CTE is MATERIALIZED (DuckDB hint): each round references its
+    predecessor twice (and mid{k} self-joins for the pointer jump), so
+    default CTE inlining would expand the chain 2^rounds ways — and
+    re-open the corpus parquet once per expansion ('too many open
+    files' long before any memory limit). Materializing evaluates each
+    round exactly once, which is also what the Spark loop's
+    localCheckpoint does."""
+    ctes = [
+        "l0 AS MATERIALIZED (SELECT doc, doc AS lab FROM verts)",
+    ]
+    for k in range(rounds):
+        ctes.append(
+            f"""nm{k} AS MATERIALIZED (
+      SELECT e.a AS doc, MIN(l.lab) AS m
+      FROM edges e JOIN l{k} l ON l.doc = e.b GROUP BY e.a
+    )"""
+        )
+        ctes.append(
+            f"""mid{k} AS MATERIALIZED (
+      SELECT l.doc, LEAST(l.lab, COALESCE(nm.m, l.lab)) AS lab
+      FROM l{k} l LEFT JOIN nm{k} nm ON nm.doc = l.doc
+    )"""
+        )
+        ctes.append(
+            f"""l{k + 1} AS MATERIALIZED (
+      SELECT m.doc, LEAST(m.lab, COALESCE(p.lab, m.lab)) AS lab
+      FROM mid{k} m LEFT JOIN mid{k} p ON p.doc = m.lab
+    )"""
+        )
+    return (
+        ",\n    ".join(ctes)
+        + f"\n    SELECT doc AS doc_id, lab AS cluster_id FROM l{rounds}"
+    )
+
+
+# The Spark loop below caps at 10 rounds; the oracle replays exactly 10.
+_CC_ROUNDS = 10
+
+
 @register(
     "llm_dedup_clusters",
     oracle=f"""
-    WITH RECURSIVE {_NEAR_CTES},
-    verts AS (SELECT doc_a AS doc FROM pairs UNION SELECT doc_b FROM pairs),
-    edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
-              UNION SELECT doc_b AS a, doc_a AS b FROM pairs),
-    reach AS (
-      SELECT doc, doc AS r FROM verts
-      UNION
-      SELECT e.b AS doc, reach.r AS r FROM reach JOIN edges e ON e.a = reach.doc
-    )
-    SELECT doc AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc
+    WITH {_NEAR_CTES.replace("pairs AS (", "pairs AS MATERIALIZED (", 1)},
+    verts AS MATERIALIZED (
+      SELECT doc_a AS doc FROM pairs UNION SELECT doc_b FROM pairs),
+    edges AS MATERIALIZED (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION SELECT doc_b AS a, doc_a AS b FROM pairs),
+    {_cc_doubling_oracle(_CC_ROUNDS)}
     """,
 )
 def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -335,9 +386,11 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     propagation driven by a Python loop over DataFrame joins, converging
     in O(graph diameter) rounds (dedup components are tiny, so 2-3).
     `localCheckpoint` truncates the growing lineage each round — the
-    standard large-graph practice. The oracle is a recursive-CTE
-    transitive closure over the identical pair set, so even the
-    iterative op is SQL-oracle-exact."""
+    standard large-graph practice. The oracle replays the SAME 10
+    propagate+jump rounds as a fixed (non-recursive) CTE chain — see
+    _cc_doubling_oracle — so even the iterative op is SQL-oracle-exact
+    at every sf (the earlier recursive-CTE transitive closure was
+    quadratic per component and died at sf0.1)."""
     # _near_pairs is the session-memoized localCheckpoint of the LSH
     # pipeline — shared with llm_dedup_near, so a harness running both
     # executes the shingle/minhash work once, and every propagation
