@@ -234,17 +234,25 @@ def llm_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register("llm_knn_all_pairs_lsh")  # rows-only: pytest asserts recall vs brute force
-def llm_knn_all_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def llm_knn_all_pairs_lsh(
+    spark: SparkSession,
+    sf_dir: str,
+    n_tables: int = _N_TABLES,
+    n_bits: int = _N_BITS,
+) -> DataFrame:
     """ANN via random-hyperplane LSH: 4 tables × 4-bit sign signatures.
     Candidates = pairs sharing any table's bucket; exact cosine inside
     buckets; per-vector best neighbor kept. The bucket join is the only
     pairwise step — at 100 TB you tune tables/bits so buckets stay
-    O(100) rows; everything else is linear. Rows-only check: the
-    candidate set is bucketing-dependent; pytest asserts recall vs
-    brute force instead of a SQL oracle."""
+    O(100) rows; everything else is linear. The (n_tables, n_bits)
+    knobs are exposed so the recall-curve property test can sweep
+    bucket widths (tests/test_llm_ops.py: recall must degrade
+    monotonically as buckets narrow — the LSH tradeoff itself).
+    Rows-only check: the candidate set is bucketing-dependent; pytest
+    asserts recall vs brute force instead of a SQL oracle."""
     e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     # one Arrow-vectorized pass computes all tables' bucket codes
-    codes = _bucket_codes_udf(_N_TABLES, _N_BITS, table_stride=100)
+    codes = _bucket_codes_udf(n_tables, n_bits, table_stride=100)
     buckets = e.select(
         "vec_id", "embedding", F.explode(codes("embedding")).alias("bucket")
     )
@@ -402,15 +410,16 @@ def llm_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register("llm_knn_ivf")  # rows-only: pytest asserts recall vs brute force
-def llm_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+def llm_knn_ivf(spark: SparkSession, sf_dir: str, nprobe: int = 3) -> DataFrame:
     """IVF-style ANN: coarse quantizer = per-label centroids (the label
     column stands in for a k-means codebook — same plan shape), probe
     the nprobe nearest cells, exact cosine only within them. At 100 TB
     the inverted lists are partition-pruned reads (cell id = partition
-    key); the scan touches nprobe/k of the data. Rows-only check: ANN
-    results are probe-set-dependent; pytest gates recall vs brute force
-    instead of a SQL oracle."""
-    nprobe = 3
+    key); the scan touches nprobe/k of the data. nprobe is exposed for
+    the recall-curve property test (probing every cell must reproduce
+    brute force EXACTLY — recall 1.0 — and recall must be monotone in
+    nprobe). Rows-only check: ANN results are probe-set-dependent;
+    pytest gates recall vs brute force instead of a SQL oracle."""
     e = table(spark, sf_dir, "embeddings")
     flat = e.select(
         "label",

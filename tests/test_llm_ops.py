@@ -120,6 +120,65 @@ def test_ivf_ann_recall(spark, sf_small):
     assert overlap >= 0.5, f"IVF recall {overlap}"
 
 
+def test_ivf_recall_curve_monotone_in_nprobe(spark, sf_small):
+    """Adversarial IVF invariant (round-3 verdict): recall must be
+    MONOTONE in nprobe, pruning must actually prune (nprobe=1 strictly
+    worse than probing everything), and probing EVERY cell must
+    reproduce brute force exactly — recall 1.0, no approximation left.
+    A broken cell scorer, a wrong inverted-list filter, or an in-cell
+    scoring bug each breaks a different leg. (Measured curve on this
+    data: 0.1 / 0.5 / 1.0 at nprobe 1/3/10.)"""
+    from sparkflow.llm.similarity import llm_knn_ivf
+
+    ids, top10 = _brute_force(spark, sf_small)
+    true_top = set(top10[list(ids).index(0)])
+    n_cells = int(
+        sparkflow.catalog.table(spark, sf_small, "embeddings")
+        .select("label")
+        .distinct()
+        .count()
+    )
+
+    def recall(nprobe):
+        got = llm_knn_ivf(spark, sf_small, nprobe).toPandas()
+        return len(set(got["vec_id"]) & true_top) / 10.0
+
+    r1, r3, rall = recall(1), recall(3), recall(n_cells)
+    assert rall == 1.0, f"full probe must equal brute force, got {rall}"
+    assert r1 <= r3 <= rall, f"recall not monotone: {r1} {r3} {rall}"
+    assert r1 < rall, "nprobe=1 matched full probe — pruning is a no-op"
+
+
+def test_lsh_recall_curve_two_bucket_widths(spark, sf_small):
+    """Adversarial LSH invariant (round-3 verdict): the recall/bucket
+    tradeoff itself. At the shipped width (4 tables x 4 bits) recall
+    must be high; doubling the signature to 8 bits (expected bucket
+    occupancy /16) must DEGRADE recall measurably — narrower buckets
+    means fewer candidates. Kills two plausible bugs existing floors
+    can't: a constant hash (all vectors one bucket -> both widths
+    score identically -> degradation assert fires) and a garbage hash
+    (random buckets -> the wide-width floor fires). Measured:
+    0.97 @ 4 bits, 0.63 @ 8 bits."""
+    from sparkflow.llm.similarity import llm_knn_all_pairs_lsh
+
+    ids, top10 = _brute_force(spark, sf_small)
+
+    def run(bits):
+        lsh = llm_knn_all_pairs_lsh(spark, sf_small, 4, bits).toPandas()
+        m = dict(zip(lsh["vec_id"], lsh["neighbor_id"]))
+        hits = [m[i] in set(t) for i, t in zip(ids, top10) if i in m]
+        return len(m) / len(ids), float(np.mean(hits))
+
+    cov4, rec4 = run(4)
+    cov8, rec8 = run(8)
+    assert rec4 >= 0.85, f"wide-bucket recall collapsed: {rec4}"
+    assert cov4 >= 0.95 and cov8 >= 0.9, (cov4, cov8)
+    assert rec8 <= rec4 - 0.05, (
+        f"narrowing buckets 4->8 bits did not degrade recall "
+        f"({rec4} -> {rec8}): bucketing is not splitting the space"
+    )
+
+
 def test_dedup_clusters_group_all_copies(spark, sf_small):
     """Docs divisible by 35 have BOTH an exact copy (+1e6) and a near
     copy (+2e6): all three must land in the SAME cluster. (The cluster
@@ -175,6 +234,26 @@ def test_kmeans_lloyds_invariants(spark, sf_small):
     assert final["n_vecs"].sum() == n
     one = _kmeans(spark, sf_small, 1).toPandas()
     assert final["inertia"].sum() <= one["inertia"].sum() + 1e-9
+
+
+def test_kmeans_inertia_monotone_every_round(spark, sf_small):
+    """Adversarial Lloyd's invariant (round-3 verdict): inertia must be
+    non-increasing at EVERY round, not just first-vs-last, and the
+    first update step must actually move (a no-op assign or update
+    freezes inertia — measured 808 -> 471 -> 467 on this data, so a
+    frozen step is loudly distinguishable)."""
+    from sparkflow.llm.similarity import _kmeans
+
+    inertias = [
+        float(_kmeans(spark, sf_small, it).toPandas()["inertia"].sum())
+        for it in (1, 2, 3)
+    ]
+    for a, b in zip(inertias, inertias[1:]):
+        assert b <= a + 1e-9, f"inertia increased: {inertias}"
+    assert inertias[1] < inertias[0] * 0.9, (
+        f"first Lloyd's update barely moved ({inertias}): "
+        "assign or update step is a no-op"
+    )
 
 
 def test_dedup_clusters_reach_fixpoint(spark, sf_small):
