@@ -103,10 +103,11 @@ def _rotate_never_attested() -> None:
     checkout of a given commit iterates identically; with no artifacts
     present (fresh pre-round-1 tree) the static priority above stands
     unchanged."""
-    seen = _attested_keys()
+    # one artifact parse: the attested set is exactly last_round's keys
+    last_round = _last_attested_round()
+    seen = set(last_round)
     if not seen:
         return
-    last_round = _last_attested_round()
     unattested = [k for k in registry.QUERIES if k not in seen]
     attested = [k for k in registry.QUERIES if k in seen]
     # stable sort: within the same round, current registration order

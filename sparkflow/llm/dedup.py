@@ -130,7 +130,7 @@ _NEAR_CTES = f"""corpus AS ({_CORPUS_SQL}),
       JOIN toks tb ON tb.doc_id = c.doc_b AND tb.tok = ta.tok
       GROUP BY c.doc_a, c.doc_b
     ),
-    pairs AS (
+    pairs AS MATERIALIZED (
       SELECT i.doc_a, i.doc_b,
              ROUND(CAST(i.ni AS DOUBLE) / (sa.n + sb.n - i.ni), 6) AS jaccard
       FROM inter i
@@ -138,6 +138,10 @@ _NEAR_CTES = f"""corpus AS ({_CORPUS_SQL}),
       JOIN sizes sb ON sb.doc_id = i.doc_b
       WHERE CAST(i.ni AS DOUBLE) / (sa.n + sb.n - i.ni) >= {_JACCARD_MIN}
     )"""
+# `pairs` is MATERIALIZED in the literal (not patched in per-oracle):
+# the clusters oracle references it from verts AND edges, and DuckDB's
+# default inlining would re-run the whole minhash pipeline per
+# reference; for the single-reference oracles it is a harmless hint.
 
 
 def _near_pairs_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -360,14 +364,15 @@ def _cc_doubling_oracle(rounds: int) -> str:
     )
 
 
-# The Spark loop below caps at 10 rounds; the oracle replays exactly 10.
+# Shared iteration cap: the Spark loop runs range(_CC_ROUNDS) and the
+# oracle replays exactly _CC_ROUNDS rounds — one constant, by design.
 _CC_ROUNDS = 10
 
 
 @register(
     "llm_dedup_clusters",
     oracle=f"""
-    WITH {_NEAR_CTES.replace("pairs AS (", "pairs AS MATERIALIZED (", 1)},
+    WITH {_NEAR_CTES},
     verts AS MATERIALIZED (
       SELECT doc_a AS doc FROM pairs UNION SELECT doc_b FROM pairs),
     edges AS MATERIALIZED (
@@ -416,7 +421,9 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("cluster_id", F.col("doc"))
             .localCheckpoint()
         )
-        for _ in range(10):
+        # iteration cap MUST stay tied to the oracle's replayed round
+        # count: the exactness argument is state-after-k-rounds equality
+        for _ in range(_CC_ROUNDS):
             # label table ≤ pair-graph vertices ≪ corpus: broadcast it
             # both ways so each round's only exchange is the groupBy
             # (for a pair graph too big to broadcast, drop the hints —

@@ -201,7 +201,12 @@ def llm_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     else:
         qv = e.filter(F.col("vec_id") == _QUERY_VEC_ID).select("embedding").head()[0]
         qi = np.floor(np.asarray(qv, dtype=np.float64) * _FXP + 0.5).astype(np.int64)
-        _KNN_QUERY_CACHE[memo_key] = (weakref.ref(spark), qi)
+        _KNN_QUERY_CACHE[memo_key] = (
+            weakref.ref(
+                spark, lambda _, k=memo_key: _KNN_QUERY_CACHE.pop(k, None)
+            ),
+            qi,
+        )
     nq = float(np.sqrt(np.float64((qi * qi).sum())))
     qdf = spark.createDataFrame(
         [(int(d), int(v)) for d, v in enumerate(qi)], "dim INT, qv LONG"
@@ -251,8 +256,12 @@ def llm_knn_all_pairs_lsh(
     Rows-only check: the candidate set is bucketing-dependent; pytest
     asserts recall vs brute force instead of a SQL oracle."""
     e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    # one Arrow-vectorized pass computes all tables' bucket codes
-    codes = _bucket_codes_udf(n_tables, n_bits, table_stride=100)
+    # one Arrow-vectorized pass computes all tables' bucket codes. The
+    # stride namespaces tables inside the single `bucket` join column,
+    # so it must exceed the signature range (2^n_bits) — otherwise
+    # table t's high codes collide with table t+1's low codes and
+    # never-cobucketed vectors become candidates (spurious recall).
+    codes = _bucket_codes_udf(n_tables, n_bits, table_stride=max(100, 1 << n_bits))
     buckets = e.select(
         "vec_id", "embedding", F.explode(codes("embedding")).alias("bucket")
     )
@@ -665,8 +674,8 @@ def _hn_query_sample(e: DataFrame) -> DataFrame:
     `_HN_MAX_QUERIES` rows. Every driver-side materialization of the
     query matrix MUST go through this helper — the LIMIT is what keeps
     llm_hard_negatives' one collect() constant-sized at any corpus
-    scale (tests/test_llm_similarity.py asserts the plan carries a
-    GlobalLimit and that the row count is capped)."""
+    scale (tests/test_llm_ops.py::test_hard_negatives_query_sample_is_bounded
+    asserts the plan carries a GlobalLimit and the row count is capped)."""
     return (
         e.filter(F.col("vec_id") % 50 == 0)
         .select("vec_id", "label", "embedding")
@@ -677,7 +686,7 @@ def _hn_query_sample(e: DataFrame) -> DataFrame:
 
 @register(
     "llm_hard_negatives",
-    oracle="""
+    oracle=f"""
     WITH sub AS (
       SELECT vec_id, label, embedding FROM embeddings
     ),
@@ -689,7 +698,7 @@ def _hn_query_sample(e: DataFrame) -> DataFrame:
     ),
     norms AS (SELECT vec_id, SUM(q * q) AS n2 FROM dims GROUP BY vec_id),
     queries AS (SELECT vec_id, label FROM sub WHERE vec_id % 50 = 0
-                ORDER BY vec_id LIMIT 4096),
+                ORDER BY vec_id LIMIT {_HN_MAX_QUERIES}),
     dots AS (
       SELECT qd.vec_id AS query_id, cd.vec_id AS cand_id,
              SUM(qd.q * cd.q) AS dot
@@ -752,7 +761,14 @@ def llm_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         qrows = hit[1]
     else:
         qrows = _hn_query_sample(e).collect()
-        _HN_QUERY_CACHE[memo_key] = (weakref.ref(spark), qrows)
+        # eviction callback: drop the (large, driver-held) sample when
+        # the session is GC'd instead of pinning it forever
+        _HN_QUERY_CACHE[memo_key] = (
+            weakref.ref(
+                spark, lambda _, k=memo_key: _HN_QUERY_CACHE.pop(k, None)
+            ),
+            qrows,
+        )
     if not qrows:
         # empty query sample: no negatives to mine — empty result, same
         # as the oracle's empty QUALIFY output

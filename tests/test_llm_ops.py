@@ -158,7 +158,8 @@ def test_lsh_recall_curve_two_bucket_widths(spark, sf_small):
     can't: a constant hash (all vectors one bucket -> both widths
     score identically -> degradation assert fires) and a garbage hash
     (random buckets -> the wide-width floor fires). Measured:
-    0.97 @ 4 bits, 0.63 @ 8 bits."""
+    0.97 @ 4 bits, 0.58 @ 8 bits (post table-stride fix: the stride
+    now exceeds 2^n_bits, so tables never alias in the bucket join)."""
     from sparkflow.llm.similarity import llm_knn_all_pairs_lsh
 
     ids, top10 = _brute_force(spark, sf_small)
