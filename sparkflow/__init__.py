@@ -98,11 +98,12 @@ def _rotate_never_attested() -> None:
     becoming structurally invisible. A key whose only rows are errors
     OR hash mismatches stays unattested and is retried first.
 
-    Determinism: the order is a pure function of the committed
-    CORRECTNESS_r*.json artifacts (which live in git), so every
-    checkout of a given commit iterates identically; with no artifacts
-    present (fresh pre-round-1 tree) the static priority above stands
-    unchanged."""
+    Determinism: the order is a pure function of the CORRECTNESS_r*.json
+    artifacts PRESENT IN THE WORKING TREE (the glob reads files, not git
+    objects — an uncommitted round artifact participates, so commit round
+    artifacts before relying on cross-checkout identical ordering); with
+    no artifacts present (fresh pre-round-1 tree) the static priority
+    above stands unchanged."""
     # one artifact parse: the attested set is exactly last_round's keys
     last_round = _last_attested_round()
     seen = set(last_round)

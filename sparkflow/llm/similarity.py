@@ -57,9 +57,14 @@ _KNN_QUERY_CACHE: dict = {}
 _TOP_K = 10
 
 # Deterministic rational projection matrix for hyperplane LSH:
-# proj[t][b][d] = ((2654435761 * (t*1000 + b*64 + d)) % 2001 - 1000) / 1000
-# (Knuth multiplicative hash → uniform in [-1, 1], exact same double in
-# any engine since it's integer arithmetic then one division.)
+# proj[t][b][d] = ((2654435761 * (t*S + b*64 + d)) % 2001 - 1000) / 1000
+# with per-table namespace stride S = max(1000, 64*n_bits). (Knuth
+# multiplicative hash → uniform in [-1, 1], exact same double in any
+# engine since it's integer arithmetic then one division.) For the
+# shipped n_bits <= 15 the stride is the historical 1000 (b*64+d <= 959
+# fits), so defaults are bit-identical; at wider signatures the stride
+# grows so tables never reuse each other's hyperplanes (reuse would
+# correlate tables and silently cap recall).
 #
 # LSH sizing (100 TB note): tables × bits trade recall vs bucket size —
 # expected bucket occupancy is n / 2^bits per table, so at n=2,000 the
@@ -81,8 +86,9 @@ _DIM = 64
 _FXP = 1_000_000
 
 
-def _proj(t: int, b: int, d: int) -> float:
-    return ((2654435761 * (t * 1000 + b * 64 + d)) % 2001 - 1000) / 1000.0
+def _proj(t: int, b: int, d: int, n_bits: int = _N_BITS) -> float:
+    stride = max(1000, 64 * n_bits)
+    return ((2654435761 * (t * stride + b * 64 + d)) % 2001 - 1000) / 1000.0
 
 
 def _bucket_codes_udf(n_tables: int, n_bits: int, table_stride: int):
@@ -96,7 +102,7 @@ def _bucket_codes_udf(n_tables: int, n_bits: int, table_stride: int):
     results (verification is exact)."""
     P = np.array(
         [
-            [_proj(t, b, d) for t in range(n_tables) for b in range(n_bits)]
+            [_proj(t, b, d, n_bits) for t in range(n_tables) for b in range(n_bits)]
             for d in range(_DIM)
         ],
         dtype=np.float64,

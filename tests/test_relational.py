@@ -475,6 +475,40 @@ def test_rotation_reattests_stalest_keys_first():
     )
 
 
+def test_round5_prefix_is_the_nine_never_attested_keys():
+    """Round-5 tripwire (VERDICT r4 item 7): with exactly the r01..r04
+    artifacts in the tree, the queries() prefix must be EXACTLY the nine
+    keys no driver round has ever sampled — all judge-verified EXACT in
+    the r4 session — followed immediately by round-1 (stalest) attested
+    keys. Locks in the rotation contract the ledger promises for the r5
+    harness run. Self-retiring: once CORRECTNESS_r05.json lands the
+    artifact-set condition is false and this becomes a no-op (the
+    generic ordering tests above keep guarding)."""
+    import glob
+    import os
+    import re
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(sparkflow.__file__)))
+    rounds = sorted(
+        int(re.search(r"r(\d+)", os.path.basename(p)).group(1))
+        for p in glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))
+    )
+    if rounds != [1, 2, 3, 4]:
+        return
+    nine = [
+        "scan_binary_files", "maintenance_incremental_rollup",
+        "stream_async_enrich", "udtf_analyze_polymorphic",
+        "graph_label_propagation", "sink_custom_python",
+        "llm_vocab_coverage", "llm_sampling_weights", "llm_curriculum_stages",
+    ]
+    ks = list(sparkflow.QUERIES)
+    assert ks[:9] == nine, f"r5 prefix drifted: {ks[:9]}"
+    last = sparkflow._last_attested_round()
+    assert last[ks[9]] == min(last.values()), (
+        "key after the nine must be from the stalest attested round"
+    )
+
+
 def test_attested_keys_semantics(tmp_path):
     """The rotation's 'successful row' rule, pinned against a hand-built
     artifact: hash-matched and rows-only rows count; errored rows and

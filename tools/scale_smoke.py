@@ -104,6 +104,20 @@ def gen() -> None:
         base = src.to_pandas()
         if tbl == "embeddings":
             n_labels = int(base["label"].max()) + 1
+        # Offsetting must fit the SOURCE dtype: the table is written back
+        # through the source schema (from_pandas(schema=schema) safe-casts),
+        # so an overflowing key would fail at write time with an opaque
+        # cast error. Fail fast with the actual numbers instead.
+        for col, ent in keycols.items():
+            dt = base[col].dtype
+            if np.issubdtype(dt, np.integer):
+                top = int(base[col].max()) + (REPLICAS - 1) * strides[ent]
+                lim = np.iinfo(dt).max
+                assert top <= lim, (
+                    f"{tbl}.{col}: max offset key {top} exceeds source dtype "
+                    f"{dt} (max {lim}); regenerate testdata with int64 keys "
+                    f"or lower REPLICAS"
+                )
         reps = []
         for i in range(REPLICAS):
             r = base.copy()
