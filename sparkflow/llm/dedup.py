@@ -146,8 +146,35 @@ _NEAR_CTES = f"""corpus AS ({_CORPUS_SQL}),
 
 def _near_pairs_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The MinHash+LSH+Jaccard pipeline as a lazy plan (see
-    llm_dedup_near for semantics)."""
-    corpus = _corpus(spark, sf_dir)
+    llm_dedup_near for semantics).
+
+    Deliberately LAZY end-to-end — measured at the 10x scale point,
+    both materialization alternatives LOSE to the single-DAG lazy plan
+    (68.6 s): .persist() of the sig/token intermediates costs
+    InMemoryRelation columnar encode/decode plus an AQE planning
+    barrier (284 s vs 210 s even pre-repartition), and staging them
+    through localCheckpoint serializes the DAG into three jobs AND
+    strips statistics (ExistingRDD has none), silently turning the
+    downstream broadcast joins into shuffle joins (128.5 s). The lazy
+    diamond re-derives the corpus per branch in the LOGICAL plan, but
+    at runtime AQE exchange reuse collapses the identical subtrees; at
+    100 TB the corpus would arrive pre-partitioned and the signature
+    table would be staged to a real table, not executor memory."""
+    # EXPLODE AMPLIFICATION: every corpus row fans out to ~n_chars
+    # shingle rows (and ~n_tokens token rows) downstream, so the scan's
+    # byte-based partitioning understates the real work by ~300x — a
+    # compact parquet reads as 1-3 input splits and the whole
+    # signature stage runs on as many cores (measured at the 10x scale
+    # point: 235 s single-threaded vs ~13 s after this repartition).
+    # One explicit round-robin shuffle of the (small, pre-explode)
+    # corpus fixes the parallelism; it is also the SINGLE exchange all
+    # six lineage branches (band-join sides, toks, sizes) hang off, so
+    # AQE's exchange reuse computes the scan+union once per query
+    # instead of once per branch. Row placement cannot affect results:
+    # every downstream op is a key-grouped agg or equi-join.
+    corpus = _corpus(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
 
     # Signatures: explode shingles once, compute all K salted md5s as
     # plain WIDE columns on each shingle row (regular expressions →
