@@ -135,51 +135,115 @@ def llm_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_THUMB = 32  # fake thumbnail edge: first _THUMB*_THUMB payload bytes
+# Real-pixels resize path (round-5): 48x32 greyscale images are
+# PNG-ENCODED from text-derived pixels, shipped as a true binary column
+# through Arrow, then DECODED (all five PNG filter types — the encoder
+# cycles them per row) and 2x box-downsampled. The oracle never sees
+# PNG bytes; it recomputes the same pixels relationally from text, so
+# the decode/unfilter/resample hot path is verified end to end: any
+# codec bug breaks the checksum equality.
+_IMG_W, _IMG_H = 48, 32
+_TH_W, _TH_H = _IMG_W // 2, _IMG_H // 2
 
 
-def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    n = _THUMB * _THUMB
+def _render_pixels(text: str) -> bytes:
+    """Deterministic greyscale image from a document: pixel (r, c) is
+    byte ((r*W + c) mod len) of the UTF-8 text (ASCII corpus, so byte
+    == character code and the oracle can use ascii(substr(...)))."""
+    data = text.encode("utf-8")
+    total = _IMG_W * _IMG_H
+    if not data:
+        return bytes(total)
+    return (data * (total // len(data) + 1))[:total]
+
+
+def _to_png(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from .png import encode_png
+
     for pdf in batches:
-        payloads = pdf["payload"]
-        thumbs = [p[:n] for p in payloads]
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],
-                "thumb_w": [_THUMB] * len(payloads),
-                "thumb_h": [_THUMB] * len(payloads),
-                "thumb_bytes": [len(t) for t in thumbs],
-                "thumb_checksum": [int(sum(t)) for t in thumbs],
+                "payload": [
+                    encode_png(_render_pixels(t), _IMG_W, _IMG_H)
+                    for t in pdf["text"]
+                ],
             }
         )
+
+
+def _resize_png(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    from .png import decode_png
+
+    for pdf in batches:
+        sums = []
+        for payload in pdf["payload"]:
+            w, h, ch, raw = decode_png(bytes(payload))
+            if (w, h, ch) != (_IMG_W, _IMG_H, 1):
+                raise ValueError(f"unexpected image geometry {(w, h, ch)}")
+            a = np.frombuffer(raw, dtype=np.uint8).astype(np.int32)
+            a = a.reshape(_IMG_H, _IMG_W)
+            thumb = (
+                a[0::2, 0::2] + a[0::2, 1::2] + a[1::2, 0::2] + a[1::2, 1::2]
+            ) // 4
+            sums.append(int(thumb.sum()))
+        n = len(pdf)
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "thumb_w": [_TH_W] * n,
+                "thumb_h": [_TH_H] * n,
+                "thumb_bytes": [_TH_W * _TH_H] * n,
+                "thumb_checksum": sums,
+            }
+        )
+
+
+def _px(r: str, c: str) -> str:
+    """DuckDB expression for pixel (r, c) of _render_pixels(text)."""
+    return (
+        f"CASE WHEN len(text) = 0 THEN 0 ELSE "
+        f"ascii(substr(text, ((({r}) * {_IMG_W} + ({c})) % len(text)) + 1, 1))"
+        f" END"
+    )
 
 
 @register(
     "llm_multimodal_resize",
     oracle=f"""
     SELECT doc_id,
-           {_THUMB} AS thumb_w, {_THUMB} AS thumb_h,
-           CAST(LEAST(octet_length(encode(text)), {_THUMB * _THUMB}) AS INT)
-             AS thumb_bytes,
-           CAST((SELECT COALESCE(SUM(ascii(substr(text, i, 1))), 0)
-                 FROM UNNEST(range(1, LEAST(len(text), {_THUMB * _THUMB}) + 1)) t(i))
-                AS BIGINT) AS thumb_checksum
-    FROM documents
+           {_TH_W} AS thumb_w, {_TH_H} AS thumb_h,
+           {_TH_W * _TH_H} AS thumb_bytes,
+           CAST(SUM((
+             {_px('2*t.r', '2*t.c')} + {_px('2*t.r', '2*t.c+1')}
+             + {_px('2*t.r+1', '2*t.c')} + {_px('2*t.r+1', '2*t.c+1')}
+           ) // 4) AS BIGINT) AS thumb_checksum
+    FROM documents,
+         LATERAL (SELECT r.r, c.c
+                  FROM UNNEST(range(0, {_TH_H})) r(r),
+                       UNNEST(range(0, {_TH_W})) c(c)) t
+    GROUP BY doc_id
     """,
 )
 def llm_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Resize step of the multimodal pipeline (task brief): produce a
-    fixed-size "thumbnail" per binary payload. The DECODE+RESAMPLE is a
-    STUB (no codecs in this container: the thumbnail is the payload's
-    leading {32x32} bytes, SQL-recomputable so the plumbing is
-    oracle-verified) — swapping in PIL `Image.resize` changes only
-    `_resize`'s body; the mapInPandas signature, Arrow batching, and
-    fixed-size output schema are exactly what the real kernel needs."""
-    d = table(spark, sf_dir, "documents").select(
-        "doc_id", F.encode("text", "utf-8").alias("payload")
-    )
-    return d.mapInPandas(
-        _resize,
+    """Decode-and-resize step of the multimodal pipeline, now with REAL
+    pixels end to end: stage 1 (mapInPandas) renders a deterministic
+    48x32 greyscale image per document and encodes it as a genuine PNG
+    (sparkflow.llm.png — pure-python codec on stdlib zlib, filter type
+    cycling per scanline); the binary column crosses an Arrow boundary;
+    stage 2 decodes the PNG — signature/chunk walk, zlib inflate, all
+    five unfilter branches — and 2x box-downsamples to a 24x16
+    thumbnail whose pixel-sum checksum the oracle recomputes from the
+    text directly. A decoder bug in ANY filter branch shifts pixels and
+    breaks EXACT. At 100 TB this is the image-preprocessing shape:
+    binary payloads columnar through Arrow, vectorized decode in
+    Python workers, fixed-size typed output, no driver materialization."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    pngs = d.mapInPandas(_to_png, schema="doc_id BIGINT, payload BINARY")
+    return pngs.mapInPandas(
+        _resize_png,
         schema=(
             "doc_id BIGINT, thumb_w INT, thumb_h INT,"
             " thumb_bytes INT, thumb_checksum BIGINT"
