@@ -38,8 +38,26 @@ _CORPUS_SQL = """
 """
 
 
+def _checked_doc_id():
+    """doc_id guarded against fixture-id-space overflow: the corpus
+    synthesis relabels copies at +1e6/+2e6, so a source doc_id >= 1e6
+    would silently collide with a synthesized id — and the differential
+    gate CANNOT catch that class of bug, because the oracle replays the
+    same arithmetic and both engines corrupt identically (the embedding
+    twin of this bug was found at the measured 100x scale point, see
+    llm_semdedup). Fail loudly at read time instead."""
+    return F.when(F.col("doc_id") < 1000000, F.col("doc_id")).otherwise(
+        F.raise_error(
+            "documents fixture overflow: doc_id >= 1000000 collides with "
+            "the synthesized duplicate id space (+1e6/+2e6 offsets)"
+        ).cast("long")
+    )
+
+
 def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = table(spark, sf_dir, "documents").select(
+        _checked_doc_id().alias("doc_id"), "text"
+    )
     exact_copies = (
         d.filter(F.col("doc_id") % 7 == 0)
         .select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
@@ -643,7 +661,9 @@ def llm_dedup_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     larger doc_id — priority overrides the min-id rule llm_dedup_exact
     uses. Same hash-groupBy shuffle; only the survivor rule (min over a
     priority tuple, deterministic by construction) differs."""
-    d = table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    d = table(spark, sf_dir, "documents").select(
+        _checked_doc_id().alias("doc_id"), "source", "text"
+    )
     copies = (
         d.filter(F.col("doc_id") % 7 == 0)
         .select(

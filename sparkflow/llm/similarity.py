@@ -363,7 +363,8 @@ def llm_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH corpus AS (
       SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
       UNION ALL
-      SELECT vec_id + 100000 AS vec_id, embedding::DOUBLE[] AS v
+      SELECT vec_id + (SELECT MAX(vec_id) + 1 FROM embeddings) AS vec_id,
+             embedding::DOUBLE[] AS v
       FROM embeddings WHERE vec_id % 10 = 0
     ),
     cand AS (
@@ -387,20 +388,22 @@ def llm_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 def llm_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cos >= 0.99). The corpus
     gets deterministic duplicate vectors injected (exact copies at
-    vec_id+100000 for every 10th id — the natural max cosine in this
-    data is ~0.51, so only injected dups cross the threshold and the LSH
-    candidate set provably contains them: identical vectors share every
-    bucket).
+    vec_id + MAX(vec_id)+1 for every 10th id — data-derived offset, see
+    llm_semdedup for why a constant collides at scale; the natural max
+    cosine in this data is ~0.51, so only injected dups cross the
+    threshold and the LSH candidate set provably contains them:
+    identical vectors share every bucket).
 
     Scale shape: hyperplane-LSH bucket join proposes candidates (the
     oracle's O(n²) cross join is the sf0.01-only referee, never the
     plan); exact cosine confirms. This is the embedding-dedup stage of a
     training-data pipeline."""
     e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    off = e.agg((F.max("vec_id") + F.lit(1)).alias("off"))
     corpus = e.unionByName(
-        e.filter(F.col("vec_id") % 10 == 0).select(
-            (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
-        )
+        e.filter(F.col("vec_id") % 10 == 0)
+        .crossJoin(F.broadcast(off))
+        .select((F.col("vec_id") + F.col("off")).alias("vec_id"), "embedding")
     )
     # 2 tables × 8-bit signatures in one vectorized pass; duplicate
     # vectors share every bucket under ANY consistent bucketing, so the
@@ -581,7 +584,8 @@ def _kmeans(spark: SparkSession, sf_dir: str, iters: int) -> DataFrame:
     WITH sub AS (
       SELECT vec_id, label, embedding FROM embeddings WHERE vec_id % 4 = 0
       UNION ALL
-      SELECT vec_id + 100000, label, embedding
+      SELECT vec_id + (SELECT MAX(vec_id) + 1 FROM embeddings),
+             label, embedding
       FROM embeddings WHERE vec_id % 20 = 0
     ),
     dims AS (
@@ -628,12 +632,22 @@ def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster). When cells grow too big, re-quantize finer or fall back
     to the LSH-confirm pipeline (llm_dedup_embedding). The %4 subsample
     keeps the demo cells small (config, not architecture); injected
-    exact copies at vec_id+100000 are the ground-truth duplicates (the
-    natural within-cell max cosine is ~0.47)."""
+    exact copies at vec_id + MAX(vec_id)+1 are the ground-truth
+    duplicates (the natural within-cell max cosine is ~0.47). The
+    offset is DATA-DERIVED, not a constant: a fixed 100000 collided
+    with real ids once the corpus passed 100k vectors (found at the
+    measured 100x scale point, where it silently produced 0 rows — and
+    the differential gate cannot catch this class, because the oracle
+    replays the same formula and corrupts identically)."""
     base = table(spark, sf_dir, "embeddings")
+    off = base.agg((F.max("vec_id") + F.lit(1)).alias("off"))
     e = base.filter(F.col("vec_id") % 4 == 0).select("vec_id", "label", "embedding").unionByName(
-        base.filter(F.col("vec_id") % 20 == 0).select(
-            (F.col("vec_id") + 100000).alias("vec_id"), "label", "embedding"
+        base.filter(F.col("vec_id") % 20 == 0)
+        .crossJoin(F.broadcast(off))
+        .select(
+            (F.col("vec_id") + F.col("off")).alias("vec_id"),
+            "label",
+            "embedding",
         )
     )
     dims = e.select(

@@ -412,8 +412,9 @@ def test_semdedup_finds_exactly_the_injected_copies(spark, sf_small):
     below the 0.95 threshold)."""
     got = sparkflow.QUERIES["llm_semdedup"](spark, sf_small).toPandas()
     emb = spark.read.parquet(f"{sf_small}/embeddings.parquet").toPandas()
+    off = int(emb["vec_id"].max()) + 1  # data-derived injection offset
     expected = {
-        (v, v + 100000) for v in emb["vec_id"] if v % 20 == 0
+        (v, v + off) for v in emb["vec_id"] if v % 20 == 0
     }
     assert set(zip(got["vec_a"], got["vec_b"])) == expected
     assert (got["cosine_q"] == 1.0).all()
