@@ -8,8 +8,9 @@ in the oracle SQL). The dedup logic itself never sees the synthesis.
 Scale design:
 - exact dedup: hash-groupBy on sha256(text) — one shuffle on a 32-byte
   key regardless of document size; keep-first by min(doc_id).
-- near-dup: char-5-shingles → K=12 MinHash signatures (string-min of
-  salted md5, a valid min-wise scheme and expressible identically in
+- near-dup: char-5-shingles → K=12 MinHash signatures (int64-min over
+  12 independent 20-bit lanes sliced from two salted md5 digests per
+  shingle — a valid min-wise scheme and expressible identically in
   SQL) → 4 LSH bands of 3 → band-equality self-join proposes candidate
   pairs → exact token-Jaccard verifies. NEVER an all-pairs O(n²) join:
   the only self-join is on band hash, whose buckets stay tiny at any
@@ -101,10 +102,40 @@ def llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # candidates) and b (recall) together — e.g. 16 bands × 8 rows (K=128)
 # for a 10^9-doc corpus. The exact-Jaccard verification stage makes the
 # OUTPUT insensitive to these: only candidate recall/cost moves.
-_K = 12  # minhash functions (salted md5, string-min)
+_K = 12  # minhash lanes (disjoint md5 bit-field family, int64-min)
 _BAND = 3  # rows per band -> 4 bands
 _SHINGLE = 5  # char shingle width
 _JACCARD_MIN = 0.5  # exact-verification threshold on token jaccard
+
+# Per-shingle hashing is the pipeline's hot loop (|corpus| × ~chars rows
+# feed it), so the K lanes are sliced out of TWO md5 digests per shingle
+# instead of computing K independent salted md5s: lane i is hex digits
+# [5·(i%6), 5·(i%6)+5) of md5(str(i//6) || sh), parsed as a 20-bit
+# int64. Disjoint bit-fields of a digest are independent uniform
+# functions of the shingle, so the 12 lanes are as independent as 12
+# salted hashes — the property LSH banding needs. (The cheaper
+# Kirsch-Mitzenmacher family h1 + i·h2 was tried first and REJECTED by
+# measurement: its lanes share two degrees of freedom, so whichever
+# shingle achieves the min tends to win ALL lanes at once and whole
+# bands match together — band collision probability collapses from s³
+# toward s, and on this borderline-dense corpus the verified pair set
+# ballooned 47× at sf0.01, exploding verify cost. Independence across
+# lanes within a band is load-bearing.) 20-bit lanes keep chance
+# min-value collisions negligible (~n_shingles/2^20 per lane, cubed per
+# band). vs K salted md5s this is 2 digests + 12 substr-parses + 12
+# int-min comparisons per shingle row, and the signature shuffle
+# carries int64s instead of 32-char strings. Measured A/B in SCALE.md.
+_LANE_HEX = 5  # hex digits per lane -> 20-bit lane values
+_LANES_PER_DIGEST = 32 // _LANE_HEX  # 6
+_N_DIGESTS = (_K + _LANES_PER_DIGEST - 1) // _LANES_PER_DIGEST  # 2
+
+
+def _lane_sql(i: int) -> str:
+    start = (i % _LANES_PER_DIGEST) * _LANE_HEX + 1
+    return (
+        f"('0x' || substr(d{i // _LANES_PER_DIGEST}, {start}, {_LANE_HEX}))"
+        "::BIGINT"
+    )
 
 
 # The full MinHash+LSH+Jaccard pipeline as CTEs ending in `pairs`, shared
@@ -115,27 +146,29 @@ _NEAR_CTES = f"""corpus AS ({_CORPUS_SQL}),
       SELECT doc_id, substr(text, i, {_SHINGLE}) AS sh
       FROM corpus, LATERAL (SELECT UNNEST(range(1, len(text) - {_SHINGLE - 2}))) t(i)
     ),
-    salts AS (SELECT UNNEST(range(0, {_K})) AS salt),
-    minhash AS (
-      SELECT doc_id, salt, MIN(md5(salt || sh)) AS mh
-      FROM shingles CROSS JOIN salts
-      GROUP BY doc_id, salt
+    hashes AS (
+      SELECT doc_id,
+             {", ".join(f"md5('{d}' || sh) AS d{d}" for d in range(_N_DIGESTS))}
+      FROM shingles
     ),
     sigs AS (
       SELECT doc_id,
-             {", ".join(f"MIN(CASE WHEN salt = {i} THEN mh END) AS s{i}" for i in range(_K))}
-      FROM minhash GROUP BY doc_id
+             {", ".join(f"MIN({_lane_sql(i)}) AS s{i}" for i in range(_K))}
+      FROM hashes GROUP BY doc_id
     ),
     bands AS (
       {" UNION ALL ".join(
-        f"SELECT doc_id, {b} AS band_id, md5(s{3*b} || s{3*b+1} || s{3*b+2}) AS bh FROM sigs"
+        f"SELECT doc_id, {b} AS band_id, "
+        + ", ".join(f"s{_BAND * b + j} AS k{j}" for j in range(_BAND))
+        + " FROM sigs"
         for b in range(_K // _BAND)
       )}
     ),
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM bands a JOIN bands b
-        ON a.band_id = b.band_id AND a.bh = b.bh AND a.doc_id < b.doc_id
+        ON a.band_id = b.band_id AND {" AND ".join(f"a.k{j} = b.k{j}" for j in range(_BAND))}
+       AND a.doc_id < b.doc_id
     ),
     toks AS (
       SELECT DISTINCT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM corpus
@@ -194,14 +227,17 @@ def _near_pairs_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.sparkContext.defaultParallelism
     )
 
-    # Signatures: explode shingles once, compute all K salted md5s as
-    # plain WIDE columns on each shingle row (regular expressions →
-    # whole-stage codegen, unlike higher-order transform() lambdas which
-    # are interpreted per element), then ONE partial-aggregating groupBy
-    # takes the K elementwise minima. vs the naive shape this avoids the
-    # K× crossJoin row blowup and one of two aggregation shuffles; the
+    # Signatures: explode shingles once, compute the two salted digests
+    # per shingle row and slice all K lanes out as plain WIDE int64
+    # columns (regular expressions → whole-stage codegen, unlike
+    # higher-order transform() lambdas which are interpreted per
+    # element), then ONE partial-aggregating groupBy takes the K
+    # elementwise minima. vs the naive shape this avoids the K×
+    # crossJoin row blowup and one of two aggregation shuffles; the
     # map-side combine reduces each partition to one row per doc before
-    # the exchange.
+    # the exchange. The digests are materialized in their own projection
+    # so the six lane-parses provably share one digest each (no reliance
+    # on codegen subexpression elimination).
     # Docs shorter than the shingle width are filtered out — Spark's
     # `sequence(1, len-4)` would otherwise DESCEND for len<5 and emit
     # junk shingles; the oracle's range() is naturally empty for them,
@@ -215,36 +251,63 @@ def _near_pairs_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("sh"),
     )
-    sigs = shingles.select(
+    digests = shingles.select(
         "doc_id",
         *[
-            F.md5(F.concat(F.lit(str(i)), F.col("sh"))).alias(f"h{i}")
+            F.md5(F.concat(F.lit(str(d)), F.col("sh"))).alias(f"d{d}")
+            for d in range(_N_DIGESTS)
+        ],
+    )
+    lanes = digests.select(
+        "doc_id",
+        *[
+            F.conv(
+                F.substring(
+                    f"d{i // _LANES_PER_DIGEST}",
+                    (i % _LANES_PER_DIGEST) * _LANE_HEX + 1,
+                    _LANE_HEX,
+                ),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias(f"h{i}")
             for i in range(_K)
         ],
-    ).groupBy("doc_id").agg(*[F.min(f"h{i}").alias(f"s{i}") for i in range(_K)])
+    )
+    sigs = lanes.groupBy("doc_id").agg(
+        *[F.min(f"h{i}").alias(f"s{i}") for i in range(_K)]
+    )
     # All bands from one pass over sigs (explode, not a 4-way union that
-    # would recompute the md5 work per branch).
+    # would re-derive sigs per branch). The band key is the raw int64
+    # lane triple — joining on three 8-byte ints beats hashing them into
+    # a band digest first (no per-doc md5, and the shuffle hashes the
+    # ints directly).
     band_structs = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band_id"),
-                F.md5(
-                    F.concat(*[F.col(f"s{3 * b + j}") for j in range(_BAND)])
-                ).alias("bh"),
+                *[
+                    F.col(f"s{_BAND * b + j}").alias(f"k{j}")
+                    for j in range(_BAND)
+                ],
             )
             for b in range(_K // _BAND)
         ]
     )
     bands = sigs.select("doc_id", F.explode(band_structs).alias("x")).select(
-        "doc_id", F.col("x.band_id").alias("band_id"), F.col("x.bh").alias("bh")
+        "doc_id",
+        F.col("x.band_id").alias("band_id"),
+        *[F.col(f"x.k{j}").alias(f"k{j}") for j in range(_BAND)],
     )
 
-    # name-based equi-join on (band_id, bh): both sides derive from the
-    # same plan, so attribute-based conditions would be ambiguous
-    left = bands.toDF("doc_a", "band_id", "bh")
-    right = bands.toDF("doc_b", "band_id", "bh")
+    # name-based equi-join on (band_id, k0..k2): both sides derive from
+    # the same plan, so attribute-based conditions would be ambiguous
+    band_key = ["band_id"] + [f"k{j}" for j in range(_BAND)]
+    left = bands.toDF("doc_a", *band_key)
+    right = bands.toDF("doc_b", *band_key)
     cand = (
-        left.join(right, ["band_id", "bh"])
+        left.join(right, band_key)
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
@@ -299,9 +362,10 @@ def _near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def llm_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate pairs: MinHash+LSH candidates, token-Jaccard
-    verified. The hash pipeline (salted md5, string min) is reimplemented
-    verbatim in the oracle, so the check is end-to-end deterministic
-    (SURVEY §7 hard item 2)."""
+    verified. The hash pipeline (two salted md5 digests per shingle,
+    twelve 20-bit lanes sliced from their hex, integer min) is
+    reimplemented verbatim in the oracle, so the check is end-to-end
+    deterministic (SURVEY §7 hard item 2)."""
     return _near_pairs(spark, sf_dir)
 
 
@@ -338,17 +402,28 @@ def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(F.split("text", " ")).alias("tok")
     )
     odd_hex = ["1", "3", "5", "7", "9", "b", "d", "f"]
-    bits = toks.crossJoin(
-        spark.range(16).select(F.col("id").cast("int").alias("bit"))
-    ).select(
+    # one md5 per token row, then explode the 16 (bit, vote) pairs from
+    # that single digest — the oracle's crossjoin-with-range phrasing
+    # computes identical votes, but recomputing md5(tok) on each of the
+    # 16 bit-rows would make the digest the hot loop for no reason
+    bits = toks.select("doc_id", F.md5("tok").alias("hx")).select(
         "doc_id",
-        "bit",
-        F.when(
-            F.md5("tok").substr(F.col("bit") + 1, F.lit(1)).isin(odd_hex), 1
-        )
-        .otherwise(-1)
-        .alias("vote"),
-    )
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("bit"),
+                        F.when(
+                            F.substring("hx", b + 1, 1).isin(odd_hex), 1
+                        )
+                        .otherwise(-1)
+                        .alias("vote"),
+                    )
+                    for b in range(16)
+                ]
+            )
+        ).alias("x"),
+    ).select("doc_id", "x.bit", "x.vote")
     tallies = bits.groupBy("doc_id", "bit").agg(F.sum("vote").alias("w"))
     return tallies.groupBy("doc_id").agg(
         F.sum(
