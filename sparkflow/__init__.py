@@ -36,6 +36,9 @@ from .llm import sampling  # noqa: F401  (split/sample/scrub — projection-chea
 from .llm import curation  # noqa: F401  (quality rules / repetition / decontam)
 from .llm import prep  # noqa: F401  (chunking / mixing / quantize / packing)
 from .llm import dedup, multimodal, similarity  # noqa: F401  (heavy LLM last)
+from .llm import winnow  # noqa: F401  (r5 additions — MUST register after
+# everything above: the attestation rotation fronts never-attested keys
+# in registration order, and new ops queue behind the promised prefix)
 
 # Attestation rotation (round 3): the driver's correctness harness checks
 # a fixed-size PREFIX of queries() in registration order each round.

@@ -1,0 +1,316 @@
+"""Corpus-analysis operators: winnowing fingerprints/overlap and
+Heaps-law vocabulary growth (task brief §"text analysis" — document
+fingerprinting and corpus diagnostics beyond the per-doc rolling hash).
+
+Registered LAST on purpose: these are round-5 additions and the
+attestation rotation fronts never-attested keys in registration order —
+new operators must queue BEHIND the keys already promised to the
+current round's harness prefix (see sparkflow/__init__.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import register
+from .dedup import _CORPUS_SQL as _DUP_CORPUS_SQL
+from .dedup import _corpus
+
+# Winnowing parameters. Guarantee: any shared substring of length
+# >= _WIN_W + _WIN_K - 1 chars produces at least one shared fingerprint,
+# and no fingerprint is selected from a context shorter than _WIN_K —
+# the standard (k, w) bounds from the paper. Gram hashes reuse the
+# 20-bit md5-slice family from the dedup module (engine-exact); the
+# (hash, pos) pair is packed into one int64 (hash*2^32 + pos, hash <
+# 2^20 so the product < 2^52) so the per-window argmin is a single
+# integer MIN with a deterministic position tie-break in both engines.
+_WIN_K = 5  # char-gram width
+_WIN_W = 4  # window: fingerprint = min gram hash of every 4 consecutive
+
+
+@register(
+    "llm_winnowing_fingerprint",
+    oracle=f"""
+    WITH grams AS (
+      SELECT doc_id, i AS pos, substr(text, i, {_WIN_K}) AS g
+      FROM documents,
+           LATERAL (SELECT UNNEST(range(1, len(text) - {_WIN_K - 2}))) t(i)
+    ),
+    packed AS (
+      SELECT doc_id, pos,
+             ('0x' || substr(md5(g), 1, 5))::BIGINT * 4294967296 + pos AS pk
+      FROM grams
+    ),
+    sel AS (
+      SELECT doc_id, pos,
+             MIN(pk) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN CURRENT ROW AND {_WIN_W - 1} FOLLOWING) AS fp,
+             COUNT(*) OVER (PARTITION BY doc_id) AS n
+      FROM packed
+    )
+    SELECT DISTINCT doc_id,
+           fp // 4294967296 AS fp_hash,
+           fp % 4294967296 AS fp_pos
+    FROM sel WHERE pos <= n - {_WIN_W - 1}
+    """,
+)
+def llm_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints: hash every 5-char gram, slide a
+    window of 4 consecutive gram hashes, keep the window minimum
+    (leftmost on ties via the packed position), output the distinct
+    selected (hash, position) pairs per document. The selection
+    guarantees any shared substring of >= w+k-1 = 8 chars yields a
+    shared fingerprint while storing only ~2/(w+1) of the grams — the
+    local, position-robust fingerprint a plagiarism/overlap index wants
+    (vs llm_fingerprint's single whole-doc rolling hash and
+    llm_dedup_near's global MinHash sketch).
+
+    Scale: grams explode ~n_chars rows but never leave their partition;
+    the ONE shuffle is the per-doc window sort (same shape as the
+    windows family), and the fingerprint density bound caps output at
+    ~40%% of gram count. Identical integer arithmetic runs in the
+    DuckDB oracle — engine-exact."""
+    d = table(spark, sf_dir, "documents")
+    grams = d.filter(F.length("text") >= _WIN_K).select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("text") - (_WIN_K - 1)),
+                lambda i: F.substring(F.col("text"), i, _WIN_K),
+            )
+        ).alias("pos0", "g"),
+    ).select(
+        "doc_id",
+        (F.col("pos0") + 1).alias("pos"),
+        (
+            F.conv(F.substring(F.md5("g"), 1, 5), 16, 10).cast("long")
+            * F.lit(4294967296).cast("long")
+            + (F.col("pos0") + 1)
+        ).alias("pk"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, _WIN_W - 1)
+    n = Window.partitionBy("doc_id")
+    sel = grams.select(
+        "doc_id",
+        "pos",
+        F.min("pk").over(w).alias("fp"),
+        F.count(F.lit(1)).over(n).alias("n"),
+    ).filter(F.col("pos") <= F.col("n") - (_WIN_W - 1))
+    return sel.select(
+        "doc_id",
+        F.expr("fp DIV 4294967296").alias("fp_hash"),
+        (F.col("fp") % 4294967296).alias("fp_pos"),
+    ).distinct()
+
+
+# Overlap-index guards: drop fingerprints shared by too many documents
+# (boilerplate — standard winnowing-index practice), then require both a
+# minimum shared-fingerprint count and a minimum containment before
+# reporting a pair. All integer thresholds, mirrored in the oracle.
+_WFP_MIN_SHARED = 5
+_WFP_MIN_PPM = 600_000  # containment >= 0.6 of the smaller fingerprint set
+
+
+@register(
+    "llm_winnowing_overlap",
+    oracle=f"""
+    WITH corpus AS ({_DUP_CORPUS_SQL}),
+    grams AS (
+      SELECT doc_id, i AS pos, substr(text, i, {_WIN_K}) AS g
+      FROM corpus,
+           LATERAL (SELECT UNNEST(range(1, len(text) - {_WIN_K - 2}))) t(i)
+    ),
+    packed AS (
+      SELECT doc_id, pos,
+             ('0x' || substr(md5(g), 1, 5))::BIGINT * 4294967296 + pos AS pk
+      FROM grams
+    ),
+    sel AS (
+      SELECT doc_id, pos,
+             MIN(pk) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN CURRENT ROW AND {_WIN_W - 1} FOLLOWING) AS fp,
+             COUNT(*) OVER (PARTITION BY doc_id) AS n
+      FROM packed
+    ),
+    fpset AS (
+      SELECT DISTINCT doc_id, fp FROM sel WHERE pos <= n - {_WIN_W - 1}
+    ),
+    kept AS (
+      SELECT fp FROM fpset GROUP BY fp
+      HAVING COUNT(*) <= GREATEST(16, (SELECT COUNT(DISTINCT doc_id) FROM corpus) // 20)
+    ),
+    indexed AS (
+      SELECT f.doc_id, f.fp FROM fpset f JOIN kept k ON k.fp = f.fp
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM indexed GROUP BY doc_id),
+    shared AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared_fps
+      FROM indexed a JOIN indexed b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT s.doc_a, s.doc_b, s.shared_fps,
+           s.shared_fps * 1000000 // LEAST(sa.sz, sb.sz) AS containment_ppm
+    FROM shared s
+    JOIN sizes sa ON sa.doc_id = s.doc_a
+    JOIN sizes sb ON sb.doc_id = s.doc_b
+    WHERE s.shared_fps >= {_WFP_MIN_SHARED}
+      AND s.shared_fps * 1000000 // LEAST(sa.sz, sb.sz) >= {_WFP_MIN_PPM}
+    """,
+)
+def llm_winnowing_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-overlap detection over a winnowing fingerprint index
+    (the MOSS shape): fingerprint the duplicate-rich corpus, DROP
+    fingerprints shared by more than max(16, n_docs/20) documents
+    (boilerplate guard — the df cap is RELATIVE so it keeps meaning as
+    the corpus grows), equi-join documents on the surviving (hash,
+    position) fingerprints, and report pairs with >= 5 shared
+    fingerprints covering >= 60% of the smaller document's set.
+
+    The fingerprint here is the packed (gram-hash, position) value, so
+    the index detects position-aligned duplication (exact copies and
+    prefix-preserving edits — both synthesized in the corpus); a full
+    plagiarism system would bucket on hash alone and verify alignment
+    per bucket, which this corpus's tiny vocabulary makes quadratic
+    (every document shares the common grams), exactly the boilerplate
+    problem the df cap models. Integer counts and one integer division
+    — engine-exact; the only self-join key is the df-capped
+    fingerprint, whose bucket size the cap bounds at any scale."""
+    c = _corpus(spark, sf_dir)
+    grams = c.filter(F.length("text") >= _WIN_K).select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("text") - (_WIN_K - 1)),
+                lambda i: F.substring(F.col("text"), i, _WIN_K),
+            )
+        ).alias("pos0", "g"),
+    ).select(
+        "doc_id",
+        (F.col("pos0") + 1).alias("pos"),
+        (
+            F.conv(F.substring(F.md5("g"), 1, 5), 16, 10).cast("long")
+            * F.lit(4294967296).cast("long")
+            + (F.col("pos0") + 1)
+        ).alias("pk"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, _WIN_W - 1)
+    n = Window.partitionBy("doc_id")
+    fpset = (
+        grams.select(
+            "doc_id",
+            "pos",
+            F.min("pk").over(w).alias("fp"),
+            F.count(F.lit(1)).over(n).alias("n"),
+        )
+        .filter(F.col("pos") <= F.col("n") - (_WIN_W - 1))
+        .select("doc_id", "fp")
+        .distinct()
+    )
+    n_docs = c.select(F.countDistinct("doc_id").alias("nd"))
+    kept = (
+        fpset.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+        .filter(F.col("df") <= F.greatest(F.lit(16), F.expr("nd DIV 20")))
+        .select("fp")
+    )
+    indexed = fpset.join(kept, "fp").select("doc_id", "fp")
+    sizes = indexed.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = indexed.toDF("doc_a", "fp")
+    b = indexed.toDF("doc_b", "fp")
+    shared = (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+    )
+    sa = sizes.toDF("doc_a", "sa")
+    sb = sizes.toDF("doc_b", "sb")
+    ppm = F.expr("shared_fps * 1000000 DIV least(sa, sb)")
+    return (
+        shared.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(
+            (F.col("shared_fps") >= _WFP_MIN_SHARED)
+            & (ppm >= _WFP_MIN_PPM)
+        )
+        .select("doc_a", "doc_b", "shared_fps", ppm.alias("containment_ppm"))
+    )
+
+
+@register(
+    "llm_vocab_growth",
+    oracle="""
+    WITH ranked AS (
+      SELECT source, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY source) AS n
+      FROM documents
+    ),
+    cuts AS (
+      SELECT source, q.q AS quartile, doc_id AS cutoff_id,
+             rn AS docs_at_cutoff
+      FROM ranked, (SELECT UNNEST(range(1, 5)) AS q) q(q)
+      WHERE rn = (n * q.q + 3) // 4
+    ),
+    toks AS (
+      SELECT DISTINCT source, doc_id, UNNEST(string_split(text, ' ')) AS tok
+      FROM documents
+    )
+    SELECT c.source, c.quartile, c.docs_at_cutoff,
+           COUNT(DISTINCT t.tok) AS distinct_tokens,
+           CAST(COUNT(*) AS BIGINT) AS doc_token_pairs
+    FROM cuts c
+    JOIN toks t ON t.source = c.source AND t.doc_id <= c.cutoff_id
+    GROUP BY c.source, c.quartile, c.docs_at_cutoff
+    """,
+)
+def llm_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary growth per source: distinct-token count of
+    the first 25/50/75/100% of documents (by doc_id). A flattening
+    curve says the source's vocabulary is saturating (more data adds
+    tokens, not words) — the standard corpus-composition diagnostic
+    next to llm_dataset_card_stats' point-in-time counts.
+
+    Shape: the quartile cutoffs are 4 rows per source (a window
+    row_number pass), broadcast into a theta-join against the distinct
+    (source, doc_id, token) set — each token row matches <= 4 cutoffs,
+    so the expansion is bounded x4 and the heavy side never shuffles
+    twice. All counts integer — engine-exact."""
+    d = table(spark, sf_dir, "documents")
+    wr = Window.partitionBy("source").orderBy("doc_id")
+    wn = Window.partitionBy("source")
+    ranked = d.select(
+        "source",
+        "doc_id",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    qs = spark.range(1, 5).select(F.col("id").cast("int").alias("quartile"))
+    cuts = (
+        ranked.crossJoin(F.broadcast(qs))
+        .filter(F.col("rn") == F.expr("(n * quartile + 3) DIV 4"))
+        .select(
+            "source",
+            "quartile",
+            F.col("doc_id").alias("cutoff_id"),
+            F.col("rn").alias("docs_at_cutoff"),
+        )
+    )
+    toks = d.select(
+        "source", "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).distinct()
+    return (
+        toks.join(
+            F.broadcast(cuts),
+            (toks.source == cuts.source) & (toks.doc_id <= cuts.cutoff_id),
+        )
+        .drop(cuts.source)
+        .groupBy("source", "quartile", "docs_at_cutoff")
+        .agg(
+            F.countDistinct("tok").alias("distinct_tokens"),
+            F.count(F.lit(1)).alias("doc_token_pairs"),
+        )
+    )

@@ -525,3 +525,67 @@ def test_near_dedup_short_docs_are_safely_ignored(spark, sf_small, monkeypatch):
     short_ids = {9000001, 9000002, 9000003, 9000004}
     assert not ((set(out["doc_a"]) | set(out["doc_b"])) & short_ids)
     assert len(out) > 0  # the real near-dups are still found
+
+
+def test_winnowing_fingerprint_guarantees(spark, sf_small):
+    """Winnowing invariants: every fingerprint position is a valid gram
+    start; every doc long enough for one full window has at least one
+    fingerprint; density respects the ~2/(w+1) expectation loosely
+    (never more fingerprints than windows); hashes are 20-bit."""
+    got = sparkflow.QUERIES["llm_winnowing_fingerprint"](spark, sf_small).toPandas()
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet").toPandas()
+    lens = dict(zip(docs["doc_id"], docs["text"].str.len()))
+    assert (got["fp_hash"] < 2**20).all() and (got["fp_hash"] >= 0).all()
+    per_doc = got.groupby("doc_id").size()
+    for doc_id, n_fp in per_doc.items():
+        n_grams = lens[doc_id] - 4
+        n_windows = n_grams - 3
+        assert n_windows >= 1
+        assert 1 <= n_fp <= n_windows
+    # every doc with a full window must appear
+    eligible = {d for d, ln in lens.items() if ln >= 8}
+    assert set(per_doc.index) == eligible
+    for _, r in got.iterrows():
+        assert 1 <= r["fp_pos"] <= lens[r["doc_id"]] - 4
+
+
+def test_winnowing_overlap_finds_synthesized_copies(spark, sf_small):
+    """Exact copies (%7, identical text) must pair with containment
+    1.0; near-copies (%5, suffix appended) must be found with high
+    containment for >=95% of them. Random pairs must not dominate."""
+    got = sparkflow.QUERIES["llm_winnowing_overlap"](spark, sf_small).toPandas()
+    pairs = {(a, b): p for a, b, p in
+             zip(got["doc_a"], got["doc_b"], got["containment_ppm"])}
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet").toPandas()
+    base = [d for d, ln in zip(docs["doc_id"], docs["text"].str.len()) if ln >= 8]
+    exact = [(d, d + 1000000) for d in base if d % 7 == 0]
+    near = [(d, d + 2000000) for d in base if d % 5 == 0]
+    assert all(p in pairs and pairs[p] == 1000000 for p in exact), "exact copies"
+    found = sum(p in pairs for p in near)
+    assert found >= 0.95 * len(near), f"only {found}/{len(near)} near copies"
+    for p in near:
+        if p in pairs:
+            assert pairs[p] >= 600000
+
+
+def test_vocab_growth_is_monotone_and_total_matches(spark, sf_small):
+    """Distinct-token counts must be non-decreasing across quartiles
+    within a source, and the Q4 row must equal an independently computed
+    full distinct count per source."""
+    got = (
+        sparkflow.QUERIES["llm_vocab_growth"](spark, sf_small)
+        .toPandas()
+        .sort_values(["source", "quartile"])
+    )
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet").toPandas()
+    full = {
+        src: len({t for txt in g["text"] for t in txt.split(" ")})
+        for src, g in docs.groupby("source")
+    }
+    n_docs = docs.groupby("source").size().to_dict()
+    for src, g in got.groupby("source"):
+        assert list(g["quartile"]) == [1, 2, 3, 4]
+        vals = list(g["distinct_tokens"])
+        assert vals == sorted(vals), f"{src} not monotone"
+        assert vals[-1] == full[src]
+        assert list(g["docs_at_cutoff"])[-1] == n_docs[src]

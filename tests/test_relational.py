@@ -504,8 +504,16 @@ def test_round5_prefix_is_the_nine_never_attested_keys():
     ks = list(sparkflow.QUERIES)
     assert ks[:9] == nine, f"r5 prefix drifted: {ks[:9]}"
     last = sparkflow._last_attested_round()
-    assert last[ks[9]] == min(last.values()), (
-        "key after the nine must be from the stalest attested round"
+    # operators ADDED during round 5 are also never-attested and belong
+    # between the nine and the attested tail (the rotation fronts ALL
+    # unattested keys); the first ATTESTED key must be from the stalest
+    # round
+    tail = ks[9:]
+    first_attested = next(i for i, k in enumerate(tail) if k in last)
+    assert all(k not in last for k in tail[:first_attested])
+    assert last[tail[first_attested]] == min(last.values()), (
+        "first attested key after the unattested prefix must be from "
+        "the stalest attested round"
     )
 
 
