@@ -154,6 +154,7 @@ def run() -> None:
         "llm_knn_ivf",
         "llm_hard_negatives",
         "llm_dedup_clusters",
+        "llm_winnowing_overlap",
     ]
     spark = get_spark("scale-smoke", shuffle_partitions=32)
     spark.sparkContext.setLogLevel("ERROR")
