@@ -424,3 +424,45 @@ def test_operators_survive_forced_spill(spark, sf_small):
         import pandas as pd
 
         pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_near_dedup_pipeline_plan_shape(spark, sf_small):
+    """The LSH near-dup pipeline must stay bucketed: the only self-join
+    is the band equi-join (hash join on the integer lane triple), never
+    a cartesian/nested-loop pairing; signature minima are int64 (bigint
+    in the agg schema), not strings — the round-5 hash-family contract;
+    and the pre-explode corpus repartition is present (round-robin
+    exchange) so the signature stage parallelizes past the input split
+    count."""
+    from sparkflow.llm.dedup import _near_pairs_plan
+
+    df = _near_pairs_plan(spark, sf_small)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan, plan
+    assert "RoundRobinPartitioning" in plan, "pre-explode repartition missing"
+    # the band join keys are the raw int64 lanes: the partial min
+    # aggregates must be bigint, with no md5 re-hash of signature
+    # columns between the aggregate and the join
+    agg_lines = [
+        ln for ln in plan.splitlines() if "partial_min" in ln or "min(h" in ln
+    ]
+    assert agg_lines, "signature min aggregate not found in plan"
+    assert not any("md5(cast(s" in ln for ln in plan.splitlines()), (
+        "band digest (md5 over signature columns) reappeared"
+    )
+
+
+def test_winnowing_overlap_join_is_df_capped_hash_join(spark, sf_small):
+    """The overlap op's document-pairing self-join runs on the
+    fingerprint key (an equi-join), never nested-loop over documents.
+    The ONLY BroadcastNestedLoopJoin allowed is the 1-row scalar
+    cross-join that carries the corpus doc count into the df-cap
+    predicate (build side = a single aggregate row — constant at any
+    scale); every BNLJ line must therefore contain that predicate."""
+    df = sparkflow.QUERIES["llm_winnowing_overlap"](spark, sf_small)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    bnlj = [ln for ln in plan.splitlines() if "BroadcastNestedLoopJoin" in ln]
+    assert all("div 20" in ln for ln in bnlj), (
+        "nested-loop join outside the scalar df-cap path:\n" + "\n".join(bnlj)
+    )
