@@ -109,6 +109,20 @@ def llm_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (boilerplate — standard winnowing-index practice), then require both a
 # minimum shared-fingerprint count and a minimum containment before
 # reporting a pair. All integer thresholds, mirrored in the oracle.
+#
+# The df cap is ABSOLUTE, not relative, on design grounds: only a
+# constant cap bounds every pairing-join bucket unconditionally
+# (Σ df² ≤ cap · Σ df = linear in the index), and semantically a
+# fingerprint shared by 65 documents is boilerplate whether the corpus
+# has 5 k docs or 5 B — real boilerplate (headers, templates) keeps a
+# CONSTANT absolute df ceiling only under a constant cap, while a
+# relative cap lets those buckets grow with the corpus. On THIS corpus
+# the two designs measure within 8% of each other (positions keep
+# max df at ~316 even at the 100× rung — see SCALE.md's Σ df²
+# instrumentation, including the initial misdiagnosis the
+# instrumentation corrected), so the choice is about the 100 TB
+# invariant, not local wall time.
+_WFP_MAX_DF = 64
 _WFP_MIN_SHARED = 5
 _WFP_MIN_PPM = 600_000  # containment >= 0.6 of the smaller fingerprint set
 
@@ -139,7 +153,7 @@ _WFP_MIN_PPM = 600_000  # containment >= 0.6 of the smaller fingerprint set
     ),
     kept AS (
       SELECT fp FROM fpset GROUP BY fp
-      HAVING COUNT(*) <= GREATEST(16, (SELECT COUNT(DISTINCT doc_id) FROM corpus) // 20)
+      HAVING COUNT(*) <= {_WFP_MAX_DF}
     ),
     indexed AS (
       SELECT f.doc_id, f.fp FROM fpset f JOIN kept k ON k.fp = f.fp
@@ -162,11 +176,12 @@ _WFP_MIN_PPM = 600_000  # containment >= 0.6 of the smaller fingerprint set
 def llm_winnowing_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document-overlap detection over a winnowing fingerprint index
     (the MOSS shape): fingerprint the duplicate-rich corpus, DROP
-    fingerprints shared by more than max(16, n_docs/20) documents
-    (boilerplate guard — the df cap is RELATIVE so it keeps meaning as
-    the corpus grows), equi-join documents on the surviving (hash,
-    position) fingerprints, and report pairs with >= 5 shared
-    fingerprints covering >= 60% of the smaller document's set.
+    fingerprints shared by more than _WFP_MAX_DF = 64 documents (the
+    ABSOLUTE boilerplate cap — see the constant's comment for the
+    design argument vs a relative cap), equi-join documents on the
+    surviving (hash, position) fingerprints, and report pairs with
+    >= 5 shared fingerprints covering >= 60% of the smaller document's
+    set.
 
     The fingerprint here is the packed (gram-hash, position) value, so
     the index detects position-aligned duplication (exact copies and
@@ -208,12 +223,10 @@ def llm_winnowing_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "fp")
         .distinct()
     )
-    n_docs = c.select(F.countDistinct("doc_id").alias("nd"))
     kept = (
         fpset.groupBy("fp")
         .agg(F.count(F.lit(1)).alias("df"))
-        .crossJoin(F.broadcast(n_docs))
-        .filter(F.col("df") <= F.greatest(F.lit(16), F.expr("nd DIV 20")))
+        .filter(F.col("df") <= _WFP_MAX_DF)
         .select("fp")
     )
     indexed = fpset.join(kept, "fp").select("doc_id", "fp")
