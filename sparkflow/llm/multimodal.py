@@ -1,12 +1,19 @@
 """Multimodal column plumbing (task brief: image/audio/video as opaque
 binary columns + typed metadata, processed by Arrow-batched Python).
 
-The container has no image/audio codecs, so the DECODE step is a
-clearly-marked deterministic fake (`_fake_decode`) — but every piece of
-Spark plumbing around it is real and tested: a binary column built
-JVM-side, a mapInPandas feature extractor with an explicit output
-schema, Arrow batch transfer, and a SQL-oracle on the deterministic
-parts. Swapping `_fake_decode` for PIL/librosa is a one-function change.
+Decode status per operator (the container ships no image/audio
+LIBRARIES, but stdlib zlib is enough for PNG): `llm_multimodal_resize`
+runs a REAL codec — the pure-python PNG encode/decode in
+`sparkflow/llm/png.py` (signature, inflate, all five filter types) —
+through the Arrow plumbing, so that path exercises genuine pixel
+bytes end to end. The feature/frames operators
+(`llm_multimodal_features`, `llm_multimodal_frames`) still use the
+clearly-marked deterministic fake (`_fake_decode`) standing in for
+video/audio codecs; every piece of Spark plumbing around it is real
+and tested: a binary column built JVM-side, a mapInPandas extractor
+with an explicit output schema, Arrow batch transfer, and a
+SQL-oracle on the deterministic parts. Swapping `_fake_decode` for
+PIL/librosa is a one-function change.
 
 Scale notes: mapInPandas streams Arrow batches — no per-row Python
 calls, no collect; binary payloads stay columnar end to end. This is

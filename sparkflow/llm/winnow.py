@@ -30,12 +30,14 @@ _WIN_K = 5  # char-gram width
 _WIN_W = 4  # window: fingerprint = min gram hash of every 4 consecutive
 
 
-@register(
-    "llm_winnowing_fingerprint",
-    oracle=f"""
-    WITH grams AS (
+def _fp_ctes(src: str) -> str:
+    """The gram → packed-hash → window-min → distinct fingerprint
+    pipeline as CTEs ending in `fpset(doc_id, fp)`, over table/CTE
+    ``src``. ONE definition feeds both winnowing oracles — the Spark
+    twin is _fpset() below; change them together."""
+    return f"""grams AS (
       SELECT doc_id, i AS pos, substr(text, i, {_WIN_K}) AS g
-      FROM documents,
+      FROM {src},
            LATERAL (SELECT UNNEST(range(1, len(text) - {_WIN_K - 2}))) t(i)
     ),
     packed AS (
@@ -49,31 +51,17 @@ _WIN_W = 4  # window: fingerprint = min gram hash of every 4 consecutive
                            ROWS BETWEEN CURRENT ROW AND {_WIN_W - 1} FOLLOWING) AS fp,
              COUNT(*) OVER (PARTITION BY doc_id) AS n
       FROM packed
-    )
-    SELECT DISTINCT doc_id,
-           fp // 4294967296 AS fp_hash,
-           fp % 4294967296 AS fp_pos
-    FROM sel WHERE pos <= n - {_WIN_W - 1}
-    """,
-)
-def llm_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing document fingerprints: hash every 5-char gram, slide a
-    window of 4 consecutive gram hashes, keep the window minimum
-    (leftmost on ties via the packed position), output the distinct
-    selected (hash, position) pairs per document. The selection
-    guarantees any shared substring of >= w+k-1 = 8 chars yields a
-    shared fingerprint while storing only ~2/(w+1) of the grams — the
-    local, position-robust fingerprint a plagiarism/overlap index wants
-    (vs llm_fingerprint's single whole-doc rolling hash and
-    llm_dedup_near's global MinHash sketch).
+    ),
+    fpset AS (
+      SELECT DISTINCT doc_id, fp FROM sel WHERE pos <= n - {_WIN_W - 1}
+    )"""
 
-    Scale: grams explode ~n_chars rows but never leave their partition;
-    the ONE shuffle is the per-doc window sort (same shape as the
-    windows family), and the fingerprint density bound caps output at
-    ~40%% of gram count. Identical integer arithmetic runs in the
-    DuckDB oracle — engine-exact."""
-    d = table(spark, sf_dir, "documents")
-    grams = d.filter(F.length("text") >= _WIN_K).select(
+
+def _fpset(docs: DataFrame) -> DataFrame:
+    """Spark twin of _fp_ctes: distinct (doc_id, fp) winnowing
+    fingerprints of a (doc_id, text) DataFrame, fp = packed
+    (20-bit gram hash)·2³² + position."""
+    grams = docs.filter(F.length("text") >= _WIN_K).select(
         "doc_id",
         F.posexplode(
             F.transform(
@@ -92,17 +80,50 @@ def llm_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, _WIN_W - 1)
     n = Window.partitionBy("doc_id")
-    sel = grams.select(
-        "doc_id",
-        "pos",
-        F.min("pk").over(w).alias("fp"),
-        F.count(F.lit(1)).over(n).alias("n"),
-    ).filter(F.col("pos") <= F.col("n") - (_WIN_W - 1))
-    return sel.select(
+    return (
+        grams.select(
+            "doc_id",
+            "pos",
+            F.min("pk").over(w).alias("fp"),
+            F.count(F.lit(1)).over(n).alias("n"),
+        )
+        .filter(F.col("pos") <= F.col("n") - (_WIN_W - 1))
+        .select("doc_id", "fp")
+        .distinct()
+    )
+
+
+@register(
+    "llm_winnowing_fingerprint",
+    oracle=f"""
+    WITH {_fp_ctes("documents")}
+    SELECT doc_id,
+           fp // 4294967296 AS fp_hash,
+           fp % 4294967296 AS fp_pos
+    FROM fpset
+    """,
+)
+def llm_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints: hash every 5-char gram, slide a
+    window of 4 consecutive gram hashes, keep the window minimum
+    (leftmost on ties via the packed position), output the distinct
+    selected (hash, position) pairs per document. The selection
+    guarantees any shared substring of >= w+k-1 = 8 chars yields a
+    shared fingerprint while storing only ~2/(w+1) of the grams — the
+    local, position-robust fingerprint a plagiarism/overlap index wants
+    (vs llm_fingerprint's single whole-doc rolling hash and
+    llm_dedup_near's global MinHash sketch).
+
+    Scale: grams explode ~n_chars rows but never leave their partition;
+    the ONE shuffle is the per-doc window sort (same shape as the
+    windows family), and the fingerprint density bound caps output at
+    ~40%% of gram count. Identical integer arithmetic runs in the
+    DuckDB oracle — engine-exact."""
+    return _fpset(table(spark, sf_dir, "documents")).select(
         "doc_id",
         F.expr("fp DIV 4294967296").alias("fp_hash"),
         (F.col("fp") % 4294967296).alias("fp_pos"),
-    ).distinct()
+    )
 
 
 # Overlap-index guards: drop fingerprints shared by too many documents
@@ -131,26 +152,7 @@ _WFP_MIN_PPM = 600_000  # containment >= 0.6 of the smaller fingerprint set
     "llm_winnowing_overlap",
     oracle=f"""
     WITH corpus AS ({_DUP_CORPUS_SQL}),
-    grams AS (
-      SELECT doc_id, i AS pos, substr(text, i, {_WIN_K}) AS g
-      FROM corpus,
-           LATERAL (SELECT UNNEST(range(1, len(text) - {_WIN_K - 2}))) t(i)
-    ),
-    packed AS (
-      SELECT doc_id, pos,
-             ('0x' || substr(md5(g), 1, 5))::BIGINT * 4294967296 + pos AS pk
-      FROM grams
-    ),
-    sel AS (
-      SELECT doc_id, pos,
-             MIN(pk) OVER (PARTITION BY doc_id ORDER BY pos
-                           ROWS BETWEEN CURRENT ROW AND {_WIN_W - 1} FOLLOWING) AS fp,
-             COUNT(*) OVER (PARTITION BY doc_id) AS n
-      FROM packed
-    ),
-    fpset AS (
-      SELECT DISTINCT doc_id, fp FROM sel WHERE pos <= n - {_WIN_W - 1}
-    ),
+    {_fp_ctes("corpus")},
     kept AS (
       SELECT fp FROM fpset GROUP BY fp
       HAVING COUNT(*) <= {_WFP_MAX_DF}
@@ -192,37 +194,7 @@ def llm_winnowing_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     problem the df cap models. Integer counts and one integer division
     — engine-exact; the only self-join key is the df-capped
     fingerprint, whose bucket size the cap bounds at any scale."""
-    c = _corpus(spark, sf_dir)
-    grams = c.filter(F.length("text") >= _WIN_K).select(
-        "doc_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(1), F.length("text") - (_WIN_K - 1)),
-                lambda i: F.substring(F.col("text"), i, _WIN_K),
-            )
-        ).alias("pos0", "g"),
-    ).select(
-        "doc_id",
-        (F.col("pos0") + 1).alias("pos"),
-        (
-            F.conv(F.substring(F.md5("g"), 1, 5), 16, 10).cast("long")
-            * F.lit(4294967296).cast("long")
-            + (F.col("pos0") + 1)
-        ).alias("pk"),
-    )
-    w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, _WIN_W - 1)
-    n = Window.partitionBy("doc_id")
-    fpset = (
-        grams.select(
-            "doc_id",
-            "pos",
-            F.min("pk").over(w).alias("fp"),
-            F.count(F.lit(1)).over(n).alias("n"),
-        )
-        .filter(F.col("pos") <= F.col("n") - (_WIN_W - 1))
-        .select("doc_id", "fp")
-        .distinct()
-    )
+    fpset = _fpset(_corpus(spark, sf_dir))
     kept = (
         fpset.groupBy("fp")
         .agg(F.count(F.lit(1)).alias("df"))

@@ -35,39 +35,25 @@ import pyarrow.parquet as pq
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from tools import scale_salt  # noqa: E402  (shared replica-salting scheme)
+
 SRC = "/root/testdata/sf0.1"
 DST10 = "/tmp/sparkflow_scale10x"
 DST = "/tmp/sparkflow_scale100x"
 REPLICAS = 100
 OPS = ["llm_dedup_near", "llm_dedup_clusters", "llm_semdedup"]
-_ALPHA = "abcdefghijklmnopqrstuvwxyz0123456789"
-
-
-def _check_fits(base: pd.Series, stride: int) -> None:
-    dt = base.dtype
-    if np.issubdtype(dt, np.integer):
-        top = int(base.max()) + (REPLICAS - 1) * stride
-        assert top <= np.iinfo(dt).max, (
-            f"max offset key {top} exceeds dtype {dt}"
-        )
-
-
 def gen() -> None:
     os.makedirs(DST, exist_ok=True)
 
     src = pq.read_table(f"{SRC}/documents.parquet")
     base = src.to_pandas()
     stride = int(base["doc_id"].max()) + 1
-    _check_fits(base["doc_id"], stride)
+    scale_salt.check_fits(base["doc_id"], stride, REPLICAS, "documents.doc_id")
     with pq.ParquetWriter(f"{DST}/documents.parquet", src.schema) as w:
         for i in range(REPLICAS):
             r = base.copy()
             r["doc_id"] = r["doc_id"] + i * stride
-            if i > 0:
-                perm = np.random.RandomState(i).permutation(list(_ALPHA))
-                r["text"] = r["text"].str.translate(
-                    str.maketrans(_ALPHA, "".join(perm))
-                )
+            r["text"] = scale_salt.salt_text(r["text"], i)
             w.write_table(
                 pa.Table.from_pandas(r, schema=src.schema, preserve_index=False)
             )
@@ -77,16 +63,14 @@ def gen() -> None:
     base = src.to_pandas()
     stride = int(base["vec_id"].max()) + 1
     n_labels = int(base["label"].max()) + 1
-    _check_fits(base["vec_id"], stride)
+    scale_salt.check_fits(base["vec_id"], stride, REPLICAS, "embeddings.vec_id")
+    scale_salt.check_fits(base["label"], n_labels, REPLICAS, "embeddings.label")
     with pq.ParquetWriter(f"{DST}/embeddings.parquet", src.schema) as w:
         for i in range(REPLICAS):
             r = base.copy()
             r["vec_id"] = r["vec_id"] + i * stride
             r["label"] = r["label"] + i * n_labels
-            if i > 0:
-                r["embedding"] = r["embedding"].map(
-                    lambda v, _i=i: np.roll(np.asarray(v), _i % 64).tolist()
-                )
+            r["embedding"] = scale_salt.salt_embedding(r["embedding"], i)
             w.write_table(
                 pa.Table.from_pandas(r, schema=src.schema, preserve_index=False)
             )
@@ -100,11 +84,20 @@ def _api(url: str):
 
 class Metrics:
     """Cumulative shuffle/spill/peak-memory counters via the REST API;
-    per-query numbers are deltas between snapshots."""
+    per-query numbers are deltas between snapshots.
 
-    def __init__(self, port: int = 4040):
-        self.base = f"http://localhost:{port}/api/v1"
-        self.app = _api(f"{self.base}/applications")[0]["id"]
+    The REST base comes from THIS session's uiWebUrl, not a hardcoded
+    port: if another local Spark UI already holds 4040 the session
+    binds 4041+, and a fixed-port client would silently read a
+    different application's (often idle) metrics as ours."""
+
+    def __init__(self, spark):
+        ui = spark.sparkContext.uiWebUrl
+        assert ui, "Spark UI disabled — Metrics needs spark.ui.enabled=true"
+        self.base = f"{ui}/api/v1"
+        apps = _api(f"{self.base}/applications")
+        assert apps, f"no applications visible at {self.base}"
+        self.app = apps[0]["id"]
 
     def snapshot(self) -> dict:
         out = {"shuffle_write": 0, "shuffle_read": 0, "spill_disk": 0}
@@ -146,7 +139,7 @@ def run() -> None:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
-    m = Metrics()
+    m = Metrics(spark)
 
     print(f"{'op':18s} {'scale':>6s} {'rows':>10s} {'wall':>8s} "
           f"{'shufW':>9s} {'shufR':>9s} {'spill':>8s}")

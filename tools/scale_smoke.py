@@ -52,6 +52,8 @@ import pyarrow.parquet as pq
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from tools import scale_salt  # noqa: E402  (shared replica-salting scheme)
+
 SRC = "/root/testdata/sf0.1"
 DST = "/tmp/sparkflow_scale10x"
 REPLICAS = 10
@@ -104,36 +106,21 @@ def gen() -> None:
         base = src.to_pandas()
         if tbl == "embeddings":
             n_labels = int(base["label"].max()) + 1
-        # Offsetting must fit the SOURCE dtype: the table is written back
-        # through the source schema (from_pandas(schema=schema) safe-casts),
-        # so an overflowing key would fail at write time with an opaque
-        # cast error. Fail fast with the actual numbers instead.
+            # label is offset per replica too (i * n_labels) — same
+            # overflow hazard as the key columns (review r5)
+            scale_salt.check_fits(base["label"], n_labels, REPLICAS, f"{tbl}.label")
         for col, ent in keycols.items():
-            dt = base[col].dtype
-            if np.issubdtype(dt, np.integer):
-                top = int(base[col].max()) + (REPLICAS - 1) * strides[ent]
-                lim = np.iinfo(dt).max
-                assert top <= lim, (
-                    f"{tbl}.{col}: max offset key {top} exceeds source dtype "
-                    f"{dt} (max {lim}); regenerate testdata with int64 keys "
-                    f"or lower REPLICAS"
-                )
+            scale_salt.check_fits(base[col], strides[ent], REPLICAS, f"{tbl}.{col}")
         reps = []
         for i in range(REPLICAS):
             r = base.copy()
             for col, ent in keycols.items():
                 r[col] = r[col] + i * strides[ent]
-            if tbl == "documents" and i > 0:
-                alpha = "abcdefghijklmnopqrstuvwxyz0123456789"
-                perm = np.random.RandomState(i).permutation(list(alpha))
-                tab = str.maketrans(alpha, "".join(perm))
-                r["text"] = r["text"].str.translate(tab)
+            if tbl == "documents":
+                r["text"] = scale_salt.salt_text(r["text"], i)
             if tbl == "embeddings":
                 r["label"] = r["label"] + i * n_labels
-                if i > 0:
-                    r["embedding"] = r["embedding"].map(
-                        lambda v, _i=i: np.roll(np.asarray(v), _i).tolist()
-                    )
+                r["embedding"] = scale_salt.salt_embedding(r["embedding"], i)
             reps.append(r)
         big = pd.concat(reps, ignore_index=True)
         pq.write_table(
