@@ -29,7 +29,7 @@ from ..registry import register
 
 # deterministic duplicate synthesis: every 7th doc gets an exact copy,
 # every 5th doc a near-copy with a small appended suffix
-_CORPUS_SQL = """
+CORPUS_SQL = """
     SELECT doc_id, text FROM documents
     UNION ALL
     SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
@@ -55,7 +55,7 @@ def _checked_doc_id():
     )
 
 
-def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents").select(
         _checked_doc_id().alias("doc_id"), "text"
     )
@@ -76,7 +76,7 @@ def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "llm_dedup_exact",
     oracle=f"""
-    WITH corpus AS ({_CORPUS_SQL})
+    WITH corpus AS ({CORPUS_SQL})
     SELECT MIN(doc_id) AS keeper_id,
            COUNT(*) AS n_copies,
            sha256(text) AS text_hash
@@ -86,7 +86,7 @@ def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 def llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: sha256 content hash → keep lowest doc_id per hash.
     One row per distinct text with its keeper and multiplicity."""
-    c = _corpus(spark, sf_dir)
+    c = dup_corpus(spark, sf_dir)
     return c.groupBy(F.sha2("text", 256).alias("text_hash")).agg(
         F.min("doc_id").alias("keeper_id"),
         F.count(F.lit(1)).alias("n_copies"),
@@ -141,7 +141,7 @@ def _lane_sql(i: int) -> str:
 # The full MinHash+LSH+Jaccard pipeline as CTEs ending in `pairs`, shared
 # by the near-dup oracle and the clusters oracle (which adds a recursive
 # connected-components closure on top).
-_NEAR_CTES = f"""corpus AS ({_CORPUS_SQL}),
+_NEAR_CTES = f"""corpus AS ({CORPUS_SQL}),
     shingles AS (
       SELECT doc_id, substr(text, i, {_SHINGLE}) AS sh
       FROM corpus, LATERAL (SELECT UNNEST(range(1, len(text) - {_SHINGLE - 2}))) t(i)
@@ -223,7 +223,7 @@ def _near_pairs_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     # AQE's exchange reuse computes the scan+union once per query
     # instead of once per branch. Row placement cannot affect results:
     # every downstream op is a key-grouped agg or equi-join.
-    corpus = _corpus(spark, sf_dir).repartition(
+    corpus = dup_corpus(spark, sf_dir).repartition(
         spark.sparkContext.defaultParallelism
     )
 
@@ -372,7 +372,7 @@ def llm_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "llm_dedup_simhash",
     oracle=f"""
-    WITH corpus AS ({_CORPUS_SQL}),
+    WITH corpus AS ({CORPUS_SQL}),
     toks AS (
       SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM corpus
     ),
@@ -397,7 +397,7 @@ def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     differ in O(1) bits — Hamming-ball lookup replaces pairwise
     comparison at scale. SQL-oracle-exact because the bit derivation is
     md5-based in both engines."""
-    corpus = _corpus(spark, sf_dir)
+    corpus = dup_corpus(spark, sf_dir)
     toks = corpus.select(
         "doc_id", F.explode(F.split("text", " ")).alias("tok")
     )
@@ -626,7 +626,7 @@ def llm_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     llm_dedup_near / _clusters / _ngram); trigram sets are built with
     one posexplode + two leads — no per-element lambdas."""
     pairs = _near_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    corpus = _corpus(spark, sf_dir)
+    corpus = dup_corpus(spark, sf_dir)
     toks = corpus.select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
     )

@@ -15,8 +15,8 @@ from pyspark.sql import functions as F
 
 from ..catalog import table
 from ..registry import register
-from .dedup import _CORPUS_SQL as _DUP_CORPUS_SQL
-from .dedup import _corpus
+from .dedup import CORPUS_SQL as _DUP_CORPUS_SQL
+from .dedup import dup_corpus
 
 # Winnowing parameters. Guarantee: any shared substring of length
 # >= _WIN_W + _WIN_K - 1 chars produces at least one shared fingerprint,
@@ -194,7 +194,7 @@ def llm_winnowing_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     problem the df cap models. Integer counts and one integer division
     — engine-exact; the only self-join key is the df-capped
     fingerprint, whose bucket size the cap bounds at any scale."""
-    fpset = _fpset(_corpus(spark, sf_dir))
+    fpset = _fpset(dup_corpus(spark, sf_dir))
     kept = (
         fpset.groupBy("fp")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -286,13 +286,18 @@ def llm_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     toks = d.select(
         "source", "doc_id", F.explode(F.split("text", " ")).alias("tok")
-    ).distinct()
+    ).distinct().alias("toks")
+    # the cuts side is aliased so the shared-lineage equality below binds
+    # by alias, not by Spark's disambiguation-by-origin (which emits a
+    # "trivially true equals predicate" WARN and is version-fragile)
+    cuts = cuts.alias("cuts")
     return (
         toks.join(
             F.broadcast(cuts),
-            (toks.source == cuts.source) & (toks.doc_id <= cuts.cutoff_id),
+            (F.col("toks.source") == F.col("cuts.source"))
+            & (F.col("toks.doc_id") <= F.col("cuts.cutoff_id")),
         )
-        .drop(cuts.source)
+        .drop(F.col("cuts.source"))
         .groupBy("source", "quartile", "docs_at_cutoff")
         .agg(
             F.countDistinct("tok").alias("distinct_tokens"),

@@ -515,12 +515,12 @@ def test_near_dedup_short_docs_are_safely_ignored(spark, sf_small, monkeypatch):
     sequence() — the same empty-range semantics as the oracle."""
     from sparkflow.llm import dedup as D
 
-    base = D._corpus(spark, sf_small)
+    base = D.dup_corpus(spark, sf_small)
     extra = spark.createDataFrame(
         [(9000001, "ab"), (9000002, "ab"), (9000003, ""), (9000004, "abcd")],
         "doc_id LONG, text STRING",
     )
-    monkeypatch.setattr(D, "_corpus", lambda s, d: base.unionByName(extra))
+    monkeypatch.setattr(D, "dup_corpus", lambda s, d: base.unionByName(extra))
     out = D._near_pairs_plan(spark, sf_small).toPandas()
     short_ids = {9000001, 9000002, 9000003, 9000004}
     assert not ((set(out["doc_a"]) | set(out["doc_b"])) & short_ids)

@@ -443,12 +443,25 @@ def test_near_dedup_pipeline_plan_shape(spark, sf_small):
     # the band join keys are the raw int64 lanes: the partial min
     # aggregates must be bigint, with no md5 re-hash of signature
     # columns between the aggregate and the join
-    agg_lines = [
-        ln for ln in plan.splitlines() if "partial_min" in ln or "min(h" in ln
+    lines = plan.splitlines()
+    agg_idx = [
+        i for i, ln in enumerate(lines) if "partial_min" in ln or "min(h" in ln
     ]
-    assert agg_lines, "signature min aggregate not found in plan"
-    assert not any("md5(cast(s" in ln for ln in plan.splitlines()), (
-        "band digest (md5 over signature columns) reappeared"
+    assert agg_idx, "signature min aggregate not found in plan"
+    # the band join must consume the raw bigint lane triple: between the
+    # band join line and the signature aggregate that feeds it there is
+    # NO md5 (the only legitimate md5 sites are the per-shingle digests
+    # BELOW the aggregate). Anchored on line positions, not on Spark's
+    # expression rendering, so a cast-format change can't silently
+    # disable the guard.
+    join_idx = [
+        i for i, ln in enumerate(lines) if "Join" in ln and "band_id" in ln
+    ]
+    assert join_idx, "band equi-join not found in plan"
+    between = lines[min(join_idx) : min(agg_idx)]
+    assert not any("md5" in ln for ln in between), (
+        "band digest (md5 between the signature aggregate and the band "
+        "join) reappeared:\n" + "\n".join(between)
     )
 
 

@@ -28,8 +28,6 @@ import sys
 import time
 import urllib.request
 
-import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 
@@ -42,6 +40,8 @@ DST10 = "/tmp/sparkflow_scale10x"
 DST = "/tmp/sparkflow_scale100x"
 REPLICAS = 100
 OPS = ["llm_dedup_near", "llm_dedup_clusters", "llm_semdedup"]
+
+
 def gen() -> None:
     os.makedirs(DST, exist_ok=True)
 
