@@ -92,31 +92,122 @@ registry.reorder(_ATTEST_FIRST)
 def _rotate_never_attested() -> None:
     """Self-maintaining attestation rotation: front the keys that have no
     successful row in ANY committed CORRECTNESS_r*.json yet (driver
-    artifact, one per round), then queue the attested keys least-
-    recently-attested FIRST. The second half is the re-attestation
-    budget (round-3 advice): once the never-attested pool shrinks below
-    the driver's ~50-key prefix, the prefix automatically tops up with
-    the stalest previously-attested keys, so a regression in an old
-    operator re-enters the harness within ⌈192/50⌉ rounds instead of
-    becoming structurally invisible. A key whose only rows are errors
-    OR hash mismatches stays unattested and is retried first.
+    artifact, one per round), THEN the keys whose implementing module has
+    a commit NEWER than the artifact that last attested them (round-6
+    verdict: the r06 sample and the r06 commit were disjoint — the only
+    operators whose code changed were exactly the ones whose attestations
+    predated the change; staleness must be code-aware, not just
+    round-aged), then the remaining attested keys least-recently-attested
+    FIRST. The last segment is the re-attestation budget (round-3
+    advice): once the never-attested pool shrinks below the driver's
+    ~50-key prefix, the prefix automatically tops up with the stalest
+    previously-attested keys, so a regression in an old operator
+    re-enters the harness within ⌈195/50⌉ rounds instead of becoming
+    structurally invisible. A key whose only rows are errors OR hash
+    mismatches stays unattested and is retried first.
 
     Determinism: the order is a pure function of the CORRECTNESS_r*.json
-    artifacts PRESENT IN THE WORKING TREE (the glob reads files, not git
-    objects — an uncommitted round artifact participates, so commit round
-    artifacts before relying on cross-checkout identical ordering); with
-    no artifacts present (fresh pre-round-1 tree) the static priority
-    above stands unchanged."""
+    artifacts PRESENT IN THE WORKING TREE plus committed git history
+    (an uncommitted round artifact participates; uncommitted CODE does
+    not — commit operator changes before relying on the rotation to
+    front them); with no artifacts present (fresh pre-round-1 tree) the
+    static priority above stands unchanged, and with git unavailable the
+    code-stale segment is empty (pure round-age ordering)."""
     # one artifact parse: the attested set is exactly last_round's keys
     last_round = _last_attested_round()
     seen = set(last_round)
     if not seen:
         return
     unattested = [k for k in registry.QUERIES if k not in seen]
-    attested = [k for k in registry.QUERIES if k in seen]
-    # stable sort: within the same round, current registration order
-    attested.sort(key=lambda k: last_round[k])
-    registry.reorder(unattested + attested)
+    stale_set = _code_stale_set()
+    code_stale = [k for k in registry.QUERIES if k in stale_set]
+    rest = [k for k in registry.QUERIES if k in seen and k not in stale_set]
+    # stable sorts: within the same round, current registration order
+    code_stale.sort(key=lambda k: last_round[k])
+    rest.sort(key=lambda k: last_round[k])
+    registry.reorder(unattested + code_stale + rest)
+
+
+def _git_last_change_times(root: str | None = None) -> dict:
+    """repo-relative path -> unix time of the NEWEST commit touching it,
+    from one `git log --name-only` walk (newest-first, so the first
+    sighting of a path wins). {} when git is unavailable or errors —
+    callers must degrade to round-age-only ordering, never raise at
+    import time."""
+    import os
+    import subprocess
+
+    if root is None:
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    try:
+        out = subprocess.run(
+            ["git", "-C", root, "log", "--format=%x01%ct", "--name-only"],
+            capture_output=True, text=True, timeout=20,
+        )
+    except Exception:
+        return {}
+    if out.returncode != 0:
+        return {}
+    times: dict = {}
+    ct = None
+    for ln in out.stdout.splitlines():
+        if ln.startswith("\x01"):
+            try:
+                ct = int(ln[1:])
+            except ValueError:
+                ct = None
+        elif ln and ct is not None:
+            times.setdefault(ln, ct)
+    return times
+
+
+def _impl_relpath(fn, root: str) -> str | None:
+    """Repo-relative source path (git-style forward slashes) of the
+    module implementing a registered query callable."""
+    import os
+    import sys as _sys
+
+    mod = _sys.modules.get(getattr(fn, "__module__", ""))
+    path = getattr(mod, "__file__", None)
+    if not path:
+        return None
+    try:
+        rel = os.path.relpath(os.path.abspath(path), root)
+    except ValueError:
+        return None
+    return rel.replace(os.sep, "/")
+
+
+def _code_stale_keys(queries: dict, last_round: dict, file_times: dict,
+                     root: str) -> set:
+    """Attested keys whose implementing MODULE has a commit newer than
+    the commit of the CORRECTNESS artifact that last attested them.
+    Module granularity is deliberately coarse-conservative: an unrelated
+    change to a shared module re-fronts every key it implements (extra
+    re-attestation, never a missed one)."""
+    stale = set()
+    for key, fn in queries.items():
+        rnd = last_round.get(key)
+        if rnd is None:
+            continue
+        art_t = file_times.get(f"CORRECTNESS_r{rnd:02d}.json")
+        rel = _impl_relpath(fn, root)
+        code_t = file_times.get(rel) if rel else None
+        if art_t is not None and code_t is not None and code_t > art_t:
+            stale.add(key)
+    return stale
+
+
+def _code_stale_set(root: str | None = None) -> set:
+    """The live code-stale set for the current tree (see _code_stale_keys)."""
+    import os
+
+    if root is None:
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    return _code_stale_keys(
+        registry.QUERIES, _last_attested_round(root),
+        _git_last_change_times(root), root,
+    )
 
 
 def _successful_rows(root: str | None = None):

@@ -458,6 +458,10 @@ def test_near_dedup_pipeline_plan_shape(spark, sf_small):
         i for i, ln in enumerate(lines) if "Join" in ln and "band_id" in ln
     ]
     assert join_idx, "band equi-join not found in plan"
+    # the join consumes the aggregate, so it must render ABOVE it; if a
+    # rendering/ordering change ever flips that, the slice below would be
+    # empty and the md5 guard would pass vacuously — fail loudly instead
+    assert min(join_idx) < min(agg_idx), plan
     between = lines[min(join_idx) : min(agg_idx)]
     assert not any("md5" in ln for ln in between), (
         "band digest (md5 between the signature aggregate and the band "

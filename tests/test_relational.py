@@ -462,17 +462,89 @@ def test_rotation_reattests_stalest_keys_first():
     never-attested pool shrinks below the driver's prefix size, the
     prefix must fill with PREVIOUSLY-attested keys, least-recently-
     attested first, so a regression in an old operator re-enters the
-    harness within a bounded number of rounds instead of never."""
+    harness within a bounded number of rounds instead of never.
+    Round-7 amendment: CODE-STALE attested keys (implementing module
+    committed after their last attestation) jump that queue — they form
+    their own round-ordered segment ahead of the fresh-code segment."""
     seen = sparkflow._attested_keys()
     if not seen:
         return
     rounds = sparkflow._last_attested_round()
+    stale = sparkflow._code_stale_set()
     ks = list(sparkflow.QUERIES)
-    attested_tail = [k for k in ks if k in seen]
-    tail_rounds = [rounds[k] for k in attested_tail]
-    assert tail_rounds == sorted(tail_rounds), (
-        "attested keys not ordered least-recently-attested first"
+    stale_seg = [k for k in ks if k in stale]
+    fresh_seg = [k for k in ks if k in seen and k not in stale]
+    for seg in (stale_seg, fresh_seg):
+        seg_rounds = [rounds[k] for k in seg]
+        assert seg_rounds == sorted(seg_rounds), (
+            "attested keys not ordered least-recently-attested first "
+            "within their staleness segment"
+        )
+
+
+def test_rotation_fronts_code_stale_keys():
+    """Round-7 tripwire (r6 verdict 'What's wrong' #1): every attested
+    key whose implementing module has a commit newer than its last
+    attestation must precede every attested key whose code is unchanged
+    — so the next driver prefix provably re-attests what this round's
+    commits touched. Vacuously green when git yields no stale keys
+    (e.g. a fresh round boundary where the artifact commit is newest)."""
+    seen = sparkflow._attested_keys()
+    stale = sparkflow._code_stale_set()
+    if not seen or not stale:
+        return
+    pos = {k: i for i, k in enumerate(sparkflow.QUERIES)}
+    last_stale = max(pos[k] for k in stale)
+    fresh = [k for k in seen if k not in stale and k in pos]
+    if not fresh:
+        return
+    first_fresh = min(pos[k] for k in fresh)
+    assert last_stale < first_fresh, (
+        "code-stale key ordered after a fresh-code attested key: "
+        f"{[k for k in stale if pos[k] >= first_fresh]}"
     )
+
+
+def test_code_stale_rule_pinned():
+    """The staleness predicate itself, on synthetic inputs: stale iff
+    BOTH timestamps known AND module commit strictly newer than the
+    attesting artifact's commit; unknown module path / missing git data
+    degrade to not-stale (never an import-time error)."""
+    times = {
+        "CORRECTNESS_r04.json": 1000,
+        "CORRECTNESS_r06.json": 3000,
+        "sparkflow/llm/dedup.py": 2000,   # newer than r04, older than r06
+    }
+
+    def mk(module):
+        def fn(spark, sf_dir):  # pragma: no cover - never called
+            raise AssertionError
+        fn.__module__ = module
+        return fn
+
+    import sys
+    import types
+
+    root = "/fake"
+    sys.modules["_fake_dedup"] = types.SimpleNamespace(
+        __file__="/fake/sparkflow/llm/dedup.py")
+    sys.modules["_fake_missing"] = types.SimpleNamespace()  # no __file__
+    try:
+        queries = {
+            "stale_key": mk("_fake_dedup"),      # attested r4 < code commit
+            "fresh_key": mk("_fake_dedup"),      # attested r6 > code commit
+            "unattested": mk("_fake_dedup"),     # no round: ignored
+            "no_source": mk("_fake_missing"),    # unknown path: not stale
+            "no_artifact": mk("_fake_dedup"),    # round with no file time
+        }
+        last_round = {"stale_key": 4, "fresh_key": 6, "no_source": 4,
+                      "no_artifact": 5}
+        got = sparkflow._code_stale_keys(queries, last_round, times, root)
+        assert got == {"stale_key"}, got
+        # git unavailable -> empty times -> nothing stale
+        assert sparkflow._code_stale_keys(queries, last_round, {}, root) == set()
+    finally:
+        del sys.modules["_fake_dedup"], sys.modules["_fake_missing"]
 
 
 def test_round5_prefix_is_the_nine_never_attested_keys():
