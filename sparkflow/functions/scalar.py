@@ -362,7 +362,7 @@ def fn_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
                      / (CAST(FLOOR(value) AS BIGINT) - 50) END AS safe_div,
            CASE WHEN event_id = 0 THEN NULL ELSE
              CAST(9223372036854775807 AS BIGINT) // event_id END AS big_div
-    FROM events WHERE event_id < 1000
+    FROM events WHERE event_id % 10 = 0
     """,
 )
 def fn_try(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -372,7 +372,9 @@ def fn_try(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark's try_* family maps to TRY_CAST / NULLIF-guarded division in
     the oracle. try_divide(int, int) in Spark is double division; the
     floor-div variant uses `div` with an explicit zero guard."""
-    ev = table(spark, sf_dir, "events").filter(F.col("event_id") < 1000)
+    # modulo sample cap, not an absolute id range — survives key offsets
+    # on any integer-keyed corpus (tools/reseed.py differential)
+    ev = table(spark, sf_dir, "events").filter(F.col("event_id") % 10 == 0)
     denom = F.floor("value").cast("bigint") - 50
     return ev.select(
         "event_id",
@@ -401,7 +403,7 @@ def fn_try(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(json_extract(
              to_json(struct_pack(lang := lang, n_chars := n_chars)),
              '$.n_chars') AS BIGINT) AS n_chars_roundtrip
-    FROM documents WHERE doc_id < 100
+    FROM documents WHERE doc_id % 5 = 0
     """,
 )
 def fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -411,7 +413,7 @@ def fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
     of struct identity, so both engines emit identical JSON; fields are
     restricted to ints/strings (float rendering inside JSON is the one
     place engines could diverge)."""
-    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
     meta = F.struct(F.col("lang"), F.col("n_chars"))
     return d.select(
         "doc_id",
@@ -429,7 +431,7 @@ def fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id,
            CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value,
            'OBJECT<k: BIGINT>' AS var_schema
-    FROM events WHERE event_type = 'click' AND event_id < 2000
+    FROM events WHERE event_type = 'click' AND event_id % 5 = 0
     """,
 )
 def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -441,7 +443,7 @@ def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     layout later). The oracle checks the extracted value and pins the
     discovered schema literal."""
     ev = table(spark, sf_dir, "events").filter(
-        (F.col("event_type") == "click") & (F.col("event_id") < 2000)
+        (F.col("event_type") == "click") & (F.col("event_id") % 5 == 0)
     )
     v = F.parse_json("props")
     return ev.select(
@@ -457,7 +459,7 @@ def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id,
            CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_parsed,
            event_type AS type_parsed
-    FROM events WHERE event_type IN ('signup', 'error') AND event_id < 3000
+    FROM events WHERE event_type IN ('signup', 'error') AND event_id % 10 < 3
     """,
 )
 def fn_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -467,7 +469,7 @@ def fn_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
     round-trip. The oracle recomputes the same fields from the source
     columns, so any parse/extract defect breaks equality."""
     ev = table(spark, sf_dir, "events").filter(
-        F.col("event_type").isin("signup", "error") & (F.col("event_id") < 3000)
+        F.col("event_type").isin("signup", "error") & (F.col("event_id") % 10 < 3)
     )
     xml = F.concat(
         F.lit("<event><k>"),
@@ -492,7 +494,7 @@ def fn_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
              event_type || '-' || CAST(user_id AS VARCHAR),
              '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g')
              AS masked
-    FROM events WHERE event_id < 2000
+    FROM events WHERE event_id % 5 = 0
     """,
 )
 def fn_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -501,7 +503,7 @@ def fn_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
     redaction used for log shipping and PII-safe debugging. One JVM
     expression; the oracle reproduces it with three character-class
     replaces."""
-    ev = table(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    ev = table(spark, sf_dir, "events").filter(F.col("event_id") % 5 == 0)
     return ev.select(
         "event_id",
         F.mask(

@@ -174,20 +174,26 @@ _NEAR_CTES = f"""corpus AS ({CORPUS_SQL}),
       SELECT DISTINCT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM corpus
     ),
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id),
-    inter AS (
-      SELECT c.doc_a, c.doc_b, COUNT(*) AS ni
+    candf AS (
+      SELECT c.doc_a, c.doc_b, sa.n AS na, sb.n AS nb
       FROM cand c
+      JOIN sizes sa ON sa.doc_id = c.doc_a
+      JOIN sizes sb ON sb.doc_id = c.doc_b
+      WHERE CAST(LEAST(sa.n, sb.n) AS DOUBLE)
+              >= GREATEST(sa.n, sb.n) * {_JACCARD_MIN}
+    ),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, c.na, c.nb, COUNT(*) AS ni
+      FROM candf c
       JOIN toks ta ON ta.doc_id = c.doc_a
       JOIN toks tb ON tb.doc_id = c.doc_b AND tb.tok = ta.tok
-      GROUP BY c.doc_a, c.doc_b
+      GROUP BY c.doc_a, c.doc_b, c.na, c.nb
     ),
     pairs AS MATERIALIZED (
-      SELECT i.doc_a, i.doc_b,
-             ROUND(CAST(i.ni AS DOUBLE) / (sa.n + sb.n - i.ni), 6) AS jaccard
-      FROM inter i
-      JOIN sizes sa ON sa.doc_id = i.doc_a
-      JOIN sizes sb ON sb.doc_id = i.doc_b
-      WHERE CAST(i.ni AS DOUBLE) / (sa.n + sb.n - i.ni) >= {_JACCARD_MIN}
+      SELECT doc_a, doc_b,
+             ROUND(CAST(ni AS DOUBLE) / (na + nb - ni), 6) AS jaccard
+      FROM inter
+      WHERE CAST(ni AS DOUBLE) / (na + nb - ni) >= {_JACCARD_MIN}
     )"""
 # `pairs` is MATERIALIZED in the literal (not patched in per-oracle):
 # the clusters oracle references it from verts AND edges, and DuckDB's
@@ -195,9 +201,14 @@ _NEAR_CTES = f"""corpus AS ({CORPUS_SQL}),
 # reference; for the single-reference oracles it is a harmless hint.
 
 
-def _near_pairs_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _near_pairs_plan(
+    spark: SparkSession, sf_dir: str, length_prefilter: bool = True
+) -> DataFrame:
     """The MinHash+LSH+Jaccard pipeline as a lazy plan (see
-    llm_dedup_near for semantics).
+    llm_dedup_near for semantics). ``length_prefilter=False`` disables
+    the token-count candidate cut — ONLY for the A/B instrumentation in
+    tools/scale_ladder.py (the cut provably never changes the result;
+    the flag exists to measure how many verify-join pairs it removes).
 
     Deliberately LAZY end-to-end — measured at the 10x scale point,
     both materialization alternatives LOSE to the single-DAG lazy plan
@@ -317,22 +328,35 @@ def _near_pairs_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(F.split("text", " ")).alias("tok")
     ).distinct()
     sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    # LENGTH PREFILTER (the standard MinHash candidate cut, r5 verdict
+    # item 3): J(A,B) = ni/(na+nb-ni) <= min(na,nb)/max(na,nb), so any
+    # pair whose token-count ratio is below the threshold can NEVER
+    # verify — drop it BEFORE the token-explode verify join, which is
+    # the dominant stage at 10x/100x (each surviving pair costs
+    # O(na+nb) exploded join rows there, vs O(1) here). Joining sizes
+    # onto the slim candidate list also lets the final Jaccard reuse
+    # na/nb carried through the verify aggregation, deleting the two
+    # post-agg size joins the old plan needed. Provably identical pair
+    # set; the oracle applies the same bound in its candf CTE.
+    cand_sized = cand.join(sa, "doc_a").join(sb, "doc_b")
+    if length_prefilter:
+        cand_sized = cand_sized.filter(
+            F.least("na", "nb").cast("double")
+            >= F.greatest("na", "nb") * _JACCARD_MIN
+        )
     ta = toks.select(F.col("doc_id").alias("doc_a"), "tok")
     tb = toks.select(F.col("doc_id").alias("doc_b"), "tok")
     inter = (
-        cand.join(ta, "doc_a")
+        cand_sized.join(ta, "doc_a")
         .join(tb, ["doc_b", "tok"])
-        .groupBy("doc_a", "doc_b")
+        .groupBy("doc_a", "doc_b", "na", "nb")
         .agg(F.count(F.lit(1)).alias("ni"))
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     jac = F.col("ni").cast("double") / (F.col("na") + F.col("nb") - F.col("ni"))
-    return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .filter(jac >= _JACCARD_MIN)
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    return inter.filter(jac >= _JACCARD_MIN).select(
+        "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
     )
 
 

@@ -194,7 +194,14 @@ def llm_winnowing_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     problem the df cap models. Integer counts and one integer division
     — engine-exact; the only self-join key is the df-capped
     fingerprint, whose bucket size the cap bounds at any scale."""
-    fpset = _fpset(dup_corpus(spark, sf_dir))
+    return _overlap_positional(dup_corpus(spark, sf_dir))
+
+
+def _overlap_positional(docs: DataFrame) -> DataFrame:
+    """Core of llm_winnowing_overlap over an arbitrary (doc_id, text)
+    DataFrame — factored out so the shifted-copy pytest can run the
+    positional and aligned detectors on the same synthetic corpus."""
+    fpset = _fpset(docs)
     kept = (
         fpset.groupBy("fp")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -222,6 +229,113 @@ def llm_winnowing_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (ppm >= _WFP_MIN_PPM)
         )
         .select("doc_a", "doc_b", "shared_fps", ppm.alias("containment_ppm"))
+    )
+
+
+@register(
+    "llm_winnowing_overlap_aligned",
+    oracle=f"""
+    WITH corpus AS ({_DUP_CORPUS_SQL}),
+    {_fp_ctes("corpus")},
+    hx AS (
+      SELECT doc_id, fp // 4294967296 AS h, fp % 4294967296 AS pos
+      FROM fpset
+    ),
+    kept AS (
+      SELECT h FROM hx GROUP BY h HAVING COUNT(*) <= {_WFP_MAX_DF}
+    ),
+    indexed AS (
+      SELECT x.doc_id, x.h, x.pos FROM hx x JOIN kept k ON k.h = x.h
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM indexed GROUP BY doc_id),
+    votes AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.pos - b.pos AS shift, CAST(COUNT(*) AS BIGINT) AS aligned_fps
+      FROM indexed a JOIN indexed b ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id, a.pos - b.pos
+    ),
+    best AS (
+      SELECT doc_a, doc_b, shift, aligned_fps FROM votes
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b
+                                 ORDER BY aligned_fps DESC, shift) = 1
+    )
+    SELECT b.doc_a, b.doc_b, b.shift, b.aligned_fps,
+           b.aligned_fps * 1000000 // LEAST(sa.sz, sb.sz) AS containment_ppm
+    FROM best b
+    JOIN sizes sa ON sa.doc_id = b.doc_a
+    JOIN sizes sb ON sb.doc_id = b.doc_b
+    WHERE b.aligned_fps >= {_WFP_MIN_SHARED}
+      AND b.aligned_fps * 1000000 // LEAST(sa.sz, sb.sz) >= {_WFP_MIN_PPM}
+    """,
+)
+def llm_winnowing_overlap_aligned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHIFT-ROBUST overlap detection (r5 verdict item 4): bucket the
+    winnowing index on the gram HASH alone, then verify alignment per
+    document pair via the MODE of the position delta (pos_a − pos_b).
+    A copy moved by an inserted prefix/deleted paragraph shares ~no
+    packed (hash, position) fingerprints with its source — invisible to
+    llm_winnowing_overlap — but its surviving fingerprints all agree on
+    ONE shift, so the vote histogram has a spike where unrelated
+    documents' accidental hash collisions scatter uniformly. Reported:
+    the winning shift, its vote count, and vote containment vs the
+    smaller document's index size, under the positional op's thresholds.
+
+    Scale: the df cap here bounds total OCCURRENCES per hash (stricter
+    than a per-document cap): Σ bucket² ≤ cap · Σ bucket keeps the
+    hash-bucket self-join linear in the index at any corpus size — the
+    same absolute-cap argument as _WFP_MAX_DF's comment, which matters
+    MORE here because hash-only buckets absorb what positions used to
+    spread (this corpus's tiny gram vocabulary makes uncapped hash
+    buckets quadratic). The vote aggregation groups by (pair, shift) —
+    one shuffle — and the mode is a bounded window over each pair's
+    vote rows. Integer arithmetic throughout — engine-exact."""
+    return _overlap_aligned(dup_corpus(spark, sf_dir))
+
+
+def _overlap_aligned(docs: DataFrame) -> DataFrame:
+    """Core of llm_winnowing_overlap_aligned (see its docstring)."""
+    hx = _fpset(docs).select(
+        "doc_id",
+        F.expr("fp DIV 4294967296").alias("h"),
+        (F.col("fp") % 4294967296).alias("pos"),
+    )
+    kept = (
+        hx.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= _WFP_MAX_DF)
+        .select("h")
+    )
+    indexed = hx.join(kept, "h").select("doc_id", "h", "pos")
+    sizes = indexed.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = indexed.toDF("doc_a", "h", "pos_a")
+    b = indexed.toDF("doc_b", "h", "pos_b")
+    votes = (
+        a.join(b, "h")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b", (F.col("pos_a") - F.col("pos_b")).alias("shift"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("aligned_fps"))
+    )
+    w = Window.partitionBy("doc_a", "doc_b").orderBy(
+        F.col("aligned_fps").desc(), "shift"
+    )
+    best = (
+        votes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    sa = sizes.toDF("doc_a", "sa")
+    sb = sizes.toDF("doc_b", "sb")
+    ppm = F.expr("aligned_fps * 1000000 DIV least(sa, sb)")
+    return (
+        best.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(
+            (F.col("aligned_fps") >= _WFP_MIN_SHARED) & (ppm >= _WFP_MIN_PPM)
+        )
+        .select(
+            "doc_a", "doc_b", "shift", "aligned_fps",
+            ppm.alias("containment_ppm"),
+        )
     )
 
 

@@ -429,13 +429,13 @@ def agg_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_orderkey, l_linenumber, 'quantity' AS measure,
            CAST(l_quantity AS DOUBLE) AS value
-    FROM lineitem WHERE l_orderkey < 1000
+    FROM lineitem WHERE l_orderkey % 60 = 0
     UNION ALL
     SELECT l_orderkey, l_linenumber, 'extendedprice', l_extendedprice
-    FROM lineitem WHERE l_orderkey < 1000
+    FROM lineitem WHERE l_orderkey % 60 = 0
     UNION ALL
     SELECT l_orderkey, l_linenumber, 'discount', l_discount
-    FROM lineitem WHERE l_orderkey < 1000
+    FROM lineitem WHERE l_orderkey % 60 = 0
     """,
 )
 def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -444,7 +444,8 @@ def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection pass (an Expand node, no join or shuffle; the oracle's
     3-way UNION ALL re-scans per measure — at 100 TB the single-scan
     stack form reads a third of the bytes)."""
-    li = table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 1000)
+    # modulo sample cap (offset-robust), not an absolute id range
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 60 == 0)
     return li.select(
         "l_orderkey",
         "l_linenumber",
@@ -537,8 +538,9 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_decimal_sum",
     oracle="""
     SELECT l_returnflag,
-           SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price,
-           SUM(CAST(l_discount AS DECIMAL(18,2))) AS sum_disc,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc,
            CAST(COUNT(*) AS BIGINT) AS n_rows
     FROM lineitem GROUP BY l_returnflag
     """,
@@ -552,11 +554,22 @@ def agg_decimal_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     BigDecimal per row (~1.6× slower, measured) — this operator exists
     to cover the TYPE, and the trade-off is documented here. AVG is
     deliberately absent: decimal division scale rules differ between
-    engines (Spark yields decimal(…,6), DuckDB a double)."""
+    engines (Spark yields decimal(…,6), DuckDB a double). The FINAL cast
+    to double is presentation only: Spark renders a Decimal with its
+    declared scale ('909.30') while DuckDB's client hands back a float
+    ('909.3') — string-compared, the same exact sum mismatches whenever
+    it ends in a zero cent (caught by the reseeded differential; latent
+    on sf0.01, where no sum happened to). The aggregation itself is
+    still exact decimal in both engines; a 2-dp total converts to double
+    identically on both sides."""
     li = table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("sum_price"),
-        F.sum(F.col("l_discount").cast("decimal(18,2)")).alias("sum_disc"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_price"),
+        F.sum(F.col("l_discount").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_disc"),
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
     )
 

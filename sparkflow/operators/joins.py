@@ -32,6 +32,46 @@ from ..catalog import table
 from ..oracle_compat import dsum, rev_sum, sql_dsum, sql_rev_sum
 from ..registry import register
 
+# --- shared probe synthesis for the as-of / temporal family ------------
+# The two time domains in the testdata don't overlap (orders 1995-2001,
+# events 2024), so probes are synthesized from orders inside the events
+# range. The bounds are DERIVED FROM THE DATA — min/max event user and
+# min event ts — never literals: the round-7 reseeded-fixture
+# differential (tools/reseed.py) caught the previous `o_custkey < 150` /
+# `TIMESTAMP '2024-01-01'` constants as corpus-specialized (they select
+# nothing on an id-offset / time-shifted corpus). One 1-row aggregate,
+# broadcast-crossed into the probe scan: free at any scale.
+_SQL_EVENT_BOUNDS = (
+    "b AS (SELECT MIN(user_id) AS lo, MAX(user_id) AS hi,"
+    " MIN(ts) AS t0 FROM events)"
+)
+_SQL_PROBE_T = "b.t0 + INTERVAL (o_orderkey % 2592000) SECOND"
+_SQL_PROBE_FROM = "FROM orders, b WHERE o_custkey BETWEEN b.lo AND b.hi"
+
+
+def _event_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-row DF (lo, hi, t0): event user-id span + earliest event ts."""
+    return table(spark, sf_dir, "events").agg(
+        F.min("user_id").alias("lo"),
+        F.max("user_id").alias("hi"),
+        F.min("ts").alias("t0"),
+    )
+
+
+def _asof_probe_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders overlapping the event user space, with a deterministic
+    probe timestamp inside the events range: columns (k, t, o_orderkey)."""
+    return (
+        table(spark, sf_dir, "orders")
+        .crossJoin(F.broadcast(_event_bounds(spark, sf_dir)))
+        .filter((F.col("o_custkey") >= F.col("lo")) & (F.col("o_custkey") <= F.col("hi")))
+        .select(
+            F.col("o_custkey").alias("k"),
+            F.expr("t0 + make_interval(0,0,0,0,0,0, o_orderkey % 2592000)").alias("t"),
+            "o_orderkey",
+        )
+    )
+
 
 @register(
     "join_inner_equi",
@@ -170,16 +210,15 @@ def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "join_asof",
-    oracle="""
-    WITH tagged AS (
+    oracle=f"""
+    WITH {_SQL_EVENT_BOUNDS}, tagged AS (
       SELECT user_id AS k, CAST(ts AS TIMESTAMP) AS t, 0 AS side,
              event_id, NULL::BIGINT AS o_orderkey
       FROM events
       UNION ALL
-      SELECT o_custkey AS k,
-             TIMESTAMP '2024-01-01' + INTERVAL (o_orderkey % 2592000) SECOND AS t,
+      SELECT o_custkey AS k, {_SQL_PROBE_T} AS t,
              1 AS side, NULL::BIGINT AS event_id, o_orderkey
-      FROM orders WHERE o_custkey < 150
+      {_SQL_PROBE_FROM}
     ), w AS (
       SELECT *,
         LAST_VALUE(CASE WHEN side = 0 THEN event_id END IGNORE NULLS)
@@ -196,9 +235,10 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     for each probe row, the latest event of the same user at-or-before the
     probe time. Ties broken by max event_id.
 
-    Probe side is synthesized from orders (deterministic timestamp inside
-    the events range) because the two time domains in the testdata don't
-    overlap. Implementation: union-tag + `last(..., ignorenulls)` over one
+    Probe side is synthesized from orders via `_asof_probe_base`
+    (data-derived user span + timestamp anchor, no corpus literals)
+    because the two time domains in the testdata don't overlap.
+    Implementation: union-tag + `last(..., ignorenulls)` over one
     ordered window — a single shuffle on the key, linear scan per key, no
     pairwise blow-up. Window order (t, side, event_id) puts the latest
     event (tie: max event_id) immediately before each probe row, so the
@@ -211,18 +251,12 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.lit(None).cast("long").alias("o_orderkey"),
     )
-    probes = (
-        table(spark, sf_dir, "orders")
-        .filter(F.col("o_custkey") < 150)
-        .select(
-            F.col("o_custkey").alias("k"),
-            F.expr(
-                "timestamp'2024-01-01' + make_interval(0,0,0,0,0,0, o_orderkey % 2592000)"
-            ).alias("t"),
-            F.lit(1).alias("side"),
-            F.lit(None).cast("long").alias("event_id"),
-            "o_orderkey",
-        )
+    probes = _asof_probe_base(spark, sf_dir).select(
+        "k",
+        "t",
+        F.lit(1).alias("side"),
+        F.lit(None).cast("long").alias("event_id"),
+        "o_orderkey",
     )
     tagged = events.unionByName(probes)
     w = (
@@ -396,7 +430,13 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     a pytest run beside a harness run) would otherwise both see "not
     there yet" and race mode('overwrite') writes onto one directory,
     corrupting whichever scan is in flight."""
-    sfkey = sf_dir.rstrip("/").rsplit("sf", 1)[-1].replace(".", "_")
+    # identifier-safe key from the sf_dir BASENAME — the previous
+    # rsplit("sf", ...) assumed the fixture naming convention and
+    # produced an unparseable table name for any other directory
+    # (caught by tools/reseed.py on /tmp/sparkflow_reseed)
+    import re
+
+    sfkey = re.sub(r"[^A-Za-z0-9_]", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
     app_id = spark.sparkContext.applicationId
     tables = {}
     for tname, key in (("lineitem", "l_orderkey"), ("orders", "o_orderkey")):
@@ -541,8 +581,8 @@ def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "join_temporal_versioned",
-    oracle="""
-    WITH versions AS (
+    oracle=f"""
+    WITH {_SQL_EVENT_BOUNDS}, versions AS (
       SELECT user_id, value AS dim_value, ts AS valid_from,
              LEAD(ts) OVER (PARTITION BY user_id
                             ORDER BY ts, event_id) AS valid_to,
@@ -553,9 +593,8 @@ def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     probes AS (
       SELECT o_orderkey, o_custkey AS user_id,
-             TIMESTAMP '2024-01-01'
-               + INTERVAL (o_orderkey % 2592000) SECOND AS probe_ts
-      FROM orders WHERE o_custkey < 150
+             {_SQL_PROBE_T} AS probe_ts
+      {_SQL_PROBE_FROM}
     )
     SELECT p.o_orderkey, p.user_id, v.event_id AS version_event_id,
            v.dim_value
@@ -594,16 +633,10 @@ def join_temporal_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id",
         )
     )
-    probes = (
-        table(spark, sf_dir, "orders")
-        .filter(F.col("o_custkey") < 150)
-        .select(
-            "o_orderkey",
-            F.col("o_custkey").alias("user_id"),
-            F.expr(
-                "timestamp'2024-01-01' + make_interval(0,0,0,0,0,0, o_orderkey % 2592000)"
-            ).alias("probe_ts"),
-        )
+    probes = _asof_probe_base(spark, sf_dir).select(
+        "o_orderkey",
+        F.col("k").alias("user_id"),
+        F.col("t").alias("probe_ts"),
     )
     cond = (
         (probes.user_id == versions.user_id)
@@ -620,16 +653,15 @@ def join_temporal_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "join_asof_forward",
-    oracle="""
-    WITH tagged AS (
+    oracle=f"""
+    WITH {_SQL_EVENT_BOUNDS}, tagged AS (
       SELECT user_id AS k, CAST(ts AS TIMESTAMP) AS t, 1 AS side,
              event_id, NULL::BIGINT AS o_orderkey
       FROM events
       UNION ALL
-      SELECT o_custkey AS k,
-             TIMESTAMP '2024-01-01' + INTERVAL (o_orderkey % 2592000) SECOND AS t,
+      SELECT o_custkey AS k, {_SQL_PROBE_T} AS t,
              0 AS side, NULL::BIGINT AS event_id, o_orderkey
-      FROM orders WHERE o_custkey < 150
+      {_SQL_PROBE_FROM}
     ), w AS (
       SELECT *,
         FIRST_VALUE(CASE WHEN side = 1 THEN event_id END IGNORE NULLS)
@@ -657,18 +689,12 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.lit(None).cast("long").alias("o_orderkey"),
     )
-    probes = (
-        table(spark, sf_dir, "orders")
-        .filter(F.col("o_custkey") < 150)
-        .select(
-            F.col("o_custkey").alias("k"),
-            F.expr(
-                "timestamp'2024-01-01' + make_interval(0,0,0,0,0,0, o_orderkey % 2592000)"
-            ).alias("t"),
-            F.lit(0).alias("side"),
-            F.lit(None).cast("long").alias("event_id"),
-            "o_orderkey",
-        )
+    probes = _asof_probe_base(spark, sf_dir).select(
+        "k",
+        "t",
+        F.lit(0).alias("side"),
+        F.lit(None).cast("long").alias("event_id"),
+        "o_orderkey",
     )
     tagged = events.unionByName(probes)
     w = (
@@ -891,16 +917,15 @@ def join_broadcast_nested_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "join_asof_nearest",
-    oracle="""
-    WITH tagged AS (
+    oracle=f"""
+    WITH {_SQL_EVENT_BOUNDS}, tagged AS (
       SELECT user_id AS k, CAST(ts AS TIMESTAMP) AS t, 0 AS side,
              event_id, NULL::BIGINT AS o_orderkey
       FROM events
       UNION ALL
-      SELECT o_custkey AS k,
-             TIMESTAMP '2024-01-01' + INTERVAL (o_orderkey % 2592000) SECOND AS t,
+      SELECT o_custkey AS k, {_SQL_PROBE_T} AS t,
              1 AS side, NULL::BIGINT AS event_id, o_orderkey
-      FROM orders WHERE o_custkey < 150
+      {_SQL_PROBE_FROM}
     ), w AS (
       SELECT *,
         LAST_VALUE(CASE WHEN side = 0 THEN event_id END IGNORE NULLS)
@@ -954,18 +979,12 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.lit(None).cast("long").alias("o_orderkey"),
     )
-    probes = (
-        table(spark, sf_dir, "orders")
-        .filter(F.col("o_custkey") < 150)
-        .select(
-            F.col("o_custkey").alias("k"),
-            F.expr(
-                "timestamp'2024-01-01' + make_interval(0,0,0,0,0,0, o_orderkey % 2592000)"
-            ).alias("t"),
-            F.lit(1).alias("side"),
-            F.lit(None).cast("long").alias("event_id"),
-            "o_orderkey",
-        )
+    probes = _asof_probe_base(spark, sf_dir).select(
+        "k",
+        "t",
+        F.lit(1).alias("side"),
+        F.lit(None).cast("long").alias("event_id"),
+        "o_orderkey",
     )
     tagged = events.unionByName(probes)
     order = [F.col("t"), F.col("side"), F.col("event_id")]

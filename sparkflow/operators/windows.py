@@ -306,7 +306,7 @@ def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
            last_value(o_orderkey)  OVER w AS last_key,
            nth_value(o_orderkey, 2) OVER w AS second_key
     FROM orders
-    WHERE o_custkey < 200
+    WHERE o_custkey % 8 = 0
     WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
     """,
@@ -317,8 +317,10 @@ def win_value_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNBOUNDED..UNBOUNDED: last_value under the default frame (..CURRENT
     ROW) is a classic SQL trap that silently returns the current row —
     both engines get the full-frame semantics here, and the (date, key)
-    order is total so every value is deterministic."""
-    o = table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 200)
+    order is total so every value is deterministic. The ~12% sample cap
+    is a modulo cut — offset-robust on any integer-keyed corpus
+    (tools/reseed.py differential)."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_custkey") % 8 == 0)
     w = (
         Window.partitionBy("o_custkey")
         .orderBy("o_orderdate", "o_orderkey")

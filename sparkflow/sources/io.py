@@ -228,10 +228,10 @@ def sink_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scan_schema_evolution",
     oracle="""
     SELECT event_id, user_id, NULL::DOUBLE AS value
-    FROM events WHERE event_id < 2000
+    FROM events WHERE event_id % 5 = 0
     UNION ALL
     SELECT event_id, NULL::BIGINT AS user_id, value
-    FROM events WHERE event_id >= 2000 AND event_id < 4000
+    FROM events WHERE event_id % 5 = 1
     """,
 )
 def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -242,17 +242,20 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     a long-lived 100 TB dataset: producers evolve; readers must unify.
     mergeSchema reconciles footers at planning time (cost scales with
     file count, not data — at very large file counts you pin the schema
-    in a catalog instead). Oracle: explicit null-extended UNION ALL."""
+    in a catalog instead). Oracle: explicit null-extended UNION ALL.
+    The two producer slices are MODULO cuts — disjoint ~20% samples that
+    survive arbitrary key offsets (the previous absolute id ranges
+    staged ZERO rows on the reseeded corpus, tools/reseed.py)."""
     sfkey = sf_dir.rstrip("/").rsplit("/", 1)[-1]
     base = os.path.join(
         _TMP, "evolve", spark.sparkContext.applicationId, f"events_{sfkey}"
     )
     if not os.path.isdir(base):
         ev = table(spark, sf_dir, "events")
-        ev.filter(F.col("event_id") < 2000).select("event_id", "user_id").write.mode(
+        ev.filter(F.col("event_id") % 5 == 0).select("event_id", "user_id").write.mode(
             "overwrite"
         ).parquet(os.path.join(base, "v1"))
-        ev.filter((F.col("event_id") >= 2000) & (F.col("event_id") < 4000)).select(
+        ev.filter(F.col("event_id") % 5 == 1).select(
             "event_id", "value"
         ).write.mode("overwrite").parquet(os.path.join(base, "v2"))
     return (
@@ -270,7 +273,7 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CASE WHEN event_id % 97 <> 0
                          THEN CAST(json_extract_string(props, '$.k') AS BIGINT)
                     END) AS BIGINT) AS k_total
-    FROM events WHERE event_id < 5000
+    FROM events WHERE event_id % 2 = 0
     """,
 )
 def scan_json_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -282,7 +285,11 @@ def scan_json_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
     byte of a crawl; PERMISSIVE + corrupt-row routing is the production
     posture (the side-output pattern at the parser level). The staging
     export corrupts deterministically (event_id % 97), so the oracle
-    recomputes expectations from the clean table."""
+    recomputes expectations from the clean table. The ~50% staging cap
+    is a modulo cut (offset-robust): the previous `event_id < 5000`
+    staged an EMPTY feed on the reseeded corpus while still matching its
+    mirrored oracle — the degenerate-but-green case tools/reseed.py
+    exists to flush."""
     sfkey = sf_dir.rstrip("/").rsplit("/", 1)[-1]
     out = os.path.join(
         _TMP, "jsonl", spark.sparkContext.applicationId, f"events_{sfkey}"
@@ -291,7 +298,7 @@ def scan_json_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.makedirs(out, exist_ok=True)
         ev = (
             table(spark, sf_dir, "events")
-            .filter(F.col("event_id") < 5000)
+            .filter(F.col("event_id") % 2 == 0)
             .select("event_id", "props")
             .toPandas()
             .sort_values("event_id")

@@ -568,6 +568,45 @@ def test_winnowing_overlap_finds_synthesized_copies(spark, sf_small):
             assert pairs[p] >= 600000
 
 
+def test_winnowing_aligned_catches_shifted_copy_positional_misses(spark):
+    """The r7 shift-robust variant's reason to exist: a copy displaced
+    by an inserted prefix shares ~no packed (hash, position)
+    fingerprints with its source — the positional detector must MISS the
+    pair — while the hash-bucketed detector must report it with the
+    exact displacement as the winning shift and high containment.
+    An unrelated document must pair with neither."""
+    from sparkflow.llm.winnow import _overlap_aligned, _overlap_positional
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while carrying "
+        "seventeen glowing lanterns through the midnight forest toward "
+        "a distant harbor full of sleeping boats"
+    )
+    prefix = "qqqq wwww eeee "  # 15 chars -> every copied gram shifts +15
+    unrelated = (
+        "completely different subject matter entirely about volcanic "
+        "geology and the slow crystallization of basalt columns under "
+        "pressure in ancient iceland formations"
+    )
+    docs = spark.createDataFrame(
+        [(1, base), (2, prefix + base), (3, unrelated)],
+        "doc_id LONG, text STRING",
+    )
+    pos = _overlap_positional(docs).toPandas()
+    ali = _overlap_aligned(docs).toPandas()
+    assert (1, 2) not in set(zip(pos["doc_a"], pos["doc_b"])), (
+        "positional detector unexpectedly caught the shifted copy — "
+        "the aligned variant's premise needs re-checking"
+    )
+    rows = ali[(ali["doc_a"] == 1) & (ali["doc_b"] == 2)]
+    assert len(rows) == 1, ali.to_dict("records")
+    # doc_a=1 is the un-prefixed original: pos_a - pos_b = -len(prefix)
+    assert int(rows["shift"].iloc[0]) == -len(prefix)
+    assert int(rows["containment_ppm"].iloc[0]) >= 600_000
+    assert not ((ali["doc_a"] == 1) & (ali["doc_b"] == 3)).any()
+    assert not ((ali["doc_a"] == 2) & (ali["doc_b"] == 3)).any()
+
+
 def test_vocab_growth_is_monotone_and_total_matches(spark, sf_small):
     """Distinct-token counts must be non-decreasing across quartiles
     within a source, and the Q4 row must equal an independently computed

@@ -120,17 +120,32 @@ def test_knn_scan_path_stays_jvm_side(spark, sf_small):
 
 def test_asof_join_single_shuffle(spark, sf_small):
     """The as-of join's union+window formulation must cost exactly ONE
-    exchange (the key partition for the window) — the property that
-    makes it viable at 100 TB (SCALE.md)."""
-    import re
-
+    data exchange (the key partition for the window) — the property that
+    makes it viable at 100 TB (SCALE.md). Since round 7 the probe side
+    derives its bounds from a 1-row aggregate of events (corpus-agnostic
+    probe synthesis, tools/reseed.py); that scalar costs one
+    SinglePartition exchange of ONE ROW PER MAP TASK plus a broadcast —
+    constant-sized at any corpus, so it is allowed here, but every
+    row-carrying exchange beyond the window's remains a regression."""
     df = sparkflow.QUERIES["join_asof"](spark, sf_small)
     plan = formatted_plan(df)
-    # count Exchange NODES (the formatted text mentions each node twice:
-    # once in the tree, once in the detail section)
-    n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
-    assert n_exchanges == 1, plan[:600]
+    _assert_one_data_exchange(plan)
     assert "Window" in plan
+
+
+def _assert_one_data_exchange(plan: str) -> None:
+    """Exactly one row-carrying (hashpartitioning) exchange; any other
+    Exchange node must be a SinglePartition scalar (one row per map
+    task — the probe-bounds aggregate). Partitioning renders on each
+    exchange's `Arguments:` detail line; `(n) Exchange` appears once per
+    node in the detail section (the tree renders `Exchange (n)`)."""
+    import re
+
+    n_hash = len(re.findall(r"Arguments: hashpartitioning", plan))
+    assert n_hash == 1, plan[:800]
+    n_single = len(re.findall(r"Arguments: SinglePartition", plan))
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchanges == n_hash + n_single, plan[:800]
 
 
 def test_range_binned_join_is_hash_not_nested_loop(spark, sf_small):
@@ -317,13 +332,12 @@ def test_scalar_subquery_decorrelates_to_aggregate_join(spark, sf_small):
 
 def test_asof_nearest_single_shuffle(spark, sf_small):
     """Both directional candidates must come from ONE key exchange (two
-    window frames over one sort), like the one-directional as-of."""
-    import re
-
+    window frames over one sort), like the one-directional as-of. The
+    constant SinglePartition probe-bounds scalar is allowed (see
+    _assert_one_data_exchange)."""
     df = sparkflow.QUERIES["join_asof_nearest"](spark, sf_small)
     plan = formatted_plan(df)
-    n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
-    assert n_exchanges == 1, plan[:800]
+    _assert_one_data_exchange(plan)
     assert "Window" in plan
 
 
@@ -478,3 +492,15 @@ def test_winnowing_overlap_join_is_df_capped_hash_join(spark, sf_small):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_winnowing_aligned_join_is_df_capped_hash_join(spark, sf_small):
+    """Same bound for the shift-robust variant: the only pairing join is
+    the hash-bucket equi-join on `h` (df-capped by occurrence count, so
+    Σ bucket² stays linear in the index), and the per-pair mode pick is
+    a Window — never a second self-join, nested loop, or cartesian."""
+    df = sparkflow.QUERIES["llm_winnowing_overlap_aligned"](spark, sf_small)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "Window" in plan, plan

@@ -180,26 +180,28 @@ def test_asof_join_invariants(spark, sf_small):
     from sparkflow.catalog import table
 
     got = sparkflow.QUERIES["join_asof"](spark, sf_small).toPandas()
+    # probe synthesis is data-derived since r7 (tools/reseed.py): orders
+    # inside the event user span, anchored at the earliest event ts —
+    # recompute the same bounds here
+    ev = table(spark, sf_small, "events").toPandas()[["event_id", "user_id", "ts"]]
+    ev["ts"] = pd.to_datetime(ev["ts"])
+    lo, hi, t0 = ev["user_id"].min(), ev["user_id"].max(), ev["ts"].min()
     probes = (
         table(spark, sf_small, "orders")
-        .filter("o_custkey < 150")
+        .filter(f"o_custkey BETWEEN {lo} AND {hi}")
         .count()
     )
     assert len(got) == probes
     assert got["o_orderkey"].is_unique
     # verify at-or-before + latest against a pandas recomputation
-    ev = table(spark, sf_small, "events").toPandas()[["event_id", "user_id", "ts"]]
-    ev["ts"] = pd.to_datetime(ev["ts"])
     sample = got.dropna(subset=["asof_event_id"]).head(50)
     ev_by_id = ev.set_index("event_id")
     for _, row in sample.iterrows():
         matched = ev_by_id.loc[row["asof_event_id"]]
         assert matched["user_id"] == row["user_id"]
         later = ev[(ev.user_id == row.user_id) & (ev.ts > matched["ts"])]
-        # probe time = 2024-01-01 + (o_orderkey % 2592000) s
-        probe_t = pd.Timestamp("2024-01-01") + pd.Timedelta(
-            seconds=int(row["o_orderkey"]) % 2592000
-        )
+        # probe time = min(events.ts) + (o_orderkey % 2592000) s
+        probe_t = t0 + pd.Timedelta(seconds=int(row["o_orderkey"]) % 2592000)
         assert matched["ts"] <= probe_t
         assert (later.ts > probe_t).all() or later.empty
 
@@ -405,14 +407,13 @@ def test_asof_forward_backward_bracket_probe(spark, sf_small):
         .toPandas()
         .set_index("event_id")["t_us"]
     )
+    t0_us = int(ev.min())  # the data-derived probe anchor (r7)
     m = back.merge(fwd, on=["o_orderkey", "user_id"]).dropna(
         subset=["asof_event_id", "next_event_id"]
     )
     assert len(m) > 0
     for r in m.itertuples():
-        probe_us = (
-            pd.Timestamp("2024-01-01") + pd.Timedelta(seconds=int(r.o_orderkey) % 2592000)
-        ).value // 1000
+        probe_us = t0_us + (int(r.o_orderkey) % 2592000) * 1_000_000
         assert ev[r.asof_event_id] <= probe_us <= ev[r.next_event_id]
 
 

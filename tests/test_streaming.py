@@ -899,3 +899,175 @@ def test_custom_writer_append_and_overwrite_semantics(spark, sf_small, tmp_path)
     w.mode("overwrite").save()
     back2 = spark.read.format("docmeta").option("path", out).load()
     assert back2.count() == 100  # overwrite replaced everything
+
+
+def _run_counter_ckpt(spark, src_dir, ckpt, sink, schema, evolve=False,
+                      state_schema="cnt BIGINT, cents BIGINT",
+                      state_fn=None):
+    """Checkpointed applyInPandasWithState counter over a file stream,
+    foreachBatch parquet sink (one dir per batch id). `evolve=True`
+    appends BENIGN stateless ops downstream of the stateful operator
+    (a no-op filter and an output-column rename) — the plan shape a
+    rolling upgrade produces; state_schema/state_fn overrides model an
+    INCOMPATIBLE upgrade (changed state layout)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from sparkflow.catalog import normalize_ts
+    from sparkflow.streaming.stateful import _counter_fn
+
+    counted = (
+        normalize_ts(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            state_fn or _counter_fn,
+            outputStructType=(
+                "event_id BIGINT, running_count BIGINT, running_sum DOUBLE"
+            ),
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=__import__(
+                "pyspark.sql.streaming.state", fromlist=["GroupStateTimeout"]
+            ).GroupStateTimeout.NoTimeout,
+        )
+    )
+    if evolve:
+        counted = counted.filter(F.col("running_count") >= 1).withColumnRenamed(
+            "running_sum", "running_total"
+        )
+
+    def write_batch(bdf, bid):
+        out = bdf
+        if "running_total" in out.columns:  # normalize for the sink union
+            out = out.withColumnRenamed("running_total", "running_sum")
+        out.write.mode("overwrite").parquet(os.path.join(sink, f"batch_{bid}"))
+
+    q = (
+        counted.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def test_checkpoint_resumes_across_benign_plan_evolution(
+    spark, sf_small, tmp_path_factory
+):
+    """Checkpoint compatibility under operator evolution (r5 verdict
+    item 6, benign half): run the applyInPandasWithState counter over
+    half the replay, stop, then resume from the SAME checkpoint with an
+    EVOLVED plan — an added stateless filter and a renamed output column
+    downstream of the stateful operator (state schema unchanged). The
+    resumed query must pick up exactly where the old one stopped and the
+    combined output must equal the oracle-checked batch analog row for
+    row: state carried across the upgrade, nothing reprocessed, nothing
+    lost."""
+    import os
+    import shutil
+
+    base = str(tmp_path_factory.mktemp("evolve_ckpt"))
+    full = stateful.split_events_to_files(spark, sf_small, base, n_files=4)
+    half_dir = os.path.join(base, "half")
+    os.makedirs(half_dir)
+    files = sorted(os.listdir(full))
+    for i, f in enumerate(files[:2]):
+        shutil.copy(os.path.join(full, f), os.path.join(half_dir, f))
+        # mtimes must strictly INCREASE across files: the file source
+        # replays in modification-time order and the counter is
+        # order-sensitive (equal mtimes replayed file 1 before file 0)
+        os.utime(os.path.join(half_dir, f), (1_700_000_000 + i, 1_700_000_000 + i))
+    ckpt, sink = os.path.join(base, "ckpt"), os.path.join(base, "sink")
+    schema = spark.read.parquet(full).schema
+
+    _run_counter_ckpt(spark, half_dir, ckpt, sink, schema, evolve=False)
+    for i, f in enumerate(files[2:]):
+        dst = os.path.join(half_dir, f)
+        shutil.copy(os.path.join(full, f), dst)
+        os.utime(dst, (1_700_000_100 + i, 1_700_000_100 + i))
+    _run_counter_ckpt(spark, half_dir, ckpt, sink, schema, evolve=True)
+
+    got = (
+        spark.read.parquet(os.path.join(sink, "batch_*"))
+        .toPandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    want = (
+        sparkflow.QUERIES["stream_stateful_counter"](spark, sf_small)
+        .toPandas()[["event_id", "running_count", "running_sum"]]
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[["event_id", "running_count", "running_sum"]], want,
+        check_dtype=False,
+    )
+
+
+def test_checkpoint_rejects_incompatible_state_schema(
+    spark, sf_small, tmp_path_factory
+):
+    """Incompatible half of r5 verdict item 6: resuming the SAME
+    checkpoint with a WIDENED state struct (an added field) must fail
+    loudly at restart — silently reinterpreting persisted state bytes
+    under a new layout would corrupt every running aggregate. Pins that
+    Spark's state-schema validation actually guards our upgrade path."""
+    import os
+    import shutil
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    base = str(tmp_path_factory.mktemp("incompat_ckpt"))
+    full = stateful.split_events_to_files(spark, sf_small, base, n_files=4)
+    half_dir = os.path.join(base, "half")
+    os.makedirs(half_dir)
+    files = sorted(os.listdir(full))
+    for i, f in enumerate(files[:2]):
+        shutil.copy(os.path.join(full, f), os.path.join(half_dir, f))
+        # mtimes must strictly INCREASE across files: the file source
+        # replays in modification-time order and the counter is
+        # order-sensitive (equal mtimes replayed file 1 before file 0)
+        os.utime(os.path.join(half_dir, f), (1_700_000_000 + i, 1_700_000_000 + i))
+    ckpt, sink = os.path.join(base, "ckpt"), os.path.join(base, "sink")
+    schema = spark.read.parquet(full).schema
+
+    _run_counter_ckpt(spark, half_dir, ckpt, sink, schema)
+
+    def fn_v2(key, pdf_iter, state):
+        cnt, cents0, _hi = state.get if state.exists else (0, 0, 0)
+        chunks = [p for p in pdf_iter if len(p)]
+        if not chunks:
+            return
+        pdf = pd.concat(chunks).sort_values("event_id")
+        counts = cnt + pd.RangeIndex(1, len(pdf) + 1).to_numpy()
+        cents = (
+            cents0
+            + (pdf["value"].to_numpy() * 100).round().astype("int64").cumsum()
+        )
+        state.update((int(counts[-1]), int(cents[-1]), int(pdf["event_id"].max())))
+        yield pd.DataFrame(
+            {
+                "event_id": pdf["event_id"].to_numpy(),
+                "running_count": counts,
+                "running_sum": cents / 100.0,
+            }
+        )
+
+    for i, f in enumerate(files[2:]):
+        dst = os.path.join(half_dir, f)
+        shutil.copy(os.path.join(full, f), dst)
+        os.utime(dst, (1_700_000_100 + i, 1_700_000_100 + i))
+    with pytest.raises(StreamingQueryException) as ei:
+        _run_counter_ckpt(
+            spark, half_dir, ckpt, sink, schema,
+            state_schema="cnt BIGINT, cents BIGINT, max_id BIGINT",
+            state_fn=fn_v2,
+        )
+    msg = str(ei.value).lower()
+    assert "state" in msg and ("schema" in msg or "incompatible" in msg), msg

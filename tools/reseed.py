@@ -1,0 +1,219 @@
+"""Reseeded-fixture differential (round-5 verdict item 1, carried to r7).
+
+The r5 semdedup id-offset bug proved a class: constants calibrated to
+the sf0.01 corpus SHAPE (dense 0-based ids, 10k events, 500 docs) pass
+the driver differential forever because Spark and the oracle read the
+same fixture. This tool builds a SHAPE-SHIFTED twin of sf0.01 and
+re-runs the full differential against it:
+
+- every entity key gets a large per-entity offset (consistent across
+  all FK columns, so join fan-outs are preserved: events.user_id shares
+  the customer stride because join_stream_static and the stateful
+  enrich join it to c_custkey);
+- ~8-9% of each leaf table (lineitem / events / documents+embeddings,
+  the last two dropped in lockstep to keep doc_id<->vec_id 1:1) is
+  deterministically dropped, so row-count-calibrated constants shift;
+- all timestamps move (+37 d orders/lineitem, +11 d 7 h events), so
+  date-literal cuts calibrated to the fixture's calendar shift.
+
+Content (text, embeddings, categorical domains) is byte-identical on
+the kept rows — deliberately. Query PARAMETERS (keyword='join',
+mktsegment literals, decontamination benchmark grams) are legitimate
+constants; perturbing content would zero their results and flood the
+degeneracy check with false positives, while a content-calibrated
+constant that is mirrored in the oracle would produce matching (hence
+undetectable) output on ANY corpus. What IS detectable — and what this
+tool flags — is:
+
+  1. any non-EXACT grade on the shifted twin (tools/check.py rules);
+  2. DEGENERACY: a query returning 0 rows on the twin while its latest
+     driver attestation at sf0.01 had > 0 rows (a cut like
+     `event_id < 5000` that mirrors in the oracle and therefore still
+     "matches" while silently selecting nothing).
+
+Usage:
+  python tools/reseed.py gen    # write /tmp/sparkflow_reseed
+  python tools/reseed.py run    # full differential + degeneracy flags
+  python tools/reseed.py run q1 q2 ...   # subset
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SRC = "/root/testdata/sf0.01"
+DST = "/tmp/sparkflow_reseed"
+
+# entity -> (stride, [(table, column), ...]) — one offset per entity,
+# applied to every column that carries it (FK consistency)
+_ENTITIES = {
+    "cust": (7_000_003, [("customer", "c_custkey"), ("orders", "o_custkey"),
+                         ("events", "user_id")]),
+    "order": (9_000_001, [("orders", "o_orderkey"), ("lineitem", "l_orderkey")]),
+    "part": (8_000_021, [("part", "p_partkey"), ("lineitem", "l_partkey")]),
+    "supp": (6_000_013, [("supplier", "s_suppkey"), ("lineitem", "l_suppkey")]),
+    "event": (500_009, [("events", "event_id")]),
+    # documents.doc_id <-> embeddings.vec_id align 1:1 (FIXTURES.md):
+    # one shared stride keeps the multimodal join non-degenerate
+    "doc": (71_993, [("documents", "doc_id"), ("embeddings", "vec_id")]),
+}
+_COPY_AS_IS = ["region", "nation"]
+_TIME_SHIFTS = {  # (table, column) -> pandas Timedelta
+    ("orders", "o_orderdate"): pd.Timedelta(days=37),
+    ("lineitem", "l_shipdate"): pd.Timedelta(days=37),
+    ("events", "ts"): pd.Timedelta(days=11, hours=7),
+}
+
+
+def _drop_mask(tbl: str, df: pd.DataFrame):
+    """Deterministic ~8-9% drop on ORIGINAL (pre-offset) keys; leaf
+    tables only, so referential integrity survives. Returns a keep mask."""
+    if tbl == "lineitem":
+        return (df["l_orderkey"] * 7 + df["l_linenumber"]) % 11 != 3
+    if tbl == "events":
+        return df["event_id"] % 13 != 5
+    if tbl == "documents":
+        return df["doc_id"] % 17 != 3
+    if tbl == "embeddings":
+        return df["vec_id"] % 17 != 3  # lockstep with documents
+    return None
+
+
+def gen() -> None:
+    os.makedirs(DST, exist_ok=True)
+    offsets: dict[tuple[str, str], int] = {}
+    for stride, cols in _ENTITIES.values():
+        for tbl_col in cols:
+            offsets[tbl_col] = stride
+    tables = _COPY_AS_IS + sorted({t for _, cols in _ENTITIES.values() for t, _ in cols})
+    for tbl in tables:
+        src = pq.read_table(f"{SRC}/{tbl}.parquet")
+        if tbl in _COPY_AS_IS:
+            pq.write_table(src, f"{DST}/{tbl}.parquet")
+            print(f"{tbl}: copied")
+            continue
+        df = src.to_pandas()
+        n0 = len(df)
+        mask = _drop_mask(tbl, df)
+        if mask is not None:
+            df = df[mask].reset_index(drop=True)
+        for (t, col), stride in offsets.items():
+            if t == tbl:
+                df[col] = df[col] + stride
+        for (t, col), delta in _TIME_SHIFTS.items():
+            if t == tbl:
+                df[col] = df[col] + delta
+        pq.write_table(
+            pa.Table.from_pandas(df, schema=src.schema, preserve_index=False),
+            f"{DST}/{tbl}.parquet",
+        )
+        print(f"{tbl}: {n0} -> {len(df)} rows")
+
+
+def _latest_attested_rows() -> dict[str, int]:
+    """key -> spark_rows from its most recent successful driver
+    attestation (any committed CORRECTNESS_r*.json) — the sf0.01
+    baseline for the degeneracy check, no re-run needed."""
+    import glob
+    import json
+    import re
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    best: dict[str, tuple[int, int]] = {}
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        rnd = int(re.search(r"r(\d+)", os.path.basename(path)).group(1))
+        try:
+            data = json.load(open(path))
+        except (OSError, ValueError):
+            continue
+        for key, row in data.items():
+            if not isinstance(row, dict) or row.get("spark_rows") is None:
+                continue
+            ok = row.get("hash_match") is True or row.get("err") == "no_oracle"
+            if ok and rnd >= best.get(key, (-1, 0))[0]:
+                best[key] = (rnd, int(row["spark_rows"]))
+    return {k: v for k, (_, v) in best.items()}
+
+
+def run() -> None:
+    import time
+    import traceback
+
+    import duckdb
+
+    import sparkflow
+    from sparkflow.session import get_spark
+    from tools.check import compare
+
+    names = [a for a in sys.argv[2:]] or sorted(sparkflow.QUERIES)
+    baseline_rows = _latest_attested_rows()
+
+    spark = get_spark("reseed-check")
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+    for t in sparkflow.catalog.TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{DST}/{t}.parquet')"
+        )
+
+    n_exact = n_close = n_fail = n_rows_only = 0
+    degenerate: list[str] = []
+    for name in names:
+        fn = sparkflow.QUERIES[name]
+        t0 = time.time()
+        try:
+            sdf = fn(spark, DST).toPandas()
+        except Exception:
+            traceback.print_exc()
+            print(f"{name:28s} FAIL spark-error")
+            n_fail += 1
+            continue
+        dt = time.time() - t0
+        base = baseline_rows.get(name)
+        degen = ""
+        if len(sdf) == 0 and (base or 0) > 0:
+            degenerate.append(name)
+            degen = f"  DEGENERATE (sf0.01 attested {base} rows)"
+        sql = sparkflow.ORACLES.get(name)
+        if sql is None:
+            print(f"{name:28s} rows-only ({len(sdf)} rows, {dt:.2f}s){degen}")
+            n_rows_only += 1
+            continue
+        try:
+            odf = con.execute(sql).fetchdf()
+        except Exception as e:
+            print(f"{name:28s} FAIL oracle-error: {e}")
+            n_fail += 1
+            continue
+        verdict = compare(sdf, odf)
+        tag = verdict.split()[0]
+        if tag == "EXACT":
+            n_exact += 1
+        elif tag == "CLOSE":
+            n_close += 1
+        else:
+            n_fail += 1
+        print(f"{name:28s} {verdict}  ({len(sdf)} rows, {dt:.2f}s){degen}")
+    print(f"\nexact={n_exact} close={n_close} rows_only={n_rows_only} "
+          f"FAIL={n_fail} degenerate={len(degenerate)}")
+    if degenerate:
+        print("degenerate:", ", ".join(degenerate))
+    spark.stop()
+    sys.exit(1 if (n_fail or degenerate) else 0)
+
+
+if __name__ == "__main__":
+    mode = sys.argv[1] if len(sys.argv) > 1 else "run"
+    if mode == "gen":
+        gen()
+    elif mode == "run":
+        run()
+    else:
+        raise SystemExit("usage: reseed.py [gen|run]")
