@@ -8,12 +8,22 @@ Prints ONE JSON line:
 The query set mirrors BASELINE.md's DuckDB measurements shape-for-shape
 (q1 pricing summary, q3 top-k join, q5 star join, window rank, distinct
 users, hourly tumbling, json extract, knn) so the comparison is
-apples-to-apples. Timing = full execution to collected results, median
-of 5 after one warm-up run (JVM/plan warm, data NOT cached — every run
-re-reads parquet). The DataFrame is BUILT ONCE per query and re-collected
-per iteration: plan construction is a py4j round-trip (~0.1-0.3 s of pure
+apples-to-apples. Timing = median of 5 re-collections after one warm-up
+run. The DataFrame is BUILT ONCE per query and re-collected per
+iteration: plan construction is a py4j round-trip (~0.1-0.3 s of pure
 Python/RPC, not execution) that a real deployment pays once per prepared
 query, exactly like DuckDB's prepared statements in BASELINE.md's loop.
+
+HONESTY CAVEAT (measured round 7): re-collecting a prepared DataFrame
+re-reads parquet for scan-only stages but REUSES completed shuffle map
+outputs (Spark skips stages whose shuffle files exist), so for queries
+with an exchange this loop times the final stage + fetch, not the full
+pipeline. At sf0.1 the distinction is within the dispatch floor; at a
+scale where it matters, use tools/bench_sf1.py, which rebuilds the
+DataFrame per iteration (fresh shuffle ids -> genuine full executions)
+and runs DuckDB interleaved in the same window. This file keeps the
+prepared-plan protocol because BENCH_r* continuity depends on it — see
+BASELINE.md's round-7 section for the cross-methodology numbers.
 """
 
 from __future__ import annotations
@@ -64,7 +74,10 @@ BENCH_QUERIES = {
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    try:
+        sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:  # non-fixture dir name (e.g. a replica corpus)
+        sf = -1.0
     # Scale-appropriate session tuning (SURVEY §7 M4: session conf only).
     # At sub-GB scale the plans are fully known from file sizes, so AQE's
     # per-stage re-planning is pure latency (~1.2 s across this suite,

@@ -202,13 +202,18 @@ _NEAR_CTES = f"""corpus AS ({CORPUS_SQL}),
 
 
 def _near_pairs_plan(
-    spark: SparkSession, sf_dir: str, length_prefilter: bool = True
+    spark: SparkSession,
+    sf_dir: str,
+    length_prefilter: bool = True,
+    verify_input_only: bool = False,
 ) -> DataFrame:
     """The MinHash+LSH+Jaccard pipeline as a lazy plan (see
-    llm_dedup_near for semantics). ``length_prefilter=False`` disables
-    the token-count candidate cut — ONLY for the A/B instrumentation in
-    tools/scale_ladder.py (the cut provably never changes the result;
-    the flag exists to measure how many verify-join pairs it removes).
+    llm_dedup_near for semantics). The two flags exist ONLY for the A/B
+    instrumentation in tools/scale_ladder.py: ``length_prefilter=False``
+    disables the token-count candidate cut (the cut provably never
+    changes the result; the flag measures how many verify-join pairs it
+    removes), and ``verify_input_only=True`` returns the candidate set
+    entering the verify join instead of the verified pairs.
 
     Deliberately LAZY end-to-end — measured at the 10x scale point,
     both materialization alternatives LOSE to the single-DAG lazy plan
@@ -346,6 +351,8 @@ def _near_pairs_plan(
             F.least("na", "nb").cast("double")
             >= F.greatest("na", "nb") * _JACCARD_MIN
         )
+    if verify_input_only:
+        return cand_sized
     ta = toks.select(F.col("doc_id").alias("doc_a"), "tok")
     tb = toks.select(F.col("doc_id").alias("doc_b"), "tok")
     inter = (

@@ -38,8 +38,16 @@ from tools import scale_salt  # noqa: E402  (shared replica-salting scheme)
 SRC = "/root/testdata/sf0.1"
 DST10 = "/tmp/sparkflow_scale10x"
 DST = "/tmp/sparkflow_scale100x"
+# events-bearing 100x rung: the full-table replica corpus built by
+# `scale_smoke.py gen 100 /tmp/sparkflow_sf10` (the sf10 bench corpus)
+DST100_EV = "/tmp/sparkflow_sf10"
+SKEW = "/tmp/sparkflow_skew100x"
 REPLICAS = 100
 OPS = ["llm_dedup_near", "llm_dedup_clusters", "llm_semdedup"]
+# round-7 extension (r5 verdict item 7): window + graph families, whose
+# superlinear risks are a giant per-user window partition and the
+# Σ out-deg² wedge bound — argued in docstrings, measured here
+EV_OPS = ["win_gaps_islands", "graph_triangle_count"]
 
 
 def gen() -> None:
@@ -75,6 +83,27 @@ def gen() -> None:
                 pa.Table.from_pandas(r, schema=src.schema, preserve_index=False)
             )
     print(f"embeddings: {len(base)} -> {len(base) * REPLICAS} rows")
+
+
+def gen_skew() -> None:
+    """Skewed-events rung: the 100x events table with 20% of all rows
+    (event_id % 5 == 0) remapped to ONE hot user. win_gaps_islands
+    partitions its window by user_id, so the hot user becomes a single
+    2M-row sorted partition on one core — the giant-partition hazard the
+    r5 verdict asked to measure instead of argue."""
+    src_dir = DST100_EV if os.path.isdir(DST100_EV) else DST10
+    os.makedirs(SKEW, exist_ok=True)
+    src = pq.read_table(f"{src_dir}/events.parquet")
+    df = src.to_pandas()
+    hot = df["event_id"] % 5 == 0
+    df.loc[hot, "user_id"] = 0
+    pq.write_table(
+        pa.Table.from_pandas(df, schema=src.schema, preserve_index=False),
+        f"{SKEW}/events.parquet",
+        row_group_size=250_000,
+    )
+    print(f"skew events ({src_dir}): {len(df)} rows, "
+          f"{int(hot.sum())} on the hot user")
 
 
 def _api(url: str):
@@ -168,8 +197,80 @@ def run() -> None:
                   f"{d['shuffle_write']/gib:8.2f}G {d['shuffle_read']/gib:8.2f}G "
                   f"{d['spill_disk']/gib:7.2f}G")
             rows.append((op, tag, n, wall, d))
+
+    # window + graph families over the events-bearing corpora (r7):
+    # 100x = the full-table replica tree; skew = 100x with a 20%-hot user
+    gib = 1 << 30
+    ev_rungs = [(SRC, "1x"), (DST10, "10x"), (DST100_EV, "100x"),
+                (SKEW, "skew100x")]
+    for sf_dir, tag in ev_rungs:
+        if tag.replace("skew", "") not in want and tag not in want:
+            continue
+        if not os.path.isdir(sf_dir):
+            print(f"-- {tag}: {sf_dir} missing, skipped")
+            continue
+        ops = EV_OPS if not tag.startswith("skew") else ["win_gaps_islands"]
+        for op in ops:
+            before = m.snapshot()
+            t0 = time.perf_counter()
+            n = QUERIES[op](spark, sf_dir).count()
+            wall = time.perf_counter() - t0
+            d = {k: v - before[k] for k, v in m.snapshot().items()}
+            print(f"{op:18s} {tag:>8s} {n:10d} {wall:7.1f}s "
+                  f"{d['shuffle_write']/gib:8.2f}G {d['shuffle_read']/gib:8.2f}G "
+                  f"{d['spill_disk']/gib:7.2f}G")
+            rows.append((op, tag, n, wall, d))
+
     print(f"\npeak executor JVM heap: {m.peak_heap()/(1<<30):.2f} GiB "
           f"(cap {os.environ.get('SPARK_DRIVER_MEM', '8g')})")
+    spark.stop()
+
+
+def ab_prefilter() -> None:
+    """Same-window A/B for the round-7 llm_dedup_near length prefilter:
+    at each rung, count the pairs ENTERING the token-explode verify join
+    with the prefilter off vs on (the join's cost driver — row counts,
+    not wall time, per the load-drift note in BASELINE.md), and assert
+    the FINAL verified pair set is identical both ways."""
+    import time
+
+    from sparkflow.llm.dedup import _near_pairs_plan
+    from sparkflow.session import get_spark
+
+    spark = get_spark("ab-prefilter")
+    spark.sparkContext.setLogLevel("ERROR")
+    want = os.environ.get("SPARK_LADDER_SCALES", "1x,10x,100x").split(",")
+    for sf_dir, tag in [("/root/testdata/sf0.01", "1x"), (DST10, "10x"),
+                        (DST, "100x")]:
+        if tag not in want or not os.path.isdir(sf_dir):
+            continue
+        n_off = _near_pairs_plan(spark, sf_dir, length_prefilter=False,
+                                 verify_input_only=True).count()
+        n_on = _near_pairs_plan(spark, sf_dir, length_prefilter=True,
+                                verify_input_only=True).count()
+        # pair-set equality DISTRIBUTED (exceptAll both ways) — at 100x
+        # the verified set is tens of millions of pairs; a driver-side
+        # python set was the first version's OOM
+        t0 = time.perf_counter()
+        d_off = _near_pairs_plan(
+            spark, sf_dir, length_prefilter=False
+        ).select("doc_a", "doc_b").localCheckpoint()
+        t_off = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        d_on = _near_pairs_plan(spark, sf_dir).select(
+            "doc_a", "doc_b"
+        ).localCheckpoint()
+        t_on = time.perf_counter() - t0
+        extra = d_off.exceptAll(d_on).count() + d_on.exceptAll(d_off).count()
+        n_pairs = d_on.count()
+        print(
+            f"{tag:>5s}: verify-input pairs {n_off} -> {n_on} "
+            f"({100 * (1 - n_on / max(n_off, 1)):.1f}% cut)  "
+            f"identical_pair_set={extra == 0} ({n_pairs} pairs)  "
+            f"wall off/on {t_off:.1f}/{t_on:.1f}s (same window)",
+            flush=True,
+        )
+        assert extra == 0, f"{tag}: pair set changed!"
     spark.stop()
 
 
@@ -177,7 +278,11 @@ if __name__ == "__main__":
     mode = sys.argv[1] if len(sys.argv) > 1 else "run"
     if mode == "gen":
         gen()
+    elif mode == "gen_skew":
+        gen_skew()
     elif mode == "run":
         run()
+    elif mode == "ab_prefilter":
+        ab_prefilter()
     else:
-        raise SystemExit("usage: scale_ladder.py [gen|run]")
+        raise SystemExit("usage: scale_ladder.py [gen|gen_skew|run|ab_prefilter]")

@@ -57,6 +57,8 @@ from tools import scale_salt  # noqa: E402  (shared replica-salting scheme)
 SRC = "/root/testdata/sf0.1"
 DST = "/tmp/sparkflow_scale10x"
 REPLICAS = 10
+# `gen N DST` overrides both (e.g. `gen 100 /tmp/sparkflow_sf10` builds
+# the 60M-row lineitem rung for tools/bench_sf1.py's sf10 table)
 
 # table -> columns that get the per-replica offset of the named entity
 _KEYED = {
@@ -123,9 +125,17 @@ def gen() -> None:
                 r["embedding"] = scale_salt.salt_embedding(r["embedding"], i)
             reps.append(r)
         big = pd.concat(reps, ignore_index=True)
+        # 250k-row row groups: parquet scans split at ROW-GROUP
+        # boundaries, and pyarrow's default (~1M rows) capped the whole
+        # bench at n_rowgroups-way parallelism — measured: a 1M-row
+        # events replica was ONE row group, so from_json ran
+        # single-threaded (2.0 s) while the 10M-row corpus got 10 tasks
+        # (2.5 s). Real ingest pipelines target 64-256 MB groups for the
+        # same reason.
         pq.write_table(
             pa.Table.from_pandas(big, schema=schema, preserve_index=False),
             f"{DST}/{tbl}.parquet",
+            row_group_size=250_000,
         )
         print(f"{tbl}: {len(base)} -> {len(big)} rows")
 
@@ -168,9 +178,13 @@ def run() -> None:
 
 if __name__ == "__main__":
     mode = sys.argv[1] if len(sys.argv) > 1 else "run"
+    if len(sys.argv) > 2:
+        REPLICAS = int(sys.argv[2])
+    if len(sys.argv) > 3:
+        DST = sys.argv[3]
     if mode == "gen":
         gen()
     elif mode == "run":
         run()
     else:
-        raise SystemExit("usage: scale_smoke.py [gen|run]")
+        raise SystemExit("usage: scale_smoke.py [gen|run] [replicas] [dst]")
