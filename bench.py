@@ -134,7 +134,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "headline query suite, median-of-5 warm, full parquet re-read",
+                "metric": "headline query suite, median-of-5 warm, prepared-plan re-collection (see bench_sf1.py for full re-execution)",
                 "value": total,
                 "unit": "sec",
                 "queries": results,

@@ -612,3 +612,46 @@ def test_attested_keys_semantics(tmp_path):
     # a malformed artifact (non-dict top level) must be ignored, not crash
     (tmp_path / "CORRECTNESS_r98.json").write_text(json.dumps([1, 2, 3]))
     assert sparkflow._attested_keys(str(tmp_path)) == {"green", "rows_only"}
+
+
+def test_reseeded_twin_keeps_fixed_ops_exact_and_live(spark, tmp_path_factory):
+    """Round-7 tripwire for the corpus-specialized-constant class: build
+    a tiny reseeded twin of sf0.001 (tools/reseed.py's id offsets,
+    leaf drops, and time shifts) and re-run the operators that the full
+    sf0.01 differential caught red-handed — each must stay EXACT vs its
+    oracle ON THE TWIN and return a non-empty result (the degenerate
+    failure mode: a mirrored cut that matches while selecting nothing).
+    Guards every fix in the r7 sweep against re-hardcoding."""
+    import duckdb
+
+    import sparkflow
+    from tools.check import compare
+    from tools.reseed import gen
+
+    dst = str(tmp_path_factory.mktemp("reseed_twin"))
+    gen(src="/root/testdata/sf0.001", dst=dst)
+    con = duckdb.connect()
+    for t in sparkflow.catalog.TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{dst}/{t}.parquet')"
+        )
+    # the 14 oracled keys the sf0.01 twin flagged (plus the two knn ops'
+    # SQL-checked sibling); llm_knn_ivf is rows-only and covered by the
+    # non-empty check on llm_knn_cosine's shared query-point path
+    keys = [
+        "join_asof", "join_asof_forward", "join_asof_nearest",
+        "join_temporal_versioned", "join_bucketed", "llm_knn_cosine",
+        "fn_try", "fn_struct", "fn_variant", "fn_xml", "fn_mask",
+        "win_value_fns", "agg_unpivot", "agg_decimal_sum",
+        "scan_schema_evolution", "scan_json_corrupt",
+    ]
+    for name in keys:
+        sdf = sparkflow.QUERIES[name](spark, dst).toPandas()
+        assert len(sdf) > 0, f"{name}: degenerate (0 rows) on the twin"
+        odf = con.execute(sparkflow.ORACLES[name]).fetchdf()
+        verdict = compare(sdf, odf)
+        assert verdict == "EXACT", f"{name}: {verdict}"
+    # the one degenerate mode row counts can't see: scan_json_corrupt is
+    # a 1-row aggregate — its n_good must be a real count, not 0
+    agg = sparkflow.QUERIES["scan_json_corrupt"](spark, dst).toPandas()
+    assert int(agg["n_good"].iloc[0]) > 0

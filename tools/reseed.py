@@ -86,20 +86,20 @@ def _drop_mask(tbl: str, df: pd.DataFrame):
     return None
 
 
-def gen() -> None:
-    os.makedirs(DST, exist_ok=True)
+def gen(src: str = SRC, dst: str = DST) -> None:
+    os.makedirs(dst, exist_ok=True)
     offsets: dict[tuple[str, str], int] = {}
     for stride, cols in _ENTITIES.values():
         for tbl_col in cols:
             offsets[tbl_col] = stride
     tables = _COPY_AS_IS + sorted({t for _, cols in _ENTITIES.values() for t, _ in cols})
     for tbl in tables:
-        src = pq.read_table(f"{SRC}/{tbl}.parquet")
+        tsrc = pq.read_table(f"{src}/{tbl}.parquet")
         if tbl in _COPY_AS_IS:
-            pq.write_table(src, f"{DST}/{tbl}.parquet")
+            pq.write_table(tsrc, f"{dst}/{tbl}.parquet")
             print(f"{tbl}: copied")
             continue
-        df = src.to_pandas()
+        df = tsrc.to_pandas()
         n0 = len(df)
         mask = _drop_mask(tbl, df)
         if mask is not None:
@@ -111,8 +111,8 @@ def gen() -> None:
             if t == tbl:
                 df[col] = df[col] + delta
         pq.write_table(
-            pa.Table.from_pandas(df, schema=src.schema, preserve_index=False),
-            f"{DST}/{tbl}.parquet",
+            pa.Table.from_pandas(df, schema=tsrc.schema, preserve_index=False),
+            f"{dst}/{tbl}.parquet",
         )
         print(f"{tbl}: {n0} -> {len(df)} rows")
 
