@@ -119,7 +119,14 @@ def _rotate_never_attested() -> None:
     if not seen:
         return
     unattested = [k for k in registry.QUERIES if k not in seen]
-    stale_set = _code_stale_set()
+    # reuse this call's last_round instead of re-parsing the artifacts
+    # (review r7): _code_stale_set() would re-derive it
+    import os as _os
+
+    _root = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    stale_set = _code_stale_keys(
+        registry.QUERIES, last_round, _git_last_change_times(_root), _root
+    )
     code_stale = [k for k in registry.QUERIES if k in stale_set]
     rest = [k for k in registry.QUERIES if k in seen and k not in stale_set]
     # stable sorts: within the same round, current registration order
@@ -193,7 +200,11 @@ def _code_stale_keys(queries: dict, last_round: dict, file_times: dict,
         art_t = file_times.get(f"CORRECTNESS_r{rnd:02d}.json")
         rel = _impl_relpath(fn, root)
         code_t = file_times.get(rel) if rel else None
-        if art_t is not None and code_t is not None and code_t > art_t:
+        # >= not >: if the module edit and the attesting artifact land in
+        # ONE commit, the attested run predates the edit — flag stale
+        # (review r7; '>' would reproduce the r06 invisibility this
+        # mechanism exists to prevent)
+        if art_t is not None and code_t is not None and code_t >= art_t:
             stale.add(key)
     return stale
 
@@ -211,12 +222,14 @@ def _code_stale_set(root: str | None = None) -> set:
 
 
 def _successful_rows(root: str | None = None):
-    """Yield (round_number, key) for every SUCCESSFUL row in the
-    committed CORRECTNESS_r*.json artifacts: hash-matched against the
-    oracle, or completed a rows-only check (err == 'no_oracle' with a
-    row count). A row that errored, or that RAN but mismatched
+    """Yield (round_number, key, row_dict) for every SUCCESSFUL row in
+    the committed CORRECTNESS_r*.json artifacts: hash-matched against
+    the oracle, or completed a rows-only check (err == 'no_oracle' with
+    a row count). A row that errored, or that RAN but mismatched
     (rows/hash False), is NOT yielded — those need re-attestation after
-    the fix, so they stay in the front prefix."""
+    the fix, so they stay in the front prefix. This is THE single
+    definition of the attestation success rule — the rotation, its
+    tests, and tools/reseed.py's degeneracy baseline all consume it."""
     import glob
     import json
     import os
@@ -241,13 +254,13 @@ def _successful_rows(root: str | None = None):
                 row.get("err") == "no_oracle" and row.get("spark_rows") is not None
             )
             if ok:
-                yield rnd, key
+                yield rnd, key, row
 
 
 def _attested_keys(root: str | None = None) -> set[str]:
     """Keys with at least one successful row in any committed
     CORRECTNESS_r*.json (see _successful_rows for the success rule)."""
-    return {key for _, key in _successful_rows(root)}
+    return {key for _, key, _row in _successful_rows(root)}
 
 
 def _last_attested_round(root: str | None = None) -> dict:
@@ -255,7 +268,7 @@ def _last_attested_round(root: str | None = None) -> dict:
     row for it. Drives the re-attestation ordering: smaller = staler =
     re-attested sooner."""
     last: dict = {}
-    for rnd, key in _successful_rows(root):
+    for rnd, key, _row in _successful_rows(root):
         if rnd > last.get(key, -1):
             last[key] = rnd
     return last

@@ -228,10 +228,12 @@ def sink_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scan_schema_evolution",
     oracle="""
     SELECT event_id, user_id, NULL::DOUBLE AS value
-    FROM events WHERE event_id % 5 = 0
+    FROM events WHERE event_id < (SELECT MIN(event_id) + 2000 FROM events)
     UNION ALL
     SELECT event_id, NULL::BIGINT AS user_id, value
-    FROM events WHERE event_id % 5 = 1
+    FROM events
+    WHERE event_id >= (SELECT MIN(event_id) + 2000 FROM events)
+      AND event_id < (SELECT MIN(event_id) + 4000 FROM events)
     """,
 )
 def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -243,19 +245,25 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     mergeSchema reconciles footers at planning time (cost scales with
     file count, not data — at very large file counts you pin the schema
     in a catalog instead). Oracle: explicit null-extended UNION ALL.
-    The two producer slices are MODULO cuts — disjoint ~20% samples that
-    survive arbitrary key offsets (the previous absolute id ranges
-    staged ZERO rows on the reseeded corpus, tools/reseed.py)."""
+    The two producer slices are MIN-ANCHORED absolute ranges — disjoint,
+    offset-robust (the original 0-anchored ranges staged ZERO rows on
+    the reseeded corpus, tools/reseed.py) and BOUNDED at ~2000 rows each
+    regardless of corpus size (a round-7 interim modulo cut would have
+    staged 40% of a replica corpus — fixture staging must stay
+    O(constant))."""
     sfkey = sf_dir.rstrip("/").rsplit("/", 1)[-1]
     base = os.path.join(
         _TMP, "evolve", spark.sparkContext.applicationId, f"events_{sfkey}"
     )
     if not os.path.isdir(base):
         ev = table(spark, sf_dir, "events")
-        ev.filter(F.col("event_id") % 5 == 0).select("event_id", "user_id").write.mode(
-            "overwrite"
-        ).parquet(os.path.join(base, "v1"))
-        ev.filter(F.col("event_id") % 5 == 1).select(
+        lo = ev.agg(F.min("event_id")).first()[0]
+        ev.filter(F.col("event_id") < lo + 2000).select(
+            "event_id", "user_id"
+        ).write.mode("overwrite").parquet(os.path.join(base, "v1"))
+        ev.filter(
+            (F.col("event_id") >= lo + 2000) & (F.col("event_id") < lo + 4000)
+        ).select(
             "event_id", "value"
         ).write.mode("overwrite").parquet(os.path.join(base, "v2"))
     return (
@@ -273,7 +281,7 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CASE WHEN event_id % 97 <> 0
                          THEN CAST(json_extract_string(props, '$.k') AS BIGINT)
                     END) AS BIGINT) AS k_total
-    FROM events WHERE event_id % 2 = 0
+    FROM events WHERE event_id < (SELECT MIN(event_id) + 5000 FROM events)
     """,
 )
 def scan_json_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -285,20 +293,24 @@ def scan_json_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
     byte of a crawl; PERMISSIVE + corrupt-row routing is the production
     posture (the side-output pattern at the parser level). The staging
     export corrupts deterministically (event_id % 97), so the oracle
-    recomputes expectations from the clean table. The ~50% staging cap
-    is a modulo cut (offset-robust): the previous `event_id < 5000`
-    staged an EMPTY feed on the reseeded corpus while still matching its
-    mirrored oracle — the degenerate-but-green case tools/reseed.py
-    exists to flush."""
+    recomputes expectations from the clean table. The staging cap is a
+    MIN-ANCHORED absolute range — both offset-robust (the previous
+    absolute `event_id < 5000` staged an EMPTY feed on the reseeded
+    corpus while still matching its mirrored oracle: the
+    degenerate-but-green case tools/reseed.py exists to flush) and
+    BOUNDED (a round-7 interim modulo cut staged half the corpus, which
+    is a driver-side toPandas of 5M rows on the sf10 replica tree —
+    fixture staging must stay O(constant) at any corpus size)."""
     sfkey = sf_dir.rstrip("/").rsplit("/", 1)[-1]
     out = os.path.join(
         _TMP, "jsonl", spark.sparkContext.applicationId, f"events_{sfkey}"
     )
     if not os.path.isdir(out):
         os.makedirs(out, exist_ok=True)
+        lo = table(spark, sf_dir, "events").agg(F.min("event_id")).first()[0]
         ev = (
             table(spark, sf_dir, "events")
-            .filter(F.col("event_id") % 2 == 0)
+            .filter(F.col("event_id") < lo + 5000)
             .select("event_id", "props")
             .toPandas()
             .sort_values("event_id")

@@ -119,26 +119,18 @@ def gen(src: str = SRC, dst: str = DST) -> None:
 
 def _latest_attested_rows() -> dict[str, int]:
     """key -> spark_rows from its most recent successful driver
-    attestation (any committed CORRECTNESS_r*.json) — the sf0.01
-    baseline for the degeneracy check, no re-run needed."""
-    import glob
-    import json
-    import re
+    attestation — the sf0.01 baseline for the degeneracy check, no
+    re-run needed. The success rule itself lives in ONE place:
+    sparkflow._successful_rows (review r7 — a local re-implementation
+    had already drifted slightly)."""
+    import sparkflow
 
-    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     best: dict[str, tuple[int, int]] = {}
-    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
-        rnd = int(re.search(r"r(\d+)", os.path.basename(path)).group(1))
-        try:
-            data = json.load(open(path))
-        except (OSError, ValueError):
+    for rnd, key, row in sparkflow._successful_rows():
+        if row.get("spark_rows") is None:
             continue
-        for key, row in data.items():
-            if not isinstance(row, dict) or row.get("spark_rows") is None:
-                continue
-            ok = row.get("hash_match") is True or row.get("err") == "no_oracle"
-            if ok and rnd >= best.get(key, (-1, 0))[0]:
-                best[key] = (rnd, int(row["spark_rows"]))
+        if rnd >= best.get(key, (-1, 0))[0]:
+            best[key] = (rnd, int(row["spark_rows"]))
     return {k: v for k, (_, v) in best.items()}
 
 
