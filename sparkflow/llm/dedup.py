@@ -41,11 +41,12 @@ CORPUS_SQL = """
 
 def _checked_doc_id():
     """doc_id guarded against fixture-id-space overflow: the corpus
-    synthesis relabels copies at +1e6/+2e6, so a source doc_id >= 1e6
-    would silently collide with a synthesized id — and the differential
-    gate CANNOT catch that class of bug, because the oracle replays the
-    same arithmetic and both engines corrupt identically (the embedding
-    twin of this bug was found at the measured 100x scale point, see
+    syntheses relabel copies at +1e6/+2e6 (CORPUS_SQL) and excerpts at
+    +3e6 (CONTAIN_CORPUS_SQL), so a source doc_id >= 1e6 would silently
+    collide with a synthesized id — and the differential gate CANNOT
+    catch that class of bug, because the oracle replays the same
+    arithmetic and both engines corrupt identically (the embedding twin
+    of this bug was found at the measured 100x scale point, see
     llm_semdedup). Fail loudly at read time instead."""
     return F.when(F.col("doc_id") < 1000000, F.col("doc_id")).otherwise(
         F.raise_error(
@@ -790,4 +791,172 @@ def llm_dedup_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("keeper_id"),
         F.col("source").alias("keeper_source"),
         F.col("n_copies").cast("bigint").alias("n_copies"),
+    )
+
+
+# ---- Shingle-containment dedup (doc-in-doc) ----------------------------
+
+# Containment C(A→B) = |S(A) ∩ S(B)| / |S(A)| over char-8-gram sets.
+# The asymmetric complement of every Jaccard-family operator above: an
+# excerpt embedded in a 10× larger page has Jaccard ~0.1 (invisible to
+# MinHash/LSH, whose bands target symmetric similarity) but containment
+# ~1.0. Candidate generation is RARE-GRAM BLOCKING, not LSH: pair docs
+# sharing any gram whose document frequency is <= the absolute cap, so
+# the only pairwise step is the posting-list self-join with
+# Σ df² <= cap · Σ df — linear in index size at any corpus scale (the
+# same bound the winnowing family rides). The blocking is part of the
+# operator contract (a contained doc sharing only boilerplate grams
+# with its container is not proposed) and is mirrored exactly in SQL.
+_CONTAIN_GRAM = 8  # char gram width (8-gram space is rich: vocab-driven
+#                    5-gram collisions made random-pair containment noisy)
+_CONTAIN_DF_CAP = 8  # absolute posting-list cap for blocking grams
+_CONTAIN_MIN = 0.8  # report containment >= this (random pairs measure
+#                     <= 0.39 on this corpus; synthesized excerpts = 1.0)
+_CONTAIN_MIN_LEN = 200  # only docs this long get a synthesized excerpt
+
+# Deterministic containment synthesis: every 11th sufficiently-long doc
+# contributes its FIRST-HALF excerpt at +3e6 (disjoint from the +1e6 /
+# +2e6 id spaces of CORPUS_SQL; _checked_doc_id guards the source range)
+CONTAIN_CORPUS_SQL = f"""
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 3000000 AS doc_id,
+           substr(text, 1, len(text) // 2) AS text
+    FROM documents
+    WHERE doc_id % 11 = 0 AND len(text) >= {_CONTAIN_MIN_LEN}
+"""
+
+
+def contain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of CONTAIN_CORPUS_SQL."""
+    d = table(spark, sf_dir, "documents").select(
+        _checked_doc_id().alias("doc_id"), "text"
+    )
+    excerpts = d.filter(
+        (F.col("doc_id") % 11 == 0) & (F.length("text") >= _CONTAIN_MIN_LEN)
+    ).select(
+        (F.col("doc_id") + 3000000).alias("doc_id"),
+        F.col("text")
+        .substr(F.lit(1), F.floor(F.length("text") / 2).cast("int"))
+        .alias("text"),
+    )
+    return d.unionByName(excerpts)
+
+
+@register(
+    "llm_dedup_containment",
+    oracle=f"""
+    WITH corpus AS ({CONTAIN_CORPUS_SQL}),
+    sh AS (
+      SELECT DISTINCT doc_id, substr(text, i, {_CONTAIN_GRAM}) AS g
+      FROM corpus,
+           LATERAL (SELECT UNNEST(range(1, len(text) - {_CONTAIN_GRAM - 2}))) t(i)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    rare AS (SELECT g FROM sh GROUP BY g HAVING COUNT(*) <= {_CONTAIN_DF_CAP}),
+    idx AS (SELECT s.doc_id, s.g FROM sh s JOIN rare r ON s.g = r.g),
+    cand0 AS (
+      SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+      FROM idx a JOIN idx b ON a.g = b.g AND a.doc_id < b.doc_id
+    ),
+    cand AS (
+      SELECT CASE WHEN sa.n <= sb.n THEN da ELSE db END AS inner_id,
+             CASE WHEN sa.n <= sb.n THEN db ELSE da END AS outer_id,
+             LEAST(sa.n, sb.n) AS n_inner,
+             GREATEST(sa.n, sb.n) AS n_outer
+      FROM cand0
+      JOIN sizes sa ON sa.doc_id = da
+      JOIN sizes sb ON sb.doc_id = db
+    ),
+    inter AS (
+      SELECT c.inner_id, c.outer_id, c.n_inner, c.n_outer, COUNT(*) AS ni
+      FROM cand c
+      JOIN sh si ON si.doc_id = c.inner_id
+      JOIN sh so ON so.doc_id = c.outer_id AND so.g = si.g
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT inner_id, outer_id, n_inner, n_outer,
+           ROUND(CAST(ni AS DOUBLE) / n_inner, 6) AS containment
+    FROM inter
+    WHERE CAST(ni AS DOUBLE) / n_inner >= {_CONTAIN_MIN}
+    """,
+)
+def llm_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-in-doc detection by char-8-gram set containment (see the
+    section comment above for why Jaccard-family dedup structurally
+    misses it, and why rare-gram blocking is the scale-safe candidate
+    generator). Output: one row per candidate pair with containment of
+    the smaller gram set in the larger >= 0.8 — 1.0 for every
+    synthesized first-half excerpt, plus the corpus's organic
+    subset-relationships. Ties on set size keep the lower doc_id as
+    inner, so (inner, outer) is deterministic."""
+    corpus = contain_corpus(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return _containment_pairs(corpus)
+
+
+def _containment_pairs(corpus: DataFrame) -> DataFrame:
+    """Core of llm_dedup_containment over any (doc_id, text) frame."""
+    # distinct char-8-gram set per doc (same explode-amplification
+    # repartition rationale as _near_pairs_plan)
+    sh = (
+        corpus.filter(F.length("text") >= _CONTAIN_GRAM)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(
+                        F.lit(1), F.length("text") - (_CONTAIN_GRAM - 1)
+                    ),
+                    lambda i: F.substring(F.col("text"), i, _CONTAIN_GRAM),
+                )
+            ).alias("g"),
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    rare = (
+        sh.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= _CONTAIN_DF_CAP)
+        .select("g")
+    )
+    idx = sh.join(rare, "g").select("doc_id", "g")
+    a = idx.select(F.col("doc_id").alias("da"), "g")
+    b = idx.select(F.col("doc_id").alias("db"), "g")
+    cand0 = (
+        a.join(b, "g")
+        .filter(F.col("da") < F.col("db"))
+        .select("da", "db")
+        .distinct()
+    )
+    sa = sizes.select(F.col("doc_id").alias("da"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("db"), F.col("n").alias("nb"))
+    small_first = F.col("na") <= F.col("nb")
+    cand = (
+        cand0.join(sa, "da")
+        .join(sb, "db")
+        .select(
+            F.when(small_first, F.col("da")).otherwise(F.col("db")).alias("inner_id"),
+            F.when(small_first, F.col("db")).otherwise(F.col("da")).alias("outer_id"),
+            F.least("na", "nb").alias("n_inner"),
+            F.greatest("na", "nb").alias("n_outer"),
+        )
+    )
+    si = sh.select(F.col("doc_id").alias("inner_id"), "g")
+    so = sh.select(F.col("doc_id").alias("outer_id"), "g")
+    inter = (
+        cand.join(si, "inner_id")
+        .join(so, ["outer_id", "g"])
+        .groupBy("inner_id", "outer_id", "n_inner", "n_outer")
+        .agg(F.count(F.lit(1)).alias("ni"))
+    )
+    contain = F.col("ni").cast("double") / F.col("n_inner")
+    return inter.filter(contain >= _CONTAIN_MIN).select(
+        "inner_id",
+        "outer_id",
+        "n_inner",
+        "n_outer",
+        F.round(contain, 6).alias("containment"),
     )

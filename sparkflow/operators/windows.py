@@ -335,9 +335,10 @@ def win_value_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "win_ewma",
-    oracle="""
+# Shared by win_ewma and win_ewma_segmented: the two operators compute
+# the SAME function (identical doubles), differing only in physical
+# partitioning — a single oracle text keeps that claim checkable.
+_EWMA_ORACLE = """
     WITH c AS (
       SELECT user_id, event_id, ts,
              CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v
@@ -355,8 +356,21 @@ def win_value_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS ewma_value
     FROM c
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-    """,
-)
+    """
+
+
+def _ewma_lag_expr(v, w):
+    """The depth-8 dyadic lag combination, left-to-right — one
+    definition so the plain and segmented operators cannot drift in
+    floating-point association order (the exactness argument in
+    win_ewma's docstring depends on it)."""
+    expr = v * F.lit(0.5)
+    for k in range(1, 8):
+        expr = expr + F.coalesce(F.lag(v, k).over(w), F.lit(0)) * F.lit(0.5 ** (k + 1))
+    return expr
+
+
+@register("win_ewma", oracle=_EWMA_ORACLE)
 def win_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exponentially weighted moving average (α = 1/2), truncated at
     depth 8 — the time-series smoothing every monitoring pipeline wants.
@@ -370,12 +384,108 @@ def win_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     point, so both engines produce identical doubles with NO tolerance."""
     ev = table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    v = cents("value")
-    expr = v * F.lit(0.5)
-    for k in range(1, 8):
-        expr = expr + F.coalesce(F.lag(v, k).over(w), F.lit(0)) * F.lit(0.5 ** (k + 1))
+    expr = _ewma_lag_expr(cents("value"), w)
     return ev.select(
         "user_id", "event_id", (expr / 100.0).alias("ewma_value")
+    )
+
+
+@register("win_ewma_segmented", oracle=_EWMA_ORACLE)
+def win_ewma_segmented(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """win_ewma with NO giant window partition: the skew-rung answer.
+
+    win_ewma partitions its window by user_id alone, so a hot key's
+    entire history becomes ONE sorted partition on one core — measured
+    on the skew100x rung (SCALE.md round-7): a user holding 2M of 10M
+    rows costs a 2.7× wall degradation with 31 cores idle. Because the
+    operator is the DEPTH-8 TRUNCATED EWMA, each output row depends on
+    only its 7 predecessors, so the per-key history never needs to be
+    co-resident: this variant windows over (user_id, segment) — segment
+    = hour bucket of ts — and restores cross-boundary lags by carrying
+    each segment's last ≤7 rows into the following segments.
+
+    Carry sufficiency: the 7 global predecessors of any segment's rows
+    span at most the 7 previous NON-EMPTY segments (each contributes
+    min(count, 7) ≥ 1 tail rows), so candidates = tails fanned to the
+    next 7 segment INDICES (dense per-user rank of non-empty segments,
+    so sparse/empty hours cannot starve the lookback), re-ranked per
+    destination to the true last 7. Carry rows are flagged, used only
+    as lag context, and dropped from the output.
+
+    Cost shape at scale: two full-data exchanges (the distinct-segment
+    map's partial agg, and the final (user, seg) window) versus
+    win_ewma's one — plus tail-stream machinery bounded at 7 rows per
+    (user, segment). Every partition is bounded by one key's busiest
+    hour, so the straggler disappears and the plan survives a 100M-row
+    key that would stall (or spill-kill) the single-partition form. The
+    same result to the last bit: identical dyadic arithmetic via
+    _ewma_lag_expr, hence the SAME oracle text as win_ewma."""
+    ev = table(spark, sf_dir, "events")
+    return _ewma_segmented(ev)
+
+
+def _ewma_segmented(ev: DataFrame, seg_seconds: int = 3600) -> DataFrame:
+    """Core of win_ewma_segmented (see its docstring)."""
+    base = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        cents("value").alias("v"),
+        F.floor(F.unix_timestamp("ts") / F.lit(seg_seconds)).alias("seg"),
+    )
+    # dense index of each user's NON-EMPTY segments: one row per
+    # (user, seg) after a map-side-combining distinct, so this window's
+    # partitions are bounded by span/seg_seconds, not by row volume
+    segs = base.select("user_id", "seg").distinct()
+    w_idx = Window.partitionBy("user_id").orderBy("seg")
+    segs = segs.withColumn("idx", F.row_number().over(w_idx))
+    # each segment's last <=7 rows (within-segment window: bounded)
+    w_tail = Window.partitionBy("user_id", "seg").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    tails = (
+        base.withColumn("r", F.row_number().over(w_tail))
+        .filter(F.col("r") <= 7)
+        .drop("r")
+        .join(segs, ["user_id", "seg"])
+    )
+    # fan tails to the next 7 non-empty segment indices, keep only
+    # indices that exist, re-rank to the true last 7 per destination
+    dests = segs.select(
+        "user_id", F.col("seg").alias("d_seg"), F.col("idx").alias("d_idx")
+    )
+    cand = (
+        tails.withColumn(
+            "d_idx", F.explode(F.sequence(F.col("idx") + 1, F.col("idx") + 7))
+        )
+        .drop("seg", "idx")
+        .join(dests, ["user_id", "d_idx"])
+    )
+    w_pick = Window.partitionBy("user_id", "d_seg").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    carry = (
+        cand.withColumn("r", F.row_number().over(w_pick))
+        .filter(F.col("r") <= 7)
+        .select(
+            "user_id",
+            "event_id",
+            "ts",
+            "v",
+            F.col("d_seg").alias("seg"),
+            F.lit(1).alias("is_carry"),
+        )
+    )
+    un = base.withColumn("is_carry", F.lit(0)).unionByName(carry)
+    # segment-bounded window; carry rows sort strictly before genuine
+    # rows (seg is monotone in ts at second granularity, and ordering
+    # ties break on the unique event_id)
+    w = Window.partitionBy("user_id", "seg").orderBy("ts", "event_id")
+    expr = _ewma_lag_expr(F.col("v"), w)
+    return (
+        un.withColumn("ewma_value", expr / 100.0)
+        .filter(F.col("is_carry") == 0)
+        .select("user_id", "event_id", "ewma_value")
     )
 
 

@@ -628,3 +628,38 @@ def test_vocab_growth_is_monotone_and_total_matches(spark, sf_small):
         assert vals == sorted(vals), f"{src} not monotone"
         assert vals[-1] == full[src]
         assert list(g["docs_at_cutoff"])[-1] == n_docs[src]
+
+
+def test_containment_catches_embedded_excerpt_jaccard_misses(spark):
+    """llm_dedup_containment's reason to exist: an excerpt embedded in
+    a much larger document has J(A,B) <= |A|/|B| — structurally below
+    the near-dup threshold (the length prefilter drops the pair before
+    any verify join runs), while containment of the excerpt's gram set
+    in the container's is exactly 1.0. An unrelated doc pairs with
+    neither."""
+    from sparkflow.llm.dedup import _JACCARD_MIN, _containment_pairs
+
+    body = (
+        "in the beginning the archive held four hundred scrolls each "
+        "describing a separate expedition across the salt flats and "
+        "every scroll ended with a careful inventory of rations camels "
+        "and waterskins recorded by the quartermaster in fading red "
+        "ink over many seasons of travel toward distant mountains"
+    )
+    excerpt = body[40:120]
+    unrelated = (
+        "orbital mechanics lecture notes covering hohmann transfers "
+        "inclination changes plus worked examples in metric units for "
+        "plane rotations near apoapsis of elliptical orbits"
+    )
+    docs = spark.createDataFrame(
+        [(1, body), (2, excerpt), (3, unrelated)],
+        "doc_id LONG, text STRING",
+    )
+    got = _containment_pairs(docs).toPandas()
+    rows = got[(got["inner_id"] == 2) & (got["outer_id"] == 1)]
+    assert len(rows) == 1, got.to_dict("records")
+    assert rows["containment"].iloc[0] == 1.0
+    na, nb = int(rows["n_inner"].iloc[0]), int(rows["n_outer"].iloc[0])
+    assert na / nb < _JACCARD_MIN  # the Jaccard-family blind spot
+    assert not ((got["inner_id"] == 3) | (got["outer_id"] == 3)).any()

@@ -135,17 +135,30 @@ def test_asof_join_single_shuffle(spark, sf_small):
 
 def _assert_one_data_exchange(plan: str) -> None:
     """Exactly one row-carrying (hashpartitioning) exchange; any other
-    Exchange node must be a SinglePartition scalar (one row per map
-    task — the probe-bounds aggregate). Partitioning renders on each
-    exchange's `Arguments:` detail line; `(n) Exchange` appears once per
-    node in the detail section (the tree renders `Exchange (n)`)."""
+    Exchange node must be the probe-bounds SCALAR: a SinglePartition
+    exchange whose input is the <=3-column min/max aggregate (one row
+    per map task). Whitelisting SinglePartition by partitioning scheme
+    alone would let a future repartition(1)/coalesce-to-one funnel of
+    the full data pass (review r7) — so the input schema is pinned too.
+    Partitioning renders on each exchange's `Arguments:` detail line;
+    `(n) Exchange` appears once per node in the detail section (the
+    tree renders `Exchange (n)`)."""
     import re
 
     n_hash = len(re.findall(r"Arguments: hashpartitioning", plan))
     assert n_hash == 1, plan[:800]
-    n_single = len(re.findall(r"Arguments: SinglePartition", plan))
+    singles = re.findall(
+        r"\(\d+\) Exchange\nInput \[(\d+)\]: \[([^\]]*)\]\n"
+        r"Arguments: SinglePartition",
+        plan,
+    )
+    for width, cols in singles:
+        assert int(width) <= 3, (width, cols)
+        assert re.fullmatch(r"[a-zA-Z0-9#, _]*", cols) and all(
+            c.strip().startswith(("min", "max")) for c in cols.split(",")
+        ), cols
     n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
-    assert n_exchanges == n_hash + n_single, plan[:800]
+    assert n_exchanges == n_hash + len(singles), plan[:800]
 
 
 def test_range_binned_join_is_hash_not_nested_loop(spark, sf_small):
@@ -504,3 +517,38 @@ def test_winnowing_aligned_join_is_df_capped_hash_join(spark, sf_small):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "Window" in plan, plan
+
+
+def test_ewma_segmented_has_no_per_key_full_history_window(spark, sf_small):
+    """The giant-partition hazard win_ewma_segmented exists to remove is
+    a Window partitioned by the key ALONE over the raw event stream —
+    which formats as partition list `[user_id#N]` with sort list
+    `[ts#M ...]`. The segmented plan must contain no such node: every
+    window over raw rows carries the segment in its partition spec, and
+    the only user-only window is the segment-index ranking, whose input
+    is the distinct (user, seg) stream and whose sort column is seg.
+    (The measured cost of the forbidden shape: 2.7x wall on the
+    skew100x rung, SCALE.md round-7.)"""
+    import re
+
+    df = sparkflow.QUERIES["win_ewma_segmented"](spark, sf_small)
+    plan = formatted_plan(df)
+    bad = re.findall(r"\], \[user_id#\d+L?\], \[ts#", plan)
+    assert not bad, plan[:2000]
+    # the bounded windows are really there: raw-stream windows partition
+    # on (user_id, seg) / (user_id, d_seg); the index window sorts by seg
+    assert re.search(r"\], \[user_id#\d+L?, (?:d_)?seg#\d+L?\], \[ts#", plan), (
+        plan[:2000]
+    )
+    assert re.search(r"\], \[user_id#\d+L?\], \[seg#\d+L? ASC", plan), plan[:2000]
+
+
+def test_containment_blocking_is_equi_join_no_allpairs(spark, sf_small):
+    """llm_dedup_containment's only pairwise step must be the rare-gram
+    posting-list equi-self-join (Σ df² <= cap · Σ df) — no cartesian or
+    nested-loop node anywhere, which is what an all-pairs containment
+    check would plan as."""
+    df = sparkflow.QUERIES["llm_dedup_containment"](spark, sf_small)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan

@@ -278,6 +278,57 @@ def test_sort_within_partitions_locality_and_order(spark, sf_small):
         assert key == sorted(key)
 
 
+def test_ewma_segmented_carry_spans_sparse_segments(spark):
+    """win_ewma_segmented's carry must restore lags across MANY sparse
+    and fully-empty hour segments: one row per hour for 12 hours means
+    every lag-k crosses k non-empty segment boundaries, and a burst a
+    day later (17 empty hours in between) checks that empty segments
+    cannot starve the lookback — the dense per-user segment INDEX, not
+    the raw hour number, drives the fan-out. Differential: segmented vs
+    the plain single-partition window on the same frame, bit-identical
+    (sf0.001/sf0.01 coverage comes free via test_oracle_match)."""
+    import datetime as dt
+
+    from pyspark.sql import Window
+
+    from sparkflow.oracle_compat import cents
+    from sparkflow.operators.windows import _ewma_lag_expr, _ewma_segmented
+
+    t0 = dt.datetime(2024, 1, 1, 0, 30, 0)
+    rows = [(1, i, t0 + dt.timedelta(hours=i), 1.25 * (i + 1)) for i in range(12)]
+    burst = dt.datetime(2024, 1, 2, 5, 15, 0)
+    rows += [
+        (1, 100 + i, burst + dt.timedelta(seconds=i), 50.0 + i) for i in range(20)
+    ]
+    rows.append((2, 200, t0, 7.0))  # second user: key isolation
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, value double"
+    )
+
+    got = (
+        _ewma_segmented(ev)
+        .toPandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    want = (
+        ev.select(
+            "user_id",
+            "event_id",
+            (_ewma_lag_expr(cents("value"), w) / 100.0).alias("ewma_value"),
+        )
+        .toPandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+    # the burst's first row really did need the multi-segment carry:
+    # its lag-7 reaches the 5th sparse hourly row
+    assert got.shape[0] == 33
+    assert got["ewma_value"].notna().all()
+
+
 def test_ewma_matches_pandas_recompute(spark, sf_small):
     """Depth-8 truncated EWMA recomputed imperatively in pandas must be
     bit-identical (dyadic weights on integer cents are exact)."""
@@ -514,6 +565,7 @@ def test_code_stale_rule_pinned():
     times = {
         "CORRECTNESS_r04.json": 1000,
         "CORRECTNESS_r06.json": 3000,
+        "CORRECTNESS_r07.json": 2000,     # same commit time as the module
         "sparkflow/llm/dedup.py": 2000,   # newer than r04, older than r06
     }
 
@@ -534,14 +586,16 @@ def test_code_stale_rule_pinned():
         queries = {
             "stale_key": mk("_fake_dedup"),      # attested r4 < code commit
             "fresh_key": mk("_fake_dedup"),      # attested r6 > code commit
+            "same_commit": mk("_fake_dedup"),    # edit + artifact in ONE
+            # commit: the attested run predates the edit -> stale (>=)
             "unattested": mk("_fake_dedup"),     # no round: ignored
             "no_source": mk("_fake_missing"),    # unknown path: not stale
             "no_artifact": mk("_fake_dedup"),    # round with no file time
         }
-        last_round = {"stale_key": 4, "fresh_key": 6, "no_source": 4,
-                      "no_artifact": 5}
+        last_round = {"stale_key": 4, "fresh_key": 6, "same_commit": 7,
+                      "no_source": 4, "no_artifact": 5}
         got = sparkflow._code_stale_keys(queries, last_round, times, root)
-        assert got == {"stale_key"}, got
+        assert got == {"stale_key", "same_commit"}, got
         # git unavailable -> empty times -> nothing stale
         assert sparkflow._code_stale_keys(queries, last_round, {}, root) == set()
     finally:

@@ -209,11 +209,32 @@ def run() -> None:
         if not os.path.isdir(sf_dir):
             print(f"-- {tag}: {sf_dir} missing, skipped")
             continue
-        ops = EV_OPS if not tag.startswith("skew") else ["win_gaps_islands"]
+        # skew rung ops (review r7): win_gaps_islands is skew-IMMUNE by
+        # construction (it windows over distinct (user, day), <=31 rows
+        # per user at any volume — the rung documents that immunity),
+        # while win_ewma windows over RAW events per user, so the hot
+        # user genuinely becomes one ~2M-row sorted window partition on
+        # one core — the giant-partition hazard the r5 verdict asked to
+        # MEASURE rather than argue
+        ops = (EV_OPS if not tag.startswith("skew")
+               else ["win_gaps_islands", "win_ewma", "win_ewma_segmented"])
         for op in ops:
             before = m.snapshot()
             t0 = time.perf_counter()
-            n = QUERIES[op](spark, sf_dir).count()
+            df = QUERIES[op](spark, sf_dir)
+            if op.startswith("win_ewma"):
+                # count() alone lets Catalyst PRUNE a row-preserving
+                # window entirely (no shuffle, no sort — measured 0.8 s
+                # / zero shuffle for 10M rows before this fix); force
+                # the computed column so the per-user sort actually runs
+                from pyspark.sql import functions as F
+
+                row = df.agg(
+                    F.count(F.lit(1)), F.sum("ewma_value")
+                ).first()
+                n = row[0]
+            else:
+                n = df.count()
             wall = time.perf_counter() - t0
             d = {k: v - before[k] for k, v in m.snapshot().items()}
             print(f"{op:18s} {tag:>8s} {n:10d} {wall:7.1f}s "
@@ -239,10 +260,14 @@ def ab_prefilter() -> None:
 
     spark = get_spark("ab-prefilter")
     spark.sparkContext.setLogLevel("ERROR")
-    want = os.environ.get("SPARK_LADDER_SCALES", "1x,10x,100x").split(",")
-    for sf_dir, tag in [("/root/testdata/sf0.01", "1x"), (DST10, "10x"),
+    # rung labels name the corpus (review r7): run()'s '1x' is sf0.1,
+    # but the cheap prefilter sanity rung here is sf0.01 — labeling it
+    # '1x' invited cross-mode comparisons off by 10x
+    want = os.environ.get("SPARK_LADDER_SCALES", "sf0.01,10x,100x").split(",")
+    for sf_dir, tag in [("/root/testdata/sf0.01", "sf0.01"), (DST10, "10x"),
                         (DST, "100x")]:
-        if tag not in want or not os.path.isdir(sf_dir):
+        if (tag not in want and tag.replace("sf0.01", "1x") not in want) \
+                or not os.path.isdir(sf_dir):
             continue
         n_off = _near_pairs_plan(spark, sf_dir, length_prefilter=False,
                                  verify_input_only=True).count()
