@@ -390,38 +390,78 @@ def win_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Keys with at least this many rows take the segmented path; everyone
+# else keeps the plain single-shuffle window (whose partition size is
+# then BOUNDED by this constant). Semantic no-op: both paths compute
+# the identical dyadic arithmetic, so the threshold only moves cost.
+_SEG_HOT_ROWS = 200_000
+
+
 @register("win_ewma_segmented", oracle=_EWMA_ORACLE)
 def win_ewma_segmented(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """win_ewma with NO giant window partition: the skew-rung answer.
+    """win_ewma with a BOUNDED worst-case window partition: the
+    skew-rung answer, in the measured hybrid form.
 
     win_ewma partitions its window by user_id alone, so a hot key's
     entire history becomes ONE sorted partition on one core — measured
     on the skew100x rung (SCALE.md round-7): a user holding 2M of 10M
-    rows costs a 2.7× wall degradation with 31 cores idle. Because the
-    operator is the DEPTH-8 TRUNCATED EWMA, each output row depends on
-    only its 7 predecessors, so the per-key history never needs to be
-    co-resident: this variant windows over (user_id, segment) — segment
-    = hour bucket of ts — and restores cross-boundary lags by carrying
-    each segment's last ≤7 rows into the following segments.
+    rows costs a 2.7× wall straggler with 31 cores idle, and the curve
+    is linear in the hot key's size (a 100M-row key stalls the stage
+    outright). Because the operator is the DEPTH-8 TRUNCATED EWMA, each
+    output row depends on only its 7 predecessors, so a hot key's
+    history never needs to be co-resident: rows of HOT keys (per-key
+    row count >= _SEG_HOT_ROWS, from a map-side-combined count) are
+    windowed over (user_id, hour-segment) with each segment's last <=7
+    rows carried to the following segments; everyone else keeps the
+    plain single-shuffle window, now bounded at _SEG_HOT_ROWS rows per
+    partition. The hot-key list is tiny by construction (<= n_rows /
+    threshold keys) and broadcasts to split the stream without a
+    shuffle.
 
-    Carry sufficiency: the 7 global predecessors of any segment's rows
-    span at most the 7 previous NON-EMPTY segments (each contributes
-    min(count, 7) ≥ 1 tail rows), so candidates = tails fanned to the
-    next 7 segment INDICES (dense per-user rank of non-empty segments,
-    so sparse/empty hours cannot starve the lookback), re-ranked per
-    destination to the true last 7. Carry rows are flagged, used only
-    as lag context, and dropped from the output.
+    WHY HYBRID, not segment-everything: the first (segment-all) form
+    was measured 3.5× SLOWER than the straggler it removed (20.8 s vs
+    6.0 s at skew100x, 3.9 G shuffle, 3.6 G spill) — for the ~150k
+    SPARSE keys (~53 rows spread over 720 hours) nearly every row is
+    the last of its segment, so the "bounded" last-7 tail stream was
+    the whole table and the ×7 carry fan-out amplified it further.
+    Segmentation only pays on keys dense enough to have many rows per
+    segment — exactly the keys the threshold selects. (SCALE.md
+    round-7 carries both measurements.)
 
-    Cost shape at scale: two full-data exchanges (the distinct-segment
-    map's partial agg, and the final (user, seg) window) versus
-    win_ewma's one — plus tail-stream machinery bounded at 7 rows per
-    (user, segment). Every partition is bounded by one key's busiest
-    hour, so the straggler disappears and the plan survives a 100M-row
-    key that would stall (or spill-kill) the single-partition form. The
-    same result to the last bit: identical dyadic arithmetic via
-    _ewma_lag_expr, hence the SAME oracle text as win_ewma."""
+    Carry sufficiency on the hot path: the 7 global predecessors of any
+    segment's rows span at most the 7 previous NON-EMPTY segments (each
+    contributes min(count, 7) >= 1 tail rows), so candidates = tails
+    fanned to the next 7 segment INDICES (dense per-user rank of
+    non-empty segments — sparse/empty hours cannot starve the
+    lookback), re-ranked per destination to the true last 7. Carry rows
+    are flagged, used only as lag context, and dropped from the output.
+    Same result to the last bit on both paths: identical dyadic
+    arithmetic via _ewma_lag_expr, hence the SAME oracle text as
+    win_ewma."""
     ev = table(spark, sf_dir, "events")
-    return _ewma_segmented(ev)
+    return _ewma_hybrid(ev, hot_rows=_SEG_HOT_ROWS)
+
+
+def _ewma_hybrid(
+    ev: DataFrame, hot_rows: int, seg_seconds: int = 3600
+) -> DataFrame:
+    """Split by per-key row count: segmented windows for keys with
+    >= hot_rows rows, the plain bounded window for the rest (see
+    win_ewma_segmented). hot_rows is a parameter so tests can force
+    both paths on small frames."""
+    counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_rows"))
+    hot = counts.filter(F.col("n_rows") >= hot_rows).select("user_id")
+    cold = ev.join(F.broadcast(hot), "user_id", "left_anti")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    plain = cold.select(
+        "user_id",
+        "event_id",
+        (_ewma_lag_expr(cents("value"), w) / 100.0).alias("ewma_value"),
+    )
+    segd = _ewma_segmented(
+        ev.join(F.broadcast(hot), "user_id"), seg_seconds=seg_seconds
+    )
+    return plain.unionByName(segd)
 
 
 def _ewma_segmented(ev: DataFrame, seg_seconds: int = 3600) -> DataFrame:

@@ -519,28 +519,33 @@ def test_winnowing_aligned_join_is_df_capped_hash_join(spark, sf_small):
     assert "Window" in plan, plan
 
 
-def test_ewma_segmented_has_no_per_key_full_history_window(spark, sf_small):
-    """The giant-partition hazard win_ewma_segmented exists to remove is
-    a Window partitioned by the key ALONE over the raw event stream —
-    which formats as partition list `[user_id#N]` with sort list
-    `[ts#M ...]`. The segmented plan must contain no such node: every
-    window over raw rows carries the segment in its partition spec, and
-    the only user-only window is the segment-index ranking, whose input
-    is the distinct (user, seg) stream and whose sort column is seg.
-    (The measured cost of the forbidden shape: 2.7x wall on the
-    skew100x rung, SCALE.md round-7.)"""
+def test_ewma_segmented_bounds_every_window_partition(spark, sf_small):
+    """win_ewma_segmented's contract is that NO window partition can
+    exceed _SEG_HOT_ROWS rows. In the plan that means: exactly ONE
+    user-only window over raw rows (the cold path — its input passed a
+    broadcast LeftAnti against the hot-key list, so its partitions are
+    bounded by the threshold), with every other raw-stream window
+    partitioned on (user_id, seg)/(user_id, d_seg) — bounded by one
+    key's busiest hour — and the hot/cold split done by BROADCAST
+    joins, never a shuffle. A second user-only raw window, or a
+    shuffle-planned split join, is a regression to the measured 2.7x
+    straggler (SCALE.md round-7)."""
     import re
 
     df = sparkflow.QUERIES["win_ewma_segmented"](spark, sf_small)
     plan = formatted_plan(df)
-    bad = re.findall(r"\], \[user_id#\d+L?\], \[ts#", plan)
-    assert not bad, plan[:2000]
-    # the bounded windows are really there: raw-stream windows partition
-    # on (user_id, seg) / (user_id, d_seg); the index window sorts by seg
+    raw_user_windows = re.findall(r"\], \[user_id#\d+L?\], \[ts#", plan)
+    assert len(raw_user_windows) == 1, plan[:2000]
+    # the segmented windows are really there: raw-stream windows on
+    # (user_id, seg) / (user_id, d_seg); the index window sorts by seg
     assert re.search(r"\], \[user_id#\d+L?, (?:d_)?seg#\d+L?\], \[ts#", plan), (
         plan[:2000]
     )
     assert re.search(r"\], \[user_id#\d+L?\], \[seg#\d+L? ASC", plan), plan[:2000]
+    # hot/cold split: broadcast anti + broadcast semi-shaped equi join
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "LeftAnti" in plan, plan[:2000]
+    assert "SortMergeJoin" not in plan, plan[:2000]
 
 
 def test_containment_blocking_is_equi_join_no_allpairs(spark, sf_small):

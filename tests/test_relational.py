@@ -328,6 +328,18 @@ def test_ewma_segmented_carry_spans_sparse_segments(spark):
     assert got.shape[0] == 33
     assert got["ewma_value"].notna().all()
 
+    # hybrid with a tiny threshold: user 1 (32 rows) goes segmented,
+    # user 2 (1 row) stays on the plain path — same bits either way
+    from sparkflow.operators.windows import _ewma_hybrid
+
+    hyb = (
+        _ewma_hybrid(ev, hot_rows=10)
+        .toPandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(hyb, want)
+
 
 def test_ewma_matches_pandas_recompute(spark, sf_small):
     """Depth-8 truncated EWMA recomputed imperatively in pandas must be

@@ -85,24 +85,28 @@ def gen() -> None:
     print(f"embeddings: {len(base)} -> {len(base) * REPLICAS} rows")
 
 
-def gen_skew() -> None:
-    """Skewed-events rung: the 100x events table with 20% of all rows
-    (event_id % 5 == 0) remapped to ONE hot user. win_gaps_islands
+def gen_skew(pct: int = 20) -> None:
+    """Skewed-events rung: the 100x events table with pct% of all rows
+    (by event_id modulus) remapped to ONE hot user. win_gaps_islands
     partitions its window by user_id, so the hot user becomes a single
-    2M-row sorted partition on one core — the giant-partition hazard the
-    r5 verdict asked to measure instead of argue."""
+    sorted partition on one core — the giant-partition hazard the r5
+    verdict asked to measure instead of argue. pct=20 writes the
+    standard skew100x rung; other values write
+    /tmp/sparkflow_skew<pct> (the r7 hybrid-EWMA crossover study
+    measures pct=80, where the hot key holds 8M of 10M rows)."""
     src_dir = DST100_EV if os.path.isdir(DST100_EV) else DST10
-    os.makedirs(SKEW, exist_ok=True)
+    dst = SKEW if pct == 20 else f"/tmp/sparkflow_skew{pct}"
+    os.makedirs(dst, exist_ok=True)
     src = pq.read_table(f"{src_dir}/events.parquet")
     df = src.to_pandas()
-    hot = df["event_id"] % 5 == 0
+    hot = (df["event_id"] % 100) < pct
     df.loc[hot, "user_id"] = 0
     pq.write_table(
         pa.Table.from_pandas(df, schema=src.schema, preserve_index=False),
-        f"{SKEW}/events.parquet",
+        f"{dst}/events.parquet",
         row_group_size=250_000,
     )
-    print(f"skew events ({src_dir}): {len(df)} rows, "
+    print(f"skew events ({src_dir} -> {dst}): {len(df)} rows, "
           f"{int(hot.sum())} on the hot user")
 
 
@@ -304,7 +308,7 @@ if __name__ == "__main__":
     if mode == "gen":
         gen()
     elif mode == "gen_skew":
-        gen_skew()
+        gen_skew(int(sys.argv[2]) if len(sys.argv) > 2 else 20)
     elif mode == "run":
         run()
     elif mode == "ab_prefilter":
