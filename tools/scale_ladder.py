@@ -43,7 +43,8 @@ DST = "/tmp/sparkflow_scale100x"
 DST100_EV = "/tmp/sparkflow_sf10"
 SKEW = "/tmp/sparkflow_skew100x"
 REPLICAS = 100
-OPS = ["llm_dedup_near", "llm_dedup_clusters", "llm_semdedup"]
+OPS = ["llm_dedup_near", "llm_dedup_clusters", "llm_semdedup",
+       "llm_dedup_containment"]
 # round-7 extension (r5 verdict item 7): window + graph families, whose
 # superlinear risks are a giant per-user window partition and the
 # Σ out-deg² wedge bound — argued in docstrings, measured here
