@@ -580,6 +580,95 @@ def llm_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BPE_MERGES = 12  # trainer rounds (config: production runs 10k-100k)
+
+
+@register("llm_bpe_train")  # iterative argmax loop — not SQL-expressible;
+# pytest replays a pure-Python reference trainer and asserts the merge
+# list is identical (rows-only driver check, like llm_kmeans)
+def llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full BPE tokenizer TRAINING (Sennrich 2016 shape), the iterative
+    extension of llm_bpe_pair_counts' single round: K times, count
+    corpus-weighted adjacent symbol pairs, take the argmax pair
+    (deterministic tie-break: count desc, then lexicographic), and
+    merge its non-overlapping occurrences left-to-right in every word.
+
+    What makes this trainable at 100 TB: the corpus is touched ONCE
+    (word counts); every round after runs over the DISTINCT-word symbol
+    table — vocabulary-sized, not corpus-sized — exactly the
+    pre-aggregation production BPE trainers use. Per round: one
+    vocab-bounded pair aggregation (adjacent pairs via two slices +
+    arrays_zip, no per-element lambda on the hot count path), one
+    driver fetch of a single argmax row (bounded: one row per round),
+    and one merge rewrite via F.aggregate — a higher-order fold that IS
+    per-element interpreted, which is acceptable only because the table
+    it runs on is the vocabulary. localCheckpoint per round keeps the
+    lineage flat (the same bounded-iteration posture as
+    llm_dedup_clusters / llm_kmeans). The greedy left-to-right merge
+    needs no overlap flag: a merged symbol is the concatenated string,
+    which can never equal the pair's left element it replaced, so
+    'aaa' under (a,a) folds to [aa, a] exactly as the reference
+    implementation does.
+
+    Output: one row per learned merge (merge_rank, left, right, merged,
+    pair_count). Early-stops when no pair reaches count 2."""
+    d = table(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.length("tok") >= 1)
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    vocab = words.select(
+        F.split("tok", "(?!^)(?=.)").alias("syms"), "freq"
+    ).localCheckpoint()
+    merges = []
+    for rank in range(_BPE_MERGES):
+        n = F.size("syms")
+        pairs = (
+            vocab.filter(n >= 2)
+            .select(
+                "freq",
+                F.explode(
+                    F.arrays_zip(
+                        F.slice("syms", F.lit(1), n - 1).alias("a"),
+                        F.slice("syms", F.lit(2), n - 1).alias("b"),
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("freq").cast("bigint").alias("pair_count"))
+        )
+        best = (
+            pairs.filter(F.col("pair_count") >= 2)
+            .orderBy(F.desc("pair_count"), F.asc("a"), F.asc("b"))
+            .first()
+        )
+        if best is None:
+            break
+        a, b, cnt = best["a"], best["b"], int(best["pair_count"])
+        merges.append((rank, a, b, a + b, cnt))
+        fold = F.aggregate(
+            F.col("syms"),
+            F.array().cast("array<string>"),
+            lambda acc, x: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(a))
+                & (x == F.lit(b)),
+                F.concat(
+                    F.slice(acc, F.lit(1), F.size(acc) - 1),
+                    F.array(F.lit(a + b)),
+                ),
+            ).otherwise(F.concat(acc, F.array(x))),
+        )
+        vocab = vocab.select(fold.alias("syms"), "freq").localCheckpoint()
+    return spark.createDataFrame(
+        merges,
+        "merge_rank INT, left STRING, right STRING, merged STRING, "
+        "pair_count BIGINT",
+    )
+
+
 @register(
     "llm_unigram_surprise",
     oracle="""

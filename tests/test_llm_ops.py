@@ -663,3 +663,55 @@ def test_containment_catches_embedded_excerpt_jaccard_misses(spark):
     na, nb = int(rows["n_inner"].iloc[0]), int(rows["n_outer"].iloc[0])
     assert na / nb < _JACCARD_MIN  # the Jaccard-family blind spot
     assert not ((got["inner_id"] == 3) | (got["outer_id"] == 3)).any()
+
+
+def test_bpe_train_matches_reference_replay(spark, sf_small):
+    """llm_bpe_train has no SQL oracle (iterative argmax loop), so the
+    correctness bar is an exact merge-list replay: a pure-Python BPE
+    trainer with the same contract — word-frequency preaggregation,
+    corpus-weighted adjacent pair counts, argmax with (count desc,
+    left, right) tie-break, greedy left-to-right non-overlapping merge,
+    min count 2 — must produce the IDENTICAL list. Plus the analytic
+    invariant: the winning pair count is non-increasing over rounds
+    (each merge only removes occurrences or creates pairs bounded by
+    the merged pair's own count)."""
+    import collections
+
+    import pandas as pd
+
+    got = [
+        (r["merge_rank"], r["left"], r["right"], r["merged"], r["pair_count"])
+        for r in sparkflow.QUERIES["llm_bpe_train"](spark, sf_small).collect()
+    ]
+
+    docs = pd.read_parquet(f"{sf_small}/documents.parquet")
+    freq = collections.Counter()
+    for t in docs["text"]:
+        for w in t.split(" "):
+            if len(w) >= 1:
+                freq[w] += 1
+    items = [(list(w), c) for w, c in freq.items()]
+    merges = []
+    for rank in range(12):
+        pc = collections.Counter()
+        for syms, c in items:
+            for x, y in zip(syms, syms[1:]):
+                pc[(x, y)] += c
+        cands = [(p, n) for p, n in pc.items() if n >= 2]
+        if not cands:
+            break
+        (a, b), n = min(cands, key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        merges.append((rank, a, b, a + b, n))
+        for i, (syms, c) in enumerate(items):
+            acc = []
+            for x in syms:
+                if acc and acc[-1] == a and x == b:
+                    acc[-1] = a + b
+                else:
+                    acc.append(x)
+            items[i] = (acc, c)
+
+    assert got == merges, (got, merges)
+    counts = [m[4] for m in got]
+    assert counts == sorted(counts, reverse=True)
+    assert len(got) == 12  # this corpus doesn't exhaust pairs in 12 rounds
