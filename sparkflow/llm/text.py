@@ -583,6 +583,28 @@ def llm_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_MERGES = 12  # trainer rounds (config: production runs 10k-100k)
 
 
+def _bpe_merge_fold(syms, a: str, b: str):
+    """Greedy left-to-right merge of adjacent (a, b) into a+b over a
+    symbol array — the single definition both the trainer and the
+    encoder fold with, so train and apply can never disagree on merge
+    semantics. No overlap flag needed: the merged symbol is the
+    concatenated string, which cannot equal the left element it
+    replaced, so 'aaa' under (a, a) folds to [aa, a]."""
+    return F.aggregate(
+        syms,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(a))
+            & (x == F.lit(b)),
+            F.concat(
+                F.slice(acc, F.lit(1), F.size(acc) - 1),
+                F.array(F.lit(a + b)),
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
 @register("llm_bpe_train")  # iterative argmax loop — not SQL-expressible;
 # pytest replays a pure-Python reference trainer and asserts the merge
 # list is identical (rows-only driver check, like llm_kmeans)
@@ -611,7 +633,12 @@ def llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     implementation does.
 
     Output: one row per learned merge (merge_rank, left, right, merged,
-    pair_count). Early-stops when no pair reaches count 2."""
+    pair_count). Early-stops when no pair reaches count 2.
+
+    No SQL oracle (rows-only): the per-round argmax + rewrite loop is
+    not expressible as one DuckDB statement; pytest instead replays a
+    pure-Python reference trainer and asserts the merge list is
+    IDENTICAL (test_llm_ops.test_bpe_train_matches_reference_replay)."""
     d = table(spark, sf_dir, "documents")
     words = (
         d.select(F.explode(F.split("text", " ")).alias("tok"))
@@ -648,24 +675,62 @@ def llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
         a, b, cnt = best["a"], best["b"], int(best["pair_count"])
         merges.append((rank, a, b, a + b, cnt))
-        fold = F.aggregate(
-            F.col("syms"),
-            F.array().cast("array<string>"),
-            lambda acc, x: F.when(
-                (F.size(acc) > 0)
-                & (F.element_at(acc, -1) == F.lit(a))
-                & (x == F.lit(b)),
-                F.concat(
-                    F.slice(acc, F.lit(1), F.size(acc) - 1),
-                    F.array(F.lit(a + b)),
-                ),
-            ).otherwise(F.concat(acc, F.array(x))),
-        )
+        fold = _bpe_merge_fold(F.col("syms"), a, b)
         vocab = vocab.select(fold.alias("syms"), "freq").localCheckpoint()
     return spark.createDataFrame(
         merges,
         "merge_rank INT, left STRING, right STRING, merged STRING, "
         "pair_count BIGINT",
+    )
+
+
+@register("llm_bpe_encode")  # rows-only: depends on the trained merge
+# list (see llm_bpe_train); pytest replays reference train+encode
+def llm_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the llm_bpe_train merge list to the corpus — the ENCODE
+    step of the tokenizer lifecycle, giving per-document token counts
+    under the learned vocabulary (what a data pipeline actually bills
+    by). Vocab-bounded like the trainer: the merge list (K rows) is
+    collected driver-side and folded in rank order over the DISTINCT
+    word table via the same _bpe_merge_fold the trainer used (one
+    definition, so train/apply cannot disagree on merge semantics);
+    per-word encoded lengths then join back to the corpus token stream
+    — the corpus itself is never rewritten.
+
+    Output: doc_id, n_words, n_tokens (post-merge symbols), saved
+    (chars-minus-tokens, the compression the tokenizer bought).
+
+    No SQL oracle (rows-only): the encode depends on the iteratively
+    learned merge list; pytest replays a pure-Python reference
+    train+encode and asserts identical per-doc counts
+    (test_llm_ops.test_bpe_encode_matches_reference_replay)."""
+    merges = [
+        (r["left"], r["right"])
+        for r in llm_bpe_train(spark, sf_dir).collect()
+    ]
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).filter(F.length("tok") >= 1)
+    enc = toks.select("tok").distinct().select(
+        "tok", F.split("tok", "(?!^)(?=.)").alias("syms")
+    )
+    for a, b in merges:
+        enc = enc.select("tok", _bpe_merge_fold(F.col("syms"), a, b).alias("syms"))
+    enc = enc.select("tok", F.size("syms").alias("n_sym"))
+    # join strategy left to AQE: the encoded vocab is corpus-bounded
+    # but not always broadcastable (a 100 TB crawl's word-type table
+    # can reach 10^8 rows); AQE broadcasts it when it measures small
+    return (
+        toks.join(enc, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("n_sym").cast("bigint").alias("n_tokens"),
+            (F.sum(F.length("tok")) - F.sum("n_sym"))
+            .cast("bigint")
+            .alias("saved"),
+        )
     )
 
 

@@ -715,3 +715,73 @@ def test_bpe_train_matches_reference_replay(spark, sf_small):
     counts = [m[4] for m in got]
     assert counts == sorted(counts, reverse=True)
     assert len(got) == 12  # this corpus doesn't exhaust pairs in 12 rounds
+
+
+def test_bpe_encode_matches_reference_replay(spark, sf_small):
+    """llm_bpe_encode (rows-only, like the trainer it applies): a
+    pure-Python replay of train-then-encode must produce identical
+    per-doc (n_words, n_tokens, saved) — plus the sandwich invariant
+    n_words <= n_tokens <= total word chars for every doc."""
+    import collections
+
+    import pandas as pd
+
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_tokens"], r["saved"])
+        for r in sparkflow.QUERIES["llm_bpe_encode"](spark, sf_small).collect()
+    }
+
+    docs = pd.read_parquet(f"{sf_small}/documents.parquet")
+    freq = collections.Counter()
+    for t in docs["text"]:
+        for w in t.split(" "):
+            if len(w) >= 1:
+                freq[w] += 1
+    items = [(list(w), c) for w, c in freq.items()]
+    merges = []
+    for _ in range(12):
+        pc = collections.Counter()
+        for syms, c in items:
+            for x, y in zip(syms, syms[1:]):
+                pc[(x, y)] += c
+        cands = [(p, n) for p, n in pc.items() if n >= 2]
+        if not cands:
+            break
+        (a, b), _n = min(cands, key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        merges.append((a, b))
+        for i, (syms, c) in enumerate(items):
+            acc = []
+            for x in syms:
+                if acc and acc[-1] == a and x == b:
+                    acc[-1] = a + b
+                else:
+                    acc.append(x)
+            items[i] = (acc, c)
+
+    def encode_len(word):
+        syms = list(word)
+        for a, b in merges:
+            acc = []
+            for x in syms:
+                if acc and acc[-1] == a and x == b:
+                    acc[-1] = a + b
+                else:
+                    acc.append(x)
+            syms = acc
+        return len(syms)
+
+    enc_cache = {}
+    want = {}
+    for doc_id, t in zip(docs["doc_id"], docs["text"]):
+        words = [w for w in t.split(" ") if len(w) >= 1]
+        n_tok = 0
+        n_chars = 0
+        for w in words:
+            if w not in enc_cache:
+                enc_cache[w] = encode_len(w)
+            n_tok += enc_cache[w]
+            n_chars += len(w)
+        want[int(doc_id)] = (len(words), n_tok, n_chars - n_tok)
+    assert got == want
+    for n_words, n_tokens, saved in got.values():
+        assert n_words <= n_tokens <= n_tokens + saved

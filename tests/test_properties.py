@@ -176,3 +176,124 @@ def test_binned_band_join_equals_naive(band_secs):
         .sort_index()
     )
     assert (naive == binned).all()
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),          # user
+            st.integers(min_value=0, max_value=3_000_000),  # ts offset (s)
+            st.integers(min_value=0, max_value=1_000_000),  # cents value
+        ),
+        min_size=1,
+        max_size=50,
+    ),
+    st.integers(min_value=1, max_value=20),                 # hot threshold
+    st.sampled_from([60, 3600, 86400]),                     # segment width
+)
+def test_ewma_hybrid_equals_plain_any_segmentation(rows, hot_rows, seg_seconds):
+    """win_ewma_segmented's hybrid must be BIT-identical to the plain
+    single-partition window for any event layout, any hot-key
+    threshold (so any hot/cold split), and any segment width — minute
+    segments force deep multi-segment carries, day segments force the
+    dense in-segment path; the threshold sweep moves whole users
+    between the two code paths. This is the fuzzed generalization of
+    the hand-built sparse-frame case in test_relational."""
+    import datetime as dt
+
+    import pandas as pd
+    from pyspark.sql import Window
+
+    from sparkflow.operators.windows import _ewma_hybrid, _ewma_lag_expr
+
+    spark = _get_spark()
+    base_ts = dt.datetime(2024, 1, 1)
+    data = [
+        (u, i, base_ts + dt.timedelta(seconds=off), c / 100.0)
+        for i, (u, off, c) in enumerate(rows)
+    ]
+    ev = spark.createDataFrame(
+        data, "user_id long, event_id long, ts timestamp, value double"
+    )
+    got = (
+        _ewma_hybrid(ev, hot_rows=hot_rows, seg_seconds=seg_seconds)
+        .toPandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    want = (
+        ev.select(
+            "user_id",
+            "event_id",
+            (_ewma_lag_expr(cents("value"), w) / 100.0).alias("ewma_value"),
+        )
+        .toPandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="ab ", min_size=0, max_size=40),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_containment_matches_set_reference(texts):
+    """_containment_pairs must equal a transparent set-algebra reference
+    implementing the same contract (8-gram sets, df<=cap rare-gram
+    blocking, smaller-set-as-inner with lower-id tie-break, containment
+    >= threshold) on arbitrary tiny corpora — the 3-char alphabet makes
+    gram collisions, duplicate docs, sub-gram-length docs, and boundary
+    containments all reachable. (Rounding note: ni/n for n<=33 can
+    never land exactly on a 5e-7 boundary as a double, so half-up
+    F.round and Python round agree.)"""
+    import collections
+
+    from sparkflow.llm.dedup import (
+        _CONTAIN_DF_CAP,
+        _CONTAIN_GRAM,
+        _CONTAIN_MIN,
+        _containment_pairs,
+    )
+
+    spark = _get_spark()
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        (r["inner_id"], r["outer_id"]): (
+            r["n_inner"],
+            r["n_outer"],
+            r["containment"],
+        )
+        for r in _containment_pairs(docs).collect()
+    }
+
+    k = _CONTAIN_GRAM
+    grams = {
+        i: {t[j : j + k] for j in range(len(t) - k + 1)}
+        for i, t in enumerate(texts)
+        if len(t) >= k
+    }
+    df = collections.Counter(g for s in grams.values() for g in s)
+    rare = {g for g, c in df.items() if c <= _CONTAIN_DF_CAP}
+    want = {}
+    for a in grams:
+        for b in grams:
+            if a < b and (grams[a] & grams[b] & rare):
+                ia, ib = (a, b) if len(grams[a]) <= len(grams[b]) else (b, a)
+                ni = len(grams[ia] & grams[ib])
+                c = ni / len(grams[ia])
+                if c >= _CONTAIN_MIN:
+                    want[(ia, ib)] = (
+                        len(grams[ia]),
+                        len(grams[ib]),
+                        round(c, 6),
+                    )
+    assert got == want
