@@ -442,30 +442,64 @@ def win_ewma_segmented(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ewma_hybrid(ev, hot_rows=_SEG_HOT_ROWS)
 
 
-def _ewma_hybrid(
-    ev: DataFrame, hot_rows: int, seg_seconds: int = 3600
+# ---- Bounded-lookback segmented windows (generic combinator) ----------
+#
+# ANY window whose frame reaches back at most k rows (lags up to k, a
+# ROWS BETWEEN -k AND CURRENT ROW frame, ...) admits the same hot-key
+# rewrite: segment the key's stream by a coarse ordering bucket, carry
+# each segment's last <=k rows into the following segments as context,
+# window within (key, segment), drop the carry rows. win_ewma_segmented
+# (k=7) and win_rolling_median_segmented (k=4) are instantiations; the
+# machinery, its carry-sufficiency argument, and the hybrid hot/cold
+# split live here once.
+
+
+def _hybrid_lookback(
+    ev: DataFrame,
+    lookback: int,
+    mk_expr,
+    out_name: str,
+    hot_rows: int,
+    seg_seconds: int = 3600,
 ) -> DataFrame:
     """Split by per-key row count: segmented windows for keys with
-    >= hot_rows rows, the plain bounded window for the rest (see
-    win_ewma_segmented). hot_rows is a parameter so tests can force
-    both paths on small frames."""
+    >= hot_rows rows, the plain (now threshold-bounded) window for the
+    rest. mk_expr(window_spec) -> Column computes the operator's value
+    over rows (user_id, event_id, ts, v=cents) — the SAME callable
+    feeds both paths, so they cannot diverge. hot_rows is a parameter
+    so tests can force both paths on small frames."""
     counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_rows"))
     hot = counts.filter(F.col("n_rows") >= hot_rows).select("user_id")
     cold = ev.join(F.broadcast(hot), "user_id", "left_anti")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     plain = cold.select(
-        "user_id",
-        "event_id",
-        (_ewma_lag_expr(cents("value"), w) / 100.0).alias("ewma_value"),
-    )
-    segd = _ewma_segmented(
-        ev.join(F.broadcast(hot), "user_id"), seg_seconds=seg_seconds
+        "user_id", "event_id", "ts", cents("value").alias("v")
+    ).select("user_id", "event_id", mk_expr(w).alias(out_name))
+    segd = _segmented_lookback(
+        ev.join(F.broadcast(hot), "user_id"),
+        lookback,
+        mk_expr,
+        out_name,
+        seg_seconds=seg_seconds,
     )
     return plain.unionByName(segd)
 
 
-def _ewma_segmented(ev: DataFrame, seg_seconds: int = 3600) -> DataFrame:
-    """Core of win_ewma_segmented (see its docstring)."""
+def _segmented_lookback(
+    ev: DataFrame,
+    lookback: int,
+    mk_expr,
+    out_name: str,
+    seg_seconds: int = 3600,
+) -> DataFrame:
+    """Segment-and-carry core (see win_ewma_segmented's docstring for
+    the design and measurements). Carry sufficiency for any lookback k:
+    the k global predecessors of a segment's rows span at most the k
+    previous NON-EMPTY segments (each contributes min(count, k) >= 1
+    tail rows), so fanning tails to the next k segment INDICES and
+    re-ranking to the true last k per destination restores exactly the
+    frame content the plain window would have seen."""
+    k = lookback
     base = ev.select(
         "user_id",
         "event_id",
@@ -479,24 +513,24 @@ def _ewma_segmented(ev: DataFrame, seg_seconds: int = 3600) -> DataFrame:
     segs = base.select("user_id", "seg").distinct()
     w_idx = Window.partitionBy("user_id").orderBy("seg")
     segs = segs.withColumn("idx", F.row_number().over(w_idx))
-    # each segment's last <=7 rows (within-segment window: bounded)
+    # each segment's last <=k rows (within-segment window: bounded)
     w_tail = Window.partitionBy("user_id", "seg").orderBy(
         F.desc("ts"), F.desc("event_id")
     )
     tails = (
         base.withColumn("r", F.row_number().over(w_tail))
-        .filter(F.col("r") <= 7)
+        .filter(F.col("r") <= k)
         .drop("r")
         .join(segs, ["user_id", "seg"])
     )
-    # fan tails to the next 7 non-empty segment indices, keep only
-    # indices that exist, re-rank to the true last 7 per destination
+    # fan tails to the next k non-empty segment indices, keep only
+    # indices that exist, re-rank to the true last k per destination
     dests = segs.select(
         "user_id", F.col("seg").alias("d_seg"), F.col("idx").alias("d_idx")
     )
     cand = (
         tails.withColumn(
-            "d_idx", F.explode(F.sequence(F.col("idx") + 1, F.col("idx") + 7))
+            "d_idx", F.explode(F.sequence(F.col("idx") + 1, F.col("idx") + k))
         )
         .drop("seg", "idx")
         .join(dests, ["user_id", "d_idx"])
@@ -506,7 +540,7 @@ def _ewma_segmented(ev: DataFrame, seg_seconds: int = 3600) -> DataFrame:
     )
     carry = (
         cand.withColumn("r", F.row_number().over(w_pick))
-        .filter(F.col("r") <= 7)
+        .filter(F.col("r") <= k)
         .select(
             "user_id",
             "event_id",
@@ -521,17 +555,37 @@ def _ewma_segmented(ev: DataFrame, seg_seconds: int = 3600) -> DataFrame:
     # rows (seg is monotone in ts at second granularity, and ordering
     # ties break on the unique event_id)
     w = Window.partitionBy("user_id", "seg").orderBy("ts", "event_id")
-    expr = _ewma_lag_expr(F.col("v"), w)
     return (
-        un.withColumn("ewma_value", expr / 100.0)
+        un.withColumn(out_name, mk_expr(w))
         .filter(F.col("is_carry") == 0)
-        .select("user_id", "event_id", "ewma_value")
+        .select("user_id", "event_id", out_name)
     )
 
 
-@register(
-    "win_rolling_median",
-    oracle="""
+def _ewma_expr(w) -> "F.Column":
+    """win_ewma's value as a function of the (ordered) window spec —
+    the mk_expr instantiation both EWMA forms share."""
+    return _ewma_lag_expr(F.col("v"), w) / 100.0
+
+
+def _ewma_hybrid(
+    ev: DataFrame, hot_rows: int, seg_seconds: int = 3600
+) -> DataFrame:
+    """win_ewma_segmented's core: the k=7 instantiation."""
+    return _hybrid_lookback(
+        ev, 7, _ewma_expr, "ewma_value", hot_rows, seg_seconds
+    )
+
+
+def _ewma_segmented(ev: DataFrame, seg_seconds: int = 3600) -> DataFrame:
+    """Segment-everything EWMA — kept for tests that exercise the carry
+    machinery directly (the registered operator is the hybrid)."""
+    return _segmented_lookback(ev, 7, _ewma_expr, "ewma_value", seg_seconds)
+
+
+# Shared by win_rolling_median and win_rolling_median_segmented (same
+# single-oracle posture as _EWMA_ORACLE)
+_ROLLING_MEDIAN_ORACLE = """
     WITH c AS (
       SELECT user_id, event_id, ts,
              CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v
@@ -551,8 +605,27 @@ def _ewma_segmented(ev: DataFrame, seg_seconds: int = 3600) -> DataFrame:
                 ELSE CAST(vs[len(vs) // 2] + vs[len(vs) // 2 + 1] AS DOUBLE)
                      / 200.0 END AS rolling_median
     FROM fr
-    """,
-)
+    """
+
+
+def _rolling_median_expr(w) -> "F.Column":
+    """Median of the last-5-rows frame over cents column v, as a
+    function of the (ordered) window spec — one definition for the
+    plain and segmented forms (k=4 lookback: 4 PRECEDING + CURRENT)."""
+    vs = F.array_sort(F.collect_list(F.col("v")).over(w.rowsBetween(-4, 0)))
+    n = F.size(vs)
+    odd = F.element_at(vs, ((n + 1) / 2).cast("int")).cast("double") / 100.0
+    even = (
+        (
+            F.element_at(vs, (n / 2).cast("int"))
+            + F.element_at(vs, (n / 2).cast("int") + 1)
+        ).cast("double")
+        / 200.0
+    )
+    return F.when(n % 2 == 1, odd).otherwise(even)
+
+
+@register("win_rolling_median", oracle=_ROLLING_MEDIAN_ORACLE)
 def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling median of the last 5 values per user — the robust
     (outlier-proof) twin of win_sliding_rows' moving average. Spark
@@ -563,25 +636,29 @@ def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     average two cents values exactly, so both engines emit identical
     doubles."""
     ev = table(spark, sf_dir, "events")
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(-4, Window.currentRow)
-    )
-    vs = F.array_sort(F.collect_list(cents("value")).over(w))
-    n = F.size(vs)
-    odd = F.element_at(vs, ((n + 1) / 2).cast("int")).cast("double") / 100.0
-    even = (
-        (
-            F.element_at(vs, (n / 2).cast("int"))
-            + F.element_at(vs, (n / 2).cast("int") + 1)
-        ).cast("double")
-        / 200.0
-    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     return ev.select(
+        "user_id", "event_id", "ts", cents("value").alias("v")
+    ).select(
         "user_id",
         "event_id",
-        F.when(n % 2 == 1, odd).otherwise(even).alias("rolling_median"),
+        _rolling_median_expr(w).alias("rolling_median"),
+    )
+
+
+@register("win_rolling_median_segmented", oracle=_ROLLING_MEDIAN_ORACLE)
+def win_rolling_median_segmented(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """win_rolling_median under hot-key skew: the k=4 instantiation of
+    the bounded-lookback hybrid (see win_ewma_segmented for the design,
+    the measured segment-all failure, and the crossover numbers — this
+    operator exists because the combinator generalizes: ANY frame
+    reaching back at most k rows gets the same rewrite, and the rolling
+    median's 4-PRECEDING frame is the second proof point). Same bits as
+    win_rolling_median via the shared _rolling_median_expr, hence the
+    same oracle text."""
+    ev = table(spark, sf_dir, "events")
+    return _hybrid_lookback(
+        ev, 4, _rolling_median_expr, "rolling_median", _SEG_HOT_ROWS
     )
 
 

@@ -519,20 +519,27 @@ def test_winnowing_aligned_join_is_df_capped_hash_join(spark, sf_small):
     assert "Window" in plan, plan
 
 
-def test_ewma_segmented_bounds_every_window_partition(spark, sf_small):
-    """win_ewma_segmented's contract is that NO window partition can
-    exceed _SEG_HOT_ROWS rows. In the plan that means: exactly ONE
-    user-only window over raw rows (the cold path — its input passed a
-    broadcast LeftAnti against the hot-key list, so its partitions are
-    bounded by the threshold), with every other raw-stream window
-    partitioned on (user_id, seg)/(user_id, d_seg) — bounded by one
-    key's busiest hour — and the hot/cold split done by BROADCAST
-    joins, never a shuffle. A second user-only raw window, or a
-    shuffle-planned split join, is a regression to the measured 2.7x
-    straggler (SCALE.md round-7)."""
+import pytest
+
+
+@pytest.mark.parametrize(
+    "key", ["win_ewma_segmented", "win_rolling_median_segmented"]
+)
+def test_segmented_ops_bound_every_window_partition(spark, sf_small, key):
+    """The bounded-lookback hybrids' contract is that NO window
+    partition can exceed _SEG_HOT_ROWS rows. In the plan that means:
+    exactly ONE user-only window over raw rows (the cold path — its
+    input passed a broadcast LeftAnti against the hot-key list, so its
+    partitions are bounded by the threshold), with every other
+    raw-stream window partitioned on (user_id, seg)/(user_id, d_seg) —
+    bounded by one key's busiest hour — and the hot/cold split done by
+    BROADCAST joins, never a shuffle. A second user-only raw window, or
+    a shuffle-planned split join, is a regression to the measured 2.7x
+    straggler (SCALE.md round-7). Parameterized over both combinator
+    instantiations (k=7 EWMA, k=4 rolling median)."""
     import re
 
-    df = sparkflow.QUERIES["win_ewma_segmented"](spark, sf_small)
+    df = sparkflow.QUERIES[key](spark, sf_small)
     plan = formatted_plan(df)
     raw_user_windows = re.findall(r"\], \[user_id#\d+L?\], \[ts#", plan)
     assert len(raw_user_windows) == 1, plan[:2000]

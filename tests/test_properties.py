@@ -235,6 +235,34 @@ def test_ewma_hybrid_equals_plain_any_segmentation(rows, hot_rows, seg_seconds):
     )
     pd.testing.assert_frame_equal(got, want)
 
+    # second combinator instantiation (k=4 rolling median), same frames
+    from sparkflow.operators.windows import (
+        _hybrid_lookback,
+        _rolling_median_expr,
+    )
+
+    got_m = (
+        _hybrid_lookback(
+            ev, 4, _rolling_median_expr, "rolling_median",
+            hot_rows=hot_rows, seg_seconds=seg_seconds,
+        )
+        .toPandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    want_m = (
+        ev.select("user_id", "event_id", "ts", cents("value").alias("v"))
+        .select(
+            "user_id",
+            "event_id",
+            _rolling_median_expr(w).alias("rolling_median"),
+        )
+        .toPandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got_m, want_m)
+
 
 @settings(max_examples=5, deadline=None)
 @given(
