@@ -160,6 +160,61 @@ def stateful_counter_stream(spark: SparkSession, files_dir: str, sf_dir: str) ->
 
 
 # ---------------------------------------------------------------------------
+# Streaming EWMA — O(1) keyed state, the third giant-key answer
+# ---------------------------------------------------------------------------
+
+
+def _ewma_fn(
+    key: Tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """True-streaming depth-8 EWMA: per-key state is a COUNT plus the
+    last <=7 cents values (most-recent first) — O(1) state regardless
+    of stream length. This is the third answer to the giant-key window
+    hazard measured in SCALE.md round-7: the plain window co-residents
+    the key's history, the bounded-lookback hybrid segments it, and
+    this twin never materializes it at all. The arithmetic replays
+    win_ewma's exact left-to-right dyadic chain on integer cents, so
+    the stream is BIT-identical to the batch operator (the equality
+    test asserts exactly that, across micro-batch boundaries)."""
+    vals = list(state.get) if state.exists else [0] * 8
+    n_prev, lags = vals[0], vals[1:]
+    chunks = [p for p in pdf_iter if len(p)]
+    if not chunks:
+        return
+    pdf = pd.concat(chunks).sort_values(["ts", "event_id"])
+    cents = (pdf["value"].to_numpy() * 100).round().astype("int64")
+    out = []
+    for v in cents:
+        acc = float(v) * 0.5
+        for k in range(1, 8):
+            lag = lags[k - 1] if n_prev >= k else 0
+            acc = acc + float(lag) * (0.5 ** (k + 1))
+        out.append(acc / 100.0)
+        lags = [int(v)] + lags[:6]
+        n_prev = min(n_prev + 1, 7)
+    state.update(tuple([int(n_prev)] + [int(x) for x in lags]))
+    yield pd.DataFrame(
+        {"event_id": pdf["event_id"].to_numpy(), "ewma_value": out}
+    )
+
+
+def ewma_stream(spark: SparkSession, files_dir: str, sf_dir: str) -> DataFrame:
+    """True-streaming twin of `win_ewma` (and of the win_ewma_segmented
+    hybrid, which computes the same function)."""
+    ev = _events_stream(spark, files_dir, sf_dir)
+    return ev.groupBy("user_id").applyInPandasWithState(
+        _ewma_fn,
+        outputStructType="event_id BIGINT, ewma_value DOUBLE",
+        stateStructType=(
+            "n BIGINT, l1 BIGINT, l2 BIGINT, l3 BIGINT,"
+            " l4 BIGINT, l5 BIGINT, l6 BIGINT, l7 BIGINT"
+        ),
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# ---------------------------------------------------------------------------
 # CEP funnel — carried-state NFA (view → click → purchase within 24h)
 # ---------------------------------------------------------------------------
 

@@ -1071,3 +1071,24 @@ def test_checkpoint_rejects_incompatible_state_schema(
         )
     msg = str(ei.value).lower()
     assert "state" in msg and ("schema" in msg or "incompatible" in msg), msg
+
+
+def test_streaming_ewma_matches_batch_window(spark, stream_dir, sf_small):
+    """The O(1)-state streaming EWMA must be BIT-identical to the batch
+    window operator across micro-batch boundaries — the state carries
+    exactly the last 7 cents values per key, and the dyadic arithmetic
+    replays win_ewma's chain, so equality is exact, not tolerance."""
+    got = (
+        _collect(spark, stateful.ewma_stream(spark, stream_dir, sf_small), "t_ewma")
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    want = (
+        sparkflow.QUERIES["win_ewma"](spark, sf_small)
+        .toPandas()[["event_id", "ewma_value"]]
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[["event_id", "ewma_value"]], want, check_dtype=False
+    )
