@@ -71,6 +71,70 @@ BENCH_QUERIES = {
     "embeddings_knn": sparkflow.QUERIES["llm_knn_cosine"],
 }
 
+# ---------------------------------------------------------------------------
+# Load-aware recording (VERDICT r7 finding #2): BENCH_r07 was recorded
+# under ~3x dispatch-floor load (59.1 ms vs the 19.6 ms idle best) and
+# posted a criterion-violating 2.5x suite number even though no plan had
+# changed. The ledger must never again silently record a co-tenant-loaded
+# window as if it measured the plans: the floor is measured BEFORE the
+# suite, the run waits for an idle window (bounded retries), and the
+# emitted JSON carries a `loaded_window` flag computed against the best
+# historical idle floor so a loaded record is self-describing.
+# ---------------------------------------------------------------------------
+
+# Best idle dispatch floor ever measured on this box (r4, BASELINE.md
+# "Per-query floor") — the fallback when no BENCH_r*.json history exists.
+_IDLE_FLOOR_FALLBACK_SEC = 0.0196
+# A window whose floor exceeds this multiple of the best recorded idle
+# floor is co-tenant-loaded: per-query times are floor-dominated and the
+# nominal suite number measures the machine, not the plans.
+_LOADED_FLOOR_RATIO = 2.0
+
+
+def best_idle_floor(root: str | None = None) -> float:
+    """The smallest dispatch_floor_sec across all committed BENCH_r*.json
+    records (each is a real measurement of this harness on this box), or
+    the r4 constant when no parsable history exists. min() is correct —
+    the gate asks 'how fast is this path when nothing else runs', and
+    any historical record is an upper bound on that."""
+    import glob
+
+    if root is None:
+        root = os.path.dirname(os.path.abspath(__file__))
+    floors = []
+    for path in glob.glob(os.path.join(root, "BENCH_r*.json")):
+        try:
+            with open(path) as fh:
+                rec = json.load(fh)
+            f = rec.get("parsed", rec).get("dispatch_floor_sec")
+            if isinstance(f, (int, float)) and f > 0:
+                floors.append(float(f))
+        except (OSError, ValueError, AttributeError):
+            continue
+    floors.append(_IDLE_FLOOR_FALLBACK_SEC)
+    return min(floors)
+
+
+def is_loaded_window(floor_sec: float, idle_floor_sec: float) -> bool:
+    """True when a measured dispatch floor says the window is co-tenant
+    loaded (floor > _LOADED_FLOOR_RATIO x the best idle floor)."""
+    return floor_sec > _LOADED_FLOOR_RATIO * idle_floor_sec
+
+
+def measure_floor(spark, n: int = 5) -> float:
+    """Median warm time of the cheapest possible query (10-row range, no
+    I/O, no shuffle, one task) through the SAME prepared-plan + Arrow
+    toPandas path every bench query uses — pure harness + scheduler
+    cost (BASELINE.md 'Per-query floor')."""
+    fdf = spark.range(10).select(F.col("id"))
+    fdf.toPandas()  # warm
+    ts = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        fdf.toPandas()
+        ts.append(time.perf_counter() - t0)
+    return statistics.median(ts)
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -87,6 +151,18 @@ def main() -> None:
     spark = get_spark("sparkflow-bench", shuffle_partitions=8)
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.sparkContext.setLogLevel("ERROR")
+
+    # Wait for an idle window before measuring anything (bounded): a
+    # loaded window floor-dominates every sub-100 ms query and posts a
+    # machine-load number as if it were a plan number.
+    idle_floor = best_idle_floor()
+    max_waits = int(os.environ.get("SPARK_GRAFT_BENCH_WAITS", "6"))
+    floor_pre = measure_floor(spark)
+    waits = 0
+    while is_loaded_window(floor_pre, idle_floor) and waits < max_waits:
+        time.sleep(10)
+        waits += 1
+        floor_pre = measure_floor(spark)
 
     results: dict[str, float] = {}
     for name, fn in BENCH_QUERIES.items():
@@ -105,21 +181,17 @@ def main() -> None:
             times.append(time.perf_counter() - t0)
         results[name] = round(statistics.median(times), 4)
 
-    # Measured harness floor: the cheapest possible query (a 10-row
-    # range, no I/O, no shuffle) through the SAME prepared-plan +
-    # toPandas path. Any bench query within ~a few ms of this number is
-    # at the dispatch floor — its ratio vs an in-process engine measures
-    # the harness, not the plan (BASELINE.md "Per-query floor").
-    fdf = spark.range(10).select(F.col("id"))
-    fdf.toPandas()
-    floor_times = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        fdf.toPandas()
-        floor_times.append(time.perf_counter() - t0)
+    # Re-measure the harness floor AFTER the suite: the value used for
+    # exec_ms subtraction and the loaded_window flag describes the same
+    # window the queries ran in (load arriving mid-run shows up here).
+    floor_post = measure_floor(spark)
 
     total = round(sum(results.values()), 4)
-    floor = round(statistics.median(floor_times), 4)
+    # dispatch_floor_sec keeps its r4-r7 definition (post-suite measure,
+    # drives exec_ms subtraction); the loaded flag is conservative and
+    # fires if EITHER end of the window was loaded.
+    floor = round(floor_post, 4)
+    loaded = is_loaded_window(max(floor_pre, floor_post), idle_floor)
     # Self-describing under load (VERDICT r4 item 6): each query's
     # floor-subtracted execution time. The dispatch floor (py4j RPC +
     # Arrow fetch + scheduler latency per collected query) is a
@@ -141,6 +213,14 @@ def main() -> None:
                 "sf": sf,
                 "dispatch_floor_sec": floor,
                 "exec_ms_minus_floor": exec_ms,
+                # load-aware ledger (VERDICT r7 #2): True means this
+                # window's floor exceeded 2x the best recorded idle
+                # floor — the nominal numbers measure co-tenant load,
+                # not plans; re-measure idle before reading them.
+                "loaded_window": loaded,
+                "floor_pre_sec": round(floor_pre, 4),
+                "best_idle_floor_sec": round(idle_floor, 4),
+                "idle_waits": waits,
             }
         )
     )

@@ -136,11 +136,18 @@ def _rotate_never_attested() -> None:
 
 
 def _git_last_change_times(root: str | None = None) -> dict:
-    """repo-relative path -> unix time of the NEWEST commit touching it,
-    from one `git log --name-only` walk (newest-first, so the first
-    sighting of a path wins). {} when git is unavailable or errors —
-    callers must degrade to round-age-only ordering, never raise at
-    import time."""
+    """repo-relative path -> TOPOLOGICAL recency rank (larger = newer)
+    of the newest commit touching it, from one `git log --topo-order
+    --name-only` walk (newest-first, so the first sighting of a path
+    wins). Ranks, not commit timestamps (advice r7): %ct is not monotone
+    with ancestry — a rebased/cherry-picked change carrying an older
+    author clock than the attesting artifact's commit would be
+    classified fresh and skip re-attestation. Topo order guarantees a
+    descendant always outranks its ancestors; incomparable commits
+    (parallel branches) resolve arbitrarily-but-conservatively within
+    the coarse module-level staleness this feeds. {} when git is
+    unavailable or errors — callers must degrade to round-age-only
+    ordering, never raise at import time."""
     import os
     import subprocess
 
@@ -148,7 +155,8 @@ def _git_last_change_times(root: str | None = None) -> dict:
         root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     try:
         out = subprocess.run(
-            ["git", "-C", root, "log", "--format=%x01%ct", "--name-only"],
+            ["git", "-C", root, "log", "--topo-order",
+             "--format=%x01", "--name-only"],
             capture_output=True, text=True, timeout=20,
         )
     except Exception:
@@ -156,15 +164,12 @@ def _git_last_change_times(root: str | None = None) -> dict:
     if out.returncode != 0:
         return {}
     times: dict = {}
-    ct = None
+    rank = 0  # newest commit = 0, each older commit more negative
     for ln in out.stdout.splitlines():
         if ln.startswith("\x01"):
-            try:
-                ct = int(ln[1:])
-            except ValueError:
-                ct = None
-        elif ln and ct is not None:
-            times.setdefault(ln, ct)
+            rank -= 1
+        elif ln:
+            times.setdefault(ln, rank)
     return times
 
 
@@ -187,11 +192,14 @@ def _impl_relpath(fn, root: str) -> str | None:
 
 def _code_stale_keys(queries: dict, last_round: dict, file_times: dict,
                      root: str) -> set:
-    """Attested keys whose implementing MODULE has a commit newer than
-    the commit of the CORRECTNESS artifact that last attested them.
-    Module granularity is deliberately coarse-conservative: an unrelated
-    change to a shared module re-fronts every key it implements (extra
-    re-attestation, never a missed one)."""
+    """Attested keys whose implementing MODULE has a commit
+    topologically newer than (or equal to) the commit of the
+    CORRECTNESS artifact that last attested them. `file_times` maps
+    path -> recency value where LARGER = NEWER — topo ranks from
+    _git_last_change_times (not wall-clock timestamps, which rebases
+    break). Module granularity is deliberately coarse-conservative: an
+    unrelated change to a shared module re-fronts every key it
+    implements (extra re-attestation, never a missed one)."""
     stale = set()
     for key, fn in queries.items():
         rnd = last_round.get(key)

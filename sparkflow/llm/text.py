@@ -568,7 +568,10 @@ def llm_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     chars = words.filter(F.length("tok") >= 2).select(
         "tok",
         "freq",
-        F.posexplode(F.split(F.col("tok"), "(?!^)(?=.)")).alias("pos", "c1"),
+        # (?s) DOTALL: Java '.' excludes line terminators, so without it
+        # a token containing \n keeps the terminator glued to the prior
+        # char — diverging from the oracle's substr() per-char walk
+        F.posexplode(F.split(F.col("tok"), "(?s)(?!^)(?=.)")).alias("pos", "c1"),
     )
     w = Window.partitionBy("tok").orderBy("pos")
     pairs = (
@@ -581,6 +584,31 @@ def llm_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _BPE_MERGES = 12  # trainer rounds (config: production runs 10k-100k)
+
+# Learned merge lists memoized per (session, sf_dir) — the same pattern
+# as similarity._HN_QUERY_CACHE: llm_bpe_encode (and repeated plan
+# builds / explain dumps of it) must not re-run the K-round trainer
+# job chain every time. Entries are tiny (K<=12 string pairs) and are
+# evicted when the owning session is GC'd.
+_BPE_MERGE_CACHE: dict = {}
+
+
+def _bpe_merges_for(spark: SparkSession, sf_dir: str) -> list:
+    import weakref
+
+    memo_key = (id(spark), sf_dir.rstrip("/"))
+    hit = _BPE_MERGE_CACHE.get(memo_key)
+    if hit is not None and hit[0]() is spark:
+        return hit[1]
+    merges = [
+        (r["left"], r["right"])
+        for r in llm_bpe_train(spark, sf_dir).collect()
+    ]
+    _BPE_MERGE_CACHE[memo_key] = (
+        weakref.ref(spark, lambda _, k=memo_key: _BPE_MERGE_CACHE.pop(k, None)),
+        merges,
+    )
+    return merges
 
 
 def _bpe_merge_fold(syms, a: str, b: str):
@@ -647,7 +675,7 @@ def llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("freq"))
     )
     vocab = words.select(
-        F.split("tok", "(?!^)(?=.)").alias("syms"), "freq"
+        F.split("tok", "(?s)(?!^)(?=.)").alias("syms"), "freq"
     ).localCheckpoint()
     merges = []
     for rank in range(_BPE_MERGES):
@@ -704,16 +732,13 @@ def llm_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     learned merge list; pytest replays a pure-Python reference
     train+encode and asserts identical per-doc counts
     (test_llm_ops.test_bpe_encode_matches_reference_replay)."""
-    merges = [
-        (r["left"], r["right"])
-        for r in llm_bpe_train(spark, sf_dir).collect()
-    ]
+    merges = _bpe_merges_for(spark, sf_dir)
     d = table(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id", F.explode(F.split("text", " ")).alias("tok")
     ).filter(F.length("tok") >= 1)
     enc = toks.select("tok").distinct().select(
-        "tok", F.split("tok", "(?!^)(?=.)").alias("syms")
+        "tok", F.split("tok", "(?s)(?!^)(?=.)").alias("syms")
     )
     for a, b in merges:
         enc = enc.select("tok", _bpe_merge_fold(F.col("syms"), a, b).alias("syms"))

@@ -470,13 +470,20 @@ def _hybrid_lookback(
     so tests can force both paths on small frames."""
     counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_rows"))
     hot = counts.filter(F.col("n_rows") >= hot_rows).select("user_id")
-    cold = ev.join(F.broadcast(hot), "user_id", "left_anti")
+    # No forced broadcast on the hot list (advice r7): its size bound is
+    # n_rows/hot_rows KEYS — at the 100 TB scale this operator targets
+    # (~10^12 rows) that is ~10^7-10^8 keys, past broadcastable, so a
+    # mandatory hint would fail exactly in the regime the hybrid exists
+    # for. AQE measures the list at runtime and broadcasts it when (and
+    # only when) it is actually small; otherwise both sides already
+    # shuffle on user_id, which the downstream window reuses.
+    cold = ev.join(hot, "user_id", "left_anti")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     plain = cold.select(
         "user_id", "event_id", "ts", cents("value").alias("v")
     ).select("user_id", "event_id", mk_expr(w).alias(out_name))
     segd = _segmented_lookback(
-        ev.join(F.broadcast(hot), "user_id"),
+        ev.join(hot, "user_id"),
         lookback,
         mk_expr,
         out_name,

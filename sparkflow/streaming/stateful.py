@@ -34,6 +34,7 @@ import os
 import shutil
 from typing import Any, Iterator, Tuple
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -136,7 +137,9 @@ def _counter_fn(
         return
     pdf = pd.concat(chunks).sort_values("event_id")
     counts = cnt + pd.RangeIndex(1, len(pdf) + 1).to_numpy()
-    cents = cents0 + (pdf["value"].to_numpy() * 100).round().astype("int64").cumsum()
+    # floor(x*100+0.5): replay the batch cents() half-up quantization
+    # exactly — numpy .round() is half-to-even and diverges on .5 mids.
+    cents = cents0 + np.floor(pdf["value"].to_numpy() * 100 + 0.5).astype("int64").cumsum()
     state.update((int(counts[-1]), int(cents[-1])))
     yield pd.DataFrame(
         {
@@ -182,7 +185,8 @@ def _ewma_fn(
     if not chunks:
         return
     pdf = pd.concat(chunks).sort_values(["ts", "event_id"])
-    cents = (pdf["value"].to_numpy() * 100).round().astype("int64")
+    # half-up like the batch operator's cents(), not numpy half-to-even
+    cents = np.floor(pdf["value"].to_numpy() * 100 + 0.5).astype("int64")
     out = []
     for v in cents:
         acc = float(v) * 0.5
@@ -421,7 +425,11 @@ if HAS_PROTOBUF:  # pragma: no cover - environment lacks protobuf
             pdf = pd.concat(list(rows)).sort_values("event_id")
             cnt, cents0 = self._state.get() if self._state.exists() else (0, 0)
             counts = cnt + pd.RangeIndex(1, len(pdf) + 1).to_numpy()
-            cents = cents0 + (pdf["value"].to_numpy() * 100).round().astype("int64").cumsum()
+            # floor(x*100+0.5): replay the batch cents() half-up
+            # quantization exactly (numpy .round() is half-to-even)
+            cents = cents0 + np.floor(
+                pdf["value"].to_numpy() * 100 + 0.5
+            ).astype("int64").cumsum()
             self._state.update((int(counts[-1]), int(cents[-1])))
             yield pd.DataFrame(
                 {
@@ -585,7 +593,8 @@ def _gap_fill_fn(
     # the watermarked timer formulation).
     pdf = pd.concat(chunks).sort_values(["ts", "event_id"])
     ts = _ts_us(pdf["ts"]).to_numpy()
-    vals = (pdf["value"].to_numpy() * 100).round().astype("int64")
+    # half-up like the batch operator's cents(), not numpy half-to-even
+    vals = np.floor(pdf["value"].to_numpy() * 100 + 0.5).astype("int64")
     for t, v in zip(ts, vals):
         h = (t // _HOUR_US) * _HOUR_US
         if cur_hour is not None and h < cur_hour:

@@ -1,0 +1,56 @@
+"""Load-aware BENCH recording (VERDICT r7 finding #2).
+
+BENCH_r07 was recorded in a ~3x-loaded window and posted a
+criterion-violating suite number with no plan change. bench.py now (a)
+waits for an idle window before measuring, and (b) stamps every record
+with `loaded_window`, computed against the best historical idle floor.
+These tests pin the gate arithmetic and the history scan — pure driver
+logic, no SparkSession needed.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import bench
+
+
+def test_loaded_window_predicate_is_2x_best_idle():
+    assert not bench.is_loaded_window(0.019, 0.0196)
+    assert not bench.is_loaded_window(0.0392, 0.0196)  # exactly 2x: not loaded
+    assert bench.is_loaded_window(0.0393, 0.0196)
+    # the r7 incident: 59.1 ms floor vs 19.6 ms idle best -> loaded
+    assert bench.is_loaded_window(0.0591, 0.0196)
+
+
+def test_best_idle_floor_is_min_over_history(tmp_path):
+    for n, floor in ((4, 0.0196), (6, 0.032), (7, 0.0591)):
+        (tmp_path / f"BENCH_r{n:02d}.json").write_text(
+            json.dumps({"parsed": {"dispatch_floor_sec": floor}})
+        )
+    assert bench.best_idle_floor(str(tmp_path)) == 0.0196
+
+
+def test_best_idle_floor_ignores_garbage_and_falls_back(tmp_path):
+    (tmp_path / "BENCH_r01.json").write_text("not json")
+    (tmp_path / "BENCH_r02.json").write_text(json.dumps({"parsed": {}}))
+    (tmp_path / "BENCH_r03.json").write_text(
+        json.dumps({"parsed": {"dispatch_floor_sec": -1}})
+    )
+    assert bench.best_idle_floor(str(tmp_path)) == bench._IDLE_FLOOR_FALLBACK_SEC
+    # a record below the fallback wins (a better idle window was seen)
+    (tmp_path / "BENCH_r04.json").write_text(
+        json.dumps({"parsed": {"dispatch_floor_sec": 0.015}})
+    )
+    assert bench.best_idle_floor(str(tmp_path)) == 0.015
+
+
+def test_repo_history_yields_a_sane_gate():
+    """On the real repo history the gate must reproduce the r7 verdict:
+    the r7 floor (59.1 ms) reads as loaded, the r4 floor does not."""
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    idle = bench.best_idle_floor(root)
+    assert 0.0 < idle <= 0.0196
+    assert bench.is_loaded_window(0.0591, idle)
+    assert not bench.is_loaded_window(idle, idle)

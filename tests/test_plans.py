@@ -529,14 +529,23 @@ def test_segmented_ops_bound_every_window_partition(spark, sf_small, key):
     """The bounded-lookback hybrids' contract is that NO window
     partition can exceed _SEG_HOT_ROWS rows. In the plan that means:
     exactly ONE user-only window over raw rows (the cold path — its
-    input passed a broadcast LeftAnti against the hot-key list, so its
-    partitions are bounded by the threshold), with every other
-    raw-stream window partitioned on (user_id, seg)/(user_id, d_seg) —
-    bounded by one key's busiest hour — and the hot/cold split done by
-    BROADCAST joins, never a shuffle. A second user-only raw window, or
-    a shuffle-planned split join, is a regression to the measured 2.7x
-    straggler (SCALE.md round-7). Parameterized over both combinator
-    instantiations (k=7 EWMA, k=4 rolling median)."""
+    input passed a LeftAnti against the hot-key list, so its partitions
+    are bounded by the threshold), with every other raw-stream window
+    partitioned on (user_id, seg)/(user_id, d_seg) — bounded by one
+    key's busiest hour. A second user-only raw window is a regression
+    to the measured 2.7x straggler (SCALE.md round-7). Parameterized
+    over both combinator instantiations (k=7 EWMA, k=4 rolling median).
+
+    The split joins carry NO static broadcast hint (advice r7): the
+    hot-key list's size bound is n_rows/hot_rows KEYS — past
+    broadcastable at the 100 TB target, where a forced broadcast would
+    fail exactly in the regime the hybrid exists for. AQE broadcasts it
+    at runtime when it measures small (at sf_small it goes further and
+    ELIMINATES the empty hot side entirely, so no static join-strategy
+    node can be pinned here); statically the split must plan as equi
+    joins on user_id — never a cartesian/nested-loop — and the ev-side
+    shuffles they induce are on user_id, which the downstream windows
+    reuse."""
     import re
 
     df = sparkflow.QUERIES[key](spark, sf_small)
@@ -549,10 +558,11 @@ def test_segmented_ops_bound_every_window_partition(spark, sf_small, key):
         plan[:2000]
     )
     assert re.search(r"\], \[user_id#\d+L?\], \[seg#\d+L? ASC", plan), plan[:2000]
-    # hot/cold split: broadcast anti + broadcast semi-shaped equi join
-    assert "BroadcastHashJoin" in plan, plan[:2000]
+    # hot/cold split: keyed equi joins only, one anti (cold) + one semi-
+    # shaped inner (hot) — a cartesian/BNLJ here would be an all-pairs bug
     assert "LeftAnti" in plan, plan[:2000]
-    assert "SortMergeJoin" not in plan, plan[:2000]
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
 
 
 def test_containment_blocking_is_equi_join_no_allpairs(spark, sf_small):
