@@ -409,6 +409,41 @@ def join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.lateralJoin(top).select("o_orderkey", "top_linenumber", "top_price")
 
 
+def _bucketed_table(
+    spark: SparkSession, sf_dir: str, tname: str, key: str, n_buckets: int = 8
+) -> DataFrame:
+    """Register-once bucketed copy of a fixture table (bucketBy(n, key)
+    .sortBy(key)) and return a scan of it. Shared by join_bucketed and
+    join_multiway_star_bucketed so two queries over the same (table,
+    key) pay the one-time bucketing write ONCE per session — exactly the
+    amortization story bucketing sells at 100 TB. Data lands under /tmp
+    NAMESPACED BY applicationId: the catalog's tableExists guard is
+    per-session, so two concurrent processes (a pytest run beside a
+    harness run) would otherwise both see "not there yet" and race
+    mode('overwrite') writes onto one directory, corrupting whichever
+    scan is in flight. The registered name is identifier-safe from the
+    sf_dir BASENAME (a previous rsplit('sf', ...) assumed the fixture
+    naming convention and broke on tools/reseed.py's twin corpus)."""
+    import re
+
+    sfkey = re.sub(r"[^A-Za-z0-9_]", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    app_id = spark.sparkContext.applicationId
+    reg = f"sparkflow_bucketed_{tname}_{key}_{sfkey}"
+    if not spark.catalog.tableExists(reg):
+        (
+            table(spark, sf_dir, tname)
+            .write.bucketBy(n_buckets, key)
+            .sortBy(key)
+            .option(
+                "path",
+                f"/tmp/sparkflow_io/bucketed/{app_id}/{tname}_{key}_{sfkey}",
+            )
+            .mode("overwrite")
+            .saveAsTable(reg)
+        )
+    return spark.table(reg)
+
+
 @register(
     "join_bucketed",
     oracle="""
@@ -430,29 +465,10 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     a pytest run beside a harness run) would otherwise both see "not
     there yet" and race mode('overwrite') writes onto one directory,
     corrupting whichever scan is in flight."""
-    # identifier-safe key from the sf_dir BASENAME — the previous
-    # rsplit("sf", ...) assumed the fixture naming convention and
-    # produced an unparseable table name for any other directory
-    # (caught by tools/reseed.py on /tmp/sparkflow_reseed)
-    import re
-
-    sfkey = re.sub(r"[^A-Za-z0-9_]", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
-    app_id = spark.sparkContext.applicationId
-    tables = {}
-    for tname, key in (("lineitem", "l_orderkey"), ("orders", "o_orderkey")):
-        reg = f"sparkflow_bucketed_{tname}_{sfkey}"
-        if not spark.catalog.tableExists(reg):
-            (
-                table(spark, sf_dir, tname)
-                .write.bucketBy(8, key)
-                .sortBy(key)
-                .option("path", f"/tmp/sparkflow_io/bucketed/{app_id}/{tname}_{sfkey}")
-                .mode("overwrite")
-                .saveAsTable(reg)
-            )
-        tables[tname] = spark.table(reg)
-    o = tables["orders"].filter(F.col("o_orderstatus") == "F")
-    li = tables["lineitem"]
+    o = _bucketed_table(spark, sf_dir, "orders", "o_orderkey").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    li = _bucketed_table(spark, sf_dir, "lineitem", "l_orderkey")
     # MERGE hint: at test SF the planner would broadcast instead, which
     # never exercises the buckets; at real fact⋈fact scale SMJ is what it
     # picks anyway — the hint pins the scale-representative plan.
@@ -461,6 +477,73 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderkey", "o_totalprice")
         .agg(F.count(F.lit(1)).alias("n_lines"))
     )
+
+
+@register(
+    "join_multiway_star_bucketed",
+    oracle=f"""
+    SELECT n.n_name AS nation,
+           {sql_rev_sum('revenue', 'l.l_extendedprice', 'l.l_discount')}
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY n.n_name
+    """,
+)
+def join_multiway_star_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship Q5 star (same result and oracle text as
+    join_multiway_star) on PRE-BUCKETED fact tables — the engine's
+    answer to the star join's sf10 gap (VERDICT r7: 8.1× vs DuckDB,
+    decomposed to exchange cost on the fact⋈fact edge; the side
+    experiment in BASELINE.md measured orders⋈lineitem 3.63 s → 1.70 s
+    bucketed, ONE exchange left).
+
+    Plan contract (asserted in tests/test_plans.py): ≤1 shuffle
+    exchange in the whole query — the final group-by. The dominant
+    exchange, lineitem⋈orders (the two largest tables), disappears
+    because both sides are written bucketBy(8, orderkey).sortBy —
+    the sort-merge join reads matching buckets co-located, paid once at
+    write time. Every remaining join side is an explicit broadcast:
+    customer and supplier are O(SF) dims (at 100 TB you would bucket
+    orders+customer on custkey in a second bucket family, or let AQE
+    shuffle just that edge — the orderkey family removes the biggest
+    exchange either way), nation/region are constant-size. The date
+    filter sits on the bucketed orders scan and pushes into its parquet
+    reader; bucketing is preserved under filters, so the merge join
+    still reads buckets directly.
+
+    MERGE hint on the fact edge for the same reason as join_bucketed:
+    at test SF the planner would broadcast the filtered orders side and
+    never exercise the buckets; at real fact⋈fact scale SMJ-over-buckets
+    is what it picks anyway — the hint pins the scale-representative
+    plan."""
+    o = _bucketed_table(spark, sf_dir, "orders", "o_orderkey").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = _bucketed_table(spark, sf_dir, "lineitem", "l_orderkey")
+    customer = table(spark, sf_dir, "customer")
+    supplier = table(spark, sf_dir, "supplier")
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region")
+    joined = (
+        li.hint("merge")
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(customer), o.o_custkey == customer.c_custkey)
+        .join(
+            F.broadcast(supplier),
+            (F.col("l_suppkey") == supplier.s_suppkey)
+            & (F.col("c_nationkey") == supplier.s_nationkey),
+        )
+        .join(F.broadcast(nation), supplier.s_nationkey == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return joined.groupBy(F.col("n_name").alias("nation")).agg(rev_sum("revenue"))
 
 
 @register(

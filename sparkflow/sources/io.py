@@ -463,15 +463,71 @@ def maintenance_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "maintenance_json_materialize",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+           MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE)
+             / COUNT(*) AS k_avg
+    FROM events GROUP BY event_type
+    """,
+)
+def maintenance_json_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parse-once JSON materialization — the production answer to
+    fn_json's engine-level gap (VERDICT r7: DuckDB's yyjson parses the
+    `props` payload ~10× faster per byte than any Spark JSON path, all
+    three measured within 10% of each other; the posture BASELINE.md
+    names is to stop re-parsing per query). ONE maintenance pass
+    rewrites events with `props` parsed into a typed column (from_json
+    at write time, Jackson cost paid once), then every downstream query
+    — here the exact fn_json aggregation — reads the typed column
+    straight off parquet: no JSON in the hot path at all, and the scan
+    prunes to (event_type, k) two columns instead of shipping the whole
+    payload string. At 100 TB this is the difference between paying the
+    parse on every one of N queries and paying it once per ingest; the
+    sf10 A/B lives in SCALE.md (tools/bench_json_materialize.py).
+    Oracle: the same aggregate recomputed from the raw table — content
+    identity proves the rewrite lost nothing. The materialized copy is
+    namespaced by applicationId like every staged fixture here (two
+    concurrent sessions must not race one directory)."""
+    sfkey = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    out = os.path.join(
+        _TMP, "json_mat", spark.sparkContext.applicationId, f"events_{sfkey}"
+    )
+    if not os.path.isdir(out):
+        (
+            table(spark, sf_dir, "events")
+            .withColumn("k", F.from_json("props", "k LONG").getField("k"))
+            .drop("props")
+            .write.mode("overwrite")
+            .parquet(out)
+        )
+    mat = spark.read.parquet(out)
+    return (
+        mat.groupBy("event_type")
+        .agg(
+            F.sum("k").alias("k_sum"),
+            F.max("k").alias("k_max"),
+            (F.sum("k") / F.count(F.lit(1))).alias("k_avg"),
+        )
+    )
+
+
+@register(
     "scan_metadata_columns",
     oracle="""
-    SELECT CASE WHEN event_id < 3000 THEN 'part_a.parquet'
-                WHEN event_id < 7000 THEN 'part_b.parquet'
+    SELECT CASE WHEN event_id < (SELECT MIN(event_id) + 3000 FROM events)
+                  THEN 'part_a.parquet'
+                WHEN event_id < (SELECT MIN(event_id) + 7000 FROM events)
+                  THEN 'part_b.parquet'
                 ELSE 'part_c.parquet' END AS file_name,
            COUNT(*) AS n_rows,
            CAST(MIN(event_id) AS BIGINT) AS min_event_id,
            CAST(MAX(event_id) AS BIGINT) AS max_event_id
-    FROM events GROUP BY 1
+    FROM events
+    WHERE event_id < (SELECT MIN(event_id) + 10000 FROM events)
+    GROUP BY 1
     """,
 )
 def scan_metadata_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -481,7 +537,14 @@ def scan_metadata_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     produced these bad rows'. Staging (fixture setup, not the operator)
     splits events into three deterministically-named files by event_id
     range, so the oracle can re-derive each row's file from the base
-    table alone. The operator reads the directory and aggregates per
+    table alone. The cuts are MIN-ANCHORED absolute ranges (VERDICT r7
+    'What's wrong' #1: the original 0-anchored 3000/7000 cuts collapsed
+    to ONE staged file on the id-offset reseeded twin while staying
+    green against the mirrored oracle — the degenerate-but-green class
+    tools/reseed.py's shrinkage check now flushes) and BOUNDED at
+    lo+10000 rows total regardless of corpus size, so fixture staging
+    stays O(constant) like scan_schema_evolution / scan_json_corrupt.
+    The operator reads the directory and aggregates per
     `_metadata.file_name` — metadata columns are populated by the scan
     itself (constant per split), cost-free at any scale."""
     import pyarrow.parquet as pq
@@ -492,17 +555,19 @@ def scan_metadata_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     if not os.path.isdir(base):
         os.makedirs(base, exist_ok=True)
+        ev = table(spark, sf_dir, "events")
+        lo = ev.agg(F.min("event_id")).first()[0]
         pdf = (
-            table(spark, sf_dir, "events")
+            ev.filter(F.col("event_id") < lo + 10000)
             .select("event_id", "user_id")
             .toPandas()
             .sort_values("event_id")
         )
         import pyarrow as pa
 
-        cuts = {"part_a": pdf.event_id < 3000,
-                "part_b": (pdf.event_id >= 3000) & (pdf.event_id < 7000),
-                "part_c": pdf.event_id >= 7000}
+        cuts = {"part_a": pdf.event_id < lo + 3000,
+                "part_b": (pdf.event_id >= lo + 3000) & (pdf.event_id < lo + 7000),
+                "part_c": pdf.event_id >= lo + 7000}
         for name, mask in cuts.items():
             pq.write_table(
                 pa.Table.from_pandas(pdf[mask], preserve_index=False),

@@ -84,6 +84,27 @@ def test_bucketed_join_has_no_join_shuffle(spark, sf_small):
     assert plan.count("Exchange") <= 1, plan[:800]
 
 
+def test_bucketed_star_single_exchange(spark, sf_small):
+    """join_multiway_star_bucketed's plan contract (VERDICT r7 item 3):
+    the full 6-table Q5 star must plan with AT MOST ONE shuffle exchange
+    — the final group-by. The fact⋈fact edge (lineitem⋈orders, the 8.1×-
+    at-sf10 exchange in the unbucketed flagship) reads co-located
+    buckets through a sort-merge join; every dimension side arrives by
+    broadcast (BroadcastExchange is not a shuffle and is counted out).
+    The date filter must still reach the bucketed orders scan."""
+    import re
+
+    df = sparkflow.QUERIES["join_multiway_star_bucketed"](spark, sf_small)
+    plan = formatted_plan(df)
+    assert "SortMergeJoin" in plan, plan[:1500]
+    # unique shuffle nodes: detail-block headers '(N) Exchange' (each
+    # node also appears in the tree — counting raw lines double-counts)
+    shuffles = re.findall(r"^\(\d+\) Exchange$", plan, re.MULTILINE)
+    assert len(shuffles) <= 1, shuffles
+    assert "BroadcastHashJoin" in plan, plan[:1500]
+    assert "o_orderdate" in "".join(pushed_filters(df)), pushed_filters(df)
+
+
 def test_banded_rank_never_single_partition(spark, sf_small):
     """win_rank_dense_ntile is a banded two-pass rank: the plan must not
     contain a single-partition Exchange (the scale-killer shape of a

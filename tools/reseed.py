@@ -29,7 +29,16 @@ tool flags — is:
   2. DEGENERACY: a query returning 0 rows on the twin while its latest
      driver attestation at sf0.01 had > 0 rows (a cut like
      `event_id < 5000` that mirrors in the oracle and therefore still
-     "matches" while silently selecting nothing).
+     "matches" while silently selecting nothing);
+  3. SHRINKAGE (VERDICT r7 #1): twin output below _SHRINK_RATIO of the
+     attested sf0.01 row count. The 0-row check alone let
+     scan_metadata_columns' absolute 3000/7000 cuts collapse its 3-file
+     lineage to ONE file on the twin (3 rows -> 1 row) while staying
+     EXACT against its mirrored oracle. The twin drops only ~8-9% of
+     leaf rows, so an honest operator's output shrinks mildly (pairwise
+     ops ~17%, sequential patterns ~23%) — a >=50% collapse means a
+     corpus-calibrated constant stopped selecting what it was built to
+     select, even if the mirrored oracle keeps the grade green.
 
 Usage:
   python tools/reseed.py gen    # write /tmp/sparkflow_reseed
@@ -65,6 +74,10 @@ _ENTITIES = {
     "doc": (71_993, [("documents", "doc_id"), ("embeddings", "vec_id")]),
 }
 _COPY_AS_IS = ["region", "nation"]
+# Shrinkage tripwire (docstring item 3): twin output below this fraction
+# of the attested sf0.01 row count flags a corpus-calibrated constant
+# that stopped selecting what it was built to select.
+_SHRINK_RATIO = 0.5
 _TIME_SHIFTS = {  # (table, column) -> pandas Timedelta
     ("orders", "o_orderdate"): pd.Timedelta(days=37),
     ("lineitem", "l_shipdate"): pd.Timedelta(days=37),
@@ -157,6 +170,7 @@ def run() -> None:
 
     n_exact = n_close = n_fail = n_rows_only = 0
     degenerate: list[str] = []
+    shrunk: list[str] = []
     for name in names:
         fn = sparkflow.QUERIES[name]
         t0 = time.time()
@@ -173,6 +187,9 @@ def run() -> None:
         if len(sdf) == 0 and (base or 0) > 0:
             degenerate.append(name)
             degen = f"  DEGENERATE (sf0.01 attested {base} rows)"
+        elif base and len(sdf) < _SHRINK_RATIO * base:
+            shrunk.append(name)
+            degen = f"  SHRUNK ({len(sdf)} rows vs {base} attested at sf0.01)"
         sql = sparkflow.ORACLES.get(name)
         if sql is None:
             print(f"{name:28s} rows-only ({len(sdf)} rows, {dt:.2f}s){degen}")
@@ -194,11 +211,13 @@ def run() -> None:
             n_fail += 1
         print(f"{name:28s} {verdict}  ({len(sdf)} rows, {dt:.2f}s){degen}")
     print(f"\nexact={n_exact} close={n_close} rows_only={n_rows_only} "
-          f"FAIL={n_fail} degenerate={len(degenerate)}")
+          f"FAIL={n_fail} degenerate={len(degenerate)} shrunk={len(shrunk)}")
     if degenerate:
         print("degenerate:", ", ".join(degenerate))
+    if shrunk:
+        print("shrunk:", ", ".join(shrunk))
     spark.stop()
-    sys.exit(1 if (n_fail or degenerate) else 0)
+    sys.exit(1 if (n_fail or degenerate or shrunk) else 0)
 
 
 if __name__ == "__main__":
