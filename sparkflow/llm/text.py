@@ -585,6 +585,92 @@ def llm_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BPE_MERGES = 12  # trainer rounds (config: production runs 10k-100k)
 
+# ---------------------------------------------------------------------------
+# DuckDB oracles for the BPE pair (VERDICT r7 item 5b): the trainer's K
+# rounds are deterministic given the corpus, so they unroll as chained
+# CTEs — the same way graph_pagerank/sql_recursive already oracle their
+# iterations. The key identity making the per-round rewrite expressible
+# in one SQL function: the greedy left-to-right non-overlapping merge of
+# _bpe_merge_fold IS the semantics of SQL replace() on a
+# separator-delimited symbol string. Symbols are joined with a DOUBLE
+# chr(1) boundary and the merge pattern consumes only the INNER half of
+# each boundary (chr(1)·a·chr(1)chr(1)·b·chr(1) -> chr(1)·ab·chr(1)), so
+# back-to-back merges keep their shared outer separator: 'aaaa' under
+# (a,a) folds to [aa, aa], exactly as the fold does, while a symbol that
+# merely ENDS in `a` can never false-match a full-symbol boundary.
+# CTEs are MATERIALIZED: each round's vocab is referenced twice (pair
+# counts + rewrite), and DuckDB's default inlining makes the 12-round
+# chain exponential. chr(1) cannot occur inside a symbol: tokens come
+# from whitespace-split fixture text.
+# ---------------------------------------------------------------------------
+
+_BPE_D = "(chr(1)||chr(1))"  # symbol boundary: double separator
+_BPE_S = "chr(1)"            # inner half of a boundary
+
+
+def _bpe_oracle_rounds(k: int) -> str:
+    """words + v0 + k rounds of (pair-count, argmax, rewrite) CTEs."""
+    parts = [f"""
+words AS (
+  SELECT tok, COUNT(*) AS freq FROM (
+    SELECT UNNEST(string_split(text, ' ')) AS tok FROM documents
+  ) WHERE len(tok) >= 1 GROUP BY tok
+),
+v0 AS MATERIALIZED (
+  SELECT tok, freq,
+         {_BPE_D} || string_agg(substr(tok, i, 1), {_BPE_D} ORDER BY i)
+           || {_BPE_D} AS s
+  FROM words, LATERAL (SELECT UNNEST(range(1, len(tok) + 1)) AS i) t
+  GROUP BY tok, freq
+)"""]
+    for r in range(1, k + 1):
+        parts.append(f"""
+p{r} AS (
+  SELECT l[i] AS a, l[i+1] AS b, CAST(SUM(freq) AS BIGINT) AS cnt
+  FROM (SELECT freq, string_split(s, {_BPE_D}) AS l FROM v{r-1}) w,
+       LATERAL (SELECT UNNEST(range(2, len(w.l) - 1)) AS i) t
+  GROUP BY a, b
+),
+m{r} AS MATERIALIZED (
+  SELECT a, b, cnt FROM p{r} WHERE cnt >= 2
+  ORDER BY cnt DESC, a ASC, b ASC LIMIT 1
+),
+v{r} AS MATERIALIZED (
+  SELECT tok, freq,
+         CASE WHEN m.a IS NULL THEN s
+              ELSE replace(s, {_BPE_S}||m.a||{_BPE_D}||m.b||{_BPE_S},
+                              {_BPE_S}||m.a||m.b||{_BPE_S})
+         END AS s
+  FROM v{r-1} LEFT JOIN m{r} m ON TRUE
+)""")
+    return ",".join(parts)
+
+
+def _bpe_train_oracle(k: int) -> str:
+    finals = "\nUNION ALL\n".join(
+        f'SELECT CAST({r-1} AS INT) AS merge_rank, a AS "left", b AS "right",'
+        f" a||b AS merged, cnt AS pair_count FROM m{r}"
+        for r in range(1, k + 1)
+    )
+    return "WITH " + _bpe_oracle_rounds(k) + "\n" + finals
+
+
+def _bpe_encode_oracle(k: int) -> str:
+    return ("WITH " + _bpe_oracle_rounds(k) + f""",
+toks AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents
+  ) WHERE len(tok) >= 1
+),
+enc AS (SELECT tok, len(string_split(s, {_BPE_D})) - 2 AS n_sym FROM v{k})
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(n_sym) AS BIGINT) AS n_tokens,
+       CAST(SUM(len(tok)) - SUM(n_sym) AS BIGINT) AS saved
+FROM toks JOIN enc USING (tok)
+GROUP BY doc_id""")
+
+
 # Learned merge lists memoized per (session, sf_dir) — the same pattern
 # as similarity._HN_QUERY_CACHE: llm_bpe_encode (and repeated plan
 # builds / explain dumps of it) must not re-run the K-round trainer
@@ -633,9 +719,7 @@ def _bpe_merge_fold(syms, a: str, b: str):
     )
 
 
-@register("llm_bpe_train")  # iterative argmax loop — not SQL-expressible;
-# pytest replays a pure-Python reference trainer and asserts the merge
-# list is identical (rows-only driver check, like llm_kmeans)
+@register("llm_bpe_train", oracle=_bpe_train_oracle(_BPE_MERGES))
 def llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full BPE tokenizer TRAINING (Sennrich 2016 shape), the iterative
     extension of llm_bpe_pair_counts' single round: K times, count
@@ -663,10 +747,12 @@ def llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: one row per learned merge (merge_rank, left, right, merged,
     pair_count). Early-stops when no pair reaches count 2.
 
-    No SQL oracle (rows-only): the per-round argmax + rewrite loop is
-    not expressible as one DuckDB statement; pytest instead replays a
-    pure-Python reference trainer and asserts the merge list is
-    IDENTICAL (test_llm_ops.test_bpe_train_matches_reference_replay)."""
+    Oracle (EXACT since r8): the K deterministic rounds unroll as
+    chained MATERIALIZED CTEs (_bpe_train_oracle — the greedy merge is
+    SQL replace() on a double-separator symbol string; see the module
+    comment above for the boundary argument). pytest additionally
+    replays a pure-Python reference trainer and asserts the merge list
+    is IDENTICAL (test_llm_ops.test_bpe_train_matches_reference_replay)."""
     d = table(spark, sf_dir, "documents")
     words = (
         d.select(F.explode(F.split("text", " ")).alias("tok"))
@@ -712,8 +798,7 @@ def llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("llm_bpe_encode")  # rows-only: depends on the trained merge
-# list (see llm_bpe_train); pytest replays reference train+encode
+@register("llm_bpe_encode", oracle=_bpe_encode_oracle(_BPE_MERGES))
 def llm_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Apply the llm_bpe_train merge list to the corpus — the ENCODE
     step of the tokenizer lifecycle, giving per-document token counts
@@ -728,10 +813,11 @@ def llm_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: doc_id, n_words, n_tokens (post-merge symbols), saved
     (chars-minus-tokens, the compression the tokenizer bought).
 
-    No SQL oracle (rows-only): the encode depends on the iteratively
-    learned merge list; pytest replays a pure-Python reference
-    train+encode and asserts identical per-doc counts
-    (test_llm_ops.test_bpe_encode_matches_reference_replay)."""
+    Oracle (EXACT since r8): the same unrolled K-round CTE chain as the
+    trainer, extended with the per-word encoded length joined back to
+    the token stream (_bpe_encode_oracle). pytest additionally replays
+    a pure-Python reference train+encode and asserts identical per-doc
+    counts (test_llm_ops.test_bpe_encode_matches_reference_replay)."""
     merges = _bpe_merges_for(spark, sf_dir)
     d = table(spark, sf_dir, "documents")
     toks = d.select(
