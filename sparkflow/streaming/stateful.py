@@ -219,6 +219,65 @@ def ewma_stream(spark: SparkSession, files_dir: str, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Streaming rolling median — O(1) keyed state, second bounded-lookback twin
+# ---------------------------------------------------------------------------
+
+
+def _rolling_median_fn(
+    key: Tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """True-streaming rolling median of the last 5 values: per-key state
+    is a COUNT plus the last <=4 cents values (most-recent first) — the
+    k=4 instantiation of the same O(1)-state shape as _ewma_fn, proving
+    the streaming twin generalizes with the batch bounded-lookback
+    combinator (windows._hybrid_lookback). The median rule replays
+    windows._rolling_median_expr exactly on integer cents (odd frame:
+    middle/100; even frame: two middles averaged via /200), so the
+    stream is BIT-identical to win_rolling_median across micro-batch
+    boundaries (the equality test asserts exactly that)."""
+    vals = list(state.get) if state.exists else [0] * 5
+    n_prev, lags = vals[0], vals[1:]
+    chunks = [p for p in pdf_iter if len(p)]
+    if not chunks:
+        return
+    pdf = pd.concat(chunks).sort_values(["ts", "event_id"])
+    # half-up like the batch operator's cents(), not numpy half-to-even
+    cents = np.floor(pdf["value"].to_numpy() * 100 + 0.5).astype("int64")
+    out = []
+    for v in cents:
+        frame = sorted([int(v)] + lags[: min(n_prev, 4)])
+        n = len(frame)
+        if n % 2 == 1:
+            out.append(frame[(n + 1) // 2 - 1] / 100.0)
+        else:
+            out.append((frame[n // 2 - 1] + frame[n // 2]) / 200.0)
+        lags = [int(v)] + lags[:3]
+        n_prev = min(n_prev + 1, 4)
+    state.update(tuple([int(n_prev)] + [int(x) for x in lags]))
+    yield pd.DataFrame(
+        {"event_id": pdf["event_id"].to_numpy(), "rolling_median": out}
+    )
+
+
+def rolling_median_stream(
+    spark: SparkSession, files_dir: str, sf_dir: str
+) -> DataFrame:
+    """True-streaming twin of `win_rolling_median` (and of the
+    win_rolling_median_segmented hybrid, which computes the same
+    function)."""
+    ev = _events_stream(spark, files_dir, sf_dir)
+    return ev.groupBy("user_id").applyInPandasWithState(
+        _rolling_median_fn,
+        outputStructType="event_id BIGINT, rolling_median DOUBLE",
+        stateStructType=(
+            "n BIGINT, l1 BIGINT, l2 BIGINT, l3 BIGINT, l4 BIGINT"
+        ),
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# ---------------------------------------------------------------------------
 # CEP funnel — carried-state NFA (view → click → purchase within 24h)
 # ---------------------------------------------------------------------------
 
