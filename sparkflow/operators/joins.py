@@ -428,15 +428,24 @@ def _bucketed_table(
 
     sfkey = re.sub(r"[^A-Za-z0-9_]", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
     app_id = spark.sparkContext.applicationId
-    reg = f"sparkflow_bucketed_{tname}_{key}_{sfkey}"
+    reg = f"sparkflow_bucketed_{tname}_{key}_b{n_buckets}_{sfkey}"
     if not spark.catalog.tableExists(reg):
         (
+            # repartition on the bucket key BEFORE bucketBy: without it
+            # every write task emits a file into every bucket (32 tasks
+            # x 32 buckets = 1024 files measured at sf10), and a
+            # multi-file bucket loses its sorted property at read time,
+            # forcing per-bucket re-sorts that cost more than the
+            # exchange the buckets remove (7.5 s vs 5.4 s shuffle at
+            # sf10). One shuffle at write -> exactly one sorted file
+            # per bucket -> sort-free co-located reads forever after.
             table(spark, sf_dir, tname)
+            .repartition(n_buckets, key)
             .write.bucketBy(n_buckets, key)
             .sortBy(key)
             .option(
                 "path",
-                f"/tmp/sparkflow_io/bucketed/{app_id}/{tname}_{key}_{sfkey}",
+                f"/tmp/sparkflow_io/bucketed/{app_id}/{tname}_{key}_b{n_buckets}_{sfkey}",
             )
             .mode("overwrite")
             .saveAsTable(reg)
@@ -503,40 +512,44 @@ def join_multiway_star_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     experiment in BASELINE.md measured orders⋈lineitem 3.63 s → 1.70 s
     bucketed, ONE exchange left).
 
-    Plan contract (asserted in tests/test_plans.py): ≤1 shuffle
-    exchange in the whole query — the final group-by. The dominant
-    exchange, lineitem⋈orders (the two largest tables), disappears
-    because both sides are written bucketBy(8, orderkey).sortBy —
-    the sort-merge join reads matching buckets co-located, paid once at
-    write time. Every remaining join side is an explicit broadcast:
-    customer and supplier are O(SF) dims (at 100 TB you would bucket
-    orders+customer on custkey in a second bucket family, or let AQE
-    shuffle just that edge — the orderkey family removes the biggest
-    exchange either way), nation/region are constant-size. The date
-    filter sits on the bucketed orders scan and pushes into its parquet
-    reader; bucketing is preserved under filters, so the merge join
-    still reads buckets directly.
+    Plan contract (asserted in tests/test_plans.py on the AQE FINAL
+    plan): ≤1 shuffle exchange in the whole query — the final group-by.
+    The dominant exchange, lineitem⋈orders (the two largest tables),
+    disappears because both sides are written bucketBy(32, orderkey)
+    .sortBy with exactly one sorted file per bucket (see
+    _bucketed_table) — the join consumes the bucket partitioning
+    directly, paid once at write time. Everything else is deliberately
+    UN-hinted: the sf10 variant ladder measured every pinned strategy
+    losing to AQE's runtime choices —
 
-    MERGE hint on the fact edge for the same reason as join_bucketed:
-    at test SF the planner would broadcast the filtered orders side and
-    never exercise the buckets; at real fact⋈fact scale SMJ-over-buckets
-    is what it picks anyway — the hint pins the scale-representative
-    plan."""
-    o = _bucketed_table(spark, sf_dir, "orders", "o_orderkey").filter(
+      8-bucket merge-hint + forced dim broadcasts : 5.46 s (LOST to shuffle)
+      32 clean buckets, merge hint + broadcasts   : 4.2 s
+      32 clean buckets, merge hint, AQE dims      : 3.1 s
+      32 clean buckets, NO hints (this operator)  : 2.73 s
+      unbucketed shuffle flagship, same window    : 5.34 s
+
+    — the forced customer broadcast serialized a 1.5M-row hash build on
+    the driver, and the merge hint forced sort-merge where a bucketed
+    shuffled-hash join is sort-free. 32 buckets = one per core on this
+    box (bucket count caps fact-edge parallelism; size it to executor
+    slots on a real cluster — at 100 TB you would also bucket
+    orders+customer on custkey as a second family, or let AQE shuffle
+    just that edge). The date filter sits on the bucketed orders scan
+    and pushes into its parquet reader; bucketing survives filters."""
+    o = _bucketed_table(spark, sf_dir, "orders", "o_orderkey", n_buckets=32).filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
     )
-    li = _bucketed_table(spark, sf_dir, "lineitem", "l_orderkey")
+    li = _bucketed_table(spark, sf_dir, "lineitem", "l_orderkey", n_buckets=32)
     customer = table(spark, sf_dir, "customer")
     supplier = table(spark, sf_dir, "supplier")
     nation = table(spark, sf_dir, "nation")
     region = table(spark, sf_dir, "region")
     joined = (
-        li.hint("merge")
-        .join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(customer), o.o_custkey == customer.c_custkey)
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(customer, o.o_custkey == customer.c_custkey)
         .join(
-            F.broadcast(supplier),
+            supplier,
             (F.col("l_suppkey") == supplier.s_suppkey)
             & (F.col("c_nationkey") == supplier.s_nationkey),
         )
