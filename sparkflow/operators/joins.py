@@ -426,9 +426,23 @@ def _bucketed_table(
     naming convention and broke on tools/reseed.py's twin corpus)."""
     import re
 
+    return _bucketed_frame(
+        spark, sf_dir, tname, lambda: table(spark, sf_dir, tname), key, n_buckets
+    )
+
+
+def _bucketed_frame(
+    spark: SparkSession, sf_dir: str, name: str, mk_df, key: str, n_buckets: int
+) -> DataFrame:
+    """Register-once bucketed copy of an arbitrary frame (built lazily
+    by mk_df() only on the staging miss). Factored from _bucketed_table
+    so the denormalized-star posture can bucket a JOINED frame with the
+    same one-file-per-bucket write discipline."""
+    import re
+
     sfkey = re.sub(r"[^A-Za-z0-9_]", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
     app_id = spark.sparkContext.applicationId
-    reg = f"sparkflow_bucketed_{tname}_{key}_b{n_buckets}_{sfkey}"
+    reg = f"sparkflow_bucketed_{name}_{key}_b{n_buckets}_{sfkey}"
     if not spark.catalog.tableExists(reg):
         (
             # repartition on the bucket key BEFORE bucketBy: without it
@@ -439,13 +453,13 @@ def _bucketed_table(
             # exchange the buckets remove (7.5 s vs 5.4 s shuffle at
             # sf10). One shuffle at write -> exactly one sorted file
             # per bucket -> sort-free co-located reads forever after.
-            table(spark, sf_dir, tname)
+            mk_df()
             .repartition(n_buckets, key)
             .write.bucketBy(n_buckets, key)
             .sortBy(key)
             .option(
                 "path",
-                f"/tmp/sparkflow_io/bucketed/{app_id}/{tname}_{key}_b{n_buckets}_{sfkey}",
+                f"/tmp/sparkflow_io/bucketed/{app_id}/{name}_{key}_b{n_buckets}_{sfkey}",
             )
             .mode("overwrite")
             .saveAsTable(reg)
@@ -548,6 +562,80 @@ def join_multiway_star_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(customer, o.o_custkey == customer.c_custkey)
+        .join(
+            supplier,
+            (F.col("l_suppkey") == supplier.s_suppkey)
+            & (F.col("c_nationkey") == supplier.s_nationkey),
+        )
+        .join(F.broadcast(nation), supplier.s_nationkey == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return joined.groupBy(F.col("n_name").alias("nation")).agg(rev_sum("revenue"))
+
+
+@register(
+    "join_multiway_star_denorm",
+    oracle=f"""
+    SELECT n.n_name AS nation,
+           {sql_rev_sum('revenue', 'l.l_extendedprice', 'l.l_discount')}
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY n.n_name
+    """,
+)
+def join_multiway_star_denorm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship Q5 star (same result and oracle text as
+    join_multiway_star) over a DENORMALIZED bucketed dimension — the
+    third rung of the star-posture ladder, answering the edge the
+    orderkey bucket family cannot touch (SCALE.md r8: at sf10 the
+    customer join still shuffles the joined fact stream because a 1.5M-
+    row dim is past broadcast, leaving the bucketed star at 0.79x, not
+    the fact-edge experiment's 0.47x).
+
+    One maintenance pass joins orders⋈customer (shuffle paid ONCE, at
+    dim size not fact-stream size), keeps exactly the columns every
+    downstream star query needs (o_orderkey, o_orderdate, c_nationkey),
+    and writes the result bucketBy(32, o_orderkey) — the classic
+    denormalized star-schema posture every warehouse ships. The query
+    is then lineitem⋈orders_enriched co-located on the shared bucket
+    family (zero exchange), supplier un-hinted (AQE broadcasts it when
+    it measures small; at extreme SF this edge shuffles — the one
+    residual), nation/region constant broadcasts, one final agg
+    exchange. Date filter pushes into the enriched scan.
+
+    Trade-off vs join_multiway_star_bucketed, stated honestly: the
+    enriched copy is QUERY-SHAPE-SCOPED (any star needing other
+    customer columns re-stages or widens it) where the plain bucket
+    family serves every orderkey join; in exchange the per-query plan
+    drops the fact-stream shuffle entirely. sf10 A/B in SCALE.md."""
+    li = _bucketed_table(spark, sf_dir, "lineitem", "l_orderkey", n_buckets=32)
+
+    def _mk_enriched() -> DataFrame:
+        o = table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_orderdate"
+        )
+        c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+        return o.join(c, o.o_custkey == c.c_custkey).select(
+            "o_orderkey", "o_orderdate", "c_nationkey"
+        )
+
+    oe = _bucketed_frame(
+        spark, sf_dir, "orders_enriched", _mk_enriched, "o_orderkey", 32
+    ).filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    supplier = table(spark, sf_dir, "supplier")
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region")
+    joined = (
+        li.join(oe, li.l_orderkey == oe.o_orderkey)
         .join(
             supplier,
             (F.col("l_suppkey") == supplier.s_suppkey)

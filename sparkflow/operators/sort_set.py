@@ -218,11 +218,13 @@ _Z_CELL = _morton16("zx", "zy") + " >> 8"
     "sort_zorder_layout",
     oracle=f"""
     WITH coords AS (
-      SELECT CAST(FLOOR(l_partkey * 256.0 /
-                        ((SELECT MAX(l_partkey) FROM lineitem) + 1))
+      SELECT CAST(FLOOR((l_partkey - (SELECT MIN(l_partkey) FROM lineitem))
+                        * 256.0 /
+                        ((SELECT MAX(l_partkey) - MIN(l_partkey) FROM lineitem) + 1))
                   AS BIGINT) AS zx,
-             CAST(FLOOR(l_suppkey * 256.0 /
-                        ((SELECT MAX(l_suppkey) FROM lineitem) + 1))
+             CAST(FLOOR((l_suppkey - (SELECT MIN(l_suppkey) FROM lineitem))
+                        * 256.0 /
+                        ((SELECT MAX(l_suppkey) - MIN(l_suppkey) FROM lineitem) + 1))
                   AS BIGINT) AS zy
       FROM lineitem
     )
@@ -247,15 +249,31 @@ def sort_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     span, and the layout write is repartitionByRange (sampled split
     points) — the same distributed sort any 100 TB OPTIMIZE runs; no
     driver bottleneck anywhere."""
+    # range buckets are MIN-anchored (reseed shrinkage catch, r8): the
+    # original `key * 256 / (max+1)` assumed keys start near 0 — on an
+    # id-offset corpus where min ≈ max every row landed in cell 255 and
+    # the 256-cell layout silently collapsed to ONE cell while the
+    # mirrored oracle kept it green
     li = table(spark, sf_dir, "lineitem")
     bounds = li.agg(
-        F.max("l_partkey").alias("maxp"), F.max("l_suppkey").alias("maxs")
+        F.min("l_partkey").alias("minp"),
+        F.max("l_partkey").alias("maxp"),
+        F.min("l_suppkey").alias("mins"),
+        F.max("l_suppkey").alias("maxs"),
     )
     coords = li.crossJoin(F.broadcast(bounds)).select(
-        F.floor(F.col("l_partkey") * 256.0 / (F.col("maxp") + 1))
+        F.floor(
+            (F.col("l_partkey") - F.col("minp"))
+            * 256.0
+            / (F.col("maxp") - F.col("minp") + 1)
+        )
         .cast("long")
         .alias("zx"),
-        F.floor(F.col("l_suppkey") * 256.0 / (F.col("maxs") + 1))
+        F.floor(
+            (F.col("l_suppkey") - F.col("mins"))
+            * 256.0
+            / (F.col("maxs") - F.col("mins") + 1)
+        )
         .cast("long")
         .alias("zy"),
     )

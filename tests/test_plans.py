@@ -114,6 +114,29 @@ def test_bucketed_star_single_exchange(spark, sf_small):
     assert len(shuffles) <= 1, shuffles
 
 
+def test_denorm_star_single_exchange(spark, sf_small):
+    """join_multiway_star_denorm: same ≤1-shuffle-exchange contract on
+    the AQE final plan as the bucketed star, with the fact edge joining
+    the pre-joined orders_enriched copy on the SHARED orderkey bucket
+    family — the customer shuffle must exist nowhere in the query (it
+    was paid once, at staging)."""
+    import re
+
+    df = sparkflow.QUERIES["join_multiway_star_denorm"](spark, sf_small)
+    assert "o_orderdate" in "".join(pushed_filters(df)), pushed_filters(df)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    fin = plan.split("== Initial Plan ==")[0]
+    assert "sparkflow_bucketed_lineitem" in fin, fin[:2000]
+    assert "sparkflow_bucketed_orders_enriched" in fin, fin[:2000]
+    shuffles = [
+        ln for ln in fin.splitlines()
+        if re.search(r"\bExchange hashpartitioning", ln)
+        and "Reused" not in ln
+    ]
+    assert len(shuffles) <= 1, shuffles
+
+
 def test_banded_rank_never_single_partition(spark, sf_small):
     """win_rank_dense_ntile is a banded two-pass rank: the plan must not
     contain a single-partition Exchange (the scale-killer shape of a

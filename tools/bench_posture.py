@@ -73,11 +73,14 @@ def main() -> None:
     # block-sequential timing let a mid-run co-tenant burst hit one
     # variant only and flip the A/B (observed: two same-day windows
     # disagreed 0.51x vs 1.34x on the identical pair of plans)
+    t0 = time.perf_counter()
+    q["join_multiway_star_denorm"](spark, d).toPandas()  # stages enriched copy
+    out["star_denorm_write_sec"] = round(time.perf_counter() - t0, 3)
     q["join_multiway_star"](spark, d).toPandas()  # warm
     q["join_multiway_star_bucketed"](spark, d).toPandas()
     star_sql = sparkflow.ORACLES["join_multiway_star"]
     con.execute(star_sql).fetchdf()
-    t_sh, t_bk, t_dk = [], [], []
+    t_sh, t_bk, t_dn, t_dk = [], [], [], []
     for _ in range(_RUNS):
         t0 = time.perf_counter()
         q["join_multiway_star"](spark, d).toPandas()
@@ -86,10 +89,14 @@ def main() -> None:
         q["join_multiway_star_bucketed"](spark, d).toPandas()
         t_bk.append(time.perf_counter() - t0)
         t0 = time.perf_counter()
+        q["join_multiway_star_denorm"](spark, d).toPandas()
+        t_dn.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
         con.execute(star_sql).fetchdf()
         t_dk.append(time.perf_counter() - t0)
     out["star_shuffle_sec"] = round(statistics.median(t_sh), 3)
     out["star_bucketed_sec"] = round(statistics.median(t_bk), 3)
+    out["star_denorm_sec"] = round(statistics.median(t_dn), 3)
     out["star_duckdb_sec"] = round(statistics.median(t_dk), 3)
 
     # ---- JSON posture (same interleaving) ----------------------------------

@@ -38,7 +38,17 @@ tool flags — is:
      leaf rows, so an honest operator's output shrinks mildly (pairwise
      ops ~17%, sequential patterns ~23%) — a >=50% collapse means a
      corpus-calibrated constant stopped selecting what it was built to
-     select, even if the mirrored oracle keeps the grade green.
+     select, even if the mirrored oracle keeps the grade green. First
+     full run with the check caught sort_zorder_layout (256 cells -> 1:
+     max-scaled range buckets with no min anchor; fixed). CODE-STALE
+     keys (implementing module committed after their last attestation,
+     sparkflow._code_stale_set) are exempt from the shrinkage flag
+     only: their attested row count describes an older operator (e.g.
+     agg_unpivot's r7 absolute-range -> modulo-sample rewrite, attested
+     r6 at 11574 rows vs 3048 today), so the ratio is meaningless —
+     and the rotation already fronts them for re-attestation, which
+     refreshes the baseline. The 0-row degeneracy check still applies
+     to them.
 
 Usage:
   python tools/reseed.py gen    # write /tmp/sparkflow_reseed
@@ -159,6 +169,7 @@ def run() -> None:
 
     names = [a for a in sys.argv[2:]] or sorted(sparkflow.QUERIES)
     baseline_rows = _latest_attested_rows()
+    code_stale = sparkflow._code_stale_set()
 
     spark = get_spark("reseed-check")
     spark.sparkContext.setLogLevel("ERROR")
@@ -188,8 +199,15 @@ def run() -> None:
             degenerate.append(name)
             degen = f"  DEGENERATE (sf0.01 attested {base} rows)"
         elif base and len(sdf) < _SHRINK_RATIO * base:
-            shrunk.append(name)
-            degen = f"  SHRUNK ({len(sdf)} rows vs {base} attested at sf0.01)"
+            if name in code_stale:
+                # stale baseline: module committed after the attestation
+                # that produced `base` — ratio meaningless, rotation
+                # will refresh it (docstring item 3)
+                degen = (f"  shrink-skipped: code-stale baseline "
+                         f"({len(sdf)} vs attested {base})")
+            else:
+                shrunk.append(name)
+                degen = f"  SHRUNK ({len(sdf)} rows vs {base} attested at sf0.01)"
         sql = sparkflow.ORACLES.get(name)
         if sql is None:
             print(f"{name:28s} rows-only ({len(sdf)} rows, {dt:.2f}s){degen}")
