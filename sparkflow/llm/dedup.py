@@ -401,6 +401,173 @@ def llm_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _near_pairs(spark, sf_dir)
 
 
+# Prefix-filtering threshold: char-shingle Jaccard, the similarity the
+# whole LSH family measures. 0.8 is the standard production near-dup
+# cut AND the regime where prefix filtering shines: each doc posts only
+# p = n − ⌈t·n⌉ + 1 ≈ 0.2·n of its shingles. (Token-level Jaccard was
+# tried first and rejected by measurement: this corpus's tiny token
+# vocabulary makes half of ALL doc pairs token-similar at 0.5 — 166k
+# ground-truth pairs at sf0.01 — while char-5-gram Jaccard is sharp:
+# 238 pairs, stable from t=0.5 through 0.8.)
+_PREFIX_JACCARD = 0.8
+
+
+@register(
+    "llm_dedup_near_prefix",
+    oracle=f"""
+    WITH corpus AS ({CORPUS_SQL}),
+    sh AS (
+      SELECT DISTINCT doc_id, substr(text, i, {_SHINGLE}) AS s
+      FROM corpus,
+           LATERAL (SELECT UNNEST(range(1, len(text) - {_SHINGLE - 2}))) t(i)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    co AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS ni
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           ROUND(CAST(ni AS DOUBLE) / (sa.n + sb.n - ni), 6) AS jaccard
+    FROM co
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(ni AS DOUBLE) / (sa.n + sb.n - ni) >= {_PREFIX_JACCARD}
+    """,
+)
+def llm_dedup_near_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-recall near-duplicate pairs via PREFIX FILTERING (AllPairs /
+    PPJoin family, Bayardo et al. 2007 shape) — the deterministic
+    alternative to llm_dedup_near's MinHash+LSH on the same char-shingle
+    similarity: instead of banded signatures (probabilistic recall),
+    each document posts only the FIRST p = n − ⌈t·n⌉ + 1 ≈ (1−t)·n of
+    its distinct shingles under one global total order (document
+    frequency ascending, rarest first; ties by shingle), and the
+    candidate join runs on those prefix postings. The prefix theorem
+    guarantees any pair with shingle-Jaccard ≥ t shares at least one
+    prefix shingle, so after the exact-Jaccard verify the output is the
+    TRUE pair set at t = 0.8 — what no LSH parameterization can
+    certify. SCALE.md round-5 named candidate-side filtering the next
+    lever beyond the banded join; round 8 ships it as its own operator
+    because the two contracts differ (LSH: bounded cost, tunable
+    recall, any threshold; prefix: exact recall, df-shaped cost,
+    cheapest at high thresholds).
+
+    Scale — the three stacked PPJoin-family filters, each measured on
+    the sf0.1 rung where the naive AllPairs form fell over:
+    1. PREFIX (Bayardo 2007): post p = n − ⌈t·n⌉ + 2 rarest shingles
+       (the +2 is the c=2 extended prefix, below). 1.38M shingle rows
+       → 280k postings, Σdf² 89M at sf0.1.
+    2. SIZE: J ≥ t ⟹ min(n)/max(n) ≥ t, applied inside the posting
+       join (sizes ride the postings). Alone this still left 5.3M
+       candidate pairs — each costing O(na+nb) exploded verify rows,
+       a ~4·10⁹-row verify join (the >10-min wall that forced this
+       redesign).
+    3. c=2 COMMON-PREFIX + POSITIONAL (Xiao 2008 shape): a qualifying
+       pair must share ≥ min(2, α) prefix shingles (sound because with
+       overlap o ≥ α, the c-th smallest common shingle sits within
+       both (n − α + c)-prefixes, and under the size filter α ≥ t·n
+       per doc), AND the minimum-order shared shingle at ranks
+       (ra, rb) bounds the whole overlap: any common shingle ordered
+       before it would itself lie in both prefixes and contradict
+       minimality, so o ≤ 1 + min(na − ra, nb − rb), checked against
+       α = ⌈t/(1+t)·(na+nb)⌉. Both are computed in the SAME aggregate
+       that replaces the candidate distinct — the Σdf² join rows flow
+       through codegen into the group-by and never reach the verify
+       join unless they survive.
+
+    The ORACLE is deliberately NOT a replay of this machinery: it is
+    ground-truth all-pairs shingle Jaccard (feasible at oracle scale),
+    so the differential actually tests the no-missed-pairs claims of
+    all three filters — an unsound bound hash-mismatches instead of
+    mirroring itself green (unlike the LSH op, whose candidate set is
+    parameter-defined and must be replayed)."""
+    corpus = dup_corpus(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    sh = (
+        corpus.filter(F.length("text") >= _SHINGLE)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("text") - (_SHINGLE - 1)),
+                    lambda i: F.substring(F.col("text"), i, _SHINGLE),
+                )
+            ).alias("s"),
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    df_sh = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "s")
+    ranked = (
+        sh.join(df_sh, "s")
+        .withColumn("r", F.row_number().over(w))
+        .join(sizes, "doc_id")
+    )
+    # c=2 extended prefix: +2 instead of +1 so requiring two shared
+    # prefix shingles stays sound (see docstring filter 3)
+    prefix = ranked.filter(
+        F.col("r") <= F.col("n") - F.ceil(F.col("n") * _PREFIX_JACCARD) + 2
+    ).select("doc_id", "s", "r", "n")
+    a = prefix.select(
+        F.col("doc_id").alias("doc_a"), "s",
+        F.col("r").alias("ra"), F.col("n").alias("na"),
+    )
+    b = prefix.select(
+        F.col("doc_id").alias("doc_b"), "s",
+        F.col("r").alias("rb"), F.col("n").alias("nb"),
+    )
+    alpha = F.ceil(
+        (F.col("na") + F.col("nb")) * _PREFIX_JACCARD / (1.0 + _PREFIX_JACCARD)
+    )
+    cand_sized = (
+        a.join(b, "s")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(  # size filter inside the posting join
+            F.least("na", "nb").cast("double")
+            >= F.greatest("na", "nb") * _PREFIX_JACCARD
+        )
+        .withColumn(
+            "ub", F.lit(1) + F.least(F.col("na") - F.col("ra"),
+                                     F.col("nb") - F.col("rb"))
+        )
+        .groupBy("doc_a", "doc_b", "na", "nb")
+        .agg(
+            F.count(F.lit(1)).alias("n_shared_prefix"),
+            F.max("ub").alias("ub_max"),  # = the min-order match's bound
+        )
+        .filter(F.col("n_shared_prefix") >= F.least(F.lit(2), alpha))
+        .filter(F.col("ub_max") >= alpha)
+        .select("doc_a", "doc_b", "na", "nb")
+    )
+    # ARRAY verify, not the explode-join verify llm_dedup_near uses: at
+    # sf0.1 the surviving candidates are still ~2.4M pairs (this corpus
+    # is shingle-poor — see SCALE.md r8), and an exploded verify join
+    # would shuffle ~2·10⁹ rows. Joining each pair to the two per-doc
+    # sorted shingle ARRAYS instead computes the intersection JVM-side
+    # (array_intersect is a hash probe, O(na+nb) per pair) with one row
+    # per candidate in flight — same arithmetic, no explode shuffle.
+    arrs = sh.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("s")).alias("arr")
+    )
+    aa = arrs.select(F.col("doc_id").alias("doc_a"), F.col("arr").alias("arr_a"))
+    ab = arrs.select(F.col("doc_id").alias("doc_b"), F.col("arr").alias("arr_b"))
+    inter = (
+        cand_sized.join(aa, "doc_a")
+        .join(ab, "doc_b")
+        .select(
+            "doc_a", "doc_b", "na", "nb",
+            F.size(F.array_intersect("arr_a", "arr_b")).alias("ni"),
+        )
+    )
+    jac = F.col("ni").cast("double") / (F.col("na") + F.col("nb") - F.col("ni"))
+    return inter.filter(jac >= _PREFIX_JACCARD).select(
+        "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
+    )
+
+
 @register(
     "llm_dedup_simhash",
     oracle=f"""

@@ -618,6 +618,17 @@ def test_segmented_ops_bound_every_window_partition(spark, sf_small, key):
     assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
 
 
+def test_prefix_dedup_is_equi_join_no_allpairs(spark, sf_small):
+    """llm_dedup_near_prefix's only pairwise step must be the
+    prefix-posting equi-self-join — no cartesian or nested-loop node
+    anywhere (the all-pairs ground truth its oracle computes is exactly
+    what the operator must NOT plan as)."""
+    df = sparkflow.QUERIES["llm_dedup_near_prefix"](spark, sf_small)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
 def test_containment_blocking_is_equi_join_no_allpairs(spark, sf_small):
     """llm_dedup_containment's only pairwise step must be the rare-gram
     posting-list equi-self-join (Σ df² <= cap · Σ df) — no cartesian or

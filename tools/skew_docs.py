@@ -54,7 +54,14 @@ BOILERPLATE = (
     "all rights reserved worldwide "
 )
 
-OPS = ["llm_dedup_containment", "llm_winnowing_overlap_aligned"]
+OPS = [
+    "llm_dedup_containment",
+    "llm_winnowing_overlap_aligned",
+    # r8: exact-recall prefix-filtering dedup — its cost is df-shaped
+    # (rarest-first prefixes), so the boilerplate rung is exactly the
+    # corpus that would stress it
+    "llm_dedup_near_prefix",
+]
 
 
 def gen() -> None:
