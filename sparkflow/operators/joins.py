@@ -273,6 +273,89 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ASOF_TOL_US = 86400 * 1_000_000  # 24h max staleness
+
+
+@register(
+    "join_asof_tolerance",
+    oracle=f"""
+    WITH {_SQL_EVENT_BOUNDS}, tagged AS (
+      SELECT user_id AS k, CAST(ts AS TIMESTAMP) AS t, 0 AS side,
+             event_id, NULL::BIGINT AS o_orderkey
+      FROM events
+      UNION ALL
+      SELECT o_custkey AS k, {_SQL_PROBE_T} AS t,
+             1 AS side, NULL::BIGINT AS event_id, o_orderkey
+      {_SQL_PROBE_FROM}
+    ), w AS (
+      SELECT *,
+        LAST_VALUE(CASE WHEN side = 0 THEN event_id END IGNORE NULLS)
+          OVER (PARTITION BY k ORDER BY t, side, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m_id,
+        LAST_VALUE(CASE WHEN side = 0 THEN t END IGNORE NULLS)
+          OVER (PARTITION BY k ORDER BY t, side, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m_t
+      FROM tagged
+    )
+    SELECT o_orderkey, k AS user_id,
+           CASE WHEN epoch_us(t) - epoch_us(m_t) <= {_ASOF_TOL_US}
+                THEN m_id END AS asof_event_id,
+           CASE WHEN epoch_us(t) - epoch_us(m_t) <= {_ASOF_TOL_US}
+                THEN epoch_us(t) - epoch_us(m_t) END AS staleness_us
+    FROM w WHERE side = 1
+    """,
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with BOUNDED STALENESS (the production variant every
+    enrichment pipeline actually wants — kdb's `wj`/pandas
+    `merge_asof(tolerance=...)` shape): the latest same-user event
+    at-or-before each probe time COUNTS ONLY if it is at most 24h old;
+    older state is reported as no-match (NULL) rather than silently
+    serving stale data, and each match carries its measured staleness.
+
+    Same single-shuffle union+window plan as join_asof (one extra
+    carried column, the matched timestamp — no second window pass, no
+    pairwise blow-up); the tolerance is applied as a row-local guard
+    AFTER the carry, so the window machinery is shared and the two
+    operators cannot drift. Staleness rides in integer microseconds —
+    engine-exact, no interval arithmetic ambiguity."""
+    events = table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("k"),
+        F.col("ts").cast("timestamp").alias("t"),
+        F.lit(0).alias("side"),
+        "event_id",
+        F.lit(None).cast("long").alias("o_orderkey"),
+    )
+    probes = _asof_probe_base(spark, sf_dir).select(
+        "k",
+        "t",
+        F.lit(1).alias("side"),
+        F.lit(None).cast("long").alias("event_id"),
+        "o_orderkey",
+    )
+    tagged = events.unionByName(probes)
+    w = (
+        Window.partitionBy("k")
+        .orderBy("t", "side", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = tagged.withColumn(
+        "m_id",
+        F.last(F.when(F.col("side") == 0, F.col("event_id")), ignorenulls=True).over(w),
+    ).withColumn(
+        "m_t",
+        F.last(F.when(F.col("side") == 0, F.col("t")), ignorenulls=True).over(w),
+    )
+    stale = F.unix_micros("t") - F.unix_micros("m_t")
+    fresh = stale <= F.lit(_ASOF_TOL_US)
+    return carried.filter(F.col("side") == 1).select(
+        "o_orderkey",
+        F.col("k").alias("user_id"),
+        F.when(fresh, F.col("m_id")).alias("asof_event_id"),
+        F.when(fresh, stale).alias("staleness_us"),
+    )
+
+
 @register(
     "join_interval",
     oracle="""

@@ -154,6 +154,64 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_sessionize",
+    oracle="""
+    WITH marked AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800*1000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM marked
+    )
+    SELECT event_id, user_id,
+           CAST(session_seq AS BIGINT) AS session_seq,
+           CAST(ROW_NUMBER() OVER (PARTITION BY user_id, session_seq
+                                   ORDER BY ts, event_id) AS BIGINT)
+             AS event_in_session
+    FROM sess
+    """,
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-level SESSION-ID ASSIGNMENT — the assignment twin of
+    stream_session's aggregate form: every event gets (session_seq,
+    event_in_session) under the same 30-min inactivity-gap rule, which
+    is what downstream per-session feature extraction actually joins on
+    (a session AGGREGATE cannot be joined back to events without
+    recomputing the gap logic). Classic lag-gap → running-sum rewrite:
+    one shuffle on user_id, two window passes over the same sorted
+    partition (Catalyst plans them in a single Window stage chain, no
+    second exchange). event_in_session falls out of the same marks:
+    global row_number minus the row_number at the session's opening
+    event. Order is (ts, event_id) everywhere — total and
+    engine-identical under ties."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap_us = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    marked = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(gap_us.isNull() | (gap_us > 1800 * 1_000_000), 1)
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    rn = F.row_number().over(w)
+    opener_rn = F.max(F.when(F.col("is_new") == 1, rn)).over(wrun)
+    return marked.select(
+        "event_id",
+        "user_id",
+        F.sum("is_new").over(wrun).cast("bigint").alias("session_seq"),
+        (rn - opener_rn + 1).cast("bigint").alias("event_in_session"),
+    )
+
+
+@register(
     "stream_watermark_late",
     oracle="""
     WITH wm AS (

@@ -277,6 +277,59 @@ def test_session_window_native_equals_lag_cumsum_rewrite(spark, duck, sf_small):
     assert compare(sdf, odf) == "EXACT"
 
 
+def test_sessionize_consistent_with_session_aggregate(spark, sf_small):
+    """events_sessionize (event-level assignment) and stream_session
+    (aggregate form) implement the SAME 30-min gap rule through
+    different machinery (running-sum marks + opener-rank trick vs
+    native F.session_window merge): per user, the assignment's max
+    session_seq must equal the aggregate's session count, and summing
+    events per (user, session_seq) must reproduce the aggregate's
+    per-session n_events multiset."""
+    import pandas as pd
+
+    assign = sparkflow.QUERIES["events_sessionize"](spark, sf_small).toPandas()
+    agg = sparkflow.QUERIES["stream_session"](spark, sf_small).toPandas()
+    n_sessions_a = assign.groupby("user_id")["session_seq"].max()
+    n_sessions_b = agg.groupby("user_id").size()
+    pd.testing.assert_series_equal(
+        n_sessions_a.sort_index(), n_sessions_b.sort_index(),
+        check_names=False, check_dtype=False,
+    )
+    sizes_a = (
+        assign.groupby(["user_id", "session_seq"]).size()
+        .groupby("user_id").apply(lambda s: sorted(s.tolist()))
+    )
+    sizes_b = (
+        agg.groupby("user_id")["n_events"]
+        .apply(lambda s: sorted(int(x) for x in s))
+    )
+    pd.testing.assert_series_equal(
+        sizes_a.sort_index(), sizes_b.sort_index(),
+        check_names=False, check_dtype=False,
+    )
+    # within-session positions are 1..k dense
+    k = assign.groupby(["user_id", "session_seq"])["event_in_session"]
+    assert (k.min() == 1).all() and (k.max() == k.size()).all()
+
+
+def test_asof_tolerance_guards(spark, sf_small):
+    """join_asof_tolerance: staleness is present iff the match is, and
+    always within [0, 24h]; rows whose plain as-of match is fresh must
+    agree with join_asof's answer."""
+    tol = sparkflow.QUERIES["join_asof_tolerance"](spark, sf_small).toPandas()
+    both_null = tol["asof_event_id"].isna() == tol["staleness_us"].isna()
+    assert both_null.all()
+    s = tol["staleness_us"].dropna()
+    assert ((s >= 0) & (s <= 86400 * 1_000_000)).all()
+    plain = sparkflow.QUERIES["join_asof"](spark, sf_small).toPandas()
+    merged = tol.merge(plain, on=["o_orderkey", "user_id"], suffixes=("", "_plain"))
+    fresh = merged["asof_event_id"].notna()
+    assert (
+        merged.loc[fresh, "asof_event_id"]
+        == merged.loc[fresh, "asof_event_id_plain"]
+    ).all()
+
+
 def test_stream_static_join_matches_batch(spark, stream_dir, sf_small):
     got = _collect(
         spark,
