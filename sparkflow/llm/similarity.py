@@ -127,17 +127,26 @@ def _bucket_codes_udf(n_tables: int, n_bits: int, table_stride: int):
     """pandas_udf: embedding -> array of one bucket code per LSH table.
 
     One numpy matmul against the (DIM, tables·bits) hyperplane matrix
-    replaces tables·bits interpreted F.aggregate folds per row. Sign
-    thresholding at >= 0 matches the expression form; summation-order fp
-    differences could only flip a bit when a projection lands within
-    ~1e-15 of zero, which changes candidate proposals, not verified
-    results (verification is exact)."""
-    P = np.array(
+    replaces tables·bits interpreted F.aggregate folds per row. Since
+    r8 the matmul is INTEGER-EXACT: the projection literals are k/1000
+    with integer k by construction (_proj), so sign(Σ v_d·k_d/1000) =
+    sign(Σ q(v_d)·k_d) on the same 1e6 fixed-point grid the verify
+    cosine already uses — int64 products, order-independent, no
+    summation-order knife edges. That determinism is what lets
+    llm_knn_all_pairs_lsh carry an EXACT DuckDB oracle (the bucket
+    arithmetic replays as integer SQL) instead of the old rows-only
+    check. No overflow: |q(v)| ≲ 4·10⁶, |k| ≤ 1000, 64 terms →
+    ≲ 2.6·10¹¹ ≪ 2⁶³."""
+    PK = np.array(
         [
-            [_proj(t, b, d, n_bits) for t in range(n_tables) for b in range(n_bits)]
+            [
+                round(_proj(t, b, d, n_bits) * 1000)
+                for t in range(n_tables)
+                for b in range(n_bits)
+            ]
             for d in range(_DIM)
         ],
-        dtype=np.float64,
+        dtype=np.int64,
     )
     bit_w = np.tile(np.array([1 << b for b in range(n_bits)], dtype=np.int64), n_tables)
     offsets = np.array(
@@ -149,8 +158,10 @@ def _bucket_codes_udf(n_tables: int, n_bits: int, table_stride: int):
     # yet at module import.
     @pandas_udf(ArrayType(IntegerType()))
     def codes(v: pd.Series) -> pd.Series:
-        A = np.array(v.tolist(), dtype=np.float64)
-        bits = ((A @ P) >= 0).astype(np.int64) * bit_w  # (n, tables*bits)
+        A = np.floor(
+            np.array(v.tolist(), dtype=np.float64) * _FXP + 0.5
+        ).astype(np.int64)
+        bits = ((A @ PK) >= 0).astype(np.int64) * bit_w  # (n, tables*bits)
         per_table = bits.reshape(len(A), n_tables, n_bits).sum(axis=2) + offsets
         return pd.Series(per_table.astype(np.int32).tolist())
 
@@ -265,7 +276,71 @@ def llm_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("llm_knn_all_pairs_lsh")  # rows-only: pytest asserts recall vs brute force
+# Integer replay of the hyperplane-LSH bucket arithmetic (r8): since
+# _bucket_codes_udf went fixed-point, every step — projection signs,
+# bucket codes, candidate join, cosine rescore — is exact integer (or
+# single-IEEE-op-on-identical-operands) arithmetic, so the whole op
+# oracles like the minhash pipeline does. Projection literals are
+# RE-DERIVED arithmetically in SQL from _proj's formula (no 1024-row
+# literal table): k = (2654435761·(t·1000 + b·64 + d)) % 2001 − 1000.
+_LSH_ORACLE = f"""
+    WITH proj AS (
+      SELECT t.t, b.b, d.d,
+             ((2654435761 * (t.t * 1000 + b.b * 64 + d.d)) % 2001) - 1000 AS k
+      FROM (SELECT UNNEST(range(0, {_N_TABLES})) AS t) t,
+           (SELECT UNNEST(range(0, {_N_BITS})) AS b) b,
+           (SELECT UNNEST(range(0, {_DIM})) AS d) d
+    ),
+    flat0 AS (
+      SELECT vec_id, UNNEST(embedding::DOUBLE[]) AS val,
+             UNNEST(range(0, {_DIM})) AS d
+      FROM embeddings
+    ),
+    flat AS (
+      SELECT vec_id, d, CAST(FLOOR(val * {_FXP} + 0.5) AS BIGINT) AS qv
+      FROM flat0
+    ),
+    bits AS (
+      SELECT f.vec_id, p.t, p.b,
+             CASE WHEN SUM(f.qv * p.k) >= 0 THEN 1 ELSE 0 END AS bit
+      FROM flat f JOIN proj p ON p.d = f.d
+      GROUP BY f.vec_id, p.t, p.b
+    ),
+    buckets AS (
+      SELECT vec_id, t, SUM(bit * (1 << b)) + t * 100 AS bucket
+      FROM bits GROUP BY vec_id, t
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+      FROM buckets a JOIN buckets b
+        ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    ),
+    norms AS (SELECT vec_id, SUM(qv * qv) AS n2 FROM flat GROUP BY vec_id),
+    scored AS (
+      SELECT c.va, c.vb,
+             CAST(SUM(fa.qv * fb.qv) AS DOUBLE)
+               / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))
+               AS cos_sim
+      FROM cand c
+      JOIN flat fa ON fa.vec_id = c.va
+      JOIN flat fb ON fb.vec_id = c.vb AND fb.d = fa.d
+      JOIN norms na ON na.vec_id = c.va
+      JOIN norms nb ON nb.vec_id = c.vb
+      GROUP BY c.va, c.vb, na.n2, nb.n2
+    ),
+    sym AS (
+      SELECT va, vb, cos_sim FROM scored
+      UNION ALL
+      SELECT vb AS va, va AS vb, cos_sim FROM scored
+    )
+    SELECT va AS vec_id, vb AS neighbor_id, ROUND(cos_sim, 9) AS cos_sim
+    FROM sym
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY va
+                               ORDER BY cos_sim DESC, vb ASC) = 1
+"""
+
+
+@register("llm_knn_all_pairs_lsh", oracle=_LSH_ORACLE)
 def llm_knn_all_pairs_lsh(
     spark: SparkSession,
     sf_dir: str,
@@ -280,8 +355,11 @@ def llm_knn_all_pairs_lsh(
     knobs are exposed so the recall-curve property test can sweep
     bucket widths (tests/test_llm_ops.py: recall must degrade
     monotonically as buckets narrow — the LSH tradeoff itself).
-    Rows-only check: the candidate set is bucketing-dependent; pytest
-    asserts recall vs brute force instead of a SQL oracle."""
+    Oracle (EXACT since r8): the fixed-point bucket arithmetic replays
+    as integer SQL (_LSH_ORACLE — projections re-derived from _proj's
+    formula, signs on int64 sums, relational dot rescore), the same
+    graduation the minhash pipeline made in r1; the recall pytest stays
+    as the semantic check on top."""
     e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     # one Arrow-vectorized pass computes all tables' bucket codes. The
     # stride namespaces tables inside the single `bucket` join column,
@@ -448,17 +526,80 @@ def llm_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("llm_knn_ivf")  # rows-only: pytest asserts recall vs brute force
+# Exact integer replay of the IVF pipeline (r8, same graduation as the
+# LSH op): cell ranking uses the cells' fixed-point SUM vectors (cosine
+# is scale-invariant, so sum ≡ mean with NO division — the old
+# double-mean centroid was the one order-dependent float in the op),
+# norms ride 128-bit (Spark decimal(38,0) / DuckDB HUGEINT: a 100×
+# cell's Σqv reaches ~1e10, its square 1e20 > int64), and the
+# within-cell rescore is llm_knn_cosine's exact formula.
+_IVF_ORACLE = f"""
+    WITH flat0 AS (
+      SELECT label, vec_id, UNNEST(embedding::DOUBLE[]) AS val,
+             UNNEST(range(0, {_DIM})) AS d
+      FROM embeddings
+    ),
+    flat AS (
+      SELECT label, vec_id, d,
+             CAST(FLOOR(val * {_FXP} + 0.5) AS BIGINT) AS qval
+      FROM flat0
+    ),
+    q AS (
+      SELECT d, qval AS qq FROM flat
+      WHERE vec_id = {_SQL_QUERY_VEC_ID}
+    ),
+    cellsum AS (
+      SELECT label, d, SUM(qval) AS sq FROM flat GROUP BY label, d
+    ),
+    cells AS (
+      SELECT c.label,
+             CAST(SUM(c.sq * q.qq) AS DOUBLE)
+               / (sqrt(CAST(SUM(c.sq * c.sq) AS DOUBLE))
+                  * sqrt(CAST(SUM(q.qq * q.qq) AS DOUBLE))) AS cell_score
+      FROM cellsum c JOIN q ON q.d = c.d
+      GROUP BY c.label
+    ),
+    probe AS (SELECT label FROM cells ORDER BY cell_score DESC, label LIMIT 3),
+    rescored AS (
+      SELECT f.vec_id, f.label,
+             CAST(SUM(f.qval * q.qq) AS DOUBLE) AS dot,
+             CAST(SUM(f.qval * f.qval) AS DOUBLE) AS n2
+      FROM flat f
+      JOIN probe p ON p.label = f.label
+      JOIN q ON q.d = f.d
+      WHERE f.vec_id <> {_SQL_QUERY_VEC_ID}
+      GROUP BY f.vec_id, f.label
+    )
+    SELECT vec_id, label,
+           ROUND(dot / (sqrt(n2)
+                 * sqrt((SELECT CAST(SUM(qq * qq) AS DOUBLE) FROM q))), 9)
+             AS cos_sim
+    FROM rescored
+    ORDER BY cos_sim DESC, vec_id LIMIT {_TOP_K}
+"""
+
+
+@register("llm_knn_ivf", oracle=_IVF_ORACLE)
 def llm_knn_ivf(spark: SparkSession, sf_dir: str, nprobe: int = 3) -> DataFrame:
-    """IVF-style ANN: coarse quantizer = per-label centroids (the label
+    """IVF-style ANN: coarse quantizer = per-label cells (the label
     column stands in for a k-means codebook — same plan shape), probe
     the nprobe nearest cells, exact cosine only within them. At 100 TB
     the inverted lists are partition-pruned reads (cell id = partition
     key); the scan touches nprobe/k of the data. nprobe is exposed for
     the recall-curve property test (probing every cell must reproduce
     brute force EXACTLY — recall 1.0 — and recall must be monotone in
-    nprobe). Rows-only check: ANN results are probe-set-dependent;
-    pytest gates recall vs brute force instead of a SQL oracle."""
+    nprobe).
+
+    Exact since r8 (was rows-only): cell ranking scores the query
+    against each cell's fixed-point SUM vector — cosine is
+    scale-invariant, so the sum IS the mean direction and the old
+    double-precision mean (the one summation-order-dependent float in
+    the op) disappears; cell norms accumulate in decimal(38,0) (a 100×
+    cell's Σqv squares past int64; DuckDB mirrors with its automatic
+    HUGEINT sums), and the within-cell rescore is llm_knn_cosine's
+    integer formula verbatim. Every number either side computes is an
+    exact integer or a single IEEE op on identical operands — hence the
+    EXACT oracle, with the recall pytest kept as the semantic check."""
     e = table(spark, sf_dir, "embeddings")
     flat = e.select(
         "label",
@@ -466,26 +607,22 @@ def llm_knn_ivf(spark: SparkSession, sf_dir: str, nprobe: int = 3) -> DataFrame:
         F.posexplode(F.transform("embedding", lambda x: x.cast("double"))).alias(
             "dim", "val"
         ),
+    ).withColumn("qval", F.floor(F.col("val") * _FXP + 0.5).cast("long"))
+    cellsum = flat.groupBy("label", "dim").agg(F.sum("qval").alias("sq"))
+    qid, qi = _query_row(spark, sf_dir)
+    qf = flat.filter(F.col("vec_id") == qid).select(
+        "dim", F.col("qval").alias("qq")
     )
-    cent = flat.groupBy("label", "dim").agg(
-        (F.sum("val") / F.count(F.lit(1))).alias("c")
-    )
-    qid, _ = _query_row(spark, sf_dir)
-    q = e.filter(F.col("vec_id") == qid).select(
-        F.posexplode(F.transform("embedding", lambda x: x.cast("double"))).alias(
-            "dim", "qv"
-        )
-    )
-    # centroid scores: sum over dims of c*qv / norms — tiny (k rows), all agg
+    dec = lambda c: F.col(c).cast("decimal(38,0)")
     scored = (
-        cent.join(F.broadcast(q), "dim")
+        cellsum.join(F.broadcast(qf), "dim")
         .groupBy("label")
         .agg(
             (
-                F.sum(F.col("c") * F.col("qv"))
+                F.sum(dec("sq") * F.col("qq")).cast("double")
                 / (
-                    F.sqrt(F.sum(F.col("c") * F.col("c")))
-                    * F.sqrt(F.sum(F.col("qv") * F.col("qv")))
+                    F.sqrt(F.sum(dec("sq") * F.col("sq")).cast("double"))
+                    * F.sqrt(F.sum(F.col("qq") * F.col("qq")).cast("double"))
                 )
             ).alias("cell_score")
         )
@@ -493,26 +630,27 @@ def llm_knn_ivf(spark: SparkSession, sf_dir: str, nprobe: int = 3) -> DataFrame:
         .limit(nprobe)
     )
     probe_labels = scored.select("label")
-
-    def dot(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    qn2 = int((qi.astype(object) * qi.astype(object)).sum())  # exact int
+    rescored = (
+        flat.join(F.broadcast(probe_labels), "label")  # pruned read at scale
+        .filter(F.col("vec_id") != qid)
+        .join(F.broadcast(qf), "dim")
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum(F.col("qval") * F.col("qq")).alias("dot"),
+            F.sum(F.col("qval") * F.col("qval")).alias("n2"),
         )
-
-    qvec = e.filter(F.col("vec_id") == qid).select(
-        F.transform("embedding", lambda x: x.cast("double")).alias("qv")
     )
-    ev = F.transform("embedding", lambda x: x.cast("double"))
     cos = F.round(
-        dot(ev, F.col("qv"))
-        / (F.sqrt(dot(ev, ev)) * F.sqrt(dot(F.col("qv"), F.col("qv")))),
+        F.col("dot").cast("double")
+        / (
+            F.sqrt(F.col("n2").cast("double"))
+            * F.sqrt(F.lit(qn2).cast("double"))
+        ),
         9,
     )
     return (
-        e.join(F.broadcast(probe_labels), "label")  # partition-pruned read at scale
-        .filter(F.col("vec_id") != qid)
-        .crossJoin(F.broadcast(qvec))
-        .select("vec_id", "label", cos.alias("cos_sim"))
+        rescored.select("vec_id", "label", cos.alias("cos_sim"))
         .orderBy(F.col("cos_sim").desc(), "vec_id")
         .limit(_TOP_K)
     )
@@ -522,16 +660,75 @@ _KMEANS_K = 8
 _KMEANS_ITERS = 3
 
 
-@register("llm_kmeans")  # rows-only: pytest asserts Lloyd's invariants
+def _kmeans_oracle(iters: int) -> str:
+    """Unrolled DuckDB twin of _kmeans (r8, same graduation as BPE/LSH/
+    IVF): centroids are EXACT RATIONALS S/n kept as (sum vector, count)
+    — never divided — and the assignment metric |v − S/n|² compares as
+    |n·v − S|²/n², an exact 128-bit integer numerator (HUGEINT here,
+    decimal(38,0) in Spark) over an int64 denominator, turned into one
+    deterministic IEEE division per candidate. MATERIALIZED per round
+    like the BPE oracle (each round's tables are referenced twice)."""
+    parts = [f"""
+e AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+                        x -> CAST(FLOOR(x * {_FXP} + 0.5) AS BIGINT)) AS qv
+  FROM embeddings
+),
+flat AS MATERIALIZED (
+  SELECT vec_id, t.d, qv[t.d + 1] AS q
+  FROM e, LATERAL (SELECT UNNEST(range(0, {_DIM})) AS d) t
+),
+seeds AS (
+  SELECT vec_id FROM embeddings
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {_KMEANS_K}
+),
+seedc AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+           - 1 AS cid,
+         vec_id
+  FROM seeds
+),
+c0 AS MATERIALIZED (
+  SELECT s.cid, f.d, CAST(1 AS BIGINT) AS n, CAST(f.q AS HUGEINT) AS sv
+  FROM seedc s JOIN flat f ON f.vec_id = s.vec_id
+)"""]
+    for i in range(1, iters + 1):
+        parts.append(f"""
+a{i} AS MATERIALIZED (
+  SELECT vec_id, cid, n, num FROM (
+    SELECT f.vec_id, c.cid, c.n,
+           SUM((c.n * f.q - c.sv) * (c.n * f.q - c.sv)) AS num
+    FROM flat f JOIN c{i-1} c ON c.d = f.d
+    GROUP BY f.vec_id, c.cid, c.n
+  )
+  QUALIFY ROW_NUMBER() OVER (
+    PARTITION BY vec_id
+    ORDER BY CAST(num AS DOUBLE) / CAST(n * n AS DOUBLE), cid) = 1
+),
+c{i} AS MATERIALIZED (
+  SELECT a.cid, f.d, COUNT(*) AS n, SUM(f.q) AS sv
+  FROM a{i} a JOIN flat f ON f.vec_id = a.vec_id
+  GROUP BY a.cid, f.d
+)""")
+    return ("WITH " + ",".join(parts) + f"""
+SELECT cid AS cluster_id,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(SUM(num) AS DOUBLE) / CAST(MIN(n) * MIN(n) AS DOUBLE)
+         / 1000000000000.0 AS inertia
+FROM a{iters} GROUP BY cid""")
+
+
+@register("llm_kmeans", oracle=_kmeans_oracle(3))
 def llm_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed k-means (Lloyd's algorithm, 3 iterations, k=8) over
     the embedding table — the iterative-ML representative beyond the
     label-propagation op. Deterministic throughout: init picks the k
-    hash-smallest vec_ids' vectors; distances use fixed-point int64
-    arithmetic (order-independent); argmin ties break on centroid id.
+    hash-smallest vec_ids' vectors; all arithmetic is fixed-point /
+    exact-rational (below); argmin ties break on centroid id.
 
     Scale shape (the MapReduce Lloyd's standard): ASSIGN = broadcast the
-    k x dim centroid table against the vector scan (n x k candidate rows,
+    k-row centroid table against the vector scan (n x k candidate rows,
     min_by per vector — no shuffle of the vectors themselves); UPDATE =
     posexplode to (cluster, dim) partial sums — the same
     no-driver-assembly pattern as llm_centroids. The plan stays fully
@@ -539,22 +736,37 @@ def llm_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     previous centroid table once), so there is no action, checkpoint, or
     driver loop state — a pure DataFrame program.
 
-    Rows-only check; pytest asserts inertia is non-increasing in the
-    iteration count (Lloyd's invariant) and cluster sizes partition the
-    input."""
+    Exact since r8 (was rows-only): centroids are EXACT RATIONALS —
+    the (sum vector S, count n) pair, never divided — and assignment
+    compares |v − S/n|² as the exact integer |n·v − S|² over n², one
+    deterministic IEEE division per candidate. This is textbook
+    Lloyd's on the quantized points (the previous double-precision
+    centroid mean was the single summation-order-dependent float in
+    the op), so the DuckDB oracle unrolls the 3 rounds exactly
+    (_kmeans_oracle) AND the inertia-monotonicity pytest now holds by
+    theorem rather than approximately. Numerators ride decimal(38,0)
+    (DuckDB: HUGEINT) — a 100× cell's n·q reaches ~1e10 and its square
+    1e20, past int64."""
     return _kmeans(spark, sf_dir, _KMEANS_ITERS)
 
 
 def _kmeans(spark: SparkSession, sf_dir: str, iters: int) -> DataFrame:
     e = table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: F.floor(x.cast("double") * _FXP + 0.5).cast("long")
+        ).alias("qv"),
     )
 
-    def dist2(a, b):
-        # squared L2 on fixed-point ints (exact, order-independent)
-        q = lambda c: F.transform(c, lambda x: F.floor(x * _FXP + 0.5).cast("long"))
-        d = F.zip_with(q(a), q(b), lambda x, y: x - y)
-        return F.aggregate(d, F.lit(0).cast("long"), lambda acc, x: acc + x * x)
+    def num_expr(S, qv, n):
+        # |n·v − S|² as exact decimal(38,0): per-dim diff fits long
+        # (n·q ≲ 1e10 at 100×), its square may not — square in decimal
+        diff = F.zip_with(S, qv, lambda s, q: n * q - s)
+        return F.aggregate(
+            diff,
+            F.lit(0).cast("decimal(38,0)"),
+            lambda acc, x: acc + x.cast("decimal(38,0)") * x,
+        )
 
     # deterministic init: vectors of the k hash-smallest vec_ids.
     # orderBy().limit(k) plans as TakeOrderedAndProject (per-partition
@@ -564,38 +776,60 @@ def _kmeans(spark: SparkSession, sf_dir: str, iters: int) -> DataFrame:
         _KMEANS_K
     )
     tiny_w = Window.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
-    cents = seeds.select(
-        (F.row_number().over(tiny_w) - 1).alias("cid"), F.col("v").alias("c")
+    cells = seeds.select(
+        (F.row_number().over(tiny_w) - 1).alias("cid"),
+        F.lit(1).cast("long").alias("n"),
+        F.col("qv").alias("S"),
     )
 
     assigned = None
     for _ in range(iters):
-        # evaluate the distance ONCE per candidate row, then reduce
-        scored = e.crossJoin(F.broadcast(cents)).select(
-            "vec_id", "v", "cid", dist2("v", "c").alias("d")
+        # evaluate the numerator ONCE per candidate row, then reduce
+        scored = e.crossJoin(F.broadcast(cells)).select(
+            "vec_id",
+            "qv",
+            "cid",
+            "n",
+            num_expr(F.col("S"), F.col("qv"), F.col("n")).alias("num"),
+        ).withColumn(
+            "dd",
+            F.col("num").cast("double")
+            / (F.col("n") * F.col("n")).cast("double"),
         )
         assigned = scored.groupBy("vec_id").agg(
-            F.first("v").alias("v"),
-            F.min_by("cid", F.struct("d", "cid")).alias("cid"),
-            F.min("d").alias("d2"),
+            F.first("qv").alias("qv"),
+            F.min_by(
+                F.struct("cid", "n", "num"), F.struct("dd", "cid")
+            ).alias("m"),
+        ).select(
+            "vec_id",
+            "qv",
+            F.col("m.cid").alias("cid"),
+            F.col("m.n").alias("n"),
+            F.col("m.num").alias("num"),
         )
-        cents = (
-            assigned.select("cid", F.posexplode("v").alias("dim", "val"))
+        cells = (
+            assigned.select("cid", F.posexplode("qv").alias("dim", "q"))
             .groupBy("cid", "dim")
-            .agg((F.sum("val") / F.count(F.lit(1))).alias("cv"))
+            .agg(F.count(F.lit(1)).alias("cnt"), F.sum("q").alias("sv"))
             .groupBy("cid")
             .agg(
+                F.max("cnt").alias("n"),
                 F.transform(
-                    F.array_sort(F.collect_list(F.struct("dim", "cv"))),
-                    lambda s: s.cv,
-                ).alias("c")
+                    F.array_sort(F.collect_list(F.struct("dim", "sv"))),
+                    lambda s: s.sv,
+                ).alias("S"),
             )
         )
     return (
         assigned.groupBy(F.col("cid").alias("cluster_id"))
         .agg(
             F.count(F.lit(1)).alias("n_vecs"),
-            (F.sum("d2").cast("double") / (_FXP * float(_FXP))).alias("inertia"),
+            (
+                F.sum("num").cast("double")
+                / (F.min("n") * F.min("n")).cast("double")
+                / F.lit(1000000000000.0)
+            ).alias("inertia"),
         )
     )
 
