@@ -149,6 +149,88 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KMV_K = 64  # sketch size: rsd ~ 1/sqrt(k-2) ~ 12.7%
+
+
+@register(
+    "agg_kmv_distinct",
+    oracle=f"""
+    WITH dh AS (
+      SELECT DISTINCT event_type, md5(CAST(user_id AS VARCHAR)) AS h
+      FROM events
+    ),
+    ranked AS (
+      SELECT event_type, h,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+      FROM dh
+    ),
+    kth AS (
+      SELECT event_type, COUNT(*) AS m,
+             MAX(CASE WHEN rn = {_KMV_K}
+                      THEN ('0x' || substr(h, 1, 15))::BIGINT END) AS hk
+      FROM ranked WHERE rn <= {_KMV_K}
+      GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(CASE WHEN m < {_KMV_K} THEN m
+                ELSE FLOOR(CAST({_KMV_K - 1} AS DOUBLE)
+                           / (CAST(hk AS DOUBLE) / 1152921504606846976.0))
+                END AS BIGINT) AS est_users
+    FROM kth
+    """,
+)
+def agg_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DETERMINISTIC approximate count-distinct via a KMV (k-minimum-
+    values) sketch — the answer to agg_approx_distinct's one honest
+    limitation: HLL++ sketch estimates are engine-internal, so that op
+    can never be hash-checked. KMV's estimator is a pure function of
+    the k smallest md5 hashes of the distinct values ((k−1)/frac(h_k),
+    Bar-Yossef 2002), and since we own the hash, both engines compute
+    the IDENTICAL estimate — a mergeable one-pass sketch WITH an exact
+    DuckDB oracle. Exact regime: a group whose sketch never fills
+    (< k kept hashes) reports its true distinct count — decided from
+    the sketch itself, no total-count pass (an unbounded COUNT window
+    would drag every distinct row through the exchange and break the
+    WindowGroupLimit pushdown below).
+
+    Scale: distinct (group, hash) is one shuffle; the k-smallest filter
+    is a rank window that Spark executes as WindowGroupLimit —
+    map-side per-partition top-k heaps BEFORE the exchange, so the
+    shuffle carries ≤ k rows per (group, partition), never the distinct
+    stream. At 100 TB this is the same merge shape HLL uses, with ~8x
+    the bytes per group (k·16B) bought for determinism. The normalizer
+    2^60 and the two-division sequence are written identically in both
+    engines — every arithmetic step is an exact int or one shared IEEE
+    op, hence the EXACT oracle; the accuracy envelope (rsd ≈ 1/√(k−2))
+    is pytest-checked against the true counts like the HLL op."""
+    ev = table(spark, sf_dir, "events")
+    dh = ev.select(
+        "event_type", F.md5(F.col("user_id").cast("string")).alias("h")
+    ).distinct()
+    w = Window.partitionBy("event_type").orderBy("h")
+    ranked = dh.select(
+        "event_type",
+        "h",
+        F.row_number().over(w).alias("rn"),
+    ).filter(F.col("rn") <= _KMV_K)
+    kth = ranked.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("m"),
+        F.max(
+            F.when(
+                F.col("rn") == _KMV_K,
+                F.conv(F.substring("h", 1, 15), 16, 10).cast("long"),
+            )
+        ).alias("hk"),
+    )
+    frac = F.col("hk").cast("double") / F.lit(1152921504606846976.0)
+    est = F.when(F.col("m") < _KMV_K, F.col("m")).otherwise(
+        F.floor(F.lit(float(_KMV_K - 1)) / frac)
+    )
+    return kth.select(
+        "event_type", est.cast("bigint").alias("est_users")
+    )
+
+
 @register(
     "agg_stats",
     oracle="""

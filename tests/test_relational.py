@@ -51,6 +51,28 @@ def test_approx_distinct_within_tolerance(spark, sf_small):
         assert abs(row["approx_users"] - e) <= 0.1 * e + 3
 
 
+def test_kmv_distinct_within_envelope(spark, sf_small):
+    """agg_kmv_distinct (r8): the deterministic KMV estimate must land
+    within the sketch's 3.5-sigma envelope (rsd ~ 1/sqrt(k-2) with
+    k=64 -> ~12.7%) of the true distinct count, and groups whose sketch
+    never fills must report the EXACT count."""
+    from sparkflow.operators.aggregates import _KMV_K
+
+    est = sparkflow.QUERIES["agg_kmv_distinct"](spark, sf_small).toPandas()
+    exact = (
+        sparkflow.QUERIES["agg_distinct"](spark, sf_small)
+        .toPandas()
+        .set_index("event_type")["n_users"]
+    )
+    sigma = (_KMV_K - 2) ** -0.5
+    for _, row in est.iterrows():
+        e = exact[row["event_type"]]
+        if e < _KMV_K:
+            assert row["est_users"] == e, "sub-k group must be exact"
+        else:
+            assert abs(row["est_users"] - e) <= 3.5 * sigma * e + 3
+
+
 def test_hll_merged_sketches_within_tolerance(spark, sf_small):
     """Per-day sketches unioned per type must estimate the same distinct
     count as a direct pass — the mergeability property that makes
