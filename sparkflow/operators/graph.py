@@ -320,3 +320,119 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("u").cast("bigint").alias("user_id"),
         F.col("lbl").cast("bigint").alias("community"),
     )
+
+
+_BFS_ROUNDS = 4
+_BFS_SEEDS = 3
+
+
+def _bfs_oracle() -> str:
+    # Unrolled Bellman-Ford-style relaxation: d_k(v) = min(d_{k-1}(v),
+    # min over edges (u,v) of d_{k-1}(u)+1). For unit weights this is
+    # exactly BFS level-by-level, so it equals the frontier-pruned Spark
+    # plan's fixpoint after the same number of rounds.
+    it = """
+    d{n} AS (
+      SELECT u, MIN(dist) AS dist FROM (
+        SELECT u, dist FROM d{p}
+        UNION ALL
+        SELECT b.dst AS u, d.dist + 1 AS dist
+        FROM bidir b JOIN d{p} d ON d.u = b.src
+      ) GROUP BY u
+    )"""
+    iters = ",".join(it.format(n=i, p=i - 1) for i in range(1, _BFS_ROUNDS + 1))
+    return f"""
+    WITH seq AS (
+      SELECT user_id,
+             LEAD(user_id) OVER (PARTITION BY {_SQL_HOUR}, event_type
+                                 ORDER BY event_id) AS next_user
+      FROM events
+    ),
+    eu AS (
+      SELECT DISTINCT LEAST(user_id, next_user) AS a,
+                      GREATEST(user_id, next_user) AS b
+      FROM seq WHERE next_user IS NOT NULL AND next_user <> user_id
+    ),
+    bidir AS (
+      SELECT a AS src, b AS dst FROM eu
+      UNION ALL
+      SELECT b AS src, a AS dst FROM eu
+    ),
+    nodes AS (SELECT DISTINCT dst AS u FROM bidir),
+    d0 AS (
+      SELECT u, CAST(0 AS INTEGER) AS dist
+      FROM (SELECT u FROM nodes ORDER BY u LIMIT {_BFS_SEEDS})
+    ),
+    {iters}
+    SELECT CAST(u AS BIGINT) AS user_id, CAST(dist AS INTEGER) AS dist
+    FROM d{_BFS_ROUNDS}
+    """
+
+
+@register("graph_shortest_paths", oracle=_bfs_oracle())
+def graph_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS shortest paths (unit weights, K synchronous
+    rounds) from the {seeds} smallest node ids over the undirected
+    per-(hour, event_type) co-activity graph — the third member of the
+    iterative-join family (pagerank = value diffusion, LPA = mode
+    adoption, BFS = min-plus relaxation). Returns every node reached
+    within K={rounds} hops with its hop distance.
+
+    Scale shape — FRONTIER-PRUNED, not full relaxation: each round
+    joins only the nodes newly reached last round against the edge
+    list (one keyed shuffle), then anti-joins the settled set so a
+    node is never re-expanded (BFS invariant: first touch = shortest
+    distance under unit weights, so frontier pruning computes the
+    identical fixpoint as the oracle's full min-relaxation). Work per
+    round is O(frontier boundary), not O(V+E) — the property that
+    makes level-synchronous BFS viable on billion-edge graphs, where
+    full relaxation re-shuffles the whole distance table every round.
+    The settled set grows monotonically; at higher K, localCheckpoint
+    per round bounds lineage exactly as llm_dedup_clusters does.
+    Driver state: loop counter only."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("h", "event_type").orderBy("event_id")
+    seq = ev.select(
+        F.expr(_HOUR).alias("h"), "event_type", "event_id", "user_id"
+    ).withColumn("next_user", F.lead("user_id").over(w))
+    eu = (
+        seq.filter(
+            F.col("next_user").isNotNull() & (F.col("next_user") != F.col("user_id"))
+        )
+        .select(
+            F.least("user_id", "next_user").alias("a"),
+            F.greatest("user_id", "next_user").alias("b"),
+        )
+        .distinct()
+    )
+    bidir = eu.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
+        eu.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    # Round k's plan embeds dist_{k-1} twice (frontier expansion + the
+    # settled anti-join), so without truncation the DAG doubles per
+    # round — localCheckpoint per round keeps it linear, exactly the
+    # llm_dedup_clusters pattern. The edge list is checkpointed once so
+    # the K expansions re-read a materialized table, not the window
+    # pipeline.
+    bidir = bidir.localCheckpoint()
+    nodes = bidir.select(F.col("dst").alias("u")).distinct()
+    seeds = nodes.orderBy("u").limit(_BFS_SEEDS)  # TakeOrdered, reseed-safe
+    dist = seeds.withColumn("dist", F.lit(0).cast("int")).localCheckpoint()
+    frontier = seeds
+    for k in range(1, _BFS_ROUNDS + 1):
+        nxt = (
+            frontier.withColumnRenamed("u", "src")
+            .join(bidir, "src")
+            .select(F.col("dst").alias("u"))
+            .distinct()
+        )
+        new = (
+            nxt.join(dist, "u", "left_anti")
+            .withColumn("dist", F.lit(k).cast("int"))
+            .localCheckpoint()
+        )
+        dist = dist.unionByName(new)
+        frontier = new.select("u")
+    return dist.select(
+        F.col("u").cast("bigint").alias("user_id"), F.col("dist").cast("int").alias("dist")
+    )

@@ -743,3 +743,38 @@ def test_reseeded_twin_keeps_fixed_ops_exact_and_live(spark, tmp_path_factory):
     # a 1-row aggregate — its n_good must be a real count, not 0
     agg = sparkflow.QUERIES["scan_json_corrupt"](spark, dst).toPandas()
     assert int(agg["n_good"].iloc[0]) > 0
+
+
+def test_bfs_matches_python_replay(spark, sf_small):
+    """Frontier-pruned distributed BFS must equal a pure-Python BFS over
+    the same undirected co-activity edge set: same reached set, same
+    hop distance for every node, seeds = 3 smallest node ids."""
+    got = sparkflow.QUERIES["graph_shortest_paths"](spark, sf_small).toPandas()
+    ev = (
+        cat_table(spark, sf_small, "events")
+        .selectExpr(
+            "event_id",
+            "user_id",
+            "event_type",
+            "(unix_micros(ts) div 3600000000) AS h",
+        )
+        .toPandas()
+        .sort_values(["h", "event_type", "event_id"])
+    )
+    adj: dict[int, set[int]] = {}
+    for _, g in ev.groupby(["h", "event_type"]):
+        u = g["user_id"].to_numpy()
+        for a, b in zip(u, u[1:]):
+            if a != b:
+                adj.setdefault(a, set()).add(b)
+                adj.setdefault(b, set()).add(a)
+    seeds = sorted(adj)[:3]
+    dist = {s: 0 for s in seeds}
+    frontier = set(seeds)
+    for k in range(1, 5):
+        nxt = {v for u in frontier for v in adj[u]} - dist.keys()
+        for v in nxt:
+            dist[v] = k
+        frontier = nxt
+    want = dict(zip(got["user_id"], got["dist"]))
+    assert want == dist
