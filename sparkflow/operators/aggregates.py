@@ -765,3 +765,93 @@ def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").alias("n_orders"),
         )
     )
+
+
+_CMS_D = 4  # hash rows
+_CMS_W = 256  # buckets per row
+_CMS_TOP = 10  # demonstration keys: top-N true-frequency users
+
+
+def _cms_bucket_sql(i: str, key: str) -> str:
+    return (
+        f"(('0x' || substr(md5(CAST({i} AS VARCHAR) || ':' "
+        f"|| CAST({key} AS VARCHAR)), 1, 15))::BIGINT % {_CMS_W})"
+    )
+
+
+@register(
+    "agg_cms_heavy_hitters",
+    oracle=f"""
+    WITH salts AS (SELECT * FROM (VALUES (0),(1),(2),(3)) t(i)),
+    cms AS (
+      SELECT s.i, {_cms_bucket_sql('s.i', 'e.user_id')} AS b, COUNT(*) AS c
+      FROM events e CROSS JOIN salts s
+      GROUP BY s.i, b
+    ),
+    truth AS (
+      SELECT user_id, COUNT(*) AS true_cnt FROM events GROUP BY user_id
+    ),
+    top AS (
+      SELECT user_id, true_cnt FROM truth
+      ORDER BY true_cnt DESC, user_id LIMIT {_CMS_TOP}
+    )
+    SELECT t.user_id, t.true_cnt, MIN(c.c) AS cms_est
+    FROM top t
+    CROSS JOIN salts s
+    JOIN cms c ON c.i = s.i
+              AND c.b = {_cms_bucket_sql('s.i', 't.user_id')}
+    GROUP BY t.user_id, t.true_cnt
+    """,
+)
+def agg_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DETERMINISTIC Count-Min sketch (Cormode-Muthukrishnan 2005) —
+    the frequency-estimation twin of agg_kmv_distinct's cardinality
+    sketch: d={d} hash rows x w={w} counters over md5 hashes we OWN, so
+    DuckDB rebuilds the identical sketch and the estimate
+    (min over rows of counter[h_i(key)]) is hash-checkable EXACTLY,
+    unlike any engine-internal sketch. Point-queried here for the
+    top-{top} true-frequency users; CMS guarantees est >= true with
+    overshoot < eps*N at probability 1-delta (eps=e/w, delta=e^-d) —
+    the pytest asserts both bounds.
+
+    Scale shape: the sketch build explodes each row into d (row,
+    bucket) pairs, but hash-partial aggregation collapses them to
+    <= d*w rows PER PARTITION before the exchange — the shuffle carries
+    at most 1024 rows per map task no matter the input (the same
+    map-side-combine property that makes counting scalable at all).
+    The finished sketch is d*w = {dw} rows — broadcast to the probe
+    side; point queries never shuffle. The exact `truth` pass exists
+    only to pick demonstration keys and verify the bound; a production
+    reader probes the sketch with known keys and skips it."""
+    ev = table(spark, sf_dir, "events").select("user_id")
+
+    def bucket(i: int, key):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{i}:"), key.cast("string"))), 1, 15
+                ),
+                16,
+                10,
+            ).cast("long")
+            % _CMS_W
+        )
+
+    buckets = F.array(*[bucket(i, F.col("user_id")) for i in range(_CMS_D)])
+    hashed = ev.select(F.posexplode(buckets).alias("i", "b"))
+    cms = hashed.groupBy("i", "b").agg(F.count(F.lit(1)).alias("c"))
+    truth = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("true_cnt"))
+    top = truth.orderBy(F.desc("true_cnt"), "user_id").limit(_CMS_TOP)
+    cand = top.select(
+        "user_id", "true_cnt", F.posexplode(buckets).alias("i", "b")
+    )
+    return (
+        cand.join(F.broadcast(cms), ["i", "b"])
+        .groupBy("user_id", "true_cnt")
+        .agg(F.min("c").alias("cms_est"))
+    )
+
+
+agg_cms_heavy_hitters.__doc__ = agg_cms_heavy_hitters.__doc__.format(
+    d=_CMS_D, w=_CMS_W, top=_CMS_TOP, dw=_CMS_D * _CMS_W
+)

@@ -778,3 +778,20 @@ def test_bfs_matches_python_replay(spark, sf_small):
         frontier = nxt
     want = dict(zip(got["user_id"], got["dist"]))
     assert want == dist
+
+
+def test_cms_estimates_bounded(spark, sf_small):
+    """agg_cms_heavy_hitters (r8): CMS is one-sided — est >= true always
+    (counters only ever add), and with d=4 independent rows of w=256
+    buckets the expected overshoot per row is N/w, so min-of-rows
+    overshoot beyond a few sigma of that envelope means the sketch or
+    the probe hashing is broken."""
+    from sparkflow.operators.aggregates import _CMS_W
+
+    got = sparkflow.QUERIES["agg_cms_heavy_hitters"](spark, sf_small).toPandas()
+    n_events = cat_table(spark, sf_small, "events").count()
+    assert len(got) > 0
+    assert (got["cms_est"] >= got["true_cnt"]).all()
+    # min over d rows beats the per-row expectation N/w substantially;
+    # 4x the per-row mean is a generous deterministic-fixture envelope.
+    assert (got["cms_est"] - got["true_cnt"] <= 4 * n_events / _CMS_W + 3).all()
