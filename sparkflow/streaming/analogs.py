@@ -1272,3 +1272,157 @@ def stream_async_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select("event_id", "user_id", "value").mapInPandas(
         enrich, "event_id LONG, user_id LONG, user_tier STRING, value_cents LONG"
     )
+
+
+@register(
+    "events_rfm",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id, MAX(epoch_us(ts)) AS last_us, COUNT(*) AS freq,
+             CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS monetary_cents
+      FROM events GROUP BY user_id
+    ),
+    g AS (SELECT MAX(last_us) AS all_us FROM per_user),
+    base AS (
+      SELECT user_id, (g.all_us - last_us) // 86400000000 AS rec_days,
+             freq, monetary_cents
+      FROM per_user, g
+    ),
+    scored AS (
+      SELECT user_id, rec_days, freq, monetary_cents,
+             CAST(NTILE(5) OVER (ORDER BY rec_days DESC, user_id) AS INTEGER) AS r_score,
+             CAST(NTILE(5) OVER (ORDER BY freq, user_id) AS INTEGER) AS f_score,
+             CAST(NTILE(5) OVER (ORDER BY monetary_cents, user_id) AS INTEGER) AS m_score
+      FROM base
+    )
+    SELECT user_id, rec_days, freq, monetary_cents,
+           r_score, f_score, m_score,
+           CAST(r_score * 100 + f_score * 10 + m_score AS INTEGER) AS rfm_code
+    FROM scored
+    """,
+)
+def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: per-user Recency (whole days since
+    the user's last event, relative to the dataset's newest event),
+    Frequency (event count), Monetary (exact cents sum), each scored
+    into quintiles by NTILE(5) with a deterministic (metric, user_id)
+    tie-break — score 5 = most recent / most frequent / top spend —
+    plus the composite 3-digit rfm_code marketing tools key on.
+
+    Scale shape: the heavy pass is one keyed partial aggregation
+    (events -> per-user triple); everything after runs on the REDUCED
+    per-user table. The anchor timestamp is a 1-row aggregate
+    broadcast-crossed in. The three NTILE windows are global sorts of
+    the per-user table - exact quintiles require a total order; at
+    extreme user counts the swap is broadcast approxQuantile cutpoints
+    (the documented trade: exactness for the oracle vs a sampled
+    boundary), while the events-side cost is unchanged."""
+    ev = table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.max(F.unix_micros("ts")).alias("last_us"),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum(cents("value")).alias("monetary_cents"),
+    )
+    glob = per_user.agg(F.max("last_us").alias("all_us"))
+    base = per_user.crossJoin(F.broadcast(glob)).select(
+        "user_id",
+        F.expr("(all_us - last_us) div 86400000000").alias("rec_days"),
+        "freq",
+        "monetary_cents",
+    )
+    r_w = Window.orderBy(F.col("rec_days").desc(), "user_id")
+    f_w = Window.orderBy("freq", "user_id")
+    m_w = Window.orderBy("monetary_cents", "user_id")
+    scored = base.select(
+        "user_id",
+        "rec_days",
+        "freq",
+        "monetary_cents",
+        F.ntile(5).over(r_w).cast("int").alias("r_score"),
+        F.ntile(5).over(f_w).cast("int").alias("f_score"),
+        F.ntile(5).over(m_w).cast("int").alias("m_score"),
+    )
+    return scored.withColumn(
+        "rfm_code",
+        (F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score")).cast(
+            "int"
+        ),
+    )
+
+
+@register(
+    "events_ts_decompose",
+    oracle="""
+    WITH hourly AS (
+      SELECT epoch_us(ts) // 3600000000 AS hb, COUNT(*) AS vol,
+             CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS value_cents
+      FROM events GROUP BY hb
+    ),
+    trended AS (
+      SELECT hb, vol, value_cents,
+             CAST((SUM(value_cents) OVER w * 1000000)
+               // COUNT(*) OVER w AS BIGINT) AS trend_e6
+      FROM hourly
+      WINDOW w AS (ORDER BY hb RANGE BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+    ),
+    resid AS (
+      SELECT hb, vol, value_cents, trend_e6,
+             CAST(value_cents * 1000000 - trend_e6 AS BIGINT) AS resid_e6
+      FROM trended
+    ),
+    seasonal AS (
+      SELECT hb % 24 AS hod,
+             CAST(SUM(resid_e6) AS DOUBLE) / COUNT(*) AS seasonal_e6
+      FROM resid GROUP BY hod
+    )
+    SELECT r.hb, r.vol, r.value_cents, r.trend_e6, r.resid_e6, s.seasonal_e6
+    FROM resid r JOIN seasonal s ON s.hod = r.hb % 24
+    """,
+)
+def events_ts_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive time-series decomposition of the hourly value
+    stream: trend = centered +/-12h moving average (RANGE frame over the
+    hour bucket, so calendar gaps shrink the window instead of
+    smearing rows), residual = value - trend, seasonal = mean residual
+    per hour-of-day. All in exact arithmetic: value is exact cents,
+    trend is (window_sum * 1e6) div window_hours on positive integers
+    (truncation == floor, both engines identical), residual is an
+    exact integer, and the seasonal mean is ONE IEEE division of an
+    exact integer sum by an exact count - identical in both engines
+    (the davg idiom), never an order-dependent double sum.
+
+    Scale shape: events -> hourly rollup is one keyed partial agg; the
+    trend window orders the ROLLUP globally, whose row count is bounded
+    by calendar time, not data volume (10 years ~ 87k hourly rows), so
+    a single-partition window is safe at any SF. The 24-row seasonal
+    index joins back via broadcast."""
+    ev = table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.expr("unix_micros(ts) div 3600000000").alias("hb")
+    ).agg(
+        F.count(F.lit(1)).alias("vol"),
+        F.sum(cents("value")).alias("value_cents"),
+    )
+    trended = hourly.select(
+        "hb",
+        "vol",
+        "value_cents",
+        F.expr(
+            "(sum(value_cents) OVER (ORDER BY hb RANGE BETWEEN 12 PRECEDING"
+            " AND 12 FOLLOWING) * 1000000) div count(*) OVER (ORDER BY hb"
+            " RANGE BETWEEN 12 PRECEDING AND 12 FOLLOWING)"
+        ).alias("trend_e6"),
+    )
+    resid = trended.withColumn(
+        "resid_e6", F.col("value_cents") * 1_000_000 - F.col("trend_e6")
+    )
+    seasonal = resid.groupBy((F.col("hb") % 24).alias("hod")).agg(
+        (F.sum("resid_e6").cast("double") / F.count(F.lit(1))).alias(
+            "seasonal_e6"
+        )
+    )
+    return resid.join(
+        F.broadcast(seasonal), resid["hb"] % 24 == seasonal["hod"]
+    ).select("hb", "vol", "value_cents", "trend_e6", "resid_e6", "seasonal_e6")

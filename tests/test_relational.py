@@ -795,3 +795,55 @@ def test_cms_estimates_bounded(spark, sf_small):
     # min over d rows beats the per-row expectation N/w substantially;
     # 4x the per-row mean is a generous deterministic-fixture envelope.
     assert (got["cms_est"] - got["true_cnt"] <= 4 * n_events / _CMS_W + 3).all()
+
+
+def test_rfm_quintiles_balanced_and_code_consistent(spark, sf_small):
+    """events_rfm (r8): each score dimension must split users into 5
+    near-equal quintiles (NTILE invariant: sizes differ by at most 1),
+    scores must be monotone in their metric up to the documented
+    tie-break, and rfm_code must recompose the three digits."""
+    got = sparkflow.QUERIES["events_rfm"](spark, sf_small).toPandas()
+    n = len(got)
+    assert n > 0
+    for col in ("r_score", "f_score", "m_score"):
+        sizes = got[col].value_counts()
+        assert sorted(sizes.index) == [1, 2, 3, 4, 5]
+        assert sizes.max() - sizes.min() <= 1
+    assert (
+        got["rfm_code"]
+        == got["r_score"] * 100 + got["f_score"] * 10 + got["m_score"]
+    ).all()
+    # monotone: a strictly more-frequent user never has a lower f_score
+    by_f = got.sort_values(["freq", "user_id"])
+    assert by_f["f_score"].is_monotonic_increasing
+    by_m = got.sort_values(["monetary_cents", "user_id"])
+    assert by_m["m_score"].is_monotonic_increasing
+    by_r = got.sort_values(["rec_days", "user_id"], ascending=[False, True])
+    assert by_r["r_score"].is_monotonic_increasing
+
+
+def test_ts_decompose_identity_and_seasonal_mean(spark, sf_small):
+    """events_ts_decompose (r8): residual identity holds exactly per
+    hour (value*1e6 == trend + resid), the trend replays a pandas
+    centered +/-12h RANGE mean, and each hour-of-day's seasonal index
+    equals the mean of its residuals."""
+    got = (
+        sparkflow.QUERIES["events_ts_decompose"](spark, sf_small)
+        .toPandas()
+        .sort_values("hb")
+        .reset_index(drop=True)
+    )
+    assert (
+        got["value_cents"] * 1_000_000 == got["trend_e6"] + got["resid_e6"]
+    ).all()
+    hb = got["hb"].to_numpy()
+    vc = got["value_cents"].to_numpy()
+    for i in range(0, len(got), 97):  # sampled replay
+        m = (hb >= hb[i] - 12) & (hb <= hb[i] + 12)
+        assert got["trend_e6"][i] == (int(vc[m].sum()) * 1_000_000) // int(
+            m.sum()
+        )
+    for hod, g in got.groupby(got["hb"] % 24):
+        want = g["resid_e6"].sum() / len(g)
+        assert abs(g["seasonal_e6"].iloc[0] - want) < 1e-6
+        assert (g["seasonal_e6"] == g["seasonal_e6"].iloc[0]).all()
