@@ -88,6 +88,23 @@ _ATTEST_FIRST = [
 ]
 registry.reorder(_ATTEST_FIRST)
 
+# Keys whose DRIVER CONTRACT changed since their last attestation — an
+# oracle was added (no_oracle -> EXACT) or the registered semantics were
+# deliberately redefined. The mechanical code-stale rotation below cannot
+# distinguish these from collateral staleness (module granularity stales
+# ~20 sibling keys per edit, and its oldest-attested-first budget order
+# pushes RECENTLY-attested-but-deliberately-changed keys to the back,
+# past the driver's ~50-key prefix — observed in r8: the five graduated
+# keys landed at positions 35-166). Listing a key here fronts it right
+# after the never-attested segment so the next CORRECTNESS artifact
+# records the new contract. Remove entries once the artifact lands
+# (stale entries are harmless: attested keys just re-attest early).
+_CONTRACT_CHANGED = [
+    # r8: graduated from rows-only to exact oracles
+    "llm_bpe_train", "llm_bpe_encode",
+    "llm_knn_all_pairs_lsh", "llm_knn_ivf", "llm_kmeans",
+]
+
 
 def _rotate_never_attested() -> None:
     """Self-maintaining attestation rotation: front the keys that have no
@@ -127,12 +144,23 @@ def _rotate_never_attested() -> None:
     stale_set = _code_stale_keys(
         registry.QUERIES, last_round, _git_last_change_times(_root), _root
     )
-    code_stale = [k for k in registry.QUERIES if k in stale_set]
-    rest = [k for k in registry.QUERIES if k in seen and k not in stale_set]
+    changed = [
+        k for k in _CONTRACT_CHANGED if k in registry.QUERIES and k in seen
+    ]
+    code_stale = [
+        k
+        for k in registry.QUERIES
+        if k in stale_set and k not in changed
+    ]
+    rest = [
+        k
+        for k in registry.QUERIES
+        if k in seen and k not in stale_set and k not in changed
+    ]
     # stable sorts: within the same round, current registration order
     code_stale.sort(key=lambda k: last_round[k])
     rest.sort(key=lambda k: last_round[k])
-    registry.reorder(unattested + code_stale + rest)
+    registry.reorder(unattested + changed + code_stale + rest)
 
 
 def _git_last_change_times(root: str | None = None) -> dict:

@@ -122,6 +122,139 @@ def main() -> None:
     out["json_materialized_sec"] = round(statistics.median(t_mt), 3)
     out["json_duckdb_sec"] = round(statistics.median(t_dk), 3)
 
+    # ---- pre-aggregation rollup postures ------------------------------------
+    # The remaining DuckDB-wins-at-sf10 headline queries (q1,
+    # distinct_users, events_tumbling) are all small-output scans whose
+    # gap is pure scan+exchange cost. The engine answer is the same as
+    # the JSON one: pay the scan ONCE into a maintained rollup, then
+    # serve every subsequent query from the reduced table. Partials are
+    # monoids (count/sum as exact cents/1e-4 units), so read-side
+    # re-aggregation is bit-identical to the full recompute — asserted
+    # below, not assumed. Day grain for q1 because its shipdate filter
+    # lands on whole-day cells; hour+type grain for tumbling (= query
+    # grain); a distinct-projection MV for the non-monoid distinct.
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from sparkflow.catalog import table as cat_table
+    from sparkflow.oracle_compat import cents
+    from sparkflow.operators.aggregates import _charge_units, _disc_price_units
+
+    base = os.path.join("/tmp", "sparkflow_rollup", os.path.basename(d))
+
+    def _norm(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        return (
+            pdf.reindex(sorted(pdf.columns), axis=1)
+            .sort_values(sorted(pdf.columns))
+            .reset_index(drop=True)
+        )
+
+    # one-time staged writes (the amortized cost)
+    t0 = time.perf_counter()
+    li = cat_table(spark, d, "lineitem")
+    (
+        li.groupBy("l_returnflag", "l_linestatus", F.to_date("l_shipdate").alias("day"))
+        .agg(
+            F.sum(cents("l_quantity")).alias("qty_c"),
+            F.sum(cents("l_extendedprice")).alias("base_c"),
+            F.sum(_disc_price_units()).alias("disc_price_u"),
+            F.sum(_charge_units()).alias("charge_u"),
+            F.sum(cents("l_discount")).alias("disc_c"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .write.mode("overwrite")
+        .parquet(os.path.join(base, "q1_partials"))
+    )
+    ev = cat_table(spark, d, "events")
+    (
+        ev.groupBy(
+            F.expr(
+                "timestamp_micros(((unix_micros(ts) div 1000000) div 3600)"
+                " * 3600 * 1000000)"
+            ).alias("hour_start"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(cents("value")).alias("val_c"))
+        .write.mode("overwrite")
+        .parquet(os.path.join(base, "hourly_partials"))
+    )
+    (
+        ev.select("event_type", "user_id")
+        .distinct()
+        .write.mode("overwrite")
+        .parquet(os.path.join(base, "distinct_mv"))
+    )
+    out["rollup_write_sec"] = round(time.perf_counter() - t0, 3)
+
+    def q1_rollup():
+        p = spark.read.parquet(os.path.join(base, "q1_partials")).filter(
+            F.col("day") <= F.lit("2000-12-01").cast("date")
+        )
+        return p.groupBy("l_returnflag", "l_linestatus").agg(
+            (F.sum("qty_c").cast("double") / 100.0).alias("sum_qty"),
+            (F.sum("base_c").cast("double") / 100.0).alias("sum_base_price"),
+            (F.sum("disc_price_u").cast("double") / 10000.0).alias("sum_disc_price"),
+            (F.sum("charge_u").cast("double") / 1000000.0).alias("sum_charge"),
+            ((F.sum("qty_c").cast("double") / 100.0) / F.sum("n")).alias("avg_qty"),
+            ((F.sum("base_c").cast("double") / 100.0) / F.sum("n")).alias("avg_price"),
+            ((F.sum("disc_c").cast("double") / 100.0) / F.sum("n")).alias("avg_disc"),
+            F.sum("n").alias("count_order"),
+        )
+
+    def tumbling_rollup():
+        p = spark.read.parquet(os.path.join(base, "hourly_partials"))
+        return p.select(
+            "hour_start",
+            "event_type",
+            F.col("n").alias("n_events"),
+            (F.col("val_c").cast("double") / 100.0).alias("value_sum"),
+        )
+
+    def distinct_rollup():
+        # n_users from the distinct-projection MV; n_events re-uses the
+        # hourly partials (one rollup family serving two queries)
+        p = spark.read.parquet(os.path.join(base, "distinct_mv"))
+        users = p.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_users"))
+        n = (
+            spark.read.parquet(os.path.join(base, "hourly_partials"))
+            .groupBy("event_type")
+            .agg(F.sum("n").alias("n_events"))
+        )
+        return users.join(F.broadcast(n), "event_type").select(
+            "event_type", "n_users", "n_events"
+        )
+
+    from bench import BENCH_QUERIES  # noqa: E402  (repo root on sys.path)
+
+    pairs = {
+        "q1": (BENCH_QUERIES["q1_pricing_summary"], q1_rollup, "agg_hash_group"),
+        "tumbling": (BENCH_QUERIES["events_tumbling_1h"], tumbling_rollup, None),
+        "distinct": (BENCH_QUERIES["distinct_users"], distinct_rollup, "agg_distinct"),
+    }
+    for name, (raw_fn, roll_fn, okey) in pairs.items():
+        # bit-equality: the rollup read must reproduce the raw query
+        a, b = _norm(raw_fn(spark, d).toPandas()), _norm(roll_fn().toPandas())
+        assert a.columns.tolist() == b.columns.tolist() and a.equals(b), (
+            f"rollup mismatch for {name}"
+        )
+        t_raw, t_roll, t_dk = [], [], []
+        sql = sparkflow.ORACLES.get(okey) if okey else None
+        for _ in range(_RUNS):
+            t0 = time.perf_counter()
+            raw_fn(spark, d).toPandas()
+            t_raw.append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            roll_fn().toPandas()
+            t_roll.append(time.perf_counter() - t0)
+            if sql:
+                t0 = time.perf_counter()
+                con.execute(sql).fetchdf()
+                t_dk.append(time.perf_counter() - t0)
+        out[f"{name}_raw_sec"] = round(statistics.median(t_raw), 3)
+        out[f"{name}_rollup_sec"] = round(statistics.median(t_roll), 3)
+        if t_dk:
+            out[f"{name}_duckdb_sec"] = round(statistics.median(t_dk), 3)
+
     print(json.dumps(out))
     print(
         f"\nstar:  shuffle {out['star_shuffle_sec']}s  bucketed "
