@@ -255,6 +255,54 @@ def main() -> None:
         if t_dk:
             out[f"{name}_duckdb_sec"] = round(statistics.median(t_dk), 3)
 
+    # ---- q3 on the SAME orderkey bucket family ------------------------------
+    # The star posture's whole economic argument is that the one-time
+    # bucket write amortizes across every query touching the fact pair.
+    # Prove it: TPC-H Q3 (the other perf-weak join headline) served from
+    # the IDENTICAL 32-bucket family staged above — zero marginal write.
+    # The filtered customer edge is broadcast (explicit hint: ~300k rows
+    # after the segment filter — past AQE's 10MB conservatism but far
+    # under executor memory), so the bucketed orders stream reaches the
+    # co-bucketed lineitem SMJ without ANY exchange; the only shuffle
+    # left is the final tiny agg.
+    from sparkflow.oracle_compat import rev_sum
+
+    def q3_bucketed():
+        c = cat_table(spark, d, "customer").filter(
+            F.col("c_mktsegment") == "BUILDING"
+        )
+        o = _bucketed_table(spark, d, "orders", "o_orderkey", n_buckets=32)
+        li = _bucketed_table(spark, d, "lineitem", "l_orderkey", n_buckets=32)
+        return (
+            o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .join(li.hint("merge"), F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderkey", "o_orderdate")
+            .agg(rev_sum("revenue"))
+            .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+            .limit(10)
+        )
+
+    raw_q3 = sparkflow.QUERIES["limit_topk"]
+    a, b = _norm(raw_q3(spark, d).toPandas()), _norm(q3_bucketed().toPandas())
+    assert a.columns.tolist() == b.columns.tolist() and a.equals(b), (
+        "q3 bucketed variant mismatch"
+    )
+    q3_sql = sparkflow.ORACLES["limit_topk"]
+    t_raw, t_bk, t_dk = [], [], []
+    for _ in range(_RUNS):
+        t0 = time.perf_counter()
+        raw_q3(spark, d).toPandas()
+        t_raw.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        q3_bucketed().toPandas()
+        t_bk.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        con.execute(q3_sql).fetchdf()
+        t_dk.append(time.perf_counter() - t0)
+    out["q3_raw_sec"] = round(statistics.median(t_raw), 3)
+    out["q3_bucketed_sec"] = round(statistics.median(t_bk), 3)
+    out["q3_duckdb_sec"] = round(statistics.median(t_dk), 3)
+
     print(json.dumps(out))
     print(
         f"\nstar:  shuffle {out['star_shuffle_sec']}s  bucketed "
