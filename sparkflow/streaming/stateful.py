@@ -278,6 +278,71 @@ def rolling_median_stream(
 
 
 # ---------------------------------------------------------------------------
+# Session-id assignment — O(1)-state twin of events_sessionize
+# ---------------------------------------------------------------------------
+
+
+def _sessionize_fn(
+    key: Tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """True-streaming session-id ASSIGNMENT under the 30-min gap rule:
+    per-key state is exactly (last event-time µs, session counter,
+    position within the open session) — three longs, O(1) no matter how
+    long the stream runs, unlike the aggregate session forms whose open
+    window carries its accumulator. Replays the batch operator's
+    is_new/running-sum semantics event-at-a-time, so the stream is
+    BIT-identical to events_sessionize across micro-batch boundaries
+    (the equality test asserts exactly that). Events are consumed in
+    (ts, event_id) order — the same total order the batch windows
+    sort by."""
+    if state.exists:
+        last_us, seq, in_sess = state.get
+    else:
+        last_us, seq, in_sess = -1, 0, 0
+    chunks = [p for p in pdf_iter if len(p)]
+    if not chunks:
+        return
+    pdf = pd.concat(chunks).sort_values(["ts", "event_id"])
+    ts_us = _ts_us(pdf["ts"])
+    seqs, poss = [], []
+    for t in ts_us:
+        if last_us < 0 or t - last_us > 1800 * 1_000_000:
+            seq += 1
+            in_sess = 1
+        else:
+            in_sess += 1
+        seqs.append(seq)
+        poss.append(in_sess)
+        last_us = int(t)
+    state.update((int(last_us), int(seq), int(in_sess)))
+    yield pd.DataFrame(
+        {
+            "event_id": pdf["event_id"].to_numpy(),
+            "user_id": pdf["user_id"].to_numpy(),
+            "session_seq": seqs,
+            "event_in_session": poss,
+        }
+    )
+
+
+def sessionize_stream(
+    spark: SparkSession, files_dir: str, sf_dir: str
+) -> DataFrame:
+    """True-streaming twin of `events_sessionize` (assignment form)."""
+    ev = _events_stream(spark, files_dir, sf_dir)
+    return ev.groupBy("user_id").applyInPandasWithState(
+        _sessionize_fn,
+        outputStructType=(
+            "event_id BIGINT, user_id BIGINT, session_seq BIGINT,"
+            " event_in_session BIGINT"
+        ),
+        stateStructType="last_us BIGINT, seq BIGINT, in_sess BIGINT",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# ---------------------------------------------------------------------------
 # CEP funnel — carried-state NFA (view → click → purchase within 24h)
 # ---------------------------------------------------------------------------
 

@@ -1173,3 +1173,31 @@ def test_streaming_rolling_median_matches_batch_window(
     pd.testing.assert_frame_equal(
         got[["event_id", "rolling_median"]], want, check_dtype=False
     )
+
+
+def test_streaming_sessionize_matches_batch_window(spark, stream_dir, sf_small):
+    """The O(1)-state streaming session assignment must be BIT-identical
+    to events_sessionize across micro-batch boundaries — state is three
+    longs per key (last event-time, session counter, open-session
+    position), replaying the batch is_new/running-sum semantics
+    event-at-a-time."""
+    got = (
+        _collect(
+            spark,
+            stateful.sessionize_stream(spark, stream_dir, sf_small),
+            "t_sess_assign",
+        )
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    want = (
+        sparkflow.QUERIES["events_sessionize"](spark, sf_small)
+        .toPandas()[["event_id", "user_id", "session_seq", "event_in_session"]]
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[["event_id", "user_id", "session_seq", "event_in_session"]],
+        want,
+        check_dtype=False,
+    )
