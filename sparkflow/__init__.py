@@ -95,15 +95,56 @@ registry.reorder(_ATTEST_FIRST)
 # ~20 sibling keys per edit, and its oldest-attested-first budget order
 # pushes RECENTLY-attested-but-deliberately-changed keys to the back,
 # past the driver's ~50-key prefix — observed in r8: the five graduated
-# keys landed at positions 35-166). Listing a key here fronts it right
-# after the never-attested segment so the next CORRECTNESS artifact
-# records the new contract. Remove entries once the artifact lands
-# (stale entries are harmless: attested keys just re-attest early).
-_CONTRACT_CHANGED = [
-    # r8: graduated from rows-only to exact oracles
-    "llm_bpe_train", "llm_bpe_encode",
-    "llm_knn_all_pairs_lsh", "llm_knn_ivf", "llm_kmeans",
-]
+# keys landed at positions 35-166). Maps key -> the round DURING which
+# the contract changed; the entry is SPENT (ignored, safe to delete)
+# once an artifact from a round >= that round attests the key — the new
+# contract's row has landed. Round-9 redesign (r8 verdict "What's
+# wrong" #1): the old list form had no spent rule, so after the driver
+# attested the listed keys their fronting outlived its purpose and
+# broke the stale-before-fresh / round-ordering meta-tests for the
+# whole window until the next manual edit.
+_CONTRACT_CHANGED: dict = {
+    # r9: defaults repointed at posture twins (fn_json -> materialized
+    # read-through, join_multiway_star -> bucket-family plan)
+    "fn_json": 9,
+    "join_multiway_star": 9,
+}
+
+
+def _rotation_plan(last_round: dict, stale_set: set,
+                   contract_changed: dict, keys) -> dict:
+    """Pure segmentation of the registry order — THE single definition
+    the rotation applies and the meta-tests assert against (they cannot
+    drift from the implementation by re-deriving segment membership).
+
+    Segments, in prefix order:
+      unattested — no successful CORRECTNESS row ever; registration order.
+      changed    — unspent _CONTRACT_CHANGED keys (attested, but only by
+                   rounds OLDER than the listed change round): the next
+                   artifact must record the new contract, so they jump
+                   both staleness queues. Spent entries (last attestation
+                   round >= listed round) fall through to stale/rest.
+      stale      — attested keys whose implementing module has a commit
+                   topologically >= their attesting artifact's commit,
+                   least-recently-attested first.
+      rest       — fresh-code attested keys, least-recently-attested
+                   first (the bounded re-attestation budget).
+    """
+    seen = set(last_round)
+    unattested = [k for k in keys if k not in seen]
+    changed = [
+        k for k, rnd in contract_changed.items()
+        if k in seen and last_round[k] < rnd
+    ]
+    stale = [k for k in keys
+             if k in stale_set and k in seen and k not in changed]
+    rest = [k for k in keys
+            if k in seen and k not in stale_set and k not in changed]
+    # stable sorts: within the same round, current registration order
+    stale.sort(key=lambda k: last_round[k])
+    rest.sort(key=lambda k: last_round[k])
+    return {"unattested": unattested, "changed": changed,
+            "stale": stale, "rest": rest}
 
 
 def _rotate_never_attested() -> None:
@@ -132,10 +173,8 @@ def _rotate_never_attested() -> None:
     code-stale segment is empty (pure round-age ordering)."""
     # one artifact parse: the attested set is exactly last_round's keys
     last_round = _last_attested_round()
-    seen = set(last_round)
-    if not seen:
+    if not last_round:
         return
-    unattested = [k for k in registry.QUERIES if k not in seen]
     # reuse this call's last_round instead of re-parsing the artifacts
     # (review r7): _code_stale_set() would re-derive it
     import os as _os
@@ -144,23 +183,10 @@ def _rotate_never_attested() -> None:
     stale_set = _code_stale_keys(
         registry.QUERIES, last_round, _git_last_change_times(_root), _root
     )
-    changed = [
-        k for k in _CONTRACT_CHANGED if k in registry.QUERIES and k in seen
-    ]
-    code_stale = [
-        k
-        for k in registry.QUERIES
-        if k in stale_set and k not in changed
-    ]
-    rest = [
-        k
-        for k in registry.QUERIES
-        if k in seen and k not in stale_set and k not in changed
-    ]
-    # stable sorts: within the same round, current registration order
-    code_stale.sort(key=lambda k: last_round[k])
-    rest.sort(key=lambda k: last_round[k])
-    registry.reorder(unattested + changed + code_stale + rest)
+    plan = _rotation_plan(last_round, stale_set, _CONTRACT_CHANGED,
+                          list(registry.QUERIES))
+    registry.reorder(plan["unattested"] + plan["changed"]
+                     + plan["stale"] + plan["rest"])
 
 
 def _git_last_change_times(root: str | None = None) -> dict:
@@ -227,13 +253,26 @@ def _code_stale_keys(queries: dict, last_round: dict, file_times: dict,
     _git_last_change_times (not wall-clock timestamps, which rebases
     break). Module granularity is deliberately coarse-conservative: an
     unrelated change to a shared module re-fronts every key it
-    implements (extra re-attestation, never a missed one)."""
+    implements (extra re-attestation, never a missed one).
+
+    Round-boundary rule (r8 verdict): an attesting artifact that exists
+    on disk but that git knows NOTHING about (the driver's just-written,
+    untracked CORRECTNESS_r{N}.json) is BY CONSTRUCTION newer than any
+    commit — uncommitted code does not participate in the rotation, so
+    nothing can postdate it. Such keys are never stale, keeping the
+    rotation meta-tests green in the window between a driver run and
+    the next commit."""
+    import os
+
     stale = set()
     for key, fn in queries.items():
         rnd = last_round.get(key)
         if rnd is None:
             continue
-        art_t = file_times.get(f"CORRECTNESS_r{rnd:02d}.json")
+        art = f"CORRECTNESS_r{rnd:02d}.json"
+        art_t = file_times.get(art)
+        if art_t is None and os.path.exists(os.path.join(root, art)):
+            continue  # untracked artifact = newest attestation: not stale
         rel = _impl_relpath(fn, root)
         code_t = file_times.get(rel) if rel else None
         # >= not >: if the module edit and the attesting artifact land in

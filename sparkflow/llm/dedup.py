@@ -410,6 +410,15 @@ def llm_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ground-truth pairs at sf0.01 — while char-5-gram Jaccard is sharp:
 # 238 pairs, stable from t=0.5 through 0.8.)
 _PREFIX_JACCARD = 0.8
+# The same threshold as an exact rational (num, den): every BOUND in the
+# prefix/size/positional filters is computed in integer arithmetic from
+# this pair, never in floats (r8 advice: alpha = ceil((na+nb)*0.8/1.8)
+# in doubles strictly OVERESTIMATES the true ceil(4*(na+nb)/9) for ~8.7k
+# of the first 400k size sums — first at na+nb=63 — silently rejecting
+# true pairs whose Jaccard is exactly t and breaking the exact-recall
+# contract). ceil(a/b) over nonneg ints is (a + b - 1) div b.
+_PREFIX_T_NUM, _PREFIX_T_DEN = 4, 5
+assert _PREFIX_JACCARD == _PREFIX_T_NUM / _PREFIX_T_DEN
 
 
 @register(
@@ -507,9 +516,12 @@ def llm_dedup_near_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sizes, "doc_id")
     )
     # c=2 extended prefix: +2 instead of +1 so requiring two shared
-    # prefix shingles stays sound (see docstring filter 3)
+    # prefix shingles stays sound (see docstring filter 3). ⌈t·n⌉ in
+    # exact integers: (num·n + den − 1) div den.
+    num, den = _PREFIX_T_NUM, _PREFIX_T_DEN
     prefix = ranked.filter(
-        F.col("r") <= F.col("n") - F.ceil(F.col("n") * _PREFIX_JACCARD) + 2
+        F.col("r") <= F.col("n")
+        - F.expr(f"({num} * n + {den - 1}) div {den}") + 2
     ).select("doc_id", "s", "r", "n")
     a = prefix.select(
         F.col("doc_id").alias("doc_a"), "s",
@@ -519,15 +531,15 @@ def llm_dedup_near_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("doc_b"), "s",
         F.col("r").alias("rb"), F.col("n").alias("nb"),
     )
-    alpha = F.ceil(
-        (F.col("na") + F.col("nb")) * _PREFIX_JACCARD / (1.0 + _PREFIX_JACCARD)
+    # α = ⌈t/(1+t)·(na+nb)⌉ = ⌈num·(na+nb)/(num+den)⌉, exact integers
+    alpha = F.expr(
+        f"({num} * (na + nb) + {num + den - 1}) div {num + den}"
     )
     cand_sized = (
         a.join(b, "s")
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .filter(  # size filter inside the posting join
-            F.least("na", "nb").cast("double")
-            >= F.greatest("na", "nb") * _PREFIX_JACCARD
+        .filter(  # size filter inside the posting join: min·den ≥ max·num
+            F.least("na", "nb") * den >= F.greatest("na", "nb") * num
         )
         .withColumn(
             "ub", F.lit(1) + F.least(F.col("na") - F.col("ra"),

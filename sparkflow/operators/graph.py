@@ -436,3 +436,8 @@ def graph_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dist.select(
         F.col("u").cast("bigint").alias("user_id"), F.col("dist").cast("int").alias("dist")
     )
+
+
+graph_shortest_paths.__doc__ = graph_shortest_paths.__doc__.format(
+    seeds=_BFS_SEEDS, rounds=_BFS_ROUNDS
+)

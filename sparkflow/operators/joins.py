@@ -406,23 +406,54 @@ def join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def join_multiway_star(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Flagship (TPC-H Q5 shape): 6-table star join + grouped revenue.
+    """Flagship (TPC-H Q5 shape): 6-table star join + grouped revenue,
+    with the BUCKET FAMILY as the default posture where the investment
+    exists (r8 verdict item 2: the fact⋈fact exchange made the shuffle
+    shape 6.7× DuckDB at sf10, while the bucketed twin runs 0.75× with
+    ≤1 exchange — at 100× the bucket family is the plan of record). If
+    this session has already staged the orderkey bucket family (any
+    prior call to join_multiway_star_bucketed / join_bucketed /
+    join_multiway_star_denorm, or a production ingest that bucketBy'd
+    the facts at write time), the flagship consumes it — co-located
+    lineitem⋈orders, zero fact-edge exchange. Otherwise it runs the
+    straight shuffle plan rather than silently paying the one-time
+    bucketing write inside a query that promises read-only semantics.
+    Both shapes return identical rows (same oracle); the shuffle shape
+    stays measurable on its own via join_multiway_star_shuffle.
 
-    Join order: fact-to-fact first (lineitem⋈orders⋈customer shuffles on
-    their keys, AQE may broadcast customer at small SF), then the
-    supplier local-nation condition, then explicit broadcasts of the
-    fixed-size nation/region dims. Date filter sits directly on the
-    orders scan so it pushes into the parquet reader.
+    Shuffle-shape join order: fact-to-fact first (lineitem⋈orders⋈
+    customer shuffles on their keys, AQE may broadcast customer at
+    small SF), then the supplier local-nation condition, then explicit
+    broadcasts of the fixed-size nation/region dims. Date filter sits
+    directly on the orders scan so it pushes into the parquet reader.
     """
-    customer = table(spark, sf_dir, "customer")
-    orders = table(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    li = _bucketed_table_if_exists(
+        spark, sf_dir, "lineitem", "l_orderkey", n_buckets=32
     )
-    lineitem = table(spark, sf_dir, "lineitem")
+    o = _bucketed_table_if_exists(
+        spark, sf_dir, "orders", "o_orderkey", n_buckets=32
+    )
+    if li is None or o is None:
+        li = table(spark, sf_dir, "lineitem")
+        o = table(spark, sf_dir, "orders")
+    return _star_q5(spark, sf_dir, li, o)
+
+
+def _star_q5(
+    spark: SparkSession, sf_dir: str, lineitem: DataFrame, orders: DataFrame
+) -> DataFrame:
+    """The Q5 star body over caller-supplied fact frames — shared by
+    the flagship (bucket-family read-through), its explicit shuffle
+    rung, and the bucketed twin, so the three postures differ ONLY in
+    fact-table physical layout, never in join logic."""
+    customer = table(spark, sf_dir, "customer")
     supplier = table(spark, sf_dir, "supplier")
     nation = table(spark, sf_dir, "nation")
     region = table(spark, sf_dir, "region")
+    orders = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
     joined = (
         lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
         .join(customer, orders.o_custkey == customer.c_custkey)
@@ -437,6 +468,36 @@ def join_multiway_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         joined.groupBy(F.col("n_name").alias("nation"))
         .agg(rev_sum("revenue"))
+    )
+
+
+@register(
+    "join_multiway_star_shuffle",
+    oracle=f"""
+    SELECT n.n_name AS nation,
+           {sql_rev_sum('revenue', 'l.l_extendedprice', 'l.l_discount')}
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY n.n_name
+    """,
+)
+def join_multiway_star_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The explicit A/B rung join_multiway_star graduated from (r9
+    repoint): the Q5 star forced onto plain unbucketed scans, so the
+    fact⋈fact exchange cost stays measurable against the bucket-family
+    default (SCALE.md star-posture ladder: 5.34 s shuffle vs 2.73 s
+    bucketed at sf10) and the shuffle path keeps a correctness row —
+    it is still the plan every FIRST query pays before any bucketing
+    investment exists."""
+    return _star_q5(
+        spark, sf_dir,
+        table(spark, sf_dir, "lineitem"), table(spark, sf_dir, "orders"),
     )
 
 
@@ -499,16 +560,9 @@ def _bucketed_table(
     .sortBy(key)) and return a scan of it. Shared by join_bucketed and
     join_multiway_star_bucketed so two queries over the same (table,
     key) pay the one-time bucketing write ONCE per session — exactly the
-    amortization story bucketing sells at 100 TB. Data lands under /tmp
-    NAMESPACED BY applicationId: the catalog's tableExists guard is
-    per-session, so two concurrent processes (a pytest run beside a
-    harness run) would otherwise both see "not there yet" and race
-    mode('overwrite') writes onto one directory, corrupting whichever
-    scan is in flight. The registered name is identifier-safe from the
-    sf_dir BASENAME (a previous rsplit('sf', ...) assumed the fixture
-    naming convention and broke on tools/reseed.py's twin corpus)."""
-    import re
-
+    amortization story bucketing sells at 100 TB. Registration naming,
+    /tmp namespacing, and the concurrent-writer race are handled by
+    _bucketed_frame (below), which this thinly wraps."""
     return _bucketed_frame(
         spark, sf_dir, tname, lambda: table(spark, sf_dir, tname), key, n_buckets
     )
@@ -520,7 +574,14 @@ def _bucketed_frame(
     """Register-once bucketed copy of an arbitrary frame (built lazily
     by mk_df() only on the staging miss). Factored from _bucketed_table
     so the denormalized-star posture can bucket a JOINED frame with the
-    same one-file-per-bucket write discipline."""
+    same one-file-per-bucket write discipline. Data lands under /tmp
+    NAMESPACED BY applicationId: the catalog's tableExists guard is
+    per-session, so two concurrent processes (a pytest run beside a
+    harness run) would otherwise both see "not there yet" and race
+    mode('overwrite') writes onto one directory, corrupting whichever
+    scan is in flight. The registered name is identifier-safe from the
+    sf_dir BASENAME (a previous rsplit('sf', ...) assumed the fixture
+    naming convention and broke on tools/reseed.py's twin corpus)."""
     import re
 
     sfkey = re.sub(r"[^A-Za-z0-9_]", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
@@ -548,6 +609,21 @@ def _bucketed_frame(
             .saveAsTable(reg)
         )
     return spark.table(reg)
+
+
+def _bucketed_table_if_exists(
+    spark: SparkSession, sf_dir: str, name: str, key: str, n_buckets: int
+):
+    """The session's bucketed copy of a fixture table if the one-time
+    staging has already happened (same registration naming as
+    _bucketed_frame), else None — the flagship's read-through probe
+    (r9 repoint): consume the bucket family when the investment exists,
+    never trigger the write from a read-only query."""
+    import re
+
+    sfkey = re.sub(r"[^A-Za-z0-9_]", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    reg = f"sparkflow_bucketed_{name}_{key}_b{n_buckets}_{sfkey}"
+    return spark.table(reg) if spark.catalog.tableExists(reg) else None
 
 
 @register(
@@ -633,27 +709,9 @@ def join_multiway_star_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders+customer on custkey as a second family, or let AQE shuffle
     just that edge). The date filter sits on the bucketed orders scan
     and pushes into its parquet reader; bucketing survives filters."""
-    o = _bucketed_table(spark, sf_dir, "orders", "o_orderkey", n_buckets=32).filter(
-        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
-    )
+    o = _bucketed_table(spark, sf_dir, "orders", "o_orderkey", n_buckets=32)
     li = _bucketed_table(spark, sf_dir, "lineitem", "l_orderkey", n_buckets=32)
-    customer = table(spark, sf_dir, "customer")
-    supplier = table(spark, sf_dir, "supplier")
-    nation = table(spark, sf_dir, "nation")
-    region = table(spark, sf_dir, "region")
-    joined = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(customer, o.o_custkey == customer.c_custkey)
-        .join(
-            supplier,
-            (F.col("l_suppkey") == supplier.s_suppkey)
-            & (F.col("c_nationkey") == supplier.s_nationkey),
-        )
-        .join(F.broadcast(nation), supplier.s_nationkey == F.col("n_nationkey"))
-        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
-    )
-    return joined.groupBy(F.col("n_name").alias("nation")).agg(rev_sum("revenue"))
+    return _star_q5(spark, sf_dir, li, o)
 
 
 @register(

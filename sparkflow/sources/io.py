@@ -462,6 +462,38 @@ def maintenance_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def materialized_events_k(
+    spark: SparkSession, sf_dir: str, create: bool = False
+):
+    """The session's parse-once typed copy of events (props -> k LONG,
+    see maintenance_json_materialize below). With create=True, performs
+    the one-time rewrite if it hasn't happened yet and returns the
+    typed frame. With create=False (fn_json's read-through default,
+    r8 verdict item 2), returns the typed frame ONLY if a completed
+    rewrite already exists this session — else None, signalling the
+    caller to fall back to the raw parse. Completion = the Spark
+    _SUCCESS commit marker, not bare isdir (r8 advice: an interrupted
+    first write leaves a partial directory that isdir would silently
+    read as the materialized copy); mode("overwrite") makes the retry
+    safe."""
+    sfkey = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    out = os.path.join(
+        _TMP, "json_mat", spark.sparkContext.applicationId, f"events_{sfkey}"
+    )
+    done = os.path.exists(os.path.join(out, "_SUCCESS"))
+    if not done:
+        if not create:
+            return None
+        (
+            table(spark, sf_dir, "events")
+            .withColumn("k", F.from_json("props", "k LONG").getField("k"))
+            .drop("props")
+            .write.mode("overwrite")
+            .parquet(out)
+        )
+    return spark.read.parquet(out)
+
+
 @register(
     "maintenance_json_materialize",
     oracle="""
@@ -486,24 +518,14 @@ def maintenance_json_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
     prunes to (event_type, k) two columns instead of shipping the whole
     payload string. At 100 TB this is the difference between paying the
     parse on every one of N queries and paying it once per ingest; the
-    sf10 A/B lives in SCALE.md (tools/bench_json_materialize.py).
+    sf10 A/B lives in SCALE.md (tools/bench_posture.py).
     Oracle: the same aggregate recomputed from the raw table — content
     identity proves the rewrite lost nothing. The materialized copy is
     namespaced by applicationId like every staged fixture here (two
-    concurrent sessions must not race one directory)."""
-    sfkey = sf_dir.rstrip("/").rsplit("/", 1)[-1]
-    out = os.path.join(
-        _TMP, "json_mat", spark.sparkContext.applicationId, f"events_{sfkey}"
-    )
-    if not os.path.isdir(out):
-        (
-            table(spark, sf_dir, "events")
-            .withColumn("k", F.from_json("props", "k LONG").getField("k"))
-            .drop("props")
-            .write.mode("overwrite")
-            .parquet(out)
-        )
-    mat = spark.read.parquet(out)
+    concurrent sessions must not race one directory); staging and the
+    _SUCCESS completion gate live in materialized_events_k, which
+    fn_json also reads through once this pass has run (r9 repoint)."""
+    mat = materialized_events_k(spark, sf_dir, create=True)
     return (
         mat.groupBy("event_type")
         .agg(

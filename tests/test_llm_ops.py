@@ -785,3 +785,45 @@ def test_bpe_encode_matches_reference_replay(spark, sf_small):
     assert got == want
     for n_words, n_tokens, saved in got.values():
         assert n_words <= n_tokens <= n_tokens + saved
+
+
+def test_prefix_filter_bounds_exact_integer_arithmetic():
+    """r8 advice (medium): every prefix-join bound must be EXACT integer
+    arithmetic derived from the rational threshold t = num/den, because
+    the float forms overestimate on boundary sizes — alpha =
+    ceil(s*0.8/1.8) in doubles first diverges from the true
+    ceil(4s/9) at s = 63, and an overestimated alpha rejects true
+    pairs whose Jaccard is exactly t (exact-recall contract breach).
+    Pins (a) the documented float divergence exists, (b) the shipped
+    integer forms equal the rational ground truth for every size up to
+    400k, far past any real shingle-set size at oracle scale."""
+    import math
+    from fractions import Fraction
+
+    from sparkflow.llm.dedup import (
+        _PREFIX_JACCARD, _PREFIX_T_DEN, _PREFIX_T_NUM)
+
+    num, den = _PREFIX_T_NUM, _PREFIX_T_DEN
+    assert Fraction(num, den) == Fraction(4, 5)
+    assert _PREFIX_JACCARD == num / den
+
+    # (a) the float alpha really is wrong, first at s=63 — the bug class
+    float_alpha = math.ceil(63 * _PREFIX_JACCARD / (1.0 + _PREFIX_JACCARD))
+    true_alpha = -((-num * 63) // (num + den))
+    assert float_alpha == 29 and true_alpha == 28
+
+    # (b) shipped integer forms == rational ground truth, exhaustively
+    div = num + den
+    for s in range(1, 400_001):
+        want_alpha = -((-Fraction(num, den) / (1 + Fraction(num, den))
+                        * s).__floor__())
+        assert (num * s + div - 1) // div == want_alpha, s
+    for n in range(1, 400_001):
+        want_p = -((-Fraction(num, den) * n).__floor__())
+        assert (num * n + den - 1) // den == want_p, n
+    # size filter min*den >= max*num <=> min/max >= t, checked on the
+    # boundary family where the float form can flip at large n
+    for mx in (5, 500, 5_000_000):
+        mn = mx * num // den
+        assert mn * den >= mx * num
+        assert (mn - 1) * den < mx * num

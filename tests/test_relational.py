@@ -543,6 +543,18 @@ def test_registration_order_fronts_unattested_keys():
     )
 
 
+def _live_rotation_plan():
+    """The rotation plan for the CURRENT tree, computed through the same
+    `sparkflow._rotation_plan` the import-time rotation applied — the
+    meta-tests assert the registry order realizes this plan rather than
+    re-deriving segment membership with their own (driftable) rules."""
+    rounds = sparkflow._last_attested_round()
+    return sparkflow._rotation_plan(
+        rounds, sparkflow._code_stale_set(), sparkflow._CONTRACT_CHANGED,
+        list(sparkflow.QUERIES),
+    ), rounds
+
+
 def test_rotation_reattests_stalest_keys_first():
     """Regression-visibility guard (round-3 advice): once the
     never-attested pool shrinks below the driver's prefix size, the
@@ -550,17 +562,14 @@ def test_rotation_reattests_stalest_keys_first():
     attested first, so a regression in an old operator re-enters the
     harness within a bounded number of rounds instead of never.
     Round-7 amendment: CODE-STALE attested keys (implementing module
-    committed after their last attestation) jump that queue — they form
-    their own round-ordered segment ahead of the fresh-code segment."""
-    seen = sparkflow._attested_keys()
-    if not seen:
+    committed after their last attestation) jump that queue. Round-9
+    amendment (r8 verdict #1): unspent CONTRACT-CHANGED keys jump both
+    queues — they are excluded from the round-ordering assertion, which
+    holds WITHIN the stale and rest segments."""
+    plan, rounds = _live_rotation_plan()
+    if not rounds:
         return
-    rounds = sparkflow._last_attested_round()
-    stale = sparkflow._code_stale_set()
-    ks = list(sparkflow.QUERIES)
-    stale_seg = [k for k in ks if k in stale]
-    fresh_seg = [k for k in ks if k in seen and k not in stale]
-    for seg in (stale_seg, fresh_seg):
+    for seg in (plan["stale"], plan["rest"]):
         seg_rounds = [rounds[k] for k in seg]
         assert seg_rounds == sorted(seg_rounds), (
             "attested keys not ordered least-recently-attested first "
@@ -569,26 +578,75 @@ def test_rotation_reattests_stalest_keys_first():
 
 
 def test_rotation_fronts_code_stale_keys():
-    """Round-7 tripwire (r6 verdict 'What's wrong' #1): every attested
-    key whose implementing module has a commit newer than its last
-    attestation must precede every attested key whose code is unchanged
-    — so the next driver prefix provably re-attests what this round's
-    commits touched. Vacuously green when git yields no stale keys
-    (e.g. a fresh round boundary where the artifact commit is newest)."""
-    seen = sparkflow._attested_keys()
-    stale = sparkflow._code_stale_set()
-    if not seen or not stale:
+    """Round-7 tripwire (r6 verdict 'What's wrong' #1): the registry
+    order must BE the rotation plan — unattested, then unspent
+    contract-changed, then code-stale (module committed at-or-after the
+    attesting artifact), then fresh — so the next driver prefix provably
+    re-attests what this round's commits touched. Asserting the full
+    concatenation (not just stale-before-fresh) also pins that spent
+    _CONTRACT_CHANGED entries fall through to their staleness segment
+    instead of squatting at the front (the r8 round-boundary red)."""
+    plan, rounds = _live_rotation_plan()
+    if not rounds:
         return
-    pos = {k: i for i, k in enumerate(sparkflow.QUERIES)}
-    last_stale = max(pos[k] for k in stale)
-    fresh = [k for k in seen if k not in stale and k in pos]
-    if not fresh:
-        return
-    first_fresh = min(pos[k] for k in fresh)
-    assert last_stale < first_fresh, (
-        "code-stale key ordered after a fresh-code attested key: "
-        f"{[k for k in stale if pos[k] >= first_fresh]}"
+    expected = (plan["unattested"] + plan["changed"]
+                + plan["stale"] + plan["rest"])
+    assert list(sparkflow.QUERIES) == expected, (
+        "registry order does not realize the rotation plan"
     )
+
+
+def test_contract_changed_spend_rule_pinned():
+    """_rotation_plan on synthetic inputs: a _CONTRACT_CHANGED entry
+    fronts only while the key's last attestation PREDATES the listed
+    change round; once an artifact from >= that round attests it, the
+    entry is spent and the key sorts into stale/rest like any other —
+    the exact failure mode of r8 (spent entries squatting ahead of
+    genuinely stale keys, `assert 122 < 0`)."""
+    keys = ["a", "b", "c", "d", "e"]
+    last_round = {"a": 5, "b": 8, "c": 3, "d": 8}  # e never attested
+    plan = sparkflow._rotation_plan(
+        last_round, {"c"}, {"a": 8, "b": 8}, keys)
+    assert plan["unattested"] == ["e"]
+    assert plan["changed"] == ["a"]      # attested r5 < listed r8: fronts
+    assert plan["stale"] == ["c"]
+    assert plan["rest"] == ["b", "d"]    # b spent (r8 >= r8): reg order tie
+    # unlisted + unspent-exhausted: pure round ordering
+    plan2 = sparkflow._rotation_plan(last_round, set(), {"b": 8}, keys)
+    assert plan2["changed"] == [] and plan2["rest"] == ["c", "a", "b", "d"]
+
+
+def test_untracked_artifact_is_newest_attestation(tmp_path):
+    """_code_stale_keys round-boundary rule (r8 verdict #1): an
+    attesting artifact present on disk but absent from git history (the
+    driver's just-written CORRECTNESS_r{N}.json) counts as the newest
+    attestation — keys it attests are NOT stale even when their module
+    has the newest committed rank. A missing-everywhere artifact still
+    degrades to not-stale."""
+    import types
+
+    sys.modules["_fake_round_mod"] = types.SimpleNamespace(
+        __file__=str(tmp_path / "sparkflow" / "mod.py"))
+
+    def fn(spark, sf_dir):  # pragma: no cover - never called
+        raise AssertionError
+    fn.__module__ = "_fake_round_mod"
+    try:
+        times = {"sparkflow/mod.py": 0,            # newest commit
+                 "CORRECTNESS_r07.json": -3}
+        queries = {"k_untracked": fn, "k_committed": fn}
+        last_round = {"k_untracked": 9, "k_committed": 7}
+        # no CORRECTNESS_r09.json anywhere: degrade to not-stale
+        stale = sparkflow._code_stale_keys(
+            queries, last_round, times, str(tmp_path))
+        assert stale == {"k_committed"}
+        # r09 artifact on disk but unknown to git: newest => not stale
+        (tmp_path / "CORRECTNESS_r09.json").write_text("{}")
+        stale = sparkflow._code_stale_keys(
+            queries, last_round, times, str(tmp_path))
+        assert stale == {"k_committed"}
+    finally:
+        del sys.modules["_fake_round_mod"]
 
 
 def test_code_stale_rule_pinned():
