@@ -1201,3 +1201,177 @@ def test_streaming_sessionize_matches_batch_window(spark, stream_dir, sf_small):
         want,
         check_dtype=False,
     )
+
+
+def test_checkpoint_resumes_across_compatible_state_schema_change(
+    spark, sf_small, tmp_path_factory
+):
+    """Compatible half of the state-upgrade matrix (r8 verdict item 7;
+    the incompatible widened-struct case above already raises loudly):
+    restart the applyInPandasWithState counter from a checkpoint written
+    by a PREVIOUS code version whose state struct declared its fields
+    nullable, with the upgraded version declaring the same fields NOT
+    NULL — the one schema change Spark 4's state-schema checker admits
+    for UnsafeRow state (StateSchemaCompatibilityChecker.check:
+    equalsIgnoreCompatibleNullability(evolved, stored) — tightening is
+    readable because every stored value satisfies the new contract;
+    RELAXING (false->true) is rejected, empirically verified, as is
+    adding even a nullable FIELD, see the test above — those evolutions
+    need transformWithState's Avro state encoding). The resumed
+    query must carry every running aggregate: combined output equals the
+    oracle-checked batch analog row for row."""
+    import os
+    import shutil
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    base = str(tmp_path_factory.mktemp("compat_ckpt"))
+    full = stateful.split_events_to_files(spark, sf_small, base, n_files=4)
+    half_dir = os.path.join(base, "half")
+    os.makedirs(half_dir)
+    files = sorted(os.listdir(full))
+    for i, f in enumerate(files[:2]):
+        shutil.copy(os.path.join(full, f), os.path.join(half_dir, f))
+        # mtimes must strictly INCREASE across files (mod-time replay order)
+        os.utime(os.path.join(half_dir, f), (1_700_000_000 + i, 1_700_000_000 + i))
+    ckpt, sink = os.path.join(base, "ckpt"), os.path.join(base, "sink")
+    schema = spark.read.parquet(full).schema
+
+    def state_struct(nullable):
+        return StructType([
+            StructField("cnt", LongType(), nullable),
+            StructField("cents", LongType(), nullable),
+        ])
+
+    _run_counter_ckpt(spark, half_dir, ckpt, sink, schema,
+                      state_schema=state_struct(True))
+    for i, f in enumerate(files[2:]):
+        dst = os.path.join(half_dir, f)
+        shutil.copy(os.path.join(full, f), dst)
+        os.utime(dst, (1_700_000_100 + i, 1_700_000_100 + i))
+    _run_counter_ckpt(spark, half_dir, ckpt, sink, schema,
+                      state_schema=state_struct(False))
+
+    got = (
+        spark.read.parquet(os.path.join(sink, "batch_*"))
+        .toPandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    want = (
+        sparkflow.QUERIES["stream_stateful_counter"](spark, sf_small)
+        .toPandas()[["event_id", "running_count", "running_sum"]]
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[["event_id", "running_count", "running_sum"]], want,
+        check_dtype=False,
+    )
+
+
+@pytest.mark.skipif(
+    not stateful.HAS_PROTOBUF,
+    reason="transformWithStateInPandas needs google.protobuf "
+           "(environment-blocked, IMPLEMENTATION.md header)",
+)
+def test_tws_checkpoint_resumes_with_added_nullable_state_field(
+    spark, sf_small, tmp_path_factory
+):
+    """The add-a-field half of the compatible-upgrade matrix (r8 verdict
+    item 7): transformWithStateInPandas encodes state as Avro, which —
+    unlike the UnsafeRow encoding applyInPandasWithState uses (see the
+    rejection test above) — admits ADDING a nullable field across a
+    checkpoint restart. v1 runs the RunningCounterProcessor twin
+    (state: cnt, cents) over half the replay; v2 resumes the same
+    checkpoint with state (cnt, cents, max_id BIGINT nullable),
+    treating a missing max_id as unknown. Values must carry: combined
+    output equals the oracle-checked batch analog."""
+    import os
+    import shutil
+
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    base = str(tmp_path_factory.mktemp("tws_evolve"))
+    full = stateful.split_events_to_files(spark, sf_small, base, n_files=4)
+    half_dir = os.path.join(base, "half")
+    os.makedirs(half_dir)
+    files = sorted(os.listdir(full))
+    for i, f in enumerate(files[:2]):
+        shutil.copy(os.path.join(full, f), os.path.join(half_dir, f))
+        os.utime(os.path.join(half_dir, f), (1_700_000_000 + i, 1_700_000_000 + i))
+    ckpt, sink = os.path.join(base, "ckpt"), os.path.join(base, "sink")
+    schema = spark.read.parquet(full).schema
+
+    class V2Processor(StatefulProcessor):
+        def init(self, handle):
+            self._state = handle.getValueState(
+                "acc", "cnt BIGINT, cents BIGINT, max_id BIGINT")
+
+        def handleInputRows(self, key, rows, timerValues):
+            pdf = pd.concat(list(rows)).sort_values("event_id")
+            if self._state.exists():
+                st = self._state.get()
+                cnt, cents0 = st[0], st[1]
+            else:
+                cnt, cents0 = 0, 0
+            counts = cnt + pd.RangeIndex(1, len(pdf) + 1).to_numpy()
+            cents = cents0 + np.floor(
+                pdf["value"].to_numpy() * 100 + 0.5).astype("int64").cumsum()
+            self._state.update(
+                (int(counts[-1]), int(cents[-1]), int(pdf["event_id"].max())))
+            yield pd.DataFrame({
+                "event_id": pdf["event_id"].to_numpy(),
+                "running_count": counts,
+                "running_sum": cents / 100.0,
+            })
+
+        def close(self):
+            pass
+
+    def run(processor):
+        from sparkflow.catalog import normalize_ts
+
+        ev = normalize_ts(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(half_dir)
+        )
+        counted = ev.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=processor,
+            outputStructType=(
+                "event_id BIGINT, running_count BIGINT, running_sum DOUBLE"
+            ),
+            outputMode="append",
+            timeMode="none",
+        )
+        q = (
+            counted.writeStream.foreachBatch(
+                lambda bdf, bid: bdf.write.mode("overwrite").parquet(
+                    os.path.join(sink, f"batch_{bid}"))
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run(stateful.RunningCounterProcessor())
+    for i, f in enumerate(files[2:]):
+        dst = os.path.join(half_dir, f)
+        shutil.copy(os.path.join(full, f), dst)
+        os.utime(dst, (1_700_000_100 + i, 1_700_000_100 + i))
+    run(V2Processor())
+
+    got = (
+        spark.read.parquet(os.path.join(sink, "batch_*"))
+        .toPandas().sort_values("event_id").reset_index(drop=True)
+    )
+    want = (
+        sparkflow.QUERIES["stream_stateful_counter"](spark, sf_small)
+        .toPandas()[["event_id", "running_count", "running_sum"]]
+        .sort_values("event_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[["event_id", "running_count", "running_sum"]], want,
+        check_dtype=False,
+    )
