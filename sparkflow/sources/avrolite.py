@@ -202,10 +202,38 @@ def write_container(schema: dict, rows, codec: str = "deflate") -> bytes:
     return bytes(out)
 
 
-def read_container(data: bytes):
+def _resolve(writer_t, reader_t):
+    """Schema-resolution check for one field (Avro spec 'Schema
+    Resolution', subset): identical types match; a writer type T may be
+    read as a reader union containing T (and a writer union as a reader
+    union covering its branches). Returns the decode type (always the
+    WRITER's — bytes on disk follow the writer) or raises."""
+    if writer_t == reader_t:
+        return writer_t
+    r_branches = reader_t if isinstance(reader_t, list) else [reader_t]
+    w_branches = writer_t if isinstance(writer_t, list) else [writer_t]
+    if all(w in r_branches for w in w_branches):
+        return writer_t
+    raise ValueError(
+        f"cannot resolve writer type {writer_t!r} against reader "
+        f"type {reader_t!r}"
+    )
+
+
+def read_container(data: bytes, reader_schema: dict | None = None):
     """Decode an Avro object container file -> (schema_dict, rows) where
     rows are dicts. Accepts multi-block files, null/deflate codecs, and
-    negative block counts; validates magic and per-block sync markers."""
+    negative block counts; validates magic and per-block sync markers.
+
+    With reader_schema, applies Avro SCHEMA RESOLUTION (the format's
+    evolution contract, spec §Schema Resolution, same subset as the
+    writer): writer-only fields are decoded and DISCARDED; reader-only
+    fields take their declared "default" (required — its absence is the
+    loud error the spec mandates); shared fields must resolve (identical
+    or widened-into-union). Rows come back shaped like the READER
+    schema, and the returned schema is the reader's — interop-pinned
+    against org.apache.avro's resolving GenericDatumReader in
+    tests/test_avro.py."""
     if data[:4] != _MAGIC:
         raise ValueError("not an avro object container file (bad magic)")
     meta, pos = _decode_meta_map(data, 4)
@@ -216,6 +244,25 @@ def read_container(data: bytes):
     sync = data[pos:pos + 16]
     pos += 16
     fields = _field_types(schema)
+    defaults = None
+    if reader_schema is not None:
+        r_fields = _field_types(reader_schema)
+        w_names = {n for n, _ in fields}
+        r_types = dict(r_fields)
+        # shared fields must resolve; decode still follows writer types
+        for n, wt in fields:
+            if n in r_types:
+                _resolve(wt, r_types[n])
+        defaults = {}
+        for f in reader_schema["fields"]:
+            if f["name"] not in w_names:
+                if "default" not in f:
+                    raise ValueError(
+                        f"reader field {f['name']!r} absent from writer "
+                        "schema and has no default"
+                    )
+                defaults[f["name"]] = f["default"]
+        keep = [n for n, _ in r_fields if n in w_names]
     rows = []
     while pos < len(data):
         n, pos = decode_long(data, pos)
@@ -234,7 +281,9 @@ def read_container(data: bytes):
             rec = {}
             for name, t in fields:
                 rec[name], bpos = _decode_value(t, block, bpos)
+            if defaults is not None:  # reshape to the reader schema
+                rec = {k: rec[k] for k in keep} | defaults
             rows.append(rec)
         if bpos != len(block):
             raise ValueError("trailing bytes in avro block: corrupt data")
-    return schema, rows
+    return (reader_schema if reader_schema is not None else schema), rows

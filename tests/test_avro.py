@@ -210,3 +210,70 @@ def test_table_versions_cow_reuses_files_and_preserves_v1(spark, sf_small):
     import pandas as pd
 
     pd.testing.assert_frame_equal(v1_df[want.columns], want)
+
+
+V2_SCHEMA = {
+    "type": "record",
+    "name": "t",
+    "fields": [
+        # 'a' dropped by the reader; 'b' shared; 'c' widened to a
+        # nullable union; 'g' added with a default
+        {"name": "b", "type": "double"},
+        {"name": "c", "type": ["null", "string"]},
+        {"name": "g", "type": "long", "default": 7},
+    ],
+}
+
+
+def test_schema_resolution_add_drop_widen():
+    """Avro schema evolution on our reader: reader-only field takes its
+    default, writer-only field is skipped, a shared field widened into
+    a nullable union resolves; a default-less added field is the loud
+    error the spec mandates."""
+    import pytest
+
+    data = av.write_container(SCHEMA, ROWS, codec="deflate")
+    schema, rows = av.read_container(data, reader_schema=V2_SCHEMA)
+    assert schema == V2_SCHEMA
+    assert [list(r) for r in rows] == [["b", "c", "g"]] * len(ROWS)
+    assert [[r["b"], r["c"], r["g"]] for r in rows] == [
+        [w[1], w[2], 7] for w in ROWS
+    ]
+    bad = {"type": "record", "name": "t", "fields": [
+        {"name": "b", "type": "double"}, {"name": "h", "type": "long"}]}
+    with pytest.raises(ValueError, match="default"):
+        av.read_container(data, reader_schema=bad)
+    incompat = {"type": "record", "name": "t", "fields": [
+        {"name": "b", "type": "string"}]}
+    with pytest.raises(ValueError, match="resolve"):
+        av.read_container(data, reader_schema=incompat)
+
+
+def test_schema_resolution_matches_reference_resolver(spark, tmp_path):
+    """The evolution contract is interop-pinned, not self-declared: the
+    same (writer file, reader schema) pair through org.apache.avro's
+    resolving GenericDatumReader must yield exactly our resolved rows."""
+    jvm = spark._jvm
+    rows = [r[:5] for r in ROWS]
+    w_schema = {"type": "record", "name": "t",
+                "fields": SCHEMA["fields"][:5]}
+    p = str(tmp_path / "evolve.avro")
+    with open(p, "wb") as fh:
+        fh.write(av.write_container(w_schema, rows, codec="deflate"))
+    _, ours = av.read_container(open(p, "rb").read(),
+                                reader_schema=V2_SCHEMA)
+
+    parser = jvm.org.apache.avro.Schema.Parser()
+    jw = parser.parse(json.dumps(w_schema))
+    jr = jvm.org.apache.avro.Schema.Parser().parse(json.dumps(V2_SCHEMA))
+    rdr = jvm.org.apache.avro.file.DataFileReader(
+        jvm.java.io.File(p),
+        jvm.org.apache.avro.generic.GenericDatumReader(jw, jr))
+    theirs = []
+    while rdr.hasNext():
+        rec = rdr.next()
+        c = rec.get("c")
+        theirs.append([rec.get("b"), None if c is None else str(c),
+                       rec.get("g")])
+    rdr.close()
+    assert theirs == [[r["b"], r["c"], r["g"]] for r in ours]
