@@ -277,3 +277,62 @@ def test_schema_resolution_matches_reference_resolver(spark, tmp_path):
                        rec.get("g")])
     rdr.close()
     assert theirs == [[r["b"], r["c"], r["g"]] for r in ours]
+
+
+def test_scan_avro_streaming_twin_matches_batch(spark, sf_small):
+    """True-streaming Avro ingest: readStream(binaryFile) over the same
+    staged container files, one file per micro-batch, mapInPandas
+    decode — the micro-batch twin of scan_avro's batch scan (same
+    pattern as every streaming twin here: batch analog owns the oracle,
+    the stream must reproduce it row-for-row across batches)."""
+    import os
+
+    import pandas as pd
+
+    import sparkflow
+    from sparkflow.sources import avrolite
+    from sparkflow.sources.io import _TMP
+
+    # batch run stages the files and is the truth
+    want = (
+        sparkflow.QUERIES["scan_avro"](spark, sf_small)
+        .toPandas().sort_values("o_orderkey").reset_index(drop=True)
+    )
+    sfkey = sf_small.rstrip("/").rsplit("/", 1)[-1]
+    base = os.path.join(_TMP, "avro", spark.sparkContext.applicationId,
+                        f"orders_{sfkey}")
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
+
+    def decode_part(it):
+        for pdf in it:
+            for blob in pdf["content"]:
+                _, recs = avrolite.read_container(bytes(blob))
+                if recs:
+                    yield pd.DataFrame.from_records(recs)[cols]
+
+    stream = (
+        spark.readStream.format("binaryFile")
+        .schema("path STRING, modificationTime TIMESTAMP, "
+                "length LONG, content BINARY")
+        .option("pathGlobFilter", "*.avro")
+        .option("maxFilesPerTrigger", 1)
+        .load(base)
+        .select("content")
+        .mapInPandas(
+            decode_part,
+            "o_orderkey LONG, o_custkey LONG, o_orderstatus STRING, "
+            "o_totalprice DOUBLE",
+        )
+    )
+    q = (
+        stream.writeStream.format("memory").queryName("avro_stream")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
+    assert n_batches > 1, "expected multiple micro-batches (1 file each)"
+    got = (
+        spark.sql("SELECT * FROM avro_stream").toPandas()
+        .sort_values("o_orderkey").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
