@@ -170,22 +170,15 @@ def _decode_meta_map(buf: bytes, pos: int) -> tuple[dict, int]:
             meta[k] = v
 
 
-def write_container(schema: dict, rows, codec: str = "deflate") -> bytes:
+def write_container(schema: dict, rows, codec: str = "deflate",
+                    rows_per_block: int | None = None) -> bytes:
     """Serialize rows (sequences ordered like schema['fields'], or
-    dicts) into one single-block Avro object container file."""
+    dicts) into an Avro object container file. rows_per_block=None
+    emits one block; a positive value emits many — the layout that
+    makes a single large file SPLITTABLE by sync marker (see
+    iter_rows_in_range)."""
     fields = _field_types(schema)
-    body = bytearray()
-    n = 0
-    for row in rows:
-        if isinstance(row, dict):
-            row = [row[name] for name, _ in fields]
-        for (name, t), v in zip(fields, row):
-            body += _encode_value(t, v)
-        n += 1
-    payload = bytes(body)
-    if codec == "deflate":
-        payload = zlib.compress(payload, 9)[2:-4]  # raw DEFLATE per spec
-    elif codec != "null":
+    if codec not in ("null", "deflate"):
         raise ValueError(f"unsupported codec: {codec}")
     meta = {
         "avro.schema": json.dumps(schema, separators=(",", ":")).encode(),
@@ -194,12 +187,107 @@ def write_container(schema: dict, rows, codec: str = "deflate") -> bytes:
     out = bytearray(_MAGIC)
     out += _encode_meta_map(meta)
     out += _SYNC
+
+    def flush(body: bytearray, n: int) -> None:
+        payload = bytes(body)
+        if codec == "deflate":
+            payload = zlib.compress(payload, 9)[2:-4]  # raw DEFLATE
+        out.extend(encode_long(n))
+        out.extend(encode_long(len(payload)))
+        out.extend(payload)
+        out.extend(_SYNC)
+
+    body = bytearray()
+    n = 0
+    for row in rows:
+        if isinstance(row, dict):
+            row = [row[name] for name, _ in fields]
+        for (name, t), v in zip(fields, row):
+            body += _encode_value(t, v)
+        n += 1
+        if rows_per_block and n == rows_per_block:
+            flush(body, n)
+            body = bytearray()
+            n = 0
     if n:
-        out += encode_long(n)
-        out += encode_long(len(payload))
-        out += payload
-        out += _SYNC
+        flush(body, n)
     return bytes(out)
+
+
+def parse_header(data) -> tuple[dict, str, bytes, int]:
+    """-> (schema, codec, sync_marker, first_block_offset). Accepts any
+    buffer (bytes / mmap)."""
+    if data[:4] != _MAGIC:
+        raise ValueError("not an avro object container file (bad magic)")
+    meta, pos = _decode_meta_map(data, 4)
+    schema = json.loads(meta["avro.schema"].decode())
+    codec = meta.get("avro.codec", b"null").decode() or "null"
+    if codec not in ("null", "deflate"):
+        raise ValueError(f"unsupported codec: {codec}")
+    sync = bytes(data[pos:pos + 16])
+    return schema, codec, sync, pos + 16
+
+
+def _block_at(data, pos: int, sync: bytes):
+    """Try to parse a block whose count varint starts at pos.
+    -> (n_rows, payload_lo, payload_hi, next_block_pos) or None if the
+    bytes there are not a well-formed block (used to reject chance
+    sync-marker collisions inside payload bytes)."""
+    try:
+        n, p = decode_long(data, pos)
+        size, p = decode_long(data, p)
+    except (ValueError, IndexError):
+        return None
+    if n == 0 or abs(n) > 1 << 40 or size < 0 or p + size + 16 > len(data):
+        return None
+    if bytes(data[p + size:p + size + 16]) != sync:
+        return None
+    return abs(n), p, p + size, p + size + 16
+
+
+def iter_rows_in_range(data, lo: int, hi: int):
+    """Decode the rows of every block that STARTS in [lo, hi) — the
+    Hadoop input-split alignment contract that makes ONE large
+    container file splittable: each reader seeks to its range, scans
+    forward to the next sync marker, validates that a well-formed block
+    follows (a 16-byte marker can collide with payload bytes by chance;
+    validation — parseable count/size + the trailing sync in place —
+    rejects those), and reads whole blocks until the first block
+    starting at-or-past hi. Every block is owned by exactly one range,
+    so a full cover of [0, filesize) yields every row exactly once.
+    `data` may be an mmap — only the scanned range is touched."""
+    schema, codec, sync, first = parse_header(data)
+    fields = _field_types(schema)
+    if lo <= first:
+        pos = first
+    else:
+        # a block starting exactly at lo has its sync ending at lo
+        search = lo - 16
+        pos = None
+        while True:
+            hit = data.find(sync, search)
+            if hit < 0:
+                return
+            cand = hit + 16
+            if _block_at(data, cand, sync) is not None:
+                pos = cand
+                break
+            search = hit + 1
+    while pos < hi and pos < len(data):
+        blk = _block_at(data, pos, sync)
+        if blk is None:
+            raise ValueError("corrupt avro block mid-file")
+        n, plo, phi, nxt = blk
+        payload = bytes(data[plo:phi])
+        if codec == "deflate":
+            payload = zlib.decompress(payload, wbits=-15)
+        bpos = 0
+        for _ in range(n):
+            rec = {}
+            for name, t in fields:
+                rec[name], bpos = _decode_value(t, payload, bpos)
+            yield rec
+        pos = nxt
 
 
 def _resolve(writer_t, reader_t):

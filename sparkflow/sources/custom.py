@@ -120,6 +120,122 @@ def source_custom_python(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Splittable Avro source: byte-range InputPartitions over ONE container
+# file, sync-marker aligned (avrolite.iter_rows_in_range)
+# ---------------------------------------------------------------------------
+
+_AVRO_SPLITS = 8
+
+
+class _AvroRangeReader(DataSourceReader):
+    """Plans N byte-range partitions over a single Avro object container
+    file — the split story binaryFile cannot give (it parallelizes by
+    FILE, so one 10 GB container serializes onto one task). Each task
+    mmaps the file, seeks to its range, aligns forward to the next
+    validated sync marker and decodes exactly the blocks that START in
+    its range — the Hadoop input-split contract, so a full cover yields
+    every row exactly once with no coordination."""
+
+    def __init__(self, options):
+        self.path = options["path"]
+        self.n_splits = int(options.get("splits", str(_AVRO_SPLITS)))
+
+    def partitions(self):
+        size = os.path.getsize(self.path)
+        step = max(1, (size + self.n_splits - 1) // self.n_splits)
+        return [
+            InputPartition((lo, min(lo + step, size)))
+            for lo in range(0, size, step)
+        ]
+
+    def read(self, partition):
+        import mmap
+
+        from sparkflow.sources import avrolite
+
+        lo, hi = partition.value
+        with open(self.path, "rb") as fh:
+            with mmap.mmap(fh.fileno(), 0, access=mmap.ACCESS_READ) as mm:
+                schema, _, _, _ = avrolite.parse_header(mm)
+                names = [f["name"] for f in schema["fields"]]
+                for rec in avrolite.iter_rows_in_range(mm, lo, hi):
+                    yield tuple(rec[n] for n in names)
+
+
+class AvroLiteSource(DataSource):
+    """`spark.read.format("avrolite")` — splittable single-file Avro."""
+
+    @classmethod
+    def name(cls):
+        return "avrolite"
+
+    def schema(self):
+        # the one staged shape; a general version would parse the header
+        # driver-side and map Avro types to Spark DDL
+        return ("o_orderkey BIGINT, o_custkey BIGINT, "
+                "o_orderstatus STRING, o_totalprice DOUBLE")
+
+    def reader(self, schema):
+        return _AvroRangeReader(self.options)
+
+
+@register(
+    "scan_avro_splittable",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+    FROM orders
+    """,
+)
+def scan_avro_splittable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale path for LARGE Avro files: scan_avro (sources/io.py)
+    parallelizes by file via binaryFile, which serializes a single big
+    container onto one task; this operator reads ONE multi-block
+    container (512 rows/block, deflate) through a Python DataSource
+    that plans sync-aligned BYTE-RANGE partitions — 8 concurrent tasks
+    over one file, each decoding only the blocks starting in its range
+    (avrolite.iter_rows_in_range; collision-validated marker scan).
+    Oracle: the original parquet table — the split cover must return
+    every row exactly once, which is precisely what a misaligned or
+    overlapping split would break."""
+    from . import avrolite
+
+    sfkey = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    base = os.path.join(
+        _TMP, "avro_one", spark.sparkContext.applicationId, sfkey
+    )
+    path = os.path.join(base, "orders.avro")
+    if not os.path.exists(path):
+        os.makedirs(base, exist_ok=True)
+        schema = {
+            "type": "record",
+            "name": "orders",
+            "fields": [
+                {"name": "o_orderkey", "type": "long"},
+                {"name": "o_custkey", "type": "long"},
+                {"name": "o_orderstatus", "type": "string"},
+                {"name": "o_totalprice", "type": "double"},
+            ],
+        }
+        pdf = (
+            table(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_custkey", "o_orderstatus",
+                    "o_totalprice")
+            .toPandas()
+        )  # fixture staging (one local file by design — the point is
+        #    the SPLIT read); production containers arrive pre-written
+        data = avrolite.write_container(
+            schema, pdf.itertuples(index=False, name=None),
+            codec="deflate", rows_per_block=512,
+        )
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as fh:
+            fh.write(data)
+        os.replace(tmp, path)
+    spark.dataSource.register(AvroLiteSource)
+    return spark.read.format("avrolite").option("path", path).load()
+
+
+# ---------------------------------------------------------------------------
 # Custom STREAMING source (offset-tracked) — pytest-exercised twin
 # ---------------------------------------------------------------------------
 

@@ -336,3 +336,56 @@ def test_scan_avro_streaming_twin_matches_batch(spark, sf_small):
         .sort_values("o_orderkey").reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_range_split_cover_is_exactly_once():
+    """The splittable-read contract: any full byte-range cover of a
+    multi-block container yields every row exactly once (block owned by
+    the range its count-offset starts in), including a corpus whose
+    STRING PAYLOADS contain the sync-marker byte literal (the scan
+    validates candidate blocks — count/size sanity + trailing sync —
+    so chance collisions are skipped, not decoded)."""
+    import math
+
+    schema = {"type": "record", "name": "t", "fields": [
+        {"name": "a", "type": "long"}, {"name": "c", "type": "string"}]}
+    rows = [[i, f"s{i}"] for i in range(10_000)]
+    data = av.write_container(schema, rows, codec="deflate",
+                              rows_per_block=97)
+    _, back = av.read_container(data)  # multi-block sequential read
+    assert [[r["a"], r["c"]] for r in back] == rows
+    for n_splits in (1, 3, 7, 64):
+        step = math.ceil(len(data) / n_splits)
+        got = []
+        for lo in range(0, len(data), step):
+            got += [(r["a"], r["c"]) for r in
+                    av.iter_rows_in_range(data, lo, min(lo + step, len(data)))]
+        assert sorted(got) == [tuple(r) for r in rows], n_splits
+    # adversarial: payloads embed the sync marker literal (null codec)
+    rows2 = [[i, "sparkflow-avro-1" * 3] for i in range(500)]
+    d2 = av.write_container(schema, rows2, codec="null", rows_per_block=50)
+    step = math.ceil(len(d2) / 5)
+    got2 = []
+    for lo in range(0, len(d2), step):
+        got2 += [(r["a"], r["c"]) for r in
+                 av.iter_rows_in_range(d2, lo, min(lo + step, len(d2)))]
+    assert sorted(got2) == [tuple(r) for r in rows2]
+
+
+def test_scan_avro_splittable_plans_byte_ranges(spark, sf_small):
+    """Operator level: the custom DataSource actually fans one file out
+    to multiple tasks (numPartitions > 1) and round-trips the table."""
+    import pandas as pd
+
+    import sparkflow
+    from sparkflow.catalog import table
+
+    df = sparkflow.QUERIES["scan_avro_splittable"](spark, sf_small)
+    assert df.rdd.getNumPartitions() > 1
+    got = df.toPandas().sort_values("o_orderkey").reset_index(drop=True)
+    want = (
+        table(spark, sf_small, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        .toPandas().sort_values("o_orderkey").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
