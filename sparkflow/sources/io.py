@@ -600,11 +600,27 @@ def maintenance_table_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
     cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
 
     def commit_manifest(version: int, files: list) -> None:
+        """OPTIMISTIC-CONCURRENCY commit (the lakehouse ACID rule):
+        publishing manifest_v{N} must FAIL — not silently overwrite —
+        if another writer committed that version first. os.replace is
+        atomic but last-writer-wins; os.link onto the final name is
+        atomic create-if-absent (EEXIST on conflict), so the loser
+        learns it must re-read the new snapshot and retry its merge on
+        top — exactly Delta/Iceberg's commit protocol shape."""
         man = {"version": version, "files": sorted(files)}
         tmp = os.path.join(base, f".manifest_v{version}.tmp")
         with open(tmp, "w", encoding="utf-8") as fh:
             _json.dump(man, fh)
-        os.replace(tmp, os.path.join(base, f"manifest_v{version}.json"))
+        final = os.path.join(base, f"manifest_v{version}.json")
+        try:
+            os.link(tmp, final)
+        except FileExistsError:
+            raise RuntimeError(
+                f"concurrent commit: version {version} already exists — "
+                "re-read the latest snapshot and retry the merge"
+            ) from None
+        finally:
+            os.unlink(tmp)
 
     def read_version(version: int) -> DataFrame:
         with open(os.path.join(base, f"manifest_v{version}.json"),
