@@ -478,3 +478,34 @@ def test_table_versions_commit_is_first_writer_wins(spark, sf_small):
     assert "concurrent commit" in src and "os.link" in src
     with open(final) as fh:
         assert json.load(fh) == winner, "winning manifest was clobbered"
+
+
+def test_table_versions_diff_reads_only_unshared_files(spark, sf_small):
+    """Manifest-level diff pruning: the diff plan's parquet scans must
+    touch ONLY the files the two manifests do not share — 2×churn, not
+    2×table (at 100 TB the difference between diffing two table scans
+    and diffing the day's rewritten partitions)."""
+    import json
+    import os
+
+    import sparkflow
+    from sparkflow.sources.io import _TMP
+
+    df = sparkflow.QUERIES["maintenance_table_versions"](spark, sf_small)
+    sfkey = sf_small.rstrip("/").rsplit("/", 1)[-1]
+    base = os.path.join(_TMP, "table_versions",
+                        spark.sparkContext.applicationId, f"orders_{sfkey}")
+    with open(os.path.join(base, "manifest_v1.json")) as fh:
+        f1 = json.load(fh)["files"]
+    with open(os.path.join(base, "manifest_v2.json")) as fh:
+        f2 = json.load(fh)["files"]
+    shared = set(f1) & set(f2)
+    scanned = {
+        "/" + p.split("://", 1)[-1].lstrip("/") if "://" in p else p
+        for p in df.inputFiles()
+    }
+    assert scanned, "no input files resolved"
+    assert not scanned & shared, (
+        f"diff scanned shared files: {sorted(scanned & shared)[:3]}")
+    want = (set(f1) | set(f2)) - shared
+    assert scanned == want, (len(scanned), len(want))
