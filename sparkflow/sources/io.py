@@ -536,6 +536,118 @@ def maintenance_json_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _tv_commit(base: str, version: int, entries: list) -> None:
+    """OPTIMISTIC-CONCURRENCY commit (the lakehouse ACID rule):
+    publishing manifest_v{N} must FAIL — not silently overwrite — if
+    another writer committed that version first. os.replace is atomic
+    but last-writer-wins; os.link onto the final name is atomic
+    create-if-absent (EEXIST on conflict), so the loser learns it must
+    re-read the new snapshot and retry its merge on top — exactly
+    Delta/Iceberg's commit protocol shape. Each manifest entry carries
+    FILE-LEVEL STATS ({path, min_key, max_key}) — the metadata that
+    funds both COW rewrite pruning and predicate file skipping."""
+    import json as _json
+
+    man = {"version": version,
+           "files": sorted(entries, key=lambda e: e["path"])}
+    tmp = os.path.join(base, f".manifest_v{version}.tmp")
+    with open(tmp, "w", encoding="utf-8") as fh:
+        _json.dump(man, fh)
+    final = os.path.join(base, f"manifest_v{version}.json")
+    try:
+        os.link(tmp, final)
+    except FileExistsError:
+        raise RuntimeError(
+            f"concurrent commit: version {version} already exists — "
+            "re-read the latest snapshot and retry the merge"
+        ) from None
+    finally:
+        os.unlink(tmp)
+
+
+def _tv_entries(base: str, version: int) -> list:
+    import json as _json
+
+    with open(os.path.join(base, f"manifest_v{version}.json"),
+              encoding="utf-8") as fh:
+        return _json.load(fh)["files"]
+
+
+def _stage_versioned_orders(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the two-version COW orders table once per (application,
+    sf): v1 = 8 range-partitioned files; v2 = contiguous-band UPDATE
+    (lo+1000..lo+3000, +1.00) via file-level copy-on-write + re-keyed
+    INSERTS (%101, past max) in one new file. Shared by
+    maintenance_table_versions (diff), scan_time_travel_pruned
+    (stats-skipped read), and maintenance_vacuum (orphan expiry). Also
+    plants one ORPHAN data file no manifest references — the debris a
+    crashed writer leaves, which vacuum exists to collect."""
+    import glob as _glob
+
+    sfkey = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    base = os.path.join(
+        _TMP, "table_versions", spark.sparkContext.applicationId,
+        f"orders_{sfkey}"
+    )
+    if os.path.exists(os.path.join(base, "manifest_v2.json")):
+        return base
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+    os.makedirs(os.path.join(base, "data"), exist_ok=True)
+    orders = table(spark, sf_dir, "orders").select(*cols)
+    lo, hi = orders.agg(F.min("o_orderkey"), F.max("o_orderkey")).first()
+
+    def with_stats(paths: list) -> list:
+        out = []
+        for f in paths:
+            fmin, fmax = spark.read.parquet(f).agg(
+                F.min("o_orderkey"), F.max("o_orderkey")).first()
+            out.append({"path": f, "min_key": int(fmin),
+                        "max_key": int(fmax)})
+        return out
+
+    v1_dir = os.path.join(base, "data", "v1")
+    (
+        orders.repartitionByRange(8, "o_orderkey")
+        .write.mode("overwrite").parquet(v1_dir)
+    )
+    v1 = with_stats(sorted(_glob.glob(os.path.join(v1_dir, "*.parquet"))))
+    _tv_commit(base, 1, v1)
+    # COW: manifest stats prune the rewrite set to band-overlapping files
+    u_lo, u_hi = lo + 1000, lo + 3000
+    rewrite = [e for e in v1
+               if e["min_key"] <= u_hi and e["max_key"] >= u_lo]
+    reuse = [e for e in v1 if e not in rewrite]
+    v2_dir = os.path.join(base, "data", "v2")
+    upd = F.col("o_orderkey").between(u_lo, u_hi)
+    (
+        spark.read.parquet(*[e["path"] for e in rewrite])
+        .withColumn(
+            "o_totalprice",
+            F.when(upd, F.round(F.col("o_totalprice") + 1.0, 2))
+            .otherwise(F.col("o_totalprice")),
+        )
+        .repartitionByRange(max(1, len(rewrite)), "o_orderkey")
+        .write.mode("overwrite").parquet(v2_dir)
+    )
+    ins_dir = os.path.join(base, "data", "v2_ins")
+    (
+        orders.filter(F.col("o_orderkey") % 101 == 0)
+        .withColumn("o_orderkey", F.col("o_orderkey") + F.lit(hi) + 1)
+        .coalesce(1)
+        .write.mode("overwrite").parquet(ins_dir)
+    )
+    # a crashed writer's debris: data no manifest will ever reference
+    orphan_dir = os.path.join(base, "data", "orphan")
+    orders.limit(5).coalesce(1).write.mode("overwrite").parquet(orphan_dir)
+    v2 = (
+        reuse
+        + with_stats(sorted(_glob.glob(os.path.join(v2_dir, "*.parquet"))))
+        + with_stats(sorted(_glob.glob(os.path.join(ins_dir, "*.parquet"))))
+    )
+    _tv_commit(base, 2, v2)
+    return base
+
+
 @register(
     "maintenance_table_versions",
     oracle="""
@@ -589,87 +701,8 @@ def maintenance_table_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan_snapshot_diff (above) is the row-level diff PRIMITIVE on
     derived frames; this operator owns the storage half — manifests,
     atomic commits, file-level COW and reuse."""
-    import glob as _glob
-    import json as _json
-
-    sfkey = sf_dir.rstrip("/").rsplit("/", 1)[-1]
-    base = os.path.join(
-        _TMP, "table_versions", spark.sparkContext.applicationId,
-        f"orders_{sfkey}"
-    )
-    cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
-
-    def commit_manifest(version: int, files: list) -> None:
-        """OPTIMISTIC-CONCURRENCY commit (the lakehouse ACID rule):
-        publishing manifest_v{N} must FAIL — not silently overwrite —
-        if another writer committed that version first. os.replace is
-        atomic but last-writer-wins; os.link onto the final name is
-        atomic create-if-absent (EEXIST on conflict), so the loser
-        learns it must re-read the new snapshot and retry its merge on
-        top — exactly Delta/Iceberg's commit protocol shape."""
-        man = {"version": version, "files": sorted(files)}
-        tmp = os.path.join(base, f".manifest_v{version}.tmp")
-        with open(tmp, "w", encoding="utf-8") as fh:
-            _json.dump(man, fh)
-        final = os.path.join(base, f"manifest_v{version}.json")
-        try:
-            os.link(tmp, final)
-        except FileExistsError:
-            raise RuntimeError(
-                f"concurrent commit: version {version} already exists — "
-                "re-read the latest snapshot and retry the merge"
-            ) from None
-        finally:
-            os.unlink(tmp)
-
-    marker = os.path.join(base, "manifest_v2.json")
-    if not os.path.exists(marker):
-        os.makedirs(os.path.join(base, "data"), exist_ok=True)
-        orders = table(spark, sf_dir, "orders").select(*cols)
-        lo, hi = orders.agg(
-            F.min("o_orderkey"), F.max("o_orderkey")).first()
-        # v1: 8 range-partitioned files => contiguous key ranges per
-        # file, the stats layout that lets COW prune the rewrite set
-        v1_dir = os.path.join(base, "data", "v1")
-        (
-            orders.repartitionByRange(8, "o_orderkey")
-            .write.mode("overwrite").parquet(v1_dir)
-        )
-        v1_files = sorted(_glob.glob(os.path.join(v1_dir, "*.parquet")))
-        commit_manifest(1, v1_files)
-        # file-level stats from footers: prune the rewrite set
-        u_lo, u_hi = lo + 1000, lo + 3000
-        rewrite, reuse = [], []
-        for f in v1_files:
-            fmin, fmax = spark.read.parquet(f).agg(
-                F.min("o_orderkey"), F.max("o_orderkey")).first()
-            (rewrite if fmin <= u_hi and fmax >= u_lo else reuse).append(f)
-        # COW: rewrite only overlapping files with the update applied
-        v2_dir = os.path.join(base, "data", "v2")
-        upd = F.col("o_orderkey").between(u_lo, u_hi)
-        (
-            spark.read.parquet(*rewrite)
-            .withColumn(
-                "o_totalprice",
-                F.when(upd, F.round(F.col("o_totalprice") + 1.0, 2))
-                .otherwise(F.col("o_totalprice")),
-            )
-            .repartitionByRange(max(1, len(rewrite)), "o_orderkey")
-            .write.mode("overwrite").parquet(v2_dir)
-        )
-        ins_dir = os.path.join(base, "data", "v2_ins")
-        (
-            orders.filter(F.col("o_orderkey") % 101 == 0)
-            .withColumn("o_orderkey", F.col("o_orderkey") + F.lit(hi) + 1)
-            .coalesce(1)
-            .write.mode("overwrite").parquet(ins_dir)
-        )
-        v2_files = (
-            reuse
-            + sorted(_glob.glob(os.path.join(v2_dir, "*.parquet")))
-            + sorted(_glob.glob(os.path.join(ins_dir, "*.parquet")))
-        )
-        commit_manifest(2, v2_files)
+    base = _stage_versioned_orders(spark, sf_dir)
+    e1, e2 = _tv_entries(base, 1), _tv_entries(base, 2)
     # MANIFEST-LEVEL DIFF PRUNING: a file referenced by BOTH manifests
     # contributes identical bytes to both sides, so its rows always
     # cancel (old == new) — the diff only needs the files each version
@@ -680,15 +713,9 @@ def maintenance_table_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ranges: a key living in a shared file cannot also appear in the
     # other version's unshared files. Pinned by the oracle (which diffs
     # the FULL versions relationally) and by the file-count pytest.
-    def manifest_files(version: int) -> list:
-        with open(os.path.join(base, f"manifest_v{version}.json"),
-                  encoding="utf-8") as fh:
-            return _json.load(fh)["files"]
-
-    f1, f2 = manifest_files(1), manifest_files(2)
-    shared = set(f1) & set(f2)
-    only1 = [f for f in f1 if f not in shared]
-    only2 = [f for f in f2 if f not in shared]
+    shared = {e["path"] for e in e1} & {e["path"] for e in e2}
+    only1 = [e["path"] for e in e1 if e["path"] not in shared]
+    only2 = [e["path"] for e in e2 if e["path"] not in shared]
     v1 = spark.read.parquet(*only1).select(
         F.col("o_orderkey").alias("key"),
         F.col("o_totalprice").alias("old_price"),
@@ -711,6 +738,109 @@ def maintenance_table_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.lit("U")).alias("op"),
             "old_price",
             "new_price",
+        )
+    )
+
+
+@register(
+    "scan_time_travel_pruned",
+    oracle="""
+    WITH bounds AS (
+      SELECT MIN(o_orderkey) AS lo FROM orders
+    )
+    SELECT o.o_orderkey AS key, o.o_orderstatus,
+           CASE WHEN o.o_orderkey BETWEEN b.lo + 1000 AND b.lo + 3000
+                THEN ROUND(o.o_totalprice + 1.0, 2)
+                ELSE o.o_totalprice END AS price
+    FROM orders o, bounds b
+    WHERE o.o_orderkey BETWEEN b.lo + 2000 AND b.lo + 4000
+    """,
+)
+def scan_time_travel_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate-pruned TIME TRAVEL: read version 2 of the COW table
+    (see maintenance_table_versions) filtered to a key band, SKIPPING
+    every data file whose manifest (min_key, max_key) stats cannot
+    intersect the predicate — partition pruning without partitions,
+    the stats-based file skipping every table format sells. The band
+    [lo+2000, lo+4000] deliberately straddles the v2 update boundary
+    (lo+3000), so the result mixes updated and untouched rows and a
+    stats bug on either side of the COW rewrite hash-mismatches. The
+    pytest pins inputFiles ⊂ manifest (strictly fewer files); the
+    oracle reconstructs v2-in-band relationally. At 100 TB: the scan
+    cost is bounded by band selectivity, not table size, with zero
+    layout requirements beyond the write-time range partitioning."""
+    base = _stage_versioned_orders(spark, sf_dir)
+    lo = table(spark, sf_dir, "orders").agg(F.min("o_orderkey")).first()[0]
+    p_lo, p_hi = lo + 2000, lo + 4000
+    hit = [e["path"] for e in _tv_entries(base, 2)
+           if e["min_key"] <= p_hi and e["max_key"] >= p_lo]
+    return (
+        spark.read.parquet(*hit)
+        # the residual filter still applies (stats prune FILES, not rows)
+        .filter(F.col("o_orderkey").between(p_lo, p_hi))
+        .select(
+            F.col("o_orderkey").alias("key"),
+            "o_orderstatus",
+            F.col("o_totalprice").alias("price"),
+        )
+    )
+
+
+@register(
+    "maintenance_vacuum",
+    oracle="""
+    WITH bounds AS (
+      SELECT MIN(o_orderkey) AS lo, MAX(o_orderkey) AS hi FROM orders
+    ),
+    v2 AS (
+      SELECT o.o_orderstatus,
+             CASE WHEN o.o_orderkey BETWEEN b.lo + 1000 AND b.lo + 3000
+                  THEN ROUND(o.o_totalprice + 1.0, 2)
+                  ELSE o.o_totalprice END AS price
+      FROM orders o, bounds b
+      UNION ALL
+      SELECT o.o_orderstatus, o.o_totalprice AS price
+      FROM orders o, bounds b WHERE o.o_orderkey % 101 = 0
+    )
+    SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(FLOOR(price * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS price_cents
+    FROM v2 GROUP BY o_orderstatus
+    """,
+)
+def maintenance_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VACUUM — the third leg of the lakehouse maintenance triangle
+    (compaction = maintenance_compaction, IVM = incremental_rollup):
+    delete every data file under the table root that NO retained
+    manifest references (a crashed writer's debris — the staging plants
+    one such orphan deliberately), never touching referenced files.
+    The returned frame re-aggregates the LATEST version through its
+    manifest after the delete; matching the oracle (v2 rebuilt
+    relationally) proves vacuum removed only garbage. The orphan-gone /
+    survivors-intact file assertions live in the pytest. At 100 TB the
+    referenced-set build is a manifest union (KBs), the orphan listing
+    an object-store prefix scan — never a data read."""
+    import glob as _glob
+
+    base = _stage_versioned_orders(spark, sf_dir)
+    referenced = {
+        e["path"]
+        for v in (1, 2)
+        for e in _tv_entries(base, v)
+    }
+    for f in _glob.glob(os.path.join(base, "data", "**", "*.parquet"),
+                        recursive=True):
+        if f not in referenced:
+            os.remove(f)
+    latest = [e["path"] for e in _tv_entries(base, 2)]
+    return (
+        spark.read.parquet(*latest)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+            ).cast("bigint").alias("price_cents"),
         )
     )
 
