@@ -746,14 +746,23 @@ def maintenance_table_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scan_time_travel_pruned",
     oracle="""
     WITH bounds AS (
-      SELECT MIN(o_orderkey) AS lo FROM orders
+      SELECT MIN(o_orderkey) AS lo, MAX(o_orderkey) AS hi FROM orders
+    ),
+    v2 AS (
+      SELECT o.o_orderkey AS key, o.o_orderstatus,
+             CASE WHEN o.o_orderkey BETWEEN b.lo + 1000 AND b.lo + 3000
+                  THEN ROUND(o.o_totalprice + 1.0, 2)
+                  ELSE o.o_totalprice END AS price
+      FROM orders o, bounds b
+      UNION ALL
+      SELECT o.o_orderkey + b.hi + 1 AS key, o.o_orderstatus,
+             o.o_totalprice AS price
+      FROM orders o, bounds b
+      WHERE o.o_orderkey % 101 = 0
     )
-    SELECT o.o_orderkey AS key, o.o_orderstatus,
-           CASE WHEN o.o_orderkey BETWEEN b.lo + 1000 AND b.lo + 3000
-                THEN ROUND(o.o_totalprice + 1.0, 2)
-                ELSE o.o_totalprice END AS price
-    FROM orders o, bounds b
-    WHERE o.o_orderkey BETWEEN b.lo + 2000 AND b.lo + 4000
+    SELECT v2.key, v2.o_orderstatus, v2.price
+    FROM v2, bounds b
+    WHERE v2.key BETWEEN b.lo + 2000 AND b.lo + 4000
     """,
 )
 def scan_time_travel_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -764,7 +773,10 @@ def scan_time_travel_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     the stats-based file skipping every table format sells. The band
     [lo+2000, lo+4000] deliberately straddles the v2 update boundary
     (lo+3000), so the result mixes updated and untouched rows and a
-    stats bug on either side of the COW rewrite hash-mismatches. The
+    stats bug on either side of the COW rewrite hash-mismatches (on
+    fixtures smaller than the band — sf0.001, keys < lo+2000 — the band
+    instead catches the re-keyed INSERT file, so the oracle rebuilds
+    FULL v2 in-band, updates plus inserts, never a subset). The
     pytest pins inputFiles ⊂ manifest (strictly fewer files); the
     oracle reconstructs v2-in-band relationally. At 100 TB: the scan
     cost is bounded by band selectivity, not table size, with zero
