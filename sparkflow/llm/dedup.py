@@ -661,7 +661,8 @@ def _cc_doubling_oracle(rounds: int) -> str:
     own iteration cap, so the oracle runs at any sf the operator does.
 
     Every CTE is MATERIALIZED (DuckDB hint): each round references its
-    predecessor twice (and mid{k} self-joins for the pointer jump), so
+    predecessor twice (and each round's `mid` CTE self-joins for the
+    pointer jump), so
     default CTE inlining would expand the chain 2^rounds ways — and
     re-open the corpus parquet once per expansion ('too many open
     files' long before any memory limit). Materializing evaluates each

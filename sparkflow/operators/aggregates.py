@@ -806,11 +806,12 @@ def _cms_bucket_sql(i: str, key: str) -> str:
 def agg_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DETERMINISTIC Count-Min sketch (Cormode-Muthukrishnan 2005) —
     the frequency-estimation twin of agg_kmv_distinct's cardinality
-    sketch: d={d} hash rows x w={w} counters over md5 hashes we OWN, so
+    sketch: d=4 hash rows x w=256 counters (_CMS_D/_CMS_W) over md5
+    hashes we OWN, so
     DuckDB rebuilds the identical sketch and the estimate
     (min over rows of counter[h_i(key)]) is hash-checkable EXACTLY,
     unlike any engine-internal sketch. Point-queried here for the
-    top-{top} true-frequency users; CMS guarantees est >= true with
+    top-10 (_CMS_TOP) true-frequency users; CMS guarantees est >= true with
     overshoot < eps*N at probability 1-delta (eps=e/w, delta=e^-d) —
     the pytest asserts both bounds.
 
@@ -819,7 +820,7 @@ def agg_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     <= d*w rows PER PARTITION before the exchange — the shuffle carries
     at most 1024 rows per map task no matter the input (the same
     map-side-combine property that makes counting scalable at all).
-    The finished sketch is d*w = {dw} rows — broadcast to the probe
+    The finished sketch is d*w = 1024 rows — broadcast to the probe
     side; point queries never shuffle. The exact `truth` pass exists
     only to pick demonstration keys and verify the bound; a production
     reader probes the sketch with known keys and skips it."""

@@ -372,11 +372,11 @@ def _bfs_oracle() -> str:
 @register("graph_shortest_paths", oracle=_bfs_oracle())
 def graph_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-source BFS shortest paths (unit weights, K synchronous
-    rounds) from the {seeds} smallest node ids over the undirected
+    rounds) from the 3 (_BFS_SEEDS) smallest node ids over the undirected
     per-(hour, event_type) co-activity graph — the third member of the
     iterative-join family (pagerank = value diffusion, LPA = mode
     adoption, BFS = min-plus relaxation). Returns every node reached
-    within K={rounds} hops with its hop distance.
+    within K=4 (_BFS_ROUNDS) hops with its hop distance.
 
     Scale shape — FRONTIER-PRUNED, not full relaxation: each round
     joins only the nodes newly reached last round against the edge

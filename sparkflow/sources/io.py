@@ -1163,6 +1163,106 @@ def scan_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# scan_protobuf's field spec: module level so executors import it from
+# the shipped package instead of capturing it through the task closure.
+_PB_FIELDS = [
+    (1, "o_orderkey", "int64"),
+    (2, "o_custkey", "sint64"),  # zigzag on the wire — exercised per row
+    (3, "o_orderpriority", "string"),
+    (4, "o_totalprice", "double"),
+]
+
+
+@register(
+    "scan_protobuf",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderpriority, o_totalprice
+    FROM orders
+    """,
+)
+def scan_protobuf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Protobuf round-trip — sink AND source — on the engine's own
+    pure-Python wire-format codec (sparkflow/sources/protolite.py),
+    closing the second half of the r8 verdict's "Avro/Protobuf sources"
+    gap the same way scan_avro closed the first: the wire format is
+    public, the codec is shipped, and every primitive is interop-pinned
+    byte-for-byte against a REFERENCE runtime already on Spark's
+    classpath (the shaded org.apache.orc.protobuf CodedStreams,
+    tests/test_protobuf.py, both directions).
+
+    Shape mirrors scan_avro, both halves distributed:
+    - SINK: orders repartitioned, each partition serialized to one
+      length-delimited .pb file (the writeDelimitedTo framing) via
+      mapInPandas — executor-side write, atomic tmp+rename.
+    - SOURCE: `binaryFile` scan + mapInPandas decode, Arrow-batched
+      back to JVM rows. Length-delimited protobuf has no sync markers,
+      so unlike Avro a single container file is NOT byte-range
+      splittable — the scale story is many files (one per partition),
+      which is exactly what the sink produces; scan_avro_splittable
+      covers the intra-file split story for the format that has one.
+    The field spec exercises zigzag (o_custkey as sint64) alongside
+    plain varint, string, and double; the oracle reads the ORIGINAL
+    parquet, so only a bit-exact encode→decode of every row matches."""
+    import pandas as pd
+
+    from . import protolite
+
+    cols = [name for _, name, _ in _PB_FIELDS]
+    sfkey = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    base = os.path.join(
+        _TMP, "protobuf", spark.sparkContext.applicationId, f"orders_{sfkey}"
+    )
+    marker = os.path.join(base, "_STAGED_OK")
+    if not os.path.exists(marker):
+        os.makedirs(base, exist_ok=True)
+
+        def write_part(it):
+            from pyspark import TaskContext
+
+            chunks = [p for p in it if len(p)]
+            if not chunks:
+                return
+            pdf = pd.concat(chunks)
+            rows = list(pdf[cols].itertuples(index=False, name=None))
+            data = protolite.write_delimited(_PB_FIELDS, rows)
+            pid = TaskContext.get().partitionId()
+            tmp = os.path.join(base, f".part_{pid}.pb.tmp")
+            with open(tmp, "wb") as fh:
+                fh.write(data)
+            os.replace(tmp, os.path.join(base, f"part_{pid}.pb"))
+            yield pd.DataFrame({"path": [f"part_{pid}.pb"],
+                                "n_rows": [len(rows)]})
+
+        (
+            table(spark, sf_dir, "orders")
+            .select(*cols)
+            .repartition(8)
+            .mapInPandas(write_part, "path STRING, n_rows LONG")
+            .collect()  # bounded: 8 (path, count) rows — the write action
+        )
+        with open(marker, "w", encoding="utf-8"):
+            pass
+
+    def decode_part(it):
+        for pdf in it:
+            for blob in pdf["content"]:
+                recs = protolite.read_delimited(_PB_FIELDS, bytes(blob))
+                if recs:
+                    yield pd.DataFrame.from_records(recs)[cols]
+
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.pb")
+        .load(base)
+        .select("content")
+        .mapInPandas(
+            decode_part,
+            "o_orderkey LONG, o_custkey LONG, o_orderpriority STRING, "
+            "o_totalprice DOUBLE",
+        )
+    )
+
+
 @register(
     "maintenance_incremental_rollup",
     oracle="""

@@ -1,0 +1,287 @@
+"""Pure-Python Protocol Buffers wire-format codec ("protolite").
+
+The spark-protobuf module (and the google.protobuf Python runtime) are
+absent from this distribution and unfetchable offline — the same gap the
+r8 verdict named for Avro ("Avro/Protobuf sources"), which avrolite.py
+closed for Avro. This module closes the protobuf half the same way: the
+wire format is PUBLIC (https://protobuf.dev/programming-guides/encoding/)
+and small, so the engine ships it and interop-PINS every primitive
+byte-for-byte against a reference implementation that *is* on Spark's
+classpath — the shaded protobuf runtime inside the ORC jars
+(``org.apache.orc.protobuf.CodedOutputStream`` / ``CodedInputStream``,
+tests/test_protobuf.py, both directions).
+
+Wire types implemented (the complete set):
+  0 VARINT  — int32/int64/uint32/uint64/bool, sint32/sint64 via zigzag
+  1 I64     — fixed64/sfixed64/double (little-endian)
+  2 LEN     — string (UTF-8), bytes, nested message, packed repeated
+  5 I32     — fixed32/sfixed32/float (little-endian)
+(wire types 3/4 — groups — are deprecated in proto3 and not emitted by
+any modern writer; the decoder rejects them loudly rather than guessing.)
+
+Schemas are plain field-spec lists — ``(number, name, ptype)`` where
+ptype is one of the scalar names above, ``"packed:<scalar>"`` for a
+packed repeated scalar, or ``("message", subfields)`` for a nested
+message — no descriptor files, no codegen. Decoding follows the spec's
+robustness rules: unknown fields are skipped by wire type, fields may
+arrive in any order, and for non-repeated fields the LAST occurrence
+wins (required for correct merge semantics).
+
+Record streams use the standard length-delimited framing
+(``writeDelimitedTo`` / ``parseDelimitedFrom``: varint byte-length
+prefix per message) — the framing every protobuf stream tool speaks.
+"""
+
+from __future__ import annotations
+
+import struct
+
+_WT_VARINT, _WT_I64, _WT_LEN, _WT_I32 = 0, 1, 2, 5
+
+# scalar ptype -> wire type
+_WIRE = {
+    "int32": _WT_VARINT, "int64": _WT_VARINT,
+    "uint32": _WT_VARINT, "uint64": _WT_VARINT,
+    "sint32": _WT_VARINT, "sint64": _WT_VARINT,
+    "bool": _WT_VARINT,
+    "fixed64": _WT_I64, "sfixed64": _WT_I64, "double": _WT_I64,
+    "fixed32": _WT_I32, "sfixed32": _WT_I32, "float": _WT_I32,
+    "string": _WT_LEN, "bytes": _WT_LEN,
+}
+
+
+def encode_varint(n: int) -> bytes:
+    """Base-128 varint of an unsigned 64-bit value. Negative int32/int64
+    field values are sign-extended to 64 bits first (per spec they
+    always occupy 10 bytes — the reason sint/zigzag exists)."""
+    if n < 0:
+        n &= (1 << 64) - 1
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def decode_varint(buf, pos: int) -> tuple[int, int]:
+    """(value, next_pos). Raises on truncation or >10-byte runs (the
+    spec's maximum for a 64-bit value — anything longer is corrupt)."""
+    result = 0
+    shift = 0
+    start = pos
+    while True:
+        if pos >= len(buf):
+            raise ValueError("truncated varint")
+        if pos - start >= 10:
+            raise ValueError("varint longer than 10 bytes")
+        b = buf[pos]
+        pos += 1
+        result |= (b & 0x7F) << shift
+        if not (b & 0x80):
+            return result & ((1 << 64) - 1), pos
+        shift += 7
+
+
+def zigzag_encode(n: int) -> int:
+    """sint mapping: 0,-1,1,-2,... -> 0,1,2,3,... (small magnitudes stay
+    small on the wire regardless of sign)."""
+    return (n << 1) ^ (n >> 63) if n >= 0 else ((-n) << 1) - 1
+
+
+def zigzag_decode(n: int) -> int:
+    return (n >> 1) ^ -(n & 1)
+
+
+def _to_signed64(n: int) -> int:
+    return n - (1 << 64) if n >= (1 << 63) else n
+
+
+def _to_signed32(n: int) -> int:
+    n &= (1 << 32) - 1
+    return n - (1 << 32) if n >= (1 << 31) else n
+
+
+def _tag(number: int, wire: int) -> bytes:
+    return encode_varint((number << 3) | wire)
+
+
+def _encode_scalar(ptype: str, v) -> bytes:
+    """Payload bytes (no tag) for one scalar value."""
+    if ptype in ("int32", "int64", "uint32", "uint64"):
+        return encode_varint(int(v))
+    if ptype in ("sint32", "sint64"):
+        return encode_varint(zigzag_encode(int(v)))
+    if ptype == "bool":
+        return encode_varint(1 if v else 0)
+    if ptype == "double":
+        return struct.pack("<d", float(v))
+    if ptype == "float":
+        return struct.pack("<f", float(v))
+    if ptype in ("fixed64", "sfixed64"):
+        return struct.pack("<q" if ptype == "sfixed64" else "<Q", int(v))
+    if ptype in ("fixed32", "sfixed32"):
+        return struct.pack("<i" if ptype == "sfixed32" else "<I", int(v))
+    if ptype == "string":
+        b = str(v).encode("utf-8")
+        return encode_varint(len(b)) + b
+    if ptype == "bytes":
+        b = bytes(v)
+        return encode_varint(len(b)) + b
+    raise ValueError(f"unknown ptype {ptype!r}")
+
+
+def _decode_scalar(ptype: str, buf, pos: int):
+    """(value, next_pos) for one scalar payload at pos."""
+    if ptype in ("int32", "int64"):
+        n, pos = decode_varint(buf, pos)
+        n = _to_signed64(n)
+        return (_to_signed32(n) if ptype == "int32" else n), pos
+    if ptype in ("uint32", "uint64"):
+        return decode_varint(buf, pos)
+    if ptype in ("sint32", "sint64"):
+        n, pos = decode_varint(buf, pos)
+        return zigzag_decode(n), pos
+    if ptype == "bool":
+        n, pos = decode_varint(buf, pos)
+        return bool(n), pos
+    if ptype == "double":
+        return struct.unpack_from("<d", buf, pos)[0], pos + 8
+    if ptype == "float":
+        return struct.unpack_from("<f", buf, pos)[0], pos + 4
+    if ptype == "fixed64":
+        return struct.unpack_from("<Q", buf, pos)[0], pos + 8
+    if ptype == "sfixed64":
+        return struct.unpack_from("<q", buf, pos)[0], pos + 8
+    if ptype == "fixed32":
+        return struct.unpack_from("<I", buf, pos)[0], pos + 4
+    if ptype == "sfixed32":
+        return struct.unpack_from("<i", buf, pos)[0], pos + 4
+    if ptype in ("string", "bytes"):
+        ln, pos = decode_varint(buf, pos)
+        if pos + ln > len(buf):
+            raise ValueError("truncated length-delimited field")
+        raw = bytes(buf[pos:pos + ln])
+        return (raw.decode("utf-8") if ptype == "string" else raw), pos + ln
+    raise ValueError(f"unknown ptype {ptype!r}")
+
+
+def encode_field(number: int, ptype, v) -> bytes:
+    """Tag + payload for one field. ptype may be a scalar name,
+    'packed:<scalar>' (v is a sequence), or ('message', subfields)."""
+    if isinstance(ptype, tuple) and ptype[0] == "message":
+        body = encode_message(ptype[1], v)
+        return _tag(number, _WT_LEN) + encode_varint(len(body)) + body
+    if isinstance(ptype, str) and ptype.startswith("packed:"):
+        inner = ptype[7:]
+        body = b"".join(_encode_scalar(inner, x) for x in v)
+        return _tag(number, _WT_LEN) + encode_varint(len(body)) + body
+    return _tag(number, _WIRE[ptype]) + _encode_scalar(ptype, v)
+
+
+def encode_message(fields, row) -> bytes:
+    """Serialize a dict (or anything with __getitem__ by name) against a
+    field-spec list. None values are simply absent — proto3 presence
+    semantics (a reader sees the type's default)."""
+    out = bytearray()
+    for number, name, ptype in fields:
+        v = row.get(name) if hasattr(row, "get") else row[name]
+        if v is None:
+            continue
+        out += encode_field(number, ptype, v)
+    return bytes(out)
+
+
+def _skip(wire: int, buf, pos: int) -> int:
+    """Skip an unknown field's payload by wire type (spec-required for
+    forward compatibility)."""
+    if wire == _WT_VARINT:
+        _, pos = decode_varint(buf, pos)
+        return pos
+    if wire == _WT_I64:
+        return pos + 8
+    if wire == _WT_I32:
+        return pos + 4
+    if wire == _WT_LEN:
+        ln, pos = decode_varint(buf, pos)
+        return pos + ln
+    raise ValueError(f"unsupported wire type {wire} (groups are deprecated)")
+
+
+def decode_message(fields, buf, pos: int = 0, end: int | None = None) -> dict:
+    """Parse one message. Unknown field numbers are skipped; known
+    fields may arrive in any order; the LAST occurrence of a
+    non-repeated field wins; packed fields accept both packed (LEN) and
+    unpacked (per-element) encodings, concatenating across occurrences —
+    all per the encoding spec's merge rules. Absent fields decode to
+    None (caller applies proto3 defaults if it wants them)."""
+    if end is None:
+        end = len(buf)
+    spec = {num: (name, ptype) for num, name, ptype in fields}
+    out = {name: None for _, name, _ in fields}
+    while pos < end:
+        key, pos = decode_varint(buf, pos)
+        number, wire = key >> 3, key & 0x7
+        if number not in spec:
+            pos = _skip(wire, buf, pos)
+            continue
+        name, ptype = spec[number]
+        if isinstance(ptype, tuple) and ptype[0] == "message":
+            ln, pos = decode_varint(buf, pos)
+            out[name] = decode_message(ptype[1], buf, pos, pos + ln)
+            pos += ln
+        elif isinstance(ptype, str) and ptype.startswith("packed:"):
+            inner = ptype[7:]
+            vals = out[name] or []
+            if wire == _WT_LEN:
+                ln, pos = decode_varint(buf, pos)
+                stop = pos + ln
+                while pos < stop:
+                    v, pos = _decode_scalar(inner, buf, pos)
+                    vals.append(v)
+                if pos != stop:
+                    raise ValueError("packed field overran its length")
+            else:  # unpacked encoding of a packed-declared field is legal
+                v, pos = _decode_scalar(inner, buf, pos)
+                vals.append(v)
+            out[name] = vals
+        else:
+            if wire != _WIRE[ptype]:
+                raise ValueError(
+                    f"field {number} ({name}): wire type {wire} does not "
+                    f"match declared {ptype}"
+                )
+            out[name], pos = _decode_scalar(ptype, buf, pos)
+    if pos != end:
+        raise ValueError("message overran its end offset")
+    return out
+
+
+def write_delimited(fields, rows) -> bytes:
+    """Length-delimited stream: varint(len) + message, per row — the
+    writeDelimitedTo framing. Rows may be dicts or (by-position) tuples
+    matching the field-spec order."""
+    names = [name for _, name, _ in fields]
+    out = bytearray()
+    for row in rows:
+        if not hasattr(row, "get") and not isinstance(row, dict):
+            row = dict(zip(names, row))
+        body = encode_message(fields, row)
+        out += encode_varint(len(body)) + body
+    return bytes(out)
+
+
+def read_delimited(fields, data) -> list[dict]:
+    """Inverse of write_delimited; validates every frame boundary."""
+    rows = []
+    pos = 0
+    while pos < len(data):
+        ln, pos = decode_varint(data, pos)
+        if pos + ln > len(data):
+            raise ValueError("truncated delimited message")
+        rows.append(decode_message(fields, data, pos, pos + ln))
+        pos += ln
+    return rows
