@@ -19,6 +19,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from ..catalog import table
 from ..oracle_compat import dsum, sql_dsum
@@ -855,6 +856,205 @@ def maintenance_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint").alias("price_cents"),
         )
     )
+
+
+def _cdc_users_params(spark: SparkSession, sf_dir: str) -> tuple[int, int]:
+    """(cut, band_hi) for the CDC-apply fixture, data-derived so the
+    reseeded twin AND every sf rung shift with their corpus: cut =
+    event_id midpoint, band_hi = min(user_id) + 40% of the key range
+    (all integer arithmetic, mirrored by the oracle's `//`). A
+    FRACTIONAL band — not an absolute width — so sub-band fixtures
+    (sf0.001 has ~15 users) still leave out-of-band files for the
+    reuse contract to bite on."""
+    ev = table(spark, sf_dir, "events")
+    lo_e, hi_e, lo_u, hi_u = ev.agg(
+        F.min("event_id"), F.max("event_id"),
+        F.min("user_id"), F.max("user_id"),
+    ).first()
+    band_hi = lo_u + max(1, ((hi_u - lo_u + 1) * 2) // 5)
+    return lo_e + (hi_e - lo_e + 1) // 2, band_hi
+
+
+def _cdc_net_changelog(spark: SparkSession, sf_dir: str,
+                       cut: int, band_hi: int) -> DataFrame:
+    """NET-EFFECT compaction of the change stream (the Debezium-style
+    step every CDC apply runs first): among this batch's ops per key,
+    only the LAST (by sequence number) survives — one keyed window, so
+    the apply joins against state-sized data, not log-sized. op mapping
+    is the fixture's contract: event_type 'error' tombstones the key
+    (DELETE), anything else upserts the event's value as the balance."""
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.col("event_id").desc())
+    return (
+        ev.filter((F.col("event_id") >= cut) & (F.col("user_id") < band_hi))
+        .select(
+            "user_id", "event_id", "value",
+            F.when(F.col("event_type") == "error", F.lit("D"))
+            .otherwise(F.lit("U")).alias("op"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+@register(
+    "maintenance_table_cdc_apply",
+    oracle="""
+    WITH b AS (
+      SELECT MIN(event_id) AS lo_e, MAX(event_id) AS hi_e,
+             MIN(user_id) AS lo_u, MAX(user_id) AS hi_u
+      FROM events
+    ),
+    cut AS (
+      SELECT lo_e + (hi_e - lo_e + 1) // 2 AS c,
+             lo_u + GREATEST(1, ((hi_u - lo_u + 1) * 2) // 5) AS band
+      FROM b
+    ),
+    v1 AS (
+      SELECT user_id, value AS balance, event_id AS last_seq
+      FROM events, cut WHERE event_id < c
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+                                 ORDER BY event_id DESC) = 1
+    ),
+    net AS (
+      SELECT user_id,
+             CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+             value, event_id
+      FROM events, cut WHERE event_id >= c AND user_id < band
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+                                 ORDER BY event_id DESC) = 1
+    )
+    SELECT COALESCE(n.user_id, v.user_id) AS user_id,
+           CASE WHEN n.user_id IS NULL THEN v.balance ELSE n.value END
+             AS balance,
+           CASE WHEN n.user_id IS NULL THEN v.last_seq ELSE n.event_id END
+             AS last_seq
+    FROM v1 v FULL OUTER JOIN net n ON v.user_id = n.user_id
+    WHERE COALESCE(n.op, 'U') = 'U'
+    """,
+)
+def maintenance_table_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC APPLY onto the versioned COW table — the op that connects the
+    streaming changelog story (stream_changelog_cdc produces I/U/D
+    streams) to the lakehouse story (maintenance_table_versions owns
+    manifests/commits/time travel): take a change batch, compact it to
+    net effects, MERGE it into the versioned user-state table as a new
+    committed version, and time-travel-read the result.
+
+    Fixture contract (all bounds data-derived, so the reseeded twin
+    shifts with its corpus): v1 = last event per user over the FIRST
+    half of the event log (by event_id midpoint), committed as 8
+    range-partitioned files + manifest. The change batch = the SECOND
+    half restricted to the bottom-40% key band of the user keyspace
+    (fractional, so every sf rung and the reseeded twin keep
+    out-of-band files); 'error' events tombstone the key, everything
+    else upserts the event's value.
+
+    The apply, each step the 100 TB shape:
+    1. NET compaction — last op per key via one keyed window
+       (_cdc_net_changelog): the merge sees state-sized input however
+       long the log is.
+    2. MANIFEST-PRUNED rewrite set — only v1 files whose (min_key,
+       max_key) stats intersect the band are rewritten; out-of-band
+       files are REUSED by reference in manifest v2 (pytest pins path
+       identity). Pruning reads manifest KBs, never data.
+    3. MERGE on the rewrite set only — full-outer join old⋈net on the
+       key: both sides → 'D' drops / 'U' replaces; old-only keeps;
+       net-only 'U' inserts (new keys are in-band by construction, so
+       the rewritten band files absorb them — no separate insert file).
+       Key-partitioned sort-merge join: both sides shuffle once on the
+       primary key, the layout every MERGE engine pays.
+    4. Atomic commit — manifest v2 via _tv_commit's create-if-absent
+       link (concurrent-writer loser gets a loud retry error, pinned in
+       tests), v1 files untouched → time travel to v1 still works.
+    The returned frame reads v2 THROUGH THE MANIFEST (reused +
+    rewritten files); the oracle rebuilds final state relationally, so
+    a bug in pruning, merge resolution, tombstone handling, or commit
+    surfaces as a hash mismatch."""
+    import glob as _glob
+    import json as _json
+
+    sfkey = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    base = os.path.join(
+        _TMP, "cdc_users", spark.sparkContext.applicationId, f"users_{sfkey}"
+    )
+    if not os.path.exists(os.path.join(base, "manifest_v2.json")):
+        os.makedirs(os.path.join(base, "data"), exist_ok=True)
+        cut, band_hi = _cdc_users_params(spark, sf_dir)
+        # params persisted WITH the table (IVM discipline): later calls
+        # and assertions read the committed values, never re-derive
+        # against a table that might have moved
+        with open(os.path.join(base, "params.json"), "w",
+                  encoding="utf-8") as fh:
+            _json.dump({"cut": cut, "band_hi": band_hi}, fh)
+        ev = table(spark, sf_dir, "events")
+        w = W.partitionBy("user_id").orderBy(F.col("last_seq").desc())
+        v1_dir = os.path.join(base, "data", "v1")
+        (
+            ev.filter(F.col("event_id") < cut)
+            .select(
+                "user_id",
+                F.col("value").alias("balance"),
+                F.col("event_id").alias("last_seq"),
+            )
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+            .repartitionByRange(8, "user_id")
+            .write.mode("overwrite").parquet(v1_dir)
+        )
+
+        def with_stats(paths: list) -> list:
+            out = []
+            for f in paths:
+                fmin, fmax = spark.read.parquet(f).agg(
+                    F.min("user_id"), F.max("user_id")).first()
+                out.append({"path": f, "min_key": int(fmin),
+                            "max_key": int(fmax)})
+            return out
+
+        v1 = with_stats(sorted(_glob.glob(os.path.join(v1_dir, "*.parquet"))))
+        _tv_commit(base, 1, v1)
+
+        net = _cdc_net_changelog(spark, sf_dir, cut, band_hi)
+        # band_hi - 1 is the largest key the changelog can touch; the
+        # stats test is closed-interval overlap, same as time travel's
+        rewrite = [e for e in v1 if e["min_key"] <= band_hi - 1]
+        reuse = [e for e in v1 if e["min_key"] > band_hi - 1]
+        old = spark.read.parquet(*[e["path"] for e in rewrite])
+        merged = (
+            old.join(
+                net.select(
+                    F.col("user_id").alias("n_user_id"), "op",
+                    F.col("value").alias("n_balance"),
+                    F.col("event_id").alias("n_seq"),
+                ),
+                old.user_id == F.col("n_user_id"),
+                "full_outer",
+            )
+            # tombstone wins; net upsert replaces; old-only carries over
+            .filter(F.coalesce(F.col("op"), F.lit("U")) == "U")
+            .select(
+                F.coalesce(F.col("n_user_id"), F.col("user_id"))
+                .alias("user_id"),
+                F.coalesce(F.col("n_balance"), F.col("balance"))
+                .alias("balance"),
+                F.coalesce(F.col("n_seq"), F.col("last_seq"))
+                .alias("last_seq"),
+            )
+        )
+        v2_dir = os.path.join(base, "data", "v2")
+        (
+            merged.repartitionByRange(max(1, len(rewrite)), "user_id")
+            .write.mode("overwrite").parquet(v2_dir)
+        )
+        v2 = reuse + with_stats(
+            sorted(_glob.glob(os.path.join(v2_dir, "*.parquet")))
+        )
+        _tv_commit(base, 2, v2)
+    latest = [e["path"] for e in _tv_entries(base, 2)]
+    return spark.read.parquet(*latest).select("user_id", "balance", "last_seq")
 
 
 @register(

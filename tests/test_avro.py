@@ -550,3 +550,68 @@ def test_vacuum_removes_only_orphans(spark, sf_small):
             files = [e["path"] for e in json.load(fh)["files"]]
         assert all(os.path.exists(f) for f in files), v
         assert spark.read.parquet(*files).count() > 0
+
+
+def test_cdc_apply_reuse_tombstones_and_time_travel(spark, sf_small):
+    """CDC-apply contract, all four legs: (1) out-of-band v1 files are
+    REUSED by path identity in manifest v2 and every reused file's
+    key stats lie entirely outside the change band; (2) the returned
+    frame reads exactly manifest v2's files; (3) every net-tombstoned
+    key is absent from the result and at least one of them actually
+    deleted a v1 row (the apply did work); (4) time travel to v1 is
+    intact post-merge (the oracle differential separately reproves
+    every surviving value)."""
+    import json
+    import os
+
+    import sparkflow
+    from sparkflow.sources.io import (
+        _TMP,
+        _cdc_net_changelog,
+        _cdc_users_params,
+    )
+
+    df = sparkflow.QUERIES["maintenance_table_cdc_apply"](spark, sf_small)
+    res = df.toPandas()
+    sfkey = sf_small.rstrip("/").rsplit("/", 1)[-1]
+    base = os.path.join(_TMP, "cdc_users",
+                        spark.sparkContext.applicationId, f"users_{sfkey}")
+    with open(os.path.join(base, "params.json")) as fh:
+        params = json.load(fh)
+    assert (params["cut"], params["band_hi"]) == _cdc_users_params(
+        spark, sf_small)
+    with open(os.path.join(base, "manifest_v1.json")) as fh:
+        v1 = json.load(fh)["files"]
+    with open(os.path.join(base, "manifest_v2.json")) as fh:
+        v2 = json.load(fh)["files"]
+    p1, p2 = {e["path"] for e in v1}, {e["path"] for e in v2}
+
+    # (1) genuine reuse AND a genuine rewrite, stats-sound either way
+    reused, rewritten = p1 & p2, p1 - p2
+    assert reused and rewritten, (len(reused), len(rewritten))
+    band_max = params["band_hi"] - 1
+    for e in v1:
+        if e["path"] in reused:
+            assert e["min_key"] > band_max, e
+    # (2) the read goes through the manifest, nothing else
+    scanned = {
+        "/" + p.split("://", 1)[-1].lstrip("/") if "://" in p else p
+        for p in df.inputFiles()
+    }
+    assert scanned == p2
+
+    # (3) tombstones: replay the net-compaction rule and check deletes
+    net = _cdc_net_changelog(
+        spark, sf_small, params["cut"], params["band_hi"]).toPandas()
+    tomb = set(net[net["op"] == "D"]["user_id"])
+    assert tomb, "fixture should produce at least one tombstone"
+    assert not tomb & set(res["user_id"])
+    v1_keys = set(
+        spark.read.parquet(*sorted(p1)).toPandas()["user_id"])
+    assert tomb & v1_keys, "no tombstone ever hit a live v1 key"
+
+    # (4) v1 snapshot readable and unchanged in its reused region
+    assert len(v1_keys) > 0
+    upserts = set(net[net["op"] == "U"]["user_id"])
+    survivors = (v1_keys - tomb) | upserts
+    assert set(res["user_id"]) == survivors
