@@ -853,6 +853,80 @@ def agg_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-agg_cms_heavy_hitters.__doc__ = agg_cms_heavy_hitters.__doc__.format(
-    d=_CMS_D, w=_CMS_W, top=_CMS_TOP, dw=_CMS_D * _CMS_W
+_QSK_K = 128  # per-group sample size (bottom-k by owned hash)
+_QSK_QS = [0.25, 0.5, 0.75, 0.95]
+
+
+@register(
+    "agg_quantile_sketch",
+    oracle=f"""
+    WITH h AS (
+      SELECT event_type, value,
+             md5(CAST(event_id AS VARCHAR)) AS hh
+      FROM events
+    ),
+    sample AS (
+      SELECT event_type, value FROM h
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY event_type
+                                 ORDER BY hh) <= {_QSK_K}
+    ),
+    ranked AS (
+      SELECT event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY value) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM sample
+    )
+    SELECT r.event_type, qs.q, r.value AS est
+    FROM ranked r
+    JOIN (VALUES (0.25), (0.5), (0.75), (0.95)) AS qs(q)
+      ON r.rn = CAST(CEIL(qs.q * r.n) AS BIGINT)
+    """,
 )
+def agg_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DETERMINISTIC approximate quantiles — the third member of the
+    owned-hash sketch family (agg_kmv_distinct = cardinality,
+    agg_cms_heavy_hitters = frequency, this = quantiles): a bottom-k
+    hash sample per group (k smallest md5(event_id) — the hash is a
+    uniform RNG both engines share), quantile estimate = the EXACT
+    order statistic rank ceil(q·n) of the sample. Engine-internal
+    quantile sketches (approx_percentile's KLL/GK) can never be
+    hash-checked; this one is a pure function of the owned hashes, so
+    DuckDB rebuilds the identical sample and the identical picks —
+    EXACT oracle. Accuracy is the textbook empirical-quantile bound
+    (rank error ~ sqrt(q(1-q)/k), pytest envelope vs true quantiles).
+
+    Scale shape — the same mergeable-sketch property the KMV op pins:
+    bottom-k by hash is a rank window that Spark executes as
+    WindowGroupLimit (map-side per-partition top-k heaps BEFORE the
+    exchange, plan-tested), so the shuffle carries ≤ k rows per
+    (group, partition) however many events exist — merging bottom-k
+    sets is itself a bottom-k. The second window (value ranking) and
+    the quantile pick run on k·groups rows — sketch-sized, never
+    data-sized. At 100 TB per-group state is k·16B, same economics as
+    t-digest/KLL with determinism bought for a constant factor."""
+    ev = table(spark, sf_dir, "events").select(
+        "event_type", "value",
+        F.md5(F.col("event_id").cast("string")).alias("hh"),
+    )
+    wk = Window.partitionBy("event_type").orderBy("hh")
+    sample = (
+        ev.withColumn("rn0", F.row_number().over(wk))
+        .filter(F.col("rn0") <= _QSK_K)
+        .select("event_type", "value")
+    )
+    wv = Window.partitionBy("event_type").orderBy("value")
+    ranked = sample.select(
+        "event_type",
+        "value",
+        F.row_number().over(wv).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("n"),
+    )
+    qs = F.explode(
+        F.array(*[F.lit(q) for q in _QSK_QS])
+    ).alias("q")
+    return (
+        ranked.select("event_type", "value", "rn", "n", qs)
+        .filter(F.col("rn") == F.ceil(F.col("q") * F.col("n")))
+        .select("event_type", "q", F.col("value").alias("est"))
+    )

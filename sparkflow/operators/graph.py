@@ -438,6 +438,3 @@ def graph_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-graph_shortest_paths.__doc__ = graph_shortest_paths.__doc__.format(
-    seeds=_BFS_SEEDS, rounds=_BFS_ROUNDS
-)

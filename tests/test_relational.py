@@ -905,3 +905,31 @@ def test_ts_decompose_identity_and_seasonal_mean(spark, sf_small):
         want = g["resid_e6"].sum() / len(g)
         assert abs(g["seasonal_e6"].iloc[0] - want) < 1e-6
         assert (g["seasonal_e6"] == g["seasonal_e6"].iloc[0]).all()
+
+
+def test_quantile_sketch_envelope_and_plan(spark, sf_small):
+    """agg_quantile_sketch (r9): (1) each estimated quantile's TRUE rank
+    (its CDF position in the full per-group value distribution) must sit
+    within the empirical-quantile envelope ~3.5*sqrt(q(1-q)/k) of the
+    requested q; (2) the bottom-k hash sample must compile to
+    WindowGroupLimit — map-side per-partition top-k heaps before the
+    exchange, the mergeable-sketch property in the physical plan."""
+    import sparkflow
+    from sparkflow.operators.aggregates import _QSK_K
+    from tests.test_plans import formatted_plan
+
+    df = sparkflow.QUERIES["agg_quantile_sketch"](spark, sf_small)
+    assert "WindowGroupLimit" in formatted_plan(df)
+    est = df.toPandas()
+    assert len(est) > 0
+    ev = (
+        sparkflow.catalog.table(spark, sf_small, "events")
+        .select("event_type", "value")
+        .toPandas()
+    )
+    for _, row in est.iterrows():
+        vals = ev[ev["event_type"] == row["event_type"]]["value"]
+        true_rank = (vals <= row["est"]).mean()
+        q = row["q"]
+        tol = 3.5 * (q * (1 - q) / _QSK_K) ** 0.5 + 2.0 / len(vals)
+        assert abs(true_rank - q) <= tol, (row["event_type"], q, true_rank)
