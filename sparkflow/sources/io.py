@@ -972,7 +972,6 @@ def maintenance_table_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     rewritten files); the oracle rebuilds final state relationally, so
     a bug in pruning, merge resolution, tombstone handling, or commit
     surfaces as a hash mismatch."""
-    import glob as _glob
     import json as _json
 
     sfkey = sf_dir.rstrip("/").rsplit("/", 1)[-1]
@@ -988,73 +987,108 @@ def maintenance_table_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         with open(os.path.join(base, "params.json"), "w",
                   encoding="utf-8") as fh:
             _json.dump({"cut": cut, "band_hi": band_hi}, fh)
-        ev = table(spark, sf_dir, "events")
-        w = W.partitionBy("user_id").orderBy(F.col("last_seq").desc())
-        v1_dir = os.path.join(base, "data", "v1")
-        (
-            ev.filter(F.col("event_id") < cut)
-            .select(
-                "user_id",
-                F.col("value").alias("balance"),
-                F.col("event_id").alias("last_seq"),
-            )
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .drop("rn")
-            .repartitionByRange(8, "user_id")
-            .write.mode("overwrite").parquet(v1_dir)
-        )
-
-        def with_stats(paths: list) -> list:
-            out = []
-            for f in paths:
-                fmin, fmax = spark.read.parquet(f).agg(
-                    F.min("user_id"), F.max("user_id")).first()
-                out.append({"path": f, "min_key": int(fmin),
-                            "max_key": int(fmax)})
-            return out
-
-        v1 = with_stats(sorted(_glob.glob(os.path.join(v1_dir, "*.parquet"))))
-        _tv_commit(base, 1, v1)
-
+        lo_u = _cdc_stage_v1(spark, sf_dir, base, cut)
         net = _cdc_net_changelog(spark, sf_dir, cut, band_hi)
         # band_hi - 1 is the largest key the changelog can touch; the
         # stats test is closed-interval overlap, same as time travel's
-        rewrite = [e for e in v1 if e["min_key"] <= band_hi - 1]
-        reuse = [e for e in v1 if e["min_key"] > band_hi - 1]
-        old = spark.read.parquet(*[e["path"] for e in rewrite])
-        merged = (
-            old.join(
-                net.select(
-                    F.col("user_id").alias("n_user_id"), "op",
-                    F.col("value").alias("n_balance"),
-                    F.col("event_id").alias("n_seq"),
-                ),
-                old.user_id == F.col("n_user_id"),
-                "full_outer",
-            )
-            # tombstone wins; net upsert replaces; old-only carries over
-            .filter(F.coalesce(F.col("op"), F.lit("U")) == "U")
-            .select(
-                F.coalesce(F.col("n_user_id"), F.col("user_id"))
-                .alias("user_id"),
-                F.coalesce(F.col("n_balance"), F.col("balance"))
-                .alias("balance"),
-                F.coalesce(F.col("n_seq"), F.col("last_seq"))
-                .alias("last_seq"),
-            )
-        )
-        v2_dir = os.path.join(base, "data", "v2")
-        (
-            merged.repartitionByRange(max(1, len(rewrite)), "user_id")
-            .write.mode("overwrite").parquet(v2_dir)
-        )
-        v2 = reuse + with_stats(
-            sorted(_glob.glob(os.path.join(v2_dir, "*.parquet")))
-        )
-        _tv_commit(base, 2, v2)
+        _cdc_apply_batch(spark, base, 1, net, lo_u, band_hi - 1)
     latest = [e["path"] for e in _tv_entries(base, 2)]
     return spark.read.parquet(*latest).select("user_id", "balance", "last_seq")
+
+
+def _cdc_with_stats(spark: SparkSession, paths: list) -> list:
+    """Manifest entries with per-file (min,max) user_id stats."""
+    out = []
+    for f in paths:
+        fmin, fmax = spark.read.parquet(f).agg(
+            F.min("user_id"), F.max("user_id")).first()
+        out.append({"path": f, "min_key": int(fmin), "max_key": int(fmax)})
+    return out
+
+
+def _cdc_stage_v1(spark: SparkSession, sf_dir: str, base: str,
+                  cut: int) -> int:
+    """Commit v1 of the user-state table at `base`: last event per user
+    over event_id < cut, 8 range-partitioned files + stats manifest.
+    Returns min(user_id) of v1 (the lower pruning bound callers pass to
+    _cdc_apply_batch)."""
+    import glob as _glob
+
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.col("last_seq").desc())
+    v1_dir = os.path.join(base, "data", "v1")
+    os.makedirs(os.path.join(base, "data"), exist_ok=True)
+    (
+        ev.filter(F.col("event_id") < cut)
+        .select(
+            "user_id",
+            F.col("value").alias("balance"),
+            F.col("event_id").alias("last_seq"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+        .repartitionByRange(8, "user_id")
+        .write.mode("overwrite").parquet(v1_dir)
+    )
+    v1 = _cdc_with_stats(
+        spark, sorted(_glob.glob(os.path.join(v1_dir, "*.parquet")))
+    )
+    _tv_commit(base, 1, v1)
+    return min(e["min_key"] for e in v1)
+
+
+def _cdc_apply_batch(spark: SparkSession, base: str, version: int,
+                     net: DataFrame, lo_key: int, hi_key: int) -> None:
+    """MERGE one NET change batch (user_id, op, value, event_id; one row
+    per key) into table version `version`, committing `version + 1`.
+    Only files whose (min_key, max_key) stats intersect [lo_key, hi_key]
+    are rewritten — callers pass the batch's key bounds, so pruning
+    reads manifest KBs, never data. The streaming twin calls this once
+    per micro-batch (one committed version per batch, the Delta
+    streaming-MERGE shape); the batch operator calls it once."""
+    import glob as _glob
+
+    prev = _tv_entries(base, version)
+    rewrite = [e for e in prev
+               if e["min_key"] <= hi_key and e["max_key"] >= lo_key]
+    reuse = [e for e in prev if e not in rewrite]
+    old = (
+        spark.read.parquet(*[e["path"] for e in rewrite])
+        if rewrite
+        else spark.createDataFrame(
+            [], "user_id LONG, balance DOUBLE, last_seq LONG")
+    )
+    merged = (
+        old.join(
+            net.select(
+                F.col("user_id").alias("n_user_id"), "op",
+                F.col("value").alias("n_balance"),
+                F.col("event_id").alias("n_seq"),
+            ),
+            old.user_id == F.col("n_user_id"),
+            "full_outer",
+        )
+        # tombstone wins; net upsert replaces; old-only carries over
+        .filter(F.coalesce(F.col("op"), F.lit("U")) == "U")
+        .select(
+            F.coalesce(F.col("n_user_id"), F.col("user_id"))
+            .alias("user_id"),
+            F.coalesce(F.col("n_balance"), F.col("balance"))
+            .alias("balance"),
+            F.coalesce(F.col("n_seq"), F.col("last_seq"))
+            .alias("last_seq"),
+        )
+    )
+    out_dir = os.path.join(base, "data", f"v{version + 1}")
+    (
+        merged.repartitionByRange(max(1, len(rewrite)), "user_id")
+        .write.mode("overwrite").parquet(out_dir)
+    )
+    entries = reuse + _cdc_with_stats(
+        spark, sorted(_glob.glob(os.path.join(out_dir, "*.parquet")))
+    )
+    _tv_commit(base, version + 1, entries)
 
 
 @register(

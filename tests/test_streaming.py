@@ -1375,3 +1375,119 @@ def test_tws_checkpoint_resumes_with_added_nullable_state_field(
         got[["event_id", "running_count", "running_sum"]], want,
         check_dtype=False,
     )
+
+
+def test_streaming_cdc_apply_one_version_per_batch(
+    spark, sf_small, tmp_path_factory
+):
+    """CDC apply as a STREAM — the Delta-streaming-MERGE shape: the
+    changelog arrives in 2 seq-ordered files → 2 micro-batches;
+    foreachBatch compacts each batch to net effects and commits it as
+    the next table version through the SAME COW merge the batch
+    operator uses (_cdc_apply_batch). Asserts the composition law —
+    applying batches in sequence == applying the whole log's net in one
+    shot — plus one manifest per batch and intact time travel to every
+    intermediate version."""
+    import json
+    import os
+    import time
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    import sparkflow
+    from sparkflow.catalog import table
+    from sparkflow.sources.io import (
+        _cdc_apply_batch,
+        _cdc_stage_v1,
+        _cdc_users_params,
+    )
+
+    base = str(tmp_path_factory.mktemp("cdc_stream_table"))
+    src = str(tmp_path_factory.mktemp("cdc_stream_src"))
+    cut, band_hi = _cdc_users_params(spark, sf_small)
+    _cdc_stage_v1(spark, sf_small, base, cut)
+
+    chg = (
+        table(spark, sf_small, "events")
+        .filter((F.col("event_id") >= cut) & (F.col("user_id") < band_hi))
+        .select("event_id", "user_id", "event_type", "value")
+    )
+    mid = chg.agg(
+        (F.min("event_id") + (F.max("event_id") - F.min("event_id")) / 2)
+        .cast("long")
+    ).first()[0]
+    for i, cond in enumerate(
+        [F.col("event_id") < mid, F.col("event_id") >= mid]
+    ):
+        p = os.path.join(src, f"batch_{i}")
+        chg.filter(cond).coalesce(1).write.mode("overwrite").parquet(p)
+        # strictly increasing mtimes: file-source batch ORDER is mtime
+        # order, and the composition law needs seq-ordered batches
+        for f in os.listdir(p):
+            os.utime(os.path.join(p, f), (time.time() + i, time.time() + i))
+
+    versions = [1]
+
+    def apply_batch(bdf, _batch_id):
+        if bdf.isEmpty():
+            return
+        w = Window.partitionBy("user_id").orderBy(F.col("event_id").desc())
+        net = (
+            bdf.select(
+                "user_id", "event_id", "value",
+                F.when(F.col("event_type") == "error", F.lit("D"))
+                .otherwise(F.lit("U")).alias("op"),
+            )
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+        lo, hi = net.agg(F.min("user_id"), F.max("user_id")).first()
+        _cdc_apply_batch(spark, base, versions[0], net, int(lo), int(hi))
+        versions[0] += 1
+
+    (
+        spark.readStream.schema(
+            "event_id LONG, user_id LONG, event_type STRING, value DOUBLE"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+        .writeStream.foreachBatch(apply_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path_factory.mktemp("cdc_ck")))
+        .start()
+        .awaitTermination(120)
+    )
+
+    # one committed version per micro-batch
+    assert versions[0] == 3
+    for v in (1, 2, 3):
+        assert os.path.exists(os.path.join(base, f"manifest_v{v}.json")), v
+
+    def read_version(b, v):
+        with open(os.path.join(b, f"manifest_v{v}.json")) as fh:
+            paths = [e["path"] for e in json.load(fh)["files"]]
+        return (
+            spark.read.parquet(*paths)
+            .toPandas()
+            .sort_values("user_id")
+            .reset_index(drop=True)
+        )
+
+    # time travel to every version still works
+    assert len(read_version(base, 1)) > 0
+    assert len(read_version(base, 2)) > 0
+
+    # composition law: streamed final state == one-shot batch apply
+    want = (
+        sparkflow.QUERIES["maintenance_table_cdc_apply"](spark, sf_small)
+        .toPandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    got = read_version(base, 3)[["user_id", "balance", "last_seq"]]
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(got, want[got.columns], check_dtype=False)
