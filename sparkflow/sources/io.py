@@ -537,7 +537,8 @@ def maintenance_json_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _tv_commit(base: str, version: int, entries: list) -> None:
+def _tv_commit(base: str, version: int, entries: list,
+               extra: dict | None = None) -> None:
     """OPTIMISTIC-CONCURRENCY commit (the lakehouse ACID rule):
     publishing manifest_v{N} must FAIL — not silently overwrite — if
     another writer committed that version first. os.replace is atomic
@@ -546,11 +547,16 @@ def _tv_commit(base: str, version: int, entries: list) -> None:
     re-read the new snapshot and retry its merge on top — exactly
     Delta/Iceberg's commit protocol shape. Each manifest entry carries
     FILE-LEVEL STATS ({path, min_key, max_key}) — the metadata that
-    funds both COW rewrite pruning and predicate file skipping."""
+    funds both COW rewrite pruning and predicate file skipping.
+    `extra` merges additional table metadata into the manifest (e.g.
+    maintenance_table_add_column's added-column declarations — the
+    mechanism that makes schema changes METADATA-ONLY commits)."""
     import json as _json
 
     man = {"version": version,
            "files": sorted(entries, key=lambda e: e["path"])}
+    if extra:
+        man.update(extra)
     tmp = os.path.join(base, f".manifest_v{version}.tmp")
     with open(tmp, "w", encoding="utf-8") as fh:
         _json.dump(man, fh)
@@ -898,9 +904,10 @@ def _cdc_net_changelog(spark: SparkSession, sf_dir: str,
     )
 
 
-@register(
-    "maintenance_table_cdc_apply",
-    oracle="""
+# final user-state after the CDC apply, rebuilt relationally — shared
+# by maintenance_table_cdc_apply and the schema-evolution op over the
+# same table ({cols} lets the latter append its added column)
+_CDC_STATE_SQL = """
     WITH b AS (
       SELECT MIN(event_id) AS lo_e, MAX(event_id) AS hi_e,
              MIN(user_id) AS lo_u, MAX(user_id) AS hi_u
@@ -929,10 +936,15 @@ def _cdc_net_changelog(spark: SparkSession, sf_dir: str,
            CASE WHEN n.user_id IS NULL THEN v.balance ELSE n.value END
              AS balance,
            CASE WHEN n.user_id IS NULL THEN v.last_seq ELSE n.event_id END
-             AS last_seq
+             AS last_seq{cols}
     FROM v1 v FULL OUTER JOIN net n ON v.user_id = n.user_id
     WHERE COALESCE(n.op, 'U') = 'U'
-    """,
+    """
+
+
+@register(
+    "maintenance_table_cdc_apply",
+    oracle=_CDC_STATE_SQL.format(cols=""),
 )
 def maintenance_table_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC APPLY onto the versioned COW table — the op that connects the
@@ -1089,6 +1101,52 @@ def _cdc_apply_batch(spark: SparkSession, base: str, version: int,
         spark, sorted(_glob.glob(os.path.join(out_dir, "*.parquet")))
     )
     _tv_commit(base, version + 1, entries)
+
+
+@register(
+    "maintenance_table_add_column",
+    oracle=_CDC_STATE_SQL.format(cols=",\n           'standard' AS tier"),
+)
+def maintenance_table_add_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution as a METADATA-ONLY commit — the lakehouse 'add
+    column with default' (Delta's ALTER TABLE ADD COLUMN, Iceberg
+    schema evolution): v3 of the CDC user-state table declares a new
+    `tier STRING DEFAULT 'standard'` column in the MANIFEST and reuses
+    every v2 data file byte-for-byte (pytest pins the file lists
+    identical — zero data rewritten, the whole point at 100 TB where a
+    backfill is a full-table write). The read path fills the column
+    from the manifest's added_columns declarations for files written
+    before the change; files written after would carry it physically
+    and mergeSchema-union with the old ones (scan_schema_evolution owns
+    that half). Time travel is schema-correct per version: v2 read
+    through ITS manifest still has no `tier`. The oracle rebuilds the
+    CDC final state plus the declared default, so a wrong default, a
+    dropped row, or an accidental rewrite all hash-mismatch."""
+    # staging dependency: the CDC apply's v1→v2 history (idempotent,
+    # session-memoized by manifest existence)
+    maintenance_table_cdc_apply(spark, sf_dir)
+    sfkey = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    base = os.path.join(
+        _TMP, "cdc_users", spark.sparkContext.applicationId, f"users_{sfkey}"
+    )
+    if not os.path.exists(os.path.join(base, "manifest_v3.json")):
+        _tv_commit(
+            base, 3, _tv_entries(base, 2),
+            extra={"added_columns": [
+                {"name": "tier", "type": "string", "default": "standard"}
+            ]},
+        )
+    import json as _json
+
+    with open(os.path.join(base, "manifest_v3.json"), encoding="utf-8") as fh:
+        man = _json.load(fh)
+    df = spark.read.parquet(*[e["path"] for e in man["files"]])
+    for col in man.get("added_columns", []):
+        if col["name"] not in df.columns:
+            df = df.withColumn(
+                col["name"], F.lit(col["default"]).cast(col["type"])
+            )
+    return df.select("user_id", "balance", "last_seq", "tier")
 
 
 @register(

@@ -615,3 +615,33 @@ def test_cdc_apply_reuse_tombstones_and_time_travel(spark, sf_small):
     upserts = set(net[net["op"] == "U"]["user_id"])
     survivors = (v1_keys - tomb) | upserts
     assert set(res["user_id"]) == survivors
+
+
+def test_add_column_is_metadata_only(spark, sf_small):
+    """Schema evolution contract: the v3 add-column commit must reuse
+    EVERY v2 data file byte-for-byte (zero rewrite — the file lists are
+    identical), the manifest must carry the added-column declaration,
+    and time travel stays schema-correct: v2 read through its manifest
+    has no `tier`, v3 fills the declared default everywhere."""
+    import json
+    import os
+
+    import sparkflow
+    from sparkflow.sources.io import _TMP
+
+    df = sparkflow.QUERIES["maintenance_table_add_column"](spark, sf_small)
+    res = df.toPandas()
+    sfkey = sf_small.rstrip("/").rsplit("/", 1)[-1]
+    base = os.path.join(_TMP, "cdc_users",
+                        spark.sparkContext.applicationId, f"users_{sfkey}")
+    with open(os.path.join(base, "manifest_v2.json")) as fh:
+        v2 = json.load(fh)
+    with open(os.path.join(base, "manifest_v3.json")) as fh:
+        v3 = json.load(fh)
+    assert [e["path"] for e in v2["files"]] == [e["path"] for e in v3["files"]]
+    assert v3["added_columns"] == [
+        {"name": "tier", "type": "string", "default": "standard"}]
+    old = spark.read.parquet(*[e["path"] for e in v2["files"]])
+    assert "tier" not in old.columns
+    assert set(res["tier"]) == {"standard"}
+    assert len(res) == old.count()
