@@ -280,3 +280,61 @@ def test_interop_delimited_framing(spark):
             **ROWS[n], "p": ROWS[n]["p"] or []}
         n += 1
     assert n == len(ROWS)
+
+
+def test_scan_protobuf_streaming_twin_matches_batch(spark):
+    """True-streaming protobuf ingest: readStream(binaryFile) over the
+    same staged .pb files, one file per micro-batch, mapInPandas decode
+    — the micro-batch twin of scan_protobuf's batch scan (same contract
+    as the Avro twin: batch analog owns the oracle, the stream must
+    reproduce it row-for-row across batches)."""
+    import os
+
+    import pandas as pd
+
+    import sparkflow
+    from sparkflow.sources.io import _PB_FIELDS, _TMP
+
+    sf_small = "/root/testdata/sf0.001"
+    want = (
+        sparkflow.QUERIES["scan_protobuf"](spark, sf_small)
+        .toPandas().sort_values("o_orderkey").reset_index(drop=True)
+    )
+    sfkey = sf_small.rstrip("/").rsplit("/", 1)[-1]
+    base = os.path.join(_TMP, "protobuf", spark.sparkContext.applicationId,
+                        f"orders_{sfkey}")
+    cols = [name for _, name, _ in _PB_FIELDS]
+
+    def decode_part(it):
+        for pdf in it:
+            for blob in pdf["content"]:
+                recs = pl.read_delimited(_PB_FIELDS, bytes(blob))
+                if recs:
+                    yield pd.DataFrame.from_records(recs)[cols]
+
+    stream = (
+        spark.readStream.format("binaryFile")
+        .schema("path STRING, modificationTime TIMESTAMP, "
+                "length LONG, content BINARY")
+        .option("pathGlobFilter", "*.pb")
+        .option("maxFilesPerTrigger", 1)
+        .load(base)
+        .select("content")
+        .mapInPandas(
+            decode_part,
+            "o_orderkey LONG, o_custkey LONG, o_orderpriority STRING, "
+            "o_totalprice DOUBLE",
+        )
+    )
+    q = (
+        stream.writeStream.format("memory").queryName("pb_stream")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
+    assert n_batches > 1, "expected multiple micro-batches (1 file each)"
+    got = (
+        spark.sql("SELECT * FROM pb_stream").toPandas()
+        .sort_values("o_orderkey").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
