@@ -580,6 +580,18 @@ def _tv_entries(base: str, version: int) -> list:
         return _json.load(fh)["files"]
 
 
+def _tv_with_stats(spark: SparkSession, paths: list, key: str) -> list:
+    """Manifest entries with per-file (min,max) stats on `key` — the one
+    stats builder every versioned-table commit goes through (orders
+    tables key on o_orderkey, the CDC user-state table on user_id)."""
+    out = []
+    for f in paths:
+        fmin, fmax = spark.read.parquet(f).agg(
+            F.min(key), F.max(key)).first()
+        out.append({"path": f, "min_key": int(fmin), "max_key": int(fmax)})
+    return out
+
+
 def _stage_versioned_orders(spark: SparkSession, sf_dir: str) -> str:
     """Stage the two-version COW orders table once per (application,
     sf): v1 = 8 range-partitioned files; v2 = contiguous-band UPDATE
@@ -604,21 +616,20 @@ def _stage_versioned_orders(spark: SparkSession, sf_dir: str) -> str:
     lo, hi = orders.agg(F.min("o_orderkey"), F.max("o_orderkey")).first()
 
     def with_stats(paths: list) -> list:
-        out = []
-        for f in paths:
-            fmin, fmax = spark.read.parquet(f).agg(
-                F.min("o_orderkey"), F.max("o_orderkey")).first()
-            out.append({"path": f, "min_key": int(fmin),
-                        "max_key": int(fmax)})
-        return out
+        return _tv_with_stats(spark, paths, "o_orderkey")
 
     v1_dir = os.path.join(base, "data", "v1")
-    (
-        orders.repartitionByRange(8, "o_orderkey")
-        .write.mode("overwrite").parquet(v1_dir)
-    )
-    v1 = with_stats(sorted(_glob.glob(os.path.join(v1_dir, "*.parquet"))))
-    _tv_commit(base, 1, v1)
+    # per-version guard, not just the final one: a crash between the v1
+    # and v2 commits must RESUME (re-entering _tv_commit(1) would raise
+    # its concurrent-commit error and brick the fixture for the session)
+    if not os.path.exists(os.path.join(base, "manifest_v1.json")):
+        (
+            orders.repartitionByRange(8, "o_orderkey")
+            .write.mode("overwrite").parquet(v1_dir)
+        )
+        _tv_commit(base, 1, with_stats(
+            sorted(_glob.glob(os.path.join(v1_dir, "*.parquet")))))
+    v1 = _tv_entries(base, 1)
     # COW: manifest stats prune the rewrite set to band-overlapping files
     u_lo, u_hi = lo + 1000, lo + 3000
     rewrite = [e for e in v1
@@ -881,19 +892,19 @@ def _cdc_users_params(spark: SparkSession, sf_dir: str) -> tuple[int, int]:
     return lo_e + (hi_e - lo_e + 1) // 2, band_hi
 
 
-def _cdc_net_changelog(spark: SparkSession, sf_dir: str,
-                       cut: int, band_hi: int) -> DataFrame:
-    """NET-EFFECT compaction of the change stream (the Debezium-style
-    step every CDC apply runs first): among this batch's ops per key,
-    only the LAST (by sequence number) survives — one keyed window, so
-    the apply joins against state-sized data, not log-sized. op mapping
-    is the fixture's contract: event_type 'error' tombstones the key
-    (DELETE), anything else upserts the event's value as the balance."""
-    ev = table(spark, sf_dir, "events")
+def _cdc_net(changes: DataFrame) -> DataFrame:
+    """NET-EFFECT compaction of a change batch (the Debezium-style step
+    every CDC apply runs first): among the batch's ops per key, only the
+    LAST (by sequence number) survives — one keyed window, so the apply
+    joins against state-sized data, not log-sized. op mapping is the
+    fixture's contract: event_type 'error' tombstones the key (DELETE),
+    anything else upserts the event's value as the balance. Takes the
+    change frame as an argument so the batch operator, the streaming
+    foreachBatch twin, and the amplified-log bench all compact through
+    THIS definition."""
     w = W.partitionBy("user_id").orderBy(F.col("event_id").desc())
     return (
-        ev.filter((F.col("event_id") >= cut) & (F.col("user_id") < band_hi))
-        .select(
+        changes.select(
             "user_id", "event_id", "value",
             F.when(F.col("event_type") == "error", F.lit("D"))
             .otherwise(F.lit("U")).alias("op"),
@@ -901,6 +912,16 @@ def _cdc_net_changelog(spark: SparkSession, sf_dir: str,
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .drop("rn")
+    )
+
+
+def _cdc_net_changelog(spark: SparkSession, sf_dir: str,
+                       cut: int, band_hi: int) -> DataFrame:
+    """The fixture's change batch (second half of the event log, bottom
+    key band) compacted through _cdc_net."""
+    ev = table(spark, sf_dir, "events")
+    return _cdc_net(
+        ev.filter((F.col("event_id") >= cut) & (F.col("user_id") < band_hi))
     )
 
 
@@ -992,30 +1013,33 @@ def maintenance_table_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     if not os.path.exists(os.path.join(base, "manifest_v2.json")):
         os.makedirs(os.path.join(base, "data"), exist_ok=True)
-        cut, band_hi = _cdc_users_params(spark, sf_dir)
-        # params persisted WITH the table (IVM discipline): later calls
-        # and assertions read the committed values, never re-derive
-        # against a table that might have moved
-        with open(os.path.join(base, "params.json"), "w",
-                  encoding="utf-8") as fh:
-            _json.dump({"cut": cut, "band_hi": band_hi}, fh)
-        lo_u = _cdc_stage_v1(spark, sf_dir, base, cut)
+        # params persisted WITH the table (IVM discipline, atomic write):
+        # later calls and assertions read the committed values, never
+        # re-derive against a table that might have moved — and a resume
+        # after a partial failure continues with the ORIGINAL params
+        pfile = os.path.join(base, "params.json")
+        if os.path.exists(pfile):
+            with open(pfile, encoding="utf-8") as fh:
+                p = _json.load(fh)
+            cut, band_hi = p["cut"], p["band_hi"]
+        else:
+            cut, band_hi = _cdc_users_params(spark, sf_dir)
+            tmp = pfile + ".tmp"
+            with open(tmp, "w", encoding="utf-8") as fh:
+                _json.dump({"cut": cut, "band_hi": band_hi}, fh)
+            os.replace(tmp, pfile)
+        # per-commit guard: a crash between the v1 and v2 commits must
+        # RESUME (blindly re-staging would hit _tv_commit(1)'s
+        # concurrent-commit error and brick the fixture for the session)
+        if not os.path.exists(os.path.join(base, "manifest_v1.json")):
+            _cdc_stage_v1(spark, sf_dir, base, cut)
+        lo_u = min(e["min_key"] for e in _tv_entries(base, 1))
         net = _cdc_net_changelog(spark, sf_dir, cut, band_hi)
         # band_hi - 1 is the largest key the changelog can touch; the
         # stats test is closed-interval overlap, same as time travel's
         _cdc_apply_batch(spark, base, 1, net, lo_u, band_hi - 1)
     latest = [e["path"] for e in _tv_entries(base, 2)]
     return spark.read.parquet(*latest).select("user_id", "balance", "last_seq")
-
-
-def _cdc_with_stats(spark: SparkSession, paths: list) -> list:
-    """Manifest entries with per-file (min,max) user_id stats."""
-    out = []
-    for f in paths:
-        fmin, fmax = spark.read.parquet(f).agg(
-            F.min("user_id"), F.max("user_id")).first()
-        out.append({"path": f, "min_key": int(fmin), "max_key": int(fmax)})
-    return out
 
 
 def _cdc_stage_v1(spark: SparkSession, sf_dir: str, base: str,
@@ -1043,8 +1067,9 @@ def _cdc_stage_v1(spark: SparkSession, sf_dir: str, base: str,
         .repartitionByRange(8, "user_id")
         .write.mode("overwrite").parquet(v1_dir)
     )
-    v1 = _cdc_with_stats(
-        spark, sorted(_glob.glob(os.path.join(v1_dir, "*.parquet")))
+    v1 = _tv_with_stats(
+        spark, sorted(_glob.glob(os.path.join(v1_dir, "*.parquet"))),
+        "user_id",
     )
     _tv_commit(base, 1, v1)
     return min(e["min_key"] for e in v1)
@@ -1081,15 +1106,19 @@ def _cdc_apply_batch(spark: SparkSession, base: str, version: int,
             old.user_id == F.col("n_user_id"),
             "full_outer",
         )
-        # tombstone wins; net upsert replaces; old-only carries over
+        # tombstone wins; net upsert replaces; old-only carries over.
+        # Presence is discriminated on the JOIN KEY (n_user_id), never by
+        # coalescing the payload: a net upsert carrying a NULL value must
+        # produce NULL (the oracle's CASE WHEN n.user_id IS NULL), not
+        # silently keep the old balance
         .filter(F.coalesce(F.col("op"), F.lit("U")) == "U")
         .select(
             F.coalesce(F.col("n_user_id"), F.col("user_id"))
             .alias("user_id"),
-            F.coalesce(F.col("n_balance"), F.col("balance"))
-            .alias("balance"),
-            F.coalesce(F.col("n_seq"), F.col("last_seq"))
-            .alias("last_seq"),
+            F.when(F.col("n_user_id").isNotNull(), F.col("n_balance"))
+            .otherwise(F.col("balance")).alias("balance"),
+            F.when(F.col("n_user_id").isNotNull(), F.col("n_seq"))
+            .otherwise(F.col("last_seq")).alias("last_seq"),
         )
     )
     out_dir = os.path.join(base, "data", f"v{version + 1}")
@@ -1097,8 +1126,9 @@ def _cdc_apply_batch(spark: SparkSession, base: str, version: int,
         merged.repartitionByRange(max(1, len(rewrite)), "user_id")
         .write.mode("overwrite").parquet(out_dir)
     )
-    entries = reuse + _cdc_with_stats(
-        spark, sorted(_glob.glob(os.path.join(out_dir, "*.parquet")))
+    entries = reuse + _tv_with_stats(
+        spark, sorted(_glob.glob(os.path.join(out_dir, "*.parquet"))),
+        "user_id",
     )
     _tv_commit(base, version + 1, entries)
 

@@ -141,41 +141,6 @@ def _encode_scalar(ptype: str, v) -> bytes:
     raise ValueError(f"unknown ptype {ptype!r}")
 
 
-def _decode_scalar(ptype: str, buf, pos: int):
-    """(value, next_pos) for one scalar payload at pos."""
-    if ptype in ("int32", "int64"):
-        n, pos = decode_varint(buf, pos)
-        n = _to_signed64(n)
-        return (_to_signed32(n) if ptype == "int32" else n), pos
-    if ptype in ("uint32", "uint64"):
-        return decode_varint(buf, pos)
-    if ptype in ("sint32", "sint64"):
-        n, pos = decode_varint(buf, pos)
-        return zigzag_decode(n), pos
-    if ptype == "bool":
-        n, pos = decode_varint(buf, pos)
-        return bool(n), pos
-    if ptype == "double":
-        return struct.unpack_from("<d", buf, pos)[0], pos + 8
-    if ptype == "float":
-        return struct.unpack_from("<f", buf, pos)[0], pos + 4
-    if ptype == "fixed64":
-        return struct.unpack_from("<Q", buf, pos)[0], pos + 8
-    if ptype == "sfixed64":
-        return struct.unpack_from("<q", buf, pos)[0], pos + 8
-    if ptype == "fixed32":
-        return struct.unpack_from("<I", buf, pos)[0], pos + 4
-    if ptype == "sfixed32":
-        return struct.unpack_from("<i", buf, pos)[0], pos + 4
-    if ptype in ("string", "bytes"):
-        ln, pos = decode_varint(buf, pos)
-        if pos + ln > len(buf):
-            raise ValueError("truncated length-delimited field")
-        raw = bytes(buf[pos:pos + ln])
-        return (raw.decode("utf-8") if ptype == "string" else raw), pos + ln
-    raise ValueError(f"unknown ptype {ptype!r}")
-
-
 def encode_field(number: int, ptype, v) -> bytes:
     """Tag + payload for one field. ptype may be a scalar name,
     'packed:<scalar>' (v is a sequence), or ('message', subfields)."""
@@ -221,7 +186,7 @@ def _skip(wire: int, buf, pos: int) -> int:
 def _scalar_decoder(ptype: str):
     """A direct (buf, pos) -> (value, next_pos) closure for one scalar
     type — compiled once per field so the per-occurrence hot path is a
-    dict hit + one call instead of _decode_scalar's if-chain."""
+    dict hit + one call instead of a per-occurrence if-chain."""
     if ptype in ("int32", "int64"):
         narrow = _to_signed32 if ptype == "int32" else (lambda n: n)
 
@@ -279,7 +244,11 @@ def _compile(fields) -> tuple[dict, dict]:
         if isinstance(ptype, tuple) and ptype[0] == "message":
             spec[num] = (name, _K_MESSAGE, _WT_LEN, ptype[1])
         elif isinstance(ptype, str) and ptype.startswith("packed:"):
-            spec[num] = (name, _K_PACKED, _WT_LEN, _scalar_decoder(ptype[7:]))
+            # the stored wire type is the SCALAR's — the legal unpacked
+            # encoding; LEN (the packed form) is additionally accepted
+            # in the decode branch
+            spec[num] = (name, _K_PACKED, _WIRE[ptype[7:]],
+                         _scalar_decoder(ptype[7:]))
         else:
             spec[num] = (name, _K_SCALAR, _WIRE[ptype],
                          _scalar_decoder(ptype))
@@ -323,11 +292,22 @@ def decode_message(fields, buf, pos: int = 0, end: int | None = None,
                     vals.append(v)
                 if pos != stop:
                     raise ValueError("packed field overran its length")
-            else:  # unpacked encoding of a packed-declared field is legal
+            elif wire == want_wire:
+                # unpacked encoding of a packed-declared field is legal
                 v, pos = dec(buf, pos)
                 vals.append(v)
+            else:
+                raise ValueError(
+                    f"field {number} ({name}): wire type {wire} matches "
+                    f"neither packed (2) nor unpacked ({want_wire})"
+                )
             out[name] = vals
         else:  # nested message
+            if wire != _WT_LEN:
+                raise ValueError(
+                    f"field {number} ({name}): wire type {wire} does not "
+                    "match declared message (LEN)"
+                )
             ln, pos = decode_varint(buf, pos)
             out[name] = decode_message(dec, buf, pos, pos + ln)
             pos += ln

@@ -107,6 +107,20 @@ def test_corruption_is_loud():
     with pytest.raises(ValueError, match="deprecated"):
         # wire type 3 (group start) on an unknown field
         pl.decode_message([(1, "a", "int64")], pl.encode_varint((9 << 3) | 3))
+    with pytest.raises(ValueError, match="wire type"):
+        # message-typed field encoded as a varint: without the check the
+        # payload 2 is consumed as a LENGTH and the parent's next bytes
+        # silently misparse as a nested message
+        pl.decode_message(
+            [(7, "m", ("message", [(1, "x", "int32")]))],
+            pl.encode_field(7, "int64", 2) + b"\x08\x05",
+        )
+    with pytest.raises(ValueError, match="neither packed"):
+        # packed int32 field carrying an I64 payload (neither LEN nor
+        # the scalar's varint wire)
+        pl.decode_message(
+            [(5, "p", "packed:int32")], pl.encode_field(5, "double", 1.0)
+        )
 
 
 @settings(max_examples=60, deadline=None)

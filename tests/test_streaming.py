@@ -1392,13 +1392,13 @@ def test_streaming_cdc_apply_one_version_per_batch(
     import os
     import time
 
-    from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     import sparkflow
     from sparkflow.catalog import table
     from sparkflow.sources.io import (
         _cdc_apply_batch,
+        _cdc_net,
         _cdc_stage_v1,
         _cdc_users_params,
     )
@@ -1432,17 +1432,9 @@ def test_streaming_cdc_apply_one_version_per_batch(
     def apply_batch(bdf, _batch_id):
         if bdf.isEmpty():
             return
-        w = Window.partitionBy("user_id").orderBy(F.col("event_id").desc())
-        net = (
-            bdf.select(
-                "user_id", "event_id", "value",
-                F.when(F.col("event_type") == "error", F.lit("D"))
-                .otherwise(F.lit("U")).alias("op"),
-            )
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .drop("rn")
-        )
+        # compact through the operator's OWN definition — the streaming
+        # twin must not re-implement the op mapping
+        net = _cdc_net(bdf)
         lo, hi = net.agg(F.min("user_id"), F.max("user_id")).first()
         _cdc_apply_batch(spark, base, versions[0], net, int(lo), int(hi))
         versions[0] += 1

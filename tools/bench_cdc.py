@@ -27,12 +27,12 @@ def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 
     from pyspark.sql import functions as F
-    from pyspark.sql.window import Window as W
 
     from sparkflow.catalog import table
     from sparkflow.session import get_spark
     from sparkflow.sources.io import (
         _cdc_apply_batch,
+        _cdc_net,
         _cdc_stage_v1,
         _cdc_users_params,
     )
@@ -63,18 +63,7 @@ def main() -> None:
             )
         log = log.localCheckpoint()  # isolate rung cost from union lineage
         n_log = log.count()
-
-        w = W.partitionBy("user_id").orderBy(F.col("event_id").desc())
-        net = (
-            log.select(
-                "user_id", "event_id", "value",
-                F.when(F.col("event_type") == "error", F.lit("D"))
-                .otherwise(F.lit("U")).alias("op"),
-            )
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .drop("rn")
-        )
+        net = _cdc_net(log)  # the operator's own compaction definition
 
         tc, ta, n_net = [], [], 0
         for it in range(3):

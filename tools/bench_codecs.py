@@ -29,20 +29,14 @@ def main() -> None:
     import duckdb
 
     from sparkflow.sources import avrolite, protolite
+    from sparkflow.sources.io import _PB_FIELDS as pb_fields  # shipped spec
 
+    col_list = ", ".join(name for _, name, _ in pb_fields)
     rows = duckdb.sql(
-        "SELECT o_orderkey, o_custkey, o_orderpriority, o_totalprice "
-        f"FROM read_parquet('{sf_dir}/orders.parquet')"
+        f"SELECT {col_list} FROM read_parquet('{sf_dir}/orders.parquet')"
     ).fetchall()
     n = len(rows)
     print(f"rows: {n}  (sf_dir={sf_dir}, runs={runs}, warm medians)")
-
-    pb_fields = [
-        (1, "o_orderkey", "int64"),
-        (2, "o_custkey", "sint64"),
-        (3, "o_orderpriority", "string"),
-        (4, "o_totalprice", "double"),
-    ]
     av_schema = {
         "type": "record", "name": "orders",
         "fields": [
