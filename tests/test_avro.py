@@ -645,3 +645,67 @@ def test_add_column_is_metadata_only(spark, sf_small):
     assert "tier" not in old.columns
     assert set(res["tier"]) == {"standard"}
     assert len(res) == old.count()
+
+
+def test_cdc_apply_composes_over_k_batches(spark, sf_small, tmp_path_factory):
+    """Composition law, batch form (the streaming twin pins K=2; this
+    pins K=4 with UNEVEN seq-contiguous slices and version chaining to
+    v5): applying each slice's net in sequence — each with its own
+    key-bounds pruning — must land on exactly the one-shot apply of the
+    whole changelog, and every intermediate version stays readable."""
+    import os
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    import sparkflow
+    from sparkflow.catalog import table
+    from sparkflow.sources.io import (
+        _cdc_apply_batch,
+        _cdc_net,
+        _cdc_stage_v1,
+        _cdc_users_params,
+        _tv_entries,
+    )
+
+    base = str(tmp_path_factory.mktemp("cdc_kway_table"))
+    cut, band_hi = _cdc_users_params(spark, sf_small)
+    _cdc_stage_v1(spark, sf_small, base, cut)
+    chg = (
+        table(spark, sf_small, "events")
+        .filter((F.col("event_id") >= cut) & (F.col("user_id") < band_hi))
+        .select("event_id", "user_id", "event_type", "value")
+    )
+    lo_e, hi_e = chg.agg(F.min("event_id"), F.max("event_id")).first()
+    span = hi_e - lo_e + 1
+    # uneven seq-contiguous boundaries: 10% / 25% / 45% / 100%
+    cuts = [lo_e, lo_e + span // 10, lo_e + span // 4,
+            lo_e + (span * 45) // 100, hi_e + 1]
+    version = 1
+    for a, b in zip(cuts, cuts[1:]):
+        batch = chg.filter((F.col("event_id") >= a) & (F.col("event_id") < b))
+        if batch.isEmpty():
+            continue
+        net = _cdc_net(batch)
+        lo, hi = net.agg(F.min("user_id"), F.max("user_id")).first()
+        _cdc_apply_batch(spark, base, version, net, int(lo), int(hi))
+        version += 1
+    assert version == 5, "all four uneven slices should be non-empty"
+    for v in range(1, version):
+        assert spark.read.parquet(
+            *[e["path"] for e in _tv_entries(base, v)]).count() > 0
+
+    got = (
+        spark.read.parquet(*[e["path"] for e in _tv_entries(base, version)])
+        .toPandas().sort_values("user_id").reset_index(drop=True)
+    )
+    want = (
+        sparkflow.QUERIES["maintenance_table_cdc_apply"](spark, sf_small)
+        .toPandas().sort_values("user_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[["user_id", "balance", "last_seq"]],
+        want[["user_id", "balance", "last_seq"]],
+        check_dtype=False,
+    )
+    assert os.path.exists(os.path.join(base, "manifest_v5.json"))
