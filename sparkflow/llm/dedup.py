@@ -1140,3 +1140,136 @@ def _containment_pairs(corpus: DataFrame) -> DataFrame:
         "n_outer",
         F.round(contain, 6).alias("containment"),
     )
+
+
+_XS_K = 5  # anchor gram width (tokens)
+_XS_DF_CAP = 20  # boilerplate guard: grams in more docs than this are dropped
+_XS_MIN_RUN = 2  # >= 2 consecutive anchors => span of >= _XS_K + 1 tokens
+
+
+@register(
+    "llm_dedup_exact_substr",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             generate_subscripts(string_split(text, ' '), 1) - 1 AS pos,
+             unnest(string_split(text, ' ')) AS w
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, pos,
+             w || ' ' || LEAD(w,1) OVER win || ' ' || LEAD(w,2) OVER win
+               || ' ' || LEAD(w,3) OVER win || ' ' || LEAD(w,4) OVER win AS g
+      FROM toks WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+      QUALIFY LEAD(w,4) OVER win IS NOT NULL
+    ),
+    keep AS (
+      SELECT g FROM grams GROUP BY g
+      HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND {_XS_DF_CAP}
+    ),
+    anchors AS (
+      SELECT a.doc_id AS da, b.doc_id AS db, a.pos AS pa,
+             a.pos - b.pos AS delta
+      FROM grams a JOIN keep s ON a.g = s.g JOIN grams b ON b.g = a.g
+      WHERE a.doc_id < b.doc_id
+    ),
+    isl AS (
+      SELECT da, db, delta, pa,
+             pa - ROW_NUMBER() OVER (PARTITION BY da, db, delta
+                                     ORDER BY pa) AS grp
+      FROM anchors
+    )
+    SELECT da AS doc_a, db AS doc_b,
+           CAST(MIN(pa) AS BIGINT) AS start_a,
+           CAST(MIN(pa) - delta AS BIGINT) AS start_b,
+           CAST(MAX(pa) - MIN(pa) + {_XS_K} AS BIGINT) AS len_tokens
+    FROM isl GROUP BY da, db, delta, grp
+    HAVING COUNT(*) >= {_XS_MIN_RUN}
+    """,
+)
+def llm_dedup_exact_substr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document EXACT-SUBSTRING span matching — the output shape of
+    ExactSubstr dedup (Lee et al. 2022: cut the byte-identical span from
+    one copy, keep the rest), which MinHash/SimHash structurally cannot
+    give (they say "these DOCS are similar", not WHERE): per doc pair,
+    every maximal aligned run of shared token 5-grams, with both start
+    offsets and the span length — directly actionable as a cut list.
+    llm_repeated_spans (curation.py) is the corpus-level catalog of
+    repeated grams; THIS op resolves them into per-pair maximal spans.
+
+    Relational core, each step the scalable shape:
+    1. anchor grams — _XS_K-token windows per doc (one pass, no shuffle
+       beyond the per-doc sort Spark fuses into the window);
+    2. df-cap — grams shared by 2..{cap} docs survive (the same
+       boilerplate guard llm_dedup_containment measured: an uncapped
+       header gram turns the anchor join quadratic);
+    3. anchor join — equi-join on the gram, doc_a < doc_b: candidate
+       pairs carry (pos_a, pos_b), and alignment delta = pos_a − pos_b
+       is constant along a true common substring;
+    4. gaps-islands per (pair, delta) — consecutive pos_a runs merge
+       into MAXIMAL spans (pos − row_number grouping, the same island
+       machinery win_gaps_islands pins), ≥ _XS_MIN_RUN anchors. A
+       true suffix array finds arbitrary-length repeats in O(n);
+       anchored islands are the standard distributed approximation —
+       recall is exact for spans ≥ _XS_K + _XS_MIN_RUN − 1 tokens.
+    The oracle replays all four steps relationally — bit-exact on the
+    span arithmetic, so an off-by-one in gram windows, delta alignment,
+    or island merging hash-mismatches."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    gram = F.concat_ws(
+        " ", "w",
+        *[F.lead("w", i).over(win) for i in range(1, _XS_K)],
+    )
+    grams = (
+        toks.select(
+            "doc_id", "pos", gram.alias("g"),
+            F.lead("w", _XS_K - 1).over(win).alias("w_last"),
+        )
+        .filter(F.col("w_last").isNotNull())
+        .drop("w_last")
+    )
+    keep = (
+        grams.groupBy("g")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df").between(2, _XS_DF_CAP))
+        .select("g")
+    )
+    a = grams.alias("a")
+    b = grams.alias("b")
+    anchors = (
+        a.join(keep, "g")
+        .join(b, "g")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("da"),
+            F.col("b.doc_id").alias("db"),
+            F.col("a.pos").alias("pa"),
+            (F.col("a.pos") - F.col("b.pos")).alias("delta"),
+        )
+    )
+    w2 = Window.partitionBy("da", "db", "delta").orderBy("pa")
+    isl = anchors.withColumn(
+        "grp", F.col("pa") - F.row_number().over(w2)
+    )
+    return (
+        isl.groupBy("da", "db", "delta", "grp")
+        .agg(
+            F.min("pa").alias("min_pa"),
+            F.max("pa").alias("max_pa"),
+            F.count(F.lit(1)).alias("run_len"),
+        )
+        .filter(F.col("run_len") >= _XS_MIN_RUN)
+        .select(
+            F.col("da").alias("doc_a"),
+            F.col("db").alias("doc_b"),
+            F.col("min_pa").cast("bigint").alias("start_a"),
+            (F.col("min_pa") - F.col("delta")).cast("bigint")
+            .alias("start_b"),
+            (F.col("max_pa") - F.col("min_pa") + _XS_K).cast("bigint")
+            .alias("len_tokens"),
+        )
+    )

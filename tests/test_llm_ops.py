@@ -827,3 +827,27 @@ def test_prefix_filter_bounds_exact_integer_arithmetic():
         mn = mx * num // den
         assert mn * den >= mx * num
         assert (mn - 1) * den < mx * num
+
+
+def test_exact_substr_spans_are_literal_matches(spark, sf_small):
+    """Every emitted span must be a LITERAL common substring: the token
+    slice [start_a, start_a+len) of doc_a equals [start_b, start_b+len)
+    of doc_b — the actionable-cut-list contract ExactSubstr dedup sells
+    (the oracle pins the arithmetic; this pins the semantics against the
+    actual texts). Spans must also be maximal on the left: the tokens
+    just before the span differ (or a span starts at 0)."""
+    import sparkflow
+
+    spans = sparkflow.QUERIES["llm_dedup_exact_substr"](
+        spark, sf_small).toPandas()
+    assert len(spans) > 0
+    docs = (
+        sparkflow.catalog.table(spark, sf_small, "documents")
+        .toPandas().set_index("doc_id")["text"].str.split(" ").to_dict()
+    )
+    for _, r in spans.iterrows():
+        ta, tb = docs[r["doc_a"]], docs[r["doc_b"]]
+        sa, sb, ln = int(r["start_a"]), int(r["start_b"]), int(r["len_tokens"])
+        assert ta[sa:sa + ln] == tb[sb:sb + ln], (r["doc_a"], r["doc_b"])
+        if sa > 0 and sb > 0:
+            assert ta[sa - 1] != tb[sb - 1], "span not left-maximal"
