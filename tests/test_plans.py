@@ -701,3 +701,24 @@ def test_fn_json_reads_through_materialized_copy(spark, sf_small):
     assert "from_json" not in plan.lower(), plan[:800]
     assert "json_mat" in plan, plan[:800]
     assert sorted(map(tuple, df.collect())) == raw_rows
+
+
+def test_exact_substr_is_equi_join_no_allpairs(spark, sf_small):
+    """llm_dedup_exact_substr's anchor stage must plan as EQUI-JOINS on
+    the gram value — never a cartesian/nested-loop over documents (the
+    df-cap guarantees bounded gram buckets, so the join stays shuffle-
+    or broadcast-hash at any corpus size), and the island merge must be
+    a keyed window, not a second self-join."""
+    import re
+
+    df = sparkflow.QUERIES["llm_dedup_exact_substr"](spark, sf_small)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
+    # anchor join keyed on the gram string (df-agg side shuffles on g)
+    assert re.search(r"hashpartitioning\(g#\d+", plan), plan[:2000]
+    # islands are one row_number window over (da, db, delta)
+    assert re.search(
+        r"row_number\(\) windowspecdefinition\(da#\d+L, db#\d+L, delta#\d+",
+        plan,
+    ), plan[:2000]
