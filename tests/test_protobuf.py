@@ -352,3 +352,30 @@ def test_scan_protobuf_streaming_twin_matches_batch(spark):
         .sort_values("o_orderkey").reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, want)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.fixed_dictionaries({
+            "a": st.integers(-(2 ** 63), 2 ** 63 - 1),
+            "s": st.text(max_size=30),
+            "d": st.floats(allow_nan=False),
+            "raw": st.binary(max_size=30),
+        }),
+        max_size=8,
+    ),
+    st.sets(st.sampled_from([1, 2, 3, 9]), min_size=1),
+)
+def test_property_reader_schema_subset(rows, keep_nums):
+    """Forward compatibility as a property: decoding with ANY subset of
+    the writer's fields equals the projection of the full decode —
+    unknown fields of every wire type are skipped without disturbing
+    alignment (the protobuf evolution contract)."""
+    full = [(1, "a", "int64"), (2, "s", "string"), (3, "d", "double"),
+            (9, "raw", "bytes")]
+    subset = [f for f in full if f[0] in keep_nums]
+    data = pl.write_delimited(full, rows)
+    got = pl.read_delimited(subset, data)
+    want = [{name: r[name] for _, name, _ in subset} for r in rows]
+    assert got == want
