@@ -1147,10 +1147,9 @@ _XS_DF_CAP = 20  # boilerplate guard: grams in more docs than this are dropped
 _XS_MIN_RUN = 2  # >= 2 consecutive anchors => span of >= _XS_K + 1 tokens
 
 
-@register(
-    "llm_dedup_exact_substr",
-    oracle=f"""
-    WITH toks AS (
+# the full anchor->islands->maximal-span pipeline as CTEs ending in
+# `spans`, shared by the exact-substr oracle and the cut-list applier
+_XS_CTES = f"""toks AS (
       SELECT doc_id,
              generate_subscripts(string_split(text, ' '), 1) - 1 AS pos,
              unnest(string_split(text, ' ')) AS w
@@ -1178,13 +1177,22 @@ _XS_MIN_RUN = 2  # >= 2 consecutive anchors => span of >= _XS_K + 1 tokens
              pa - ROW_NUMBER() OVER (PARTITION BY da, db, delta
                                      ORDER BY pa) AS grp
       FROM anchors
-    )
-    SELECT da AS doc_a, db AS doc_b,
-           CAST(MIN(pa) AS BIGINT) AS start_a,
-           CAST(MIN(pa) - delta AS BIGINT) AS start_b,
-           CAST(MAX(pa) - MIN(pa) + {_XS_K} AS BIGINT) AS len_tokens
-    FROM isl GROUP BY da, db, delta, grp
-    HAVING COUNT(*) >= {_XS_MIN_RUN}
+    ),
+    spans AS (
+      SELECT da AS doc_a, db AS doc_b,
+             CAST(MIN(pa) AS BIGINT) AS start_a,
+             CAST(MIN(pa) - delta AS BIGINT) AS start_b,
+             CAST(MAX(pa) - MIN(pa) + {_XS_K} AS BIGINT) AS len_tokens
+      FROM isl GROUP BY da, db, delta, grp
+      HAVING COUNT(*) >= {_XS_MIN_RUN}
+    )"""
+
+
+@register(
+    "llm_dedup_exact_substr",
+    oracle=f"""
+    WITH {_XS_CTES}
+    SELECT doc_a, doc_b, start_a, start_b, len_tokens FROM spans
     """,
 )
 def llm_dedup_exact_substr(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1272,4 +1280,85 @@ def llm_dedup_exact_substr(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("max_pa") - F.col("min_pa") + _XS_K).cast("bigint")
             .alias("len_tokens"),
         )
+    )
+
+
+@register(
+    "llm_cut_spans",
+    oracle=f"""
+    WITH {_XS_CTES},
+    best AS (
+      SELECT doc_b AS doc_id, start_b AS cut_start, len_tokens AS cut_len
+      FROM spans
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_b
+               ORDER BY len_tokens DESC, start_b, doc_a) = 1
+    ),
+    cut AS (
+      SELECT b.doc_id, b.cut_start, b.cut_len,
+             string_split(d.text, ' ') AS arr
+      FROM best b JOIN documents d ON d.doc_id = b.doc_id
+    )
+    SELECT doc_id,
+           CAST(cut_start AS BIGINT) AS cut_start,
+           CAST(cut_len AS BIGINT) AS cut_len,
+           CAST(len(arr) AS BIGINT) AS n_before,
+           CAST(len(arr) - cut_len AS BIGINT) AS n_after,
+           COALESCE(array_to_string(
+             list_concat(arr[1:cut_start],
+                         arr[cut_start + cut_len + 1:len(arr)]),
+             ' '), '') AS text_after
+    FROM cut
+    """,
+)
+def llm_cut_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY the exact-substr cut list — the step that turns
+    llm_dedup_exact_substr's span catalog into a deduplicated corpus
+    (ExactSubstr's disposition: keep doc_a's copy, cut the span out of
+    doc_b): per affected doc, remove its single BEST incoming span
+    (longest, ties by smallest start then smallest source doc — a total
+    order, so the cut is deterministic) and emit the surgically edited
+    text with before/after token counts. One span per doc per pass is
+    the standard iteration unit — re-running the pipeline on the output
+    converges, and single-pass keeps overlapping-span semantics trivial
+    (overlaps within one doc would otherwise need interval merging).
+
+    Scale shape: the span catalog is pair-bounded (df-capped upstream);
+    best-span is one keyed window over it; the edit is an equi-join
+    back to documents + JVM-side array slicing (split/slice/concat_ws,
+    no Python in the hot path). The oracle replays the cut with
+    DuckDB's list slicing — the emitted text_after must match
+    byte-for-byte, so an off-by-one in either engine's slice arithmetic
+    hash-mismatches."""
+    spans = llm_dedup_exact_substr(spark, sf_dir)
+    w = Window.partitionBy("doc_b").orderBy(
+        F.desc("len_tokens"), "start_b", "doc_a"
+    )
+    best = (
+        spans.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("doc_b").alias("doc_id"),
+            F.col("start_b").alias("cut_start"),
+            F.col("len_tokens").alias("cut_len"),
+        )
+    )
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("arr")
+    )
+    joined = best.join(d, "doc_id")
+    n = F.size("arr")
+    head = F.slice(F.col("arr"), 1, F.col("cut_start").cast("int"))
+    tail_len = (n - F.col("cut_start") - F.col("cut_len")).cast("int")
+    tail = F.slice(
+        F.col("arr"),
+        (F.col("cut_start") + F.col("cut_len") + 1).cast("int"),
+        tail_len,
+    )
+    return joined.select(
+        "doc_id",
+        F.col("cut_start").cast("bigint").alias("cut_start"),
+        F.col("cut_len").cast("bigint").alias("cut_len"),
+        n.cast("bigint").alias("n_before"),
+        (n - F.col("cut_len")).cast("bigint").alias("n_after"),
+        F.concat_ws(" ", F.concat(head, tail)).alias("text_after"),
     )

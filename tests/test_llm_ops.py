@@ -851,3 +851,39 @@ def test_exact_substr_spans_are_literal_matches(spark, sf_small):
         assert ta[sa:sa + ln] == tb[sb:sb + ln], (r["doc_a"], r["doc_b"])
         if sa > 0 and sb > 0:
             assert ta[sa - 1] != tb[sb - 1], "span not left-maximal"
+
+
+def test_cut_spans_edits_are_consistent(spark, sf_small):
+    """The applied cut must be internally consistent: token counts
+    reconcile (n_after = n_before - cut_len = len(text_after tokens),
+    empty-string docs counted as 0), the edited text is the original
+    minus exactly the [cut_start, cut_start+cut_len) token slice, and
+    the removed slice is the one the span catalog promised (it equals
+    the aligned slice of some partner doc)."""
+    import sparkflow
+
+    cuts = sparkflow.QUERIES["llm_cut_spans"](spark, sf_small).toPandas()
+    assert len(cuts) > 0
+    docs = (
+        sparkflow.catalog.table(spark, sf_small, "documents")
+        .toPandas().set_index("doc_id")["text"].to_dict()
+    )
+    spans = sparkflow.QUERIES["llm_dedup_exact_substr"](
+        spark, sf_small).toPandas()
+    for _, r in cuts.iterrows():
+        toks = docs[r["doc_id"]].split(" ")
+        cs, cl = int(r["cut_start"]), int(r["cut_len"])
+        assert r["n_before"] == len(toks)
+        assert r["n_after"] == len(toks) - cl >= 0
+        want = toks[:cs] + toks[cs + cl:]
+        got = r["text_after"].split(" ") if r["text_after"] else []
+        assert got == want, r["doc_id"]
+        removed = toks[cs:cs + cl]
+        partners = spans[(spans["doc_b"] == r["doc_id"])
+                         & (spans["start_b"] == cs)
+                         & (spans["len_tokens"] == cl)]
+        assert len(partners) > 0, "cut does not match any catalog span"
+        pa = partners.iloc[0]
+        a_toks = docs[pa["doc_a"]].split(" ")
+        sa = int(pa["start_a"])
+        assert a_toks[sa:sa + cl] == removed
