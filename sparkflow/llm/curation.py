@@ -274,22 +274,12 @@ def llm_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     A true suffix array finds arbitrary-length repeats; fixed-width
     spans are the standard scalable approximation (run with several
     widths in production)."""
+    from .dedup import word_kgrams
+
     d = table(spark, sf_dir, "documents")
-    toks = d.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w"))
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    span = F.concat_ws(
-        " ",
-        "w",
-        F.lead("w", 1).over(w),
-        F.lead("w", 2).over(w),
-        F.lead("w", 3).over(w),
-        F.lead("w", 4).over(w),
-    )
-    spans = (
-        toks.select("doc_id", span.alias("span"), F.lead("w", 4).over(w).alias("w5"))
-        .filter(F.col("w5").isNotNull())
-        .drop("w5")
-    )
+    # the gram-window construction is shared with llm_dedup_exact_substr
+    # (dedup.word_kgrams) — one definition of tokenization + boundary
+    spans = word_kgrams(d, 5).select("doc_id", F.col("g").alias("span"))
     return (
         spans.groupBy("span")
         .agg(

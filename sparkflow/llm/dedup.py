@@ -1147,6 +1147,30 @@ _XS_DF_CAP = 20  # boilerplate guard: grams in more docs than this are dropped
 _XS_MIN_RUN = 2  # >= 2 consecutive anchors => span of >= _XS_K + 1 tokens
 
 
+def word_kgrams(d: DataFrame, k: int) -> DataFrame:
+    """(doc_id, pos, g): every k-token window of each doc's whitespace
+    tokens (0-based start position). THE one definition of token-gram
+    windows — llm_dedup_exact_substr anchors on it and
+    llm_repeated_spans (curation.py) catalogs it, so tokenization and
+    the window boundary cannot drift between the two (and their oracle
+    twins mirror the same construction)."""
+    toks = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    gram = F.concat_ws(
+        " ", "w", *[F.lead("w", i).over(win) for i in range(1, k)]
+    )
+    return (
+        toks.select(
+            "doc_id", "pos", gram.alias("g"),
+            F.lead("w", k - 1).over(win).alias("w_last"),
+        )
+        .filter(F.col("w_last").isNotNull())
+        .drop("w_last")
+    )
+
+
 # the full anchor->islands->maximal-span pipeline as CTEs ending in
 # `spans`, shared by the exact-substr oracle and the cut-list applier
 _XS_CTES = f"""toks AS (
@@ -1208,9 +1232,9 @@ def llm_dedup_exact_substr(spark: SparkSession, sf_dir: str) -> DataFrame:
     Relational core, each step the scalable shape:
     1. anchor grams — _XS_K-token windows per doc (one pass, no shuffle
        beyond the per-doc sort Spark fuses into the window);
-    2. df-cap — grams shared by 2..{cap} docs survive (the same
-       boilerplate guard llm_dedup_containment measured: an uncapped
-       header gram turns the anchor join quadratic);
+    2. df-cap — grams shared by 2.._XS_DF_CAP (=20) docs survive (the
+       same boilerplate guard llm_dedup_containment measured: an
+       uncapped header gram turns the anchor join quadratic);
     3. anchor join — equi-join on the gram, doc_a < doc_b: candidate
        pairs carry (pos_a, pos_b), and alignment delta = pos_a − pos_b
        is constant along a true common substring;
@@ -1219,27 +1243,19 @@ def llm_dedup_exact_substr(spark: SparkSession, sf_dir: str) -> DataFrame:
        machinery win_gaps_islands pins), ≥ _XS_MIN_RUN anchors. A
        true suffix array finds arbitrary-length repeats in O(n);
        anchored islands are the standard distributed approximation —
-       recall is exact for spans ≥ _XS_K + _XS_MIN_RUN − 1 tokens.
+       recall is exact for spans ≥ _XS_K + _XS_MIN_RUN − 1 tokens
+       WHOSE ANCHOR GRAMS SURVIVE THE DF-CAP. The cap trades recall
+       for boundedness by design: a span saturated with >cap-doc
+       boilerplate grams loses those anchors and may split or drop —
+       that cut is the one the cap exists to make, and it can also
+       truncate a span's edges (the emitted span is then not
+       left/right-maximal against the raw texts; the pytest checks
+       maximality conditionally on the boundary gram's df).
     The oracle replays all four steps relationally — bit-exact on the
     span arithmetic, so an off-by-one in gram windows, delta alignment,
     or island merging hash-mismatches."""
     d = table(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
-    )
-    win = Window.partitionBy("doc_id").orderBy("pos")
-    gram = F.concat_ws(
-        " ", "w",
-        *[F.lead("w", i).over(win) for i in range(1, _XS_K)],
-    )
-    grams = (
-        toks.select(
-            "doc_id", "pos", gram.alias("g"),
-            F.lead("w", _XS_K - 1).over(win).alias("w_last"),
-        )
-        .filter(F.col("w_last").isNotNull())
-        .drop("w_last")
-    )
+    grams = word_kgrams(d, _XS_K)
     keep = (
         grams.groupBy("g")
         .agg(F.countDistinct("doc_id").alias("df"))

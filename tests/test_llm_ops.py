@@ -834,9 +834,12 @@ def test_exact_substr_spans_are_literal_matches(spark, sf_small):
     slice [start_a, start_a+len) of doc_a equals [start_b, start_b+len)
     of doc_b — the actionable-cut-list contract ExactSubstr dedup sells
     (the oracle pins the arithmetic; this pins the semantics against the
-    actual texts). Spans must also be maximal on the left: the tokens
-    just before the span differ (or a span starts at 0)."""
+    actual texts). Spans must also be left-maximal UP TO THE DF-CAP:
+    when the tokens just before a span match, the anchor gram starting
+    there must have been dropped by the cap (df > _XS_DF_CAP) — the
+    only legitimate reason the island didn't extend left."""
     import sparkflow
+    from sparkflow.llm.dedup import _XS_DF_CAP, _XS_K
 
     spans = sparkflow.QUERIES["llm_dedup_exact_substr"](
         spark, sf_small).toPandas()
@@ -845,12 +848,20 @@ def test_exact_substr_spans_are_literal_matches(spark, sf_small):
         sparkflow.catalog.table(spark, sf_small, "documents")
         .toPandas().set_index("doc_id")["text"].str.split(" ").to_dict()
     )
+    gram_df: dict[str, int] = {}
+    for toks in docs.values():
+        for g in {" ".join(toks[i:i + _XS_K])
+                  for i in range(len(toks) - _XS_K + 1)}:
+            gram_df[g] = gram_df.get(g, 0) + 1
     for _, r in spans.iterrows():
         ta, tb = docs[r["doc_a"]], docs[r["doc_b"]]
         sa, sb, ln = int(r["start_a"]), int(r["start_b"]), int(r["len_tokens"])
         assert ta[sa:sa + ln] == tb[sb:sb + ln], (r["doc_a"], r["doc_b"])
-        if sa > 0 and sb > 0:
-            assert ta[sa - 1] != tb[sb - 1], "span not left-maximal"
+        if sa > 0 and sb > 0 and ta[sa - 1] == tb[sb - 1]:
+            prev_gram = " ".join(ta[sa - 1:sa - 1 + _XS_K])
+            assert gram_df.get(prev_gram, 0) > _XS_DF_CAP, (
+                "span not left-maximal and the preceding gram was not "
+                "df-capped", r["doc_a"], r["doc_b"])
 
 
 def test_cut_spans_edits_are_consistent(spark, sf_small):
