@@ -1180,6 +1180,92 @@ def maintenance_table_add_column(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "maintenance_table_optimize",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    """,
+)
+def maintenance_table_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE as a TABLE VERSION — selective small-file bin-packing
+    committed through the manifest protocol (Delta OPTIMIZE / Iceberg
+    rewrite_data_files), completing the versioned maintenance set
+    (MERGE/CDC = cdc_apply, schema = add_column, GC = vacuum;
+    maintenance_compaction above is the same remedy on a PLAIN
+    directory, without selectivity, commits, or time travel):
+
+    - staging plants a deliberately fragmented v1: half the keyspace in
+      4 large range files, the other half splintered into 28 small ones
+      (the skewed-writer debris every streaming sink accumulates), with
+      per-file row counts carried in the manifest entries.
+    - OPTIMIZE reads ONLY manifest metadata to pick its victims: files
+      below the mean rows-per-file are bin-packed (here 28 → 2 range
+      files); files at or above it are REUSED by reference — at 100 TB
+      rewriting already-large files is the cost you run OPTIMIZE to
+      avoid, and the decision costs KBs of manifest, never a data read.
+    - v2 commits atomically (_tv_commit); v1 stays readable (time
+      travel), so a reader mid-scan on v1 is undisturbed — compaction
+      as a snapshot transition, not an in-place mutation.
+    The returned frame reads v2 through its manifest and must match the
+    ORIGINAL orders rows bit-for-bit (oracle) — compaction may move
+    bytes, never change them. The pytest pins the selectivity (the 4
+    large paths reused), the shrink (32 → ≤7 files), and idempotence
+    (a second call is a manifest no-op)."""
+    import glob as _glob
+
+    sfkey = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    base = os.path.join(
+        _TMP, "table_optimize", spark.sparkContext.applicationId,
+        f"orders_{sfkey}"
+    )
+    cols = ["o_orderkey", "o_totalprice"]
+
+    def with_meta(paths: list) -> list:
+        ents = _tv_with_stats(spark, paths, "o_orderkey")
+        for e in ents:
+            e["n_rows"] = spark.read.parquet(e["path"]).count()
+        return ents
+
+    if not os.path.exists(os.path.join(base, "manifest_v1.json")):
+        os.makedirs(os.path.join(base, "data"), exist_ok=True)
+        orders = table(spark, sf_dir, "orders").select(*cols)
+        lo, hi = orders.agg(
+            F.min("o_orderkey"), F.max("o_orderkey")).first()
+        mid = lo + (hi - lo + 1) // 2
+        big_dir = os.path.join(base, "data", "v1_big")
+        small_dir = os.path.join(base, "data", "v1_small")
+        (
+            orders.filter(F.col("o_orderkey") < mid)
+            .repartitionByRange(4, "o_orderkey")
+            .write.mode("overwrite").parquet(big_dir)
+        )
+        (
+            orders.filter(F.col("o_orderkey") >= mid)
+            .repartitionByRange(28, "o_orderkey")
+            .write.mode("overwrite").parquet(small_dir)
+        )
+        _tv_commit(base, 1, with_meta(
+            sorted(_glob.glob(os.path.join(big_dir, "*.parquet")))
+            + sorted(_glob.glob(os.path.join(small_dir, "*.parquet")))
+        ))
+    if not os.path.exists(os.path.join(base, "manifest_v2.json")):
+        v1 = _tv_entries(base, 1)
+        mean_rows = sum(e["n_rows"] for e in v1) / len(v1)
+        victims = [e for e in v1 if e["n_rows"] < mean_rows]
+        reuse = [e for e in v1 if e["n_rows"] >= mean_rows]
+        out_dir = os.path.join(base, "data", "v2_packed")
+        (
+            spark.read.parquet(*[e["path"] for e in victims])
+            .repartitionByRange(2, "o_orderkey")
+            .sortWithinPartitions("o_orderkey")
+            .write.mode("overwrite").parquet(out_dir)
+        )
+        _tv_commit(base, 2, reuse + with_meta(
+            sorted(_glob.glob(os.path.join(out_dir, "*.parquet")))))
+    latest = [e["path"] for e in _tv_entries(base, 2)]
+    return spark.read.parquet(*latest).select(*cols)
+
+
+@register(
     "scan_metadata_columns",
     oracle="""
     SELECT CASE WHEN event_id < (SELECT MIN(event_id) + 3000 FROM events)

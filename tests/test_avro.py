@@ -709,3 +709,35 @@ def test_cdc_apply_composes_over_k_batches(spark, sf_small, tmp_path_factory):
         check_dtype=False,
     )
     assert os.path.exists(os.path.join(base, "manifest_v5.json"))
+
+
+def test_table_optimize_is_selective_and_idempotent(spark, sf_small):
+    """OPTIMIZE contract: every at-or-above-mean file is REUSED by path
+    identity (selectivity — the decision read only manifest metadata),
+    the file count shrinks 32 → ≤ 7, v1 stays readable with the same
+    total rows (time travel), and a second call is a manifest no-op."""
+    import json
+    import os
+
+    import sparkflow
+    from sparkflow.sources.io import _TMP
+
+    df = sparkflow.QUERIES["maintenance_table_optimize"](spark, sf_small)
+    n = df.count()
+    sfkey = sf_small.rstrip("/").rsplit("/", 1)[-1]
+    base = os.path.join(_TMP, "table_optimize",
+                        spark.sparkContext.applicationId, f"orders_{sfkey}")
+    with open(os.path.join(base, "manifest_v1.json")) as fh:
+        v1 = json.load(fh)["files"]
+    with open(os.path.join(base, "manifest_v2.json")) as fh:
+        v2 = json.load(fh)["files"]
+    assert len(v1) == 32 and len(v2) <= 7, (len(v1), len(v2))
+    mean_rows = sum(e["n_rows"] for e in v1) / len(v1)
+    big = {e["path"] for e in v1 if e["n_rows"] >= mean_rows}
+    assert big and big <= {e["path"] for e in v2}, "large files not reused"
+    # time travel: v1 readable, same cardinality
+    assert spark.read.parquet(*[e["path"] for e in v1]).count() == n
+    # idempotence: second call leaves both manifests untouched
+    m2 = open(os.path.join(base, "manifest_v2.json")).read()
+    sparkflow.QUERIES["maintenance_table_optimize"](spark, sf_small).count()
+    assert open(os.path.join(base, "manifest_v2.json")).read() == m2
