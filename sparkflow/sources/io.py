@@ -580,6 +580,19 @@ def _tv_entries(base: str, version: int) -> list:
         return _json.load(fh)["files"]
 
 
+def _tv_latest_version(base: str) -> int:
+    """Highest committed manifest version — the durable cursor a
+    restarted streaming writer resumes from (a driver-side counter
+    resets on restart; the manifest ledger does not)."""
+    import glob as _glob
+    import re as _re
+
+    return max(
+        int(_re.search(r"manifest_v(\d+)\.json$", m).group(1))
+        for m in _glob.glob(os.path.join(base, "manifest_v*.json"))
+    )
+
+
 def _tv_with_stats(spark: SparkSession, paths: list, key: str) -> list:
     """Manifest entries with per-file (min,max) stats on `key` — the one
     stats builder every versioned-table commit goes through (orders
@@ -1075,17 +1088,44 @@ def _cdc_stage_v1(spark: SparkSession, sf_dir: str, base: str,
     return min(e["min_key"] for e in v1)
 
 
+def _cdc_applied_batch_ids(base: str) -> set:
+    """batch_ids recorded by prior _cdc_apply_batch commits — the
+    idempotence ledger a replayed micro-batch checks itself against."""
+    import glob as _glob
+    import json as _json
+
+    out = set()
+    for m in _glob.glob(os.path.join(base, "manifest_v*.json")):
+        with open(m, encoding="utf-8") as fh:
+            man = _json.load(fh)
+        if "batch_id" in man:
+            out.add(man["batch_id"])
+    return out
+
+
 def _cdc_apply_batch(spark: SparkSession, base: str, version: int,
-                     net: DataFrame, lo_key: int, hi_key: int) -> None:
+                     net: DataFrame, lo_key: int, hi_key: int,
+                     batch_id=None) -> bool:
     """MERGE one NET change batch (user_id, op, value, event_id; one row
     per key) into table version `version`, committing `version + 1`.
     Only files whose (min_key, max_key) stats intersect [lo_key, hi_key]
     are rewritten — callers pass the batch's key bounds, so pruning
     reads manifest KBs, never data. The streaming twin calls this once
     per micro-batch (one committed version per batch, the Delta
-    streaming-MERGE shape); the batch operator calls it once."""
+    streaming-MERGE shape); the batch operator calls it once.
+
+    EXACTLY-ONCE under replay: pass `batch_id` (the foreachBatch batch
+    id) and the commit records it in the manifest; a RE-APPLY of an
+    already-committed batch id is recognized from the manifest ledger
+    and skipped — Structured Streaming's restart contract is
+    at-least-once delivery of the last batch, and this transactional-id
+    check (Delta's txnAppId/txnVersion pattern) is what turns that into
+    exactly-once table state instead of a concurrent-commit error.
+    Returns True if a commit happened, False for a recognized replay."""
     import glob as _glob
 
+    if batch_id is not None and batch_id in _cdc_applied_batch_ids(base):
+        return False
     prev = _tv_entries(base, version)
     rewrite = [e for e in prev
                if e["min_key"] <= hi_key and e["max_key"] >= lo_key]
@@ -1130,7 +1170,9 @@ def _cdc_apply_batch(spark: SparkSession, base: str, version: int,
         spark, sorted(_glob.glob(os.path.join(out_dir, "*.parquet"))),
         "user_id",
     )
-    _tv_commit(base, version + 1, entries)
+    _tv_commit(base, version + 1, entries,
+               extra=None if batch_id is None else {"batch_id": batch_id})
+    return True
 
 
 @register(

@@ -1401,6 +1401,7 @@ def test_streaming_cdc_apply_one_version_per_batch(
         _cdc_net,
         _cdc_stage_v1,
         _cdc_users_params,
+        _tv_latest_version,
     )
 
     base = str(tmp_path_factory.mktemp("cdc_stream_table"))
@@ -1427,17 +1428,23 @@ def test_streaming_cdc_apply_one_version_per_batch(
         for f in os.listdir(p):
             os.utime(os.path.join(p, f), (time.time() + i, time.time() + i))
 
-    versions = [1]
+    last_batch = [None]
 
-    def apply_batch(bdf, _batch_id):
+    def apply_batch(bdf, batch_id):
         if bdf.isEmpty():
             return
         # compact through the operator's OWN definition — the streaming
         # twin must not re-implement the op mapping
         net = _cdc_net(bdf)
         lo, hi = net.agg(F.min("user_id"), F.max("user_id")).first()
-        _cdc_apply_batch(spark, base, versions[0], net, int(lo), int(hi))
-        versions[0] += 1
+        # version cursor from the DURABLE manifest ledger (a python
+        # counter resets on restart), commit tagged with the batch id
+        # (the exactly-once transactional-id pattern)
+        _cdc_apply_batch(
+            spark, base, _tv_latest_version(base), net, int(lo), int(hi),
+            batch_id=batch_id,
+        )
+        last_batch[0] = (net.localCheckpoint(), int(lo), int(hi), batch_id)
 
     (
         spark.readStream.schema(
@@ -1454,9 +1461,29 @@ def test_streaming_cdc_apply_one_version_per_batch(
     )
 
     # one committed version per micro-batch
-    assert versions[0] == 3
+    assert _tv_latest_version(base) == 3
     for v in (1, 2, 3):
         assert os.path.exists(os.path.join(base, f"manifest_v{v}.json")), v
+
+    # EXACTLY-ONCE under replay: Structured Streaming restarts re-deliver
+    # the last micro-batch (at-least-once); re-applying it with the SAME
+    # batch id must be a recognized no-op — no new version, manifests
+    # byte-identical — instead of a concurrent-commit error
+    net, lo, hi, bid = last_batch[0]
+    with open(os.path.join(base, "manifest_v3.json")) as fh:
+        m3 = fh.read()
+    assert _cdc_apply_batch(
+        spark, base, _tv_latest_version(base), net, lo, hi, batch_id=bid
+    ) is False
+    assert _tv_latest_version(base) == 3
+    with open(os.path.join(base, "manifest_v3.json")) as fh:
+        assert fh.read() == m3
+    # ...while a genuinely NEW batch id still commits
+    assert _cdc_apply_batch(
+        spark, base, _tv_latest_version(base), net, lo, hi,
+        batch_id=bid + 1000,
+    ) is True
+    assert _tv_latest_version(base) == 4
 
     def read_version(b, v):
         with open(os.path.join(b, f"manifest_v{v}.json")) as fh:
