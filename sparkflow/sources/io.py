@@ -1792,3 +1792,107 @@ def maintenance_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFram
             (F.col("total_cents").cast("double") / 100.0).alias("value_sum"),
         )
     )
+
+
+@register(
+    "scan_zorder_pruned",
+    oracle="""
+    WITH b AS (
+      SELECT MIN(o_custkey) AS cmin, MAX(o_custkey) AS cmax,
+             MIN(o_orderkey) AS omin, MAX(o_orderkey) AS omax
+      FROM orders
+    ),
+    box AS (
+      SELECT cmin + (cmax - cmin + 1) // 4 AS c_lo,
+             cmin + (cmax - cmin + 1) // 2 AS c_hi,
+             omin + (omax - omin + 1) // 4 AS o_lo,
+             omin + (omax - omin + 1) // 2 AS o_hi
+      FROM b
+    )
+    SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+    FROM orders o, box
+    WHERE o.o_custkey >= c_lo AND o.o_custkey < c_hi
+      AND o.o_orderkey >= o_lo AND o.o_orderkey < o_hi
+    """,
+)
+def scan_zorder_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO-DIMENSIONAL stats pruning over a Z-ordered layout — the read
+    side of sort_zorder_layout (which pins the layout's bounding-box
+    property) and the reason OPTIMIZE ZORDER exists: a box predicate on
+    (o_custkey, o_orderkey) skips every file whose manifest (min,max)
+    stats miss the box on EITHER dimension. Range-partitioning on one
+    key gives tight stats on that key only; interleaving the bits of
+    both (Morton order, 256×256 grid, the shared _morton16 expression)
+    makes every file a compact z-range whose projection is tight on
+    BOTH — so a quarter×quarter box touches ~1/16 of the files instead
+    of the ~1/4 either single-key layout yields. The pytest pins
+    exactly that: the 2-D hit set is strictly smaller than what either
+    single-dimension's stats alone would keep, every scanned file is
+    manifest-listed, and the box is fully covered (the oracle — a
+    direct relational box query — reproves the values, so a false
+    prune hash-mismatches). At 100 TB this is the difference between a
+    multi-tenant point-lookup scanning a co-clustered sliver and
+    scanning every file that matches one of its two predicates."""
+    import glob as _glob
+
+    from ..operators.sort_set import _morton16
+
+    sfkey = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    base = os.path.join(
+        _TMP, "zorder", spark.sparkContext.applicationId, f"orders_{sfkey}"
+    )
+    cols = ["o_orderkey", "o_custkey", "o_totalprice"]
+    orders = table(spark, sf_dir, "orders")
+    cmin, cmax, omin, omax = orders.agg(
+        F.min("o_custkey"), F.max("o_custkey"),
+        F.min("o_orderkey"), F.max("o_orderkey"),
+    ).first()
+    if not os.path.exists(os.path.join(base, "manifest_v1.json")):
+        os.makedirs(os.path.join(base, "data"), exist_ok=True)
+        z_dir = os.path.join(base, "data", "v1")
+        zx = F.floor(
+            (F.col("o_custkey") - F.lit(cmin)) * 256.0
+            / F.lit(cmax - cmin + 1)
+        ).cast("long")
+        zy = F.floor(
+            (F.col("o_orderkey") - F.lit(omin)) * 256.0
+            / F.lit(omax - omin + 1)
+        ).cast("long")
+        (
+            orders.select(*cols)
+            .withColumn("zx", zx).withColumn("zy", zy)
+            .withColumn("z", F.expr(_morton16("zx", "zy")))
+            .repartitionByRange(16, "z")
+            .sortWithinPartitions("z")
+            .drop("zx", "zy", "z")
+            .write.mode("overwrite").parquet(z_dir)
+        )
+        ents = []
+        for f in sorted(_glob.glob(os.path.join(z_dir, "*.parquet"))):
+            r = spark.read.parquet(f).agg(
+                F.min("o_custkey"), F.max("o_custkey"),
+                F.min("o_orderkey"), F.max("o_orderkey"),
+            ).first()
+            ents.append({"path": f,
+                         "min_key": int(r[0]), "max_key": int(r[1]),
+                         "min_key2": int(r[2]), "max_key2": int(r[3])})
+        _tv_commit(base, 1, ents)
+    c_lo = cmin + (cmax - cmin + 1) // 4
+    c_hi = cmin + (cmax - cmin + 1) // 2
+    o_lo = omin + (omax - omin + 1) // 4
+    o_hi = omin + (omax - omin + 1) // 2
+    hit = [
+        e["path"]
+        for e in _tv_entries(base, 1)
+        if e["min_key"] <= c_hi - 1 and e["max_key"] >= c_lo
+        and e["min_key2"] <= o_hi - 1 and e["max_key2"] >= o_lo
+    ]
+    return (
+        spark.read.parquet(*hit)
+        # stats prune FILES; the residual row filter still applies
+        .filter(
+            F.col("o_custkey").between(c_lo, c_hi - 1)
+            & F.col("o_orderkey").between(o_lo, o_hi - 1)
+        )
+        .select(*cols)
+    )

@@ -741,3 +741,47 @@ def test_table_optimize_is_selective_and_idempotent(spark, sf_small):
     m2 = open(os.path.join(base, "manifest_v2.json")).read()
     sparkflow.QUERIES["maintenance_table_optimize"](spark, sf_small).count()
     assert open(os.path.join(base, "manifest_v2.json")).read() == m2
+
+
+def test_zorder_pruned_read_beats_single_dim_stats(spark, sf_small):
+    """The 2-D skipping property scan_zorder_pruned exists for: the hit
+    set under BOTH dimensions' stats is strictly smaller than under
+    either dimension alone (measured 3 vs 10 vs 5 of 16 at sf0.001),
+    the scan touches exactly the 2-D hit set, and every scanned file is
+    manifest-listed. (The oracle differential separately reproves the
+    returned values, so a false prune cannot hide.)"""
+    import json
+    import os
+
+    import sparkflow
+    from sparkflow.catalog import table
+    from sparkflow.sources.io import _TMP
+
+    df = sparkflow.QUERIES["scan_zorder_pruned"](spark, sf_small)
+    assert df.count() > 0
+    sfkey = sf_small.rstrip("/").rsplit("/", 1)[-1]
+    base = os.path.join(_TMP, "zorder",
+                        spark.sparkContext.applicationId, f"orders_{sfkey}")
+    with open(os.path.join(base, "manifest_v1.json")) as fh:
+        ents = json.load(fh)["files"]
+    from pyspark.sql import functions as F
+
+    cmin, cmax, omin, omax = table(spark, sf_small, "orders").agg(
+        F.min("o_custkey"), F.max("o_custkey"),
+        F.min("o_orderkey"), F.max("o_orderkey"),
+    ).first()
+    c_lo, c_hi = cmin + (cmax - cmin + 1) // 4, cmin + (cmax - cmin + 1) // 2
+    o_lo, o_hi = omin + (omax - omin + 1) // 4, omin + (omax - omin + 1) // 2
+    c_hit = {e["path"] for e in ents
+             if e["min_key"] <= c_hi - 1 and e["max_key"] >= c_lo}
+    o_hit = {e["path"] for e in ents
+             if e["min_key2"] <= o_hi - 1 and e["max_key2"] >= o_lo}
+    both = c_hit & o_hit
+    scanned = {
+        "/" + p.split("://", 1)[-1].lstrip("/") if "://" in p else p
+        for p in df.inputFiles()
+    }
+    assert scanned == both
+    assert len(both) < len(c_hit) and len(both) < len(o_hit), (
+        len(both), len(c_hit), len(o_hit))
+    assert scanned <= {e["path"] for e in ents}
