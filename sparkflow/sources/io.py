@@ -601,7 +601,37 @@ def _tv_with_stats(spark: SparkSession, paths: list, key: str) -> list:
     for f in paths:
         fmin, fmax = spark.read.parquet(f).agg(
             F.min(key), F.max(key)).first()
+        if fmin is None:
+            # A zero-row data file has no stats; committing it would
+            # poison every (min,max) prune downstream. Reject loudly
+            # rather than raise an opaque TypeError at int(None).
+            raise ValueError(
+                f"no rows in {f} — zero-row data files cannot carry "
+                f"(min,max) stats on {key!r}; drop the file before commit"
+            )
         out.append({"path": f, "min_key": int(fmin), "max_key": int(fmax)})
+    return out
+
+
+def _tv_with_stats2(spark: SparkSession, paths: list,
+                    key1: str, key2: str) -> list:
+    """Manifest entries with per-file (min,max) stats on TWO keys —
+    (min_key,max_key) on key1 and (min_key2,max_key2) on key2. The 2-D
+    metadata that funds Z-order file skipping (scan_zorder_pruned,
+    maintenance_table_optimize_zorder): a box predicate drops every
+    file whose stats miss it on EITHER dimension."""
+    out = []
+    for f in paths:
+        r = spark.read.parquet(f).agg(
+            F.min(key1), F.max(key1), F.min(key2), F.max(key2)).first()
+        if r[0] is None:
+            raise ValueError(
+                f"no rows in {f} — zero-row data files cannot carry "
+                f"(min,max) stats; drop the file before commit"
+            )
+        out.append({"path": f,
+                    "min_key": int(r[0]), "max_key": int(r[1]),
+                    "min_key2": int(r[2]), "max_key2": int(r[3])})
     return out
 
 
@@ -1088,19 +1118,29 @@ def _cdc_stage_v1(spark: SparkSession, sf_dir: str, base: str,
     return min(e["min_key"] for e in v1)
 
 
-def _cdc_applied_batch_ids(base: str) -> set:
-    """batch_ids recorded by prior _cdc_apply_batch commits — the
-    idempotence ledger a replayed micro-batch checks itself against."""
-    import glob as _glob
+def _cdc_max_applied_batch_id(base: str, version: int):
+    """High-water mark of applied batch_ids as of `version` (None if no
+    batch was ever applied). Each CDC commit records the carried-forward
+    `max_batch_id` (Delta txnAppId/txnVersion style), so the replay
+    check reads ONE manifest — O(1) per micro-batch instead of parsing
+    every manifest_v*.json (O(V) reads per commit, O(V^2) over a long
+    stream). Batch ids are monotonic (Structured Streaming's contract),
+    so `batch_id <= max` ⇔ already applied. If a non-CDC commit (e.g.
+    OPTIMIZE) interleaved and dropped the mark, walk back until a marked
+    manifest — bounded by the gap length, not the version count."""
     import json as _json
 
-    out = set()
-    for m in _glob.glob(os.path.join(base, "manifest_v*.json")):
-        with open(m, encoding="utf-8") as fh:
+    for v in range(version, 0, -1):
+        p = os.path.join(base, f"manifest_v{v}.json")
+        if not os.path.exists(p):
+            continue
+        with open(p, encoding="utf-8") as fh:
             man = _json.load(fh)
-        if "batch_id" in man:
-            out.add(man["batch_id"])
-    return out
+        if "max_batch_id" in man:
+            return man["max_batch_id"]
+        if "batch_id" in man:  # pre-high-water-mark manifests
+            return man["batch_id"]
+    return None
 
 
 def _cdc_apply_batch(spark: SparkSession, base: str, version: int,
@@ -1124,8 +1164,11 @@ def _cdc_apply_batch(spark: SparkSession, base: str, version: int,
     Returns True if a commit happened, False for a recognized replay."""
     import glob as _glob
 
-    if batch_id is not None and batch_id in _cdc_applied_batch_ids(base):
-        return False
+    prev_max = None
+    if batch_id is not None:
+        prev_max = _cdc_max_applied_batch_id(base, version)
+        if prev_max is not None and batch_id <= prev_max:
+            return False
     prev = _tv_entries(base, version)
     rewrite = [e for e in prev
                if e["min_key"] <= hi_key and e["max_key"] >= lo_key]
@@ -1170,8 +1213,14 @@ def _cdc_apply_batch(spark: SparkSession, base: str, version: int,
         spark, sorted(_glob.glob(os.path.join(out_dir, "*.parquet"))),
         "user_id",
     )
-    _tv_commit(base, version + 1, entries,
-               extra=None if batch_id is None else {"batch_id": batch_id})
+    _tv_commit(
+        base, version + 1, entries,
+        extra=None if batch_id is None else {
+            "batch_id": batch_id,
+            "max_batch_id": (batch_id if prev_max is None
+                             else max(batch_id, prev_max)),
+        },
+    )
     return True
 
 
@@ -1303,6 +1352,106 @@ def maintenance_table_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         _tv_commit(base, 2, reuse + with_meta(
             sorted(_glob.glob(os.path.join(out_dir, "*.parquet")))))
+    latest = [e["path"] for e in _tv_entries(base, 2)]
+    return spark.read.parquet(*latest).select(*cols)
+
+
+def _stage_zorder_optimized(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the two-version OPTIMIZE-ZORDER orders table once per
+    (application, sf): v1 = 16 files range-partitioned on o_orderkey
+    ONLY (tight stats on one dimension, custkey spans ~the full range
+    in every file — the layout any single-key ingest leaves behind);
+    v2 = the SAME rows re-clustered by the 16-bit Morton key over
+    (o_custkey, o_orderkey) and committed through the manifest
+    protocol. Both manifests carry 2-D per-file stats so the pruning
+    gain is measurable as a pure metadata diff. The v2 grid bounds come
+    from the v1 MANIFEST (min over min_key etc.), not a data scan —
+    at 100 TB the OPTIMIZE planner touches KBs of metadata before the
+    one distributed range-sort rewrite. Returns `base`."""
+    import glob as _glob
+
+    from ..operators.sort_set import _morton16
+
+    sfkey = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    base = os.path.join(
+        _TMP, "table_optimize_zorder", spark.sparkContext.applicationId,
+        f"orders_{sfkey}"
+    )
+    cols = ["o_orderkey", "o_custkey", "o_totalprice"]
+    if not os.path.exists(os.path.join(base, "manifest_v1.json")):
+        os.makedirs(os.path.join(base, "data"), exist_ok=True)
+        v1_dir = os.path.join(base, "data", "v1")
+        (
+            table(spark, sf_dir, "orders").select(*cols)
+            .repartitionByRange(16, "o_orderkey")
+            .write.mode("overwrite").parquet(v1_dir)
+        )
+        _tv_commit(base, 1, _tv_with_stats2(
+            spark, sorted(_glob.glob(os.path.join(v1_dir, "*.parquet"))),
+            "o_custkey", "o_orderkey"))
+    if not os.path.exists(os.path.join(base, "manifest_v2.json")):
+        v1 = _tv_entries(base, 1)
+        # grid bounds from manifest stats — metadata-only planning
+        cmin = min(e["min_key"] for e in v1)
+        cmax = max(e["max_key"] for e in v1)
+        omin = min(e["min_key2"] for e in v1)
+        omax = max(e["max_key2"] for e in v1)
+        zx = F.floor(
+            (F.col("o_custkey") - F.lit(cmin)) * 256.0
+            / F.lit(cmax - cmin + 1)
+        ).cast("long")
+        zy = F.floor(
+            (F.col("o_orderkey") - F.lit(omin)) * 256.0
+            / F.lit(omax - omin + 1)
+        ).cast("long")
+        v2_dir = os.path.join(base, "data", "v2")
+        (
+            spark.read.parquet(*[e["path"] for e in v1])
+            .withColumn("zx", zx).withColumn("zy", zy)
+            .withColumn("z", F.expr(_morton16("zx", "zy")))
+            .repartitionByRange(16, "z")
+            .sortWithinPartitions("z")
+            .drop("zx", "zy", "z")
+            .write.mode("overwrite").parquet(v2_dir)
+        )
+        _tv_commit(base, 2, _tv_with_stats2(
+            spark, sorted(_glob.glob(os.path.join(v2_dir, "*.parquet"))),
+            "o_custkey", "o_orderkey"))
+    return base
+
+
+@register(
+    "maintenance_table_optimize_zorder",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    """,
+)
+def maintenance_table_optimize_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE ZORDER as a COMMITTED TABLE VERSION — unifies the two
+    lakehouse halves this repo previously kept separate: the versioned
+    manifest protocol (maintenance_table_optimize: selective rewrite,
+    atomic _tv_commit, time travel) and the Z-order layout + 2-D file
+    skipping (sort_zorder_layout / scan_zorder_pruned). Delta's
+    `OPTIMIZE tbl ZORDER BY (c1, c2)` and Iceberg's
+    `rewrite_data_files(strategy => 'sort', sort_order => zorder(...))`
+    are exactly this composition: a re-clustering rewrite that commits
+    as a new snapshot, leaving the previous version readable.
+
+    v1 is range-partitioned on o_orderkey only; v2 re-clusters the same
+    rows by the interleaved Morton key over (o_custkey, o_orderkey) via
+    one distributed range-sort (repartitionByRange on z — sampled split
+    points, no driver bottleneck) and commits through the same
+    optimistic-concurrency manifest link. The registered query reads v2
+    through its manifest; the oracle is the BASE TABLE — OPTIMIZE may
+    move every byte but must change none (content identity). The pytest
+    pins what the rewrite is FOR: on the committed v2 stats a
+    quarter×quarter box on (custkey, orderkey) keeps strictly fewer
+    files than (a) the same 2-D prune on v1, (b) custkey-stats alone on
+    v2, and (c) orderkey-stats alone on v2 — both dimensions earn their
+    keep — plus time travel: v1 still reads bit-identical after the
+    optimize commit."""
+    base = _stage_zorder_optimized(spark, sf_dir)
+    cols = ["o_orderkey", "o_custkey", "o_totalprice"]
     latest = [e["path"] for e in _tv_entries(base, 2)]
     return spark.read.parquet(*latest).select(*cols)
 
@@ -1867,16 +2016,9 @@ def scan_zorder_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
             .drop("zx", "zy", "z")
             .write.mode("overwrite").parquet(z_dir)
         )
-        ents = []
-        for f in sorted(_glob.glob(os.path.join(z_dir, "*.parquet"))):
-            r = spark.read.parquet(f).agg(
-                F.min("o_custkey"), F.max("o_custkey"),
-                F.min("o_orderkey"), F.max("o_orderkey"),
-            ).first()
-            ents.append({"path": f,
-                         "min_key": int(r[0]), "max_key": int(r[1]),
-                         "min_key2": int(r[2]), "max_key2": int(r[3])})
-        _tv_commit(base, 1, ents)
+        _tv_commit(base, 1, _tv_with_stats2(
+            spark, sorted(_glob.glob(os.path.join(z_dir, "*.parquet"))),
+            "o_custkey", "o_orderkey"))
     c_lo = cmin + (cmax - cmin + 1) // 4
     c_hi = cmin + (cmax - cmin + 1) // 2
     o_lo = omin + (omax - omin + 1) // 4
@@ -1887,6 +2029,13 @@ def scan_zorder_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         if e["min_key"] <= c_hi - 1 and e["max_key"] >= c_lo
         and e["min_key2"] <= o_hi - 1 and e["max_key2"] >= o_lo
     ]
+    if not hit:
+        # The 2-D prune can legitimately empty out at tiny scale factors
+        # (no file overlaps the box on both dimensions); .parquet() with
+        # zero paths would raise, so return a typed empty frame instead.
+        return (
+            table(spark, sf_dir, "orders").select(*cols).limit(0)
+        )
     return (
         spark.read.parquet(*hit)
         # stats prune FILES; the residual row filter still applies

@@ -242,7 +242,10 @@ def _compile(fields) -> tuple[dict, dict]:
     spec = {}
     for num, name, ptype in fields:
         if isinstance(ptype, tuple) and ptype[0] == "message":
-            spec[num] = (name, _K_MESSAGE, _WT_LEN, ptype[1])
+            # [subfields, compiled-or-None]: the sub-spec compiles once
+            # on first occurrence and is reused for every later one
+            # (lazy, so a self-referential schema cannot recurse here)
+            spec[num] = (name, _K_MESSAGE, _WT_LEN, [ptype[1], None])
         elif isinstance(ptype, str) and ptype.startswith("packed:"):
             # the stored wire type is the SCALAR's — the legal unpacked
             # encoding; LEN (the packed form) is additionally accepted
@@ -309,7 +312,10 @@ def decode_message(fields, buf, pos: int = 0, end: int | None = None,
                     "match declared message (LEN)"
                 )
             ln, pos = decode_varint(buf, pos)
-            out[name] = decode_message(dec, buf, pos, pos + ln)
+            if dec[1] is None:
+                dec[1] = _compile(dec[0])
+            out[name] = decode_message(dec[0], buf, pos, pos + ln,
+                                       _compiled=dec[1])
             pos += ln
     if pos != end:
         raise ValueError("message overran its end offset")

@@ -785,3 +785,77 @@ def test_zorder_pruned_read_beats_single_dim_stats(spark, sf_small):
     assert len(both) < len(c_hit) and len(both) < len(o_hit), (
         len(both), len(c_hit), len(o_hit))
     assert scanned <= {e["path"] for e in ents}
+
+
+def _box_hits(ents, c_lo, c_hi, o_lo, o_hi):
+    c_hit = {e["path"] for e in ents
+             if e["min_key"] <= c_hi - 1 and e["max_key"] >= c_lo}
+    o_hit = {e["path"] for e in ents
+             if e["min_key2"] <= o_hi - 1 and e["max_key2"] >= o_lo}
+    return c_hit, o_hit
+
+
+def test_optimize_zorder_commits_prunable_version(spark, sf_small):
+    """maintenance_table_optimize_zorder: the committed v2 layout earns
+    both dimensions — on v2's manifest stats a quarter-box keeps
+    strictly fewer files than (a) the same 2-D prune on v1 (range on
+    o_orderkey only), (b) custkey stats alone on v2, (c) orderkey stats
+    alone on v2 — AND time travel holds: v1 reads bit-identical to the
+    base table after the optimize commit. (The driver oracle separately
+    reproves v2's full content identity.)"""
+    import json
+    import os
+
+    import sparkflow
+    from pyspark.sql import functions as F
+    from sparkflow.catalog import table
+    from sparkflow.sources.io import _TMP
+
+    df = sparkflow.QUERIES["maintenance_table_optimize_zorder"](spark, sf_small)
+    orders = table(spark, sf_small, "orders")
+    assert df.count() == orders.count()
+    sfkey = sf_small.rstrip("/").rsplit("/", 1)[-1]
+    base = os.path.join(_TMP, "table_optimize_zorder",
+                        spark.sparkContext.applicationId, f"orders_{sfkey}")
+    v = {}
+    for n in (1, 2):
+        with open(os.path.join(base, f"manifest_v{n}.json")) as fh:
+            v[n] = json.load(fh)["files"]
+    cmin, cmax, omin, omax = orders.agg(
+        F.min("o_custkey"), F.max("o_custkey"),
+        F.min("o_orderkey"), F.max("o_orderkey"),
+    ).first()
+    c_lo, c_hi = cmin + (cmax - cmin + 1) // 4, cmin + (cmax - cmin + 1) // 2
+    o_lo, o_hi = omin + (omax - omin + 1) // 4, omin + (omax - omin + 1) // 2
+    c1, o1 = _box_hits(v[1], c_lo, c_hi, o_lo, o_hi)
+    c2, o2 = _box_hits(v[2], c_lo, c_hi, o_lo, o_hi)
+    both1, both2 = c1 & o1, c2 & o2
+    # both dimensions earn their keep on the COMMITTED layout
+    assert len(both2) < len(both1), (len(both2), len(both1))
+    assert len(both2) < len(c2) and len(both2) < len(o2), (
+        len(both2), len(c2), len(o2))
+    # the pruned box read through v2 is value-exact vs the base table
+    box = (F.col("o_custkey").between(c_lo, c_hi - 1)
+           & F.col("o_orderkey").between(o_lo, o_hi - 1))
+    got = sorted(
+        spark.read.parquet(*sorted(both2)).filter(box)
+        .select("o_orderkey", "o_custkey", "o_totalprice").collect()
+    )
+    want = sorted(
+        orders.filter(box)
+        .select("o_orderkey", "o_custkey", "o_totalprice").collect()
+    )
+    assert got == want
+    # time travel: v1 still reads bit-identical to the base table
+    v1_rows = sorted(
+        spark.read.parquet(*[e["path"] for e in v[1]])
+        .select("o_orderkey", "o_custkey", "o_totalprice").collect()
+    )
+    base_rows = sorted(
+        orders.select("o_orderkey", "o_custkey", "o_totalprice").collect()
+    )
+    assert v1_rows == base_rows
+    # idempotence: a second call leaves both manifests untouched
+    m2 = open(os.path.join(base, "manifest_v2.json")).read()
+    sparkflow.QUERIES["maintenance_table_optimize_zorder"](spark, sf_small).count()
+    assert open(os.path.join(base, "manifest_v2.json")).read() == m2
