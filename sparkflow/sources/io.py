@@ -537,6 +537,13 @@ def maintenance_json_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+class CommitConflict(RuntimeError):
+    """Another writer committed this version first (optimistic-
+    concurrency loss). Subclasses RuntimeError so callers matching the
+    loud first-writer-wins error keep working; the CDC apply path
+    catches THIS type to retry-with-rebase on disjoint-file conflicts."""
+
+
 def _tv_commit(base: str, version: int, entries: list,
                extra: dict | None = None) -> None:
     """OPTIMISTIC-CONCURRENCY commit (the lakehouse ACID rule):
@@ -564,7 +571,7 @@ def _tv_commit(base: str, version: int, entries: list,
     try:
         os.link(tmp, final)
     except FileExistsError:
-        raise RuntimeError(
+        raise CommitConflict(
             f"concurrent commit: version {version} already exists — "
             "re-read the latest snapshot and retry the merge"
         ) from None
@@ -1204,24 +1211,64 @@ def _cdc_apply_batch(spark: SparkSession, base: str, version: int,
             .otherwise(F.col("last_seq")).alias("last_seq"),
         )
     )
-    out_dir = os.path.join(base, "data", f"v{version + 1}")
+    import uuid as _uuid
+
+    # Output dir is writer-unique (Delta/Iceberg GUID-named data files):
+    # two concurrent appliers must never clobber each other's staged
+    # bytes — only the manifest link decides who commits. A loser that
+    # ultimately errors leaves orphan debris, which vacuum collects.
+    out_dir = os.path.join(
+        base, "data", f"v{version + 1}_{_uuid.uuid4().hex[:8]}")
     (
         merged.repartitionByRange(max(1, len(rewrite)), "user_id")
         .write.mode("overwrite").parquet(out_dir)
     )
-    entries = reuse + _tv_with_stats(
+    fresh = _tv_with_stats(
         spark, sorted(_glob.glob(os.path.join(out_dir, "*.parquet"))),
         "user_id",
     )
-    _tv_commit(
-        base, version + 1, entries,
-        extra=None if batch_id is None else {
-            "batch_id": batch_id,
-            "max_batch_id": (batch_id if prev_max is None
-                             else max(batch_id, prev_max)),
-        },
+    band_paths = {e["path"] for e in rewrite}
+    for _ in range(5):  # bounded retry-with-rebase (r9 verdict item 4)
+        try:
+            _tv_commit(
+                base, version + 1, reuse + fresh,
+                extra=None if batch_id is None else {
+                    "batch_id": batch_id,
+                    "max_batch_id": (batch_id if prev_max is None
+                                     else max(batch_id, prev_max)),
+                },
+            )
+            return True
+        except CommitConflict:
+            # Rebase rule (Delta's conflict detection): our merged
+            # output stays valid iff the winner touched NO file in our
+            # key band — the common disjoint-writer case. Re-read the
+            # snapshot; if the band's file set is unchanged, re-aim the
+            # commit at the new head with reuse recomputed from it
+            # (picking up the winner's files); on true overlap, error.
+            latest = _tv_latest_version(base)
+            if batch_id is not None:
+                m = _cdc_max_applied_batch_id(base, latest)
+                if m is not None and batch_id <= m:
+                    return False  # the winner WAS this batch (replay race)
+                prev_max = m
+            snap = _tv_entries(base, latest)
+            snap_band = {e["path"] for e in snap
+                         if e["min_key"] <= hi_key and e["max_key"] >= lo_key}
+            if snap_band != band_paths:
+                raise CommitConflict(
+                    f"conflicting commit v{latest} rewrote files in key "
+                    f"band [{lo_key}, {hi_key}] — cannot rebase, re-run "
+                    "the merge on the new snapshot"
+                ) from None
+            reuse = [e for e in snap
+                     if not (e["min_key"] <= hi_key
+                             and e["max_key"] >= lo_key)]
+            version = latest
+    raise CommitConflict(
+        "retry-with-rebase exhausted after 5 attempts — contention too "
+        "high; re-run the merge"
     )
-    return True
 
 
 @register(

@@ -82,6 +82,56 @@ def test_topk_uses_take_ordered(spark, sf_small):
     assert "TakeOrderedAndProject" in formatted_plan(df)
 
 
+def test_topk_reads_through_bucket_family(spark, sf_small):
+    """r10 repoint (r9 verdict item 1): once the orderkey bucket family
+    is staged, limit_topk consumes it fact-first — both fact scans read
+    the bucketed copies, the 891 MB-at-sf10 fact exchange is gone, and
+    the (o_orderkey, o_orderdate) aggregate reuses the bucket
+    partitioning: ZERO shuffle exchanges on the AQE final plan (the
+    top-10 is TakeOrderedAndProject, not a sort exchange). Rows must
+    equal the cold shuffle shape's exactly."""
+    import re
+
+    from sparkflow.operators import joins as J
+
+    sparkflow.QUERIES["join_multiway_star_bucketed"](spark, sf_small).collect()
+    assert J._bucketed_table_if_exists(
+        spark, sf_small, "lineitem", "l_orderkey", 32) is not None
+    df = sparkflow.QUERIES["limit_topk"](spark, sf_small)
+    rows_warm = df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    fin = plan.split("== Initial Plan ==")[0]
+    assert "sparkflow_bucketed_lineitem" in fin, fin[:2000]
+    assert "sparkflow_bucketed_orders" in fin, fin[:2000]
+    assert "TakeOrderedAndProject" in fin
+    shuffles = [
+        ln for ln in fin.splitlines()
+        if re.search(r"\bExchange hashpartitioning", ln)
+        and "Reused" not in ln
+    ]
+    assert len(shuffles) == 0, shuffles
+    # identity vs the explicit shuffle shape (its own registered rung
+    # would read through too in this session, so rebuild it plainly)
+    from pyspark.sql import functions as F
+
+    from sparkflow.catalog import table
+    from sparkflow.oracle_compat import rev_sum
+
+    c = table(spark, sf_small, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING")
+    cold = (
+        c.join(table(spark, sf_small, "orders"),
+               c.c_custkey == F.col("o_custkey"))
+        .join(table(spark, sf_small, "lineitem"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(rev_sum("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+    assert sorted(map(tuple, rows_warm)) == sorted(map(tuple, cold.collect()))
+
+
 def test_semi_anti_plan_as_joins_not_subqueries(spark, sf_small):
     semi = formatted_plan(sparkflow.QUERIES["join_semi"](spark, sf_small))
     anti = formatted_plan(sparkflow.QUERIES["join_anti"](spark, sf_small))

@@ -1510,3 +1510,81 @@ def test_streaming_cdc_apply_one_version_per_batch(
     import pandas as pd
 
     pd.testing.assert_frame_equal(got, want[got.columns], check_dtype=False)
+
+
+def test_cdc_concurrent_disjoint_appliers_both_land(
+    spark, sf_small, tmp_path_factory
+):
+    """Retry-with-rebase (r9 verdict item 4): two appliers whose NET
+    batches touch DISJOINT file sets both land — the one that computed
+    against a stale snapshot hits the optimistic-concurrency conflict,
+    detects that the winner rewrote no file in its key band, and
+    re-aims its commit at the new head (reuse recomputed, the winner's
+    files referenced, its own merge output unchanged). Lineage stays
+    linear (v1→v2→v3), the final state equals the one-shot apply of the
+    combined net, and a TRUE overlap still errors loudly."""
+    import json
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    import sparkflow
+    from sparkflow.sources.io import (
+        CommitConflict,
+        _cdc_apply_batch,
+        _cdc_net,
+        _cdc_net_changelog,
+        _cdc_stage_v1,
+        _cdc_users_params,
+        _tv_entries,
+        _tv_latest_version,
+    )
+
+    base = str(tmp_path_factory.mktemp("cdc_race_table"))
+    base_ref = str(tmp_path_factory.mktemp("cdc_race_ref"))
+    cut, band_hi = _cdc_users_params(spark, sf_small)
+    _cdc_stage_v1(spark, sf_small, base, cut)
+    _cdc_stage_v1(spark, sf_small, base_ref, cut)
+
+    net = _cdc_net_changelog(spark, sf_small, cut, band_hi)
+    net_users = sorted(r[0] for r in net.select("user_id").collect())
+    assert len(net_users) >= 2, "fixture too small to split"
+    ents = sorted(_tv_entries(base, 1), key=lambda e: e["min_key"])
+    cut_a = next(
+        e["max_key"] for e in ents
+        if any(u <= e["max_key"] for u in net_users)
+        and any(u > e["max_key"] for u in net_users)
+    )
+    net_a = net.filter(F.col("user_id") <= cut_a).localCheckpoint()
+    net_b = net.filter(F.col("user_id") > cut_a).localCheckpoint()
+    lo_a, hi_a = (int(x) for x in net_a.agg(
+        F.min("user_id"), F.max("user_id")).first())
+    lo_b, hi_b = (int(x) for x in net_b.agg(
+        F.min("user_id"), F.max("user_id")).first())
+
+    # both appliers computed against v1; B commits first, A rebases
+    assert _cdc_apply_batch(spark, base, 1, net_b, lo_b, hi_b) is True
+    assert _cdc_apply_batch(spark, base, 1, net_a, lo_a, hi_a) is True
+    assert _tv_latest_version(base) == 3
+    for v in (1, 2, 3):
+        assert os.path.exists(os.path.join(base, f"manifest_v{v}.json")), v
+    # the rebased commit must reference the winner's files, not v1's
+    v2_new = {e["path"] for e in _tv_entries(base, 2)} - {
+        e["path"] for e in _tv_entries(base, 1)}
+    assert v2_new <= {e["path"] for e in _tv_entries(base, 3)}
+
+    # final state == one-shot apply of the combined net
+    lo, hi = (int(x) for x in net.agg(
+        F.min("user_id"), F.max("user_id")).first())
+    _cdc_apply_batch(spark, base_ref, 1, net, lo, hi)
+    got = sorted(map(tuple, spark.read.parquet(
+        *[e["path"] for e in _tv_entries(base, 3)]).collect()))
+    want = sorted(map(tuple, spark.read.parquet(
+        *[e["path"] for e in _tv_entries(base_ref, 2)]).collect()))
+    assert got == want
+
+    # TRUE overlap: a stale applier whose band files the winner rewrote
+    # must still fail loudly, never silently drop either commit
+    with pytest.raises(CommitConflict, match="cannot rebase"):
+        _cdc_apply_batch(spark, base, 1, net_b, lo_b, hi_b)
