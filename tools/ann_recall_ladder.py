@@ -82,6 +82,7 @@ def main():
                   file=sys.stderr)
             continue
         row = {}
+        print(f"# {tag}: brute force...", file=sys.stderr, flush=True)
         t0 = time.time()
         ids, top10 = brute(spark, sf)
         row["n_vecs"] = int(len(ids))
@@ -96,6 +97,7 @@ def main():
         true_q = set(top10[idx[0]])  # probe query is vec_id 0 by _query_row
         ivf = []
         for npb in NPROBES + [n_cells]:
+            print(f"# {tag}: ivf nprobe={npb}", file=sys.stderr, flush=True)
             t0 = time.time()
             got = set(llm_knn_ivf(spark, sf, npb).toPandas()["vec_id"])
             ivf.append({
@@ -113,6 +115,8 @@ def main():
 
         lsh = []
         for n_tables, n_bits in LSH_CONFIGS:
+            print(f"# {tag}: lsh {n_tables}x{n_bits}",
+                  file=sys.stderr, flush=True)
             t0 = time.time()
             df = llm_knn_all_pairs_lsh(spark, sf, n_tables, n_bits)
             pdf = df.toPandas()
