@@ -660,14 +660,18 @@ _KMEANS_K = 8
 _KMEANS_ITERS = 3
 
 
-def _kmeans_oracle(iters: int) -> str:
-    """Unrolled DuckDB twin of _kmeans (r8, same graduation as BPE/LSH/
-    IVF): centroids are EXACT RATIONALS S/n kept as (sum vector, count)
-    — never divided — and the assignment metric |v − S/n|² compares as
-    |n·v − S|²/n², an exact 128-bit integer numerator (HUGEINT here,
-    decimal(38,0) in Spark) over an int64 denominator, turned into one
-    deterministic IEEE division per candidate. MATERIALIZED per round
-    like the BPE oracle (each round's tables are referenced twice)."""
+def _kmeans_cte_sql(iters: int) -> str:
+    """Unrolled DuckDB twin of _kmeans's rounds (r8, same graduation as
+    BPE/LSH/IVF): centroids are EXACT RATIONALS S/n kept as (sum
+    vector, count) — never divided — and the assignment metric
+    |v − S/n|² compares as |n·v − S|²/n², an exact 128-bit integer
+    numerator (HUGEINT here, decimal(38,0) in Spark) over an int64
+    denominator, turned into one deterministic IEEE division per
+    candidate. MATERIALIZED per round like the BPE oracle (each round's
+    tables are referenced twice). Returns the WITH-clause prefix ending
+    at a{iters} (final assignment) / c{iters} (final cells), shared by
+    the llm_kmeans summary tail and the llm_knn_ivf_kmeans probe
+    tail."""
     parts = [f"""
 e AS (
   SELECT vec_id,
@@ -711,12 +715,61 @@ c{i} AS MATERIALIZED (
   FROM a{i} a JOIN flat f ON f.vec_id = a.vec_id
   GROUP BY a.cid, f.d
 )""")
-    return ("WITH " + ",".join(parts) + f"""
+    return "WITH " + ",".join(parts)
+
+
+def _kmeans_oracle(iters: int) -> str:
+    """Per-cluster (size, inertia) summary over the shared unrolled
+    rounds — the llm_kmeans tail."""
+    return _kmeans_cte_sql(iters) + f"""
 SELECT cid AS cluster_id,
        CAST(COUNT(*) AS BIGINT) AS n_vecs,
        CAST(SUM(num) AS DOUBLE) / CAST(MIN(n) * MIN(n) AS DOUBLE)
          / 1000000000000.0 AS inertia
-FROM a{iters} GROUP BY cid""")
+FROM a{iters} GROUP BY cid"""
+
+
+def _ivf_kmeans_oracle(iters: int, nprobe: int) -> str:
+    """IVF over the LEARNED codebook: rank the k-means cells by
+    query·sum-vector cosine (cosine is scale-invariant, so c{{iters}}'s
+    exact integer sum vector IS the mean direction — the same
+    graduation llm_knn_ivf made for label cells), probe the top
+    `nprobe`, exact-rescore the probed members with llm_knn_cosine's
+    integer formula. Every intermediate is an exact integer (HUGEINT
+    here, decimal(38,0) in Spark) until the one IEEE division per
+    candidate."""
+    return _kmeans_cte_sql(iters) + f""",
+q AS (
+  SELECT f.d, f.q AS qq FROM flat f
+  WHERE f.vec_id = {_SQL_QUERY_VEC_ID}
+),
+cellscore AS (
+  SELECT c.cid,
+         CAST(SUM(c.sv * q.qq) AS DOUBLE)
+           / (sqrt(CAST(SUM(c.sv * c.sv) AS DOUBLE))
+              * sqrt(CAST(SUM(q.qq * q.qq) AS DOUBLE))) AS cell_score
+  FROM c{iters} c JOIN q ON q.d = c.d
+  GROUP BY c.cid
+),
+probe AS (SELECT cid FROM cellscore
+          ORDER BY cell_score DESC, cid LIMIT {nprobe}),
+rescored AS (
+  SELECT f.vec_id, a.cid,
+         CAST(SUM(f.q * q.qq) AS DOUBLE) AS dot,
+         CAST(SUM(f.q * f.q) AS DOUBLE) AS n2
+  FROM a{iters} a
+  JOIN probe p ON p.cid = a.cid
+  JOIN flat f ON f.vec_id = a.vec_id
+  JOIN q ON q.d = f.d
+  WHERE a.vec_id <> {_SQL_QUERY_VEC_ID}
+  GROUP BY f.vec_id, a.cid
+)
+SELECT vec_id, cid AS cluster_id,
+       ROUND(dot / (sqrt(n2)
+             * sqrt((SELECT CAST(SUM(qq * qq) AS DOUBLE) FROM q))), 9)
+         AS cos_sim
+FROM rescored
+ORDER BY cos_sim DESC, vec_id LIMIT {_TOP_K}"""
 
 
 @register("llm_kmeans", oracle=_kmeans_oracle(3))
@@ -751,6 +804,26 @@ def llm_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _kmeans(spark: SparkSession, sf_dir: str, iters: int) -> DataFrame:
+    assigned, _ = _kmeans_state(spark, sf_dir, iters)
+    return (
+        assigned.groupBy(F.col("cid").alias("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            (
+                F.sum("num").cast("double")
+                / (F.min("n") * F.min("n")).cast("double")
+                / F.lit(1000000000000.0)
+            ).alias("inertia"),
+        )
+    )
+
+
+def _kmeans_state(spark: SparkSession, sf_dir: str, iters: int):
+    """(assigned, cells) after `iters` Lloyd rounds — the final
+    assignment frame (vec_id, qv, cid, n, num) and the cells derived
+    FROM it (cid, n, S sum vector): the a{iters}/c{iters} pair the
+    oracle unrolls. Shared by llm_kmeans (summary tail) and
+    llm_knn_ivf_kmeans (probe tail)."""
     e = table(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.transform(
@@ -808,29 +881,129 @@ def _kmeans(spark: SparkSession, sf_dir: str, iters: int) -> DataFrame:
             F.col("m.n").alias("n"),
             F.col("m.num").alias("num"),
         )
-        cells = (
-            assigned.select("cid", F.posexplode("qv").alias("dim", "q"))
-            .groupBy("cid", "dim")
-            .agg(F.count(F.lit(1)).alias("cnt"), F.sum("q").alias("sv"))
-            .groupBy("cid")
-            .agg(
-                F.max("cnt").alias("n"),
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("dim", "sv"))),
-                    lambda s: s.sv,
-                ).alias("S"),
-            )
-        )
+        cells = _cells_from_assigned(assigned)
+    return assigned, cells
+
+
+def _cells_from_assigned(assigned: DataFrame) -> DataFrame:
+    """The Lloyd UPDATE step: exact-rational (n, S sum vector) cells
+    from an assignment frame — posexplode to (cluster, dim) partial
+    sums, no driver assembly. Shared by the _kmeans_state loop and
+    llm_knn_ivf_kmeans's rebuild over the checkpointed assignment."""
     return (
-        assigned.groupBy(F.col("cid").alias("cluster_id"))
+        assigned.select("cid", F.posexplode("qv").alias("dim", "q"))
+        .groupBy("cid", "dim")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("q").alias("sv"))
+        .groupBy("cid")
         .agg(
-            F.count(F.lit(1)).alias("n_vecs"),
-            (
-                F.sum("num").cast("double")
-                / (F.min("n") * F.min("n")).cast("double")
-                / F.lit(1000000000000.0)
-            ).alias("inertia"),
+            F.max("cnt").alias("n"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "sv"))),
+                lambda s: s.sv,
+            ).alias("S"),
         )
+    )
+
+
+_IVF_KMEANS_NPROBE = 3
+
+
+@register(
+    "llm_knn_ivf_kmeans",
+    oracle=_ivf_kmeans_oracle(_KMEANS_ITERS, _IVF_KMEANS_NPROBE),
+)
+def llm_knn_ivf_kmeans(
+    spark: SparkSession, sf_dir: str, nprobe: int = _IVF_KMEANS_NPROBE
+) -> DataFrame:
+    """IVF over a LEARNED codebook — llm_knn_ivf with the k-means cells
+    (llm_kmeans's final assignment) in place of the label column. This
+    is the composition the 10× recall ladder motivates (SCALE.md r10):
+    the label-as-codebook quantizer's recall-per-fraction degrades when
+    the cells stop tracking the data's directions; a learned codebook
+    is the production IVF answer, and this key makes the engine's own
+    k-means BE that codebook, end-to-end exact.
+
+    Plan shape at 100 TB: the codebook is k rows (broadcast); cell
+    ranking is a k×64 aggregate; only the probed cells' members are
+    exploded and rescored (the member explode happens AFTER the
+    broadcast semi-join on probed cids, so the scan of (n/k)·nprobe
+    vectors is the cost — the same inverted-list pruning as the label
+    variant, but against learned lists). Exact oracle: cells rank by
+    query·sum-vector cosine over exact integers (scale-invariance of
+    cosine = the same no-division graduation as llm_knn_ivf), rescore
+    is llm_knn_cosine's integer formula; assignment rounds unroll in
+    SQL via _kmeans_cte_sql."""
+    assigned, _ = _kmeans_state(spark, sf_dir, _KMEANS_ITERS)
+    # Train once, reuse: the probe path references the assignment twice
+    # (cells for ranking, member lists for rescoring); without
+    # materialization the lazy 3-round DAG re-executes per reference.
+    # Checkpoint the ASSIGNMENT only and rebuild cells from it (one
+    # aggregate) so the training plan runs exactly once — the
+    # production IVF posture anyway: the codebook is an artifact you
+    # build once, not part of the query.
+    assigned = assigned.localCheckpoint(eager=False)
+    cells = _cells_from_assigned(assigned)
+    qid, qi = _query_row(spark, sf_dir)
+    qf = (
+        table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == qid)
+        .select(
+            F.posexplode(
+                F.transform(
+                    "embedding",
+                    lambda x: F.floor(x.cast("double") * _FXP + 0.5).cast(
+                        "long"
+                    ),
+                )
+            ).alias("dim", "qq")
+        )
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")
+    cellflat = cells.select("cid", F.posexplode("S").alias("dim", "sv"))
+    probe = (
+        cellflat.join(F.broadcast(qf), "dim")
+        .groupBy("cid")
+        .agg(
+            (
+                F.sum(dec("sv") * F.col("qq")).cast("double")
+                / (
+                    F.sqrt(F.sum(dec("sv") * F.col("sv")).cast("double"))
+                    * F.sqrt(F.sum(F.col("qq") * F.col("qq")).cast("double"))
+                )
+            ).alias("cell_score")
+        )
+        .orderBy(F.col("cell_score").desc(), "cid")
+        .limit(nprobe)
+        .select("cid")
+    )
+    qn2 = int((qi.astype(object) * qi.astype(object)).sum())  # exact int
+    mem_flat = (
+        assigned.join(F.broadcast(probe), "cid")  # pruned lists at scale
+        .filter(F.col("vec_id") != qid)
+        .select("vec_id", "cid", F.posexplode("qv").alias("dim", "qval"))
+    )
+    rescored = (
+        mem_flat.join(F.broadcast(qf), "dim")
+        .groupBy("vec_id", "cid")
+        .agg(
+            F.sum(F.col("qval") * F.col("qq")).alias("dot"),
+            F.sum(F.col("qval") * F.col("qval")).alias("n2"),
+        )
+    )
+    cos = F.round(
+        F.col("dot").cast("double")
+        / (
+            F.sqrt(F.col("n2").cast("double"))
+            * F.sqrt(F.lit(qn2).cast("double"))
+        ),
+        9,
+    )
+    return (
+        rescored.select(
+            "vec_id", F.col("cid").alias("cluster_id"), cos.alias("cos_sim")
+        )
+        .orderBy(F.col("cos_sim").desc(), "vec_id")
+        .limit(_TOP_K)
     )
 
 

@@ -898,3 +898,27 @@ def test_cut_spans_edits_are_consistent(spark, sf_small):
         a_toks = docs[pa["doc_a"]].split(" ")
         sa = int(pa["start_a"])
         assert a_toks[sa:sa + cl] == removed
+
+
+def test_ivf_kmeans_recall_and_full_probe_exact(spark, sf_small):
+    """llm_knn_ivf_kmeans (r10): the learned-codebook IVF must (a) at
+    the default nprobe=3 of k=8 cells find a substantial share of the
+    true top-10, (b) reproduce brute force EXACTLY when probing every
+    cell (recall 1.0 — no approximation left), and (c) actually prune
+    at nprobe=1 (strictly worse than full probe). Same three-leg
+    structure as the label-IVF test; the codebook here is the engine's
+    own k-means assignment."""
+    from sparkflow.llm.similarity import _KMEANS_K, llm_knn_ivf_kmeans
+
+    ids, top10 = _brute_force(spark, sf_small)
+    true_top = set(top10[list(ids).index(0)])
+
+    def recall(nprobe):
+        got = llm_knn_ivf_kmeans(spark, sf_small, nprobe).toPandas()
+        return len(set(got["vec_id"]) & true_top) / 10.0
+
+    r1, r3, rall = recall(1), recall(3), recall(_KMEANS_K)
+    assert rall == 1.0, f"full probe must equal brute force, got {rall}"
+    assert r1 <= r3 <= rall, f"recall not monotone: {r1} {r3} {rall}"
+    assert r1 < rall, "nprobe=1 matched full probe — pruning is a no-op"
+    assert r3 >= 0.5, f"kmeans-IVF recall at nprobe=3: {r3}"
