@@ -1504,6 +1504,113 @@ def maintenance_table_optimize_zorder(spark: SparkSession, sf_dir: str) -> DataF
 
 
 @register(
+    "maintenance_table_optimize_zorder_incremental",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    UNION ALL
+    SELECT o_orderkey + (SELECT MAX(o_orderkey) - MIN(o_orderkey) + 1
+                         FROM orders) AS o_orderkey,
+           o_custkey,
+           o_totalprice + 1.0 AS o_totalprice
+    FROM orders WHERE o_orderkey % 7 = 0
+    """,
+)
+def maintenance_table_optimize_zorder_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """INCREMENTAL Z-order clustering — the reason full-table OPTIMIZE
+    ZORDER cannot be the steady-state maintenance plan at 100 TB: every
+    append lands unclustered files, and re-sorting the WHOLE table per
+    pass costs O(table) when only O(append) is dirty. This operator is
+    the Delta Liquid-Clustering / auto-OPTIMIZE shape: the manifest
+    tags each file `clustered`; the incremental pass selects its
+    victims from the MANIFEST ALONE (the unclustered tail), Z-sorts
+    only those rows with grid bounds derived from the victims' own
+    stats, and commits a version that reuses every already-clustered
+    file by reference.
+
+    Versions: v1/v2 = the full-optimize staging above; v3 = APPEND of
+    re-keyed rows (orderkey shifted past the span, price +1.0 — a
+    deterministic synthetic ingest the oracle mirrors relationally) as
+    4 round-robin files (wide stats — the debris any streaming sink
+    leaves); v4 = incremental cluster: v2's 16 z-files reused
+    BY REFERENCE, only the 4 appended files rewritten. Pytest pins the
+    incrementality (v2 paths ⊂ v4 paths; appended paths absent), the
+    pruning (a base-band 2-D box on v4 stats skips every appended file
+    and beats either single dimension), rows preserved across v3→v4,
+    and time travel to v3. Oracle: base ∪ appended rows — clustering
+    may move every byte of the tail but change none."""
+    import glob as _glob
+
+    from ..operators.sort_set import _morton16
+
+    base = _stage_zorder_optimized(spark, sf_dir)
+    cols = ["o_orderkey", "o_custkey", "o_totalprice"]
+    if not os.path.exists(os.path.join(base, "manifest_v3.json")):
+        v2 = _tv_entries(base, 2)
+        # span from the manifest (metadata-only), mirrors the oracle's
+        # MAX(o_orderkey) - MIN(o_orderkey) + 1 over the base table
+        span = (max(e["max_key2"] for e in v2)
+                - min(e["min_key2"] for e in v2) + 1)
+        append_dir = os.path.join(base, "data", "v3_append")
+        (
+            table(spark, sf_dir, "orders")
+            .filter(F.col("o_orderkey") % 7 == 0)
+            .select(
+                (F.col("o_orderkey") + F.lit(span)).alias("o_orderkey"),
+                "o_custkey",
+                (F.col("o_totalprice") + F.lit(1.0)).alias("o_totalprice"),
+            )
+            .repartition(4)  # round-robin: deliberately unclustered
+            .write.mode("overwrite").parquet(append_dir)
+        )
+        fresh = _tv_with_stats2(
+            spark, sorted(_glob.glob(os.path.join(append_dir, "*.parquet"))),
+            "o_custkey", "o_orderkey")
+        for e in v2:
+            e["clustered"] = True
+        for e in fresh:
+            e["clustered"] = False
+        _tv_commit(base, 3, v2 + fresh)
+    if not os.path.exists(os.path.join(base, "manifest_v4.json")):
+        v3 = _tv_entries(base, 3)
+        victims = [e for e in v3 if not e.get("clustered")]
+        keep = [e for e in v3 if e.get("clustered")]
+        # grid bounds from the victims' own stats — the incremental
+        # pass never reads (or even lists) the clustered files
+        cmin = min(e["min_key"] for e in victims)
+        cmax = max(e["max_key"] for e in victims)
+        omin = min(e["min_key2"] for e in victims)
+        omax = max(e["max_key2"] for e in victims)
+        zx = F.floor(
+            (F.col("o_custkey") - F.lit(cmin)) * 256.0
+            / F.lit(cmax - cmin + 1)
+        ).cast("long")
+        zy = F.floor(
+            (F.col("o_orderkey") - F.lit(omin)) * 256.0
+            / F.lit(omax - omin + 1)
+        ).cast("long")
+        v4_dir = os.path.join(base, "data", "v4")
+        (
+            spark.read.parquet(*[e["path"] for e in victims])
+            .withColumn("zx", zx).withColumn("zy", zy)
+            .withColumn("z", F.expr(_morton16("zx", "zy")))
+            .repartitionByRange(4, "z")
+            .sortWithinPartitions("z")
+            .drop("zx", "zy", "z")
+            .write.mode("overwrite").parquet(v4_dir)
+        )
+        fresh = _tv_with_stats2(
+            spark, sorted(_glob.glob(os.path.join(v4_dir, "*.parquet"))),
+            "o_custkey", "o_orderkey")
+        for e in fresh:
+            e["clustered"] = True
+        _tv_commit(base, 4, keep + fresh)
+    latest = [e["path"] for e in _tv_entries(base, 4)]
+    return spark.read.parquet(*latest).select(*cols)
+
+
+@register(
     "scan_metadata_columns",
     oracle="""
     SELECT CASE WHEN event_id < (SELECT MIN(event_id) + 3000 FROM events)

@@ -966,3 +966,65 @@ spark.stop()
     assert res["n"] == len(want), (res, len(want))
     assert res["n_distinct"] == len(want), "duplicated rows after retry"
     assert res["lo"] == want[0] and res["hi"] == want[-1]
+
+
+def test_optimize_zorder_incremental_rewrites_only_the_tail(spark, sf_small):
+    """maintenance_table_optimize_zorder_incremental: the incremental
+    pass must reuse every already-clustered file BY REFERENCE (v2's
+    z-files all present in v4), rewrite ONLY the appended unclustered
+    files (their paths absent from v4), preserve rows across v3→v4
+    (clustering moves bytes, never rows), keep time travel to v3, and
+    keep the 2-D skipping property: a base-band quarter-box on v4's
+    stats hits no appended-tail file and strictly beats either single
+    dimension. (The driver oracle separately reproves full content =
+    base ∪ appended.)"""
+    import json
+    import os
+
+    import sparkflow
+    from pyspark.sql import functions as F
+    from sparkflow.catalog import table
+    from sparkflow.sources.io import _TMP
+
+    df = sparkflow.QUERIES[
+        "maintenance_table_optimize_zorder_incremental"](spark, sf_small)
+    sfkey = sf_small.rstrip("/").rsplit("/", 1)[-1]
+    base = os.path.join(_TMP, "table_optimize_zorder",
+                        spark.sparkContext.applicationId, f"orders_{sfkey}")
+    v = {}
+    for n in (2, 3, 4):
+        with open(os.path.join(base, f"manifest_v{n}.json")) as fh:
+            v[n] = json.load(fh)["files"]
+    paths = {n: {e["path"] for e in v[n]} for n in v}
+    appended = paths[3] - paths[2]
+    assert appended, "staging appended no files"
+    # incrementality: clustered files reused, tail rewritten
+    assert paths[2] <= paths[4], "a clustered file was rewritten"
+    assert not (appended & paths[4]), "an unclustered file was reused"
+    # rows preserved across the cluster pass
+    n3 = spark.read.parquet(*sorted(paths[3])).count()
+    assert df.count() == n3
+    # every v4 entry is now clustered
+    assert all(e.get("clustered") for e in v[4])
+    # 2-D skipping on the committed v4 stats, base-band box
+    orders = table(spark, sf_small, "orders")
+    cmin, cmax, omin, omax = orders.agg(
+        F.min("o_custkey"), F.max("o_custkey"),
+        F.min("o_orderkey"), F.max("o_orderkey"),
+    ).first()
+    c_lo, c_hi = cmin + (cmax - cmin + 1) // 4, cmin + (cmax - cmin + 1) // 2
+    o_lo, o_hi = omin + (omax - omin + 1) // 4, omin + (omax - omin + 1) // 2
+    c_hit = {e["path"] for e in v[4]
+             if e["min_key"] <= c_hi - 1 and e["max_key"] >= c_lo}
+    o_hit = {e["path"] for e in v[4]
+             if e["min_key2"] <= o_hi - 1 and e["max_key2"] >= o_lo}
+    both = c_hit & o_hit
+    tail_v4 = paths[4] - paths[2]
+    assert not (both & tail_v4), "base-band box hit an appended-tail file"
+    assert len(both) < len(c_hit) and len(both) < len(o_hit), (
+        len(both), len(c_hit), len(o_hit))
+    # idempotence
+    m4 = open(os.path.join(base, "manifest_v4.json")).read()
+    sparkflow.QUERIES[
+        "maintenance_table_optimize_zorder_incremental"](spark, sf_small).count()
+    assert open(os.path.join(base, "manifest_v4.json")).read() == m4
