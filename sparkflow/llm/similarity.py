@@ -907,6 +907,38 @@ def _cells_from_assigned(assigned: DataFrame) -> DataFrame:
 
 _IVF_KMEANS_NPROBE = 3
 
+# (session id, sf_dir) -> (weakref(session), checkpointed assignment
+# DataFrame). One codebook training per (session, corpus): repeated
+# invocations (bench loops, recall sweeps) reuse the SAME checkpointed
+# assignment instead of stacking a fresh localCheckpoint's storage
+# blocks on the executors per call — the leak ADVICE r10 flagged. The
+# weakref callback drops the entry when the session is GC'd.
+_IVF_KMEANS_ASSIGN_CACHE: dict = {}
+
+
+def _ivf_kmeans_assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The k-means assignment frame, trained once per (session, corpus)
+    and localCheckpoint'ed so the probe path's two references (cell
+    ranking, member rescoring) never re-run the Lloyd rounds. Memoized:
+    the checkpoint is a session-lifetime artifact (a codebook), not a
+    per-query allocation."""
+    import weakref
+
+    memo_key = (id(spark), sf_dir.rstrip("/"))
+    hit = _IVF_KMEANS_ASSIGN_CACHE.get(memo_key)
+    if hit is not None and hit[0]() is spark:
+        return hit[1]
+    assigned, _ = _kmeans_state(spark, sf_dir, _KMEANS_ITERS)
+    assigned = assigned.localCheckpoint(eager=False)
+    _IVF_KMEANS_ASSIGN_CACHE[memo_key] = (
+        weakref.ref(
+            spark,
+            lambda _, k=memo_key: _IVF_KMEANS_ASSIGN_CACHE.pop(k, None),
+        ),
+        assigned,
+    )
+    return assigned
+
 
 @register(
     "llm_knn_ivf_kmeans",
@@ -933,15 +965,15 @@ def llm_knn_ivf_kmeans(
     cosine = the same no-division graduation as llm_knn_ivf), rescore
     is llm_knn_cosine's integer formula; assignment rounds unroll in
     SQL via _kmeans_cte_sql."""
-    assigned, _ = _kmeans_state(spark, sf_dir, _KMEANS_ITERS)
     # Train once, reuse: the probe path references the assignment twice
     # (cells for ranking, member lists for rescoring); without
     # materialization the lazy 3-round DAG re-executes per reference.
     # Checkpoint the ASSIGNMENT only and rebuild cells from it (one
     # aggregate) so the training plan runs exactly once — the
     # production IVF posture anyway: the codebook is an artifact you
-    # build once, not part of the query.
-    assigned = assigned.localCheckpoint(eager=False)
+    # build once, not part of the query. Memoized per (session, corpus)
+    # so repeat calls share one checkpoint (no storage-block buildup).
+    assigned = _ivf_kmeans_assigned(spark, sf_dir)
     cells = _cells_from_assigned(assigned)
     qid, qi = _query_row(spark, sf_dir)
     qf = (

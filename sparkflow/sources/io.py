@@ -560,11 +560,20 @@ def _tv_commit(base: str, version: int, entries: list,
     mechanism that makes schema changes METADATA-ONLY commits)."""
     import json as _json
 
+    import uuid as _uuid
+
     man = {"version": version,
            "files": sorted(entries, key=lambda e: e["path"])}
     if extra:
         man.update(extra)
-    tmp = os.path.join(base, f".manifest_v{version}.tmp")
+    # The tmp name must be WRITER-UNIQUE: with a shared
+    # .manifest_v{N}.tmp, contender B could overwrite A's tmp between
+    # A's write and A's os.link, making A publish B's entries while
+    # reporting success (silent batch loss), and the loser's unlink
+    # could raise FileNotFoundError instead of CommitConflict. A uuid
+    # suffix keeps os.link onto manifest_v{N}.json the ONLY contention
+    # point.
+    tmp = os.path.join(base, f".manifest_v{version}.{_uuid.uuid4().hex}.tmp")
     with open(tmp, "w", encoding="utf-8") as fh:
         _json.dump(man, fh)
     final = os.path.join(base, f"manifest_v{version}.json")
@@ -576,7 +585,10 @@ def _tv_commit(base: str, version: int, entries: list,
             "re-read the latest snapshot and retry the merge"
         ) from None
     finally:
-        os.unlink(tmp)
+        try:
+            os.unlink(tmp)
+        except FileNotFoundError:
+            pass
 
 
 def _tv_entries(base: str, version: int) -> list:
@@ -1125,16 +1137,23 @@ def _cdc_stage_v1(spark: SparkSession, sf_dir: str, base: str,
     return min(e["min_key"] for e in v1)
 
 
-def _cdc_max_applied_batch_id(base: str, version: int):
-    """High-water mark of applied batch_ids as of `version` (None if no
-    batch was ever applied). Each CDC commit records the carried-forward
-    `max_batch_id` (Delta txnAppId/txnVersion style), so the replay
-    check reads ONE manifest — O(1) per micro-batch instead of parsing
-    every manifest_v*.json (O(V) reads per commit, O(V^2) over a long
-    stream). Batch ids are monotonic (Structured Streaming's contract),
-    so `batch_id <= max` ⇔ already applied. If a non-CDC commit (e.g.
-    OPTIMIZE) interleaved and dropped the mark, walk back until a marked
-    manifest — bounded by the gap length, not the version count."""
+def _cdc_max_applied_batch_ids(base: str, version: int) -> dict:
+    """High-water marks of applied batch_ids as of `version`, PER
+    WRITER ({writer_id: max_batch_id}; empty if no batch was ever
+    applied). Each CDC commit records the carried-forward
+    `max_batch_ids` dict (Delta scopes its transactional ledger by
+    txnAppId for exactly this reason), so the replay check reads ONE
+    manifest — O(1) per micro-batch instead of parsing every
+    manifest_v*.json (O(V) reads per commit, O(V^2) over a long
+    stream). Batch ids are monotonic PER WRITER (Structured Streaming's
+    contract for one query's foreachBatch ids), so `batch_id <=
+    marks[writer]` ⇔ already applied BY THAT WRITER — two CDC streams
+    with independent batch-id sequences writing disjoint bands of the
+    same table never shadow each other's ledger. Legacy single-mark
+    manifests (`max_batch_id`/`batch_id`) read as the "default" writer.
+    If a non-CDC commit (e.g. OPTIMIZE) interleaved and dropped the
+    mark, walk back until a marked manifest — bounded by the gap
+    length, not the version count."""
     import json as _json
 
     for v in range(version, 0, -1):
@@ -1143,16 +1162,25 @@ def _cdc_max_applied_batch_id(base: str, version: int):
             continue
         with open(p, encoding="utf-8") as fh:
             man = _json.load(fh)
+        if "max_batch_ids" in man:
+            return dict(man["max_batch_ids"])
         if "max_batch_id" in man:
-            return man["max_batch_id"]
+            return {"default": man["max_batch_id"]}
         if "batch_id" in man:  # pre-high-water-mark manifests
-            return man["batch_id"]
-    return None
+            return {"default": man["batch_id"]}
+    return {}
+
+
+def _cdc_max_applied_batch_id(base: str, version: int,
+                              writer_id: str = "default"):
+    """One writer's high-water mark (None if that writer never
+    committed) — thin per-writer view over _cdc_max_applied_batch_ids."""
+    return _cdc_max_applied_batch_ids(base, version).get(writer_id)
 
 
 def _cdc_apply_batch(spark: SparkSession, base: str, version: int,
                      net: DataFrame, lo_key: int, hi_key: int,
-                     batch_id=None) -> bool:
+                     batch_id=None, writer_id: str = "default") -> bool:
     """MERGE one NET change batch (user_id, op, value, event_id; one row
     per key) into table version `version`, committing `version + 1`.
     Only files whose (min_key, max_key) stats intersect [lo_key, hi_key]
@@ -1168,12 +1196,19 @@ def _cdc_apply_batch(spark: SparkSession, base: str, version: int,
     at-least-once delivery of the last batch, and this transactional-id
     check (Delta's txnAppId/txnVersion pattern) is what turns that into
     exactly-once table state instead of a concurrent-commit error.
+    The ledger is scoped PER WRITER (`writer_id` ≙ Delta's txnAppId):
+    two independent CDC streams with their own batch-id sequences
+    writing disjoint bands of one table compare only against their OWN
+    high-water mark — one stream's higher ids never misreport the
+    other's never-applied batch as a replay.
     Returns True if a commit happened, False for a recognized replay."""
     import glob as _glob
 
+    marks = {}
     prev_max = None
     if batch_id is not None:
-        prev_max = _cdc_max_applied_batch_id(base, version)
+        marks = _cdc_max_applied_batch_ids(base, version)
+        prev_max = marks.get(writer_id)
         if prev_max is not None and batch_id <= prev_max:
             return False
     prev = _tv_entries(base, version)
@@ -1230,12 +1265,18 @@ def _cdc_apply_batch(spark: SparkSession, base: str, version: int,
     band_paths = {e["path"] for e in rewrite}
     for _ in range(5):  # bounded retry-with-rebase (r9 verdict item 4)
         try:
+            new_mark = (batch_id if prev_max is None
+                        else max(batch_id, prev_max))
             _tv_commit(
                 base, version + 1, reuse + fresh,
                 extra=None if batch_id is None else {
                     "batch_id": batch_id,
-                    "max_batch_id": (batch_id if prev_max is None
-                                     else max(batch_id, prev_max)),
+                    "writer_id": writer_id,
+                    # carry EVERY writer's mark forward so the next
+                    # commit's O(1) read sees the full ledger
+                    "max_batch_ids": {**marks, writer_id: new_mark},
+                    # legacy single-writer key, kept for old readers
+                    "max_batch_id": new_mark,
                 },
             )
             return True
@@ -1248,7 +1289,8 @@ def _cdc_apply_batch(spark: SparkSession, base: str, version: int,
             # (picking up the winner's files); on true overlap, error.
             latest = _tv_latest_version(base)
             if batch_id is not None:
-                m = _cdc_max_applied_batch_id(base, latest)
+                marks = _cdc_max_applied_batch_ids(base, latest)
+                m = marks.get(writer_id)
                 if m is not None and batch_id <= m:
                     return False  # the winner WAS this batch (replay race)
                 prev_max = m

@@ -1588,3 +1588,80 @@ def test_cdc_concurrent_disjoint_appliers_both_land(
     # must still fail loudly, never silently drop either commit
     with pytest.raises(CommitConflict, match="cannot rebase"):
         _cdc_apply_batch(spark, base, 1, net_b, lo_b, hi_b)
+
+
+def test_cdc_ledger_scoped_per_writer(spark, sf_small, tmp_path_factory):
+    """ADVICE r10: the replay ledger must be scoped PER WRITER (Delta's
+    txnAppId). Two CDC streams with INDEPENDENT batch-id sequences write
+    disjoint bands of one table: after stream A commits its batch 5,
+    stream B's never-applied batch 0 must still LAND (the table-global
+    ledger would see 0 <= 5 and silently drop it as a replay), while a
+    true replay of each writer's own last batch id is still recognized.
+    The carried-forward {writer: max} dict keeps the check O(1)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from sparkflow.sources.io import (
+        _cdc_apply_batch,
+        _cdc_max_applied_batch_ids,
+        _cdc_net_changelog,
+        _cdc_stage_v1,
+        _cdc_users_params,
+        _tv_entries,
+        _tv_latest_version,
+    )
+
+    base = str(tmp_path_factory.mktemp("cdc_writers_table"))
+    cut, band_hi = _cdc_users_params(spark, sf_small)
+    _cdc_stage_v1(spark, sf_small, base, cut)
+
+    net = _cdc_net_changelog(spark, sf_small, cut, band_hi)
+    net_users = sorted(r[0] for r in net.select("user_id").collect())
+    assert len(net_users) >= 2, "fixture too small to split"
+    ents = sorted(_tv_entries(base, 1), key=lambda e: e["min_key"])
+    cut_a = next(
+        e["max_key"] for e in ents
+        if any(u <= e["max_key"] for u in net_users)
+        and any(u > e["max_key"] for u in net_users)
+    )
+    net_a = net.filter(F.col("user_id") <= cut_a).localCheckpoint()
+    net_b = net.filter(F.col("user_id") > cut_a).localCheckpoint()
+    lo_a, hi_a = (int(x) for x in net_a.agg(
+        F.min("user_id"), F.max("user_id")).first())
+    lo_b, hi_b = (int(x) for x in net_b.agg(
+        F.min("user_id"), F.max("user_id")).first())
+
+    # writer A is already at batch 5 when writer B's batch 0 arrives
+    assert _cdc_apply_batch(
+        spark, base, 1, net_a, lo_a, hi_a,
+        batch_id=5, writer_id="stream-a",
+    ) is True
+    # the regression ADVICE flagged: under a table-global ledger this
+    # returns False (0 <= 5) and B's batch is silently lost
+    assert _cdc_apply_batch(
+        spark, base, _tv_latest_version(base), net_b, lo_b, hi_b,
+        batch_id=0, writer_id="stream-b",
+    ) is True
+    assert _tv_latest_version(base) == 3
+
+    # both writers' marks carried forward in ONE manifest (O(1) read)
+    marks = _cdc_max_applied_batch_ids(base, 3)
+    assert marks == {"stream-a": 5, "stream-b": 0}
+
+    # each writer's OWN replay is still recognized...
+    assert _cdc_apply_batch(
+        spark, base, 3, net_a, lo_a, hi_a,
+        batch_id=5, writer_id="stream-a",
+    ) is False
+    assert _cdc_apply_batch(
+        spark, base, 3, net_b, lo_b, hi_b,
+        batch_id=0, writer_id="stream-b",
+    ) is False
+    assert _tv_latest_version(base) == 3
+    # ...and each writer's next batch id still advances its own mark
+    assert _cdc_apply_batch(
+        spark, base, 3, net_b, lo_b, hi_b,
+        batch_id=1, writer_id="stream-b",
+    ) is True
+    assert _cdc_max_applied_batch_ids(base, 4) == {
+        "stream-a": 5, "stream-b": 1}

@@ -94,7 +94,9 @@ def main():
         row["n_cells"] = n_cells
 
         # --- IVF: single-query recall@10 (query = _query_row's vec) ---
-        true_q = set(top10[idx[0]])  # probe query is vec_id 0 by _query_row
+        # _query_row probes MIN(vec_id), which is only 0 on corpora whose
+        # ids start at 0 — index by the actual minimum, not position 0.
+        true_q = set(top10[idx[int(ids.min())]])
         ivf = []
         for npb in NPROBES + [n_cells]:
             print(f"# {tag}: ivf nprobe={npb}", file=sys.stderr, flush=True)
