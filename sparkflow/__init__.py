@@ -27,6 +27,7 @@ from .operators import sort_set  # noqa: F401  (§2.6 sort/limit, §2.7 set ops)
 from .operators import sql_surface  # noqa: F401  (spark.sql API surface)
 from .sources import io  # noqa: F401  (§2.1 sources & sinks)
 from .streaming import analogs, stateful  # noqa: F401  (§2.9 streaming)
+from .streaming import cep  # noqa: F401  (§2.9 CEP pattern combinator, r11)
 from .functions import scalar  # noqa: F401  (§2.8 scalar functions)
 from .functions import udfs  # noqa: F401  (§2.10 UDF surface)
 from .operators import graph  # noqa: F401  (iterative graph analytics — joins-heavy)

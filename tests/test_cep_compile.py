@@ -1,0 +1,243 @@
+"""The CEP pattern combinator (sparkflow/streaming/cep.py) — r10
+verdict item 2. The load-bearing claims:
+
+1. GENERALITY: the three hand-written CEP rungs (stream_cep_funnel /
+   _negation / _times) are each re-expressible as a declarative
+   pattern whose compiled output equals the hand rung row-for-row —
+   the compiler subsumes everything the rungs demonstrated.
+2. `next` (strict contiguity) matches an independent lag-based
+   formulation, and a times(...).consecutive form matches the strict
+   expansion — the two contiguities genuinely differ on real data.
+3. Greedy-dominance exactness: compiled matches equal a brute-force
+   chain enumeration on a fixture small enough to enumerate.
+4. The builder refuses the constructs it cannot compile exactly
+   (mid-pattern negation, quantified negation, steps after negation).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+import sparkflow  # noqa: F401  (registers the rungs)
+from sparkflow.catalog import table
+from sparkflow.registry import QUERIES
+from sparkflow.streaming.cep import CepPattern, _duration_us
+
+
+def _pdf(df, cols):
+    return (
+        df.select(*cols)
+        .toPandas()
+        .sort_values(cols)
+        .reset_index(drop=True)
+    )
+
+
+def test_compiled_funnel_equals_hand_rung(spark, sf_small):
+    pat = (
+        CepPattern.begin("view", F.col("event_type") == "view")
+        .followed_by("click", F.col("event_type") == "click")
+        .followed_by("purchase", F.col("event_type") == "purchase")
+        .within("24 hours")
+    )
+    got = pat.compile(table(spark, sf_small, "events")).select(
+        "user_id",
+        F.col("match_id").alias("purchase_id"),
+        F.col("match_ts").alias("purchase_ts"),
+        F.col("start_ts").alias("funnel_open_ts"),
+    )
+    want = QUERIES["stream_cep_funnel"](spark, sf_small)
+    cols = ["user_id", "purchase_id", "purchase_ts", "funnel_open_ts"]
+    g, w = _pdf(got, cols), _pdf(want, cols)
+    assert len(g) > 0, "degenerate fixture: funnel matched nothing"
+    pd.testing.assert_frame_equal(g, w)
+
+
+def test_compiled_negation_equals_hand_rung(spark, sf_small):
+    pat = CepPattern.begin(
+        "view", F.col("event_type") == "view"
+    ).not_followed_by(
+        "purchase", F.col("event_type") == "purchase", within="1 hour"
+    )
+    got = pat.compile(table(spark, sf_small, "events")).select(
+        "user_id",
+        F.col("match_id").alias("view_id"),
+        F.col("match_ts").alias("view_ts"),
+        F.col("next_purchase_ts"),
+    )
+    want = QUERIES["stream_cep_negation"](spark, sf_small)
+    cols = ["user_id", "view_id", "view_ts", "next_purchase_ts"]
+    g, w = _pdf(got, cols), _pdf(want, cols)
+    assert len(g) > 0
+    pd.testing.assert_frame_equal(g, w)
+
+
+def test_compiled_times_equals_hand_rung(spark, sf_small):
+    pat = (
+        CepPattern.begin("click", F.col("event_type") == "click")
+        .times(3)
+        .within("24 hours")
+    )
+    got = pat.compile(table(spark, sf_small, "events")).select(
+        "user_id",
+        F.col("match_id").alias("streak_end_id"),
+        F.col("start_ts").alias("streak_start_ts"),
+        F.col("match_ts").alias("streak_end_ts"),
+    )
+    want = QUERIES["stream_cep_times"](spark, sf_small)
+    cols = ["user_id", "streak_end_id", "streak_start_ts", "streak_end_ts"]
+    g, w = _pdf(got, cols), _pdf(want, cols)
+    assert len(g) > 0
+    pd.testing.assert_frame_equal(g, w)
+
+
+def test_next_strict_contiguity_independent_formulation(spark, sf_small):
+    """begin(view).next(click): the click must be the user's IMMEDIATE
+    next event. Independent reference: lag(event_type)/lag(ts) over the
+    raw stream. Also pins that next ⊊ followedBy on this data (strict
+    contiguity must lose some relaxed matches, else the test is
+    vacuous)."""
+    ev = table(spark, sf_small, "events")
+    pat = CepPattern.begin("view", F.col("event_type") == "view").next(
+        "click", F.col("event_type") == "click"
+    )
+    got = _pdf(
+        pat.compile(ev).select("user_id", "match_id", "start_ts"),
+        ["user_id", "match_id", "start_ts"],
+    )
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    want = _pdf(
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .withColumn("prev_ts", F.lag("ts").over(w))
+        .filter(
+            (F.col("event_type") == "click") & (F.col("prev_type") == "view")
+        )
+        .select(
+            "user_id",
+            F.col("event_id").alias("match_id"),
+            F.col("prev_ts").alias("start_ts"),
+        ),
+        ["user_id", "match_id", "start_ts"],
+    )
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(got, want)
+
+    relaxed = (
+        CepPattern.begin("view", F.col("event_type") == "view")
+        .followed_by("click", F.col("event_type") == "click")
+        .compile(ev)
+        .count()
+    )
+    assert relaxed > len(got), "strict == relaxed: fixture can't tell them apart"
+
+
+def test_times_consecutive_equals_strict_expansion(spark, sf_small):
+    """times(2, consecutive=True) == begin(p).next(p) — FlinkCEP's
+    .consecutive() is strict internal contiguity, and the expansion
+    must thread it through every internal transition."""
+    ev = table(spark, sf_small, "events")
+    p = F.col("event_type") == "click"
+    a = CepPattern.begin("c", p).times(2, consecutive=True).compile(ev)
+    b = CepPattern.begin("c", p).next("c2", p).compile(ev)
+    cols = ["user_id", "match_id", "match_ts", "start_ts"]
+    ga, gb = _pdf(a, cols), _pdf(b, cols)
+    assert len(ga) > 0
+    pd.testing.assert_frame_equal(ga, gb)
+    # and it differs from the relaxed form (consecutive means something)
+    relaxed = CepPattern.begin("c", p).times(2).compile(ev).count()
+    assert relaxed > len(ga)
+
+
+def test_greedy_dominance_matches_brute_force(spark):
+    """The compiler's one theorem: for positive chains under within(T),
+    emitting the max-start chain detects exactly the rows where ANY
+    chain exists. Brute-force enumerate all (a < b < c) chains on a
+    small in-memory stream — including ties in ts, multiple candidate
+    starts, and spans straddling the bound — and compare."""
+    import itertools
+
+    rows = []
+    # 3 users × 8 events with deliberate nastiness: repeated types,
+    # equal timestamps (tiebreak by id), chains that only fit the
+    # window when started LATE, and decoys after the window.
+    data = {
+        1: [("A", 0), ("B", 5), ("A", 10), ("B", 10), ("C", 12), ("C", 40),
+            ("B", 41), ("C", 42)],
+        2: [("A", 0), ("A", 1), ("B", 2), ("C", 30), ("B", 31), ("C", 33)],
+        3: [("B", 0), ("C", 1), ("A", 2), ("C", 3), ("B", 4), ("C", 5)],
+    }
+    eid = 0
+    for uid, evs in data.items():
+        for typ, sec in evs:
+            rows.append((uid, eid, typ, sec))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "user_id INT, event_id INT, event_type STRING, sec INT"
+    ).withColumn("ts", F.timestamp_seconds("sec"))
+
+    T = 15  # seconds
+    pat = (
+        CepPattern.begin("a", F.col("event_type") == "A")
+        .followed_by("b", F.col("event_type") == "B")
+        .followed_by("c", F.col("event_type") == "C")
+        .within(T)
+    )
+    got = {
+        (r.user_id, r.match_id)
+        for r in pat.compile(df).collect()
+    }
+
+    want = set()
+    for uid, evs in data.items():
+        seq = [(typ, sec, i) for i, (typ, sec) in enumerate(evs)]
+        for a, b, c in itertools.combinations(seq, 3):
+            # combinations respects list order == (ts, event_id) order
+            if (a[0], b[0], c[0]) == ("A", "B", "C") and c[1] - a[1] <= T:
+                base = sum(len(v) for u, v in data.items() if u < uid)
+                want.add((uid, base + c[2]))
+    assert len(want) > 0
+    assert got == want
+
+
+def test_builder_refuses_inexact_constructs():
+    p = F.lit(True)
+    pat = CepPattern.begin("a", p).not_followed_by("n", p, within="1 hour")
+    with pytest.raises(ValueError, match="terminal"):
+        pat.followed_by("b", p)
+    with pytest.raises(ValueError, match="terminal"):
+        pat.next("b", p)
+    with pytest.raises(ValueError, match="notFollowedBy"):
+        pat.times(2)
+    with pytest.raises(ValueError, match="begin"):
+        CepPattern().followed_by("b", p)
+    with pytest.raises(ValueError, match="n >= 1"):
+        CepPattern.begin("a", p).times(0)
+    with pytest.raises(ValueError, match="unit"):
+        _duration_us("3 fortnights")
+    # immutability: extending a shared prefix never mutates it
+    base = CepPattern.begin("a", p)
+    ext1 = base.followed_by("b", p)
+    ext2 = base.next("c", p)
+    assert len(base.steps) == 1
+    assert ext1.steps[-1].contiguity == "followed_by"
+    assert ext2.steps[-1].contiguity == "next"
+
+
+def test_registered_key_plan_is_single_sort_window_chain(spark, sf_small):
+    """Scale shape: the compiled pattern is ONE exchange on the key and
+    a Window chain — no joins, no extra shuffles (the property that
+    makes it viable at 100 TB vs a per-event NFA or self-joins)."""
+    plan = (
+        QUERIES["stream_cep_compile"](spark, sf_small)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Join" not in plan
+    n_exchange = plan.count("Exchange")
+    assert n_exchange <= 1, plan
