@@ -130,7 +130,17 @@ def _rotation_plan(last_round: dict, stale_set: set,
                    least-recently-attested first.
       rest       — fresh-code attested keys, least-recently-attested
                    first (the bounded re-attestation budget).
-    """
+
+    The realized registry order (`order`) is unattested + changed +
+    ROUND-ROBIN INTERLEAVE of stale and rest (r10 verdict item 3): with
+    strict segment concatenation, a code-stale backlog larger than the
+    driver's ~50-key prefix STARVES the rest queue — 30 keys last
+    attested in rounds <= 5 sat at positions 101-130 behind ~100
+    module-touched keys, structurally invisible. Alternating the two
+    queues guarantees BOTH aging signals drain every round: a prefix of
+    P samples ~P/2 from each, so any key re-enters the harness within
+    ~2·len(segment)/P rounds regardless of how lopsided the segments
+    get."""
     seen = set(last_round)
     unattested = [k for k in keys if k not in seen]
     changed = [
@@ -144,8 +154,15 @@ def _rotation_plan(last_round: dict, stale_set: set,
     # stable sorts: within the same round, current registration order
     stale.sort(key=lambda k: last_round[k])
     rest.sort(key=lambda k: last_round[k])
+    woven = []
+    for i in range(max(len(stale), len(rest))):
+        if i < len(stale):
+            woven.append(stale[i])
+        if i < len(rest):
+            woven.append(rest[i])
     return {"unattested": unattested, "changed": changed,
-            "stale": stale, "rest": rest}
+            "stale": stale, "rest": rest,
+            "order": unattested + changed + woven}
 
 
 def _rotate_never_attested() -> None:
@@ -156,12 +173,14 @@ def _rotate_never_attested() -> None:
     verdict: the r06 sample and the r06 commit were disjoint — the only
     operators whose code changed were exactly the ones whose attestations
     predated the change; staleness must be code-aware, not just
-    round-aged), then the remaining attested keys least-recently-attested
-    FIRST. The last segment is the re-attestation budget (round-3
-    advice): once the never-attested pool shrinks below the driver's
-    ~50-key prefix, the prefix automatically tops up with the stalest
-    previously-attested keys, so a regression in an old operator
-    re-enters the harness within ⌈195/50⌉ rounds instead of becoming
+    round-aged), INTERLEAVED round-robin with the remaining attested
+    keys least-recently-attested first (r10 verdict item 3: a code-stale
+    backlog bigger than the driver prefix must not starve the
+    oldest-evidence queue). The woven tail is the re-attestation budget
+    (round-3 advice): once the never-attested pool shrinks below the
+    driver's ~50-key prefix, the prefix automatically tops up half from
+    each queue, so a regression in an old operator re-enters the
+    harness within a bounded number of rounds instead of becoming
     structurally invisible. A key whose only rows are errors OR hash
     mismatches stays unattested and is retried first.
 
@@ -186,8 +205,7 @@ def _rotate_never_attested() -> None:
     )
     plan = _rotation_plan(last_round, stale_set, _CONTRACT_CHANGED,
                           list(registry.QUERIES))
-    registry.reorder(plan["unattested"] + plan["changed"]
-                     + plan["stale"] + plan["rest"])
+    registry.reorder(plan["order"])
 
 
 def _git_last_change_times(root: str | None = None) -> dict:

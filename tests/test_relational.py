@@ -578,22 +578,49 @@ def test_rotation_reattests_stalest_keys_first():
 
 
 def test_rotation_fronts_code_stale_keys():
-    """Round-7 tripwire (r6 verdict 'What's wrong' #1): the registry
-    order must BE the rotation plan — unattested, then unspent
-    contract-changed, then code-stale (module committed at-or-after the
-    attesting artifact), then fresh — so the next driver prefix provably
-    re-attests what this round's commits touched. Asserting the full
-    concatenation (not just stale-before-fresh) also pins that spent
-    _CONTRACT_CHANGED entries fall through to their staleness segment
-    instead of squatting at the front (the r8 round-boundary red)."""
+    """Round-7 tripwire (r6 verdict 'What's wrong' #1), r11 amendment
+    (r10 verdict item 3): the registry order must BE the rotation plan's
+    `order` — unattested, then unspent contract-changed, then the
+    ROUND-ROBIN INTERLEAVE of code-stale and fresh queues (strict
+    segment concatenation let a >50-key code-stale backlog starve the
+    oldest-attested fresh keys: 30 keys last sampled <= r5 sat at
+    positions 101-130, structurally invisible). Asserting the full
+    realized order also pins that spent _CONTRACT_CHANGED entries fall
+    through to their staleness segment instead of squatting at the
+    front (the r8 round-boundary red)."""
     plan, rounds = _live_rotation_plan()
     if not rounds:
         return
-    expected = (plan["unattested"] + plan["changed"]
-                + plan["stale"] + plan["rest"])
-    assert list(sparkflow.QUERIES) == expected, (
+    assert list(sparkflow.QUERIES) == plan["order"], (
         "registry order does not realize the rotation plan"
     )
+    # the weave alternates the two queues while either has elements
+    stale, rest = plan["stale"], plan["rest"]
+    woven = []
+    for i in range(max(len(stale), len(rest))):
+        if i < len(stale):
+            woven.append(stale[i])
+        if i < len(rest):
+            woven.append(rest[i])
+    assert plan["order"] == plan["unattested"] + plan["changed"] + woven
+
+
+def test_rotation_interleave_defeats_backlog_starvation():
+    """The r10 verdict item-3 scenario as a synthetic pin: 60 code-stale
+    keys + 30 old fresh keys, driver prefix 50. Strict concatenation
+    samples ZERO fresh keys; the interleave must land >= 20 of the 30
+    inside the prefix (the verdict's own done-criterion)."""
+    stale_keys = [f"s{i}" for i in range(60)]
+    fresh_keys = [f"f{i}" for i in range(30)]
+    last_round = {k: 7 for k in stale_keys}
+    last_round.update({k: 4 for k in fresh_keys})
+    plan = sparkflow._rotation_plan(
+        last_round, set(stale_keys), {}, stale_keys + fresh_keys)
+    prefix = plan["order"][:50]
+    n_fresh = sum(1 for k in prefix if k in set(fresh_keys))
+    assert n_fresh >= 20, f"only {n_fresh} fresh keys in a 50-key prefix"
+    # and the code-stale queue still drains in the same prefix
+    assert sum(1 for k in prefix if k in set(stale_keys)) >= 20
 
 
 def test_contract_changed_spend_rule_pinned():
