@@ -599,6 +599,59 @@ def _tv_entries(base: str, version: int) -> list:
         return _json.load(fh)["files"]
 
 
+def _tv_commit_rebase(base: str, version: int, removed, added: list,
+                      extra: dict | None = None, mutate_kept=None,
+                      max_retries: int = 5) -> int:
+    """GENERAL retry-with-rebase commit (r10 verdict item 4 — until now
+    only the CDC apply path rebased; every other maintenance committer
+    died on first conflict): commit, on top of snapshot `version`, a new
+    version that drops manifest entries whose paths are in `removed` and
+    adds `added` — losing the optimistic-concurrency race triggers a
+    REBASE instead of an error whenever it is provably safe.
+
+    Rebase rule (Delta's conflict-detection shape): the commit stays
+    valid iff the winner(s) touched NONE of this committer's read set —
+    and for the operations this helper serves (append: read set ∅;
+    compaction / incremental clustering: read set == the files being
+    replaced), that is exactly "every `removed` path still present at
+    head". Then the entry list is recomputed FROM THE HEAD SNAPSHOT
+    (picking up the winner's files) and the commit re-aims at head+1;
+    a winner that rewrote or deleted any `removed` path is a true
+    overlap and raises CommitConflict loudly — never silently drop
+    either committer's work. `mutate_kept(entry) -> entry` optionally
+    rewrites the surviving entries (e.g. tagging them `clustered` on the
+    transition commit); it must be idempotent, as a rebase re-applies it
+    to the new head's entries. Returns the committed version number.
+
+    The CDC apply path (_cdc_apply_batch) keeps its own specialization:
+    its read set is a KEY BAND, so its guard is band-file-set EQUALITY
+    (a winner ADDING a file into the band also invalidates the merge),
+    plus the per-writer replay ledger — strictly stronger than the
+    path-disjointness rule here."""
+    removed = set(removed)
+    for _ in range(max_retries):
+        prev = _tv_entries(base, version)
+        prev_paths = {e["path"] for e in prev}
+        if not removed <= prev_paths:
+            raise CommitConflict(
+                f"conflicting commit rewrote or deleted "
+                f"{sorted(removed - prev_paths)} — true overlap, cannot "
+                "rebase; re-run the operation on the new snapshot"
+            )
+        kept = [e for e in prev if e["path"] not in removed]
+        if mutate_kept is not None:
+            kept = [mutate_kept(dict(e)) for e in kept]
+        try:
+            _tv_commit(base, version + 1, kept + list(added), extra=extra)
+            return version + 1
+        except CommitConflict:
+            version = _tv_latest_version(base)
+    raise CommitConflict(
+        f"retry-with-rebase exhausted after {max_retries} attempts — "
+        "contention too high; re-run the operation"
+    )
+
+
 def _tv_latest_version(base: str) -> int:
     """Highest committed manifest version — the durable cursor a
     restarted streaming writer resumes from (a driver-side counter
@@ -1609,15 +1662,18 @@ def maintenance_table_optimize_zorder_incremental(
         fresh = _tv_with_stats2(
             spark, sorted(_glob.glob(os.path.join(append_dir, "*.parquet"))),
             "o_custkey", "o_orderkey")
-        for e in v2:
-            e["clustered"] = True
         for e in fresh:
             e["clustered"] = False
-        _tv_commit(base, 3, v2 + fresh)
+        # append through the generic rebase path (read set ∅ — an
+        # append survives ANY concurrent winner); kept entries get the
+        # idempotent `clustered` tag on this transition commit
+        _tv_commit_rebase(
+            base, 2, removed=(), added=fresh,
+            mutate_kept=lambda e: {**e, "clustered": True},
+        )
     if not os.path.exists(os.path.join(base, "manifest_v4.json")):
         v3 = _tv_entries(base, 3)
         victims = [e for e in v3 if not e.get("clustered")]
-        keep = [e for e in v3 if e.get("clustered")]
         # grid bounds from the victims' own stats — the incremental
         # pass never reads (or even lists) the clustered files
         cmin = min(e["min_key"] for e in victims)
@@ -1647,7 +1703,12 @@ def maintenance_table_optimize_zorder_incremental(
             "o_custkey", "o_orderkey")
         for e in fresh:
             e["clustered"] = True
-        _tv_commit(base, 4, keep + fresh)
+        # cluster through the generic rebase path: read set == victims,
+        # so a concurrent append lands first-try and this pass rebases
+        # on top of it; a winner that REWROTE a victim is a true
+        # overlap and errors loudly
+        _tv_commit_rebase(
+            base, 3, removed=[e["path"] for e in victims], added=fresh)
     latest = [e["path"] for e in _tv_entries(base, 4)]
     return spark.read.parquet(*latest).select(*cols)
 
