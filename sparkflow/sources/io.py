@@ -652,6 +652,66 @@ def _tv_commit_rebase(base: str, version: int, removed, added: list,
     )
 
 
+def _tv_versions(base: str) -> list[int]:
+    """All committed manifest versions, ascending."""
+    import glob as _glob
+    import re as _re
+
+    return sorted(
+        int(_re.search(r"manifest_v(\d+)\.json$", m).group(1))
+        for m in _glob.glob(os.path.join(base, "manifest_v*.json"))
+    )
+
+
+def _tv_vacuum(base: str, retain_last: int = 2,
+               min_age_sec: float = 0.0) -> dict:
+    """VACUUM with a RETENTION GUARD (r10 verdict item 7 — Delta's
+    `VACUUM ... RETAIN` rule): delete every data file under the table
+    root that no RETAINED manifest references. A version is retained if
+    it is one of the newest `retain_last` versions OR its manifest is
+    younger than `min_age_sec` (a reader that resolved its snapshot
+    within the age window may still be scanning those files — deleting
+    them turns a committed-isolation read into a mid-query
+    FileNotFoundException; Delta defaults this window to 7 days for the
+    same reason). `retain_last >= 1` is enforced: the head version is
+    never vacuumable. Returns {"deleted": [...], "retained_versions":
+    [...]} so callers/tests can audit what expired. Cost at 100 TB:
+    the referenced set is a union over retained manifests (KBs), the
+    candidate listing one object-store prefix scan — never a data
+    read."""
+    import glob as _glob
+    import time as _time
+
+    if retain_last < 1:
+        raise ValueError(
+            "retain_last must be >= 1 — the head version is never "
+            "vacuumable"
+        )
+    versions = _tv_versions(base)
+    if not versions:
+        return {"deleted": [], "retained_versions": []}
+    head = versions[-1]
+    now = _time.time()
+    retained = []
+    for v in versions:
+        man = os.path.join(base, f"manifest_v{v}.json")
+        if v > head - retain_last or (
+            min_age_sec > 0
+            and now - os.path.getmtime(man) < min_age_sec
+        ):
+            retained.append(v)
+    referenced = {
+        e["path"] for v in retained for e in _tv_entries(base, v)
+    }
+    deleted = []
+    for f in _glob.glob(os.path.join(base, "data", "**", "*.parquet"),
+                        recursive=True):
+        if f not in referenced:
+            os.remove(f)
+            deleted.append(f)
+    return {"deleted": sorted(deleted), "retained_versions": retained}
+
+
 def _tv_latest_version(base: str) -> int:
     """Highest committed manifest version — the durable cursor a
     restarted streaming writer resumes from (a driver-side counter
@@ -964,19 +1024,13 @@ def maintenance_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
     relationally) proves vacuum removed only garbage. The orphan-gone /
     survivors-intact file assertions live in the pytest. At 100 TB the
     referenced-set build is a manifest union (KBs), the orphan listing
-    an object-store prefix scan — never a data read."""
-    import glob as _glob
-
+    an object-store prefix scan — never a data read. Retention guard
+    (r10 verdict item 7): deletion goes through _tv_vacuum, which keeps
+    every file referenced by a RETAINED version — here retain_last=2 =
+    the table's full history, so a concurrent v1 time-travel reader
+    opened before this vacuum still completes (✓pytest)."""
     base = _stage_versioned_orders(spark, sf_dir)
-    referenced = {
-        e["path"]
-        for v in (1, 2)
-        for e in _tv_entries(base, v)
-    }
-    for f in _glob.glob(os.path.join(base, "data", "**", "*.parquet"),
-                        recursive=True):
-        if f not in referenced:
-            os.remove(f)
+    _tv_vacuum(base, retain_last=2)
     latest = [e["path"] for e in _tv_entries(base, 2)]
     return (
         spark.read.parquet(*latest)
