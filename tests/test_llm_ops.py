@@ -452,23 +452,37 @@ def test_hard_negatives_match_numpy_brute_force(spark, sf_small):
 
 
 def test_hard_negatives_query_sample_is_bounded(spark, sf_small, monkeypatch):
-    """100 TB guard (round-3 verdict): the ONE driver collect() in
-    llm_hard_negatives must be bounded by a constant, not the corpus.
-    Three layers: the operator's only collect goes through the capped
-    helper; the helper's plan carries a GlobalLimit; and the cap
-    actually truncates deterministically when forced below the sample
-    size."""
+    """100 TB guard (round-3 verdict; r10 verdict item 5 tightened it to
+    DRIVER-FREE): llm_hard_negatives must materialize nothing on the
+    driver — the query sample stays a DataFrame, capped by a constant
+    and delivered to the candidate join as a BROADCAST. Four layers: the
+    operator's source contains no collect/toPandas at all; the executed
+    plan carries a BroadcastExchange/BroadcastNestedLoopJoin on the
+    query side and NO dim explode; the sample's plan carries a
+    GlobalLimit; and the cap truncates deterministically when forced
+    below the sample size."""
     import inspect
 
     from sparkflow.llm import similarity
 
     src = inspect.getsource(similarity.llm_hard_negatives)
-    assert src.count(".collect()") == 1, "new uncapped collect() added"
-    assert "_hn_query_sample(e).collect()" in src
+    for bad in (".collect()", ".toPandas()", ".head(", ".first()"):
+        assert bad not in src, f"driver materialization {bad} reintroduced"
+
+    plan = (
+        sparkflow.QUERIES["llm_hard_negatives"](spark, sf_small)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" in plan, plan[:1200]
+    assert "BroadcastExchange" in plan, plan[:1200]
+    assert "Generate" not in plan, "dim explode reintroduced"
 
     e = similarity.table(spark, sf_small, "embeddings")
-    plan = similarity._hn_query_sample(e)._jdf.queryExecution().optimizedPlan().toString()
-    assert "GlobalLimit" in plan, plan[:800]
+    sample_plan = (
+        similarity._hn_query_sample(e)
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert "GlobalLimit" in sample_plan, sample_plan[:800]
 
     monkeypatch.setattr(similarity, "_HN_MAX_QUERIES", 3)
     got = sorted(r.vec_id for r in similarity._hn_query_sample(e).collect())
