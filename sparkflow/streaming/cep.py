@@ -103,6 +103,9 @@ class _Step:
     contiguity: str  # 'begin' | 'followed_by' | 'next'
     times: int = 1
     consecutive: bool = False  # internal contiguity of the times-expansion
+    etype: str | None = None  # set when the predicate is an event_type
+    # equality — the declarative form the STREAMING compiler needs
+    # (arbitrary Columns can't be evaluated row-at-a-time in keyed state)
 
 
 @dataclass(frozen=True)
@@ -116,23 +119,47 @@ class CepPattern:
     within_us: int | None = None
 
     # -- builders ---------------------------------------------------
-    @classmethod
-    def begin(cls, name: str, pred) -> "CepPattern":
-        return cls(steps=(_Step(name, pred, "begin"),))
+    # Each takes EITHER an arbitrary pyspark Column predicate OR
+    # `etype="view"` (event-type equality). The etype form additionally
+    # enables compile_stream (the O(1)-state streaming twin needs a
+    # row-evaluable predicate, not a Column).
+    @staticmethod
+    def _resolve(name, pred, etype):
+        if pred is None:
+            if etype is None:
+                raise ValueError(f"step {name!r} needs pred or etype")
+            pred = F.col("event_type") == etype
+        return pred
 
-    def followed_by(self, name: str, pred) -> "CepPattern":
+    @classmethod
+    def begin(cls, name: str, pred=None, etype: str | None = None) -> "CepPattern":
+        return cls(steps=(
+            _Step(name, cls._resolve(name, pred, etype), "begin",
+                  etype=etype),))
+
+    def followed_by(self, name: str, pred=None,
+                    etype: str | None = None) -> "CepPattern":
         """Relaxed contiguity (FlinkCEP followedBy): other events may
         sit between the previous step's event and this one."""
         self._check_open(name)
         return replace(
-            self, steps=self.steps + (_Step(name, pred, "followed_by"),)
+            self,
+            steps=self.steps + (_Step(
+                name, self._resolve(name, pred, etype), "followed_by",
+                etype=etype),),
         )
 
-    def next(self, name: str, pred) -> "CepPattern":
+    def next(self, name: str, pred=None,
+             etype: str | None = None) -> "CepPattern":
         """Strict contiguity (FlinkCEP next): this step's event must be
         the IMMEDIATELY following event of the key."""
         self._check_open(name)
-        return replace(self, steps=self.steps + (_Step(name, pred, "next"),))
+        return replace(
+            self,
+            steps=self.steps + (_Step(
+                name, self._resolve(name, pred, etype), "next",
+                etype=etype),),
+        )
 
     def times(self, n: int, consecutive: bool = False) -> "CepPattern":
         """The last step must occur n times (FlinkCEP times(n); relaxed
@@ -169,6 +196,47 @@ class CepPattern:
         """Whole-pattern time bound (FlinkCEP within): the chain's span
         from first to last matched event must be <= duration."""
         return replace(self, within_us=_duration_us(duration))
+
+    def expanded_event_steps(self) -> list:
+        """The times-expanded positive chain as [(event_type,
+        transition)] — the declarative form the streaming compiler
+        consumes. Requires every step declared via `etype` and no
+        negation (the forward-looking negation window is future-
+        dependent; its streaming form is the watermarked outer interval
+        join, see stateful.cep_negation_stream)."""
+        if self.neg is not None:
+            raise ValueError(
+                "streaming compile covers positive patterns — negation "
+                "streams via the watermarked interval-join twin"
+            )
+        out = []
+        for s in self.steps:
+            if s.etype is None:
+                raise ValueError(
+                    f"step {s.name!r} was built from a Column predicate —"
+                    " declare it with etype=... to compile for streaming"
+                )
+            inner = "next" if s.consecutive else "followed_by"
+            for k in range(s.times):
+                out.append((s.etype, s.contiguity if k == 0 else inner))
+        return out
+
+    def compile_stream(self, spark, files_dir: str, sf_dir: str):
+        """TRUE-STREAMING compile (readStream + applyInPandasWithState):
+        the carry chain is literally a per-key state machine — state =
+        the m-1 running-max carries plus the m-1 previous-row hits (for
+        strict transitions), O(1) per key regardless of stream length —
+        so the same declarative pattern runs unbounded with bounded
+        state, Flink's CEP-on-keyed-state shape. Output timestamps in
+        epoch µs (the stateful-twin convention). Bit-equality with the
+        batch compile is pinned by pytest across micro-batch
+        boundaries."""
+        from . import stateful
+
+        return stateful.cep_compiled_stream(
+            spark, files_dir, sf_dir,
+            self.expanded_event_steps(), self.within_us,
+        )
 
     def _check_open(self, name: str) -> None:
         if not self.steps:
@@ -302,10 +370,10 @@ def stream_cep_compile(spark: SparkSession, sf_dir: str) -> DataFrame:
     carry step — so the compiler's greedy-dominance semantics are
     checked bit-exact, not just row-counted."""
     pat = (
-        CepPattern.begin("view", F.col("event_type") == "view")
-        .followed_by("click", F.col("event_type") == "click")
+        CepPattern.begin("view", etype="view")
+        .followed_by("click", etype="click")
         .times(2)
-        .followed_by("purchase", F.col("event_type") == "purchase")
+        .followed_by("purchase", etype="purchase")
         .within("48 hours")
     )
     return pat.compile(

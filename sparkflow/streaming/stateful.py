@@ -466,6 +466,102 @@ def cep_times_stream(spark: SparkSession, files_dir: str, sf_dir: str) -> DataFr
 
 
 # ---------------------------------------------------------------------------
+# Compiled CEP patterns — the combinator's generic O(1)-state twin (r11)
+# ---------------------------------------------------------------------------
+
+
+def _cep_compiled_fn(steps: list, within_us):
+    """Keyed-state executor for an EXPANDED positive CEP chain
+    ([(event_type, transition)], cep.CepPattern.expanded_event_steps):
+    the batch compiler's carry columns, incrementalized. State per key =
+    C[i] (running max of step-i's hit over all processed rows — the MAX
+    OVER UNBOUNDED..1 PRECEDING carry) and L[i] (step-i's hit at the
+    immediately previous row — the LAG(1) carry for strict
+    transitions): 2·(m-1) BIGINTs, O(1) regardless of stream length.
+    Each row's hits evaluate against the PRE-row state (the batch
+    plan's strictly-before frames), then the state absorbs the row —
+    so one event can serve step i for future rows while consuming only
+    strictly-earlier events for step i+1, exactly the distinct-event
+    binding the batch compiler guarantees."""
+    m = len(steps)
+
+    def fn(
+        key: Tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        vals = list(state.get) if state.exists else [-1] * (2 * (m - 1))
+        C, L = vals[: m - 1], vals[m - 1:]
+        chunks = [p for p in pdf_iter if len(p)]
+        if not chunks:
+            return
+        pdf = pd.concat(chunks).sort_values(["ts", "event_id"])
+        out_id, out_ts, out_start = [], [], []
+        for eid, etype, t in zip(
+            pdf["event_id"].to_numpy(),
+            pdf["event_type"].to_numpy(),
+            _ts_us(pdf["ts"]).to_numpy(),
+        ):
+            t = int(t)
+            hit = [-1] * m
+            for i, (et, trans) in enumerate(steps):
+                if etype != et:
+                    continue
+                if i == 0:
+                    hit[0] = t
+                else:
+                    carry_in = C[i - 1] if trans == "followed_by" else L[i - 1]
+                    if carry_in >= 0:
+                        hit[i] = carry_in
+            if hit[m - 1] >= 0 and (
+                within_us is None or t - hit[m - 1] <= within_us
+            ):
+                out_id.append(int(eid))
+                out_ts.append(t)
+                out_start.append(hit[m - 1])
+            for i in range(m - 1):
+                if hit[i] > C[i]:
+                    C[i] = hit[i]
+                L[i] = hit[i]
+        state.update(tuple(C + L))
+        if out_id:
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(out_id),
+                    "match_id": out_id,
+                    "match_us": out_ts,
+                    "start_us": out_start,
+                }
+            )
+
+    return fn
+
+
+def cep_compiled_stream(
+    spark: SparkSession, files_dir: str, sf_dir: str,
+    steps: list, within_us,
+) -> DataFrame:
+    """True-streaming execution of a compiled CEP pattern (reached via
+    cep.CepPattern.compile_stream): any positive begin/next/followedBy/
+    times chain runs unbounded with 2·(m-1) longs of keyed state."""
+    if len(steps) < 2:
+        raise ValueError("streaming compile needs >= 2 positive steps")
+    ev = _events_stream(spark, files_dir, sf_dir)
+    n = len(steps) - 1
+    state_schema = ", ".join(
+        [f"c{i} BIGINT" for i in range(n)] + [f"l{i} BIGINT" for i in range(n)]
+    )
+    return ev.groupBy("user_id").applyInPandasWithState(
+        _cep_compiled_fn(list(steps), within_us),
+        outputStructType=(
+            "user_id BIGINT, match_id BIGINT,"
+            " match_us BIGINT, start_us BIGINT"
+        ),
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# ---------------------------------------------------------------------------
 # Quiet-user timeout — registerEventTimeTimer pattern
 # ---------------------------------------------------------------------------
 

@@ -1665,3 +1665,92 @@ def test_cdc_ledger_scoped_per_writer(spark, sf_small, tmp_path_factory):
     ) is True
     assert _cdc_max_applied_batch_ids(base, 4) == {
         "stream-a": 5, "stream-b": 1}
+
+
+def test_cep_compiled_stream_matches_batch_compile(
+    spark, stream_dir, sf_small
+):
+    """The CEP combinator's GENERIC streaming twin (r11): the registered
+    4-step pattern (view → click ×2 → purchase within 48h) executed as
+    applyInPandasWithState — 2·(m-1) longs of keyed state, matches
+    spanning micro-batch boundaries — must equal the batch compile
+    row-for-row. This is the combinator's unbounded-execution evidence:
+    the carry chain IS an O(1)-state machine, so ANY positive pattern
+    the builder accepts streams with bounded state."""
+    from sparkflow.streaming.cep import CepPattern
+
+    pat = (
+        CepPattern.begin("view", etype="view")
+        .followed_by("click", etype="click")
+        .times(2)
+        .followed_by("purchase", etype="purchase")
+        .within("48 hours")
+    )
+    got = _collect(
+        spark,
+        pat.compile_stream(spark, stream_dir, sf_small),
+        "t_cepcompiled",
+    ).sort_values("match_id").reset_index(drop=True)
+    want = (
+        sparkflow.QUERIES["stream_cep_compile"](spark, sf_small)
+        .toPandas()
+        .sort_values("match_id")
+        .reset_index(drop=True)
+    )
+    assert len(want) > 0, "degenerate fixture: pattern matched nothing"
+    want_us = want.assign(
+        match_us=pd.to_datetime(want["match_ts"])
+        .astype("datetime64[us]").astype("int64"),
+        start_us=pd.to_datetime(want["start_ts"])
+        .astype("datetime64[us]").astype("int64"),
+    )[["user_id", "match_id", "match_us", "start_us"]]
+    pd.testing.assert_frame_equal(got, want_us, check_dtype=False)
+
+
+def test_cep_compiled_stream_strict_transition(spark, stream_dir, sf_small):
+    """Strict contiguity through the streaming compiler: begin(view)
+    .next(click) — the LAG(1) carry (L state) must survive micro-batch
+    boundaries, i.e. a view that is the LAST event of batch k must still
+    licence a click that opens batch k+1."""
+    from sparkflow.streaming.cep import CepPattern
+
+    pat = CepPattern.begin("view", etype="view").next("click", etype="click")
+    got = _collect(
+        spark,
+        pat.compile_stream(spark, stream_dir, sf_small),
+        "t_cepstrict",
+    ).sort_values("match_id").reset_index(drop=True)
+    from sparkflow.catalog import table
+
+    want = (
+        pat.compile(table(spark, sf_small, "events"))
+        .toPandas()
+        .sort_values("match_id")
+        .reset_index(drop=True)
+    )
+    assert len(want) > 0
+    want_us = want.assign(
+        match_us=pd.to_datetime(want["match_ts"])
+        .astype("datetime64[us]").astype("int64"),
+        start_us=pd.to_datetime(want["start_ts"])
+        .astype("datetime64[us]").astype("int64"),
+    )[["user_id", "match_id", "match_us", "start_us"]]
+    pd.testing.assert_frame_equal(got, want_us, check_dtype=False)
+
+
+def test_cep_compile_stream_refuses_unstreamable():
+    """Column-predicate steps and negation patterns must be refused by
+    the streaming compiler with actionable errors (not silently
+    mis-streamed)."""
+    from pyspark.sql import functions as F
+
+    from sparkflow.streaming.cep import CepPattern
+
+    with pytest.raises(ValueError, match="etype"):
+        CepPattern.begin("a", F.col("value") > 0).followed_by(
+            "b", etype="click"
+        ).expanded_event_steps()
+    with pytest.raises(ValueError, match="negation|interval-join"):
+        CepPattern.begin("a", etype="view").not_followed_by(
+            "p", F.col("event_type") == "purchase", within="1 hour"
+        ).expanded_event_steps()
