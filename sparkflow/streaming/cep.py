@@ -106,6 +106,8 @@ class _Step:
     etype: str | None = None  # set when the predicate is an event_type
     # equality — the declarative form the STREAMING compiler needs
     # (arbitrary Columns can't be evaluated row-at-a-time in keyed state)
+    optional: bool = False  # FlinkCEP .optional(): annotates, never gates
+    # (see CepPattern.optional for why that is the exact semantics here)
 
 
 @dataclass(frozen=True)
@@ -178,6 +180,47 @@ class CepPattern:
             + (replace(last, times=n, consecutive=consecutive),),
         )
 
+    def optional(self) -> "CepPattern":
+        """FlinkCEP `.optional()` on the last step — with the match
+        semantics this compiler documents (emit at the last step's row,
+        report the greedy max-start chain), an optional step can NEVER
+        gate or move the match: the variant that skips it is strictly
+        less constrained, so it matches whenever the including variant
+        does and its max start dominates. Exactly like FlinkCEP — which
+        emits BOTH branch matches — the information is which branches
+        matched, so here the optional step ANNOTATES: the output gains
+        a `with_<name>` boolean per optional step, true iff a chain
+        INCLUDING that step (and every required step) also satisfies
+        the pattern within its window. One extra carry chain per
+        optional step (k+1 chains total, not 2^k: other optional steps
+        can only hurt a variant, so each flag's best witness excludes
+        them)."""
+        if not self.steps:
+            raise ValueError("optional() requires a begin() step first")
+        if self.neg is not None:
+            raise ValueError("optional() cannot apply to notFollowedBy")
+        return replace(
+            self,
+            steps=self.steps[:-1] + (replace(self.steps[-1], optional=True),),
+        )
+
+    def one_or_more(self) -> "CepPattern":
+        """FlinkCEP `oneOrMore()` — the existence-collapse theorem: under
+        relaxed contiguity and emit-at-last-step semantics, requiring
+        "at least n occurrences" of a step is equivalent to requiring
+        EXACTLY n, because extra occurrences are just intervening events
+        that followedBy already ignores (a chain using n of the N
+        available occurrences is a witness either way). So
+        A.followedBy(B).oneOrMore().followedBy(C) ≡ A→B→C, and
+        times(n..m) ranges collapse to times(n). This method documents
+        the theorem in the API instead of making callers derive it; the
+        equivalence is pinned by brute force in pytest. (FlinkCEP emits
+        one match PER repetition count — a multiplicity this engine's
+        one-row-per-match-row contract deliberately folds.)"""
+        if not self.steps:
+            raise ValueError("one_or_more() requires a begin() step first")
+        return self  # ≡ times(1): see the theorem above
+
     def not_followed_by(self, name: str, pred, within) -> "CepPattern":
         """TERMINAL negation (FlinkCEP notFollowedBy — which FlinkCEP
         itself only allows at the end of a pattern when a time window
@@ -197,20 +240,13 @@ class CepPattern:
         from first to last matched event must be <= duration."""
         return replace(self, within_us=_duration_us(duration))
 
-    def expanded_event_steps(self) -> list:
-        """The times-expanded positive chain as [(event_type,
-        transition)] — the declarative form the streaming compiler
-        consumes. Requires every step declared via `etype` and no
-        negation (the forward-looking negation window is future-
-        dependent; its streaming form is the watermarked outer interval
-        join, see stateful.cep_negation_stream)."""
-        if self.neg is not None:
-            raise ValueError(
-                "streaming compile covers positive patterns — negation "
-                "streams via the watermarked interval-join twin"
-            )
+    @staticmethod
+    def _event_expansion(steps) -> list:
+        """times-expanded [(event_type, transition)] for one chain —
+        the declarative form the streaming compiler consumes. Requires
+        every step declared via `etype`."""
         out = []
-        for s in self.steps:
+        for s in steps:
             if s.etype is None:
                 raise ValueError(
                     f"step {s.name!r} was built from a Column predicate —"
@@ -221,21 +257,56 @@ class CepPattern:
                 out.append((s.etype, s.contiguity if k == 0 else inner))
         return out
 
+    def stream_chains(self) -> tuple:
+        """(main_chain, [(flag_name, variant_chain), ...]) — the same
+        chain set the batch compiler builds (required steps gate; one
+        variant per optional step annotates), each times-expanded to
+        [(event_type, transition)]. No negation (the forward-looking
+        negation window is future-dependent; its streaming form is the
+        watermarked outer interval join, see
+        stateful.cep_negation_stream)."""
+        if self.neg is not None:
+            raise ValueError(
+                "streaming compile covers positive patterns — negation "
+                "streams via the watermarked interval-join twin"
+            )
+        if self.steps and self.steps[-1].optional:
+            raise ValueError(
+                "the final step cannot be optional — it anchors the "
+                "match row"
+            )
+        required = [s for s in self.steps if not s.optional]
+        main = self._event_expansion(required)
+        variants = []
+        for o in (s for s in self.steps if s.optional):
+            chain = [s for s in self.steps if not s.optional or s is o]
+            variants.append((f"with_{o.name}", self._event_expansion(chain)))
+        return main, variants
+
+    def expanded_event_steps(self) -> list:
+        """The gating (required-step) chain as [(event_type,
+        transition)] — see stream_chains for the full set including
+        optional-step annotation variants."""
+        return self.stream_chains()[0]
+
     def compile_stream(self, spark, files_dir: str, sf_dir: str):
         """TRUE-STREAMING compile (readStream + applyInPandasWithState):
-        the carry chain is literally a per-key state machine — state =
-        the m-1 running-max carries plus the m-1 previous-row hits (for
-        strict transitions), O(1) per key regardless of stream length —
-        so the same declarative pattern runs unbounded with bounded
-        state, Flink's CEP-on-keyed-state shape. Output timestamps in
-        epoch µs (the stateful-twin convention). Bit-equality with the
-        batch compile is pinned by pytest across micro-batch
-        boundaries."""
+        the carry chains are literally a per-key state machine — per
+        chain, state = the m-1 running-max carries plus the m-1
+        previous-row hits (for strict transitions), O(1) per key
+        regardless of stream length — so the same declarative pattern
+        runs unbounded with bounded state, Flink's CEP-on-keyed-state
+        shape. Optional steps stream too: their annotation chains ride
+        in the same state tuple and emit the same `with_<name>` flags
+        as the batch compile. Output timestamps in epoch µs (the
+        stateful-twin convention). Bit-equality with the batch compile
+        is pinned by pytest across micro-batch boundaries."""
         from . import stateful
 
+        main, variants = self.stream_chains()
         return stateful.cep_compiled_stream(
-            spark, files_dir, sf_dir,
-            self.expanded_event_steps(), self.within_us,
+            spark, files_dir, sf_dir, main, self.within_us,
+            flag_variants=variants,
         )
 
     def _check_open(self, name: str) -> None:
@@ -265,48 +336,69 @@ class CepPattern:
             raise ValueError("empty pattern")
         if self.neg is not None and self.neg_within_us is None:
             raise ValueError("notFollowedBy requires a within horizon")
+        if self.steps[-1].optional:
+            raise ValueError(
+                "the final step cannot be optional — it anchors the "
+                "match row"
+            )
+        required = [s for s in self.steps if not s.optional]
         order = [F.col(ts), F.col(tiebreak)]
         w_order = Window.partitionBy(key).orderBy(*order)
         w_prev = w_order.rowsBetween(Window.unboundedPreceding, -1)
 
-        # expand times(n) into n single-occurrence transitions; the
-        # carry consumes strictly-earlier rows, so copies bind distinct
-        # events (relaxed → MAX over ub..-1, consecutive → LAG(1))
-        expanded: list[tuple] = []  # (pred, transition)
-        for s in self.steps:
-            inner = "next" if s.consecutive else "followed_by"
-            for k in range(s.times):
-                expanded.append(
-                    (s.pred, s.contiguity if k == 0 else inner)
-                )
+        def build_chain(cur, steps, prefix):
+            """Materialize one hit/carry chain; expand times(n) into n
+            single-occurrence transitions — the carry consumes strictly-
+            earlier rows, so copies bind distinct events (relaxed → MAX
+            over ub..-1, consecutive → LAG(1)). Returns (df, final
+            hit-column name)."""
+            expanded: list[tuple] = []  # (pred, transition)
+            for s in steps:
+                inner = "next" if s.consecutive else "followed_by"
+                for k in range(s.times):
+                    expanded.append(
+                        (s.pred, s.contiguity if k == 0 else inner)
+                    )
+            prev_col = None
+            for i, (pred, trans) in enumerate(expanded):
+                if i == 0:
+                    hit = F.when(pred, F.col(ts))
+                else:
+                    carry = (
+                        F.max(F.col(prev_col)).over(w_prev)
+                        if trans == "followed_by"
+                        else F.lag(F.col(prev_col), 1).over(w_order)
+                    )
+                    hit = F.when(pred, carry)
+                prev_col = f"{prefix}{i}"
+                cur = cur.withColumn(prev_col, hit)
+            return cur, prev_col
 
-        cur = df
-        prev_col = None
-        for i, (pred, trans) in enumerate(expanded):
-            if i == 0:
-                hit = F.when(pred, F.col(ts))
-            else:
-                carry = (
-                    F.max(F.col(prev_col)).over(w_prev)
-                    if trans == "followed_by"
-                    else F.lag(F.col(prev_col), 1).over(w_order)
-                )
-                hit = F.when(pred, carry)
-            prev_col = f"_cep_h{i}"
-            cur = cur.withColumn(prev_col, hit)
-
-        match = F.col(prev_col).isNotNull()
-        if self.within_us is not None:
-            match = match & (
-                F.unix_micros(F.col(ts)) - F.unix_micros(F.col(prev_col))
+        def within_ok(col):
+            if self.within_us is None:
+                return F.col(col).isNotNull()
+            return F.col(col).isNotNull() & (
+                F.unix_micros(F.col(ts)) - F.unix_micros(F.col(col))
                 <= self.within_us
             )
+
+        # main chain (required steps) gates the match; one extra chain
+        # per optional step computes its annotation flag
+        cur, prev_col = build_chain(df, required, "_cep_h")
+        flags = []
+        for j, o in enumerate(s for s in self.steps if s.optional):
+            variant = [s for s in self.steps if not s.optional or s is o]
+            cur, vcol = build_chain(cur, variant, f"_cep_v{j}_h")
+            flags.append(within_ok(vcol).alias(f"with_{o.name}"))
+
+        match = within_ok(prev_col)
 
         out_cols = [
             F.col(key),
             F.col(tiebreak).alias("match_id"),
             F.col(ts).alias("match_ts"),
             F.col(prev_col).alias("start_ts"),
+            *flags,
         ]
         if self.neg is not None:
             neg_name, neg_pred = self.neg
@@ -375,6 +467,63 @@ def stream_cep_compile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .times(2)
         .followed_by("purchase", etype="purchase")
         .within("48 hours")
+    )
+    return pat.compile(
+        table(spark, sf_dir, "events"),
+        key="user_id",
+        ts="ts",
+        tiebreak="event_id",
+    )
+
+
+@register(
+    "stream_cep_optional",
+    oracle=f"""
+    WITH s0 AS (
+      SELECT user_id, event_id, event_type, ts,
+             CASE WHEN event_type = 'view' THEN ts END AS h0
+      FROM events
+    ), m1 AS (
+      SELECT *, CASE WHEN event_type = 'purchase'
+                     THEN {_CEP_CARRY.format(src='h0')} END AS hm
+      FROM s0
+    ), v1 AS (
+      SELECT *, CASE WHEN event_type = 'click'
+                     THEN {_CEP_CARRY.format(src='h0')} END AS hv1
+      FROM m1
+    ), v2 AS (
+      SELECT *, CASE WHEN event_type = 'purchase'
+                     THEN {_CEP_CARRY.format(src='hv1')} END AS hv2
+      FROM v1
+    )
+    SELECT user_id, event_id AS match_id, ts AS match_ts, hm AS start_ts,
+           (hv2 IS NOT NULL
+            AND epoch_us(ts) - epoch_us(hv2) <= 129600000000::BIGINT)
+             AS with_click
+    FROM v2
+    WHERE hm IS NOT NULL
+      AND epoch_us(ts) - epoch_us(hm) <= 129600000000::BIGINT
+    """,
+)
+def stream_cep_optional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The combinator's optional-step surface: `begin(view)
+    .followedBy(click).optional().followedBy(purchase).within(36h)` —
+    every view→purchase pair within 36 hours, ANNOTATED with whether a
+    click-including funnel also completed in the window (`with_click`).
+    This is the conversion-attribution split every funnel analyst asks
+    for next (assisted vs direct purchases), and it exercises the
+    annotation semantics `optional()` documents: the flag chain can
+    never gate or move the match (the skip variant dominates under
+    greedy max-start), so the compiler runs k+1 carry chains — one
+    gating, one per optional step. The oracle unrolls BOTH chains in
+    SQL (m* = gating, v* = click variant) and recomputes the flag
+    expression bit-exactly."""
+    pat = (
+        CepPattern.begin("view", etype="view")
+        .followed_by("click", etype="click")
+        .optional()
+        .followed_by("purchase", etype="purchase")
+        .within("36 hours")
     )
     return pat.compile(
         table(spark, sf_dir, "events"),

@@ -470,66 +470,87 @@ def cep_times_stream(spark: SparkSession, files_dir: str, sf_dir: str) -> DataFr
 # ---------------------------------------------------------------------------
 
 
-def _cep_compiled_fn(steps: list, within_us):
-    """Keyed-state executor for an EXPANDED positive CEP chain
-    ([(event_type, transition)], cep.CepPattern.expanded_event_steps):
-    the batch compiler's carry columns, incrementalized. State per key =
-    C[i] (running max of step-i's hit over all processed rows — the MAX
-    OVER UNBOUNDED..1 PRECEDING carry) and L[i] (step-i's hit at the
-    immediately previous row — the LAG(1) carry for strict
-    transitions): 2·(m-1) BIGINTs, O(1) regardless of stream length.
-    Each row's hits evaluate against the PRE-row state (the batch
-    plan's strictly-before frames), then the state absorbs the row —
-    so one event can serve step i for future rows while consuming only
-    strictly-earlier events for step i+1, exactly the distinct-event
-    binding the batch compiler guarantees."""
+def _cep_chain_hits(steps, C, L, etype, t):
+    """One row's hit vector for one expanded chain, evaluated against
+    the PRE-row state (the batch plan's strictly-before frames)."""
     m = len(steps)
+    hit = [-1] * m
+    for i, (et, trans) in enumerate(steps):
+        if etype != et:
+            continue
+        if i == 0:
+            hit[0] = t
+        else:
+            carry_in = C[i - 1] if trans == "followed_by" else L[i - 1]
+            if carry_in >= 0:
+                hit[i] = carry_in
+    return hit
+
+
+def _cep_compiled_fn(chains: list, within_us):
+    """Keyed-state executor for a compiled CEP pattern: `chains` =
+    [(flag_name_or_None, expanded_steps)], the first chain GATES the
+    match (cep.CepPattern's required steps), later chains annotate
+    (`with_<name>` flags for optional steps). Per chain, state = C[i]
+    (running max of step-i's hit over all processed rows — the MAX OVER
+    UNBOUNDED..1 PRECEDING carry) and L[i] (step-i's hit at the
+    immediately previous row — the LAG(1) carry for strict
+    transitions): Σ 2·(m_c-1) BIGINTs, O(1) regardless of stream
+    length. Each row's hits evaluate against the PRE-row state, then
+    the state absorbs the row — so one event can serve step i for
+    future rows while consuming only strictly-earlier events for step
+    i+1, exactly the distinct-event binding the batch compiler
+    guarantees."""
+    sizes = [len(steps) - 1 for _, steps in chains]
+    flag_names = [name for name, _ in chains[1:]]
 
     def fn(
         key: Tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        vals = list(state.get) if state.exists else [-1] * (2 * (m - 1))
-        C, L = vals[: m - 1], vals[m - 1:]
+        if state.exists:
+            vals = list(state.get)
+        else:
+            vals = [-1] * (2 * sum(sizes))
+        CL, off = [], 0
+        for n in sizes:
+            CL.append((vals[off:off + n], vals[off + n:off + 2 * n]))
+            off += 2 * n
         chunks = [p for p in pdf_iter if len(p)]
         if not chunks:
             return
         pdf = pd.concat(chunks).sort_values(["ts", "event_id"])
-        out_id, out_ts, out_start = [], [], []
+        out = {"match_id": [], "match_us": [], "start_us": []}
+        for nm in flag_names:
+            out[nm] = []
+
+        def ok(v, t):
+            return v >= 0 and (within_us is None or t - v <= within_us)
+
         for eid, etype, t in zip(
             pdf["event_id"].to_numpy(),
             pdf["event_type"].to_numpy(),
             _ts_us(pdf["ts"]).to_numpy(),
         ):
             t = int(t)
-            hit = [-1] * m
-            for i, (et, trans) in enumerate(steps):
-                if etype != et:
-                    continue
-                if i == 0:
-                    hit[0] = t
-                else:
-                    carry_in = C[i - 1] if trans == "followed_by" else L[i - 1]
-                    if carry_in >= 0:
-                        hit[i] = carry_in
-            if hit[m - 1] >= 0 and (
-                within_us is None or t - hit[m - 1] <= within_us
-            ):
-                out_id.append(int(eid))
-                out_ts.append(t)
-                out_start.append(hit[m - 1])
-            for i in range(m - 1):
-                if hit[i] > C[i]:
-                    C[i] = hit[i]
-                L[i] = hit[i]
-        state.update(tuple(C + L))
-        if out_id:
+            hits = [
+                _cep_chain_hits(steps, C, L, etype, t)
+                for (C, L), (_, steps) in zip(CL, chains)
+            ]
+            if ok(hits[0][-1], t):
+                out["match_id"].append(int(eid))
+                out["match_us"].append(t)
+                out["start_us"].append(hits[0][-1])
+                for nm, h in zip(flag_names, hits[1:]):
+                    out[nm].append(ok(h[-1], t))
+            for (C, L), hit in zip(CL, hits):
+                for i in range(len(C)):
+                    if hit[i] > C[i]:
+                        C[i] = hit[i]
+                    L[i] = hit[i]
+        state.update(tuple(v for C, L in CL for v in C + L))
+        if out["match_id"]:
             yield pd.DataFrame(
-                {
-                    "user_id": [key[0]] * len(out_id),
-                    "match_id": out_id,
-                    "match_us": out_ts,
-                    "start_us": out_start,
-                }
+                {"user_id": [key[0]] * len(out["match_id"]), **out}
             )
 
     return fn
@@ -537,25 +558,32 @@ def _cep_compiled_fn(steps: list, within_us):
 
 def cep_compiled_stream(
     spark: SparkSession, files_dir: str, sf_dir: str,
-    steps: list, within_us,
+    steps: list, within_us, flag_variants=(),
 ) -> DataFrame:
     """True-streaming execution of a compiled CEP pattern (reached via
     cep.CepPattern.compile_stream): any positive begin/next/followedBy/
-    times chain runs unbounded with 2·(m-1) longs of keyed state."""
+    times[/optional] pattern runs unbounded with O(1) keyed state —
+    2·(m-1) longs for the gating chain plus the same per optional-step
+    annotation chain."""
     if len(steps) < 2:
         raise ValueError("streaming compile needs >= 2 positive steps")
+    chains = [(None, list(steps))] + [
+        (name, list(v)) for name, v in flag_variants
+    ]
     ev = _events_stream(spark, files_dir, sf_dir)
-    n = len(steps) - 1
-    state_schema = ", ".join(
-        [f"c{i} BIGINT" for i in range(n)] + [f"l{i} BIGINT" for i in range(n)]
+    state_fields = []
+    for ci, (_, ch) in enumerate(chains):
+        n = len(ch) - 1
+        state_fields += [f"c{ci}_{i} BIGINT" for i in range(n)]
+        state_fields += [f"l{ci}_{i} BIGINT" for i in range(n)]
+    out_schema = (
+        "user_id BIGINT, match_id BIGINT, match_us BIGINT, start_us BIGINT"
+        + "".join(f", {name} BOOLEAN" for name, _ in chains[1:])
     )
     return ev.groupBy("user_id").applyInPandasWithState(
-        _cep_compiled_fn(list(steps), within_us),
-        outputStructType=(
-            "user_id BIGINT, match_id BIGINT,"
-            " match_us BIGINT, start_us BIGINT"
-        ),
-        stateStructType=state_schema,
+        _cep_compiled_fn(chains, within_us),
+        outputStructType=out_schema,
+        stateStructType=", ".join(state_fields),
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

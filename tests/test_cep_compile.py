@@ -241,3 +241,168 @@ def test_registered_key_plan_is_single_sort_window_chain(spark, sf_small):
     assert "Join" not in plan
     n_exchange = plan.count("Exchange")
     assert n_exchange <= 1, plan
+
+
+def test_optional_step_annotates_never_gates(spark, sf_small):
+    """optional() semantics: the match set equals the pattern WITHOUT
+    the optional step (skip variant dominates — the flag chain can
+    never gate or move a match), start_ts is the dominant chain's, and
+    with_click is true exactly where the click-REQUIRED pattern also
+    matches. Both true and false flags must occur (else the fixture
+    proves nothing)."""
+    ev = table(spark, sf_small, "events")
+    opt = (
+        CepPattern.begin("view", etype="view")
+        .followed_by("click", etype="click")
+        .optional()
+        .followed_by("purchase", etype="purchase")
+        .within("36 hours")
+    )
+    got = opt.compile(ev).toPandas()
+
+    base = (
+        CepPattern.begin("view", etype="view")
+        .followed_by("purchase", etype="purchase")
+        .within("36 hours")
+    )
+    want_base = base.compile(ev).toPandas()
+    cols = ["user_id", "match_id", "match_ts", "start_ts"]
+    pd.testing.assert_frame_equal(
+        got[cols].sort_values(cols).reset_index(drop=True),
+        want_base[cols].sort_values(cols).reset_index(drop=True),
+    )
+
+    strict = (
+        CepPattern.begin("view", etype="view")
+        .followed_by("click", etype="click")
+        .followed_by("purchase", etype="purchase")
+        .within("36 hours")
+    )
+    with_ids = {
+        (r.user_id, r.match_id) for r in strict.compile(ev).collect()
+    }
+    flags = {
+        (r.user_id, r.match_id): r.with_click
+        for r in opt.compile(ev).collect()
+    }
+    assert set(flags) >= with_ids
+    for k, v in flags.items():
+        assert v == (k in with_ids), k
+    assert any(flags.values()) and not all(flags.values())
+
+
+def test_one_or_more_existence_collapse(spark, sf_small):
+    """The oneOrMore existence theorem, brute-forced: on a synthetic
+    stream with repeated B runs, 'A followedBy B oneOrMore followedBy
+    C' must equal 'A followedBy B followedBy C' (extra B occurrences
+    are interveners relaxed contiguity already ignores), and both must
+    equal a chain enumeration that tries EVERY repetition count."""
+    import itertools
+
+    rows = []
+    data = {
+        1: [("A", 0), ("B", 1), ("B", 2), ("B", 3), ("C", 4), ("C", 20)],
+        2: [("A", 0), ("C", 1), ("B", 2), ("C", 3)],
+        3: [("B", 0), ("A", 1), ("B", 2), ("C", 3), ("B", 4), ("C", 5)],
+    }
+    eid = 0
+    for uid, evs in data.items():
+        for typ, sec in evs:
+            rows.append((uid, eid, typ, sec))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "user_id INT, event_id INT, event_type STRING, sec INT"
+    ).withColumn("ts", F.timestamp_seconds("sec"))
+
+    T = 10
+    one_or_more = (
+        CepPattern.begin("a", etype="A")
+        .followed_by("b", etype="B")
+        .one_or_more()
+        .followed_by("c", etype="C")
+        .within(T)
+    )
+    plain = (
+        CepPattern.begin("a", etype="A")
+        .followed_by("b", etype="B")
+        .followed_by("c", etype="C")
+        .within(T)
+    )
+    cols = ["user_id", "match_id", "start_ts"]
+    g1 = _pdf(one_or_more.compile(df), cols)
+    g2 = _pdf(plain.compile(df), cols)
+    pd.testing.assert_frame_equal(g1, g2)
+
+    # brute force over ALL repetition counts: emit (uid, c_row) if any
+    # A < B^k < C chain (k >= 1) fits the window
+    want = set()
+    for uid, evs in data.items():
+        seq = [(typ, sec, i) for i, (typ, sec) in enumerate(evs)]
+        base = sum(len(v) for u, v in data.items() if u < uid)
+        for k in range(1, len(evs)):
+            for chain in itertools.combinations(seq, 2 + k):
+                types = [c[0] for c in chain]
+                if types == ["A"] + ["B"] * k + ["C"] and \
+                        chain[-1][1] - chain[0][1] <= T:
+                    want.add((uid, base + chain[-1][2]))
+    got = {(r.user_id, r.match_id) for r in one_or_more.compile(df).collect()}
+    assert len(want) > 0
+    assert got == want
+
+
+def test_optional_streaming_twin_matches_batch(spark, sf_small, tmp_path_factory):
+    """The optional-step annotation chains ride the SAME keyed state as
+    the gating chain: the streaming compile of the registered optional
+    pattern must equal the batch compile including the with_click flag,
+    across micro-batch boundaries."""
+    from sparkflow.streaming import stateful
+
+    stream_dir = stateful.split_events_to_files(
+        spark, sf_small, str(tmp_path_factory.mktemp("cep_opt_stream")), 3
+    )
+    pat = (
+        CepPattern.begin("view", etype="view")
+        .followed_by("click", etype="click")
+        .optional()
+        .followed_by("purchase", etype="purchase")
+        .within("36 hours")
+    )
+    sdf = pat.compile_stream(spark, stream_dir, sf_small)
+    stateful.run_to_memory(sdf, "t_cepopt", "append")
+    got = (
+        spark.table("t_cepopt").toPandas()
+        .sort_values("match_id").reset_index(drop=True)
+    )
+    want = (
+        QUERIES["stream_cep_optional"](spark, sf_small)
+        .toPandas().sort_values("match_id").reset_index(drop=True)
+    )
+    assert len(want) > 0
+    want_us = want.assign(
+        match_us=pd.to_datetime(want["match_ts"])
+        .astype("datetime64[us]").astype("int64"),
+        start_us=pd.to_datetime(want["start_ts"])
+        .astype("datetime64[us]").astype("int64"),
+    )[["user_id", "match_id", "match_us", "start_us", "with_click"]]
+    pd.testing.assert_frame_equal(got, want_us, check_dtype=False)
+    assert got["with_click"].any() and not got["with_click"].all()
+
+
+def test_optional_builder_rules():
+    p = F.lit(True)
+    with pytest.raises(ValueError, match="final step"):
+        CepPattern.begin("a", p).followed_by("b", p).optional().compile(None)
+    with pytest.raises(ValueError, match="begin"):
+        CepPattern().optional()
+    # optional on a times-step: the whole quantified group is optional
+    pat = (
+        CepPattern.begin("a", etype="A")
+        .followed_by("b", etype="B")
+        .times(2)
+        .optional()
+        .followed_by("c", etype="C")
+    )
+    main, variants = pat.stream_chains()
+    assert [e for e, _ in main] == ["A", "C"]
+    assert variants[0][0] == "with_b"
+    assert [e for e, _ in variants[0][1]] == ["A", "B", "B", "C"]
