@@ -47,7 +47,15 @@ from sparkflow.session import get_spark
 def events_tumbling_batch(spark, sf_dir):
     """Batch event-time hour buckets — the exact shape BASELINE.md timed
     (the streaming twin is correctness-checked elsewhere; benching it
-    would measure streaming-query startup, not the aggregation)."""
+    would measure streaming-query startup, not the aggregation). IVM
+    read-through (r11): a session that ran maintenance_rollup_tumbling
+    reads the staged (hour, type) partials — bit-identical output;
+    cold sessions (this bench's default) keep the raw scan."""
+    from sparkflow.sources.io import tumbling_rollup, tumbling_rollup_read
+
+    mat = tumbling_rollup(spark, sf_dir, create=False)
+    if mat is not None:
+        return tumbling_rollup_read(mat)
     ev = table(spark, sf_dir, "events")
     return (
         ev.groupBy(

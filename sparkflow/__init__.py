@@ -109,6 +109,10 @@ _CONTRACT_CHANGED: dict = {
     # read-through, join_multiway_star -> bucket-family plan)
     "fn_json": 9,
     "join_multiway_star": 9,
+    # r11: IVM read-through defaults (staged rollup partials when
+    # maintenance_rollup_{pricing,distinct} ran this session)
+    "agg_hash_group": 11,
+    "agg_distinct": 11,
 }
 
 

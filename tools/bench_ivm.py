@@ -1,0 +1,104 @@
+"""IVM posture A/B (r11): raw scan vs staged-rollup read-through for
+the three engine-floor aggregates — q1 (agg_hash_group), distinct_users
+(agg_distinct), events_tumbling_1h (batch twin) — at the given SF, in
+ONE session, DuckDB interleaved (same-window protocol, bench_sf1's).
+
+Protocol: (1) raw medians first (fresh plan per iteration — the
+read-through cannot engage because nothing is staged yet); (2) run the
+three maintenance_rollup_* passes once, timing the staging cost the
+posture amortizes; (3) read-through medians (fresh plan per iteration —
+now resolves to the partials read); DuckDB's full recompute interleaved
+throughout as the constant yardstick. Spark values are verified
+identical raw-vs-staged in-session (the bit-identity the oracles pin).
+
+Usage: python tools/bench_ivm.py [sf_dir]  (default /tmp/sparkflow_sf10)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+import sparkflow
+from bench import BENCH_QUERIES
+from sparkflow.session import get_spark
+
+_RUNS = 5
+_QUERIES = {
+    "q1_pricing_summary": ("agg_hash_group", "maintenance_rollup_pricing"),
+    "distinct_users": ("agg_distinct", "maintenance_rollup_distinct"),
+    "events_tumbling_1h": ("stream_tumbling", "maintenance_rollup_tumbling"),
+}
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sparkflow_sf10"
+    if not os.path.isdir(sf_dir):
+        raise SystemExit(f"{sf_dir} missing — tools/scale_smoke.py gen")
+    os.environ.setdefault("SPARK_DRIVER_MEM", "32g")
+    spark = get_spark("bench-ivm", shuffle_partitions=32)
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+    for t in sparkflow.catalog.TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf_dir}/{t}.parquet')")
+
+    def medians(fn, sql):
+        t_s, t_d, vals = [], [], None
+        fn(spark, sf_dir).toPandas()  # warm
+        con.execute(sql).fetchdf()
+        for _ in range(_RUNS):
+            t0 = time.perf_counter()
+            con.execute(sql).fetchdf()
+            t_d.append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            vals = fn(spark, sf_dir).toPandas()  # fresh plan each time
+            t_s.append(time.perf_counter() - t0)
+        return statistics.median(t_s), statistics.median(t_d), vals
+
+    out = {"sf_dir": sf_dir, "load_1m": os.getloadavg()[0], "rows": {}}
+    raw = {}
+    for name, (key, _) in _QUERIES.items():
+        fn = BENCH_QUERIES[name]
+        sql = sparkflow.ORACLES[key]
+        ms, md, vals = medians(fn, sql)
+        raw[name] = (ms, md, vals)
+        print(f"RAW    {name:22s} spark {ms:6.3f}s  duck {md:6.3f}s  "
+              f"ratio {ms / md:5.2f}x")
+
+    t_stage = {}
+    for name, (_, mkey) in _QUERIES.items():
+        t0 = time.perf_counter()
+        sparkflow.QUERIES[mkey](spark, sf_dir).toPandas()
+        t_stage[name] = round(time.perf_counter() - t0, 3)
+        print(f"STAGE  {name:22s} {t_stage[name]:6.3f}s  ({mkey})")
+
+    for name, (key, _) in _QUERIES.items():
+        fn = BENCH_QUERIES[name]
+        sql = sparkflow.ORACLES[key]
+        ms, md, vals = medians(fn, sql)
+        ms_raw, _, vals_raw = raw[name]
+        same = vals.sort_values(list(vals.columns)).reset_index(drop=True) \
+            .equals(vals_raw.sort_values(list(vals_raw.columns))
+                    .reset_index(drop=True))
+        print(f"STAGED {name:22s} spark {ms:6.3f}s  duck {md:6.3f}s  "
+              f"ratio {ms / md:5.2f}x  speedup {ms_raw / ms:5.2f}x  "
+              f"identical={same}")
+        out["rows"][name] = {
+            "raw_spark_s": round(ms_raw, 3), "staged_spark_s": round(ms, 3),
+            "duck_s": round(md, 3), "raw_ratio": round(ms_raw / md, 2),
+            "staged_ratio": round(ms / md, 2), "stage_cost_s": t_stage[name],
+            "identical": bool(same),
+        }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
