@@ -1310,3 +1310,63 @@ def test_ivm_rollup_read_through_bit_identical(spark, sf_small):
         # bit-identity, not approx: astype(str) compares exact doubles
         pd.testing.assert_frame_equal(
             got[want.columns].astype(str), want.astype(str))
+
+
+def test_rebase_reapplies_mutate_kept_to_new_head(
+    spark, sf_small, tmp_path_factory
+):
+    """_tv_commit_rebase's mutate_kept contract: on a rebase, the
+    mutation re-applies to the NEW head's entries — so a transition
+    commit (e.g. tagging survivors `clustered`) that loses the race to
+    a concurrent append still tags the winner's files, and idempotence
+    means the already-tagged originals are unchanged."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from sparkflow.catalog import table
+    from sparkflow.sources.io import (
+        _tv_commit,
+        _tv_commit_rebase,
+        _tv_entries,
+        _tv_with_stats,
+    )
+
+    base = str(tmp_path_factory.mktemp("mutate_race_table"))
+    orders = table(spark, sf_small, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice")
+
+    def write(subdir, df, n=1):
+        d = os.path.join(base, "data", subdir)
+        df.repartition(n).write.mode("overwrite").parquet(d)
+        return _tv_with_stats(
+            spark, sorted(glob.glob(os.path.join(d, "*.parquet"))),
+            "o_orderkey")
+
+    e1 = write("v1", orders)
+    _tv_commit(base, 1, e1)
+
+    # committer A prepares a tagging append against v1...
+    okmax = int(orders.agg(F.max("o_orderkey")).first()[0])
+    fresh_a = write("a", orders.limit(10).select(
+        (F.col("o_orderkey") + okmax + 1).alias("o_orderkey"),
+        "o_custkey", "o_totalprice"))
+    for e in fresh_a:
+        e["clustered"] = False
+    # ...but committer B's plain append wins the race
+    fresh_b = write("b", orders.limit(5).select(
+        (F.col("o_orderkey") + 2 * (okmax + 1)).alias("o_orderkey"),
+        "o_custkey", "o_totalprice"))
+    assert _tv_commit_rebase(base, 1, removed=(), added=fresh_b) == 2
+
+    # A rebases: mutate_kept must tag BOTH v1's files and B's files
+    assert _tv_commit_rebase(
+        base, 1, removed=(), added=fresh_a,
+        mutate_kept=lambda e: {**e, "clustered": True},
+    ) == 3
+    v3 = {e["path"]: e for e in _tv_entries(base, 3)}
+    for e in e1 + fresh_b:
+        assert v3[e["path"]]["clustered"] is True, e["path"]
+    for e in fresh_a:
+        assert v3[e["path"]]["clustered"] is False, e["path"]

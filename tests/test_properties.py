@@ -325,3 +325,72 @@ def test_containment_matches_set_reference(texts):
                         round(c, 6),
                     )
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# CEP combinator dominance fuzz (r11): the compiler's one theorem,
+# property-tested over RANDOM streams and RANDOM positive patterns.
+# ---------------------------------------------------------------------------
+
+_cep_event = st.tuples(
+    st.sampled_from(["A", "B", "C"]),      # event type
+    st.integers(min_value=0, max_value=30)  # second offset (ties likely)
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    streams=st.lists(
+        st.lists(_cep_event, min_size=0, max_size=10),
+        min_size=1, max_size=3,
+    ),
+    pattern_types=st.lists(
+        st.sampled_from(["A", "B", "C"]), min_size=2, max_size=4
+    ),
+    within_s=st.integers(min_value=1, max_value=40),
+)
+def test_cep_greedy_dominance_fuzz(streams, pattern_types, within_s):
+    """For ANY relaxed positive pattern under within(T), the compiled
+    max-start carry chain must emit exactly the rows where ANY strictly
+    ordered distinct-event chain exists — checked against brute-force
+    enumeration (itertools.combinations respects the (ts, id) order the
+    compiler sorts by). Random streams include same-ts ties, repeated
+    types, empty users, and patterns with repeated steps (the
+    distinct-event binding's hard case)."""
+    import itertools
+
+    from sparkflow.streaming.cep import CepPattern
+
+    spark = _get_spark()
+    rows = []
+    eid = 0
+    for uid, evs in enumerate(streams):
+        # stable order within a user: sort by (sec, arrival) like the
+        # compiler's (ts, event_id); assign ids in that order so the
+        # brute force's combination order equals the compiler's
+        for typ, sec in sorted(evs, key=lambda e: e[1]):
+            rows.append((uid, eid, typ, sec))
+            eid += 1
+    if not rows:
+        return
+    df = spark.createDataFrame(
+        rows, "user_id INT, event_id INT, event_type STRING, sec INT"
+    ).withColumn("ts", F.timestamp_seconds("sec"))
+
+    pat = CepPattern.begin("s0", etype=pattern_types[0])
+    for i, t in enumerate(pattern_types[1:], 1):
+        pat = pat.followed_by(f"s{i}", etype=t)
+    pat = pat.within(within_s)
+    got = {(r.user_id, r.match_id) for r in pat.compile(df).collect()}
+
+    want = set()
+    m = len(pattern_types)
+    by_user: dict = {}
+    for uid, ev_id, typ, sec in rows:
+        by_user.setdefault(uid, []).append((typ, sec, ev_id))
+    for uid, seq in by_user.items():
+        for chain in itertools.combinations(seq, m):
+            if [c[0] for c in chain] == pattern_types and \
+                    chain[-1][1] - chain[0][1] <= within_s:
+                want.add((uid, chain[-1][2]))
+    assert got == want
