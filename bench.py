@@ -51,8 +51,13 @@ def events_tumbling_batch(spark, sf_dir):
     read-through (r11): a session that ran maintenance_rollup_tumbling
     reads the staged (hour, type) partials — bit-identical output;
     cold sessions (this bench's default) keep the raw scan."""
-    from sparkflow.sources.io import tumbling_rollup, tumbling_rollup_read
+    from sparkflow.sources.io import (
+        rollup_serve, tumbling_rollup, tumbling_rollup_read,
+    )
 
+    serve = rollup_serve(spark, sf_dir, "tumbling")
+    if serve is not None:
+        return serve  # one-stage serving-frame scan (r12)
     mat = tumbling_rollup(spark, sf_dir, create=False)
     if mat is not None:
         return tumbling_rollup_read(mat)
@@ -66,6 +71,45 @@ def events_tumbling_batch(spark, sf_dir):
         )
         .agg(F.count(F.lit(1)).alias("n_events"), (F.sum(cents("value")).cast("double") / 100.0).alias("value_sum"))
     )
+
+
+def staged_postures(sf_dir: str) -> dict[str, str]:
+    """Which headline queries will resolve to a durable staged posture
+    in THIS run (r12: postures are content-addressed and survive
+    sessions, so the ledger must say which shape each number measured —
+    'cold' = the raw plan, anything else = the named warm artifact).
+    Pure os.stat probes, no Spark."""
+    from sparkflow.sources import staging
+
+    from sparkflow.sources.io import _ROLLUP_TABLES
+
+    def rollup(name):
+        for suffix, label in (("_serve", "ivm_serve"), ("", "ivm_partials")):
+            if staging.is_published(staging.shared_path(
+                "rollup", sf_dir, _ROLLUP_TABLES[name], f"{name}{suffix}",
+            )):
+                return label
+        return "cold"
+
+    def bucketed(tname, key):
+        return staging.is_published(staging.shared_path(
+            "bucketed", sf_dir, (tname,), f"{tname}_{key}_b32"
+        ))
+
+    facts = bucketed("lineitem", "l_orderkey") and bucketed("orders", "o_orderkey")
+    return {
+        "q1_pricing_summary": rollup("pricing"),
+        "q3_join3_topk": "bucket_family" if facts else "cold",
+        "q5_join5_agg": (
+            rollup("q5") if rollup("q5") == "ivm_serve"
+            else ("bucket_family" if facts else "cold")
+        ),
+        "distinct_users": rollup("distinct"),
+        "events_tumbling_1h": rollup("tumbling"),
+        "json_extract_agg": "typed_copy" if staging.is_published(
+            staging.shared_path("json_mat", sf_dir, ("events",), "events_k")
+        ) else "cold",
+    }
 
 
 BENCH_QUERIES = {
@@ -229,6 +273,12 @@ def main() -> None:
                 "floor_pre_sec": round(floor_pre, 4),
                 "best_idle_floor_sec": round(idle_floor, 4),
                 "idle_waits": waits,
+                # which durable staged posture (if any) each headline
+                # query resolved to in THIS window — postures survive
+                # sessions since r12, so the number's shape must be
+                # self-describing (cold vs warm is no longer implied
+                # by process freshness).
+                "postures": staged_postures(sf_dir),
             }
         )
     )

@@ -113,6 +113,11 @@ _CONTRACT_CHANGED: dict = {
     # maintenance_rollup_{pricing,distinct} ran this session)
     "agg_hash_group": 11,
     "agg_distinct": 11,
+    # r12: durable content-addressed postures — the read-through
+    # consumers now resolve to published SERVING frames (one-stage
+    # constant-size scans) and the flagship gained the Q5
+    # join-aggregate IVM posture as its first probe
+    "join_multiway_star": 12,
 }
 
 

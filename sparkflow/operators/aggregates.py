@@ -103,8 +103,11 @@ def agg_hash_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     partials read with bit-identical output (same IEEE expressions
     over the same integer sums); cold sessions keep this one-scan raw
     plan, which stays the measurable A/B rung."""
-    from ..sources.io import pricing_rollup, pricing_rollup_read
+    from ..sources.io import pricing_rollup, pricing_rollup_read, rollup_serve
 
+    serve = rollup_serve(spark, sf_dir, "pricing")
+    if serve is not None:
+        return serve  # one-stage 6-row scan (r12: durable serving frame)
     mat = pricing_rollup(spark, sf_dir, create=False)
     if mat is not None:
         return pricing_rollup_read(mat)
@@ -141,8 +144,11 @@ def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     Σ bitmap_count over the partials — exact, orders of magnitude fewer
     rows than the event scan; cold sessions keep this raw distinct
     plan, which stays the measurable A/B rung."""
-    from ..sources.io import distinct_rollup, distinct_rollup_read
+    from ..sources.io import distinct_rollup, distinct_rollup_read, rollup_serve
 
+    serve = rollup_serve(spark, sf_dir, "distinct")
+    if serve is not None:
+        return serve  # one-stage 5-row scan (r12: the dispatch-floor fix)
     mat = distinct_rollup(spark, sf_dir, create=False)
     if mat is not None:
         return distinct_rollup_read(mat)

@@ -25,6 +25,8 @@ Spark-first design notes:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -421,12 +423,24 @@ def join_multiway_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     Both shapes return identical rows (same oracle); the shuffle shape
     stays measurable on its own via join_multiway_star_shuffle.
 
+    r12 (verdict item 4): the FIRST posture probed is the Q5
+    join-aggregate IVM serving frame (maintenance_rollup_q5 — the
+    maintained (nation, year) view published content-addressed): when
+    it exists for this corpus digest, the flagship is a one-stage
+    constant-size scan with bit-identical output. Next the bucket
+    family; finally the cold shuffle shape.
+
     Shuffle-shape join order: fact-to-fact first (lineitem⋈orders⋈
     customer shuffles on their keys, AQE may broadcast customer at
     small SF), then the supplier local-nation condition, then explicit
     broadcasts of the fixed-size nation/region dims. Date filter sits
     directly on the orders scan so it pushes into the parquet reader.
     """
+    from ..sources.io import rollup_serve
+
+    serve = rollup_serve(spark, sf_dir, "q5")
+    if serve is not None:
+        return serve  # maintained join-aggregate view (IVM read-through)
     li = _bucketed_table_if_exists(
         spark, sf_dir, "lineitem", "l_orderkey", n_buckets=32
     )
@@ -559,35 +573,80 @@ def _bucketed_table(
     """Register-once bucketed copy of a fixture table (bucketBy(n, key)
     .sortBy(key)) and return a scan of it. Shared by join_bucketed and
     join_multiway_star_bucketed so two queries over the same (table,
-    key) pay the one-time bucketing write ONCE per session — exactly the
+    key) pay the one-time bucketing write ONCE per corpus — exactly the
     amortization story bucketing sells at 100 TB. Registration naming,
-    /tmp namespacing, and the concurrent-writer race are handled by
-    _bucketed_frame (below), which this thinly wraps."""
+    durable content-addressed publication, and the concurrent-writer
+    race are handled by _bucketed_frame (below), which this thinly
+    wraps."""
     return _bucketed_frame(
-        spark, sf_dir, tname, lambda: table(spark, sf_dir, tname), key, n_buckets
+        spark, sf_dir, tname, lambda: table(spark, sf_dir, tname), key,
+        n_buckets, tables=(tname,),
     )
 
 
-def _bucketed_frame(
-    spark: SparkSession, sf_dir: str, name: str, mk_df, key: str, n_buckets: int
-) -> DataFrame:
-    """Register-once bucketed copy of an arbitrary frame (built lazily
-    by mk_df() only on the staging miss). Factored from _bucketed_table
-    so the denormalized-star posture can bucket a JOINED frame with the
-    same one-file-per-bucket write discipline. Data lands under /tmp
-    NAMESPACED BY applicationId: the catalog's tableExists guard is
-    per-session, so two concurrent processes (a pytest run beside a
-    harness run) would otherwise both see "not there yet" and race
-    mode('overwrite') writes onto one directory, corrupting whichever
-    scan is in flight. The registered name is identifier-safe from the
-    sf_dir BASENAME (a previous rsplit('sf', ...) assumed the fixture
-    naming convention and broke on tools/reseed.py's twin corpus)."""
-    import re
+def _bucketed_registration(spark, sf_dir, name, key, n_buckets, tables):
+    """(registered catalog name, published data location) for one
+    bucket-family member. The catalog name embeds the corpus DIGEST, so
+    a session that re-targets a mutated corpus (tools/reseed.py twins)
+    can never resolve a stale registration — the name itself misses."""
+    from ..sources import staging
 
-    sfkey = re.sub(r"[^A-Za-z0-9_]", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
-    app_id = spark.sparkContext.applicationId
-    reg = f"sparkflow_bucketed_{name}_{key}_b{n_buckets}_{sfkey}"
-    if not spark.catalog.tableExists(reg):
+    final = staging.shared_path(
+        "bucketed", sf_dir, tables, f"{name}_{key}_b{n_buckets}"
+    )
+    digest = os.path.basename(os.path.dirname(final))
+    reg = f"sparkflow_bucketed_{name}_{key}_b{n_buckets}_{digest}"
+    return reg, final
+
+
+def _register_bucketed(spark, reg: str, final: str, key: str,
+                       n_buckets: int) -> DataFrame:
+    """Register the published bucketed data as an EXTERNAL bucketed
+    table in this session's catalog (metadata-only DDL — the cross-
+    session half of the durable posture: session 2 pays one CREATE
+    TABLE, not a 25 s bucketing write). Spark identifies each file's
+    bucket by the _NNNNN suffix its own bucketed writer embedded, so a
+    DDL-registered scan consumes the layout exactly as the writing
+    session did (co-located, sort-free joins)."""
+    schema = spark.read.parquet(final).schema
+    cols = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields
+    )
+    spark.sql(
+        f"CREATE TABLE {reg} ({cols}) USING PARQUET "
+        f"CLUSTERED BY ({key}) SORTED BY ({key}) INTO {n_buckets} BUCKETS "
+        f"LOCATION '{final}'"
+    )
+    return spark.table(reg)
+
+
+def _bucketed_frame(
+    spark: SparkSession, sf_dir: str, name: str, mk_df, key: str,
+    n_buckets: int, tables=None,
+) -> DataFrame:
+    """Durable bucketed copy of an arbitrary frame (built lazily by
+    mk_df() only on a publication miss). Factored from _bucketed_table
+    so the denormalized-star posture can bucket a JOINED frame with the
+    same one-file-per-bucket write discipline. r12 (verdict item 1):
+    data is published CONTENT-ADDRESSED under the shared staging root —
+    the build happens in an app-scoped scratch (saveAsTable needs a
+    catalog entry to write bucketed, so a scratch registration is made
+    and dropped), one atomic rename publishes it, and every later
+    session re-attaches with metadata-only DDL. Two concurrent
+    processes both build in private scratches; one rename wins; the
+    loser reads the winner's identical artifact."""
+    from ..sources import staging
+
+    tables = tables or (name,)
+    reg, final = _bucketed_registration(
+        spark, sf_dir, name, key, n_buckets, tables
+    )
+    if spark.catalog.tableExists(reg):
+        return spark.table(reg)
+    if not staging.is_published(final):
+        app = spark.sparkContext.applicationId
+        scratch = staging.scratch_path(final, app)
+        scratch_reg = f"{reg}_scratch"
         (
             # repartition on the bucket key BEFORE bucketBy: without it
             # every write task emits a file into every bucket (32 tasks
@@ -601,29 +660,41 @@ def _bucketed_frame(
             .repartition(n_buckets, key)
             .write.bucketBy(n_buckets, key)
             .sortBy(key)
-            .option(
-                "path",
-                f"/tmp/sparkflow_io/bucketed/{app_id}/{name}_{key}_b{n_buckets}_{sfkey}",
-            )
+            .option("path", scratch)
             .mode("overwrite")
-            .saveAsTable(reg)
+            .saveAsTable(scratch_reg)
         )
-    return spark.table(reg)
+        # external table: DROP removes only the catalog entry, the
+        # scratch files stay for the publish rename
+        spark.sql(f"DROP TABLE IF EXISTS {scratch_reg}")
+        staging.publish(scratch, final, {
+            "kind": "bucketed", "name": name, "key": key,
+            "n_buckets": n_buckets, "sf_dir": os.path.abspath(sf_dir),
+            "tables": sorted(set(tables)), "app_id": app,
+        })
+    return _register_bucketed(spark, reg, final, key, n_buckets)
 
 
 def _bucketed_table_if_exists(
     spark: SparkSession, sf_dir: str, name: str, key: str, n_buckets: int
 ):
-    """The session's bucketed copy of a fixture table if the one-time
-    staging has already happened (same registration naming as
-    _bucketed_frame), else None — the flagship's read-through probe
-    (r9 repoint): consume the bucket family when the investment exists,
-    never trigger the write from a read-only query."""
-    import re
+    """The bucketed copy of a fixture table if the one-time staging has
+    already been PUBLISHED for the current corpus digest — by this
+    session, an earlier session, or a concurrent process (r12: the
+    investment is durable) — else None: the flagship's read-through
+    probe (r9 repoint) never triggers the write from a read-only
+    query. A publication miss costs two os.stat-level checks; a hit by
+    a fresh session costs one metadata-only CREATE TABLE."""
+    from ..sources import staging
 
-    sfkey = re.sub(r"[^A-Za-z0-9_]", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
-    reg = f"sparkflow_bucketed_{name}_{key}_b{n_buckets}_{sfkey}"
-    return spark.table(reg) if spark.catalog.tableExists(reg) else None
+    reg, final = _bucketed_registration(
+        spark, sf_dir, name, key, n_buckets, (name,)
+    )
+    if spark.catalog.tableExists(reg):
+        return spark.table(reg)
+    if not staging.is_published(final):
+        return None
+    return _register_bucketed(spark, reg, final, key, n_buckets)
 
 
 @register(
@@ -767,7 +838,8 @@ def join_multiway_star_denorm(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     oe = _bucketed_frame(
-        spark, sf_dir, "orders_enriched", _mk_enriched, "o_orderkey", 32
+        spark, sf_dir, "orders_enriched", _mk_enriched, "o_orderkey", 32,
+        tables=("orders", "customer"),
     ).filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))

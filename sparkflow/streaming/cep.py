@@ -32,16 +32,57 @@ copies of the step (relaxed internal contiguity, FlinkCEP's default;
 the carry consumes strictly-earlier rows only, so each copy binds a
 DISTINCT event.
 
-`not_followed_by` is supported in TERMINAL position with a `within`
-horizon — exactly the form FlinkCEP itself requires a time window for
-(a pattern may not END in notFollowedBy without one). The negation
-compiles to one forward-looking window (earliest negated event after
-the match row); the match survives iff that event is absent or beyond
-`last_ts + T`. Mid-pattern negation is deliberately NOT offered: under
-a mid negation the greedy max-start chain is no longer dominant (a
-killed late-start chain can coexist with a surviving early-start one),
-so exactness would require carrying a Pareto frontier — the NFA. The
-builder raises at construction time rather than silently mis-matching.
+Negation (`not_followed_by`):
+
+- TERMINAL position with a `within` horizon — exactly the form
+  FlinkCEP itself requires a time window for. Compiles to one
+  forward-looking RANGE window over event-time microseconds (earliest
+  negated event with ts STRICTLY greater than the match row's — the
+  documented open interval (match_ts, match_ts + T]; r11 advice: a
+  row-frame made same-timestamp survival depend on the tiebreak
+  column); the match survives iff that event is absent or beyond
+  `last_ts + T`.
+
+- ONE MID-PATTERN negation (r11 verdict item 6): `...followed_by(B)
+  .not_followed_by(q).followed_by(C)...` — no q-event strictly between
+  the B-event and the C-event of the chain. Exact WITHOUT an NFA by a
+  second dominance argument: among the B-rows that complete the prefix
+  before a candidate C-row, a LATER B-row both (a) weakens the no-q
+  gap constraint (fewer rows in between) and (b) carries a
+  greater-or-equal chain start (the carried max is monotone in row
+  position) — so the latest prefix-complete B-row is optimal on BOTH
+  axes, and one struct-MAX window (latest (position, start)) plus one
+  running MAX of q-positions decides every C-row exactly. The
+  still-unsupported case — MORE than one mid negation — keeps the
+  loud construction-time refusal (two interleaved gap constraints
+  re-introduce the Pareto frontier, i.e. the NFA).
+
+Strict-contiguity gating (r11 advice, medium): the dominance arguments
+for `optional()` (skip variant is least constrained) and
+`one_or_more()` (existence collapses to times(1)) hold only under
+RELAXED transitions around the quantified step. A `next()` step
+immediately after an optional/oneOrMore step would REBIND its LAG(1)
+to a different predecessor in the skip/collapsed variant — on
+A,B,C with begin(A).next(B).optional().next(C) the including-B match
+exists but the skip chain demands C immediately after A, so the match
+would be silently dropped. The builder now raises at construction for
+exactly these compositions (next after optional/oneOrMore; oneOrMore
+on a next-reached step; negated gap entered or exited via next),
+mirroring the multi-negation refusal: refuse loudly, never mis-match.
+
+`one_or_more()` additionally emits a repetition COUNT `n_<name>`
+(r11 verdict item 7): the number of step-events the greedy chain can
+absorb — formally |{rows e : start_row < e <= match_row in
+(ts, tiebreak) order, pred(e)}|, the candidate pool the relaxed chain
+draws repetitions from (equal to the exact maximum repetition count
+whenever the repeated step's neighbours are its chain start and match
+steps — the A B+ C class the gating admits; pinned by brute force in
+tests/test_properties.py). Implementation: the chain's carry becomes a
+lexicographic struct MAX carrying (start_ts, count-of-step-events up
+to and including the start row); the count fields are monotone in row
+order, so the struct max stays the greedy max-start chain (latest
+start row on ties) in BOTH engines — one running COUNT window column
+per counted step, no new exchange.
 
 Semantics summary (documented contract, what the oracle checks):
 - match rows = events satisfying the LAST positive step's predicate
@@ -50,14 +91,19 @@ Semantics summary (documented contract, what the oracle checks):
 - `within(T)`: chain span `match_ts - start_ts <= T` (whole-pattern
   bound, FlinkCEP's `within`);
 - terminal `not_followed_by(q, within=T)`: no q-event in
-  `(match_ts, match_ts + T]`.
+  `(match_ts, match_ts + T]` (strictly-greater event time — same-ts
+  events are outside the open interval);
+- mid `not_followed_by(q)`: no q-event strictly between the
+  surrounding steps' bound events (row order).
 
-Output schema: `(key, match_id, match_ts, start_ts[, next_<neg>_ts])`
-— ids/timestamps of the match row plus the chain-start timestamp (the
-carried value), and for negation patterns the earliest following
-negated event's timestamp (NULL if none), so callers can audit the
-negation decision. Streaming: the compiled plan is window algebra over
-event time, so its batch-analog semantics equal the NFA's on bounded
+Output schema: `(key, match_id, match_ts, start_ts[, with_<name>...]
+[, n_<name>...][, next_<neg>_ts])` — ids/timestamps of the match row
+plus the chain-start timestamp (the carried value), a `with_<name>`
+boolean per optional step, an `n_<name>` count per oneOrMore step, and
+for terminal-negation patterns the earliest strictly-following negated
+event's timestamp (NULL if none), so callers can audit the negation
+decision. Streaming: the compiled plan is window algebra over event
+time, so its batch-analog semantics equal the NFA's on bounded
 event-time data (SURVEY §2.9 analog strategy); the three hand rungs'
 TRUE streaming twins in streaming/stateful.py remain the
 unbounded-execution evidence.
@@ -108,6 +154,11 @@ class _Step:
     # (arbitrary Columns can't be evaluated row-at-a-time in keyed state)
     optional: bool = False  # FlinkCEP .optional(): annotates, never gates
     # (see CepPattern.optional for why that is the exact semantics here)
+    one_or_more: bool = False  # existence-collapsed (== times(1)) but
+    # recorded: emits the n_<name> repetition-pool count and gates the
+    # strict-contiguity compositions the collapse theorem excludes
+    neg_before: tuple | None = None  # (name, pred): mid-pattern negated
+    # gap between the PREVIOUS step's event and this step's event
 
 
 @dataclass(frozen=True)
@@ -119,6 +170,7 @@ class CepPattern:
     neg: object = None  # (name, pred) terminal negation
     neg_within_us: int | None = None
     within_us: int | None = None
+    pending_neg: tuple = None  # (name, pred) awaiting its following step
 
     # -- builders ---------------------------------------------------
     # Each takes EITHER an arbitrary pyspark Column predicate OR
@@ -142,20 +194,46 @@ class CepPattern:
     def followed_by(self, name: str, pred=None,
                     etype: str | None = None) -> "CepPattern":
         """Relaxed contiguity (FlinkCEP followedBy): other events may
-        sit between the previous step's event and this one."""
+        sit between the previous step's event and this one. A pending
+        mid-pattern negation (not_followed_by without within=) attaches
+        to this step: no negated event may fall in the gap."""
         self._check_open(name)
         return replace(
             self,
             steps=self.steps + (_Step(
                 name, self._resolve(name, pred, etype), "followed_by",
-                etype=etype),),
+                etype=etype, neg_before=self.pending_neg),),
+            pending_neg=None,
         )
 
     def next(self, name: str, pred=None,
              etype: str | None = None) -> "CepPattern":
         """Strict contiguity (FlinkCEP next): this step's event must be
-        the IMMEDIATELY following event of the key."""
+        the IMMEDIATELY following event of the key. Refused directly
+        after an optional()/one_or_more() step or a pending mid
+        negation — the skip/collapse dominance the compiler relies on
+        does not survive a LAG(1) rebinding (r11 advice; see module
+        docstring)."""
         self._check_open(name)
+        if self.pending_neg is not None:
+            raise ValueError(
+                "a mid-pattern notFollowedBy gap requires relaxed "
+                "contiguity — follow it with followed_by(), not next() "
+                "(a strict transition already forbids ANY intervening "
+                "event, negated or not)"
+            )
+        last = self.steps[-1]
+        if last.optional or last.one_or_more:
+            raise ValueError(
+                f"next({name!r}) directly after the "
+                f"{'optional' if last.optional else 'oneOrMore'} step "
+                f"{last.name!r} is not supported: with the quantified "
+                "step skipped/collapsed, LAG(1) rebinds to a different "
+                "predecessor and the skip variant is no longer less "
+                "constrained — the compiled plan would silently drop "
+                "matches FlinkCEP emits. Use followed_by(), or make "
+                "the step required"
+            )
         return replace(
             self,
             steps=self.steps + (_Step(
@@ -169,11 +247,13 @@ class CepPattern:
         .consecutive() strict form)."""
         if not self.steps:
             raise ValueError("times() requires a begin() step first")
-        if self.neg is not None:
+        if self.neg is not None or self.pending_neg is not None:
             raise ValueError("times() cannot quantify a notFollowedBy step")
         if n < 1:
             raise ValueError("times(n) requires n >= 1")
         last = self.steps[-1]
+        if last.one_or_more:
+            raise ValueError("times() cannot re-quantify a oneOrMore step")
         return replace(
             self,
             steps=self.steps[:-1]
@@ -185,52 +265,113 @@ class CepPattern:
         semantics this compiler documents (emit at the last step's row,
         report the greedy max-start chain), an optional step can NEVER
         gate or move the match: the variant that skips it is strictly
-        less constrained, so it matches whenever the including variant
-        does and its max start dominates. Exactly like FlinkCEP — which
-        emits BOTH branch matches — the information is which branches
-        matched, so here the optional step ANNOTATES: the output gains
-        a `with_<name>` boolean per optional step, true iff a chain
-        INCLUDING that step (and every required step) also satisfies
-        the pattern within its window. One extra carry chain per
-        optional step (k+1 chains total, not 2^k: other optional steps
-        can only hurt a variant, so each flag's best witness excludes
-        them)."""
+        less constrained (every transition around it being relaxed —
+        enforced at construction), so it matches whenever the including
+        variant does and its max start dominates. Exactly like FlinkCEP
+        — which emits BOTH branch matches — the information is which
+        branches matched, so here the optional step ANNOTATES: the
+        output gains a `with_<name>` boolean per optional step, true
+        iff a chain INCLUDING that step (and every required step) also
+        satisfies the pattern within its window. One extra carry chain
+        per optional step (k+1 chains total, not 2^k: other optional
+        steps can only hurt a variant, so each flag's best witness
+        excludes them)."""
         if not self.steps:
             raise ValueError("optional() requires a begin() step first")
-        if self.neg is not None:
+        if self.neg is not None or self.pending_neg is not None:
             raise ValueError("optional() cannot apply to notFollowedBy")
+        last = self.steps[-1]
+        if last.neg_before is not None:
+            raise ValueError(
+                "optional() on the step closing a negated gap is not "
+                "supported (the skip variant would drop the negation)"
+            )
+        if last.one_or_more:
+            raise ValueError(
+                "optional() on a oneOrMore step is not supported — "
+                "model zero-or-more as a separate optional step"
+            )
         return replace(
             self,
             steps=self.steps[:-1] + (replace(self.steps[-1], optional=True),),
         )
 
     def one_or_more(self) -> "CepPattern":
-        """FlinkCEP `oneOrMore()` — the existence-collapse theorem: under
-        relaxed contiguity and emit-at-last-step semantics, requiring
-        "at least n occurrences" of a step is equivalent to requiring
-        EXACTLY n, because extra occurrences are just intervening events
-        that followedBy already ignores (a chain using n of the N
-        available occurrences is a witness either way). So
-        A.followedBy(B).oneOrMore().followedBy(C) ≡ A→B→C, and
-        times(n..m) ranges collapse to times(n). This method documents
-        the theorem in the API instead of making callers derive it; the
-        equivalence is pinned by brute force in pytest. (FlinkCEP emits
-        one match PER repetition count — a multiplicity this engine's
-        one-row-per-match-row contract deliberately folds.)"""
+        """FlinkCEP `oneOrMore()` — the existence-collapse theorem:
+        under RELAXED contiguity on both sides (enforced — a next-
+        reached or next-followed oneOrMore raises, r11 advice) and
+        emit-at-last-step semantics, requiring "at least n occurrences"
+        of a step is equivalent to requiring EXACTLY n, because extra
+        occurrences are just intervening events that followedBy already
+        ignores. So A.followedBy(B).oneOrMore().followedBy(C) ≡ A→B→C
+        for MATCHING; the repetition information is emitted as
+        `n_<name>` — the number of step-events strictly inside the
+        greedy chain's span (start_row, match_row], i.e. the pool the
+        relaxed chain draws repetitions from; brute-force-pinned equal
+        to the max repetition count for the adjacent (A B+ C) class.
+        (FlinkCEP emits one match PER repetition subset — a
+        multiplicity this engine's one-row-per-match-row contract
+        deliberately folds into the count.)"""
         if not self.steps:
             raise ValueError("one_or_more() requires a begin() step first")
-        return self  # ≡ times(1): see the theorem above
+        if self.neg is not None or self.pending_neg is not None:
+            raise ValueError("one_or_more() cannot apply to notFollowedBy")
+        last = self.steps[-1]
+        if last.contiguity == "next":
+            raise ValueError(
+                f"one_or_more() on the next()-reached step {last.name!r} "
+                "is not supported: the existence collapse assumes "
+                "relaxed contiguity, and a strict LAG(1) transition "
+                "would silently miss matches at later repetitions — "
+                "declare the step with followed_by()"
+            )
+        if last.contiguity == "begin":
+            raise ValueError(
+                "one_or_more() on the begin step is not supported — the "
+                "repetition count needs a preceding anchor; begin with "
+                "the event before the repeated step"
+            )
+        if last.times > 1:
+            raise ValueError("one_or_more() cannot re-quantify times(n)")
+        if last.optional:
+            raise ValueError(
+                "one_or_more() on an optional step is not supported"
+            )
+        return replace(
+            self,
+            steps=self.steps[:-1]
+            + (replace(last, one_or_more=True),),
+        )
 
-    def not_followed_by(self, name: str, pred, within) -> "CepPattern":
-        """TERMINAL negation (FlinkCEP notFollowedBy — which FlinkCEP
-        itself only allows at the end of a pattern when a time window
-        is declared): the match is dropped if a `pred` event occurs in
-        (match_ts, match_ts + within]. Mid-pattern negation is not
-        offered — the greedy carried-max chain is not dominant under a
-        mid negation (exactness would need an NFA's Pareto frontier),
-        and a combinator that silently approximated would be worse than
-        one that refuses."""
+    def not_followed_by(self, name: str, pred=None, within=None,
+                        etype: str | None = None) -> "CepPattern":
+        """Negation (FlinkCEP notFollowedBy), two forms:
+
+        - TERMINAL (within= given — FlinkCEP itself only allows a
+          pattern to END in notFollowedBy when a time window is
+          declared): the match is dropped if a `pred` event occurs in
+          (match_ts, match_ts + within].
+        - MID-PATTERN (within= omitted; r11 verdict item 6): the
+          negation guards the gap to the NEXT followed_by step — no
+          `pred` event strictly between the surrounding steps' bound
+          events. Exactly ONE mid negation is supported (the latest-
+          prefix-row dominance that keeps this NFA-free is pairwise;
+          two interleaved gap constraints re-introduce the Pareto
+          frontier), and both its neighbours must be relaxed steps —
+          violations raise at construction, never mis-match silently."""
         self._check_open(name)
+        pred = self._resolve(name, pred, etype)
+        if within is None:
+            if self.pending_neg is not None or any(
+                s.neg_before is not None for s in self.steps
+            ):
+                raise ValueError(
+                    "only ONE mid-pattern notFollowedBy is supported — "
+                    "a second interleaved negated gap needs the NFA's "
+                    "Pareto frontier (compose two patterns, or make "
+                    "one negation terminal with within=)"
+                )
+            return replace(self, pending_neg=(name, pred))
         return replace(
             self, neg=(name, pred), neg_within_us=_duration_us(within)
         )
@@ -265,7 +406,9 @@ class CepPattern:
         negation window is future-dependent; its streaming form is the
         watermarked outer interval join, see
         stateful.cep_negation_stream)."""
-        if self.neg is not None:
+        if self.neg is not None or self.pending_neg is not None or any(
+            s.neg_before is not None for s in self.steps
+        ):
             raise ValueError(
                 "streaming compile covers positive patterns — negation "
                 "streams via the watermarked interval-join twin"
@@ -314,8 +457,8 @@ class CepPattern:
             raise ValueError(f"begin() must come before step {name!r}")
         if self.neg is not None:
             raise ValueError(
-                "notFollowedBy is terminal — no step may follow it "
-                "(FlinkCEP imposes the same restriction)"
+                "a terminal notFollowedBy closes the pattern — no step "
+                "may follow it (FlinkCEP imposes the same restriction)"
             )
 
     # -- compiler ---------------------------------------------------
@@ -329,11 +472,21 @@ class CepPattern:
         """Compile onto `df`, keyed by `key`, event-ordered by
         (`ts`, `tiebreak`). Returns the match frame (one row per match
         of the last positive step): (key, match_id, match_ts, start_ts
-        [, next_<neg>_ts]). Linear per key: one hash exchange on the
-        key, one sort, then a chain of Window operators over the SAME
-        (partition, order) — no self-joins, no NFA state."""
+        [, with_<opt>...][, n_<rep>...][, next_<neg>_ts]). Linear per
+        key: one hash exchange on the key, one sort, then a chain of
+        Window operators over the SAME (partition, order) — no
+        self-joins, no NFA state. (A terminal negation adds one RANGE
+        window ordered by event-time microseconds: same partitioning,
+        one extra in-partition sort, still zero additional
+        exchanges.)"""
         if not self.steps:
             raise ValueError("empty pattern")
+        if self.pending_neg is not None:
+            raise ValueError(
+                f"mid-pattern notFollowedBy {self.pending_neg[0]!r} must "
+                "be followed by a positive followed_by() step (to end a "
+                "pattern with a negation, pass within=)"
+            )
         if self.neg is not None and self.neg_within_us is None:
             raise ValueError("notFollowedBy requires a within horizon")
         if self.steps[-1].optional:
@@ -346,23 +499,83 @@ class CepPattern:
         w_order = Window.partitionBy(key).orderBy(*order)
         w_prev = w_order.rowsBetween(Window.unboundedPreceding, -1)
 
-        def build_chain(cur, steps, prefix):
+        # counted (oneOrMore) steps: one running-count column each,
+        # shared by the main chain's struct carry and the final n_
+        # outputs. Monotone in row order, so struct MAX stays greedy.
+        counted = [s for s in required if s.one_or_more]
+        cur = df
+        cnt_cols: dict[str, str] = {}
+        for k, s in enumerate(counted):
+            c = f"_cep_cnt{k}"
+            cur = cur.withColumn(
+                c, F.count(F.when(s.pred, F.lit(1))).over(w_prev)
+            )
+            cnt_cols[s.name] = c
+        pos_col = None
+        if any(s.neg_before is not None for s in self.steps):
+            pos_col = "_cep_pos"
+            cur = cur.withColumn(pos_col, F.row_number().over(w_order))
+
+        def build_chain(cur, steps, prefix, with_counts):
             """Materialize one hit/carry chain; expand times(n) into n
             single-occurrence transitions — the carry consumes strictly-
             earlier rows, so copies bind distinct events (relaxed → MAX
-            over ub..-1, consecutive → LAG(1)). Returns (df, final
-            hit-column name)."""
-            expanded: list[tuple] = []  # (pred, transition)
+            over ub..-1, consecutive → LAG(1)). With counts, the carried
+            value is a struct (h=start_ts, c0..=count-at-start) under
+            the same lexicographic MAX (count fields are monotone in
+            row order — ties on h resolve to the latest start row, the
+            greedy chain). A step with neg_before compiles its
+            transition as the gated latest-prefix-row connect (see
+            module docstring: latest-row dominance). Returns (df, final
+            carry column, start-extractor)."""
+            expanded: list[tuple] = []  # (step, pred, transition, first)
             for s in steps:
                 inner = "next" if s.consecutive else "followed_by"
                 for k in range(s.times):
                     expanded.append(
-                        (s.pred, s.contiguity if k == 0 else inner)
+                        (s, s.pred, s.contiguity if k == 0 else inner,
+                         k == 0)
                     )
+            use_struct = with_counts and bool(counted)
+
+            def start_value(row_ts):
+                if not use_struct:
+                    return row_ts
+                fields = [row_ts.alias("h")]
+                for k, cs in enumerate(counted):
+                    c0 = F.col(cnt_cols[cs.name]) + F.when(
+                        cs.pred, F.lit(1)
+                    ).otherwise(F.lit(0))
+                    fields.append(c0.alias(f"c{k}"))
+                return F.struct(*fields)
+
             prev_col = None
-            for i, (pred, trans) in enumerate(expanded):
+            for i, (s, pred, trans, first) in enumerate(expanded):
                 if i == 0:
-                    hit = F.when(pred, F.col(ts))
+                    hit = F.when(pred, start_value(F.col(ts)))
+                elif first and s.neg_before is not None:
+                    # gated relaxed transition: connect to the LATEST
+                    # prefix-complete row b with no negated event in
+                    # (b, current) — latest-b dominance (see module
+                    # docstring) makes one struct MAX + one running
+                    # q-position MAX exact
+                    _qname, qpred = s.neg_before
+                    b = F.max(
+                        F.when(
+                            F.col(prev_col).isNotNull(),
+                            F.struct(
+                                F.col(pos_col).alias("p"),
+                                F.col(prev_col).alias("v"),
+                            ),
+                        )
+                    ).over(w_prev)
+                    lastq = F.max(
+                        F.when(qpred, F.col(pos_col))
+                    ).over(w_prev)
+                    gate = b.isNotNull() & (
+                        lastq.isNull() | (lastq <= b["p"])
+                    )
+                    hit = F.when(pred & gate, b["v"])
                 else:
                     carry = (
                         F.max(F.col(prev_col)).over(w_prev)
@@ -372,40 +585,75 @@ class CepPattern:
                     hit = F.when(pred, carry)
                 prev_col = f"{prefix}{i}"
                 cur = cur.withColumn(prev_col, hit)
-            return cur, prev_col
 
-        def within_ok(col):
+            def start_of(col):
+                c = F.col(col)
+                return c["h"] if use_struct else c
+
+            return cur, prev_col, start_of
+
+        def within_ok(col, start_of):
+            st = start_of(col)
             if self.within_us is None:
-                return F.col(col).isNotNull()
-            return F.col(col).isNotNull() & (
-                F.unix_micros(F.col(ts)) - F.unix_micros(F.col(col))
+                return st.isNotNull()
+            return st.isNotNull() & (
+                F.unix_micros(F.col(ts)) - F.unix_micros(st)
                 <= self.within_us
             )
 
         # main chain (required steps) gates the match; one extra chain
         # per optional step computes its annotation flag
-        cur, prev_col = build_chain(df, required, "_cep_h")
+        cur, prev_col, start_of = build_chain(
+            cur, required, "_cep_h", with_counts=True
+        )
         flags = []
         for j, o in enumerate(s for s in self.steps if s.optional):
             variant = [s for s in self.steps if not s.optional or s is o]
-            cur, vcol = build_chain(cur, variant, f"_cep_v{j}_h")
-            flags.append(within_ok(vcol).alias(f"with_{o.name}"))
+            cur, vcol, v_start = build_chain(
+                cur, variant, f"_cep_v{j}_h", with_counts=False
+            )
+            flags.append(
+                within_ok(vcol, v_start).alias(f"with_{o.name}")
+            )
 
-        match = within_ok(prev_col)
+        match = within_ok(prev_col, start_of)
+
+        rep_counts = []
+        for k, s in enumerate(counted):
+            # pool = s-pred events in (start_row, match_row]:
+            # count-before-match (+1 if the match row itself matches)
+            # minus count-up-to-and-including-start (the carried c_k)
+            pool = (
+                F.col(cnt_cols[s.name])
+                + F.when(s.pred, F.lit(1)).otherwise(F.lit(0))
+                - F.col(prev_col)[f"c{k}"]
+            )
+            rep_counts.append(pool.cast("bigint").alias(f"n_{s.name}"))
 
         out_cols = [
             F.col(key),
             F.col(tiebreak).alias("match_id"),
             F.col(ts).alias("match_ts"),
-            F.col(prev_col).alias("start_ts"),
+            start_of(prev_col).alias("start_ts"),
             *flags,
+            *rep_counts,
         ]
         if self.neg is not None:
             neg_name, neg_pred = self.neg
-            w_next = w_order.rowsBetween(1, Window.unboundedFollowing)
+            # RANGE frame over event-time µs: events with ts STRICTLY
+            # greater than the match row's — the documented open
+            # interval (match_ts, match_ts+T], independent of the
+            # tiebreak column at equal timestamps (r11 advice). Same
+            # partitioning as the carry windows (no exchange), one
+            # extra in-partition sort on the µs expression.
+            w_after = (
+                Window.partitionBy(key)
+                .orderBy(F.unix_micros(F.col(ts)))
+                .rangeBetween(1, Window.unboundedFollowing)
+            )
             neg_col = f"next_{neg_name}_ts"
             cur = cur.withColumn(
-                neg_col, F.min(F.when(neg_pred, F.col(ts))).over(w_next)
+                neg_col, F.min(F.when(neg_pred, F.col(ts))).over(w_after)
             )
             match = match & (
                 F.col(neg_col).isNull()
@@ -418,10 +666,10 @@ class CepPattern:
         return cur.filter(match).select(*out_cols)
 
 
-# One registered key proving the compiler end-to-end against an exact
-# oracle on a pattern NONE of the hand rungs implement (4 steps with a
-# times(2) quantifier); the three hand rungs' equivalence to their
-# compiled forms is pinned by pytest (tests/test_cep_compile.py).
+# Registered keys proving the compiler end-to-end against exact oracles
+# on patterns NONE of the hand rungs implement; the three hand rungs'
+# equivalence to their compiled forms is pinned by pytest
+# (tests/test_cep_compile.py).
 _CEP_CARRY = """MAX({src}) OVER (PARTITION BY user_id ORDER BY ts, event_id
                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"""
 
@@ -522,6 +770,136 @@ def stream_cep_optional(spark: SparkSession, sf_dir: str) -> DataFrame:
         CepPattern.begin("view", etype="view")
         .followed_by("click", etype="click")
         .optional()
+        .followed_by("purchase", etype="purchase")
+        .within("36 hours")
+    )
+    return pat.compile(
+        table(spark, sf_dir, "events"),
+        key="user_id",
+        ts="ts",
+        tiebreak="event_id",
+    )
+
+
+@register(
+    "stream_cep_midneg",
+    oracle=f"""
+    WITH s0 AS (
+      SELECT user_id, event_id, event_type, ts,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS pos,
+             CASE WHEN event_type = 'view' THEN ts END AS h0
+      FROM events
+    ), s1 AS (
+      SELECT *, CASE WHEN event_type = 'click'
+                     THEN {_CEP_CARRY.format(src='h0')} END AS h1
+      FROM s0
+    ), s2 AS (
+      SELECT *,
+             MAX(CASE WHEN h1 IS NOT NULL
+                      THEN {{'p': pos, 'v': h1}} END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS bsel,
+             MAX(CASE WHEN event_type = 'error' THEN pos END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS lastq
+      FROM s1
+    ), s3 AS (
+      SELECT *, CASE WHEN event_type = 'purchase' AND bsel IS NOT NULL
+                      AND (lastq IS NULL OR lastq <= bsel.p)
+                     THEN bsel.v END AS h2
+      FROM s2
+    )
+    SELECT user_id, event_id AS match_id, ts AS match_ts, h2 AS start_ts
+    FROM s3
+    WHERE h2 IS NOT NULL
+      AND epoch_us(ts) - epoch_us(h2) <= 129600000000::BIGINT
+    """,
+)
+def stream_cep_midneg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MID-PATTERN negation (r11 verdict item 6): `begin(view)
+    .followedBy(click).notFollowedBy(error).followedBy(purchase)
+    .within(36h)` — view, then click, then purchase by one user inside
+    36 hours, with NO error event strictly between the click and the
+    purchase (an error-free checkout funnel — the pattern FlinkCEP
+    users write for "conversion without intervening failure"). The
+    compiler's latest-prefix-row dominance makes this exact without an
+    NFA; the oracle unrolls the identical algebra in SQL — the struct
+    MAX picks the latest prefix-complete click, the running MAX of
+    error positions decides the gap, both engines comparing structs
+    lexicographically."""
+    pat = (
+        CepPattern.begin("view", etype="view")
+        .followed_by("click", etype="click")
+        .not_followed_by("error", etype="error")
+        .followed_by("purchase", etype="purchase")
+        .within("36 hours")
+    )
+    return pat.compile(
+        table(spark, sf_dir, "events"),
+        key="user_id",
+        ts="ts",
+        tiebreak="event_id",
+    )
+
+
+@register(
+    "stream_cep_one_or_more",
+    oracle=f"""
+    WITH s0 AS (
+      SELECT user_id, event_id, event_type, ts,
+             COUNT(CASE WHEN event_type = 'click' THEN 1 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS cnt,
+             CASE WHEN event_type = 'view' THEN
+               {{'h': ts,
+                 'c0': COUNT(CASE WHEN event_type = 'click' THEN 1 END)
+                         OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING)
+                       + (CASE WHEN event_type = 'click'
+                               THEN 1 ELSE 0 END)}}
+             END AS h0
+      FROM events
+    ), s1 AS (
+      SELECT *, CASE WHEN event_type = 'click'
+                     THEN {_CEP_CARRY.format(src='h0')} END AS h1
+      FROM s0
+    ), s2 AS (
+      SELECT *, CASE WHEN event_type = 'purchase'
+                     THEN {_CEP_CARRY.format(src='h1')} END AS h2
+      FROM s1
+    )
+    SELECT user_id, event_id AS match_id, ts AS match_ts,
+           h2.h AS start_ts,
+           CAST(cnt + (CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                - h2.c0 AS BIGINT) AS n_click
+    FROM s2
+    WHERE h2.h IS NOT NULL
+      AND epoch_us(ts) - epoch_us(h2.h) <= 129600000000::BIGINT
+    """,
+)
+def stream_cep_one_or_more(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """oneOrMore with repetition COUNTS (r11 verdict item 7):
+    `begin(view).followedBy(click).oneOrMore().followedBy(purchase)
+    .within(36h)` — view → one-or-more clicks → purchase inside 36
+    hours, emitting `n_click` = how many click events the greedy chain
+    can absorb (the engagement-intensity signal the existence flag
+    alone loses; for this adjacent A B+ C class the pool count IS the
+    exact maximum repetition count — brute-force-pinned in
+    tests/test_properties.py). The oracle unrolls the struct-carry
+    algebra in SQL: the chain start carries its click-count watermark
+    through the same MAX windows (struct comparison is lexicographic
+    in both engines; the count field is monotone in row order, so ties
+    resolve to the same greedy chain), and n_click is the
+    count-at-match minus the carried count-at-start."""
+    pat = (
+        CepPattern.begin("view", etype="view")
+        .followed_by("click", etype="click")
+        .one_or_more()
         .followed_by("purchase", etype="purchase")
         .within("36 hours")
     )

@@ -519,6 +519,19 @@ def _cep_compiled_fn(chains: list, within_us):
         if not chunks:
             return
         pdf = pd.concat(chunks).sort_values(["ts", "event_id"])
+        # the state encoding uses -1 as the 'no hit yet' sentinel for
+        # epoch-µs carries, so a pre-1970 event time (negative µs) would
+        # be indistinguishable from no-hit and silently diverge from
+        # the batch compile, which handles such timestamps fine (r11
+        # advice). Refuse loudly instead — event streams with pre-epoch
+        # event times need a shifted encoding, not a wrong answer.
+        _tmin = _ts_us(pdf["ts"]).min()
+        if _tmin < 0:
+            raise ValueError(
+                f"cep_compiled_stream requires event times >= 1970-01-01 "
+                f"(epoch µs {_tmin} < 0 collides with the -1 no-hit state "
+                "sentinel; the batch CepPattern.compile has no such limit)"
+            )
         out = {"match_id": [], "match_us": [], "start_us": []}
         for nm in flag_names:
             out[nm] = []

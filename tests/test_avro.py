@@ -1236,6 +1236,46 @@ def test_vacuum_retention_guard_protects_live_readers(
         _tv_vacuum(base, retain_last=0)
 
 
+def test_vacuum_retains_by_position_not_version_arithmetic(
+    spark, sf_small, tmp_path_factory
+):
+    """r11 advice: with NON-CONTIGUOUS version numbers ([1, 2, 5]) and
+    retain_last=2, retention must keep the newest two versions BY
+    POSITION ({2, 5}), not `v > head - retain_last` (which kept only
+    the head and deleted files a still-open v2 reader references)."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from sparkflow.catalog import table
+    from sparkflow.sources.io import _tv_commit, _tv_vacuum, _tv_with_stats
+
+    base = str(tmp_path_factory.mktemp("vacuum_gap_table"))
+    orders = table(spark, sf_small, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice")
+
+    def stage(version, subdir, df):
+        d = os.path.join(base, "data", subdir)
+        df.coalesce(1).write.mode("overwrite").parquet(d)
+        ents = _tv_with_stats(
+            spark, sorted(glob.glob(os.path.join(d, "*.parquet"))),
+            "o_orderkey")
+        _tv_commit(base, version, ents)
+        return {e["path"] for e in ents}
+
+    p1 = stage(1, "v1", orders)
+    p2 = stage(2, "v2", orders.filter(F.col("o_orderkey") % 2 == 0))
+    p5 = stage(5, "v5", orders.filter(F.col("o_orderkey") % 4 == 0))
+
+    res = _tv_vacuum(base, retain_last=2)
+    assert res["retained_versions"] == [2, 5]
+    assert set(res["deleted"]) == p1
+    assert all(os.path.exists(p) for p in p2 | p5)
+    # the previous surviving snapshot (v2) still reads completely
+    assert spark.read.parquet(*sorted(p2)).count() > 0
+
+
 def test_ivm_rollup_read_through_bit_identical(spark, sf_small):
     """r11 IVM posture: after the maintenance_rollup_* passes stage
     their partials, the three repointed defaults (agg_hash_group,
@@ -1312,14 +1352,16 @@ def test_ivm_rollup_read_through_bit_identical(spark, sf_small):
             got[want.columns].astype(str), want.astype(str))
 
 
-def test_rebase_reapplies_mutate_kept_to_new_head(
+def test_rebase_scopes_mutate_kept_to_read_snapshot(
     spark, sf_small, tmp_path_factory
 ):
-    """_tv_commit_rebase's mutate_kept contract: on a rebase, the
-    mutation re-applies to the NEW head's entries — so a transition
-    commit (e.g. tagging survivors `clustered`) that loses the race to
-    a concurrent append still tags the winner's files, and idempotence
-    means the already-tagged originals are unchanged."""
+    """_tv_commit_rebase's mutate_kept contract (r11 advice — this
+    REVERSES the r11 behavior this test previously pinned): on a
+    rebase, the mutation applies ONLY to entries from the committer's
+    ORIGINAL read snapshot. A concurrent winner's rebased-in entries
+    pass through untouched — in the zorder-transition usage, tagging a
+    foreign appender's fresh files clustered=True would make the
+    incremental clustering pass skip them permanently."""
     import glob
     import os
 
@@ -1360,13 +1402,16 @@ def test_rebase_reapplies_mutate_kept_to_new_head(
         "o_custkey", "o_totalprice"))
     assert _tv_commit_rebase(base, 1, removed=(), added=fresh_b) == 2
 
-    # A rebases: mutate_kept must tag BOTH v1's files and B's files
+    # A rebases: mutate_kept tags v1's files (A's read snapshot) and
+    # leaves B's rebased-in winner files UNTOUCHED
     assert _tv_commit_rebase(
         base, 1, removed=(), added=fresh_a,
         mutate_kept=lambda e: {**e, "clustered": True},
     ) == 3
     v3 = {e["path"]: e for e in _tv_entries(base, 3)}
-    for e in e1 + fresh_b:
+    for e in e1:
         assert v3[e["path"]]["clustered"] is True, e["path"]
+    for e in fresh_b:
+        assert "clustered" not in v3[e["path"]], e["path"]
     for e in fresh_a:
         assert v3[e["path"]]["clustered"] is False, e["path"]

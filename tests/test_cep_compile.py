@@ -406,3 +406,77 @@ def test_optional_builder_rules():
     assert [e for e, _ in main] == ["A", "C"]
     assert variants[0][0] == "with_b"
     assert [e for e, _ in variants[0][1]] == ["A", "B", "B", "C"]
+
+
+def test_strict_contiguity_gating_r12():
+    """r11 advice (medium): the skip/collapse dominance arguments fail
+    under strict next() transitions around a quantified step — the
+    builder must refuse at construction, never silently drop matches."""
+    p = F.lit(True)
+    opt = CepPattern.begin("a", p).followed_by("b", p).optional()
+    with pytest.raises(ValueError, match="optional"):
+        opt.next("c", p)
+    oom = CepPattern.begin("a", p).followed_by("b", p).one_or_more()
+    with pytest.raises(ValueError, match="oneOrMore"):
+        oom.next("c", p)
+    with pytest.raises(ValueError, match="followed_by"):
+        CepPattern.begin("a", p).next("b", p).one_or_more()
+    with pytest.raises(ValueError, match="begin step"):
+        CepPattern.begin("a", p).one_or_more()
+    with pytest.raises(ValueError, match="re-quantify"):
+        CepPattern.begin("a", p).followed_by("b", p).times(2).one_or_more()
+    with pytest.raises(ValueError, match="re-quantify"):
+        CepPattern.begin("a", p).followed_by("b", p).one_or_more().times(2)
+    # but optional on a next-reached step is sound (the skip variant
+    # only DROPS the LAG constraint) and stays allowed
+    ok = CepPattern.begin("a", p).next("b", p).optional().followed_by("c", p)
+    assert ok.steps[1].optional
+
+
+def test_mid_negation_builder_rules():
+    """Mid-pattern negation: pending until the following followed_by;
+    exactly one; never entered/exited via next(); never closed by an
+    optional step; unfinished patterns refuse to compile."""
+    p = F.lit(True)
+    pend = CepPattern.begin("a", p).not_followed_by("q", p)
+    with pytest.raises(ValueError, match="followed_by"):
+        pend.next("b", p)
+    with pytest.raises(ValueError, match="positive followed_by"):
+        pend.compile(None)
+    full = pend.followed_by("b", p)
+    assert full.steps[-1].neg_before is not None
+    with pytest.raises(ValueError, match="ONE mid-pattern"):
+        full.not_followed_by("q2", p)
+    with pytest.raises(ValueError, match="negated gap"):
+        full.optional()
+    # a terminal negation can still close a mid-negated pattern
+    both = full.not_followed_by("t", p, within="1 hour")
+    assert both.neg is not None
+
+
+def test_terminal_negation_open_interval(spark):
+    """r11 advice (low): a negated event with the SAME timestamp as the
+    match row is OUTSIDE the documented open interval (match_ts,
+    match_ts+T] regardless of tiebreak ordering — pinned both ways
+    (same-ts error after AND before the match row by event_id), plus a
+    strictly-later error still kills."""
+    rows = [
+        # u1: purchase at t=100, error at t=100 with LARGER id -> survives
+        (1, 1, "view", 50), (1, 2, "purchase", 100), (1, 3, "error", 100),
+        # u2: purchase at t=100, error at t=100 with SMALLER id -> survives
+        (2, 5, "error", 100), (2, 6, "view", 50), (2, 7, "purchase", 100),
+        # u3: error strictly after within the horizon -> killed
+        (3, 8, "view", 50), (3, 9, "purchase", 100), (3, 10, "error", 101),
+        # u4: error strictly after but past the horizon -> survives
+        (4, 11, "view", 50), (4, 12, "purchase", 100), (4, 13, "error", 1000),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id INT, event_id INT, event_type STRING, sec INT"
+    ).withColumn("ts", F.timestamp_seconds("sec"))
+    pat = (
+        CepPattern.begin("view", etype="view")
+        .followed_by("purchase", etype="purchase")
+        .not_followed_by("error", etype="error", within=600)
+    )
+    got = sorted(r.user_id for r in pat.compile(df).collect())
+    assert got == [1, 2, 4]

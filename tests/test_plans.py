@@ -55,7 +55,13 @@ def test_flagship_star_reads_through_bucket_family(spark, sf_small):
     import re
 
     from sparkflow.operators import joins as J
+    from sparkflow.sources import staging
+    from sparkflow.sources.io import _ROLLUP_TABLES
 
+    # this test pins the BUCKET posture: retract any published Q5 IVM
+    # serving frame (r12 — postures are durable, so an earlier run may
+    # have staged the higher-priority read-through)
+    staging.unpublish("rollup", sf_small, _ROLLUP_TABLES["q5"], "q5_serve")
     # stage the family exactly the way any bucket-family query does
     sparkflow.QUERIES["join_multiway_star_bucketed"](spark, sf_small).collect()
     assert J._bucketed_table_if_exists(
@@ -560,6 +566,54 @@ def test_incremental_rollup_scans_delta_only(spark, sf_small):
     plan = formatted_plan(df)
     assert "GreaterThanOrEqual(event_id" in plan, plan[:2000]
     assert "/ivm/" in plan  # the staged base-partials read
+
+
+def test_rollup_ingest_updates_scan_delta_only(spark, sf_small):
+    """r11 verdict item 2 — the 'one pass over the increment only'
+    claim as a tested behavior: for every IVM rollup, the UPDATE plan's
+    file sources are exactly (a) the delta directory (the ingest batch)
+    and (b) the KB-sized base partials. The fact table itself must be
+    ABSENT from the update scan — the 100 TB history is never re-read.
+    (q5 is the delta-JOIN case: the dimension-side relations appear —
+    that's the definition of delta-join IVM — but lineitem does not.)"""
+    from sparkflow.sources.io import rollup_ingest_update
+
+    for name, fact in (
+        ("tumbling", "events"), ("distinct", "events"),
+        ("pricing", "lineitem"), ("q5", "lineitem"),
+    ):
+        df = rollup_ingest_update(spark, sf_small, name)
+        plan = formatted_plan(df)
+        scans = [ln for ln in plan.splitlines() if "Location" in ln or "parquet" in ln.lower()]
+        assert f"{fact}_delta" in plan, (name, plan[:2000])
+        assert f"{name}_base_partials" in plan, (name, plan[:2000])
+        assert f"{fact}.parquet" not in plan, (name, scans)
+
+
+def test_rollup_ingest_matches_full_recompute(spark, sf_small):
+    """The merged view equals the base maintenance key's full-table
+    build bit-exactly (pandas .equals — no tolerance): the monoid merge
+    over (90% base partials ⊎ 10% delta partials) reconstructs the same
+    integers, hence the same doubles."""
+    pairs = [
+        ("maintenance_rollup_ingest_tumbling", "maintenance_rollup_tumbling",
+         ["hour_start", "event_type"]),
+        ("maintenance_rollup_ingest_distinct", "maintenance_rollup_distinct",
+         ["event_type"]),
+        ("maintenance_rollup_ingest_pricing", "maintenance_rollup_pricing",
+         ["l_returnflag", "l_linestatus"]),
+        ("maintenance_rollup_ingest_q5", "maintenance_rollup_q5", ["nation"]),
+    ]
+    for inc_key, full_key, sort_keys in pairs:
+        inc = (
+            sparkflow.QUERIES[inc_key](spark, sf_small)
+            .toPandas().sort_values(sort_keys).reset_index(drop=True)
+        )
+        full = (
+            sparkflow.QUERIES[full_key](spark, sf_small)
+            .toPandas().sort_values(sort_keys).reset_index(drop=True)
+        )
+        assert inc[full.columns.tolist()].equals(full), inc_key
 
 
 def test_operators_survive_forced_spill(spark, sf_small):

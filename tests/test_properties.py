@@ -394,3 +394,163 @@ def test_cep_greedy_dominance_fuzz(streams, pattern_types, within_s):
                     chain[-1][1] - chain[0][1] <= within_s:
                 want.add((uid, chain[-1][2]))
     assert got == want
+
+
+def _cep_df(spark, streams):
+    """(rows, df) in the compiler's (ts, event_id) order — shared by the
+    CEP fuzz tests; ids assigned in sorted order so brute-force row
+    positions equal the compiler's."""
+    rows = []
+    eid = 0
+    for uid, evs in enumerate(streams):
+        for typ, sec in sorted(evs, key=lambda e: e[1]):
+            rows.append((uid, eid, typ, sec))
+            eid += 1
+    if not rows:
+        return rows, None
+    df = _get_spark().createDataFrame(
+        rows, "user_id INT, event_id INT, event_type STRING, sec INT"
+    ).withColumn("ts", F.timestamp_seconds("sec"))
+    return rows, df
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    streams=st.lists(
+        st.lists(_cep_event, min_size=0, max_size=10),
+        min_size=1, max_size=3,
+    ),
+    pattern_types=st.lists(
+        st.sampled_from(["A", "B", "C"]), min_size=2, max_size=3
+    ),
+    neg_type=st.sampled_from(["A", "B", "C"]),
+    neg_gap=st.integers(min_value=1, max_value=2),
+    within_s=st.integers(min_value=1, max_value=40),
+)
+def test_cep_mid_negation_fuzz(streams, pattern_types, neg_type, neg_gap,
+                               within_s):
+    """Mid-pattern negation (r12): the latest-prefix-row dominance must
+    emit exactly the (match, max-start) pairs that brute-force chain
+    enumeration finds under "no negated event strictly between the gap's
+    endpoints" — including the hard cases where the negated type EQUALS
+    a positive step's type (an event can be a chain member or a killer
+    depending on binding) and same-second ties."""
+    import itertools
+
+    from sparkflow.streaming.cep import CepPattern
+
+    gap = min(neg_gap, len(pattern_types) - 1)  # before step index `gap`
+    rows, df = _cep_df(_get_spark(), streams)
+    if not rows:
+        return
+
+    pat = CepPattern.begin("s0", etype=pattern_types[0])
+    for i, t in enumerate(pattern_types[1:], 1):
+        if i == gap:
+            pat = pat.not_followed_by("q", etype=neg_type)
+        pat = pat.followed_by(f"s{i}", etype=t)
+    pat = pat.within(within_s)
+    got = {
+        (r.user_id, r.match_id, r.start_sec)
+        for r in pat.compile(df).select(
+            "user_id", "match_id",
+            (F.unix_micros("start_ts") / 1_000_000).cast("int")
+            .alias("start_sec"),
+        ).collect()
+    }
+
+    m = len(pattern_types)
+    by_user: dict = {}
+    for idx, (uid, ev_id, typ, sec) in enumerate(rows):
+        by_user.setdefault(uid, []).append((typ, sec, ev_id, idx))
+    want: dict = {}
+    for uid, seq in by_user.items():
+        pos_of = {e[3]: k for k, e in enumerate(seq)}
+        for chain in itertools.combinations(seq, m):
+            if [c[0] for c in chain] != pattern_types:
+                continue
+            if chain[-1][1] - chain[0][1] > within_s:
+                continue
+            lo, hi = pos_of[chain[gap - 1][3]], pos_of[chain[gap][3]]
+            if any(
+                seq[k][0] == neg_type for k in range(lo + 1, hi)
+            ):
+                continue
+            k = (uid, chain[-1][2])
+            want[k] = max(want.get(k, -1), chain[0][1])
+    assert got == {(u, mid, s) for (u, mid), s in want.items()}
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    streams=st.lists(
+        st.lists(_cep_event, min_size=0, max_size=10),
+        min_size=1, max_size=3,
+    ),
+    types=st.tuples(
+        st.sampled_from(["A", "B", "C"]),
+        st.sampled_from(["A", "B", "C"]),
+        st.sampled_from(["A", "B", "C"]),
+    ),
+    within_s=st.integers(min_value=1, max_value=40),
+)
+def test_cep_one_or_more_count_fuzz(streams, types, within_s):
+    """oneOrMore repetition counts (r12): for the A B+ C class,
+    n_<step> must equal the documented pool — step-typed events in
+    (greedy start row, match row] — computed here by brute force:
+    greedy start = max start second over single-repetition chains, and
+    within it the LATEST such row (the struct-max tie rule); the pool
+    count follows by position arithmetic. When the three types are
+    pairwise distinct the pool is also the exact maximum repetition
+    count (every pool event can join the chain under relaxed
+    contiguity), which is the semantic claim the key's docstring
+    makes."""
+    import itertools
+
+    from sparkflow.streaming.cep import CepPattern
+
+    a_t, b_t, c_t = types
+    rows, df = _cep_df(_get_spark(), streams)
+    if not rows:
+        return
+
+    pat = (
+        CepPattern.begin("a", etype=a_t)
+        .followed_by("b", etype=b_t)
+        .one_or_more()
+        .followed_by("c", etype=c_t)
+        .within(within_s)
+    )
+    got = {
+        (r.user_id, r.match_id): (r.start_sec, r.n_b)
+        for r in pat.compile(df).select(
+            "user_id", "match_id", "n_b",
+            (F.unix_micros("start_ts") / 1_000_000).cast("int")
+            .alias("start_sec"),
+        ).collect()
+    }
+
+    by_user: dict = {}
+    for idx, (uid, ev_id, typ, sec) in enumerate(rows):
+        by_user.setdefault(uid, []).append((typ, sec, ev_id, idx))
+    want: dict = {}
+    for uid, seq in by_user.items():
+        for pa, pb, pc in itertools.combinations(range(len(seq)), 3):
+            ea, eb, ec = seq[pa], seq[pb], seq[pc]
+            if (ea[0], eb[0], ec[0]) != (a_t, b_t, c_t):
+                continue
+            if ec[1] - ea[1] > within_s:
+                continue
+            key = (uid, ec[2])
+            prev = want.get(key)
+            # greedy = max start ts, ties to the LATEST start row
+            if prev is None or (ea[1], pa) > prev[:2]:
+                want[key] = (ea[1], pa, pc)
+    expect = {}
+    for (uid, mid), (sec, pa, pc) in want.items():
+        seq = by_user[uid]
+        pool = sum(
+            1 for k in range(pa + 1, pc + 1) if seq[k][0] == b_t
+        )
+        expect[(uid, mid)] = (sec, pool)
+    assert got == expect

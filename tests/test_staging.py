@@ -1,0 +1,178 @@
+"""Durable content-addressed posture staging (r11 verdict item 1).
+
+The contract under test: a posture staged by ONE session is read
+through by a FRESH session (different process, different
+applicationId) with no re-staging; a corpus whose content digest
+changed can never serve the stale artifact (clean miss -> cold
+fallback); concurrent publishers never corrupt each other; and the
+serving frames are bit-identical to the cold plans they replace.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import subprocess
+import sys
+import textwrap
+
+import pytest
+
+import sparkflow
+from sparkflow.sources import staging
+from sparkflow.sources.io import distinct_rollup, rollup_serve
+
+
+def _stage_all(spark, sf_dir):
+    for key in ("maintenance_rollup_distinct", "maintenance_rollup_pricing",
+                "maintenance_rollup_tumbling"):
+        sparkflow.QUERIES[key](spark, sf_dir).collect()
+
+
+def test_fresh_process_reads_through(spark, sf_small):
+    """Stage the distinct rollup + the orderkey bucket family in THIS
+    session, then prove a brand-new PROCESS (own SparkContext, own
+    applicationId) resolves both postures without any staging write:
+    the rollup consumer returns the serving frame, and the bucketed
+    probe re-attaches with metadata-only DDL."""
+    sparkflow.QUERIES["maintenance_rollup_distinct"](spark, sf_small).collect()
+    sparkflow.QUERIES["join_multiway_star_bucketed"](spark, sf_small).collect()
+    expected = sorted(
+        (r["event_type"], r["n_users"], r["n_events"])
+        for r in sparkflow.QUERIES["agg_distinct"](spark, sf_small).collect()
+    )
+    script = textwrap.dedent(f"""
+        import sys
+        sys.path.insert(0, {os.path.dirname(os.path.dirname(os.path.abspath(__file__)))!r})
+        import sparkflow
+        from sparkflow.session import get_spark
+        from sparkflow.operators.joins import _bucketed_table_if_exists
+        from sparkflow.sources.io import distinct_rollup, rollup_serve
+        import os
+        os.environ["SPARK_GRAFT_CPUS"] = "4"
+        spark = get_spark("staging-fresh-twin", shuffle_partitions=4)
+        spark.sparkContext.setLogLevel("ERROR")
+        sf = {sf_small!r}
+        serve = rollup_serve(spark, sf, "distinct")
+        assert serve is not None, "fresh session missed the published serve frame"
+        got = sorted((r["event_type"], r["n_users"], r["n_events"])
+                     for r in sparkflow.QUERIES["agg_distinct"](spark, sf).collect())
+        assert got == {expected!r}, got
+        li = _bucketed_table_if_exists(spark, sf, "lineitem", "l_orderkey", 32)
+        assert li is not None, "fresh session missed the published bucket family"
+        assert li.count() == 6000
+        print("FRESH_SESSION_OK")
+        spark.stop()
+    """)
+    out = subprocess.run(
+        [sys.executable, "-c", script], capture_output=True, text=True,
+        timeout=420,
+    )
+    assert "FRESH_SESSION_OK" in out.stdout, out.stdout[-2000:] + out.stderr[-2000:]
+
+
+def test_digest_change_invalidates(spark, sf_small, tmp_path):
+    """The invalidation rule IS the address: stage against a private
+    copy of the corpus, mutate the corpus (mtime bump — the cheapest
+    change a rewrite makes), and every probe must miss — the consumer
+    falls back to the raw plan and still returns correct values."""
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    for t in sparkflow.catalog.TABLES:
+        shutil.copyfile(
+            os.path.join(sf_small, f"{t}.parquet"), corpus / f"{t}.parquet"
+        )
+    sf = str(corpus)
+    cold = sorted(
+        (r["event_type"], r["n_users"], r["n_events"])
+        for r in sparkflow.QUERIES["agg_distinct"](spark, sf).collect()
+    )
+    _stage_all(spark, sf)
+    assert rollup_serve(spark, sf, "distinct") is not None
+    # mutate the corpus: same bytes, newer mtime — a conservative
+    # staleness signal (rewrites always bump mtime)
+    os.utime(corpus / "events.parquet")
+    assert rollup_serve(spark, sf, "distinct") is None
+    assert distinct_rollup(spark, sf, create=False) is None
+    got = sorted(
+        (r["event_type"], r["n_users"], r["n_events"])
+        for r in sparkflow.QUERIES["agg_distinct"](spark, sf).collect()
+    )
+    assert got == cold
+
+
+def test_concurrent_publish_loser_discards(tmp_path):
+    """Two writers race the same artifact: both build private
+    scratches, one rename wins, the loser's publish() is a no-op
+    success that removes its scratch — never an error, never a
+    corrupted final directory."""
+    final = tmp_path / "shared" / "kind" / "digest" / "art"
+    s1 = staging.scratch_path(str(final), "app-1")
+    s2 = staging.scratch_path(str(final), "app-2")
+    for s, payload in ((s1, "one"), (s2, "two")):
+        os.makedirs(s)
+        with open(os.path.join(s, "part-0"), "w") as fh:
+            fh.write(payload)
+    staging.publish(s1, str(final), {"who": 1})
+    staging.publish(s2, str(final), {"who": 2})  # loser: must not raise
+    assert staging.is_published(str(final))
+    with open(final / "part-0") as fh:
+        assert fh.read() == "one"  # winner's bytes, untouched
+    assert not os.path.exists(s2)  # loser scratch discarded
+
+
+def test_serve_frames_bit_identical(spark, sf_med):
+    """The serving artifacts are written from the exact read-side
+    expressions, so staged reads are bit-identical to the cold plans
+    (parquet round-trips doubles losslessly) — checked on the Q1
+    pricing frame, whose eight doubles are the most bit-fragile."""
+    cold = sparkflow.QUERIES["agg_hash_group"](spark, sf_med)
+    # force the cold shape regardless of published artifacts
+    from pyspark.sql import functions as F
+
+    from sparkflow.catalog import table
+    from sparkflow.oracle_compat import davg, dsum
+    from sparkflow.operators.aggregates import _charge_units, _disc_price_units
+
+    li = table(spark, sf_med, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp")
+    )
+    cold = li.groupBy("l_returnflag", "l_linestatus").agg(
+        dsum("l_quantity", "sum_qty"),
+        dsum("l_extendedprice", "sum_base_price"),
+        (F.sum(_disc_price_units()).cast("double") / 10000.0).alias("sum_disc_price"),
+        (F.sum(_charge_units()).cast("double") / 1000000.0).alias("sum_charge"),
+        davg("l_quantity", "avg_qty"),
+        davg("l_extendedprice", "avg_price"),
+        davg("l_discount", "avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+    cold_pd = cold.toPandas().sort_values(
+        ["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+    sparkflow.QUERIES["maintenance_rollup_pricing"](spark, sf_med).collect()
+    serve = rollup_serve(spark, sf_med, "pricing")
+    assert serve is not None
+    warm_pd = serve.toPandas().sort_values(
+        ["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+    assert cold_pd[warm_pd.columns].equals(warm_pd)  # exact, not approx
+
+
+def test_read_only_probe_never_writes(spark, sf_small, tmp_path):
+    """create=False probes and _bucketed_table_if_exists on an unstaged
+    corpus return None without creating anything under the shared
+    root."""
+    corpus = tmp_path / "c2"
+    corpus.mkdir()
+    for t in sparkflow.catalog.TABLES:
+        shutil.copyfile(
+            os.path.join(sf_small, f"{t}.parquet"), corpus / f"{t}.parquet"
+        )
+    sf = str(corpus)
+    digest = staging.corpus_digest(sf, ("events",))
+    assert rollup_serve(spark, sf, "distinct") is None
+    assert distinct_rollup(spark, sf, create=False) is None
+    from sparkflow.operators.joins import _bucketed_table_if_exists
+
+    assert _bucketed_table_if_exists(spark, sf, "lineitem", "l_orderkey", 32) is None
+    root = os.path.join(staging.SHARED_ROOT, "rollup", digest)
+    assert not os.path.exists(root)
