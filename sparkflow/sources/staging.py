@@ -130,9 +130,14 @@ def publish(scratch: str, final: str, manifest: dict) -> None:
 
 
 def unpublish(kind: str, sf_dir: str, tables, name: str) -> None:
-    """Remove a published artifact (tests' cold-posture setup; never
-    called from a query path)."""
-    final = shared_path(kind, sf_dir, tables, name)
+    """Remove a published artifact (tests' and benchmarks' cold-posture
+    setup; never called from a query path). A corpus that lacks some of
+    the artifact's source tables cannot have the artifact published
+    (the digest is uncomputable), so there is nothing to retract."""
+    try:
+        final = shared_path(kind, sf_dir, tables, name)
+    except FileNotFoundError:
+        return
     shutil.rmtree(final, ignore_errors=True)
 
 

@@ -35,7 +35,25 @@ _QUERIES = {
     "q1_pricing_summary": ("agg_hash_group", "maintenance_rollup_pricing"),
     "distinct_users": ("agg_distinct", "maintenance_rollup_distinct"),
     "events_tumbling_1h": ("stream_tumbling", "maintenance_rollup_tumbling"),
+    # r12: the flagship star vs its join-aggregate IVM posture
+    # (maintenance_rollup_q5 — the r11 verdict item 4 closure)
+    "q5_join5_agg": ("join_multiway_star", "maintenance_rollup_q5"),
 }
+
+
+def _clean_postures(sf_dir: str) -> None:
+    """r12: staged postures are DURABLE (content-addressed) — a prior
+    session's artifacts would make the 'raw' phase silently warm.
+    Retract every posture this A/B exercises so phase 1 measures the
+    genuine cold plans."""
+    from sparkflow.sources import staging
+    from sparkflow.sources.io import _ROLLUP_TABLES
+
+    for name, tabs in _ROLLUP_TABLES.items():
+        staging.unpublish("rollup", sf_dir, tabs, name)
+        staging.unpublish("rollup", sf_dir, tabs, f"{name}_serve")
+    for t, k in (("lineitem", "l_orderkey"), ("orders", "o_orderkey")):
+        staging.unpublish("bucketed", sf_dir, (t,), f"{t}_{k}_b32")
 
 
 def main() -> None:
@@ -45,6 +63,7 @@ def main() -> None:
     os.environ.setdefault("SPARK_DRIVER_MEM", "32g")
     spark = get_spark("bench-ivm", shuffle_partitions=32)
     spark.sparkContext.setLogLevel("ERROR")
+    _clean_postures(sf_dir)
     con = duckdb.connect()
     for t in sparkflow.catalog.TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
