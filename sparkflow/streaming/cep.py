@@ -157,6 +157,10 @@ class _Step:
     one_or_more: bool = False  # existence-collapsed (== times(1)) but
     # recorded: emits the n_<name> repetition-pool count and gates the
     # strict-contiguity compositions the collapse theorem excludes
+    up_to: int | None = None  # FlinkCEP times(n, m): match gate is the
+    # times(n) expansion (existence collapse — at-least-n ≡ exactly-n
+    # under relaxed contiguity), the range's upper bound caps the
+    # emitted n_<name> repetition count at m
     neg_before: tuple | None = None  # (name, pred): mid-pattern negated
     # gap between the PREVIOUS step's event and this step's event
 
@@ -223,10 +227,13 @@ class CepPattern:
                 "event, negated or not)"
             )
         last = self.steps[-1]
-        if last.optional or last.one_or_more:
+        if last.optional or last.one_or_more or last.up_to is not None:
+            kind = ("optional" if last.optional
+                    else "oneOrMore" if last.one_or_more
+                    else "times(n, m)")
             raise ValueError(
                 f"next({name!r}) directly after the "
-                f"{'optional' if last.optional else 'oneOrMore'} step "
+                f"{kind} step "
                 f"{last.name!r} is not supported: with the quantified "
                 "step skipped/collapsed, LAG(1) rebinds to a different "
                 "predecessor and the skip variant is no longer less "
@@ -241,10 +248,21 @@ class CepPattern:
                 etype=etype),),
         )
 
-    def times(self, n: int, consecutive: bool = False) -> "CepPattern":
+    def times(self, n: int, m: int | None = None,
+              consecutive: bool = False) -> "CepPattern":
         """The last step must occur n times (FlinkCEP times(n); relaxed
         internal contiguity by default, consecutive=True for FlinkCEP's
-        .consecutive() strict form)."""
+        .consecutive() strict form). With m given — FlinkCEP's range
+        quantifier times(n, m) — matching is the times(n) expansion
+        (the oneOrMore existence collapse: under relaxed contiguity
+        "between n and m occurrences" matches exactly when "exactly n"
+        does, extra occurrences being intervening events followedBy
+        already ignores) and the output gains `n_<name>` = the greedy
+        chain's repetition pool capped at m (see one_or_more for the
+        pool's definition and exactness class). The collapse needs
+        relaxed contiguity on both sides, so — mirroring one_or_more —
+        a next()-reached step, the begin step (no preceding anchor for
+        the pool span), and consecutive=True are refused with m."""
         if not self.steps:
             raise ValueError("times() requires a begin() step first")
         if self.neg is not None or self.pending_neg is not None:
@@ -254,10 +272,38 @@ class CepPattern:
         last = self.steps[-1]
         if last.one_or_more:
             raise ValueError("times() cannot re-quantify a oneOrMore step")
+        if m is not None:
+            if m < n:
+                raise ValueError("times(n, m) requires m >= n")
+            if consecutive:
+                raise ValueError(
+                    "times(n, m, consecutive=True) is not supported: a "
+                    "variable repetition count has no single strict "
+                    "LAG(k) shape — use consecutive times(n) or a "
+                    "relaxed range"
+                )
+            if last.contiguity == "next":
+                raise ValueError(
+                    f"times(n, m) on the next()-reached step "
+                    f"{last.name!r} is not supported: the existence "
+                    "collapse assumes relaxed contiguity (see "
+                    "one_or_more) — declare the step with followed_by()"
+                )
+            if last.contiguity == "begin":
+                raise ValueError(
+                    "times(n, m) on the begin step is not supported — "
+                    "the repetition pool needs a preceding anchor; "
+                    "begin with the event before the repeated step"
+                )
+            if last.optional:
+                raise ValueError(
+                    "times(n, m) on an optional step is not supported"
+                )
         return replace(
             self,
             steps=self.steps[:-1]
-            + (replace(last, times=n, consecutive=consecutive),),
+            + (replace(last, times=n, consecutive=consecutive,
+                       up_to=m),),
         )
 
     def optional(self) -> "CepPattern":
@@ -286,10 +332,11 @@ class CepPattern:
                 "optional() on the step closing a negated gap is not "
                 "supported (the skip variant would drop the negation)"
             )
-        if last.one_or_more:
+        if last.one_or_more or last.up_to is not None:
             raise ValueError(
-                "optional() on a oneOrMore step is not supported — "
-                "model zero-or-more as a separate optional step"
+                "optional() on a oneOrMore/times(n, m) step is not "
+                "supported — model zero-or-more as a separate optional "
+                "step"
             )
         return replace(
             self,
@@ -331,7 +378,7 @@ class CepPattern:
                 "repetition count needs a preceding anchor; begin with "
                 "the event before the repeated step"
             )
-        if last.times > 1:
+        if last.times > 1 or last.up_to is not None:
             raise ValueError("one_or_more() cannot re-quantify times(n)")
         if last.optional:
             raise ValueError(
@@ -418,6 +465,18 @@ class CepPattern:
                 "the final step cannot be optional — it anchors the "
                 "match row"
             )
+        counted = [s for s in self.steps
+                   if s.one_or_more or s.up_to is not None]
+        if counted:
+            raise ValueError(
+                f"streaming compile does not emit repetition counts — "
+                f"step {counted[0].name!r} is "
+                f"{'oneOrMore' if counted[0].one_or_more else 'times(n, m)'}"
+                ", whose batch compile adds an n_<name> column the "
+                "keyed-state twin does not carry; the outputs would "
+                "silently differ in schema. Use the batch compile, or "
+                "drop the count (times(n))"
+            )
         required = [s for s in self.steps if not s.optional]
         main = self._event_expansion(required)
         variants = []
@@ -502,7 +561,8 @@ class CepPattern:
         # counted (oneOrMore) steps: one running-count column each,
         # shared by the main chain's struct carry and the final n_
         # outputs. Monotone in row order, so struct MAX stays greedy.
-        counted = [s for s in required if s.one_or_more]
+        counted = [s for s in required
+                   if s.one_or_more or s.up_to is not None]
         cur = df
         cnt_cols: dict[str, str] = {}
         for k, s in enumerate(counted):
@@ -628,6 +688,11 @@ class CepPattern:
                 + F.when(s.pred, F.lit(1)).otherwise(F.lit(0))
                 - F.col(prev_col)[f"c{k}"]
             )
+            if s.up_to is not None:
+                # times(n, m): the range's upper bound caps how many
+                # repetitions a match may absorb; pool >= n is
+                # guaranteed (the n chained events live in the span)
+                pool = F.least(pool, F.lit(s.up_to))
             rep_counts.append(pool.cast("bigint").alias(f"n_{s.name}"))
 
         out_cols = [
@@ -902,6 +967,78 @@ def stream_cep_one_or_more(spark: SparkSession, sf_dir: str) -> DataFrame:
         .one_or_more()
         .followed_by("purchase", etype="purchase")
         .within("36 hours")
+    )
+    return pat.compile(
+        table(spark, sf_dir, "events"),
+        key="user_id",
+        ts="ts",
+        tiebreak="event_id",
+    )
+
+
+@register(
+    "stream_cep_times_range",
+    oracle=f"""
+    WITH s0 AS (
+      SELECT user_id, event_id, event_type, ts,
+             COUNT(CASE WHEN event_type = 'click' THEN 1 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS cnt,
+             CASE WHEN event_type = 'view' THEN
+               {{'h': ts,
+                 'c0': COUNT(CASE WHEN event_type = 'click' THEN 1 END)
+                         OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING)
+                       + (CASE WHEN event_type = 'click'
+                               THEN 1 ELSE 0 END)}}
+             END AS h0
+      FROM events
+    ), s1 AS (
+      SELECT *, CASE WHEN event_type = 'click'
+                     THEN {_CEP_CARRY.format(src='h0')} END AS h1
+      FROM s0
+    ), s2 AS (
+      SELECT *, CASE WHEN event_type = 'click'
+                     THEN {_CEP_CARRY.format(src='h1')} END AS h2
+      FROM s1
+    ), s3 AS (
+      SELECT *, CASE WHEN event_type = 'purchase'
+                     THEN {_CEP_CARRY.format(src='h2')} END AS h3
+      FROM s2
+    )
+    SELECT user_id, event_id AS match_id, ts AS match_ts,
+           h3.h AS start_ts,
+           CAST(LEAST(cnt + (CASE WHEN event_type = 'click'
+                                  THEN 1 ELSE 0 END)
+                      - h3.c0, 4) AS BIGINT) AS n_click
+    FROM s3
+    WHERE h3.h IS NOT NULL
+      AND epoch_us(ts) - epoch_us(h3.h) <= 172800000000::BIGINT
+    """,
+)
+def stream_cep_times_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FlinkCEP's RANGE quantifier times(n, m) (r12): `begin(view)
+    .followedBy(click).times(2, 4).followedBy(purchase).within(48h)` —
+    view, then two-to-four clicks, then purchase inside 48 hours.
+    Matching is the times(2) expansion (the oneOrMore existence
+    collapse: under relaxed contiguity "at least n" ≡ "exactly n", the
+    range's lower bound is the only gate), and the upper bound caps the
+    emitted repetition count: `n_click` = LEAST(greedy chain's click
+    pool, 4) — the number of clicks a FlinkCEP match could actually
+    absorb. Same one-sort/one-exchange chained-Window plan as times(n),
+    plus the shared running-count column the oneOrMore counts already
+    use. The oracle unrolls the identical struct-carry algebra in SQL —
+    two click hops carrying the {{h, c0}} start struct, the count cap
+    applied to the same pool arithmetic — so the range semantics are
+    checked bit-exact."""
+    pat = (
+        CepPattern.begin("view", etype="view")
+        .followed_by("click", etype="click")
+        .times(2, 4)
+        .followed_by("purchase", etype="purchase")
+        .within("48 hours")
     )
     return pat.compile(
         table(spark, sf_dir, "events"),

@@ -480,3 +480,68 @@ def test_terminal_negation_open_interval(spark):
     )
     got = sorted(r.user_id for r in pat.compile(df).collect())
     assert got == [1, 2, 4]
+
+
+def test_times_range_builder_rules(spark):
+    """times(n, m) (r12): the range quantifier inherits oneOrMore's
+    relaxed-contiguity gating (the existence collapse is the same
+    theorem) and refuses the shapes with no exact compile."""
+    p = F.lit(True)
+    base = CepPattern.begin("a", p).followed_by("b", p)
+    with pytest.raises(ValueError, match="m >= n"):
+        base.times(3, 2)
+    with pytest.raises(ValueError, match="consecutive"):
+        base.times(2, 4, consecutive=True)
+    with pytest.raises(ValueError, match="followed_by"):
+        CepPattern.begin("a", p).next("b", p).times(2, 4)
+    with pytest.raises(ValueError, match="begin step"):
+        CepPattern.begin("a", p).times(1, 3)
+    rng = base.times(2, 4)
+    with pytest.raises(ValueError, match="times"):
+        rng.next("c", p)
+    with pytest.raises(ValueError, match="re-quantify"):
+        rng.one_or_more()
+    with pytest.raises(ValueError, match="not supported"):
+        rng.optional()
+    # the streaming compile would silently lose the n_<name> column —
+    # must refuse loudly (same rule as oneOrMore counts)
+    full = (
+        CepPattern.begin("a", etype="A")
+        .followed_by("b", etype="B").times(2, 4)
+        .followed_by("c", etype="C")
+    )
+    with pytest.raises(ValueError, match="repetition counts"):
+        full.stream_chains()
+    oom = (
+        CepPattern.begin("a", etype="A")
+        .followed_by("b", etype="B").one_or_more()
+        .followed_by("c", etype="C")
+    )
+    with pytest.raises(ValueError, match="repetition counts"):
+        oom.stream_chains()
+
+
+def test_times_range_matches_and_caps(spark):
+    """times(2, 4) must match exactly where times(2) does (existence
+    collapse) and emit n_b = min(pool, 4) — checked on a hand stream
+    with 6 absorbable B's."""
+    rows = [
+        # user 0: A at 0, B at 1..6, C at 7 → pool 6, capped at 4
+        (0, 0, "A", 0), (0, 1, "B", 1), (0, 2, "B", 2), (0, 3, "B", 3),
+        (0, 4, "B", 4), (0, 5, "B", 5), (0, 6, "B", 6), (0, 7, "C", 7),
+        # user 1: only one B → no match (range lower bound gates)
+        (1, 8, "A", 0), (1, 9, "B", 1), (1, 10, "C", 2),
+        # user 2: exactly two B's → match, n_b = 2
+        (2, 11, "A", 0), (2, 12, "B", 1), (2, 13, "B", 2), (2, 14, "C", 3),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id INT, event_id INT, event_type STRING, sec INT"
+    ).withColumn("ts", F.timestamp_seconds("sec"))
+    pat = (
+        CepPattern.begin("a", etype="A")
+        .followed_by("b", etype="B").times(2, 4)
+        .followed_by("c", etype="C")
+        .within(100)
+    )
+    got = {(r.user_id, r.match_id): r.n_b for r in pat.compile(df).collect()}
+    assert got == {(0, 7): 4, (2, 14): 2}

@@ -554,3 +554,74 @@ def test_cep_one_or_more_count_fuzz(streams, types, within_s):
         )
         expect[(uid, mid)] = (sec, pool)
     assert got == expect
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    streams=st.lists(
+        st.lists(_cep_event, min_size=0, max_size=10),
+        min_size=1, max_size=3,
+    ),
+    types=st.tuples(
+        st.sampled_from(["A", "B", "C"]),
+        st.sampled_from(["A", "B", "C"]),
+        st.sampled_from(["A", "B", "C"]),
+    ),
+    cap=st.integers(min_value=2, max_value=4),
+    within_s=st.integers(min_value=1, max_value=40),
+)
+def test_cep_times_range_count_fuzz(streams, types, cap, within_s):
+    """times(2, m) (r12): matching must equal the times(2) brute-force
+    enumeration (existence collapse — the range's lower bound is the
+    only gate) and n_<step> must equal min(pool, m) where pool is the
+    greedy chain's absorbable-repetition count, exactly as oneOrMore's
+    fuzz defines it — over random streams including same-second ties
+    and patterns whose repeated type collides with its neighbours."""
+    import itertools
+
+    from sparkflow.streaming.cep import CepPattern
+
+    a_t, b_t, c_t = types
+    rows, df = _cep_df(_get_spark(), streams)
+    if not rows:
+        return
+
+    pat = (
+        CepPattern.begin("a", etype=a_t)
+        .followed_by("b", etype=b_t)
+        .times(2, cap)
+        .followed_by("c", etype=c_t)
+        .within(within_s)
+    )
+    got = {
+        (r.user_id, r.match_id): (r.start_sec, r.n_b)
+        for r in pat.compile(df).select(
+            "user_id", "match_id", "n_b",
+            (F.unix_micros("start_ts") / 1_000_000).cast("int")
+            .alias("start_sec"),
+        ).collect()
+    }
+
+    by_user: dict = {}
+    for idx, (uid, ev_id, typ, sec) in enumerate(rows):
+        by_user.setdefault(uid, []).append((typ, sec, ev_id, idx))
+    want: dict = {}
+    for uid, seq in by_user.items():
+        for pa, pb1, pb2, pc in itertools.combinations(range(len(seq)), 4):
+            ea, eb1, eb2, ec = seq[pa], seq[pb1], seq[pb2], seq[pc]
+            if (ea[0], eb1[0], eb2[0], ec[0]) != (a_t, b_t, b_t, c_t):
+                continue
+            if ec[1] - ea[1] > within_s:
+                continue
+            key = (uid, ec[2])
+            prev = want.get(key)
+            if prev is None or (ea[1], pa) > prev[:2]:
+                want[key] = (ea[1], pa, pc)
+    expect = {}
+    for (uid, mid), (sec, pa, pc) in want.items():
+        seq = by_user[uid]
+        pool = sum(
+            1 for k in range(pa + 1, pc + 1) if seq[k][0] == b_t
+        )
+        expect[(uid, mid)] = (sec, min(pool, cap))
+    assert got == expect
