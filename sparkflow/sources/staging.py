@@ -162,3 +162,93 @@ def stage_parquet(spark, kind: str, sf_dir: str, tables, name: str,
             "app_id": spark.sparkContext.applicationId,
         })
     return spark.read.parquet(final)
+
+
+def staging_vacuum(min_age_sec: float = 3600.0) -> dict:
+    """Garbage-collect the shared staging root (r12 lifecycle
+    completion): content addressing makes stale artifacts UNREACHABLE
+    the moment their source corpus changes (the digest is the address),
+    but nothing reclaimed them — a long-lived host accretes one
+    orphaned artifact set per corpus generation plus one abandoned
+    scratch per crashed writer. Removes, under the same min-age
+    contract as _tv_vacuum (io.py):
+
+    - **scratch-*** build dirs older than `min_age_sec` — a crashed
+      writer's leavings (a LIVE writer's scratch is younger than the
+      window by construction: builds publish promptly or die);
+    - **published artifacts whose recorded corpus no longer digests to
+      their address** (mutated or deleted source tables), once the
+      manifest is older than `min_age_sec` — the window bounds how long
+      an already-open reader (which resolved the path before the corpus
+      mutated) may keep scanning, exactly _tv_vacuum's open-reader
+      contract;
+    - unreadable/manifest-less directories at artifact depth, treated
+      as stale under the same age rule (dir mtime);
+    - empty digest/kind parents left behind.
+
+    Live artifacts — those whose manifest's (sf_dir, tables) still
+    digest to their own address — are NEVER removed, at any age: the
+    current corpus keeps its warm postures. Returns a summary dict
+    (counts per outcome) so operators can alert on runaway growth.
+    Never called from a query path."""
+    import time
+
+    now = time.time()
+    out = {"removed_scratch": 0, "removed_stale": 0, "removed_undigestable": 0,
+           "kept_live": 0, "kept_young": 0}
+    if not os.path.isdir(SHARED_ROOT):
+        return out
+
+    def _age_ok(path: str) -> bool:
+        try:
+            return now - os.stat(path).st_mtime >= min_age_sec
+        except OSError:
+            return False
+
+    for kind in sorted(os.listdir(SHARED_ROOT)):
+        kdir = os.path.join(SHARED_ROOT, kind)
+        if not os.path.isdir(kdir):
+            continue
+        for digest in sorted(os.listdir(kdir)):
+            ddir = os.path.join(kdir, digest)
+            if not os.path.isdir(ddir):
+                continue
+            for name in sorted(os.listdir(ddir)):
+                adir = os.path.join(ddir, name)
+                if not os.path.isdir(adir):
+                    continue
+                if name.startswith("scratch-"):
+                    if _age_ok(adir):
+                        shutil.rmtree(adir, ignore_errors=True)
+                        out["removed_scratch"] += 1
+                    else:
+                        out["kept_young"] += 1
+                    continue
+                manifest = os.path.join(adir, _MANIFEST)
+                live = False
+                undigestable = False
+                try:
+                    with open(manifest, encoding="utf-8") as fh:
+                        m = json.load(fh)
+                    live = corpus_digest(
+                        m["sf_dir"], m["tables"]
+                    ) == digest
+                except (OSError, ValueError, KeyError, FileNotFoundError):
+                    # missing/corrupt manifest, or the corpus itself is
+                    # gone — nothing can ever resolve this address again
+                    undigestable = True
+                if live:
+                    out["kept_live"] += 1
+                elif _age_ok(manifest if os.path.exists(manifest) else adir):
+                    shutil.rmtree(adir, ignore_errors=True)
+                    out["removed_stale" if not undigestable
+                        else "removed_undigestable"] += 1
+                else:
+                    out["kept_young"] += 1
+            # reclaim empty parents (racing creators re-mkdir on demand)
+            for parent in (ddir, kdir):
+                try:
+                    os.rmdir(parent)
+                except OSError:
+                    break
+    return out

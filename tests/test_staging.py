@@ -176,3 +176,73 @@ def test_read_only_probe_never_writes(spark, sf_small, tmp_path):
     assert _bucketed_table_if_exists(spark, sf, "lineitem", "l_orderkey", 32) is None
     root = os.path.join(staging.SHARED_ROOT, "rollup", digest)
     assert not os.path.exists(root)
+
+
+def test_staging_vacuum_lifecycle(spark, sf_small, tmp_path):
+    """staging_vacuum (r12): live artifacts are never reclaimed (any
+    age), crashed-writer scratches and stale/undigestable artifacts are
+    reclaimed only past the min-age window (the open-reader contract),
+    and empty parents disappear."""
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    shutil.copy(
+        os.path.join(sf_small, "events.parquet"),
+        corpus / "events.parquet",
+    )
+    sf = str(corpus)
+
+    def build():
+        return (
+            spark.read.parquet(os.path.join(sf, "events.parquet"))
+            .groupBy("event_type").count()
+        )
+
+    staging.stage_parquet(
+        spark, "testvac", sf, ["events"], "counts", build, create=True
+    )
+    live = staging.shared_path("testvac", sf, ["events"], "counts")
+    assert staging.is_published(live)
+
+    # live artifacts survive even a zero-age vacuum
+    s = staging.staging_vacuum(min_age_sec=0.0)
+    assert staging.is_published(live)
+    assert s["kept_live"] >= 1
+
+    # crashed-writer scratches: an OLD one is reclaimed, a YOUNG one is
+    # protected by the window
+    old_scratch = staging.scratch_path(live, "crashed-app")
+    young_scratch = staging.scratch_path(live + "2", "live-app")
+    for p in (old_scratch, young_scratch):
+        os.makedirs(p)
+        with open(os.path.join(p, "part-000"), "w") as fh:
+            fh.write("x")
+    past = os.path.getmtime(old_scratch) - 7200
+    os.utime(old_scratch, (past, past))
+    s = staging.staging_vacuum(min_age_sec=3600)
+    assert not os.path.exists(old_scratch) and s["removed_scratch"] == 1
+    assert os.path.exists(young_scratch) and s["kept_young"] >= 1
+    shutil.rmtree(young_scratch)
+
+    # mutate the corpus: the artifact is now stale (unreachable) but a
+    # YOUNG manifest keeps it (an open reader may still be scanning)
+    os.utime(corpus / "events.parquet")
+    s = staging.staging_vacuum(min_age_sec=3600)
+    assert staging.is_published(live)
+
+    # ... and past the window it is reclaimed, parents swept
+    manifest = os.path.join(live, "_sparkflow_manifest.json")
+    os.utime(manifest, (past, past))
+    s = staging.staging_vacuum(min_age_sec=3600)
+    assert not os.path.exists(live) and s["removed_stale"] == 1
+    assert not os.path.exists(os.path.dirname(live))  # empty digest dir
+
+    # a corpus that VANISHED entirely -> undigestable, same age rule
+    staging.stage_parquet(
+        spark, "testvac", sf, ["events"], "counts", build, create=True
+    )
+    gone = staging.shared_path("testvac", sf, ["events"], "counts")
+    shutil.rmtree(corpus)
+    mf = os.path.join(gone, "_sparkflow_manifest.json")
+    os.utime(mf, (past, past))
+    s = staging.staging_vacuum(min_age_sec=3600)
+    assert not os.path.exists(gone) and s["removed_undigestable"] == 1
