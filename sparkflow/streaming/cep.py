@@ -43,19 +43,30 @@ Negation (`not_followed_by`):
   column); the match survives iff that event is absent or beyond
   `last_ts + T`.
 
-- ONE MID-PATTERN negation (r11 verdict item 6): `...followed_by(B)
-  .not_followed_by(q).followed_by(C)...` — no q-event strictly between
-  the B-event and the C-event of the chain. Exact WITHOUT an NFA by a
-  second dominance argument: among the B-rows that complete the prefix
-  before a candidate C-row, a LATER B-row both (a) weakens the no-q
-  gap constraint (fewer rows in between) and (b) carries a
+- MID-PATTERN negation (r11 verdict item 6; generalized to ANY number
+  of negated gaps in r12): `...followed_by(B).not_followed_by(q)
+  .followed_by(C)...` — no q-event strictly between the B-event and
+  the C-event of the chain. Exact WITHOUT an NFA by a second dominance
+  argument: among the B-rows that complete the prefix before a
+  candidate C-row, a LATER B-row both (a) weakens the no-q gap
+  constraint (fewer rows in between) and (b) carries a
   greater-or-equal chain start (the carried max is monotone in row
   position) — so the latest prefix-complete B-row is optimal on BOTH
   axes, and one struct-MAX window (latest (position, start)) plus one
-  running MAX of q-positions decides every C-row exactly. The
-  still-unsupported case — MORE than one mid negation — keeps the
-  loud construction-time refusal (two interleaved gap constraints
-  re-introduce the Pareto frontier, i.e. the NFA).
+  running MAX of q-positions decides every C-row exactly. The argument
+  CHAINS (r12): by induction on step index, each compiled carry h_i
+  (i) equals the max start over chains of steps 1..i feasible w.r.t.
+  every negated gap so far — the gate's subset property (a q-event
+  after the latest prefix-complete row lies in EVERY earlier row's
+  gap) makes null-vs-value exact, and the latest row's carry is the
+  level-(i-1) maximum by (ii); and (ii) stays monotone over its
+  non-null rows — it reads the level-(i-1) carry at the latest
+  non-null position, and that carry is monotone by induction. So
+  multiple sequential negated gaps (including adjacent ones) compile
+  with one struct-MAX + one q-position MAX per gap, same single
+  sort/exchange — brute-force-fuzzed in tests/test_properties.py.
+  Only stacking two negations on the SAME gap refuses (merge the
+  predicates with | instead).
 
 Strict-contiguity gating (r11 advice, medium): the dominance arguments
 for `optional()` (skip variant is least constrained) and
@@ -68,7 +79,8 @@ exists but the skip chain demands C immediately after A, so the match
 would be silently dropped. The builder now raises at construction for
 exactly these compositions (next after optional/oneOrMore; oneOrMore
 on a next-reached step; negated gap entered or exited via next),
-mirroring the multi-negation refusal: refuse loudly, never mis-match.
+mirroring the same-gap double-negation refusal: refuse loudly, never
+mis-match.
 
 `one_or_more()` additionally emits a repetition COUNT `n_<name>`
 (r11 verdict item 7): the number of step-events the greedy chain can
@@ -99,7 +111,8 @@ Semantics summary (documented contract, what the oracle checks):
 Output schema: `(key, match_id, match_ts, start_ts[, with_<name>...]
 [, n_<name>...][, next_<neg>_ts])` — ids/timestamps of the match row
 plus the chain-start timestamp (the carried value), a `with_<name>`
-boolean per optional step, an `n_<name>` count per oneOrMore step, and
+boolean per optional step, an `n_<name>` count per oneOrMore /
+times(n, m) step, and
 for terminal-negation patterns the earliest strictly-following negated
 event's timestamp (NULL if none), so callers can audit the negation
 decision. Streaming: the compiled plan is window algebra over event
@@ -398,25 +411,27 @@ class CepPattern:
           pattern to END in notFollowedBy when a time window is
           declared): the match is dropped if a `pred` event occurs in
           (match_ts, match_ts + within].
-        - MID-PATTERN (within= omitted; r11 verdict item 6): the
-          negation guards the gap to the NEXT followed_by step — no
-          `pred` event strictly between the surrounding steps' bound
-          events. Exactly ONE mid negation is supported (the latest-
-          prefix-row dominance that keeps this NFA-free is pairwise;
-          two interleaved gap constraints re-introduce the Pareto
-          frontier), and both its neighbours must be relaxed steps —
-          violations raise at construction, never mis-match silently."""
+        - MID-PATTERN (within= omitted; r11 verdict item 6, generalized
+          to ANY NUMBER of negated gaps in r12): the negation guards the
+          gap to the NEXT followed_by step — no `pred` event strictly
+          between the surrounding steps' bound events. The latest-
+          prefix-row dominance CHAINS level by level (see the module
+          docstring's induction: each gated carry stays the exact
+          max-feasible-start and stays monotone over its non-null rows,
+          which is all the next gate needs), so multiple sequential
+          negated gaps compile exactly — one struct-MAX plus one
+          running q-position MAX per gap, no NFA. Each gap holds ONE
+          negation (merge predicates with | for "no A and no B") and
+          both its neighbours must be relaxed steps — violations raise
+          at construction, never mis-match silently."""
         self._check_open(name)
         pred = self._resolve(name, pred, etype)
         if within is None:
-            if self.pending_neg is not None or any(
-                s.neg_before is not None for s in self.steps
-            ):
+            if self.pending_neg is not None:
                 raise ValueError(
-                    "only ONE mid-pattern notFollowedBy is supported — "
-                    "a second interleaved negated gap needs the NFA's "
-                    "Pareto frontier (compose two patterns, or make "
-                    "one negation terminal with within=)"
+                    "this gap already carries a notFollowedBy — merge "
+                    "the predicates into one (pred_a | pred_b) instead "
+                    "of stacking two negations on the same gap"
                 )
             return replace(self, pending_neg=(name, pred))
         return replace(
@@ -1037,6 +1052,88 @@ def stream_cep_times_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         CepPattern.begin("view", etype="view")
         .followed_by("click", etype="click")
         .times(2, 4)
+        .followed_by("purchase", etype="purchase")
+        .within("48 hours")
+    )
+    return pat.compile(
+        table(spark, sf_dir, "events"),
+        key="user_id",
+        ts="ts",
+        tiebreak="event_id",
+    )
+
+
+@register(
+    "stream_cep_midneg_multi",
+    oracle=f"""
+    WITH s0 AS (
+      SELECT user_id, event_id, event_type, ts,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS pos,
+             CASE WHEN event_type = 'signup' THEN ts END AS h0
+      FROM events
+    ), g1 AS (
+      SELECT *,
+             MAX(CASE WHEN h0 IS NOT NULL
+                      THEN {{'p': pos, 'v': h0}} END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS b1,
+             MAX(CASE WHEN event_type = 'error' THEN pos END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS lq1
+      FROM s0
+    ), s1 AS (
+      SELECT *, CASE WHEN event_type = 'view' AND b1 IS NOT NULL
+                      AND (lq1 IS NULL OR lq1 <= b1.p)
+                     THEN b1.v END AS h1
+      FROM g1
+    ), g2 AS (
+      SELECT *,
+             MAX(CASE WHEN h1 IS NOT NULL
+                      THEN {{'p': pos, 'v': h1}} END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS b2,
+             MAX(CASE WHEN event_type = 'click' THEN pos END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS lq2
+      FROM s1
+    ), s2 AS (
+      SELECT *, CASE WHEN event_type = 'purchase' AND b2 IS NOT NULL
+                      AND (lq2 IS NULL OR lq2 <= b2.p)
+                     THEN b2.v END AS h2
+      FROM g2
+    )
+    SELECT user_id, event_id AS match_id, ts AS match_ts, h2 AS start_ts
+    FROM s2
+    WHERE h2 IS NOT NULL
+      AND epoch_us(ts) - epoch_us(h2) <= 172800000000::BIGINT
+    """,
+)
+def stream_cep_midneg_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTIPLE mid-pattern negations (r12 — lifts the r11 single-gap
+    restriction): `begin(signup).notFollowedBy(error).followedBy(view)
+    .notFollowedBy(click).followedBy(purchase).within(48h)` — signup,
+    then a view with NO error strictly between, then a purchase with NO
+    click strictly between, all inside 48 hours (the "clean organic
+    conversion" funnel: an untroubled onboarding that converts without
+    needing another interaction). The latest-prefix-row dominance
+    CHAINS level by level (module docstring's induction: each gated
+    carry stays the exact max-feasible-start and stays monotone over
+    its non-null rows, which is precisely what the next gate's subset
+    argument consumes), so N negated gaps cost one struct-MAX + one
+    q-position MAX each on the SAME single sort/exchange — no NFA. The
+    oracle unrolls both gated transitions in SQL; brute-force fuzz over
+    random streams with both gaps negated (including adjacent-gap and
+    type-overlap cases) is in tests/test_properties.py."""
+    pat = (
+        CepPattern.begin("signup", etype="signup")
+        .not_followed_by("err", etype="error")
+        .followed_by("view", etype="view")
+        .not_followed_by("clk", etype="click")
         .followed_by("purchase", etype="purchase")
         .within("48 hours")
     )

@@ -435,18 +435,23 @@ def test_strict_contiguity_gating_r12():
 
 def test_mid_negation_builder_rules():
     """Mid-pattern negation: pending until the following followed_by;
-    exactly one; never entered/exited via next(); never closed by an
-    optional step; unfinished patterns refuse to compile."""
+    one per gap (r12: multiple GAPS may each carry one); never
+    entered/exited via next(); never closed by an optional step;
+    unfinished patterns refuse to compile."""
     p = F.lit(True)
     pend = CepPattern.begin("a", p).not_followed_by("q", p)
     with pytest.raises(ValueError, match="followed_by"):
         pend.next("b", p)
     with pytest.raises(ValueError, match="positive followed_by"):
         pend.compile(None)
+    with pytest.raises(ValueError, match="same gap"):
+        pend.not_followed_by("q2", p)
     full = pend.followed_by("b", p)
     assert full.steps[-1].neg_before is not None
-    with pytest.raises(ValueError, match="ONE mid-pattern"):
-        full.not_followed_by("q2", p)
+    # r12: a SECOND negated gap is supported (the dominance chains)
+    two = full.not_followed_by("q2", p).followed_by("c", p)
+    assert two.steps[-1].neg_before is not None
+    assert sum(s.neg_before is not None for s in two.steps) == 2
     with pytest.raises(ValueError, match="negated gap"):
         full.optional()
     # a terminal negation can still close a mid-negated pattern

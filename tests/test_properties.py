@@ -625,3 +625,73 @@ def test_cep_times_range_count_fuzz(streams, types, cap, within_s):
         )
         expect[(uid, mid)] = (sec, min(pool, cap))
     assert got == expect
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    streams=st.lists(
+        st.lists(_cep_event, min_size=0, max_size=10),
+        min_size=1, max_size=3,
+    ),
+    pattern_types=st.tuples(
+        st.sampled_from(["A", "B", "C"]),
+        st.sampled_from(["A", "B", "C"]),
+        st.sampled_from(["A", "B", "C"]),
+    ),
+    neg_types=st.tuples(
+        st.sampled_from(["A", "B", "C"]),
+        st.sampled_from(["A", "B", "C"]),
+    ),
+    within_s=st.integers(min_value=1, max_value=40),
+)
+def test_cep_multi_negation_fuzz(streams, pattern_types, neg_types,
+                                 within_s):
+    """MULTIPLE mid-pattern negations (r12): the latest-prefix-row
+    dominance chains level by level, so a pattern with BOTH gaps
+    negated must emit exactly the (match, max-start) pairs brute-force
+    chain enumeration finds — including adjacent negated gaps, negated
+    types equal to positive step types, and same-second ties (the
+    cases where a wrong dominance argument would first crack)."""
+    import itertools
+
+    from sparkflow.streaming.cep import CepPattern
+
+    rows, df = _cep_df(_get_spark(), streams)
+    if not rows:
+        return
+
+    pat = (
+        CepPattern.begin("s0", etype=pattern_types[0])
+        .not_followed_by("q1", etype=neg_types[0])
+        .followed_by("s1", etype=pattern_types[1])
+        .not_followed_by("q2", etype=neg_types[1])
+        .followed_by("s2", etype=pattern_types[2])
+        .within(within_s)
+    )
+    got = {
+        (r.user_id, r.match_id, r.start_sec)
+        for r in pat.compile(df).select(
+            "user_id", "match_id",
+            (F.unix_micros("start_ts") / 1_000_000).cast("int")
+            .alias("start_sec"),
+        ).collect()
+    }
+
+    by_user: dict = {}
+    for idx, (uid, ev_id, typ, sec) in enumerate(rows):
+        by_user.setdefault(uid, []).append((typ, sec, ev_id, idx))
+    want: dict = {}
+    for uid, seq in by_user.items():
+        for pa, pb, pc in itertools.combinations(range(len(seq)), 3):
+            ea, eb, ec = seq[pa], seq[pb], seq[pc]
+            if (ea[0], eb[0], ec[0]) != tuple(pattern_types):
+                continue
+            if ec[1] - ea[1] > within_s:
+                continue
+            if any(seq[k][0] == neg_types[0] for k in range(pa + 1, pb)):
+                continue
+            if any(seq[k][0] == neg_types[1] for k in range(pb + 1, pc)):
+                continue
+            k = (uid, ec[2])
+            want[k] = max(want.get(k, -1), ea[1])
+    assert got == {(u, mid, s) for (u, mid), s in want.items()}

@@ -116,6 +116,30 @@ def main() -> None:
             "staged_ratio": round(ms / md, 2), "stage_cost_s": t_stage[name],
             "identical": bool(same),
         }
+
+    # phase 4 (r12): the INGEST-DELTA update — what a 100 TB deployment
+    # pays per batch instead of the full stage cost above. Fixture setup
+    # (materializing the landing-zone delta + yesterday's base partials)
+    # is untimed: those are the ingest job's write and the previous
+    # maintenance pass. The timed part is the delta-only merge plan —
+    # partials over the 10% batch ⊎ KB-sized base partials (fact history
+    # absent, pinned in tests/test_plans.py).
+    from sparkflow.sources.io import _ingest_fixture, rollup_ingest_update
+
+    rollup_of = {"q1_pricing_summary": "pricing",
+                 "distinct_users": "distinct",
+                 "events_tumbling_1h": "tumbling",
+                 "q5_join5_agg": "q5"}
+    for bench_name, rname in rollup_of.items():
+        _ingest_fixture(spark, sf_dir, rname)  # setup, untimed
+        t0 = time.perf_counter()
+        n = len(rollup_ingest_update(spark, sf_dir, rname).toPandas())
+        dt = time.perf_counter() - t0
+        row = out["rows"][bench_name]
+        row["ingest_update_s"] = round(dt, 3)
+        print(f"INGEST {bench_name:22s} update {dt:6.3f}s  "
+              f"({n} merged partial rows; full stage "
+              f"{row['stage_cost_s']:.1f}s)")
     print(json.dumps(out))
 
 

@@ -13,11 +13,16 @@ the Spark/DuckDB ratio stays flat-or-improving as the data triples.
 
 Generation is STREAMING (one replica in memory at a time, appended as
 parquet row groups) because 300 replicas of lineitem would need a
-~30 GB pandas concat under tools/scale_smoke.py's whole-table writer;
-only the two tables these queries touch are generated. Key columns get
-the same per-replica entity-stride offsets as scale_smoke (shared
-_strides / check_fits), so replica keys never collide and distinct
-cardinalities scale with the data like a real corpus.
+~30 GB pandas concat under tools/scale_smoke.py's whole-table writer.
+Key columns get the same per-replica entity-stride offsets as
+scale_smoke (shared _strides / check_fits), so replica keys never
+collide and distinct cardinalities scale with the data like a real
+corpus. r12: the rung also carries orders/customer/supplier/part
+(replicated on the same strides, so lineitem's salted l_suppkey /
+l_partkey keep their join partners) and copies nation/region as-is —
+the flagship q5 star now runs at sf30 too, closing the one query the
+staged shard proof excluded. Existing rung files are skipped, so
+adding tables to a previously generated rung is incremental.
 
 Usage:
   python tools/scale_shard_proof.py gen 100 /tmp/sparkflow_sf10
@@ -41,14 +46,23 @@ import pyarrow.parquet as pq
 from tools import scale_salt
 from tools.scale_smoke import SRC, _KEYED, _strides
 
-TABLES = ("lineitem", "events")
+TABLES = ("lineitem", "orders", "customer", "supplier", "part", "events")
+_COPY_AS_IS = ("nation", "region")
 _RUNS = 3
 
 
 def gen(replicas: int, dst: str) -> None:
     os.makedirs(dst, exist_ok=True)
     strides = _strides()
+    for tbl in _COPY_AS_IS:
+        out = f"{dst}/{tbl}.parquet"
+        if not os.path.exists(out):
+            pq.write_table(pq.read_table(f"{SRC}/{tbl}.parquet"), out)
+            print(f"{tbl}: copied")
     for tbl in TABLES:
+        if os.path.exists(f"{dst}/{tbl}.parquet"):
+            print(f"{tbl}: exists, skipped")
+            continue
         src = pq.read_table(f"{SRC}/{tbl}.parquet")
         schema = src.schema
         base = src.to_pandas()
@@ -75,6 +89,15 @@ def gen(replicas: int, dst: str) -> None:
               f"{os.path.getsize(out) / 1e6:.0f} MB in {time.time()-t0:.0f}s")
 
 
+def _rung_tables(sf_dir: str) -> list:
+    """Table names present in a rung dir (r12: rungs carry the q5 star's
+    tables too; older rungs had lineitem+events only)."""
+    return sorted(
+        f[:-len(".parquet")] for f in os.listdir(sf_dir)
+        if f.endswith(".parquet")
+    )
+
+
 def run(rungs: list[tuple[str, float]]) -> None:
     import duckdb
 
@@ -95,7 +118,7 @@ def run(rungs: list[tuple[str, float]]) -> None:
     out = {"load_1m": os.getloadavg()[0], "rungs": {}}
     for sf_dir, sf in rungs:
         con = duckdb.connect()
-        for t in TABLES:
+        for t in _rung_tables(sf_dir):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
                         f"read_parquet('{sf_dir}/{t}.parquet')")
         row = {}
@@ -137,17 +160,20 @@ def run_staged(rungs: list[tuple[str, float]]) -> None:
     from sparkflow.session import get_spark
     from tools.bench_ivm import _QUERIES, _clean_postures
 
-    names = {k: v for k, v in _QUERIES.items()
-             if k != "q5_join5_agg"}  # q5 needs dims the sf30 rung lacks
     os.environ.setdefault("SPARK_DRIVER_MEM", "32g")
     spark = get_spark("shard-proof-staged", shuffle_partitions=32)
     spark.sparkContext.setLogLevel("ERROR")
 
     out = {"load_1m": os.getloadavg()[0], "rungs": {}}
     for sf_dir, sf in rungs:
+        have = set(_rung_tables(sf_dir))
+        # q5 only runs when the rung carries the star's dims (r12 gen
+        # writes them; pre-r12 rungs had lineitem+events only)
+        names = {k: v for k, v in _QUERIES.items()
+                 if k != "q5_join5_agg" or "supplier" in have}
         _clean_postures(sf_dir)
         con = duckdb.connect()
-        for t in TABLES:
+        for t in have:
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
                         f"read_parquet('{sf_dir}/{t}.parquet')")
         row = {}
