@@ -188,6 +188,10 @@ class CepPattern:
     neg_within_us: int | None = None
     within_us: int | None = None
     pending_neg: tuple = None  # (name, pred) awaiting its following step
+    skip: str = "no_skip"  # after-match strategy: 'no_skip' emits every
+    # match row (the default one-row-per-match-row contract);
+    # 'skip_past_last_event' keeps only greedily non-overlapping
+    # matches (see after_match_skip)
 
     # -- builders ---------------------------------------------------
     # Each takes EITHER an arbitrary pyspark Column predicate OR
@@ -443,6 +447,39 @@ class CepPattern:
         from first to last matched event must be <= duration."""
         return replace(self, within_us=_duration_us(duration))
 
+    def after_match_skip(self, strategy: str) -> "CepPattern":
+        """FlinkCEP AfterMatchSkipStrategy (r12). Supported:
+
+        - ``no_skip`` (default): every match row is emitted with its
+          greedy max-start chain — the engine's one-row-per-match-row
+          fold of FlinkCEP's all-matches enumeration.
+        - ``skip_past_last_event``: greedily NON-OVERLAPPING matches —
+          scan match rows in (ts, tiebreak) order; accept a match iff a
+          chain exists lying ENTIRELY after the previously accepted
+          match's row (equivalently — proven by start-maximality — iff
+          the greedy chain's start row is after it); the accepted row
+          reports that greedy chain. This is the billing/alerting
+          semantics (each event consumed by at most one match),
+          FlinkCEP's skipPastLastEvent under this engine's greedy
+          contract. Compiles to the same window chain (the carry
+          additionally tracks the start ROW POSITION) plus one linear
+          per-key fold over the MATCH frame — orders of magnitude
+          smaller than the event stream, so the sequential pass is on
+          the cheap side of the plan.
+
+        Quantifier annotations (optional flags, oneOrMore/times(n, m)
+        counts) are refused with skip: their per-row annotation
+        semantics don't fold into an acceptance scan."""
+        if strategy not in ("no_skip", "skip_past_last_event"):
+            raise ValueError(
+                f"unsupported AfterMatchSkipStrategy {strategy!r} — "
+                "'no_skip' and 'skip_past_last_event' are implemented "
+                "(skip_to_next/skip_to_first need per-subset match "
+                "enumeration, which the one-row-per-match-row contract "
+                "deliberately folds away)"
+            )
+        return replace(self, skip=strategy)
+
     @staticmethod
     def _event_expansion(steps) -> list:
         """times-expanded [(event_type, transition)] for one chain —
@@ -474,6 +511,12 @@ class CepPattern:
             raise ValueError(
                 "streaming compile covers positive patterns — negation "
                 "streams via the watermarked interval-join twin"
+            )
+        if self.skip != "no_skip":
+            raise ValueError(
+                "streaming compile does not implement after-match skip "
+                "strategies — the acceptance scan needs the bounded "
+                "match frame; use the batch compile"
             )
         if self.steps and self.steps[-1].optional:
             raise ValueError(
@@ -578,6 +621,14 @@ class CepPattern:
         # outputs. Monotone in row order, so struct MAX stays greedy.
         counted = [s for s in required
                    if s.one_or_more or s.up_to is not None]
+        skip_mode = self.skip == "skip_past_last_event"
+        if skip_mode and (counted or any(s.optional for s in self.steps)):
+            raise ValueError(
+                "after_match_skip('skip_past_last_event') does not "
+                "compose with optional()/oneOrMore()/times(n, m) "
+                "annotations — their per-row flags/counts don't fold "
+                "into a non-overlapping acceptance scan"
+            )
         cur = df
         cnt_cols: dict[str, str] = {}
         for k, s in enumerate(counted):
@@ -587,11 +638,11 @@ class CepPattern:
             )
             cnt_cols[s.name] = c
         pos_col = None
-        if any(s.neg_before is not None for s in self.steps):
+        if skip_mode or any(s.neg_before is not None for s in self.steps):
             pos_col = "_cep_pos"
             cur = cur.withColumn(pos_col, F.row_number().over(w_order))
 
-        def build_chain(cur, steps, prefix, with_counts):
+        def build_chain(cur, steps, prefix, with_counts, with_pos=False):
             """Materialize one hit/carry chain; expand times(n) into n
             single-occurrence transitions — the carry consumes strictly-
             earlier rows, so copies bind distinct events (relaxed → MAX
@@ -611,17 +662,22 @@ class CepPattern:
                         (s, s.pred, s.contiguity if k == 0 else inner,
                          k == 0)
                     )
-            use_struct = with_counts and bool(counted)
+            use_struct = (with_counts and bool(counted)) or with_pos
 
             def start_value(row_ts):
                 if not use_struct:
                     return row_ts
                 fields = [row_ts.alias("h")]
-                for k, cs in enumerate(counted):
+                for k, cs in (enumerate(counted) if with_counts else ()):
                     c0 = F.col(cnt_cols[cs.name]) + F.when(
                         cs.pred, F.lit(1)
                     ).otherwise(F.lit(0))
                     fields.append(c0.alias(f"c{k}"))
+                if with_pos:
+                    # start ROW position rides the carry (skip mode):
+                    # (h, sp) lexicographic MAX = latest start ts, ties
+                    # to the latest start row — the same greedy chain
+                    fields.append(F.col(pos_col).alias("sp"))
                 return F.struct(*fields)
 
             prev_col = None
@@ -679,7 +735,7 @@ class CepPattern:
         # main chain (required steps) gates the match; one extra chain
         # per optional step computes its annotation flag
         cur, prev_col, start_of = build_chain(
-            cur, required, "_cep_h", with_counts=True
+            cur, required, "_cep_h", with_counts=True, with_pos=skip_mode
         )
         flags = []
         for j, o in enumerate(s for s in self.steps if s.optional):
@@ -718,6 +774,11 @@ class CepPattern:
             *flags,
             *rep_counts,
         ]
+        if skip_mode:
+            out_cols += [
+                F.col(prev_col)["sp"].alias("_start_pos"),
+                F.col(pos_col).alias("_match_pos"),
+            ]
         if self.neg is not None:
             neg_name, neg_pred = self.neg
             # RANGE frame over event-time µs: events with ts STRICTLY
@@ -743,7 +804,41 @@ class CepPattern:
                 )
             )
             out_cols.append(F.col(neg_col))
-        return cur.filter(match).select(*out_cols)
+        res = cur.filter(match).select(*out_cols)
+        if skip_mode:
+            res = _skip_past_fold(res, key)
+        return res
+
+
+def _skip_past_fold(frame: DataFrame, key: str) -> DataFrame:
+    """skip_past_last_event acceptance scan (after_match_skip): keep a
+    candidate match iff its greedy chain STARTS after the previously
+    accepted match's row — greedy interval scheduling over row
+    positions. Runs as ONE applyInPandas pass over the MATCH frame
+    (already reduced from the event stream by the window chain), keyed
+    like the pattern — the sequential part is per key and linear in
+    that key's MATCH count, not its event count, which is what makes
+    the strategy viable at 100 TB (an NFA pays per event)."""
+    import pandas as pd  # noqa: F401  (worker-side dependency)
+    from pyspark.sql.types import StructType
+
+    out_schema = StructType(
+        [f for f in frame.schema.fields
+         if f.name not in ("_start_pos", "_match_pos")]
+    )
+
+    def fold(pdf):
+        pdf = pdf.sort_values("_match_pos")
+        keep, last = [], -1
+        for sp, mp in zip(pdf["_start_pos"], pdf["_match_pos"]):
+            ok = sp > last
+            keep.append(ok)
+            if ok:
+                last = mp
+        out = pdf[[bool(k) for k in keep]] if len(pdf) else pdf
+        return out.drop(columns=["_start_pos", "_match_pos"])
+
+    return frame.groupBy(key).applyInPandas(fold, schema=out_schema)
 
 
 # Registered keys proving the compiler end-to-end against exact oracles
@@ -1136,6 +1231,87 @@ def stream_cep_midneg_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .not_followed_by("clk", etype="click")
         .followed_by("purchase", etype="purchase")
         .within("48 hours")
+    )
+    return pat.compile(
+        table(spark, sf_dir, "events"),
+        key="user_id",
+        ts="ts",
+        tiebreak="event_id",
+    )
+
+
+@register(
+    "stream_cep_skip_past",
+    oracle=f"""
+    WITH RECURSIVE s0 AS (
+      SELECT user_id, event_id, event_type, ts,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS pos,
+             CASE WHEN event_type = 'view'
+                  THEN {{'h': ts,
+                        'sp': ROW_NUMBER() OVER (PARTITION BY user_id
+                                                 ORDER BY ts, event_id)}}
+             END AS h0
+      FROM events
+    ), s1 AS (
+      SELECT *, CASE WHEN event_type = 'click'
+                     THEN {_CEP_CARRY.format(src='h0')} END AS h1
+      FROM s0
+    ), s2 AS (
+      SELECT *, CASE WHEN event_type = 'purchase'
+                     THEN {_CEP_CARRY.format(src='h1')} END AS h2
+      FROM s1
+    ), cand AS (
+      SELECT user_id, event_id, ts, pos AS mpos,
+             h2.h AS start_ts, h2.sp AS spos
+      FROM s2
+      WHERE h2.h IS NOT NULL
+        AND epoch_us(ts) - epoch_us(h2.h) <= 129600000000::BIGINT
+    ), fst AS (
+      SELECT user_id, MIN(mpos) AS mpos FROM cand GROUP BY user_id
+    ), lnk AS (
+      -- next accepted after a match at mpos: the earliest candidate
+      -- whose greedy chain starts strictly after it (start-maximality
+      -- makes this exactly "some chain lies entirely after it")
+      SELECT r.user_id, r.mpos, MIN(c.mpos) AS next_mpos
+      FROM cand r JOIN cand c
+        ON c.user_id = r.user_id AND c.spos > r.mpos
+      GROUP BY r.user_id, r.mpos
+    ), acc AS (
+      SELECT c.user_id, c.event_id, c.ts, c.mpos, c.start_ts
+      FROM cand c JOIN fst f
+        ON c.user_id = f.user_id AND c.mpos = f.mpos
+      UNION ALL
+      SELECT n.user_id, n.event_id, n.ts, n.mpos, n.start_ts
+      FROM acc a
+      JOIN lnk l ON l.user_id = a.user_id AND l.mpos = a.mpos
+      JOIN cand n ON n.user_id = l.user_id AND n.mpos = l.next_mpos
+    )
+    SELECT user_id, event_id AS match_id, ts AS match_ts, start_ts
+    FROM acc
+    """,
+)
+def stream_cep_skip_past(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AfterMatchSkipStrategy.skipPastLastEvent (r12): `begin(view)
+    .followedBy(click).followedBy(purchase).within(36h)` with greedily
+    NON-OVERLAPPING matches — each accepted funnel's events lie
+    entirely after the previous accepted funnel's purchase, so no event
+    is double-counted across matches (the billing/dedup semantics;
+    no_skip on the same pattern is stream_cep_funnel's shape, which
+    emits every purchase row). Compiles to the same single-sort window
+    chain with the start ROW POSITION riding the carry, then one linear
+    per-key acceptance scan over the (small) match frame. The oracle
+    replays the identical algebra in SQL: the (h, sp) struct carries,
+    then greedy interval scheduling as a RECURSIVE CTE walking
+    precomputed next-acceptance links (start-maximality proves
+    "greedy start after previous match" == "some chain entirely after
+    it", so both engines accept identical rows)."""
+    pat = (
+        CepPattern.begin("view", etype="view")
+        .followed_by("click", etype="click")
+        .followed_by("purchase", etype="purchase")
+        .within("36 hours")
+        .after_match_skip("skip_past_last_event")
     )
     return pat.compile(
         table(spark, sf_dir, "events"),

@@ -550,3 +550,48 @@ def test_times_range_matches_and_caps(spark):
     )
     got = {(r.user_id, r.match_id): r.n_b for r in pat.compile(df).collect()}
     assert got == {(0, 7): 4, (2, 14): 2}
+
+
+def test_after_match_skip_builder_rules(spark):
+    """after_match_skip (r12): strategy validation, annotation
+    refusals, and the streaming-compile refusal."""
+    p = F.lit(True)
+    base = (CepPattern.begin("a", p).followed_by("b", p)
+            .followed_by("c", p))
+    with pytest.raises(ValueError, match="unsupported"):
+        base.after_match_skip("skip_to_next")
+    skip = base.after_match_skip("skip_past_last_event")
+    with pytest.raises(ValueError, match="skip_past_last_event"):
+        (CepPattern.begin("a", p).followed_by("b", p).optional()
+         .followed_by("c", p).after_match_skip("skip_past_last_event")
+         .compile(None))
+    with pytest.raises(ValueError, match="skip_past_last_event"):
+        (CepPattern.begin("a", p).followed_by("b", p).one_or_more()
+         .followed_by("c", p).after_match_skip("skip_past_last_event")
+         .compile(None))
+    typed = (CepPattern.begin("a", etype="A").followed_by("b", etype="B")
+             .after_match_skip("skip_past_last_event"))
+    with pytest.raises(ValueError, match="skip"):
+        typed.stream_chains()
+    assert skip.skip == "skip_past_last_event"
+
+
+def test_skip_past_hand_case(spark):
+    """A B A B B: no_skip emits all three B-matches; skip_past accepts
+    the first B and then the B whose greedy chain starts after it —
+    the third B's greedy chain reuses the second A (already consumed)
+    and is rejected."""
+    rows = [
+        (0, 0, "A", 0), (0, 1, "B", 1), (0, 2, "A", 2), (0, 3, "B", 3),
+        (0, 4, "B", 4),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id INT, event_id INT, event_type STRING, sec INT"
+    ).withColumn("ts", F.timestamp_seconds("sec"))
+    base = CepPattern.begin("a", etype="A").followed_by("b", etype="B")
+    all_matches = {r.match_id for r in base.compile(df).collect()}
+    assert all_matches == {1, 3, 4}
+    kept = {r.match_id for r in
+            base.after_match_skip("skip_past_last_event")
+            .compile(df).collect()}
+    assert kept == {1, 3}

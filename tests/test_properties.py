@@ -695,3 +695,73 @@ def test_cep_multi_negation_fuzz(streams, pattern_types, neg_types,
             k = (uid, ec[2])
             want[k] = max(want.get(k, -1), ea[1])
     assert got == {(u, mid, s) for (u, mid), s in want.items()}
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    streams=st.lists(
+        st.lists(_cep_event, min_size=0, max_size=10),
+        min_size=1, max_size=3,
+    ),
+    types=st.tuples(
+        st.sampled_from(["A", "B", "C"]),
+        st.sampled_from(["A", "B", "C"]),
+    ),
+    within_s=st.integers(min_value=1, max_value=40),
+)
+def test_cep_skip_past_fuzz(streams, types, within_s):
+    """after_match_skip('skip_past_last_event') (r12): accepted matches
+    must equal the greedy interval-scheduling scan over brute-force
+    candidates — scan match rows in row order, accept iff SOME chain
+    lies entirely after the previously accepted match row, report the
+    max-start chain. Repeated/overlapping types and same-second ties
+    included (the cases where row-order vs ts-order divergence would
+    show)."""
+    import itertools
+
+    from sparkflow.streaming.cep import CepPattern
+
+    a_t, b_t = types
+    rows, df = _cep_df(_get_spark(), streams)
+    if not rows:
+        return
+
+    pat = (
+        CepPattern.begin("a", etype=a_t)
+        .followed_by("b", etype=b_t)
+        .within(within_s)
+        .after_match_skip("skip_past_last_event")
+    )
+    got = {
+        (r.user_id, r.match_id, r.start_sec)
+        for r in pat.compile(df).select(
+            "user_id", "match_id",
+            (F.unix_micros("start_ts") / 1_000_000).cast("int")
+            .alias("start_sec"),
+        ).collect()
+    }
+
+    by_user: dict = {}
+    for idx, (uid, ev_id, typ, sec) in enumerate(rows):
+        by_user.setdefault(uid, []).append((typ, sec, ev_id, idx))
+    want = set()
+    for uid, seq in by_user.items():
+        # candidates: match row -> all chain start positions
+        cands: dict = {}
+        for pa, pb in itertools.combinations(range(len(seq)), 2):
+            ea, eb = seq[pa], seq[pb]
+            if (ea[0], eb[0]) != (a_t, b_t):
+                continue
+            if eb[1] - ea[1] > within_s:
+                continue
+            cands.setdefault(pb, []).append(pa)
+        last = -1
+        for pb in sorted(cands):
+            starts = [pa for pa in cands[pb] if pa > last]
+            if not starts:
+                continue
+            # greedy chain = max start ts, ties to latest row
+            best = max(starts, key=lambda pa: (seq[pa][1], pa))
+            want.add((uid, seq[pb][2], seq[best][1]))
+            last = pb
+    assert got == want

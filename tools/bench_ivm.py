@@ -66,8 +66,10 @@ def main() -> None:
     _clean_postures(sf_dir)
     con = duckdb.connect()
     for t in sparkflow.catalog.TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
-                    f"read_parquet('{sf_dir}/{t}.parquet')")
+        # rung dirs carry only the tables these queries touch
+        if os.path.exists(f"{sf_dir}/{t}.parquet"):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                        f"read_parquet('{sf_dir}/{t}.parquet')")
 
     def medians(fn, sql):
         t_s, t_d, vals = [], [], None
