@@ -595,3 +595,19 @@ def test_skip_past_hand_case(spark):
             base.after_match_skip("skip_past_last_event")
             .compile(df).collect()}
     assert kept == {1, 3}
+
+
+def test_skip_past_plan_single_exchange(spark, sf_small):
+    """Scale shape of the skip fold: the acceptance scan
+    (FlatMapGroupsInPandas) reuses the carry windows' hash partitioning
+    on the key — ONE exchange total, no join, no second shuffle between
+    the window chain and the fold."""
+    plan = (
+        QUERIES["stream_cep_skip_past"](spark, sf_small)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Join" not in plan
+    assert "FlatMapGroupsInPandas" in plan
+    assert plan.count("Exchange") <= 1, plan
