@@ -611,3 +611,26 @@ def test_skip_past_plan_single_exchange(spark, sf_small):
     assert "Join" not in plan
     assert "FlatMapGroupsInPandas" in plan
     assert plan.count("Exchange") <= 1, plan
+
+
+def test_skip_past_with_terminal_negation(spark):
+    """Composition: skip_past acceptance runs over the
+    negation-SURVIVING match rows (the terminal-negation filter applies
+    before the fold). A B [X kills] A B: the first B is killed by the
+    X inside the horizon, so skip accepts the SECOND B — which a
+    naive fold-before-filter would have rejected as overlapping."""
+    rows = [
+        (0, 0, "A", 0), (0, 1, "B", 1), (0, 2, "X", 2),
+        (0, 3, "A", 3), (0, 4, "B", 4),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id INT, event_id INT, event_type STRING, sec INT"
+    ).withColumn("ts", F.timestamp_seconds("sec"))
+    pat = (
+        CepPattern.begin("a", etype="A")
+        .followed_by("b", etype="B")
+        .not_followed_by("x", etype="X", within=2)
+        .after_match_skip("skip_past_last_event")
+    )
+    got = {r.match_id for r in pat.compile(df).collect()}
+    assert got == {4}

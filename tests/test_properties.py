@@ -765,3 +765,95 @@ def test_cep_skip_past_fuzz(streams, types, within_s):
             want.add((uid, seq[pb][2], seq[best][1]))
             last = pb
     assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    streams=st.lists(
+        st.lists(_cep_event, min_size=0, max_size=10),
+        min_size=1, max_size=3,
+    ),
+    neg_type=st.sampled_from(["A", "B", "C"]),
+    neg_gap=st.sampled_from([1, 2]),  # before the B+ step, or after it
+    within_s=st.integers(min_value=1, max_value=40),
+)
+def test_cep_one_or_more_with_negation_fuzz(streams, neg_type, neg_gap,
+                                            within_s):
+    """Composition pin (r12): oneOrMore counts REMAIN the exact max
+    repetition count when one of the quantified step's gaps is negated
+    — the subset property rescues exactness (if any match exists, the
+    greedy start's gap is clean, so every pool event is absorbable:
+    leading negation — feasible-as-first is downward-closed; trailing
+    negation — a q after the last rep would kill the match itself).
+    Pattern A (!q) B+ (!q) C over random streams; brute force
+    enumerates rep GROUPS: first rep bound by the leading gap, last rep
+    bound by the trailing gap, and reports the max group size at the
+    greedy start."""
+    import itertools
+
+    from sparkflow.streaming.cep import CepPattern
+
+    rows, df = _cep_df(_get_spark(), streams)
+    if not rows:
+        return
+
+    pat = CepPattern.begin("a", etype="A")
+    if neg_gap == 1:
+        pat = pat.not_followed_by("q", etype=neg_type)
+    pat = pat.followed_by("b", etype="B").one_or_more()
+    if neg_gap == 2:
+        pat = pat.not_followed_by("q", etype=neg_type)
+    pat = pat.followed_by("c", etype="C").within(within_s)
+    got = {
+        (r.user_id, r.match_id): (r.start_sec, r.n_b)
+        for r in pat.compile(df).select(
+            "user_id", "match_id", "n_b",
+            (F.unix_micros("start_ts") / 1_000_000).cast("int")
+            .alias("start_sec"),
+        ).collect()
+    }
+
+    by_user: dict = {}
+    for idx, (uid, ev_id, typ, sec) in enumerate(rows):
+        by_user.setdefault(uid, []).append((typ, sec, ev_id, idx))
+
+    def q_in(seq, lo, hi):
+        return any(seq[k][0] == neg_type for k in range(lo + 1, hi))
+
+    # brute force over (a, rep-group, c): a group is ANY nonempty set of
+    # B-rows between a and c; leading negation constrains (a, first
+    # rep); trailing negation constrains (last rep, c)
+    want: dict = {}
+    for uid, seq in by_user.items():
+        bs = [k for k in range(len(seq)) if seq[k][0] == "B"]
+        for pa, pc in itertools.product(range(len(seq)), repeat=2):
+            if seq[pa][0] != "A" or seq[pc][0] != "C" or pa >= pc:
+                continue
+            if seq[pc][1] - seq[pa][1] > within_s:
+                continue
+            group = [k for k in bs if pa < k < pc]
+            best = 0
+            # choose first/last rep to satisfy the negated gap; middle
+            # reps are unconstrained, so the best group is contiguous
+            # in the candidate list from a feasible first to a feasible
+            # last
+            for i, first in enumerate(group):
+                if neg_gap == 1 and q_in(seq, pa, first):
+                    continue
+                for j in range(len(group) - 1, i - 1, -1):
+                    last = group[j]
+                    if neg_gap == 2 and q_in(seq, last, pc):
+                        continue
+                    best = max(best, j - i + 1)
+                    break
+            if best == 0:
+                continue
+            key = (uid, seq[pc][2])
+            prev = want.get(key)
+            cand = (seq[pa][1], pa, best)
+            # greedy start first (ts, then row), THEN the count at that
+            # start (the compiled n_b is computed at the greedy chain)
+            if prev is None or (cand[0], cand[1]) > (prev[0], prev[1]):
+                want[key] = cand
+    expect = {k: (v[0], v[2]) for k, v in want.items()}
+    assert got == expect
