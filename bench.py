@@ -109,6 +109,9 @@ def staged_postures(sf_dir: str) -> dict[str, str]:
         "json_extract_agg": "typed_copy" if staging.is_published(
             staging.shared_path("json_mat", sf_dir, ("events",), "events_k")
         ) else "cold",
+        "embeddings_knn": "fxp_matrix" if staging.is_published(
+            staging.shared_path("knn", sf_dir, ("embeddings",), "fxp_matrix")
+        ) else "cold",
     }
 
 

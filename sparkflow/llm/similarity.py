@@ -185,9 +185,7 @@ def _fxp_dot_sql(a: str, b: str) -> str:
     )
 
 
-@register(
-    "llm_knn_cosine",
-    oracle=f"""
+_KNN_ORACLE = f"""
     WITH q AS (
       SELECT embedding::DOUBLE[] AS qv FROM embeddings
       WHERE vec_id = {_SQL_QUERY_VEC_ID}
@@ -203,8 +201,10 @@ def _fxp_dot_sql(a: str, b: str) -> str:
     )
     SELECT vec_id, label, cos_sim FROM scored
     ORDER BY cos_sim DESC, vec_id LIMIT {_TOP_K}
-    """,
-)
+    """
+
+
+@register("llm_knn_cosine", oracle=_KNN_ORACLE)
 def llm_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-10 for one query vector, on FIXED-POINT
     quantized coordinates (round(x·1e6) — see _FXP): integer dots are
@@ -212,7 +212,21 @@ def llm_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle's BIGINT list fold produce bit-identical doubles. This is the
     honest way to make vector scoring both fast (no per-element
     interpreted fold) and oracle-exact; real ANN systems quantize for
-    the same determinism/throughput reasons."""
+    the same determinism/throughput reasons.
+
+    r12 read-through posture: when `maintenance_knn_quantize` has
+    published the fixed-point matrix for this corpus digest, the scan
+    resolves to the staged artifact and the O(n·d) dot products run as
+    ONE Arrow-native int64 matmul (mapInArrow — no posexplode, no
+    per-row join; the per-vector scalar math stays in the SAME Spark
+    expressions, so staged and raw results are bit-identical). Cold
+    sessions keep the JVM explode/join plan below — the fn_json repoint
+    convention: read-throughs never mutate state from a read-only
+    query, and the raw shape stays measurable."""
+    qid_qi = _query_row(spark, sf_dir)
+    mat = _knn_matrix(spark, sf_dir)
+    if mat is not None:
+        return _knn_arrow_read(mat, *qid_qi)
     e = table(spark, sf_dir, "embeddings")
     # Resolve the query vector ONCE at plan-build time (in a real KNN
     # service the query vector arrives client-side; here it is one tiny
@@ -267,6 +281,126 @@ def llm_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cos_sim").desc(), "vec_id")
         .limit(_TOP_K)
     )
+
+
+def _knn_matrix(spark: SparkSession, sf_dir: str, create: bool = False):
+    """The brute-force KNN's staged artifact: the corpus as a
+    FIXED-POINT matrix — (vec_id, label, xi: array<long> = round(x·1e6)
+    per coordinate, n2 = Σxi² precomputed). Content-addressed under the
+    shared staging root (sources/staging.py), same read-through rules
+    as every posture: create=False returns the matrix only if published
+    for the CURRENT corpus digest (else None → cold plan), create=True
+    is the maintenance pass. The quantization expression is the exact
+    one the cold plan applies per row, so the two plans score identical
+    integers."""
+    from ..sources import staging
+
+    def build() -> DataFrame:
+        e = table(spark, sf_dir, "embeddings")
+        # int32 coordinates: |x| < 10 (see _FXP) so round(x·1e6) fits
+        # comfortably — half the bytes of long at rest and over Arrow
+        xi = F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * _FXP + F.lit(0.5))
+            .cast("int"),
+        )
+        # layout: the source corpus is often few large files (one 80 MB
+        # file at the sf10 rung reads as 1-2 tasks), which would
+        # serialize the staged scoring; ~8-way measured optimum at sf10
+        # (2 ways leaves decode+IPC unpipelined at 0.88 s, 32 ways pays
+        # scheduling for trivial tasks at 0.52 s, 8 ways 0.38 s) —
+        # larger corpora keep their natural parallelism
+        parts = max(8, e.rdd.getNumPartitions())
+        return (
+            e.select("vec_id", "label", xi.alias("xi"))
+            .withColumn(
+                "n2",
+                F.aggregate(
+                    "xi",
+                    F.lit(0).cast("long"),
+                    lambda a, x: a + x.cast("long") * x.cast("long"),
+                ),
+            )
+            .repartition(parts)
+        )
+
+    return staging.stage_parquet(
+        spark, "knn", sf_dir, ("embeddings",), "fxp_matrix", build, create
+    )
+
+
+def _knn_arrow_read(mat: DataFrame, qid: int, qi) -> DataFrame:
+    """Staged KNN scoring: ONE Arrow-native int64 matmul over the
+    fixed-point matrix (mapInArrow — the list column flattens to a
+    zero-copy (rows × dim) ndarray, no per-row Python and no
+    posexplode/join), emitting exact integer (dot, n2) per vector. The
+    per-vector DOUBLE math (divide, sqrt, round) stays in the SAME
+    Spark expressions as the cold plan, so staged and raw top-10 are
+    bit-identical — numpy int64 matmul is exact (|dot| < 2^63, see
+    _FXP) and order-independence is the fixed-point design's point.
+    Scales: the matmul shards over partitions (each Arrow batch scores
+    independently); at 10^9 vectors the IVF keys bound the candidate
+    set and this same kernel scores the probed cells."""
+    import pyarrow as pa
+
+    q = np.ascontiguousarray(np.asarray(qi, dtype=np.int64))
+    nq = float(np.sqrt(np.float64((q * q).sum())))
+
+    def score(batches):
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            xi = b.column(b.schema.get_field_index("xi"))
+            m = (
+                xi.flatten()
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64, copy=False)
+                .reshape(b.num_rows, len(q))
+            )
+            yield pa.record_batch(
+                [
+                    b.column(b.schema.get_field_index("vec_id")),
+                    b.column(b.schema.get_field_index("label")),
+                    pa.array(m @ q, type=pa.int64()),
+                    b.column(b.schema.get_field_index("n2")),
+                ],
+                names=["vec_id", "label", "dot", "n2"],
+            )
+
+    label_type = dict(mat.dtypes)["label"]
+    scored = mat.filter(F.col("vec_id") != qid).mapInArrow(
+        score, f"vec_id long, label {label_type}, dot long, n2 long"
+    )
+    return (
+        scored.select(
+            "vec_id",
+            "label",
+            F.round(
+                F.col("dot").cast("double")
+                / (F.sqrt(F.col("n2").cast("double")) * nq),
+                9,
+            ).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), "vec_id")
+        .limit(_TOP_K)
+    )
+
+
+@register("maintenance_knn_quantize", oracle=_KNN_ORACLE)
+def maintenance_knn_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintenance pass for the brute-force KNN posture (r12): quantize
+    the corpus once into the staged fixed-point matrix (vec_id, label,
+    xi, n2) and answer the query through it — after this pass,
+    llm_knn_cosine (bench's embeddings_knn) resolves to one Arrow
+    int64 matmul over the published matrix instead of the
+    posexplode/join plan (measured in SCALE.md r12). Append-only ingest
+    folds in by quantizing ONLY the new vectors and appending — the
+    artifact is row-wise independent, the simplest IVM of all. Oracle:
+    the same exact-arithmetic SQL as llm_knn_cosine — equality IS the
+    read-through's bit-identity claim."""
+    mat = _knn_matrix(spark, sf_dir, create=True)
+    qid, qi = _query_row(spark, sf_dir)
+    return _knn_arrow_read(mat, qid, qi)
 
 
 # Integer replay of the hyperplane-LSH bucket arithmetic (r8): since

@@ -936,3 +936,31 @@ def test_ivf_kmeans_recall_and_full_probe_exact(spark, sf_small):
     assert r1 <= r3 <= rall, f"recall not monotone: {r1} {r3} {rall}"
     assert r1 < rall, "nprobe=1 matched full probe — pruning is a no-op"
     assert r3 >= 0.5, f"kmeans-IVF recall at nprobe=3: {r3}"
+
+
+def test_knn_posture_bit_identical_and_read_only(spark, sf_small):
+    """maintenance_knn_quantize (r12): llm_knn_cosine's read-through
+    resolves to the staged fixed-point matrix ONLY after the
+    maintenance pass published it, the staged Arrow-matmul top-10 is
+    BIT-identical to the cold explode/join plan, and a read-only query
+    never stages (the fn_json repoint contract)."""
+    import pandas as pd
+
+    from sparkflow.llm.similarity import _knn_matrix
+    from sparkflow.sources import staging
+
+    staging.unpublish("knn", sf_small, ("embeddings",), "fxp_matrix")
+    cold = sparkflow.QUERIES["llm_knn_cosine"](spark, sf_small).toPandas()
+    # the cold run must NOT have published anything (read-only probe)
+    assert _knn_matrix(spark, sf_small) is None
+    staged_frame = sparkflow.QUERIES["maintenance_knn_quantize"](
+        spark, sf_small
+    ).toPandas()
+    assert _knn_matrix(spark, sf_small) is not None
+    warm = sparkflow.QUERIES["llm_knn_cosine"](spark, sf_small).toPandas()
+    for df in (warm, staged_frame):
+        pd.testing.assert_frame_equal(
+            cold.sort_values("vec_id").reset_index(drop=True),
+            df.sort_values("vec_id").reset_index(drop=True),
+        )
+    staging.unpublish("knn", sf_small, ("embeddings",), "fxp_matrix")

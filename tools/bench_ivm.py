@@ -54,6 +54,7 @@ def _clean_postures(sf_dir: str) -> None:
         staging.unpublish("rollup", sf_dir, tabs, f"{name}_serve")
     for t, k in (("lineitem", "l_orderkey"), ("orders", "o_orderkey")):
         staging.unpublish("bucketed", sf_dir, (t,), f"{t}_{k}_b32")
+    staging.unpublish("knn", sf_dir, ("embeddings",), "fxp_matrix")
 
 
 def main() -> None:
