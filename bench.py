@@ -106,9 +106,13 @@ def staged_postures(sf_dir: str) -> dict[str, str]:
         ),
         "distinct_users": rollup("distinct"),
         "events_tumbling_1h": rollup("tumbling"),
-        "json_extract_agg": "typed_copy" if staging.is_published(
-            staging.shared_path("json_mat", sf_dir, ("events",), "events_k")
-        ) else "cold",
+        "json_extract_agg": (
+            "ivm_serve" if staging.is_published(staging.shared_path(
+                "json_mat", sf_dir, ("events",), "events_k_serve"))
+            else "typed_copy" if staging.is_published(staging.shared_path(
+                "json_mat", sf_dir, ("events",), "events_k"))
+            else "cold"
+        ),
         "embeddings_knn": "fxp_matrix" if staging.is_published(
             staging.shared_path("knn", sf_dir, ("embeddings",), "fxp_matrix")
         ) else "cold",

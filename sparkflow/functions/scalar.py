@@ -169,9 +169,20 @@ def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     fields are extracted (one parse, N struct reads). Both shapes
     produce identical values (the materialize op's oracle IS this
     aggregate recomputed from raw), so the key stays EXACT either way;
-    the raw shape remains measurable on its own via fn_json_raw_parse."""
+    the raw shape remains measurable on its own via fn_json_raw_parse.
+    r12: when the maintenance pass has also published the aggregate's
+    SERVING FRAME (rollup serve convention), the read collapses further
+    to a floor-time constant-size scan — posture ladder
+    serve → typed copy → raw parse, every rung bit-identical."""
+    from ..sources import staging
     from ..sources.io import materialized_events_k
 
+    serve = staging.stage_parquet(
+        spark, "json_mat", sf_dir, ("events",), "events_k_serve",
+        None, create=False,
+    )
+    if serve is not None:
+        return serve
     mat = materialized_events_k(spark, sf_dir, create=False)
     src = (
         mat.select("event_type", "k")

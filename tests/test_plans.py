@@ -793,8 +793,12 @@ def test_fn_json_reads_through_materialized_copy(spark, sf_small):
     no JSON function anywhere in the plan, scan pruned to the two
     needed columns — and both shapes return identical rows (the 100 TB
     posture: pay the parse once per ingest, not once per query)."""
+    from sparkflow.sources import staging
     from sparkflow.sources.io import materialized_events_k
 
+    # r12: the posture is a LADDER (serve frame -> typed copy -> raw
+    # parse); retract the serve first so each rung is pinned in order
+    staging.unpublish("json_mat", sf_small, ("events",), "events_k_serve")
     cold = materialized_events_k(spark, sf_small, create=False)
     if cold is None:  # cold this session: pin the raw-parse shape
         df_raw = sparkflow.QUERIES["fn_json"](spark, sf_small)
@@ -807,8 +811,18 @@ def test_fn_json_reads_through_materialized_copy(spark, sf_small):
     df = sparkflow.QUERIES["fn_json"](spark, sf_small)
     plan = formatted_plan(df)
     assert "from_json" not in plan.lower(), plan[:800]
-    assert "json_mat" in plan, plan[:800]
+    # top rung: the serve frame — a bare constant-size scan, no agg
+    assert "events_k_serve" in plan, plan[:800]
+    assert "HashAggregate" not in plan, plan[:800]
     assert sorted(map(tuple, df.collect())) == raw_rows
+    # middle rung: retract the serve, keep the typed copy — the SAME
+    # key aggregates over the pruned typed scan
+    staging.unpublish("json_mat", sf_small, ("events",), "events_k_serve")
+    df_mid = sparkflow.QUERIES["fn_json"](spark, sf_small)
+    plan_mid = formatted_plan(df_mid)
+    assert "from_json" not in plan_mid.lower(), plan_mid[:800]
+    assert "events_k" in plan_mid and "events_k_serve" not in plan_mid
+    assert sorted(map(tuple, df_mid.collect())) == raw_rows
 
 
 def test_exact_substr_is_equi_join_no_allpairs(spark, sf_small):

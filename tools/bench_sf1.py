@@ -91,6 +91,7 @@ def main() -> None:
         from sparkflow.sources import staging as _staging
 
         _staging.unpublish("json_mat", SF1, ("events",), "events_k")
+        _staging.unpublish("json_mat", SF1, ("events",), "events_k_serve")
 
     # Scale-appropriate session tuning, each lever measured at sf10
     # (config sweep this session, 60M-row lineitem):
