@@ -99,7 +99,10 @@ def staged_postures(sf_dir: str) -> dict[str, str]:
     facts = bucketed("lineitem", "l_orderkey") and bucketed("orders", "o_orderkey")
     return {
         "q1_pricing_summary": rollup("pricing"),
-        "q3_join3_topk": "bucket_family" if facts else "cold",
+        "q3_join3_topk": (
+            rollup("q3") if rollup("q3") == "ivm_serve"
+            else ("bucket_family" if facts else "cold")
+        ),
         "q5_join5_agg": (
             rollup("q5") if rollup("q5") == "ivm_serve"
             else ("bucket_family" if facts else "cold")

@@ -552,6 +552,7 @@ _ROLLUP_TABLES = {
     "tumbling": ("events",), "distinct": ("events",),
     "pricing": ("lineitem",),
     "q5": ("lineitem", "orders", "customer", "supplier", "nation"),
+    "q3": ("lineitem", "orders", "customer"),
 }
 
 
@@ -961,6 +962,101 @@ def maintenance_rollup_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Q3 join-aggregate IVM (r12 continuation — the last headline join
+# without its own maintained view; previously warm only via the bucket
+# family at ~1.75x). The view is the BUILDING-segment revenue aggregate
+# at (o_orderkey, o_orderdate) granularity in integer units — a SUM
+# monoid per group, delta-join maintainable exactly like q5's, except
+# the view GROWS with the order count (unlike q5's 175 rows), so the
+# published artifacts are (a) the partials (the maintainable view) and
+# (b) the constant-size top-10 serving frame recomputed from them after
+# each merge — the classic maintained-top-k split.
+# ---------------------------------------------------------------------------
+
+
+def q3_partials(spark: SparkSession, sf_dir: str, li_src: DataFrame) -> DataFrame:
+    """(o_orderkey, o_orderdate, rev_u, n_items) partials over an
+    arbitrary lineitem-shaped frame: ΔL ⋈ orders ⋈ BUILDING-customers,
+    SUM of exact 1e-4 revenue units per order — the delta-join of the
+    Q3 view; the fact history is never rescanned on ingest."""
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    cust = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    joined = (
+        li_src.select("l_orderkey", revenue_units().alias("rev_u"))
+        .join(orders, F.col("l_orderkey") == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+    )
+    return joined.groupBy("o_orderkey", "o_orderdate").agg(
+        F.sum("rev_u").alias("rev_u"), F.count(F.lit(1)).alias("n_items")
+    )
+
+
+def q3_merge(parts: DataFrame) -> DataFrame:
+    """Monoid merge of Q3 partials (SUM per (orderkey, orderdate))."""
+    return parts.groupBy("o_orderkey", "o_orderdate").agg(
+        F.sum("rev_u").alias("rev_u"), F.sum("n_items").alias("n_items")
+    )
+
+
+def q3_rollup_read(mat: DataFrame) -> DataFrame:
+    """Q3's exact output frame from the maintained partials: re-collapse
+    (base ⊎ delta rows may share a group), one double division, top-10
+    by (revenue desc, orderkey) — bit-identical to the raw 3-way plan
+    (same integer units, same IEEE op, deterministic tiebreak)."""
+    return (
+        mat.groupBy("o_orderkey", "o_orderdate")
+        .agg((F.sum("rev_u").cast("double") / 10000.0).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+def q3_rollup(spark: SparkSession, sf_dir: str, create: bool = False):
+    return _staged_rollup(
+        spark, sf_dir, "q3",
+        lambda: q3_partials(spark, sf_dir, table(spark, sf_dir, "lineitem")),
+        create,
+    )
+
+
+_SQL_Q3 = f"""
+    SELECT o_orderkey, o_orderdate,
+           {sql_rev_sum('revenue')}
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+    GROUP BY o_orderkey, o_orderdate
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """
+
+
+@register("maintenance_rollup_q3", oracle=_SQL_Q3)
+def maintenance_rollup_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVM posture for the Q3 top-10 (limit_topk — the last headline
+    join whose best warm shape was the ~1.75x bucket-family read): one
+    maintenance pass materializes the BUILDING-segment revenue view at
+    (orderkey, orderdate) granularity and publishes BOTH the partials
+    and the top-10 serving frame content-addressed. Later sessions'
+    limit_topk is a floor-time 10-row scan; ingest batches fold in by
+    delta-join + SUM and a top-10 recompute over the view (a partials
+    scan, never the fact history — maintenance_rollup_ingest_q3 proves
+    the delta-only plan). Oracle: the full 3-way recompute — equality
+    IS the maintained-top-k correctness claim. The bucket-family and
+    cold shapes stay measurable (retract the serve, or
+    join_multiway_star_bucketed's twin for the family)."""
+    mat = q3_rollup(spark, sf_dir, create=True)
+    return _publish_serve(spark, sf_dir, "q3", q3_rollup_read(mat))
+
+
+# ---------------------------------------------------------------------------
 # Exercised ingest-delta merges (r11 verdict item 2: prove "one pass
 # over the increment only" end-to-end for the IVM rollups, not just the
 # merge property in prose). Fixture: the source fact table is split
@@ -989,12 +1085,14 @@ def _ingest_fixture(spark: SparkSession, sf_dir: str, name: str):
     """(base_partials_df, delta_df) for one rollup's ingest exercise,
     both content-addressed staged: the delta slice as raw rows (the
     ingest batch), the base partials as yesterday's materialized view.
-    partials_fn for q5 needs the session, so it's resolved here."""
+    partials_fn for the join-aggregates (q5, q3) needs the session, so
+    it's resolved here."""
     from . import staging
 
-    if name == "q5":
+    if name in ("q5", "q3"):
         tname, pred = "lineitem", lambda: F.col("l_orderkey") % 10 == 0
-        partials = lambda src: q5_partials(spark, sf_dir, src)  # noqa: E731
+        pfn = q5_partials if name == "q5" else q3_partials
+        partials = lambda src: pfn(spark, sf_dir, src)  # noqa: E731
     else:
         tname, pred, partials, _merge = _INGEST_SPECS[name]
     delta = staging.stage_parquet(
@@ -1017,9 +1115,10 @@ def rollup_ingest_update(spark: SparkSession, sf_dir: str, name: str) -> DataFra
     absent (pinned in tests/test_plans.py). Exposed separately from the
     registered keys so the plan pin tests the update in isolation."""
     base, delta = _ingest_fixture(spark, sf_dir, name)
-    if name == "q5":
-        delta_partials = q5_partials(spark, sf_dir, delta)
-        return q5_merge(base.unionByName(delta_partials))
+    if name in ("q5", "q3"):
+        pfn, mfn = ((q5_partials, q5_merge) if name == "q5"
+                    else (q3_partials, q3_merge))
+        return mfn(base.unionByName(pfn(spark, sf_dir, delta)))
     _t, _p, partials, merge = _INGEST_SPECS[name]
     return merge(base.unionByName(partials(delta)))
 
@@ -1107,6 +1206,19 @@ def maintenance_rollup_ingest_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     history is never rescanned (plan pinned). Oracle: the full 6-table
     star recompute over base+delta."""
     return _rollup_ingest(spark, sf_dir, "q5", q5_rollup_read)
+
+
+@register("maintenance_rollup_ingest_q3", oracle=_SQL_Q3)
+def maintenance_rollup_ingest_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELTA-JOIN IVM for the maintained TOP-K (r12): the ingest batch
+    ΔL joins orders + BUILDING customers, its (orderkey, orderdate)
+    revenue partials SUM into the base view, and the top-10 is
+    recomputed from the view — a partials scan that never touches the
+    lineitem history (plan pinned like the other ingest keys). This is
+    the standard maintained-top-k split: the view is incrementally
+    exact, the constant-size serving frame is derived from it per
+    merge. Oracle: the full 3-way recompute over base+delta."""
+    return _rollup_ingest(spark, sf_dir, "q3", q3_rollup_read)
 
 
 class CommitConflict(RuntimeError):

@@ -9,6 +9,8 @@ sys.path.insert(0, "/root/repo")
 
 import sparkflow
 from sparkflow.plans.explain import formatted_plan, pushed_filters, read_schemas
+from sparkflow.sources import staging
+from sparkflow.sources.io import _ROLLUP_TABLES
 
 
 def test_filter_pushdown_reaches_scan(spark, sf_small):
@@ -84,6 +86,10 @@ def test_flagship_star_reads_through_bucket_family(spark, sf_small):
 
 
 def test_topk_uses_take_ordered(spark, sf_small):
+    # pin the COMPUTE shapes: retract the r12 maintained-top-10 serve
+    # frame (whose read is a bare 10-row scan, deliberately sans top-k
+    # operator) so this asserts the cold/bucket plans
+    staging.unpublish("rollup", sf_small, _ROLLUP_TABLES["q3"], "q3_serve")
     df = sparkflow.QUERIES["limit_topk"](spark, sf_small)
     assert "TakeOrderedAndProject" in formatted_plan(df)
 
@@ -100,6 +106,7 @@ def test_topk_reads_through_bucket_family(spark, sf_small):
 
     from sparkflow.operators import joins as J
 
+    staging.unpublish("rollup", sf_small, _ROLLUP_TABLES["q3"], "q3_serve")
     sparkflow.QUERIES["join_multiway_star_bucketed"](spark, sf_small).collect()
     assert J._bucketed_table_if_exists(
         spark, sf_small, "lineitem", "l_orderkey", 32) is not None
@@ -580,7 +587,7 @@ def test_rollup_ingest_updates_scan_delta_only(spark, sf_small):
 
     for name, fact in (
         ("tumbling", "events"), ("distinct", "events"),
-        ("pricing", "lineitem"), ("q5", "lineitem"),
+        ("pricing", "lineitem"), ("q5", "lineitem"), ("q3", "lineitem"),
     ):
         df = rollup_ingest_update(spark, sf_small, name)
         plan = formatted_plan(df)
@@ -603,6 +610,8 @@ def test_rollup_ingest_matches_full_recompute(spark, sf_small):
         ("maintenance_rollup_ingest_pricing", "maintenance_rollup_pricing",
          ["l_returnflag", "l_linestatus"]),
         ("maintenance_rollup_ingest_q5", "maintenance_rollup_q5", ["nation"]),
+        ("maintenance_rollup_ingest_q3", "maintenance_rollup_q3",
+         ["o_orderkey"]),
     ]
     for inc_key, full_key, sort_keys in pairs:
         inc = (

@@ -246,3 +246,34 @@ def test_staging_vacuum_lifecycle(spark, sf_small, tmp_path):
     os.utime(mf, (past, past))
     s = staging.staging_vacuum(min_age_sec=3600)
     assert not os.path.exists(gone) and s["removed_undigestable"] == 1
+
+
+def test_q3_serve_frame_matches_cold_topk(spark, sf_small):
+    """maintenance_rollup_q3 (r12): the maintained top-10 serve frame
+    read by limit_topk equals the cold 3-way shuffle plan row-for-row
+    (integer revenue units → identical doubles), including the
+    contract ordering; retracting the serve falls back cleanly."""
+    from pyspark.sql import functions as F
+
+    from sparkflow.catalog import table
+    from sparkflow.oracle_compat import rev_sum
+    from sparkflow.sources.io import _ROLLUP_TABLES
+
+    staging.unpublish("rollup", sf_small, _ROLLUP_TABLES["q3"], "q3_serve")
+    c = table(spark, sf_small, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING")
+    o = table(spark, sf_small, "orders")
+    li = table(spark, sf_small, "lineitem")
+    cold = (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("l_orderkey") == o.o_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(rev_sum("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    ).collect()
+    sparkflow.QUERIES["maintenance_rollup_q3"](spark, sf_small).collect()
+    warm = sparkflow.QUERIES["limit_topk"](spark, sf_small).collect()
+    assert [tuple(r) for r in warm] == [tuple(r) for r in cold]
+    staging.unpublish("rollup", sf_small, _ROLLUP_TABLES["q3"], "q3_serve")
+    assert len(sparkflow.QUERIES["limit_topk"](spark, sf_small).collect()) == 10
