@@ -437,7 +437,9 @@ class CepPattern:
                     "the predicates into one (pred_a | pred_b) instead "
                     "of stacking two negations on the same gap"
                 )
-            return replace(self, pending_neg=(name, pred))
+            # etype rides along (3rd field): the streaming compile's
+            # keyed-state gate needs a row-evaluable negated predicate
+            return replace(self, pending_neg=(name, pred, etype))
         return replace(
             self, neg=(name, pred), neg_within_us=_duration_us(within)
         )
@@ -482,9 +484,13 @@ class CepPattern:
 
     @staticmethod
     def _event_expansion(steps) -> list:
-        """times-expanded [(event_type, transition)] for one chain —
-        the declarative form the streaming compiler consumes. Requires
-        every step declared via `etype`."""
+        """times-expanded [(event_type, transition, negated_etype)] for
+        one chain — the declarative form the streaming compiler
+        consumes; negated_etype is set on the FIRST copy of a step
+        whose entering gap carries a mid-pattern negation (the batch
+        compiler's `first and neg_before` rule), None elsewhere.
+        Requires every step (and every negation) declared via
+        `etype`."""
         out = []
         for s in steps:
             if s.etype is None:
@@ -492,25 +498,41 @@ class CepPattern:
                     f"step {s.name!r} was built from a Column predicate —"
                     " declare it with etype=... to compile for streaming"
                 )
+            neg_et = None
+            if s.neg_before is not None:
+                neg_et = s.neg_before[2]
+                if neg_et is None:
+                    raise ValueError(
+                        f"the negation before step {s.name!r} was built "
+                        "from a Column predicate — declare it with "
+                        "etype=... to compile for streaming"
+                    )
             inner = "next" if s.consecutive else "followed_by"
             for k in range(s.times):
-                out.append((s.etype, s.contiguity if k == 0 else inner))
+                out.append((
+                    s.etype,
+                    s.contiguity if k == 0 else inner,
+                    neg_et if k == 0 else None,
+                ))
         return out
 
     def stream_chains(self) -> tuple:
         """(main_chain, [(flag_name, variant_chain), ...]) — the same
         chain set the batch compiler builds (required steps gate; one
         variant per optional step annotates), each times-expanded to
-        [(event_type, transition)]. No negation (the forward-looking
-        negation window is future-dependent; its streaming form is the
-        watermarked outer interval join, see
-        stateful.cep_negation_stream)."""
-        if self.neg is not None or self.pending_neg is not None or any(
-            s.neg_before is not None for s in self.steps
-        ):
+        [(event_type, transition, negated_etype)]. MID-PATTERN
+        negations stream (r12): their gate reads only PREFIX maxima
+        (latest prefix-complete position, latest negated position) —
+        causal, so the keyed state machine carries them exactly. Only
+        TERMINAL negation refuses here: its window looks at FUTURE
+        events, so its streaming form is the watermarked outer interval
+        join (stateful.cep_negation_stream)."""
+        if self.neg is not None or self.pending_neg is not None:
             raise ValueError(
-                "streaming compile covers positive patterns — negation "
-                "streams via the watermarked interval-join twin"
+                "streaming compile covers patterns whose every decision "
+                "is causal — a TERMINAL negation waits on future events "
+                "and streams via the watermarked interval-join twin "
+                "(mid-pattern negations stream fine)"
             )
         if self.skip != "no_skip":
             raise ValueError(
@@ -690,7 +712,7 @@ class CepPattern:
                     # (b, current) — latest-b dominance (see module
                     # docstring) makes one struct MAX + one running
                     # q-position MAX exact
-                    _qname, qpred = s.neg_before
+                    _qname, qpred, _qet = s.neg_before
                     b = F.max(
                         F.when(
                             F.col(prev_col).isNotNull(),

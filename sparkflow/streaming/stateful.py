@@ -470,19 +470,27 @@ def cep_times_stream(spark: SparkSession, files_dir: str, sf_dir: str) -> DataFr
 # ---------------------------------------------------------------------------
 
 
-def _cep_chain_hits(steps, C, L, etype, t):
+def _cep_chain_hits(steps, C, L, BP, LQ, etype, t):
     """One row's hit vector for one expanded chain, evaluated against
-    the PRE-row state (the batch plan's strictly-before frames)."""
+    the PRE-row state (the batch plan's strictly-before frames). A
+    step with a negated entering gap (r12) gates its relaxed carry on
+    the batch compiler's latest-prefix-row dominance: connect iff no
+    negated event arrived after the latest prefix-complete row —
+    LQ[i-1] (latest negated position for this gap) <= BP[i-1] (latest
+    position whose step-(i-1) hit was non-null); both are causal
+    running maxima, so the gate is exact in keyed state."""
     m = len(steps)
     hit = [-1] * m
-    for i, (et, trans) in enumerate(steps):
+    for i, (et, trans, neg_et) in enumerate(steps):
         if etype != et:
             continue
         if i == 0:
             hit[0] = t
         else:
             carry_in = C[i - 1] if trans == "followed_by" else L[i - 1]
-            if carry_in >= 0:
+            if carry_in >= 0 and (
+                neg_et is None or LQ[i - 1] <= BP[i - 1]
+            ):
                 hit[i] = carry_in
     return hit
 
@@ -495,14 +503,20 @@ def _cep_compiled_fn(chains: list, within_us):
     (running max of step-i's hit over all processed rows — the MAX OVER
     UNBOUNDED..1 PRECEDING carry) and L[i] (step-i's hit at the
     immediately previous row — the LAG(1) carry for strict
-    transitions): Σ 2·(m_c-1) BIGINTs, O(1) regardless of stream
-    length. Each row's hits evaluate against the PRE-row state, then
-    the state absorbs the row — so one event can serve step i for
-    future rows while consuming only strictly-earlier events for step
-    i+1, exactly the distinct-event binding the batch compiler
-    guarantees."""
+    transitions), plus — for mid-pattern negated gaps (r12) — BP[i]
+    (position of the latest row whose step-i hit was non-null) and
+    LQ[i] (position of the latest negated event for the gap entering
+    step i+1) with one per-key row counter: Σ 4·(m_c-1) + 1 BIGINTs,
+    O(1) regardless of stream length. Each row's hits evaluate against
+    the PRE-row state, then the state absorbs the row — so one event
+    can serve step i for future rows while consuming only
+    strictly-earlier events for step i+1, exactly the distinct-event
+    binding the batch compiler guarantees."""
     sizes = [len(steps) - 1 for _, steps in chains]
     flag_names = [name for name, _ in chains[1:]]
+    # per chain, per carry slot j: the negated etype guarding the gap
+    # that enters step j+1 (None = ungated)
+    qtypes = [[st[2] for st in steps[1:]] for _, steps in chains]
 
     def fn(
         key: Tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState
@@ -510,11 +524,16 @@ def _cep_compiled_fn(chains: list, within_us):
         if state.exists:
             vals = list(state.get)
         else:
-            vals = [-1] * (2 * sum(sizes))
+            vals = [-1] * (4 * sum(sizes)) + [0]
         CL, off = [], 0
         for n in sizes:
-            CL.append((vals[off:off + n], vals[off + n:off + 2 * n]))
-            off += 2 * n
+            CL.append((
+                vals[off:off + n], vals[off + n:off + 2 * n],
+                vals[off + 2 * n:off + 3 * n],
+                vals[off + 3 * n:off + 4 * n],
+            ))
+            off += 4 * n
+        pos = vals[off]
         chunks = [p for p in pdf_iter if len(p)]
         if not chunks:
             return
@@ -546,8 +565,8 @@ def _cep_compiled_fn(chains: list, within_us):
         ):
             t = int(t)
             hits = [
-                _cep_chain_hits(steps, C, L, etype, t)
-                for (C, L), (_, steps) in zip(CL, chains)
+                _cep_chain_hits(steps, C, L, BP, LQ, etype, t)
+                for (C, L, BP, LQ), (_, steps) in zip(CL, chains)
             ]
             if ok(hits[0][-1], t):
                 out["match_id"].append(int(eid))
@@ -555,12 +574,20 @@ def _cep_compiled_fn(chains: list, within_us):
                 out["start_us"].append(hits[0][-1])
                 for nm, h in zip(flag_names, hits[1:]):
                     out[nm].append(ok(h[-1], t))
-            for (C, L), hit in zip(CL, hits):
+            for (C, L, BP, LQ), hit, qt in zip(CL, hits, qtypes):
                 for i in range(len(C)):
                     if hit[i] > C[i]:
                         C[i] = hit[i]
+                    if hit[i] >= 0:
+                        BP[i] = pos
                     L[i] = hit[i]
-        state.update(tuple(v for C, L in CL for v in C + L))
+                    if qt[i] is not None and etype == qt[i]:
+                        LQ[i] = pos
+            pos += 1
+        state.update(
+            tuple(v for C, L, BP, LQ in CL for v in C + L + BP + LQ)
+            + (pos,)
+        )
         if out["match_id"]:
             yield pd.DataFrame(
                 {"user_id": [key[0]] * len(out["match_id"]), **out}
@@ -574,10 +601,14 @@ def cep_compiled_stream(
     steps: list, within_us, flag_variants=(),
 ) -> DataFrame:
     """True-streaming execution of a compiled CEP pattern (reached via
-    cep.CepPattern.compile_stream): any positive begin/next/followedBy/
-    times[/optional] pattern runs unbounded with O(1) keyed state —
-    2·(m-1) longs for the gating chain plus the same per optional-step
-    annotation chain."""
+    cep.CepPattern.compile_stream): any begin/next/followedBy/times
+    [/optional] pattern — including MID-PATTERN negated gaps (r12),
+    whose gates are causal prefix maxima — runs unbounded with O(1)
+    keyed state: 4·(m-1)+1 longs for the gating chain (carry max, lag,
+    latest-non-null position, latest-negated position, one shared row
+    counter) plus 4·(m-1) per optional-step annotation chain. Only
+    terminal negation is excluded (future-dependent; watermarked
+    interval-join twin)."""
     if len(steps) < 2:
         raise ValueError("streaming compile needs >= 2 positive steps")
     chains = [(None, list(steps))] + [
@@ -589,6 +620,9 @@ def cep_compiled_stream(
         n = len(ch) - 1
         state_fields += [f"c{ci}_{i} BIGINT" for i in range(n)]
         state_fields += [f"l{ci}_{i} BIGINT" for i in range(n)]
+        state_fields += [f"bp{ci}_{i} BIGINT" for i in range(n)]
+        state_fields += [f"lq{ci}_{i} BIGINT" for i in range(n)]
+    state_fields.append("pos BIGINT")
     out_schema = (
         "user_id BIGINT, match_id BIGINT, match_us BIGINT, start_us BIGINT"
         + "".join(f", {name} BOOLEAN" for name, _ in chains[1:])

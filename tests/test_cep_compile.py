@@ -403,9 +403,9 @@ def test_optional_builder_rules():
         .followed_by("c", etype="C")
     )
     main, variants = pat.stream_chains()
-    assert [e for e, _ in main] == ["A", "C"]
+    assert [e for e, *_ in main] == ["A", "C"]
     assert variants[0][0] == "with_b"
-    assert [e for e, _ in variants[0][1]] == ["A", "B", "B", "C"]
+    assert [e for e, *_ in variants[0][1]] == ["A", "B", "B", "C"]
 
 
 def test_strict_contiguity_gating_r12():
@@ -634,3 +634,43 @@ def test_skip_past_with_terminal_negation(spark):
     )
     got = {r.match_id for r in pat.compile(df).collect()}
     assert got == {4}
+
+
+def test_midneg_streaming_twin_matches_batch(spark, sf_small,
+                                             tmp_path_factory):
+    """Mid-pattern negation STREAMS (r12): its gate reads only causal
+    prefix maxima (latest prefix-complete position, latest negated
+    position), so the keyed-state twin must equal the batch compile —
+    checked on the two-negation registered pattern across micro-batch
+    boundaries (state carries gates between batches)."""
+    from sparkflow.streaming import stateful
+
+    stream_dir = stateful.split_events_to_files(
+        spark, sf_small, str(tmp_path_factory.mktemp("cep_midneg_stream")), 3
+    )
+    pat = (
+        CepPattern.begin("signup", etype="signup")
+        .not_followed_by("err", etype="error")
+        .followed_by("view", etype="view")
+        .not_followed_by("clk", etype="click")
+        .followed_by("purchase", etype="purchase")
+        .within("48 hours")
+    )
+    sdf = pat.compile_stream(spark, stream_dir, sf_small)
+    stateful.run_to_memory(sdf, "t_cepmidneg", "append")
+    got = (
+        spark.table("t_cepmidneg").toPandas()
+        .sort_values("match_id").reset_index(drop=True)
+    )
+    want = (
+        QUERIES["stream_cep_midneg_multi"](spark, sf_small)
+        .toPandas().sort_values("match_id").reset_index(drop=True)
+    )
+    assert len(want) > 0
+    want_us = want.assign(
+        match_us=pd.to_datetime(want["match_ts"])
+        .astype("datetime64[us]").astype("int64"),
+        start_us=pd.to_datetime(want["start_ts"])
+        .astype("datetime64[us]").astype("int64"),
+    )[["user_id", "match_id", "match_us", "start_us"]]
+    pd.testing.assert_frame_equal(got, want_us, check_dtype=False)
