@@ -534,12 +534,9 @@ class CepPattern:
                 "and streams via the watermarked interval-join twin "
                 "(mid-pattern negations stream fine)"
             )
-        if self.skip != "no_skip":
-            raise ValueError(
-                "streaming compile does not implement after-match skip "
-                "strategies — the acceptance scan needs the bounded "
-                "match frame; use the batch compile"
-            )
+        # after_match_skip('skip_past_last_event') streams too (r12):
+        # the acceptance cursor (last accepted match position) is one
+        # more long of causal keyed state — see stateful._cep_skip_fn
         if self.steps and self.steps[-1].optional:
             raise ValueError(
                 "the final step cannot be optional — it anchors the "
@@ -589,6 +586,7 @@ class CepPattern:
         return stateful.cep_compiled_stream(
             spark, files_dir, sf_dir, main, self.within_us,
             flag_variants=variants,
+            skip_past=self.skip == "skip_past_last_event",
         )
 
     def _check_open(self, name: str) -> None:

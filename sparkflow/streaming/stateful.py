@@ -596,9 +596,99 @@ def _cep_compiled_fn(chains: list, within_us):
     return fn
 
 
+def _cep_skip_fn(steps, within_us):
+    """Keyed-state executor for a compiled pattern under
+    after_match_skip('skip_past_last_event') (r12): the carry values
+    become (ts, start-position) PAIRS under the same lexicographic
+    running max the batch compile's (h, sp) struct uses, and acceptance
+    is one extra long of state — the last accepted match's row
+    position; a match emits iff its greedy chain STARTS after it
+    (start-maximality makes that exactly 'some chain lies entirely
+    after it', the batch fold's argument). Everything is causal, so
+    non-overlapping matching streams with O(1) state: 6·(m-1)+2 longs
+    (ts+sp for carry-max and lag, BP/LQ for negated gaps, the
+    acceptance cursor, the row counter)."""
+    m = len(steps)
+    n = m - 1
+
+    def fn(
+        key: Tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            vals = list(state.get)
+        else:
+            vals = [-1] * (6 * n) + [-1, 0]
+        Cts, Csp = vals[0:n], vals[n:2 * n]
+        Lts, Lsp = vals[2 * n:3 * n], vals[3 * n:4 * n]
+        BP, LQ = vals[4 * n:5 * n], vals[5 * n:6 * n]
+        last_acc, pos = vals[6 * n], vals[6 * n + 1]
+        chunks = [p for p in pdf_iter if len(p)]
+        if not chunks:
+            return
+        pdf = pd.concat(chunks).sort_values(["ts", "event_id"])
+        _tmin = _ts_us(pdf["ts"]).min()
+        if _tmin < 0:
+            raise ValueError(
+                "cep_compiled_stream requires event times >= 1970-01-01 "
+                "(the -1 no-hit state sentinel; the batch compile has "
+                "no such limit)"
+            )
+        out = {"match_id": [], "match_us": [], "start_us": []}
+        for eid, etype, t in zip(
+            pdf["event_id"].to_numpy(),
+            pdf["event_type"].to_numpy(),
+            _ts_us(pdf["ts"]).to_numpy(),
+        ):
+            t = int(t)
+            hts, hsp = [-1] * m, [-1] * m
+            for i, (et, trans, neg_et) in enumerate(steps):
+                if etype != et:
+                    continue
+                if i == 0:
+                    hts[0], hsp[0] = t, pos
+                else:
+                    cin_ts, cin_sp = (
+                        (Cts[i - 1], Csp[i - 1])
+                        if trans == "followed_by"
+                        else (Lts[i - 1], Lsp[i - 1])
+                    )
+                    if cin_ts >= 0 and (
+                        neg_et is None or LQ[i - 1] <= BP[i - 1]
+                    ):
+                        hts[i], hsp[i] = cin_ts, cin_sp
+            if (
+                hts[-1] >= 0
+                and (within_us is None or t - hts[-1] <= within_us)
+                and hsp[-1] > last_acc
+            ):
+                out["match_id"].append(int(eid))
+                out["match_us"].append(t)
+                out["start_us"].append(hts[-1])
+                last_acc = pos
+            for i in range(n):
+                if (hts[i], hsp[i]) > (Cts[i], Csp[i]):
+                    Cts[i], Csp[i] = hts[i], hsp[i]
+                if hts[i] >= 0:
+                    BP[i] = pos
+                Lts[i], Lsp[i] = hts[i], hsp[i]
+                neg_et = steps[i + 1][2]
+                if neg_et is not None and etype == neg_et:
+                    LQ[i] = pos
+            pos += 1
+        state.update(tuple(
+            Cts + Csp + Lts + Lsp + BP + LQ + [last_acc, pos]
+        ))
+        if out["match_id"]:
+            yield pd.DataFrame(
+                {"user_id": [key[0]] * len(out["match_id"]), **out}
+            )
+
+    return fn
+
+
 def cep_compiled_stream(
     spark: SparkSession, files_dir: str, sf_dir: str,
-    steps: list, within_us, flag_variants=(),
+    steps: list, within_us, flag_variants=(), skip_past=False,
 ) -> DataFrame:
     """True-streaming execution of a compiled CEP pattern (reached via
     cep.CepPattern.compile_stream): any begin/next/followedBy/times
@@ -611,10 +701,32 @@ def cep_compiled_stream(
     interval-join twin)."""
     if len(steps) < 2:
         raise ValueError("streaming compile needs >= 2 positive steps")
+    ev = _events_stream(spark, files_dir, sf_dir)
+    if skip_past:
+        assert not flag_variants  # the batch builder refuses the combo
+        n = len(steps) - 1
+        fields = (
+            [f"cts_{i} BIGINT" for i in range(n)]
+            + [f"csp_{i} BIGINT" for i in range(n)]
+            + [f"lts_{i} BIGINT" for i in range(n)]
+            + [f"lsp_{i} BIGINT" for i in range(n)]
+            + [f"bp_{i} BIGINT" for i in range(n)]
+            + [f"lq_{i} BIGINT" for i in range(n)]
+            + ["last_acc BIGINT", "pos BIGINT"]
+        )
+        return ev.groupBy("user_id").applyInPandasWithState(
+            _cep_skip_fn(list(steps), within_us),
+            outputStructType=(
+                "user_id BIGINT, match_id BIGINT, match_us BIGINT, "
+                "start_us BIGINT"
+            ),
+            stateStructType=", ".join(fields),
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
     chains = [(None, list(steps))] + [
         (name, list(v)) for name, v in flag_variants
     ]
-    ev = _events_stream(spark, files_dir, sf_dir)
     state_fields = []
     for ci, (_, ch) in enumerate(chains):
         n = len(ch) - 1
