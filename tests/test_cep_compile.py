@@ -726,3 +726,45 @@ def test_skip_past_streaming_twin_matches_batch(spark, sf_small,
     assert no_skip.compile(
         table(spark, sf_small, "events")
     ).count() > len(want)
+
+
+def test_optional_plus_midneg_streaming_twin(spark, sf_small,
+                                             tmp_path_factory):
+    """Composition: an optional ANNOTATION chain rides the same keyed
+    state as a gated (mid-negated) chain — streaming must equal batch
+    for both the match set and the with_<name> flag. Pattern:
+    signup →(no error)→ view → purchase within 48h, with an optional
+    click between view and purchase (the variant chain carries the
+    negated gap too)."""
+    from sparkflow.streaming import stateful
+
+    stream_dir = stateful.split_events_to_files(
+        spark, sf_small, str(tmp_path_factory.mktemp("cep_optneg_stream")), 3
+    )
+    pat = (
+        CepPattern.begin("signup", etype="signup")
+        .not_followed_by("err", etype="error")
+        .followed_by("view", etype="view")
+        .followed_by("click", etype="click")
+        .optional()
+        .followed_by("purchase", etype="purchase")
+        .within("48 hours")
+    )
+    sdf = pat.compile_stream(spark, stream_dir, sf_small)
+    stateful.run_to_memory(sdf, "t_cepoptneg", "append")
+    got = (
+        spark.table("t_cepoptneg").toPandas()
+        .sort_values("match_id").reset_index(drop=True)
+    )
+    want = (
+        pat.compile(table(spark, sf_small, "events")).toPandas()
+        .sort_values("match_id").reset_index(drop=True)
+    )
+    assert len(want) > 0
+    want_us = want.assign(
+        match_us=pd.to_datetime(want["match_ts"])
+        .astype("datetime64[us]").astype("int64"),
+        start_us=pd.to_datetime(want["start_ts"])
+        .astype("datetime64[us]").astype("int64"),
+    )[["user_id", "match_id", "match_us", "start_us", "with_click"]]
+    pd.testing.assert_frame_equal(got, want_us, check_dtype=False)
