@@ -283,6 +283,27 @@ def llm_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _fxp_matrix_frame(e: DataFrame) -> DataFrame:
+    """Quantize an embeddings-shaped frame into the fixed-point matrix
+    schema (vec_id, label, xi: array<int> = round(x·1e6), n2 = Σxi²) —
+    applied to the full corpus at stage time and to a DELTA-ONLY scan
+    at ingest time (the artifact is row-wise independent, so its IVM is
+    plain append). int32 coordinates: |x| < 10 (see _FXP) so round(x·1e6)
+    fits comfortably — half the bytes of long at rest and over Arrow."""
+    xi = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") * _FXP + F.lit(0.5)).cast("int"),
+    )
+    return e.select("vec_id", "label", xi.alias("xi")).withColumn(
+        "n2",
+        F.aggregate(
+            "xi",
+            F.lit(0).cast("long"),
+            lambda a, x: a + x.cast("long") * x.cast("long"),
+        ),
+    )
+
+
 def _knn_matrix(spark: SparkSession, sf_dir: str, create: bool = False):
     """The brute-force KNN's staged artifact: the corpus as a
     FIXED-POINT matrix — (vec_id, label, xi: array<long> = round(x·1e6)
@@ -297,13 +318,6 @@ def _knn_matrix(spark: SparkSession, sf_dir: str, create: bool = False):
 
     def build() -> DataFrame:
         e = table(spark, sf_dir, "embeddings")
-        # int32 coordinates: |x| < 10 (see _FXP) so round(x·1e6) fits
-        # comfortably — half the bytes of long at rest and over Arrow
-        xi = F.transform(
-            "embedding",
-            lambda x: F.floor(x.cast("double") * _FXP + F.lit(0.5))
-            .cast("int"),
-        )
         # layout: the source corpus is often few large files (one 80 MB
         # file at the sf10 rung reads as 1-2 tasks), which would
         # serialize the staged scoring; ~8-way measured optimum at sf10
@@ -311,18 +325,7 @@ def _knn_matrix(spark: SparkSession, sf_dir: str, create: bool = False):
         # scheduling for trivial tasks at 0.52 s, 8 ways 0.38 s) —
         # larger corpora keep their natural parallelism
         parts = max(8, e.rdd.getNumPartitions())
-        return (
-            e.select("vec_id", "label", xi.alias("xi"))
-            .withColumn(
-                "n2",
-                F.aggregate(
-                    "xi",
-                    F.lit(0).cast("long"),
-                    lambda a, x: a + x.cast("long") * x.cast("long"),
-                ),
-            )
-            .repartition(parts)
-        )
+        return _fxp_matrix_frame(e).repartition(parts)
 
     return staging.stage_parquet(
         spark, "knn", sf_dir, ("embeddings",), "fxp_matrix", build, create
@@ -401,6 +404,39 @@ def maintenance_knn_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     mat = _knn_matrix(spark, sf_dir, create=True)
     qid, qi = _query_row(spark, sf_dir)
     return _knn_arrow_read(mat, qid, qi)
+
+
+@register("maintenance_knn_ingest", oracle=_KNN_ORACLE)
+def maintenance_knn_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPEND-ONLY ingest for the KNN posture, exercised end-to-end
+    (the rollup-ingest evidence grade for the simplest IVM there is):
+    the corpus splits 90/10 by a deterministic key predicate, the 10%
+    "ingest batch" is materialized as its own directory (the landing
+    zone), the base matrix is built from the 90%, and the update
+    quantizes ONLY the delta and unions it in — the raw embeddings
+    history is absent from the update plan (pytest-pinned), because the
+    fixed-point matrix is row-wise independent: no merge arithmetic at
+    all, just append. Oracle: the full-corpus exact-arithmetic top-10 —
+    equality proves the incrementally-built matrix answers identically
+    to the one-shot build."""
+    from ..sources import staging
+
+    pred = F.col("vec_id") % 10 == 0
+    delta = staging.stage_parquet(
+        spark, "ingest", sf_dir, ("embeddings",), "embeddings_delta",
+        lambda: table(spark, sf_dir, "embeddings").filter(pred),
+        create=True,
+    )
+    base = staging.stage_parquet(
+        spark, "ingest", sf_dir, ("embeddings",), "knn_base_matrix",
+        lambda: _fxp_matrix_frame(
+            table(spark, sf_dir, "embeddings").filter(~pred)
+        ),
+        create=True,
+    )
+    merged = base.unionByName(_fxp_matrix_frame(delta))
+    qid, qi = _query_row(spark, sf_dir)
+    return _knn_arrow_read(merged, qid, qi)
 
 
 # Integer replay of the hyperplane-LSH bucket arithmetic (r8): since

@@ -964,3 +964,23 @@ def test_knn_posture_bit_identical_and_read_only(spark, sf_small):
             df.sort_values("vec_id").reset_index(drop=True),
         )
     staging.unpublish("knn", sf_small, ("embeddings",), "fxp_matrix")
+
+
+def test_knn_ingest_delta_only_and_identical(spark, sf_small):
+    """maintenance_knn_ingest (r12): the update plan's file sources are
+    the delta directory and the base matrix — the raw embeddings table
+    is ABSENT (append-only IVM never rescans history) — and the
+    incrementally-built matrix answers the top-10 identically to the
+    one-shot full build."""
+    import pandas as pd
+
+    inc = sparkflow.QUERIES["maintenance_knn_ingest"](spark, sf_small)
+    files = inc.inputFiles()  # full paths (the plan string truncates)
+    assert any("embeddings_delta" in p for p in files), files
+    assert any("knn_base_matrix" in p for p in files), files
+    assert not any("embeddings.parquet" in p for p in files), files
+    full = sparkflow.QUERIES["maintenance_knn_quantize"](spark, sf_small)
+    pd.testing.assert_frame_equal(
+        inc.toPandas().sort_values("vec_id").reset_index(drop=True),
+        full.toPandas().sort_values("vec_id").reset_index(drop=True),
+    )
