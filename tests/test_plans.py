@@ -262,12 +262,16 @@ def test_banded_rank_never_single_partition(spark, sf_small):
 
 
 def test_knn_scan_path_stays_jvm_side(spark, sf_small):
-    """llm_knn_cosine's scan side must contain no Python evaluation node
-    (ArrowEval/BatchEval) — the whole dot-product pipeline is posexplode
-    + broadcast join + integer aggregation inside codegen."""
+    """llm_knn_cosine's COLD scan side must contain no Python evaluation
+    node (ArrowEval/BatchEval) — the whole dot-product pipeline is
+    posexplode + broadcast join + integer aggregation inside codegen.
+    (r12: retract the staged fixed-point matrix first — the warm shape
+    is deliberately MapInArrow and is pinned by its own posture test.)"""
+    staging.unpublish("knn", sf_small, ("embeddings",), "fxp_matrix")
     df = sparkflow.QUERIES["llm_knn_cosine"](spark, sf_small)
     plan = formatted_plan(df)
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "MapInArrow" not in plan
     assert "Generate" in plan  # the posexplode
     assert "BroadcastHashJoin" in plan
 
