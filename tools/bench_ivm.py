@@ -38,6 +38,11 @@ _QUERIES = {
     # r12: the flagship star vs its join-aggregate IVM posture
     # (maintenance_rollup_q5 — the r11 verdict item 4 closure)
     "q5_join5_agg": ("join_multiway_star", "maintenance_rollup_q5"),
+    # r12 continuation: every remaining headline posture joins the A/B —
+    # the maintained top-k, the JSON serve-frame ladder, the KNN matrix
+    "q3_join3_topk": ("limit_topk", "maintenance_rollup_q3"),
+    "json_extract_agg": ("fn_json", "maintenance_json_materialize"),
+    "embeddings_knn": ("llm_knn_cosine", "maintenance_knn_quantize"),
 }
 
 
@@ -55,6 +60,8 @@ def _clean_postures(sf_dir: str) -> None:
     for t, k in (("lineitem", "l_orderkey"), ("orders", "o_orderkey")):
         staging.unpublish("bucketed", sf_dir, (t,), f"{t}_{k}_b32")
     staging.unpublish("knn", sf_dir, ("embeddings",), "fxp_matrix")
+    staging.unpublish("json_mat", sf_dir, ("events",), "events_k")
+    staging.unpublish("json_mat", sf_dir, ("events",), "events_k_serve")
 
 
 def main() -> None:
@@ -132,7 +139,8 @@ def main() -> None:
     rollup_of = {"q1_pricing_summary": "pricing",
                  "distinct_users": "distinct",
                  "events_tumbling_1h": "tumbling",
-                 "q5_join5_agg": "q5"}
+                 "q5_join5_agg": "q5",
+                 "q3_join3_topk": "q3"}
     for bench_name, rname in rollup_of.items():
         _ingest_fixture(spark, sf_dir, rname)  # setup, untimed
         t0 = time.perf_counter()

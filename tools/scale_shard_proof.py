@@ -167,10 +167,12 @@ def run_staged(rungs: list[tuple[str, float]]) -> None:
     out = {"load_1m": os.getloadavg()[0], "rungs": {}}
     for sf_dir, sf in rungs:
         have = set(_rung_tables(sf_dir))
-        # q5 only runs when the rung carries the star's dims (r12 gen
-        # writes them; pre-r12 rungs had lineitem+events only)
+        # gate each query on the tables its rung actually carries (r12
+        # gen writes the q5 star; embeddings ride along when generated)
+        need = {"q5_join5_agg": "supplier", "q3_join3_topk": "customer",
+                "embeddings_knn": "embeddings"}
         names = {k: v for k, v in _QUERIES.items()
-                 if k != "q5_join5_agg" or "supplier" in have}
+                 if need.get(k) is None or need[k] in have}
         _clean_postures(sf_dir)
         con = duckdb.connect()
         for t in have:
