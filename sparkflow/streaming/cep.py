@@ -544,15 +544,19 @@ class CepPattern:
             )
         counted = [s for s in self.steps
                    if s.one_or_more or s.up_to is not None]
-        if counted:
+        if len(counted) > 1:
             raise ValueError(
-                f"streaming compile does not emit repetition counts — "
-                f"step {counted[0].name!r} is "
-                f"{'oneOrMore' if counted[0].one_or_more else 'times(n, m)'}"
-                ", whose batch compile adds an n_<name> column the "
-                "keyed-state twin does not carry; the outputs would "
-                "silently differ in schema. Use the batch compile, or "
-                "drop the count (times(n))"
+                "streaming compile carries ONE repetition count — "
+                f"steps {[s.name for s in counted]!r} are all "
+                "quantified; the keyed state pairs the carry with a "
+                "single count-at-start (batch compile handles any "
+                "number)"
+            )
+        if counted and counted[0].etype is None:
+            raise ValueError(
+                f"counted step {counted[0].name!r} was built from a "
+                "Column predicate — declare it with etype=... to "
+                "compile for streaming"
             )
         required = [s for s in self.steps if not s.optional]
         main = self._event_expansion(required)
@@ -577,16 +581,34 @@ class CepPattern:
         runs unbounded with bounded state, Flink's CEP-on-keyed-state
         shape. Optional steps stream too: their annotation chains ride
         in the same state tuple and emit the same `with_<name>` flags
-        as the batch compile. Output timestamps in epoch µs (the
-        stateful-twin convention). Bit-equality with the batch compile
-        is pinned by pytest across micro-batch boundaries."""
+        as the batch compile. Mid-pattern negated gaps stream (causal
+        prefix-maxima gates), skip_past_last_event streams (one
+        acceptance-cursor long), and ONE counted step (oneOrMore /
+        times(n, m)) streams with its `n_<name>` output — the carry
+        pairs with a count-at-start and a running count rides the
+        state. Only TERMINAL negation refuses (future-dependent).
+        Output timestamps in epoch µs (the stateful-twin convention).
+        Bit-equality with the batch compile is pinned by pytest across
+        micro-batch boundaries for every streaming surface."""
         from . import stateful
 
         main, variants = self.stream_chains()
+        counted = [s for s in self.steps
+                   if s.one_or_more or s.up_to is not None]
+        if counted and self.skip != "no_skip":
+            raise ValueError(
+                "after_match_skip('skip_past_last_event') does not "
+                "compose with oneOrMore/times(n, m) annotations "
+                "(the batch compile refuses the same combination)"
+            )
         return stateful.cep_compiled_stream(
             spark, files_dir, sf_dir, main, self.within_us,
             flag_variants=variants,
             skip_past=self.skip == "skip_past_last_event",
+            counted=(
+                (counted[0].name, counted[0].etype, counted[0].up_to)
+                if counted else None
+            ),
         )
 
     def _check_open(self, name: str) -> None:

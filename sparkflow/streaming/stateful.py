@@ -495,7 +495,32 @@ def _cep_chain_hits(steps, C, L, BP, LQ, etype, t):
     return hit
 
 
-def _cep_compiled_fn(chains: list, within_us):
+def _cep_chain_hits_paired(steps, C, L, BP, LQ, Cc, Lc, QC, cnt_et,
+                           etype, t):
+    """Paired-carry variant of _cep_chain_hits for a chain whose carry
+    transports (start_ts, count-at-start) — the batch compiler's
+    counted-step struct (r12): c0 = running count of counted-step
+    events up to AND INCLUDING the start row, carried through every
+    hop so the match row can emit pool = count-at-match − c0."""
+    m = len(steps)
+    hh, hc = [-1] * m, [-1] * m
+    for i, (et, trans, neg_et) in enumerate(steps):
+        if etype != et:
+            continue
+        if i == 0:
+            hh[0] = t
+            hc[0] = QC + (1 if etype == cnt_et else 0)
+        else:
+            ch, cc = (
+                (C[i - 1], Cc[i - 1]) if trans == "followed_by"
+                else (L[i - 1], Lc[i - 1])
+            )
+            if ch >= 0 and (neg_et is None or LQ[i - 1] <= BP[i - 1]):
+                hh[i], hc[i] = ch, cc
+    return hh, hc
+
+
+def _cep_compiled_fn(chains: list, within_us, counted=None):
     """Keyed-state executor for a compiled CEP pattern: `chains` =
     [(flag_name_or_None, expanded_steps)], the first chain GATES the
     match (cep.CepPattern's required steps), later chains annotate
@@ -517,14 +542,21 @@ def _cep_compiled_fn(chains: list, within_us):
     # per chain, per carry slot j: the negated etype guarding the gap
     # that enters step j+1 (None = ungated)
     qtypes = [[st[2] for st in steps[1:]] for _, steps in chains]
+    # counted (oneOrMore / times(n, m)) repetition output (r12): the
+    # MAIN chain's carry becomes a (start_ts, count-at-start) pair and
+    # one running count of counted-step events rides the state —
+    # (name, etype, up_to) or None
+    cnt_name, cnt_et, up_to = counted if counted else (None, None, None)
 
     def fn(
         key: Tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        n0 = sizes[0]
         if state.exists:
             vals = list(state.get)
         else:
-            vals = [-1] * (4 * sum(sizes)) + [0]
+            vals = [-1] * (4 * sum(sizes) + (2 * n0 if counted else 0))
+            vals += ([0] if counted else []) + [0]
         CL, off = [], 0
         for n in sizes:
             CL.append((
@@ -533,6 +565,12 @@ def _cep_compiled_fn(chains: list, within_us):
                 vals[off + 3 * n:off + 4 * n],
             ))
             off += 4 * n
+        if counted:
+            Cc = vals[off:off + n0]
+            Lc = vals[off + n0:off + 2 * n0]
+            off += 2 * n0
+            QC = vals[off]
+            off += 1
         pos = vals[off]
         chunks = [p for p in pdf_iter if len(p)]
         if not chunks:
@@ -552,6 +590,8 @@ def _cep_compiled_fn(chains: list, within_us):
                 "sentinel; the batch CepPattern.compile has no such limit)"
             )
         out = {"match_id": [], "match_us": [], "start_us": []}
+        if counted:
+            out[f"n_{cnt_name}"] = []
         for nm in flag_names:
             out[nm] = []
 
@@ -564,28 +604,55 @@ def _cep_compiled_fn(chains: list, within_us):
             _ts_us(pdf["ts"]).to_numpy(),
         ):
             t = int(t)
-            hits = [
-                _cep_chain_hits(steps, C, L, BP, LQ, etype, t)
-                for (C, L, BP, LQ), (_, steps) in zip(CL, chains)
-            ]
+            if counted:
+                C0, L0, BP0, LQ0 = CL[0]
+                hh, hc = _cep_chain_hits_paired(
+                    chains[0][1], C0, L0, BP0, LQ0, Cc, Lc, QC, cnt_et,
+                    etype, t,
+                )
+                hits = [hh] + [
+                    _cep_chain_hits(steps, C, L, BP, LQ, etype, t)
+                    for (C, L, BP, LQ), (_, steps)
+                    in zip(CL[1:], chains[1:])
+                ]
+            else:
+                hits = [
+                    _cep_chain_hits(steps, C, L, BP, LQ, etype, t)
+                    for (C, L, BP, LQ), (_, steps) in zip(CL, chains)
+                ]
             if ok(hits[0][-1], t):
                 out["match_id"].append(int(eid))
                 out["match_us"].append(t)
                 out["start_us"].append(hits[0][-1])
+                if counted:
+                    pool = QC + (1 if etype == cnt_et else 0) - hc[-1]
+                    out[f"n_{cnt_name}"].append(
+                        pool if up_to is None else min(pool, up_to)
+                    )
                 for nm, h in zip(flag_names, hits[1:]):
                     out[nm].append(ok(h[-1], t))
-            for (C, L, BP, LQ), hit, qt in zip(CL, hits, qtypes):
+            for ci, ((C, L, BP, LQ), hit, qt) in enumerate(
+                zip(CL, hits, qtypes)
+            ):
+                paired = counted and ci == 0
                 for i in range(len(C)):
-                    if hit[i] > C[i]:
+                    if paired:
+                        if (hit[i], hc[i]) > (C[i], Cc[i]):
+                            C[i], Cc[i] = hit[i], hc[i]
+                        Lc[i] = hc[i]
+                    elif hit[i] > C[i]:
                         C[i] = hit[i]
                     if hit[i] >= 0:
                         BP[i] = pos
                     L[i] = hit[i]
                     if qt[i] is not None and etype == qt[i]:
                         LQ[i] = pos
+            if counted and etype == cnt_et:
+                QC += 1
             pos += 1
         state.update(
             tuple(v for C, L, BP, LQ in CL for v in C + L + BP + LQ)
+            + (tuple(Cc) + tuple(Lc) + (QC,) if counted else ())
             + (pos,)
         )
         if out["match_id"]:
@@ -689,6 +756,7 @@ def _cep_skip_fn(steps, within_us):
 def cep_compiled_stream(
     spark: SparkSession, files_dir: str, sf_dir: str,
     steps: list, within_us, flag_variants=(), skip_past=False,
+    counted=None,
 ) -> DataFrame:
     """True-streaming execution of a compiled CEP pattern (reached via
     cep.CepPattern.compile_stream): any begin/next/followedBy/times
@@ -734,13 +802,23 @@ def cep_compiled_stream(
         state_fields += [f"l{ci}_{i} BIGINT" for i in range(n)]
         state_fields += [f"bp{ci}_{i} BIGINT" for i in range(n)]
         state_fields += [f"lq{ci}_{i} BIGINT" for i in range(n)]
+    cnt_col = ""
+    if counted is not None:
+        # the main chain's paired count carry + the running count (r12:
+        # oneOrMore / times(n, m) repetition output streams too)
+        n0 = len(steps) - 1
+        state_fields += [f"cc_{i} BIGINT" for i in range(n0)]
+        state_fields += [f"lc_{i} BIGINT" for i in range(n0)]
+        state_fields.append("qc BIGINT")
+        cnt_col = f", n_{counted[0]} BIGINT"
     state_fields.append("pos BIGINT")
     out_schema = (
         "user_id BIGINT, match_id BIGINT, match_us BIGINT, start_us BIGINT"
+        + cnt_col
         + "".join(f", {name} BOOLEAN" for name, _ in chains[1:])
     )
     return ev.groupBy("user_id").applyInPandasWithState(
-        _cep_compiled_fn(chains, within_us),
+        _cep_compiled_fn(chains, within_us, counted=counted),
         outputStructType=out_schema,
         stateStructType=", ".join(state_fields),
         outputMode="append",

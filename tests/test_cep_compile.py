@@ -508,22 +508,24 @@ def test_times_range_builder_rules(spark):
         rng.one_or_more()
     with pytest.raises(ValueError, match="not supported"):
         rng.optional()
-    # the streaming compile would silently lose the n_<name> column —
-    # must refuse loudly (same rule as oneOrMore counts)
+    # r12 continuation: ONE counted step streams (the carry pairs with
+    # a count-at-start); a second quantified step refuses
     full = (
         CepPattern.begin("a", etype="A")
         .followed_by("b", etype="B").times(2, 4)
         .followed_by("c", etype="C")
     )
-    with pytest.raises(ValueError, match="repetition counts"):
-        full.stream_chains()
-    oom = (
+    main, _ = full.stream_chains()
+    assert [e for e, *_ in main] == ["A", "B", "B", "C"]
+    two = (
         CepPattern.begin("a", etype="A")
         .followed_by("b", etype="B").one_or_more()
         .followed_by("c", etype="C")
+        .followed_by("d", etype="A").one_or_more()
+        .followed_by("e", etype="B")
     )
-    with pytest.raises(ValueError, match="repetition counts"):
-        oom.stream_chains()
+    with pytest.raises(ValueError, match="ONE repetition count"):
+        two.stream_chains()
 
 
 def test_times_range_matches_and_caps(spark):
@@ -768,3 +770,51 @@ def test_optional_plus_midneg_streaming_twin(spark, sf_small,
         .astype("datetime64[us]").astype("int64"),
     )[["user_id", "match_id", "match_us", "start_us", "with_click"]]
     pd.testing.assert_frame_equal(got, want_us, check_dtype=False)
+
+
+def test_counted_streaming_twins_match_batch(spark, sf_small,
+                                             tmp_path_factory):
+    """Repetition counts STREAM (r12): the carry pairs with a
+    count-at-start and one running count rides the keyed state, so the
+    streaming compiles of BOTH registered counted patterns (oneOrMore
+    and the times(2, 4) range) must equal their batch compiles —
+    n_click included — across micro-batch boundaries."""
+    from sparkflow.streaming import stateful
+
+    stream_dir = stateful.split_events_to_files(
+        spark, sf_small, str(tmp_path_factory.mktemp("cep_cnt_stream")), 3
+    )
+    pats = {
+        "oom": (
+            CepPattern.begin("view", etype="view")
+            .followed_by("click", etype="click").one_or_more()
+            .followed_by("purchase", etype="purchase")
+            .within("36 hours")
+        ),
+        "rng": (
+            CepPattern.begin("view", etype="view")
+            .followed_by("click", etype="click").times(2, 4)
+            .followed_by("purchase", etype="purchase")
+            .within("48 hours")
+        ),
+    }
+    for tag, pat in pats.items():
+        sdf = pat.compile_stream(spark, stream_dir, sf_small)
+        stateful.run_to_memory(sdf, f"t_cepcnt_{tag}", "append")
+        got = (
+            spark.table(f"t_cepcnt_{tag}").toPandas()
+            .sort_values("match_id").reset_index(drop=True)
+        )
+        want = (
+            pat.compile(table(spark, sf_small, "events")).toPandas()
+            .sort_values("match_id").reset_index(drop=True)
+        )
+        assert len(want) > 0, tag
+        want_us = want.assign(
+            match_us=pd.to_datetime(want["match_ts"])
+            .astype("datetime64[us]").astype("int64"),
+            start_us=pd.to_datetime(want["start_ts"])
+            .astype("datetime64[us]").astype("int64"),
+        )[["user_id", "match_id", "match_us", "start_us", "n_click"]]
+        pd.testing.assert_frame_equal(got, want_us, check_dtype=False)
+        assert got["n_click"].max() > 1, tag  # counts are non-trivial
