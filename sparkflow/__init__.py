@@ -118,6 +118,21 @@ _CONTRACT_CHANGED: dict = {
     # constant-size scans) and the flagship gained the Q5
     # join-aggregate IVM posture as its first probe
     "join_multiway_star": 12,
+    # r13: EVIDENCE REFRESH, not a contract change (r12 verdict item 2):
+    # these nine keys were last driver-attested at r7 — the oldest
+    # evidence in the board. The spent rule is exactly the behavior an
+    # evidence-refresh needs (front until an artifact from >= r13
+    # attests them, then fall back into the normal queues), so they
+    # ride the same mechanism rather than a parallel dict.
+    "fn_mask": 13,
+    "llm_bigram_fluency": 13,
+    "llm_word_cooccurrence": 13,
+    "llm_bpe_pair_counts": 13,
+    "llm_unigram_surprise": 13,
+    "llm_dataset_card_stats": 13,
+    "win_ewma_segmented": 13,
+    "win_rolling_median_segmented": 13,
+    "llm_dedup_containment": 13,
 }
 
 
