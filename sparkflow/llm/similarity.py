@@ -343,7 +343,20 @@ def _knn_arrow_read(mat: DataFrame, qid: int, qi) -> DataFrame:
     _FXP) and order-independence is the fixed-point design's point.
     Scales: the matmul shards over partitions (each Arrow batch scores
     independently); at 10^9 vectors the IVF keys bound the candidate
-    set and this same kernel scores the probed cells."""
+    set and this same kernel scores the probed cells.
+
+    r13: the kernel emits ONLY each batch's top-k survivors (plus a
+    1e-8 margin band), not all n scored rows — r12's shape returned the
+    whole corpus over a second Arrow IPC hop just so TakeOrdered could
+    discard it; at sf30 that return stream was the dominant cost. The
+    prune is EXACT: a dropped row has >= k batch rows whose unrounded
+    cosine exceeds its own by > 1e-8, and since |round9(x) - x| <=
+    5e-10, each of those still beats it strictly AFTER rounding — so no
+    dropped row can enter the global rounded-top-k under any vec_id
+    tiebreak. Survivors' (dot, n2) integers flow into the SAME Spark
+    double expressions as before, so the emitted top-10 stays
+    bit-identical to the cold plan (the margin only affects which rows
+    are carried, never their values)."""
     import pyarrow as pa
 
     q = np.ascontiguousarray(np.asarray(qi, dtype=np.int64))
@@ -360,12 +373,29 @@ def _knn_arrow_read(mat: DataFrame, qid: int, qi) -> DataFrame:
                 .astype(np.int64, copy=False)
                 .reshape(b.num_rows, len(q))
             )
+            dot = m @ q
+            n2 = (
+                b.column(b.schema.get_field_index("n2"))
+                .to_numpy(zero_copy_only=False)
+            )
+            # exact-dominance prune (see docstring): dot and n2 are
+            # < 2^53, so the float64 cosine here applies the identical
+            # IEEE ops Spark's expression will re-apply to survivors
+            cos = dot.astype(np.float64) / (np.sqrt(n2.astype(np.float64)) * nq)
+            if b.num_rows > _TOP_K:
+                kth = np.partition(cos, b.num_rows - _TOP_K)[
+                    b.num_rows - _TOP_K
+                ]
+                idx = np.flatnonzero(cos >= kth - 1e-8)
+            else:
+                idx = np.arange(b.num_rows)
+            take = pa.array(idx, type=pa.int64())
             yield pa.record_batch(
                 [
-                    b.column(b.schema.get_field_index("vec_id")),
-                    b.column(b.schema.get_field_index("label")),
-                    pa.array(m @ q, type=pa.int64()),
-                    b.column(b.schema.get_field_index("n2")),
+                    b.column(b.schema.get_field_index("vec_id")).take(take),
+                    b.column(b.schema.get_field_index("label")).take(take),
+                    pa.array(dot[idx], type=pa.int64()),
+                    pa.array(n2[idx], type=pa.int64()),
                 ],
                 names=["vec_id", "label", "dot", "n2"],
             )
