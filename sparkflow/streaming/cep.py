@@ -244,20 +244,23 @@ class CepPattern:
                 "event, negated or not)"
             )
         last = self.steps[-1]
-        if last.optional or last.one_or_more or last.up_to is not None:
-            kind = ("optional" if last.optional
-                    else "oneOrMore" if last.one_or_more
-                    else "times(n, m)")
+        if last.one_or_more or last.up_to is not None:
+            kind = "oneOrMore" if last.one_or_more else "times(n, m)"
             raise ValueError(
                 f"next({name!r}) directly after the "
                 f"{kind} step "
                 f"{last.name!r} is not supported: with the quantified "
-                "step skipped/collapsed, LAG(1) rebinds to a different "
-                "predecessor and the skip variant is no longer less "
-                "constrained — the compiled plan would silently drop "
-                "matches FlinkCEP emits. Use followed_by(), or make "
-                "the step required"
+                "step collapsed, LAG(1) rebinds to a different "
+                "predecessor and the collapse is no longer sound — the "
+                "compiled plan would silently drop matches FlinkCEP "
+                "emits. Use followed_by(), or make the repetition a "
+                "fixed times(n)"
             )
+        # next() after an optional step IS supported (r13, r12 verdict
+        # item 3): the skip-variant dominance no longer applies, so
+        # compile() switches to explicit 2^k variant-chain enumeration
+        # for the optional steps in the strict region — see
+        # _needs_variant_enum
         return replace(
             self,
             steps=self.steps + (_Step(
@@ -516,6 +519,21 @@ class CepPattern:
                 ))
         return out
 
+    def _needs_variant_enum(self) -> bool:
+        """True when optional steps sit in a strict-contiguity region —
+        some step AFTER the first optional enters via next(), so
+        skipping an optional can rebind a LAG(1) transition and the
+        skip-variant dominance shortcut is unsound. compile() then
+        enumerates all 2^k include/exclude variants (the ground-truth
+        semantics; provably equal to the shortcut when every adjacent
+        transition is relaxed). Conservative: any next() after the
+        first optional position triggers enumeration even if no strict
+        transition is actually adjacent to an optional."""
+        opt_idx = [i for i, s in enumerate(self.steps) if s.optional]
+        return bool(opt_idx) and any(
+            s.contiguity == "next" for s in self.steps[opt_idx[0] + 1:]
+        )
+
     def stream_chains(self) -> tuple:
         """(main_chain, [(flag_name, variant_chain), ...]) — the same
         chain set the batch compiler builds (required steps gate; one
@@ -541,6 +559,14 @@ class CepPattern:
             raise ValueError(
                 "the final step cannot be optional — it anchors the "
                 "match row"
+            )
+        if self._needs_variant_enum():
+            raise ValueError(
+                "optional steps in a strict-contiguity region compile "
+                "for batch via 2^k variant enumeration (the match gate "
+                "is an OR over variants), which the main-chain-gated "
+                "streaming state machine does not carry yet — make the "
+                "post-optional transitions relaxed to stream"
             )
         counted = [s for s in self.steps
                    if s.one_or_more or s.up_to is not None]
@@ -774,45 +800,110 @@ class CepPattern:
                 <= self.within_us
             )
 
-        # main chain (required steps) gates the match; one extra chain
-        # per optional step computes its annotation flag
-        cur, prev_col, start_of = build_chain(
-            cur, required, "_cep_h", with_counts=True, with_pos=skip_mode
-        )
-        flags = []
-        for j, o in enumerate(s for s in self.steps if s.optional):
-            variant = [s for s in self.steps if not s.optional or s is o]
-            cur, vcol, v_start = build_chain(
-                cur, variant, f"_cep_v{j}_h", with_counts=False
+        if self._needs_variant_enum():
+            # STRICT-CONTIGUITY optional region (r13, r12 verdict item
+            # 3): a next() transition after an optional step means the
+            # skip variant is NOT less constrained (LAG(1) rebinds to a
+            # different predecessor when the optional is dropped), so
+            # the k+1-chain dominance shortcut is unsound. Fall back to
+            # the ground-truth semantics: enumerate all 2^k
+            # include/exclude variants of the k optional steps — each
+            # an ordinary carry chain over the SAME sort/exchange — and
+            # combine declaratively:
+            #   match    = ANY variant completes within the window
+            #   start_ts = the greatest satisfied variant's max start
+            #              (greedy max-start ACROSS variants; for
+            #              all-relaxed patterns this provably equals
+            #              the k+1 path's answer, so the shortcut stays
+            #              the fast path when dominance holds)
+            #   with_<o> = ANY variant INCLUDING o completes
+            # 2^k chains are window-column cost, not exchanges; k is
+            # capped because each chain adds m columns to one stage.
+            if counted:
+                raise ValueError(
+                    "oneOrMore/times(n, m) repetition counts do not "
+                    "compose with optional steps in a strict-contiguity "
+                    "region: the count pool is defined against the "
+                    "single greedy gating chain, which the 2^k variant "
+                    "enumeration replaces — make the optional step "
+                    "required or use relaxed contiguity"
+                )
+            opts = [(i, s) for i, s in enumerate(self.steps) if s.optional]
+            if len(opts) > 6:
+                raise ValueError(
+                    f"{len(opts)} optional steps under strict "
+                    "contiguity would enumerate "
+                    f"{2 ** len(opts)} variant chains — cap is 6 "
+                    "(64 chains); restructure the pattern"
+                )
+            oks, starts = [], []
+            for mask in range(1 << len(opts)):
+                inc = {i for j, (i, _s) in enumerate(opts)
+                       if mask >> j & 1}
+                chain = [s for i, s in enumerate(self.steps)
+                         if not s.optional or i in inc]
+                cur, vcol, v_start = build_chain(
+                    cur, chain, f"_cep_e{mask}_", with_counts=False
+                )
+                oks.append(within_ok(vcol, v_start))
+                starts.append(F.when(oks[-1], v_start(vcol)))
+            match = oks[0]
+            for okv in oks[1:]:
+                match = match | okv
+            start_expr = F.greatest(*starts)
+            flags = []
+            for j, (_i, o) in enumerate(opts):
+                fl = None
+                for mask in range(1 << len(opts)):
+                    if mask >> j & 1:
+                        fl = oks[mask] if fl is None else fl | oks[mask]
+                flags.append(fl.alias(f"with_{o.name}"))
+            rep_counts = []
+        else:
+            # main chain (required steps) gates the match; one extra
+            # chain per optional step computes its annotation flag
+            cur, prev_col, start_of = build_chain(
+                cur, required, "_cep_h", with_counts=True,
+                with_pos=skip_mode
             )
-            flags.append(
-                within_ok(vcol, v_start).alias(f"with_{o.name}")
-            )
+            flags = []
+            for j, o in enumerate(s for s in self.steps if s.optional):
+                variant = [s for s in self.steps
+                           if not s.optional or s is o]
+                cur, vcol, v_start = build_chain(
+                    cur, variant, f"_cep_v{j}_h", with_counts=False
+                )
+                flags.append(
+                    within_ok(vcol, v_start).alias(f"with_{o.name}")
+                )
 
-        match = within_ok(prev_col, start_of)
+            match = within_ok(prev_col, start_of)
+            start_expr = start_of(prev_col)
 
-        rep_counts = []
-        for k, s in enumerate(counted):
-            # pool = s-pred events in (start_row, match_row]:
-            # count-before-match (+1 if the match row itself matches)
-            # minus count-up-to-and-including-start (the carried c_k)
-            pool = (
-                F.col(cnt_cols[s.name])
-                + F.when(s.pred, F.lit(1)).otherwise(F.lit(0))
-                - F.col(prev_col)[f"c{k}"]
-            )
-            if s.up_to is not None:
-                # times(n, m): the range's upper bound caps how many
-                # repetitions a match may absorb; pool >= n is
-                # guaranteed (the n chained events live in the span)
-                pool = F.least(pool, F.lit(s.up_to))
-            rep_counts.append(pool.cast("bigint").alias(f"n_{s.name}"))
+            rep_counts = []
+            for k, s in enumerate(counted):
+                # pool = s-pred events in (start_row, match_row]:
+                # count-before-match (+1 if the match row itself
+                # matches) minus count-up-to-and-including-start (the
+                # carried c_k)
+                pool = (
+                    F.col(cnt_cols[s.name])
+                    + F.when(s.pred, F.lit(1)).otherwise(F.lit(0))
+                    - F.col(prev_col)[f"c{k}"]
+                )
+                if s.up_to is not None:
+                    # times(n, m): the range's upper bound caps how
+                    # many repetitions a match may absorb; pool >= n is
+                    # guaranteed (the n chained events live in the
+                    # span)
+                    pool = F.least(pool, F.lit(s.up_to))
+                rep_counts.append(pool.cast("bigint").alias(f"n_{s.name}"))
 
         out_cols = [
             F.col(key),
             F.col(tiebreak).alias("match_id"),
             F.col(ts).alias("match_ts"),
-            start_of(prev_col).alias("start_ts"),
+            start_expr.alias("start_ts"),
             *flags,
             *rep_counts,
         ]
@@ -1354,6 +1445,78 @@ def stream_cep_skip_past(spark: SparkSession, sf_dir: str) -> DataFrame:
         .followed_by("purchase", etype="purchase")
         .within("36 hours")
         .after_match_skip("skip_past_last_event")
+    )
+    return pat.compile(
+        table(spark, sf_dir, "events"),
+        key="user_id",
+        ts="ts",
+        tiebreak="event_id",
+    )
+
+
+_CEP_LAG = """LAG({src}) OVER (PARTITION BY user_id ORDER BY ts, event_id)"""
+
+
+@register(
+    "stream_cep_next_optional",
+    oracle=f"""
+    WITH base AS (
+      SELECT user_id, event_id, event_type, ts,
+             CASE WHEN event_type = 'view' THEN ts END AS a0
+      FROM events
+    ), v0 AS (
+      SELECT *, CASE WHEN event_type = 'purchase'
+                     THEN {_CEP_LAG.format(src='a0')} END AS h0
+      FROM base
+    ), v1a AS (
+      SELECT *, CASE WHEN event_type = 'click'
+                     THEN {_CEP_LAG.format(src='a0')} END AS g1
+      FROM v0
+    ), v1 AS (
+      SELECT *, CASE WHEN event_type = 'purchase'
+                     THEN {_CEP_LAG.format(src='g1')} END AS h1
+      FROM v1a
+    ), okd AS (
+      SELECT *,
+             (h0 IS NOT NULL
+              AND epoch_us(ts) - epoch_us(h0) <= 172800000000::BIGINT)
+               AS ok0,
+             (h1 IS NOT NULL
+              AND epoch_us(ts) - epoch_us(h1) <= 172800000000::BIGINT)
+               AS ok1
+      FROM v1
+    )
+    SELECT user_id, event_id AS match_id, ts AS match_ts,
+           GREATEST(CASE WHEN ok0 THEN h0 END,
+                    CASE WHEN ok1 THEN h1 END) AS start_ts,
+           ok1 AS with_click
+    FROM okd
+    WHERE ok0 OR ok1
+    """,
+)
+def stream_cep_next_optional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRICT contiguity composed with optional() (r13, r12 verdict
+    item 3 — previously a construction-time refusal): `begin(view)
+    .next(click).optional().next(purchase).within(48h)` — a purchase
+    whose immediately preceding event is a view, OR whose immediately
+    preceding events are click-then-view (the one-step-checkout
+    pattern: direct buy from the product page, with an optional
+    interstitial click). Skipping the optional rebinds purchase's
+    LAG(1) from the click to the view, so the skip variant is NOT less
+    constrained and the k+1 dominance shortcut is unsound — the
+    compiler enumerates both variant chains (2^k, k=1 here) and ORs
+    their gates: match = either variant completes, start_ts = the
+    greatest satisfied variant's start (both engines' GREATEST skips
+    NULLs), with_click = the including variant completed. The oracle
+    unrolls the identical two LAG chains in SQL; random-stream fuzz vs
+    brute-force subsequence enumeration (strict transitions = adjacent
+    positions) is in tests/test_properties.py."""
+    pat = (
+        CepPattern.begin("view", etype="view")
+        .next("click", etype="click")
+        .optional()
+        .next("purchase", etype="purchase")
+        .within("48 hours")
     )
     return pat.compile(
         table(spark, sf_dir, "events"),

@@ -413,9 +413,20 @@ def test_strict_contiguity_gating_r12():
     under strict next() transitions around a quantified step — the
     builder must refuse at construction, never silently drop matches."""
     p = F.lit(True)
+    # r13 (r12 verdict item 3): next() after an optional step now
+    # CONSTRUCTS — compile() takes the 2^k variant-enumeration path
+    # (the dominance shortcut is unsound there) — while the streaming
+    # compile still refuses (its state machine gates on the main chain)
     opt = CepPattern.begin("a", p).followed_by("b", p).optional()
-    with pytest.raises(ValueError, match="optional"):
-        opt.next("c", p)
+    enum_pat = opt.next("c", p)
+    assert enum_pat._needs_variant_enum()
+    et = (CepPattern.begin("a", etype="A").followed_by("b", etype="B")
+          .optional().next("c", etype="C"))
+    with pytest.raises(ValueError, match="strict-contiguity region"):
+        et.stream_chains()
+    # relaxed-region optionals keep the k+1 shortcut (path unchanged)
+    assert not (CepPattern.begin("a", p).next("b", p).optional()
+                .followed_by("c", p))._needs_variant_enum()
     oom = CepPattern.begin("a", p).followed_by("b", p).one_or_more()
     with pytest.raises(ValueError, match="oneOrMore"):
         oom.next("c", p)

@@ -857,3 +857,100 @@ def test_cep_one_or_more_with_negation_fuzz(streams, neg_type, neg_gap,
                 want[key] = cand
     expect = {k: (v[0], v[2]) for k, v in want.items()}
     assert got == expect
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    streams=st.lists(
+        st.lists(_cep_event, min_size=0, max_size=10),
+        min_size=1, max_size=3,
+    ),
+    pattern_types=st.lists(
+        st.sampled_from(["A", "B", "C"]), min_size=2, max_size=4
+    ),
+    strict_mask=st.integers(min_value=0, max_value=7),
+    opt_mask=st.integers(min_value=1, max_value=7),
+    within_s=st.integers(min_value=1, max_value=40),
+)
+def test_cep_strict_optional_variant_fuzz(streams, pattern_types,
+                                          strict_mask, opt_mask, within_s):
+    """optional() under ARBITRARY contiguity (r13, r12 verdict item 3):
+    random patterns mixing next()/followed_by() transitions with 1-3
+    optional steps, checked against brute-force variant enumeration —
+    match rows = any include/exclude variant has a chain (strict
+    transitions bind ADJACENT positions), start = the max chain start
+    over ALL variants, with_<o> flags = some chain in a variant
+    containing o completes. Exercises BOTH compile paths: patterns with
+    no next() after the first optional take the k+1 dominance shortcut,
+    strict-region patterns take the 2^k enumeration — the brute force
+    is path-blind, so the two paths' agreement on the relaxed class is
+    pinned too."""
+    import itertools
+
+    from sparkflow.streaming.cep import CepPattern
+
+    m = len(pattern_types)
+    strict = [False] + [bool(strict_mask >> (i - 1) & 1)
+                        for i in range(1, m)]
+    optional = [bool(opt_mask >> i & 1) and i < m - 1 for i in range(m)]
+    rows, df = _cep_df(_get_spark(), streams)
+    if not rows:
+        return
+
+    pat = CepPattern.begin("s0", etype=pattern_types[0])
+    if optional[0]:
+        pat = pat.optional()
+    for i in range(1, m):
+        if strict[i]:
+            pat = pat.next(f"s{i}", etype=pattern_types[i])
+        else:
+            pat = pat.followed_by(f"s{i}", etype=pattern_types[i])
+        if optional[i]:
+            pat = pat.optional()
+    pat = pat.within(within_s)
+    opt_steps = [i for i in range(m) if optional[i]]
+    flag_cols = [f"with_s{i}" for i in opt_steps]
+    got = {
+        (r.user_id, r.match_id): (
+            r.start_sec, tuple(bool(r[c]) for c in flag_cols)
+        )
+        for r in pat.compile(df).select(
+            "user_id", "match_id", *flag_cols,
+            (F.unix_micros("start_ts") / 1_000_000).cast("int")
+            .alias("start_sec"),
+        ).collect()
+    }
+
+    by_user: dict = {}
+    for uid, ev_id, typ, sec in rows:
+        by_user.setdefault(uid, []).append((typ, sec, ev_id))
+    want: dict = {}
+    for uid, seq in by_user.items():
+        for mask in range(1 << len(opt_steps)):
+            inc = {opt_steps[j] for j in range(len(opt_steps))
+                   if mask >> j & 1}
+            kept = [i for i in range(m) if not optional[i] or i in inc]
+            for combo in itertools.combinations(range(len(seq)), len(kept)):
+                if any(seq[p][0] != pattern_types[i]
+                       for p, i in zip(combo, kept)):
+                    continue
+                # a kept step declared next() binds the IMMEDIATELY
+                # following event of its effective predecessor
+                if any(strict[i] and combo[j] != combo[j - 1] + 1
+                       for j, i in enumerate(kept) if j):
+                    continue
+                if seq[combo[-1]][1] - seq[combo[0]][1] > within_s:
+                    continue
+                k = (uid, seq[combo[-1]][2])
+                start = seq[combo[0]][1]
+                prev = want.get(k)
+                fl = tuple(i in inc for i in opt_steps)
+                if prev is None:
+                    want[k] = (start, list(fl))
+                else:
+                    want[k] = (
+                        max(prev[0], start),
+                        [a or b for a, b in zip(prev[1], fl)],
+                    )
+    expect = {k: (v[0], tuple(v[1])) for k, v in want.items()}
+    assert got == expect
