@@ -191,7 +191,11 @@ class CepPattern:
     skip: str = "no_skip"  # after-match strategy: 'no_skip' emits every
     # match row (the default one-row-per-match-row contract);
     # 'skip_past_last_event' keeps only greedily non-overlapping
-    # matches (see after_match_skip)
+    # matches; 'skip_to_next' forbids shared start events;
+    # 'skip_to_first'/'skip_to_last' move the cursor to the accepted
+    # chain's anchor-step event (see after_match_skip)
+    skip_step: str | None = None  # anchor step name for skip_to_first /
+    # skip_to_last (FlinkCEP's PatternName argument)
 
     # -- builders ---------------------------------------------------
     # Each takes EITHER an arbitrary pyspark Column predicate OR
@@ -452,38 +456,64 @@ class CepPattern:
         from first to last matched event must be <= duration."""
         return replace(self, within_us=_duration_us(duration))
 
-    def after_match_skip(self, strategy: str) -> "CepPattern":
-        """FlinkCEP AfterMatchSkipStrategy (r12). Supported:
+    def after_match_skip(self, strategy: str,
+                         step: str | None = None) -> "CepPattern":
+        """FlinkCEP AfterMatchSkipStrategy (r12; skip_to_* r13 — r12
+        verdict item 7). Every strategy compiles to the SAME window
+        chain (the carry additionally tracks row positions) plus one
+        linear per-key acceptance fold over the MATCH frame — orders of
+        magnitude smaller than the event stream, so the sequential pass
+        is on the cheap side of the plan. The fold scans match rows in
+        (ts, tiebreak) order keeping a cursor; start-maximality makes
+        each acceptance test exact on the greedy chain alone ("some
+        chain satisfies the cursor bound" == "the greedy max-start
+        chain does", because the greedy chain maximizes the start and
+        minimizes the span simultaneously). Supported:
 
         - ``no_skip`` (default): every match row is emitted with its
           greedy max-start chain — the engine's one-row-per-match-row
           fold of FlinkCEP's all-matches enumeration.
         - ``skip_past_last_event``: greedily NON-OVERLAPPING matches —
-          scan match rows in (ts, tiebreak) order; accept a match iff a
-          chain exists lying ENTIRELY after the previously accepted
-          match's row (equivalently — proven by start-maximality — iff
-          the greedy chain's start row is after it); the accepted row
-          reports that greedy chain. This is the billing/alerting
-          semantics (each event consumed by at most one match),
-          FlinkCEP's skipPastLastEvent under this engine's greedy
-          contract. Compiles to the same window chain (the carry
-          additionally tracks the start ROW POSITION) plus one linear
-          per-key fold over the MATCH frame — orders of magnitude
-          smaller than the event stream, so the sequential pass is on
-          the cheap side of the plan.
+          accept iff the greedy start row is after the previously
+          accepted match's ROW (each event consumed by at most one
+          match; billing/alerting semantics).
+        - ``skip_to_next`` (r13): no two accepted matches share a START
+          event — accept iff the greedy start row is strictly after
+          the previously accepted match's START row (FlinkCEP: discard
+          partial matches that started with the same event).
+        - ``skip_to_first``/``skip_to_last`` (r13, `step=` required):
+          the cursor moves to the accepted chain's event bound to the
+          FIRST/LAST expanded copy of the named step; accept iff the
+          greedy start row is AT or after it (FlinkCEP: discard
+          partial matches that started before the first/last event
+          mapped to *PatternName*). The anchor position rides the
+          struct carry as a third field, set at the anchor hop; among
+          chains sharing the greedy start row, the latest anchor is
+          reported (the lexicographic struct max — the deterministic
+          fold of FlinkCEP's per-binding enumeration). The anchor step
+          may not be the begin step (FlinkCEP throws there too — the
+          cursor would never advance past a start; use skip_to_next)
+          and may not be optional.
 
         Quantifier annotations (optional flags, oneOrMore/times(n, m)
-        counts) are refused with skip: their per-row annotation
-        semantics don't fold into an acceptance scan."""
-        if strategy not in ("no_skip", "skip_past_last_event"):
+        counts) are refused with every skip strategy: their per-row
+        annotation semantics don't fold into an acceptance scan."""
+        strategies = ("no_skip", "skip_past_last_event", "skip_to_next",
+                      "skip_to_first", "skip_to_last")
+        if strategy not in strategies:
             raise ValueError(
                 f"unsupported AfterMatchSkipStrategy {strategy!r} — "
-                "'no_skip' and 'skip_past_last_event' are implemented "
-                "(skip_to_next/skip_to_first need per-subset match "
-                "enumeration, which the one-row-per-match-row contract "
-                "deliberately folds away)"
+                f"implemented: {strategies}"
             )
-        return replace(self, skip=strategy)
+        anchored = strategy in ("skip_to_first", "skip_to_last")
+        if anchored and step is None:
+            raise ValueError(
+                f"{strategy} requires the anchor step name "
+                "(FlinkCEP's PatternName argument)"
+            )
+        if not anchored and step is not None:
+            raise ValueError(f"{strategy} takes no anchor step")
+        return replace(self, skip=strategy, skip_step=step)
 
     @staticmethod
     def _event_expansion(steps) -> list:
@@ -623,14 +653,40 @@ class CepPattern:
                    if s.one_or_more or s.up_to is not None]
         if counted and self.skip != "no_skip":
             raise ValueError(
-                "after_match_skip('skip_past_last_event') does not "
+                f"after_match_skip({self.skip!r}) does not "
                 "compose with oneOrMore/times(n, m) annotations "
                 "(the batch compile refuses the same combination)"
             )
+        anchor_idx = None
+        if self.skip in ("skip_to_first", "skip_to_last"):
+            # expanded index of the anchor copy (first/last times-copy
+            # of the named step) — the streaming carry stamps its ap
+            # there, mirroring the batch struct's stamp_anchor hop
+            required = [s for s in self.steps if not s.optional]
+            if self.skip_step not in [s.name for s in required]:
+                raise ValueError(
+                    f"after_match_skip anchor step {self.skip_step!r} "
+                    "is not a pattern step"
+                )
+            if self.skip_step == required[0].name:
+                raise ValueError(
+                    "the after_match_skip anchor may not be the begin "
+                    "step — use skip_to_next"
+                )
+            idx = 0
+            for s in required:
+                for k in range(s.times):
+                    if s.name == self.skip_step and (
+                        k == 0 if self.skip == "skip_to_first"
+                        else k == s.times - 1
+                    ):
+                        anchor_idx = idx
+                    idx += 1
         return stateful.cep_compiled_stream(
             spark, files_dir, sf_dir, main, self.within_us,
             flag_variants=variants,
-            skip_past=self.skip == "skip_past_last_event",
+            skip=self.skip,
+            anchor_idx=anchor_idx,
             counted=(
                 (counted[0].name, counted[0].etype, counted[0].up_to)
                 if counted else None
@@ -689,14 +745,32 @@ class CepPattern:
         # outputs. Monotone in row order, so struct MAX stays greedy.
         counted = [s for s in required
                    if s.one_or_more or s.up_to is not None]
-        skip_mode = self.skip == "skip_past_last_event"
+        skip_mode = self.skip != "no_skip"
         if skip_mode and (counted or any(s.optional for s in self.steps)):
             raise ValueError(
-                "after_match_skip('skip_past_last_event') does not "
+                f"after_match_skip({self.skip!r}) does not "
                 "compose with optional()/oneOrMore()/times(n, m) "
                 "annotations — their per-row flags/counts don't fold "
-                "into a non-overlapping acceptance scan"
+                "into an acceptance scan"
             )
+        anchor = None
+        if self.skip in ("skip_to_first", "skip_to_last"):
+            names = [s.name for s in required]
+            if self.skip_step not in names:
+                raise ValueError(
+                    f"after_match_skip anchor step {self.skip_step!r} "
+                    f"is not a pattern step (steps: {names})"
+                )
+            if self.skip_step == required[0].name:
+                raise ValueError(
+                    "the after_match_skip anchor may not be the begin "
+                    "step — its event IS the match start, so the "
+                    "cursor could never advance past a start; use "
+                    "skip_to_next (FlinkCEP throws on the same "
+                    "composition)"
+                )
+            anchor = ("first" if self.skip == "skip_to_first"
+                      else "last", self.skip_step)
         cur = df
         cnt_cols: dict[str, str] = {}
         for k, s in enumerate(counted):
@@ -710,7 +784,8 @@ class CepPattern:
             pos_col = "_cep_pos"
             cur = cur.withColumn(pos_col, F.row_number().over(w_order))
 
-        def build_chain(cur, steps, prefix, with_counts, with_pos=False):
+        def build_chain(cur, steps, prefix, with_counts, with_pos=False,
+                        with_anchor=None):
             """Materialize one hit/carry chain; expand times(n) into n
             single-occurrence transitions — the carry consumes strictly-
             earlier rows, so copies bind distinct events (relaxed → MAX
@@ -720,15 +795,27 @@ class CepPattern:
             row order — ties on h resolve to the latest start row, the
             greedy chain). A step with neg_before compiles its
             transition as the gated latest-prefix-row connect (see
-            module docstring: latest-row dominance). Returns (df, final
-            carry column, start-extractor)."""
-            expanded: list[tuple] = []  # (step, pred, transition, first)
+            module docstring: latest-row dominance). with_anchor
+            (r13, skip_to_first/skip_to_last) = ('first'|'last', step
+            name): an `ap` field rides the struct, -1 until the
+            anchor hop REPLACES it with the current row position — the
+            trailing lexicographic field only breaks exact (h, sp)
+            ties, i.e. chains sharing the greedy start row resolve to
+            the latest anchor event. Returns (df, final carry column,
+            start-extractor)."""
+            expanded: list[tuple] = []  # (step, pred, trans, first, at_anchor)
             for s in steps:
                 inner = "next" if s.consecutive else "followed_by"
                 for k in range(s.times):
+                    at_anchor = (
+                        with_anchor is not None
+                        and s.name == with_anchor[1]
+                        and (k == 0 if with_anchor[0] == "first"
+                             else k == s.times - 1)
+                    )
                     expanded.append(
                         (s, s.pred, s.contiguity if k == 0 else inner,
-                         k == 0)
+                         k == 0, at_anchor)
                     )
             use_struct = (with_counts and bool(counted)) or with_pos
 
@@ -746,10 +833,25 @@ class CepPattern:
                     # (h, sp) lexicographic MAX = latest start ts, ties
                     # to the latest start row — the same greedy chain
                     fields.append(F.col(pos_col).alias("sp"))
+                if with_anchor is not None:
+                    fields.append(F.lit(-1).alias("ap"))
                 return F.struct(*fields)
 
+            def stamp_anchor(carry):
+                # replace the carried struct's ap with this row's
+                # position (null-safe: a null carry must stay null, not
+                # become a struct of nulls)
+                return F.when(
+                    carry.isNotNull(),
+                    F.struct(
+                        carry["h"].alias("h"),
+                        carry["sp"].alias("sp"),
+                        F.col(pos_col).alias("ap"),
+                    ),
+                )
+
             prev_col = None
-            for i, (s, pred, trans, first) in enumerate(expanded):
+            for i, (s, pred, trans, first, at_anchor) in enumerate(expanded):
                 if i == 0:
                     hit = F.when(pred, start_value(F.col(ts)))
                 elif first and s.neg_before is not None:
@@ -774,13 +876,18 @@ class CepPattern:
                     gate = b.isNotNull() & (
                         lastq.isNull() | (lastq <= b["p"])
                     )
-                    hit = F.when(pred & gate, b["v"])
+                    hit = F.when(
+                        pred & gate,
+                        stamp_anchor(b["v"]) if at_anchor else b["v"],
+                    )
                 else:
                     carry = (
                         F.max(F.col(prev_col)).over(w_prev)
                         if trans == "followed_by"
                         else F.lag(F.col(prev_col), 1).over(w_order)
                     )
+                    if at_anchor:
+                        carry = stamp_anchor(carry)
                     hit = F.when(pred, carry)
                 prev_col = f"{prefix}{i}"
                 cur = cur.withColumn(prev_col, hit)
@@ -864,7 +971,7 @@ class CepPattern:
             # chain per optional step computes its annotation flag
             cur, prev_col, start_of = build_chain(
                 cur, required, "_cep_h", with_counts=True,
-                with_pos=skip_mode
+                with_pos=skip_mode, with_anchor=anchor
             )
             flags = []
             for j, o in enumerate(s for s in self.steps if s.optional):
@@ -912,6 +1019,10 @@ class CepPattern:
                 F.col(prev_col)["sp"].alias("_start_pos"),
                 F.col(pos_col).alias("_match_pos"),
             ]
+            if anchor is not None:
+                out_cols.append(
+                    F.col(prev_col)["ap"].alias("_anchor_pos")
+                )
         if self.neg is not None:
             neg_name, neg_pred = self.neg
             # RANGE frame over event-time µs: events with ts STRICTLY
@@ -939,37 +1050,51 @@ class CepPattern:
             out_cols.append(F.col(neg_col))
         res = cur.filter(match).select(*out_cols)
         if skip_mode:
-            res = _skip_past_fold(res, key)
+            res = _skip_fold(res, key, self.skip)
         return res
 
 
-def _skip_past_fold(frame: DataFrame, key: str) -> DataFrame:
-    """skip_past_last_event acceptance scan (after_match_skip): keep a
-    candidate match iff its greedy chain STARTS after the previously
-    accepted match's row — greedy interval scheduling over row
-    positions. Runs as ONE applyInPandas pass over the MATCH frame
-    (already reduced from the event stream by the window chain), keyed
-    like the pattern — the sequential part is per key and linear in
-    that key's MATCH count, not its event count, which is what makes
-    the strategy viable at 100 TB (an NFA pays per event)."""
+def _skip_fold(frame: DataFrame, key: str, strategy: str) -> DataFrame:
+    """After-match acceptance scan (after_match_skip): greedy cursor
+    fold over the MATCH frame, one rule per strategy —
+
+    - skip_past_last_event: accept iff start > cursor; cursor := the
+      accepted match's ROW position (non-overlapping matches).
+    - skip_to_next (r13): accept iff start > cursor; cursor := the
+      accepted chain's START position (no shared start events).
+    - skip_to_first/skip_to_last (r13): accept iff start >= cursor;
+      cursor := the accepted chain's ANCHOR position (matches may not
+      start before the previous match's anchor event; starting AT it
+      is allowed — FlinkCEP discards only what started BEFORE).
+
+    Start-maximality makes each test exact on the greedy chain alone.
+    Runs as ONE applyInPandas pass over the MATCH frame (already
+    reduced from the event stream by the window chain), keyed like the
+    pattern — the sequential part is per key and linear in that key's
+    MATCH count, not its event count, which is what makes the
+    strategies viable at 100 TB (an NFA pays per event)."""
     import pandas as pd  # noqa: F401  (worker-side dependency)
     from pyspark.sql.types import StructType
 
+    helpers = ("_start_pos", "_match_pos", "_anchor_pos")
     out_schema = StructType(
-        [f for f in frame.schema.fields
-         if f.name not in ("_start_pos", "_match_pos")]
+        [f for f in frame.schema.fields if f.name not in helpers]
     )
+    anchored = strategy in ("skip_to_first", "skip_to_last")
 
     def fold(pdf):
         pdf = pdf.sort_values("_match_pos")
-        keep, last = [], -1
-        for sp, mp in zip(pdf["_start_pos"], pdf["_match_pos"]):
-            ok = sp > last
+        aps = pdf["_anchor_pos"] if anchored else pdf["_start_pos"]
+        keep, cursor = [], -1
+        for sp, mp, ap in zip(pdf["_start_pos"], pdf["_match_pos"], aps):
+            ok = sp >= cursor if anchored else sp > cursor
             keep.append(ok)
             if ok:
-                last = mp
+                cursor = (
+                    mp if strategy == "skip_past_last_event" else ap
+                )
         out = pdf[[bool(k) for k in keep]] if len(pdf) else pdf
-        return out.drop(columns=["_start_pos", "_match_pos"])
+        return out.drop(columns=[c for c in helpers if c in out.columns])
 
     return frame.groupBy(key).applyInPandas(fold, schema=out_schema)
 
@@ -1445,6 +1570,180 @@ def stream_cep_skip_past(spark: SparkSession, sf_dir: str) -> DataFrame:
         .followed_by("purchase", etype="purchase")
         .within("36 hours")
         .after_match_skip("skip_past_last_event")
+    )
+    return pat.compile(
+        table(spark, sf_dir, "events"),
+        key="user_id",
+        ts="ts",
+        tiebreak="event_id",
+    )
+
+
+@register(
+    "stream_cep_skip_to_next",
+    oracle=f"""
+    WITH RECURSIVE s0 AS (
+      SELECT user_id, event_id, event_type, ts,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS pos,
+             CASE WHEN event_type = 'view'
+                  THEN {{'h': ts,
+                        'sp': ROW_NUMBER() OVER (PARTITION BY user_id
+                                                 ORDER BY ts, event_id)}}
+             END AS h0
+      FROM events
+    ), s1 AS (
+      SELECT *, CASE WHEN event_type = 'click'
+                     THEN {_CEP_CARRY.format(src='h0')} END AS h1
+      FROM s0
+    ), s2 AS (
+      SELECT *, CASE WHEN event_type = 'purchase'
+                     THEN {_CEP_CARRY.format(src='h1')} END AS h2
+      FROM s1
+    ), cand AS (
+      SELECT user_id, event_id, ts, pos AS mpos,
+             h2.h AS start_ts, h2.sp AS spos
+      FROM s2
+      WHERE h2.h IS NOT NULL
+        AND epoch_us(ts) - epoch_us(h2.h) <= 129600000000::BIGINT
+    ), fst AS (
+      SELECT user_id, MIN(mpos) AS mpos FROM cand GROUP BY user_id
+    ), lnk AS (
+      -- next accepted after a match with greedy start r.spos: the
+      -- earliest candidate whose greedy start is strictly later (the
+      -- greedy start is monotone in match position, so earlier rows
+      -- can never qualify; start-maximality makes "greedy start after
+      -- the cursor" exactly "some chain starts after it")
+      SELECT r.user_id, r.mpos, MIN(c.mpos) AS next_mpos
+      FROM cand r JOIN cand c
+        ON c.user_id = r.user_id AND c.spos > r.spos
+      GROUP BY r.user_id, r.mpos
+    ), acc AS (
+      SELECT c.user_id, c.event_id, c.ts, c.mpos, c.start_ts
+      FROM cand c JOIN fst f
+        ON c.user_id = f.user_id AND c.mpos = f.mpos
+      UNION ALL
+      SELECT n.user_id, n.event_id, n.ts, n.mpos, n.start_ts
+      FROM acc a
+      JOIN lnk l ON l.user_id = a.user_id AND l.mpos = a.mpos
+      JOIN cand n ON n.user_id = l.user_id AND n.mpos = l.next_mpos
+    )
+    SELECT user_id, event_id AS match_id, ts AS match_ts, start_ts
+    FROM acc
+    """,
+)
+def stream_cep_skip_to_next(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AfterMatchSkipStrategy.skipToNext (r13, r12 verdict item 7 —
+    previously refused): `begin(view).followedBy(click)
+    .followedBy(purchase).within(36h)` with NO TWO ACCEPTED MATCHES
+    SHARING A START EVENT — FlinkCEP's "discard partial matches that
+    started with the same event as the emitted match". Under this
+    engine's greedy contract that is a cursor fold: accept iff the
+    greedy chain's start row is strictly after the previously accepted
+    match's START row (start-maximality: the greedy start is the max,
+    so it clears the cursor iff any chain does), cursor := the accepted
+    start. Unlike skip_past_last_event the matches may OVERLAP — only
+    the start event is consumed (the attribution semantics: each
+    session-opening view credited once). Same compiled shape: window
+    chain with (h, sp) struct carry + one linear per-key fold over the
+    match frame; the oracle replays it with a RECURSIVE CTE walking
+    next-acceptance links on start positions. Streams with O(1) keyed
+    state (the cursor is causal; twin pytest)."""
+    pat = (
+        CepPattern.begin("view", etype="view")
+        .followed_by("click", etype="click")
+        .followed_by("purchase", etype="purchase")
+        .within("36 hours")
+        .after_match_skip("skip_to_next")
+    )
+    return pat.compile(
+        table(spark, sf_dir, "events"),
+        key="user_id",
+        ts="ts",
+        tiebreak="event_id",
+    )
+
+
+@register(
+    "stream_cep_skip_to_first",
+    oracle=f"""
+    WITH RECURSIVE s0 AS (
+      SELECT user_id, event_id, event_type, ts,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS pos,
+             CASE WHEN event_type = 'view'
+                  THEN {{'h': ts,
+                        'sp': ROW_NUMBER() OVER (PARTITION BY user_id
+                                                 ORDER BY ts, event_id),
+                        'ap': -1}}
+             END AS h0
+      FROM events
+    ), s1 AS (
+      SELECT *, CASE WHEN event_type = 'click'
+                     AND {_CEP_CARRY.format(src='h0')} IS NOT NULL
+                     THEN {{'h': ({_CEP_CARRY.format(src='h0')}).h,
+                           'sp': ({_CEP_CARRY.format(src='h0')}).sp,
+                           'ap': pos}}
+                END AS h1
+      FROM s0
+    ), s2 AS (
+      SELECT *, CASE WHEN event_type = 'purchase'
+                     THEN {_CEP_CARRY.format(src='h1')} END AS h2
+      FROM s1
+    ), cand AS (
+      SELECT user_id, event_id, ts, pos AS mpos,
+             h2.h AS start_ts, h2.sp AS spos, h2.ap AS apos
+      FROM s2
+      WHERE h2.h IS NOT NULL
+        AND epoch_us(ts) - epoch_us(h2.h) <= 129600000000::BIGINT
+    ), fst AS (
+      SELECT user_id, MIN(mpos) AS mpos FROM cand GROUP BY user_id
+    ), lnk AS (
+      -- next accepted after a match anchored at r.apos: the earliest
+      -- candidate whose greedy start is AT or after the anchor (the
+      -- anchor is strictly after its own start, so by start
+      -- monotonicity earlier rows can never qualify)
+      SELECT r.user_id, r.mpos, MIN(c.mpos) AS next_mpos
+      FROM cand r JOIN cand c
+        ON c.user_id = r.user_id AND c.spos >= r.apos
+      GROUP BY r.user_id, r.mpos
+    ), acc AS (
+      SELECT c.user_id, c.event_id, c.ts, c.mpos, c.apos, c.start_ts
+      FROM cand c JOIN fst f
+        ON c.user_id = f.user_id AND c.mpos = f.mpos
+      UNION ALL
+      SELECT n.user_id, n.event_id, n.ts, n.mpos, n.apos, n.start_ts
+      FROM acc a
+      JOIN lnk l ON l.user_id = a.user_id AND l.mpos = a.mpos
+      JOIN cand n ON n.user_id = l.user_id AND n.mpos = l.next_mpos
+      WHERE n.mpos > a.mpos
+    )
+    SELECT user_id, event_id AS match_id, ts AS match_ts, start_ts
+    FROM acc
+    """,
+)
+def stream_cep_skip_to_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AfterMatchSkipStrategy.skipToFirst('click') (r13, r12 verdict
+    item 7 — previously refused): `begin(view).followedBy(click)
+    .followedBy(purchase).within(36h)` where after each accepted match
+    the cursor moves to the matched CLICK event — FlinkCEP's "discard
+    partial matches that started before the first event mapped to
+    *click*"; subsequent matches may start AT it, not before. The
+    anchor position rides the struct carry as a trailing lexicographic
+    field stamped at the click hop (ties on the greedy start row
+    resolve to the latest click — the deterministic fold of FlinkCEP's
+    per-binding enumeration, documented in after_match_skip). The
+    anchor may not be the begin step (refused — FlinkCEP throws on the
+    same composition); skip_to_last('click') differs only in stamping
+    the LAST times-copy. Oracle: the same {{h, sp, ap}} struct algebra
+    with a RECURSIVE CTE walking acceptance links on c.spos >= r.apos.
+    Streams with O(1) keyed state (8·(m−1)+2 longs; twin pytest)."""
+    pat = (
+        CepPattern.begin("view", etype="view")
+        .followed_by("click", etype="click")
+        .followed_by("purchase", etype="purchase")
+        .within("36 hours")
+        .after_match_skip("skip_to_first", "click")
     )
     return pat.compile(
         table(spark, sf_dir, "events"),

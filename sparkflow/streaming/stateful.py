@@ -663,20 +663,31 @@ def _cep_compiled_fn(chains: list, within_us, counted=None):
     return fn
 
 
-def _cep_skip_fn(steps, within_us):
-    """Keyed-state executor for a compiled pattern under
-    after_match_skip('skip_past_last_event') (r12): the carry values
-    become (ts, start-position) PAIRS under the same lexicographic
-    running max the batch compile's (h, sp) struct uses, and acceptance
-    is one extra long of state — the last accepted match's row
-    position; a match emits iff its greedy chain STARTS after it
-    (start-maximality makes that exactly 'some chain lies entirely
-    after it', the batch fold's argument). Everything is causal, so
-    non-overlapping matching streams with O(1) state: 6·(m-1)+2 longs
-    (ts+sp for carry-max and lag, BP/LQ for negated gaps, the
-    acceptance cursor, the row counter)."""
+def _cep_skip_fn(steps, within_us, strategy="skip_past_last_event",
+                 anchor_idx=None):
+    """Keyed-state executor for a compiled pattern under an after-match
+    skip strategy (r12 skip_past_last_event; r13 skip_to_next /
+    skip_to_first / skip_to_last): the carry values become (ts,
+    start-position[, anchor-position]) tuples under the same
+    lexicographic running max the batch compile's struct uses, and
+    acceptance is one extra long of state — the cursor; a match emits
+    iff its greedy chain's start clears the cursor (start-maximality
+    makes that exactly 'some chain clears it', the batch fold's
+    argument), and the cursor advances per strategy:
+
+    - skip_past_last_event: start > cursor; cursor := match row pos
+    - skip_to_next: start > cursor; cursor := accepted start pos
+    - skip_to_first/skip_to_last: start >= cursor; cursor := accepted
+      chain's anchor pos (the carry stamps ap at expanded step
+      `anchor_idx`, mirroring the batch stamp_anchor hop)
+
+    Everything is causal, so all four strategies stream with O(1)
+    state: 6·(m-1)+2 longs (8·(m-1)+2 with an anchor — ts+sp[+ap] for
+    carry-max and lag, BP/LQ for negated gaps, the cursor, the row
+    counter)."""
     m = len(steps)
     n = m - 1
+    anchored = strategy in ("skip_to_first", "skip_to_last")
 
     def fn(
         key: Tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState
@@ -684,11 +695,17 @@ def _cep_skip_fn(steps, within_us):
         if state.exists:
             vals = list(state.get)
         else:
-            vals = [-1] * (6 * n) + [-1, 0]
+            vals = [-1] * ((8 if anchored else 6) * n) + [-1, 0]
         Cts, Csp = vals[0:n], vals[n:2 * n]
         Lts, Lsp = vals[2 * n:3 * n], vals[3 * n:4 * n]
         BP, LQ = vals[4 * n:5 * n], vals[5 * n:6 * n]
-        last_acc, pos = vals[6 * n], vals[6 * n + 1]
+        if anchored:
+            Cap, Lap = vals[6 * n:7 * n], vals[7 * n:8 * n]
+            last_acc, pos = vals[8 * n], vals[8 * n + 1]
+        else:
+            Cap, Lap = [0] * n, [0] * n  # unused (tie-breaks only ever
+            # compare equal junk against equal junk — no-op updates)
+            last_acc, pos = vals[6 * n], vals[6 * n + 1]
         chunks = [p for p in pdf_iter if len(p)]
         if not chunks:
             return
@@ -707,43 +724,54 @@ def _cep_skip_fn(steps, within_us):
             _ts_us(pdf["ts"]).to_numpy(),
         ):
             t = int(t)
-            hts, hsp = [-1] * m, [-1] * m
+            hts, hsp, hap = [-1] * m, [-1] * m, [-1] * m
             for i, (et, trans, neg_et) in enumerate(steps):
                 if etype != et:
                     continue
                 if i == 0:
                     hts[0], hsp[0] = t, pos
                 else:
-                    cin_ts, cin_sp = (
-                        (Cts[i - 1], Csp[i - 1])
+                    cin_ts, cin_sp, cin_ap = (
+                        (Cts[i - 1], Csp[i - 1], Cap[i - 1])
                         if trans == "followed_by"
-                        else (Lts[i - 1], Lsp[i - 1])
+                        else (Lts[i - 1], Lsp[i - 1], Lap[i - 1])
                     )
                     if cin_ts >= 0 and (
                         neg_et is None or LQ[i - 1] <= BP[i - 1]
                     ):
                         hts[i], hsp[i] = cin_ts, cin_sp
-            if (
+                        hap[i] = pos if i == anchor_idx else cin_ap
+            accepted = (
                 hts[-1] >= 0
                 and (within_us is None or t - hts[-1] <= within_us)
-                and hsp[-1] > last_acc
-            ):
+                and (hsp[-1] >= last_acc if anchored
+                     else hsp[-1] > last_acc)
+            )
+            if accepted:
                 out["match_id"].append(int(eid))
                 out["match_us"].append(t)
                 out["start_us"].append(hts[-1])
-                last_acc = pos
+                last_acc = (
+                    pos if strategy == "skip_past_last_event"
+                    else hap[-1] if anchored
+                    else hsp[-1]
+                )
             for i in range(n):
-                if (hts[i], hsp[i]) > (Cts[i], Csp[i]):
+                if (hts[i], hsp[i], hap[i]) > (Cts[i], Csp[i], Cap[i]):
                     Cts[i], Csp[i] = hts[i], hsp[i]
+                    Cap[i] = hap[i]
                 if hts[i] >= 0:
                     BP[i] = pos
                 Lts[i], Lsp[i] = hts[i], hsp[i]
+                Lap[i] = hap[i]
                 neg_et = steps[i + 1][2]
                 if neg_et is not None and etype == neg_et:
                     LQ[i] = pos
             pos += 1
         state.update(tuple(
-            Cts + Csp + Lts + Lsp + BP + LQ + [last_acc, pos]
+            Cts + Csp + Lts + Lsp + BP + LQ
+            + (Cap + Lap if anchored else [])
+            + [last_acc, pos]
         ))
         if out["match_id"]:
             yield pd.DataFrame(
@@ -755,8 +783,8 @@ def _cep_skip_fn(steps, within_us):
 
 def cep_compiled_stream(
     spark: SparkSession, files_dir: str, sf_dir: str,
-    steps: list, within_us, flag_variants=(), skip_past=False,
-    counted=None,
+    steps: list, within_us, flag_variants=(), skip="no_skip",
+    anchor_idx=None, counted=None,
 ) -> DataFrame:
     """True-streaming execution of a compiled CEP pattern (reached via
     cep.CepPattern.compile_stream): any begin/next/followedBy/times
@@ -764,14 +792,16 @@ def cep_compiled_stream(
     whose gates are causal prefix maxima — runs unbounded with O(1)
     keyed state: 4·(m-1)+1 longs for the gating chain (carry max, lag,
     latest-non-null position, latest-negated position, one shared row
-    counter) plus 4·(m-1) per optional-step annotation chain. Only
-    terminal negation is excluded (future-dependent; watermarked
-    interval-join twin)."""
+    counter) plus 4·(m-1) per optional-step annotation chain. Every
+    after-match skip strategy streams too (r13 — the cursors are all
+    causal). Only terminal negation is excluded (future-dependent;
+    watermarked interval-join twin)."""
     if len(steps) < 2:
         raise ValueError("streaming compile needs >= 2 positive steps")
     ev = _events_stream(spark, files_dir, sf_dir)
-    if skip_past:
+    if skip != "no_skip":
         assert not flag_variants  # the batch builder refuses the combo
+        anchored = skip in ("skip_to_first", "skip_to_last")
         n = len(steps) - 1
         fields = (
             [f"cts_{i} BIGINT" for i in range(n)]
@@ -780,10 +810,13 @@ def cep_compiled_stream(
             + [f"lsp_{i} BIGINT" for i in range(n)]
             + [f"bp_{i} BIGINT" for i in range(n)]
             + [f"lq_{i} BIGINT" for i in range(n)]
+            + ([f"cap_{i} BIGINT" for i in range(n)]
+               + [f"lap_{i} BIGINT" for i in range(n)] if anchored else [])
             + ["last_acc BIGINT", "pos BIGINT"]
         )
         return ev.groupBy("user_id").applyInPandasWithState(
-            _cep_skip_fn(list(steps), within_us),
+            _cep_skip_fn(list(steps), within_us, strategy=skip,
+                         anchor_idx=anchor_idx),
             outputStructType=(
                 "user_id BIGINT, match_id BIGINT, match_us BIGINT, "
                 "start_us BIGINT"

@@ -571,8 +571,9 @@ def test_after_match_skip_builder_rules(spark):
     p = F.lit(True)
     base = (CepPattern.begin("a", p).followed_by("b", p)
             .followed_by("c", p))
+    # r13: skip_to_next is now implemented — unknown names still refuse
     with pytest.raises(ValueError, match="unsupported"):
-        base.after_match_skip("skip_to_next")
+        base.after_match_skip("skip_to_nowhere")
     skip = base.after_match_skip("skip_past_last_event")
     with pytest.raises(ValueError, match="skip_past_last_event"):
         (CepPattern.begin("a", p).followed_by("b", p).optional()
@@ -829,3 +830,113 @@ def test_counted_streaming_twins_match_batch(spark, sf_small,
         )[["user_id", "match_id", "match_us", "start_us", "n_click"]]
         pd.testing.assert_frame_equal(got, want_us, check_dtype=False)
         assert got["n_click"].max() > 1, tag  # counts are non-trivial
+
+
+def test_skip_to_next_first_hand_case(spark):
+    """A B A B B (same fixture as the skip_past hand case) pins the
+    three strategies apart on pattern A→B: no_skip emits B1,B3,B4;
+    skip_past accepts B1 (cursor=match row) then B3; skip_to_next
+    accepts B1 (cursor=start A0) then B3 (greedy start A2 > A0) then
+    REJECTS B4 (its greedy start is still A2 — shared start);
+    skip_to_first('b') anchors at the matched B itself: accept B1
+    (cursor=pos of B1), B3 (start A2 >= pos1), then B4's greedy start
+    A2 < pos3 — rejected."""
+    rows = [
+        (0, 0, "A", 0), (0, 1, "B", 1), (0, 2, "A", 2), (0, 3, "B", 3),
+        (0, 4, "B", 4),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id INT, event_id INT, event_type STRING, sec INT"
+    ).withColumn("ts", F.timestamp_seconds("sec"))
+    base = CepPattern.begin("a", etype="A").followed_by("b", etype="B")
+    nxt = {r.match_id for r in
+           base.after_match_skip("skip_to_next").compile(df).collect()}
+    assert nxt == {1, 3}
+    fst = {r.match_id for r in
+           base.after_match_skip("skip_to_first", "b")
+           .compile(df).collect()}
+    assert fst == {1, 3}
+    # an extra A makes the strategies diverge: A B A B B A B —
+    # the final B's greedy start is the THIRD A (pos 5):
+    #   skip_past   cursor after B3 = match row 3 -> accepts B4? no:
+    #               B4's greedy start A2(pos 2) < 3; accepts B6 (5 > 3)
+    #   skip_to_next cursor after B3 = start 2 -> B4 shares start 2,
+    #               rejected; B6 accepted (5 > 2)
+    #   skip_to_first cursor after B3 = anchor pos 3 -> B4's start 2 < 3
+    #               rejected; B6 accepted (5 >= 3)
+    rows2 = rows + [(0, 5, "A", 5), (0, 6, "B", 6)]
+    df2 = spark.createDataFrame(
+        rows2, "user_id INT, event_id INT, event_type STRING, sec INT"
+    ).withColumn("ts", F.timestamp_seconds("sec"))
+    for strat, step, expect in [
+        ("skip_past_last_event", None, {1, 3, 6}),
+        ("skip_to_next", None, {1, 3, 6}),
+        ("skip_to_first", "b", {1, 3, 6}),
+    ]:
+        got = {r.match_id for r in
+               (base.after_match_skip(strat, step) if step
+                else base.after_match_skip(strat)).compile(df2).collect()}
+        assert got == expect, (strat, got)
+
+
+def test_skip_to_builder_rules():
+    """skip_to_first/skip_to_last builder validation: anchor required,
+    anchor must be a pattern step, may not be the begin step; the
+    non-anchored strategies take no step; unknown strategies refuse."""
+    base = (CepPattern.begin("a", etype="A")
+            .followed_by("b", etype="B")
+            .followed_by("c", etype="C"))
+    with pytest.raises(ValueError, match="anchor step name"):
+        base.after_match_skip("skip_to_first")
+    with pytest.raises(ValueError, match="takes no anchor"):
+        base.after_match_skip("skip_to_next", "b")
+    with pytest.raises(ValueError, match="unsupported"):
+        base.after_match_skip("skip_to_previous")
+    with pytest.raises(ValueError, match="not a pattern step"):
+        base.after_match_skip("skip_to_first", "zz").compile(None)
+    with pytest.raises(ValueError, match="begin"):
+        base.after_match_skip("skip_to_first", "a").compile(None)
+
+
+def test_skip_to_streaming_twins_match_batch(spark, sf_small,
+                                             tmp_path_factory):
+    """skip_to_next and skip_to_first STREAM (r13): both cursors are
+    causal (accepted greedy start / accepted anchor position), so the
+    keyed-state twins must equal the batch compiles across micro-batch
+    boundaries — including rejections whose blocking acceptance landed
+    in an EARLIER micro-batch."""
+    from sparkflow.streaming import stateful
+
+    stream_dir = stateful.split_events_to_files(
+        spark, sf_small, str(tmp_path_factory.mktemp("cep_skipto_stream")), 3
+    )
+    for key, strat, step in [
+        ("stream_cep_skip_to_next", "skip_to_next", None),
+        ("stream_cep_skip_to_first", "skip_to_first", "click"),
+    ]:
+        pat = (
+            CepPattern.begin("view", etype="view")
+            .followed_by("click", etype="click")
+            .followed_by("purchase", etype="purchase")
+            .within("36 hours")
+        )
+        pat = (pat.after_match_skip(strat, step) if step
+               else pat.after_match_skip(strat))
+        sdf = pat.compile_stream(spark, stream_dir, sf_small)
+        stateful.run_to_memory(sdf, f"t_{strat}", "append")
+        got = (
+            spark.table(f"t_{strat}").toPandas()
+            .sort_values("match_id").reset_index(drop=True)
+        )
+        want = (
+            QUERIES[key](spark, sf_small)
+            .toPandas().sort_values("match_id").reset_index(drop=True)
+        )
+        assert len(want) > 0
+        want_us = want.assign(
+            match_us=pd.to_datetime(want["match_ts"])
+            .astype("datetime64[us]").astype("int64"),
+            start_us=pd.to_datetime(want["start_ts"])
+            .astype("datetime64[us]").astype("int64"),
+        )[["user_id", "match_id", "match_us", "start_us"]]
+        pd.testing.assert_frame_equal(got, want_us, check_dtype=False)

@@ -954,3 +954,83 @@ def test_cep_strict_optional_variant_fuzz(streams, pattern_types,
                     )
     expect = {k: (v[0], tuple(v[1])) for k, v in want.items()}
     assert got == expect
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    streams=st.lists(
+        st.lists(_cep_event, min_size=0, max_size=10),
+        min_size=1, max_size=3,
+    ),
+    types=st.tuples(
+        st.sampled_from(["A", "B", "C"]),
+        st.sampled_from(["A", "B", "C"]),
+        st.sampled_from(["A", "B", "C"]),
+    ),
+    strategy=st.sampled_from(["skip_to_next", "skip_to_first"]),
+    within_s=st.integers(min_value=1, max_value=40),
+)
+def test_cep_skip_to_next_first_fuzz(streams, types, strategy, within_s):
+    """skip_to_next / skip_to_first (r13, r12 verdict item 7): accepted
+    matches must equal the greedy cursor fold over brute-force
+    candidates — scan match rows in row order; skip_to_next accepts iff
+    some chain STARTS strictly after the previous accepted START
+    (cursor := accepted greedy start), skip_to_first('s1') accepts iff
+    some chain starts AT or after the previous accepted match's ANCHOR
+    (the s1-event of the reported greedy chain, ties to the latest
+    anchor; cursor := that anchor). Start-maximality reduces both tests
+    to the greedy chain. Repeated/overlapping types and same-second
+    ties included."""
+    import itertools
+
+    from sparkflow.streaming.cep import CepPattern
+
+    a_t, b_t, c_t = types
+    rows, df = _cep_df(_get_spark(), streams)
+    if not rows:
+        return
+
+    pat = (
+        CepPattern.begin("a", etype=a_t)
+        .followed_by("b", etype=b_t)
+        .followed_by("c", etype=c_t)
+        .within(within_s)
+    )
+    pat = (pat.after_match_skip("skip_to_next") if strategy == "skip_to_next"
+           else pat.after_match_skip("skip_to_first", "b"))
+    got = {
+        (r.user_id, r.match_id, r.start_sec)
+        for r in pat.compile(df).select(
+            "user_id", "match_id",
+            (F.unix_micros("start_ts") / 1_000_000).cast("int")
+            .alias("start_sec"),
+        ).collect()
+    }
+
+    by_user: dict = {}
+    for idx, (uid, ev_id, typ, sec) in enumerate(rows):
+        by_user.setdefault(uid, []).append((typ, sec, ev_id, idx))
+    want = set()
+    for uid, seq in by_user.items():
+        # match row -> all (start_pos, anchor_pos) chains
+        cands: dict = {}
+        for pa, pb, pc in itertools.combinations(range(len(seq)), 3):
+            ea, eb, ec = seq[pa], seq[pb], seq[pc]
+            if (ea[0], eb[0], ec[0]) != (a_t, b_t, c_t):
+                continue
+            if ec[1] - ea[1] > within_s:
+                continue
+            cands.setdefault(pc, []).append((pa, pb))
+        cursor = -1
+        for pc in sorted(cands):
+            # greedy chain: max start (ts, then row), ties -> max anchor
+            gsp = max(pa for pa, _pb in cands[pc])
+            gap = max(pb for pa, pb in cands[pc] if pa == gsp)
+            ok = gsp >= cursor if strategy == "skip_to_first" else gsp > cursor
+            if not ok:
+                continue
+            want.add((uid, seq[pc][2], seq[gsp][1]))
+            cursor = gap if strategy == "skip_to_first" else gsp
+        # (positions order == (sec, id) order by _cep_df construction,
+        # so max row position IS the greedy (ts, row) max)
+    assert got == want
