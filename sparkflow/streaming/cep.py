@@ -600,20 +600,16 @@ class CepPattern:
             )
         counted = [s for s in self.steps
                    if s.one_or_more or s.up_to is not None]
-        if len(counted) > 1:
-            raise ValueError(
-                "streaming compile carries ONE repetition count — "
-                f"steps {[s.name for s in counted]!r} are all "
-                "quantified; the keyed state pairs the carry with a "
-                "single count-at-start (batch compile handles any "
-                "number)"
-            )
-        if counted and counted[0].etype is None:
-            raise ValueError(
-                f"counted step {counted[0].name!r} was built from a "
-                "Column predicate — declare it with etype=... to "
-                "compile for streaming"
-            )
+        # r13 (r12 verdict item 8): ANY number of counted steps streams
+        # — each adds one carry pair + one running count to the keyed
+        # state (same algebra, more state longs)
+        for c in counted:
+            if c.etype is None:
+                raise ValueError(
+                    f"counted step {c.name!r} was built from a "
+                    "Column predicate — declare it with etype=... to "
+                    "compile for streaming"
+                )
         required = [s for s in self.steps if not s.optional]
         main = self._event_expansion(required)
         variants = []
@@ -638,11 +634,12 @@ class CepPattern:
         shape. Optional steps stream too: their annotation chains ride
         in the same state tuple and emit the same `with_<name>` flags
         as the batch compile. Mid-pattern negated gaps stream (causal
-        prefix-maxima gates), skip_past_last_event streams (one
-        acceptance-cursor long), and ONE counted step (oneOrMore /
-        times(n, m)) streams with its `n_<name>` output — the carry
-        pairs with a count-at-start and a running count rides the
-        state. Only TERMINAL negation refuses (future-dependent).
+        prefix-maxima gates), every after-match skip strategy streams
+        (causal cursors, r13), and ANY number of counted steps
+        (oneOrMore / times(n, m)) stream with their `n_<name>` outputs
+        — the carry pairs with one count-at-start per counted step and
+        the running counts ride the state (r13, r12 verdict item 8).
+        Only TERMINAL negation refuses (future-dependent).
         Output timestamps in epoch µs (the stateful-twin convention).
         Bit-equality with the batch compile is pinned by pytest across
         micro-batch boundaries for every streaming surface."""
@@ -687,10 +684,7 @@ class CepPattern:
             flag_variants=variants,
             skip=self.skip,
             anchor_idx=anchor_idx,
-            counted=(
-                (counted[0].name, counted[0].etype, counted[0].up_to)
-                if counted else None
-            ),
+            counted=[(c.name, c.etype, c.up_to) for c in counted],
         )
 
     def _check_open(self, name: str) -> None:

@@ -495,29 +495,38 @@ def _cep_chain_hits(steps, C, L, BP, LQ, etype, t):
     return hit
 
 
-def _cep_chain_hits_paired(steps, C, L, BP, LQ, Cc, Lc, QC, cnt_et,
+def _cep_chain_hits_paired(steps, C, L, BP, LQ, Ccs, Lcs, QCs, cnt_ets,
                            etype, t):
     """Paired-carry variant of _cep_chain_hits for a chain whose carry
-    transports (start_ts, count-at-start) — the batch compiler's
-    counted-step struct (r12): c0 = running count of counted-step
-    events up to AND INCLUDING the start row, carried through every
-    hop so the match row can emit pool = count-at-match − c0."""
+    transports (start_ts, count-at-start...) — the batch compiler's
+    counted-step struct (r12; generalized to K counted steps r13, r12
+    verdict item 8): c_k = running count of counted-step-k events up to
+    AND INCLUDING the start row, carried through every hop so the
+    match row can emit pool_k = count-at-match − c_k. Ccs/Lcs/QCs/
+    cnt_ets are per-counted-step lists; the carry stays ONE running
+    max because the count fields are all monotone in row order (the
+    lexicographic tuple max still picks the greedy max-start chain)."""
     m = len(steps)
-    hh, hc = [-1] * m, [-1] * m
+    K = len(cnt_ets)
+    hh = [-1] * m
+    hcs = [[-1] * m for _ in range(K)]
     for i, (et, trans, neg_et) in enumerate(steps):
         if etype != et:
             continue
         if i == 0:
             hh[0] = t
-            hc[0] = QC + (1 if etype == cnt_et else 0)
+            for k in range(K):
+                hcs[k][0] = QCs[k] + (1 if etype == cnt_ets[k] else 0)
         else:
-            ch, cc = (
-                (C[i - 1], Cc[i - 1]) if trans == "followed_by"
-                else (L[i - 1], Lc[i - 1])
-            )
+            if trans == "followed_by":
+                ch, ccs = C[i - 1], [Ccs[k][i - 1] for k in range(K)]
+            else:
+                ch, ccs = L[i - 1], [Lcs[k][i - 1] for k in range(K)]
             if ch >= 0 and (neg_et is None or LQ[i - 1] <= BP[i - 1]):
-                hh[i], hc[i] = ch, cc
-    return hh, hc
+                hh[i] = ch
+                for k in range(K):
+                    hcs[k][i] = ccs[k]
+    return hh, hcs
 
 
 def _cep_compiled_fn(chains: list, within_us, counted=None):
@@ -536,17 +545,20 @@ def _cep_compiled_fn(chains: list, within_us, counted=None):
     the PRE-row state, then the state absorbs the row — so one event
     can serve step i for future rows while consuming only
     strictly-earlier events for step i+1, exactly the distinct-event
-    binding the batch compiler guarantees."""
+    binding the batch compiler guarantees. `counted` (r12; K counted
+    steps r13) = [(name, etype, up_to), ...] — the main chain's carry
+    pairs with one count-at-start and one running count PER counted
+    step (2·K·(m-1) + K more longs, still O(1))."""
     sizes = [len(steps) - 1 for _, steps in chains]
     flag_names = [name for name, _ in chains[1:]]
     # per chain, per carry slot j: the negated etype guarding the gap
     # that enters step j+1 (None = ungated)
     qtypes = [[st[2] for st in steps[1:]] for _, steps in chains]
-    # counted (oneOrMore / times(n, m)) repetition output (r12): the
-    # MAIN chain's carry becomes a (start_ts, count-at-start) pair and
-    # one running count of counted-step events rides the state —
-    # (name, etype, up_to) or None
-    cnt_name, cnt_et, up_to = counted if counted else (None, None, None)
+    counted = list(counted) if counted else []
+    cnt_names = [c[0] for c in counted]
+    cnt_ets = [c[1] for c in counted]
+    up_tos = [c[2] for c in counted]
+    K = len(counted)
 
     def fn(
         key: Tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState
@@ -555,8 +567,8 @@ def _cep_compiled_fn(chains: list, within_us, counted=None):
         if state.exists:
             vals = list(state.get)
         else:
-            vals = [-1] * (4 * sum(sizes) + (2 * n0 if counted else 0))
-            vals += ([0] if counted else []) + [0]
+            vals = [-1] * (4 * sum(sizes) + 2 * K * n0)
+            vals += [0] * K + [0]
         CL, off = [], 0
         for n in sizes:
             CL.append((
@@ -565,12 +577,13 @@ def _cep_compiled_fn(chains: list, within_us, counted=None):
                 vals[off + 3 * n:off + 4 * n],
             ))
             off += 4 * n
-        if counted:
-            Cc = vals[off:off + n0]
-            Lc = vals[off + n0:off + 2 * n0]
+        Ccs, Lcs = [], []
+        for _k in range(K):
+            Ccs.append(vals[off:off + n0])
+            Lcs.append(vals[off + n0:off + 2 * n0])
             off += 2 * n0
-            QC = vals[off]
-            off += 1
+        QCs = vals[off:off + K]
+        off += K
         pos = vals[off]
         chunks = [p for p in pdf_iter if len(p)]
         if not chunks:
@@ -590,8 +603,8 @@ def _cep_compiled_fn(chains: list, within_us, counted=None):
                 "sentinel; the batch CepPattern.compile has no such limit)"
             )
         out = {"match_id": [], "match_us": [], "start_us": []}
-        if counted:
-            out[f"n_{cnt_name}"] = []
+        for nm in cnt_names:
+            out[f"n_{nm}"] = []
         for nm in flag_names:
             out[nm] = []
 
@@ -606,9 +619,9 @@ def _cep_compiled_fn(chains: list, within_us, counted=None):
             t = int(t)
             if counted:
                 C0, L0, BP0, LQ0 = CL[0]
-                hh, hc = _cep_chain_hits_paired(
-                    chains[0][1], C0, L0, BP0, LQ0, Cc, Lc, QC, cnt_et,
-                    etype, t,
+                hh, hcs = _cep_chain_hits_paired(
+                    chains[0][1], C0, L0, BP0, LQ0, Ccs, Lcs, QCs,
+                    cnt_ets, etype, t,
                 )
                 hits = [hh] + [
                     _cep_chain_hits(steps, C, L, BP, LQ, etype, t)
@@ -624,10 +637,12 @@ def _cep_compiled_fn(chains: list, within_us, counted=None):
                 out["match_id"].append(int(eid))
                 out["match_us"].append(t)
                 out["start_us"].append(hits[0][-1])
-                if counted:
-                    pool = QC + (1 if etype == cnt_et else 0) - hc[-1]
-                    out[f"n_{cnt_name}"].append(
-                        pool if up_to is None else min(pool, up_to)
+                for k in range(K):
+                    pool = (QCs[k] + (1 if etype == cnt_ets[k] else 0)
+                            - hcs[k][-1])
+                    out[f"n_{cnt_names[k]}"].append(
+                        pool if up_tos[k] is None
+                        else min(pool, up_tos[k])
                     )
                 for nm, h in zip(flag_names, hits[1:]):
                     out[nm].append(ok(h[-1], t))
@@ -637,9 +652,16 @@ def _cep_compiled_fn(chains: list, within_us, counted=None):
                 paired = counted and ci == 0
                 for i in range(len(C)):
                     if paired:
-                        if (hit[i], hc[i]) > (C[i], Cc[i]):
-                            C[i], Cc[i] = hit[i], hc[i]
-                        Lc[i] = hc[i]
+                        htup = (hit[i],) + tuple(
+                            hcs[k][i] for k in range(K))
+                        ctup = (C[i],) + tuple(
+                            Ccs[k][i] for k in range(K))
+                        if htup > ctup:
+                            C[i] = hit[i]
+                            for k in range(K):
+                                Ccs[k][i] = hcs[k][i]
+                        for k in range(K):
+                            Lcs[k][i] = hcs[k][i]
                     elif hit[i] > C[i]:
                         C[i] = hit[i]
                     if hit[i] >= 0:
@@ -647,12 +669,14 @@ def _cep_compiled_fn(chains: list, within_us, counted=None):
                     L[i] = hit[i]
                     if qt[i] is not None and etype == qt[i]:
                         LQ[i] = pos
-            if counted and etype == cnt_et:
-                QC += 1
+            for k in range(K):
+                if etype == cnt_ets[k]:
+                    QCs[k] += 1
             pos += 1
         state.update(
             tuple(v for C, L, BP, LQ in CL for v in C + L + BP + LQ)
-            + (tuple(Cc) + tuple(Lc) + (QC,) if counted else ())
+            + tuple(v for k in range(K) for v in Ccs[k] + Lcs[k])
+            + tuple(QCs)
             + (pos,)
         )
         if out["match_id"]:
@@ -836,14 +860,17 @@ def cep_compiled_stream(
         state_fields += [f"bp{ci}_{i} BIGINT" for i in range(n)]
         state_fields += [f"lq{ci}_{i} BIGINT" for i in range(n)]
     cnt_col = ""
-    if counted is not None:
-        # the main chain's paired count carry + the running count (r12:
-        # oneOrMore / times(n, m) repetition output streams too)
+    if counted:
+        # the main chain's paired count carries + the running counts
+        # (r12: oneOrMore / times(n, m) repetition output streams too;
+        # r13: K counted steps — one carry pair + one running count
+        # each, the tuple max stays greedy because counts are monotone)
         n0 = len(steps) - 1
-        state_fields += [f"cc_{i} BIGINT" for i in range(n0)]
-        state_fields += [f"lc_{i} BIGINT" for i in range(n0)]
-        state_fields.append("qc BIGINT")
-        cnt_col = f", n_{counted[0]} BIGINT"
+        for k, (nm, _et, _cap) in enumerate(counted):
+            state_fields += [f"cc{k}_{i} BIGINT" for i in range(n0)]
+            state_fields += [f"lc{k}_{i} BIGINT" for i in range(n0)]
+        state_fields += [f"qc{k} BIGINT" for k in range(len(counted))]
+        cnt_col = "".join(f", n_{nm} BIGINT" for nm, _et, _cap in counted)
     state_fields.append("pos BIGINT")
     out_schema = (
         "user_id BIGINT, match_id BIGINT, match_us BIGINT, start_us BIGINT"

@@ -519,8 +519,8 @@ def test_times_range_builder_rules(spark):
         rng.one_or_more()
     with pytest.raises(ValueError, match="not supported"):
         rng.optional()
-    # r12 continuation: ONE counted step streams (the carry pairs with
-    # a count-at-start); a second quantified step refuses
+    # r12: counted steps stream (the carry pairs with a count-at-start);
+    # r13: ANY number of counted steps builds a chain spec
     full = (
         CepPattern.begin("a", etype="A")
         .followed_by("b", etype="B").times(2, 4)
@@ -535,8 +535,8 @@ def test_times_range_builder_rules(spark):
         .followed_by("d", etype="A").one_or_more()
         .followed_by("e", etype="B")
     )
-    with pytest.raises(ValueError, match="ONE repetition count"):
-        two.stream_chains()
+    main2, _ = two.stream_chains()
+    assert [e for e, *_ in main2] == ["A", "B", "C", "A", "B"]
 
 
 def test_times_range_matches_and_caps(spark):
@@ -940,3 +940,48 @@ def test_skip_to_streaming_twins_match_batch(spark, sf_small,
             .astype("datetime64[us]").astype("int64"),
         )[["user_id", "match_id", "match_us", "start_us"]]
         pd.testing.assert_frame_equal(got, want_us, check_dtype=False)
+
+
+def test_two_counted_steps_streaming_twin(spark, sf_small,
+                                          tmp_path_factory):
+    """K counted steps STREAM (r13, r12 verdict item 8): a pattern with
+    TWO counted quantifiers — view, one-or-more clicks, then a
+    purchase, then one-to-three views before a final click — must
+    stream bit-equal to the batch compile, BOTH n_ outputs included,
+    across micro-batch boundaries (each counted step carries its own
+    count-at-start pair and running count in the keyed state)."""
+    from sparkflow.streaming import stateful
+
+    stream_dir = stateful.split_events_to_files(
+        spark, sf_small, str(tmp_path_factory.mktemp("cep_cnt2_stream")), 3
+    )
+    pat = (
+        CepPattern.begin("signup", etype="signup")
+        .followed_by("click", etype="click").one_or_more()
+        .followed_by("view2", etype="view").times(1, 3)
+        .followed_by("purchase", etype="purchase")
+        .within("72 hours")
+    )
+    sdf = pat.compile_stream(spark, stream_dir, sf_small)
+    stateful.run_to_memory(sdf, "t_cepcnt2", "append")
+    got = (
+        spark.table("t_cepcnt2").toPandas()
+        .sort_values("match_id").reset_index(drop=True)
+    )
+    want = (
+        pat.compile(table(spark, sf_small, "events")).toPandas()
+        .sort_values("match_id").reset_index(drop=True)
+    )
+    assert len(want) > 0
+    want_us = want.assign(
+        match_us=pd.to_datetime(want["match_ts"])
+        .astype("datetime64[us]").astype("int64"),
+        start_us=pd.to_datetime(want["start_ts"])
+        .astype("datetime64[us]").astype("int64"),
+    )[["user_id", "match_id", "match_us", "start_us",
+       "n_click", "n_view2"]]
+    pd.testing.assert_frame_equal(got, want_us, check_dtype=False)
+    # both counts non-trivial: each exceeds 1 somewhere, and the range
+    # cap binds n_view2 <= 3
+    assert got["n_click"].max() > 1
+    assert 1 < got["n_view2"].max() <= 3

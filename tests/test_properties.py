@@ -1034,3 +1034,102 @@ def test_cep_skip_to_next_first_fuzz(streams, types, strategy, within_s):
         # (positions order == (sec, id) order by _cep_df construction,
         # so max row position IS the greedy (ts, row) max)
     assert got == want
+
+
+class _FakeGroupState:
+    """Minimal applyInPandasWithState GroupState stand-in — lets the
+    hypothesis fuzz drive the keyed-state CEP executor directly over
+    random micro-batch splits without paying a streaming query per
+    example."""
+
+    def __init__(self):
+        self._v = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    streams=st.lists(
+        st.lists(_cep_event, min_size=0, max_size=12),
+        min_size=1, max_size=3,
+    ),
+    types=st.tuples(
+        st.sampled_from(["A", "B", "C"]),
+        st.sampled_from(["A", "B", "C"]),
+        st.sampled_from(["A", "B", "C"]),
+        st.sampled_from(["A", "B", "C"]),
+    ),
+    cut=st.integers(min_value=1, max_value=10),
+    within_s=st.integers(min_value=1, max_value=40),
+)
+def test_cep_two_counted_streaming_state_fuzz(streams, types, cut,
+                                              within_s):
+    """K=2 counted steps in the STREAMING state machine (r13, r12
+    verdict item 8): for random streams and random type assignments,
+    driving _cep_compiled_fn through a fake GroupState with a random
+    micro-batch split must emit exactly the batch compile's rows —
+    BOTH n_ outputs included (each counted step's count-at-start pair
+    and running count live in the state and must survive the batch
+    boundary)."""
+    import pandas as pd
+
+    from sparkflow.streaming.cep import CepPattern
+    from sparkflow.streaming.stateful import _cep_compiled_fn
+
+    t0, t1, t2, t3 = types
+    rows, df = _cep_df(_get_spark(), streams)
+    if not rows:
+        return
+
+    pat = (
+        CepPattern.begin("s0", etype=t0)
+        .followed_by("s1", etype=t1).one_or_more()
+        .followed_by("s2", etype=t2).times(1, 3)
+        .followed_by("s3", etype=t3)
+        .within(within_s)
+    )
+    want = {
+        (r.user_id, r.match_id,
+         int(r.start_sec), int(r.n_s1), int(r.n_s2))
+        for r in pat.compile(df).select(
+            "user_id", "match_id", "n_s1", "n_s2",
+            (F.unix_micros("start_ts") / 1_000_000).cast("int")
+            .alias("start_sec"),
+        ).collect()
+    }
+
+    main, variants = pat.stream_chains()
+    chains = [(None, main)] + [(n, v) for n, v in variants]
+    fn = _cep_compiled_fn(
+        chains, within_s * 1_000_000,
+        counted=[("s1", t1, None), ("s2", t2, 3)],
+    )
+    got = set()
+    by_user: dict = {}
+    for uid, ev_id, typ, sec in rows:
+        by_user.setdefault(uid, []).append((ev_id, typ, sec))
+    for uid, seq in by_user.items():
+        state = _FakeGroupState()
+        for batch in (seq[:cut], seq[cut:]):
+            if not batch:
+                continue
+            pdf = pd.DataFrame({
+                "event_id": [e[0] for e in batch],
+                "event_type": [e[1] for e in batch],
+                "ts": pd.to_datetime([e[2] for e in batch], unit="s"),
+            })
+            for out in fn((uid,), iter([pdf]), state):
+                for r in out.itertuples():
+                    got.add((uid, r.match_id, r.start_us // 1_000_000,
+                             int(r.n_s1), int(r.n_s2)))
+    assert got == want
