@@ -185,6 +185,8 @@ class CepPattern:
 
     steps: tuple = field(default_factory=tuple)
     neg: object = None  # (name, pred) terminal negation
+    neg_etype: str | None = None  # declarative form of the terminal
+    # negation's predicate — required by the streaming compile (r13)
     neg_within_us: int | None = None
     within_us: int | None = None
     pending_neg: tuple = None  # (name, pred) awaiting its following step
@@ -448,7 +450,8 @@ class CepPattern:
             # keyed-state gate needs a row-evaluable negated predicate
             return replace(self, pending_neg=(name, pred, etype))
         return replace(
-            self, neg=(name, pred), neg_within_us=_duration_us(within)
+            self, neg=(name, pred), neg_etype=etype,
+            neg_within_us=_duration_us(within)
         )
 
     def within(self, duration) -> "CepPattern":
@@ -577,9 +580,9 @@ class CepPattern:
         join (stateful.cep_negation_stream)."""
         if self.neg is not None or self.pending_neg is not None:
             raise ValueError(
-                "streaming compile covers patterns whose every decision "
-                "is causal — a TERMINAL negation waits on future events "
-                "and streams via the watermarked interval-join twin "
+                "stream_chains() covers the causal chain set — a "
+                "TERMINAL negation streams via compile_stream's "
+                "watermark-delayed hold (r13), not as a carry chain "
                 "(mid-pattern negations stream fine)"
             )
         # after_match_skip('skip_past_last_event') streams too (r12):
@@ -639,12 +642,42 @@ class CepPattern:
         (oneOrMore / times(n, m)) stream with their `n_<name>` outputs
         — the carry pairs with one count-at-start per counted step and
         the running counts ride the state (r13, r12 verdict item 8).
-        Only TERMINAL negation refuses (future-dependent).
-        Output timestamps in epoch µs (the stateful-twin convention).
-        Bit-equality with the batch compile is pinned by pytest across
-        micro-batch boundaries for every streaming surface."""
+        TERMINAL negation streams too (r13): candidates hold in keyed
+        state until the watermark passes match_ts + T — see
+        stateful.cep_terminal_negation_stream. Output timestamps in
+        epoch µs (the stateful-twin convention). Bit-equality with the
+        batch compile is pinned by pytest across micro-batch
+        boundaries for every streaming surface (the terminal-negation
+        twin's contract is the match set — its batch-only
+        next_<neg>_ts audit column is unbounded-lookahead)."""
         from . import stateful
 
+        if self.neg is not None:
+            # TERMINAL negation streams via watermark-delayed emission
+            # (r13, r12 verdict item 4): candidates held in keyed state
+            # until the watermark passes match_ts + T, killed on a
+            # negated arrival in the open interval. The annotation
+            # surfaces don't compose here (the batch next_<neg>_ts
+            # audit column is unbounded-lookahead by definition).
+            if any(s.optional for s in self.steps) or self.skip != "no_skip" \
+                    or any(s.one_or_more or s.up_to is not None
+                           for s in self.steps):
+                raise ValueError(
+                    "the terminal-negation streaming twin covers the "
+                    "plain positive chain (optionals / counts / skip "
+                    "strategies compose in the batch compile only)"
+                )
+            if self.neg_etype is None:
+                raise ValueError(
+                    "the terminal negation was built from a Column "
+                    "predicate — declare it with etype=... to compile "
+                    "for streaming"
+                )
+            return stateful.cep_terminal_negation_stream(
+                spark, files_dir, sf_dir,
+                self._event_expansion(self.steps), self.within_us,
+                self.neg_etype, self.neg_within_us,
+            )
         main, variants = self.stream_chains()
         counted = [s for s in self.steps
                    if s.one_or_more or s.up_to is not None]
