@@ -54,6 +54,15 @@ _HN_MAX_QUERIES = 4096
 # lookup, constant-sized, memoized so warm re-invocations (bench loop,
 # explain dumps) skip the extra job.
 _KNN_QUERY_CACHE: dict = {}
+# (session id, published artifact path) -> (weakref(session),
+# DataFrame handle) for the staged KNN matrix (r13): resolving
+# spark.read.parquet(path) re-lists files and re-reads footers — a
+# ~0.2 s driver job per call at sf30 that dominated the staged read.
+# The path embeds the corpus digest, so a corpus change misses this
+# cache by construction (new address), exactly the staging
+# invalidation rule; the PLAN built over the handle stays fresh per
+# query.
+_KNN_MATRIX_CACHE: dict = {}
 _TOP_K = 10
 
 
@@ -318,18 +327,45 @@ def _knn_matrix(spark: SparkSession, sf_dir: str, create: bool = False):
 
     def build() -> DataFrame:
         e = table(spark, sf_dir, "embeddings")
-        # layout: the source corpus is often few large files (one 80 MB
-        # file at the sf10 rung reads as 1-2 tasks), which would
-        # serialize the staged scoring; ~8-way measured optimum at sf10
-        # (2 ways leaves decode+IPC unpipelined at 0.88 s, 32 ways pays
-        # scheduling for trivial tasks at 0.52 s, 8 ways 0.38 s) —
-        # larger corpora keep their natural parallelism
-        parts = max(8, e.rdd.getNumPartitions())
-        return _fxp_matrix_frame(e).repartition(parts)
+        # layout (r13 — replaces r12's max(8, natural-partitions) rule,
+        # which inherited the SOURCE's split count and paid the
+        # python-eval boundary per task: 32 staged tasks at sf30 read
+        # 0.70 s where 8 read 0.54 s; the measured per-task cost of the
+        # Arrow/Python round trip on this box is ~15-25 ms, so task
+        # count — not bytes — dominates until partitions reach ~32 MB):
+        # BYTES-based target, ~32 MB of source per partition, floor 8
+        # for decode/IPC pipelining (r12's measured sf10 optimum).
+        # Grows linearly with the corpus, so a 100× rung gets 100×
+        # the parallelism — the shard-proof property.
+        import os
 
-    return staging.stage_parquet(
+        from ..sources.staging import _table_files
+
+        src_bytes = sum(
+            os.path.getsize(f) for f in _table_files(sf_dir, "embeddings")
+        )
+        parts = max(8, src_bytes // (32 << 20))
+        return _fxp_matrix_frame(e).repartition(int(parts))
+
+    import weakref
+
+    final = staging.shared_path("knn", sf_dir, ("embeddings",), "fxp_matrix")
+    memo_key = (id(spark), final)
+    hit = _KNN_MATRIX_CACHE.get(memo_key)
+    # is_published guard: a retraction (staging.unpublish — the tests'
+    # and benchmarks' cold-posture setup) must make the next probe MISS
+    # even with a cached handle; one os.path.exists per call
+    if hit is not None and hit[0]() is spark and staging.is_published(final):
+        return hit[1]
+    mat = staging.stage_parquet(
         spark, "knn", sf_dir, ("embeddings",), "fxp_matrix", build, create
     )
+    if mat is not None:
+        _KNN_MATRIX_CACHE[memo_key] = (
+            weakref.ref(spark, lambda _, k=memo_key: _KNN_MATRIX_CACHE.pop(k, None)),
+            mat,
+        )
+    return mat
 
 
 def _knn_arrow_read(mat: DataFrame, qid: int, qi) -> DataFrame:
