@@ -68,19 +68,22 @@ Negation (`not_followed_by`):
   Only stacking two negations on the SAME gap refuses (merge the
   predicates with | instead).
 
-Strict-contiguity gating (r11 advice, medium): the dominance arguments
-for `optional()` (skip variant is least constrained) and
-`one_or_more()` (existence collapses to times(1)) hold only under
-RELAXED transitions around the quantified step. A `next()` step
-immediately after an optional/oneOrMore step would REBIND its LAG(1)
-to a different predecessor in the skip/collapsed variant — on
-A,B,C with begin(A).next(B).optional().next(C) the including-B match
-exists but the skip chain demands C immediately after A, so the match
-would be silently dropped. The builder now raises at construction for
-exactly these compositions (next after optional/oneOrMore; oneOrMore
-on a next-reached step; negated gap entered or exited via next),
-mirroring the same-gap double-negation refusal: refuse loudly, never
-mis-match.
+Strict contiguity × quantifiers (r11 advice gated these; r13 lifts all
+but one): `optional()` under a following next() compiles via explicit
+2^k variant-chain enumeration (the skip-variant dominance is unsound
+there — see _needs_variant_enum); `one_or_more()`/`times(n, m)` on a
+next()-REACHED step are exact (the strict LAG(1) binds the FIRST
+repetition — FlinkCEP's semantics — and the existence collapse holds
+because extra repetitions sit after it under relaxed internal
+contiguity); `next()` AFTER a relaxed-reached quantified step is exact
+(the collapsed copy at the LAG(1) predecessor is precisely "the last
+absorbed repetition immediately precedes this step"). The one refusal
+left: strict contiguity on BOTH sides of a variable-length repetition
+(next-reached AND next-followed oneOrMore/times(n, m)) — that demands
+a consecutive run of arbitrary length, which has no fixed LAG(k)
+shape; negated gaps entered or exited via next() also still refuse.
+All lifted compositions are brute-force-fuzzed in
+tests/test_properties.py.
 
 `one_or_more()` additionally emits a repetition COUNT `n_<name>`
 (r11 verdict item 7): the number of step-events the greedy chain can
@@ -250,23 +253,26 @@ class CepPattern:
                 "event, negated or not)"
             )
         last = self.steps[-1]
-        if last.one_or_more or last.up_to is not None:
+        if (last.one_or_more or last.up_to is not None) \
+                and last.contiguity == "next":
             kind = "oneOrMore" if last.one_or_more else "times(n, m)"
             raise ValueError(
-                f"next({name!r}) directly after the "
-                f"{kind} step "
-                f"{last.name!r} is not supported: with the quantified "
-                "step collapsed, LAG(1) rebinds to a different "
-                "predecessor and the collapse is no longer sound — the "
-                "compiled plan would silently drop matches FlinkCEP "
-                "emits. Use followed_by(), or make the repetition a "
-                "fixed times(n)"
+                f"next({name!r}) after the next()-reached {kind} step "
+                f"{last.name!r} is not supported: strict contiguity on "
+                "BOTH sides of a variable-length repetition demands a "
+                "consecutive run of arbitrary length — no fixed LAG(k) "
+                "shape exists and the existence collapse covers only "
+                "one strict edge. Reach or leave the repetition with "
+                "followed_by(), or use a fixed times(n)"
             )
-        # next() after an optional step IS supported (r13, r12 verdict
-        # item 3): the skip-variant dominance no longer applies, so
-        # compile() switches to explicit 2^k variant-chain enumeration
-        # for the optional steps in the strict region — see
-        # _needs_variant_enum
+        # r13: next() after a RELAXED-reached oneOrMore/times(n, m)
+        # step is sound — the existence collapse places the single
+        # collapsed copy at the LAG(1) predecessor, which is exactly
+        # "the last absorbed repetition is immediately before this
+        # step" (see one_or_more's docstring; brute-force fuzz in
+        # tests/test_properties.py). Likewise next() after an optional
+        # step (r12 verdict item 3): compile() switches to explicit
+        # 2^k variant-chain enumeration — see _needs_variant_enum
         return replace(
             self,
             steps=self.steps + (_Step(
@@ -308,13 +314,9 @@ class CepPattern:
                     "LAG(k) shape — use consecutive times(n) or a "
                     "relaxed range"
                 )
-            if last.contiguity == "next":
-                raise ValueError(
-                    f"times(n, m) on the next()-reached step "
-                    f"{last.name!r} is not supported: the existence "
-                    "collapse assumes relaxed contiguity (see "
-                    "one_or_more) — declare the step with followed_by()"
-                )
+            # r13: a next()-REACHED times(n, m) is sound — the strict
+            # LAG(1) binds the first copy, inner copies stay relaxed
+            # (see one_or_more); only strict-on-both-sides refuses
             if last.contiguity == "begin":
                 raise ValueError(
                     "times(n, m) on the begin step is not supported — "
@@ -390,14 +392,12 @@ class CepPattern:
         if self.neg is not None or self.pending_neg is not None:
             raise ValueError("one_or_more() cannot apply to notFollowedBy")
         last = self.steps[-1]
-        if last.contiguity == "next":
-            raise ValueError(
-                f"one_or_more() on the next()-reached step {last.name!r} "
-                "is not supported: the existence collapse assumes "
-                "relaxed contiguity, and a strict LAG(1) transition "
-                "would silently miss matches at later repetitions — "
-                "declare the step with followed_by()"
-            )
+        # r13: a next()-REACHED oneOrMore is sound — the strict LAG(1)
+        # binds the FIRST repetition (FlinkCEP's semantics of
+        # next(B).oneOrMore(): the group's first element follows
+        # strictly), and the collapse holds because extra repetitions
+        # sit after it under relaxed internal contiguity. Only
+        # strict-on-BOTH-sides refuses (see next()).
         if last.contiguity == "begin":
             raise ValueError(
                 "one_or_more() on the begin step is not supported — the "
@@ -1361,6 +1361,76 @@ def stream_cep_one_or_more(spark: SparkSession, sf_dir: str) -> DataFrame:
         .followed_by("click", etype="click")
         .one_or_more()
         .followed_by("purchase", etype="purchase")
+        .within("36 hours")
+    )
+    return pat.compile(
+        table(spark, sf_dir, "events"),
+        key="user_id",
+        ts="ts",
+        tiebreak="event_id",
+    )
+
+
+@register(
+    "stream_cep_one_or_more_next",
+    oracle=f"""
+    WITH s0 AS (
+      SELECT user_id, event_id, event_type, ts,
+             COUNT(CASE WHEN event_type = 'click' THEN 1 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS cnt,
+             CASE WHEN event_type = 'view' THEN
+               {{'h': ts,
+                 'c0': COUNT(CASE WHEN event_type = 'click' THEN 1 END)
+                         OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING)
+                       + (CASE WHEN event_type = 'click'
+                               THEN 1 ELSE 0 END)}}
+             END AS h0
+      FROM events
+    ), s1 AS (
+      SELECT *, CASE WHEN event_type = 'click'
+                     THEN {_CEP_CARRY.format(src='h0')} END AS h1
+      FROM s0
+    ), s2 AS (
+      SELECT *, CASE WHEN event_type = 'purchase'
+                     THEN LAG(h1) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) END AS h2
+      FROM s1
+    )
+    SELECT user_id, event_id AS match_id, ts AS match_ts,
+           h2.h AS start_ts,
+           CAST(cnt + (CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                - h2.c0 AS BIGINT) AS n_click
+    FROM s2
+    WHERE h2.h IS NOT NULL
+      AND epoch_us(ts) - epoch_us(h2.h) <= 129600000000::BIGINT
+    """,
+)
+def stream_cep_one_or_more_next(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """oneOrMore LEAVING via strict contiguity (r13 — previously a
+    construction refusal): `begin(view).followedBy(click).oneOrMore()
+    .next(purchase).within(36h)` — a click streak whose purchase fires
+    IMMEDIATELY after the last absorbed click (the impulse-checkout
+    pattern: no intervening event between the final click and the
+    buy), emitting `n_click` = the streak's pool. The existence
+    collapse survives ONE strict edge: the collapsed single copy at
+    purchase's LAG(1) predecessor is exactly "some repetition is the
+    immediately preceding event", and every pool click before it stays
+    absorbable under relaxed internal contiguity. Only strict
+    contiguity on BOTH sides of a repetition still refuses (a
+    variable-length consecutive run has no fixed LAG(k) shape). The
+    oracle unrolls the same struct-count carry with a LAG final hop;
+    brute-force fuzz over random streams incl. type collisions is in
+    tests/test_properties.py; streams with the same O(1) keyed state
+    as every counted pattern (twin pytest)."""
+    pat = (
+        CepPattern.begin("view", etype="view")
+        .followed_by("click", etype="click")
+        .one_or_more()
+        .next("purchase", etype="purchase")
         .within("36 hours")
     )
     return pat.compile(

@@ -427,11 +427,17 @@ def test_strict_contiguity_gating_r12():
     # relaxed-region optionals keep the k+1 shortcut (path unchanged)
     assert not (CepPattern.begin("a", p).next("b", p).optional()
                 .followed_by("c", p))._needs_variant_enum()
+    # r13: ONE strict edge around a quantifier is sound and allowed —
+    # next()-reached (first repetition binds strictly) and
+    # next()-followed (last repetition immediately precedes) both
+    # construct; only strict-on-BOTH-sides refuses (a variable-length
+    # consecutive run has no fixed LAG(k) shape)
     oom = CepPattern.begin("a", p).followed_by("b", p).one_or_more()
-    with pytest.raises(ValueError, match="oneOrMore"):
-        oom.next("c", p)
-    with pytest.raises(ValueError, match="followed_by"):
-        CepPattern.begin("a", p).next("b", p).one_or_more()
+    assert oom.next("c", p).steps[-1].contiguity == "next"
+    entered = CepPattern.begin("a", p).next("b", p).one_or_more()
+    assert entered.steps[-1].one_or_more
+    with pytest.raises(ValueError, match="BOTH sides"):
+        entered.next("c", p)
     with pytest.raises(ValueError, match="begin step"):
         CepPattern.begin("a", p).one_or_more()
     with pytest.raises(ValueError, match="re-quantify"):
@@ -508,13 +514,16 @@ def test_times_range_builder_rules(spark):
         base.times(3, 2)
     with pytest.raises(ValueError, match="consecutive"):
         base.times(2, 4, consecutive=True)
-    with pytest.raises(ValueError, match="followed_by"):
-        CepPattern.begin("a", p).next("b", p).times(2, 4)
+    # r13: a next()-reached range constructs (one strict edge is
+    # sound); both-strict still refuses
+    entered = CepPattern.begin("a", p).next("b", p).times(2, 4)
+    assert entered.steps[-1].up_to == 4
+    with pytest.raises(ValueError, match="BOTH sides"):
+        entered.next("c", p)
     with pytest.raises(ValueError, match="begin step"):
         CepPattern.begin("a", p).times(1, 3)
     rng = base.times(2, 4)
-    with pytest.raises(ValueError, match="times"):
-        rng.next("c", p)
+    assert rng.next("c", p).steps[-1].contiguity == "next"
     with pytest.raises(ValueError, match="re-quantify"):
         rng.one_or_more()
     with pytest.raises(ValueError, match="not supported"):
@@ -808,6 +817,14 @@ def test_counted_streaming_twins_match_batch(spark, sf_small,
             .followed_by("click", etype="click").times(2, 4)
             .followed_by("purchase", etype="purchase")
             .within("48 hours")
+        ),
+        # r13: strict EXIT edge — the LAG carry (L/Lc state) feeds the
+        # final hop, so the twin also pins the paired-count lag path
+        "oom_next": (
+            CepPattern.begin("view", etype="view")
+            .followed_by("click", etype="click").one_or_more()
+            .next("purchase", etype="purchase")
+            .within("36 hours")
         ),
     }
     for tag, pat in pats.items():

@@ -1133,3 +1133,90 @@ def test_cep_two_counted_streaming_state_fuzz(streams, types, cut,
                     got.add((uid, r.match_id, r.start_us // 1_000_000,
                              int(r.n_s1), int(r.n_s2)))
     assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    streams=st.lists(
+        st.lists(_cep_event, min_size=0, max_size=10),
+        min_size=1, max_size=3,
+    ),
+    types=st.tuples(
+        st.sampled_from(["A", "B", "C"]),
+        st.sampled_from(["A", "B", "C"]),
+        st.sampled_from(["A", "B", "C"]),
+    ),
+    edge=st.sampled_from(["enter", "exit"]),
+    quant=st.sampled_from(["oom", "range"]),
+    within_s=st.integers(min_value=1, max_value=40),
+)
+def test_cep_strict_edge_quantifier_fuzz(streams, types, edge, quant,
+                                         within_s):
+    """Quantifiers with ONE strict edge (r13 — previously refused at
+    construction): A next B+/B{n,m} fb C (strict ENTER — the first
+    repetition binds the event immediately after A) and
+    A fb B+/B{n,m} next C (strict EXIT — the last absorbed repetition
+    is the event immediately before C), checked against brute-force
+    chain enumeration with adjacency on the strict edge; n_<b> must
+    equal the documented pool (B-typed events in (greedy start,
+    match]), capped for ranges. Type collisions and same-second ties
+    included."""
+    import itertools
+
+    from sparkflow.streaming.cep import CepPattern
+
+    a_t, b_t, c_t = types
+    rows, df = _cep_df(_get_spark(), streams)
+    if not rows:
+        return
+
+    pat = CepPattern.begin("a", etype=a_t)
+    if edge == "enter":
+        pat = pat.next("b", etype=b_t)
+    else:
+        pat = pat.followed_by("b", etype=b_t)
+    n_req = 1 if quant == "oom" else 2
+    pat = pat.one_or_more() if quant == "oom" else pat.times(2, 3)
+    if edge == "enter":
+        pat = pat.followed_by("c", etype=c_t)
+    else:
+        pat = pat.next("c", etype=c_t)
+    pat = pat.within(within_s)
+    got = {
+        (r.user_id, r.match_id): (r.start_sec, r.n_b)
+        for r in pat.compile(df).select(
+            "user_id", "match_id", "n_b",
+            (F.unix_micros("start_ts") / 1_000_000).cast("int")
+            .alias("start_sec"),
+        ).collect()
+    }
+
+    by_user: dict = {}
+    for idx, (uid, ev_id, typ, sec) in enumerate(rows):
+        by_user.setdefault(uid, []).append((typ, sec, ev_id, idx))
+    want: dict = {}
+    for uid, seq in by_user.items():
+        n = len(seq)
+        for combo in itertools.combinations(range(n), n_req + 2):
+            pa, pbs, pc = combo[0], combo[1:-1], combo[-1]
+            if seq[pa][0] != a_t or seq[pc][0] != c_t:
+                continue
+            if any(seq[pb][0] != b_t for pb in pbs):
+                continue
+            if edge == "enter" and pbs[0] != pa + 1:
+                continue
+            if edge == "exit" and pc != pbs[-1] + 1:
+                continue
+            if seq[pc][1] - seq[pa][1] > within_s:
+                continue
+            key = (uid, seq[pc][2])
+            prev = want.get(key)
+            if prev is None or (seq[pa][1], pa) > prev[:2]:
+                want[key] = (seq[pa][1], pa, pc)
+    expect = {}
+    for (uid, mid), (sec, pa, pc) in want.items():
+        seq = by_user[uid]
+        pool = sum(1 for k in range(pa + 1, pc + 1) if seq[k][0] == b_t)
+        expect[(uid, mid)] = (sec, pool if quant == "oom"
+                              else min(pool, 3))
+    assert got == expect
