@@ -596,10 +596,10 @@ class CepPattern:
         if self._needs_variant_enum():
             raise ValueError(
                 "optional steps in a strict-contiguity region compile "
-                "for batch via 2^k variant enumeration (the match gate "
-                "is an OR over variants), which the main-chain-gated "
-                "streaming state machine does not carry yet — make the "
-                "post-optional transitions relaxed to stream"
+                "via 2^k variant enumeration, not a main-chain-plus-"
+                "annotations set — stream_chains() has no single "
+                "gating chain to return (compile_stream routes these "
+                "patterns to the enum-gated state machine directly)"
             )
         counted = [s for s in self.steps
                    if s.one_or_more or s.up_to is not None]
@@ -677,6 +677,51 @@ class CepPattern:
                 spark, files_dir, sf_dir,
                 self._event_expansion(self.steps), self.within_us,
                 self.neg_etype, self.neg_within_us,
+            )
+        if self._needs_variant_enum():
+            # r13: the strict-contiguity optional region streams as the
+            # same 2^k variant-chain set the batch compile enumerates —
+            # every variant is an ordinary carry chain in keyed state;
+            # emission OR-gates across variants with greedy max-start
+            # (see stateful._cep_compiled_fn's enum mode)
+            if any(s.one_or_more or s.up_to is not None
+                   for s in self.steps):
+                raise ValueError(
+                    "repetition counts do not compose with optional "
+                    "steps in a strict-contiguity region (the batch "
+                    "compile refuses the same combination)"
+                )
+            if self.skip != "no_skip":
+                raise ValueError(
+                    "after_match_skip does not compose with optional "
+                    "steps (the batch compile refuses the same "
+                    "combination)"
+                )
+            opts = [(i, s) for i, s in enumerate(self.steps)
+                    if s.optional]
+            if len(opts) > 6:
+                raise ValueError(
+                    f"{len(opts)} optional steps under strict "
+                    "contiguity would enumerate "
+                    f"{2 ** len(opts)} variant chains — cap is 6"
+                )
+            masks, variant_steps = [], []
+            for mask in range(1 << len(opts)):
+                inc = {i for j, (i, _s) in enumerate(opts)
+                       if mask >> j & 1}
+                chain = [s for i, s in enumerate(self.steps)
+                         if not s.optional or i in inc]
+                variant_steps.append(self._event_expansion(chain))
+                masks.append(frozenset(
+                    f"with_{s.name}" for i, s in opts if i in inc
+                ))
+            flag_names = [f"with_{s.name}" for _i, s in opts]
+            # the all-include variant (longest) carries the >=2-step
+            # sanity check; the enum chains drive everything else
+            return stateful.cep_compiled_stream(
+                spark, files_dir, sf_dir, variant_steps[-1],
+                self.within_us,
+                enum=(masks, variant_steps, flag_names),
             )
         main, variants = self.stream_chains()
         counted = [s for s in self.steps

@@ -529,7 +529,7 @@ def _cep_chain_hits_paired(steps, C, L, BP, LQ, Ccs, Lcs, QCs, cnt_ets,
     return hh, hcs
 
 
-def _cep_compiled_fn(chains: list, within_us, counted=None):
+def _cep_compiled_fn(chains: list, within_us, counted=None, enum=None):
     """Keyed-state executor for a compiled CEP pattern: `chains` =
     [(flag_name_or_None, expanded_steps)], the first chain GATES the
     match (cep.CepPattern's required steps), later chains annotate
@@ -548,9 +548,24 @@ def _cep_compiled_fn(chains: list, within_us, counted=None):
     binding the batch compiler guarantees. `counted` (r12; K counted
     steps r13) = [(name, etype, up_to), ...] — the main chain's carry
     pairs with one count-at-start and one running count PER counted
-    step (2·K·(m-1) + K more longs, still O(1))."""
+    step (2·K·(m-1) + K more longs, still O(1)).
+
+    `enum` (r13 — strict-contiguity optional regions): instead of
+    chain 0 gating and later chains annotating, EVERY chain is one of
+    the batch compile's 2^k include/exclude variants; enum =
+    (masks, flag_names) with masks[i] = the set of optional-step names
+    variant i includes. A row matches when ANY variant completes
+    within the window; start_us = the max satisfied variant's carry
+    (greedy max-start ACROSS variants — the batch GREATEST) and
+    with_<o> = OR over satisfied variants including o. Same per-chain
+    state as the annotation mode."""
     sizes = [len(steps) - 1 for _, steps in chains]
-    flag_names = [name for name, _ in chains[1:]]
+    if enum is not None:
+        enum_masks, flag_names = enum
+        assert counted is None
+    else:
+        enum_masks = None
+        flag_names = [name for name, _ in chains[1:]]
     # per chain, per carry slot j: the negated etype guarding the gap
     # that enters step j+1 (None = ungated)
     qtypes = [[st[2] for st in steps[1:]] for _, steps in chains]
@@ -633,7 +648,20 @@ def _cep_compiled_fn(chains: list, within_us, counted=None):
                     _cep_chain_hits(steps, C, L, BP, LQ, etype, t)
                     for (C, L, BP, LQ), (_, steps) in zip(CL, chains)
                 ]
-            if ok(hits[0][-1], t):
+            if enum_masks is not None:
+                oks = [ok(h[-1], t) for h in hits]
+                if any(oks):
+                    out["match_id"].append(int(eid))
+                    out["match_us"].append(t)
+                    out["start_us"].append(max(
+                        h[-1] for h, okv in zip(hits, oks) if okv
+                    ))
+                    for nm in flag_names:
+                        out[nm].append(any(
+                            okv for okv, mask in zip(oks, enum_masks)
+                            if nm in mask
+                        ))
+            elif ok(hits[0][-1], t):
                 out["match_id"].append(int(eid))
                 out["match_us"].append(t)
                 out["start_us"].append(hits[0][-1])
@@ -969,7 +997,7 @@ def cep_terminal_negation_stream(
 def cep_compiled_stream(
     spark: SparkSession, files_dir: str, sf_dir: str,
     steps: list, within_us, flag_variants=(), skip="no_skip",
-    anchor_idx=None, counted=None,
+    anchor_idx=None, counted=None, enum=None,
 ) -> DataFrame:
     """True-streaming execution of a compiled CEP pattern (reached via
     cep.CepPattern.compile_stream): any begin/next/followedBy/times
@@ -1010,9 +1038,18 @@ def cep_compiled_stream(
             outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
-    chains = [(None, list(steps))] + [
-        (name, list(v)) for name, v in flag_variants
-    ]
+    if enum is not None:
+        # r13: strict-contiguity optional region — every chain is one
+        # of the 2^k include/exclude variants; OR-gated emission with
+        # greedy max-start ACROSS variants (see _cep_compiled_fn)
+        masks, variant_steps, flag_names = enum
+        chains = [(None, list(v)) for v in variant_steps]
+        enum_arg = (list(masks), list(flag_names))
+    else:
+        chains = [(None, list(steps))] + [
+            (name, list(v)) for name, v in flag_variants
+        ]
+        enum_arg = None
     state_fields = []
     for ci, (_, ch) in enumerate(chains):
         n = len(ch) - 1
@@ -1033,13 +1070,16 @@ def cep_compiled_stream(
         state_fields += [f"qc{k} BIGINT" for k in range(len(counted))]
         cnt_col = "".join(f", n_{nm} BIGINT" for nm, _et, _cap in counted)
     state_fields.append("pos BIGINT")
+    flag_cols = (enum_arg[1] if enum_arg is not None
+                 else [name for name, _ in chains[1:]])
     out_schema = (
         "user_id BIGINT, match_id BIGINT, match_us BIGINT, start_us BIGINT"
         + cnt_col
-        + "".join(f", {name} BOOLEAN" for name, _ in chains[1:])
+        + "".join(f", {name} BOOLEAN" for name in flag_cols)
     )
     return ev.groupBy("user_id").applyInPandasWithState(
-        _cep_compiled_fn(chains, within_us, counted=counted),
+        _cep_compiled_fn(chains, within_us, counted=counted,
+                         enum=enum_arg),
         outputStructType=out_schema,
         stateStructType=", ".join(state_fields),
         outputMode="append",

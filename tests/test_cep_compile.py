@@ -1164,3 +1164,43 @@ def test_terminal_negation_late_kill_hand_case():
     assert got == [(1, 10_000_000)]
     # ...but NOT if the watermark has not yet passed the deadline
     assert run([[(0, "A", 0), (1, "B", 10)]], [10_000], None) == []
+
+
+def test_enum_variant_streaming_twin(spark, sf_small, tmp_path_factory):
+    """Strict-contiguity optional STREAMS (r13): the 2^k variant
+    chains ride the keyed state like any carry chain, OR-gated with
+    greedy max-start across variants — the streaming compile of the
+    registered next+optional pattern must equal the batch compile's
+    matches, starts AND with_click flags across micro-batch
+    boundaries."""
+    from sparkflow.streaming import stateful
+
+    stream_dir = stateful.split_events_to_files(
+        spark, sf_small, str(tmp_path_factory.mktemp("cep_enum_stream")), 3
+    )
+    pat = (
+        CepPattern.begin("view", etype="view")
+        .next("click", etype="click")
+        .optional()
+        .next("purchase", etype="purchase")
+        .within("48 hours")
+    )
+    sdf = pat.compile_stream(spark, stream_dir, sf_small)
+    stateful.run_to_memory(sdf, "t_cepenum", "append")
+    got = (
+        spark.table("t_cepenum").toPandas()
+        .sort_values("match_id").reset_index(drop=True)
+    )
+    want = (
+        pat.compile(table(spark, sf_small, "events")).toPandas()
+        .sort_values("match_id").reset_index(drop=True)
+    )
+    assert len(want) > 0
+    assert want["with_click"].any() and not want["with_click"].all()
+    want_us = want.assign(
+        match_us=pd.to_datetime(want["match_ts"])
+        .astype("datetime64[us]").astype("int64"),
+        start_us=pd.to_datetime(want["start_ts"])
+        .astype("datetime64[us]").astype("int64"),
+    )[["user_id", "match_id", "match_us", "start_us", "with_click"]]
+    pd.testing.assert_frame_equal(got, want_us, check_dtype=False)

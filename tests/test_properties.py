@@ -1220,3 +1220,99 @@ def test_cep_strict_edge_quantifier_fuzz(streams, types, edge, quant,
         expect[(uid, mid)] = (sec, pool if quant == "oom"
                               else min(pool, 3))
     assert got == expect
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    streams=st.lists(
+        st.lists(_cep_event, min_size=0, max_size=12),
+        min_size=1, max_size=3,
+    ),
+    pattern_types=st.lists(
+        st.sampled_from(["A", "B", "C"]), min_size=3, max_size=4
+    ),
+    strict_mask=st.integers(min_value=1, max_value=7),
+    opt_idx=st.integers(min_value=0, max_value=2),
+    cut=st.integers(min_value=1, max_value=10),
+    within_s=st.integers(min_value=1, max_value=40),
+)
+def test_cep_enum_streaming_state_fuzz(streams, pattern_types,
+                                       strict_mask, opt_idx, cut,
+                                       within_s):
+    """The enum-gated streaming state machine (r13): for random
+    patterns with one optional step in a strict-contiguity region,
+    driving _cep_compiled_fn's enum mode through a fake GroupState
+    with a random micro-batch split must emit exactly the batch
+    compile's rows — match set, greedy-across-variants start, and the
+    with_<o> flag (the 2^k variant carries and their OR-gate live in
+    keyed state and must survive the batch boundary)."""
+    import pandas as pd
+
+    from sparkflow.streaming.cep import CepPattern
+    from sparkflow.streaming.stateful import _cep_compiled_fn
+
+    m = len(pattern_types)
+    opt = min(opt_idx, m - 2)
+    strict = [False] + [bool(strict_mask >> (i - 1) & 1)
+                        for i in range(1, m)]
+    if not any(strict[opt + 1:]):
+        strict[opt + 1] = True  # force the enum region
+    rows, df = _cep_df(_get_spark(), streams)
+    if not rows:
+        return
+
+    pat = CepPattern.begin("s0", etype=pattern_types[0])
+    if opt == 0:
+        pat = pat.optional()
+    for i in range(1, m):
+        if strict[i]:
+            pat = pat.next(f"s{i}", etype=pattern_types[i])
+        else:
+            pat = pat.followed_by(f"s{i}", etype=pattern_types[i])
+        if i == opt:
+            pat = pat.optional()
+    pat = pat.within(within_s)
+    assert pat._needs_variant_enum()
+    flag = f"with_s{opt}"
+    want = {
+        (r.user_id, r.match_id, int(r.start_sec), bool(r[flag]))
+        for r in pat.compile(df).select(
+            "user_id", "match_id", flag,
+            (F.unix_micros("start_ts") / 1_000_000).cast("int")
+            .alias("start_sec"),
+        ).collect()
+    }
+
+    # build the enum chain set exactly as compile_stream does
+    opts = [(i, s) for i, s in enumerate(pat.steps) if s.optional]
+    masks, variant_steps = [], []
+    for mask in range(1 << len(opts)):
+        inc = {i for j, (i, _s) in enumerate(opts) if mask >> j & 1}
+        chain = [s for i, s in enumerate(pat.steps)
+                 if not s.optional or i in inc]
+        variant_steps.append(pat._event_expansion(chain))
+        masks.append(frozenset(
+            f"with_{s.name}" for i, s in opts if i in inc))
+    fn = _cep_compiled_fn(
+        [(None, v) for v in variant_steps], within_s * 1_000_000,
+        enum=(masks, [flag]),
+    )
+    got = set()
+    by_user: dict = {}
+    for uid, ev_id, typ, sec in rows:
+        by_user.setdefault(uid, []).append((ev_id, typ, sec))
+    for uid, seq in by_user.items():
+        state = _FakeGroupState()
+        for batch in (seq[:cut], seq[cut:]):
+            if not batch:
+                continue
+            pdf = pd.DataFrame({
+                "event_id": [e[0] for e in batch],
+                "event_type": [e[1] for e in batch],
+                "ts": pd.to_datetime([e[2] for e in batch], unit="s"),
+            })
+            for out in fn((uid,), iter([pdf]), state):
+                for r in out.itertuples():
+                    got.add((uid, r.match_id, r.start_us // 1_000_000,
+                             bool(getattr(r, flag))))
+    assert got == want
