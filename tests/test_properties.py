@@ -1316,3 +1316,91 @@ def test_cep_enum_streaming_state_fuzz(streams, pattern_types,
                     got.add((uid, r.match_id, r.start_us // 1_000_000,
                              bool(getattr(r, flag))))
     assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    streams=st.lists(
+        st.lists(_cep_event, min_size=0, max_size=10),
+        min_size=1, max_size=3,
+    ),
+    types=st.tuples(
+        st.sampled_from(["A", "B", "C"]),
+        st.sampled_from(["A", "B", "C"]),
+        st.sampled_from(["A", "B", "C"]),
+        st.sampled_from(["A", "B", "C"]),
+    ),
+    neg_type=st.sampled_from(["A", "B", "C"]),
+    within_s=st.integers(min_value=1, max_value=40),
+)
+def test_cep_enum_with_negated_gap_fuzz(streams, types, neg_type,
+                                        within_s):
+    """Composition (r13): a mid-pattern negated gap INSIDE a
+    strict-optional enum region — begin(a).notFollowedBy(q)
+    .followedBy(b).followedBy(c).optional().next(d) — every variant
+    chain carries the gated a→b hop, the skip variant binds d's LAG(1)
+    to b, the include variant to c. Brute force enumerates both
+    variants with the gap constraint and strict adjacency, reporting
+    max start across variants and the with_c flag."""
+    import itertools
+
+    from sparkflow.streaming.cep import CepPattern
+
+    a_t, b_t, c_t, d_t = types
+    rows, df = _cep_df(_get_spark(), streams)
+    if not rows:
+        return
+
+    pat = (
+        CepPattern.begin("a", etype=a_t)
+        .not_followed_by("q", etype=neg_type)
+        .followed_by("b", etype=b_t)
+        .followed_by("c", etype=c_t)
+        .optional()
+        .next("d", etype=d_t)
+        .within(within_s)
+    )
+    assert pat._needs_variant_enum()
+    got = {
+        (r.user_id, r.match_id): (r.start_sec, bool(r.with_c))
+        for r in pat.compile(df).select(
+            "user_id", "match_id", "with_c",
+            (F.unix_micros("start_ts") / 1_000_000).cast("int")
+            .alias("start_sec"),
+        ).collect()
+    }
+
+    by_user: dict = {}
+    for idx, (uid, ev_id, typ, sec) in enumerate(rows):
+        by_user.setdefault(uid, []).append((typ, sec, ev_id))
+    want: dict = {}
+    for uid, seq in by_user.items():
+        def gap_clean(lo, hi):
+            return not any(seq[k][0] == neg_type for k in range(lo + 1, hi))
+
+        for inc_c in (False, True):
+            klen = 4 if inc_c else 3
+            for combo in itertools.combinations(range(len(seq)), klen):
+                ts_ok = seq[combo[-1]][1] - seq[combo[0]][1] <= within_s
+                if not ts_ok:
+                    continue
+                if inc_c:
+                    pa, pb, pc, pd_ = combo
+                    shape = (seq[pa][0] == a_t and seq[pb][0] == b_t
+                             and seq[pc][0] == c_t and seq[pd_][0] == d_t
+                             and pd_ == pc + 1)
+                else:
+                    pa, pb, pd_ = combo
+                    shape = (seq[pa][0] == a_t and seq[pb][0] == b_t
+                             and seq[pd_][0] == d_t and pd_ == pb + 1)
+                if not shape or not gap_clean(pa, pb):
+                    continue
+                key = (uid, seq[pd_][2])
+                start = seq[pa][1]
+                prev = want.get(key)
+                if prev is None:
+                    want[key] = [start, inc_c]
+                else:
+                    want[key] = [max(prev[0], start),
+                                 prev[1] or inc_c]
+    assert got == {k: (v[0], v[1]) for k, v in want.items()}
