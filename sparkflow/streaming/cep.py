@@ -192,6 +192,10 @@ class CepPattern:
     # negation's predicate — required by the streaming compile (r13)
     neg_within_us: int | None = None
     within_us: int | None = None
+    gap_us: int | None = None  # FlinkCEP WithinType.PREVIOUS_AND_CURRENT
+    # (r13): per-TRANSITION event-time bound — every consecutive pair
+    # of matched events must lie within this horizon (vs within_us,
+    # FIRST_AND_LAST, the whole-chain span); both may be set
     pending_neg: tuple = None  # (name, pred) awaiting its following step
     skip: str = "no_skip"  # after-match strategy: 'no_skip' emits every
     # match row (the default one-row-per-match-row contract);
@@ -454,10 +458,37 @@ class CepPattern:
             neg_within_us=_duration_us(within)
         )
 
-    def within(self, duration) -> "CepPattern":
-        """Whole-pattern time bound (FlinkCEP within): the chain's span
-        from first to last matched event must be <= duration."""
-        return replace(self, within_us=_duration_us(duration))
+    def within(self, duration, type: str = "first_and_last") -> "CepPattern":
+        """Time bound (FlinkCEP `within(Duration, WithinType)`):
+
+        - ``first_and_last`` (default — FlinkCEP's FIRST_AND_LAST): the
+          chain's span from first to last matched event <= duration.
+        - ``previous_and_current`` (r13 — FlinkCEP 1.17's
+          PREVIOUS_AND_CURRENT): EVERY consecutive pair of matched
+          events lies within duration — the gap bound. The max-start
+          recursion stays exact (each hop's carry becomes the max over
+          predecessors INSIDE the gap window — a RANGE frame over
+          event-time µs plus a same-µs ROWS frame for ties, no new
+          exchange), but the theorems that elide repetitions do NOT
+          survive it: a repetition chain can bridge time that the
+          collapsed single hop cannot, so oneOrMore/times(n, m)
+          refuse; skipping an optional can merge two short gaps into
+          one long one, so optional steps compile via the 2^k variant
+          enumeration; mid-pattern negated gaps refuse (the
+          latest-prefix-row struct would need the same bounded-window
+          machinery — not yet built). Fixed times(n) is exact (every
+          copy is a real hop). Both bounds may be active at once.
+
+        Calling within() twice with the same type replaces that bound;
+        the two types accumulate independently."""
+        if type == "first_and_last":
+            return replace(self, within_us=_duration_us(duration))
+        if type == "previous_and_current":
+            return replace(self, gap_us=_duration_us(duration))
+        raise ValueError(
+            f"unsupported WithinType {type!r} — 'first_and_last' and "
+            "'previous_and_current' are implemented"
+        )
 
     def after_match_skip(self, strategy: str,
                          step: str | None = None) -> "CepPattern":
@@ -561,9 +592,17 @@ class CepPattern:
         semantics; provably equal to the shortcut when every adjacent
         transition is relaxed). Conservative: any next() after the
         first optional position triggers enumeration even if no strict
-        transition is actually adjacent to an optional."""
+        transition is actually adjacent to an optional. A per-gap
+        bound (within previous_and_current, r13) triggers it for ANY
+        optional: skipping a step merges two gaps into one, which can
+        exceed the bound the separate gaps each met — the skip variant
+        is not less constrained there either."""
         opt_idx = [i for i, s in enumerate(self.steps) if s.optional]
-        return bool(opt_idx) and any(
+        if not opt_idx:
+            return False
+        if self.gap_us is not None:
+            return True
+        return any(
             s.contiguity == "next" for s in self.steps[opt_idx[0] + 1:]
         )
 
@@ -652,6 +691,14 @@ class CepPattern:
         next_<neg>_ts audit column is unbounded-lookahead)."""
         from . import stateful
 
+        if self.gap_us is not None:
+            raise ValueError(
+                "within(..., 'previous_and_current') does not stream "
+                "yet: the bounded carry must EXPIRE old starts, so the "
+                "O(1) running-max state becomes a time-windowed buffer "
+                "of (ts, start) pairs — not built; the batch compile() "
+                "supports the gap bound"
+            )
         if self.neg is not None:
             # TERMINAL negation streams via watermark-delayed emission
             # (r13, r12 verdict item 4): candidates held in keyed state
@@ -843,6 +890,48 @@ class CepPattern:
                 )
             anchor = ("first" if self.skip == "skip_to_first"
                       else "last", self.skip_step)
+        w_gap = w_same = None
+        if self.gap_us is not None:
+            # per-gap bound (within previous_and_current, r13): the
+            # theorems that ELIDE events don't survive it — refuse
+            # those compositions loudly; everything else compiles with
+            # bounded carries (see build_chain)
+            if counted:
+                raise ValueError(
+                    "oneOrMore/times(n, m) do not compose with "
+                    "within(..., 'previous_and_current'): a repetition "
+                    "chain can bridge time the collapsed single hop "
+                    "cannot, so the existence collapse is unsound — "
+                    "use a fixed times(n)"
+                )
+            if any(s.neg_before is not None for s in self.steps):
+                raise ValueError(
+                    "mid-pattern notFollowedBy does not compose with "
+                    "within(..., 'previous_and_current') yet — the "
+                    "latest-prefix-row gate would need the same "
+                    "bounded-window machinery"
+                )
+            if skip_mode:
+                raise ValueError(
+                    "after_match_skip does not compose with "
+                    "within(..., 'previous_and_current') yet"
+                )
+            _us = F.unix_micros(F.col(ts))
+            # bounded relaxed carry = max over the gap window, split
+            # into strictly-earlier-µs (RANGE frame) and same-µs
+            # earlier-tiebreak (ROWS frame partitioned by (key, µs) —
+            # hash(key) satisfies the clustered distribution, so this
+            # adds sorts, never an exchange; plan-pinned)
+            w_gap = (
+                Window.partitionBy(key)
+                .orderBy(_us)
+                .rangeBetween(-self.gap_us, -1)
+            )
+            w_same = (
+                Window.partitionBy(key, _us)
+                .orderBy(F.col(tiebreak))
+                .rowsBetween(Window.unboundedPreceding, -1)
+            )
         cur = df
         cnt_cols: dict[str, str] = {}
         for k, s in enumerate(counted):
@@ -952,6 +1041,32 @@ class CepPattern:
                         pred & gate,
                         stamp_anchor(b["v"]) if at_anchor else b["v"],
                     )
+                elif self.gap_us is not None:
+                    # bounded transitions (previous_and_current): the
+                    # predecessor must lie inside the gap horizon.
+                    # use_struct combinations are refused above, so the
+                    # carried value is a plain timestamp and the
+                    # null-skipping GREATEST of the two window maxima
+                    # is the exact bounded-window max
+                    if trans == "followed_by":
+                        hit = F.when(
+                            pred,
+                            F.greatest(
+                                F.max(F.col(prev_col)).over(w_gap),
+                                F.max(F.col(prev_col)).over(w_same),
+                            ),
+                        )
+                    else:
+                        gap_ok = (
+                            F.unix_micros(F.col(ts))
+                            - F.lag(
+                                F.unix_micros(F.col(ts)), 1
+                            ).over(w_order)
+                        ) <= self.gap_us
+                        hit = F.when(
+                            pred & gap_ok,
+                            F.lag(F.col(prev_col), 1).over(w_order),
+                        )
                 else:
                     carry = (
                         F.max(F.col(prev_col)).over(w_prev)
@@ -1896,6 +2011,74 @@ def stream_cep_skip_to_first(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _CEP_LAG = """LAG({src}) OVER (PARTITION BY user_id ORDER BY ts, event_id)"""
+
+# bounded-gap carry (within previous_and_current): the max start over
+# predecessors INSIDE the gap horizon — a RANGE frame over epoch-µs
+# (strictly earlier µs within {gap}) plus a same-µs earlier-tiebreak
+# ROWS frame; GREATEST skips NULLs in both engines
+_CEP_GAP_CARRY = """GREATEST(
+  MAX({src}) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                   RANGE BETWEEN {gap} PRECEDING AND 1 PRECEDING),
+  MAX({src}) OVER (PARTITION BY user_id, epoch_us(ts) ORDER BY event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))"""
+
+
+@register(
+    "stream_cep_within_gap",
+    oracle=f"""
+    WITH s0 AS (
+      SELECT user_id, event_id, event_type, ts,
+             CASE WHEN event_type = 'view' THEN ts END AS h0
+      FROM events
+    ), s1 AS (
+      SELECT *, CASE WHEN event_type = 'click'
+                     THEN {_CEP_GAP_CARRY.format(src='h0',
+                                                 gap=43200000000)} END AS h1
+      FROM s0
+    ), s2 AS (
+      SELECT *, CASE WHEN event_type = 'purchase'
+                     THEN {_CEP_GAP_CARRY.format(src='h1',
+                                                 gap=43200000000)} END AS h2
+      FROM s1
+    )
+    SELECT user_id, event_id AS match_id, ts AS match_ts, h2 AS start_ts
+    FROM s2
+    WHERE h2 IS NOT NULL
+    """,
+)
+def stream_cep_within_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FlinkCEP 1.17's `within(Duration, WithinType.PREVIOUS_AND_
+    CURRENT)` (r13): `begin(view).followedBy(click)
+    .followedBy(purchase).within('12 hours', 'previous_and_current')`
+    — view→click→purchase where EVERY consecutive pair of matched
+    events lies within 12 hours (the momentum funnel: each step must
+    follow promptly, but the whole journey may span a day — the
+    FIRST_AND_LAST bound cannot express this). Each hop's carry
+    becomes the max start over predecessors inside the gap horizon:
+    one RANGE frame over event-time µs plus one same-µs tiebreak
+    frame, GREATEST-combined — the max-start recursion stays exact
+    because h_i(r) = max over gap-feasible predecessors p of
+    h_{{i-1}}(p) is precisely the bounded-window max, and feasibility
+    at level i-1 is already folded into h_{{i-1}}. No new exchange
+    (the (key, µs) tie frame's clustering is satisfied by the key
+    hash; plan-pinned). The theorems that ELIDE events don't survive
+    gap bounds, so oneOrMore/times(n, m) and mid-pattern negation
+    refuse, and optional steps compile via the 2^k enum path. The
+    oracle unrolls the identical bounded carries; brute-force fuzz
+    incl. same-second ties and both-bounds-active patterns is in
+    tests/test_properties.py."""
+    pat = (
+        CepPattern.begin("view", etype="view")
+        .followed_by("click", etype="click")
+        .followed_by("purchase", etype="purchase")
+        .within("12 hours", "previous_and_current")
+    )
+    return pat.compile(
+        table(spark, sf_dir, "events"),
+        key="user_id",
+        ts="ts",
+        tiebreak="event_id",
+    )
 
 
 @register(

@@ -1204,3 +1204,87 @@ def test_enum_variant_streaming_twin(spark, sf_small, tmp_path_factory):
         .astype("datetime64[us]").astype("int64"),
     )[["user_id", "match_id", "match_us", "start_us", "with_click"]]
     pd.testing.assert_frame_equal(got, want_us, check_dtype=False)
+
+
+def test_gap_bound_plan_single_exchange(spark, sf_small):
+    """within(..., 'previous_and_current') (r13): the bounded carries
+    add a RANGE frame over event-time µs and a same-µs tiebreak frame
+    partitioned by (key, µs) — the latter's clustered distribution is
+    satisfied by the key hash, so the whole compiled plan must still
+    run on ONE exchange (sorts are fine, shuffles are not)."""
+    plan = (
+        QUERIES["stream_cep_within_gap"](spark, sf_small)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Join" not in plan
+    assert plan.count("Exchange") <= 1, plan
+
+
+def test_gap_bound_builder_rules(spark):
+    """within(..., 'previous_and_current') refusals (r13): the
+    event-eliding theorems don't survive per-gap bounds — variable
+    quantifiers, mid-pattern negation, skip strategies, and the
+    streaming compile refuse loudly; unknown WithinType refuses; both
+    bounds may coexist; fixed times(n) and optional (via enum)
+    compile."""
+    p = F.lit(True)
+    base = (CepPattern.begin("a", p).followed_by("b", p)
+            .followed_by("c", p))
+    with pytest.raises(ValueError, match="WithinType"):
+        base.within(10, "between_everything")
+    both = base.within(10, "previous_and_current").within(40)
+    assert both.gap_us == 10_000_000 and both.within_us == 40_000_000
+    gp = base.within(10, "previous_and_current")
+    with pytest.raises(ValueError, match="existence collapse"):
+        (CepPattern.begin("a", p).followed_by("b", p).one_or_more()
+         .followed_by("c", p).within(10, "previous_and_current")
+         .compile(None))
+    with pytest.raises(ValueError, match="previous_and_current"):
+        (CepPattern.begin("a", p).not_followed_by("q", p)
+         .followed_by("b", p).within(10, "previous_and_current")
+         .compile(None))
+    with pytest.raises(ValueError, match="previous_and_current"):
+        (gp.after_match_skip("skip_past_last_event").compile(None))
+    et = (CepPattern.begin("a", etype="A").followed_by("b", etype="B")
+          .within(10, "previous_and_current"))
+    with pytest.raises(ValueError, match="does not stream"):
+        et.compile_stream(None, "/nonexistent", "/nonexistent")
+    # fixed times(n) composes (every copy is a real bounded hop)
+    fixed = (CepPattern.begin("a", etype="A")
+             .followed_by("b", etype="B").times(2)
+             .within(10, "previous_and_current"))
+    assert fixed.gap_us == 10_000_000
+    # an optional step under a gap bound routes through the enum path
+    opt = (CepPattern.begin("a", p).followed_by("b", p).optional()
+           .followed_by("c", p).within(10, "previous_and_current"))
+    assert opt._needs_variant_enum()
+
+
+def test_gap_bound_hand_case(spark):
+    """A@0 B@5 C@25 with gap=12: A→B fits (5s) but B→C (20s) exceeds
+    the gap bound — no match — while FIRST_AND_LAST within(30) alone
+    matches; adding B@20 bridges the chain (A→B@5 is not needed: the
+    greedy chain uses B@20, gaps 20s? no — A→B@20 is 20s > 12, so the
+    bridge must be B@5→...: with B at 5 AND 14, A-B@5 (5s), the carry
+    rebinds to B@14 via... each hop is ONE transition, so the chain is
+    A→B→C with B=14: A→B@14 is 14s > 12 — still no match; B@11:
+    A→B@11 (11s) and B@11→C@20 (9s) matches with start A@0."""
+    rows = [
+        (0, 0, "A", 0), (0, 1, "B", 5), (0, 2, "C", 25),
+        (1, 3, "A", 0), (1, 4, "B", 11), (1, 5, "C", 20),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id INT, event_id INT, event_type STRING, sec INT"
+    ).withColumn("ts", F.timestamp_seconds("sec"))
+    gap = (CepPattern.begin("a", etype="A").followed_by("b", etype="B")
+           .followed_by("c", etype="C")
+           .within(12, "previous_and_current"))
+    got = {(r.user_id, r.match_id) for r in gap.compile(df).collect()}
+    assert got == {(1, 5)}
+    whole = (CepPattern.begin("a", etype="A")
+             .followed_by("b", etype="B")
+             .followed_by("c", etype="C").within(30))
+    assert {(r.user_id, r.match_id) for r in whole.compile(df).collect()} \
+        == {(0, 2), (1, 5)}

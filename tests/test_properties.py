@@ -1404,3 +1404,90 @@ def test_cep_enum_with_negated_gap_fuzz(streams, types, neg_type,
                     want[key] = [max(prev[0], start),
                                  prev[1] or inc_c]
     assert got == {k: (v[0], v[1]) for k, v in want.items()}
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    streams=st.lists(
+        st.lists(_cep_event, min_size=0, max_size=10),
+        min_size=1, max_size=3,
+    ),
+    pattern_types=st.lists(
+        st.sampled_from(["A", "B", "C"]), min_size=2, max_size=4
+    ),
+    strict_mask=st.integers(min_value=0, max_value=7),
+    gap_s=st.integers(min_value=1, max_value=15),
+    whole_s=st.sampled_from([None, 20, 40]),
+    with_opt=st.booleans(),
+    within_s_unused=st.just(0),
+)
+def test_cep_gap_bound_fuzz(streams, pattern_types, strict_mask, gap_s,
+                            whole_s, with_opt, within_s_unused):
+    """within(..., 'previous_and_current') (r13): every consecutive
+    pair of matched events must lie within the gap bound — checked
+    against brute-force chain enumeration with per-gap time checks,
+    over random mixed strict/relaxed transitions, optionally composed
+    with the whole-span FIRST_AND_LAST bound and with an optional step
+    (which must route through the 2^k enumeration — skipping a step
+    merges two short gaps into a long one). Same-second ties
+    included (zero-gap pairs are always inside the bound)."""
+    import itertools
+
+    from sparkflow.streaming.cep import CepPattern
+
+    m = len(pattern_types)
+    strict = [False] + [bool(strict_mask >> (i - 1) & 1)
+                        for i in range(1, m)]
+    opt = 1 if (with_opt and m >= 3) else None
+    rows, df = _cep_df(_get_spark(), streams)
+    if not rows:
+        return
+
+    pat = CepPattern.begin("s0", etype=pattern_types[0])
+    for i in range(1, m):
+        if strict[i]:
+            pat = pat.next(f"s{i}", etype=pattern_types[i])
+        else:
+            pat = pat.followed_by(f"s{i}", etype=pattern_types[i])
+        if i == opt:
+            pat = pat.optional()
+    pat = pat.within(gap_s, "previous_and_current")
+    if whole_s is not None:
+        pat = pat.within(whole_s)
+    got = {
+        (r.user_id, r.match_id, int(r.start_sec))
+        for r in pat.compile(df).select(
+            "user_id", "match_id",
+            (F.unix_micros("start_ts") / 1_000_000).cast("int")
+            .alias("start_sec"),
+        ).collect()
+    }
+
+    by_user: dict = {}
+    for uid, ev_id, typ, sec in rows:
+        by_user.setdefault(uid, []).append((typ, sec, ev_id))
+    want: dict = {}
+    variants = [[i for i in range(m) if i != opt]]
+    if opt is not None:
+        variants.append(list(range(m)))
+    for uid, seq in by_user.items():
+        for kept in variants:
+            for combo in itertools.combinations(range(len(seq)),
+                                                len(kept)):
+                if any(seq[p][0] != pattern_types[i]
+                       for p, i in zip(combo, kept)):
+                    continue
+                if any(strict[i] and combo[j] != combo[j - 1] + 1
+                       for j, i in enumerate(kept) if j):
+                    continue
+                # the gap bound applies between CONSECUTIVE matched
+                # events of the (variant) chain
+                if any(seq[combo[j]][1] - seq[combo[j - 1]][1] > gap_s
+                       for j in range(1, len(kept))):
+                    continue
+                if whole_s is not None and \
+                        seq[combo[-1]][1] - seq[combo[0]][1] > whole_s:
+                    continue
+                k = (uid, seq[combo[-1]][2])
+                want[k] = max(want.get(k, -1), seq[combo[0]][1])
+    assert got == {(u, mid, s) for (u, mid), s in want.items()}
