@@ -692,12 +692,29 @@ class CepPattern:
         from . import stateful
 
         if self.gap_us is not None:
-            raise ValueError(
-                "within(..., 'previous_and_current') does not stream "
-                "yet: the bounded carry must EXPIRE old starts, so the "
-                "O(1) running-max state becomes a time-windowed buffer "
-                "of (ts, start) pairs — not built; the batch compile() "
-                "supports the gap bound"
+            # r13: gap-bounded patterns stream with per-level (ts,
+            # start) BUFFERS bounded by one gap horizon — the bound's
+            # inherent memory (see stateful._cep_gap_fn). The refused
+            # batch compositions (counts/negation/skip) never reach
+            # here; optional-under-gap would need 2^k buffered
+            # machines — refuse that one for now.
+            if any(s.optional for s in self.steps):
+                raise ValueError(
+                    "optional steps under within(..., "
+                    "'previous_and_current') compile for batch via "
+                    "variant enumeration; the streaming twin would "
+                    "run 2^k buffered machines — not built"
+                )
+            if self.neg is not None:
+                raise ValueError(
+                    "terminal negation + gap bound does not stream "
+                    "yet (compose the watermark hold with the "
+                    "buffered carry)"
+                )
+            return stateful.cep_gap_bound_stream(
+                spark, files_dir, sf_dir,
+                self._event_expansion(self.steps), self.within_us,
+                self.gap_us,
             )
         if self.neg is not None:
             # TERMINAL negation streams via watermark-delayed emission

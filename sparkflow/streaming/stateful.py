@@ -961,6 +961,131 @@ def _cep_terminal_neg_fn(steps, within_us, neg_et, neg_within_us):
     return fn
 
 
+def _cep_gap_fn(steps, within_us, gap_us):
+    """Keyed-state executor for a pattern under a per-transition gap
+    bound (within previous_and_current, r13): the O(1) running-max
+    carry cannot expire old starts, so each chain level carries a
+    BUFFER of (row_ts, start) pairs still inside the gap horizon —
+    state ∝ events in ONE gap window per key, the bound's inherent
+    memory (Flink's NFA holds the same partial matches). Per row at
+    time t, a relaxed bounded hop reads max{start : (row_ts, start) ∈
+    buffer_{i-1}, row_ts >= t − G} (rows processed earlier in
+    (ts, id) order — same-µs earlier-tiebreak rows are already
+    buffered, matching the batch RANGE+tie-frame split); a strict hop
+    reads the previous row's hit gated on its time gap. Buffers prune
+    causally (event time is non-decreasing within a key's sorted
+    batch, and state carries only what the NEXT event might still
+    reach)."""
+    m = len(steps)
+    n = m - 1
+
+    def fn(
+        key: Tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            vals = list(state.get)
+            bts = [list(vals[i]) for i in range(n)]
+            bh = [list(vals[n + i]) for i in range(n)]
+            L = list(vals[2 * n])
+            prev_ts = vals[2 * n + 1]
+        else:
+            bts = [[] for _ in range(n)]
+            bh = [[] for _ in range(n)]
+            L = [-1] * n
+            prev_ts = -1
+        chunks = [p for p in pdf_iter if len(p)]
+        if not chunks:
+            return
+        pdf = pd.concat(chunks).sort_values(["ts", "event_id"])
+        _tmin = _ts_us(pdf["ts"]).min()
+        if _tmin < 0:
+            raise ValueError(
+                "cep_compiled_stream requires event times >= 1970-01-01 "
+                "(the -1 no-hit state sentinel; the batch compile has "
+                "no such limit)"
+            )
+        out = {"match_id": [], "match_us": [], "start_us": []}
+        for eid, etype, t in zip(
+            pdf["event_id"].to_numpy(),
+            pdf["event_type"].to_numpy(),
+            _ts_us(pdf["ts"]).to_numpy(),
+        ):
+            t = int(t)
+            hit = [-1] * m
+            for i, (et, trans, _neg) in enumerate(steps):
+                if etype != et:
+                    continue
+                if i == 0:
+                    hit[0] = t
+                elif trans == "followed_by":
+                    lo = t - gap_us
+                    best = -1
+                    for rts, h in zip(bts[i - 1], bh[i - 1]):
+                        if rts >= lo and h > best:
+                            best = h
+                    if best >= 0:
+                        hit[i] = best
+                else:
+                    if (L[i - 1] >= 0 and prev_ts >= 0
+                            and t - prev_ts <= gap_us):
+                        hit[i] = L[i - 1]
+            if hit[-1] >= 0 and (
+                within_us is None or t - hit[-1] <= within_us
+            ):
+                out["match_id"].append(int(eid))
+                out["match_us"].append(t)
+                out["start_us"].append(hit[-1])
+            lo = t - gap_us
+            for i in range(n):
+                if hit[i] >= 0:
+                    bts[i].append(t)
+                    bh[i].append(hit[i])
+                # causal prune: a future event at t' >= t can only
+                # reach buffered rows with row_ts >= t' - G >= t - G
+                if bts[i] and bts[i][0] < lo:
+                    keep = [k for k, rts in enumerate(bts[i])
+                            if rts >= lo]
+                    bts[i] = [bts[i][k] for k in keep]
+                    bh[i] = [bh[i][k] for k in keep]
+                L[i] = hit[i]
+            prev_ts = t
+        state.update(
+            tuple(bts) + tuple(bh) + (L, prev_ts)
+        )
+        if out["match_id"]:
+            yield pd.DataFrame(
+                {"user_id": [key[0]] * len(out["match_id"]), **out}
+            )
+
+    return fn
+
+
+def cep_gap_bound_stream(
+    spark: SparkSession, files_dir: str, sf_dir: str,
+    steps: list, within_us, gap_us: int,
+) -> DataFrame:
+    """True-streaming compile of a per-gap-bounded pattern (see
+    _cep_gap_fn). State = per-level (ts, start) buffers bounded by one
+    gap horizon of events plus the strict-hop lag values."""
+    ev = _events_stream(spark, files_dir, sf_dir)
+    n = len(steps) - 1
+    fields = (
+        [f"bts_{i} ARRAY<BIGINT>" for i in range(n)]
+        + [f"bh_{i} ARRAY<BIGINT>" for i in range(n)]
+        + ["l ARRAY<BIGINT>", "prev_ts BIGINT"]
+    )
+    return ev.groupBy("user_id").applyInPandasWithState(
+        _cep_gap_fn(list(steps), within_us, gap_us),
+        outputStructType=(
+            "user_id BIGINT, match_id BIGINT, match_us BIGINT, "
+            "start_us BIGINT"
+        ),
+        stateStructType=", ".join(fields),
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def cep_terminal_negation_stream(
     spark: SparkSession, files_dir: str, sf_dir: str,
     steps: list, within_us, neg_et: str, neg_within_us: int,

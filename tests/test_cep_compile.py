@@ -1247,10 +1247,15 @@ def test_gap_bound_builder_rules(spark):
          .compile(None))
     with pytest.raises(ValueError, match="previous_and_current"):
         (gp.after_match_skip("skip_past_last_event").compile(None))
-    et = (CepPattern.begin("a", etype="A").followed_by("b", etype="B")
-          .within(10, "previous_and_current"))
-    with pytest.raises(ValueError, match="does not stream"):
-        et.compile_stream(None, "/nonexistent", "/nonexistent")
+    # r13 continuation: plain gap-bounded patterns STREAM (buffered
+    # carries — see the twin test); optional-under-gap still refuses
+    # in the streaming compile (2^k buffered machines)
+    et_opt = (CepPattern.begin("a", etype="A")
+              .followed_by("b", etype="B").optional()
+              .followed_by("c", etype="C")
+              .within(10, "previous_and_current"))
+    with pytest.raises(ValueError, match="buffered machines"):
+        et_opt.compile_stream(None, "/nonexistent", "/nonexistent")
     # fixed times(n) composes (every copy is a real bounded hop)
     fixed = (CepPattern.begin("a", etype="A")
              .followed_by("b", etype="B").times(2)
@@ -1288,3 +1293,50 @@ def test_gap_bound_hand_case(spark):
              .followed_by("c", etype="C").within(30))
     assert {(r.user_id, r.match_id) for r in whole.compile(df).collect()} \
         == {(0, 2), (1, 5)}
+
+
+def test_gap_bound_streaming_twin(spark, sf_small, tmp_path_factory):
+    """Gap-bounded patterns STREAM (r13): the buffered-carry state
+    machine (per-level (ts, start) pairs pruned to one gap horizon)
+    must equal the batch compile's bounded-window carries across
+    micro-batch boundaries — including chains whose hops straddle a
+    batch split and ties at equal timestamps."""
+    from sparkflow.streaming import stateful
+
+    stream_dir = stateful.split_events_to_files(
+        spark, sf_small, str(tmp_path_factory.mktemp("cep_gap_stream")), 3
+    )
+    pat = (
+        CepPattern.begin("view", etype="view")
+        .followed_by("click", etype="click")
+        .followed_by("purchase", etype="purchase")
+        .within("12 hours", "previous_and_current")
+    )
+    sdf = pat.compile_stream(spark, stream_dir, sf_small)
+    stateful.run_to_memory(sdf, "t_cepgap", "append")
+    got = (
+        spark.table("t_cepgap").toPandas()
+        .sort_values("match_id").reset_index(drop=True)
+    )
+    want = (
+        pat.compile(table(spark, sf_small, "events")).toPandas()
+        .sort_values("match_id").reset_index(drop=True)
+    )
+    assert len(want) > 0
+    want_us = want.assign(
+        match_us=pd.to_datetime(want["match_ts"])
+        .astype("datetime64[us]").astype("int64"),
+        start_us=pd.to_datetime(want["start_ts"])
+        .astype("datetime64[us]").astype("int64"),
+    )[["user_id", "match_id", "match_us", "start_us"]]
+    pd.testing.assert_frame_equal(got, want_us, check_dtype=False)
+    # and the gap bound bites on this fixture: the unbounded pattern
+    # matches strictly more
+    unbounded = (
+        CepPattern.begin("view", etype="view")
+        .followed_by("click", etype="click")
+        .followed_by("purchase", etype="purchase")
+    )
+    assert unbounded.compile(
+        table(spark, sf_small, "events")
+    ).count() > len(want)

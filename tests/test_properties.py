@@ -1491,3 +1491,74 @@ def test_cep_gap_bound_fuzz(streams, pattern_types, strict_mask, gap_s,
                 k = (uid, seq[combo[-1]][2])
                 want[k] = max(want.get(k, -1), seq[combo[0]][1])
     assert got == {(u, mid, s) for (u, mid), s in want.items()}
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    streams=st.lists(
+        st.lists(_cep_event, min_size=0, max_size=12),
+        min_size=1, max_size=3,
+    ),
+    pattern_types=st.lists(
+        st.sampled_from(["A", "B", "C"]), min_size=2, max_size=4
+    ),
+    strict_mask=st.integers(min_value=0, max_value=7),
+    gap_s=st.integers(min_value=1, max_value=15),
+    cut=st.integers(min_value=1, max_value=10),
+)
+def test_cep_gap_streaming_state_fuzz(streams, pattern_types,
+                                      strict_mask, gap_s, cut):
+    """The gap-bounded streaming state machine (r13): driving
+    _cep_gap_fn through a fake GroupState with a random micro-batch
+    split must emit exactly the batch compile's rows for random mixed
+    strict/relaxed patterns — the per-level (ts, start) buffers and
+    the strict-hop lag must survive the batch boundary, and the causal
+    prune must never drop a start a later event could still reach."""
+    import pandas as pd
+
+    from sparkflow.streaming.cep import CepPattern
+    from sparkflow.streaming.stateful import _cep_gap_fn
+
+    m = len(pattern_types)
+    strict = [False] + [bool(strict_mask >> (i - 1) & 1)
+                        for i in range(1, m)]
+    rows, df = _cep_df(_get_spark(), streams)
+    if not rows:
+        return
+
+    pat = CepPattern.begin("s0", etype=pattern_types[0])
+    for i in range(1, m):
+        if strict[i]:
+            pat = pat.next(f"s{i}", etype=pattern_types[i])
+        else:
+            pat = pat.followed_by(f"s{i}", etype=pattern_types[i])
+    pat = pat.within(gap_s, "previous_and_current")
+    want = {
+        (r.user_id, r.match_id, int(r.start_sec))
+        for r in pat.compile(df).select(
+            "user_id", "match_id",
+            (F.unix_micros("start_ts") / 1_000_000).cast("int")
+            .alias("start_sec"),
+        ).collect()
+    }
+
+    fn = _cep_gap_fn(pat._event_expansion(pat.steps), None,
+                     gap_s * 1_000_000)
+    got = set()
+    by_user: dict = {}
+    for uid, ev_id, typ, sec in rows:
+        by_user.setdefault(uid, []).append((ev_id, typ, sec))
+    for uid, seq in by_user.items():
+        state = _FakeGroupState()
+        for batch in (seq[:cut], seq[cut:]):
+            if not batch:
+                continue
+            pdf = pd.DataFrame({
+                "event_id": [e[0] for e in batch],
+                "event_type": [e[1] for e in batch],
+                "ts": pd.to_datetime([e[2] for e in batch], unit="s"),
+            })
+            for out in fn((uid,), iter([pdf]), state):
+                for r in out.itertuples():
+                    got.add((uid, r.match_id, r.start_us // 1_000_000))
+    assert got == want
