@@ -623,10 +623,12 @@ def test_skip_past_hand_case(spark):
 
 
 def test_skip_past_plan_single_exchange(spark, sf_small):
-    """Scale shape of the skip fold: the acceptance scan
-    (FlatMapGroupsInPandas) reuses the carry windows' hash partitioning
-    on the key — ONE exchange total, no join, no second shuffle between
-    the window chain and the fold."""
+    """Scale shape of the skip fold (r13: per-PARTITION MapInPandas
+    scan — the per-key applyInPandas fold paid ~3 ms of pandas
+    overhead per group, 29 s at sf10's 10k keys): the acceptance scan
+    reuses the carry windows' hash partitioning via one in-partition
+    sort — ONE exchange total, no join, no second shuffle between the
+    window chain and the fold."""
     plan = (
         QUERIES["stream_cep_skip_past"](spark, sf_small)
         ._jdf.queryExecution()
@@ -634,7 +636,7 @@ def test_skip_past_plan_single_exchange(spark, sf_small):
         .toString()
     )
     assert "Join" not in plan
-    assert "FlatMapGroupsInPandas" in plan
+    assert "MapInPandas" in plan
     assert plan.count("Exchange") <= 1, plan
 
 
