@@ -349,14 +349,31 @@ def _knn_matrix(spark: SparkSession, sf_dir: str, create: bool = False):
 
     import weakref
 
+    import os as _os
+
     final = staging.shared_path("knn", sf_dir, ("embeddings",), "fxp_matrix")
     memo_key = (id(spark), final)
+
+    def _manifest_id():
+        # the cached handle's frozen file index is only valid for the
+        # EXACT publication it was resolved against: an unpublish +
+        # republish at the same digest address writes new part files
+        # (review r13 — the is_published probe alone would serve a
+        # handle listing deleted files). The manifest's (inode,
+        # mtime_ns) identifies a publication; one os.stat per call.
+        try:
+            st = _os.stat(_os.path.join(final, "_sparkflow_manifest.json"))
+            return (st.st_ino, st.st_mtime_ns)
+        except OSError:
+            return None
+
+    mid = _manifest_id()
     hit = _KNN_MATRIX_CACHE.get(memo_key)
-    # is_published guard: a retraction (staging.unpublish — the tests'
-    # and benchmarks' cold-posture setup) must make the next probe MISS
-    # even with a cached handle; one os.path.exists per call
-    if hit is not None and hit[0]() is spark and staging.is_published(final):
-        return hit[1]
+    if hit is not None:
+        if hit[0]() is spark and mid is not None and hit[2] == mid:
+            return hit[1]
+        _KNN_MATRIX_CACHE.pop(memo_key, None)  # stale: retracted,
+        # republished, or a dead session — never serve it again
     mat = staging.stage_parquet(
         spark, "knn", sf_dir, ("embeddings",), "fxp_matrix", build, create
     )
@@ -364,6 +381,7 @@ def _knn_matrix(spark: SparkSession, sf_dir: str, create: bool = False):
         _KNN_MATRIX_CACHE[memo_key] = (
             weakref.ref(spark, lambda _, k=memo_key: _KNN_MATRIX_CACHE.pop(k, None)),
             mat,
+            _manifest_id(),
         )
     return mat
 

@@ -161,6 +161,14 @@ def stage_parquet(spark, kind: str, sf_dir: str, tables, name: str,
             "tables": sorted(set(tables)),
             "app_id": spark.sparkContext.applicationId,
         })
+    # drop any session-level file-listing cache for this path: a
+    # republication at the SAME address (retract + restage in one
+    # session, or another session's publish) writes new part files,
+    # and Spark's shared FileStatusCache would otherwise hand a fresh
+    # Dataset the OLD listing — FAILED_READ_FILE at execution
+    # (review r13; cold-resolve-only cost, the hot path reads
+    # memoized handles)
+    spark.catalog.refreshByPath(final)
     return spark.read.parquet(final)
 
 

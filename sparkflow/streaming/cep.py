@@ -377,9 +377,12 @@ class CepPattern:
 
     def one_or_more(self) -> "CepPattern":
         """FlinkCEP `oneOrMore()` — the existence-collapse theorem:
-        under RELAXED contiguity on both sides (enforced — a next-
-        reached or next-followed oneOrMore raises, r11 advice) and
-        emit-at-last-step semantics, requiring "at least n occurrences"
+        with RELAXED internal contiguity and AT MOST ONE strict edge
+        (r13 — a next()-reached oneOrMore binds its FIRST repetition
+        strictly, a next()-followed one places its LAST repetition
+        immediately before the following step; only strict on BOTH
+        sides refuses, see next()) and emit-at-last-step semantics,
+        requiring "at least n occurrences"
         of a step is equivalent to requiring EXACTLY n, because extra
         occurrences are just intervening events that followedBy already
         ignores. So A.followedBy(B).oneOrMore().followedBy(C) ≡ A→B→C
@@ -694,10 +697,34 @@ class CepPattern:
         if self.gap_us is not None:
             # r13: gap-bounded patterns stream with per-level (ts,
             # start) BUFFERS bounded by one gap horizon — the bound's
-            # inherent memory (see stateful._cep_gap_fn). The refused
-            # batch compositions (counts/negation/skip) never reach
-            # here; optional-under-gap would need 2^k buffered
-            # machines — refuse that one for now.
+            # inherent memory (see stateful._cep_gap_fn). The batch
+            # compile's gap refusals are re-checked HERE because this
+            # branch returns before compile()-equivalent validation
+            # runs — without them the refused compositions would
+            # stream silently wrong (review r13): a counted step would
+            # stream the collapsed chain (the exact unsoundness batch
+            # refuses), a negated gap would be ignored ( _cep_gap_fn
+            # carries no gate), a skip strategy would emit every
+            # overlapping match.
+            if any(s.one_or_more or s.up_to is not None
+                   for s in self.steps):
+                raise ValueError(
+                    "oneOrMore/times(n, m) do not compose with "
+                    "within(..., 'previous_and_current') — the batch "
+                    "compile refuses the same combination"
+                )
+            if any(s.neg_before is not None for s in self.steps):
+                raise ValueError(
+                    "mid-pattern notFollowedBy does not compose with "
+                    "within(..., 'previous_and_current') yet — the "
+                    "batch compile refuses the same combination"
+                )
+            if self.skip != "no_skip":
+                raise ValueError(
+                    "after_match_skip does not compose with "
+                    "within(..., 'previous_and_current') yet — the "
+                    "batch compile refuses the same combination"
+                )
             if any(s.optional for s in self.steps):
                 raise ValueError(
                     "optional steps under within(..., "

@@ -562,7 +562,12 @@ def _cep_compiled_fn(chains: list, within_us, counted=None, enum=None):
     sizes = [len(steps) - 1 for _, steps in chains]
     if enum is not None:
         enum_masks, flag_names = enum
-        assert counted is None
+        if counted:
+            raise ValueError(
+                "repetition counts do not compose with the enum-gated "
+                "variant chains (the batch compile refuses the same "
+                "combination)"
+            )
     else:
         enum_masks = None
         flag_names = [name for name, _ in chains[1:]]
@@ -1105,7 +1110,8 @@ def cep_terminal_negation_stream(
          "pend_mid ARRAY<BIGINT>", "pend_mus ARRAY<BIGINT>",
          "pend_sus ARRAY<BIGINT>"]
     )
-    assert n >= 1
+    if n < 1:
+        raise ValueError("terminal-negation stream needs >= 2 steps")
     return ev.groupBy("user_id").applyInPandasWithState(
         _cep_terminal_neg_fn(list(steps), within_us, neg_et,
                              neg_within_us),
@@ -1138,7 +1144,12 @@ def cep_compiled_stream(
         raise ValueError("streaming compile needs >= 2 positive steps")
     ev = _events_stream(spark, files_dir, sf_dir)
     if skip != "no_skip":
-        assert not flag_variants  # the batch builder refuses the combo
+        if flag_variants:
+            raise ValueError(
+                "after_match_skip does not compose with optional-step "
+                "annotation chains (the batch builder refuses the same "
+                "combination)"
+            )
         anchored = skip in ("skip_to_first", "skip_to_last")
         n = len(steps) - 1
         fields = (

@@ -1258,6 +1258,27 @@ def test_gap_bound_builder_rules(spark):
               .within(10, "previous_and_current"))
     with pytest.raises(ValueError, match="buffered machines"):
         et_opt.compile_stream(None, "/nonexistent", "/nonexistent")
+    # review r13: compile_stream's gap branch returns BEFORE the batch
+    # validation, so it must re-refuse the batch-refused compositions
+    # — without these they would stream silently WRONG (collapsed
+    # counted chain / ignored negation / ignored skip)
+    with pytest.raises(ValueError, match="previous_and_current"):
+        (CepPattern.begin("a", etype="A")
+         .followed_by("b", etype="B").one_or_more()
+         .followed_by("c", etype="C")
+         .within(10, "previous_and_current")
+         .compile_stream(None, "/nonexistent", "/nonexistent"))
+    with pytest.raises(ValueError, match="previous_and_current"):
+        (CepPattern.begin("a", etype="A")
+         .not_followed_by("q", etype="Q")
+         .followed_by("b", etype="B")
+         .within(10, "previous_and_current")
+         .compile_stream(None, "/nonexistent", "/nonexistent"))
+    with pytest.raises(ValueError, match="previous_and_current"):
+        (CepPattern.begin("a", etype="A").followed_by("b", etype="B")
+         .within(10, "previous_and_current")
+         .after_match_skip("skip_past_last_event")
+         .compile_stream(None, "/nonexistent", "/nonexistent"))
     # fixed times(n) composes (every copy is a real bounded hop)
     fixed = (CepPattern.begin("a", etype="A")
              .followed_by("b", etype="B").times(2)

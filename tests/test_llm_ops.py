@@ -984,3 +984,38 @@ def test_knn_ingest_delta_only_and_identical(spark, sf_small):
         inc.toPandas().sort_values("vec_id").reset_index(drop=True),
         full.toPandas().sort_values("vec_id").reset_index(drop=True),
     )
+
+
+def test_knn_matrix_cache_survives_republish(spark, sf_small):
+    """review r13: the memoized matrix handle must never outlive its
+    PUBLICATION — an unpublish + republish at the SAME digest address
+    writes new part files, and a cached handle's frozen file index
+    would list deleted ones. The manifest (inode, mtime_ns) identity
+    check must force a re-resolve: after retract+restage, the probe
+    returns a WORKING frame (collect succeeds, same rows)."""
+    import sparkflow
+    from sparkflow.llm.similarity import _knn_matrix
+    from sparkflow.sources import staging
+
+    staging.unpublish("knn", sf_small, ("embeddings",), "fxp_matrix")
+    first = sparkflow.QUERIES["maintenance_knn_quantize"](
+        spark, sf_small).toPandas()
+    m1 = _knn_matrix(spark, sf_small)
+    assert m1 is not None
+    n1 = m1.count()  # while its publication is live
+    assert n1 > 0  # warm the cache
+    # retract: the guarded probe must MISS, not serve the stale handle
+    # (unpublish is destructive — m1 itself is dead from here on; the
+    # open-reader guarantee applies to corpus-change republication
+    # under a NEW address, which the mid-read staging test pins)
+    staging.unpublish("knn", sf_small, ("embeddings",), "fxp_matrix")
+    assert _knn_matrix(spark, sf_small) is None
+    # republish at the same digest (same corpus): new part files — the
+    # fresh probe must resolve the NEW listing, not a cached one
+    second = sparkflow.QUERIES["maintenance_knn_quantize"](
+        spark, sf_small).toPandas()
+    m2 = _knn_matrix(spark, sf_small)
+    assert m2 is not None
+    assert m2.count() == n1  # resolvable — no dead file index
+    assert first.equals(second)
+    staging.unpublish("knn", sf_small, ("embeddings",), "fxp_matrix")
