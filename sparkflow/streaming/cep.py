@@ -77,12 +77,15 @@ repetition — FlinkCEP's semantics — and the existence collapse holds
 because extra repetitions sit after it under relaxed internal
 contiguity); `next()` AFTER a relaxed-reached quantified step is exact
 (the collapsed copy at the LAG(1) predecessor is precisely "the last
-absorbed repetition immediately precedes this step"). The one refusal
-left: strict contiguity on BOTH sides of a variable-length repetition
-(next-reached AND next-followed oneOrMore/times(n, m)) — that demands
-a consecutive run of arbitrary length, which has no fixed LAG(k)
-shape; negated gaps entered or exited via next() also still refuse.
-All lifted compositions are brute-force-fuzzed in
+absorbed repetition immediately precedes this step"). Even strict on
+BOTH sides composes when the lower bound is >= 2 (r13 continuation):
+the n-copy times(n, m) expansion carries the strict edges on its
+FIRST and LAST copies — any k >= n >= 2 match anchors two distinct
+events there and its middle repetitions are relaxed absorptions. The
+refusals left: oneOrMore/times(1, m) with strict on both sides (a
+1-rep match binds ONE event to both edges while k >= 2 anchors two —
+an OR of two chains, not one expansion), and negated gaps entered or
+exited via next(). All lifted compositions are brute-force-fuzzed in
 tests/test_properties.py.
 
 `one_or_more()` additionally emits a repetition COUNT `n_<name>`
@@ -257,17 +260,20 @@ class CepPattern:
                 "event, negated or not)"
             )
         last = self.steps[-1]
-        if (last.one_or_more or last.up_to is not None) \
+        if (last.one_or_more or (last.up_to is not None and last.times < 2)) \
                 and last.contiguity == "next":
-            kind = "oneOrMore" if last.one_or_more else "times(n, m)"
+            kind = "oneOrMore" if last.one_or_more else "times(1, m)"
             raise ValueError(
                 f"next({name!r}) after the next()-reached {kind} step "
-                f"{last.name!r} is not supported: strict contiguity on "
-                "BOTH sides of a variable-length repetition demands a "
-                "consecutive run of arbitrary length — no fixed LAG(k) "
-                "shape exists and the existence collapse covers only "
-                "one strict edge. Reach or leave the repetition with "
-                "followed_by(), or use a fixed times(n)"
+                f"{last.name!r} is not supported: with a single "
+                "required repetition, the 1-rep match binds ONE event "
+                "to both strict edges while a k>=2-rep match anchors "
+                "two distinct events — an OR of two chains, not one "
+                "expansion (times(n>=2, m) composes both-strict: the "
+                "n-copy expansion's first/last copies carry the strict "
+                "edges and middle repetitions stay relaxed, r13). "
+                "Reach or leave the repetition with followed_by(), "
+                "or raise the lower bound to 2"
             )
         # r13: next() after a RELAXED-reached oneOrMore/times(n, m)
         # step is sound — the existence collapse places the single
@@ -1360,6 +1366,7 @@ def _skip_fold(frame: DataFrame, key: str, strategy: str) -> DataFrame:
 # (tests/test_cep_compile.py).
 _CEP_CARRY = """MAX({src}) OVER (PARTITION BY user_id ORDER BY ts, event_id
                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"""
+_CEP_LAG = """LAG({src}) OVER (PARTITION BY user_id ORDER BY ts, event_id)"""
 
 
 @register(
@@ -1742,6 +1749,78 @@ def stream_cep_times_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_cep_both_strict_times",
+    oracle=f"""
+    WITH s0 AS (
+      SELECT user_id, event_id, event_type, ts,
+             COUNT(CASE WHEN event_type = 'click' THEN 1 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS cnt,
+             CASE WHEN event_type = 'view' THEN
+               {{'h': ts,
+                 'c0': COUNT(CASE WHEN event_type = 'click' THEN 1 END)
+                         OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING)
+                       + (CASE WHEN event_type = 'click'
+                               THEN 1 ELSE 0 END)}}
+             END AS h0
+      FROM events
+    ), s1 AS (
+      SELECT *, CASE WHEN event_type = 'click'
+                     THEN {_CEP_LAG.format(src='h0')} END AS h1
+      FROM s0
+    ), s2 AS (
+      SELECT *, CASE WHEN event_type = 'click'
+                     THEN {_CEP_CARRY.format(src='h1')} END AS h2
+      FROM s1
+    ), s3 AS (
+      SELECT *, CASE WHEN event_type = 'purchase'
+                     THEN {_CEP_LAG.format(src='h2')} END AS h3
+      FROM s2
+    )
+    SELECT user_id, event_id AS match_id, ts AS match_ts,
+           h3.h AS start_ts,
+           CAST(LEAST(cnt + (CASE WHEN event_type = 'click'
+                                  THEN 1 ELSE 0 END)
+                      - h3.c0, 3) AS BIGINT) AS n_click
+    FROM s3
+    WHERE h3.h IS NOT NULL
+      AND epoch_us(ts) - epoch_us(h3.h) <= 259200000000::BIGINT
+    """,
+)
+def stream_cep_both_strict_times(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict contiguity on BOTH sides of a range quantifier (r13 —
+    the n >= 2 lift): `begin(view).next(click).times(2, 3)
+    .next(purchase).within(72h)` — a click burst OPENED by the event
+    immediately after the view and CLOSED by the event immediately
+    before the purchase (the tight-sandwich burst: no foreign event
+    touches either boundary; middle clicks absorb relaxed). Sound for
+    n >= 2 because the n-copy expansion anchors TWO DISTINCT events on
+    the strict edges — any k >= n match keeps its first repetition at
+    view+1 and its last at purchase−1 and drops middles; only
+    oneOrMore/times(1, m) both-strict still refuses (a 1-rep match
+    binds one event to both edges — an OR of two chains). The oracle
+    unrolls LAG → relaxed carry → LAG with the {{h, c0}} count struct;
+    brute-force fuzz over random streams incl. type collisions is in
+    tests/test_properties.py."""
+    pat = (
+        CepPattern.begin("view", etype="view")
+        .next("click", etype="click")
+        .times(2, 3)
+        .next("purchase", etype="purchase")
+        .within("72 hours")
+    )
+    return pat.compile(
+        table(spark, sf_dir, "events"),
+        key="user_id",
+        ts="ts",
+        tiebreak="event_id",
+    )
+
+
+@register(
     "stream_cep_midneg_multi",
     oracle=f"""
     WITH s0 AS (
@@ -2077,8 +2156,6 @@ def stream_cep_skip_to_first(spark: SparkSession, sf_dir: str) -> DataFrame:
         tiebreak="event_id",
     )
 
-
-_CEP_LAG = """LAG({src}) OVER (PARTITION BY user_id ORDER BY ts, event_id)"""
 
 # bounded-gap carry (within previous_and_current): the max start over
 # predecessors INSIDE the gap horizon — a RANGE frame over epoch-µs

@@ -436,7 +436,7 @@ def test_strict_contiguity_gating_r12():
     assert oom.next("c", p).steps[-1].contiguity == "next"
     entered = CepPattern.begin("a", p).next("b", p).one_or_more()
     assert entered.steps[-1].one_or_more
-    with pytest.raises(ValueError, match="BOTH sides"):
+    with pytest.raises(ValueError, match="OR of two chains"):
         entered.next("c", p)
     with pytest.raises(ValueError, match="begin step"):
         CepPattern.begin("a", p).one_or_more()
@@ -515,11 +515,17 @@ def test_times_range_builder_rules(spark):
     with pytest.raises(ValueError, match="consecutive"):
         base.times(2, 4, consecutive=True)
     # r13: a next()-reached range constructs (one strict edge is
-    # sound); both-strict still refuses
+    # sound); BOTH-strict composes when the lower bound >= 2 (the
+    # n-copy expansion anchors two distinct events on the strict
+    # edges); times(1, m) both-strict still refuses (1-rep matches
+    # bind one event to both edges — an OR of two chains)
     entered = CepPattern.begin("a", p).next("b", p).times(2, 4)
     assert entered.steps[-1].up_to == 4
-    with pytest.raises(ValueError, match="BOTH sides"):
-        entered.next("c", p)
+    both = entered.next("c", p)
+    assert both.steps[-1].contiguity == "next"
+    one_rep = CepPattern.begin("a", p).next("b", p).times(1, 3)
+    with pytest.raises(ValueError, match="OR of two chains"):
+        one_rep.next("c", p)
     with pytest.raises(ValueError, match="begin step"):
         CepPattern.begin("a", p).times(1, 3)
     rng = base.times(2, 4)
@@ -827,6 +833,14 @@ def test_counted_streaming_twins_match_batch(spark, sf_small,
             .followed_by("click", etype="click").one_or_more()
             .next("purchase", etype="purchase")
             .within("36 hours")
+        ),
+        # r13 continuation: strict on BOTH edges (n>=2 lift) — the
+        # count struct crosses a LAG in AND a LAG out
+        "both_strict": (
+            CepPattern.begin("view", etype="view")
+            .next("click", etype="click").times(2, 3)
+            .next("purchase", etype="purchase")
+            .within("72 hours")
         ),
     }
     for tag, pat in pats.items():

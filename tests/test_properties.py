@@ -1562,3 +1562,76 @@ def test_cep_gap_streaming_state_fuzz(streams, pattern_types,
                 for r in out.itertuples():
                     got.add((uid, r.match_id, r.start_us // 1_000_000))
     assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    streams=st.lists(
+        st.lists(_cep_event, min_size=0, max_size=12),
+        min_size=1, max_size=3,
+    ),
+    types=st.tuples(
+        st.sampled_from(["A", "B", "C"]),
+        st.sampled_from(["A", "B", "C"]),
+        st.sampled_from(["A", "B", "C"]),
+    ),
+    cap=st.integers(min_value=2, max_value=4),
+    within_s=st.integers(min_value=1, max_value=40),
+)
+def test_cep_both_strict_range_fuzz(streams, types, cap, within_s):
+    """times(2, m) with strict contiguity on BOTH sides (r13 — the
+    n>=2 lift): A next B{2,m} next C — the first repetition is the
+    event immediately after A, the LAST repetition is the event
+    immediately before C, middle repetitions relaxed. Brute force:
+    chains with >= 2 B's anchored at pa+1 and pc-1 (k > 2 matches
+    reduce to the 2-copy expansion by dropping middles); n_b = the
+    documented pool (B-typed in (greedy start, match]) capped at m."""
+    import itertools
+
+    from sparkflow.streaming.cep import CepPattern
+
+    a_t, b_t, c_t = types
+    rows, df = _cep_df(_get_spark(), streams)
+    if not rows:
+        return
+
+    pat = (
+        CepPattern.begin("a", etype=a_t)
+        .next("b", etype=b_t)
+        .times(2, cap)
+        .next("c", etype=c_t)
+        .within(within_s)
+    )
+    got = {
+        (r.user_id, r.match_id): (r.start_sec, r.n_b)
+        for r in pat.compile(df).select(
+            "user_id", "match_id", "n_b",
+            (F.unix_micros("start_ts") / 1_000_000).cast("int")
+            .alias("start_sec"),
+        ).collect()
+    }
+
+    by_user: dict = {}
+    for uid, ev_id, typ, sec in rows:
+        by_user.setdefault(uid, []).append((typ, sec, ev_id))
+    want: dict = {}
+    for uid, seq in by_user.items():
+        n = len(seq)
+        for pa, pb1, pb2, pc in itertools.combinations(range(n), 4):
+            if (seq[pa][0], seq[pb1][0], seq[pb2][0], seq[pc][0]) \
+                    != (a_t, b_t, b_t, c_t):
+                continue
+            if pb1 != pa + 1 or pc != pb2 + 1:
+                continue
+            if seq[pc][1] - seq[pa][1] > within_s:
+                continue
+            k = (uid, seq[pc][2])
+            prev = want.get(k)
+            if prev is None or (seq[pa][1], pa) > prev[:2]:
+                want[k] = (seq[pa][1], pa, pc)
+    expect = {}
+    for (uid, mid), (sec, pa, pc) in want.items():
+        seq = by_user[uid]
+        pool = sum(1 for j in range(pa + 1, pc + 1) if seq[j][0] == b_t)
+        expect[(uid, mid)] = (sec, min(pool, cap))
+    assert got == expect
