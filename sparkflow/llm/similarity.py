@@ -378,11 +378,22 @@ def _knn_matrix(spark: SparkSession, sf_dir: str, create: bool = False):
         spark, "knn", sf_dir, ("embeddings",), "fxp_matrix", build, create
     )
     if mat is not None:
-        _KNN_MATRIX_CACHE[memo_key] = (
-            weakref.ref(spark, lambda _, k=memo_key: _KNN_MATRIX_CACHE.pop(k, None)),
-            mat,
-            _manifest_id(),
-        )
+        # r13 advice: bind the cache entry to the publication identity
+        # only when the identity BEFORE stage_parquet resolved the
+        # handle equals the identity AFTER — a republish landing
+        # mid-resolve would otherwise pin the NEW (inode, mtime) to the
+        # OLD file listing and the staleness probe would pass forever.
+        # On mismatch (or a just-created artifact, mid=None) leave the
+        # entry uncached; the next call re-resolves and caches.
+        mid_after = _manifest_id()
+        if mid is not None and mid == mid_after:
+            _KNN_MATRIX_CACHE[memo_key] = (
+                weakref.ref(
+                    spark, lambda _, k=memo_key: _KNN_MATRIX_CACHE.pop(k, None)
+                ),
+                mat,
+                mid_after,
+            )
     return mat
 
 
@@ -436,11 +447,22 @@ def _knn_arrow_read(mat: DataFrame, qid: int, qi) -> DataFrame:
             # < 2^53, so the float64 cosine here applies the identical
             # IEEE ops Spark's expression will re-apply to survivors
             cos = dot.astype(np.float64) / (np.sqrt(n2.astype(np.float64)) * nq)
-            if b.num_rows > _TOP_K:
-                kth = np.partition(cos, b.num_rows - _TOP_K)[
-                    b.num_rows - _TOP_K
+            # degenerate norms (zero vector or zero query) make this
+            # float cosine NaN, while the shared Spark division the
+            # survivors flow into ERRORS under ANSI and yields NULL
+            # (sorted last) under non-ANSI. Parity in both modes =
+            # ALWAYS emit degenerate rows (so Spark applies its own
+            # semantics to them) and threshold the prune over FINITE
+            # cosines only — a NaN kth previously turned the band
+            # comparison all-False and silently dropped whole batches
+            # (r13 advice)
+            finite = np.isfinite(cos)
+            fin_vals = cos[finite]
+            if len(fin_vals) > _TOP_K:
+                kth = np.partition(fin_vals, len(fin_vals) - _TOP_K)[
+                    len(fin_vals) - _TOP_K
                 ]
-                idx = np.flatnonzero(cos >= kth - 1e-8)
+                idx = np.flatnonzero(~finite | (cos >= kth - 1e-8))
             else:
                 idx = np.arange(b.num_rows)
             take = pa.array(idx, type=pa.int64())

@@ -235,18 +235,40 @@ def staging_vacuum(min_age_sec: float = 3600.0) -> dict:
                 manifest = os.path.join(adir, _MANIFEST)
                 live = False
                 undigestable = False
+                unverifiable = False
+                m = None
                 try:
                     with open(manifest, encoding="utf-8") as fh:
                         m = json.load(fh)
-                    live = corpus_digest(
-                        m["sf_dir"], m["tables"]
-                    ) == digest
-                except (OSError, ValueError, KeyError, FileNotFoundError):
-                    # missing/corrupt manifest, or the corpus itself is
-                    # gone — nothing can ever resolve this address again
+                except (OSError, ValueError):
+                    # missing/corrupt manifest — nothing can ever
+                    # resolve this address again
                     undigestable = True
+                if m is not None:
+                    try:
+                        live = corpus_digest(
+                            m["sf_dir"], m["tables"]
+                        ) == digest
+                    except KeyError:
+                        undigestable = True  # malformed manifest body
+                    except OSError:
+                        # r13 advice: a transient I/O failure reading
+                        # the SOURCE corpus must not class a live warm
+                        # artifact as garbage. Only when the corpus
+                        # directory itself is gone (the ephemeral
+                        # scale-rung case) is the address permanently
+                        # unresolvable; an existing-but-unreadable
+                        # source is kept and re-checked next sweep.
+                        if os.path.isdir(str(m.get("sf_dir", ""))):
+                            unverifiable = True
+                        else:
+                            undigestable = True
                 if live:
                     out["kept_live"] += 1
+                elif unverifiable:
+                    out["kept_unverifiable"] = (
+                        out.get("kept_unverifiable", 0) + 1
+                    )
                 elif _age_ok(manifest if os.path.exists(manifest) else adir):
                     shutil.rmtree(adir, ignore_errors=True)
                     out["removed_stale" if not undigestable

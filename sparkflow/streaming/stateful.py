@@ -1138,8 +1138,10 @@ def cep_compiled_stream(
     latest-non-null position, latest-negated position, one shared row
     counter) plus 4·(m-1) per optional-step annotation chain. Every
     after-match skip strategy streams too (r13 — the cursors are all
-    causal). Only terminal negation is excluded (future-dependent;
-    watermarked interval-join twin)."""
+    causal). Terminal negation does NOT route here: compile_stream
+    sends it to cep_terminal_negation_stream (r13), which holds
+    candidates in keyed state until the watermark passes match_ts + T
+    — a watermark-delayed hold, not an interval join."""
     if len(steps) < 2:
         raise ValueError("streaming compile needs >= 2 positive steps")
     ev = _events_stream(spark, files_dir, sf_dir)

@@ -1377,3 +1377,35 @@ def test_gap_bound_streaming_twin(spark, sf_small, tmp_path_factory):
     assert unbounded.compile(
         table(spark, sf_small, "events")
     ).count() > len(want)
+
+
+@pytest.mark.parametrize("key", [
+    "stream_cep_skip_past",
+    "stream_cep_skip_to_next",
+    "stream_cep_skip_to_first",
+])
+def test_skip_fold_scan_sits_directly_on_window_chain(spark, sf_small, key):
+    """_skip_fold's cursor scan is only correct because the upstream
+    Window's hash exchange on the key survives the filter/select
+    between the window chain and the MapInPandas node UNCHANGED — if
+    any repartition/AQE rewrite inserted an exchange there, a key's
+    rows could split across partitions and the per-partition cursor
+    would emit duplicate acceptances instead of failing (r13 advice).
+    Pin the invariant for every skip strategy: in the executed plan no
+    Exchange may sit between MapInPandas and the first Window below
+    it, and the whole plan still carries at most one Exchange (the
+    keyed carry-window hash partitioning)."""
+    plan = (
+        QUERIES[key](spark, sf_small)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    lines = plan.splitlines()
+    mi = next(i for i, ln in enumerate(lines) if "MapInPandas" in ln)
+    wi = next(
+        i for i, ln in enumerate(lines[mi:], mi) if "Window" in ln
+    )
+    between = lines[mi:wi]
+    assert not any("Exchange" in ln for ln in between), between
+    assert plan.count("Exchange") <= 1, plan

@@ -7,6 +7,7 @@ from __future__ import annotations
 import sys
 
 import numpy as np
+import pytest
 
 sys.path.insert(0, "/root/repo")
 
@@ -1019,3 +1020,77 @@ def test_knn_matrix_cache_survives_republish(spark, sf_small):
     assert m2.count() == n1  # resolvable — no dead file index
     assert first.equals(second)
     staging.unpublish("knn", sf_small, ("embeddings",), "fxp_matrix")
+
+
+def test_knn_arrow_prune_keeps_nan_cosines(spark):
+    """Degenerate (zero-norm) vectors make the kernel's float cosine
+    NaN. Pre-r14 a NaN kth turned the survivor-band comparison
+    all-False and SILENTLY dropped the whole batch — wrong results
+    while the cold plan's Spark-side division errors (ANSI) or ranks
+    NaN first (non-ANSI, NaN > every double). The guard must keep
+    degenerate rows so the staged path stays bit-identical to the cold
+    expressions in BOTH modes (r13 advice)."""
+    import numpy as np
+
+    from sparkflow.llm.similarity import _TOP_K, _knn_arrow_read
+
+    n, dim = 40, 4
+    rows = []
+    for i in range(n):
+        if i == 7:
+            xi = [0] * dim  # zero vector -> n2 = 0 -> NaN cosine
+        else:
+            xi = [(i * 31 + j * 7) % 11 - 5 for j in range(dim)]
+            if all(x == 0 for x in xi):
+                xi[0] = 1
+        rows.append((i, i % 3, xi, sum(x * x for x in xi)))
+    mat = spark.createDataFrame(
+        rows, "vec_id long, label int, xi array<long>, n2 long"
+    ).repartition(1)
+    qi = rows[0][2]
+    prev_ansi = spark.conf.get("spark.sql.ansi.enabled")
+    try:
+        # ANSI: parity is a LOUD error from the shared Spark division,
+        # exactly like the cold plan — never a silently-pruned batch
+        spark.conf.set("spark.sql.ansi.enabled", "true")
+        with pytest.raises(Exception, match="DIVIDE_BY_ZERO"):
+            _knn_arrow_read(mat, 0, qi).collect()
+        # non-ANSI: Spark's x/0 division is NULL (sorted last in the
+        # desc order), so the degenerate row must NOT displace any
+        # finite neighbor — the finite top-k must equal brute force,
+        # never a silently-emptied batch
+        spark.conf.set("spark.sql.ansi.enabled", "false")
+        got = _knn_arrow_read(mat, 0, qi).toPandas()
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev_ansi)
+    assert len(got) == _TOP_K
+    q = np.asarray(qi, dtype=np.float64)
+    nq = np.sqrt((q * q).sum())
+
+    def r9(c):  # Spark ROUND = HALF_UP (away from zero)
+        return np.sign(c) * np.floor(np.abs(c) * 1e9 + 0.5) / 1e9
+
+    finite = []
+    for i, _lb, xi, n2 in rows[1:]:
+        if n2 == 0:
+            continue
+        v = np.asarray(xi, dtype=np.float64)
+        finite.append((r9(v @ q / (np.sqrt(float(n2)) * nq)), i))
+    finite.sort(key=lambda t: (-t[0], t[1]))
+    want = [i for _c, i in finite[:_TOP_K]]
+    assert list(got["vec_id"]) == want
+    # ... and when fewer than k finite rows exist, the degenerate row
+    # fills a slot (NULL cos_sim, sorted last) instead of vanishing
+    small = spark.createDataFrame(
+        [r for r in rows if r[0] in (0, 1, 2, 7)],
+        "vec_id long, label int, xi array<long>, n2 long",
+    ).repartition(1)
+    prev = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try:
+        got_small = _knn_arrow_read(small, 0, qi).toPandas()
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev)
+    assert set(got_small["vec_id"]) == {1, 2, 7}
+    assert got_small.iloc[-1]["vec_id"] == 7
+    assert got_small["cos_sim"].isna().iloc[-1]

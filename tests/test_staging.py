@@ -399,3 +399,51 @@ def test_maintenance_vacuum_sweeps_staging_root(spark, sf_small, tmp_path):
     assert not os.path.exists(orphan_path), "orphan survived the sweep"
     assert staging.is_published(live_path), "live artifact was reclaimed"
     shutil.rmtree(live_path, ignore_errors=True)
+
+
+def test_staging_vacuum_keeps_unverifiable_source(spark, sf_small, tmp_path):
+    """r13 advice: a source corpus that still EXISTS as a directory but
+    cannot be digested right now (unmounted volume, permission hiccup,
+    data files momentarily absent) must NOT class a live warm artifact
+    as garbage — it is kept and counted kept_unverifiable, any age.
+    Only a corpus whose directory is GONE is undigestable-sweepable."""
+    corpus = tmp_path / "corpus_unv"
+    corpus.mkdir()
+    shutil.copy(
+        os.path.join(sf_small, "events.parquet"),
+        corpus / "events.parquet",
+    )
+    sf = str(corpus)
+
+    def build():
+        return (
+            spark.read.parquet(os.path.join(sf, "events.parquet"))
+            .groupBy("event_type").count()
+        )
+
+    staging.stage_parquet(
+        spark, "testunv", sf, ["events"], "counts", build, create=True
+    )
+    live = staging.shared_path("testunv", sf, ["events"], "counts")
+    assert staging.is_published(live)
+
+    # source dir present but its data files unreadable/absent: even a
+    # manifest far past the age window is NOT reclaimed
+    os.remove(corpus / "events.parquet")
+    mf = os.path.join(live, "_sparkflow_manifest.json")
+    past = os.path.getmtime(mf) - 7200
+    os.utime(mf, (past, past))
+    s = staging.staging_vacuum(min_age_sec=3600)
+    assert staging.is_published(live)
+    assert s.get("kept_unverifiable", 0) == 1
+
+    # the source comes back with different content -> a SUCCESSFUL
+    # digest that differs -> ordinary stale sweep past the window
+    shutil.copy(
+        os.path.join(sf_small, "events.parquet"),
+        corpus / "events.parquet",
+    )
+    os.utime(mf, (past, past))
+    s = staging.staging_vacuum(min_age_sec=3600)
+    assert not os.path.exists(live)
+    assert s["removed_stale"] >= 1
