@@ -234,14 +234,57 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     event is late if it arrives (event_id = arrival order) more than 10
     minutes behind the running max event time — precisely the Flink/Spark
     watermark definition. Kept/late routed to two counters per type (the
-    filter-split side-output pattern). NOTE: the watermark is inherently
-    a global running max — acceptable here because the true streaming
-    form (withWatermark + dropDuplicatesWithinWatermark, pytest) keeps it
-    per-executor-merged, not window-ordered."""
+    filter-split side-output pattern).
+
+    Scale shape (r14, r13 verdict item 1): the running max over arrival
+    order is a BANDED prefix max, never a global single-task window —
+    the same transformation as `win_rank_dense_ntile`'s banded rank:
+
+    1. Range-band the stream on `event_id` (broadcast percentile cut
+       points; event_id is unique, so banding is trivially
+       order-consistent and the bands are balanced).
+    2. Running max WITHIN each band in parallel
+       (``Window.partitionBy("band")``).
+    3. The cross-band carry is each band's prefix max — a broadcast
+       triangular self-join over the B-row band-stats table; the global
+       running max at any row is greatest(within-band running max,
+       prefix max of earlier bands). Exact because band(e) is monotone
+       in event_id: every event of an earlier band arrived earlier.
+
+    No unpartitioned Window or table-row single-partition Exchange
+    remains (pinned in tests/test_plans.py). The true streaming form
+    (withWatermark, pytest twin) is per-executor-merged; this batch
+    plan now has the same no-global-sort property."""
+    n_bands = 32
     ev = table(spark, sf_dir, "events")
-    w = Window.orderBy("event_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    lateness = F.unix_micros(F.max("ts").over(w)) - F.unix_micros(F.col("ts"))
-    flagged = ev.select("event_type", (lateness > 600 * 1_000_000).alias("is_late"))
+    cuts = ev.select(
+        F.percentile_approx(
+            "event_id", [i / n_bands for i in range(1, n_bands)], 10000
+        ).alias("cuts")
+    )
+    banded = ev.crossJoin(F.broadcast(cuts)).withColumn(
+        "band", F.size(F.filter("cuts", lambda c: F.col("event_id") > c))
+    )
+    wb = (
+        Window.partitionBy("band")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = banded.select(
+        "event_type", "ts", "band", F.max("ts").over(wb).alias("loc_max")
+    )
+    stats = banded.groupBy("band").agg(F.max("ts").alias("band_max"))
+    a, b = stats.alias("a"), stats.alias("b")
+    prefix = (
+        a.join(F.broadcast(b), F.col("b.band") < F.col("a.band"), "left")
+        .groupBy(F.col("a.band").alias("band"))
+        .agg(F.max("b.band_max").alias("prefix_max"))
+    )
+    run_max = F.greatest("loc_max", "prefix_max")  # null-skipping (band 0)
+    lateness = F.unix_micros(run_max) - F.unix_micros(F.col("ts"))
+    flagged = local.join(F.broadcast(prefix), "band").select(
+        "event_type", (lateness > 600 * 1_000_000).alias("is_late")
+    )
     return flagged.groupBy("event_type").agg(
         F.count(F.when(~F.col("is_late"), 1)).alias("n_kept"),
         F.count(F.when(F.col("is_late"), 1)).alias("n_late"),
@@ -1274,6 +1317,57 @@ def stream_async_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _banded_ntile5(base: DataFrame, metric: str, desc: bool,
+                   score_name: str, n_bands: int = 8) -> DataFrame:
+    """Bit-exact NTILE(5) OVER (ORDER BY metric [DESC], user_id) as a
+    BANDED two-pass plan — the `win_rank_dense_ntile` machinery: band
+    on broadcast percentile cuts of the metric (equal metric values
+    always share a band, so banding is order-consistent with the
+    (metric, user_id) total order), per-band row_number in parallel,
+    then recover the global row number by adding per-band offsets from
+    a B-row broadcast triangular self-join and reconstruct NTILE by
+    its SQL definition. No unpartitioned Window anywhere; parallelism
+    is bounded below by the metric's value spread (ties share bands —
+    at worst one distinct value per band, still 1/B of the table)."""
+    key = F.col(metric)
+    cuts = base.select(
+        F.percentile_approx(
+            metric, [i / n_bands for i in range(1, n_bands)], 10000
+        ).alias("cuts")
+    )
+    pred = (lambda c: key < c) if desc else (lambda c: key > c)
+    banded = (
+        base.select("user_id", metric)
+        .crossJoin(F.broadcast(cuts))
+        .withColumn("band", F.size(F.filter("cuts", pred)))
+    )
+    order = [key.desc() if desc else key.asc(), F.col("user_id")]
+    wb = Window.partitionBy("band").orderBy(*order)
+    local = banded.select(
+        "user_id", "band", F.row_number().over(wb).alias("rn")
+    )
+    stats = banded.groupBy("band").agg(F.count(F.lit(1)).alias("n_rows"))
+    a, b = stats.alias("a"), stats.alias("b")
+    offsets = (
+        a.join(F.broadcast(b), F.col("b.band") < F.col("a.band"), "left")
+        .groupBy(F.col("a.band").alias("band"))
+        .agg(F.coalesce(F.sum("b.n_rows"), F.lit(0)).alias("off_rows"))
+    )
+    total = stats.agg(F.sum("n_rows").alias("n_total"))
+    g_rn = F.col("rn") + F.col("off_rows")
+    k = 5
+    q = F.floor(F.col("n_total") / k)
+    r = F.col("n_total") % k
+    ntile = F.when(
+        g_rn <= r * (q + 1), F.ceil(g_rn / (q + 1))
+    ).otherwise(r + F.ceil((g_rn - r * (q + 1)) / F.greatest(q, F.lit(1))))
+    return (
+        local.join(F.broadcast(offsets), "band")
+        .crossJoin(F.broadcast(total))
+        .select("user_id", ntile.cast("int").alias(score_name))
+    )
+
+
 @register(
     "events_rfm",
     oracle="""
@@ -1310,14 +1404,18 @@ def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie-break — score 5 = most recent / most frequent / top spend —
     plus the composite 3-digit rfm_code marketing tools key on.
 
-    Scale shape: the heavy pass is one keyed partial aggregation
-    (events -> per-user triple); everything after runs on the REDUCED
-    per-user table. The anchor timestamp is a 1-row aggregate
-    broadcast-crossed in. The three NTILE windows are global sorts of
-    the per-user table - exact quintiles require a total order; at
-    extreme user counts the swap is broadcast approxQuantile cutpoints
-    (the documented trade: exactness for the oracle vs a sampled
-    boundary), while the events-side cost is unchanged."""
+    Scale shape (r14, r13 verdict item 2): the heavy pass is one keyed
+    partial aggregation (events -> per-user triple); everything after
+    runs on the REDUCED per-user table. The anchor timestamp is a
+    1-row aggregate broadcast-crossed in. The three quintile scores
+    are BANDED exact NTILEs (`_banded_ntile5` — the
+    `win_rank_dense_ntile` two-pass plan), never a global single-task
+    window: at 10^8-10^9 users each metric sorts in B parallel bands
+    and the global row number is reconstructed from broadcast per-band
+    offsets, bit-equal to NTILE(5) OVER (ORDER BY metric, user_id).
+    The three score frames re-join `base` on user_id — keyed shuffles
+    of the reduced table; the repeated per-user aggregate subtree is
+    deduplicated by Spark's exchange reuse (one events scan)."""
     ev = table(spark, sf_dir, "events")
     per_user = ev.groupBy("user_id").agg(
         F.max(F.unix_micros("ts")).alias("last_us"),
@@ -1331,17 +1429,15 @@ def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         "freq",
         "monetary_cents",
     )
-    r_w = Window.orderBy(F.col("rec_days").desc(), "user_id")
-    f_w = Window.orderBy("freq", "user_id")
-    m_w = Window.orderBy("monetary_cents", "user_id")
-    scored = base.select(
-        "user_id",
-        "rec_days",
-        "freq",
-        "monetary_cents",
-        F.ntile(5).over(r_w).cast("int").alias("r_score"),
-        F.ntile(5).over(f_w).cast("int").alias("f_score"),
-        F.ntile(5).over(m_w).cast("int").alias("m_score"),
+    scored = (
+        base.join(_banded_ntile5(base, "rec_days", True, "r_score"), "user_id")
+        .join(_banded_ntile5(base, "freq", False, "f_score"), "user_id")
+        .join(_banded_ntile5(base, "monetary_cents", False, "m_score"),
+              "user_id")
+        .select(
+            "user_id", "rec_days", "freq", "monetary_cents",
+            "r_score", "f_score", "m_score",
+        )
     )
     return scored.withColumn(
         "rfm_code",

@@ -857,3 +857,46 @@ def test_exact_substr_is_equi_join_no_allpairs(spark, sf_small):
         r"row_number\(\) windowspecdefinition\(da#\d+L, db#\d+L, delta#\d+",
         plan,
     ), plan[:2000]
+
+
+def test_watermark_late_never_single_partition(spark, sf_small):
+    """stream_watermark_late's running-max watermark is a banded
+    prefix max (r14, r13 verdict item 1): the plan must not contain an
+    unpartitioned Window over the event stream (the old single-task
+    shape) nor a single-partition Exchange carrying table rows — only
+    aggregate partials may converge to one partition (percentile cuts,
+    band stats, final counters)."""
+    import re
+
+    df = sparkflow.QUERIES["stream_watermark_late"](spark, sf_small)
+    plan = formatted_plan(df)
+    specs = re.findall(r"windowspecdefinition\(([^,]+),", plan)
+    assert specs and all(s.startswith("band#") for s in specs), specs
+    for m in re.finditer(r"\((\d+)\) Exchange\n", plan):
+        node = int(m.group(1))
+        detail = plan[m.start() : m.start() + 200]
+        if "SinglePartition" in detail:
+            prev = re.search(rf"\(({node - 1})\) (\w+)", plan)
+            assert prev and "Aggregate" in prev.group(2), detail
+
+
+def test_rfm_never_single_partition(spark, sf_small):
+    """events_rfm's three quintile scores are banded exact NTILEs
+    (r14, r13 verdict item 2): no unpartitioned Window over the
+    per-user table (the old triple global ntile shape) and no
+    single-partition Exchange of table rows — only aggregate partials
+    (anchor max, percentile cuts, band stats, totals)."""
+    import re
+
+    df = sparkflow.QUERIES["events_rfm"](spark, sf_small)
+    plan = formatted_plan(df)
+    specs = re.findall(r"windowspecdefinition\(([^,]+),", plan)
+    assert specs and all(s.startswith("band#") for s in specs), specs
+    # \b: "percentile_approx" must not trip the ntile-function probe
+    assert not re.search(r"\bntile\(", plan), "global ntile window regressed"
+    for m in re.finditer(r"\((\d+)\) Exchange\n", plan):
+        node = int(m.group(1))
+        detail = plan[m.start() : m.start() + 200]
+        if "SinglePartition" in detail:
+            prev = re.search(rf"\(({node - 1})\) (\w+)", plan)
+            assert prev and "Aggregate" in prev.group(2), detail
