@@ -118,21 +118,30 @@ _CONTRACT_CHANGED: dict = {
     # constant-size scans) and the flagship gained the Q5
     # join-aggregate IVM posture as its first probe
     "join_multiway_star": 12,
-    # r13: EVIDENCE REFRESH, not a contract change (r12 verdict item 2):
-    # these nine keys were last driver-attested at r7 — the oldest
-    # evidence in the board. The spent rule is exactly the behavior an
-    # evidence-refresh needs (front until an artifact from >= r13
-    # attests them, then fall back into the normal queues), so they
-    # ride the same mechanism rather than a parallel dict.
-    "fn_mask": 13,
-    "llm_bigram_fluency": 13,
-    "llm_word_cooccurrence": 13,
-    "llm_bpe_pair_counts": 13,
-    "llm_unigram_surprise": 13,
-    "llm_dataset_card_stats": 13,
-    "win_ewma_segmented": 13,
-    "win_rolling_median_segmented": 13,
-    "llm_dedup_containment": 13,
+    # r13 evidence-refresh entries (nine r7-evidence keys) are SPENT —
+    # CORRECTNESS_r13 attested all nine — and deleted per the spent
+    # rule. r14 (r13 verdict item 5): EVIDENCE REFRESH for the r8
+    # cohort — these 18 keys' newest driver evidence dates to r8, the
+    # oldest left on the board (all 18 judge-verified EXACT in r13, so
+    # risk is low; this rotates the driver's own artifact evidence).
+    "agg_cms_heavy_hitters": 14,
+    "agg_kmv_distinct": 14,
+    "fn_regexp": 14,
+    "fn_split_explode": 14,
+    "fn_string": 14,
+    "graph_shortest_paths": 14,
+    "join_asof_nearest": 14,
+    "join_asof_tolerance": 14,
+    "join_interval_outer": 14,
+    "join_multiway_star_bucketed": 14,
+    "join_multiway_star_denorm": 14,
+    "llm_dedup_near_prefix": 14,
+    "llm_embedding_pca": 14,
+    "llm_knn_all_pairs_lsh": 14,
+    "llm_knn_ivf": 14,
+    "maintenance_incremental_rollup": 14,
+    "maintenance_json_materialize": 14,
+    "scan_binary_files": 14,
 }
 
 
