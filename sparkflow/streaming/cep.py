@@ -81,10 +81,16 @@ absorbed repetition immediately precedes this step"). Even strict on
 BOTH sides composes when the lower bound is >= 2 (r13 continuation):
 the n-copy times(n, m) expansion carries the strict edges on its
 FIRST and LAST copies — any k >= n >= 2 match anchors two distinct
-events there and its middle repetitions are relaxed absorptions. The
-refusals left: oneOrMore/times(1, m) with strict on both sides (a
-1-rep match binds ONE event to both edges while k >= 2 anchors two —
-an OR of two chains, not one expansion), and negated gaps entered or
+events there and its middle repetitions are relaxed absorptions. And
+strict-on-both-sides at lower bound 1 (oneOrMore/times(1, m)) compiles
+since r14 as exactly what the old refusal named: an OR OF TWO CHAINS —
+the 1-rep variant (one event bound to both strict edges, quantifier
+stripped) and the >= 2-rep variant (the times(2[, m]) both-strict
+expansion) — gated EXISTS-any, with start/count taken from the greedy
+max-start variant via a lexicographic struct GREATEST (the same
+combination rule as the 2^k optional enumeration; each variant is an
+ordinary carry chain in the proven class, so per-variant dominance is
+untouched). The only batch refusal left: negated gaps entered or
 exited via next(). All lifted compositions are brute-force-fuzzed in
 tests/test_properties.py.
 
@@ -259,22 +265,16 @@ class CepPattern:
                 "(a strict transition already forbids ANY intervening "
                 "event, negated or not)"
             )
-        last = self.steps[-1]
-        if (last.one_or_more or (last.up_to is not None and last.times < 2)) \
-                and last.contiguity == "next":
-            kind = "oneOrMore" if last.one_or_more else "times(1, m)"
-            raise ValueError(
-                f"next({name!r}) after the next()-reached {kind} step "
-                f"{last.name!r} is not supported: with a single "
-                "required repetition, the 1-rep match binds ONE event "
-                "to both strict edges while a k>=2-rep match anchors "
-                "two distinct events — an OR of two chains, not one "
-                "expansion (times(n>=2, m) composes both-strict: the "
-                "n-copy expansion's first/last copies carry the strict "
-                "edges and middle repetitions stay relaxed, r13). "
-                "Reach or leave the repetition with followed_by(), "
-                "or raise the lower bound to 2"
-            )
+        # r14 (r13 verdict item 3): next() after a next()-REACHED
+        # oneOrMore/times(1, m) step now compiles — with a single
+        # required repetition the 1-rep match binds ONE event to both
+        # strict edges while a k>=2-rep match anchors two distinct
+        # events, so compile() builds an OR OF TWO CHAINS per such
+        # step: the 1-rep variant (plain strict hop) and the >=2-rep
+        # variant (the r13 times(2, m) both-strict expansion), gated
+        # by EXISTS-any and combined by greedy max-start across
+        # variants (see compile()'s split-chain branch; brute-force
+        # fuzz in tests/test_properties.py).
         # r13: next() after a RELAXED-reached oneOrMore/times(n, m)
         # step is sound — the existence collapse places the single
         # collapsed copy at the LAG(1) predecessor, which is exactly
@@ -649,6 +649,21 @@ class CepPattern:
                 "gating chain to return (compile_stream routes these "
                 "patterns to the enum-gated state machine directly)"
             )
+        required_steps = [s for s in self.steps if not s.optional]
+        for i, s in enumerate(required_steps):
+            if (s.contiguity == "next" and s.times == 1
+                    and (s.one_or_more
+                         or (s.up_to is not None and s.up_to >= 2))
+                    and i + 1 < len(required_steps)
+                    and required_steps[i + 1].contiguity == "next"):
+                raise ValueError(
+                    f"the both-strict oneOrMore/times(1, m) step "
+                    f"{s.name!r} compiles for batch as an OR of two "
+                    "carry chains (r14) — the streaming twin would "
+                    "need a 2-variant keyed machine with shared "
+                    "counted state, which is not built yet; relax one "
+                    "edge or raise the lower bound to 2 to stream"
+                )
         counted = [s for s in self.steps
                    if s.one_or_more or s.up_to is not None]
         # r13 (r12 verdict item 8): ANY number of counted steps streams
@@ -1204,22 +1219,99 @@ class CepPattern:
                 flags.append(fl.alias(f"with_{o.name}"))
             rep_counts = []
         else:
-            # main chain (required steps) gates the match; one extra
-            # chain per optional step computes its annotation flag
-            cur, prev_col, start_of = build_chain(
-                cur, required, "_cep_h", with_counts=True,
-                with_pos=skip_mode, with_anchor=anchor
-            )
-            flags = []
-            for j, o in enumerate(s for s in self.steps if s.optional):
-                variant = [s for s in self.steps
-                           if not s.optional or s is o]
-                cur, vcol, v_start = build_chain(
-                    cur, variant, f"_cep_v{j}_h", with_counts=False
+            # r14 (r13 verdict item 3): a counted step with lower
+            # bound 1 whose ENTERING and LEAVING transitions are both
+            # strict has no single times-expansion — the 1-rep match
+            # binds ONE event to both LAG(1) edges while a k>=2-rep
+            # match anchors two distinct events. Compile it as an OR
+            # OF TWO CHAINS per such step: the 1-rep variant (plain
+            # strict hop, quantifier stripped) and the >=2-rep variant
+            # (the r13-sound times(2[, m]) both-strict expansion).
+            # Every variant is an ordinary carry chain in the already-
+            # proven class, so per-variant greedy dominance holds; the
+            # match is EXISTS-any, and start/counts come from the
+            # greedy max-start variant (lexicographic struct GREATEST
+            # across satisfied chains — the same combination rule as
+            # the 2^k optional enumeration). times(1, 1) needs no
+            # split: its only variant IS the 1-rep chain.
+            split = [
+                s for i, s in enumerate(required)
+                if s.contiguity == "next" and s.times == 1
+                and (s.one_or_more
+                     or (s.up_to is not None and s.up_to >= 2))
+                and i + 1 < len(required)
+                and required[i + 1].contiguity == "next"
+            ]
+            if split and any(s.optional for s in self.steps):
+                raise ValueError(
+                    "optional() does not compose with a both-strict "
+                    "oneOrMore/times(1, m) step — each annotation "
+                    "chain would itself need the OR-of-two-chains "
+                    "split; make the optional step required or relax "
+                    "one edge of the repetition"
                 )
-                flags.append(
-                    within_ok(vcol, v_start).alias(f"with_{o.name}")
+            if len(split) > 3:
+                raise ValueError(
+                    f"{len(split)} both-strict oneOrMore/times(1, m) "
+                    "steps would enumerate "
+                    f"{2 ** len(split)} OR-variant chains — cap is 3 "
+                    "(8 chains); restructure the pattern"
                 )
+            if split:
+                # skip/gap/mid-negation compositions are already
+                # refused above through the counted-step guards
+                chain_cols = []
+                start_of = None
+                for mask in range(1 << len(split)):
+                    var = []
+                    for s in required:
+                        if s in split:
+                            j = split.index(s)
+                            var.append(
+                                replace(s, times=2)
+                                if mask >> j & 1
+                                else replace(s, one_or_more=False,
+                                             times=1, up_to=None)
+                            )
+                        else:
+                            var.append(s)
+                    cur, vcol, start_of = build_chain(
+                        cur, var, f"_cep_s{mask}_", with_counts=True
+                    )
+                    chain_cols.append(vcol)
+                oks = [within_ok(c, start_of) for c in chain_cols]
+                # null-skipping GREATEST of the satisfied chains'
+                # carry structs: non-null iff ANY variant completed
+                # within the window, and lexicographic (h, c0..) max
+                # = greedy max-start across variants (count fields
+                # are identical at equal start rows)
+                winner = F.greatest(*[
+                    F.when(ok, F.col(c))
+                    for ok, c in zip(oks, chain_cols)
+                ])
+                prev_col = "_cep_or"
+                cur = cur.withColumn(prev_col, winner)
+                flags = []
+            else:
+                # main chain (required steps) gates the match; one
+                # extra chain per optional step computes its
+                # annotation flag
+                cur, prev_col, start_of = build_chain(
+                    cur, required, "_cep_h", with_counts=True,
+                    with_pos=skip_mode, with_anchor=anchor
+                )
+                flags = []
+                for j, o in enumerate(
+                    s for s in self.steps if s.optional
+                ):
+                    variant = [s for s in self.steps
+                               if not s.optional or s is o]
+                    cur, vcol, v_start = build_chain(
+                        cur, variant, f"_cep_v{j}_h", with_counts=False
+                    )
+                    flags.append(
+                        within_ok(vcol, v_start).alias(f"with_{o.name}")
+                    )
 
             match = within_ok(prev_col, start_of)
             start_expr = start_of(prev_col)
@@ -1654,9 +1746,9 @@ def stream_cep_one_or_more_next(spark: SparkSession, sf_dir: str) -> DataFrame:
     collapse survives ONE strict edge: the collapsed single copy at
     purchase's LAG(1) predecessor is exactly "some repetition is the
     immediately preceding event", and every pool click before it stays
-    absorbable under relaxed internal contiguity. Only strict
-    contiguity on BOTH sides of a repetition still refuses (a
-    variable-length consecutive run has no fixed LAG(k) shape). The
+    absorbable under relaxed internal contiguity. (Strict contiguity
+    on BOTH sides compiles too since r14 — as an OR of two chains,
+    see stream_cep_both_strict_one_or_more.) The
     oracle unrolls the same struct-count carry with a LAG final hop;
     brute-force fuzz over random streams incl. type collisions is in
     tests/test_properties.py; streams with the same O(1) keyed state
@@ -1799,9 +1891,9 @@ def stream_cep_both_strict_times(spark: SparkSession, sf_dir: str) -> DataFrame:
     touches either boundary; middle clicks absorb relaxed). Sound for
     n >= 2 because the n-copy expansion anchors TWO DISTINCT events on
     the strict edges — any k >= n match keeps its first repetition at
-    view+1 and its last at purchase−1 and drops middles; only
-    oneOrMore/times(1, m) both-strict still refuses (a 1-rep match
-    binds one event to both edges — an OR of two chains). The oracle
+    view+1 and its last at purchase−1 and drops middles; lower bound 1
+    (oneOrMore/times(1, m) both-strict) compiles since r14 as an OR of
+    two chains — see stream_cep_both_strict_one_or_more. The oracle
     unrolls LAG → relaxed carry → LAG with the {{h, c0}} count struct;
     brute-force fuzz over random streams incl. type collisions is in
     tests/test_properties.py."""
@@ -1809,6 +1901,100 @@ def stream_cep_both_strict_times(spark: SparkSession, sf_dir: str) -> DataFrame:
         CepPattern.begin("view", etype="view")
         .next("click", etype="click")
         .times(2, 3)
+        .next("purchase", etype="purchase")
+        .within("72 hours")
+    )
+    return pat.compile(
+        table(spark, sf_dir, "events"),
+        key="user_id",
+        ts="ts",
+        tiebreak="event_id",
+    )
+
+
+@register(
+    "stream_cep_both_strict_one_or_more",
+    oracle=f"""
+    WITH s0 AS (
+      SELECT user_id, event_id, event_type, ts,
+             COUNT(CASE WHEN event_type = 'click' THEN 1 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS cnt,
+             CASE WHEN event_type = 'view' THEN
+               {{'h': ts,
+                 'c0': COUNT(CASE WHEN event_type = 'click' THEN 1 END)
+                         OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING)
+                       + (CASE WHEN event_type = 'click'
+                               THEN 1 ELSE 0 END)}}
+             END AS h0
+      FROM events
+    ), s1 AS (
+      SELECT *, CASE WHEN event_type = 'click'
+                     THEN {_CEP_LAG.format(src='h0')} END AS h1
+      FROM s0
+    ), s2 AS (
+      SELECT *, CASE WHEN event_type = 'click'
+                     THEN {_CEP_CARRY.format(src='h1')} END AS g2
+      FROM s1
+    ), s3 AS (
+      SELECT *,
+             CASE WHEN event_type = 'purchase'
+                  THEN {_CEP_LAG.format(src='h1')} END AS lo,
+             CASE WHEN event_type = 'purchase'
+                  THEN {_CEP_LAG.format(src='g2')} END AS hi
+      FROM s2
+    ), s4 AS (
+      SELECT *,
+             (lo.h IS NOT NULL AND epoch_us(ts) - epoch_us(lo.h)
+                <= 259200000000::BIGINT) AS ok_lo,
+             (hi.h IS NOT NULL AND epoch_us(ts) - epoch_us(hi.h)
+                <= 259200000000::BIGINT) AS ok_hi
+      FROM s3
+    ), s5 AS (
+      SELECT *, CASE WHEN ok_lo AND ok_hi THEN
+                       CASE WHEN lo >= hi THEN lo ELSE hi END
+                     WHEN ok_lo THEN lo
+                     WHEN ok_hi THEN hi END AS win
+      FROM s4
+    )
+    SELECT user_id, event_id AS match_id, ts AS match_ts,
+           win.h AS start_ts,
+           CAST(cnt + (CASE WHEN event_type = 'click'
+                            THEN 1 ELSE 0 END)
+                - win.c0 AS BIGINT) AS n_click
+    FROM s5 WHERE win.h IS NOT NULL
+    """,
+)
+def stream_cep_both_strict_one_or_more(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Strict contiguity on BOTH sides of `oneOrMore()` (r14 — the
+    LAST refusal class with a known construction, r13 verdict item 3):
+    `begin(view).next(click).oneOrMore().next(purchase).within(72h)` —
+    a click streak OPENED by the event immediately after the view and
+    CLOSED by the event immediately before the purchase, where a
+    SINGLE click may satisfy both edges at once (the one-click
+    instant checkout). No single times-expansion expresses this: the
+    1-rep match binds ONE event to both LAG(1) edges while a k >= 2
+    match anchors two distinct events — so compile() builds an OR OF
+    TWO CHAINS (the construction the old refusal message named): the
+    1-rep variant `view NEXT click NEXT purchase` and the >= 2-rep
+    variant `view NEXT click times(2) NEXT purchase` (the r13
+    both-strict expansion), match = either completes within the
+    window, start/`n_click` from the greedy max-start variant via a
+    lexicographic struct GREATEST. The oracle unrolls both chains —
+    LAG → LAG and LAG → carry → LAG over the shared {{h, c0}} count
+    struct — and combines with the identical struct-ordering CASE.
+    Brute-force fuzz over random streams incl. type collisions:
+    tests/test_properties.py. Same one-exchange chained-Window plan;
+    the second chain is two more window columns, not a new shuffle."""
+    pat = (
+        CepPattern.begin("view", etype="view")
+        .next("click", etype="click")
+        .one_or_more()
         .next("purchase", etype="purchase")
         .within("72 hours")
     )

@@ -430,14 +430,18 @@ def test_strict_contiguity_gating_r12():
     # r13: ONE strict edge around a quantifier is sound and allowed —
     # next()-reached (first repetition binds strictly) and
     # next()-followed (last repetition immediately precedes) both
-    # construct; only strict-on-BOTH-sides refuses (a variable-length
-    # consecutive run has no fixed LAG(k) shape)
+    # construct; r14: strict-on-BOTH-sides constructs too (compile()
+    # ORs the 1-rep and >=2-rep chains), while the streaming twin
+    # refuses loudly until the 2-variant keyed machine exists
     oom = CepPattern.begin("a", p).followed_by("b", p).one_or_more()
     assert oom.next("c", p).steps[-1].contiguity == "next"
     entered = CepPattern.begin("a", p).next("b", p).one_or_more()
     assert entered.steps[-1].one_or_more
-    with pytest.raises(ValueError, match="OR of two chains"):
-        entered.next("c", p)
+    both = entered.next("c", p)
+    assert both.steps[-1].contiguity == "next"
+    with pytest.raises(ValueError, match="OR of two"):
+        (CepPattern.begin("a", etype="A").next("b", etype="B")
+         .one_or_more().next("c", etype="C").stream_chains())
     with pytest.raises(ValueError, match="begin step"):
         CepPattern.begin("a", p).one_or_more()
     with pytest.raises(ValueError, match="re-quantify"):
@@ -517,15 +521,17 @@ def test_times_range_builder_rules(spark):
     # r13: a next()-reached range constructs (one strict edge is
     # sound); BOTH-strict composes when the lower bound >= 2 (the
     # n-copy expansion anchors two distinct events on the strict
-    # edges); times(1, m) both-strict still refuses (1-rep matches
-    # bind one event to both edges — an OR of two chains)
+    # edges); r14: times(1, m) both-strict constructs too — compile()
+    # ORs the 1-rep and >=2-rep chains; the streaming twin refuses
     entered = CepPattern.begin("a", p).next("b", p).times(2, 4)
     assert entered.steps[-1].up_to == 4
     both = entered.next("c", p)
     assert both.steps[-1].contiguity == "next"
     one_rep = CepPattern.begin("a", p).next("b", p).times(1, 3)
-    with pytest.raises(ValueError, match="OR of two chains"):
-        one_rep.next("c", p)
+    assert one_rep.next("c", p).steps[-1].contiguity == "next"
+    with pytest.raises(ValueError, match="OR of two"):
+        (CepPattern.begin("a", etype="A").next("b", etype="B")
+         .times(1, 3).next("c", etype="C").stream_chains())
     with pytest.raises(ValueError, match="begin step"):
         CepPattern.begin("a", p).times(1, 3)
     rng = base.times(2, 4)

@@ -1635,3 +1635,72 @@ def test_cep_both_strict_range_fuzz(streams, types, cap, within_s):
         pool = sum(1 for j in range(pa + 1, pc + 1) if seq[j][0] == b_t)
         expect[(uid, mid)] = (sec, min(pool, cap))
     assert got == expect
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    streams=st.lists(
+        st.lists(_cep_event, min_size=0, max_size=12),
+        min_size=1, max_size=3,
+    ),
+    types=st.tuples(
+        st.sampled_from(["A", "B", "C"]),
+        st.sampled_from(["A", "B", "C"]),
+        st.sampled_from(["A", "B", "C"]),
+    ),
+    cap=st.sampled_from([None, 2, 3]),
+    within_s=st.integers(min_value=1, max_value=40),
+)
+def test_cep_both_strict_one_or_more_fuzz(streams, types, cap, within_s):
+    """oneOrMore / times(1, m) with strict contiguity on BOTH sides
+    (r14 — the OR-of-two-chains lift): A next B+ next C. A match at C
+    exists iff the event right after some A is a B AND the event right
+    before C is a B (the SAME single event when C = A+2 — the 1-rep
+    variant — two distinct anchors otherwise, middles relaxed). Brute
+    force enumerates (pa, pc) directly from that characterization;
+    greedy start = max (ts, pos) over valid pa, n_b = the documented
+    pool (B-typed in (greedy start, match]), capped at m for the range
+    form. cap=None exercises one_or_more(), else times(1, cap)."""
+    from sparkflow.streaming.cep import CepPattern
+
+    a_t, b_t, c_t = types
+    rows, df = _cep_df(_get_spark(), streams)
+    if not rows:
+        return
+
+    pat = CepPattern.begin("a", etype=a_t).next("b", etype=b_t)
+    pat = pat.one_or_more() if cap is None else pat.times(1, cap)
+    pat = pat.next("c", etype=c_t).within(within_s)
+    got = {
+        (r.user_id, r.match_id): (r.start_sec, r.n_b)
+        for r in pat.compile(df).select(
+            "user_id", "match_id", "n_b",
+            (F.unix_micros("start_ts") / 1_000_000).cast("int")
+            .alias("start_sec"),
+        ).collect()
+    }
+
+    by_user: dict = {}
+    for uid, ev_id, typ, sec in rows:
+        by_user.setdefault(uid, []).append((typ, sec, ev_id))
+    want: dict = {}
+    for uid, seq in by_user.items():
+        n = len(seq)
+        for pc in range(2, n):
+            if seq[pc][0] != c_t or seq[pc - 1][0] != b_t:
+                continue
+            for pa in range(pc - 1):
+                if seq[pa][0] != a_t or seq[pa + 1][0] != b_t:
+                    continue
+                if seq[pc][1] - seq[pa][1] > within_s:
+                    continue
+                k = (uid, seq[pc][2])
+                prev = want.get(k)
+                if prev is None or (seq[pa][1], pa) > prev[:2]:
+                    want[k] = (seq[pa][1], pa, pc)
+    expect = {}
+    for (uid, mid), (sec, pa, pc) in want.items():
+        seq = by_user[uid]
+        pool = sum(1 for j in range(pa + 1, pc + 1) if seq[j][0] == b_t)
+        expect[(uid, mid)] = (sec, pool if cap is None else min(pool, cap))
+    assert got == expect
