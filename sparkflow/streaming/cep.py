@@ -746,18 +746,63 @@ class CepPattern:
                     "within(..., 'previous_and_current') yet — the "
                     "batch compile refuses the same combination"
                 )
-            if any(s.optional for s in self.steps):
+            if any(s.optional for s in self.steps) \
+                    and self.neg is not None:
                 raise ValueError(
-                    "optional steps under within(..., "
-                    "'previous_and_current') compile for batch via "
-                    "variant enumeration; the streaming twin would "
-                    "run 2^k buffered machines — not built"
+                    "optional steps + terminal negation + gap bound "
+                    "do not stream together yet (the 2^k buffered "
+                    "machines would each need the watermark hold)"
+                )
+            if any(s.optional for s in self.steps):
+                # r14 (r13 verdict item 4b): optional-under-gap
+                # streams as the SAME 2^k include/exclude variant set
+                # the batch compile enumerates — one gap-buffered
+                # chain per variant in one keyed state tuple, OR-gated
+                # emission with greedy max-start and with_<name> flags
+                # (stateful._cep_gap_enum_fn)
+                if self.steps[-1].optional:
+                    raise ValueError(
+                        "the final step cannot be optional — it "
+                        "anchors the match row"
+                    )
+                opts = [(i, s) for i, s in enumerate(self.steps)
+                        if s.optional]
+                if len(opts) > 6:
+                    raise ValueError(
+                        f"{len(opts)} optional steps under a gap "
+                        f"bound would run {2 ** len(opts)} buffered "
+                        "variant machines — cap is 6 (64 chains)"
+                    )
+                variant_steps, incl = [], []
+                for mask in range(1 << len(opts)):
+                    inc = {i for j, (i, _s) in enumerate(opts)
+                           if mask >> j & 1}
+                    chain = [s for i, s in enumerate(self.steps)
+                             if not s.optional or i in inc]
+                    variant_steps.append(self._event_expansion(chain))
+                    incl.append(frozenset(
+                        f"with_{s.name}" for i, s in opts if i in inc
+                    ))
+                flag_names = [f"with_{s.name}" for _i, s in opts]
+                return stateful.cep_gap_enum_stream(
+                    spark, files_dir, sf_dir, variant_steps,
+                    self.within_us, self.gap_us, incl, flag_names,
                 )
             if self.neg is not None:
-                raise ValueError(
-                    "terminal negation + gap bound does not stream "
-                    "yet (compose the watermark hold with the "
-                    "buffered carry)"
+                # r14 (r13 verdict item 4a): terminal negation + gap
+                # bound streams as the watermark-delayed hold COMPOSED
+                # with the horizon-pruned buffered carry
+                # (stateful._cep_gap_neg_fn)
+                if self.neg_etype is None:
+                    raise ValueError(
+                        "the terminal negation was built from a "
+                        "Column predicate — declare it with etype=... "
+                        "to compile for streaming"
+                    )
+                return stateful.cep_gap_negation_stream(
+                    spark, files_dir, sf_dir,
+                    self._event_expansion(self.steps), self.within_us,
+                    self.gap_us, self.neg_etype, self.neg_within_us,
                 )
             return stateful.cep_gap_bound_stream(
                 spark, files_dir, sf_dir,
@@ -2394,7 +2439,12 @@ def stream_cep_within_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the (key, µs) tie frame's clustering is satisfied by the key
     hash; plan-pinned). The theorems that ELIDE events don't survive
     gap bounds, so oneOrMore/times(n, m) and mid-pattern negation
-    refuse, and optional steps compile via the 2^k enum path. The
+    refuse, and optional steps compile via the 2^k enum path. r14:
+    the gap compositions STREAM too — optional-under-gap as 2^k
+    gap-buffered variant machines (stateful._cep_gap_enum_fn) and
+    terminal-negation+gap as the watermark hold over the buffered
+    carry (stateful._cep_gap_neg_fn); twin pytests are bit-equal
+    across micro-batch boundaries incl. fake-GroupState fuzz. The
     oracle unrolls the identical bounded carries; brute-force fuzz
     incl. same-second ties and both-bounds-active patterns is in
     tests/test_properties.py."""

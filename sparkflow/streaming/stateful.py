@@ -966,6 +966,47 @@ def _cep_terminal_neg_fn(steps, within_us, neg_et, neg_within_us):
     return fn
 
 
+def _gap_hits(steps, bts, bh, L, prev_ts, etype, t, gap_us):
+    """One event's hit vector + buffer/lag maintenance for ONE
+    gap-bounded carry chain — the shared inner step of _cep_gap_fn and
+    the r14 gap-composition twins (_cep_gap_neg_fn, _cep_gap_enum_fn).
+    Mutates bts/bh/L in place (element rebinding on the caller's
+    lists); the caller advances prev_ts once per event, AFTER every
+    chain sharing the stream has consumed it."""
+    m = len(steps)
+    hit = [-1] * m
+    for i, (et, trans, _neg) in enumerate(steps):
+        if etype != et:
+            continue
+        if i == 0:
+            hit[0] = t
+        elif trans == "followed_by":
+            lo = t - gap_us
+            best = -1
+            for rts, h in zip(bts[i - 1], bh[i - 1]):
+                if rts >= lo and h > best:
+                    best = h
+            if best >= 0:
+                hit[i] = best
+        else:
+            if (L[i - 1] >= 0 and prev_ts >= 0
+                    and t - prev_ts <= gap_us):
+                hit[i] = L[i - 1]
+    lo = t - gap_us
+    for i in range(m - 1):
+        if hit[i] >= 0:
+            bts[i].append(t)
+            bh[i].append(hit[i])
+        # causal prune: a future event at t' >= t can only reach
+        # buffered rows with row_ts >= t' - G >= t - G
+        if bts[i] and bts[i][0] < lo:
+            keep = [k for k, rts in enumerate(bts[i]) if rts >= lo]
+            bts[i] = [bts[i][k] for k in keep]
+            bh[i] = [bh[i][k] for k in keep]
+        L[i] = hit[i]
+    return hit
+
+
 def _cep_gap_fn(steps, within_us, gap_us):
     """Keyed-state executor for a pattern under a per-transition gap
     bound (within previous_and_current, r13): the O(1) running-max
@@ -1016,43 +1057,13 @@ def _cep_gap_fn(steps, within_us, gap_us):
             _ts_us(pdf["ts"]).to_numpy(),
         ):
             t = int(t)
-            hit = [-1] * m
-            for i, (et, trans, _neg) in enumerate(steps):
-                if etype != et:
-                    continue
-                if i == 0:
-                    hit[0] = t
-                elif trans == "followed_by":
-                    lo = t - gap_us
-                    best = -1
-                    for rts, h in zip(bts[i - 1], bh[i - 1]):
-                        if rts >= lo and h > best:
-                            best = h
-                    if best >= 0:
-                        hit[i] = best
-                else:
-                    if (L[i - 1] >= 0 and prev_ts >= 0
-                            and t - prev_ts <= gap_us):
-                        hit[i] = L[i - 1]
+            hit = _gap_hits(steps, bts, bh, L, prev_ts, etype, t, gap_us)
             if hit[-1] >= 0 and (
                 within_us is None or t - hit[-1] <= within_us
             ):
                 out["match_id"].append(int(eid))
                 out["match_us"].append(t)
                 out["start_us"].append(hit[-1])
-            lo = t - gap_us
-            for i in range(n):
-                if hit[i] >= 0:
-                    bts[i].append(t)
-                    bh[i].append(hit[i])
-                # causal prune: a future event at t' >= t can only
-                # reach buffered rows with row_ts >= t' - G >= t - G
-                if bts[i] and bts[i][0] < lo:
-                    keep = [k for k, rts in enumerate(bts[i])
-                            if rts >= lo]
-                    bts[i] = [bts[i][k] for k in keep]
-                    bh[i] = [bh[i][k] for k in keep]
-                L[i] = hit[i]
             prev_ts = t
         state.update(
             tuple(bts) + tuple(bh) + (L, prev_ts)
@@ -1085,6 +1096,273 @@ def cep_gap_bound_stream(
             "user_id BIGINT, match_id BIGINT, match_us BIGINT, "
             "start_us BIGINT"
         ),
+        stateStructType=", ".join(fields),
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def _cep_gap_neg_fn(steps, within_us, gap_us, neg_et, neg_within_us):
+    """r14 (r13 verdict item 4a): TERMINAL negation over a gap-bounded
+    chain — the composition of _cep_gap_fn's horizon-pruned per-level
+    buffers (the carry) with _cep_terminal_neg_fn's watermark-delayed
+    hold (the negation): candidates found by the bounded chain are
+    held in keyed state until the event-time watermark passes
+    match_ts + T, killed on a negated arrival in the open interval
+    (match_ts, match_ts + T], emitted on the data path or an
+    event-time timer. State = the gap buffers (∝ one gap horizon of
+    events) + the pending arrays (∝ matches in one T horizon) — both
+    the bounds' inherent memory."""
+    n = len(steps) - 1
+
+    def fn(
+        key: Tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            vals = list(state.get)
+            bts = [list(vals[i]) for i in range(n)]
+            bh = [list(vals[n + i]) for i in range(n)]
+            L = list(vals[2 * n])
+            prev_ts = vals[2 * n + 1]
+            pend = [list(vals[2 * n + 2]), list(vals[2 * n + 3]),
+                    list(vals[2 * n + 4])]
+        else:
+            bts = [[] for _ in range(n)]
+            bh = [[] for _ in range(n)]
+            L = [-1] * n
+            prev_ts = -1
+            pend = [[], [], []]
+
+        def flush(wm_us):
+            out = {"match_id": [], "match_us": [], "start_us": []}
+            keep = [[], [], []]
+            for mid, mus, sus in zip(*pend):
+                if mus + neg_within_us < wm_us:
+                    out["match_id"].append(mid)
+                    out["match_us"].append(mus)
+                    out["start_us"].append(sus)
+                else:
+                    keep[0].append(mid)
+                    keep[1].append(mus)
+                    keep[2].append(sus)
+            return out, keep
+
+        def save(keep):
+            state.update(
+                tuple(bts) + tuple(bh)
+                + (L, prev_ts, keep[0], keep[1], keep[2])
+            )
+            if keep[1]:
+                state.setTimeoutTimestamp(
+                    (min(keep[1]) + neg_within_us) // 1000 + 1
+                )
+
+        if state.hasTimedOut:
+            out, keep = flush(state.getCurrentWatermarkMs() * 1000)
+            save(keep)
+            if out["match_id"]:
+                yield pd.DataFrame(
+                    {"user_id": [key[0]] * len(out["match_id"]), **out}
+                )
+            return
+
+        chunks = [p for p in pdf_iter if len(p)]
+        if not chunks:
+            return
+        pdf = pd.concat(chunks).sort_values(["ts", "event_id"])
+        if _ts_us(pdf["ts"]).min() < 0:
+            raise ValueError(
+                "cep_compiled_stream requires event times >= 1970-01-01 "
+                "(the -1 no-hit state sentinel; the batch compile has "
+                "no such limit)"
+            )
+        for eid, etype, t in zip(
+            pdf["event_id"].to_numpy(),
+            pdf["event_type"].to_numpy(),
+            _ts_us(pdf["ts"]).to_numpy(),
+        ):
+            t = int(t)
+            hit = _gap_hits(steps, bts, bh, L, prev_ts, etype, t, gap_us)
+            if etype == neg_et:
+                # open interval (match_ts, match_ts+T] — a pending
+                # match at the SAME timestamp survives, matching the
+                # batch RANGE frame
+                pend = [list(z) for z in zip(*[
+                    (mid, mus, sus)
+                    for mid, mus, sus in zip(*pend)
+                    if not (mus < t <= mus + neg_within_us)
+                ])] or [[], [], []]
+            if hit[-1] >= 0 and (
+                within_us is None or t - hit[-1] <= within_us
+            ):
+                pend[0].append(int(eid))
+                pend[1].append(t)
+                pend[2].append(hit[-1])
+            prev_ts = t
+        out, keep = flush(state.getCurrentWatermarkMs() * 1000)
+        save(keep)
+        if out["match_id"]:
+            yield pd.DataFrame(
+                {"user_id": [key[0]] * len(out["match_id"]), **out}
+            )
+
+    return fn
+
+
+def cep_gap_negation_stream(
+    spark: SparkSession, files_dir: str, sf_dir: str,
+    steps: list, within_us, gap_us: int, neg_et: str,
+    neg_within_us: int,
+) -> DataFrame:
+    """True-streaming compile of terminal negation + per-gap bound
+    (see _cep_gap_neg_fn). Watermark + event-time timers exactly as
+    cep_terminal_negation_stream; the twin contract is the match set
+    (the batch next_<neg>_ts audit column is unbounded-lookahead)."""
+    ev = _events_stream(spark, files_dir, sf_dir).withWatermark(
+        "ts", "0 seconds"
+    )
+    n = len(steps) - 1
+    if n < 1:
+        raise ValueError("gap-negation stream needs >= 2 steps")
+    fields = (
+        [f"bts_{i} ARRAY<BIGINT>" for i in range(n)]
+        + [f"bh_{i} ARRAY<BIGINT>" for i in range(n)]
+        + ["l ARRAY<BIGINT>", "prev_ts BIGINT",
+           "pend_mid ARRAY<BIGINT>", "pend_mus ARRAY<BIGINT>",
+           "pend_sus ARRAY<BIGINT>"]
+    )
+    return ev.groupBy("user_id").applyInPandasWithState(
+        _cep_gap_neg_fn(list(steps), within_us, gap_us, neg_et,
+                        neg_within_us),
+        outputStructType=(
+            "user_id BIGINT, match_id BIGINT, match_us BIGINT, "
+            "start_us BIGINT"
+        ),
+        stateStructType=", ".join(fields),
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def _cep_gap_enum_fn(variant_steps, within_us, gap_us, incl_flags,
+                     flag_names):
+    """r14 (r13 verdict item 4b): OPTIONAL steps under a per-gap bound
+    — the streaming form of the batch 2^k variant enumeration (the
+    skip-variant dominance is unsound under a gap bound, so EVERY
+    include/exclude variant runs as its own gap-buffered chain in the
+    same keyed state; compile() builds the identical chain set). Per
+    event each variant advances independently (prev_ts is shared —
+    one event stream); emission OR-gates: match when ANY variant
+    completes within the window, start_us = the max satisfied start
+    (batch F.greatest), with_<name> = any satisfied variant INCLUDES
+    that optional step. 2^k is capped at 64 chains by the same k <= 6
+    builder cap the batch compile enforces."""
+    nvar = len(variant_steps)
+    ns = [len(s) - 1 for s in variant_steps]
+
+    def fn(
+        key: Tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            vals = list(state.get)
+            idx = 0
+            bts, bh, L = [], [], []
+            for v in range(nvar):
+                bts.append([list(vals[idx + i]) for i in range(ns[v])])
+                idx += ns[v]
+            for v in range(nvar):
+                bh.append([list(vals[idx + i]) for i in range(ns[v])])
+                idx += ns[v]
+            for v in range(nvar):
+                L.append(list(vals[idx]))
+                idx += 1
+            prev_ts = vals[idx]
+        else:
+            bts = [[[] for _ in range(ns[v])] for v in range(nvar)]
+            bh = [[[] for _ in range(ns[v])] for v in range(nvar)]
+            L = [[-1] * ns[v] for v in range(nvar)]
+            prev_ts = -1
+        chunks = [p for p in pdf_iter if len(p)]
+        if not chunks:
+            return
+        pdf = pd.concat(chunks).sort_values(["ts", "event_id"])
+        if _ts_us(pdf["ts"]).min() < 0:
+            raise ValueError(
+                "cep_compiled_stream requires event times >= 1970-01-01 "
+                "(the -1 no-hit state sentinel; the batch compile has "
+                "no such limit)"
+            )
+        out = {"match_id": [], "match_us": [], "start_us": [],
+               **{f: [] for f in flag_names}}
+        for eid, etype, t in zip(
+            pdf["event_id"].to_numpy(),
+            pdf["event_type"].to_numpy(),
+            _ts_us(pdf["ts"]).to_numpy(),
+        ):
+            t = int(t)
+            starts = []
+            for v in range(nvar):
+                hit = _gap_hits(variant_steps[v], bts[v], bh[v], L[v],
+                                prev_ts, etype, t, gap_us)
+                ok = hit[-1] >= 0 and (
+                    within_us is None or t - hit[-1] <= within_us
+                )
+                starts.append(hit[-1] if ok else -1)
+            best = max(starts)
+            if best >= 0:
+                out["match_id"].append(int(eid))
+                out["match_us"].append(t)
+                out["start_us"].append(best)
+                for f in flag_names:
+                    out[f].append(any(
+                        starts[v] >= 0 for v in range(nvar)
+                        if f in incl_flags[v]
+                    ))
+            prev_ts = t
+        flat = []
+        for v in range(nvar):
+            flat.extend(bts[v])
+        for v in range(nvar):
+            flat.extend(bh[v])
+        for v in range(nvar):
+            flat.append(L[v])
+        flat.append(prev_ts)
+        state.update(tuple(flat))
+        if out["match_id"]:
+            yield pd.DataFrame(
+                {"user_id": [key[0]] * len(out["match_id"]), **out}
+            )
+
+    return fn
+
+
+def cep_gap_enum_stream(
+    spark: SparkSession, files_dir: str, sf_dir: str,
+    variant_steps: list, within_us, gap_us: int, incl_flags: list,
+    flag_names: list,
+) -> DataFrame:
+    """True-streaming compile of optional-steps-under-gap-bound (see
+    _cep_gap_enum_fn): one gap-buffered chain per include/exclude
+    variant in one keyed state tuple."""
+    ev = _events_stream(spark, files_dir, sf_dir)
+    fields = []
+    for v, steps in enumerate(variant_steps):
+        fields += [f"bts_{v}_{i} ARRAY<BIGINT>"
+                   for i in range(len(steps) - 1)]
+    for v, steps in enumerate(variant_steps):
+        fields += [f"bh_{v}_{i} ARRAY<BIGINT>"
+                   for i in range(len(steps) - 1)]
+    fields += [f"l_{v} ARRAY<BIGINT>" for v in range(len(variant_steps))]
+    fields.append("prev_ts BIGINT")
+    out_fields = (
+        "user_id BIGINT, match_id BIGINT, match_us BIGINT, "
+        "start_us BIGINT"
+        + "".join(f", {f} BOOLEAN" for f in flag_names)
+    )
+    return ev.groupBy("user_id").applyInPandasWithState(
+        _cep_gap_enum_fn(variant_steps, within_us, gap_us, incl_flags,
+                         flag_names),
+        outputStructType=out_fields,
         stateStructType=", ".join(fields),
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,

@@ -1415,3 +1415,90 @@ def test_skip_fold_scan_sits_directly_on_window_chain(spark, sf_small, key):
     between = lines[mi:wi]
     assert not any("Exchange" in ln for ln in between), between
     assert plan.count("Exchange") <= 1, plan
+
+
+def test_gap_negation_streaming_twin(spark, sf_small, tmp_path_factory):
+    """Terminal negation + gap bound STREAMS (r14, r13 verdict item
+    4a): the watermark-delayed hold composed with the horizon-pruned
+    buffered carry must equal the batch compile's match set across
+    real micro-batch boundaries (the batch next_error_ts audit column
+    is unbounded-lookahead and excluded from the twin contract)."""
+    from sparkflow.streaming import stateful
+
+    stream_dir = stateful.split_events_to_files(
+        spark, sf_small, str(tmp_path_factory.mktemp("cep_gapneg_stream")), 3
+    )
+    pat = (
+        CepPattern.begin("view", etype="view")
+        .followed_by("click", etype="click")
+        .followed_by("purchase", etype="purchase")
+        .within("12 hours", "previous_and_current")
+        .not_followed_by("error", etype="error", within="60 hours")
+    )
+    sdf = pat.compile_stream(spark, stream_dir, sf_small)
+    stateful.run_to_memory(sdf, "t_cepgapneg", "append")
+    got = (
+        spark.table("t_cepgapneg").toPandas()
+        .sort_values("match_id").reset_index(drop=True)
+    )
+    want = (
+        pat.compile(table(spark, sf_small, "events")).toPandas()
+        .sort_values("match_id").reset_index(drop=True)
+    )
+    assert len(want) > 0
+    want_us = want.assign(
+        match_us=pd.to_datetime(want["match_ts"])
+        .astype("datetime64[us]").astype("int64"),
+        start_us=pd.to_datetime(want["start_ts"])
+        .astype("datetime64[us]").astype("int64"),
+    )[["user_id", "match_id", "match_us", "start_us"]]
+    pd.testing.assert_frame_equal(got, want_us, check_dtype=False)
+    # the negation bites on this fixture: without it there are more
+    no_neg = (
+        CepPattern.begin("view", etype="view")
+        .followed_by("click", etype="click")
+        .followed_by("purchase", etype="purchase")
+        .within("12 hours", "previous_and_current")
+    )
+    assert no_neg.compile(
+        table(spark, sf_small, "events")
+    ).count() > len(want)
+
+
+def test_gap_enum_streaming_twin(spark, sf_small, tmp_path_factory):
+    """Optional-under-gap STREAMS (r14, r13 verdict item 4b): the 2^k
+    gap-buffered variant machines must equal the batch variant
+    enumeration across real micro-batch boundaries — matches, greedy
+    max-start ACROSS variants, and the with_click flag."""
+    from sparkflow.streaming import stateful
+
+    stream_dir = stateful.split_events_to_files(
+        spark, sf_small, str(tmp_path_factory.mktemp("cep_gapenum_stream")), 3
+    )
+    pat = (
+        CepPattern.begin("view", etype="view")
+        .followed_by("click", etype="click")
+        .optional()
+        .followed_by("purchase", etype="purchase")
+        .within("12 hours", "previous_and_current")
+    )
+    sdf = pat.compile_stream(spark, stream_dir, sf_small)
+    stateful.run_to_memory(sdf, "t_cepgapenum", "append")
+    got = (
+        spark.table("t_cepgapenum").toPandas()
+        .sort_values("match_id").reset_index(drop=True)
+    )
+    want = (
+        pat.compile(table(spark, sf_small, "events")).toPandas()
+        .sort_values("match_id").reset_index(drop=True)
+    )
+    assert len(want) > 0
+    # both flag values must occur, else the fixture proves nothing
+    assert want["with_click"].nunique() == 2
+    want_us = want.assign(
+        match_us=pd.to_datetime(want["match_ts"])
+        .astype("datetime64[us]").astype("int64"),
+        start_us=pd.to_datetime(want["start_ts"])
+        .astype("datetime64[us]").astype("int64"),
+    )[["user_id", "match_id", "match_us", "start_us", "with_click"]]
+    pd.testing.assert_frame_equal(got, want_us, check_dtype=False)

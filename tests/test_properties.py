@@ -1704,3 +1704,178 @@ def test_cep_both_strict_one_or_more_fuzz(streams, types, cap, within_s):
         pool = sum(1 for j in range(pa + 1, pc + 1) if seq[j][0] == b_t)
         expect[(uid, mid)] = (sec, pool if cap is None else min(pool, cap))
     assert got == expect
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    streams=st.lists(
+        st.lists(_cep_event, min_size=0, max_size=10),
+        min_size=1, max_size=3,
+    ),
+    types=st.tuples(
+        st.sampled_from(["A", "B", "C"]),
+        st.sampled_from(["A", "B", "C"]),
+        st.sampled_from(["A", "B", "C"]),
+    ),
+    gap_s=st.integers(min_value=1, max_value=15),
+    cut=st.integers(min_value=1, max_value=10),
+)
+def test_cep_gap_enum_state_fuzz(streams, types, gap_s, cut):
+    """Optional-under-gap STREAMS (r14, r13 verdict item 4b): driving
+    _cep_gap_enum_fn (one gap-buffered chain per include/exclude
+    variant, shared prev_ts) through a fake GroupState with a random
+    micro-batch split must emit exactly the batch 2^k-enumeration's
+    rows — matches, greedy max-start ACROSS variants, and the
+    with_<name> flag."""
+    import pandas as pd
+
+    from sparkflow.streaming.cep import CepPattern
+    from sparkflow.streaming.stateful import _cep_gap_enum_fn
+
+    a_t, b_t, c_t = types
+    rows, df = _cep_df(_get_spark(), streams)
+    if not rows:
+        return
+
+    pat = (
+        CepPattern.begin("s0", etype=a_t)
+        .followed_by("s1", etype=b_t).optional()
+        .followed_by("s2", etype=c_t)
+        .within(gap_s, "previous_and_current")
+    )
+    want = {
+        (r.user_id, r.match_id, int(r.start_sec), bool(r.with_s1))
+        for r in pat.compile(df).select(
+            "user_id", "match_id", "with_s1",
+            (F.unix_micros("start_ts") / 1_000_000).cast("int")
+            .alias("start_sec"),
+        ).collect()
+    }
+
+    # the same variant set compile_stream builds (mask order: exclude
+    # first, include second)
+    chains = [
+        pat._event_expansion([s for s in pat.steps if not s.optional]),
+        pat._event_expansion(list(pat.steps)),
+    ]
+    incl = [frozenset(), frozenset({"with_s1"})]
+    fn = _cep_gap_enum_fn(chains, None, gap_s * 1_000_000, incl,
+                          ["with_s1"])
+    got = set()
+    by_user: dict = {}
+    for uid, ev_id, typ, sec in rows:
+        by_user.setdefault(uid, []).append((ev_id, typ, sec))
+    for uid, seq in by_user.items():
+        state = _FakeGroupState()
+        for batch in (seq[:cut], seq[cut:]):
+            if not batch:
+                continue
+            pdf = pd.DataFrame({
+                "event_id": [e[0] for e in batch],
+                "event_type": [e[1] for e in batch],
+                "ts": pd.to_datetime([e[2] for e in batch], unit="s"),
+            })
+            for out in fn((uid,), iter([pdf]), state):
+                for r in out.itertuples():
+                    got.add((uid, r.match_id, r.start_us // 1_000_000,
+                             bool(r.with_s1)))
+    assert got == want
+
+
+class _FakeTimerGroupState(_FakeGroupState):
+    """_FakeGroupState + the event-time-timer surface the
+    watermark-hold executors consume."""
+
+    def __init__(self):
+        super().__init__()
+        self.hasTimedOut = False
+        self.wm_ms = 0
+        self.timeout_ms = None
+
+    def getCurrentWatermarkMs(self):
+        return self.wm_ms
+
+    def setTimeoutTimestamp(self, ms):
+        assert ms > self.wm_ms, "timer must be beyond the watermark"
+        self.timeout_ms = ms
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    streams=st.lists(
+        st.lists(_cep_event, min_size=0, max_size=10),
+        min_size=1, max_size=3,
+    ),
+    types=st.tuples(
+        st.sampled_from(["A", "B", "C"]),
+        st.sampled_from(["A", "B", "C"]),
+        st.sampled_from(["A", "B", "C"]),
+    ),
+    gap_s=st.integers(min_value=1, max_value=15),
+    neg_s=st.integers(min_value=1, max_value=20),
+    cut=st.integers(min_value=1, max_value=10),
+)
+def test_cep_gap_negation_state_fuzz(streams, types, gap_s, neg_s, cut):
+    """Terminal negation + gap bound STREAMS (r14, r13 verdict item
+    4a): driving _cep_gap_neg_fn (horizon-pruned buffers + watermark-
+    delayed hold) through a fake timer GroupState with a random
+    micro-batch split — watermark advancing to each batch's max event
+    time, final survivors flushed by an event-time timer — must emit
+    exactly the batch compile's match set, including kills across the
+    batch boundary and the open-interval same-timestamp survival. The
+    negated type deliberately collides with positive step types."""
+    import pandas as pd
+
+    from sparkflow.streaming.cep import CepPattern
+    from sparkflow.streaming.stateful import _cep_gap_neg_fn
+
+    a_t, b_t, x_t = types
+    rows, df = _cep_df(_get_spark(), streams)
+    if not rows:
+        return
+
+    pat = (
+        CepPattern.begin("s0", etype=a_t)
+        .followed_by("s1", etype=b_t)
+        .within(gap_s, "previous_and_current")
+        .not_followed_by("x", etype=x_t, within=neg_s)
+    )
+    want = {
+        (r.user_id, r.match_id, int(r.start_sec))
+        for r in pat.compile(df).select(
+            "user_id", "match_id",
+            (F.unix_micros("start_ts") / 1_000_000).cast("int")
+            .alias("start_sec"),
+        ).collect()
+    }
+
+    fn = _cep_gap_neg_fn(
+        pat._event_expansion(pat.steps), None, gap_s * 1_000_000,
+        x_t, neg_s * 1_000_000,
+    )
+    got = set()
+    by_user: dict = {}
+    for uid, ev_id, typ, sec in rows:
+        by_user.setdefault(uid, []).append((ev_id, typ, sec))
+    for uid, seq in by_user.items():
+        state = _FakeTimerGroupState()
+        for batch in (seq[:cut], seq[cut:]):
+            if not batch:
+                continue
+            state.wm_ms = max(e[2] for e in batch) * 1000
+            pdf = pd.DataFrame({
+                "event_id": [e[0] for e in batch],
+                "event_type": [e[1] for e in batch],
+                "ts": pd.to_datetime([e[2] for e in batch], unit="s"),
+            })
+            for out in fn((uid,), iter([pdf]), state):
+                for r in out.itertuples():
+                    got.add((uid, r.match_id, r.start_us // 1_000_000))
+        # stream end: the watermark passes every horizon, survivors
+        # emit on the timer path
+        state.hasTimedOut = True
+        state.wm_ms = 10 ** 9
+        for out in fn((uid,), iter([]), state):
+            for r in out.itertuples():
+                got.add((uid, r.match_id, r.start_us // 1_000_000))
+    assert got == want
