@@ -54,3 +54,45 @@ def test_repo_history_yields_a_sane_gate():
     assert 0.0 < idle <= 0.0196
     assert bench.is_loaded_window(0.0591, idle)
     assert not bench.is_loaded_window(idle, idle)
+
+
+def test_window_rank_net_of_floor_within_ceiling():
+    """r14 (r13 verdict item 7): window_rank_orders drifted 30.9 ->
+    44.9 -> 42.5 ms exec-minus-floor across r11-r13 with no plan
+    change claimed. Pin the floor-subtracted number against the
+    LATEST committed bench record so any further drift fails CI
+    instead of waiting for a round verdict. Ceiling = 50 ms: the
+    worst observed (44.9) plus ~5 ms slack, far below the 2x-of-best
+    regression a bad plan would post. Loaded-window records are
+    floor-dominated and self-describing — skipped."""
+    import glob
+    import re
+
+    import pytest
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    recs = []
+    for path in glob.glob(os.path.join(root, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if not m:
+            continue
+        try:
+            with open(path, encoding="utf-8") as fh:
+                rec = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        p = rec.get("parsed") or rec
+        q = (p.get("queries") or {}).get("window_rank_orders")
+        floor = p.get("dispatch_floor_sec")
+        if q is None or not floor or floor <= 0:
+            continue
+        recs.append((int(m.group(1)), q, floor, bool(p.get("loaded_window"))))
+    assert recs, "no parseable BENCH history with window_rank_orders"
+    _rnd, q, floor, loaded = max(recs)
+    if loaded:
+        pytest.skip("latest bench record is a loaded window")
+    net = q - floor
+    assert net <= 0.050, (
+        f"window_rank_orders exec-minus-floor {net * 1000:.1f} ms "
+        f"exceeds the 50 ms ceiling (q={q}, floor={floor})"
+    )
