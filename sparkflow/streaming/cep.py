@@ -658,11 +658,11 @@ class CepPattern:
                     and required_steps[i + 1].contiguity == "next"):
                 raise ValueError(
                     f"the both-strict oneOrMore/times(1, m) step "
-                    f"{s.name!r} compiles for batch as an OR of two "
-                    "carry chains (r14) — the streaming twin would "
-                    "need a 2-variant keyed machine with shared "
-                    "counted state, which is not built yet; relax one "
-                    "edge or raise the lower bound to 2 to stream"
+                    f"{s.name!r} compiles as an OR of two carry "
+                    "chains (r14) — stream_chains() has no single "
+                    "gating chain to return (compile_stream routes "
+                    "these patterns to the or-split keyed machine, "
+                    "stateful.cep_or_split_stream)"
                 )
         counted = [s for s in self.steps
                    if s.one_or_more or s.up_to is not None]
@@ -879,6 +879,66 @@ class CepPattern:
                 spark, files_dir, sf_dir, variant_steps[-1],
                 self.within_us,
                 enum=(masks, variant_steps, flag_names),
+            )
+        required = [s for s in self.steps if not s.optional]
+        split = [
+            s for i, s in enumerate(required)
+            if s.contiguity == "next" and s.times == 1
+            and (s.one_or_more or (s.up_to is not None and s.up_to >= 2))
+            and i + 1 < len(required)
+            and required[i + 1].contiguity == "next"
+        ]
+        if split:
+            # r14: the both-strict oneOrMore/times(1, m) OR-split
+            # streams as one paired carry chain per quantifier variant
+            # (stateful._cep_or_split_fn), sharing the running counts —
+            # the same chain set the batch compile builds
+            if any(s.optional for s in self.steps):
+                raise ValueError(
+                    "optional() does not compose with a both-strict "
+                    "oneOrMore/times(1, m) step (the batch compile "
+                    "refuses the same combination)"
+                )
+            if self.skip != "no_skip":
+                raise ValueError(
+                    "after_match_skip does not compose with "
+                    "oneOrMore/times(n, m) annotations (the batch "
+                    "compile refuses the same combination)"
+                )
+            if len(split) > 3:
+                raise ValueError(
+                    f"{len(split)} both-strict oneOrMore/times(1, m) "
+                    "steps would enumerate "
+                    f"{2 ** len(split)} OR-variant chains — cap is 3"
+                )
+            counted = [s for s in self.steps
+                       if s.one_or_more or s.up_to is not None]
+            for c in counted:
+                if c.etype is None:
+                    raise ValueError(
+                        f"counted step {c.name!r} was built from a "
+                        "Column predicate — declare it with etype=... "
+                        "to compile for streaming"
+                    )
+            variant_steps = []
+            for mask in range(1 << len(split)):
+                var = []
+                for s in required:
+                    if s in split:
+                        j = split.index(s)
+                        var.append(
+                            replace(s, times=2)
+                            if mask >> j & 1
+                            else replace(s, one_or_more=False,
+                                         times=1, up_to=None)
+                        )
+                    else:
+                        var.append(s)
+                variant_steps.append(self._event_expansion(var))
+            return stateful.cep_or_split_stream(
+                spark, files_dir, sf_dir, variant_steps,
+                self.within_us,
+                [(c.name, c.etype, c.up_to) for c in counted],
             )
         main, variants = self.stream_chains()
         counted = [s for s in self.steps
@@ -2035,7 +2095,11 @@ def stream_cep_both_strict_one_or_more(
     struct — and combines with the identical struct-ordering CASE.
     Brute-force fuzz over random streams incl. type collisions:
     tests/test_properties.py. Same one-exchange chained-Window plan;
-    the second chain is two more window columns, not a new shuffle."""
+    the second chain is two more window columns, not a new shuffle.
+    STREAMS too (r14): compile_stream routes to the 2-variant paired
+    keyed machine (stateful.cep_or_split_stream — shared running
+    counts, lexicographic winner), twin pytest bit-equal across
+    micro-batch boundaries incl. fake-GroupState fuzz."""
     pat = (
         CepPattern.begin("view", etype="view")
         .next("click", etype="click")

@@ -720,6 +720,181 @@ def _cep_compiled_fn(chains: list, within_us, counted=None, enum=None):
     return fn
 
 
+def _cep_or_split_fn(chains: list, within_us, counted):
+    """r14: keyed-state executor for the OR-OF-CHAINS compile of a
+    both-strict oneOrMore/times(1, m) step (see cep.CepPattern.next):
+    every chain is one quantifier variant of the SAME pattern (1-rep /
+    >=2-rep per split step), ALL paired with the count-at-start
+    carries (the batch struct), sharing one running count per counted
+    step. A row matches when ANY variant completes within the window;
+    the winner is the lexicographic max (start, c0..) over satisfied
+    variants — the batch struct GREATEST — and the pools are computed
+    from the winner's counts. State = per chain 4·(m_c−1) causal longs
+    + 2·K·(m_c−1) count carries, plus K shared running counts and the
+    row counter: O(1) per key."""
+    sizes = [len(steps) - 1 for _, steps in chains]
+    qtypes = [[st[2] for st in steps[1:]] for _, steps in chains]
+    counted = list(counted) if counted else []
+    cnt_names = [c[0] for c in counted]
+    cnt_ets = [c[1] for c in counted]
+    up_tos = [c[2] for c in counted]
+    K = len(counted)
+
+    def fn(
+        key: Tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            vals = list(state.get)
+        else:
+            vals = [-1] * (4 * sum(sizes) + 2 * K * sum(sizes))
+            vals += [0] * K + [0]
+        CL, CNT, off = [], [], 0
+        for n in sizes:
+            CL.append((
+                vals[off:off + n], vals[off + n:off + 2 * n],
+                vals[off + 2 * n:off + 3 * n],
+                vals[off + 3 * n:off + 4 * n],
+            ))
+            off += 4 * n
+        for n in sizes:
+            ccs = [vals[off + 2 * k * n:off + (2 * k + 1) * n]
+                   for k in range(K)]
+            lcs = [vals[off + (2 * k + 1) * n:off + (2 * k + 2) * n]
+                   for k in range(K)]
+            CNT.append((ccs, lcs))
+            off += 2 * K * n
+        QCs = vals[off:off + K]
+        off += K
+        pos = vals[off]
+        chunks = [p for p in pdf_iter if len(p)]
+        if not chunks:
+            return
+        pdf = pd.concat(chunks).sort_values(["ts", "event_id"])
+        if _ts_us(pdf["ts"]).min() < 0:
+            raise ValueError(
+                "cep_compiled_stream requires event times >= 1970-01-01 "
+                "(the -1 no-hit state sentinel; the batch compile has "
+                "no such limit)"
+            )
+        out = {"match_id": [], "match_us": [], "start_us": []}
+        for nm in cnt_names:
+            out[f"n_{nm}"] = []
+
+        def ok(v, t):
+            return v >= 0 and (within_us is None or t - v <= within_us)
+
+        for eid, etype, t in zip(
+            pdf["event_id"].to_numpy(),
+            pdf["event_type"].to_numpy(),
+            _ts_us(pdf["ts"]).to_numpy(),
+        ):
+            t = int(t)
+            hits = []
+            for (C, L, BP, LQ), (ccs, lcs), (_, steps) in zip(
+                CL, CNT, chains
+            ):
+                hits.append(_cep_chain_hits_paired(
+                    steps, C, L, BP, LQ, ccs, lcs, QCs, cnt_ets,
+                    etype, t,
+                ))
+            oks = [ok(hh[-1], t) for hh, _ in hits]
+            if any(oks):
+                # lexicographic (start, c0..) max across satisfied
+                # variants = the batch struct GREATEST
+                win = max(
+                    (hh[-1],) + tuple(hcs[k][-1] for k in range(K))
+                    for (hh, hcs), okv in zip(hits, oks) if okv
+                )
+                out["match_id"].append(int(eid))
+                out["match_us"].append(t)
+                out["start_us"].append(win[0])
+                for k in range(K):
+                    pool = (QCs[k] + (1 if etype == cnt_ets[k] else 0)
+                            - win[1 + k])
+                    out[f"n_{cnt_names[k]}"].append(
+                        pool if up_tos[k] is None
+                        else min(pool, up_tos[k])
+                    )
+            for (C, L, BP, LQ), (ccs, lcs), (hh, hcs), qt in zip(
+                CL, CNT, hits, qtypes
+            ):
+                for i in range(len(C)):
+                    htup = (hh[i],) + tuple(
+                        hcs[k][i] for k in range(K))
+                    ctup = (C[i],) + tuple(
+                        ccs[k][i] for k in range(K))
+                    if htup > ctup:
+                        C[i] = hh[i]
+                        for k in range(K):
+                            ccs[k][i] = hcs[k][i]
+                    for k in range(K):
+                        lcs[k][i] = hcs[k][i]
+                    if hh[i] >= 0:
+                        BP[i] = pos
+                    L[i] = hh[i]
+                    if qt[i] is not None and etype == qt[i]:
+                        LQ[i] = pos
+            for k in range(K):
+                if etype == cnt_ets[k]:
+                    QCs[k] += 1
+            pos += 1
+        state.update(
+            tuple(v for C, L, BP, LQ in CL for v in C + L + BP + LQ)
+            + tuple(v for ccs, lcs in CNT
+                    for k in range(K) for v in ccs[k] + lcs[k])
+            + tuple(QCs)
+            + (pos,)
+        )
+        if out["match_id"]:
+            yield pd.DataFrame(
+                {"user_id": [key[0]] * len(out["match_id"]), **out}
+            )
+
+    return fn
+
+
+def cep_or_split_stream(
+    spark: SparkSession, files_dir: str, sf_dir: str,
+    variant_steps: list, within_us, counted: list,
+) -> DataFrame:
+    """True-streaming compile of the OR-of-chains split (see
+    _cep_or_split_fn): one paired carry chain per quantifier variant
+    in one keyed state tuple, shared running counts."""
+    ev = _events_stream(spark, files_dir, sf_dir)
+    K = len(counted)
+    fields = []
+    for v, steps in enumerate(variant_steps):
+        n = len(steps) - 1
+        fields += (
+            [f"c_{v}_{i} BIGINT" for i in range(n)]
+            + [f"l_{v}_{i} BIGINT" for i in range(n)]
+            + [f"bp_{v}_{i} BIGINT" for i in range(n)]
+            + [f"lq_{v}_{i} BIGINT" for i in range(n)]
+        )
+    for v, steps in enumerate(variant_steps):
+        n = len(steps) - 1
+        for k in range(K):
+            fields += (
+                [f"ccs_{v}_{k}_{i} BIGINT" for i in range(n)]
+                + [f"lcs_{v}_{k}_{i} BIGINT" for i in range(n)]
+            )
+    fields += [f"qc_{k} BIGINT" for k in range(K)]
+    fields.append("pos BIGINT")
+    out_fields = (
+        "user_id BIGINT, match_id BIGINT, match_us BIGINT, "
+        "start_us BIGINT"
+        + "".join(f", n_{c[0]} BIGINT" for c in counted)
+    )
+    return ev.groupBy("user_id").applyInPandasWithState(
+        _cep_or_split_fn([(None, s) for s in variant_steps], within_us,
+                         counted),
+        outputStructType=out_fields,
+        stateStructType=", ".join(fields),
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def _cep_skip_fn(steps, within_us, strategy="skip_past_last_event",
                  anchor_idx=None):
     """Keyed-state executor for a compiled pattern under an after-match

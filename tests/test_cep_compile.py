@@ -1270,14 +1270,16 @@ def test_gap_bound_builder_rules(spark):
     with pytest.raises(ValueError, match="previous_and_current"):
         (gp.after_match_skip("skip_past_last_event").compile(None))
     # r13 continuation: plain gap-bounded patterns STREAM (buffered
-    # carries — see the twin test); optional-under-gap still refuses
-    # in the streaming compile (2^k buffered machines)
-    et_opt = (CepPattern.begin("a", etype="A")
-              .followed_by("b", etype="B").optional()
-              .followed_by("c", etype="C")
-              .within(10, "previous_and_current"))
-    with pytest.raises(ValueError, match="buffered machines"):
-        et_opt.compile_stream(None, "/nonexistent", "/nonexistent")
+    # carries — see the twin test); r14: optional-under-gap and
+    # negation+gap stream too (see their twin tests), so only the
+    # triple composition still refuses in the streaming compile
+    et_opt_neg = (CepPattern.begin("a", etype="A")
+                  .followed_by("b", etype="B").optional()
+                  .followed_by("c", etype="C")
+                  .within(10, "previous_and_current")
+                  .not_followed_by("q", etype="Q", within=60))
+    with pytest.raises(ValueError, match="watermark hold"):
+        et_opt_neg.compile_stream(None, "/nonexistent", "/nonexistent")
     # review r13: compile_stream's gap branch returns BEFORE the batch
     # validation, so it must re-refuse the batch-refused compositions
     # — without these they would stream silently WRONG (collapsed
@@ -1501,4 +1503,44 @@ def test_gap_enum_streaming_twin(spark, sf_small, tmp_path_factory):
         start_us=pd.to_datetime(want["start_ts"])
         .astype("datetime64[us]").astype("int64"),
     )[["user_id", "match_id", "match_us", "start_us", "with_click"]]
+    pd.testing.assert_frame_equal(got, want_us, check_dtype=False)
+
+
+def test_or_split_streaming_twin(spark, sf_small, tmp_path_factory):
+    """The both-strict oneOrMore OR-split STREAMS (r14): the 2-variant
+    paired keyed machine (stateful.cep_or_split_stream, routed by
+    compile_stream) must equal the batch OR-of-chains compile —
+    matches, greedy max-start across variants, AND n_click — across
+    real micro-batch boundaries."""
+    from sparkflow.streaming import stateful
+
+    stream_dir = stateful.split_events_to_files(
+        spark, sf_small, str(tmp_path_factory.mktemp("cep_orsplit_stream")), 3
+    )
+    pat = (
+        CepPattern.begin("view", etype="view")
+        .next("click", etype="click")
+        .one_or_more()
+        .next("purchase", etype="purchase")
+        .within("72 hours")
+    )
+    sdf = pat.compile_stream(spark, stream_dir, sf_small)
+    stateful.run_to_memory(sdf, "t_ceporsplit", "append")
+    got = (
+        spark.table("t_ceporsplit").toPandas()
+        .sort_values("match_id").reset_index(drop=True)
+    )
+    want = (
+        pat.compile(table(spark, sf_small, "events")).toPandas()
+        .sort_values("match_id").reset_index(drop=True)
+    )
+    assert len(want) > 0
+    # both variants must win somewhere, else the fixture proves nothing
+    assert want["n_click"].nunique() >= 2
+    want_us = want.assign(
+        match_us=pd.to_datetime(want["match_ts"])
+        .astype("datetime64[us]").astype("int64"),
+        start_us=pd.to_datetime(want["start_ts"])
+        .astype("datetime64[us]").astype("int64"),
+    )[["user_id", "match_id", "match_us", "start_us", "n_click"]]
     pd.testing.assert_frame_equal(got, want_us, check_dtype=False)

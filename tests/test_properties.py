@@ -1879,3 +1879,82 @@ def test_cep_gap_negation_state_fuzz(streams, types, gap_s, neg_s, cut):
             for r in out.itertuples():
                 got.add((uid, r.match_id, r.start_us // 1_000_000))
     assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    streams=st.lists(
+        st.lists(_cep_event, min_size=0, max_size=12),
+        min_size=1, max_size=3,
+    ),
+    types=st.tuples(
+        st.sampled_from(["A", "B", "C"]),
+        st.sampled_from(["A", "B", "C"]),
+        st.sampled_from(["A", "B", "C"]),
+    ),
+    cap=st.sampled_from([None, 2, 3]),
+    within_s=st.integers(min_value=1, max_value=40),
+    cut=st.integers(min_value=1, max_value=10),
+)
+def test_cep_or_split_streaming_state_fuzz(streams, types, cap,
+                                           within_s, cut):
+    """The both-strict OR-split STREAMS (r14): driving
+    _cep_or_split_fn (one paired carry chain per quantifier variant,
+    shared running counts, lexicographic winner) through a fake
+    GroupState with a random micro-batch split must emit exactly the
+    batch OR-of-chains compile's rows — matches, greedy max-start
+    ACROSS variants, and the repetition pool."""
+    import pandas as pd
+
+    from dataclasses import replace as dc_replace
+
+    from sparkflow.streaming.cep import CepPattern
+    from sparkflow.streaming.stateful import _cep_or_split_fn
+
+    a_t, b_t, c_t = types
+    rows, df = _cep_df(_get_spark(), streams)
+    if not rows:
+        return
+
+    pat = CepPattern.begin("a", etype=a_t).next("b", etype=b_t)
+    pat = pat.one_or_more() if cap is None else pat.times(1, cap)
+    pat = pat.next("c", etype=c_t).within(within_s)
+    want = {
+        (r.user_id, r.match_id, int(r.start_sec), r.n_b)
+        for r in pat.compile(df).select(
+            "user_id", "match_id", "n_b",
+            (F.unix_micros("start_ts") / 1_000_000).cast("int")
+            .alias("start_sec"),
+        ).collect()
+    }
+
+    sp = pat.steps[1]
+    lo = [pat.steps[0],
+          dc_replace(sp, one_or_more=False, times=1, up_to=None),
+          pat.steps[2]]
+    hi = [pat.steps[0], dc_replace(sp, times=2), pat.steps[2]]
+    fn = _cep_or_split_fn(
+        [(None, pat._event_expansion(lo)),
+         (None, pat._event_expansion(hi))],
+        within_s * 1_000_000,
+        [("b", b_t, cap)],
+    )
+    got = set()
+    by_user: dict = {}
+    for uid, ev_id, typ, sec in rows:
+        by_user.setdefault(uid, []).append((ev_id, typ, sec))
+    for uid, seq in by_user.items():
+        state = _FakeGroupState()
+        for batch in (seq[:cut], seq[cut:]):
+            if not batch:
+                continue
+            pdf = pd.DataFrame({
+                "event_id": [e[0] for e in batch],
+                "event_type": [e[1] for e in batch],
+                "ts": pd.to_datetime([e[2] for e in batch], unit="s"),
+            })
+            for out in fn((uid,), iter([pdf]), state):
+                for r in out.itertuples():
+                    got.add((uid, r.match_id, r.start_us // 1_000_000,
+                             r.n_b))
+    assert got == want

@@ -109,6 +109,10 @@ def run(rungs: list[tuple[str, float]]) -> None:
         "q1_pricing_summary": "agg_hash_group",
         "distinct_users": "agg_distinct",
         "events_tumbling_1h": "stream_tumbling",
+        # r14 (r13 verdict item 6): the fourth headline compute shape —
+        # per-customer top-3 via WindowGroupLimit pushdown — joins the
+        # cold A/B so the sf100 rung carries two-decade evidence for it
+        "window_rank_orders": "win_topk_per_group",
     }
     os.environ.setdefault("SPARK_DRIVER_MEM", "32g")
     spark = get_spark("shard-proof", shuffle_partitions=32)
