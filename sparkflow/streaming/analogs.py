@@ -1414,14 +1414,18 @@ def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the global row number is reconstructed from broadcast per-band
     offsets, bit-equal to NTILE(5) OVER (ORDER BY metric, user_id).
     The three score frames re-join `base` on user_id — keyed shuffles
-    of the reduced table; the repeated per-user aggregate subtree is
-    deduplicated by Spark's exchange reuse (one events scan)."""
+    of the reduced table. The per-user aggregate is localCheckpointed
+    (lazy) so the events scan + heavy keyed aggregation run ONCE and
+    every downstream consumer (three banded pipelines plus the join
+    spine) reads the materialized reduced table — measured r14:
+    exchange reuse alone left ~5 live fact scans in the final plan."""
     ev = table(spark, sf_dir, "events")
     per_user = ev.groupBy("user_id").agg(
         F.max(F.unix_micros("ts")).alias("last_us"),
         F.count(F.lit(1)).alias("freq"),
         F.sum(cents("value")).alias("monetary_cents"),
     )
+    per_user = per_user.localCheckpoint(eager=False)
     glob = per_user.agg(F.max("last_us").alias("all_us"))
     base = per_user.crossJoin(F.broadcast(glob)).select(
         "user_id",

@@ -114,13 +114,26 @@ def run(rungs: list[tuple[str, float]]) -> None:
         # cold A/B so the sf100 rung carries two-decade evidence for it
         "window_rank_orders": "win_topk_per_group",
     }
+    # r14: result-set CHECKSUM mode for queries whose OUTPUT grows with
+    # the rung (top-3 per customer = 45M rows at sf100 — bigger than
+    # driver.maxResultSize, and the GB-scale pandas transfer would time
+    # result shipping, not the plan). Both engines aggregate the same
+    # query to (count, sum) so the full window/filter work still runs.
+    checksum = {"window_rank_orders": "o_totalprice"}
+
     os.environ.setdefault("SPARK_DRIVER_MEM", "32g")
     spark = get_spark("shard-proof", shuffle_partitions=32)
     spark.conf.set("spark.sql.join.preferSortMergeJoin", "false")
     spark.sparkContext.setLogLevel("ERROR")
 
+    from tools.bench_ivm import _clean_postures
+
     out = {"load_1m": os.getloadavg()[0], "rungs": {}}
     for sf_dir, sf in rungs:
+        # r14: retract any published IVM postures — this is the COLD
+        # proof; a staged serve frame left by run_staged would turn
+        # these rows into warm reads
+        _clean_postures(sf_dir)
         con = duckdb.connect()
         for t in _rung_tables(sf_dir):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
@@ -128,16 +141,29 @@ def run(rungs: list[tuple[str, float]]) -> None:
         row = {}
         for name, key in names.items():
             fn, sql = BENCH_QUERIES[name], sparkflow.ORACLES[key]
+            ck = checksum.get(name)
+            if ck is not None:
+                base_fn, base_sql = fn, sql
+
+                def fn(spark, sf_dir, _f=base_fn, _c=ck):  # noqa: E306
+                    return _f(spark, sf_dir).selectExpr(
+                        "count(*) AS n", f"sum({_c}) AS s"
+                    )
+
+                sql = (f"SELECT COUNT(*) AS n, SUM({ck}) AS s "
+                       f"FROM ({base_sql})")
             fn(spark, sf_dir).toPandas()   # warm: JIT, catalog, page cache
             con.execute(sql).fetchdf()
             t_s, t_d = [], []
             n_s = n_d = 0
             for _ in range(_RUNS):  # interleaved: same-window A/B
                 t0 = time.perf_counter()
-                n_d = len(con.execute(sql).fetchdf())
+                d = con.execute(sql).fetchdf()
+                n_d = int(d["n"][0]) if ck is not None else len(d)
                 t_d.append(time.perf_counter() - t0)
                 t0 = time.perf_counter()
-                n_s = len(fn(spark, sf_dir).toPandas())  # fresh plan
+                s = fn(spark, sf_dir).toPandas()  # fresh plan
+                n_s = int(s["n"][0]) if ck is not None else len(s)
                 t_s.append(time.perf_counter() - t0)
             assert n_s == n_d, (name, n_s, n_d)
             ms, md = statistics.median(t_s), statistics.median(t_d)
