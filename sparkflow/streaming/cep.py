@@ -746,20 +746,16 @@ class CepPattern:
                     "within(..., 'previous_and_current') yet — the "
                     "batch compile refuses the same combination"
                 )
-            if any(s.optional for s in self.steps) \
-                    and self.neg is not None:
-                raise ValueError(
-                    "optional steps + terminal negation + gap bound "
-                    "do not stream together yet (the 2^k buffered "
-                    "machines would each need the watermark hold)"
-                )
             if any(s.optional for s in self.steps):
                 # r14 (r13 verdict item 4b): optional-under-gap
                 # streams as the SAME 2^k include/exclude variant set
                 # the batch compile enumerates — one gap-buffered
                 # chain per variant in one keyed state tuple, OR-gated
                 # emission with greedy max-start and with_<name> flags
-                # (stateful._cep_gap_enum_fn)
+                # (stateful._cep_gap_enum_fn). With a terminal
+                # negation on top (the triple composition), the enum
+                # candidates feed the watermark-delayed hold instead
+                # (stateful._cep_gap_enum_neg_fn).
                 if self.steps[-1].optional:
                     raise ValueError(
                         "the final step cannot be optional — it "
@@ -784,6 +780,18 @@ class CepPattern:
                         f"with_{s.name}" for i, s in opts if i in inc
                     ))
                 flag_names = [f"with_{s.name}" for _i, s in opts]
+                if self.neg is not None:
+                    if self.neg_etype is None:
+                        raise ValueError(
+                            "the terminal negation was built from a "
+                            "Column predicate — declare it with "
+                            "etype=... to compile for streaming"
+                        )
+                    return stateful.cep_gap_enum_neg_stream(
+                        spark, files_dir, sf_dir, variant_steps,
+                        self.within_us, self.gap_us, incl, flag_names,
+                        self.neg_etype, self.neg_within_us,
+                    )
                 return stateful.cep_gap_enum_stream(
                     spark, files_dir, sf_dir, variant_steps,
                     self.within_us, self.gap_us, incl, flag_names,
@@ -2505,9 +2513,11 @@ def stream_cep_within_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     gap bounds, so oneOrMore/times(n, m) and mid-pattern negation
     refuse, and optional steps compile via the 2^k enum path. r14:
     the gap compositions STREAM too — optional-under-gap as 2^k
-    gap-buffered variant machines (stateful._cep_gap_enum_fn) and
+    gap-buffered variant machines (stateful._cep_gap_enum_fn),
     terminal-negation+gap as the watermark hold over the buffered
-    carry (stateful._cep_gap_neg_fn); twin pytests are bit-equal
+    carry (stateful._cep_gap_neg_fn), and even the triple
+    optional+negation+gap (the enum machines feeding the hold,
+    stateful._cep_gap_enum_neg_fn); twin pytests are bit-equal
     across micro-batch boundaries incl. fake-GroupState fuzz. The
     oracle unrolls the identical bounded carries; brute-force fuzz
     incl. same-second ties and both-bounds-active patterns is in

@@ -1511,6 +1511,176 @@ def _cep_gap_enum_fn(variant_steps, within_us, gap_us, incl_flags,
     return fn
 
 
+def _cep_gap_enum_neg_fn(variant_steps, within_us, gap_us, incl_flags,
+                         flag_names, neg_et, neg_within_us):
+    """r14 continuation: the TRIPLE composition — optional steps +
+    per-gap bound + TERMINAL negation — streams as the 2^k
+    gap-buffered variant machines (_cep_gap_enum_fn) feeding the
+    watermark-delayed candidate hold (_cep_gap_neg_fn): an OR-gated
+    enum match becomes a PENDING candidate (carrying its with_<name>
+    flags), killed by a negated arrival in the open interval
+    (match_ts, match_ts + T], emitted when the event-time watermark
+    passes the deadline (data path or timer)."""
+    nvar = len(variant_steps)
+    ns = [len(s) - 1 for s in variant_steps]
+    nf = len(flag_names)
+
+    def fn(
+        key: Tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            vals = list(state.get)
+            idx = 0
+            bts, bh, L = [], [], []
+            for v in range(nvar):
+                bts.append([list(vals[idx + i]) for i in range(ns[v])])
+                idx += ns[v]
+            for v in range(nvar):
+                bh.append([list(vals[idx + i]) for i in range(ns[v])])
+                idx += ns[v]
+            for v in range(nvar):
+                L.append(list(vals[idx]))
+                idx += 1
+            prev_ts = vals[idx]
+            idx += 1
+            pend = [list(vals[idx + j]) for j in range(3 + nf)]
+        else:
+            bts = [[[] for _ in range(ns[v])] for v in range(nvar)]
+            bh = [[[] for _ in range(ns[v])] for v in range(nvar)]
+            L = [[-1] * ns[v] for v in range(nvar)]
+            prev_ts = -1
+            pend = [[] for _ in range(3 + nf)]
+
+        def flush(wm_us):
+            out = {"match_id": [], "match_us": [], "start_us": [],
+                   **{f: [] for f in flag_names}}
+            keep = [[] for _ in range(3 + nf)]
+            for row in zip(*pend):
+                if row[1] + neg_within_us < wm_us:
+                    out["match_id"].append(row[0])
+                    out["match_us"].append(row[1])
+                    out["start_us"].append(row[2])
+                    for j, f in enumerate(flag_names):
+                        out[f].append(bool(row[3 + j]))
+                else:
+                    for j, v in enumerate(row):
+                        keep[j].append(v)
+            return out, keep
+
+        def save(keep):
+            flat = []
+            for v in range(nvar):
+                flat.extend(bts[v])
+            for v in range(nvar):
+                flat.extend(bh[v])
+            for v in range(nvar):
+                flat.append(L[v])
+            flat.append(prev_ts)
+            flat.extend(keep)
+            state.update(tuple(flat))
+            if keep[1]:
+                state.setTimeoutTimestamp(
+                    (min(keep[1]) + neg_within_us) // 1000 + 1
+                )
+
+        if state.hasTimedOut:
+            out, keep = flush(state.getCurrentWatermarkMs() * 1000)
+            save(keep)
+            if out["match_id"]:
+                yield pd.DataFrame(
+                    {"user_id": [key[0]] * len(out["match_id"]), **out}
+                )
+            return
+
+        chunks = [p for p in pdf_iter if len(p)]
+        if not chunks:
+            return
+        pdf = pd.concat(chunks).sort_values(["ts", "event_id"])
+        if _ts_us(pdf["ts"]).min() < 0:
+            raise ValueError(
+                "cep_compiled_stream requires event times >= 1970-01-01 "
+                "(the -1 no-hit state sentinel; the batch compile has "
+                "no such limit)"
+            )
+        for eid, etype, t in zip(
+            pdf["event_id"].to_numpy(),
+            pdf["event_type"].to_numpy(),
+            _ts_us(pdf["ts"]).to_numpy(),
+        ):
+            t = int(t)
+            starts = []
+            for v in range(nvar):
+                hit = _gap_hits(variant_steps[v], bts[v], bh[v], L[v],
+                                prev_ts, etype, t, gap_us)
+                okv = hit[-1] >= 0 and (
+                    within_us is None or t - hit[-1] <= within_us
+                )
+                starts.append(hit[-1] if okv else -1)
+            if etype == neg_et:
+                # open interval (match_ts, match_ts+T]
+                kept = [row for row in zip(*pend)
+                        if not (row[1] < t <= row[1] + neg_within_us)]
+                pend = ([list(z) for z in zip(*kept)]
+                        or [[] for _ in range(3 + nf)])
+            best = max(starts)
+            if best >= 0:
+                pend[0].append(int(eid))
+                pend[1].append(t)
+                pend[2].append(best)
+                for j, f in enumerate(flag_names):
+                    pend[3 + j].append(int(any(
+                        starts[v] >= 0 for v in range(nvar)
+                        if f in incl_flags[v]
+                    )))
+            prev_ts = t
+        out, keep = flush(state.getCurrentWatermarkMs() * 1000)
+        save(keep)
+        if out["match_id"]:
+            yield pd.DataFrame(
+                {"user_id": [key[0]] * len(out["match_id"]), **out}
+            )
+
+    return fn
+
+
+def cep_gap_enum_neg_stream(
+    spark: SparkSession, files_dir: str, sf_dir: str,
+    variant_steps: list, within_us, gap_us: int, incl_flags: list,
+    flag_names: list, neg_et: str, neg_within_us: int,
+) -> DataFrame:
+    """True-streaming compile of optional + gap bound + terminal
+    negation (see _cep_gap_enum_neg_fn)."""
+    ev = _events_stream(spark, files_dir, sf_dir).withWatermark(
+        "ts", "0 seconds"
+    )
+    fields = []
+    for v, steps in enumerate(variant_steps):
+        fields += [f"bts_{v}_{i} ARRAY<BIGINT>"
+                   for i in range(len(steps) - 1)]
+    for v, steps in enumerate(variant_steps):
+        fields += [f"bh_{v}_{i} ARRAY<BIGINT>"
+                   for i in range(len(steps) - 1)]
+    fields += [f"l_{v} ARRAY<BIGINT>" for v in range(len(variant_steps))]
+    fields.append("prev_ts BIGINT")
+    fields += ["pend_mid ARRAY<BIGINT>", "pend_mus ARRAY<BIGINT>",
+               "pend_sus ARRAY<BIGINT>"]
+    fields += [f"pend_f{j} ARRAY<BIGINT>" for j in range(len(flag_names))]
+    out_fields = (
+        "user_id BIGINT, match_id BIGINT, match_us BIGINT, "
+        "start_us BIGINT"
+        + "".join(f", {f} BOOLEAN" for f in flag_names)
+    )
+    return ev.groupBy("user_id").applyInPandasWithState(
+        _cep_gap_enum_neg_fn(variant_steps, within_us, gap_us,
+                             incl_flags, flag_names, neg_et,
+                             neg_within_us),
+        outputStructType=out_fields,
+        stateStructType=", ".join(fields),
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 def cep_gap_enum_stream(
     spark: SparkSession, files_dir: str, sf_dir: str,
     variant_steps: list, within_us, gap_us: int, incl_flags: list,

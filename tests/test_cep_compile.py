@@ -1270,16 +1270,10 @@ def test_gap_bound_builder_rules(spark):
     with pytest.raises(ValueError, match="previous_and_current"):
         (gp.after_match_skip("skip_past_last_event").compile(None))
     # r13 continuation: plain gap-bounded patterns STREAM (buffered
-    # carries — see the twin test); r14: optional-under-gap and
-    # negation+gap stream too (see their twin tests), so only the
-    # triple composition still refuses in the streaming compile
-    et_opt_neg = (CepPattern.begin("a", etype="A")
-                  .followed_by("b", etype="B").optional()
-                  .followed_by("c", etype="C")
-                  .within(10, "previous_and_current")
-                  .not_followed_by("q", etype="Q", within=60))
-    with pytest.raises(ValueError, match="watermark hold"):
-        et_opt_neg.compile_stream(None, "/nonexistent", "/nonexistent")
+    # carries — see the twin test); r14: optional-under-gap,
+    # negation+gap, AND the optional+negation+gap triple all stream
+    # (see their twin tests + fake-GroupState fuzz) — no gap-family
+    # streaming refusal remains beyond the batch-refused compositions
     # review r13: compile_stream's gap branch returns BEFORE the batch
     # validation, so it must re-refuse the batch-refused compositions
     # — without these they would stream silently WRONG (collapsed
@@ -1430,6 +1424,7 @@ def test_gap_negation_streaming_twin(spark, sf_small, tmp_path_factory):
     stream_dir = stateful.split_events_to_files(
         spark, sf_small, str(tmp_path_factory.mktemp("cep_gapneg_stream")), 3
     )
+    _append_flush_files(spark, stream_dir)
     pat = (
         CepPattern.begin("view", etype="view")
         .followed_by("click", etype="click")
@@ -1543,4 +1538,56 @@ def test_or_split_streaming_twin(spark, sf_small, tmp_path_factory):
         start_us=pd.to_datetime(want["start_ts"])
         .astype("datetime64[us]").astype("int64"),
     )[["user_id", "match_id", "match_us", "start_us", "n_click"]]
+    pd.testing.assert_frame_equal(got, want_us, check_dtype=False)
+
+
+def test_gap_enum_neg_streaming_twin(spark, sf_small, tmp_path_factory):
+    """The TRIPLE composition — optional + gap bound + terminal
+    negation — STREAMS (r14): the 2^k gap-buffered variant machines
+    feed the watermark-delayed candidate hold; must equal the batch
+    enum+negation compile (matches, greedy max-start across variants,
+    with_click flags) across real micro-batch boundaries."""
+    from sparkflow.streaming import stateful
+
+    stream_dir = stateful.split_events_to_files(
+        spark, sf_small, str(tmp_path_factory.mktemp("cep_gen_stream")), 3
+    )
+    _append_flush_files(spark, stream_dir)
+    pat = (
+        CepPattern.begin("view", etype="view")
+        .followed_by("click", etype="click")
+        .optional()
+        .followed_by("purchase", etype="purchase")
+        .within("12 hours", "previous_and_current")
+        .not_followed_by("error", etype="error", within="60 hours")
+    )
+    sdf = pat.compile_stream(spark, stream_dir, sf_small)
+    stateful.run_to_memory(sdf, "t_cepgen", "append")
+    got = (
+        spark.table("t_cepgen").toPandas()
+        .sort_values("match_id").reset_index(drop=True)
+    )
+    want = (
+        pat.compile(table(spark, sf_small, "events")).toPandas()
+        .sort_values("match_id").reset_index(drop=True)
+    )
+    assert len(want) > 0
+    # the negation bites AND both flag values occur
+    no_neg = (
+        CepPattern.begin("view", etype="view")
+        .followed_by("click", etype="click")
+        .optional()
+        .followed_by("purchase", etype="purchase")
+        .within("12 hours", "previous_and_current")
+    )
+    assert no_neg.compile(
+        table(spark, sf_small, "events")
+    ).count() > len(want)
+    assert want["with_click"].nunique() == 2
+    want_us = want.assign(
+        match_us=pd.to_datetime(want["match_ts"])
+        .astype("datetime64[us]").astype("int64"),
+        start_us=pd.to_datetime(want["start_ts"])
+        .astype("datetime64[us]").astype("int64"),
+    )[["user_id", "match_id", "match_us", "start_us", "with_click"]]
     pd.testing.assert_frame_equal(got, want_us, check_dtype=False)

@@ -1958,3 +1958,89 @@ def test_cep_or_split_streaming_state_fuzz(streams, types, cap,
                     got.add((uid, r.match_id, r.start_us // 1_000_000,
                              r.n_b))
     assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    streams=st.lists(
+        st.lists(_cep_event, min_size=0, max_size=10),
+        min_size=1, max_size=3,
+    ),
+    types=st.tuples(
+        st.sampled_from(["A", "B", "C"]),
+        st.sampled_from(["A", "B", "C"]),
+        st.sampled_from(["A", "B", "C"]),
+        st.sampled_from(["A", "B", "C"]),
+    ),
+    gap_s=st.integers(min_value=1, max_value=15),
+    neg_s=st.integers(min_value=1, max_value=20),
+    cut=st.integers(min_value=1, max_value=10),
+)
+def test_cep_gap_enum_neg_state_fuzz(streams, types, gap_s, neg_s, cut):
+    """The TRIPLE composition — optional + gap bound + terminal
+    negation — STREAMS (r14): _cep_gap_enum_neg_fn (2^k gap machines
+    feeding the watermark hold) driven through a fake timer GroupState
+    with a random micro-batch split must emit exactly the batch
+    enum+negation compile's rows incl. flags; negated/positive type
+    collisions included."""
+    import pandas as pd
+
+    from sparkflow.streaming.cep import CepPattern
+    from sparkflow.streaming.stateful import _cep_gap_enum_neg_fn
+
+    a_t, b_t, c_t, x_t = types
+    rows, df = _cep_df(_get_spark(), streams)
+    if not rows:
+        return
+
+    pat = (
+        CepPattern.begin("s0", etype=a_t)
+        .followed_by("s1", etype=b_t).optional()
+        .followed_by("s2", etype=c_t)
+        .within(gap_s, "previous_and_current")
+        .not_followed_by("x", etype=x_t, within=neg_s)
+    )
+    want = {
+        (r.user_id, r.match_id, int(r.start_sec), bool(r.with_s1))
+        for r in pat.compile(df).select(
+            "user_id", "match_id", "with_s1",
+            (F.unix_micros("start_ts") / 1_000_000).cast("int")
+            .alias("start_sec"),
+        ).collect()
+    }
+
+    chains = [
+        pat._event_expansion([s for s in pat.steps if not s.optional]),
+        pat._event_expansion(list(pat.steps)),
+    ]
+    incl = [frozenset(), frozenset({"with_s1"})]
+    fn = _cep_gap_enum_neg_fn(
+        chains, None, gap_s * 1_000_000, incl, ["with_s1"],
+        x_t, neg_s * 1_000_000,
+    )
+    got = set()
+    by_user: dict = {}
+    for uid, ev_id, typ, sec in rows:
+        by_user.setdefault(uid, []).append((ev_id, typ, sec))
+    for uid, seq in by_user.items():
+        state = _FakeTimerGroupState()
+        for batch in (seq[:cut], seq[cut:]):
+            if not batch:
+                continue
+            state.wm_ms = max(e[2] for e in batch) * 1000
+            pdf = pd.DataFrame({
+                "event_id": [e[0] for e in batch],
+                "event_type": [e[1] for e in batch],
+                "ts": pd.to_datetime([e[2] for e in batch], unit="s"),
+            })
+            for out in fn((uid,), iter([pdf]), state):
+                for r in out.itertuples():
+                    got.add((uid, r.match_id, r.start_us // 1_000_000,
+                             bool(r.with_s1)))
+        state.hasTimedOut = True
+        state.wm_ms = 10 ** 9
+        for out in fn((uid,), iter([]), state):
+            for r in out.itertuples():
+                got.add((uid, r.match_id, r.start_us // 1_000_000,
+                         bool(r.with_s1)))
+    assert got == want
