@@ -742,9 +742,11 @@ class CepPattern:
                 )
             if self.skip != "no_skip":
                 raise ValueError(
-                    "after_match_skip does not compose with "
-                    "within(..., 'previous_and_current') yet — the "
-                    "batch compile refuses the same combination"
+                    "after_match_skip under within(..., "
+                    "'previous_and_current') does not stream yet — "
+                    "the gap machine's buffers would need start "
+                    "positions plus the acceptance cursor; the batch "
+                    "compile composes (r14)"
                 )
             if any(s.optional for s in self.steps):
                 # r14 (r13 verdict item 4b): optional-under-gap
@@ -1089,11 +1091,12 @@ class CepPattern:
                     "latest-prefix-row gate would need the same "
                     "bounded-window machinery"
                 )
-            if skip_mode:
-                raise ValueError(
-                    "after_match_skip does not compose with "
-                    "within(..., 'previous_and_current') yet"
-                )
+            # r14: after_match_skip COMPOSES with the gap bound — the
+            # (h, sp[, ap]) position struct is orderable, so the same
+            # bounded-window GREATEST that carries plain timestamps
+            # carries the struct (lexicographic max = greedy chain),
+            # and the acceptance fold runs unchanged over the match
+            # frame (see build_chain's gap branch)
             _us = F.unix_micros(F.col(ts))
             # bounded relaxed carry = max over the gap window, split
             # into strictly-earlier-µs (RANGE frame) and same-µs
@@ -1222,18 +1225,20 @@ class CepPattern:
                 elif self.gap_us is not None:
                     # bounded transitions (previous_and_current): the
                     # predecessor must lie inside the gap horizon.
-                    # use_struct combinations are refused above, so the
-                    # carried value is a plain timestamp and the
-                    # null-skipping GREATEST of the two window maxima
-                    # is the exact bounded-window max
+                    # Counted combinations are refused above, so the
+                    # carried value is a plain timestamp OR (skip
+                    # mode, r14) the (h, sp[, ap]) position struct —
+                    # both orderable, so the null-skipping GREATEST of
+                    # the two window maxima stays the exact bounded-
+                    # window (greedy lexicographic) max
                     if trans == "followed_by":
-                        hit = F.when(
-                            pred,
-                            F.greatest(
-                                F.max(F.col(prev_col)).over(w_gap),
-                                F.max(F.col(prev_col)).over(w_same),
-                            ),
+                        carry = F.greatest(
+                            F.max(F.col(prev_col)).over(w_gap),
+                            F.max(F.col(prev_col)).over(w_same),
                         )
+                        if at_anchor:
+                            carry = stamp_anchor(carry)
+                        hit = F.when(pred, carry)
                     else:
                         gap_ok = (
                             F.unix_micros(F.col(ts))
@@ -1241,10 +1246,10 @@ class CepPattern:
                                 F.unix_micros(F.col(ts)), 1
                             ).over(w_order)
                         ) <= self.gap_us
-                        hit = F.when(
-                            pred & gap_ok,
-                            F.lag(F.col(prev_col), 1).over(w_order),
-                        )
+                        carry = F.lag(F.col(prev_col), 1).over(w_order)
+                        if at_anchor:
+                            carry = stamp_anchor(carry)
+                        hit = F.when(pred & gap_ok, carry)
                 else:
                     carry = (
                         F.max(F.col(prev_col)).over(w_prev)
@@ -2511,7 +2516,9 @@ def stream_cep_within_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the (key, µs) tie frame's clustering is satisfied by the key
     hash; plan-pinned). The theorems that ELIDE events don't survive
     gap bounds, so oneOrMore/times(n, m) and mid-pattern negation
-    refuse, and optional steps compile via the 2^k enum path. r14:
+    refuse, optional steps compile via the 2^k enum path, and (r14)
+    after-match skip composes — the position struct rides the bounded
+    GREATEST (stream_cep_skip_gap). r14:
     the gap compositions STREAM too — optional-under-gap as 2^k
     gap-buffered variant machines (stateful._cep_gap_enum_fn),
     terminal-negation+gap as the watermark hold over the buffered
@@ -2527,6 +2534,115 @@ def stream_cep_within_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .followed_by("click", etype="click")
         .followed_by("purchase", etype="purchase")
         .within("12 hours", "previous_and_current")
+    )
+    return pat.compile(
+        table(spark, sf_dir, "events"),
+        key="user_id",
+        ts="ts",
+        tiebreak="event_id",
+    )
+
+
+@register(
+    "stream_cep_skip_gap",
+    oracle="""
+    WITH RECURSIVE s0 AS (
+      SELECT user_id, event_id, event_type, ts,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS pos,
+             CASE WHEN event_type = 'view'
+                  THEN {'h': ts,
+                        'sp': ROW_NUMBER() OVER (PARTITION BY user_id
+                                                 ORDER BY ts, event_id)}
+             END AS h0
+      FROM events
+    ), g1 AS (
+      SELECT *,
+             MAX(h0) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                           RANGE BETWEEN 43200000000 PRECEDING
+                           AND 1 PRECEDING) AS ra1,
+             MAX(h0) OVER (PARTITION BY user_id, epoch_us(ts)
+                           ORDER BY event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING) AS rb1
+      FROM s0
+    ), s1 AS (
+      SELECT *, CASE WHEN event_type = 'click' THEN
+                  CASE WHEN ra1 IS NULL THEN rb1
+                       WHEN rb1 IS NULL THEN ra1
+                       WHEN ra1 >= rb1 THEN ra1 ELSE rb1 END
+                END AS h1
+      FROM g1
+    ), g2 AS (
+      SELECT *,
+             MAX(h1) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                           RANGE BETWEEN 43200000000 PRECEDING
+                           AND 1 PRECEDING) AS ra2,
+             MAX(h1) OVER (PARTITION BY user_id, epoch_us(ts)
+                           ORDER BY event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING) AS rb2
+      FROM s1
+    ), s2 AS (
+      SELECT *, CASE WHEN event_type = 'purchase' THEN
+                  CASE WHEN ra2 IS NULL THEN rb2
+                       WHEN rb2 IS NULL THEN ra2
+                       WHEN ra2 >= rb2 THEN ra2 ELSE rb2 END
+                END AS h2
+      FROM g2
+    ), cand AS (
+      SELECT user_id, event_id, ts, pos AS mpos,
+             h2.h AS start_ts, h2.sp AS spos
+      FROM s2
+      WHERE h2.h IS NOT NULL
+    ), fst AS (
+      SELECT user_id, MIN(mpos) AS mpos FROM cand GROUP BY user_id
+    ), lnk AS (
+      SELECT r.user_id, r.mpos, MIN(c.mpos) AS next_mpos
+      FROM cand r JOIN cand c
+        ON c.user_id = r.user_id AND c.spos > r.mpos
+      GROUP BY r.user_id, r.mpos
+    ), acc AS (
+      SELECT c.user_id, c.event_id, c.ts, c.mpos, c.start_ts
+      FROM cand c JOIN fst f
+        ON c.user_id = f.user_id AND c.mpos = f.mpos
+      UNION ALL
+      SELECT n.user_id, n.event_id, n.ts, n.mpos, n.start_ts
+      FROM acc a
+      JOIN lnk l ON l.user_id = a.user_id AND l.mpos = a.mpos
+      JOIN cand n ON n.user_id = l.user_id AND n.mpos = l.next_mpos
+    )
+    SELECT user_id, event_id AS match_id, ts AS match_ts, start_ts
+    FROM acc
+    """,
+)
+def stream_cep_skip_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AfterMatchSkip × the per-transition gap bound (r14 — was a
+    batch refusal): `begin(view).followedBy(click).followedBy(purchase)
+    .within('12 hours', 'previous_and_current')
+    .after_match_skip('skip_past_last_event')` — greedily
+    NON-OVERLAPPING momentum funnels (each hop within 12 hours, each
+    accepted funnel entirely after the previous one's purchase). The
+    lift is type-level: the bounded-window GREATEST that carries plain
+    timestamps carries the (h, sp) position struct unchanged — struct
+    ordering is lexicographic in both engines, so the greedy
+    (max-start, latest-row) chain survives the gap bound, and the
+    acceptance scan runs over the match frame exactly as the unbounded
+    skip keys. Start-maximality holds per match row under gap bounds
+    (the carry IS the max over gap-feasible chains), so the recursive
+    next-acceptance-link replay in the oracle stays exact. The oracle
+    unrolls the bounded struct carries with an explicit struct-CASE
+    GREATEST (DuckDB's GREATEST is not struct-typed) and replays
+    acceptance as the same recursive CTE as stream_cep_skip_past.
+    Brute-force fuzz over random streams: tests/test_properties.py.
+    Streaming: refused loudly (the gap machine's buffers would need
+    start positions + the acceptance cursor)."""
+    pat = (
+        CepPattern.begin("view", etype="view")
+        .followed_by("click", etype="click")
+        .followed_by("purchase", etype="purchase")
+        .within("12 hours", "previous_and_current")
+        .after_match_skip("skip_past_last_event")
     )
     return pat.compile(
         table(spark, sf_dir, "events"),

@@ -1245,12 +1245,12 @@ def test_gap_bound_plan_single_exchange(spark, sf_small):
 
 
 def test_gap_bound_builder_rules(spark):
-    """within(..., 'previous_and_current') refusals (r13): the
+    """within(..., 'previous_and_current') refusals (r13/r14): the
     event-eliding theorems don't survive per-gap bounds — variable
-    quantifiers, mid-pattern negation, skip strategies, and the
-    streaming compile refuse loudly; unknown WithinType refuses; both
-    bounds may coexist; fixed times(n) and optional (via enum)
-    compile."""
+    quantifiers and mid-pattern negation refuse loudly; unknown
+    WithinType refuses; both bounds may coexist; fixed times(n),
+    optional (via enum), and (r14) after-match skip compile; only the
+    skip+gap STREAMING compile still refuses."""
     p = F.lit(True)
     base = (CepPattern.begin("a", p).followed_by("b", p)
             .followed_by("c", p))
@@ -1267,8 +1267,26 @@ def test_gap_bound_builder_rules(spark):
         (CepPattern.begin("a", p).not_followed_by("q", p)
          .followed_by("b", p).within(10, "previous_and_current")
          .compile(None))
-    with pytest.raises(ValueError, match="previous_and_current"):
-        (gp.after_match_skip("skip_past_last_event").compile(None))
+    # r14: skip strategies COMPOSE with the gap bound in batch (the
+    # position struct rides the bounded GREATEST) — greedy interval
+    # scheduling over gap-bounded chains; semantics pinned by the
+    # stream_cep_skip_gap oracle + fuzz. Only the STREAMING compile
+    # still refuses (asserted below).
+    rows = [
+        (0, 0, "A", 0), (0, 1, "B", 5), (0, 2, "C", 9),
+        (0, 3, "A", 12), (0, 4, "B", 15), (0, 5, "C", 21),
+    ]
+    sdf = spark.createDataFrame(
+        rows, "user_id INT, event_id INT, event_type STRING, sec INT"
+    ).withColumn("ts", F.timestamp_seconds("sec"))
+    sg = (CepPattern.begin("a", etype="A").followed_by("b", etype="B")
+          .followed_by("c", etype="C")
+          .within(10, "previous_and_current")
+          .after_match_skip("skip_past_last_event"))
+    # first funnel fits the gap everywhere; second's B->C hop is 6s
+    # and A->B 3s, also fine -> both accepted (non-overlapping)
+    assert {(r.user_id, r.match_id) for r in sg.compile(sdf).collect()} \
+        == {(0, 2), (0, 5)}
     # r13 continuation: plain gap-bounded patterns STREAM (buffered
     # carries — see the twin test); r14: optional-under-gap,
     # negation+gap, AND the optional+negation+gap triple all stream
@@ -1385,6 +1403,7 @@ def test_gap_bound_streaming_twin(spark, sf_small, tmp_path_factory):
     "stream_cep_skip_past",
     "stream_cep_skip_to_next",
     "stream_cep_skip_to_first",
+    "stream_cep_skip_gap",
 ])
 def test_skip_fold_scan_sits_directly_on_window_chain(spark, sf_small, key):
     """_skip_fold's cursor scan is only correct because the upstream

@@ -2044,3 +2044,74 @@ def test_cep_gap_enum_neg_state_fuzz(streams, types, gap_s, neg_s, cut):
                 got.add((uid, r.match_id, r.start_us // 1_000_000,
                          bool(r.with_s1)))
     assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    streams=st.lists(
+        st.lists(_cep_event, min_size=0, max_size=12),
+        min_size=1, max_size=3,
+    ),
+    types=st.tuples(
+        st.sampled_from(["A", "B", "C"]),
+        st.sampled_from(["A", "B", "C"]),
+        st.sampled_from(["A", "B", "C"]),
+    ),
+    gap_s=st.integers(min_value=1, max_value=15),
+)
+def test_cep_skip_gap_fuzz(streams, types, gap_s):
+    """after_match_skip('skip_past_last_event') × per-gap bound (r14 —
+    was a batch refusal): the position struct rides the bounded
+    GREATEST, so the compiled greedy interval scheduling over
+    GAP-BOUNDED chains must equal brute force — enumerate all chains
+    with every hop inside the gap, take the greedy (max ts, max pos)
+    start per match row, then replay the cursor fold (accept iff
+    start_pos > cursor; cursor = accepted match's row position)."""
+    import itertools
+
+    from sparkflow.streaming.cep import CepPattern
+
+    a_t, b_t, c_t = types
+    rows, df = _cep_df(_get_spark(), streams)
+    if not rows:
+        return
+
+    pat = (
+        CepPattern.begin("a", etype=a_t)
+        .followed_by("b", etype=b_t)
+        .followed_by("c", etype=c_t)
+        .within(gap_s, "previous_and_current")
+        .after_match_skip("skip_past_last_event")
+    )
+    got = {
+        (r.user_id, r.match_id, int(r.start_sec))
+        for r in pat.compile(df).select(
+            "user_id", "match_id",
+            (F.unix_micros("start_ts") / 1_000_000).cast("int")
+            .alias("start_sec"),
+        ).collect()
+    }
+
+    by_user: dict = {}
+    for uid, ev_id, typ, sec in rows:
+        by_user.setdefault(uid, []).append((typ, sec, ev_id))
+    want = set()
+    for uid, seq in by_user.items():
+        n = len(seq)
+        greedy: dict = {}  # match pos -> (start_sec, start_pos, ev_id)
+        for pa, pb, pc in itertools.combinations(range(n), 3):
+            if (seq[pa][0], seq[pb][0], seq[pc][0]) != (a_t, b_t, c_t):
+                continue
+            if seq[pb][1] - seq[pa][1] > gap_s or \
+                    seq[pc][1] - seq[pb][1] > gap_s:
+                continue
+            prev = greedy.get(pc)
+            if prev is None or (seq[pa][1], pa) > prev[:2]:
+                greedy[pc] = (seq[pa][1], pa, seq[pc][2])
+        cursor = -1
+        for pc in sorted(greedy):
+            sec, pa, mid = greedy[pc]
+            if pa > cursor:
+                want.add((uid, mid, sec))
+                cursor = pc
+    assert got == want
