@@ -741,12 +741,48 @@ class CepPattern:
                     "batch compile refuses the same combination"
                 )
             if self.skip != "no_skip":
-                raise ValueError(
-                    "after_match_skip under within(..., "
-                    "'previous_and_current') does not stream yet — "
-                    "the gap machine's buffers would need start "
-                    "positions plus the acceptance cursor; the batch "
-                    "compile composes (r14)"
+                # r14 continuation: skip+gap STREAMS — the buffered
+                # carry generalizes to (h, sp[, ap]) position structs
+                # and the acceptance cursor is causal
+                # (stateful._cep_gap_skip_fn)
+                if any(s.optional for s in self.steps):
+                    raise ValueError(
+                        "after_match_skip does not compose with "
+                        "optional steps (the batch compile refuses "
+                        "the same combination)"
+                    )
+                if self.neg is not None:
+                    raise ValueError(
+                        "after_match_skip + terminal negation + gap "
+                        "bound does not stream yet (the cursor would "
+                        "need to fold over watermark-held candidates)"
+                    )
+                anchor_idx = None
+                if self.skip in ("skip_to_first", "skip_to_last"):
+                    names = [s.name for s in self.steps]
+                    if self.skip_step not in names:
+                        raise ValueError(
+                            f"after_match_skip anchor step "
+                            f"{self.skip_step!r} is not a pattern step"
+                        )
+                    if self.skip_step == self.steps[0].name:
+                        raise ValueError(
+                            "the after_match_skip anchor may not be "
+                            "the begin step — use skip_to_next"
+                        )
+                    idx = 0
+                    for s in self.steps:
+                        for k in range(s.times):
+                            if s.name == self.skip_step and (
+                                k == 0 if self.skip == "skip_to_first"
+                                else k == s.times - 1
+                            ):
+                                anchor_idx = idx
+                            idx += 1
+                return stateful.cep_gap_skip_stream(
+                    spark, files_dir, sf_dir,
+                    self._event_expansion(self.steps), self.within_us,
+                    self.gap_us, self.skip, anchor_idx,
                 )
             if any(s.optional for s in self.steps):
                 # r14 (r13 verdict item 4b): optional-under-gap
@@ -2635,8 +2671,11 @@ def stream_cep_skip_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     GREATEST (DuckDB's GREATEST is not struct-typed) and replays
     acceptance as the same recursive CTE as stream_cep_skip_past.
     Brute-force fuzz over random streams: tests/test_properties.py.
-    Streaming: refused loudly (the gap machine's buffers would need
-    start positions + the acceptance cursor)."""
+    STREAMS too (r14): the gap machine's buffers generalize to
+    (h, sp[, ap]) position structs and the acceptance cursor is
+    causal (stateful._cep_gap_skip_fn) — twin pytest bit-equal across
+    micro-batch boundaries + fake-GroupState fuzz over all three
+    cursor rules."""
     pat = (
         CepPattern.begin("view", etype="view")
         .followed_by("click", etype="click")

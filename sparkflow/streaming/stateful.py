@@ -1277,6 +1277,152 @@ def cep_gap_bound_stream(
     )
 
 
+def _cep_gap_skip_fn(steps, within_us, gap_us, strategy,
+                     anchor_idx=None):
+    """r14 continuation: AfterMatchSkip over a GAP-BOUNDED chain — the
+    buffered carry generalized to (h, sp[, ap]) position structs
+    (parallel arrays per level, lexicographic max over gap-feasible
+    predecessors = the batch struct GREATEST) plus the causal
+    acceptance cursor of _cep_skip_fn: skip_past accepts iff
+    start_pos > cursor and advances to the match row position,
+    skip_to_next advances to the accepted start position, the
+    anchored strategies accept iff start_pos >= cursor and advance to
+    the anchor copy's stamped position. Matches arrive in row order
+    within a key, so the fold is causal — one more long of keyed
+    state."""
+    m = len(steps)
+    n = m - 1
+    anchored = strategy in ("skip_to_first", "skip_to_last")
+    past = strategy == "skip_past_last_event"
+
+    def fn(
+        key: Tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            vals = list(state.get)
+            bts = [list(vals[i]) for i in range(n)]
+            bh = [list(vals[n + i]) for i in range(n)]
+            bsp = [list(vals[2 * n + i]) for i in range(n)]
+            bap = [list(vals[3 * n + i]) for i in range(n)]
+            L = [list(vals[4 * n]), list(vals[4 * n + 1]),
+                 list(vals[4 * n + 2])]
+            prev_ts, pos, cursor = vals[4 * n + 3:4 * n + 6]
+        else:
+            bts = [[] for _ in range(n)]
+            bh = [[] for _ in range(n)]
+            bsp = [[] for _ in range(n)]
+            bap = [[] for _ in range(n)]
+            L = [[-1] * n, [-1] * n, [-1] * n]
+            prev_ts, pos, cursor = -1, 0, -1
+        chunks = [p for p in pdf_iter if len(p)]
+        if not chunks:
+            return
+        pdf = pd.concat(chunks).sort_values(["ts", "event_id"])
+        if _ts_us(pdf["ts"]).min() < 0:
+            raise ValueError(
+                "cep_compiled_stream requires event times >= 1970-01-01 "
+                "(the -1 no-hit state sentinel; the batch compile has "
+                "no such limit)"
+            )
+        out = {"match_id": [], "match_us": [], "start_us": []}
+        for eid, etype, t in zip(
+            pdf["event_id"].to_numpy(),
+            pdf["event_type"].to_numpy(),
+            _ts_us(pdf["ts"]).to_numpy(),
+        ):
+            t = int(t)
+            hit = [(-1, -1, -1)] * m
+            for i, (et, trans, _neg) in enumerate(steps):
+                if etype != et:
+                    continue
+                if i == 0:
+                    hit[0] = (t, pos, -1)
+                elif trans == "followed_by":
+                    lo = t - gap_us
+                    best = (-1, -1, -1)
+                    for rts, h, sp, ap in zip(
+                        bts[i - 1], bh[i - 1], bsp[i - 1], bap[i - 1]
+                    ):
+                        if rts >= lo and (h, sp, ap) > best:
+                            best = (h, sp, ap)
+                    if best[0] >= 0:
+                        hit[i] = best
+                else:
+                    if (L[0][i - 1] >= 0 and prev_ts >= 0
+                            and t - prev_ts <= gap_us):
+                        hit[i] = (L[0][i - 1], L[1][i - 1],
+                                  L[2][i - 1])
+                if hit[i][0] >= 0 and anchored and i == anchor_idx:
+                    hit[i] = (hit[i][0], hit[i][1], pos)
+            if hit[-1][0] >= 0 and (
+                within_us is None or t - hit[-1][0] <= within_us
+            ):
+                h, sp, ap = hit[-1]
+                ok = sp >= cursor if anchored else sp > cursor
+                if ok:
+                    out["match_id"].append(int(eid))
+                    out["match_us"].append(t)
+                    out["start_us"].append(h)
+                    cursor = pos if past else (ap if anchored else sp)
+            lo = t - gap_us
+            for i in range(n):
+                if hit[i][0] >= 0:
+                    bts[i].append(t)
+                    bh[i].append(hit[i][0])
+                    bsp[i].append(hit[i][1])
+                    bap[i].append(hit[i][2])
+                if bts[i] and bts[i][0] < lo:
+                    keep = [k for k, rts in enumerate(bts[i])
+                            if rts >= lo]
+                    bts[i] = [bts[i][k] for k in keep]
+                    bh[i] = [bh[i][k] for k in keep]
+                    bsp[i] = [bsp[i][k] for k in keep]
+                    bap[i] = [bap[i][k] for k in keep]
+                L[0][i], L[1][i], L[2][i] = hit[i]
+            prev_ts = t
+            pos += 1
+        state.update(
+            tuple(bts) + tuple(bh) + tuple(bsp) + tuple(bap)
+            + (L[0], L[1], L[2], prev_ts, pos, cursor)
+        )
+        if out["match_id"]:
+            yield pd.DataFrame(
+                {"user_id": [key[0]] * len(out["match_id"]), **out}
+            )
+
+    return fn
+
+
+def cep_gap_skip_stream(
+    spark: SparkSession, files_dir: str, sf_dir: str,
+    steps: list, within_us, gap_us: int, strategy: str,
+    anchor_idx=None,
+) -> DataFrame:
+    """True-streaming compile of after-match skip over a gap-bounded
+    chain (see _cep_gap_skip_fn)."""
+    ev = _events_stream(spark, files_dir, sf_dir)
+    n = len(steps) - 1
+    fields = (
+        [f"bts_{i} ARRAY<BIGINT>" for i in range(n)]
+        + [f"bh_{i} ARRAY<BIGINT>" for i in range(n)]
+        + [f"bsp_{i} ARRAY<BIGINT>" for i in range(n)]
+        + [f"bap_{i} ARRAY<BIGINT>" for i in range(n)]
+        + ["lh ARRAY<BIGINT>", "lsp ARRAY<BIGINT>", "lap ARRAY<BIGINT>",
+           "prev_ts BIGINT", "pos BIGINT", "cursor BIGINT"]
+    )
+    return ev.groupBy("user_id").applyInPandasWithState(
+        _cep_gap_skip_fn(list(steps), within_us, gap_us, strategy,
+                         anchor_idx),
+        outputStructType=(
+            "user_id BIGINT, match_id BIGINT, match_us BIGINT, "
+            "start_us BIGINT"
+        ),
+        stateStructType=", ".join(fields),
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def _cep_gap_neg_fn(steps, within_us, gap_us, neg_et, neg_within_us):
     """r14 (r13 verdict item 4a): TERMINAL negation over a gap-bounded
     chain — the composition of _cep_gap_fn's horizon-pruned per-level

@@ -1249,8 +1249,8 @@ def test_gap_bound_builder_rules(spark):
     event-eliding theorems don't survive per-gap bounds — variable
     quantifiers and mid-pattern negation refuse loudly; unknown
     WithinType refuses; both bounds may coexist; fixed times(n),
-    optional (via enum), and (r14) after-match skip compile; only the
-    skip+gap STREAMING compile still refuses."""
+    optional (via enum), and (r14) after-match skip compile; skip+gap
+    streams too — only skip+negation+gap still refuses."""
     p = F.lit(True)
     base = (CepPattern.begin("a", p).followed_by("b", p)
             .followed_by("c", p))
@@ -1308,9 +1308,12 @@ def test_gap_bound_builder_rules(spark):
          .followed_by("b", etype="B")
          .within(10, "previous_and_current")
          .compile_stream(None, "/nonexistent", "/nonexistent"))
-    with pytest.raises(ValueError, match="previous_and_current"):
+    # r14 continuation: skip+gap STREAMS too (see
+    # test_skip_gap_streaming_twin); only skip+negation+gap refuses
+    with pytest.raises(ValueError, match="watermark-held"):
         (CepPattern.begin("a", etype="A").followed_by("b", etype="B")
          .within(10, "previous_and_current")
+         .not_followed_by("q", etype="Q", within=60)
          .after_match_skip("skip_past_last_event")
          .compile_stream(None, "/nonexistent", "/nonexistent"))
     # fixed times(n) composes (every copy is a real bounded hop)
@@ -1609,4 +1612,41 @@ def test_gap_enum_neg_streaming_twin(spark, sf_small, tmp_path_factory):
         start_us=pd.to_datetime(want["start_ts"])
         .astype("datetime64[us]").astype("int64"),
     )[["user_id", "match_id", "match_us", "start_us", "with_click"]]
+    pd.testing.assert_frame_equal(got, want_us, check_dtype=False)
+
+
+def test_skip_gap_streaming_twin(spark, sf_small, tmp_path_factory):
+    """skip+gap STREAMS (r14): the position-struct buffered carry plus
+    the causal acceptance cursor must equal the batch compile of the
+    registered stream_cep_skip_gap pattern across real micro-batch
+    boundaries."""
+    from sparkflow.streaming import stateful
+
+    stream_dir = stateful.split_events_to_files(
+        spark, sf_small, str(tmp_path_factory.mktemp("cep_skipgap_stream")), 3
+    )
+    pat = (
+        CepPattern.begin("view", etype="view")
+        .followed_by("click", etype="click")
+        .followed_by("purchase", etype="purchase")
+        .within("12 hours", "previous_and_current")
+        .after_match_skip("skip_past_last_event")
+    )
+    sdf = pat.compile_stream(spark, stream_dir, sf_small)
+    stateful.run_to_memory(sdf, "t_cepskipgap", "append")
+    got = (
+        spark.table("t_cepskipgap").toPandas()
+        .sort_values("match_id").reset_index(drop=True)
+    )
+    want = (
+        pat.compile(table(spark, sf_small, "events")).toPandas()
+        .sort_values("match_id").reset_index(drop=True)
+    )
+    assert len(want) > 0
+    want_us = want.assign(
+        match_us=pd.to_datetime(want["match_ts"])
+        .astype("datetime64[us]").astype("int64"),
+        start_us=pd.to_datetime(want["start_ts"])
+        .astype("datetime64[us]").astype("int64"),
+    )[["user_id", "match_id", "match_us", "start_us"]]
     pd.testing.assert_frame_equal(got, want_us, check_dtype=False)

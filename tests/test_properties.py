@@ -2115,3 +2115,81 @@ def test_cep_skip_gap_fuzz(streams, types, gap_s):
                 want.add((uid, mid, sec))
                 cursor = pc
     assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    streams=st.lists(
+        st.lists(_cep_event, min_size=0, max_size=12),
+        min_size=1, max_size=3,
+    ),
+    types=st.tuples(
+        st.sampled_from(["A", "B", "C"]),
+        st.sampled_from(["A", "B", "C"]),
+        st.sampled_from(["A", "B", "C"]),
+    ),
+    gap_s=st.integers(min_value=1, max_value=15),
+    strategy=st.sampled_from(
+        ["skip_past_last_event", "skip_to_next", "skip_to_first"]
+    ),
+    cut=st.integers(min_value=1, max_value=10),
+)
+def test_cep_gap_skip_state_fuzz(streams, types, gap_s, strategy, cut):
+    """skip+gap STREAMS (r14): _cep_gap_skip_fn (position-struct
+    buffers + causal cursor) driven through a fake GroupState with a
+    random micro-batch split must emit exactly the batch skip+gap
+    compile's accepted rows, for all three cursor rules incl. the
+    anchored one."""
+    import pandas as pd
+
+    from sparkflow.streaming.cep import CepPattern
+    from sparkflow.streaming.stateful import _cep_gap_skip_fn
+
+    a_t, b_t, c_t = types
+    rows, df = _cep_df(_get_spark(), streams)
+    if not rows:
+        return
+
+    pat = (
+        CepPattern.begin("a", etype=a_t)
+        .followed_by("b", etype=b_t)
+        .followed_by("c", etype=c_t)
+        .within(gap_s, "previous_and_current")
+    )
+    if strategy == "skip_to_first":
+        pat = pat.after_match_skip(strategy, "b")
+        anchor_idx = 1
+    else:
+        pat = pat.after_match_skip(strategy)
+        anchor_idx = None
+    want = {
+        (r.user_id, r.match_id, int(r.start_sec))
+        for r in pat.compile(df).select(
+            "user_id", "match_id",
+            (F.unix_micros("start_ts") / 1_000_000).cast("int")
+            .alias("start_sec"),
+        ).collect()
+    }
+
+    fn = _cep_gap_skip_fn(
+        pat._event_expansion(pat.steps), None, gap_s * 1_000_000,
+        strategy, anchor_idx,
+    )
+    got = set()
+    by_user: dict = {}
+    for uid, ev_id, typ, sec in rows:
+        by_user.setdefault(uid, []).append((ev_id, typ, sec))
+    for uid, seq in by_user.items():
+        state = _FakeGroupState()
+        for batch in (seq[:cut], seq[cut:]):
+            if not batch:
+                continue
+            pdf = pd.DataFrame({
+                "event_id": [e[0] for e in batch],
+                "event_type": [e[1] for e in batch],
+                "ts": pd.to_datetime([e[2] for e in batch], unit="s"),
+            })
+            for out in fn((uid,), iter([pdf]), state):
+                for r in out.itertuples():
+                    got.add((uid, r.match_id, r.start_us // 1_000_000))
+    assert got == want
