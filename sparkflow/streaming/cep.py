@@ -690,6 +690,36 @@ class CepPattern:
         optional-step annotation variants."""
         return self.stream_chains()[0]
 
+    def _skip_anchor_idx(self):
+        """Expanded-step index where the carry stamps the after-match
+        anchor position (skip_to_first / skip_to_last), validated the
+        same way the batch compile validates its anchor; None for
+        unanchored strategies."""
+        if self.skip not in ("skip_to_first", "skip_to_last"):
+            return None
+        required = [s for s in self.steps if not s.optional]
+        if self.skip_step not in [s.name for s in required]:
+            raise ValueError(
+                f"after_match_skip anchor step {self.skip_step!r} "
+                "is not a pattern step"
+            )
+        if self.skip_step == required[0].name:
+            raise ValueError(
+                "the after_match_skip anchor may not be the begin "
+                "step — use skip_to_next"
+            )
+        idx = 0
+        anchor = None
+        for s in required:
+            for k in range(s.times):
+                if s.name == self.skip_step and (
+                    k == 0 if self.skip == "skip_to_first"
+                    else k == s.times - 1
+                ):
+                    anchor = idx
+                idx += 1
+        return anchor
+
     def compile_stream(self, spark, files_dir: str, sf_dir: str):
         """TRUE-STREAMING compile (readStream + applyInPandasWithState):
         the carry chains are literally a per-key state machine — per
@@ -744,41 +774,33 @@ class CepPattern:
                 # r14 continuation: skip+gap STREAMS — the buffered
                 # carry generalizes to (h, sp[, ap]) position structs
                 # and the acceptance cursor is causal
-                # (stateful._cep_gap_skip_fn)
+                # (stateful._cep_gap_skip_fn). With a terminal
+                # negation on top, candidates hold until the
+                # watermark passes their deadline and the cursor
+                # folds at flush time over the SURVIVORS, in match
+                # order (deadlines are nondecreasing) — exactly the
+                # batch fold-after-negation-filter
+                # (stateful._cep_gap_skip_neg_fn)
                 if any(s.optional for s in self.steps):
                     raise ValueError(
                         "after_match_skip does not compose with "
                         "optional steps (the batch compile refuses "
                         "the same combination)"
                     )
+                anchor_idx = self._skip_anchor_idx()
                 if self.neg is not None:
-                    raise ValueError(
-                        "after_match_skip + terminal negation + gap "
-                        "bound does not stream yet (the cursor would "
-                        "need to fold over watermark-held candidates)"
+                    if self.neg_etype is None:
+                        raise ValueError(
+                            "the terminal negation was built from a "
+                            "Column predicate — declare it with "
+                            "etype=... to compile for streaming"
+                        )
+                    return stateful.cep_gap_skip_neg_stream(
+                        spark, files_dir, sf_dir,
+                        self._event_expansion(self.steps),
+                        self.within_us, self.gap_us, self.skip,
+                        anchor_idx, self.neg_etype, self.neg_within_us,
                     )
-                anchor_idx = None
-                if self.skip in ("skip_to_first", "skip_to_last"):
-                    names = [s.name for s in self.steps]
-                    if self.skip_step not in names:
-                        raise ValueError(
-                            f"after_match_skip anchor step "
-                            f"{self.skip_step!r} is not a pattern step"
-                        )
-                    if self.skip_step == self.steps[0].name:
-                        raise ValueError(
-                            "the after_match_skip anchor may not be "
-                            "the begin step — use skip_to_next"
-                        )
-                    idx = 0
-                    for s in self.steps:
-                        for k in range(s.times):
-                            if s.name == self.skip_step and (
-                                k == 0 if self.skip == "skip_to_first"
-                                else k == s.times - 1
-                            ):
-                                anchor_idx = idx
-                            idx += 1
                 return stateful.cep_gap_skip_stream(
                     spark, files_dir, sf_dir,
                     self._event_expansion(self.steps), self.within_us,
@@ -862,13 +884,31 @@ class CepPattern:
             # negated arrival in the open interval. The annotation
             # surfaces don't compose here (the batch next_<neg>_ts
             # audit column is unbounded-lookahead by definition).
-            if any(s.optional for s in self.steps) or self.skip != "no_skip" \
+            if any(s.optional for s in self.steps) \
                     or any(s.one_or_more or s.up_to is not None
                            for s in self.steps):
                 raise ValueError(
                     "the terminal-negation streaming twin covers the "
-                    "plain positive chain (optionals / counts / skip "
-                    "strategies compose in the batch compile only)"
+                    "plain positive chain (optionals / counts compose "
+                    "in the batch compile only)"
+                )
+            if self.skip != "no_skip":
+                # r14 continuation: skip × terminal negation streams —
+                # the causal position-struct carries feed the
+                # watermark hold, and the acceptance cursor folds at
+                # flush time over the survivors in match order
+                # (stateful._cep_skip_neg_fn)
+                if self.neg_etype is None:
+                    raise ValueError(
+                        "the terminal negation was built from a "
+                        "Column predicate — declare it with etype=... "
+                        "to compile for streaming"
+                    )
+                return stateful.cep_skip_neg_stream(
+                    spark, files_dir, sf_dir,
+                    self._event_expansion(self.steps), self.within_us,
+                    self.skip, self._skip_anchor_idx(),
+                    self.neg_etype, self.neg_within_us,
                 )
             if self.neg_etype is None:
                 raise ValueError(

@@ -1013,6 +1013,365 @@ def _cep_skip_fn(steps, within_us, strategy="skip_past_last_event",
     return fn
 
 
+def _cep_skip_neg_fn(steps, within_us, strategy, anchor_idx,
+                     neg_et, neg_within_us):
+    """r14 continuation: after-match skip × TERMINAL negation — the
+    causal position-struct carries of _cep_skip_fn feeding a
+    watermark-delayed hold whose acceptance cursor folds AT FLUSH
+    TIME: candidates (with their start/match/anchor positions) hold
+    until the watermark passes match_ts + T, killed by an in-horizon
+    negated arrival; deadlines are nondecreasing in match order, so
+    survivors flush in match-row order and the cursor rules apply
+    exactly as the batch fold over the negation-SURVIVING match rows
+    (the compile applies the negation filter BEFORE _skip_fold —
+    pinned by test_skip_past_with_terminal_negation)."""
+    m = len(steps)
+    n = m - 1
+    anchored = strategy in ("skip_to_first", "skip_to_last")
+    past = strategy == "skip_past_last_event"
+    NP = 6  # pend columns: mid, mus, sus, spos, mpos, apos
+
+    def fn(
+        key: Tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            vals = list(state.get)
+            Cts, Csp = list(vals[0]), list(vals[1])
+            Lts, Lsp = list(vals[2]), list(vals[3])
+            BP, LQ = list(vals[4]), list(vals[5])
+            Cap, Lap = list(vals[6]), list(vals[7])
+            cursor, pos = vals[8], vals[9]
+            pend = [list(vals[10 + j]) for j in range(NP)]
+        else:
+            Cts, Csp, Lts, Lsp, BP, LQ, Cap, Lap = (
+                [-1] * n for _ in range(8)
+            )
+            cursor, pos = -1, 0
+            pend = [[] for _ in range(NP)]
+
+        def flush(wm_us):
+            nonlocal cursor
+            out = {"match_id": [], "match_us": [], "start_us": []}
+            keep = [[] for _ in range(NP)]
+            for mid, mus, sus, sp, mp, ap in zip(*pend):
+                if mus + neg_within_us < wm_us:
+                    ok = sp >= cursor if anchored else sp > cursor
+                    if ok:
+                        out["match_id"].append(mid)
+                        out["match_us"].append(mus)
+                        out["start_us"].append(sus)
+                        cursor = mp if past else (ap if anchored
+                                                  else sp)
+                else:
+                    for j, v in enumerate((mid, mus, sus, sp, mp, ap)):
+                        keep[j].append(v)
+            return out, keep
+
+        def save(keep):
+            state.update(
+                (Cts, Csp, Lts, Lsp, BP, LQ, Cap, Lap, cursor, pos)
+                + tuple(keep)
+            )
+            if keep[1]:
+                state.setTimeoutTimestamp(
+                    (min(keep[1]) + neg_within_us) // 1000 + 1
+                )
+
+        if state.hasTimedOut:
+            out, keep = flush(state.getCurrentWatermarkMs() * 1000)
+            save(keep)
+            if out["match_id"]:
+                yield pd.DataFrame(
+                    {"user_id": [key[0]] * len(out["match_id"]), **out}
+                )
+            return
+
+        chunks = [p for p in pdf_iter if len(p)]
+        if not chunks:
+            return
+        pdf = pd.concat(chunks).sort_values(["ts", "event_id"])
+        if _ts_us(pdf["ts"]).min() < 0:
+            raise ValueError(
+                "cep_compiled_stream requires event times >= 1970-01-01 "
+                "(the -1 no-hit state sentinel; the batch compile has "
+                "no such limit)"
+            )
+        for eid, etype, t in zip(
+            pdf["event_id"].to_numpy(),
+            pdf["event_type"].to_numpy(),
+            _ts_us(pdf["ts"]).to_numpy(),
+        ):
+            t = int(t)
+            hts, hsp, hap = [-1] * m, [-1] * m, [-1] * m
+            for i, (et, trans, gneg) in enumerate(steps):
+                if etype != et:
+                    continue
+                if i == 0:
+                    hts[0], hsp[0] = t, pos
+                else:
+                    cin_ts, cin_sp, cin_ap = (
+                        (Cts[i - 1], Csp[i - 1], Cap[i - 1])
+                        if trans == "followed_by"
+                        else (Lts[i - 1], Lsp[i - 1], Lap[i - 1])
+                    )
+                    if cin_ts >= 0 and (
+                        gneg is None or LQ[i - 1] <= BP[i - 1]
+                    ):
+                        hts[i], hsp[i] = cin_ts, cin_sp
+                        hap[i] = pos if i == anchor_idx else cin_ap
+            if etype == neg_et:
+                kept = [row for row in zip(*pend)
+                        if not (row[1] < t <= row[1] + neg_within_us)]
+                pend = ([list(z) for z in zip(*kept)]
+                        or [[] for _ in range(NP)])
+            if hts[-1] >= 0 and (
+                within_us is None or t - hts[-1] <= within_us
+            ):
+                for j, v in enumerate((int(eid), t, hts[-1], hsp[-1],
+                                       pos, hap[-1])):
+                    pend[j].append(v)
+            for i in range(n):
+                if (hts[i], hsp[i], hap[i]) > (Cts[i], Csp[i], Cap[i]):
+                    Cts[i], Csp[i] = hts[i], hsp[i]
+                    Cap[i] = hap[i]
+                if hts[i] >= 0:
+                    BP[i] = pos
+                Lts[i], Lsp[i] = hts[i], hsp[i]
+                Lap[i] = hap[i]
+                gneg = steps[i + 1][2]
+                if gneg is not None and etype == gneg:
+                    LQ[i] = pos
+            pos += 1
+        out, keep = flush(state.getCurrentWatermarkMs() * 1000)
+        save(keep)
+        if out["match_id"]:
+            yield pd.DataFrame(
+                {"user_id": [key[0]] * len(out["match_id"]), **out}
+            )
+
+    return fn
+
+
+def cep_skip_neg_stream(
+    spark: SparkSession, files_dir: str, sf_dir: str,
+    steps: list, within_us, strategy: str, anchor_idx,
+    neg_et: str, neg_within_us: int,
+) -> DataFrame:
+    """True-streaming compile of after-match skip × terminal negation
+    (see _cep_skip_neg_fn)."""
+    ev = _events_stream(spark, files_dir, sf_dir).withWatermark(
+        "ts", "0 seconds"
+    )
+    if len(steps) < 2:
+        raise ValueError("skip-negation stream needs >= 2 steps")
+    fields = (
+        ["cts ARRAY<BIGINT>", "csp ARRAY<BIGINT>",
+         "lts ARRAY<BIGINT>", "lsp ARRAY<BIGINT>",
+         "bp ARRAY<BIGINT>", "lq ARRAY<BIGINT>",
+         "cap ARRAY<BIGINT>", "lap ARRAY<BIGINT>",
+         "cursor BIGINT", "pos BIGINT",
+         "pend_mid ARRAY<BIGINT>", "pend_mus ARRAY<BIGINT>",
+         "pend_sus ARRAY<BIGINT>", "pend_sp ARRAY<BIGINT>",
+         "pend_mp ARRAY<BIGINT>", "pend_ap ARRAY<BIGINT>"]
+    )
+    return ev.groupBy("user_id").applyInPandasWithState(
+        _cep_skip_neg_fn(list(steps), within_us, strategy, anchor_idx,
+                         neg_et, neg_within_us),
+        outputStructType=(
+            "user_id BIGINT, match_id BIGINT, match_us BIGINT, "
+            "start_us BIGINT"
+        ),
+        stateStructType=", ".join(fields),
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def _cep_gap_skip_neg_fn(steps, within_us, gap_us, strategy,
+                         anchor_idx, neg_et, neg_within_us):
+    """r14 continuation: the skip × gap-bound × terminal-negation
+    TRIPLE — _cep_gap_skip_fn's position-struct buffers feeding the
+    same flush-time acceptance cursor as _cep_skip_neg_fn."""
+    m = len(steps)
+    n = m - 1
+    anchored = strategy in ("skip_to_first", "skip_to_last")
+    past = strategy == "skip_past_last_event"
+    NP = 6
+
+    def fn(
+        key: Tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            vals = list(state.get)
+            bts = [list(vals[i]) for i in range(n)]
+            bh = [list(vals[n + i]) for i in range(n)]
+            bsp = [list(vals[2 * n + i]) for i in range(n)]
+            bap = [list(vals[3 * n + i]) for i in range(n)]
+            L = [list(vals[4 * n]), list(vals[4 * n + 1]),
+                 list(vals[4 * n + 2])]
+            prev_ts, pos, cursor = vals[4 * n + 3:4 * n + 6]
+            pend = [list(vals[4 * n + 6 + j]) for j in range(NP)]
+        else:
+            bts = [[] for _ in range(n)]
+            bh = [[] for _ in range(n)]
+            bsp = [[] for _ in range(n)]
+            bap = [[] for _ in range(n)]
+            L = [[-1] * n, [-1] * n, [-1] * n]
+            prev_ts, pos, cursor = -1, 0, -1
+            pend = [[] for _ in range(NP)]
+
+        def flush(wm_us):
+            nonlocal cursor
+            out = {"match_id": [], "match_us": [], "start_us": []}
+            keep = [[] for _ in range(NP)]
+            for mid, mus, sus, sp, mp, ap in zip(*pend):
+                if mus + neg_within_us < wm_us:
+                    ok = sp >= cursor if anchored else sp > cursor
+                    if ok:
+                        out["match_id"].append(mid)
+                        out["match_us"].append(mus)
+                        out["start_us"].append(sus)
+                        cursor = mp if past else (ap if anchored
+                                                  else sp)
+                else:
+                    for j, v in enumerate((mid, mus, sus, sp, mp, ap)):
+                        keep[j].append(v)
+            return out, keep
+
+        def save(keep):
+            state.update(
+                tuple(bts) + tuple(bh) + tuple(bsp) + tuple(bap)
+                + (L[0], L[1], L[2], prev_ts, pos, cursor)
+                + tuple(keep)
+            )
+            if keep[1]:
+                state.setTimeoutTimestamp(
+                    (min(keep[1]) + neg_within_us) // 1000 + 1
+                )
+
+        if state.hasTimedOut:
+            out, keep = flush(state.getCurrentWatermarkMs() * 1000)
+            save(keep)
+            if out["match_id"]:
+                yield pd.DataFrame(
+                    {"user_id": [key[0]] * len(out["match_id"]), **out}
+                )
+            return
+
+        chunks = [p for p in pdf_iter if len(p)]
+        if not chunks:
+            return
+        pdf = pd.concat(chunks).sort_values(["ts", "event_id"])
+        if _ts_us(pdf["ts"]).min() < 0:
+            raise ValueError(
+                "cep_compiled_stream requires event times >= 1970-01-01 "
+                "(the -1 no-hit state sentinel; the batch compile has "
+                "no such limit)"
+            )
+        for eid, etype, t in zip(
+            pdf["event_id"].to_numpy(),
+            pdf["event_type"].to_numpy(),
+            _ts_us(pdf["ts"]).to_numpy(),
+        ):
+            t = int(t)
+            hit = [(-1, -1, -1)] * m
+            for i, (et, trans, _neg) in enumerate(steps):
+                if etype != et:
+                    continue
+                if i == 0:
+                    hit[0] = (t, pos, -1)
+                elif trans == "followed_by":
+                    lo = t - gap_us
+                    best = (-1, -1, -1)
+                    for rts, h, sp, ap in zip(
+                        bts[i - 1], bh[i - 1], bsp[i - 1], bap[i - 1]
+                    ):
+                        if rts >= lo and (h, sp, ap) > best:
+                            best = (h, sp, ap)
+                    if best[0] >= 0:
+                        hit[i] = best
+                else:
+                    if (L[0][i - 1] >= 0 and prev_ts >= 0
+                            and t - prev_ts <= gap_us):
+                        hit[i] = (L[0][i - 1], L[1][i - 1],
+                                  L[2][i - 1])
+                if hit[i][0] >= 0 and anchored and i == anchor_idx:
+                    hit[i] = (hit[i][0], hit[i][1], pos)
+            if etype == neg_et:
+                kept = [row for row in zip(*pend)
+                        if not (row[1] < t <= row[1] + neg_within_us)]
+                pend = ([list(z) for z in zip(*kept)]
+                        or [[] for _ in range(NP)])
+            if hit[-1][0] >= 0 and (
+                within_us is None or t - hit[-1][0] <= within_us
+            ):
+                h, sp, ap = hit[-1]
+                for j, v in enumerate((int(eid), t, h, sp, pos, ap)):
+                    pend[j].append(v)
+            lo = t - gap_us
+            for i in range(n):
+                if hit[i][0] >= 0:
+                    bts[i].append(t)
+                    bh[i].append(hit[i][0])
+                    bsp[i].append(hit[i][1])
+                    bap[i].append(hit[i][2])
+                if bts[i] and bts[i][0] < lo:
+                    keep_i = [k for k, rts in enumerate(bts[i])
+                              if rts >= lo]
+                    bts[i] = [bts[i][k] for k in keep_i]
+                    bh[i] = [bh[i][k] for k in keep_i]
+                    bsp[i] = [bsp[i][k] for k in keep_i]
+                    bap[i] = [bap[i][k] for k in keep_i]
+                L[0][i], L[1][i], L[2][i] = hit[i]
+            prev_ts = t
+            pos += 1
+        out, keep = flush(state.getCurrentWatermarkMs() * 1000)
+        save(keep)
+        if out["match_id"]:
+            yield pd.DataFrame(
+                {"user_id": [key[0]] * len(out["match_id"]), **out}
+            )
+
+    return fn
+
+
+def cep_gap_skip_neg_stream(
+    spark: SparkSession, files_dir: str, sf_dir: str,
+    steps: list, within_us, gap_us: int, strategy: str, anchor_idx,
+    neg_et: str, neg_within_us: int,
+) -> DataFrame:
+    """True-streaming compile of skip × gap bound × terminal negation
+    (see _cep_gap_skip_neg_fn)."""
+    ev = _events_stream(spark, files_dir, sf_dir).withWatermark(
+        "ts", "0 seconds"
+    )
+    n = len(steps) - 1
+    if n < 1:
+        raise ValueError("gap-skip-negation stream needs >= 2 steps")
+    fields = (
+        [f"bts_{i} ARRAY<BIGINT>" for i in range(n)]
+        + [f"bh_{i} ARRAY<BIGINT>" for i in range(n)]
+        + [f"bsp_{i} ARRAY<BIGINT>" for i in range(n)]
+        + [f"bap_{i} ARRAY<BIGINT>" for i in range(n)]
+        + ["lh ARRAY<BIGINT>", "lsp ARRAY<BIGINT>", "lap ARRAY<BIGINT>",
+           "prev_ts BIGINT", "pos BIGINT", "cursor BIGINT",
+           "pend_mid ARRAY<BIGINT>", "pend_mus ARRAY<BIGINT>",
+           "pend_sus ARRAY<BIGINT>", "pend_sp ARRAY<BIGINT>",
+           "pend_mp ARRAY<BIGINT>", "pend_ap ARRAY<BIGINT>"]
+    )
+    return ev.groupBy("user_id").applyInPandasWithState(
+        _cep_gap_skip_neg_fn(list(steps), within_us, gap_us, strategy,
+                             anchor_idx, neg_et, neg_within_us),
+        outputStructType=(
+            "user_id BIGINT, match_id BIGINT, match_us BIGINT, "
+            "start_us BIGINT"
+        ),
+        stateStructType=", ".join(fields),
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 def _cep_terminal_neg_fn(steps, within_us, neg_et, neg_within_us):
     """Keyed-state executor for a compiled pattern ENDING in
     notFollowedBy(within=T) (r13, r12 verdict item 4 — the last

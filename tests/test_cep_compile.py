@@ -1249,8 +1249,8 @@ def test_gap_bound_builder_rules(spark):
     event-eliding theorems don't survive per-gap bounds — variable
     quantifiers and mid-pattern negation refuse loudly; unknown
     WithinType refuses; both bounds may coexist; fixed times(n),
-    optional (via enum), and (r14) after-match skip compile; skip+gap
-    streams too — only skip+negation+gap still refuses."""
+    optional (via enum), and (r14) after-match skip compile; every
+    batch-compiling gap composition also streams."""
     p = F.lit(True)
     base = (CepPattern.begin("a", p).followed_by("b", p)
             .followed_by("c", p))
@@ -1308,14 +1308,10 @@ def test_gap_bound_builder_rules(spark):
          .followed_by("b", etype="B")
          .within(10, "previous_and_current")
          .compile_stream(None, "/nonexistent", "/nonexistent"))
-    # r14 continuation: skip+gap STREAMS too (see
-    # test_skip_gap_streaming_twin); only skip+negation+gap refuses
-    with pytest.raises(ValueError, match="watermark-held"):
-        (CepPattern.begin("a", etype="A").followed_by("b", etype="B")
-         .within(10, "previous_and_current")
-         .not_followed_by("q", etype="Q", within=60)
-         .after_match_skip("skip_past_last_event")
-         .compile_stream(None, "/nonexistent", "/nonexistent"))
+    # r14 continuation: skip+gap streams, and so does the
+    # skip+negation+gap triple (cursor folds at flush time over the
+    # watermark-held survivors) — see their twin tests; every
+    # batch-compiling gap composition now has a streaming twin
     # fixed times(n) composes (every copy is a real bounded hop)
     fixed = (CepPattern.begin("a", etype="A")
              .followed_by("b", etype="B").times(2)
@@ -1636,6 +1632,85 @@ def test_skip_gap_streaming_twin(spark, sf_small, tmp_path_factory):
     stateful.run_to_memory(sdf, "t_cepskipgap", "append")
     got = (
         spark.table("t_cepskipgap").toPandas()
+        .sort_values("match_id").reset_index(drop=True)
+    )
+    want = (
+        pat.compile(table(spark, sf_small, "events")).toPandas()
+        .sort_values("match_id").reset_index(drop=True)
+    )
+    assert len(want) > 0
+    want_us = want.assign(
+        match_us=pd.to_datetime(want["match_ts"])
+        .astype("datetime64[us]").astype("int64"),
+        start_us=pd.to_datetime(want["start_ts"])
+        .astype("datetime64[us]").astype("int64"),
+    )[["user_id", "match_id", "match_us", "start_us"]]
+    pd.testing.assert_frame_equal(got, want_us, check_dtype=False)
+
+
+def test_skip_neg_streaming_twin(spark, sf_small, tmp_path_factory):
+    """after-match skip × terminal negation STREAMS (r14): the causal
+    position-struct carries feed the watermark hold and the cursor
+    folds at flush time over the survivors — must equal the batch
+    compile (negation filter BEFORE the fold) across real micro-batch
+    boundaries."""
+    from sparkflow.streaming import stateful
+
+    stream_dir = stateful.split_events_to_files(
+        spark, sf_small, str(tmp_path_factory.mktemp("cep_skipneg_stream")), 3
+    )
+    _append_flush_files(spark, stream_dir)
+    pat = (
+        CepPattern.begin("view", etype="view")
+        .followed_by("click", etype="click")
+        .followed_by("purchase", etype="purchase")
+        .within("36 hours")
+        .not_followed_by("error", etype="error", within="60 hours")
+        .after_match_skip("skip_past_last_event")
+    )
+    sdf = pat.compile_stream(spark, stream_dir, sf_small)
+    stateful.run_to_memory(sdf, "t_cepskipneg", "append")
+    got = (
+        spark.table("t_cepskipneg").toPandas()
+        .sort_values("match_id").reset_index(drop=True)
+    )
+    want = (
+        pat.compile(table(spark, sf_small, "events")).toPandas()
+        .sort_values("match_id").reset_index(drop=True)
+    )
+    assert len(want) > 0
+    want_us = want.assign(
+        match_us=pd.to_datetime(want["match_ts"])
+        .astype("datetime64[us]").astype("int64"),
+        start_us=pd.to_datetime(want["start_ts"])
+        .astype("datetime64[us]").astype("int64"),
+    )[["user_id", "match_id", "match_us", "start_us"]]
+    pd.testing.assert_frame_equal(got, want_us, check_dtype=False)
+
+
+def test_gap_skip_neg_streaming_twin(spark, sf_small, tmp_path_factory):
+    """skip × gap bound × terminal negation STREAMS (r14): the
+    position-struct gap buffers feed the watermark hold with the
+    flush-time cursor — must equal the batch compile across real
+    micro-batch boundaries."""
+    from sparkflow.streaming import stateful
+
+    stream_dir = stateful.split_events_to_files(
+        spark, sf_small, str(tmp_path_factory.mktemp("cep_gsn_stream")), 3
+    )
+    _append_flush_files(spark, stream_dir)
+    pat = (
+        CepPattern.begin("view", etype="view")
+        .followed_by("click", etype="click")
+        .followed_by("purchase", etype="purchase")
+        .within("12 hours", "previous_and_current")
+        .not_followed_by("error", etype="error", within="60 hours")
+        .after_match_skip("skip_past_last_event")
+    )
+    sdf = pat.compile_stream(spark, stream_dir, sf_small)
+    stateful.run_to_memory(sdf, "t_cepgsn", "append")
+    got = (
+        spark.table("t_cepgsn").toPandas()
         .sort_values("match_id").reset_index(drop=True)
     )
     want = (

@@ -2193,3 +2193,99 @@ def test_cep_gap_skip_state_fuzz(streams, types, gap_s, strategy, cut):
                 for r in out.itertuples():
                     got.add((uid, r.match_id, r.start_us // 1_000_000))
     assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    streams=st.lists(
+        st.lists(_cep_event, min_size=0, max_size=12),
+        min_size=1, max_size=3,
+    ),
+    types=st.tuples(
+        st.sampled_from(["A", "B", "C"]),
+        st.sampled_from(["A", "B", "C"]),
+        st.sampled_from(["A", "B", "C"]),
+    ),
+    neg_s=st.integers(min_value=1, max_value=20),
+    strategy=st.sampled_from(
+        ["skip_past_last_event", "skip_to_next", "skip_to_first"]
+    ),
+    gapped=st.booleans(),
+    cut=st.integers(min_value=1, max_value=10),
+)
+def test_cep_skip_neg_state_fuzz(streams, types, neg_s, strategy,
+                                 gapped, cut):
+    """skip × terminal negation STREAMS (r14), with and without the
+    gap bound: the watermark hold's flush-time cursor driven through a
+    fake timer GroupState with a random micro-batch split must emit
+    exactly the batch compile's accepted survivors — kills across the
+    boundary, open-interval same-timestamp survival, and all three
+    cursor rules incl. the anchored one; the negated type collides
+    with positive step types."""
+    import pandas as pd
+
+    from sparkflow.streaming.cep import CepPattern
+    from sparkflow.streaming.stateful import (
+        _cep_gap_skip_neg_fn,
+        _cep_skip_neg_fn,
+    )
+
+    a_t, b_t, x_t = types
+    gap_s = 12
+    rows, df = _cep_df(_get_spark(), streams)
+    if not rows:
+        return
+
+    pat = CepPattern.begin("a", etype=a_t).followed_by("b", etype=b_t)
+    if gapped:
+        pat = pat.within(gap_s, "previous_and_current")
+    pat = pat.not_followed_by("x", etype=x_t, within=neg_s)
+    if strategy == "skip_to_first":
+        pat = pat.after_match_skip(strategy, "b")
+        anchor_idx = 1
+    else:
+        pat = pat.after_match_skip(strategy)
+        anchor_idx = None
+    want = {
+        (r.user_id, r.match_id, int(r.start_sec))
+        for r in pat.compile(df).select(
+            "user_id", "match_id",
+            (F.unix_micros("start_ts") / 1_000_000).cast("int")
+            .alias("start_sec"),
+        ).collect()
+    }
+
+    if gapped:
+        fn = _cep_gap_skip_neg_fn(
+            pat._event_expansion(pat.steps), None, gap_s * 1_000_000,
+            strategy, anchor_idx, x_t, neg_s * 1_000_000,
+        )
+    else:
+        fn = _cep_skip_neg_fn(
+            pat._event_expansion(pat.steps), None, strategy,
+            anchor_idx, x_t, neg_s * 1_000_000,
+        )
+    got = set()
+    by_user: dict = {}
+    for uid, ev_id, typ, sec in rows:
+        by_user.setdefault(uid, []).append((ev_id, typ, sec))
+    for uid, seq in by_user.items():
+        state = _FakeTimerGroupState()
+        for batch in (seq[:cut], seq[cut:]):
+            if not batch:
+                continue
+            state.wm_ms = max(e[2] for e in batch) * 1000
+            pdf = pd.DataFrame({
+                "event_id": [e[0] for e in batch],
+                "event_type": [e[1] for e in batch],
+                "ts": pd.to_datetime([e[2] for e in batch], unit="s"),
+            })
+            for out in fn((uid,), iter([pdf]), state):
+                for r in out.itertuples():
+                    got.add((uid, r.match_id, r.start_us // 1_000_000))
+        state.hasTimedOut = True
+        state.wm_ms = 10 ** 9
+        for out in fn((uid,), iter([]), state):
+            for r in out.itertuples():
+                got.add((uid, r.match_id, r.start_us // 1_000_000))
+    assert got == want
