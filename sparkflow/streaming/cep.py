@@ -884,13 +884,77 @@ class CepPattern:
             # negated arrival in the open interval. The annotation
             # surfaces don't compose here (the batch next_<neg>_ts
             # audit column is unbounded-lookahead by definition).
-            if any(s.optional for s in self.steps) \
-                    or any(s.one_or_more or s.up_to is not None
-                           for s in self.steps):
-                raise ValueError(
-                    "the terminal-negation streaming twin covers the "
-                    "plain positive chain (optionals / counts compose "
-                    "in the batch compile only)"
+            has_opt = any(s.optional for s in self.steps)
+            has_cnt = any(s.one_or_more or s.up_to is not None
+                          for s in self.steps)
+            if has_opt or has_cnt:
+                # r14 continuation: annotation flags and repetition
+                # counts are CAUSAL (they evaluate at the match row),
+                # so they ride the watermark-held candidate
+                # (stateful._cep_compiled_neg_fn); only the 2^k
+                # strict-optional enumeration and the both-strict
+                # OR-split stay batch-only under terminal negation
+                if self.skip != "no_skip":
+                    raise ValueError(
+                        "after_match_skip does not compose with "
+                        "optional()/oneOrMore()/times(n, m) "
+                        "annotations (the batch compile refuses the "
+                        "same combination)"
+                    )
+                if self._needs_variant_enum():
+                    raise ValueError(
+                        "strict-contiguity optional regions + "
+                        "terminal negation do not stream yet (the "
+                        "2^k enum machine would need the watermark "
+                        "hold)"
+                    )
+                req = [s for s in self.steps if not s.optional]
+                for i, st_ in enumerate(req):
+                    if (st_.contiguity == "next" and st_.times == 1
+                            and (st_.one_or_more
+                                 or (st_.up_to is not None
+                                     and st_.up_to >= 2))
+                            and i + 1 < len(req)
+                            and req[i + 1].contiguity == "next"):
+                        raise ValueError(
+                            "the both-strict OR-split + terminal "
+                            "negation does not stream yet (the "
+                            "2-variant machine would need the "
+                            "watermark hold)"
+                        )
+                if self.steps and self.steps[-1].optional:
+                    raise ValueError(
+                        "the final step cannot be optional — it "
+                        "anchors the match row"
+                    )
+                if self.neg_etype is None:
+                    raise ValueError(
+                        "the terminal negation was built from a "
+                        "Column predicate — declare it with etype=... "
+                        "to compile for streaming"
+                    )
+                counted_steps = [s for s in self.steps
+                                 if s.one_or_more or s.up_to is not None]
+                for c in counted_steps:
+                    if c.etype is None:
+                        raise ValueError(
+                            f"counted step {c.name!r} was built from "
+                            "a Column predicate — declare it with "
+                            "etype=... to compile for streaming"
+                        )
+                main = self._event_expansion(req)
+                variants = [
+                    (f"with_{o.name}", self._event_expansion(
+                        [s for s in self.steps
+                         if not s.optional or s is o]))
+                    for o in (s for s in self.steps if s.optional)
+                ]
+                return stateful.cep_compiled_neg_stream(
+                    spark, files_dir, sf_dir, main, self.within_us,
+                    variants,
+                    [(c.name, c.etype, c.up_to)
+                     for c in counted_steps],
+                    self.neg_etype, self.neg_within_us,
                 )
             if self.skip != "no_skip":
                 # r14 continuation: skip × terminal negation streams —

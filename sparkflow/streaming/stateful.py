@@ -1013,6 +1013,228 @@ def _cep_skip_fn(steps, within_us, strategy="skip_past_last_event",
     return fn
 
 
+def _cep_compiled_neg_fn(chains, within_us, counted, neg_et,
+                         neg_within_us):
+    """r14 continuation: optional-step annotations and oneOrMore/
+    times(n, m) counts composed with TERMINAL negation — the causal
+    chain machinery of _cep_compiled_fn (gating chain paired with
+    count-at-start carries, one annotation chain per optional step)
+    feeding the watermark-delayed hold: flags and pools are causal
+    (they evaluate at the match row), so they simply RIDE the pending
+    candidate until the watermark passes match_ts + T; a negated
+    arrival in the open interval kills the candidate, annotations and
+    all."""
+    sizes = [len(steps) - 1 for _, steps in chains]
+    qtypes = [[st[2] for st in steps[1:]] for _, steps in chains]
+    counted = list(counted) if counted else []
+    cnt_names = [c[0] for c in counted]
+    cnt_ets = [c[1] for c in counted]
+    up_tos = [c[2] for c in counted]
+    K = len(counted)
+    flag_names = [name for name, _ in chains[1:]]
+    NF = len(flag_names)
+    NP = 3 + K + NF  # mid, mus, sus, pools..., flags...
+    n0 = sizes[0]
+
+    def fn(
+        key: Tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        base = 4 * sum(sizes) + 2 * K * n0
+        if state.exists:
+            vals = list(state.get)
+            flat = list(vals[0])
+            QCs = list(vals[1])
+            pos = vals[2]
+            pend = [list(vals[3 + j]) for j in range(NP)]
+        else:
+            flat = [-1] * base
+            QCs = [0] * K
+            pos = 0
+            pend = [[] for _ in range(NP)]
+        CL, off = [], 0
+        for n in sizes:
+            CL.append((
+                flat[off:off + n], flat[off + n:off + 2 * n],
+                flat[off + 2 * n:off + 3 * n],
+                flat[off + 3 * n:off + 4 * n],
+            ))
+            off += 4 * n
+        Ccs, Lcs = [], []
+        for _k in range(K):
+            Ccs.append(flat[off:off + n0])
+            Lcs.append(flat[off + n0:off + 2 * n0])
+            off += 2 * n0
+
+        def flush(wm_us):
+            out = {"match_id": [], "match_us": [], "start_us": [],
+                   **{f"n_{nm}": [] for nm in cnt_names},
+                   **{nm: [] for nm in flag_names}}
+            keep = [[] for _ in range(NP)]
+            for row in zip(*pend):
+                if row[1] + neg_within_us < wm_us:
+                    out["match_id"].append(row[0])
+                    out["match_us"].append(row[1])
+                    out["start_us"].append(row[2])
+                    for k, nm in enumerate(cnt_names):
+                        out[f"n_{nm}"].append(row[3 + k])
+                    for j, nm in enumerate(flag_names):
+                        out[nm].append(bool(row[3 + K + j]))
+                else:
+                    for j, v in enumerate(row):
+                        keep[j].append(v)
+            return out, keep
+
+        def save(keep):
+            new_flat = []
+            for C, L, BP, LQ in CL:
+                new_flat += C + L + BP + LQ
+            for k in range(K):
+                new_flat += Ccs[k] + Lcs[k]
+            state.update((new_flat, QCs, pos) + tuple(keep))
+            if keep[1]:
+                state.setTimeoutTimestamp(
+                    (min(keep[1]) + neg_within_us) // 1000 + 1
+                )
+
+        if state.hasTimedOut:
+            out, keep = flush(state.getCurrentWatermarkMs() * 1000)
+            save(keep)
+            if out["match_id"]:
+                yield pd.DataFrame(
+                    {"user_id": [key[0]] * len(out["match_id"]), **out}
+                )
+            return
+
+        chunks = [p for p in pdf_iter if len(p)]
+        if not chunks:
+            return
+        pdf = pd.concat(chunks).sort_values(["ts", "event_id"])
+        if _ts_us(pdf["ts"]).min() < 0:
+            raise ValueError(
+                "cep_compiled_stream requires event times >= 1970-01-01 "
+                "(the -1 no-hit state sentinel; the batch compile has "
+                "no such limit)"
+            )
+
+        def ok(v, t):
+            return v >= 0 and (within_us is None or t - v <= within_us)
+
+        for eid, etype, t in zip(
+            pdf["event_id"].to_numpy(),
+            pdf["event_type"].to_numpy(),
+            _ts_us(pdf["ts"]).to_numpy(),
+        ):
+            t = int(t)
+            if counted:
+                C0, L0, BP0, LQ0 = CL[0]
+                hh, hcs = _cep_chain_hits_paired(
+                    chains[0][1], C0, L0, BP0, LQ0, Ccs, Lcs, QCs,
+                    cnt_ets, etype, t,
+                )
+                hits = [hh] + [
+                    _cep_chain_hits(steps, C, L, BP, LQ, etype, t)
+                    for (C, L, BP, LQ), (_, steps)
+                    in zip(CL[1:], chains[1:])
+                ]
+            else:
+                hcs = []
+                hits = [
+                    _cep_chain_hits(steps, C, L, BP, LQ, etype, t)
+                    for (C, L, BP, LQ), (_, steps) in zip(CL, chains)
+                ]
+            if etype == neg_et:
+                kept = [row for row in zip(*pend)
+                        if not (row[1] < t <= row[1] + neg_within_us)]
+                pend = ([list(z) for z in zip(*kept)]
+                        or [[] for _ in range(NP)])
+            if ok(hits[0][-1], t):
+                vals_row = [int(eid), t, hits[0][-1]]
+                for k in range(K):
+                    pool = (QCs[k] + (1 if etype == cnt_ets[k] else 0)
+                            - hcs[k][-1])
+                    vals_row.append(
+                        pool if up_tos[k] is None
+                        else min(pool, up_tos[k])
+                    )
+                for h in hits[1:]:
+                    vals_row.append(int(ok(h[-1], t)))
+                for j, v in enumerate(vals_row):
+                    pend[j].append(v)
+            for ci, ((C, L, BP, LQ), hit, qt) in enumerate(
+                zip(CL, hits, qtypes)
+            ):
+                paired = counted and ci == 0
+                for i in range(len(C)):
+                    if paired:
+                        htup = (hit[i],) + tuple(
+                            hcs[k][i] for k in range(K))
+                        ctup = (C[i],) + tuple(
+                            Ccs[k][i] for k in range(K))
+                        if htup > ctup:
+                            C[i] = hit[i]
+                            for k in range(K):
+                                Ccs[k][i] = hcs[k][i]
+                        for k in range(K):
+                            Lcs[k][i] = hcs[k][i]
+                    elif hit[i] > C[i]:
+                        C[i] = hit[i]
+                    if hit[i] >= 0:
+                        BP[i] = pos
+                    L[i] = hit[i]
+                    if qt[i] is not None and etype == qt[i]:
+                        LQ[i] = pos
+            for k in range(K):
+                if etype == cnt_ets[k]:
+                    QCs[k] += 1
+            pos += 1
+        out, keep = flush(state.getCurrentWatermarkMs() * 1000)
+        save(keep)
+        if out["match_id"]:
+            yield pd.DataFrame(
+                {"user_id": [key[0]] * len(out["match_id"]), **out}
+            )
+
+    return fn
+
+
+def cep_compiled_neg_stream(
+    spark: SparkSession, files_dir: str, sf_dir: str,
+    main: list, within_us, flag_variants, counted,
+    neg_et: str, neg_within_us: int,
+) -> DataFrame:
+    """True-streaming compile of annotation/count chains × terminal
+    negation (see _cep_compiled_neg_fn)."""
+    ev = _events_stream(spark, files_dir, sf_dir).withWatermark(
+        "ts", "0 seconds"
+    )
+    chains = [(None, main)] + [(nm, st) for nm, st in flag_variants]
+    counted = list(counted) if counted else []
+    if len(main) < 2:
+        raise ValueError("streaming compile needs >= 2 positive steps")
+    fields = (
+        ["flat ARRAY<BIGINT>", "qcs ARRAY<BIGINT>", "pos BIGINT",
+         "pend_mid ARRAY<BIGINT>", "pend_mus ARRAY<BIGINT>",
+         "pend_sus ARRAY<BIGINT>"]
+        + [f"pend_n{k} ARRAY<BIGINT>" for k in range(len(counted))]
+        + [f"pend_f{j} ARRAY<BIGINT>"
+           for j in range(len(flag_variants))]
+    )
+    out_fields = (
+        "user_id BIGINT, match_id BIGINT, match_us BIGINT, "
+        "start_us BIGINT"
+        + "".join(f", n_{c[0]} BIGINT" for c in counted)
+        + "".join(f", {nm} BOOLEAN" for nm, _ in flag_variants)
+    )
+    return ev.groupBy("user_id").applyInPandasWithState(
+        _cep_compiled_neg_fn(chains, within_us, counted, neg_et,
+                             neg_within_us),
+        outputStructType=out_fields,
+        stateStructType=", ".join(fields),
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 def _cep_skip_neg_fn(steps, within_us, strategy, anchor_idx,
                      neg_et, neg_within_us):
     """r14 continuation: after-match skip × TERMINAL negation — the

@@ -1725,3 +1725,60 @@ def test_gap_skip_neg_streaming_twin(spark, sf_small, tmp_path_factory):
         .astype("datetime64[us]").astype("int64"),
     )[["user_id", "match_id", "match_us", "start_us"]]
     pd.testing.assert_frame_equal(got, want_us, check_dtype=False)
+
+
+def test_annotation_neg_streaming_twin(spark, sf_small,
+                                       tmp_path_factory):
+    """Optional-step flags and oneOrMore counts × terminal negation
+    STREAM (r14): the causal annotation/count chains ride the
+    watermark hold — must equal the batch compile (flags, counts,
+    matches, starts) across real micro-batch boundaries."""
+    from sparkflow.streaming import stateful
+
+    stream_dir = stateful.split_events_to_files(
+        spark, sf_small, str(tmp_path_factory.mktemp("cep_annneg_stream")), 3
+    )
+    _append_flush_files(spark, stream_dir)
+    pat = (
+        CepPattern.begin("view", etype="view")
+        .followed_by("click", etype="click")
+        .one_or_more()
+        .followed_by("signup", etype="signup")
+        .optional()
+        .followed_by("purchase", etype="purchase")
+        .within("48 hours")
+        .not_followed_by("error", etype="error", within="60 hours")
+    )
+    sdf = pat.compile_stream(spark, stream_dir, sf_small)
+    stateful.run_to_memory(sdf, "t_cepannneg", "append")
+    got = (
+        spark.table("t_cepannneg").toPandas()
+        .sort_values("match_id").reset_index(drop=True)
+    )
+    want = (
+        pat.compile(table(spark, sf_small, "events")).toPandas()
+        .sort_values("match_id").reset_index(drop=True)
+    )
+    assert len(want) > 0
+    # the annotations are non-degenerate AND the negation bites
+    assert want["n_click"].nunique() >= 2
+    no_neg = (
+        CepPattern.begin("view", etype="view")
+        .followed_by("click", etype="click")
+        .one_or_more()
+        .followed_by("signup", etype="signup")
+        .optional()
+        .followed_by("purchase", etype="purchase")
+        .within("48 hours")
+    )
+    assert no_neg.compile(
+        table(spark, sf_small, "events")
+    ).count() > len(want)
+    want_us = want.assign(
+        match_us=pd.to_datetime(want["match_ts"])
+        .astype("datetime64[us]").astype("int64"),
+        start_us=pd.to_datetime(want["start_ts"])
+        .astype("datetime64[us]").astype("int64"),
+    )[["user_id", "match_id", "match_us", "start_us",
+       "n_click", "with_signup"]]
+    pd.testing.assert_frame_equal(got, want_us, check_dtype=False)

@@ -2289,3 +2289,88 @@ def test_cep_skip_neg_state_fuzz(streams, types, neg_s, strategy,
             for r in out.itertuples():
                 got.add((uid, r.match_id, r.start_us // 1_000_000))
     assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    streams=st.lists(
+        st.lists(_cep_event, min_size=0, max_size=12),
+        min_size=1, max_size=3,
+    ),
+    types=st.tuples(
+        st.sampled_from(["A", "B", "C"]),
+        st.sampled_from(["A", "B", "C"]),
+        st.sampled_from(["A", "B", "C"]),
+        st.sampled_from(["A", "B", "C"]),
+    ),
+    neg_s=st.integers(min_value=1, max_value=20),
+    within_s=st.integers(min_value=1, max_value=40),
+    cut=st.integers(min_value=1, max_value=10),
+)
+def test_cep_counted_neg_state_fuzz(streams, types, neg_s, within_s,
+                                    cut):
+    """oneOrMore counts × terminal negation STREAM (r14): the paired
+    count carries feed the watermark hold (pools ride the candidate),
+    driven through a fake timer GroupState with a random micro-batch
+    split — must emit exactly the batch compile's surviving rows WITH
+    their n_b pools; negated/positive type collisions included."""
+    import pandas as pd
+
+    from sparkflow.streaming.cep import CepPattern
+    from sparkflow.streaming.stateful import _cep_compiled_neg_fn
+
+    a_t, b_t, c_t, x_t = types
+    rows, df = _cep_df(_get_spark(), streams)
+    if not rows:
+        return
+
+    pat = (
+        CepPattern.begin("a", etype=a_t)
+        .followed_by("b", etype=b_t)
+        .one_or_more()
+        .followed_by("c", etype=c_t)
+        .within(within_s)
+        .not_followed_by("x", etype=x_t, within=neg_s)
+    )
+    want = {
+        (r.user_id, r.match_id, int(r.start_sec), r.n_b)
+        for r in pat.compile(df).select(
+            "user_id", "match_id", "n_b",
+            (F.unix_micros("start_ts") / 1_000_000).cast("int")
+            .alias("start_sec"),
+        ).collect()
+    }
+
+    required = [s for s in pat.steps if not s.optional]
+    fn = _cep_compiled_neg_fn(
+        [(None, pat._event_expansion(required))],
+        within_s * 1_000_000,
+        [("b", b_t, None)],
+        x_t, neg_s * 1_000_000,
+    )
+    got = set()
+    by_user: dict = {}
+    for uid, ev_id, typ, sec in rows:
+        by_user.setdefault(uid, []).append((ev_id, typ, sec))
+    for uid, seq in by_user.items():
+        state = _FakeTimerGroupState()
+        for batch in (seq[:cut], seq[cut:]):
+            if not batch:
+                continue
+            state.wm_ms = max(e[2] for e in batch) * 1000
+            pdf = pd.DataFrame({
+                "event_id": [e[0] for e in batch],
+                "event_type": [e[1] for e in batch],
+                "ts": pd.to_datetime([e[2] for e in batch], unit="s"),
+            })
+            for out in fn((uid,), iter([pdf]), state):
+                for r in out.itertuples():
+                    got.add((uid, r.match_id, r.start_us // 1_000_000,
+                             r.n_b))
+        state.hasTimedOut = True
+        state.wm_ms = 10 ** 9
+        for out in fn((uid,), iter([]), state):
+            for r in out.itertuples():
+                got.add((uid, r.match_id, r.start_us // 1_000_000,
+                         r.n_b))
+    assert got == want
