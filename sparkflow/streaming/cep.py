@@ -764,11 +764,17 @@ class CepPattern:
                     "within(..., 'previous_and_current') — the batch "
                     "compile refuses the same combination"
                 )
-            if any(s.neg_before is not None for s in self.steps):
+            if any(s.neg_before is not None for s in self.steps) \
+                    and (any(s.optional for s in self.steps)
+                         or self.skip != "no_skip"
+                         or self.neg is not None):
                 raise ValueError(
-                    "mid-pattern notFollowedBy does not compose with "
-                    "within(..., 'previous_and_current') yet — the "
-                    "batch compile refuses the same combination"
+                    "mid-pattern notFollowedBy under within(..., "
+                    "'previous_and_current') streams for the plain "
+                    "chain (count-gated buffers, r14); its "
+                    "combinations with optional steps, skip "
+                    "strategies, or a terminal negation do not "
+                    "stream yet"
                 )
             if self.skip != "no_skip":
                 # r14 continuation: skip+gap STREAMS — the buffered
@@ -1224,13 +1230,20 @@ class CepPattern:
                     "cannot, so the existence collapse is unsound — "
                     "use a fixed times(n)"
                 )
-            if any(s.neg_before is not None for s in self.steps):
-                raise ValueError(
-                    "mid-pattern notFollowedBy does not compose with "
-                    "within(..., 'previous_and_current') yet — the "
-                    "latest-prefix-row gate would need the same "
-                    "bounded-window machinery"
-                )
+            # r14: mid-pattern notFollowedBy COMPOSES with the gap
+            # bound — NOT via latest-prefix-row dominance (a bounded
+            # carry is not monotone over non-null rows, so that
+            # theorem dies), but by a COUNT-GATED bounded max:
+            # feasibility of a buffered prefix-complete row b ("no
+            # negated event in (b, current)") is exactly "b's
+            # inclusive negated-prefix-count equals the current row's
+            # strictly-before count", and that count is the MAXIMUM
+            # any window row can carry — so the lexicographic
+            # (q, carry) max over the gap window both DECIDES
+            # feasibility (max q attains the current count iff a
+            # feasible row exists) and picks the max carry among the
+            # feasible rows (the q-ties). See build_chain's gated gap
+            # branch; brute-force fuzz in tests/test_properties.py.
             # r14: after_match_skip COMPOSES with the gap bound — the
             # (h, sp[, ap]) position struct is orderable, so the same
             # bounded-window GREATEST that carries plain timestamps
@@ -1265,6 +1278,21 @@ class CepPattern:
         if skip_mode or any(s.neg_before is not None for s in self.steps):
             pos_col = "_cep_pos"
             cur = cur.withColumn(pos_col, F.row_number().over(w_order))
+        nq_cols: dict[str, str] = {}
+        if self.gap_us is not None:
+            # count-gated bounded negation (see above): one running
+            # strictly-before count of the negated predicate per gated
+            # step, shared by the gate and the buffered entries
+            for j, s in enumerate(self.steps):
+                if s.neg_before is not None:
+                    c = f"_cep_nq{j}"
+                    cur = cur.withColumn(
+                        c,
+                        F.count(
+                            F.when(s.neg_before[1], F.lit(1))
+                        ).over(w_prev),
+                    )
+                    nq_cols[s.name] = c
 
         def build_chain(cur, steps, prefix, with_counts, with_pos=False,
                         with_anchor=None):
@@ -1336,6 +1364,33 @@ class CepPattern:
             for i, (s, pred, trans, first, at_anchor) in enumerate(expanded):
                 if i == 0:
                     hit = F.when(pred, start_value(F.col(ts)))
+                elif first and s.neg_before is not None \
+                        and self.gap_us is not None:
+                    # count-gated BOUNDED transition (r14): entries
+                    # carry (q = inclusive negated-prefix-count at b,
+                    # v = b's carry); the lexicographic (q, v) max
+                    # over the gap window attains q == the current
+                    # strictly-before count iff some feasible b
+                    # exists, and then v is the max carry among the
+                    # feasible rows
+                    _qname, qpred, _qet = s.neg_before
+                    nq = F.col(nq_cols[s.name])
+                    entry = F.when(
+                        F.col(prev_col).isNotNull(),
+                        F.struct(
+                            (nq + F.when(qpred, F.lit(1))
+                             .otherwise(F.lit(0))).alias("q"),
+                            F.col(prev_col).alias("v"),
+                        ),
+                    )
+                    mx = F.greatest(
+                        F.max(entry).over(w_gap),
+                        F.max(entry).over(w_same),
+                    )
+                    carry = F.when(mx["q"] == nq, mx["v"])
+                    if at_anchor:
+                        carry = stamp_anchor(carry)
+                    hit = F.when(pred, carry)
                 elif first and s.neg_before is not None:
                     # gated relaxed transition: connect to the LATEST
                     # prefix-complete row b with no negated event in
@@ -2655,10 +2710,11 @@ def stream_cep_within_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     at level i-1 is already folded into h_{{i-1}}. No new exchange
     (the (key, µs) tie frame's clustering is satisfied by the key
     hash; plan-pinned). The theorems that ELIDE events don't survive
-    gap bounds, so oneOrMore/times(n, m) and mid-pattern negation
-    refuse, optional steps compile via the 2^k enum path, and (r14)
-    after-match skip composes — the position struct rides the bounded
-    GREATEST (stream_cep_skip_gap). r14:
+    gap bounds, so oneOrMore/times(n, m) refuse, optional steps
+    compile via the 2^k enum path, and (r14) mid-pattern negation and
+    after-match skip both compose — the count-gated bounded max
+    (stream_cep_midneg_gap) and the position struct riding the
+    bounded GREATEST (stream_cep_skip_gap). r14:
     the gap compositions STREAM too — optional-under-gap as 2^k
     gap-buffered variant machines (stateful._cep_gap_enum_fn),
     terminal-negation+gap as the watermark hold over the buffered
@@ -2786,6 +2842,92 @@ def stream_cep_skip_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .followed_by("purchase", etype="purchase")
         .within("12 hours", "previous_and_current")
         .after_match_skip("skip_past_last_event")
+    )
+    return pat.compile(
+        table(spark, sf_dir, "events"),
+        key="user_id",
+        ts="ts",
+        tiebreak="event_id",
+    )
+
+
+@register(
+    "stream_cep_midneg_gap",
+    oracle=f"""
+    WITH s0 AS (
+      SELECT user_id, event_id, event_type, ts,
+             COUNT(CASE WHEN event_type = 'error' THEN 1 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS nq,
+             CASE WHEN event_type = 'signup' THEN ts END AS h0
+      FROM events
+    ), e0 AS (
+      SELECT *, CASE WHEN h0 IS NOT NULL THEN
+          {{'q': nq + (CASE WHEN event_type = 'error'
+                            THEN 1 ELSE 0 END),
+            'v': h0}} END AS ent0
+      FROM s0
+    ), g1 AS (
+      SELECT *,
+             MAX(ent0) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                             RANGE BETWEEN 43200000000 PRECEDING
+                             AND 1 PRECEDING) AS ra1,
+             MAX(ent0) OVER (PARTITION BY user_id, epoch_us(ts)
+                             ORDER BY event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING) AS rb1
+      FROM e0
+    ), c1 AS (
+      SELECT *, CASE WHEN ra1 IS NULL THEN rb1
+                     WHEN rb1 IS NULL THEN ra1
+                     WHEN ra1 >= rb1 THEN ra1 ELSE rb1 END AS m1
+      FROM g1
+    ), s1 AS (
+      SELECT *, CASE WHEN event_type = 'view' THEN
+                  CASE WHEN m1.q = nq THEN m1.v END
+                END AS h1
+      FROM c1
+    ), s2 AS (
+      SELECT *, CASE WHEN event_type = 'purchase'
+                     THEN {_CEP_GAP_CARRY.format(src='h1',
+                                                 gap=43200000000)}
+                END AS h2
+      FROM s1
+    )
+    SELECT user_id, event_id AS match_id, ts AS match_ts, h2 AS start_ts
+    FROM s2
+    WHERE h2 IS NOT NULL
+    """,
+)
+def stream_cep_midneg_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mid-pattern negation × the per-transition gap bound (r14 — was
+    a batch refusal): `begin(signup).notFollowedBy(error)
+    .followedBy(view).followedBy(purchase).within('12 hours',
+    'previous_and_current')` — signup, then a view within 12 hours
+    with NO error in between, then purchase within 12 hours of the
+    view (the clean prompt-onboarding funnel). The latest-prefix-row
+    dominance of the unbounded gate dies under gap bounds (a bounded
+    carry is not monotone over non-null rows), so the gate is a
+    COUNT-GATED bounded max instead: buffered entries carry
+    (q = inclusive negated-prefix-count, v = carry); feasibility of a
+    prefix row b ("no negated event in (b, current)") is exactly
+    q(b) == the current strictly-before count, which is the MAXIMUM
+    any entry can hold — so the lexicographic (q, v) window max both
+    decides feasibility and returns the max carry among feasible
+    rows. One extra running-count column and one struct field; same
+    single sort/exchange. The oracle unrolls the identical algebra
+    (struct windows + struct-CASE GREATEST + the q = nq gate);
+    brute-force fuzz incl. negated/positive type collisions in
+    tests/test_properties.py. STREAMS (the gap buffers gain per-entry
+    counts + per-level running counts — _gap_hits' count gate; twin
+    pytest + fake-GroupState fuzz)."""
+    pat = (
+        CepPattern.begin("signup", etype="signup")
+        .not_followed_by("error", etype="error")
+        .followed_by("view", etype="view")
+        .followed_by("purchase", etype="purchase")
+        .within("12 hours", "previous_and_current")
     )
     return pat.compile(
         table(spark, sf_dir, "events"),

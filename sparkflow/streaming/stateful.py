@@ -1722,16 +1722,32 @@ def _cep_terminal_neg_fn(steps, within_us, neg_et, neg_within_us):
     return fn
 
 
-def _gap_hits(steps, bts, bh, L, prev_ts, etype, t, gap_us):
+def _gap_hits(steps, bts, bh, L, prev_ts, etype, t, gap_us,
+              bq=None, qc=None):
     """One event's hit vector + buffer/lag maintenance for ONE
     gap-bounded carry chain — the shared inner step of _cep_gap_fn and
-    the r14 gap-composition twins (_cep_gap_neg_fn, _cep_gap_enum_fn).
-    Mutates bts/bh/L in place (element rebinding on the caller's
-    lists); the caller advances prev_ts once per event, AFTER every
-    chain sharing the stream has consumed it."""
+    the r14 gap-composition twins (_cep_gap_neg_fn, _cep_gap_enum_fn,
+    _cep_gap_skip*_fn). Mutates bts/bh/L in place (element rebinding
+    on the caller's lists); the caller advances prev_ts once per
+    event, AFTER every chain sharing the stream has consumed it.
+
+    bq/qc (r14, mid-pattern negation under the gap bound — the batch
+    count-gated bounded max): bq[i] carries each buffered entry's
+    INCLUSIVE negated-prefix-count for the gap entering step i+1,
+    qc[i] the key's current strictly-before count of that type; a
+    buffered row is feasible iff its count equals the current one
+    ("no negated event since b"). Callers whose steps carry negated
+    gaps MUST pass both; qc is maintained here (incremented after the
+    row is consumed, so reads see strictly-before counts)."""
     m = len(steps)
+    if bq is None and any(st[2] is not None for st in steps):
+        raise ValueError(
+            "gap chain has negated gaps but the caller passed no "
+            "count buffers — this state machine would ignore the "
+            "negation"
+        )
     hit = [-1] * m
-    for i, (et, trans, _neg) in enumerate(steps):
+    for i, (et, trans, neg_et) in enumerate(steps):
         if etype != et:
             continue
         if i == 0:
@@ -1739,9 +1755,16 @@ def _gap_hits(steps, bts, bh, L, prev_ts, etype, t, gap_us):
         elif trans == "followed_by":
             lo = t - gap_us
             best = -1
-            for rts, h in zip(bts[i - 1], bh[i - 1]):
-                if rts >= lo and h > best:
-                    best = h
+            if neg_et is None:
+                for rts, h in zip(bts[i - 1], bh[i - 1]):
+                    if rts >= lo and h > best:
+                        best = h
+            else:
+                cur_q = qc[i - 1]
+                for rts, h, q in zip(bts[i - 1], bh[i - 1],
+                                     bq[i - 1]):
+                    if rts >= lo and q == cur_q and h > best:
+                        best = h
             if best >= 0:
                 hit[i] = best
         else:
@@ -1753,13 +1776,25 @@ def _gap_hits(steps, bts, bh, L, prev_ts, etype, t, gap_us):
         if hit[i] >= 0:
             bts[i].append(t)
             bh[i].append(hit[i])
+            if bq is not None:
+                qt = steps[i + 1][2]
+                bq[i].append(
+                    -1 if qt is None
+                    else qc[i] + (1 if etype == qt else 0)
+                )
         # causal prune: a future event at t' >= t can only reach
         # buffered rows with row_ts >= t' - G >= t - G
         if bts[i] and bts[i][0] < lo:
             keep = [k for k, rts in enumerate(bts[i]) if rts >= lo]
             bts[i] = [bts[i][k] for k in keep]
             bh[i] = [bh[i][k] for k in keep]
+            if bq is not None:
+                bq[i] = [bq[i][k] for k in keep]
         L[i] = hit[i]
+        if bq is not None:
+            qt = steps[i + 1][2]
+            if qt is not None and etype == qt:
+                qc[i] += 1
     return hit
 
 
@@ -1771,7 +1806,8 @@ def _cep_gap_fn(steps, within_us, gap_us):
     state ∝ events in ONE gap window per key, the bound's inherent
     memory (Flink's NFA holds the same partial matches). Per row at
     time t, a relaxed bounded hop reads max{start : (row_ts, start) ∈
-    buffer_{i-1}, row_ts >= t − G} (rows processed earlier in
+    buffer_{i-1}, row_ts >= t − G} — for a NEGATED gap additionally
+    count-gated (r14, see _gap_hits) — (rows processed earlier in
     (ts, id) order — same-µs earlier-tiebreak rows are already
     buffered, matching the batch RANGE+tie-frame split); a strict hop
     reads the previous row's hit gated on its time gap. Buffers prune
@@ -1788,12 +1824,16 @@ def _cep_gap_fn(steps, within_us, gap_us):
             vals = list(state.get)
             bts = [list(vals[i]) for i in range(n)]
             bh = [list(vals[n + i]) for i in range(n)]
-            L = list(vals[2 * n])
-            prev_ts = vals[2 * n + 1]
+            bq = [list(vals[2 * n + i]) for i in range(n)]
+            L = list(vals[3 * n])
+            qc = list(vals[3 * n + 1])
+            prev_ts = vals[3 * n + 2]
         else:
             bts = [[] for _ in range(n)]
             bh = [[] for _ in range(n)]
+            bq = [[] for _ in range(n)]
             L = [-1] * n
+            qc = [0] * n
             prev_ts = -1
         chunks = [p for p in pdf_iter if len(p)]
         if not chunks:
@@ -1813,7 +1853,8 @@ def _cep_gap_fn(steps, within_us, gap_us):
             _ts_us(pdf["ts"]).to_numpy(),
         ):
             t = int(t)
-            hit = _gap_hits(steps, bts, bh, L, prev_ts, etype, t, gap_us)
+            hit = _gap_hits(steps, bts, bh, L, prev_ts, etype, t,
+                            gap_us, bq, qc)
             if hit[-1] >= 0 and (
                 within_us is None or t - hit[-1] <= within_us
             ):
@@ -1822,7 +1863,7 @@ def _cep_gap_fn(steps, within_us, gap_us):
                 out["start_us"].append(hit[-1])
             prev_ts = t
         state.update(
-            tuple(bts) + tuple(bh) + (L, prev_ts)
+            tuple(bts) + tuple(bh) + tuple(bq) + (L, qc, prev_ts)
         )
         if out["match_id"]:
             yield pd.DataFrame(
@@ -1844,7 +1885,8 @@ def cep_gap_bound_stream(
     fields = (
         [f"bts_{i} ARRAY<BIGINT>" for i in range(n)]
         + [f"bh_{i} ARRAY<BIGINT>" for i in range(n)]
-        + ["l ARRAY<BIGINT>", "prev_ts BIGINT"]
+        + [f"bq_{i} ARRAY<BIGINT>" for i in range(n)]
+        + ["l ARRAY<BIGINT>", "qc ARRAY<BIGINT>", "prev_ts BIGINT"]
     )
     return ev.groupBy("user_id").applyInPandasWithState(
         _cep_gap_fn(list(steps), within_us, gap_us),

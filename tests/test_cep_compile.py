@@ -1247,7 +1247,8 @@ def test_gap_bound_plan_single_exchange(spark, sf_small):
 def test_gap_bound_builder_rules(spark):
     """within(..., 'previous_and_current') refusals (r13/r14): the
     event-eliding theorems don't survive per-gap bounds — variable
-    quantifiers and mid-pattern negation refuse loudly; unknown
+    quantifiers refuse loudly (mid-pattern negation composes since
+    r14 via the count-gated bounded max); unknown
     WithinType refuses; both bounds may coexist; fixed times(n),
     optional (via enum), and (r14) after-match skip compile; every
     batch-compiling gap composition also streams."""
@@ -1263,10 +1264,24 @@ def test_gap_bound_builder_rules(spark):
         (CepPattern.begin("a", p).followed_by("b", p).one_or_more()
          .followed_by("c", p).within(10, "previous_and_current")
          .compile(None))
-    with pytest.raises(ValueError, match="previous_and_current"):
-        (CepPattern.begin("a", p).not_followed_by("q", p)
-         .followed_by("b", p).within(10, "previous_and_current")
-         .compile(None))
+    # r14: mid-pattern negation COMPOSES with the gap bound in batch
+    # (count-gated bounded max — see the midneg_gap fuzz); the gated
+    # hop is blocked by an in-gap negated event and reopened by a
+    # later clean prefix row
+    ngrows = [
+        (0, 0, "A", 0), (0, 1, "Q", 5), (0, 2, "B", 8),
+        (1, 3, "A", 0), (1, 4, "B", 8),
+        (2, 5, "A", 0), (2, 6, "Q", 5), (2, 7, "A", 6), (2, 8, "B", 8),
+    ]
+    ngdf = spark.createDataFrame(
+        ngrows, "user_id INT, event_id INT, event_type STRING, sec INT"
+    ).withColumn("ts", F.timestamp_seconds("sec"))
+    ng = (CepPattern.begin("a", etype="A")
+          .not_followed_by("q", etype="Q")
+          .followed_by("b", etype="B")
+          .within(10, "previous_and_current"))
+    assert {(r.user_id, r.match_id) for r in ng.compile(ngdf).collect()} \
+        == {(1, 4), (2, 8)}
     # r14: skip strategies COMPOSE with the gap bound in batch (the
     # position struct rides the bounded GREATEST) — greedy interval
     # scheduling over gap-bounded chains; semantics pinned by the
@@ -1302,11 +1317,16 @@ def test_gap_bound_builder_rules(spark):
          .followed_by("c", etype="C")
          .within(10, "previous_and_current")
          .compile_stream(None, "/nonexistent", "/nonexistent"))
-    with pytest.raises(ValueError, match="previous_and_current"):
+    # r14: the plain midneg+gap chain STREAMS (count-gated buffers —
+    # see test_midneg_gap_streaming_twin); only its combinations with
+    # skip / terminal negation / optionals still refuse
+    with pytest.raises(ValueError, match="do not\n"
+                       ".*stream yet|do not stream yet|combinations"):
         (CepPattern.begin("a", etype="A")
          .not_followed_by("q", etype="Q")
          .followed_by("b", etype="B")
          .within(10, "previous_and_current")
+         .after_match_skip("skip_past_last_event")
          .compile_stream(None, "/nonexistent", "/nonexistent"))
     # r14 continuation: skip+gap streams, and so does the
     # skip+negation+gap triple (cursor folds at flush time over the
@@ -1781,4 +1801,49 @@ def test_annotation_neg_streaming_twin(spark, sf_small,
         .astype("datetime64[us]").astype("int64"),
     )[["user_id", "match_id", "match_us", "start_us",
        "n_click", "with_signup"]]
+    pd.testing.assert_frame_equal(got, want_us, check_dtype=False)
+
+
+def test_midneg_gap_streaming_twin(spark, sf_small, tmp_path_factory):
+    """Mid-pattern negation × gap bound STREAMS (r14): the gap
+    machine's count-gated buffers must equal the batch count-gated
+    bounded max across real micro-batch boundaries, and the negation
+    must bite on the fixture."""
+    from sparkflow.streaming import stateful
+
+    stream_dir = stateful.split_events_to_files(
+        spark, sf_small, str(tmp_path_factory.mktemp("cep_mng_stream")), 3
+    )
+    pat = (
+        CepPattern.begin("signup", etype="signup")
+        .not_followed_by("error", etype="error")
+        .followed_by("view", etype="view")
+        .followed_by("purchase", etype="purchase")
+        .within("12 hours", "previous_and_current")
+    )
+    sdf = pat.compile_stream(spark, stream_dir, sf_small)
+    stateful.run_to_memory(sdf, "t_cepmng", "append")
+    got = (
+        spark.table("t_cepmng").toPandas()
+        .sort_values("match_id").reset_index(drop=True)
+    )
+    want = (
+        pat.compile(table(spark, sf_small, "events")).toPandas()
+        .sort_values("match_id").reset_index(drop=True)
+    )
+    assert len(want) > 0
+    no_neg = (
+        CepPattern.begin("signup", etype="signup")
+        .followed_by("view", etype="view")
+        .followed_by("purchase", etype="purchase")
+        .within("12 hours", "previous_and_current")
+    )
+    n_unneg = no_neg.compile(table(spark, sf_small, "events")).count()
+    assert n_unneg >= len(want)
+    want_us = want.assign(
+        match_us=pd.to_datetime(want["match_ts"])
+        .astype("datetime64[us]").astype("int64"),
+        start_us=pd.to_datetime(want["start_ts"])
+        .astype("datetime64[us]").astype("int64"),
+    )[["user_id", "match_id", "match_us", "start_us"]]
     pd.testing.assert_frame_equal(got, want_us, check_dtype=False)

@@ -2374,3 +2374,141 @@ def test_cep_counted_neg_state_fuzz(streams, types, neg_s, within_s,
                 got.add((uid, r.match_id, r.start_us // 1_000_000,
                          r.n_b))
     assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    streams=st.lists(
+        st.lists(_cep_event, min_size=0, max_size=12),
+        min_size=1, max_size=3,
+    ),
+    types=st.tuples(
+        st.sampled_from(["A", "B", "C"]),
+        st.sampled_from(["A", "B", "C"]),
+        st.sampled_from(["A", "B", "C"]),
+        st.sampled_from(["A", "B", "C"]),
+    ),
+    gap_s=st.integers(min_value=1, max_value=15),
+)
+def test_cep_midneg_gap_fuzz(streams, types, gap_s):
+    """Mid-pattern negation × per-gap bound (r14 — was a batch
+    refusal): the count-gated bounded max must equal brute force —
+    enumerate chains a < b < c with every hop's event-time difference
+    inside the gap AND no negated event strictly between a and b in
+    row order, greedy (max ts, max pos) start per match row. The
+    negated type deliberately collides with positive step types."""
+    import itertools
+
+    from sparkflow.streaming.cep import CepPattern
+
+    a_t, x_t, b_t, c_t = types
+    rows, df = _cep_df(_get_spark(), streams)
+    if not rows:
+        return
+
+    pat = (
+        CepPattern.begin("a", etype=a_t)
+        .not_followed_by("x", etype=x_t)
+        .followed_by("b", etype=b_t)
+        .followed_by("c", etype=c_t)
+        .within(gap_s, "previous_and_current")
+    )
+    got = {
+        (r.user_id, r.match_id, int(r.start_sec))
+        for r in pat.compile(df).select(
+            "user_id", "match_id",
+            (F.unix_micros("start_ts") / 1_000_000).cast("int")
+            .alias("start_sec"),
+        ).collect()
+    }
+
+    by_user: dict = {}
+    for uid, ev_id, typ, sec in rows:
+        by_user.setdefault(uid, []).append((typ, sec, ev_id))
+    want_map: dict = {}
+    for uid, seq in by_user.items():
+        n = len(seq)
+        for pa, pb, pc in itertools.combinations(range(n), 3):
+            if (seq[pa][0], seq[pb][0], seq[pc][0]) != (a_t, b_t, c_t):
+                continue
+            if seq[pb][1] - seq[pa][1] > gap_s or \
+                    seq[pc][1] - seq[pb][1] > gap_s:
+                continue
+            if any(seq[j][0] == x_t for j in range(pa + 1, pb)):
+                continue
+            k = (uid, seq[pc][2])
+            prev = want_map.get(k)
+            if prev is None or (seq[pa][1], pa) > prev:
+                want_map[k] = (seq[pa][1], pa)
+    want = {(uid, mid, sec) for (uid, mid), (sec, _pa)
+            in want_map.items()}
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    streams=st.lists(
+        st.lists(_cep_event, min_size=0, max_size=12),
+        min_size=1, max_size=3,
+    ),
+    types=st.tuples(
+        st.sampled_from(["A", "B", "C"]),
+        st.sampled_from(["A", "B", "C"]),
+        st.sampled_from(["A", "B", "C"]),
+    ),
+    gap_s=st.integers(min_value=1, max_value=15),
+    cut=st.integers(min_value=1, max_value=10),
+)
+def test_cep_midneg_gap_streaming_state_fuzz(streams, types, gap_s,
+                                             cut):
+    """Mid-pattern negation × gap bound STREAMS (r14): _cep_gap_fn
+    with count-gated buffers driven through a fake GroupState with a
+    random micro-batch split must emit exactly the batch count-gated
+    compile's rows — gate state (running counts + per-entry counts)
+    must survive the batch boundary; negated/positive type collisions
+    included."""
+    import pandas as pd
+
+    from sparkflow.streaming.cep import CepPattern
+    from sparkflow.streaming.stateful import _cep_gap_fn
+
+    a_t, x_t, b_t = types
+    rows, df = _cep_df(_get_spark(), streams)
+    if not rows:
+        return
+
+    pat = (
+        CepPattern.begin("a", etype=a_t)
+        .not_followed_by("x", etype=x_t)
+        .followed_by("b", etype=b_t)
+        .within(gap_s, "previous_and_current")
+    )
+    want = {
+        (r.user_id, r.match_id, int(r.start_sec))
+        for r in pat.compile(df).select(
+            "user_id", "match_id",
+            (F.unix_micros("start_ts") / 1_000_000).cast("int")
+            .alias("start_sec"),
+        ).collect()
+    }
+
+    fn = _cep_gap_fn(pat._event_expansion(pat.steps), None,
+                     gap_s * 1_000_000)
+    got = set()
+    by_user: dict = {}
+    for uid, ev_id, typ, sec in rows:
+        by_user.setdefault(uid, []).append((ev_id, typ, sec))
+    for uid, seq in by_user.items():
+        state = _FakeGroupState()
+        for batch in (seq[:cut], seq[cut:]):
+            if not batch:
+                continue
+            pdf = pd.DataFrame({
+                "event_id": [e[0] for e in batch],
+                "event_type": [e[1] for e in batch],
+                "ts": pd.to_datetime([e[2] for e in batch], unit="s"),
+            })
+            for out in fn((uid,), iter([pdf]), state):
+                for r in out.itertuples():
+                    got.add((uid, r.match_id, r.start_us // 1_000_000))
+    assert got == want
