@@ -105,43 +105,35 @@ registry.reorder(_ATTEST_FIRST)
 # broke the stale-before-fresh / round-ordering meta-tests for the
 # whole window until the next manual edit.
 _CONTRACT_CHANGED: dict = {
-    # r9: defaults repointed at posture twins (fn_json -> materialized
-    # read-through, join_multiway_star -> bucket-family plan)
-    "fn_json": 9,
-    "join_multiway_star": 9,
-    # r11: IVM read-through defaults (staged rollup partials when
-    # maintenance_rollup_{pricing,distinct} ran this session)
-    "agg_hash_group": 11,
-    "agg_distinct": 11,
-    # r12: durable content-addressed postures — the read-through
-    # consumers now resolve to published SERVING frames (one-stage
-    # constant-size scans) and the flagship gained the Q5
-    # join-aggregate IVM posture as its first probe
-    "join_multiway_star": 12,
-    # r13 evidence-refresh entries (nine r7-evidence keys) are SPENT —
-    # CORRECTNESS_r13 attested all nine — and deleted per the spent
-    # rule. r14 (r13 verdict item 5): EVIDENCE REFRESH for the r8
-    # cohort — these 18 keys' newest driver evidence dates to r8, the
-    # oldest left on the board (all 18 judge-verified EXACT in r13, so
-    # risk is low; this rotates the driver's own artifact evidence).
-    "agg_cms_heavy_hitters": 14,
-    "agg_kmv_distinct": 14,
-    "fn_regexp": 14,
-    "fn_split_explode": 14,
-    "fn_string": 14,
-    "graph_shortest_paths": 14,
-    "join_asof_nearest": 14,
-    "join_asof_tolerance": 14,
-    "join_interval_outer": 14,
-    "join_multiway_star_bucketed": 14,
-    "join_multiway_star_denorm": 14,
-    "llm_dedup_near_prefix": 14,
-    "llm_embedding_pca": 14,
-    "llm_knn_all_pairs_lsh": 14,
-    "llm_knn_ivf": 14,
-    "maintenance_incremental_rollup": 14,
-    "maintenance_json_materialize": 14,
-    "scan_binary_files": 14,
+    # All pre-r15 entries are SPENT (every listed key's newest
+    # CORRECTNESS_r*.json row is >= its listed round: the r14
+    # evidence-refresh cohort attested in r14, fn_json r14,
+    # join_multiway_star r12, agg_hash_group/agg_distinct r11) and
+    # deleted per the spent rule above.
+    #
+    # r14 PLAN REWRITES (r14 verdict item 1): both keys shipped new
+    # banded plans during r14 (stream_watermark_late last attested r12,
+    # events_rfm r13) but were absent from the r14 driver sample — a
+    # plan rewrite must always front the next sample so the driver's
+    # own artifact records the new plan's output, not just the judge's
+    # re-run. Listed at the round the plan changed (14): spent as soon
+    # as an artifact from r15+ attests them.
+    "stream_watermark_late": 14,
+    "events_rfm": 14,
+    # r15 (r14 verdict item 5): EVIDENCE REFRESH for the r9 cohort —
+    # these 10 keys' newest driver evidence dates to r9, the oldest
+    # left on the board (all judge-verified EXACT in r14, so risk is
+    # low; this rotates the driver's own artifact evidence).
+    "fn_array": 15,
+    "fn_bitwise": 15,
+    "fn_conditional": 15,
+    "fn_map": 15,
+    "llm_centroids": 15,
+    "llm_dedup_embedding": 15,
+    "llm_knn_cosine": 15,
+    "llm_vocab_growth": 15,
+    "llm_winnowing_fingerprint": 15,
+    "llm_winnowing_overlap": 15,
 }
 
 
