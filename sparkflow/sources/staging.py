@@ -251,6 +251,16 @@ def staging_vacuum(min_age_sec: float = 3600.0) -> dict:
                         ) == digest
                     except KeyError:
                         undigestable = True  # malformed manifest body
+                    except FileNotFoundError:
+                        # r14 advice: corpus_digest raises
+                        # FileNotFoundError deterministically when the
+                        # corpus dir exists but holds NO data files for
+                        # the manifest's tables (permanently deleted
+                        # tables, not a transient read failure) — and
+                        # when the dir itself is gone. Both addresses
+                        # are permanently unresolvable; keeping them as
+                        # 'unverifiable' every sweep is a disk leak.
+                        undigestable = True
                     except OSError:
                         # r13 advice: a transient I/O failure reading
                         # the SOURCE corpus must not class a live warm

@@ -1816,6 +1816,11 @@ def _cep_gap_fn(steps, within_us, gap_us):
     reach)."""
     m = len(steps)
     n = m - 1
+    # r14 advice: the bq/qc count buffers exist ONLY when some step
+    # carries a negated gap — plain gap patterns keep the r13 state
+    # schema (no widened stateStructType breaking existing checkpoints,
+    # no state columns the machine never reads).
+    has_neg = any(st[2] is not None for st in steps)
 
     def fn(
         key: Tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState
@@ -1824,16 +1829,21 @@ def _cep_gap_fn(steps, within_us, gap_us):
             vals = list(state.get)
             bts = [list(vals[i]) for i in range(n)]
             bh = [list(vals[n + i]) for i in range(n)]
-            bq = [list(vals[2 * n + i]) for i in range(n)]
-            L = list(vals[3 * n])
-            qc = list(vals[3 * n + 1])
-            prev_ts = vals[3 * n + 2]
+            if has_neg:
+                bq = [list(vals[2 * n + i]) for i in range(n)]
+                L = list(vals[3 * n])
+                qc = list(vals[3 * n + 1])
+                prev_ts = vals[3 * n + 2]
+            else:
+                bq, qc = None, None
+                L = list(vals[2 * n])
+                prev_ts = vals[2 * n + 1]
         else:
             bts = [[] for _ in range(n)]
             bh = [[] for _ in range(n)]
-            bq = [[] for _ in range(n)]
+            bq = [[] for _ in range(n)] if has_neg else None
             L = [-1] * n
-            qc = [0] * n
+            qc = [0] * n if has_neg else None
             prev_ts = -1
         chunks = [p for p in pdf_iter if len(p)]
         if not chunks:
@@ -1864,6 +1874,8 @@ def _cep_gap_fn(steps, within_us, gap_us):
             prev_ts = t
         state.update(
             tuple(bts) + tuple(bh) + tuple(bq) + (L, qc, prev_ts)
+            if has_neg
+            else tuple(bts) + tuple(bh) + (L, prev_ts)
         )
         if out["match_id"]:
             yield pd.DataFrame(
@@ -1871,6 +1883,25 @@ def _cep_gap_fn(steps, within_us, gap_us):
             )
 
     return fn
+
+
+def _gap_state_fields(steps) -> list:
+    """stateStructType fields for cep_gap_bound_stream. bq_*/qc count
+    buffers exist ONLY when some step carries a negated gap (r14
+    advice): plain gap patterns keep the r13 schema, so a pre-r14
+    streaming query restarted from an existing checkpoint sees an
+    unchanged stateStructType and pays no state columns it never
+    reads."""
+    n = len(steps) - 1
+    has_neg = any(st[2] is not None for st in steps)
+    return (
+        [f"bts_{i} ARRAY<BIGINT>" for i in range(n)]
+        + [f"bh_{i} ARRAY<BIGINT>" for i in range(n)]
+        + ([f"bq_{i} ARRAY<BIGINT>" for i in range(n)] if has_neg else [])
+        + ["l ARRAY<BIGINT>"]
+        + (["qc ARRAY<BIGINT>"] if has_neg else [])
+        + ["prev_ts BIGINT"]
+    )
 
 
 def cep_gap_bound_stream(
@@ -1881,13 +1912,7 @@ def cep_gap_bound_stream(
     _cep_gap_fn). State = per-level (ts, start) buffers bounded by one
     gap horizon of events plus the strict-hop lag values."""
     ev = _events_stream(spark, files_dir, sf_dir)
-    n = len(steps) - 1
-    fields = (
-        [f"bts_{i} ARRAY<BIGINT>" for i in range(n)]
-        + [f"bh_{i} ARRAY<BIGINT>" for i in range(n)]
-        + [f"bq_{i} ARRAY<BIGINT>" for i in range(n)]
-        + ["l ARRAY<BIGINT>", "qc ARRAY<BIGINT>", "prev_ts BIGINT"]
-    )
+    fields = _gap_state_fields(steps)
     return ev.groupBy("user_id").applyInPandasWithState(
         _cep_gap_fn(list(steps), within_us, gap_us),
         outputStructType=(

@@ -1847,3 +1847,29 @@ def test_midneg_gap_streaming_twin(spark, sf_small, tmp_path_factory):
         .astype("datetime64[us]").astype("int64"),
     )[["user_id", "match_id", "match_us", "start_us"]]
     pd.testing.assert_frame_equal(got, want_us, check_dtype=False)
+
+
+def test_gap_state_schema_widens_only_under_negation():
+    """r14 advice: cep_gap_bound_stream's keyed-state schema gained
+    bq_*/qc count buffers for mid-pattern negation — but a PLAIN gap
+    pattern must keep the r13 schema (a pre-r14 streaming query
+    restarted from an existing checkpoint would otherwise fail on the
+    widened stateStructType, and every gap query would pay state
+    columns it never reads). Pin both shapes."""
+    from sparkflow.streaming.stateful import _gap_state_fields
+
+    plain = [("A", None, None), ("B", "followed_by", None),
+             ("C", "followed_by", None)]
+    assert _gap_state_fields(plain) == [
+        "bts_0 ARRAY<BIGINT>", "bts_1 ARRAY<BIGINT>",
+        "bh_0 ARRAY<BIGINT>", "bh_1 ARRAY<BIGINT>",
+        "l ARRAY<BIGINT>", "prev_ts BIGINT",
+    ]
+    negated = [("A", None, None), ("B", "followed_by", "X"),
+               ("C", "followed_by", None)]
+    assert _gap_state_fields(negated) == [
+        "bts_0 ARRAY<BIGINT>", "bts_1 ARRAY<BIGINT>",
+        "bh_0 ARRAY<BIGINT>", "bh_1 ARRAY<BIGINT>",
+        "bq_0 ARRAY<BIGINT>", "bq_1 ARRAY<BIGINT>",
+        "l ARRAY<BIGINT>", "qc ARRAY<BIGINT>", "prev_ts BIGINT",
+    ]

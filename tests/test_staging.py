@@ -401,12 +401,16 @@ def test_maintenance_vacuum_sweeps_staging_root(spark, sf_small, tmp_path):
     shutil.rmtree(live_path, ignore_errors=True)
 
 
-def test_staging_vacuum_keeps_unverifiable_source(spark, sf_small, tmp_path):
-    """r13 advice: a source corpus that still EXISTS as a directory but
-    cannot be digested right now (unmounted volume, permission hiccup,
-    data files momentarily absent) must NOT class a live warm artifact
-    as garbage — it is kept and counted kept_unverifiable, any age.
-    Only a corpus whose directory is GONE is undigestable-sweepable."""
+def test_staging_vacuum_keeps_unverifiable_source(
+        spark, sf_small, tmp_path, monkeypatch):
+    """r13 + r14 advice, composed: a TRANSIENT I/O failure digesting a
+    still-present source corpus (unmounted volume, permission hiccup)
+    must NOT class a live warm artifact as garbage — kept_unverifiable,
+    any age, re-checked next sweep. But the DETERMINISTIC
+    FileNotFoundError corpus_digest raises when the corpus dir exists
+    with its table files permanently deleted ('no data files') is
+    permanently unresolvable — keeping those forever is a disk leak, so
+    they sweep as undigestable past the age window (r14 advice)."""
     corpus = tmp_path / "corpus_unv"
     corpus.mkdir()
     shutil.copy(
@@ -427,22 +431,65 @@ def test_staging_vacuum_keeps_unverifiable_source(spark, sf_small, tmp_path):
     live = staging.shared_path("testunv", sf, ["events"], "counts")
     assert staging.is_published(live)
 
-    # source dir present but its data files unreadable/absent: even a
-    # manifest far past the age window is NOT reclaimed
-    os.remove(corpus / "events.parquet")
+    # transient failure: source dir present, digest raises a
+    # non-FileNotFoundError OSError -> kept, any age
     mf = os.path.join(live, "_sparkflow_manifest.json")
     past = os.path.getmtime(mf) - 7200
     os.utime(mf, (past, past))
+    real_digest = staging.corpus_digest
+
+    def flaky_digest(sf_dir, tables):
+        if os.path.abspath(sf_dir) == os.path.abspath(sf):
+            raise OSError(5, "I/O error")
+        return real_digest(sf_dir, tables)
+
+    monkeypatch.setattr(staging, "corpus_digest", flaky_digest)
     s = staging.staging_vacuum(min_age_sec=3600)
     assert staging.is_published(live)
     assert s.get("kept_unverifiable", 0) == 1
+    monkeypatch.setattr(staging, "corpus_digest", real_digest)
 
-    # the source comes back with different content -> a SUCCESSFUL
-    # digest that differs -> ordinary stale sweep past the window
+    # permanent no-data-files: dir exists, table files deleted ->
+    # corpus_digest's deterministic FileNotFoundError -> undigestable,
+    # swept once past the age window (NOT kept forever)
+    os.remove(corpus / "events.parquet")
+    os.utime(mf, (past, past))
+    s = staging.staging_vacuum(min_age_sec=3600)
+    assert not os.path.exists(live)
+    assert s["removed_undigestable"] >= 1
+
+
+def test_staging_vacuum_stale_digest_sweeps(spark, sf_small, tmp_path):
+    """A source that digests SUCCESSFULLY to a different address is the
+    ordinary stale case: swept past the window (split out of the
+    unverifiable test when r14 advice tightened no-data-files)."""
+    corpus = tmp_path / "corpus_stale"
+    corpus.mkdir()
     shutil.copy(
         os.path.join(sf_small, "events.parquet"),
         corpus / "events.parquet",
     )
+    sf = str(corpus)
+
+    def build():
+        return (
+            spark.read.parquet(os.path.join(sf, "events.parquet"))
+            .groupBy("event_type").count()
+        )
+
+    staging.stage_parquet(
+        spark, "teststale", sf, ["events"], "counts", build, create=True
+    )
+    live = staging.shared_path("teststale", sf, ["events"], "counts")
+    assert staging.is_published(live)
+
+    # rewrite the source file -> mtime bump -> different digest
+    shutil.copy(
+        os.path.join(sf_small, "events.parquet"),
+        corpus / "events.parquet",
+    )
+    mf = os.path.join(live, "_sparkflow_manifest.json")
+    past = os.path.getmtime(mf) - 7200
     os.utime(mf, (past, past))
     s = staging.staging_vacuum(min_age_sec=3600)
     assert not os.path.exists(live)

@@ -156,16 +156,27 @@ def run(rungs: list[tuple[str, float]]) -> None:
             con.execute(sql).fetchdf()
             t_s, t_d = [], []
             n_s = n_d = 0
+            s_s = s_d = None
             for _ in range(_RUNS):  # interleaved: same-window A/B
                 t0 = time.perf_counter()
                 d = con.execute(sql).fetchdf()
                 n_d = int(d["n"][0]) if ck is not None else len(d)
+                if ck is not None:
+                    s_d = float(d["s"][0])
                 t_d.append(time.perf_counter() - t0)
                 t0 = time.perf_counter()
                 s = fn(spark, sf_dir).toPandas()  # fresh plan
                 n_s = int(s["n"][0]) if ck is not None else len(s)
+                if ck is not None:
+                    s_s = float(s["s"][0])
                 t_s.append(time.perf_counter() - t0)
             assert n_s == n_d, (name, n_s, n_d)
+            if ck is not None:
+                # r15 (r14 advice): the checksum is (count, sum) — also
+                # compare the SUM, with relative tolerance for float
+                # accumulation-order differences between engines
+                assert abs(s_s - s_d) <= 1e-9 * max(abs(s_s), abs(s_d), 1.0), \
+                    (name, s_s, s_d)
             ms, md = statistics.median(t_s), statistics.median(t_d)
             row[name] = {"spark_s": round(ms, 2), "duck_s": round(md, 2),
                          "ratio": round(ms / md, 2), "rows": n_s}
