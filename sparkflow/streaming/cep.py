@@ -764,18 +764,14 @@ class CepPattern:
                     "within(..., 'previous_and_current') — the batch "
                     "compile refuses the same combination"
                 )
-            if any(s.neg_before is not None for s in self.steps) \
-                    and (any(s.optional for s in self.steps)
-                         or self.skip != "no_skip"
-                         or self.neg is not None):
-                raise ValueError(
-                    "mid-pattern notFollowedBy under within(..., "
-                    "'previous_and_current') streams for the plain "
-                    "chain (count-gated buffers, r14); its "
-                    "combinations with optional steps, skip "
-                    "strategies, or a terminal negation do not "
-                    "stream yet"
-                )
+            # r15 (r14 verdict items 3/4): mid-pattern negation under
+            # the gap bound composes with EVERYTHING ELSE that gap
+            # bounds admit — the count-gated buffers ride the plain
+            # chain (_gap_hits, r14), the position-struct skip chain
+            # (_gap_skip_hits), every 2^k enum variant, and the
+            # watermark hold (feasibility is causal at the match
+            # row) — so no midneg composition refusal remains here;
+            # the batch/stream support matrices are identical.
             if self.skip != "no_skip":
                 # r14 continuation: skip+gap STREAMS — the buffered
                 # carry generalizes to (h, sp[, ap]) position structs
@@ -908,26 +904,128 @@ class CepPattern:
                         "same combination)"
                     )
                 if self._needs_variant_enum():
-                    raise ValueError(
-                        "strict-contiguity optional regions + "
-                        "terminal negation do not stream yet (the "
-                        "2^k enum machine would need the watermark "
-                        "hold)"
+                    # r15 (r14 verdict item 3): strict-contiguity
+                    # optional regions × terminal negation stream —
+                    # the 2^k enum machine's OR-gated emission is
+                    # causal at the match row, so it feeds the same
+                    # watermark-delayed hold as every other
+                    # neg composite (stateful._cep_enum_neg_fn)
+                    if has_cnt:
+                        raise ValueError(
+                            "repetition counts do not compose with "
+                            "optional steps in a strict-contiguity "
+                            "region (the batch compile refuses the "
+                            "same combination)"
+                        )
+                    if self.steps and self.steps[-1].optional:
+                        raise ValueError(
+                            "the final step cannot be optional — it "
+                            "anchors the match row"
+                        )
+                    if self.neg_etype is None:
+                        raise ValueError(
+                            "the terminal negation was built from a "
+                            "Column predicate — declare it with "
+                            "etype=... to compile for streaming"
+                        )
+                    opts = [(i, s) for i, s in enumerate(self.steps)
+                            if s.optional]
+                    if len(opts) > 6:
+                        raise ValueError(
+                            f"{len(opts)} optional steps under strict "
+                            "contiguity would enumerate "
+                            f"{2 ** len(opts)} variant chains — cap "
+                            "is 6"
+                        )
+                    masks, variant_steps = [], []
+                    for mask in range(1 << len(opts)):
+                        inc = {i for j, (i, _s) in enumerate(opts)
+                               if mask >> j & 1}
+                        chain = [s for i, s in enumerate(self.steps)
+                                 if not s.optional or i in inc]
+                        variant_steps.append(
+                            self._event_expansion(chain))
+                        masks.append(frozenset(
+                            f"with_{s.name}" for i, s in opts
+                            if i in inc
+                        ))
+                    flag_names = [f"with_{s.name}" for _i, s in opts]
+                    return stateful.cep_enum_neg_stream(
+                        spark, files_dir, sf_dir, variant_steps,
+                        self.within_us, masks, flag_names,
+                        self.neg_etype, self.neg_within_us,
                     )
                 req = [s for s in self.steps if not s.optional]
-                for i, st_ in enumerate(req):
+                split = [
+                    s for i, st_ in enumerate(req)
+                    for s in [st_]
                     if (st_.contiguity == "next" and st_.times == 1
-                            and (st_.one_or_more
-                                 or (st_.up_to is not None
-                                     and st_.up_to >= 2))
-                            and i + 1 < len(req)
-                            and req[i + 1].contiguity == "next"):
+                        and (st_.one_or_more
+                             or (st_.up_to is not None
+                                 and st_.up_to >= 2))
+                        and i + 1 < len(req)
+                        and req[i + 1].contiguity == "next")
+                ]
+                if split:
+                    # r15 (r14 verdict item 3): the both-strict
+                    # OR-split × terminal negation streams — the
+                    # 2^|split| variant machines' lexicographic
+                    # winner and pools are causal at the match row,
+                    # so they feed the watermark hold
+                    # (stateful._cep_or_split_neg_fn)
+                    if any(s.optional for s in self.steps):
                         raise ValueError(
-                            "the both-strict OR-split + terminal "
-                            "negation does not stream yet (the "
-                            "2-variant machine would need the "
-                            "watermark hold)"
+                            "optional() does not compose with a "
+                            "both-strict oneOrMore/times(1, m) step "
+                            "(the batch compile refuses the same "
+                            "combination)"
                         )
+                    if len(split) > 3:
+                        raise ValueError(
+                            f"{len(split)} both-strict "
+                            "oneOrMore/times(1, m) steps would "
+                            f"enumerate {2 ** len(split)} OR-variant "
+                            "chains — cap is 3"
+                        )
+                    if self.neg_etype is None:
+                        raise ValueError(
+                            "the terminal negation was built from a "
+                            "Column predicate — declare it with "
+                            "etype=... to compile for streaming"
+                        )
+                    counted_steps = [s for s in self.steps
+                                     if s.one_or_more
+                                     or s.up_to is not None]
+                    for c in counted_steps:
+                        if c.etype is None:
+                            raise ValueError(
+                                f"counted step {c.name!r} was built "
+                                "from a Column predicate — declare "
+                                "it with etype=... to compile for "
+                                "streaming"
+                            )
+                    variant_steps = []
+                    for mask in range(1 << len(split)):
+                        var = []
+                        for s in req:
+                            if s in split:
+                                j = split.index(s)
+                                var.append(
+                                    replace(s, times=2)
+                                    if mask >> j & 1
+                                    else replace(s, one_or_more=False,
+                                                 times=1, up_to=None)
+                                )
+                            else:
+                                var.append(s)
+                        variant_steps.append(self._event_expansion(var))
+                    return stateful.cep_or_split_neg_stream(
+                        spark, files_dir, sf_dir, variant_steps,
+                        self.within_us,
+                        [(c.name, c.etype, c.up_to)
+                         for c in counted_steps],
+                        self.neg_etype, self.neg_within_us,
+                    )
                 if self.steps and self.steps[-1].optional:
                     raise ValueError(
                         "the final step cannot be optional — it "

@@ -895,6 +895,379 @@ def cep_or_split_stream(
     )
 
 
+def _cep_or_split_neg_fn(chains: list, within_us, counted, neg_et,
+                         neg_within_us):
+    """r15 (r14 verdict item 3): the both-strict oneOrMore/times(1, m)
+    OR-split × TERMINAL negation — _cep_or_split_fn's paired variant
+    machines feeding the watermark-delayed candidate hold of
+    _cep_compiled_neg_fn. The OR-split winner (lexicographic
+    (start, c0..) max over satisfied variants) and its pools are
+    CAUSAL — they evaluate at the match row from the variants' carry
+    state — so a winning match simply becomes a PENDING candidate
+    (match_id, match_us, start_us, pools...), killed by a negated
+    arrival in the open interval (match_ts, match_ts + T], emitted
+    when the event-time watermark passes the deadline (data path or
+    timer). State = the OR-split machine's flat carry block as ONE
+    array field + the pending arrays (∝ matches in one T horizon)."""
+    sizes = [len(steps) - 1 for _, steps in chains]
+    qtypes = [[st[2] for st in steps[1:]] for _, steps in chains]
+    counted = list(counted) if counted else []
+    cnt_names = [c[0] for c in counted]
+    cnt_ets = [c[1] for c in counted]
+    up_tos = [c[2] for c in counted]
+    K = len(counted)
+    NP = 3 + K  # mid, mus, sus, pools...
+
+    def fn(
+        key: Tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        base = 4 * sum(sizes) + 2 * K * sum(sizes)
+        if state.exists:
+            vals = list(state.get)
+            flat = list(vals[0])
+            QCs = list(vals[1])
+            pos = vals[2]
+            pend = [list(vals[3 + j]) for j in range(NP)]
+        else:
+            flat = [-1] * base
+            QCs = [0] * K
+            pos = 0
+            pend = [[] for _ in range(NP)]
+        CL, CNT, off = [], [], 0
+        for n in sizes:
+            CL.append((
+                flat[off:off + n], flat[off + n:off + 2 * n],
+                flat[off + 2 * n:off + 3 * n],
+                flat[off + 3 * n:off + 4 * n],
+            ))
+            off += 4 * n
+        for n in sizes:
+            ccs = [flat[off + 2 * k * n:off + (2 * k + 1) * n]
+                   for k in range(K)]
+            lcs = [flat[off + (2 * k + 1) * n:off + (2 * k + 2) * n]
+                   for k in range(K)]
+            CNT.append((ccs, lcs))
+            off += 2 * K * n
+
+        def flush(wm_us):
+            out = {"match_id": [], "match_us": [], "start_us": [],
+                   **{f"n_{nm}": [] for nm in cnt_names}}
+            keep = [[] for _ in range(NP)]
+            for row in zip(*pend):
+                if row[1] + neg_within_us < wm_us:
+                    out["match_id"].append(row[0])
+                    out["match_us"].append(row[1])
+                    out["start_us"].append(row[2])
+                    for k, nm in enumerate(cnt_names):
+                        out[f"n_{nm}"].append(row[3 + k])
+                else:
+                    for j, v in enumerate(row):
+                        keep[j].append(v)
+            return out, keep
+
+        def save(keep):
+            new_flat = []
+            for C, L, BP, LQ in CL:
+                new_flat += C + L + BP + LQ
+            for ccs, lcs in CNT:
+                for k in range(K):
+                    new_flat += ccs[k] + lcs[k]
+            state.update((new_flat, QCs, pos) + tuple(keep))
+            if keep[1]:
+                state.setTimeoutTimestamp(
+                    (min(keep[1]) + neg_within_us) // 1000 + 1
+                )
+
+        if state.hasTimedOut:
+            out, keep = flush(state.getCurrentWatermarkMs() * 1000)
+            save(keep)
+            if out["match_id"]:
+                yield pd.DataFrame(
+                    {"user_id": [key[0]] * len(out["match_id"]), **out}
+                )
+            return
+
+        chunks = [p for p in pdf_iter if len(p)]
+        if not chunks:
+            return
+        pdf = pd.concat(chunks).sort_values(["ts", "event_id"])
+        if _ts_us(pdf["ts"]).min() < 0:
+            raise ValueError(
+                "cep_compiled_stream requires event times >= 1970-01-01 "
+                "(the -1 no-hit state sentinel; the batch compile has "
+                "no such limit)"
+            )
+
+        def ok(v, t):
+            return v >= 0 and (within_us is None or t - v <= within_us)
+
+        for eid, etype, t in zip(
+            pdf["event_id"].to_numpy(),
+            pdf["event_type"].to_numpy(),
+            _ts_us(pdf["ts"]).to_numpy(),
+        ):
+            t = int(t)
+            hits = []
+            for (C, L, BP, LQ), (ccs, lcs), (_, steps) in zip(
+                CL, CNT, chains
+            ):
+                hits.append(_cep_chain_hits_paired(
+                    steps, C, L, BP, LQ, ccs, lcs, QCs, cnt_ets,
+                    etype, t,
+                ))
+            if etype == neg_et:
+                kept = [row for row in zip(*pend)
+                        if not (row[1] < t <= row[1] + neg_within_us)]
+                pend = ([list(z) for z in zip(*kept)]
+                        or [[] for _ in range(NP)])
+            oks = [ok(hh[-1], t) for hh, _ in hits]
+            if any(oks):
+                win = max(
+                    (hh[-1],) + tuple(hcs[k][-1] for k in range(K))
+                    for (hh, hcs), okv in zip(hits, oks) if okv
+                )
+                row = [int(eid), t, win[0]]
+                for k in range(K):
+                    pool = (QCs[k] + (1 if etype == cnt_ets[k] else 0)
+                            - win[1 + k])
+                    row.append(
+                        pool if up_tos[k] is None
+                        else min(pool, up_tos[k])
+                    )
+                for j, v in enumerate(row):
+                    pend[j].append(v)
+            for (C, L, BP, LQ), (ccs, lcs), (hh, hcs), qt in zip(
+                CL, CNT, hits, qtypes
+            ):
+                for i in range(len(C)):
+                    htup = (hh[i],) + tuple(
+                        hcs[k][i] for k in range(K))
+                    ctup = (C[i],) + tuple(
+                        ccs[k][i] for k in range(K))
+                    if htup > ctup:
+                        C[i] = hh[i]
+                        for k in range(K):
+                            ccs[k][i] = hcs[k][i]
+                    for k in range(K):
+                        lcs[k][i] = hcs[k][i]
+                    if hh[i] >= 0:
+                        BP[i] = pos
+                    L[i] = hh[i]
+                    if qt[i] is not None and etype == qt[i]:
+                        LQ[i] = pos
+            for k in range(K):
+                if etype == cnt_ets[k]:
+                    QCs[k] += 1
+            pos += 1
+        out, keep = flush(state.getCurrentWatermarkMs() * 1000)
+        save(keep)
+        if out["match_id"]:
+            yield pd.DataFrame(
+                {"user_id": [key[0]] * len(out["match_id"]), **out}
+            )
+
+    return fn
+
+
+def cep_or_split_neg_stream(
+    spark: SparkSession, files_dir: str, sf_dir: str,
+    variant_steps: list, within_us, counted: list,
+    neg_et: str, neg_within_us: int,
+) -> DataFrame:
+    """True-streaming compile of the OR-of-chains split × terminal
+    negation (see _cep_or_split_neg_fn)."""
+    ev = _events_stream(spark, files_dir, sf_dir).withWatermark(
+        "ts", "0 seconds"
+    )
+    counted = list(counted) if counted else []
+    fields = (
+        ["flat ARRAY<BIGINT>", "qcs ARRAY<BIGINT>", "pos BIGINT",
+         "pend_mid ARRAY<BIGINT>", "pend_mus ARRAY<BIGINT>",
+         "pend_sus ARRAY<BIGINT>"]
+        + [f"pend_n{k} ARRAY<BIGINT>" for k in range(len(counted))]
+    )
+    out_fields = (
+        "user_id BIGINT, match_id BIGINT, match_us BIGINT, "
+        "start_us BIGINT"
+        + "".join(f", n_{c[0]} BIGINT" for c in counted)
+    )
+    return ev.groupBy("user_id").applyInPandasWithState(
+        _cep_or_split_neg_fn([(None, s) for s in variant_steps],
+                             within_us, counted, neg_et,
+                             neg_within_us),
+        outputStructType=out_fields,
+        stateStructType=", ".join(fields),
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def _cep_enum_neg_fn(chains: list, within_us, enum_masks, flag_names,
+                     neg_et, neg_within_us):
+    """r15 (r14 verdict item 3 continuation): strict-contiguity
+    optional regions × TERMINAL negation — the 2^k enum machine of
+    _cep_compiled_fn's enum mode feeding the watermark-delayed hold.
+    The OR-gated emission (any variant completes; start = greedy max
+    across satisfied variants; with_<o> = OR over satisfied variants
+    including o) is CAUSAL at the match row, so it becomes a pending
+    candidate carrying its flags, killed by a negated arrival in the
+    open interval (match_ts, match_ts + T], flushed when the
+    watermark passes the deadline."""
+    sizes = [len(steps) - 1 for _, steps in chains]
+    qtypes = [[st[2] for st in steps[1:]] for _, steps in chains]
+    nf = len(flag_names)
+    NP = 3 + nf
+
+    def fn(
+        key: Tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        base = 4 * sum(sizes)
+        if state.exists:
+            vals = list(state.get)
+            flat = list(vals[0])
+            pos = vals[1]
+            pend = [list(vals[2 + j]) for j in range(NP)]
+        else:
+            flat = [-1] * base
+            pos = 0
+            pend = [[] for _ in range(NP)]
+        CL, off = [], 0
+        for n in sizes:
+            CL.append((
+                flat[off:off + n], flat[off + n:off + 2 * n],
+                flat[off + 2 * n:off + 3 * n],
+                flat[off + 3 * n:off + 4 * n],
+            ))
+            off += 4 * n
+
+        def flush(wm_us):
+            out = {"match_id": [], "match_us": [], "start_us": [],
+                   **{f: [] for f in flag_names}}
+            keep = [[] for _ in range(NP)]
+            for row in zip(*pend):
+                if row[1] + neg_within_us < wm_us:
+                    out["match_id"].append(row[0])
+                    out["match_us"].append(row[1])
+                    out["start_us"].append(row[2])
+                    for j, f in enumerate(flag_names):
+                        out[f].append(bool(row[3 + j]))
+                else:
+                    for j, v in enumerate(row):
+                        keep[j].append(v)
+            return out, keep
+
+        def save(keep):
+            new_flat = []
+            for C, L, BP, LQ in CL:
+                new_flat += C + L + BP + LQ
+            state.update((new_flat, pos) + tuple(keep))
+            if keep[1]:
+                state.setTimeoutTimestamp(
+                    (min(keep[1]) + neg_within_us) // 1000 + 1
+                )
+
+        if state.hasTimedOut:
+            out, keep = flush(state.getCurrentWatermarkMs() * 1000)
+            save(keep)
+            if out["match_id"]:
+                yield pd.DataFrame(
+                    {"user_id": [key[0]] * len(out["match_id"]), **out}
+                )
+            return
+
+        chunks = [p for p in pdf_iter if len(p)]
+        if not chunks:
+            return
+        pdf = pd.concat(chunks).sort_values(["ts", "event_id"])
+        if _ts_us(pdf["ts"]).min() < 0:
+            raise ValueError(
+                "cep_compiled_stream requires event times >= 1970-01-01 "
+                "(the -1 no-hit state sentinel; the batch compile has "
+                "no such limit)"
+            )
+
+        def ok(v, t):
+            return v >= 0 and (within_us is None or t - v <= within_us)
+
+        for eid, etype, t in zip(
+            pdf["event_id"].to_numpy(),
+            pdf["event_type"].to_numpy(),
+            _ts_us(pdf["ts"]).to_numpy(),
+        ):
+            t = int(t)
+            hits = [
+                _cep_chain_hits(steps, C, L, BP, LQ, etype, t)
+                for (C, L, BP, LQ), (_, steps) in zip(CL, chains)
+            ]
+            if etype == neg_et:
+                kept = [row for row in zip(*pend)
+                        if not (row[1] < t <= row[1] + neg_within_us)]
+                pend = ([list(z) for z in zip(*kept)]
+                        or [[] for _ in range(NP)])
+            oks = [ok(h[-1], t) for h in hits]
+            if any(oks):
+                pend[0].append(int(eid))
+                pend[1].append(t)
+                pend[2].append(max(
+                    h[-1] for h, okv in zip(hits, oks) if okv
+                ))
+                for j, nm in enumerate(flag_names):
+                    pend[3 + j].append(int(any(
+                        okv for okv, mask in zip(oks, enum_masks)
+                        if nm in mask
+                    )))
+            for (C, L, BP, LQ), hit, qt in zip(CL, hits, qtypes):
+                for i in range(len(C)):
+                    if hit[i] > C[i]:
+                        C[i] = hit[i]
+                    if hit[i] >= 0:
+                        BP[i] = pos
+                    L[i] = hit[i]
+                    if qt[i] is not None and etype == qt[i]:
+                        LQ[i] = pos
+            pos += 1
+        out, keep = flush(state.getCurrentWatermarkMs() * 1000)
+        save(keep)
+        if out["match_id"]:
+            yield pd.DataFrame(
+                {"user_id": [key[0]] * len(out["match_id"]), **out}
+            )
+
+    return fn
+
+
+def cep_enum_neg_stream(
+    spark: SparkSession, files_dir: str, sf_dir: str,
+    variant_steps: list, within_us, enum_masks: list,
+    flag_names: list, neg_et: str, neg_within_us: int,
+) -> DataFrame:
+    """True-streaming compile of strict-contiguity optional regions ×
+    terminal negation (see _cep_enum_neg_fn)."""
+    ev = _events_stream(spark, files_dir, sf_dir).withWatermark(
+        "ts", "0 seconds"
+    )
+    fields = (
+        ["flat ARRAY<BIGINT>", "pos BIGINT",
+         "pend_mid ARRAY<BIGINT>", "pend_mus ARRAY<BIGINT>",
+         "pend_sus ARRAY<BIGINT>"]
+        + [f"pend_f{j} ARRAY<BIGINT>" for j in range(len(flag_names))]
+    )
+    out_fields = (
+        "user_id BIGINT, match_id BIGINT, match_us BIGINT, "
+        "start_us BIGINT"
+        + "".join(f", {f} BOOLEAN" for f in flag_names)
+    )
+    return ev.groupBy("user_id").applyInPandasWithState(
+        _cep_enum_neg_fn([(None, s) for s in variant_steps], within_us,
+                         enum_masks, flag_names, neg_et,
+                         neg_within_us),
+        outputStructType=out_fields,
+        stateStructType=", ".join(fields),
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 def _cep_skip_fn(steps, within_us, strategy="skip_past_last_event",
                  anchor_idx=None):
     """Keyed-state executor for a compiled pattern under an after-match
@@ -1413,11 +1786,15 @@ def _cep_gap_skip_neg_fn(steps, within_us, gap_us, strategy,
                          anchor_idx, neg_et, neg_within_us):
     """r14 continuation: the skip × gap-bound × terminal-negation
     TRIPLE — _cep_gap_skip_fn's position-struct buffers feeding the
-    same flush-time acceptance cursor as _cep_skip_neg_fn."""
-    m = len(steps)
-    n = m - 1
+    same flush-time acceptance cursor as _cep_skip_neg_fn. r15:
+    MID-PATTERN negated gaps compose (count-gated position-struct
+    buffers, see _gap_skip_hits) — the QUADRUPLE mid-negation + gap
+    + skip + terminal negation; bq/qc state exists only when some
+    step carries a negated gap."""
+    n = len(steps) - 1
     anchored = strategy in ("skip_to_first", "skip_to_last")
     past = strategy == "skip_past_last_event"
+    has_mneg = any(st[2] is not None for st in steps)
     NP = 6
 
     def fn(
@@ -1429,15 +1806,26 @@ def _cep_gap_skip_neg_fn(steps, within_us, gap_us, strategy,
             bh = [list(vals[n + i]) for i in range(n)]
             bsp = [list(vals[2 * n + i]) for i in range(n)]
             bap = [list(vals[3 * n + i]) for i in range(n)]
-            L = [list(vals[4 * n]), list(vals[4 * n + 1]),
-                 list(vals[4 * n + 2])]
-            prev_ts, pos, cursor = vals[4 * n + 3:4 * n + 6]
-            pend = [list(vals[4 * n + 6 + j]) for j in range(NP)]
+            if has_mneg:
+                bq = [list(vals[4 * n + i]) for i in range(n)]
+                L = [list(vals[5 * n]), list(vals[5 * n + 1]),
+                     list(vals[5 * n + 2])]
+                qc = list(vals[5 * n + 3])
+                prev_ts, pos, cursor = vals[5 * n + 4:5 * n + 7]
+                pend = [list(vals[5 * n + 7 + j]) for j in range(NP)]
+            else:
+                bq, qc = None, None
+                L = [list(vals[4 * n]), list(vals[4 * n + 1]),
+                     list(vals[4 * n + 2])]
+                prev_ts, pos, cursor = vals[4 * n + 3:4 * n + 6]
+                pend = [list(vals[4 * n + 6 + j]) for j in range(NP)]
         else:
             bts = [[] for _ in range(n)]
             bh = [[] for _ in range(n)]
             bsp = [[] for _ in range(n)]
             bap = [[] for _ in range(n)]
+            bq = [[] for _ in range(n)] if has_mneg else None
+            qc = [0] * n if has_mneg else None
             L = [[-1] * n, [-1] * n, [-1] * n]
             prev_ts, pos, cursor = -1, 0, -1
             pend = [[] for _ in range(NP)]
@@ -1463,7 +1851,10 @@ def _cep_gap_skip_neg_fn(steps, within_us, gap_us, strategy,
         def save(keep):
             state.update(
                 tuple(bts) + tuple(bh) + tuple(bsp) + tuple(bap)
-                + (L[0], L[1], L[2], prev_ts, pos, cursor)
+                + (tuple(bq) if has_mneg else ())
+                + (L[0], L[1], L[2])
+                + ((qc,) if has_mneg else ())
+                + (prev_ts, pos, cursor)
                 + tuple(keep)
             )
             if keep[1]:
@@ -1496,29 +1887,9 @@ def _cep_gap_skip_neg_fn(steps, within_us, gap_us, strategy,
             _ts_us(pdf["ts"]).to_numpy(),
         ):
             t = int(t)
-            hit = [(-1, -1, -1)] * m
-            for i, (et, trans, _neg) in enumerate(steps):
-                if etype != et:
-                    continue
-                if i == 0:
-                    hit[0] = (t, pos, -1)
-                elif trans == "followed_by":
-                    lo = t - gap_us
-                    best = (-1, -1, -1)
-                    for rts, h, sp, ap in zip(
-                        bts[i - 1], bh[i - 1], bsp[i - 1], bap[i - 1]
-                    ):
-                        if rts >= lo and (h, sp, ap) > best:
-                            best = (h, sp, ap)
-                    if best[0] >= 0:
-                        hit[i] = best
-                else:
-                    if (L[0][i - 1] >= 0 and prev_ts >= 0
-                            and t - prev_ts <= gap_us):
-                        hit[i] = (L[0][i - 1], L[1][i - 1],
-                                  L[2][i - 1])
-                if hit[i][0] >= 0 and anchored and i == anchor_idx:
-                    hit[i] = (hit[i][0], hit[i][1], pos)
+            hit = _gap_skip_hits(steps, bts, bh, bsp, bap, L, prev_ts,
+                                 etype, t, pos, gap_us, anchored,
+                                 anchor_idx, bq, qc)
             if etype == neg_et:
                 kept = [row for row in zip(*pend)
                         if not (row[1] < t <= row[1] + neg_within_us)]
@@ -1530,21 +1901,6 @@ def _cep_gap_skip_neg_fn(steps, within_us, gap_us, strategy,
                 h, sp, ap = hit[-1]
                 for j, v in enumerate((int(eid), t, h, sp, pos, ap)):
                     pend[j].append(v)
-            lo = t - gap_us
-            for i in range(n):
-                if hit[i][0] >= 0:
-                    bts[i].append(t)
-                    bh[i].append(hit[i][0])
-                    bsp[i].append(hit[i][1])
-                    bap[i].append(hit[i][2])
-                if bts[i] and bts[i][0] < lo:
-                    keep_i = [k for k, rts in enumerate(bts[i])
-                              if rts >= lo]
-                    bts[i] = [bts[i][k] for k in keep_i]
-                    bh[i] = [bh[i][k] for k in keep_i]
-                    bsp[i] = [bsp[i][k] for k in keep_i]
-                    bap[i] = [bap[i][k] for k in keep_i]
-                L[0][i], L[1][i], L[2][i] = hit[i]
             prev_ts = t
             pos += 1
         out, keep = flush(state.getCurrentWatermarkMs() * 1000)
@@ -1570,17 +1926,7 @@ def cep_gap_skip_neg_stream(
     n = len(steps) - 1
     if n < 1:
         raise ValueError("gap-skip-negation stream needs >= 2 steps")
-    fields = (
-        [f"bts_{i} ARRAY<BIGINT>" for i in range(n)]
-        + [f"bh_{i} ARRAY<BIGINT>" for i in range(n)]
-        + [f"bsp_{i} ARRAY<BIGINT>" for i in range(n)]
-        + [f"bap_{i} ARRAY<BIGINT>" for i in range(n)]
-        + ["lh ARRAY<BIGINT>", "lsp ARRAY<BIGINT>", "lap ARRAY<BIGINT>",
-           "prev_ts BIGINT", "pos BIGINT", "cursor BIGINT",
-           "pend_mid ARRAY<BIGINT>", "pend_mus ARRAY<BIGINT>",
-           "pend_sus ARRAY<BIGINT>", "pend_sp ARRAY<BIGINT>",
-           "pend_mp ARRAY<BIGINT>", "pend_ap ARRAY<BIGINT>"]
-    )
+    fields = _gap_skip_state_fields(steps, pend=True)
     return ev.groupBy("user_id").applyInPandasWithState(
         _cep_gap_skip_neg_fn(list(steps), within_us, gap_us, strategy,
                              anchor_idx, neg_et, neg_within_us),
@@ -1798,6 +2144,123 @@ def _gap_hits(steps, bts, bh, L, prev_ts, etype, t, gap_us,
     return hit
 
 
+def _gap_skip_hits(steps, bts, bh, bsp, bap, L, prev_ts, etype, t,
+                   pos, gap_us, anchored, anchor_idx,
+                   bq=None, qc=None):
+    """One event's position-struct hit vector + buffer/lag maintenance
+    for a gap-bounded SKIP chain — the shared inner step of
+    _cep_gap_skip_fn and _cep_gap_skip_neg_fn (r15 refactor; the two
+    previously duplicated this loop). Carried values are (h, sp, ap)
+    structs; the relaxed hop is the lexicographic max over
+    gap-feasible buffered predecessors (= the batch struct GREATEST),
+    the strict hop reads the previous row's struct gated on its time
+    gap, and the anchor hop stamps the current row position into ap.
+
+    bq/qc (r15, mid-pattern negation under gap + skip): buffered
+    entries additionally carry the inclusive negated-prefix-count q
+    for the gap they feed, and the bounded max runs over
+    (q, h, sp, ap) — feasibility of entry b ("no negated event in
+    (b, current)") is exactly q(b) == the current strictly-before
+    count, which is the maximum q any entry holds, so one
+    lexicographic max decides feasibility AND picks the greedy struct
+    among feasible rows (the batch (q, v) gate with v the position
+    struct). Callers whose steps carry negated gaps MUST pass both;
+    qc increments after the row is consumed (reads see
+    strictly-before counts), exactly _gap_hits' discipline."""
+    m = len(steps)
+    if bq is None and any(st[2] is not None for st in steps):
+        raise ValueError(
+            "gap chain has negated gaps but the caller passed no "
+            "count buffers — this state machine would ignore the "
+            "negation"
+        )
+    hit = [(-1, -1, -1)] * m
+    for i, (et, trans, neg_et) in enumerate(steps):
+        if etype != et:
+            continue
+        if i == 0:
+            hit[0] = (t, pos, -1)
+        elif trans == "followed_by":
+            lo = t - gap_us
+            if neg_et is None:
+                best = (-1, -1, -1)
+                for rts, h, sp, ap in zip(
+                    bts[i - 1], bh[i - 1], bsp[i - 1], bap[i - 1]
+                ):
+                    if rts >= lo and (h, sp, ap) > best:
+                        best = (h, sp, ap)
+                if best[0] >= 0:
+                    hit[i] = best
+            else:
+                cur_q = qc[i - 1]
+                best = (-1, -1, -1, -1)
+                for rts, h, sp, ap, q in zip(
+                    bts[i - 1], bh[i - 1], bsp[i - 1], bap[i - 1],
+                    bq[i - 1]
+                ):
+                    if rts >= lo and (q, h, sp, ap) > best:
+                        best = (q, h, sp, ap)
+                if best[0] == cur_q and best[1] >= 0:
+                    hit[i] = best[1:]
+        else:
+            if (L[0][i - 1] >= 0 and prev_ts >= 0
+                    and t - prev_ts <= gap_us):
+                hit[i] = (L[0][i - 1], L[1][i - 1], L[2][i - 1])
+        if hit[i][0] >= 0 and anchored and i == anchor_idx:
+            hit[i] = (hit[i][0], hit[i][1], pos)
+    lo = t - gap_us
+    for i in range(m - 1):
+        if hit[i][0] >= 0:
+            bts[i].append(t)
+            bh[i].append(hit[i][0])
+            bsp[i].append(hit[i][1])
+            bap[i].append(hit[i][2])
+            if bq is not None:
+                qt = steps[i + 1][2]
+                bq[i].append(
+                    -1 if qt is None
+                    else qc[i] + (1 if etype == qt else 0)
+                )
+        if bts[i] and bts[i][0] < lo:
+            keep = [k for k, rts in enumerate(bts[i]) if rts >= lo]
+            bts[i] = [bts[i][k] for k in keep]
+            bh[i] = [bh[i][k] for k in keep]
+            bsp[i] = [bsp[i][k] for k in keep]
+            bap[i] = [bap[i][k] for k in keep]
+            if bq is not None:
+                bq[i] = [bq[i][k] for k in keep]
+        L[0][i], L[1][i], L[2][i] = hit[i]
+        if bq is not None:
+            qt = steps[i + 1][2]
+            if qt is not None and etype == qt:
+                qc[i] += 1
+    return hit
+
+
+def _gap_skip_state_fields(steps, pend=False) -> list:
+    """stateStructType fields for the gap×skip machines — bq_*/qc
+    exist only when some step carries a negated gap (pre-r15
+    checkpoints of plain gap-skip queries restart cleanly)."""
+    n = len(steps) - 1
+    has_mneg = any(st[2] is not None for st in steps)
+    fields = (
+        [f"bts_{i} ARRAY<BIGINT>" for i in range(n)]
+        + [f"bh_{i} ARRAY<BIGINT>" for i in range(n)]
+        + [f"bsp_{i} ARRAY<BIGINT>" for i in range(n)]
+        + [f"bap_{i} ARRAY<BIGINT>" for i in range(n)]
+        + ([f"bq_{i} ARRAY<BIGINT>" for i in range(n)] if has_mneg
+           else [])
+        + ["lh ARRAY<BIGINT>", "lsp ARRAY<BIGINT>", "lap ARRAY<BIGINT>"]
+        + (["qc ARRAY<BIGINT>"] if has_mneg else [])
+        + ["prev_ts BIGINT", "pos BIGINT", "cursor BIGINT"]
+    )
+    if pend:
+        fields += ["pend_mid ARRAY<BIGINT>", "pend_mus ARRAY<BIGINT>",
+                   "pend_sus ARRAY<BIGINT>", "pend_sp ARRAY<BIGINT>",
+                   "pend_mp ARRAY<BIGINT>", "pend_ap ARRAY<BIGINT>"]
+    return fields
+
+
 def _cep_gap_fn(steps, within_us, gap_us):
     """Keyed-state executor for a pattern under a per-transition gap
     bound (within previous_and_current, r13): the O(1) running-max
@@ -1937,11 +2400,13 @@ def _cep_gap_skip_fn(steps, within_us, gap_us, strategy,
     anchored strategies accept iff start_pos >= cursor and advance to
     the anchor copy's stamped position. Matches arrive in row order
     within a key, so the fold is causal — one more long of keyed
-    state."""
-    m = len(steps)
-    n = m - 1
+    state. r15: MID-PATTERN negated gaps compose (count-gated
+    position-struct buffers, see _gap_skip_hits); bq/qc state exists
+    only when some step carries a negated gap."""
+    n = len(steps) - 1
     anchored = strategy in ("skip_to_first", "skip_to_last")
     past = strategy == "skip_past_last_event"
+    has_mneg = any(st[2] is not None for st in steps)
 
     def fn(
         key: Tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState
@@ -1952,14 +2417,24 @@ def _cep_gap_skip_fn(steps, within_us, gap_us, strategy,
             bh = [list(vals[n + i]) for i in range(n)]
             bsp = [list(vals[2 * n + i]) for i in range(n)]
             bap = [list(vals[3 * n + i]) for i in range(n)]
-            L = [list(vals[4 * n]), list(vals[4 * n + 1]),
-                 list(vals[4 * n + 2])]
-            prev_ts, pos, cursor = vals[4 * n + 3:4 * n + 6]
+            if has_mneg:
+                bq = [list(vals[4 * n + i]) for i in range(n)]
+                L = [list(vals[5 * n]), list(vals[5 * n + 1]),
+                     list(vals[5 * n + 2])]
+                qc = list(vals[5 * n + 3])
+                prev_ts, pos, cursor = vals[5 * n + 4:5 * n + 7]
+            else:
+                bq, qc = None, None
+                L = [list(vals[4 * n]), list(vals[4 * n + 1]),
+                     list(vals[4 * n + 2])]
+                prev_ts, pos, cursor = vals[4 * n + 3:4 * n + 6]
         else:
             bts = [[] for _ in range(n)]
             bh = [[] for _ in range(n)]
             bsp = [[] for _ in range(n)]
             bap = [[] for _ in range(n)]
+            bq = [[] for _ in range(n)] if has_mneg else None
+            qc = [0] * n if has_mneg else None
             L = [[-1] * n, [-1] * n, [-1] * n]
             prev_ts, pos, cursor = -1, 0, -1
         chunks = [p for p in pdf_iter if len(p)]
@@ -1979,29 +2454,9 @@ def _cep_gap_skip_fn(steps, within_us, gap_us, strategy,
             _ts_us(pdf["ts"]).to_numpy(),
         ):
             t = int(t)
-            hit = [(-1, -1, -1)] * m
-            for i, (et, trans, _neg) in enumerate(steps):
-                if etype != et:
-                    continue
-                if i == 0:
-                    hit[0] = (t, pos, -1)
-                elif trans == "followed_by":
-                    lo = t - gap_us
-                    best = (-1, -1, -1)
-                    for rts, h, sp, ap in zip(
-                        bts[i - 1], bh[i - 1], bsp[i - 1], bap[i - 1]
-                    ):
-                        if rts >= lo and (h, sp, ap) > best:
-                            best = (h, sp, ap)
-                    if best[0] >= 0:
-                        hit[i] = best
-                else:
-                    if (L[0][i - 1] >= 0 and prev_ts >= 0
-                            and t - prev_ts <= gap_us):
-                        hit[i] = (L[0][i - 1], L[1][i - 1],
-                                  L[2][i - 1])
-                if hit[i][0] >= 0 and anchored and i == anchor_idx:
-                    hit[i] = (hit[i][0], hit[i][1], pos)
+            hit = _gap_skip_hits(steps, bts, bh, bsp, bap, L, prev_ts,
+                                 etype, t, pos, gap_us, anchored,
+                                 anchor_idx, bq, qc)
             if hit[-1][0] >= 0 and (
                 within_us is None or t - hit[-1][0] <= within_us
             ):
@@ -2012,26 +2467,14 @@ def _cep_gap_skip_fn(steps, within_us, gap_us, strategy,
                     out["match_us"].append(t)
                     out["start_us"].append(h)
                     cursor = pos if past else (ap if anchored else sp)
-            lo = t - gap_us
-            for i in range(n):
-                if hit[i][0] >= 0:
-                    bts[i].append(t)
-                    bh[i].append(hit[i][0])
-                    bsp[i].append(hit[i][1])
-                    bap[i].append(hit[i][2])
-                if bts[i] and bts[i][0] < lo:
-                    keep = [k for k, rts in enumerate(bts[i])
-                            if rts >= lo]
-                    bts[i] = [bts[i][k] for k in keep]
-                    bh[i] = [bh[i][k] for k in keep]
-                    bsp[i] = [bsp[i][k] for k in keep]
-                    bap[i] = [bap[i][k] for k in keep]
-                L[0][i], L[1][i], L[2][i] = hit[i]
             prev_ts = t
             pos += 1
         state.update(
             tuple(bts) + tuple(bh) + tuple(bsp) + tuple(bap)
-            + (L[0], L[1], L[2], prev_ts, pos, cursor)
+            + (tuple(bq) if has_mneg else ())
+            + (L[0], L[1], L[2])
+            + ((qc,) if has_mneg else ())
+            + (prev_ts, pos, cursor)
         )
         if out["match_id"]:
             yield pd.DataFrame(
@@ -2049,15 +2492,7 @@ def cep_gap_skip_stream(
     """True-streaming compile of after-match skip over a gap-bounded
     chain (see _cep_gap_skip_fn)."""
     ev = _events_stream(spark, files_dir, sf_dir)
-    n = len(steps) - 1
-    fields = (
-        [f"bts_{i} ARRAY<BIGINT>" for i in range(n)]
-        + [f"bh_{i} ARRAY<BIGINT>" for i in range(n)]
-        + [f"bsp_{i} ARRAY<BIGINT>" for i in range(n)]
-        + [f"bap_{i} ARRAY<BIGINT>" for i in range(n)]
-        + ["lh ARRAY<BIGINT>", "lsp ARRAY<BIGINT>", "lap ARRAY<BIGINT>",
-           "prev_ts BIGINT", "pos BIGINT", "cursor BIGINT"]
-    )
+    fields = _gap_skip_state_fields(steps)
     return ev.groupBy("user_id").applyInPandasWithState(
         _cep_gap_skip_fn(list(steps), within_us, gap_us, strategy,
                          anchor_idx),
@@ -2081,8 +2516,13 @@ def _cep_gap_neg_fn(steps, within_us, gap_us, neg_et, neg_within_us):
     (match_ts, match_ts + T], emitted on the data path or an
     event-time timer. State = the gap buffers (∝ one gap horizon of
     events) + the pending arrays (∝ matches in one T horizon) — both
-    the bounds' inherent memory."""
+    the bounds' inherent memory. r15: MID-PATTERN negated gaps
+    compose (the count-gated buffers of _gap_hits ride the same
+    chain; feasibility is causal at the match row, so the hold is
+    untouched) — bq/qc fields exist only when some step carries a
+    negated gap, keeping the r14 schema otherwise."""
     n = len(steps) - 1
+    has_mneg = any(st[2] is not None for st in steps)
 
     def fn(
         key: Tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState
@@ -2091,14 +2531,23 @@ def _cep_gap_neg_fn(steps, within_us, gap_us, neg_et, neg_within_us):
             vals = list(state.get)
             bts = [list(vals[i]) for i in range(n)]
             bh = [list(vals[n + i]) for i in range(n)]
-            L = list(vals[2 * n])
-            prev_ts = vals[2 * n + 1]
-            pend = [list(vals[2 * n + 2]), list(vals[2 * n + 3]),
-                    list(vals[2 * n + 4])]
+            if has_mneg:
+                bq = [list(vals[2 * n + i]) for i in range(n)]
+                L = list(vals[3 * n])
+                qc = list(vals[3 * n + 1])
+                rest = vals[3 * n + 2:]
+            else:
+                bq, qc = None, None
+                L = list(vals[2 * n])
+                rest = vals[2 * n + 1:]
+            prev_ts = rest[0]
+            pend = [list(rest[1]), list(rest[2]), list(rest[3])]
         else:
             bts = [[] for _ in range(n)]
             bh = [[] for _ in range(n)]
+            bq = [[] for _ in range(n)] if has_mneg else None
             L = [-1] * n
+            qc = [0] * n if has_mneg else None
             prev_ts = -1
             pend = [[], [], []]
 
@@ -2119,7 +2568,8 @@ def _cep_gap_neg_fn(steps, within_us, gap_us, neg_et, neg_within_us):
         def save(keep):
             state.update(
                 tuple(bts) + tuple(bh)
-                + (L, prev_ts, keep[0], keep[1], keep[2])
+                + ((tuple(bq) + (L, qc)) if has_mneg else (L,))
+                + (prev_ts, keep[0], keep[1], keep[2])
             )
             if keep[1]:
                 state.setTimeoutTimestamp(
@@ -2151,7 +2601,8 @@ def _cep_gap_neg_fn(steps, within_us, gap_us, neg_et, neg_within_us):
             _ts_us(pdf["ts"]).to_numpy(),
         ):
             t = int(t)
-            hit = _gap_hits(steps, bts, bh, L, prev_ts, etype, t, gap_us)
+            hit = _gap_hits(steps, bts, bh, L, prev_ts, etype, t,
+                            gap_us, bq, qc)
             if etype == neg_et:
                 # open interval (match_ts, match_ts+T] — a pending
                 # match at the SAME timestamp survives, matching the
@@ -2193,10 +2644,15 @@ def cep_gap_negation_stream(
     n = len(steps) - 1
     if n < 1:
         raise ValueError("gap-negation stream needs >= 2 steps")
+    has_mneg = any(st[2] is not None for st in steps)
     fields = (
         [f"bts_{i} ARRAY<BIGINT>" for i in range(n)]
         + [f"bh_{i} ARRAY<BIGINT>" for i in range(n)]
-        + ["l ARRAY<BIGINT>", "prev_ts BIGINT",
+        + ([f"bq_{i} ARRAY<BIGINT>" for i in range(n)] if has_mneg
+           else [])
+        + ["l ARRAY<BIGINT>"]
+        + (["qc ARRAY<BIGINT>"] if has_mneg else [])
+        + ["prev_ts BIGINT",
            "pend_mid ARRAY<BIGINT>", "pend_mus ARRAY<BIGINT>",
            "pend_sus ARRAY<BIGINT>"]
     )
@@ -2225,9 +2681,15 @@ def _cep_gap_enum_fn(variant_steps, within_us, gap_us, incl_flags,
     completes within the window, start_us = the max satisfied start
     (batch F.greatest), with_<name> = any satisfied variant INCLUDES
     that optional step. 2^k is capped at 64 chains by the same k <= 6
-    builder cap the batch compile enforces."""
+    builder cap the batch compile enforces. r15: MID-PATTERN negated
+    gaps compose — the step carrying the negation is required
+    (optional() refuses to close a negated gap), so EVERY variant
+    carries the count-gated buffers of _gap_hits; bq/qc state exists
+    only when the pattern has a negated gap."""
     nvar = len(variant_steps)
     ns = [len(s) - 1 for s in variant_steps]
+    has_mneg = any(st[2] is not None
+                   for s in variant_steps for st in s)
 
     def fn(
         key: Tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState
@@ -2235,21 +2697,33 @@ def _cep_gap_enum_fn(variant_steps, within_us, gap_us, incl_flags,
         if state.exists:
             vals = list(state.get)
             idx = 0
-            bts, bh, L = [], [], []
+            bts, bh, bq, L, qc = [], [], [], [], []
             for v in range(nvar):
                 bts.append([list(vals[idx + i]) for i in range(ns[v])])
                 idx += ns[v]
             for v in range(nvar):
                 bh.append([list(vals[idx + i]) for i in range(ns[v])])
                 idx += ns[v]
+            if has_mneg:
+                for v in range(nvar):
+                    bq.append([list(vals[idx + i])
+                               for i in range(ns[v])])
+                    idx += ns[v]
             for v in range(nvar):
                 L.append(list(vals[idx]))
                 idx += 1
+            if has_mneg:
+                for v in range(nvar):
+                    qc.append(list(vals[idx]))
+                    idx += 1
             prev_ts = vals[idx]
         else:
             bts = [[[] for _ in range(ns[v])] for v in range(nvar)]
             bh = [[[] for _ in range(ns[v])] for v in range(nvar)]
+            bq = [[[] for _ in range(ns[v])] for v in range(nvar)] \
+                if has_mneg else []
             L = [[-1] * ns[v] for v in range(nvar)]
+            qc = [[0] * ns[v] for v in range(nvar)] if has_mneg else []
             prev_ts = -1
         chunks = [p for p in pdf_iter if len(p)]
         if not chunks:
@@ -2272,7 +2746,9 @@ def _cep_gap_enum_fn(variant_steps, within_us, gap_us, incl_flags,
             starts = []
             for v in range(nvar):
                 hit = _gap_hits(variant_steps[v], bts[v], bh[v], L[v],
-                                prev_ts, etype, t, gap_us)
+                                prev_ts, etype, t, gap_us,
+                                bq[v] if has_mneg else None,
+                                qc[v] if has_mneg else None)
                 ok = hit[-1] >= 0 and (
                     within_us is None or t - hit[-1] <= within_us
                 )
@@ -2294,7 +2770,12 @@ def _cep_gap_enum_fn(variant_steps, within_us, gap_us, incl_flags,
         for v in range(nvar):
             flat.extend(bh[v])
         for v in range(nvar):
+            flat.extend(bq[v] if has_mneg else [])
+        for v in range(nvar):
             flat.append(L[v])
+        for v in range(nvar):
+            if has_mneg:
+                flat.append(qc[v])
         flat.append(prev_ts)
         state.update(tuple(flat))
         if out["match_id"]:
@@ -2314,10 +2795,16 @@ def _cep_gap_enum_neg_fn(variant_steps, within_us, gap_us, incl_flags,
     enum match becomes a PENDING candidate (carrying its with_<name>
     flags), killed by a negated arrival in the open interval
     (match_ts, match_ts + T], emitted when the event-time watermark
-    passes the deadline (data path or timer)."""
+    passes the deadline (data path or timer). r15: MID-PATTERN
+    negated gaps compose here too (count-gated buffers per variant,
+    see _cep_gap_enum_fn) — the QUADRUPLE optional + mid-negation +
+    gap + terminal negation; bq/qc state exists only when the
+    pattern has a negated gap."""
     nvar = len(variant_steps)
     ns = [len(s) - 1 for s in variant_steps]
     nf = len(flag_names)
+    has_mneg = any(st[2] is not None
+                   for s in variant_steps for st in s)
 
     def fn(
         key: Tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState
@@ -2325,23 +2812,35 @@ def _cep_gap_enum_neg_fn(variant_steps, within_us, gap_us, incl_flags,
         if state.exists:
             vals = list(state.get)
             idx = 0
-            bts, bh, L = [], [], []
+            bts, bh, bq, L, qc = [], [], [], [], []
             for v in range(nvar):
                 bts.append([list(vals[idx + i]) for i in range(ns[v])])
                 idx += ns[v]
             for v in range(nvar):
                 bh.append([list(vals[idx + i]) for i in range(ns[v])])
                 idx += ns[v]
+            if has_mneg:
+                for v in range(nvar):
+                    bq.append([list(vals[idx + i])
+                               for i in range(ns[v])])
+                    idx += ns[v]
             for v in range(nvar):
                 L.append(list(vals[idx]))
                 idx += 1
+            if has_mneg:
+                for v in range(nvar):
+                    qc.append(list(vals[idx]))
+                    idx += 1
             prev_ts = vals[idx]
             idx += 1
             pend = [list(vals[idx + j]) for j in range(3 + nf)]
         else:
             bts = [[[] for _ in range(ns[v])] for v in range(nvar)]
             bh = [[[] for _ in range(ns[v])] for v in range(nvar)]
+            bq = [[[] for _ in range(ns[v])] for v in range(nvar)] \
+                if has_mneg else []
             L = [[-1] * ns[v] for v in range(nvar)]
+            qc = [[0] * ns[v] for v in range(nvar)] if has_mneg else []
             prev_ts = -1
             pend = [[] for _ in range(3 + nf)]
 
@@ -2367,8 +2866,14 @@ def _cep_gap_enum_neg_fn(variant_steps, within_us, gap_us, incl_flags,
                 flat.extend(bts[v])
             for v in range(nvar):
                 flat.extend(bh[v])
+            if has_mneg:
+                for v in range(nvar):
+                    flat.extend(bq[v])
             for v in range(nvar):
                 flat.append(L[v])
+            if has_mneg:
+                for v in range(nvar):
+                    flat.append(qc[v])
             flat.append(prev_ts)
             flat.extend(keep)
             state.update(tuple(flat))
@@ -2405,7 +2910,9 @@ def _cep_gap_enum_neg_fn(variant_steps, within_us, gap_us, incl_flags,
             starts = []
             for v in range(nvar):
                 hit = _gap_hits(variant_steps[v], bts[v], bh[v], L[v],
-                                prev_ts, etype, t, gap_us)
+                                prev_ts, etype, t, gap_us,
+                                bq[v] if has_mneg else None,
+                                qc[v] if has_mneg else None)
                 okv = hit[-1] >= 0 and (
                     within_us is None or t - hit[-1] <= within_us
                 )
@@ -2447,6 +2954,8 @@ def cep_gap_enum_neg_stream(
     ev = _events_stream(spark, files_dir, sf_dir).withWatermark(
         "ts", "0 seconds"
     )
+    has_mneg = any(st[2] is not None
+                   for s in variant_steps for st in s)
     fields = []
     for v, steps in enumerate(variant_steps):
         fields += [f"bts_{v}_{i} ARRAY<BIGINT>"
@@ -2454,7 +2963,14 @@ def cep_gap_enum_neg_stream(
     for v, steps in enumerate(variant_steps):
         fields += [f"bh_{v}_{i} ARRAY<BIGINT>"
                    for i in range(len(steps) - 1)]
+    if has_mneg:
+        for v, steps in enumerate(variant_steps):
+            fields += [f"bq_{v}_{i} ARRAY<BIGINT>"
+                       for i in range(len(steps) - 1)]
     fields += [f"l_{v} ARRAY<BIGINT>" for v in range(len(variant_steps))]
+    if has_mneg:
+        fields += [f"qc_{v} ARRAY<BIGINT>"
+                   for v in range(len(variant_steps))]
     fields.append("prev_ts BIGINT")
     fields += ["pend_mid ARRAY<BIGINT>", "pend_mus ARRAY<BIGINT>",
                "pend_sus ARRAY<BIGINT>"]
@@ -2484,6 +3000,8 @@ def cep_gap_enum_stream(
     _cep_gap_enum_fn): one gap-buffered chain per include/exclude
     variant in one keyed state tuple."""
     ev = _events_stream(spark, files_dir, sf_dir)
+    has_mneg = any(st[2] is not None
+                   for s in variant_steps for st in s)
     fields = []
     for v, steps in enumerate(variant_steps):
         fields += [f"bts_{v}_{i} ARRAY<BIGINT>"
@@ -2491,7 +3009,14 @@ def cep_gap_enum_stream(
     for v, steps in enumerate(variant_steps):
         fields += [f"bh_{v}_{i} ARRAY<BIGINT>"
                    for i in range(len(steps) - 1)]
+    if has_mneg:
+        for v, steps in enumerate(variant_steps):
+            fields += [f"bq_{v}_{i} ARRAY<BIGINT>"
+                       for i in range(len(steps) - 1)]
     fields += [f"l_{v} ARRAY<BIGINT>" for v in range(len(variant_steps))]
+    if has_mneg:
+        fields += [f"qc_{v} ARRAY<BIGINT>"
+                   for v in range(len(variant_steps))]
     fields.append("prev_ts BIGINT")
     out_fields = (
         "user_id BIGINT, match_id BIGINT, match_us BIGINT, "

@@ -1317,17 +1317,11 @@ def test_gap_bound_builder_rules(spark):
          .followed_by("c", etype="C")
          .within(10, "previous_and_current")
          .compile_stream(None, "/nonexistent", "/nonexistent"))
-    # r14: the plain midneg+gap chain STREAMS (count-gated buffers —
-    # see test_midneg_gap_streaming_twin); only its combinations with
-    # skip / terminal negation / optionals still refuse
-    with pytest.raises(ValueError, match="do not\n"
-                       ".*stream yet|do not stream yet|combinations"):
-        (CepPattern.begin("a", etype="A")
-         .not_followed_by("q", etype="Q")
-         .followed_by("b", etype="B")
-         .within(10, "previous_and_current")
-         .after_match_skip("skip_past_last_event")
-         .compile_stream(None, "/nonexistent", "/nonexistent"))
+    # r15: the midneg+gap composites (skip / terminal negation /
+    # optionals) STREAM too — count-gated buffers ride every gap
+    # machine (see their twin tests + fake-GroupState fuzz); no
+    # midneg streaming refusal remains, so the batch/stream support
+    # matrices are identical on the gap branch.
     # r14 continuation: skip+gap streams, and so does the
     # skip+negation+gap triple (cursor folds at flush time over the
     # watermark-held survivors) — see their twin tests; every

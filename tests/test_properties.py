@@ -2512,3 +2512,882 @@ def test_cep_midneg_gap_streaming_state_fuzz(streams, types, gap_s,
                 for r in out.itertuples():
                     got.add((uid, r.match_id, r.start_us // 1_000_000))
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# r15 (r14 verdict items 3/4): the remaining CEP composition lifts —
+# mid-negation×gap composed with skip / terminal negation / optionals,
+# the both-strict OR-split × terminal negation, and strict-contiguity
+# optional enum × terminal negation. Batch vs brute force first, then
+# the keyed state machines vs batch across micro-batch splits.
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    streams=st.lists(
+        st.lists(_cep_event, min_size=0, max_size=12),
+        min_size=1, max_size=3,
+    ),
+    types=st.tuples(
+        st.sampled_from(["A", "B", "C"]),
+        st.sampled_from(["A", "B", "C"]),
+        st.sampled_from(["A", "B", "C"]),
+        st.sampled_from(["A", "B", "C"]),
+    ),
+    gap_s=st.integers(min_value=1, max_value=15),
+    neg_s=st.integers(min_value=1, max_value=20),
+    with_neg=st.booleans(),
+)
+def test_cep_midneg_gap_skip_fuzz(streams, types, gap_s, neg_s,
+                                  with_neg):
+    """Mid-pattern negation × gap bound × after-match skip (r15 — was
+    a streaming-only refusal; the BATCH composition existed but was
+    never brute-forced): the count-gated bounded max carries the
+    (h, sp) position struct, so the greedy chain per match row is the
+    feasible (max sec, max pos) one, and the acceptance fold replays
+    over the (optionally terminal-negation-filtered) match frame.
+    with_neg=True stacks the QUADRUPLE midneg+gap+skip+terminal-neg:
+    the batch folds AFTER the negation filter, so the brute replay
+    kills candidates first, then runs the cursor."""
+    import itertools
+
+    from sparkflow.streaming.cep import CepPattern
+
+    a_t, x_t, b_t, c_t = types
+    rows, df = _cep_df(_get_spark(), streams)
+    if not rows:
+        return
+
+    pat = (
+        CepPattern.begin("a", etype=a_t)
+        .not_followed_by("x", etype=x_t)
+        .followed_by("b", etype=b_t)
+        .followed_by("c", etype=c_t)
+        .within(gap_s, "previous_and_current")
+        .after_match_skip("skip_past_last_event")
+    )
+    if with_neg:
+        pat = pat.not_followed_by("y", etype="A", within=neg_s)
+    got = {
+        (r.user_id, r.match_id, int(r.start_sec))
+        for r in pat.compile(df).select(
+            "user_id", "match_id",
+            (F.unix_micros("start_ts") / 1_000_000).cast("int")
+            .alias("start_sec"),
+        ).collect()
+    }
+
+    by_user: dict = {}
+    for uid, ev_id, typ, sec in rows:
+        by_user.setdefault(uid, []).append((typ, sec, ev_id))
+    want = set()
+    for uid, seq in by_user.items():
+        n = len(seq)
+        greedy: dict = {}
+        for pa, pb, pc in itertools.combinations(range(n), 3):
+            if (seq[pa][0], seq[pb][0], seq[pc][0]) != (a_t, b_t, c_t):
+                continue
+            if seq[pb][1] - seq[pa][1] > gap_s or \
+                    seq[pc][1] - seq[pb][1] > gap_s:
+                continue
+            if any(seq[j][0] == x_t for j in range(pa + 1, pb)):
+                continue
+            prev = greedy.get(pc)
+            if prev is None or (seq[pa][1], pa) > prev[:2]:
+                greedy[pc] = (seq[pa][1], pa, seq[pc][2])
+        cursor = -1
+        for pc in sorted(greedy):
+            sec, pa, mid = greedy[pc]
+            if with_neg and any(
+                typ == "A" and seq[pc][1] < s <= seq[pc][1] + neg_s
+                for typ, s, _eid in seq
+            ):
+                continue
+            if pa > cursor:
+                want.add((uid, mid, sec))
+                cursor = pc
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    streams=st.lists(
+        st.lists(_cep_event, min_size=0, max_size=12),
+        min_size=1, max_size=3,
+    ),
+    types=st.tuples(
+        st.sampled_from(["A", "B", "C"]),
+        st.sampled_from(["A", "B", "C"]),
+        st.sampled_from(["A", "B", "C"]),
+        st.sampled_from(["A", "B", "C"]),
+    ),
+    gap_s=st.integers(min_value=1, max_value=15),
+    neg_s=st.integers(min_value=1, max_value=20),
+    strategy=st.sampled_from(
+        ["skip_past_last_event", "skip_to_next", "skip_to_first"]
+    ),
+    with_neg=st.booleans(),
+    cut=st.integers(min_value=1, max_value=10),
+)
+def test_cep_midneg_gap_skip_state_fuzz(streams, types, gap_s, neg_s,
+                                        strategy, with_neg, cut):
+    """midneg+gap+skip STREAMS (r15): _cep_gap_skip_fn /
+    _cep_gap_skip_neg_fn with count-gated position-struct buffers
+    driven through a fake (timer) GroupState with a random micro-batch
+    split must emit exactly the batch rows, for all three cursor rules
+    and with/without the terminal-negation hold."""
+    import pandas as pd
+
+    from sparkflow.streaming.cep import CepPattern
+    from sparkflow.streaming.stateful import (
+        _cep_gap_skip_fn, _cep_gap_skip_neg_fn,
+    )
+
+    a_t, x_t, b_t, c_t = types
+    rows, df = _cep_df(_get_spark(), streams)
+    if not rows:
+        return
+
+    pat = (
+        CepPattern.begin("a", etype=a_t)
+        .not_followed_by("x", etype=x_t)
+        .followed_by("b", etype=b_t)
+        .followed_by("c", etype=c_t)
+        .within(gap_s, "previous_and_current")
+    )
+    if strategy == "skip_to_first":
+        pat = pat.after_match_skip(strategy, "b")
+        anchor_idx = 1
+    else:
+        pat = pat.after_match_skip(strategy)
+        anchor_idx = None
+    if with_neg:
+        pat = pat.not_followed_by("y", etype="A", within=neg_s)
+    want = {
+        (r.user_id, r.match_id, int(r.start_sec))
+        for r in pat.compile(df).select(
+            "user_id", "match_id",
+            (F.unix_micros("start_ts") / 1_000_000).cast("int")
+            .alias("start_sec"),
+        ).collect()
+    }
+
+    steps = pat._event_expansion(pat.steps)
+    if with_neg:
+        fn = _cep_gap_skip_neg_fn(steps, None, gap_s * 1_000_000,
+                                  strategy, anchor_idx, "A",
+                                  neg_s * 1_000_000)
+    else:
+        fn = _cep_gap_skip_fn(steps, None, gap_s * 1_000_000,
+                              strategy, anchor_idx)
+    got = set()
+    by_user: dict = {}
+    for uid, ev_id, typ, sec in rows:
+        by_user.setdefault(uid, []).append((ev_id, typ, sec))
+    for uid, seq in by_user.items():
+        state = _FakeTimerGroupState()
+        for batch in (seq[:cut], seq[cut:]):
+            if not batch:
+                continue
+            state.wm_ms = max(e[2] for e in batch) * 1000
+            pdf = pd.DataFrame({
+                "event_id": [e[0] for e in batch],
+                "event_type": [e[1] for e in batch],
+                "ts": pd.to_datetime([e[2] for e in batch], unit="s"),
+            })
+            for out in fn((uid,), iter([pdf]), state):
+                for r in out.itertuples():
+                    got.add((uid, r.match_id, r.start_us // 1_000_000))
+        if with_neg:
+            state.hasTimedOut = True
+            state.wm_ms = 10 ** 9
+            for out in fn((uid,), iter([]), state):
+                for r in out.itertuples():
+                    got.add((uid, r.match_id, r.start_us // 1_000_000))
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    streams=st.lists(
+        st.lists(_cep_event, min_size=0, max_size=12),
+        min_size=1, max_size=3,
+    ),
+    types=st.tuples(
+        st.sampled_from(["A", "B", "C"]),
+        st.sampled_from(["A", "B", "C"]),
+        st.sampled_from(["A", "B", "C"]),
+        st.sampled_from(["A", "B", "C"]),
+    ),
+    gap_s=st.integers(min_value=1, max_value=15),
+    neg_s=st.integers(min_value=1, max_value=20),
+)
+def test_cep_midneg_gap_neg_fuzz(streams, types, gap_s, neg_s):
+    """Mid-pattern negation × gap bound × TERMINAL negation (r15):
+    count-gated bounded chains, then the terminal kill — no Y-event
+    with event time strictly inside (match_ts, match_ts + T]. The
+    negated types deliberately collide with the positive steps."""
+    import itertools
+
+    from sparkflow.streaming.cep import CepPattern
+
+    a_t, x_t, b_t, y_t = types
+    rows, df = _cep_df(_get_spark(), streams)
+    if not rows:
+        return
+
+    pat = (
+        CepPattern.begin("a", etype=a_t)
+        .not_followed_by("x", etype=x_t)
+        .followed_by("b", etype=b_t)
+        .within(gap_s, "previous_and_current")
+        .not_followed_by("y", etype=y_t, within=neg_s)
+    )
+    got = {
+        (r.user_id, r.match_id, int(r.start_sec))
+        for r in pat.compile(df).select(
+            "user_id", "match_id",
+            (F.unix_micros("start_ts") / 1_000_000).cast("int")
+            .alias("start_sec"),
+        ).collect()
+    }
+
+    by_user: dict = {}
+    for uid, ev_id, typ, sec in rows:
+        by_user.setdefault(uid, []).append((typ, sec, ev_id))
+    want_map: dict = {}
+    for uid, seq in by_user.items():
+        n = len(seq)
+        for pa, pb in itertools.combinations(range(n), 2):
+            if (seq[pa][0], seq[pb][0]) != (a_t, b_t):
+                continue
+            if seq[pb][1] - seq[pa][1] > gap_s:
+                continue
+            if any(seq[j][0] == x_t for j in range(pa + 1, pb)):
+                continue
+            if any(t == y_t and seq[pb][1] < s <= seq[pb][1] + neg_s
+                   for t, s, _e in seq):
+                continue
+            k = (uid, seq[pb][2])
+            prev = want_map.get(k)
+            if prev is None or (seq[pa][1], pa) > prev:
+                want_map[k] = (seq[pa][1], pa)
+    want = {(uid, mid, sec) for (uid, mid), (sec, _pa)
+            in want_map.items()}
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    streams=st.lists(
+        st.lists(_cep_event, min_size=0, max_size=10),
+        min_size=1, max_size=3,
+    ),
+    types=st.tuples(
+        st.sampled_from(["A", "B", "C"]),
+        st.sampled_from(["A", "B", "C"]),
+        st.sampled_from(["A", "B", "C"]),
+        st.sampled_from(["A", "B", "C"]),
+    ),
+    gap_s=st.integers(min_value=1, max_value=15),
+    neg_s=st.integers(min_value=1, max_value=20),
+    cut=st.integers(min_value=1, max_value=10),
+)
+def test_cep_midneg_gap_neg_state_fuzz(streams, types, gap_s, neg_s,
+                                       cut):
+    """midneg+gap+terminal-neg STREAMS (r15): _cep_gap_neg_fn with the
+    count-gated buffers (bq/qc) driven through a fake timer GroupState
+    with a random micro-batch split must emit exactly the batch match
+    set — count gates, kills, and open-interval same-timestamp
+    survival all across the batch boundary."""
+    import pandas as pd
+
+    from sparkflow.streaming.cep import CepPattern
+    from sparkflow.streaming.stateful import _cep_gap_neg_fn
+
+    a_t, x_t, b_t, y_t = types
+    rows, df = _cep_df(_get_spark(), streams)
+    if not rows:
+        return
+
+    pat = (
+        CepPattern.begin("a", etype=a_t)
+        .not_followed_by("x", etype=x_t)
+        .followed_by("b", etype=b_t)
+        .within(gap_s, "previous_and_current")
+        .not_followed_by("y", etype=y_t, within=neg_s)
+    )
+    want = {
+        (r.user_id, r.match_id, int(r.start_sec))
+        for r in pat.compile(df).select(
+            "user_id", "match_id",
+            (F.unix_micros("start_ts") / 1_000_000).cast("int")
+            .alias("start_sec"),
+        ).collect()
+    }
+
+    fn = _cep_gap_neg_fn(
+        pat._event_expansion(pat.steps), None, gap_s * 1_000_000,
+        y_t, neg_s * 1_000_000,
+    )
+    got = set()
+    by_user: dict = {}
+    for uid, ev_id, typ, sec in rows:
+        by_user.setdefault(uid, []).append((ev_id, typ, sec))
+    for uid, seq in by_user.items():
+        state = _FakeTimerGroupState()
+        for batch in (seq[:cut], seq[cut:]):
+            if not batch:
+                continue
+            state.wm_ms = max(e[2] for e in batch) * 1000
+            pdf = pd.DataFrame({
+                "event_id": [e[0] for e in batch],
+                "event_type": [e[1] for e in batch],
+                "ts": pd.to_datetime([e[2] for e in batch], unit="s"),
+            })
+            for out in fn((uid,), iter([pdf]), state):
+                for r in out.itertuples():
+                    got.add((uid, r.match_id, r.start_us // 1_000_000))
+        state.hasTimedOut = True
+        state.wm_ms = 10 ** 9
+        for out in fn((uid,), iter([]), state):
+            for r in out.itertuples():
+                got.add((uid, r.match_id, r.start_us // 1_000_000))
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    streams=st.lists(
+        st.lists(_cep_event, min_size=0, max_size=12),
+        min_size=1, max_size=3,
+    ),
+    types=st.tuples(
+        st.sampled_from(["A", "B", "C"]),
+        st.sampled_from(["A", "B", "C"]),
+        st.sampled_from(["A", "B", "C"]),
+        st.sampled_from(["A", "B", "C"]),
+    ),
+    gap_s=st.integers(min_value=1, max_value=15),
+    neg_s=st.integers(min_value=1, max_value=20),
+    with_neg=st.booleans(),
+)
+def test_cep_opt_midneg_gap_fuzz(streams, types, gap_s, neg_s,
+                                 with_neg):
+    """The optional × mid-negation × gap TRIPLE (r15, r14 verdict item
+    4 — constructed, not refused): `A .followedBy(B).optional()
+    .notFollowedBy(X) .followedBy(C) .within(gap, p_and_c)` — the 2^k
+    enumeration where EVERY variant is a count-gated gap chain (the
+    negation guards the gap between C's bound event and its
+    predecessor IN THAT VARIANT: B when included, A when skipped).
+    Brute force enumerates both variants directly; start = max sec
+    over satisfied chains, with_b = any including chain satisfied.
+    with_neg stacks the QUADRUPLE with a terminal negation kill."""
+    import itertools
+
+    from sparkflow.streaming.cep import CepPattern
+
+    a_t, b_t, x_t, c_t = types
+    rows, df = _cep_df(_get_spark(), streams)
+    if not rows:
+        return
+
+    pat = (
+        CepPattern.begin("a", etype=a_t)
+        .followed_by("b", etype=b_t).optional()
+        .not_followed_by("x", etype=x_t)
+        .followed_by("c", etype=c_t)
+        .within(gap_s, "previous_and_current")
+    )
+    if with_neg:
+        pat = pat.not_followed_by("y", etype="B", within=neg_s)
+    got = {
+        (r.user_id, r.match_id): (r.start_sec, bool(r.with_b))
+        for r in pat.compile(df).select(
+            "user_id", "match_id", "with_b",
+            (F.unix_micros("start_ts") / 1_000_000).cast("int")
+            .alias("start_sec"),
+        ).collect()
+    }
+
+    by_user: dict = {}
+    for uid, ev_id, typ, sec in rows:
+        by_user.setdefault(uid, []).append((typ, sec, ev_id))
+    want: dict = {}
+    for uid, seq in by_user.items():
+        n = len(seq)
+        if with_neg:
+            killed = {
+                pc for pc in range(n)
+                if any(t == "B" and seq[pc][1] < s <= seq[pc][1] + neg_s
+                       for t, s, _e in seq)
+            }
+        else:
+            killed = set()
+        # excluding variant: a -> c, negation guards (a, c)
+        for pa, pc in itertools.combinations(range(n), 2):
+            if (seq[pa][0], seq[pc][0]) != (a_t, c_t) or pc in killed:
+                continue
+            if seq[pc][1] - seq[pa][1] > gap_s:
+                continue
+            if any(seq[j][0] == x_t for j in range(pa + 1, pc)):
+                continue
+            k = (uid, seq[pc][2])
+            prev = want.get(k)
+            if prev is None:
+                want[k] = [seq[pa][1], False]
+            else:
+                want[k][0] = max(want[k][0], seq[pa][1])
+        # including variant: a -> b -> c, negation guards (b, c)
+        for pa, pb, pc in itertools.combinations(range(n), 3):
+            if (seq[pa][0], seq[pb][0], seq[pc][0]) != (a_t, b_t, c_t) \
+                    or pc in killed:
+                continue
+            if seq[pb][1] - seq[pa][1] > gap_s or \
+                    seq[pc][1] - seq[pb][1] > gap_s:
+                continue
+            if any(seq[j][0] == x_t for j in range(pb + 1, pc)):
+                continue
+            k = (uid, seq[pc][2])
+            prev = want.get(k)
+            if prev is None:
+                want[k] = [seq[pa][1], True]
+            else:
+                want[k][0] = max(want[k][0], seq[pa][1])
+                want[k][1] = True
+    expect = {k: (v[0], v[1]) for k, v in want.items()}
+    assert got == expect
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    streams=st.lists(
+        st.lists(_cep_event, min_size=0, max_size=10),
+        min_size=1, max_size=3,
+    ),
+    types=st.tuples(
+        st.sampled_from(["A", "B", "C"]),
+        st.sampled_from(["A", "B", "C"]),
+        st.sampled_from(["A", "B", "C"]),
+        st.sampled_from(["A", "B", "C"]),
+    ),
+    gap_s=st.integers(min_value=1, max_value=15),
+    neg_s=st.integers(min_value=1, max_value=20),
+    with_neg=st.booleans(),
+    cut=st.integers(min_value=1, max_value=10),
+)
+def test_cep_opt_midneg_gap_state_fuzz(streams, types, gap_s, neg_s,
+                                       with_neg, cut):
+    """The optional×midneg×gap triple (and its terminal-negation
+    quadruple) STREAMS (r15): _cep_gap_enum_fn / _cep_gap_enum_neg_fn
+    with per-variant count-gated buffers driven through a fake (timer)
+    GroupState with a random micro-batch split must emit exactly the
+    batch rows — matches, greedy max-start across variants, the
+    with_b flag, and (quadruple) the watermark kills."""
+    import pandas as pd
+
+    from sparkflow.streaming.cep import CepPattern
+    from sparkflow.streaming.stateful import (
+        _cep_gap_enum_fn, _cep_gap_enum_neg_fn,
+    )
+
+    a_t, b_t, x_t, c_t = types
+    rows, df = _cep_df(_get_spark(), streams)
+    if not rows:
+        return
+
+    pat = (
+        CepPattern.begin("a", etype=a_t)
+        .followed_by("b", etype=b_t).optional()
+        .not_followed_by("x", etype=x_t)
+        .followed_by("c", etype=c_t)
+        .within(gap_s, "previous_and_current")
+    )
+    if with_neg:
+        pat = pat.not_followed_by("y", etype="B", within=neg_s)
+    want = {
+        (r.user_id, r.match_id, int(r.start_sec), bool(r.with_b))
+        for r in pat.compile(df).select(
+            "user_id", "match_id", "with_b",
+            (F.unix_micros("start_ts") / 1_000_000).cast("int")
+            .alias("start_sec"),
+        ).collect()
+    }
+
+    # the same variant set compile_stream builds (exclude first)
+    chains = [
+        pat._event_expansion([s for s in pat.steps if not s.optional]),
+        pat._event_expansion(list(pat.steps)),
+    ]
+    incl = [frozenset(), frozenset({"with_b"})]
+    if with_neg:
+        fn = _cep_gap_enum_neg_fn(chains, None, gap_s * 1_000_000,
+                                  incl, ["with_b"], "B",
+                                  neg_s * 1_000_000)
+    else:
+        fn = _cep_gap_enum_fn(chains, None, gap_s * 1_000_000, incl,
+                              ["with_b"])
+    got = set()
+    by_user: dict = {}
+    for uid, ev_id, typ, sec in rows:
+        by_user.setdefault(uid, []).append((ev_id, typ, sec))
+    for uid, seq in by_user.items():
+        state = _FakeTimerGroupState()
+        for batch in (seq[:cut], seq[cut:]):
+            if not batch:
+                continue
+            state.wm_ms = max(e[2] for e in batch) * 1000
+            pdf = pd.DataFrame({
+                "event_id": [e[0] for e in batch],
+                "event_type": [e[1] for e in batch],
+                "ts": pd.to_datetime([e[2] for e in batch], unit="s"),
+            })
+            for out in fn((uid,), iter([pdf]), state):
+                for r in out.itertuples():
+                    got.add((uid, r.match_id, r.start_us // 1_000_000,
+                             bool(r.with_b)))
+        if with_neg:
+            state.hasTimedOut = True
+            state.wm_ms = 10 ** 9
+            for out in fn((uid,), iter([]), state):
+                for r in out.itertuples():
+                    got.add((uid, r.match_id,
+                             r.start_us // 1_000_000, bool(r.with_b)))
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    streams=st.lists(
+        st.lists(_cep_event, min_size=0, max_size=12),
+        min_size=1, max_size=3,
+    ),
+    types=st.tuples(
+        st.sampled_from(["A", "B", "C"]),
+        st.sampled_from(["A", "B", "C"]),
+        st.sampled_from(["A", "B", "C"]),
+        st.sampled_from(["A", "B", "C"]),
+    ),
+    cap=st.sampled_from([None, 2, 3]),
+    within_s=st.integers(min_value=1, max_value=40),
+    neg_s=st.integers(min_value=1, max_value=20),
+)
+def test_cep_or_split_neg_fuzz(streams, types, cap, within_s, neg_s):
+    """The both-strict OR-split × TERMINAL negation (r15, r14 verdict
+    item 3): A next B+ next C within(w) notFollowedBy(Y, within=T) —
+    the OR-of-two-chains match set, then the terminal kill. Brute
+    force from the both-strict characterization (event after A is a
+    B, event before C is a B) plus the open-interval kill; n_b from
+    the greedy surviving chain."""
+    from sparkflow.streaming.cep import CepPattern
+
+    a_t, b_t, c_t, y_t = types
+    rows, df = _cep_df(_get_spark(), streams)
+    if not rows:
+        return
+
+    pat = CepPattern.begin("a", etype=a_t).next("b", etype=b_t)
+    pat = pat.one_or_more() if cap is None else pat.times(1, cap)
+    pat = (pat.next("c", etype=c_t).within(within_s)
+           .not_followed_by("y", etype=y_t, within=neg_s))
+    got = {
+        (r.user_id, r.match_id): (r.start_sec, r.n_b)
+        for r in pat.compile(df).select(
+            "user_id", "match_id", "n_b",
+            (F.unix_micros("start_ts") / 1_000_000).cast("int")
+            .alias("start_sec"),
+        ).collect()
+    }
+
+    by_user: dict = {}
+    for uid, ev_id, typ, sec in rows:
+        by_user.setdefault(uid, []).append((typ, sec, ev_id))
+    want: dict = {}
+    for uid, seq in by_user.items():
+        n = len(seq)
+        for pc in range(2, n):
+            if seq[pc][0] != c_t or seq[pc - 1][0] != b_t:
+                continue
+            if any(t == y_t and seq[pc][1] < s <= seq[pc][1] + neg_s
+                   for t, s, _e in seq):
+                continue
+            for pa in range(pc - 1):
+                if seq[pa][0] != a_t or seq[pa + 1][0] != b_t:
+                    continue
+                if seq[pc][1] - seq[pa][1] > within_s:
+                    continue
+                k = (uid, seq[pc][2])
+                prev = want.get(k)
+                if prev is None or (seq[pa][1], pa) > prev[:2]:
+                    want[k] = (seq[pa][1], pa, pc)
+    expect = {}
+    for (uid, mid), (sec, pa, pc) in want.items():
+        seq = by_user[uid]
+        pool = sum(1 for j in range(pa + 1, pc + 1) if seq[j][0] == b_t)
+        expect[(uid, mid)] = (sec, pool if cap is None
+                              else min(pool, cap))
+    assert got == expect
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    streams=st.lists(
+        st.lists(_cep_event, min_size=0, max_size=10),
+        min_size=1, max_size=3,
+    ),
+    types=st.tuples(
+        st.sampled_from(["A", "B", "C"]),
+        st.sampled_from(["A", "B", "C"]),
+        st.sampled_from(["A", "B", "C"]),
+        st.sampled_from(["A", "B", "C"]),
+    ),
+    cap=st.sampled_from([None, 2, 3]),
+    within_s=st.integers(min_value=1, max_value=40),
+    neg_s=st.integers(min_value=1, max_value=20),
+    cut=st.integers(min_value=1, max_value=10),
+)
+def test_cep_or_split_neg_state_fuzz(streams, types, cap, within_s,
+                                     neg_s, cut):
+    """The OR-split × terminal negation STREAMS (r15):
+    _cep_or_split_neg_fn (paired variant machines + watermark hold)
+    driven through a fake timer GroupState with a random micro-batch
+    split must emit exactly the batch rows — lexicographic winner,
+    pools, kills across the boundary, and the timer-path flush."""
+    import pandas as pd
+
+    from dataclasses import replace as dc_replace
+
+    from sparkflow.streaming.cep import CepPattern
+    from sparkflow.streaming.stateful import _cep_or_split_neg_fn
+
+    a_t, b_t, c_t, y_t = types
+    rows, df = _cep_df(_get_spark(), streams)
+    if not rows:
+        return
+
+    pat = CepPattern.begin("a", etype=a_t).next("b", etype=b_t)
+    pat = pat.one_or_more() if cap is None else pat.times(1, cap)
+    pat = (pat.next("c", etype=c_t).within(within_s)
+           .not_followed_by("y", etype=y_t, within=neg_s))
+    want = {
+        (r.user_id, r.match_id, int(r.start_sec), r.n_b)
+        for r in pat.compile(df).select(
+            "user_id", "match_id", "n_b",
+            (F.unix_micros("start_ts") / 1_000_000).cast("int")
+            .alias("start_sec"),
+        ).collect()
+    }
+
+    sp = pat.steps[1]
+    lo = [pat.steps[0],
+          dc_replace(sp, one_or_more=False, times=1, up_to=None),
+          pat.steps[2]]
+    hi = [pat.steps[0], dc_replace(sp, times=2), pat.steps[2]]
+    fn = _cep_or_split_neg_fn(
+        [(None, pat._event_expansion(lo)),
+         (None, pat._event_expansion(hi))],
+        within_s * 1_000_000,
+        [("b", b_t, cap)],
+        y_t, neg_s * 1_000_000,
+    )
+    got = set()
+    by_user: dict = {}
+    for uid, ev_id, typ, sec in rows:
+        by_user.setdefault(uid, []).append((ev_id, typ, sec))
+    for uid, seq in by_user.items():
+        state = _FakeTimerGroupState()
+        for batch in (seq[:cut], seq[cut:]):
+            if not batch:
+                continue
+            state.wm_ms = max(e[2] for e in batch) * 1000
+            pdf = pd.DataFrame({
+                "event_id": [e[0] for e in batch],
+                "event_type": [e[1] for e in batch],
+                "ts": pd.to_datetime([e[2] for e in batch], unit="s"),
+            })
+            for out in fn((uid,), iter([pdf]), state):
+                for r in out.itertuples():
+                    got.add((uid, r.match_id, r.start_us // 1_000_000,
+                             r.n_b))
+        state.hasTimedOut = True
+        state.wm_ms = 10 ** 9
+        for out in fn((uid,), iter([]), state):
+            for r in out.itertuples():
+                got.add((uid, r.match_id, r.start_us // 1_000_000,
+                         r.n_b))
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    streams=st.lists(
+        st.lists(_cep_event, min_size=0, max_size=12),
+        min_size=1, max_size=3,
+    ),
+    types=st.tuples(
+        st.sampled_from(["A", "B", "C"]),
+        st.sampled_from(["A", "B", "C"]),
+        st.sampled_from(["A", "B", "C"]),
+        st.sampled_from(["A", "B", "C"]),
+    ),
+    within_s=st.integers(min_value=1, max_value=40),
+    neg_s=st.integers(min_value=1, max_value=20),
+)
+def test_cep_enum_neg_fuzz(streams, types, within_s, neg_s):
+    """Strict-contiguity optional region × TERMINAL negation (r15):
+    A .followedBy(B).optional() .next(C) within(w)
+    .notFollowedBy(Y, T) — the 2^k variant enumeration (C's LAG(1)
+    rebinds when B is skipped), then the open-interval kill. Brute
+    force enumerates both variants (include: c = b+1; exclude:
+    c = a+1), start = max sec across satisfied chains, with_b = any
+    including chain."""
+    import itertools
+
+    from sparkflow.streaming.cep import CepPattern
+
+    a_t, b_t, c_t, y_t = types
+    rows, df = _cep_df(_get_spark(), streams)
+    if not rows:
+        return
+
+    pat = (
+        CepPattern.begin("a", etype=a_t)
+        .followed_by("b", etype=b_t).optional()
+        .next("c", etype=c_t)
+        .within(within_s)
+        .not_followed_by("y", etype=y_t, within=neg_s)
+    )
+    got = {
+        (r.user_id, r.match_id): (r.start_sec, bool(r.with_b))
+        for r in pat.compile(df).select(
+            "user_id", "match_id", "with_b",
+            (F.unix_micros("start_ts") / 1_000_000).cast("int")
+            .alias("start_sec"),
+        ).collect()
+    }
+
+    by_user: dict = {}
+    for uid, ev_id, typ, sec in rows:
+        by_user.setdefault(uid, []).append((typ, sec, ev_id))
+    want: dict = {}
+    for uid, seq in by_user.items():
+        n = len(seq)
+        killed = {
+            pc for pc in range(n)
+            if any(t == y_t and seq[pc][1] < s <= seq[pc][1] + neg_s
+                   for t, s, _e in seq)
+        }
+        # excluding variant: c immediately after a
+        for pa in range(n - 1):
+            pc = pa + 1
+            if (seq[pa][0], seq[pc][0]) != (a_t, c_t) or pc in killed:
+                continue
+            if seq[pc][1] - seq[pa][1] > within_s:
+                continue
+            k = (uid, seq[pc][2])
+            if k not in want:
+                want[k] = [seq[pa][1], False]
+            else:
+                want[k][0] = max(want[k][0], seq[pa][1])
+        # including variant: c immediately after b, b anywhere after a
+        for pa, pb in itertools.combinations(range(n - 1), 2):
+            pc = pb + 1
+            if (seq[pa][0], seq[pb][0], seq[pc][0]) != \
+                    (a_t, b_t, c_t) or pc in killed:
+                continue
+            if seq[pc][1] - seq[pa][1] > within_s:
+                continue
+            k = (uid, seq[pc][2])
+            if k not in want:
+                want[k] = [seq[pa][1], True]
+            else:
+                want[k][0] = max(want[k][0], seq[pa][1])
+                want[k][1] = True
+    expect = {k: (v[0], v[1]) for k, v in want.items()}
+    assert got == expect
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    streams=st.lists(
+        st.lists(_cep_event, min_size=0, max_size=10),
+        min_size=1, max_size=3,
+    ),
+    types=st.tuples(
+        st.sampled_from(["A", "B", "C"]),
+        st.sampled_from(["A", "B", "C"]),
+        st.sampled_from(["A", "B", "C"]),
+        st.sampled_from(["A", "B", "C"]),
+    ),
+    within_s=st.integers(min_value=1, max_value=40),
+    neg_s=st.integers(min_value=1, max_value=20),
+    cut=st.integers(min_value=1, max_value=10),
+)
+def test_cep_enum_neg_state_fuzz(streams, types, within_s, neg_s, cut):
+    """Strict-optional enum × terminal negation STREAMS (r15):
+    _cep_enum_neg_fn (2^k variant chains + watermark hold) driven
+    through a fake timer GroupState with a random micro-batch split
+    must emit exactly the batch rows — OR-gated matches, greedy
+    max-start across variants, flags riding the hold, kills and the
+    timer-path flush."""
+    import pandas as pd
+
+    from sparkflow.streaming.cep import CepPattern
+    from sparkflow.streaming.stateful import _cep_enum_neg_fn
+
+    a_t, b_t, c_t, y_t = types
+    rows, df = _cep_df(_get_spark(), streams)
+    if not rows:
+        return
+
+    pat = (
+        CepPattern.begin("a", etype=a_t)
+        .followed_by("b", etype=b_t).optional()
+        .next("c", etype=c_t)
+        .within(within_s)
+        .not_followed_by("y", etype=y_t, within=neg_s)
+    )
+    want = {
+        (r.user_id, r.match_id, int(r.start_sec), bool(r.with_b))
+        for r in pat.compile(df).select(
+            "user_id", "match_id", "with_b",
+            (F.unix_micros("start_ts") / 1_000_000).cast("int")
+            .alias("start_sec"),
+        ).collect()
+    }
+
+    chains = [
+        (None, pat._event_expansion(
+            [s for s in pat.steps if not s.optional])),
+        (None, pat._event_expansion(list(pat.steps))),
+    ]
+    masks = [frozenset(), frozenset({"with_b"})]
+    fn = _cep_enum_neg_fn(chains, within_s * 1_000_000, masks,
+                          ["with_b"], y_t, neg_s * 1_000_000)
+    got = set()
+    by_user: dict = {}
+    for uid, ev_id, typ, sec in rows:
+        by_user.setdefault(uid, []).append((ev_id, typ, sec))
+    for uid, seq in by_user.items():
+        state = _FakeTimerGroupState()
+        for batch in (seq[:cut], seq[cut:]):
+            if not batch:
+                continue
+            state.wm_ms = max(e[2] for e in batch) * 1000
+            pdf = pd.DataFrame({
+                "event_id": [e[0] for e in batch],
+                "event_type": [e[1] for e in batch],
+                "ts": pd.to_datetime([e[2] for e in batch], unit="s"),
+            })
+            for out in fn((uid,), iter([pdf]), state):
+                for r in out.itertuples():
+                    got.add((uid, r.match_id, r.start_us // 1_000_000,
+                             bool(r.with_b)))
+        state.hasTimedOut = True
+        state.wm_ms = 10 ** 9
+        for out in fn((uid,), iter([]), state):
+            for r in out.itertuples():
+                got.add((uid, r.match_id, r.start_us // 1_000_000,
+                         bool(r.with_b)))
+    assert got == want
