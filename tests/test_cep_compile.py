@@ -1417,6 +1417,7 @@ def test_gap_bound_streaming_twin(spark, sf_small, tmp_path_factory):
     "stream_cep_skip_to_next",
     "stream_cep_skip_to_first",
     "stream_cep_skip_gap",
+    "stream_cep_midneg_gap_skip",
 ])
 def test_skip_fold_scan_sits_directly_on_window_chain(spark, sf_small, key):
     """_skip_fold's cursor scan is only correct because the upstream
