@@ -1317,43 +1317,71 @@ def stream_async_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _banded_ntile5(base: DataFrame, metric: str, desc: bool,
-                   score_name: str, n_bands: int = 8) -> DataFrame:
-    """Bit-exact NTILE(5) OVER (ORDER BY metric [DESC], user_id) as a
-    BANDED two-pass plan — the `win_rank_dense_ntile` machinery: band
-    on broadcast percentile cuts of the metric (equal metric values
-    always share a band, so banding is order-consistent with the
-    (metric, user_id) total order), per-band row_number in parallel,
-    then recover the global row number by adding per-band offsets from
-    a B-row broadcast triangular self-join and reconstruct NTILE by
-    its SQL definition. No unpartitioned Window anywhere; parallelism
-    is bounded below by the metric's value spread (ties share bands —
-    at worst one distinct value per band, still 1/B of the table)."""
-    key = F.col(metric)
-    cuts = base.select(
+def _banded_ntile5(base: DataFrame, specs: list,
+                   n_bands: int = 8) -> DataFrame:
+    """Bit-exact NTILE(5) OVER (ORDER BY metric [DESC], user_id) for
+    SEVERAL metrics at once, as ONE banded two-pass plan (r15, r14
+    verdict item 8 — the r14 form ran three independent pipelines,
+    ~30 small stages at sf100). `specs` = [(metric, desc, score_name),
+    ...]. The base rows EXPLODE to (user_id, m, val) with val
+    sign-normalized so ascending (val, user_id) is each metric's score
+    order — one scan of the reduced table feeds every metric. Banding
+    is per metric on grouped broadcast percentile cuts (equal values
+    share a band, so banding stays order-consistent with the total
+    order), and the shared band id `band = m·B + local_band` makes ONE
+    Window shuffle sort all metrics' bands in parallel (the plan pin
+    still sees windowspecdefinition(band#…)). Global row numbers
+    recover from one |specs|·B-row broadcast triangular join gated to
+    same-metric bands; NTILE reconstructs by its SQL definition; the
+    per-metric scores PIVOT back to one row per user in one keyed
+    aggregation (replacing |specs| joins). No unpartitioned Window
+    anywhere; parallelism is bounded below by each metric's value
+    spread (at worst one distinct value per band, still 1/B of the
+    table)."""
+    kspecs = len(specs)
+    structs = [
+        F.struct(
+            F.lit(m).alias("m"),
+            ((-F.col(c)) if desc else F.col(c)).cast("long").alias("val"),
+        )
+        for m, (c, desc, _n) in enumerate(specs)
+    ]
+    long = base.select(
+        "user_id", F.explode(F.array(*structs)).alias("e")
+    ).select("user_id", F.col("e.m").alias("m"), F.col("e.val").alias("val"))
+    cuts = long.groupBy("m").agg(
         F.percentile_approx(
-            metric, [i / n_bands for i in range(1, n_bands)], 10000
+            "val", [i / n_bands for i in range(1, n_bands)], 10000
         ).alias("cuts")
     )
-    pred = (lambda c: key < c) if desc else (lambda c: key > c)
-    banded = (
-        base.select("user_id", metric)
-        .crossJoin(F.broadcast(cuts))
-        .withColumn("band", F.size(F.filter("cuts", pred)))
+    banded = long.join(F.broadcast(cuts), "m").select(
+        "user_id",
+        "m",
+        "val",
+        (
+            F.col("m") * n_bands
+            + F.size(F.filter("cuts", lambda c: F.col("val") > c))
+        ).alias("band"),
     )
-    order = [key.desc() if desc else key.asc(), F.col("user_id")]
-    wb = Window.partitionBy("band").orderBy(*order)
+    wb = Window.partitionBy("band").orderBy("val", "user_id")
     local = banded.select(
-        "user_id", "band", F.row_number().over(wb).alias("rn")
+        "user_id", "m", "band", F.row_number().over(wb).alias("rn")
     )
     stats = banded.groupBy("band").agg(F.count(F.lit(1)).alias("n_rows"))
     a, b = stats.alias("a"), stats.alias("b")
     offsets = (
-        a.join(F.broadcast(b), F.col("b.band") < F.col("a.band"), "left")
+        a.join(
+            F.broadcast(b),
+            (F.col("b.band") < F.col("a.band"))
+            & (F.floor(F.col("b.band") / n_bands)
+               == F.floor(F.col("a.band") / n_bands)),
+            "left",
+        )
         .groupBy(F.col("a.band").alias("band"))
         .agg(F.coalesce(F.sum("b.n_rows"), F.lit(0)).alias("off_rows"))
     )
-    total = stats.agg(F.sum("n_rows").alias("n_total"))
+    # every metric ranks the same user set, so one row count serves all
+    total = base.agg(F.count(F.lit(1)).alias("n_total"))
     g_rn = F.col("rn") + F.col("off_rows")
     k = 5
     q = F.floor(F.col("n_total") / k)
@@ -1361,11 +1389,15 @@ def _banded_ntile5(base: DataFrame, metric: str, desc: bool,
     ntile = F.when(
         g_rn <= r * (q + 1), F.ceil(g_rn / (q + 1))
     ).otherwise(r + F.ceil((g_rn - r * (q + 1)) / F.greatest(q, F.lit(1))))
-    return (
+    scored_long = (
         local.join(F.broadcast(offsets), "band")
         .crossJoin(F.broadcast(total))
-        .select("user_id", ntile.cast("int").alias(score_name))
+        .select("user_id", "m", ntile.cast("int").alias("score"))
     )
+    return scored_long.groupBy("user_id").agg(*[
+        F.max(F.when(F.col("m") == m, F.col("score"))).alias(name)
+        for m, (_c, _d, name) in enumerate(specs)
+    ])
 
 
 @register(
@@ -1404,21 +1436,26 @@ def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie-break — score 5 = most recent / most frequent / top spend —
     plus the composite 3-digit rfm_code marketing tools key on.
 
-    Scale shape (r14, r13 verdict item 2): the heavy pass is one keyed
-    partial aggregation (events -> per-user triple); everything after
-    runs on the REDUCED per-user table. The anchor timestamp is a
-    1-row aggregate broadcast-crossed in. The three quintile scores
-    are BANDED exact NTILEs (`_banded_ntile5` — the
-    `win_rank_dense_ntile` two-pass plan), never a global single-task
-    window: at 10^8-10^9 users each metric sorts in B parallel bands
-    and the global row number is reconstructed from broadcast per-band
-    offsets, bit-equal to NTILE(5) OVER (ORDER BY metric, user_id).
-    The three score frames re-join `base` on user_id — keyed shuffles
-    of the reduced table. The per-user aggregate is localCheckpointed
-    (lazy) so the events scan + heavy keyed aggregation run ONCE and
-    every downstream consumer (three banded pipelines plus the join
-    spine) reads the materialized reduced table — measured r14:
-    exchange reuse alone left ~5 live fact scans in the final plan."""
+    Scale shape (r14, r13 verdict item 2; folded r15, r14 verdict item
+    8): the heavy pass is one keyed partial aggregation (events ->
+    per-user triple); everything after runs on the REDUCED per-user
+    table. The anchor timestamp is a 1-row aggregate broadcast-crossed
+    in. The three quintile scores are BANDED exact NTILEs in ONE
+    SHARED band layout (`_banded_ntile5` multi-metric form): the
+    reduced rows explode to (user_id, metric, sign-normalized value),
+    band per metric on grouped broadcast percentile cuts, ONE Window
+    shuffle over the combined band id sorts all 3·B bands in
+    parallel, one triangular broadcast join recovers global row
+    numbers, and the scores pivot back per user in one keyed
+    aggregation — r14 ran this as three independent banded pipelines
+    plus three joins (~30 small stages of dispatch floor at sf100);
+    r15 is one pipeline plus one join, bit-equal to
+    NTILE(5) OVER (ORDER BY metric, user_id) per metric. The per-user
+    aggregate is localCheckpointed (lazy) so the events scan + heavy
+    keyed aggregation run ONCE and both downstream consumers (the
+    banded pipeline and the join spine) read the materialized reduced
+    table — measured r14: exchange reuse alone left ~5 live fact
+    scans in the final plan."""
     ev = table(spark, sf_dir, "events")
     per_user = ev.groupBy("user_id").agg(
         F.max(F.unix_micros("ts")).alias("last_us"),
@@ -1433,15 +1470,14 @@ def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         "freq",
         "monetary_cents",
     )
-    scored = (
-        base.join(_banded_ntile5(base, "rec_days", True, "r_score"), "user_id")
-        .join(_banded_ntile5(base, "freq", False, "f_score"), "user_id")
-        .join(_banded_ntile5(base, "monetary_cents", False, "m_score"),
-              "user_id")
-        .select(
-            "user_id", "rec_days", "freq", "monetary_cents",
-            "r_score", "f_score", "m_score",
-        )
+    scores = _banded_ntile5(base, [
+        ("rec_days", True, "r_score"),
+        ("freq", False, "f_score"),
+        ("monetary_cents", False, "m_score"),
+    ])
+    scored = base.join(scores, "user_id").select(
+        "user_id", "rec_days", "freq", "monetary_cents",
+        "r_score", "f_score", "m_score",
     )
     return scored.withColumn(
         "rfm_code",

@@ -96,3 +96,69 @@ def test_window_rank_net_of_floor_within_ceiling():
         f"window_rank_orders exec-minus-floor {net * 1000:.1f} ms "
         f"exceeds the 50 ms ceiling (q={q}, floor={floor})"
     )
+
+
+def _latest_bench_record():
+    import glob
+    import re
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    recs = []
+    for path in glob.glob(os.path.join(root, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if not m:
+            continue
+        try:
+            with open(path, encoding="utf-8") as fh:
+                rec = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        p = rec.get("parsed") or rec
+        if not p.get("exec_ms_minus_floor") or not p.get(
+            "dispatch_floor_sec"
+        ):
+            continue
+        recs.append((int(m.group(1)), p))
+    assert recs, "no parseable BENCH history with exec_ms_minus_floor"
+    return max(recs)
+
+
+# r15 (r14 verdict item 7): the whole-suite gate. Ceilings =
+# worst exec-minus-floor observed across the r8+ non-loaded history
+# (the tree with staged postures and loaded_window stamping) plus
+# ~5 ms slack — tight enough that a plan regression (2x-of-typical)
+# fails CI immediately, loose enough that co-tenant jitter inside
+# the documented variance envelope (BASELINE.md round-9 note) does
+# not flap. window_rank_orders keeps its own dedicated test above
+# (50 ms, r13 verdict item 7) and is excluded here.
+_SUITE_CEILINGS_MS = {
+    "q1_pricing_summary": 48.0,   # worst 42.6 (r11)
+    "q3_join3_topk": 26.0,        # worst 21.0 (r11)
+    "q5_join5_agg": 32.0,         # worst 26.8 (r11)
+    "distinct_users": 17.0,       # worst 12.4 (r12)
+    "events_tumbling_1h": 20.0,   # worst 14.6 (r11)
+    "json_extract_agg": 13.0,     # worst 7.9 (r12)
+    "embeddings_knn": 12.0,       # worst 6.9 (r14)
+}
+
+
+def test_suite_exec_net_of_floor_within_ceilings():
+    """Every headline query's exec-minus-floor number from the LATEST
+    committed bench record must sit under its historical ceiling —
+    the window_rank_orders drift (r11-r14) showed a single-query gate
+    leaves the other seven unguarded (r14 verdict item 7). Loaded
+    windows are floor-dominated and self-describing — skipped."""
+    import pytest
+
+    _rnd, p = _latest_bench_record()
+    if p.get("loaded_window"):
+        pytest.skip("latest bench record is a loaded window")
+    em = p["exec_ms_minus_floor"]
+    over = {
+        q: (em.get(q), ceil)
+        for q, ceil in _SUITE_CEILINGS_MS.items()
+        if em.get(q) is not None and em[q] > ceil
+    }
+    assert not over, (
+        f"exec-minus-floor over ceiling: {over} (record r{_rnd})"
+    )
