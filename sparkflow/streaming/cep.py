@@ -742,7 +742,17 @@ class CepPattern:
         batch compile is pinned by pytest across micro-batch
         boundaries for every streaming surface (the terminal-negation
         twin's contract is the match set — its batch-only
-        next_<neg>_ts audit column is unbounded-lookahead)."""
+        next_<neg>_ts audit column is unbounded-lookahead).
+
+        r15 invariant: EVERY pattern the batch compile() accepts now
+        streams — the last composition refusals (midneg×gap with
+        skip / terminal negation / optionals; OR-split × negation;
+        strict-optional enum × negation) were constructed this round,
+        so the only streaming-specific requirements left are
+        declarative etype= steps (row-evaluable predicates for keyed
+        state) and event times >= 1970-01-01 (the -1 state sentinel);
+        every remaining raise in this method mirrors a batch
+        refusal."""
         from . import stateful
 
         if self.gap_us is not None:
