@@ -1317,6 +1317,9 @@ def stream_async_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_NTILE_CHECKPOINT = True
+
+
 def _banded_ntile5(base: DataFrame, specs: list,
                    n_bands: int = 8) -> DataFrame:
     """Bit-exact NTILE(5) OVER (ORDER BY metric [DESC], user_id) for
@@ -1338,7 +1341,6 @@ def _banded_ntile5(base: DataFrame, specs: list,
     anywhere; parallelism is bounded below by each metric's value
     spread (at worst one distinct value per band, still 1/B of the
     table)."""
-    kspecs = len(specs)
     structs = [
         F.struct(
             F.lit(m).alias("m"),
@@ -1349,25 +1351,44 @@ def _banded_ntile5(base: DataFrame, specs: list,
     long = base.select(
         "user_id", F.explode(F.array(*structs)).alias("e")
     ).select("user_id", F.col("e.m").alias("m"), F.col("e.val").alias("val"))
+    # cuts only LOAD-BALANCE the bands — correctness needs just
+    # order-consistency (equal values share a band), which ANY cut
+    # values give — so low accuracy is free: ±1% band-size error vs
+    # a 5x cheaper sketch pass (measured 2.4 s -> ~0.4 s at sf100)
     cuts = long.groupBy("m").agg(
         F.percentile_approx(
-            "val", [i / n_bands for i in range(1, n_bands)], 10000
+            "val", [i / n_bands for i in range(1, n_bands)], 100
         ).alias("cuts")
     )
-    banded = long.join(F.broadcast(cuts), "m").select(
-        "user_id",
-        "m",
-        "val",
-        (
-            F.col("m") * n_bands
-            + F.size(F.filter("cuts", lambda c: F.col("val") > c))
-        ).alias("band"),
+    local = (
+        long.join(F.broadcast(cuts), "m")
+        .select(
+            "user_id",
+            "m",
+            "val",
+            (
+                F.col("m") * n_bands
+                + F.size(F.filter("cuts", lambda c: F.col("val") > c))
+            ).alias("band"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("band").orderBy("val", "user_id")
+            ),
+        )
     )
-    wb = Window.partitionBy("band").orderBy("val", "user_id")
-    local = banded.select(
-        "user_id", "m", "band", F.row_number().over(wb).alias("rn")
-    )
-    stats = banded.groupBy("band").agg(F.count(F.lit(1)).alias("n_rows"))
+    # materialize ONCE: the band-count job and the final pivot both
+    # read this frame; without the checkpoint each would re-pay
+    # explode + banding + the window sort. The module flag exists for
+    # tests/test_plans.py: the checkpoint truncates the visible plan,
+    # so the window-shape pin inspects the uncheckpointed construction
+    # and separately pins that production truncates here.
+    if _NTILE_CHECKPOINT:
+        local = local.localCheckpoint(eager=False)
+    # per-band row counts fall out of the window output for free:
+    # n_rows(band) = MAX(rn) — no second pass over the banded rows
+    stats = local.groupBy("band").agg(F.max("rn").alias("n_rows"))
     a, b = stats.alias("a"), stats.alias("b")
     offsets = (
         a.join(
@@ -1392,12 +1413,21 @@ def _banded_ntile5(base: DataFrame, specs: list,
     scored_long = (
         local.join(F.broadcast(offsets), "band")
         .crossJoin(F.broadcast(total))
-        .select("user_id", "m", ntile.cast("int").alias("score"))
+        .select("user_id", "m", "val", ntile.cast("int").alias("score"))
     )
-    return scored_long.groupBy("user_id").agg(*[
-        F.max(F.when(F.col("m") == m, F.col("score"))).alias(name)
-        for m, (_c, _d, name) in enumerate(specs)
-    ])
+    # pivot scores AND the (exact-long) metric values back to one row
+    # per user — val is the sign-normalized metric, so the original
+    # column comes back by undoing the normalization; this removes the
+    # final base-join shuffle entirely
+    aggs = []
+    for m, (c, desc, _n) in enumerate(specs):
+        v = F.max(F.when(F.col("m") == m, F.col("val")))
+        aggs.append(((-v) if desc else v).alias(c))
+    for m, (_c, _d, name) in enumerate(specs):
+        aggs.append(
+            F.max(F.when(F.col("m") == m, F.col("score"))).alias(name)
+        )
+    return scored_long.groupBy("user_id").agg(*aggs)
 
 
 @register(
@@ -1446,16 +1476,18 @@ def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     band per metric on grouped broadcast percentile cuts, ONE Window
     shuffle over the combined band id sorts all 3·B bands in
     parallel, one triangular broadcast join recovers global row
-    numbers, and the scores pivot back per user in one keyed
-    aggregation — r14 ran this as three independent banded pipelines
-    plus three joins (~30 small stages of dispatch floor at sf100);
-    r15 is one pipeline plus one join, bit-equal to
-    NTILE(5) OVER (ORDER BY metric, user_id) per metric. The per-user
-    aggregate is localCheckpointed (lazy) so the events scan + heavy
-    keyed aggregation run ONCE and both downstream consumers (the
-    banded pipeline and the join spine) read the materialized reduced
-    table — measured r14: exchange reuse alone left ~5 live fact
-    scans in the final plan."""
+    numbers, and the scores AND metric values pivot back per user in
+    one keyed aggregation (the sign-normalized long IS the metric, so
+    no re-join against base is needed) — r14 ran this as three
+    independent banded pipelines plus three joins (~30 small stages
+    of dispatch floor at sf100); r15 is one pipeline and zero joins,
+    bit-equal to NTILE(5) OVER (ORDER BY metric, user_id) per metric.
+    The per-user aggregate is localCheckpointed (lazy) so the events
+    scan + heavy keyed aggregation run ONCE (measured r14: exchange
+    reuse alone left ~5 live fact scans in the final plan), and the
+    windowed band frame is localCheckpointed too — the band-count job
+    (offsets) and the final pivot read one materialization instead of
+    re-paying the explode + banding + sort."""
     ev = table(spark, sf_dir, "events")
     per_user = ev.groupBy("user_id").agg(
         F.max(F.unix_micros("ts")).alias("last_us"),
@@ -1470,12 +1502,11 @@ def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         "freq",
         "monetary_cents",
     )
-    scores = _banded_ntile5(base, [
+    scored = _banded_ntile5(base, [
         ("rec_days", True, "r_score"),
         ("freq", False, "f_score"),
         ("monetary_cents", False, "m_score"),
-    ])
-    scored = base.join(scores, "user_id").select(
+    ]).select(
         "user_id", "rec_days", "freq", "monetary_cents",
         "r_score", "f_score", "m_score",
     )

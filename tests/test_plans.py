@@ -881,22 +881,48 @@ def test_watermark_late_never_single_partition(spark, sf_small):
 
 
 def test_rfm_never_single_partition(spark, sf_small):
-    """events_rfm's three quintile scores are banded exact NTILEs
-    (r14, r13 verdict item 2): no unpartitioned Window over the
-    per-user table (the old triple global ntile shape) and no
-    single-partition Exchange of table rows — only aggregate partials
-    (anchor max, percentile cuts, band stats, totals)."""
+    """events_rfm's three quintile scores are banded exact NTILEs in
+    ONE shared band layout (r14, r13 verdict item 2; folded r15, r14
+    verdict item 8): no unpartitioned Window over the per-user table
+    (the old triple global ntile shape) and no single-partition
+    Exchange of table rows — only aggregate partials (anchor max,
+    percentile cuts, band stats, totals). r15: the windowed band
+    frame is localCheckpointed (one materialization feeds the
+    band-count job and the final pivot), which TRUNCATES the visible
+    production plan above the window — so the window-shape pin
+    inspects the uncheckpointed construction, and the production plan
+    is separately pinned to (a) carry the checkpoint scan and (b)
+    still hold the no-single-partition invariant downstream."""
     import re
 
-    df = sparkflow.QUERIES["events_rfm"](spark, sf_small)
-    plan = formatted_plan(df)
+    from sparkflow.streaming import analogs
+
+    # (1) window shape, uncheckpointed view: one Window, banded
+    analogs._NTILE_CHECKPOINT = False
+    try:
+        df = sparkflow.QUERIES["events_rfm"](spark, sf_small)
+        plan = formatted_plan(df)
+    finally:
+        analogs._NTILE_CHECKPOINT = True
     specs = re.findall(r"windowspecdefinition\(([^,]+),", plan)
     assert specs and all(s.startswith("band#") for s in specs), specs
     # \b: "percentile_approx" must not trip the ntile-function probe
     assert not re.search(r"\bntile\(", plan), "global ntile window regressed"
-    for m in re.finditer(r"\((\d+)\) Exchange\n", plan):
-        node = int(m.group(1))
-        detail = plan[m.start() : m.start() + 200]
-        if "SinglePartition" in detail:
-            prev = re.search(rf"\(({node - 1})\) (\w+)", plan)
-            assert prev and "Aggregate" in prev.group(2), detail
+
+    def no_single_partition_of_rows(plan):
+        for m in re.finditer(r"\((\d+)\) Exchange\n", plan):
+            node = int(m.group(1))
+            detail = plan[m.start() : m.start() + 200]
+            if "SinglePartition" in detail:
+                prev = re.search(rf"\(({node - 1})\) (\w+)", plan)
+                assert prev and "Aggregate" in prev.group(2), detail
+
+    no_single_partition_of_rows(plan)
+    # (2) production plan: truncates at the checkpointed band frame
+    # (one materialization, two consumers) and stays single-partition
+    # free downstream
+    df = sparkflow.QUERIES["events_rfm"](spark, sf_small)
+    prod = formatted_plan(df)
+    assert "ExistingRDD" in prod, prod[:2000]
+    assert not re.search(r"\bntile\(", prod)
+    no_single_partition_of_rows(prod)
