@@ -188,6 +188,12 @@ class _Step:
     # emitted n_<name> repetition count at m
     neg_before: tuple | None = None  # (name, pred): mid-pattern negated
     # gap between the PREVIOUS step's event and this step's event
+    until: tuple | None = None  # (name, pred, etype) — FlinkCEP
+    # .until(condition) on a looping (oneOrMore/times(n, m)) step:
+    # once a stop event occurs strictly after the chain start, no
+    # further repetitions are absorbed (the stop event itself never
+    # is); if it fires before the loop's first repetition, the loop
+    # cannot start and the match fails (see CepPattern.until)
 
 
 @dataclass(frozen=True)
@@ -429,6 +435,74 @@ class CepPattern:
             + (replace(last, one_or_more=True),),
         )
 
+    def until(self, name: str, pred=None,
+              etype: str | None = None) -> "CepPattern":
+        """FlinkCEP `until(condition)` on the last (looping) step —
+        the stop condition that bounds an otherwise-unbounded loop
+        (r15). Documented contract (exact, oracle-checkable):
+
+        - Once a stop event occurs STRICTLY AFTER the chain start, no
+          further repetitions are absorbed: the emitted `n_<name>`
+          pool counts only step-events before the first stop event
+          after the chain's start row (row order; the stop event
+          itself is never absorbed, even when its type collides with
+          the repeated step's).
+        - If the stop fires before the loop's first repetition, the
+          loop cannot start and the MATCH fails — each expanded copy's
+          entering gap is guarded "no stop event strictly between the
+          bound events", the same count-free gate mid-pattern
+          notFollowedBy compiles to (latest-prefix-row dominance), so
+          every bound repetition provably precedes the freeze and the
+          pool is always >= the lower bound.
+
+        Compiles as: the mid-negation gate on EVERY expanded copy's
+        entering gap + one forward-looking MIN window (`nbu` = the
+        repeated-step count just before each row's NEXT stop event —
+        monotone in row position, so it rides the lexicographic count
+        struct without disturbing greediness) + a LEAST() in the pool
+        arithmetic. Refused compositions (loud, mirrored in batch AND
+        streaming so the parity invariant holds): a step whose
+        entering gap already carries notFollowedBy (merge predicates
+        with |), strict-entered loops (the gate machinery requires a
+        relaxed entering edge, as mid-negation does), optional steps
+        anywhere in the pattern, terminal negation, after-match skip
+        and gap bounds (the latter two are already counted-step
+        refusals)."""
+        if not self.steps:
+            raise ValueError("until() requires a begin() step first")
+        if self.neg is not None or self.pending_neg is not None:
+            raise ValueError("until() cannot apply to notFollowedBy")
+        last = self.steps[-1]
+        if not (last.one_or_more or last.up_to is not None):
+            raise ValueError(
+                "until() applies to a looping step — call it after "
+                "one_or_more() or times(n, m)"
+            )
+        if last.until is not None:
+            raise ValueError(
+                "this loop already carries an until() — merge the "
+                "predicates into one (pred_a | pred_b)"
+            )
+        if last.neg_before is not None:
+            raise ValueError(
+                "until() on a step whose entering gap carries a "
+                "notFollowedBy is not supported — merge the stop "
+                "condition into the negation predicate"
+            )
+        if last.contiguity != "followed_by" or last.consecutive:
+            raise ValueError(
+                "until() requires a relaxed-entered loop (the stop "
+                "gate compiles as negated gaps, which refuse strict "
+                "edges)"
+            )
+        return replace(
+            self,
+            steps=self.steps[:-1]
+            + (replace(last,
+                       until=(name, self._resolve(name, pred, etype),
+                              etype)),),
+        )
+
     def not_followed_by(self, name: str, pred=None, within=None,
                         etype: str | None = None) -> "CepPattern":
         """Negation (FlinkCEP notFollowedBy), two forms:
@@ -589,6 +663,47 @@ class CepPattern:
                     s.etype,
                     s.contiguity if k == 0 else inner,
                     neg_et if k == 0 else None,
+                ))
+        return out
+
+    def _until_expansion(self) -> list:
+        """times-expanded [(event_type, transition, gate_etype)] for a
+        pattern containing until() loops — like _event_expansion, but
+        an until step's stop type gates EVERY copy's entering gap (a
+        k-rep match needs all k repetitions before the freeze), while
+        ordinary mid-negations gate first copies only."""
+        out = []
+        for s in self.steps:
+            if s.etype is None:
+                raise ValueError(
+                    f"step {s.name!r} was built from a Column predicate —"
+                    " declare it with etype=... to compile for streaming"
+                )
+            neg_et = None
+            if s.neg_before is not None:
+                neg_et = s.neg_before[2]
+                if neg_et is None:
+                    raise ValueError(
+                        f"the negation before step {s.name!r} was built "
+                        "from a Column predicate — declare it with "
+                        "etype=... to compile for streaming"
+                    )
+            u_et = None
+            if s.until is not None:
+                u_et = s.until[2]
+                if u_et is None:
+                    raise ValueError(
+                        f"the until() condition on step {s.name!r} was "
+                        "built from a Column predicate — declare it "
+                        "with etype=... to compile for streaming"
+                    )
+            inner = "next" if s.consecutive else "followed_by"
+            for k in range(s.times):
+                out.append((
+                    s.etype,
+                    s.contiguity if k == 0 else inner,
+                    u_et if u_et is not None
+                    else (neg_et if k == 0 else None),
                 ))
         return out
 
@@ -755,6 +870,68 @@ class CepPattern:
         refusal."""
         from . import stateful
 
+        if any(s.until is not None for s in self.steps):
+            # r15: until() loops stream via the paired machinery plus
+            # the per-level freeze riders (stateful._cep_until_fn).
+            # Every refusal below mirrors a batch refusal — the
+            # parity invariant holds for this surface too.
+            if any(s.optional for s in self.steps):
+                raise ValueError(
+                    "until() does not compose with optional steps — "
+                    "each annotation chain would need its own stop "
+                    "gates and freeze fields; make the optional step "
+                    "required"
+                )
+            if self.neg is not None:
+                raise ValueError(
+                    "until() does not compose with a terminal "
+                    "notFollowedBy yet — bound the pattern with "
+                    "within() instead"
+                )
+            if self.gap_us is not None:
+                raise ValueError(
+                    "oneOrMore/times(n, m) do not compose with "
+                    "within(..., 'previous_and_current') — the batch "
+                    "compile refuses the same combination"
+                )
+            if self.skip != "no_skip":
+                raise ValueError(
+                    f"after_match_skip({self.skip!r}) does not "
+                    "compose with optional()/oneOrMore()/times(n, m) "
+                    "annotations (the batch compile refuses the same "
+                    "combination)"
+                )
+            req = [s for s in self.steps if not s.optional]
+            for i, st_ in enumerate(req):
+                if (st_.contiguity == "next" and st_.times == 1
+                        and (st_.one_or_more
+                             or (st_.up_to is not None
+                                 and st_.up_to >= 2))
+                        and i + 1 < len(req)
+                        and req[i + 1].contiguity == "next"):
+                    raise ValueError(
+                        "until() does not compose with a both-strict "
+                        "oneOrMore/times(1, m) step in the same "
+                        "pattern — the OR-split variants are untested "
+                        "with freeze fields; relax one edge of the "
+                        "split step"
+                    )
+            counted_steps = [s for s in self.steps
+                             if s.one_or_more or s.up_to is not None]
+            for c in counted_steps:
+                if c.etype is None:
+                    raise ValueError(
+                        f"counted step {c.name!r} was built from a "
+                        "Column predicate — declare it with etype=... "
+                        "to compile for streaming"
+                    )
+            return stateful.cep_until_stream(
+                spark, files_dir, sf_dir, self._until_expansion(),
+                self.within_us,
+                [(c.name, c.etype, c.up_to,
+                  c.until[2] if c.until is not None else None)
+                 for c in counted_steps],
+            )
         if self.gap_us is not None:
             # r13: gap-bounded patterns stream with per-level (ts,
             # start) BUFFERS bounded by one gap horizon — the bound's
@@ -1298,6 +1475,22 @@ class CepPattern:
         # outputs. Monotone in row order, so struct MAX stays greedy.
         counted = [s for s in required
                    if s.one_or_more or s.up_to is not None]
+        if any(s.until is not None for s in self.steps):
+            # r15 until() refusals, mirrored EXACTLY in compile_stream
+            # so the batch/stream parity invariant survives
+            if any(s.optional for s in self.steps):
+                raise ValueError(
+                    "until() does not compose with optional steps — "
+                    "each annotation chain would need its own stop "
+                    "gates and freeze fields; make the optional step "
+                    "required"
+                )
+            if self.neg is not None:
+                raise ValueError(
+                    "until() does not compose with a terminal "
+                    "notFollowedBy yet — bound the pattern with "
+                    "within() instead"
+                )
         skip_mode = self.skip != "no_skip"
         if skip_mode and (counted or any(s.optional for s in self.steps)):
             raise ValueError(
@@ -1382,8 +1575,34 @@ class CepPattern:
                 c, F.count(F.when(s.pred, F.lit(1))).over(w_prev)
             )
             cnt_cols[s.name] = c
+        # until() freeze values (r15): nbu(x) = the repeated-step count
+        # JUST BEFORE the first stop event strictly after row x — the
+        # strictly-before count is nondecreasing, so the first stop
+        # after x carries the minimum among stops after x, i.e. one
+        # forward-looking MIN window; nondecreasing in x, so it rides
+        # the lexicographic count struct without disturbing greediness.
+        # NULL (no stop follows) encodes as a huge sentinel so struct
+        # comparison never reaches engine-specific NULL ordering.
+        _NO_STOP = 1 << 62
+        nbu_cols: dict[str, str] = {}
+        w_after_rows = w_order.rowsBetween(1, Window.unboundedFollowing)
+        for k, s in enumerate(counted):
+            if s.until is None:
+                continue
+            c = f"_cep_nbu{k}"
+            cur = cur.withColumn(
+                c,
+                F.coalesce(
+                    F.min(
+                        F.when(s.until[1], F.col(cnt_cols[s.name]))
+                    ).over(w_after_rows),
+                    F.lit(_NO_STOP),
+                ),
+            )
+            nbu_cols[s.name] = c
         pos_col = None
-        if skip_mode or any(s.neg_before is not None for s in self.steps):
+        if skip_mode or any(s.neg_before is not None for s in self.steps) \
+                or nbu_cols:
             pos_col = "_cep_pos"
             cur = cur.withColumn(pos_col, F.row_number().over(w_order))
         nq_cols: dict[str, str] = {}
@@ -1446,6 +1665,14 @@ class CepPattern:
                         cs.pred, F.lit(1)
                     ).otherwise(F.lit(0))
                     fields.append(c0.alias(f"c{k}"))
+                # until freeze values ride AFTER the counts — nbu is
+                # nondecreasing in row position, so the lexicographic
+                # max is still decided by (h, c0..) and stays greedy
+                for k, cs in (enumerate(counted) if with_counts else ()):
+                    if cs.until is not None:
+                        fields.append(
+                            F.col(nbu_cols[cs.name]).alias(f"u{k}")
+                        )
                 if with_pos:
                     # start ROW position rides the carry (skip mode):
                     # (h, sp) lexicographic MAX = latest start ts, ties
@@ -1470,6 +1697,16 @@ class CepPattern:
 
             prev_col = None
             for i, (s, pred, trans, first, at_anchor) in enumerate(expanded):
+                # r15: an until() step gates EVERY expanded copy's
+                # entering gap with the stop predicate (a k-rep match
+                # needs all k repetitions before the freeze), reusing
+                # the mid-negation gate; a first-copy notFollowedBy
+                # gate is mutually exclusive with until (builder)
+                gate_pred = None
+                if first and s.neg_before is not None:
+                    gate_pred = s.neg_before[1]
+                elif s.until is not None and i > 0:
+                    gate_pred = s.until[1]
                 if i == 0:
                     hit = F.when(pred, start_value(F.col(ts)))
                 elif first and s.neg_before is not None \
@@ -1499,13 +1736,13 @@ class CepPattern:
                     if at_anchor:
                         carry = stamp_anchor(carry)
                     hit = F.when(pred, carry)
-                elif first and s.neg_before is not None:
+                elif gate_pred is not None:
                     # gated relaxed transition: connect to the LATEST
-                    # prefix-complete row b with no negated event in
-                    # (b, current) — latest-b dominance (see module
+                    # prefix-complete row b with no negated/stop event
+                    # in (b, current) — latest-b dominance (see module
                     # docstring) makes one struct MAX + one running
                     # q-position MAX exact
-                    _qname, qpred, _qet = s.neg_before
+                    qpred = gate_pred
                     b = F.max(
                         F.when(
                             F.col(prev_col).isNotNull(),
@@ -1663,6 +1900,13 @@ class CepPattern:
                 and i + 1 < len(required)
                 and required[i + 1].contiguity == "next"
             ]
+            if split and any(s.until is not None for s in self.steps):
+                raise ValueError(
+                    "until() does not compose with a both-strict "
+                    "oneOrMore/times(1, m) step in the same pattern — "
+                    "the OR-split variants are untested with freeze "
+                    "fields; relax one edge of the split step"
+                )
             if split and any(s.optional for s in self.steps):
                 raise ValueError(
                     "optional() does not compose with a both-strict "
@@ -1742,12 +1986,20 @@ class CepPattern:
                 # pool = s-pred events in (start_row, match_row]:
                 # count-before-match (+1 if the match row itself
                 # matches) minus count-up-to-and-including-start (the
-                # carried c_k)
-                pool = (
+                # carried c_k). With until (r15), the pool is further
+                # clamped at the carried freeze value u_k = the count
+                # just before the first stop event after the start —
+                # LEAST(incl-count-at-match, u_k) - c_k counts exactly
+                # the repetitions in (start, first-stop) ∩ (start,
+                # match], and the per-copy gates guarantee it covers
+                # the bound repetitions
+                incl = (
                     F.col(cnt_cols[s.name])
                     + F.when(s.pred, F.lit(1)).otherwise(F.lit(0))
-                    - F.col(prev_col)[f"c{k}"]
                 )
+                if s.until is not None:
+                    incl = F.least(incl, F.col(prev_col)[f"u{k}"])
+                pool = incl - F.col(prev_col)[f"c{k}"]
                 if s.up_to is not None:
                     # times(n, m): the range's upper bound caps how
                     # many repetitions a match may absorb; pool >= n is
@@ -3622,6 +3874,112 @@ def stream_cep_next_optional_neg(
         .next("purchase", etype="purchase")
         .within("48 hours")
         .not_followed_by("error", etype="error", within="12 hours")
+    )
+    return pat.compile(
+        table(spark, sf_dir, "events"),
+        key="user_id",
+        ts="ts",
+        tiebreak="event_id",
+    )
+
+
+@register(
+    "stream_cep_until",
+    oracle=f"""
+    WITH sp AS (
+      SELECT user_id, event_id, event_type, ts,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS pos,
+             COUNT(CASE WHEN event_type = 'click' THEN 1 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS cntb
+      FROM events
+    ), s0 AS (
+      SELECT *,
+             MAX(CASE WHEN event_type = 'error' THEN pos END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS lastq
+      FROM sp
+    ), s1 AS (
+      SELECT *,
+             COALESCE(
+               MIN(CASE WHEN event_type = 'error' THEN cntb END)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 1 FOLLOWING
+                       AND UNBOUNDED FOLLOWING),
+               4611686018427387904) AS nbu,
+             CASE WHEN event_type = 'view' THEN
+               {{'h': ts,
+                 'c0': cntb + (CASE WHEN event_type = 'click'
+                               THEN 1 ELSE 0 END)}}
+             END AS a0
+      FROM s0
+    ), s2 AS (
+      SELECT *, CASE WHEN a0 IS NOT NULL THEN
+          {{'p': pos, 'v': {{'h': a0.h, 'c0': a0.c0, 'u0': nbu}}}}
+        END AS ent
+      FROM s1
+    ), s3 AS (
+      SELECT *,
+             MAX(ent) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING) AS b
+      FROM s2
+    ), s4 AS (
+      SELECT *, CASE WHEN event_type = 'click'
+                     AND b.p IS NOT NULL
+                     AND (lastq IS NULL OR lastq <= b.p)
+                     THEN b.v END AS h1
+      FROM s3
+    ), s5 AS (
+      SELECT *, CASE WHEN event_type = 'purchase'
+                     THEN {_CEP_CARRY.format(src='h1')} END AS h2
+      FROM s4
+    )
+    SELECT user_id, event_id AS match_id, ts AS match_ts,
+           h2.h AS start_ts,
+           CAST(LEAST(cntb + (CASE WHEN event_type = 'click'
+                              THEN 1 ELSE 0 END), h2.u0)
+                - h2.c0 AS BIGINT) AS n_click
+    FROM s5
+    WHERE h2.h IS NOT NULL
+      AND epoch_us(ts) - epoch_us(h2.h) <= 259200000000::BIGINT
+    """,
+)
+def stream_cep_until(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FlinkCEP `until(condition)` — the loop stop condition (r15):
+    `begin(view).followedBy(click).oneOrMore().until(error)
+    .followedBy(purchase).within(72h)` — the click streak a first
+    error TERMINATES: purchases still convert (the step after the
+    loop is unaffected), but `n_click` counts only clicks before the
+    first error since the chain start, and a streak that never began
+    before the error does not match at all. Documented contract (see
+    CepPattern.until): the stop gates every expanded copy's entering
+    gap (the mid-negation latest-prefix-row machinery, so matching
+    stays NFA-free), and the pool clamps at ONE carried freeze value
+    u0 = the click count just before the first error after the start
+    — computed at the start row by a single forward-looking MIN
+    window (the strictly-before count is nondecreasing, so the first
+    stop after x holds the minimum among stops after x), nondecreasing
+    in the start position, so it rides the lexicographic (h, c0)
+    struct without disturbing greediness. Same one-exchange chained-
+    Window plan; the oracle unrolls the identical gate + LEAST
+    algebra. Brute-force fuzz over random streams with full type
+    collisions (incl. stop==repeat rows sitting AT the freeze):
+    tests/test_properties.py::test_cep_until_fuzz. STREAMS (r15:
+    paired carries + per-level freeze riders, stop events freezing
+    before the row's hits — stateful._cep_until_fn; twin pytest
+    bit-equal across micro-batch boundaries + fake-GroupState
+    fuzz)."""
+    pat = (
+        CepPattern.begin("view", etype="view")
+        .followed_by("click", etype="click")
+        .one_or_more()
+        .until("error", etype="error")
+        .followed_by("purchase", etype="purchase")
+        .within("72 hours")
     )
     return pat.compile(
         table(spark, sf_dir, "events"),

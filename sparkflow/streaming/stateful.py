@@ -3067,6 +3067,210 @@ def cep_terminal_negation_stream(
     )
 
 
+def _cep_until_fn(steps, within_us, counted):
+    """r15: keyed-state executor for a pattern with `until(condition)`
+    stop-gated loops (FlinkCEP's loop stop condition, compiled batch-
+    side as per-copy mid-negation gates + a carried freeze value).
+    `steps` = [(etype, trans, gate_et)] with gate_et on EVERY copy of
+    an until step (and on first copies of ordinary mid-negations);
+    `counted` = [(name, etype, up_to, u_et_or_None)].
+
+    The carry machinery is _cep_compiled_fn's paired form (C/L +
+    BP/LQ gates + count-at-start pairs + shared running counts) plus
+    ONE RIDER per counted-with-until step per level: u_k = the
+    repeated-step count just before the FIRST stop event after the
+    carried chain's start (-1 = none yet). The rider is NOT part of
+    the lexicographic comparison (it is a function of the winning
+    start row; ties on (h, c..) mean the same row) — it FREEZES when
+    a stop event arrives: a stop at row t applies to every value in
+    state (all started strictly before t) and not to starts made at
+    t, so freezing BEFORE the row's hits are computed is exactly the
+    batch nbu(A) = min over stops strictly after A. The pool at a
+    match row is then min(incl-count, frozen u) - count-at-start —
+    causal, matching the batch LEAST() arithmetic (brute-force fuzz:
+    tests/test_properties.py::test_cep_until_*)."""
+    m = len(steps)
+    n = m - 1
+    qtypes = [st[2] for st in steps[1:]]
+    cnt_names = [c[0] for c in counted]
+    cnt_ets = [c[1] for c in counted]
+    up_tos = [c[2] for c in counted]
+    u_ets = [c[3] for c in counted]
+    K = len(counted)
+    NO_STOP = 1 << 62
+
+    def fn(
+        key: Tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        # flat layout: C(n) L(n) BP(n) LQ(n) then per counted k:
+        # Ccs(n) Lcs(n), then per counted k with until: Cu(n) Lu(n)
+        nu = sum(1 for u in u_ets if u is not None)
+        base = 4 * n + 2 * K * n + 2 * nu * n
+        if state.exists:
+            vals = list(state.get)
+            flat = list(vals[0])
+            QCs = list(vals[1])
+            pos = vals[2]
+        else:
+            flat = [-1] * base
+            QCs = [0] * K
+            pos = 0
+        off = 0
+        C = flat[off:off + n]; off += n
+        L = flat[off:off + n]; off += n
+        BP = flat[off:off + n]; off += n
+        LQ = flat[off:off + n]; off += n
+        Ccs, Lcs = [], []
+        for _k in range(K):
+            Ccs.append(flat[off:off + n]); off += n
+            Lcs.append(flat[off:off + n]); off += n
+        Cu, Lu = {}, {}
+        for k in range(K):
+            if u_ets[k] is not None:
+                Cu[k] = flat[off:off + n]; off += n
+                Lu[k] = flat[off:off + n]; off += n
+        chunks = [p for p in pdf_iter if len(p)]
+        if not chunks:
+            return
+        pdf = pd.concat(chunks).sort_values(["ts", "event_id"])
+        if _ts_us(pdf["ts"]).min() < 0:
+            raise ValueError(
+                "cep_compiled_stream requires event times >= 1970-01-01 "
+                "(the -1 no-hit state sentinel; the batch compile has "
+                "no such limit)"
+            )
+        out = {"match_id": [], "match_us": [], "start_us": []}
+        for nm in cnt_names:
+            out[f"n_{nm}"] = []
+
+        def ok(v, t):
+            return v >= 0 and (within_us is None or t - v <= within_us)
+
+        for eid, etype, t in zip(
+            pdf["event_id"].to_numpy(),
+            pdf["event_type"].to_numpy(),
+            _ts_us(pdf["ts"]).to_numpy(),
+        ):
+            t = int(t)
+            # (1) stop events freeze riders FIRST: every value in
+            # state started strictly before this row, and the hits
+            # computed below inherit the frozen rider
+            for k in range(K):
+                if u_ets[k] is not None and etype == u_ets[k]:
+                    for i in range(n):
+                        if C[i] >= 0 and Cu[k][i] == -1:
+                            Cu[k][i] = QCs[k]
+                        if L[i] >= 0 and Lu[k][i] == -1:
+                            Lu[k][i] = QCs[k]
+            # (2) hits against the pre-row carries
+            hh = [-1] * m
+            hcs = [[-1] * m for _ in range(K)]
+            hu = [[-1] * m for _ in range(K)]
+            for i, (et, trans, _gate) in enumerate(steps):
+                if etype != et:
+                    continue
+                if i == 0:
+                    hh[0] = t
+                    for k in range(K):
+                        hcs[k][0] = QCs[k] + (
+                            1 if etype == cnt_ets[k] else 0)
+                        hu[k][0] = -1
+                else:
+                    if trans == "followed_by":
+                        ch = C[i - 1]
+                        ccs = [Ccs[k][i - 1] for k in range(K)]
+                        cus = {k: Cu[k][i - 1] for k in Cu}
+                    else:
+                        ch = L[i - 1]
+                        ccs = [Lcs[k][i - 1] for k in range(K)]
+                        cus = {k: Lu[k][i - 1] for k in Lu}
+                    if ch >= 0 and (
+                        qtypes[i - 1] is None or LQ[i - 1] <= BP[i - 1]
+                    ):
+                        hh[i] = ch
+                        for k in range(K):
+                            hcs[k][i] = ccs[k]
+                            if k in cus:
+                                hu[k][i] = cus[k]
+            # (3) emission — pool clamped at the chain's freeze
+            if ok(hh[-1], t):
+                out["match_id"].append(int(eid))
+                out["match_us"].append(t)
+                out["start_us"].append(hh[-1])
+                for k in range(K):
+                    incl = QCs[k] + (1 if etype == cnt_ets[k] else 0)
+                    if u_ets[k] is not None:
+                        fz = hu[k][-1]
+                        incl = min(incl, fz if fz != -1 else NO_STOP)
+                    pool = incl - hcs[k][-1]
+                    out[f"n_{cnt_names[k]}"].append(
+                        pool if up_tos[k] is None
+                        else min(pool, up_tos[k])
+                    )
+            # (4) absorb hits (lexicographic paired compare; riders
+            # follow the winner, they never decide it)
+            for i in range(n):
+                htup = (hh[i],) + tuple(hcs[k][i] for k in range(K))
+                ctup = (C[i],) + tuple(Ccs[k][i] for k in range(K))
+                if htup > ctup:
+                    C[i] = hh[i]
+                    for k in range(K):
+                        Ccs[k][i] = hcs[k][i]
+                        if k in Cu:
+                            Cu[k][i] = hu[k][i]
+                L[i] = hh[i]
+                for k in range(K):
+                    Lcs[k][i] = hcs[k][i]
+                    if k in Lu:
+                        Lu[k][i] = hu[k][i]
+                if hh[i] >= 0:
+                    BP[i] = pos
+                if qtypes[i] is not None and etype == qtypes[i]:
+                    LQ[i] = pos
+            # (5) shared running counts + row counter
+            for k in range(K):
+                if etype == cnt_ets[k]:
+                    QCs[k] += 1
+            pos += 1
+        new_flat = C + L + BP + LQ
+        for k in range(K):
+            new_flat += Ccs[k] + Lcs[k]
+        for k in range(K):
+            if k in Cu:
+                new_flat += Cu[k] + Lu[k]
+        state.update((new_flat, QCs, pos))
+        if out["match_id"]:
+            yield pd.DataFrame(
+                {"user_id": [key[0]] * len(out["match_id"]), **out}
+            )
+
+    return fn
+
+
+def cep_until_stream(
+    spark: SparkSession, files_dir: str, sf_dir: str,
+    steps: list, within_us, counted: list,
+) -> DataFrame:
+    """True-streaming compile of until()-gated loops (see
+    _cep_until_fn)."""
+    ev = _events_stream(spark, files_dir, sf_dir)
+    if len(steps) < 2:
+        raise ValueError("streaming compile needs >= 2 positive steps")
+    fields = ["flat ARRAY<BIGINT>", "qcs ARRAY<BIGINT>", "pos BIGINT"]
+    out_fields = (
+        "user_id BIGINT, match_id BIGINT, match_us BIGINT, "
+        "start_us BIGINT"
+        + "".join(f", n_{c[0]} BIGINT" for c in counted)
+    )
+    return ev.groupBy("user_id").applyInPandasWithState(
+        _cep_until_fn(list(steps), within_us, list(counted)),
+        outputStructType=out_fields,
+        stateStructType=", ".join(fields),
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def cep_compiled_stream(
     spark: SparkSession, files_dir: str, sf_dir: str,
     steps: list, within_us, flag_variants=(), skip="no_skip",

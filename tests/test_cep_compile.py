@@ -2086,3 +2086,93 @@ def test_next_optional_neg_streaming_twin(spark, sf_small,
         .astype("datetime64[us]").astype("int64"),
     )[["user_id", "match_id", "match_us", "start_us", "with_click"]]
     pd.testing.assert_frame_equal(got, want_us, check_dtype=False)
+
+
+def test_until_streaming_twin(spark, sf_small, tmp_path_factory):
+    """until() STREAMS (r15): the paired freeze-rider machine
+    (stateful._cep_until_fn, routed by compile_stream) must equal the
+    batch gate+LEAST compile — matches, greedy starts, and the
+    clamped n_click pools — across real micro-batch boundaries."""
+    from sparkflow.streaming import stateful
+
+    stream_dir = stateful.split_events_to_files(
+        spark, sf_small,
+        str(tmp_path_factory.mktemp("cep_until_stream")), 3
+    )
+    pat = (
+        CepPattern.begin("view", etype="view")
+        .followed_by("click", etype="click")
+        .one_or_more()
+        .until("error", etype="error")
+        .followed_by("purchase", etype="purchase")
+        .within("72 hours")
+    )
+    sdf = pat.compile_stream(spark, stream_dir, sf_small)
+    stateful.run_to_memory(sdf, "t_cepuntil", "append")
+    got = (
+        spark.table("t_cepuntil").toPandas()
+        .sort_values("match_id").reset_index(drop=True)
+    )
+    want = (
+        pat.compile(table(spark, sf_small, "events")).toPandas()
+        .sort_values("match_id").reset_index(drop=True)
+    )
+    assert len(want) > 0
+    # the stop bites on this fixture: without until the pools are
+    # strictly larger somewhere
+    no_until = (
+        CepPattern.begin("view", etype="view")
+        .followed_by("click", etype="click")
+        .one_or_more()
+        .followed_by("purchase", etype="purchase")
+        .within("72 hours")
+    )
+    plain = no_until.compile(
+        table(spark, sf_small, "events")
+    ).toPandas().sort_values("match_id").reset_index(drop=True)
+    assert (plain["n_click"].sum() > want["n_click"].sum()
+            or len(plain) > len(want))
+    want_us = want.assign(
+        match_us=pd.to_datetime(want["match_ts"])
+        .astype("datetime64[us]").astype("int64"),
+        start_us=pd.to_datetime(want["start_ts"])
+        .astype("datetime64[us]").astype("int64"),
+    )[["user_id", "match_id", "match_us", "start_us", "n_click"]]
+    pd.testing.assert_frame_equal(got, want_us, check_dtype=False)
+
+
+def test_until_builder_rules(spark):
+    """until()'s refusals are loud and mirrored batch/stream (the r15
+    parity invariant): non-looping step, double until, negated-gap
+    collision, strict entry, optional anywhere, terminal negation,
+    both-strict split in the same pattern."""
+    base = CepPattern.begin("a", etype="A").followed_by("b", etype="B")
+    with pytest.raises(ValueError, match="looping"):
+        base.until("u", etype="U")
+    loop = base.one_or_more()
+    ok = loop.until("u", etype="U")
+    with pytest.raises(ValueError, match="already carries an until"):
+        ok.until("u2", etype="V")
+    with pytest.raises(ValueError, match="notFollowedBy"):
+        (CepPattern.begin("a", etype="A")
+         .not_followed_by("x", etype="X")
+         .followed_by("b", etype="B").one_or_more()
+         .until("u", etype="U"))
+    with pytest.raises(ValueError, match="relaxed-entered"):
+        (CepPattern.begin("a", etype="A")
+         .next("b", etype="B").one_or_more().until("u", etype="U"))
+    pat = (ok.followed_by("c", etype="C").within(10)
+           .not_followed_by("y", etype="Y", within=5))
+    with pytest.raises(ValueError, match="terminal"):
+        pat.compile(None)
+    with pytest.raises(ValueError, match="terminal"):
+        pat.compile_stream(None, "/nonexistent", "/nonexistent")
+    opt = (CepPattern.begin("a", etype="A")
+           .followed_by("o", etype="O").optional()
+           .followed_by("b", etype="B").one_or_more()
+           .until("u", etype="U")
+           .followed_by("c", etype="C").within(10))
+    with pytest.raises(ValueError, match="optional"):
+        opt.compile(None)
+    with pytest.raises(ValueError, match="optional"):
+        opt.compile_stream(None, "/nonexistent", "/nonexistent")

@@ -3391,3 +3391,199 @@ def test_cep_enum_neg_state_fuzz(streams, types, within_s, neg_s, cut):
                 got.add((uid, r.match_id, r.start_us // 1_000_000,
                          bool(r.with_b)))
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# r15: FlinkCEP until() — stop-gated loops. Batch vs brute force, then
+# the keyed freeze-rider machine vs batch across micro-batch splits.
+# ---------------------------------------------------------------------------
+
+_NO_STOP = 1 << 62
+
+
+def _until_brute(rows, types, quant, cap, within_s):
+    """Reference semantics of until() (the documented contract): per
+    match row, feasible chains need every bound repetition's entering
+    gap clean of stop events; the greedy start is the lexicographic
+    (sec, count-at-start, freeze-at-start) max over feasible starts;
+    the pool is min(incl-count-at-match, freeze) - count-at-start."""
+    a_t, b_t, c_t, u_t = types
+    by_user: dict = {}
+    for uid, ev_id, typ, sec in rows:
+        by_user.setdefault(uid, []).append((typ, sec, ev_id))
+    want: dict = {}
+    for uid, seq in by_user.items():
+        n = len(seq)
+        cntb = [0] * (n + 1)  # cntb[x] = #B at positions < x
+        for j in range(n):
+            cntb[j + 1] = cntb[j] + (1 if seq[j][0] == b_t else 0)
+
+        def u0(p):
+            for j in range(p + 1, n):
+                if seq[j][0] == u_t:
+                    return cntb[j]
+            return _NO_STOP
+
+        def clean(lo, hi):  # no stop strictly between positions
+            return all(seq[j][0] != u_t for j in range(lo + 1, hi))
+
+        for pc in range(n):
+            if seq[pc][0] != c_t:
+                continue
+            best = None
+            for pa in range(pc):
+                if seq[pa][0] != a_t or \
+                        seq[pc][1] - seq[pa][1] > within_s:
+                    continue
+                if quant == 2:
+                    feas = any(
+                        seq[p1][0] == b_t and seq[p2][0] == b_t
+                        and clean(pa, p1) and clean(p1, p2)
+                        for p1 in range(pa + 1, pc)
+                        for p2 in range(p1 + 1, pc)
+                    )
+                else:
+                    feas = any(
+                        seq[pb][0] == b_t and clean(pa, pb)
+                        for pb in range(pa + 1, pc)
+                    )
+                if not feas:
+                    continue
+                tup = (seq[pa][1], cntb[pa + 1], u0(pa))
+                if best is None or tup > best:
+                    best = tup
+            if best is None:
+                continue
+            _sec, c0, uz = best
+            pool = min(cntb[pc + 1], uz) - c0
+            if cap is not None:
+                pool = min(pool, cap)
+            want[(uid, seq[pc][2])] = (best[0], pool)
+    return want
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    streams=st.lists(
+        st.lists(_cep_event, min_size=0, max_size=12),
+        min_size=1, max_size=3,
+    ),
+    types=st.tuples(
+        st.sampled_from(["A", "B", "C"]),
+        st.sampled_from(["A", "B", "C"]),
+        st.sampled_from(["A", "B", "C"]),
+        st.sampled_from(["A", "B", "C"]),
+    ),
+    quant=st.sampled_from([1, 2]),
+    cap=st.sampled_from([None, 2, 3]),
+    within_s=st.integers(min_value=1, max_value=40),
+)
+def test_cep_until_fuzz(streams, types, quant, cap, within_s):
+    """until() batch compile vs brute force — stop types deliberately
+    collide with every positive step type (incl. the stop==repeat
+    collision where an absorbed repetition can sit AT the freeze row;
+    both sides implement the documented gate+LEAST algebra, which the
+    brute mirrors literally)."""
+    from sparkflow.streaming.cep import CepPattern
+
+    a_t, b_t, c_t, u_t = types
+    if quant == 2 and cap is None:
+        cap = 3
+    rows, df = _cep_df(_get_spark(), streams)
+    if not rows:
+        return
+
+    pat = CepPattern.begin("a", etype=a_t).followed_by("b", etype=b_t)
+    if quant == 1:
+        pat = pat.one_or_more() if cap is None else pat.times(1, cap)
+    else:
+        pat = pat.times(2, cap)
+    pat = (pat.until("u", etype=u_t)
+           .followed_by("c", etype=c_t).within(within_s))
+    got = {
+        (r.user_id, r.match_id): (r.start_sec, r.n_b)
+        for r in pat.compile(df).select(
+            "user_id", "match_id", "n_b",
+            (F.unix_micros("start_ts") / 1_000_000).cast("int")
+            .alias("start_sec"),
+        ).collect()
+    }
+    want = _until_brute(rows, types, quant, cap, within_s)
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    streams=st.lists(
+        st.lists(_cep_event, min_size=0, max_size=12),
+        min_size=1, max_size=3,
+    ),
+    types=st.tuples(
+        st.sampled_from(["A", "B", "C"]),
+        st.sampled_from(["A", "B", "C"]),
+        st.sampled_from(["A", "B", "C"]),
+        st.sampled_from(["A", "B", "C"]),
+    ),
+    quant=st.sampled_from([1, 2]),
+    cap=st.sampled_from([None, 2, 3]),
+    within_s=st.integers(min_value=1, max_value=40),
+    cut=st.integers(min_value=1, max_value=10),
+)
+def test_cep_until_state_fuzz(streams, types, quant, cap, within_s,
+                              cut):
+    """until() STREAMS (r15): _cep_until_fn (paired carries + per-level
+    freeze riders, stop events freezing BEFORE the row's hits) driven
+    through a fake GroupState with a random micro-batch split must
+    emit exactly the batch rows — matches, greedy starts, and the
+    clamped pools, across the boundary."""
+    import pandas as pd
+
+    from sparkflow.streaming.cep import CepPattern
+    from sparkflow.streaming.stateful import _cep_until_fn
+
+    a_t, b_t, c_t, u_t = types
+    if quant == 2 and cap is None:
+        cap = 3
+    rows, df = _cep_df(_get_spark(), streams)
+    if not rows:
+        return
+
+    pat = CepPattern.begin("a", etype=a_t).followed_by("b", etype=b_t)
+    if quant == 1:
+        pat = pat.one_or_more() if cap is None else pat.times(1, cap)
+    else:
+        pat = pat.times(2, cap)
+    pat = (pat.until("u", etype=u_t)
+           .followed_by("c", etype=c_t).within(within_s))
+    want = {
+        (r.user_id, r.match_id, int(r.start_sec), r.n_b)
+        for r in pat.compile(df).select(
+            "user_id", "match_id", "n_b",
+            (F.unix_micros("start_ts") / 1_000_000).cast("int")
+            .alias("start_sec"),
+        ).collect()
+    }
+
+    fn = _cep_until_fn(
+        pat._until_expansion(), within_s * 1_000_000,
+        [("b", b_t, cap, u_t)],
+    )
+    got = set()
+    by_user: dict = {}
+    for uid, ev_id, typ, sec in rows:
+        by_user.setdefault(uid, []).append((ev_id, typ, sec))
+    for uid, seq in by_user.items():
+        state = _FakeGroupState()
+        for batch in (seq[:cut], seq[cut:]):
+            if not batch:
+                continue
+            pdf = pd.DataFrame({
+                "event_id": [e[0] for e in batch],
+                "event_type": [e[1] for e in batch],
+                "ts": pd.to_datetime([e[2] for e in batch], unit="s"),
+            })
+            for out in fn((uid,), iter([pdf]), state):
+                for r in out.itertuples():
+                    got.add((uid, r.match_id, r.start_us // 1_000_000,
+                             r.n_b))
+    assert got == want
