@@ -194,6 +194,10 @@ class _Step:
     # further repetitions are absorbed (the stop event itself never
     # is); if it fires before the loop's first repetition, the loop
     # cannot start and the match fails (see CepPattern.until)
+    not_next: tuple | None = None  # (name, pred, etype) — FlinkCEP
+    # notNext(condition) AFTER this step: the event DIRECTLY following
+    # this step's bound event (in (ts, tiebreak) order) must not match
+    # the condition (see CepPattern.not_next)
 
 
 @dataclass(frozen=True)
@@ -503,6 +507,61 @@ class CepPattern:
                               etype)),),
         )
 
+    def not_next(self, name: str, pred=None,
+                 etype: str | None = None) -> "CepPattern":
+        """FlinkCEP `notNext(condition)` — negation under STRICT
+        contiguity (r15): the event DIRECTLY AFTER the preceding
+        step's bound event (next row in the key's (ts, tiebreak)
+        order) must NOT match the condition; any event at all (or no
+        event) is fine otherwise. `A.notNext(X).followedBy(B)` =
+        A→B funnels where the view's immediate successor is not an X.
+
+        Compiles to a per-row LEAD(1) flag gating the step's hit
+        column — the bind simply becomes infeasible when its direct
+        successor matches, so greedy dominance and every window shape
+        are untouched; zero new exchanges. Streams with a ONE-ROW
+        DELAYED absorption (a bind's validity is known at the next
+        event; see stateful._cep_not_next_fn). A pattern cannot END
+        in notNext (FlinkCEP refuses the same — there is no following
+        step to emit at); compositions with optional steps, skip
+        strategies, gap bounds, until() and terminal negation refuse
+        loudly in BOTH batch and streaming (parity invariant —
+        the delayed-absorption machinery is built for the
+        plain/counted/mid-negation chain class), and notNext on a
+        looping step refuses (which repetition's successor would it
+        gate?)."""
+        if not self.steps:
+            raise ValueError("not_next() requires a begin() step first")
+        if self.pending_neg is not None:
+            raise ValueError(
+                "not_next() cannot follow a dangling notFollowedBy — "
+                "close the negated gap with a positive step first"
+            )
+        last = self.steps[-1]
+        if last.not_next is not None:
+            raise ValueError(
+                "this step already carries a notNext — merge the "
+                "predicates into one (pred_a | pred_b)"
+            )
+        if last.one_or_more or last.up_to is not None:
+            raise ValueError(
+                "not_next() after a oneOrMore/times(n, m) step is not "
+                "supported — the repetition pool absorbs events past "
+                "the bound copy, so 'directly after the step' is not "
+                "a single event; gate the following step instead"
+            )
+        if last.optional:
+            raise ValueError(
+                "not_next() after an optional step is not supported"
+            )
+        return replace(
+            self,
+            steps=self.steps[:-1]
+            + (replace(last,
+                       not_next=(name, self._resolve(name, pred, etype),
+                                 etype)),),
+        )
+
     def not_followed_by(self, name: str, pred=None, within=None,
                         etype: str | None = None) -> "CepPattern":
         """Negation (FlinkCEP notFollowedBy), two forms:
@@ -707,6 +766,26 @@ class CepPattern:
                 ))
         return out
 
+    def _not_next_expansion(self) -> tuple:
+        """(event_expansion, nn_ets) for a pattern with notNext gates:
+        nn_ets[i] = the notNext stop type gating expanded copy i (set
+        on the LAST copy of a gated step, None elsewhere)."""
+        nn = []
+        for s in self.steps:
+            for k in range(s.times):
+                if s.not_next is not None and k == s.times - 1:
+                    if s.not_next[2] is None:
+                        raise ValueError(
+                            f"the notNext after step {s.name!r} was "
+                            "built from a Column predicate — declare "
+                            "it with etype=... to compile for "
+                            "streaming"
+                        )
+                    nn.append(s.not_next[2])
+                else:
+                    nn.append(None)
+        return self._event_expansion(self.steps), nn
+
     def _needs_variant_enum(self) -> bool:
         """True when optional steps sit in a strict-contiguity region —
         some step AFTER the first optional enters via next(), so
@@ -870,6 +949,61 @@ class CepPattern:
         refusal."""
         from . import stateful
 
+        if any(s.not_next is not None for s in self.steps):
+            # r15: notNext streams via one-row delayed absorption
+            # (stateful._cep_not_next_fn); refusals mirror compile()
+            if self.steps[-1].not_next is not None:
+                raise ValueError(
+                    "a pattern cannot end in notNext (FlinkCEP "
+                    "refuses the same) — there is no following step "
+                    "to emit the match at; use a terminal "
+                    "notFollowedBy with a within horizon instead"
+                )
+            if any(s.optional for s in self.steps) \
+                    or self.skip != "no_skip" \
+                    or self.gap_us is not None \
+                    or self.neg is not None \
+                    or any(s.until is not None for s in self.steps):
+                raise ValueError(
+                    "notNext composes with plain, counted and "
+                    "mid-negated chains — its combinations with "
+                    "optional steps, skip strategies, gap bounds, "
+                    "until() or a terminal notFollowedBy are not "
+                    "built (the streaming delayed-absorption "
+                    "machinery covers the chain class; the batch "
+                    "compile refuses the same combinations to keep "
+                    "batch/stream parity)"
+                )
+            req = [s for s in self.steps if not s.optional]
+            for i, st_ in enumerate(req):
+                if (st_.contiguity == "next" and st_.times == 1
+                        and (st_.one_or_more
+                             or (st_.up_to is not None
+                                 and st_.up_to >= 2))
+                        and i + 1 < len(req)
+                        and req[i + 1].contiguity == "next"):
+                    raise ValueError(
+                        "notNext does not compose with a both-strict "
+                        "oneOrMore/times(1, m) step in the same "
+                        "pattern — the OR-split streaming machine "
+                        "has no delayed absorption; relax one edge "
+                        "of the split step"
+                    )
+            counted_steps = [s for s in self.steps
+                             if s.one_or_more or s.up_to is not None]
+            for c in counted_steps:
+                if c.etype is None:
+                    raise ValueError(
+                        f"counted step {c.name!r} was built from a "
+                        "Column predicate — declare it with etype=... "
+                        "to compile for streaming"
+                    )
+            steps_x, nn_ets = self._not_next_expansion()
+            return stateful.cep_not_next_stream(
+                spark, files_dir, sf_dir, steps_x, self.within_us,
+                [(c.name, c.etype, c.up_to) for c in counted_steps],
+                nn_ets,
+            )
         if any(s.until is not None for s in self.steps):
             # r15: until() loops stream via the paired machinery plus
             # the per-level freeze riders (stateful._cep_until_fn).
@@ -1491,6 +1625,30 @@ class CepPattern:
                     "notFollowedBy yet — bound the pattern with "
                     "within() instead"
                 )
+        if any(s.not_next is not None for s in self.steps):
+            # r15 notNext refusals, mirrored EXACTLY in compile_stream
+            if self.steps[-1].not_next is not None:
+                raise ValueError(
+                    "a pattern cannot end in notNext (FlinkCEP "
+                    "refuses the same) — there is no following step "
+                    "to emit the match at; use a terminal "
+                    "notFollowedBy with a within horizon instead"
+                )
+            if any(s.optional for s in self.steps) \
+                    or self.skip != "no_skip" \
+                    or self.gap_us is not None \
+                    or self.neg is not None \
+                    or any(s.until is not None for s in self.steps):
+                raise ValueError(
+                    "notNext composes with plain, counted and "
+                    "mid-negated chains — its combinations with "
+                    "optional steps, skip strategies, gap bounds, "
+                    "until() or a terminal notFollowedBy are not "
+                    "built (the streaming delayed-absorption "
+                    "machinery covers the chain class; the batch "
+                    "compile refuses the same combinations to keep "
+                    "batch/stream parity)"
+                )
         skip_mode = self.skip != "no_skip"
         if skip_mode and (counted or any(s.optional for s in self.steps)):
             raise ValueError(
@@ -1605,6 +1763,23 @@ class CepPattern:
                 or nbu_cols:
             pos_col = "_cep_pos"
             cur = cur.withColumn(pos_col, F.row_number().over(w_order))
+        # notNext flags (r15): nn(x) = the DIRECTLY following event
+        # matches the negated condition — one LEAD(1) per notNext, a
+        # per-row hit filter that leaves every carry/window untouched
+        nn_cols: dict[str, str] = {}
+        for j, s in enumerate(self.steps):
+            if s.not_next is not None:
+                c = f"_cep_nn{j}"
+                cur = cur.withColumn(
+                    c,
+                    F.coalesce(
+                        F.lead(
+                            s.not_next[1].cast("boolean"), 1
+                        ).over(w_order),
+                        F.lit(False),
+                    ),
+                )
+                nn_cols[s.name] = c
         nq_cols: dict[str, str] = {}
         if self.gap_us is not None:
             # count-gated bounded negation (see above): one running
@@ -1650,8 +1825,15 @@ class CepPattern:
                         and (k == 0 if with_anchor[0] == "first"
                              else k == s.times - 1)
                     )
+                    p_eff = s.pred
+                    # notNext (r15): the LAST copy's bind is
+                    # infeasible when its direct successor matches —
+                    # folding the LEAD flag into the predicate leaves
+                    # every carry untouched
+                    if s.not_next is not None and k == s.times - 1:
+                        p_eff = p_eff & ~F.col(nn_cols[s.name])
                     expanded.append(
-                        (s, s.pred, s.contiguity if k == 0 else inner,
+                        (s, p_eff, s.contiguity if k == 0 else inner,
                          k == 0, at_anchor)
                     )
             use_struct = (with_counts and bool(counted)) or with_pos
@@ -1900,6 +2082,13 @@ class CepPattern:
                 and i + 1 < len(required)
                 and required[i + 1].contiguity == "next"
             ]
+            if split and any(s.not_next is not None for s in self.steps):
+                raise ValueError(
+                    "notNext does not compose with a both-strict "
+                    "oneOrMore/times(1, m) step in the same pattern — "
+                    "the OR-split streaming machine has no delayed "
+                    "absorption; relax one edge of the split step"
+                )
             if split and any(s.until is not None for s in self.steps):
                 raise ValueError(
                     "until() does not compose with a both-strict "
@@ -3980,6 +4169,73 @@ def stream_cep_until(spark: SparkSession, sf_dir: str) -> DataFrame:
         .until("error", etype="error")
         .followed_by("purchase", etype="purchase")
         .within("72 hours")
+    )
+    return pat.compile(
+        table(spark, sf_dir, "events"),
+        key="user_id",
+        ts="ts",
+        tiebreak="event_id",
+    )
+
+
+@register(
+    "stream_cep_not_next",
+    oracle=f"""
+    WITH s0 AS (
+      SELECT user_id, event_id, event_type, ts,
+             COALESCE(LEAD(event_type = 'error') OVER
+                        (PARTITION BY user_id ORDER BY ts, event_id),
+                      FALSE) AS nn,
+             CASE WHEN event_type = 'view' THEN ts END AS raw0
+      FROM events
+    ), s1 AS (
+      SELECT *, CASE WHEN raw0 IS NOT NULL AND NOT nn
+                     THEN raw0 END AS h0
+      FROM s0
+    ), s2 AS (
+      SELECT *, CASE WHEN event_type = 'click'
+                     THEN {_CEP_CARRY.format(src='h0')} END AS h1
+      FROM s1
+    ), s3 AS (
+      SELECT *, CASE WHEN event_type = 'purchase'
+                     THEN {_CEP_CARRY.format(src='h1')} END AS h2
+      FROM s2
+    )
+    SELECT user_id, event_id AS match_id, ts AS match_ts, h2 AS start_ts
+    FROM s3
+    WHERE h2 IS NOT NULL
+      AND epoch_us(ts) - epoch_us(h2) <= 129600000000::BIGINT
+    """,
+)
+def stream_cep_not_next(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FlinkCEP `notNext(condition)` — negation under STRICT
+    contiguity (r15): `begin(view).notNext(error).followedBy(click)
+    .followedBy(purchase).within(36h)` — view→click→purchase funnels
+    whose view was NOT immediately followed by an error (the
+    clean-first-impression funnel: the very next thing the user saw
+    after the view was not a failure). Unlike notFollowedBy (no
+    negated event anywhere in a gap/horizon), notNext constrains ONE
+    position — the direct successor in the key's (ts, tiebreak)
+    order — so it compiles to a per-row LEAD(1) flag folded into the
+    step's predicate: an invalid bind simply never enters the carry,
+    greedy dominance and the single-exchange window chain are
+    untouched. A pattern cannot end in notNext (FlinkCEP refuses the
+    same). The oracle unrolls the identical LEAD gate + carries.
+    Brute-force fuzz across the allowed chain class (plain, counted,
+    mid-negated; colliding types):
+    tests/test_properties.py::test_cep_not_next_fuzz. STREAMS (r15:
+    one-row DELAYED ABSORPTION — a bind parks in a pending keyed-state
+    slot until its direct successor delivers the verdict, surviving
+    micro-batch boundaries; strict hops and downstream gates read
+    only valid binds — stateful._cep_not_next_fn; twin pytest +
+    fake-GroupState fuzz incl. the verdict event landing on the other
+    side of the batch split)."""
+    pat = (
+        CepPattern.begin("view", etype="view")
+        .not_next("error", etype="error")
+        .followed_by("click", etype="click")
+        .followed_by("purchase", etype="purchase")
+        .within("36 hours")
     )
     return pat.compile(
         table(spark, sf_dir, "events"),

@@ -3247,6 +3247,209 @@ def _cep_until_fn(steps, within_us, counted):
     return fn
 
 
+def _cep_not_next_fn(steps, within_us, counted, nn_ets):
+    """r15: keyed-state executor for patterns with notNext gates
+    (FlinkCEP's strict-contiguity negation, compiled batch-side as a
+    LEAD(1) flag folded into the step predicate). A bind's validity
+    ("the directly following event does not match") is only known at
+    the NEXT event, so gated levels use ONE-ROW DELAYED ABSORPTION:
+    the row's hit parks in a pending slot instead of the carry; the
+    next event either absorbs it (its type clears the gate) or drops
+    it — the lag value L and the gate watermark BP follow the same
+    delayed rule, so strict hops and downstream mid-negation gates
+    read only VALID binds, exactly the batch's gated hit column.
+    `steps` = [(etype, trans, neg_et)] (mid-negation first-copy gates
+    as usual), `counted` = [(name, etype, up_to)], `nn_ets[i]` = the
+    notNext type gating expanded copy i (None = ungated; the final
+    copy is never gated — a pattern cannot end in notNext)."""
+    m = len(steps)
+    n = m - 1
+    qtypes = [st[2] for st in steps[1:]]
+    cnt_names = [c[0] for c in counted]
+    cnt_ets = [c[1] for c in counted]
+    up_tos = [c[2] for c in counted]
+    K = len(counted)
+
+    def fn(
+        key: Tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        # flat: C(n) L(n) BP(n) LQ(n) + per k: Ccs(n) Lcs(n)
+        #       + P(n) Ppos(n) + per k: Pcs(n)
+        base = 4 * n + 2 * K * n + 2 * n + K * n
+        if state.exists:
+            vals = list(state.get)
+            flat = list(vals[0])
+            QCs = list(vals[1])
+            pos = vals[2]
+        else:
+            flat = [-1] * base
+            QCs = [0] * K
+            pos = 0
+        off = 0
+        C = flat[off:off + n]; off += n
+        L = flat[off:off + n]; off += n
+        BP = flat[off:off + n]; off += n
+        LQ = flat[off:off + n]; off += n
+        Ccs, Lcs = [], []
+        for _k in range(K):
+            Ccs.append(flat[off:off + n]); off += n
+            Lcs.append(flat[off:off + n]); off += n
+        P = flat[off:off + n]; off += n
+        Ppos = flat[off:off + n]; off += n
+        Pcs = []
+        for _k in range(K):
+            Pcs.append(flat[off:off + n]); off += n
+        chunks = [p for p in pdf_iter if len(p)]
+        if not chunks:
+            return
+        pdf = pd.concat(chunks).sort_values(["ts", "event_id"])
+        if _ts_us(pdf["ts"]).min() < 0:
+            raise ValueError(
+                "cep_compiled_stream requires event times >= 1970-01-01 "
+                "(the -1 no-hit state sentinel; the batch compile has "
+                "no such limit)"
+            )
+        out = {"match_id": [], "match_us": [], "start_us": []}
+        for nm in cnt_names:
+            out[f"n_{nm}"] = []
+
+        def ok(v, t):
+            return v >= 0 and (within_us is None or t - v <= within_us)
+
+        for eid, etype, t in zip(
+            pdf["event_id"].to_numpy(),
+            pdf["event_type"].to_numpy(),
+            _ts_us(pdf["ts"]).to_numpy(),
+        ):
+            t = int(t)
+            # (0) resolve pendings: this event IS the gated binds'
+            # direct successor — absorb if it clears the gate, drop
+            # otherwise; either way the lag slot reflects the verdict
+            for i in range(n):
+                if nn_ets[i] is None:
+                    continue
+                if P[i] >= 0 and etype != nn_ets[i]:
+                    ptup = (P[i],) + tuple(Pcs[k][i] for k in range(K))
+                    ctup = (C[i],) + tuple(Ccs[k][i] for k in range(K))
+                    if ptup > ctup:
+                        C[i] = P[i]
+                        for k in range(K):
+                            Ccs[k][i] = Pcs[k][i]
+                    BP[i] = Ppos[i]
+                    L[i] = P[i]
+                    for k in range(K):
+                        Lcs[k][i] = Pcs[k][i]
+                else:
+                    L[i] = -1
+                    for k in range(K):
+                        Lcs[k][i] = -1
+                P[i] = -1
+                Ppos[i] = -1
+                for k in range(K):
+                    Pcs[k][i] = -1
+            # (1) hits against the (resolved) carries
+            hh = [-1] * m
+            hcs = [[-1] * m for _ in range(K)]
+            for i, (et, trans, _neg) in enumerate(steps):
+                if etype != et:
+                    continue
+                if i == 0:
+                    hh[0] = t
+                    for k in range(K):
+                        hcs[k][0] = QCs[k] + (
+                            1 if etype == cnt_ets[k] else 0)
+                else:
+                    if trans == "followed_by":
+                        ch = C[i - 1]
+                        ccs = [Ccs[k][i - 1] for k in range(K)]
+                    else:
+                        ch = L[i - 1]
+                        ccs = [Lcs[k][i - 1] for k in range(K)]
+                    if ch >= 0 and (
+                        qtypes[i - 1] is None or LQ[i - 1] <= BP[i - 1]
+                    ):
+                        hh[i] = ch
+                        for k in range(K):
+                            hcs[k][i] = ccs[k]
+            # (2) emission (the final step is never notNext-gated)
+            if ok(hh[-1], t):
+                out["match_id"].append(int(eid))
+                out["match_us"].append(t)
+                out["start_us"].append(hh[-1])
+                for k in range(K):
+                    pool = (QCs[k] + (1 if etype == cnt_ets[k] else 0)
+                            - hcs[k][-1])
+                    out[f"n_{cnt_names[k]}"].append(
+                        pool if up_tos[k] is None
+                        else min(pool, up_tos[k])
+                    )
+            # (3) absorb — gated levels PARK the hit instead
+            for i in range(n):
+                if nn_ets[i] is not None:
+                    P[i] = hh[i]
+                    Ppos[i] = pos if hh[i] >= 0 else -1
+                    for k in range(K):
+                        Pcs[k][i] = hcs[k][i]
+                else:
+                    htup = (hh[i],) + tuple(
+                        hcs[k][i] for k in range(K))
+                    ctup = (C[i],) + tuple(
+                        Ccs[k][i] for k in range(K))
+                    if htup > ctup:
+                        C[i] = hh[i]
+                        for k in range(K):
+                            Ccs[k][i] = hcs[k][i]
+                    L[i] = hh[i]
+                    for k in range(K):
+                        Lcs[k][i] = hcs[k][i]
+                    if hh[i] >= 0:
+                        BP[i] = pos
+                if qtypes[i] is not None and etype == qtypes[i]:
+                    LQ[i] = pos
+            for k in range(K):
+                if etype == cnt_ets[k]:
+                    QCs[k] += 1
+            pos += 1
+        new_flat = C + L + BP + LQ
+        for k in range(K):
+            new_flat += Ccs[k] + Lcs[k]
+        new_flat += P + Ppos
+        for k in range(K):
+            new_flat += Pcs[k]
+        state.update((new_flat, QCs, pos))
+        if out["match_id"]:
+            yield pd.DataFrame(
+                {"user_id": [key[0]] * len(out["match_id"]), **out}
+            )
+
+    return fn
+
+
+def cep_not_next_stream(
+    spark: SparkSession, files_dir: str, sf_dir: str,
+    steps: list, within_us, counted: list, nn_ets: list,
+) -> DataFrame:
+    """True-streaming compile of notNext-gated chains (see
+    _cep_not_next_fn)."""
+    ev = _events_stream(spark, files_dir, sf_dir)
+    if len(steps) < 2:
+        raise ValueError("streaming compile needs >= 2 positive steps")
+    fields = ["flat ARRAY<BIGINT>", "qcs ARRAY<BIGINT>", "pos BIGINT"]
+    out_fields = (
+        "user_id BIGINT, match_id BIGINT, match_us BIGINT, "
+        "start_us BIGINT"
+        + "".join(f", n_{c[0]} BIGINT" for c in counted)
+    )
+    return ev.groupBy("user_id").applyInPandasWithState(
+        _cep_not_next_fn(list(steps), within_us, list(counted),
+                         list(nn_ets)),
+        outputStructType=out_fields,
+        stateStructType=", ".join(fields),
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def cep_until_stream(
     spark: SparkSession, files_dir: str, sf_dir: str,
     steps: list, within_us, counted: list,

@@ -3587,3 +3587,167 @@ def test_cep_until_state_fuzz(streams, types, quant, cap, within_s,
                     got.add((uid, r.match_id, r.start_us // 1_000_000,
                              r.n_b))
     assert got == want
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    streams=st.lists(
+        st.lists(_cep_event, min_size=0, max_size=12),
+        min_size=1, max_size=3,
+    ),
+    types=st.tuples(
+        st.sampled_from(["A", "B", "C"]),
+        st.sampled_from(["A", "B", "C"]),
+        st.sampled_from(["A", "B", "C"]),
+        st.sampled_from(["A", "B", "C"]),
+    ),
+    shape=st.sampled_from(["plain", "counted", "midneg"]),
+    within_s=st.integers(min_value=1, max_value=40),
+)
+def test_cep_not_next_fuzz(streams, types, shape, within_s):
+    """notNext (r15) batch compile vs brute force across its allowed
+    chain class (plain / counted / mid-negated), negated type
+    colliding with every positive type: a start bind is infeasible
+    iff its DIRECT successor (row order) matches the condition."""
+    import itertools
+
+    from sparkflow.streaming.cep import CepPattern
+
+    a_t, x_t, b_t, c_t = types
+    rows, df = _cep_df(_get_spark(), streams)
+    if not rows:
+        return
+
+    pat = CepPattern.begin("a", etype=a_t).not_next("x", etype=x_t)
+    if shape == "midneg":
+        pat = pat.not_followed_by("u", etype="A")
+    pat = pat.followed_by("b", etype=b_t)
+    if shape == "counted":
+        pat = pat.one_or_more()
+    pat = pat.followed_by("c", etype=c_t).within(within_s)
+    cols = ["user_id", "match_id"]
+    if shape == "counted":
+        cols.append("n_b")
+    got = {
+        (r.user_id, r.match_id): (
+            (r.start_sec, r.n_b) if shape == "counted"
+            else (r.start_sec,)
+        )
+        for r in pat.compile(df).select(
+            *cols,
+            (F.unix_micros("start_ts") / 1_000_000).cast("int")
+            .alias("start_sec"),
+        ).collect()
+    }
+
+    by_user: dict = {}
+    for uid, ev_id, typ, sec in rows:
+        by_user.setdefault(uid, []).append((typ, sec, ev_id))
+    want: dict = {}
+    for uid, seq in by_user.items():
+        nsq = len(seq)
+        for pa, pb, pc in itertools.combinations(range(nsq), 3):
+            if (seq[pa][0], seq[pb][0], seq[pc][0]) != (a_t, b_t, c_t):
+                continue
+            if seq[pc][1] - seq[pa][1] > within_s:
+                continue
+            if pa + 1 < nsq and seq[pa + 1][0] == x_t:
+                continue  # direct successor matches -> bind infeasible
+            if shape == "midneg" and any(
+                seq[j][0] == "A" for j in range(pa + 1, pb)
+            ):
+                continue
+            k = (uid, seq[pc][2])
+            prev = want.get(k)
+            if prev is None or (seq[pa][1], pa) > prev[:2]:
+                want[k] = (seq[pa][1], pa, pc)
+    expect = {}
+    for (uid, mid), (sec, pa, pc) in want.items():
+        if shape == "counted":
+            seq = by_user[uid]
+            pool = sum(1 for j in range(pa + 1, pc + 1)
+                       if seq[j][0] == b_t)
+            expect[(uid, mid)] = (sec, pool)
+        else:
+            expect[(uid, mid)] = (sec,)
+    assert got == expect
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    streams=st.lists(
+        st.lists(_cep_event, min_size=0, max_size=12),
+        min_size=1, max_size=3,
+    ),
+    types=st.tuples(
+        st.sampled_from(["A", "B", "C"]),
+        st.sampled_from(["A", "B", "C"]),
+        st.sampled_from(["A", "B", "C"]),
+        st.sampled_from(["A", "B", "C"]),
+    ),
+    shape=st.sampled_from(["plain", "counted", "midneg", "strict"]),
+    within_s=st.integers(min_value=1, max_value=40),
+    cut=st.integers(min_value=1, max_value=10),
+)
+def test_cep_not_next_state_fuzz(streams, types, shape, within_s, cut):
+    """notNext STREAMS (r15): the one-row delayed-absorption machine
+    (_cep_not_next_fn) driven through a fake GroupState with a random
+    micro-batch split must emit exactly the batch rows — including a
+    gated bind whose verdict event sits on the OTHER side of the
+    boundary (the pending slot persists in keyed state). 'strict'
+    exercises a next() hop reading the delayed lag slot."""
+    import pandas as pd
+
+    from sparkflow.streaming.cep import CepPattern
+    from sparkflow.streaming.stateful import _cep_not_next_fn
+
+    a_t, x_t, b_t, c_t = types
+    rows, df = _cep_df(_get_spark(), streams)
+    if not rows:
+        return
+
+    pat = CepPattern.begin("a", etype=a_t).not_next("x", etype=x_t)
+    if shape == "midneg":
+        pat = pat.not_followed_by("u", etype="A")
+    if shape == "strict":
+        pat = pat.next("b", etype=b_t)
+    else:
+        pat = pat.followed_by("b", etype=b_t)
+    if shape == "counted":
+        pat = pat.one_or_more()
+    pat = pat.followed_by("c", etype=c_t).within(within_s)
+    sel = ["user_id", "match_id"] + (
+        ["n_b"] if shape == "counted" else [])
+    want = {
+        tuple(getattr(r, c) for c in sel) + (int(r.start_sec),)
+        for r in pat.compile(df).select(
+            *sel,
+            (F.unix_micros("start_ts") / 1_000_000).cast("int")
+            .alias("start_sec"),
+        ).collect()
+    }
+
+    steps_x, nn_ets = pat._not_next_expansion()
+    counted = ([("b", b_t, None)] if shape == "counted" else [])
+    fn = _cep_not_next_fn(steps_x, within_s * 1_000_000, counted,
+                          nn_ets)
+    got = set()
+    by_user: dict = {}
+    for uid, ev_id, typ, sec in rows:
+        by_user.setdefault(uid, []).append((ev_id, typ, sec))
+    for uid, seq in by_user.items():
+        state = _FakeGroupState()
+        for batch in (seq[:cut], seq[cut:]):
+            if not batch:
+                continue
+            pdf = pd.DataFrame({
+                "event_id": [e[0] for e in batch],
+                "event_type": [e[1] for e in batch],
+                "ts": pd.to_datetime([e[2] for e in batch], unit="s"),
+            })
+            for out in fn((uid,), iter([pdf]), state):
+                for r in out.itertuples():
+                    row = (uid, r.match_id) + (
+                        (r.n_b,) if shape == "counted" else ())
+                    got.add(row + (r.start_us // 1_000_000,))
+    assert got == want
