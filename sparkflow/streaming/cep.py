@@ -507,6 +507,40 @@ class CepPattern:
                               etype)),),
         )
 
+    def followed_by_any(self, name: str, pred=None,
+                        etype: str | None = None) -> "CepPattern":
+        """FlinkCEP `followedByAny` — NON-DETERMINISTIC relaxed
+        contiguity (r15): emit a match for EVERY qualifying
+        (start, completion) pair, not the engine's usual greedy
+        one-row-per-match-row fold. Supported for the TWO-STEP class
+        `begin(a).followedByAny(b).within(T)` — all (a, b) pairs with
+        a strictly earlier (row order) and span <= T — which compiles
+        to a bin-bucketed range SELF-JOIN (the manufactured equi key
+        keeps it off the BroadcastNestedLoopJoin cliff; output gains a
+        `start_id` column since starts are enumerated, not folded).
+        Deeper followedByAny chains REFUSE loudly: their match
+        multiplicity is the product of per-gap candidate counts —
+        combinatorial output, the same blow-up the FlinkCEP docs warn
+        about — and the greedy fold that keeps every other pattern
+        linear is exactly what `followedBy` already provides; use it
+        unless you need the enumeration itself."""
+        if not self.steps:
+            raise ValueError(
+                "followed_by_any() requires a begin() step first"
+            )
+        if self.pending_neg is not None:
+            raise ValueError(
+                "followed_by_any() cannot follow a dangling "
+                "notFollowedBy"
+            )
+        return replace(
+            self,
+            steps=self.steps + (_Step(
+                name, self._resolve(name, pred, etype),
+                "followed_by_any", etype=etype,
+            ),),
+        )
+
     def not_next(self, name: str, pred=None,
                  etype: str | None = None) -> "CepPattern":
         """FlinkCEP `notNext(condition)` — negation under STRICT
@@ -706,6 +740,12 @@ class CepPattern:
                 raise ValueError(
                     f"step {s.name!r} was built from a Column predicate —"
                     " declare it with etype=... to compile for streaming"
+                )
+            if s.contiguity == "followed_by_any":
+                raise ValueError(
+                    "followedByAny patterns compile through the pair-"
+                    "enumeration path (compile/compile_stream route "
+                    "them before any carry-chain expansion)"
                 )
             neg_et = None
             if s.neg_before is not None:
@@ -914,6 +954,78 @@ class CepPattern:
                 idx += 1
         return anchor
 
+    def _validate_any_pairs(self) -> None:
+        """Shared followedByAny class check (batch + streaming —
+        the parity invariant)."""
+        ok = (
+            len(self.steps) == 2
+            and self.steps[0].contiguity == "begin"
+            and self.steps[1].contiguity == "followed_by_any"
+            and not any(
+                s.optional or s.one_or_more or s.up_to is not None
+                or s.until is not None or s.neg_before is not None
+                or s.not_next is not None or s.times != 1
+                for s in self.steps
+            )
+            and self.neg is None and self.pending_neg is None
+            and self.skip == "no_skip" and self.gap_us is None
+        )
+        if not ok:
+            raise ValueError(
+                "followedByAny is supported for the plain two-step "
+                "class begin(a).followedByAny(b).within(T) — deeper "
+                "or annotated followedByAny chains have combinatorial "
+                "match multiplicity (the FlinkCEP docs warn about the "
+                "same blow-up); use followedBy's greedy fold unless "
+                "the enumeration itself is the point"
+            )
+        if self.within_us is None:
+            raise ValueError(
+                "followedByAny requires within() — the pair "
+                "enumeration is unbounded without a horizon"
+            )
+
+    def _compile_any_pairs(self, df, key, ts, tiebreak):
+        """followedByAny (r15): ALL (start, completion) pairs with the
+        start strictly earlier in (ts, tiebreak) order and span within
+        the horizon — a bin-bucketed range self-join (the bin trick
+        manufactures an equi key: a completion's bin is the start's
+        own or the next, never further, so each pair joins on exactly
+        one bin; cost O(n · per-bin density), not O(n²))."""
+        self._validate_any_pairs()
+        a, b = self.steps
+        W = self.within_us
+        s_us = F.unix_micros(F.col(ts))
+        starts = df.filter(a.pred).select(
+            F.col(key),
+            F.col(tiebreak).alias("start_id"),
+            F.col(ts).alias("start_ts"),
+            s_us.alias("_s_us"),
+            F.explode(F.array(
+                F.floor(s_us / W).cast("long"),
+                F.floor(s_us / W).cast("long") + 1,
+            )).alias("_bin"),
+        )
+        ends = df.filter(b.pred).select(
+            F.col(key),
+            F.col(tiebreak).alias("match_id"),
+            F.col(ts).alias("match_ts"),
+            F.unix_micros(F.col(ts)).alias("_e_us"),
+            F.floor(F.unix_micros(F.col(ts)) / W).cast("long")
+            .alias("_bin"),
+        )
+        strictly_earlier = (
+            (F.col("_s_us") < F.col("_e_us"))
+            | ((F.col("_s_us") == F.col("_e_us"))
+               & (F.col("start_id") < F.col("match_id")))
+        )
+        return (
+            ends.join(starts, [key, "_bin"])
+            .filter(strictly_earlier
+                    & (F.col("_e_us") - F.col("_s_us") <= W))
+            .select(key, "match_id", "match_ts", "start_id", "start_ts")
+        )
+
     def compile_stream(self, spark, files_dir: str, sf_dir: str):
         """TRUE-STREAMING compile (readStream + applyInPandasWithState):
         the carry chains are literally a per-key state machine — per
@@ -949,6 +1061,24 @@ class CepPattern:
         refusal."""
         from . import stateful
 
+        if any(s.contiguity == "followed_by_any" for s in self.steps):
+            # r15: the two-step enumeration class streams as a
+            # WATERMARKED STREAM-STREAM INTERVAL SELF-JOIN — Spark
+            # bounds both sides' state by the watermark + the join's
+            # time range, the streaming-native form of the batch
+            # binned range join (refusals shared with compile())
+            self._validate_any_pairs()
+            a, b = self.steps
+            if a.etype is None or b.etype is None:
+                raise ValueError(
+                    "followedByAny steps were built from Column "
+                    "predicates — declare them with etype=... to "
+                    "compile for streaming"
+                )
+            return stateful.cep_any_pairs_stream(
+                spark, files_dir, sf_dir, a.etype, b.etype,
+                self.within_us,
+            )
         if any(s.not_next is not None for s in self.steps):
             # r15: notNext streams via one-row delayed absorption
             # (stateful._cep_not_next_fn); refusals mirror compile()
@@ -1599,6 +1729,8 @@ class CepPattern:
                 "the final step cannot be optional — it anchors the "
                 "match row"
             )
+        if any(s.contiguity == "followed_by_any" for s in self.steps):
+            return self._compile_any_pairs(df, key, ts, tiebreak)
         required = [s for s in self.steps if not s.optional]
         order = [F.col(ts), F.col(tiebreak)]
         w_order = Window.partitionBy(key).orderBy(*order)
@@ -4236,6 +4368,54 @@ def stream_cep_not_next(spark: SparkSession, sf_dir: str) -> DataFrame:
         .followed_by("click", etype="click")
         .followed_by("purchase", etype="purchase")
         .within("36 hours")
+    )
+    return pat.compile(
+        table(spark, sf_dir, "events"),
+        key="user_id",
+        ts="ts",
+        tiebreak="event_id",
+    )
+
+
+@register(
+    "stream_cep_followed_by_any",
+    oracle="""
+    SELECT e.user_id, e.event_id AS match_id, e.ts AS match_ts,
+           s.event_id AS start_id, s.ts AS start_ts
+    FROM events e JOIN events s ON s.user_id = e.user_id
+    WHERE e.event_type = 'purchase' AND s.event_type = 'view'
+      AND (epoch_us(s.ts) < epoch_us(e.ts)
+           OR (epoch_us(s.ts) = epoch_us(e.ts)
+               AND s.event_id < e.event_id))
+      AND epoch_us(e.ts) - epoch_us(s.ts) <= 3600000000::BIGINT
+    """,
+)
+def stream_cep_followed_by_any(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """FlinkCEP `followedByAny` — NON-DETERMINISTIC relaxed
+    contiguity (r15): `begin(view).followedByAny(purchase)
+    .within(1h)` — EVERY (view, purchase) pair per user with the view
+    strictly earlier (row order) and at most an hour older, one
+    output row per pair (`start_id` joins the schema because starts
+    are enumerated, not greedily folded — the attribution join every
+    "which views could have driven this purchase" analysis wants).
+    Compiles as a bin-bucketed range SELF-JOIN: starts explode into
+    their own and the next `within`-width bin, completions join on
+    (user, bin) — each pair lands in exactly one bin, so the plan is
+    a shuffled hash join at O(n · per-bin density) instead of the
+    quadratic BroadcastNestedLoopJoin the naive theta join plans;
+    the oracle IS that quadratic formulation. Deeper followedByAny
+    chains refuse loudly (combinatorial multiplicity — the blow-up
+    the FlinkCEP docs warn about; followedBy's greedy fold is the
+    linear alternative). STREAMS as a WATERMARKED STREAM-STREAM
+    INTERVAL SELF-JOIN (stateful.cep_any_pairs_stream): state ∝ one
+    horizon of starts per key, the enumeration's inherent memory —
+    twin pytest bit-equal across micro-batch boundaries."""
+    pat = (
+        CepPattern.begin("view", etype="view")
+        .followed_by_any("purchase", etype="purchase")
+        .within("1 hour")
     )
     return pat.compile(
         table(spark, sf_dir, "events"),

@@ -3247,6 +3247,59 @@ def _cep_until_fn(steps, within_us, counted):
     return fn
 
 
+def cep_any_pairs_stream(
+    spark: SparkSession, files_dir: str, sf_dir: str,
+    a_et: str, b_et: str, within_us: int,
+) -> DataFrame:
+    """r15: followedByAny's two-step enumeration class as a TRUE
+    streaming query — a watermarked stream-stream interval SELF-JOIN
+    (the streaming-native form of the batch binned range join): both
+    sides carry a watermark and the join's time-range condition, so
+    Spark retains each start only one horizon past the watermark —
+    state ∝ starts in one `within` window per key, the enumeration's
+    inherent memory. The strictly-earlier (ts, tiebreak) refinement
+    rides as an extra boolean predicate on top of the state-bounding
+    range condition."""
+    s = (
+        _events_stream(spark, files_dir, sf_dir)
+        .filter(F.col("event_type") == a_et)
+        .withWatermark("ts", "0 seconds")
+        .select(
+            F.col("user_id").alias("s_user"),
+            F.col("event_id").alias("start_id"),
+            F.col("ts").alias("s_ts"),
+        )
+    )
+    e = (
+        _events_stream(spark, files_dir, sf_dir)
+        .filter(F.col("event_type") == b_et)
+        .withWatermark("ts", "0 seconds")
+        .select(
+            F.col("user_id").alias("e_user"),
+            F.col("event_id").alias("match_id"),
+            F.col("ts").alias("e_ts"),
+        )
+    )
+    cond = (
+        (F.col("s_user") == F.col("e_user"))
+        & (F.col("e_ts") >= F.col("s_ts"))
+        & (F.col("e_ts")
+           <= F.col("s_ts") + F.expr(f"INTERVAL {within_us} MICROSECOND"))
+        & (
+            (F.col("s_ts") < F.col("e_ts"))
+            | ((F.col("s_ts") == F.col("e_ts"))
+               & (F.col("start_id") < F.col("match_id")))
+        )
+    )
+    return e.join(s, cond, "inner").select(
+        F.col("e_user").alias("user_id"),
+        "match_id",
+        F.unix_micros("e_ts").alias("match_us"),
+        "start_id",
+        F.unix_micros("s_ts").alias("start_us"),
+    )
+
+
 def _cep_not_next_fn(steps, within_us, counted, nn_ets):
     """r15: keyed-state executor for patterns with notNext gates
     (FlinkCEP's strict-contiguity negation, compiled batch-side as a

@@ -2261,3 +2261,69 @@ def test_not_next_builder_rules(spark):
         gapped.compile(None)
     with pytest.raises(ValueError, match="notNext composes with"):
         gapped.compile_stream(None, "/x", "/x")
+
+
+def test_followed_by_any_streaming_twin(spark, sf_small,
+                                        tmp_path_factory):
+    """followedByAny STREAMS (r15) as a watermarked stream-stream
+    interval self-join — the pair set must equal the batch binned
+    range join across real micro-batch boundaries."""
+    from sparkflow.streaming import stateful
+
+    stream_dir = stateful.split_events_to_files(
+        spark, sf_small,
+        str(tmp_path_factory.mktemp("cep_any_stream")), 3
+    )
+    pat = (
+        CepPattern.begin("view", etype="view")
+        .followed_by_any("purchase", etype="purchase")
+        .within("1 hour")
+    )
+    sdf = pat.compile_stream(spark, stream_dir, sf_small)
+    stateful.run_to_memory(sdf, "t_cepany", "append")
+    got = {
+        (r.user_id, r.match_id, r.start_id, r.match_us, r.start_us)
+        for r in spark.table("t_cepany").collect()
+    }
+    want = {
+        (
+            r.user_id, r.match_id, r.start_id,
+            r.match_ts.replace(tzinfo=None),
+            r.start_ts.replace(tzinfo=None),
+        )
+        for r in pat.compile(table(spark, sf_small, "events"))
+        .selectExpr("user_id", "match_id", "start_id",
+                    "match_ts", "start_ts").collect()
+    }
+    import datetime as _dt
+
+    def us(x):
+        return int(x.replace(tzinfo=_dt.timezone.utc).timestamp()
+                   * 1_000_000)
+
+    want_us = {(u, m, s, us(mt), us(st_)) for u, m, s, mt, st_ in want}
+    assert len(want_us) > 0
+    assert got == want_us
+
+
+def test_followed_by_any_plan_and_rules(spark, sf_small):
+    """The followedByAny plan must be the binned hash join, never a
+    nested-loop quadratic plan; the class refusals are loud and
+    batch/stream-mirrored."""
+    from sparkflow.plans.explain import formatted_plan
+
+    df = QUERIES["stream_cep_followed_by_any"](spark, sf_small)
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    deep = (CepPattern.begin("a", etype="A")
+            .followed_by_any("b", etype="B")
+            .followed_by_any("c", etype="C").within(10))
+    with pytest.raises(ValueError, match="two-step class"):
+        deep.compile(None)
+    with pytest.raises(ValueError, match="two-step class"):
+        deep.compile_stream(None, "/x", "/x")
+    unbounded = (CepPattern.begin("a", etype="A")
+                 .followed_by_any("b", etype="B"))
+    with pytest.raises(ValueError, match="requires within"):
+        unbounded.compile(None)

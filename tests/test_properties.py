@@ -3751,3 +3751,50 @@ def test_cep_not_next_state_fuzz(streams, types, shape, within_s, cut):
                         (r.n_b,) if shape == "counted" else ())
                     got.add(row + (r.start_us // 1_000_000,))
     assert got == want
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    streams=st.lists(
+        st.lists(_cep_event, min_size=0, max_size=12),
+        min_size=1, max_size=3,
+    ),
+    types=st.tuples(
+        st.sampled_from(["A", "B", "C"]),
+        st.sampled_from(["A", "B", "C"]),
+    ),
+    within_s=st.integers(min_value=1, max_value=40),
+)
+def test_cep_followed_by_any_fuzz(streams, types, within_s):
+    """followedByAny (r15) — the binned pair enumeration vs brute
+    force: every (start, completion) pair, start strictly earlier in
+    (ts, id) order, span <= horizon; colliding types exercise the
+    self-pair case (a == b type)."""
+    from sparkflow.streaming.cep import CepPattern
+
+    a_t, b_t = types
+    rows, df = _cep_df(_get_spark(), streams)
+    if not rows:
+        return
+
+    pat = (CepPattern.begin("a", etype=a_t)
+           .followed_by_any("b", etype=b_t).within(within_s))
+    got = {
+        (r.user_id, r.match_id, r.start_id)
+        for r in pat.compile(df).collect()
+    }
+    want = set()
+    by_user: dict = {}
+    for uid, ev_id, typ, sec in rows:
+        by_user.setdefault(uid, []).append((typ, sec, ev_id))
+    for uid, seq in by_user.items():
+        for ps in range(len(seq)):
+            if seq[ps][0] != a_t:
+                continue
+            for pe in range(ps + 1, len(seq)):
+                if seq[pe][0] != b_t:
+                    continue
+                if seq[pe][1] - seq[ps][1] > within_s:
+                    continue
+                want.add((uid, seq[pe][2], seq[ps][2]))
+    assert got == want
