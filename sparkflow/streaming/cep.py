@@ -94,6 +94,23 @@ untouched). The only batch refusal left: negated gaps entered or
 exited via next(). All lifted compositions are brute-force-fuzzed in
 tests/test_properties.py.
 
+FlinkCEP surface inventory (r15): next / followedBy (greedy fold) /
+followedByAny (two-step pair enumeration) / notNext / notFollowedBy
+(mid-pattern and terminal) / optional / oneOrMore / times(n) /
+times(from, to) / consecutive / until / within (FIRST_AND_LAST and
+PREVIOUS_AND_CURRENT) / all four AfterMatchSkip strategies — every
+mode is represented by a construction with a DuckDB oracle and a
+streaming twin. Deliberately NOT represented, with the reason a user
+can act on: `allowCombinations` and deep `followedByAny` (match
+multiplicity is the product of per-gap candidate counts — the
+combinatorial blow-up FlinkCEP's own docs warn about; the greedy
+fold plus the `n_<name>` pool carries the same information linearly),
+iterative conditions / `where(ctx)` reading previous bindings (their
+state is inherently per-partial-match — an NFA — which this
+compiler's whole design exists to avoid; bound patterns with
+predicates on the row instead), and `subtype()` (Java-class dispatch;
+a predicate on the type column is its relational form).
+
 `one_or_more()` additionally emits a repetition COUNT `n_<name>`
 (r11 verdict item 7): the number of step-events the greedy chain can
 absorb — formally |{rows e : start_row < e <= match_row in
