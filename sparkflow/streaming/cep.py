@@ -481,14 +481,16 @@ class CepPattern:
         repeated-step count just before each row's NEXT stop event —
         monotone in row position, so it rides the lexicographic count
         struct without disturbing greediness) + a LEAST() in the pool
-        arithmetic. Refused compositions (loud, mirrored in batch AND
-        streaming so the parity invariant holds): a step whose
-        entering gap already carries notFollowedBy (merge predicates
-        with |), strict-entered loops (the gate machinery requires a
-        relaxed entering edge, as mid-negation does), optional steps
-        anywhere in the pattern, terminal negation, after-match skip
-        and gap bounds (the latter two are already counted-step
-        refusals)."""
+        arithmetic. A terminal notFollowedBy COMPOSES (r15 same-round
+        continuation: the negation window is orthogonal in batch, and
+        the causal pool rides the watermark hold in streaming).
+        Refused compositions (loud, mirrored in batch AND streaming
+        so the parity invariant holds): a step whose entering gap
+        already carries notFollowedBy (merge predicates with |),
+        strict-entered loops (the gate machinery requires a relaxed
+        entering edge, as mid-negation does), optional steps anywhere
+        in the pattern, after-match skip and gap bounds (the latter
+        two are already counted-step refusals)."""
         if not self.steps:
             raise ValueError("until() requires a begin() step first")
         if self.neg is not None or self.pending_neg is not None:
@@ -574,10 +576,12 @@ class CepPattern:
         DELAYED absorption (a bind's validity is known at the next
         event; see stateful._cep_not_next_fn). A pattern cannot END
         in notNext (FlinkCEP refuses the same — there is no following
-        step to emit at); compositions with optional steps, skip
-        strategies, gap bounds, until() and terminal negation refuse
-        loudly in BOTH batch and streaming (parity invariant —
-        the delayed-absorption machinery is built for the
+        step to emit at); a terminal notFollowedBy COMPOSES (r15
+        same-round continuation — the held candidates are produced by
+        already-validated binds); compositions with optional steps,
+        skip strategies, gap bounds and until() refuse loudly in BOTH
+        batch and streaming (parity invariant — the
+        delayed-absorption machinery is built for the
         plain/counted/mid-negation chain class), and notNext on a
         looping step refuses (which repetition's successor would it
         gate?)."""
@@ -1109,13 +1113,12 @@ class CepPattern:
             if any(s.optional for s in self.steps) \
                     or self.skip != "no_skip" \
                     or self.gap_us is not None \
-                    or self.neg is not None \
                     or any(s.until is not None for s in self.steps):
                 raise ValueError(
-                    "notNext composes with plain, counted and "
-                    "mid-negated chains — its combinations with "
-                    "optional steps, skip strategies, gap bounds, "
-                    "until() or a terminal notFollowedBy are not "
+                    "notNext composes with plain, counted, "
+                    "mid-negated and terminal-negated chains — its "
+                    "combinations with optional steps, skip "
+                    "strategies, gap bounds or until() are not "
                     "built (the streaming delayed-absorption "
                     "machinery covers the chain class; the batch "
                     "compile refuses the same combinations to keep "
@@ -1145,11 +1148,18 @@ class CepPattern:
                         "Column predicate — declare it with etype=... "
                         "to compile for streaming"
                     )
+            if self.neg is not None and self.neg_etype is None:
+                raise ValueError(
+                    "the terminal negation was built from a Column "
+                    "predicate — declare it with etype=... to "
+                    "compile for streaming"
+                )
             steps_x, nn_ets = self._not_next_expansion()
             return stateful.cep_not_next_stream(
                 spark, files_dir, sf_dir, steps_x, self.within_us,
                 [(c.name, c.etype, c.up_to) for c in counted_steps],
-                nn_ets,
+                nn_ets, self.neg_etype if self.neg is not None else None,
+                self.neg_within_us if self.neg is not None else None,
             )
         if any(s.until is not None for s in self.steps):
             # r15: until() loops stream via the paired machinery plus
@@ -1162,12 +1172,6 @@ class CepPattern:
                     "each annotation chain would need its own stop "
                     "gates and freeze fields; make the optional step "
                     "required"
-                )
-            if self.neg is not None:
-                raise ValueError(
-                    "until() does not compose with a terminal "
-                    "notFollowedBy yet — bound the pattern with "
-                    "within() instead"
                 )
             if self.gap_us is not None:
                 raise ValueError(
@@ -1206,12 +1210,20 @@ class CepPattern:
                         "Column predicate — declare it with etype=... "
                         "to compile for streaming"
                     )
+            if self.neg is not None and self.neg_etype is None:
+                raise ValueError(
+                    "the terminal negation was built from a Column "
+                    "predicate — declare it with etype=... to "
+                    "compile for streaming"
+                )
             return stateful.cep_until_stream(
                 spark, files_dir, sf_dir, self._until_expansion(),
                 self.within_us,
                 [(c.name, c.etype, c.up_to,
                   c.until[2] if c.until is not None else None)
                  for c in counted_steps],
+                self.neg_etype if self.neg is not None else None,
+                self.neg_within_us if self.neg is not None else None,
             )
         if self.gap_us is not None:
             # r13: gap-bounded patterns stream with per-level (ts,
@@ -1768,12 +1780,10 @@ class CepPattern:
                     "gates and freeze fields; make the optional step "
                     "required"
                 )
-            if self.neg is not None:
-                raise ValueError(
-                    "until() does not compose with a terminal "
-                    "notFollowedBy yet — bound the pattern with "
-                    "within() instead"
-                )
+            # r15 continuation: until() × terminal notFollowedBy
+            # COMPOSES — the forward RANGE negation window is
+            # orthogonal to the stop gates and the freeze arithmetic
+            # (streaming: the causal pool rides the watermark hold)
         if any(s.not_next is not None for s in self.steps):
             # r15 notNext refusals, mirrored EXACTLY in compile_stream
             if self.steps[-1].not_next is not None:
@@ -1786,13 +1796,12 @@ class CepPattern:
             if any(s.optional for s in self.steps) \
                     or self.skip != "no_skip" \
                     or self.gap_us is not None \
-                    or self.neg is not None \
                     or any(s.until is not None for s in self.steps):
                 raise ValueError(
-                    "notNext composes with plain, counted and "
-                    "mid-negated chains — its combinations with "
-                    "optional steps, skip strategies, gap bounds, "
-                    "until() or a terminal notFollowedBy are not "
+                    "notNext composes with plain, counted, "
+                    "mid-negated and terminal-negated chains — its "
+                    "combinations with optional steps, skip "
+                    "strategies, gap bounds or until() are not "
                     "built (the streaming delayed-absorption "
                     "machinery covers the chain class; the batch "
                     "compile refuses the same combinations to keep "

@@ -3067,7 +3067,8 @@ def cep_terminal_negation_stream(
     )
 
 
-def _cep_until_fn(steps, within_us, counted):
+def _cep_until_fn(steps, within_us, counted, neg_et=None,
+                  neg_within_us=None):
     """r15: keyed-state executor for a pattern with `until(condition)`
     stop-gated loops (FlinkCEP's loop stop condition, compiled batch-
     side as per-copy mid-negation gates + a carried freeze value).
@@ -3098,6 +3099,7 @@ def _cep_until_fn(steps, within_us, counted):
     u_ets = [c[3] for c in counted]
     K = len(counted)
     NO_STOP = 1 << 62
+    NP = 3 + K  # terminal-negation hold: mid, mus, sus, pools...
 
     def fn(
         key: Tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState
@@ -3111,10 +3113,14 @@ def _cep_until_fn(steps, within_us, counted):
             flat = list(vals[0])
             QCs = list(vals[1])
             pos = vals[2]
+            pend = ([list(vals[3 + j]) for j in range(NP)]
+                    if neg_et is not None else None)
         else:
             flat = [-1] * base
             QCs = [0] * K
             pos = 0
+            pend = ([[] for _ in range(NP)]
+                    if neg_et is not None else None)
         off = 0
         C = flat[off:off + n]; off += n
         L = flat[off:off + n]; off += n
@@ -3129,6 +3135,48 @@ def _cep_until_fn(steps, within_us, counted):
             if u_ets[k] is not None:
                 Cu[k] = flat[off:off + n]; off += n
                 Lu[k] = flat[off:off + n]; off += n
+
+        def pack_flat():
+            new_flat = C + L + BP + LQ
+            for k in range(K):
+                new_flat += Ccs[k] + Lcs[k]
+            for k in range(K):
+                if k in Cu:
+                    new_flat += Cu[k] + Lu[k]
+            return new_flat
+
+        def flush(wm_us):
+            o = {"match_id": [], "match_us": [], "start_us": [],
+                 **{f"n_{nm}": [] for nm in cnt_names}}
+            keep = [[] for _ in range(NP)]
+            for row in zip(*pend):
+                if row[1] + neg_within_us < wm_us:
+                    o["match_id"].append(row[0])
+                    o["match_us"].append(row[1])
+                    o["start_us"].append(row[2])
+                    for k, nm in enumerate(cnt_names):
+                        o[f"n_{nm}"].append(row[3 + k])
+                else:
+                    for j, v in enumerate(row):
+                        keep[j].append(v)
+            return o, keep
+
+        def save_neg(keep):
+            state.update((pack_flat(), QCs, pos) + tuple(keep))
+            if keep[1]:
+                state.setTimeoutTimestamp(
+                    (min(keep[1]) + neg_within_us) // 1000 + 1
+                )
+
+        if neg_et is not None and state.hasTimedOut:
+            o, keep = flush(state.getCurrentWatermarkMs() * 1000)
+            save_neg(keep)
+            if o["match_id"]:
+                yield pd.DataFrame(
+                    {"user_id": [key[0]] * len(o["match_id"]), **o}
+                )
+            return
+
         chunks = [p for p in pdf_iter if len(p)]
         if not chunks:
             return
@@ -3192,21 +3240,36 @@ def _cep_until_fn(steps, within_us, counted):
                             hcs[k][i] = ccs[k]
                             if k in cus:
                                 hu[k][i] = cus[k]
-            # (3) emission — pool clamped at the chain's freeze
+            # (3) emission — pool clamped at the chain's freeze; with
+            # a terminal negation the match becomes a held candidate
+            # instead (the pool is causal at the match row, so it
+            # rides the pending arrays like every other annotation)
+            if neg_et is not None and etype == neg_et:
+                kept = [row for row in zip(*pend)
+                        if not (row[1] < t <= row[1] + neg_within_us)]
+                pend = ([list(z) for z in zip(*kept)]
+                        or [[] for _ in range(NP)])
             if ok(hh[-1], t):
-                out["match_id"].append(int(eid))
-                out["match_us"].append(t)
-                out["start_us"].append(hh[-1])
+                row = [int(eid), t, hh[-1]]
                 for k in range(K):
                     incl = QCs[k] + (1 if etype == cnt_ets[k] else 0)
                     if u_ets[k] is not None:
                         fz = hu[k][-1]
                         incl = min(incl, fz if fz != -1 else NO_STOP)
                     pool = incl - hcs[k][-1]
-                    out[f"n_{cnt_names[k]}"].append(
+                    row.append(
                         pool if up_tos[k] is None
                         else min(pool, up_tos[k])
                     )
+                if neg_et is not None:
+                    for j, v in enumerate(row):
+                        pend[j].append(v)
+                else:
+                    out["match_id"].append(row[0])
+                    out["match_us"].append(row[1])
+                    out["start_us"].append(row[2])
+                    for k, nm in enumerate(cnt_names):
+                        out[f"n_{nm}"].append(row[3 + k])
             # (4) absorb hits (lexicographic paired compare; riders
             # follow the winner, they never decide it)
             for i in range(n):
@@ -3232,13 +3295,15 @@ def _cep_until_fn(steps, within_us, counted):
                 if etype == cnt_ets[k]:
                     QCs[k] += 1
             pos += 1
-        new_flat = C + L + BP + LQ
-        for k in range(K):
-            new_flat += Ccs[k] + Lcs[k]
-        for k in range(K):
-            if k in Cu:
-                new_flat += Cu[k] + Lu[k]
-        state.update((new_flat, QCs, pos))
+        if neg_et is not None:
+            o, keep = flush(state.getCurrentWatermarkMs() * 1000)
+            save_neg(keep)
+            if o["match_id"]:
+                yield pd.DataFrame(
+                    {"user_id": [key[0]] * len(o["match_id"]), **o}
+                )
+            return
+        state.update((pack_flat(), QCs, pos))
         if out["match_id"]:
             yield pd.DataFrame(
                 {"user_id": [key[0]] * len(out["match_id"]), **out}
@@ -3300,7 +3365,8 @@ def cep_any_pairs_stream(
     )
 
 
-def _cep_not_next_fn(steps, within_us, counted, nn_ets):
+def _cep_not_next_fn(steps, within_us, counted, nn_ets, neg_et=None,
+                     neg_within_us=None):
     """r15: keyed-state executor for patterns with notNext gates
     (FlinkCEP's strict-contiguity negation, compiled batch-side as a
     LEAD(1) flag folded into the step predicate). A bind's validity
@@ -3322,6 +3388,7 @@ def _cep_not_next_fn(steps, within_us, counted, nn_ets):
     cnt_ets = [c[1] for c in counted]
     up_tos = [c[2] for c in counted]
     K = len(counted)
+    NP = 3 + K  # terminal-negation hold: mid, mus, sus, pools...
 
     def fn(
         key: Tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState
@@ -3334,10 +3401,14 @@ def _cep_not_next_fn(steps, within_us, counted, nn_ets):
             flat = list(vals[0])
             QCs = list(vals[1])
             pos = vals[2]
+            pend = ([list(vals[3 + j]) for j in range(NP)]
+                    if neg_et is not None else None)
         else:
             flat = [-1] * base
             QCs = [0] * K
             pos = 0
+            pend = ([[] for _ in range(NP)]
+                    if neg_et is not None else None)
         off = 0
         C = flat[off:off + n]; off += n
         L = flat[off:off + n]; off += n
@@ -3352,6 +3423,48 @@ def _cep_not_next_fn(steps, within_us, counted, nn_ets):
         Pcs = []
         for _k in range(K):
             Pcs.append(flat[off:off + n]); off += n
+
+        def pack_flat():
+            new_flat = C + L + BP + LQ
+            for k in range(K):
+                new_flat += Ccs[k] + Lcs[k]
+            new_flat += P + Ppos
+            for k in range(K):
+                new_flat += Pcs[k]
+            return new_flat
+
+        def flush(wm_us):
+            o = {"match_id": [], "match_us": [], "start_us": [],
+                 **{f"n_{nm}": [] for nm in cnt_names}}
+            keep = [[] for _ in range(NP)]
+            for row in zip(*pend):
+                if row[1] + neg_within_us < wm_us:
+                    o["match_id"].append(row[0])
+                    o["match_us"].append(row[1])
+                    o["start_us"].append(row[2])
+                    for k, nm in enumerate(cnt_names):
+                        o[f"n_{nm}"].append(row[3 + k])
+                else:
+                    for j, v in enumerate(row):
+                        keep[j].append(v)
+            return o, keep
+
+        def save_neg(keep):
+            state.update((pack_flat(), QCs, pos) + tuple(keep))
+            if keep[1]:
+                state.setTimeoutTimestamp(
+                    (min(keep[1]) + neg_within_us) // 1000 + 1
+                )
+
+        if neg_et is not None and state.hasTimedOut:
+            o, keep = flush(state.getCurrentWatermarkMs() * 1000)
+            save_neg(keep)
+            if o["match_id"]:
+                yield pd.DataFrame(
+                    {"user_id": [key[0]] * len(o["match_id"]), **o}
+                )
+            return
+
         chunks = [p for p in pdf_iter if len(p)]
         if not chunks:
             return
@@ -3424,18 +3537,31 @@ def _cep_not_next_fn(steps, within_us, counted, nn_ets):
                         hh[i] = ch
                         for k in range(K):
                             hcs[k][i] = ccs[k]
-            # (2) emission (the final step is never notNext-gated)
+            # (2) emission (the final step is never notNext-gated);
+            # with a terminal negation the match holds instead
+            if neg_et is not None and etype == neg_et:
+                kept = [row for row in zip(*pend)
+                        if not (row[1] < t <= row[1] + neg_within_us)]
+                pend = ([list(z) for z in zip(*kept)]
+                        or [[] for _ in range(NP)])
             if ok(hh[-1], t):
-                out["match_id"].append(int(eid))
-                out["match_us"].append(t)
-                out["start_us"].append(hh[-1])
+                row = [int(eid), t, hh[-1]]
                 for k in range(K):
                     pool = (QCs[k] + (1 if etype == cnt_ets[k] else 0)
                             - hcs[k][-1])
-                    out[f"n_{cnt_names[k]}"].append(
+                    row.append(
                         pool if up_tos[k] is None
                         else min(pool, up_tos[k])
                     )
+                if neg_et is not None:
+                    for j, v in enumerate(row):
+                        pend[j].append(v)
+                else:
+                    out["match_id"].append(row[0])
+                    out["match_us"].append(row[1])
+                    out["start_us"].append(row[2])
+                    for k, nm in enumerate(cnt_names):
+                        out[f"n_{nm}"].append(row[3 + k])
             # (3) absorb — gated levels PARK the hit instead
             for i in range(n):
                 if nn_ets[i] is not None:
@@ -3463,13 +3589,15 @@ def _cep_not_next_fn(steps, within_us, counted, nn_ets):
                 if etype == cnt_ets[k]:
                     QCs[k] += 1
             pos += 1
-        new_flat = C + L + BP + LQ
-        for k in range(K):
-            new_flat += Ccs[k] + Lcs[k]
-        new_flat += P + Ppos
-        for k in range(K):
-            new_flat += Pcs[k]
-        state.update((new_flat, QCs, pos))
+        if neg_et is not None:
+            o, keep = flush(state.getCurrentWatermarkMs() * 1000)
+            save_neg(keep)
+            if o["match_id"]:
+                yield pd.DataFrame(
+                    {"user_id": [key[0]] * len(o["match_id"]), **o}
+                )
+            return
+        state.update((pack_flat(), QCs, pos))
         if out["match_id"]:
             yield pd.DataFrame(
                 {"user_id": [key[0]] * len(out["match_id"]), **out}
@@ -3481,13 +3609,22 @@ def _cep_not_next_fn(steps, within_us, counted, nn_ets):
 def cep_not_next_stream(
     spark: SparkSession, files_dir: str, sf_dir: str,
     steps: list, within_us, counted: list, nn_ets: list,
+    neg_et: str | None = None, neg_within_us: int | None = None,
 ) -> DataFrame:
     """True-streaming compile of notNext-gated chains (see
-    _cep_not_next_fn)."""
+    _cep_not_next_fn). With a terminal negation (r15 continuation)
+    the matches hold until the watermark passes their deadline."""
     ev = _events_stream(spark, files_dir, sf_dir)
+    if neg_et is not None:
+        ev = ev.withWatermark("ts", "0 seconds")
     if len(steps) < 2:
         raise ValueError("streaming compile needs >= 2 positive steps")
     fields = ["flat ARRAY<BIGINT>", "qcs ARRAY<BIGINT>", "pos BIGINT"]
+    if neg_et is not None:
+        fields += ["pend_mid ARRAY<BIGINT>", "pend_mus ARRAY<BIGINT>",
+                   "pend_sus ARRAY<BIGINT>"]
+        fields += [f"pend_n{k} ARRAY<BIGINT>"
+                   for k in range(len(counted))]
     out_fields = (
         "user_id BIGINT, match_id BIGINT, match_us BIGINT, "
         "start_us BIGINT"
@@ -3495,35 +3632,50 @@ def cep_not_next_stream(
     )
     return ev.groupBy("user_id").applyInPandasWithState(
         _cep_not_next_fn(list(steps), within_us, list(counted),
-                         list(nn_ets)),
+                         list(nn_ets), neg_et, neg_within_us),
         outputStructType=out_fields,
         stateStructType=", ".join(fields),
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(GroupStateTimeout.EventTimeTimeout
+                     if neg_et is not None
+                     else GroupStateTimeout.NoTimeout),
     )
 
 
 def cep_until_stream(
     spark: SparkSession, files_dir: str, sf_dir: str,
     steps: list, within_us, counted: list,
+    neg_et: str | None = None, neg_within_us: int | None = None,
 ) -> DataFrame:
     """True-streaming compile of until()-gated loops (see
-    _cep_until_fn)."""
+    _cep_until_fn). With a terminal negation (r15 continuation) the
+    matches hold in pending arrays until the watermark passes their
+    deadline — same hold as every other neg composite."""
     ev = _events_stream(spark, files_dir, sf_dir)
+    if neg_et is not None:
+        ev = ev.withWatermark("ts", "0 seconds")
     if len(steps) < 2:
         raise ValueError("streaming compile needs >= 2 positive steps")
     fields = ["flat ARRAY<BIGINT>", "qcs ARRAY<BIGINT>", "pos BIGINT"]
+    if neg_et is not None:
+        fields += ["pend_mid ARRAY<BIGINT>", "pend_mus ARRAY<BIGINT>",
+                   "pend_sus ARRAY<BIGINT>"]
+        fields += [f"pend_n{k} ARRAY<BIGINT>"
+                   for k in range(len(counted))]
     out_fields = (
         "user_id BIGINT, match_id BIGINT, match_us BIGINT, "
         "start_us BIGINT"
         + "".join(f", n_{c[0]} BIGINT" for c in counted)
     )
     return ev.groupBy("user_id").applyInPandasWithState(
-        _cep_until_fn(list(steps), within_us, list(counted)),
+        _cep_until_fn(list(steps), within_us, list(counted),
+                      neg_et, neg_within_us),
         outputStructType=out_fields,
         stateStructType=", ".join(fields),
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(GroupStateTimeout.EventTimeTimeout
+                     if neg_et is not None
+                     else GroupStateTimeout.NoTimeout),
     )
 
 

@@ -2161,12 +2161,12 @@ def test_until_builder_rules(spark):
     with pytest.raises(ValueError, match="relaxed-entered"):
         (CepPattern.begin("a", etype="A")
          .next("b", etype="B").one_or_more().until("u", etype="U"))
+    # until × terminal negation COMPOSES (r15 same-round
+    # continuation) — pinned by the fuzz suites' with_neg axis; here
+    # just assert the builder chain constructs
     pat = (ok.followed_by("c", etype="C").within(10)
            .not_followed_by("y", etype="Y", within=5))
-    with pytest.raises(ValueError, match="terminal"):
-        pat.compile(None)
-    with pytest.raises(ValueError, match="terminal"):
-        pat.compile_stream(None, "/nonexistent", "/nonexistent")
+    assert pat.neg is not None and pat.steps[1].until is not None
     opt = (CepPattern.begin("a", etype="A")
            .followed_by("o", etype="O").optional()
            .followed_by("b", etype="B").one_or_more()

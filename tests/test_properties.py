@@ -3401,7 +3401,7 @@ def test_cep_enum_neg_state_fuzz(streams, types, within_s, neg_s, cut):
 _NO_STOP = 1 << 62
 
 
-def _until_brute(rows, types, quant, cap, within_s):
+def _until_brute(rows, types, quant, cap, within_s, neg_s=None):
     """Reference semantics of until() (the documented contract): per
     match row, feasible chains need every bound repetition's entering
     gap clean of stop events; the greedy start is the lexicographic
@@ -3430,6 +3430,11 @@ def _until_brute(rows, types, quant, cap, within_s):
         for pc in range(n):
             if seq[pc][0] != c_t:
                 continue
+            if neg_s is not None and any(
+                typ == "A" and seq[pc][1] < s <= seq[pc][1] + neg_s
+                for typ, s, _e in seq
+            ):
+                continue  # terminal negation kill (open interval)
             best = None
             for pa in range(pc):
                 if seq[pa][0] != a_t or \
@@ -3477,13 +3482,17 @@ def _until_brute(rows, types, quant, cap, within_s):
     quant=st.sampled_from([1, 2]),
     cap=st.sampled_from([None, 2, 3]),
     within_s=st.integers(min_value=1, max_value=40),
+    with_neg=st.booleans(),
+    neg_s=st.integers(min_value=1, max_value=20),
 )
-def test_cep_until_fuzz(streams, types, quant, cap, within_s):
+def test_cep_until_fuzz(streams, types, quant, cap, within_s,
+                        with_neg, neg_s):
     """until() batch compile vs brute force — stop types deliberately
     collide with every positive step type (incl. the stop==repeat
     collision where an absorbed repetition can sit AT the freeze row;
     both sides implement the documented gate+LEAST algebra, which the
-    brute mirrors literally)."""
+    brute mirrors literally). with_neg stacks a terminal
+    notFollowedBy on top (r15 same-round continuation)."""
     from sparkflow.streaming.cep import CepPattern
 
     a_t, b_t, c_t, u_t = types
@@ -3500,6 +3509,8 @@ def test_cep_until_fuzz(streams, types, quant, cap, within_s):
         pat = pat.times(2, cap)
     pat = (pat.until("u", etype=u_t)
            .followed_by("c", etype=c_t).within(within_s))
+    if with_neg:
+        pat = pat.not_followed_by("y", etype="A", within=neg_s)
     got = {
         (r.user_id, r.match_id): (r.start_sec, r.n_b)
         for r in pat.compile(df).select(
@@ -3508,7 +3519,8 @@ def test_cep_until_fuzz(streams, types, quant, cap, within_s):
             .alias("start_sec"),
         ).collect()
     }
-    want = _until_brute(rows, types, quant, cap, within_s)
+    want = _until_brute(rows, types, quant, cap, within_s,
+                        neg_s if with_neg else None)
     assert got == want
 
 
@@ -3527,15 +3539,18 @@ def test_cep_until_fuzz(streams, types, quant, cap, within_s):
     quant=st.sampled_from([1, 2]),
     cap=st.sampled_from([None, 2, 3]),
     within_s=st.integers(min_value=1, max_value=40),
+    with_neg=st.booleans(),
+    neg_s=st.integers(min_value=1, max_value=20),
     cut=st.integers(min_value=1, max_value=10),
 )
 def test_cep_until_state_fuzz(streams, types, quant, cap, within_s,
-                              cut):
+                              with_neg, neg_s, cut):
     """until() STREAMS (r15): _cep_until_fn (paired carries + per-level
     freeze riders, stop events freezing BEFORE the row's hits) driven
-    through a fake GroupState with a random micro-batch split must
-    emit exactly the batch rows — matches, greedy starts, and the
-    clamped pools, across the boundary."""
+    through a fake (timer) GroupState with a random micro-batch split
+    must emit exactly the batch rows — matches, greedy starts, and the
+    clamped pools, across the boundary; with_neg adds the terminal-
+    negation watermark hold on top."""
     import pandas as pd
 
     from sparkflow.streaming.cep import CepPattern
@@ -3555,6 +3570,8 @@ def test_cep_until_state_fuzz(streams, types, quant, cap, within_s,
         pat = pat.times(2, cap)
     pat = (pat.until("u", etype=u_t)
            .followed_by("c", etype=c_t).within(within_s))
+    if with_neg:
+        pat = pat.not_followed_by("y", etype="A", within=neg_s)
     want = {
         (r.user_id, r.match_id, int(r.start_sec), r.n_b)
         for r in pat.compile(df).select(
@@ -3567,16 +3584,19 @@ def test_cep_until_state_fuzz(streams, types, quant, cap, within_s,
     fn = _cep_until_fn(
         pat._until_expansion(), within_s * 1_000_000,
         [("b", b_t, cap, u_t)],
+        "A" if with_neg else None,
+        neg_s * 1_000_000 if with_neg else None,
     )
     got = set()
     by_user: dict = {}
     for uid, ev_id, typ, sec in rows:
         by_user.setdefault(uid, []).append((ev_id, typ, sec))
     for uid, seq in by_user.items():
-        state = _FakeGroupState()
+        state = _FakeTimerGroupState()
         for batch in (seq[:cut], seq[cut:]):
             if not batch:
                 continue
+            state.wm_ms = max(e[2] for e in batch) * 1000
             pdf = pd.DataFrame({
                 "event_id": [e[0] for e in batch],
                 "event_type": [e[1] for e in batch],
@@ -3586,6 +3606,13 @@ def test_cep_until_state_fuzz(streams, types, quant, cap, within_s,
                 for r in out.itertuples():
                     got.add((uid, r.match_id, r.start_us // 1_000_000,
                              r.n_b))
+        if with_neg:
+            state.hasTimedOut = True
+            state.wm_ms = 10 ** 9
+            for out in fn((uid,), iter([]), state):
+                for r in out.itertuples():
+                    got.add((uid, r.match_id,
+                             r.start_us // 1_000_000, r.n_b))
     assert got == want
 
 
@@ -3603,12 +3630,16 @@ def test_cep_until_state_fuzz(streams, types, quant, cap, within_s,
     ),
     shape=st.sampled_from(["plain", "counted", "midneg"]),
     within_s=st.integers(min_value=1, max_value=40),
+    with_neg=st.booleans(),
+    neg_s=st.integers(min_value=1, max_value=20),
 )
-def test_cep_not_next_fuzz(streams, types, shape, within_s):
+def test_cep_not_next_fuzz(streams, types, shape, within_s, with_neg,
+                           neg_s):
     """notNext (r15) batch compile vs brute force across its allowed
     chain class (plain / counted / mid-negated), negated type
     colliding with every positive type: a start bind is infeasible
-    iff its DIRECT successor (row order) matches the condition."""
+    iff its DIRECT successor (row order) matches the condition.
+    with_neg stacks a terminal notFollowedBy on top."""
     import itertools
 
     from sparkflow.streaming.cep import CepPattern
@@ -3625,6 +3656,8 @@ def test_cep_not_next_fuzz(streams, types, shape, within_s):
     if shape == "counted":
         pat = pat.one_or_more()
     pat = pat.followed_by("c", etype=c_t).within(within_s)
+    if with_neg:
+        pat = pat.not_followed_by("y", etype="B", within=neg_s)
     cols = ["user_id", "match_id"]
     if shape == "counted":
         cols.append("n_b")
@@ -3657,6 +3690,11 @@ def test_cep_not_next_fuzz(streams, types, shape, within_s):
                 seq[j][0] == "A" for j in range(pa + 1, pb)
             ):
                 continue
+            if with_neg and any(
+                typ == "B" and seq[pc][1] < s <= seq[pc][1] + neg_s
+                for typ, s, _e in seq
+            ):
+                continue  # terminal negation kill (open interval)
             k = (uid, seq[pc][2])
             prev = want.get(k)
             if prev is None or (seq[pa][1], pa) > prev[:2]:
@@ -3687,9 +3725,12 @@ def test_cep_not_next_fuzz(streams, types, shape, within_s):
     ),
     shape=st.sampled_from(["plain", "counted", "midneg", "strict"]),
     within_s=st.integers(min_value=1, max_value=40),
+    with_neg=st.booleans(),
+    neg_s=st.integers(min_value=1, max_value=20),
     cut=st.integers(min_value=1, max_value=10),
 )
-def test_cep_not_next_state_fuzz(streams, types, shape, within_s, cut):
+def test_cep_not_next_state_fuzz(streams, types, shape, within_s,
+                                 with_neg, neg_s, cut):
     """notNext STREAMS (r15): the one-row delayed-absorption machine
     (_cep_not_next_fn) driven through a fake GroupState with a random
     micro-batch split must emit exactly the batch rows — including a
@@ -3716,6 +3757,8 @@ def test_cep_not_next_state_fuzz(streams, types, shape, within_s, cut):
     if shape == "counted":
         pat = pat.one_or_more()
     pat = pat.followed_by("c", etype=c_t).within(within_s)
+    if with_neg:
+        pat = pat.not_followed_by("y", etype="B", within=neg_s)
     sel = ["user_id", "match_id"] + (
         ["n_b"] if shape == "counted" else [])
     want = {
@@ -3730,22 +3773,32 @@ def test_cep_not_next_state_fuzz(streams, types, shape, within_s, cut):
     steps_x, nn_ets = pat._not_next_expansion()
     counted = ([("b", b_t, None)] if shape == "counted" else [])
     fn = _cep_not_next_fn(steps_x, within_s * 1_000_000, counted,
-                          nn_ets)
+                          nn_ets, "B" if with_neg else None,
+                          neg_s * 1_000_000 if with_neg else None)
     got = set()
     by_user: dict = {}
     for uid, ev_id, typ, sec in rows:
         by_user.setdefault(uid, []).append((ev_id, typ, sec))
     for uid, seq in by_user.items():
-        state = _FakeGroupState()
+        state = _FakeTimerGroupState()
         for batch in (seq[:cut], seq[cut:]):
             if not batch:
                 continue
+            state.wm_ms = max(e[2] for e in batch) * 1000
             pdf = pd.DataFrame({
                 "event_id": [e[0] for e in batch],
                 "event_type": [e[1] for e in batch],
                 "ts": pd.to_datetime([e[2] for e in batch], unit="s"),
             })
             for out in fn((uid,), iter([pdf]), state):
+                for r in out.itertuples():
+                    row = (uid, r.match_id) + (
+                        (r.n_b,) if shape == "counted" else ())
+                    got.add(row + (r.start_us // 1_000_000,))
+        if with_neg:
+            state.hasTimedOut = True
+            state.wm_ms = 10 ** 9
+            for out in fn((uid,), iter([]), state):
                 for r in out.itertuples():
                     row = (uid, r.match_id) + (
                         (r.n_b,) if shape == "counted" else ())
