@@ -3080,15 +3080,21 @@ def _cep_until_fn(steps, within_us, counted, neg_et=None,
     BP/LQ gates + count-at-start pairs + shared running counts) plus
     ONE RIDER per counted-with-until step per level: u_k = the
     repeated-step count just before the FIRST stop event after the
-    carried chain's start (-1 = none yet). The rider is NOT part of
-    the lexicographic comparison (it is a function of the winning
-    start row; ties on (h, c..) mean the same row) — it FREEZES when
-    a stop event arrives: a stop at row t applies to every value in
-    state (all started strictly before t) and not to starts made at
-    t, so freezing BEFORE the row's hits are computed is exactly the
-    batch nbu(A) = min over stops strictly after A. The pool at a
-    match row is then min(incl-count, frozen u) - count-at-start —
-    causal, matching the batch LEAST() arithmetic (brute-force fuzz:
+    carried chain's start (-1 = none yet). The rider IS part of the
+    lexicographic comparison, AFTER the counts and with -1 (unknown)
+    ordered as +infinity — exactly the batch struct (h, c.., u..)
+    whose u field carries the forward-window NB value: two same-ts
+    same-count starts tie on (h, c..) and the batch max picks the
+    larger NB; stream-side the not-yet-frozen rider is always >= any
+    frozen one (NB is nondecreasing in start position and freezes
+    only grow with time), so unknown-as-infinity reproduces the batch
+    order without knowing the future. Riders FREEZE when a stop event
+    arrives: a stop at row t applies to every value in state (all
+    started strictly before t) and not to starts made at t, so
+    freezing BEFORE the row's hits are computed is exactly the batch
+    nbu(A) = min over stops strictly after A. The pool at a match row
+    is then min(incl-count, frozen u) - count-at-start — causal,
+    matching the batch LEAST() arithmetic (brute-force fuzz:
     tests/test_properties.py::test_cep_until_*)."""
     m = len(steps)
     n = m - 1
@@ -3270,11 +3276,27 @@ def _cep_until_fn(steps, within_us, counted, neg_et=None,
                     out["start_us"].append(row[2])
                     for k, nm in enumerate(cnt_names):
                         out[f"n_{nm}"].append(row[3 + k])
-            # (4) absorb hits (lexicographic paired compare; riders
-            # follow the winner, they never decide it)
+            # (4) absorb hits — the lexicographic compare INCLUDES
+            # the riders after the counts (unknown -1 ordered as
+            # +inf), matching the batch (h, c.., u..) struct max on
+            # same-ts same-count start ties
             for i in range(n):
-                htup = (hh[i],) + tuple(hcs[k][i] for k in range(K))
-                ctup = (C[i],) + tuple(Ccs[k][i] for k in range(K))
+                htup = (
+                    (hh[i],)
+                    + tuple(hcs[k][i] for k in range(K))
+                    + tuple(
+                        (hu[k][i] if hu[k][i] != -1 else NO_STOP)
+                        for k in range(K) if k in Cu
+                    )
+                )
+                ctup = (
+                    (C[i],)
+                    + tuple(Ccs[k][i] for k in range(K))
+                    + tuple(
+                        (Cu[k][i] if Cu[k][i] != -1 else NO_STOP)
+                        for k in range(K) if k in Cu
+                    )
+                )
                 if htup > ctup:
                     C[i] = hh[i]
                     for k in range(K):

@@ -3467,7 +3467,7 @@ def _until_brute(rows, types, quant, cap, within_s, neg_s=None):
     return want
 
 
-@settings(max_examples=12, deadline=None)
+@settings(max_examples=20, deadline=None)
 @given(
     streams=st.lists(
         st.lists(_cep_event, min_size=0, max_size=12),
@@ -3524,7 +3524,7 @@ def test_cep_until_fuzz(streams, types, quant, cap, within_s,
     assert got == want
 
 
-@settings(max_examples=10, deadline=None)
+@settings(max_examples=20, deadline=None)
 @given(
     streams=st.lists(
         st.lists(_cep_event, min_size=0, max_size=12),
