@@ -111,29 +111,41 @@ _CONTRACT_CHANGED: dict = {
     # join_multiway_star r12, agg_hash_group/agg_distinct r11) and
     # deleted per the spent rule above.
     #
-    # r14 PLAN REWRITES (r14 verdict item 1): both keys shipped new
-    # banded plans during r14 (stream_watermark_late last attested r12,
-    # events_rfm r13) but were absent from the r14 driver sample — a
-    # plan rewrite must always front the next sample so the driver's
-    # own artifact records the new plan's output, not just the judge's
-    # re-run. Listed at the round the plan changed (14): spent as soon
-    # as an artifact from r15+ attests them.
-    "stream_watermark_late": 14,
-    "events_rfm": 14,
-    # r15 (r14 verdict item 5): EVIDENCE REFRESH for the r9 cohort —
-    # these 10 keys' newest driver evidence dates to r9, the oldest
-    # left on the board (all judge-verified EXACT in r14, so risk is
-    # low; this rotates the driver's own artifact evidence).
-    "fn_array": 15,
-    "fn_bitwise": 15,
-    "fn_conditional": 15,
-    "fn_map": 15,
-    "llm_centroids": 15,
-    "llm_dedup_embedding": 15,
-    "llm_knn_cosine": 15,
-    "llm_vocab_growth": 15,
-    "llm_winnowing_fingerprint": 15,
-    "llm_winnowing_overlap": 15,
+    # The r14 plan-rewrite pair and the r15 evidence-refresh cohort all
+    # attested in r15 (>= their listed rounds) — spent, deleted.
+    #
+    # r16 (r15 verdict item 4): EVIDENCE REFRESH for the r10 cohort —
+    # these 26 keys' newest driver evidence dates to r10, the oldest
+    # left on the board (all judge-verified EXACT in r15, so risk is
+    # low; this rotates the driver's own artifact evidence). Derived
+    # from the committed CORRECTNESS_r*.json artifacts: every key whose
+    # newest green row is r10.
+    "agg_arg_extremes": 16,
+    "agg_bitmap_distinct": 16,
+    "agg_collect": 16,
+    "agg_cube": 16,
+    "agg_decimal_sum": 16,
+    "agg_filtered": 16,
+    "agg_global": 16,
+    "agg_grouping_sets": 16,
+    "agg_histogram": 16,
+    "agg_misc": 16,
+    "agg_mode": 16,
+    "agg_observed_metrics": 16,
+    "agg_percentile": 16,
+    "agg_pivot": 16,
+    "agg_rollup": 16,
+    "agg_stats": 16,
+    "agg_string_agg": 16,
+    "agg_unpivot": 16,
+    "join_asof_forward": 16,
+    "join_bloom_filter": 16,
+    "join_broadcast_nested_loop": 16,
+    "join_null_safe": 16,
+    "join_partition_pruned": 16,
+    "llm_knn_ivf_kmeans": 16,
+    "maintenance_table_optimize_zorder": 16,
+    "maintenance_table_optimize_zorder_incremental": 16,
 }
 
 

@@ -64,13 +64,25 @@ def _table_files(sf_dir: str, tname: str):
     return sorted(out)
 
 
+class CorpusEmptyError(FileNotFoundError):
+    """corpus_digest scanned the corpus and found ZERO data files for
+    the requested tables — a deterministic outcome of the listing (the
+    tables are gone, or sf_dir itself is), distinct from a per-file
+    os.stat FileNotFoundError, which can be a TRANSIENT race (r15
+    advice: a concurrent corpus rewrite deleting a listed file between
+    listing and stat must not class a warm artifact as undigestable).
+    staging_vacuum keys its permanent/transient split on this type."""
+
+
 def corpus_digest(sf_dir: str, tables) -> str:
     """Digest of the (path, size, mtime_ns) set of every data file of
     `tables` under `sf_dir` — the content address staged artifacts live
     under. mtime_ns + size is the Delta/Iceberg-grade staleness signal
     for raw parquet (a rewrite bumps mtime even at equal size); actual
     byte hashing would read 100 TB to save a cold rebuild, the wrong
-    trade."""
+    trade. Raises CorpusEmptyError (deterministic: the listing found no
+    data files) or plain OSError/FileNotFoundError from per-file stat
+    (possibly transient: file vanished between listing and stat)."""
     items = []
     for t in sorted(set(tables)):
         for f in _table_files(sf_dir, t):
@@ -79,7 +91,7 @@ def corpus_digest(sf_dir: str, tables) -> str:
                 (t, os.path.relpath(f, sf_dir), st.st_size, st.st_mtime_ns)
             )
     if not items:
-        raise FileNotFoundError(
+        raise CorpusEmptyError(
             f"no data files for tables {sorted(set(tables))!r} under {sf_dir}"
         )
     payload = json.dumps(items, separators=(",", ":")).encode()
@@ -251,24 +263,27 @@ def staging_vacuum(min_age_sec: float = 3600.0) -> dict:
                         ) == digest
                     except KeyError:
                         undigestable = True  # malformed manifest body
-                    except FileNotFoundError:
-                        # r14 advice: corpus_digest raises
-                        # FileNotFoundError deterministically when the
-                        # corpus dir exists but holds NO data files for
-                        # the manifest's tables (permanently deleted
-                        # tables, not a transient read failure) — and
-                        # when the dir itself is gone. Both addresses
-                        # are permanently unresolvable; keeping them as
+                    except CorpusEmptyError:
+                        # r14 advice, narrowed per r15 advice: ONLY the
+                        # deterministic zero-data-files listing outcome
+                        # (tables permanently deleted, or the dir gone)
+                        # is undigestable — keeping such addresses as
                         # 'unverifiable' every sweep is a disk leak.
                         undigestable = True
                     except OSError:
                         # r13 advice: a transient I/O failure reading
                         # the SOURCE corpus must not class a live warm
-                        # artifact as garbage. Only when the corpus
-                        # directory itself is gone (the ephemeral
-                        # scale-rung case) is the address permanently
-                        # unresolvable; an existing-but-unreadable
-                        # source is kept and re-checked next sweep.
+                        # artifact as garbage. This branch now also
+                        # catches per-file stat FileNotFoundError (r15
+                        # advice: a concurrent corpus rewrite can
+                        # delete a listed file between listing and
+                        # stat — transient, and a rewritten corpus
+                        # yields a fresh digest next sweep anyway).
+                        # Only when the corpus directory itself is gone
+                        # (the ephemeral scale-rung case) is the
+                        # address permanently unresolvable; an
+                        # existing-but-unreadable source is kept and
+                        # re-checked next sweep.
                         if os.path.isdir(str(m.get("sf_dir", ""))):
                             unverifiable = True
                         else:

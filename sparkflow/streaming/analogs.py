@@ -1341,6 +1341,23 @@ def _banded_ntile5(base: DataFrame, specs: list,
     anywhere; parallelism is bounded below by each metric's value
     spread (at worst one distinct value per band, still 1/B of the
     table)."""
+    # LONG-ONLY CONTRACT (r15 advice): the sign-normalize casts each
+    # metric to long, which would silently TRUNCATE a fractional metric
+    # and mis-rank it — assert integral input types so a future caller
+    # fails loudly instead (events_rfm passes counts/sums of longs).
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    _integral = (ByteType, ShortType, IntegerType, LongType)
+    for c, _desc, _n in specs:
+        dt = base.schema[c].dataType
+        if not isinstance(dt, _integral):
+            raise TypeError(
+                f"_banded_ntile5 metric {c!r} has non-integral type "
+                f"{dt.simpleString()} — the sign-normalized long "
+                "encoding would truncate fractional values and "
+                "mis-order the NTILE; pre-scale the metric to an "
+                "integral column (e.g. micros) first"
+            )
     structs = [
         F.struct(
             F.lit(m).alias("m"),

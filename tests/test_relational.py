@@ -907,6 +907,26 @@ def test_rfm_quintiles_balanced_and_code_consistent(spark, sf_small):
     assert by_r["r_score"].is_monotonic_increasing
 
 
+def test_banded_ntile5_refuses_fractional_metric(spark):
+    """r15 advice: _banded_ntile5 sign-normalizes each metric with a
+    cast to long — a fractional metric would silently truncate and
+    mis-rank. The long-only contract must fail loudly at the API."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from sparkflow.streaming.analogs import _banded_ntile5
+
+    base = spark.range(4).select(
+        F.col("id").alias("user_id"),
+        (F.col("id") / 3.0).alias("frac_metric"),
+        F.col("id").alias("int_metric"),
+    )
+    with pytest.raises(TypeError, match="non-integral"):
+        _banded_ntile5(base, [("frac_metric", False, "s")])
+    # integral metrics still pass construction
+    _banded_ntile5(base, [("int_metric", False, "s")])
+
+
 def test_ts_decompose_identity_and_seasonal_mean(spark, sf_small):
     """events_ts_decompose (r8): residual identity holds exactly per
     hour (value*1e6 == trend + resid), the trend replays a pandas

@@ -447,6 +447,22 @@ def test_staging_vacuum_keeps_unverifiable_source(
     s = staging.staging_vacuum(min_age_sec=3600)
     assert staging.is_published(live)
     assert s.get("kept_unverifiable", 0) == 1
+
+    # stat RACE (r15 advice): a concurrent corpus rewrite deletes a
+    # listed file between listing and stat — corpus_digest raises a
+    # plain FileNotFoundError that is NOT CorpusEmptyError. The source
+    # dir exists, so the artifact must be kept unverifiable (the old
+    # blanket FileNotFoundError handler deleted it as undigestable).
+    def racy_digest(sf_dir, tables):
+        if os.path.abspath(sf_dir) == os.path.abspath(sf):
+            raise FileNotFoundError(2, "raced stat", "events.parquet")
+        return real_digest(sf_dir, tables)
+
+    monkeypatch.setattr(staging, "corpus_digest", racy_digest)
+    os.utime(mf, (past, past))
+    s = staging.staging_vacuum(min_age_sec=3600)
+    assert staging.is_published(live)
+    assert s.get("kept_unverifiable", 0) == 1
     monkeypatch.setattr(staging, "corpus_digest", real_digest)
 
     # permanent no-data-files: dir exists, table files deleted ->
