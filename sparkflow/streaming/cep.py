@@ -578,13 +578,17 @@ class CepPattern:
         in notNext (FlinkCEP refuses the same — there is no following
         step to emit at); a terminal notFollowedBy COMPOSES (r15
         same-round continuation — the held candidates are produced by
-        already-validated binds); compositions with optional steps,
-        skip strategies, gap bounds and until() refuse loudly in BOTH
-        batch and streaming (parity invariant — the
-        delayed-absorption machinery is built for the
-        plain/counted/mid-negation chain class), and notNext on a
-        looping step refuses (which repetition's successor would it
-        gate?)."""
+        already-validated binds); skip strategies and gap bounds
+        COMPOSE (r16, r15 verdict item 1 — the LEAD(1) gate is causal
+        at the bind row, so batch-side it folds into the gated copy's
+        predicate underneath the position-struct fold / bounded
+        carries, and stream-side the one-row delayed absorption rides
+        the skip cursors and count-gated gap buffers); compositions
+        with optional steps and until() refuse loudly in BOTH batch
+        and streaming (parity invariant — each optional variant chain
+        / freeze rider would need its own pending slot), and notNext
+        on a looping step refuses (which repetition's successor would
+        it gate?)."""
         if not self.steps:
             raise ValueError("not_next() requires a begin() step first")
         if self.pending_neg is not None:
@@ -786,14 +790,15 @@ class CepPattern:
                 ))
         return out
 
-    def _until_expansion(self) -> list:
+    def _until_expansion(self, steps=None) -> list:
         """times-expanded [(event_type, transition, gate_etype)] for a
         pattern containing until() loops — like _event_expansion, but
         an until step's stop type gates EVERY copy's entering gap (a
         k-rep match needs all k repetitions before the freeze), while
-        ordinary mid-negations gate first copies only."""
+        ordinary mid-negations gate first copies only. `steps`
+        overrides self.steps for OR-split variant expansions (r16)."""
         out = []
-        for s in self.steps:
+        for s in (self.steps if steps is None else steps):
             if s.etype is None:
                 raise ValueError(
                     f"step {s.name!r} was built from a Column predicate —"
@@ -1102,7 +1107,12 @@ class CepPattern:
             )
         if any(s.not_next is not None for s in self.steps):
             # r15: notNext streams via one-row delayed absorption
-            # (stateful._cep_not_next_fn); refusals mirror compile()
+            # (stateful._cep_not_next_fn); refusals mirror compile().
+            # r16 (r15 verdict item 1): skip strategies and gap bounds
+            # COMPOSE — the delayed absorption rides the r13 skip
+            # cursors and the r14 count-gated gap buffers (the LEAD(1)
+            # gate is causal at the bind row), so the nn routes below
+            # mirror the plain gap/skip dispatch with nn_ets threaded.
             if self.steps[-1].not_next is not None:
                 raise ValueError(
                     "a pattern cannot end in notNext (FlinkCEP "
@@ -1111,18 +1121,16 @@ class CepPattern:
                     "notFollowedBy with a within horizon instead"
                 )
             if any(s.optional for s in self.steps) \
-                    or self.skip != "no_skip" \
-                    or self.gap_us is not None \
                     or any(s.until is not None for s in self.steps):
                 raise ValueError(
                     "notNext composes with plain, counted, "
-                    "mid-negated and terminal-negated chains — its "
-                    "combinations with optional steps, skip "
-                    "strategies, gap bounds or until() are not "
-                    "built (the streaming delayed-absorption "
-                    "machinery covers the chain class; the batch "
-                    "compile refuses the same combinations to keep "
-                    "batch/stream parity)"
+                    "mid-negated and terminal-negated chains, skip "
+                    "strategies and gap bounds (r16) — its "
+                    "combinations with optional steps or until() "
+                    "are not built (each optional variant chain / "
+                    "freeze rider would need its own pending slot; "
+                    "the batch compile and compile_stream refuse "
+                    "the same combinations to keep parity)"
                 )
             req = [s for s in self.steps if not s.optional]
             for i, st_ in enumerate(req):
@@ -1155,6 +1163,60 @@ class CepPattern:
                     "compile for streaming"
                 )
             steps_x, nn_ets = self._not_next_expansion()
+            if self.gap_us is not None:
+                # batch gap refusals re-checked (this branch returns
+                # before the plain gap dispatch runs its mirrors)
+                if counted_steps:
+                    raise ValueError(
+                        "oneOrMore/times(n, m) do not compose with "
+                        "within(..., 'previous_and_current') — the "
+                        "batch compile refuses the same combination"
+                    )
+                if self.skip != "no_skip":
+                    anchor_idx = self._skip_anchor_idx()
+                    if self.neg is not None:
+                        return stateful.cep_gap_skip_neg_stream(
+                            spark, files_dir, sf_dir, steps_x,
+                            self.within_us, self.gap_us, self.skip,
+                            anchor_idx, self.neg_etype,
+                            self.neg_within_us, nn_ets=nn_ets,
+                        )
+                    return stateful.cep_gap_skip_stream(
+                        spark, files_dir, sf_dir, steps_x,
+                        self.within_us, self.gap_us, self.skip,
+                        anchor_idx, nn_ets=nn_ets,
+                    )
+                if self.neg is not None:
+                    return stateful.cep_gap_negation_stream(
+                        spark, files_dir, sf_dir, steps_x,
+                        self.within_us, self.gap_us, self.neg_etype,
+                        self.neg_within_us, nn_ets=nn_ets,
+                    )
+                return stateful.cep_gap_bound_stream(
+                    spark, files_dir, sf_dir, steps_x, self.within_us,
+                    self.gap_us, nn_ets=nn_ets,
+                )
+            if self.skip != "no_skip":
+                if counted_steps:
+                    raise ValueError(
+                        f"after_match_skip({self.skip!r}) does not "
+                        "compose with oneOrMore/times(n, m) "
+                        "annotations (the batch compile refuses the "
+                        "same combination)"
+                    )
+                anchor_idx = self._skip_anchor_idx()
+                if self.neg is not None:
+                    return stateful.cep_skip_neg_stream(
+                        spark, files_dir, sf_dir, steps_x,
+                        self.within_us, self.skip, anchor_idx,
+                        self.neg_etype, self.neg_within_us,
+                        nn_ets=nn_ets,
+                    )
+                return stateful.cep_compiled_stream(
+                    spark, files_dir, sf_dir, steps_x, self.within_us,
+                    skip=self.skip, anchor_idx=anchor_idx,
+                    nn_ets=nn_ets,
+                )
             return stateful.cep_not_next_stream(
                 spark, files_dir, sf_dir, steps_x, self.within_us,
                 [(c.name, c.etype, c.up_to) for c in counted_steps],
@@ -1187,20 +1249,14 @@ class CepPattern:
                     "combination)"
                 )
             req = [s for s in self.steps if not s.optional]
-            for i, st_ in enumerate(req):
-                if (st_.contiguity == "next" and st_.times == 1
-                        and (st_.one_or_more
-                             or (st_.up_to is not None
-                                 and st_.up_to >= 2))
-                        and i + 1 < len(req)
-                        and req[i + 1].contiguity == "next"):
-                    raise ValueError(
-                        "until() does not compose with a both-strict "
-                        "oneOrMore/times(1, m) step in the same "
-                        "pattern — the OR-split variants are untested "
-                        "with freeze fields; relax one edge of the "
-                        "split step"
-                    )
+            split = [
+                st_ for i, st_ in enumerate(req)
+                if st_.contiguity == "next" and st_.times == 1
+                and (st_.one_or_more
+                     or (st_.up_to is not None and st_.up_to >= 2))
+                and i + 1 < len(req)
+                and req[i + 1].contiguity == "next"
+            ]
             counted_steps = [s for s in self.steps
                              if s.one_or_more or s.up_to is not None]
             for c in counted_steps:
@@ -1216,12 +1272,49 @@ class CepPattern:
                     "predicate — declare it with etype=... to "
                     "compile for streaming"
                 )
+            counted_arg = [
+                (c.name, c.etype, c.up_to,
+                 c.until[2] if c.until is not None else None)
+                for c in counted_steps
+            ]
+            if split:
+                # r16 (r15 verdict item 2): until() × both-strict
+                # OR-split streams — one freeze-rider variant machine
+                # per quantifier expansion, shared counts, winner by
+                # the lexicographic (h, c.., u-as-inf..) max
+                # (stateful._cep_until_split_fn)
+                if len(split) > 3:
+                    raise ValueError(
+                        f"{len(split)} both-strict "
+                        "oneOrMore/times(1, m) steps would enumerate "
+                        f"{2 ** len(split)} OR-variant chains — cap "
+                        "is 3"
+                    )
+                variant_steps = []
+                for mask in range(1 << len(split)):
+                    var = []
+                    for s in req:
+                        if s in split:
+                            j = split.index(s)
+                            var.append(
+                                replace(s, times=2)
+                                if mask >> j & 1
+                                else replace(s, one_or_more=False,
+                                             times=1, up_to=None)
+                            )
+                        else:
+                            var.append(s)
+                    variant_steps.append(self._until_expansion(var))
+                return stateful.cep_until_split_stream(
+                    spark, files_dir, sf_dir, variant_steps,
+                    self.within_us, counted_arg,
+                    self.neg_etype if self.neg is not None else None,
+                    self.neg_within_us if self.neg is not None
+                    else None,
+                )
             return stateful.cep_until_stream(
                 spark, files_dir, sf_dir, self._until_expansion(),
-                self.within_us,
-                [(c.name, c.etype, c.up_to,
-                  c.until[2] if c.until is not None else None)
-                 for c in counted_steps],
+                self.within_us, counted_arg,
                 self.neg_etype if self.neg is not None else None,
                 self.neg_within_us if self.neg is not None else None,
             )
@@ -1785,7 +1878,14 @@ class CepPattern:
             # orthogonal to the stop gates and the freeze arithmetic
             # (streaming: the causal pool rides the watermark hold)
         if any(s.not_next is not None for s in self.steps):
-            # r15 notNext refusals, mirrored EXACTLY in compile_stream
+            # r15 notNext refusals, mirrored EXACTLY in compile_stream;
+            # r16: skip strategies and gap bounds now COMPOSE — the
+            # LEAD(1) flag folds into the gated copy's predicate before
+            # any carry is built, so the position-struct skip fold and
+            # the bounded gap carries run unchanged over the gated hit
+            # columns (streaming: the one-row delayed absorption rides
+            # the skip cursors and the count-gated gap buffers — see
+            # stateful._cep_skip_fn / _gap_hits nn handling)
             if self.steps[-1].not_next is not None:
                 raise ValueError(
                     "a pattern cannot end in notNext (FlinkCEP "
@@ -1794,18 +1894,16 @@ class CepPattern:
                     "notFollowedBy with a within horizon instead"
                 )
             if any(s.optional for s in self.steps) \
-                    or self.skip != "no_skip" \
-                    or self.gap_us is not None \
                     or any(s.until is not None for s in self.steps):
                 raise ValueError(
                     "notNext composes with plain, counted, "
-                    "mid-negated and terminal-negated chains — its "
-                    "combinations with optional steps, skip "
-                    "strategies, gap bounds or until() are not "
-                    "built (the streaming delayed-absorption "
-                    "machinery covers the chain class; the batch "
-                    "compile refuses the same combinations to keep "
-                    "batch/stream parity)"
+                    "mid-negated and terminal-negated chains, skip "
+                    "strategies and gap bounds (r16) — its "
+                    "combinations with optional steps or until() "
+                    "are not built (each optional variant chain / "
+                    "freeze rider would need its own pending slot; "
+                    "the batch compile and compile_stream refuse "
+                    "the same combinations to keep parity)"
                 )
         skip_mode = self.skip != "no_skip"
         if skip_mode and (counted or any(s.optional for s in self.steps)):
@@ -2247,13 +2345,16 @@ class CepPattern:
                     "the OR-split streaming machine has no delayed "
                     "absorption; relax one edge of the split step"
                 )
-            if split and any(s.until is not None for s in self.steps):
-                raise ValueError(
-                    "until() does not compose with a both-strict "
-                    "oneOrMore/times(1, m) step in the same pattern — "
-                    "the OR-split variants are untested with freeze "
-                    "fields; relax one edge of the split step"
-                )
+            # r16 (r15 verdict item 2): until() COMPOSES with a
+            # both-strict split elsewhere in the pattern — the freeze
+            # riders (u fields, nondecreasing, unknown == +inf
+            # sentinel) ride each variant's (h, c..) struct and the
+            # cross-variant GREATEST compares them lexicographically
+            # AFTER the counts, so two variants tying on (h, c..)
+            # share a start row and therefore the same u; fuzzed in
+            # tests/test_properties.py::test_cep_until_or_split_fuzz.
+            # (until on the split step itself is impossible: the
+            # builder requires a relaxed-entered loop.)
             if split and any(s.optional for s in self.steps):
                 raise ValueError(
                     "optional() does not compose with a both-strict "
@@ -4337,6 +4438,143 @@ def stream_cep_until(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_cep_until_split",
+    oracle=f"""
+    WITH sp AS (
+      SELECT user_id, event_id, event_type, ts,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS pos,
+             COUNT(CASE WHEN event_type = 'view' THEN 1 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS cv,
+             COUNT(CASE WHEN event_type = 'click' THEN 1 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS cc
+      FROM events
+    ), s0 AS (
+      SELECT *,
+             MAX(CASE WHEN event_type = 'error' THEN pos END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS lastq,
+             COALESCE(
+               MIN(CASE WHEN event_type = 'error' THEN cv END)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 1 FOLLOWING
+                       AND UNBOUNDED FOLLOWING),
+               4611686018427387904) AS nbu
+      FROM sp
+    ), s1 AS (
+      SELECT *, CASE WHEN event_type = 'signup' THEN
+               {{'h': ts,
+                 'c0': cv + (CASE WHEN event_type = 'view'
+                             THEN 1 ELSE 0 END),
+                 'c1': cc + (CASE WHEN event_type = 'click'
+                             THEN 1 ELSE 0 END),
+                 'u0': nbu}}
+             END AS a0
+      FROM s0
+    ), s2 AS (
+      SELECT *, CASE WHEN a0 IS NOT NULL THEN
+          {{'p': pos, 'v': a0}} END AS ent
+      FROM s1
+    ), s3 AS (
+      SELECT *,
+             MAX(ent) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING) AS b
+      FROM s2
+    ), s4 AS (
+      SELECT *, CASE WHEN event_type = 'view'
+                     AND b.p IS NOT NULL
+                     AND (lastq IS NULL OR lastq <= b.p)
+                     THEN b.v END AS h1
+      FROM s3
+    ), s5 AS (
+      SELECT *, CASE WHEN event_type = 'click'
+                     THEN {_CEP_LAG.format(src='h1')} END AS h2a
+      FROM s4
+    ), s6 AS (
+      SELECT *, CASE WHEN event_type = 'click'
+                     THEN {_CEP_CARRY.format(src='h2a')} END AS g2b
+      FROM s5
+    ), s7 AS (
+      SELECT *,
+             CASE WHEN event_type = 'purchase'
+                  THEN {_CEP_LAG.format(src='h2a')} END AS lo,
+             CASE WHEN event_type = 'purchase'
+                  THEN {_CEP_LAG.format(src='g2b')} END AS hi
+      FROM s6
+    ), s8 AS (
+      SELECT *,
+             (lo.h IS NOT NULL AND epoch_us(ts) - epoch_us(lo.h)
+                <= 259200000000::BIGINT) AS ok_lo,
+             (hi.h IS NOT NULL AND epoch_us(ts) - epoch_us(hi.h)
+                <= 259200000000::BIGINT) AS ok_hi
+      FROM s7
+    ), s9 AS (
+      SELECT *, CASE WHEN ok_lo AND ok_hi THEN
+                       CASE WHEN lo >= hi THEN lo ELSE hi END
+                     WHEN ok_lo THEN lo
+                     WHEN ok_hi THEN hi END AS win
+      FROM s8
+    )
+    SELECT user_id, event_id AS match_id, ts AS match_ts,
+           win.h AS start_ts,
+           CAST(LEAST(cv + (CASE WHEN event_type = 'view'
+                            THEN 1 ELSE 0 END), win.u0)
+                - win.c0 AS BIGINT) AS n_view,
+           CAST(cc + (CASE WHEN event_type = 'click'
+                      THEN 1 ELSE 0 END)
+                - win.c1 AS BIGINT) AS n_click
+    FROM s9 WHERE win.h IS NOT NULL
+    """,
+)
+def stream_cep_until_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """until() × both-strict OR-split (r16 — was refused as 'untested
+    with freeze fields'; r15 verdict item 2): `begin(signup)
+    .followedBy(view).oneOrMore().until(error).next(click).oneOrMore()
+    .next(purchase).within(72h)` — a signup followed by a view streak
+    STOPPED by the first error, then a click streak OPENED by the
+    event directly after a view and CLOSED directly before the
+    purchase (one click may satisfy both strict edges). The two
+    machineries compose without new theory: the freeze rider u0
+    (forward-MIN view-count-before-next-stop, unknown encoded as the
+    2^62 sentinel) rides each OR-variant's (h, c0, c1) struct, and
+    the cross-variant GREATEST compares it lexicographically AFTER
+    the counts — variants tying on (h, c..) share a start row and
+    hence the same u0, so the winner's pools are unambiguous. The
+    oracle unrolls both variant chains (LAG → LAG and
+    LAG → carry → LAG) over the shared {{h, c0, c1, u0}} struct with
+    the until gate (latest-entry struct MAX + running stop-position
+    MAX) and the LEAST freeze clamp. Brute-force fuzz with all five
+    roles colliding:
+    tests/test_properties.py::test_cep_until_or_split_fuzz. STREAMS
+    (r16): one freeze-rider variant machine per quantifier expansion
+    sharing running counts (stateful._cep_until_split_fn) —
+    fake-GroupState fuzz incl. the terminal-negation hold +
+    availableNow twin."""
+    pat = (
+        CepPattern.begin("signup", etype="signup")
+        .followed_by("view", etype="view")
+        .one_or_more()
+        .until("stop", etype="error")
+        .next("click", etype="click")
+        .one_or_more()
+        .next("purchase", etype="purchase")
+        .within("72 hours")
+    )
+    return pat.compile(
+        table(spark, sf_dir, "events"),
+        key="user_id",
+        ts="ts",
+        tiebreak="event_id",
+    )
+
+
+@register(
     "stream_cep_not_next",
     oracle=f"""
     WITH s0 AS (
@@ -4394,6 +4632,167 @@ def stream_cep_not_next(spark: SparkSession, sf_dir: str) -> DataFrame:
         .followed_by("click", etype="click")
         .followed_by("purchase", etype="purchase")
         .within("36 hours")
+    )
+    return pat.compile(
+        table(spark, sf_dir, "events"),
+        key="user_id",
+        ts="ts",
+        tiebreak="event_id",
+    )
+
+
+@register(
+    "stream_cep_not_next_skip",
+    oracle="""
+    WITH RECURSIVE s0 AS (
+      SELECT user_id, event_id, event_type, ts,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS pos,
+             COALESCE(LEAD(event_type = 'error') OVER
+                        (PARTITION BY user_id ORDER BY ts, event_id),
+                      FALSE) AS nn,
+             CASE WHEN event_type = 'view'
+                  THEN {'h': ts,
+                        'sp': ROW_NUMBER() OVER (PARTITION BY user_id
+                                                 ORDER BY ts, event_id)}
+             END AS raw0
+      FROM events
+    ), sg AS (
+      SELECT *, CASE WHEN raw0 IS NOT NULL AND NOT nn
+                     THEN raw0 END AS h0
+      FROM s0
+    ), s1 AS (
+      SELECT *, CASE WHEN event_type = 'click'
+                     THEN MAX(h0) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND 1 PRECEDING) END AS h1
+      FROM sg
+    ), s2 AS (
+      SELECT *, CASE WHEN event_type = 'purchase'
+                     THEN MAX(h1) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND 1 PRECEDING) END AS h2
+      FROM s1
+    ), cand AS (
+      SELECT user_id, event_id, ts, pos AS mpos,
+             h2.h AS start_ts, h2.sp AS spos
+      FROM s2
+      WHERE h2.h IS NOT NULL
+        AND epoch_us(ts) - epoch_us(h2.h) <= 129600000000::BIGINT
+    ), fst AS (
+      SELECT user_id, MIN(mpos) AS mpos FROM cand GROUP BY user_id
+    ), lnk AS (
+      SELECT r.user_id, r.mpos, MIN(c.mpos) AS next_mpos
+      FROM cand r JOIN cand c
+        ON c.user_id = r.user_id AND c.spos > r.mpos
+      GROUP BY r.user_id, r.mpos
+    ), acc AS (
+      SELECT c.user_id, c.event_id, c.ts, c.mpos, c.start_ts
+      FROM cand c JOIN fst f
+        ON c.user_id = f.user_id AND c.mpos = f.mpos
+      UNION ALL
+      SELECT n.user_id, n.event_id, n.ts, n.mpos, n.start_ts
+      FROM acc a
+      JOIN lnk l ON l.user_id = a.user_id AND l.mpos = a.mpos
+      JOIN cand n ON n.user_id = l.user_id AND n.mpos = l.next_mpos
+    )
+    SELECT user_id, event_id AS match_id, ts AS match_ts, start_ts
+    FROM acc
+    """,
+)
+def stream_cep_not_next_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """notNext × AfterMatchSkip (r16 — was an r15 refusal, r15 verdict
+    item 1): `begin(view).notNext(error).followedBy(click)
+    .followedBy(purchase).within(36h)
+    .after_match_skip('skip_past_last_event')` — greedily
+    NON-OVERLAPPING clean-first-impression funnels (each accepted
+    funnel entirely after the previous one's purchase, and no funnel
+    whose view was immediately followed by an error). The lift is
+    free at the plan level: the LEAD(1) gate folds into the begin
+    step's predicate BELOW the (h, sp) position-struct carry, so
+    gated binds simply never enter the struct MAX and the acceptance
+    fold runs over exactly the valid candidate set — same single
+    sort/exchange, no new window. The oracle unrolls the gated struct
+    carries and replays acceptance as the recursive
+    next-acceptance-link CTE of stream_cep_skip_past. Brute-force
+    fuzz (all four strategies × gate position):
+    tests/test_properties.py::test_cep_not_next_skip_fuzz. STREAMS
+    (r16): the one-row delayed absorption parks (ts, sp, ap, pos) in
+    pending state slots riding _cep_skip_fn's causal cursor —
+    fake-GroupState fuzz + availableNow twin."""
+    pat = (
+        CepPattern.begin("view", etype="view")
+        .not_next("error", etype="error")
+        .followed_by("click", etype="click")
+        .followed_by("purchase", etype="purchase")
+        .within("36 hours")
+        .after_match_skip("skip_past_last_event")
+    )
+    return pat.compile(
+        table(spark, sf_dir, "events"),
+        key="user_id",
+        ts="ts",
+        tiebreak="event_id",
+    )
+
+
+@register(
+    "stream_cep_not_next_gap",
+    oracle=f"""
+    WITH s0 AS (
+      SELECT user_id, event_id, event_type, ts,
+             COALESCE(LEAD(event_type = 'error') OVER
+                        (PARTITION BY user_id ORDER BY ts, event_id),
+                      FALSE) AS nn,
+             CASE WHEN event_type = 'view' THEN ts END AS raw0
+      FROM events
+    ), sg AS (
+      SELECT *, CASE WHEN raw0 IS NOT NULL AND NOT nn
+                     THEN raw0 END AS h0
+      FROM s0
+    ), s1 AS (
+      SELECT *, CASE WHEN event_type = 'click'
+                     THEN {_CEP_GAP_CARRY.format(src='h0',
+                                                 gap=43200000000)} END AS h1
+      FROM sg
+    ), s2 AS (
+      SELECT *, CASE WHEN event_type = 'purchase'
+                     THEN {_CEP_GAP_CARRY.format(src='h1',
+                                                 gap=43200000000)} END AS h2
+      FROM s1
+    )
+    SELECT user_id, event_id AS match_id, ts AS match_ts, h2 AS start_ts
+    FROM s2
+    WHERE h2 IS NOT NULL
+    """,
+)
+def stream_cep_not_next_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """notNext × within(..., 'previous_and_current') (r16 — was an r15
+    refusal, r15 verdict item 1): `begin(view).notNext(error)
+    .followedBy(click).followedBy(purchase).within('12 hours',
+    'previous_and_current')` — momentum funnels (every hop within 12
+    hours) whose view was NOT immediately followed by an error. The
+    LEAD(1) gate prunes binds BEFORE they enter the bounded-window
+    carries, so the gap GREATEST runs over valid starts only — the
+    gate is causal at the bind row, orthogonal to the horizon. The
+    oracle unrolls the gated bounded carries (RANGE + same-µs tiebreak
+    frames, GREATEST-combined). Brute-force fuzz (strict/relaxed
+    transitions × gate position × mid-negation):
+    tests/test_properties.py::test_cep_not_next_gap_fuzz. STREAMS
+    (r16): a gated level PARKS its (row_ts, start[, q]) entry in a
+    one-row pending slot that joins the horizon-pruned gap buffers at
+    the next event — absorb if the gate clears, drop otherwise
+    (stateful._gap_hits nn handling); fake-GroupState fuzz + the
+    availableNow twin pin bit-equality across micro-batch
+    boundaries."""
+    pat = (
+        CepPattern.begin("view", etype="view")
+        .not_next("error", etype="error")
+        .followed_by("click", etype="click")
+        .followed_by("purchase", etype="purchase")
+        .within("12 hours", "previous_and_current")
     )
     return pat.compile(
         table(spark, sf_dir, "events"),

@@ -1269,7 +1269,7 @@ def cep_enum_neg_stream(
 
 
 def _cep_skip_fn(steps, within_us, strategy="skip_past_last_event",
-                 anchor_idx=None):
+                 anchor_idx=None, nn_ets=None):
     """Keyed-state executor for a compiled pattern under an after-match
     skip strategy (r12 skip_past_last_event; r13 skip_to_next /
     skip_to_first / skip_to_last): the carry values become (ts,
@@ -1289,18 +1289,27 @@ def _cep_skip_fn(steps, within_us, strategy="skip_past_last_event",
     Everything is causal, so all four strategies stream with O(1)
     state: 6·(m-1)+2 longs (8·(m-1)+2 with an anchor — ts+sp[+ap] for
     carry-max and lag, BP/LQ for negated gaps, the cursor, the row
-    counter)."""
+    counter). r16: notNext gates compose — a gated level PARKS its
+    (ts, sp, ap, row-pos) hit in a one-row pending slot (4·(m-1) more
+    longs, present only when gated) resolved at the next event: absorb
+    into the carry max / lag / BP if this event clears the gate, drop
+    otherwise — the cursor fold then sees only validated binds,
+    exactly the batch LEAD(1)-folded predicate under the position
+    struct."""
     m = len(steps)
     n = m - 1
     anchored = strategy in ("skip_to_first", "skip_to_last")
+    has_nn = nn_ets is not None and any(e is not None for e in nn_ets)
 
     def fn(
         key: Tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        base = (8 if anchored else 6) * n
         if state.exists:
             vals = list(state.get)
         else:
-            vals = [-1] * ((8 if anchored else 6) * n) + [-1, 0]
+            vals = [-1] * base + [-1, 0] + ([-1] * (4 * n)
+                                            if has_nn else [])
         Cts, Csp = vals[0:n], vals[n:2 * n]
         Lts, Lsp = vals[2 * n:3 * n], vals[3 * n:4 * n]
         BP, LQ = vals[4 * n:5 * n], vals[5 * n:6 * n]
@@ -1311,6 +1320,13 @@ def _cep_skip_fn(steps, within_us, strategy="skip_past_last_event",
             Cap, Lap = [0] * n, [0] * n  # unused (tie-breaks only ever
             # compare equal junk against equal junk — no-op updates)
             last_acc, pos = vals[6 * n], vals[6 * n + 1]
+        if has_nn:
+            Pts = vals[base + 2:base + 2 + n]
+            Psp = vals[base + 2 + n:base + 2 + 2 * n]
+            Pap = vals[base + 2 + 2 * n:base + 2 + 3 * n]
+            Ppos = vals[base + 2 + 3 * n:base + 2 + 4 * n]
+        else:
+            Pts = Psp = Pap = Ppos = None
         chunks = [p for p in pdf_iter if len(p)]
         if not chunks:
             return
@@ -1329,6 +1345,24 @@ def _cep_skip_fn(steps, within_us, strategy="skip_past_last_event",
             _ts_us(pdf["ts"]).to_numpy(),
         ):
             t = int(t)
+            if has_nn:
+                # (0) resolve pendings: this event IS the gated binds'
+                # direct successor — absorb (carry max + BP + lag) if
+                # its type clears the gate, drop otherwise
+                for i in range(n):
+                    if nn_ets[i] is None:
+                        continue
+                    if Pts[i] >= 0 and etype != nn_ets[i]:
+                        if (Pts[i], Psp[i], Pap[i]) > (
+                            Cts[i], Csp[i], Cap[i]
+                        ):
+                            Cts[i], Csp[i] = Pts[i], Psp[i]
+                            Cap[i] = Pap[i]
+                        BP[i] = Ppos[i]
+                        Lts[i], Lsp[i], Lap[i] = Pts[i], Psp[i], Pap[i]
+                    else:
+                        Lts[i], Lsp[i], Lap[i] = -1, -1, -1
+                    Pts[i] = Psp[i] = Pap[i] = Ppos[i] = -1
             hts, hsp, hap = [-1] * m, [-1] * m, [-1] * m
             for i, (et, trans, neg_et) in enumerate(steps):
                 if etype != et:
@@ -1362,13 +1396,22 @@ def _cep_skip_fn(steps, within_us, strategy="skip_past_last_event",
                     else hsp[-1]
                 )
             for i in range(n):
-                if (hts[i], hsp[i], hap[i]) > (Cts[i], Csp[i], Cap[i]):
-                    Cts[i], Csp[i] = hts[i], hsp[i]
-                    Cap[i] = hap[i]
-                if hts[i] >= 0:
-                    BP[i] = pos
-                Lts[i], Lsp[i] = hts[i], hsp[i]
-                Lap[i] = hap[i]
+                if has_nn and nn_ets[i] is not None:
+                    # PARK the gated hit; resolution above owns the
+                    # carry/lag/BP updates (the lag slot keeps last
+                    # row's verdict until the next resolution)
+                    Pts[i], Psp[i], Pap[i] = hts[i], hsp[i], hap[i]
+                    Ppos[i] = pos if hts[i] >= 0 else -1
+                else:
+                    if (hts[i], hsp[i], hap[i]) > (
+                        Cts[i], Csp[i], Cap[i]
+                    ):
+                        Cts[i], Csp[i] = hts[i], hsp[i]
+                        Cap[i] = hap[i]
+                    if hts[i] >= 0:
+                        BP[i] = pos
+                    Lts[i], Lsp[i] = hts[i], hsp[i]
+                    Lap[i] = hap[i]
                 neg_et = steps[i + 1][2]
                 if neg_et is not None and etype == neg_et:
                     LQ[i] = pos
@@ -1377,6 +1420,7 @@ def _cep_skip_fn(steps, within_us, strategy="skip_past_last_event",
             Cts + Csp + Lts + Lsp + BP + LQ
             + (Cap + Lap if anchored else [])
             + [last_acc, pos]
+            + (Pts + Psp + Pap + Ppos if has_nn else [])
         ))
         if out["match_id"]:
             yield pd.DataFrame(
@@ -1609,7 +1653,7 @@ def cep_compiled_neg_stream(
 
 
 def _cep_skip_neg_fn(steps, within_us, strategy, anchor_idx,
-                     neg_et, neg_within_us):
+                     neg_et, neg_within_us, nn_ets=None):
     """r14 continuation: after-match skip × TERMINAL negation — the
     causal position-struct carries of _cep_skip_fn feeding a
     watermark-delayed hold whose acceptance cursor folds AT FLUSH
@@ -1624,6 +1668,7 @@ def _cep_skip_neg_fn(steps, within_us, strategy, anchor_idx,
     n = m - 1
     anchored = strategy in ("skip_to_first", "skip_to_last")
     past = strategy == "skip_past_last_event"
+    has_nn = nn_ets is not None and any(e is not None for e in nn_ets)
     NP = 6  # pend columns: mid, mus, sus, spos, mpos, apos
 
     def fn(
@@ -1637,12 +1682,15 @@ def _cep_skip_neg_fn(steps, within_us, strategy, anchor_idx,
             Cap, Lap = list(vals[6]), list(vals[7])
             cursor, pos = vals[8], vals[9]
             pend = [list(vals[10 + j]) for j in range(NP)]
+            pn = ([list(vals[10 + NP + j]) for j in range(4)]
+                  if has_nn else None)
         else:
             Cts, Csp, Lts, Lsp, BP, LQ, Cap, Lap = (
                 [-1] * n for _ in range(8)
             )
             cursor, pos = -1, 0
             pend = [[] for _ in range(NP)]
+            pn = [[-1] * n for _ in range(4)] if has_nn else None
 
         def flush(wm_us):
             nonlocal cursor
@@ -1666,6 +1714,7 @@ def _cep_skip_neg_fn(steps, within_us, strategy, anchor_idx,
             state.update(
                 (Cts, Csp, Lts, Lsp, BP, LQ, Cap, Lap, cursor, pos)
                 + tuple(keep)
+                + (tuple(pn) if has_nn else ())
             )
             if keep[1]:
                 state.setTimeoutTimestamp(
@@ -1697,6 +1746,27 @@ def _cep_skip_neg_fn(steps, within_us, strategy, anchor_idx,
             _ts_us(pdf["ts"]).to_numpy(),
         ):
             t = int(t)
+            if has_nn:
+                # resolve pendings (r16 delayed absorption — see
+                # _cep_skip_fn): validated binds join the carry max /
+                # lag / BP before this row's hits read them
+                for i in range(n):
+                    if nn_ets[i] is None:
+                        continue
+                    P = pn
+                    if P[0][i] >= 0 and etype != nn_ets[i]:
+                        if (P[0][i], P[1][i], P[2][i]) > (
+                            Cts[i], Csp[i], Cap[i]
+                        ):
+                            Cts[i], Csp[i] = P[0][i], P[1][i]
+                            Cap[i] = P[2][i]
+                        BP[i] = P[3][i]
+                        Lts[i], Lsp[i], Lap[i] = (
+                            P[0][i], P[1][i], P[2][i]
+                        )
+                    else:
+                        Lts[i], Lsp[i], Lap[i] = -1, -1, -1
+                    P[0][i] = P[1][i] = P[2][i] = P[3][i] = -1
             hts, hsp, hap = [-1] * m, [-1] * m, [-1] * m
             for i, (et, trans, gneg) in enumerate(steps):
                 if etype != et:
@@ -1726,13 +1796,21 @@ def _cep_skip_neg_fn(steps, within_us, strategy, anchor_idx,
                                        pos, hap[-1])):
                     pend[j].append(v)
             for i in range(n):
-                if (hts[i], hsp[i], hap[i]) > (Cts[i], Csp[i], Cap[i]):
-                    Cts[i], Csp[i] = hts[i], hsp[i]
-                    Cap[i] = hap[i]
-                if hts[i] >= 0:
-                    BP[i] = pos
-                Lts[i], Lsp[i] = hts[i], hsp[i]
-                Lap[i] = hap[i]
+                if has_nn and nn_ets[i] is not None:
+                    pn[0][i], pn[1][i], pn[2][i] = (
+                        hts[i], hsp[i], hap[i]
+                    )
+                    pn[3][i] = pos if hts[i] >= 0 else -1
+                else:
+                    if (hts[i], hsp[i], hap[i]) > (
+                        Cts[i], Csp[i], Cap[i]
+                    ):
+                        Cts[i], Csp[i] = hts[i], hsp[i]
+                        Cap[i] = hap[i]
+                    if hts[i] >= 0:
+                        BP[i] = pos
+                    Lts[i], Lsp[i] = hts[i], hsp[i]
+                    Lap[i] = hap[i]
                 gneg = steps[i + 1][2]
                 if gneg is not None and etype == gneg:
                     LQ[i] = pos
@@ -1750,7 +1828,7 @@ def _cep_skip_neg_fn(steps, within_us, strategy, anchor_idx,
 def cep_skip_neg_stream(
     spark: SparkSession, files_dir: str, sf_dir: str,
     steps: list, within_us, strategy: str, anchor_idx,
-    neg_et: str, neg_within_us: int,
+    neg_et: str, neg_within_us: int, nn_ets=None,
 ) -> DataFrame:
     """True-streaming compile of after-match skip × terminal negation
     (see _cep_skip_neg_fn)."""
@@ -1759,6 +1837,7 @@ def cep_skip_neg_stream(
     )
     if len(steps) < 2:
         raise ValueError("skip-negation stream needs >= 2 steps")
+    has_nn = nn_ets is not None and any(e is not None for e in nn_ets)
     fields = (
         ["cts ARRAY<BIGINT>", "csp ARRAY<BIGINT>",
          "lts ARRAY<BIGINT>", "lsp ARRAY<BIGINT>",
@@ -1768,10 +1847,13 @@ def cep_skip_neg_stream(
          "pend_mid ARRAY<BIGINT>", "pend_mus ARRAY<BIGINT>",
          "pend_sus ARRAY<BIGINT>", "pend_sp ARRAY<BIGINT>",
          "pend_mp ARRAY<BIGINT>", "pend_ap ARRAY<BIGINT>"]
+        + (["pnn_ts ARRAY<BIGINT>", "pnn_sp ARRAY<BIGINT>",
+            "pnn_ap ARRAY<BIGINT>", "pnn_pos ARRAY<BIGINT>"]
+           if has_nn else [])
     )
     return ev.groupBy("user_id").applyInPandasWithState(
         _cep_skip_neg_fn(list(steps), within_us, strategy, anchor_idx,
-                         neg_et, neg_within_us),
+                         neg_et, neg_within_us, nn_ets),
         outputStructType=(
             "user_id BIGINT, match_id BIGINT, match_us BIGINT, "
             "start_us BIGINT"
@@ -1783,18 +1865,22 @@ def cep_skip_neg_stream(
 
 
 def _cep_gap_skip_neg_fn(steps, within_us, gap_us, strategy,
-                         anchor_idx, neg_et, neg_within_us):
+                         anchor_idx, neg_et, neg_within_us,
+                         nn_ets=None):
     """r14 continuation: the skip × gap-bound × terminal-negation
     TRIPLE — _cep_gap_skip_fn's position-struct buffers feeding the
     same flush-time acceptance cursor as _cep_skip_neg_fn. r15:
     MID-PATTERN negated gaps compose (count-gated position-struct
     buffers, see _gap_skip_hits) — the QUADRUPLE mid-negation + gap
     + skip + terminal negation; bq/qc state exists only when some
-    step carries a negated gap."""
+    step carries a negated gap. r16: notNext gates compose (delayed
+    absorption in _gap_skip_hits; the hold and the flush-time cursor
+    see only validated binds)."""
     n = len(steps) - 1
     anchored = strategy in ("skip_to_first", "skip_to_last")
     past = strategy == "skip_past_last_event"
     has_mneg = any(st[2] is not None for st in steps)
+    has_nn = nn_ets is not None and any(e is not None for e in nn_ets)
     NP = 6
 
     def fn(
@@ -1813,12 +1899,15 @@ def _cep_gap_skip_neg_fn(steps, within_us, gap_us, strategy,
                 qc = list(vals[5 * n + 3])
                 prev_ts, pos, cursor = vals[5 * n + 4:5 * n + 7]
                 pend = [list(vals[5 * n + 7 + j]) for j in range(NP)]
+                rest = vals[5 * n + 7 + NP:]
             else:
                 bq, qc = None, None
                 L = [list(vals[4 * n]), list(vals[4 * n + 1]),
                      list(vals[4 * n + 2])]
                 prev_ts, pos, cursor = vals[4 * n + 3:4 * n + 6]
                 pend = [list(vals[4 * n + 6 + j]) for j in range(NP)]
+                rest = vals[4 * n + 6 + NP:]
+            pn = ([list(r) for r in rest[:5]] if has_nn else None)
         else:
             bts = [[] for _ in range(n)]
             bh = [[] for _ in range(n)]
@@ -1829,6 +1918,7 @@ def _cep_gap_skip_neg_fn(steps, within_us, gap_us, strategy,
             L = [[-1] * n, [-1] * n, [-1] * n]
             prev_ts, pos, cursor = -1, 0, -1
             pend = [[] for _ in range(NP)]
+            pn = ([[-1] * n for _ in range(5)] if has_nn else None)
 
         def flush(wm_us):
             nonlocal cursor
@@ -1856,6 +1946,7 @@ def _cep_gap_skip_neg_fn(steps, within_us, gap_us, strategy,
                 + ((qc,) if has_mneg else ())
                 + (prev_ts, pos, cursor)
                 + tuple(keep)
+                + (tuple(pn) if has_nn else ())
             )
             if keep[1]:
                 state.setTimeoutTimestamp(
@@ -1889,7 +1980,8 @@ def _cep_gap_skip_neg_fn(steps, within_us, gap_us, strategy,
             t = int(t)
             hit = _gap_skip_hits(steps, bts, bh, bsp, bap, L, prev_ts,
                                  etype, t, pos, gap_us, anchored,
-                                 anchor_idx, bq, qc)
+                                 anchor_idx, bq, qc,
+                                 nn_ets if has_nn else None, pn)
             if etype == neg_et:
                 kept = [row for row in zip(*pend)
                         if not (row[1] < t <= row[1] + neg_within_us)]
@@ -1916,7 +2008,7 @@ def _cep_gap_skip_neg_fn(steps, within_us, gap_us, strategy,
 def cep_gap_skip_neg_stream(
     spark: SparkSession, files_dir: str, sf_dir: str,
     steps: list, within_us, gap_us: int, strategy: str, anchor_idx,
-    neg_et: str, neg_within_us: int,
+    neg_et: str, neg_within_us: int, nn_ets=None,
 ) -> DataFrame:
     """True-streaming compile of skip × gap bound × terminal negation
     (see _cep_gap_skip_neg_fn)."""
@@ -1926,10 +2018,10 @@ def cep_gap_skip_neg_stream(
     n = len(steps) - 1
     if n < 1:
         raise ValueError("gap-skip-negation stream needs >= 2 steps")
-    fields = _gap_skip_state_fields(steps, pend=True)
+    fields = _gap_skip_state_fields(steps, pend=True, nn_ets=nn_ets)
     return ev.groupBy("user_id").applyInPandasWithState(
         _cep_gap_skip_neg_fn(list(steps), within_us, gap_us, strategy,
-                             anchor_idx, neg_et, neg_within_us),
+                             anchor_idx, neg_et, neg_within_us, nn_ets),
         outputStructType=(
             "user_id BIGINT, match_id BIGINT, match_us BIGINT, "
             "start_us BIGINT"
@@ -2069,7 +2161,7 @@ def _cep_terminal_neg_fn(steps, within_us, neg_et, neg_within_us):
 
 
 def _gap_hits(steps, bts, bh, L, prev_ts, etype, t, gap_us,
-              bq=None, qc=None):
+              bq=None, qc=None, nn_ets=None, pn=None):
     """One event's hit vector + buffer/lag maintenance for ONE
     gap-bounded carry chain — the shared inner step of _cep_gap_fn and
     the r14 gap-composition twins (_cep_gap_neg_fn, _cep_gap_enum_fn,
@@ -2084,7 +2176,20 @@ def _gap_hits(steps, bts, bh, L, prev_ts, etype, t, gap_us,
     buffered row is feasible iff its count equals the current one
     ("no negated event since b"). Callers whose steps carry negated
     gaps MUST pass both; qc is maintained here (incremented after the
-    row is consumed, so reads see strictly-before counts)."""
+    row is consumed, so reads see strictly-before counts).
+
+    nn_ets/pn (r16, notNext under the gap bound — r15 verdict item
+    1): nn_ets[i] = the notNext type gating level i's bind (None =
+    ungated), pn = [pts, ph, pq] one-row pending slots per level. A
+    gated bind's validity ("the directly following event does not
+    match") is only known at the NEXT event, so the gated level PARKS
+    its hit (with its inclusive q computed at park time — qc
+    increments the same event) instead of buffering it; this event
+    first RESOLVES last row's pendings — absorb into the buffer (and
+    the lag slot) if this event's type clears the gate, drop
+    otherwise. The parked row_ts <= t keeps the buffer ascending, so
+    the head-check prune stays complete. Callers with notNext steps
+    MUST pass both."""
     m = len(steps)
     if bq is None and any(st[2] is not None for st in steps):
         raise ValueError(
@@ -2092,6 +2197,25 @@ def _gap_hits(steps, bts, bh, L, prev_ts, etype, t, gap_us,
             "count buffers — this state machine would ignore the "
             "negation"
         )
+    if nn_ets is not None:
+        # (0) resolve: this event IS last row's gated binds' direct
+        # successor — absorb or drop BEFORE computing this row's hits
+        # (a just-validated bind is reachable by this row, exactly the
+        # batch LEAD(1) fold)
+        pts, ph, pq = pn
+        for i in range(m - 1):
+            if nn_ets[i] is None:
+                continue
+            if pts[i] >= 0 and etype != nn_ets[i]:
+                bts[i].append(pts[i])
+                bh[i].append(ph[i])
+                if bq is not None:
+                    bq[i].append(pq[i])
+                L[i] = ph[i]
+            else:
+                L[i] = -1
+            pts[i] = ph[i] = -1
+            pq[i] = -1
     hit = [-1] * m
     for i, (et, trans, neg_et) in enumerate(steps):
         if etype != et:
@@ -2119,7 +2243,22 @@ def _gap_hits(steps, bts, bh, L, prev_ts, etype, t, gap_us,
                 hit[i] = L[i - 1]
     lo = t - gap_us
     for i in range(m - 1):
-        if hit[i] >= 0:
+        gated = nn_ets is not None and nn_ets[i] is not None
+        if gated:
+            # PARK instead of buffering: validity is known at the
+            # next event (resolution above); the inclusive q is
+            # computed NOW — qc increments below for this same event
+            if hit[i] >= 0:
+                pts, ph, pq = pn
+                pts[i] = t
+                ph[i] = hit[i]
+                if bq is not None:
+                    qt = steps[i + 1][2]
+                    pq[i] = (
+                        -1 if qt is None
+                        else qc[i] + (1 if etype == qt else 0)
+                    )
+        elif hit[i] >= 0:
             bts[i].append(t)
             bh[i].append(hit[i])
             if bq is not None:
@@ -2136,7 +2275,10 @@ def _gap_hits(steps, bts, bh, L, prev_ts, etype, t, gap_us,
             bh[i] = [bh[i][k] for k in keep]
             if bq is not None:
                 bq[i] = [bq[i][k] for k in keep]
-        L[i] = hit[i]
+        if not gated:
+            # a gated level's lag is owned by the resolution step —
+            # between rows it holds the PREVIOUS row's verdict
+            L[i] = hit[i]
         if bq is not None:
             qt = steps[i + 1][2]
             if qt is not None and etype == qt:
@@ -2146,7 +2288,7 @@ def _gap_hits(steps, bts, bh, L, prev_ts, etype, t, gap_us,
 
 def _gap_skip_hits(steps, bts, bh, bsp, bap, L, prev_ts, etype, t,
                    pos, gap_us, anchored, anchor_idx,
-                   bq=None, qc=None):
+                   bq=None, qc=None, nn_ets=None, pn=None):
     """One event's position-struct hit vector + buffer/lag maintenance
     for a gap-bounded SKIP chain — the shared inner step of
     _cep_gap_skip_fn and _cep_gap_skip_neg_fn (r15 refactor; the two
@@ -2166,7 +2308,14 @@ def _gap_skip_hits(steps, bts, bh, bsp, bap, L, prev_ts, etype, t,
     among feasible rows (the batch (q, v) gate with v the position
     struct). Callers whose steps carry negated gaps MUST pass both;
     qc increments after the row is consumed (reads see
-    strictly-before counts), exactly _gap_hits' discipline."""
+    strictly-before counts), exactly _gap_hits' discipline.
+
+    nn_ets/pn (r16, notNext × gap × skip): pn = [pts, ph, psp, pap,
+    pq] one-row pending slots per level — a gated level PARKS its
+    (h, sp, ap) struct (q computed at park time) and this event
+    resolves last row's pendings before computing hits, exactly
+    _gap_hits' delayed absorption with the position struct riding
+    along."""
     m = len(steps)
     if bq is None and any(st[2] is not None for st in steps):
         raise ValueError(
@@ -2174,6 +2323,23 @@ def _gap_skip_hits(steps, bts, bh, bsp, bap, L, prev_ts, etype, t,
             "count buffers — this state machine would ignore the "
             "negation"
         )
+    if nn_ets is not None:
+        pts, ph, psp, pap, pq = pn
+        for i in range(m - 1):
+            if nn_ets[i] is None:
+                continue
+            if pts[i] >= 0 and etype != nn_ets[i]:
+                bts[i].append(pts[i])
+                bh[i].append(ph[i])
+                bsp[i].append(psp[i])
+                bap[i].append(pap[i])
+                if bq is not None:
+                    bq[i].append(pq[i])
+                L[0][i], L[1][i], L[2][i] = ph[i], psp[i], pap[i]
+            else:
+                L[0][i], L[1][i], L[2][i] = -1, -1, -1
+            pts[i] = ph[i] = psp[i] = pap[i] = -1
+            pq[i] = -1
     hit = [(-1, -1, -1)] * m
     for i, (et, trans, neg_et) in enumerate(steps):
         if etype != et:
@@ -2210,7 +2376,19 @@ def _gap_skip_hits(steps, bts, bh, bsp, bap, L, prev_ts, etype, t,
             hit[i] = (hit[i][0], hit[i][1], pos)
     lo = t - gap_us
     for i in range(m - 1):
-        if hit[i][0] >= 0:
+        gated = nn_ets is not None and nn_ets[i] is not None
+        if gated:
+            if hit[i][0] >= 0:
+                pts, ph, psp, pap, pq = pn
+                pts[i] = t
+                ph[i], psp[i], pap[i] = hit[i]
+                if bq is not None:
+                    qt = steps[i + 1][2]
+                    pq[i] = (
+                        -1 if qt is None
+                        else qc[i] + (1 if etype == qt else 0)
+                    )
+        elif hit[i][0] >= 0:
             bts[i].append(t)
             bh[i].append(hit[i][0])
             bsp[i].append(hit[i][1])
@@ -2229,7 +2407,8 @@ def _gap_skip_hits(steps, bts, bh, bsp, bap, L, prev_ts, etype, t,
             bap[i] = [bap[i][k] for k in keep]
             if bq is not None:
                 bq[i] = [bq[i][k] for k in keep]
-        L[0][i], L[1][i], L[2][i] = hit[i]
+        if not gated:
+            L[0][i], L[1][i], L[2][i] = hit[i]
         if bq is not None:
             qt = steps[i + 1][2]
             if qt is not None and etype == qt:
@@ -2237,12 +2416,15 @@ def _gap_skip_hits(steps, bts, bh, bsp, bap, L, prev_ts, etype, t,
     return hit
 
 
-def _gap_skip_state_fields(steps, pend=False) -> list:
+def _gap_skip_state_fields(steps, pend=False, nn_ets=None) -> list:
     """stateStructType fields for the gap×skip machines — bq_*/qc
     exist only when some step carries a negated gap (pre-r15
-    checkpoints of plain gap-skip queries restart cleanly)."""
+    checkpoints of plain gap-skip queries restart cleanly); pnn_*
+    notNext pending slots (r16) exist only when some level is
+    notNext-gated."""
     n = len(steps) - 1
     has_mneg = any(st[2] is not None for st in steps)
+    has_nn = nn_ets is not None and any(e is not None for e in nn_ets)
     fields = (
         [f"bts_{i} ARRAY<BIGINT>" for i in range(n)]
         + [f"bh_{i} ARRAY<BIGINT>" for i in range(n)]
@@ -2258,10 +2440,14 @@ def _gap_skip_state_fields(steps, pend=False) -> list:
         fields += ["pend_mid ARRAY<BIGINT>", "pend_mus ARRAY<BIGINT>",
                    "pend_sus ARRAY<BIGINT>", "pend_sp ARRAY<BIGINT>",
                    "pend_mp ARRAY<BIGINT>", "pend_ap ARRAY<BIGINT>"]
+    if has_nn:
+        fields += ["pnn_ts ARRAY<BIGINT>", "pnn_h ARRAY<BIGINT>",
+                   "pnn_sp ARRAY<BIGINT>", "pnn_ap ARRAY<BIGINT>",
+                   "pnn_q ARRAY<BIGINT>"]
     return fields
 
 
-def _cep_gap_fn(steps, within_us, gap_us):
+def _cep_gap_fn(steps, within_us, gap_us, nn_ets=None):
     """Keyed-state executor for a pattern under a per-transition gap
     bound (within previous_and_current, r13): the O(1) running-max
     carry cannot expire old starts, so each chain level carries a
@@ -2282,8 +2468,10 @@ def _cep_gap_fn(steps, within_us, gap_us):
     # r14 advice: the bq/qc count buffers exist ONLY when some step
     # carries a negated gap — plain gap patterns keep the r13 state
     # schema (no widened stateStructType breaking existing checkpoints,
-    # no state columns the machine never reads).
+    # no state columns the machine never reads). Same rule for the r16
+    # notNext pending slots (gated on nn_ets).
     has_neg = any(st[2] is not None for st in steps)
+    has_nn = nn_ets is not None and any(e is not None for e in nn_ets)
 
     def fn(
         key: Tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState
@@ -2297,10 +2485,14 @@ def _cep_gap_fn(steps, within_us, gap_us):
                 L = list(vals[3 * n])
                 qc = list(vals[3 * n + 1])
                 prev_ts = vals[3 * n + 2]
+                rest = vals[3 * n + 3:]
             else:
                 bq, qc = None, None
                 L = list(vals[2 * n])
                 prev_ts = vals[2 * n + 1]
+                rest = vals[2 * n + 2:]
+            pn = ([list(rest[0]), list(rest[1]), list(rest[2])]
+                  if has_nn else None)
         else:
             bts = [[] for _ in range(n)]
             bh = [[] for _ in range(n)]
@@ -2308,6 +2500,7 @@ def _cep_gap_fn(steps, within_us, gap_us):
             L = [-1] * n
             qc = [0] * n if has_neg else None
             prev_ts = -1
+            pn = [[-1] * n, [-1] * n, [-1] * n] if has_nn else None
         chunks = [p for p in pdf_iter if len(p)]
         if not chunks:
             return
@@ -2327,7 +2520,8 @@ def _cep_gap_fn(steps, within_us, gap_us):
         ):
             t = int(t)
             hit = _gap_hits(steps, bts, bh, L, prev_ts, etype, t,
-                            gap_us, bq, qc)
+                            gap_us, bq, qc,
+                            nn_ets if has_nn else None, pn)
             if hit[-1] >= 0 and (
                 within_us is None or t - hit[-1] <= within_us
             ):
@@ -2336,9 +2530,10 @@ def _cep_gap_fn(steps, within_us, gap_us):
                 out["start_us"].append(hit[-1])
             prev_ts = t
         state.update(
-            tuple(bts) + tuple(bh) + tuple(bq) + (L, qc, prev_ts)
-            if has_neg
-            else tuple(bts) + tuple(bh) + (L, prev_ts)
+            (tuple(bts) + tuple(bh) + tuple(bq) + (L, qc, prev_ts)
+             if has_neg
+             else tuple(bts) + tuple(bh) + (L, prev_ts))
+            + (tuple(pn) if has_nn else ())
         )
         if out["match_id"]:
             yield pd.DataFrame(
@@ -2348,15 +2543,16 @@ def _cep_gap_fn(steps, within_us, gap_us):
     return fn
 
 
-def _gap_state_fields(steps) -> list:
+def _gap_state_fields(steps, nn_ets=None) -> list:
     """stateStructType fields for cep_gap_bound_stream. bq_*/qc count
     buffers exist ONLY when some step carries a negated gap (r14
     advice): plain gap patterns keep the r13 schema, so a pre-r14
     streaming query restarted from an existing checkpoint sees an
     unchanged stateStructType and pays no state columns it never
-    reads."""
+    reads. Same rule for the r16 notNext pending slots (pnn_*)."""
     n = len(steps) - 1
     has_neg = any(st[2] is not None for st in steps)
+    has_nn = nn_ets is not None and any(e is not None for e in nn_ets)
     return (
         [f"bts_{i} ARRAY<BIGINT>" for i in range(n)]
         + [f"bh_{i} ARRAY<BIGINT>" for i in range(n)]
@@ -2364,20 +2560,23 @@ def _gap_state_fields(steps) -> list:
         + ["l ARRAY<BIGINT>"]
         + (["qc ARRAY<BIGINT>"] if has_neg else [])
         + ["prev_ts BIGINT"]
+        + (["pnn_ts ARRAY<BIGINT>", "pnn_h ARRAY<BIGINT>",
+            "pnn_q ARRAY<BIGINT>"] if has_nn else [])
     )
 
 
 def cep_gap_bound_stream(
     spark: SparkSession, files_dir: str, sf_dir: str,
-    steps: list, within_us, gap_us: int,
+    steps: list, within_us, gap_us: int, nn_ets=None,
 ) -> DataFrame:
     """True-streaming compile of a per-gap-bounded pattern (see
     _cep_gap_fn). State = per-level (ts, start) buffers bounded by one
-    gap horizon of events plus the strict-hop lag values."""
+    gap horizon of events plus the strict-hop lag values (plus the
+    r16 one-row notNext pending slots when gated)."""
     ev = _events_stream(spark, files_dir, sf_dir)
-    fields = _gap_state_fields(steps)
+    fields = _gap_state_fields(steps, nn_ets)
     return ev.groupBy("user_id").applyInPandasWithState(
-        _cep_gap_fn(list(steps), within_us, gap_us),
+        _cep_gap_fn(list(steps), within_us, gap_us, nn_ets),
         outputStructType=(
             "user_id BIGINT, match_id BIGINT, match_us BIGINT, "
             "start_us BIGINT"
@@ -2389,7 +2588,7 @@ def cep_gap_bound_stream(
 
 
 def _cep_gap_skip_fn(steps, within_us, gap_us, strategy,
-                     anchor_idx=None):
+                     anchor_idx=None, nn_ets=None):
     """r14 continuation: AfterMatchSkip over a GAP-BOUNDED chain — the
     buffered carry generalized to (h, sp[, ap]) position structs
     (parallel arrays per level, lexicographic max over gap-feasible
@@ -2402,11 +2601,14 @@ def _cep_gap_skip_fn(steps, within_us, gap_us, strategy,
     within a key, so the fold is causal — one more long of keyed
     state. r15: MID-PATTERN negated gaps compose (count-gated
     position-struct buffers, see _gap_skip_hits); bq/qc state exists
-    only when some step carries a negated gap."""
+    only when some step carries a negated gap. r16: notNext gates
+    compose (one-row delayed absorption in _gap_skip_hits); pnn_*
+    state exists only when some level is gated."""
     n = len(steps) - 1
     anchored = strategy in ("skip_to_first", "skip_to_last")
     past = strategy == "skip_past_last_event"
     has_mneg = any(st[2] is not None for st in steps)
+    has_nn = nn_ets is not None and any(e is not None for e in nn_ets)
 
     def fn(
         key: Tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState
@@ -2423,11 +2625,14 @@ def _cep_gap_skip_fn(steps, within_us, gap_us, strategy,
                      list(vals[5 * n + 2])]
                 qc = list(vals[5 * n + 3])
                 prev_ts, pos, cursor = vals[5 * n + 4:5 * n + 7]
+                rest = vals[5 * n + 7:]
             else:
                 bq, qc = None, None
                 L = [list(vals[4 * n]), list(vals[4 * n + 1]),
                      list(vals[4 * n + 2])]
                 prev_ts, pos, cursor = vals[4 * n + 3:4 * n + 6]
+                rest = vals[4 * n + 6:]
+            pn = ([list(r) for r in rest[:5]] if has_nn else None)
         else:
             bts = [[] for _ in range(n)]
             bh = [[] for _ in range(n)]
@@ -2437,6 +2642,7 @@ def _cep_gap_skip_fn(steps, within_us, gap_us, strategy,
             qc = [0] * n if has_mneg else None
             L = [[-1] * n, [-1] * n, [-1] * n]
             prev_ts, pos, cursor = -1, 0, -1
+            pn = ([[-1] * n for _ in range(5)] if has_nn else None)
         chunks = [p for p in pdf_iter if len(p)]
         if not chunks:
             return
@@ -2456,7 +2662,8 @@ def _cep_gap_skip_fn(steps, within_us, gap_us, strategy,
             t = int(t)
             hit = _gap_skip_hits(steps, bts, bh, bsp, bap, L, prev_ts,
                                  etype, t, pos, gap_us, anchored,
-                                 anchor_idx, bq, qc)
+                                 anchor_idx, bq, qc,
+                                 nn_ets if has_nn else None, pn)
             if hit[-1][0] >= 0 and (
                 within_us is None or t - hit[-1][0] <= within_us
             ):
@@ -2475,6 +2682,7 @@ def _cep_gap_skip_fn(steps, within_us, gap_us, strategy,
             + (L[0], L[1], L[2])
             + ((qc,) if has_mneg else ())
             + (prev_ts, pos, cursor)
+            + (tuple(pn) if has_nn else ())
         )
         if out["match_id"]:
             yield pd.DataFrame(
@@ -2487,15 +2695,15 @@ def _cep_gap_skip_fn(steps, within_us, gap_us, strategy,
 def cep_gap_skip_stream(
     spark: SparkSession, files_dir: str, sf_dir: str,
     steps: list, within_us, gap_us: int, strategy: str,
-    anchor_idx=None,
+    anchor_idx=None, nn_ets=None,
 ) -> DataFrame:
     """True-streaming compile of after-match skip over a gap-bounded
     chain (see _cep_gap_skip_fn)."""
     ev = _events_stream(spark, files_dir, sf_dir)
-    fields = _gap_skip_state_fields(steps)
+    fields = _gap_skip_state_fields(steps, nn_ets=nn_ets)
     return ev.groupBy("user_id").applyInPandasWithState(
         _cep_gap_skip_fn(list(steps), within_us, gap_us, strategy,
-                         anchor_idx),
+                         anchor_idx, nn_ets),
         outputStructType=(
             "user_id BIGINT, match_id BIGINT, match_us BIGINT, "
             "start_us BIGINT"
@@ -2506,7 +2714,8 @@ def cep_gap_skip_stream(
     )
 
 
-def _cep_gap_neg_fn(steps, within_us, gap_us, neg_et, neg_within_us):
+def _cep_gap_neg_fn(steps, within_us, gap_us, neg_et, neg_within_us,
+                    nn_ets=None):
     """r14 (r13 verdict item 4a): TERMINAL negation over a gap-bounded
     chain — the composition of _cep_gap_fn's horizon-pruned per-level
     buffers (the carry) with _cep_terminal_neg_fn's watermark-delayed
@@ -2520,9 +2729,12 @@ def _cep_gap_neg_fn(steps, within_us, gap_us, neg_et, neg_within_us):
     compose (the count-gated buffers of _gap_hits ride the same
     chain; feasibility is causal at the match row, so the hold is
     untouched) — bq/qc fields exist only when some step carries a
-    negated gap, keeping the r14 schema otherwise."""
+    negated gap, keeping the r14 schema otherwise. Same rule for the
+    r16 notNext pending slots (nn_ets — the delayed absorption is
+    orthogonal to the hold: the final step is never gated)."""
     n = len(steps) - 1
     has_mneg = any(st[2] is not None for st in steps)
+    has_nn = nn_ets is not None and any(e is not None for e in nn_ets)
 
     def fn(
         key: Tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState
@@ -2542,6 +2754,8 @@ def _cep_gap_neg_fn(steps, within_us, gap_us, neg_et, neg_within_us):
                 rest = vals[2 * n + 1:]
             prev_ts = rest[0]
             pend = [list(rest[1]), list(rest[2]), list(rest[3])]
+            pn = ([list(rest[4]), list(rest[5]), list(rest[6])]
+                  if has_nn else None)
         else:
             bts = [[] for _ in range(n)]
             bh = [[] for _ in range(n)]
@@ -2550,6 +2764,7 @@ def _cep_gap_neg_fn(steps, within_us, gap_us, neg_et, neg_within_us):
             qc = [0] * n if has_mneg else None
             prev_ts = -1
             pend = [[], [], []]
+            pn = [[-1] * n, [-1] * n, [-1] * n] if has_nn else None
 
         def flush(wm_us):
             out = {"match_id": [], "match_us": [], "start_us": []}
@@ -2570,6 +2785,7 @@ def _cep_gap_neg_fn(steps, within_us, gap_us, neg_et, neg_within_us):
                 tuple(bts) + tuple(bh)
                 + ((tuple(bq) + (L, qc)) if has_mneg else (L,))
                 + (prev_ts, keep[0], keep[1], keep[2])
+                + (tuple(pn) if has_nn else ())
             )
             if keep[1]:
                 state.setTimeoutTimestamp(
@@ -2602,7 +2818,8 @@ def _cep_gap_neg_fn(steps, within_us, gap_us, neg_et, neg_within_us):
         ):
             t = int(t)
             hit = _gap_hits(steps, bts, bh, L, prev_ts, etype, t,
-                            gap_us, bq, qc)
+                            gap_us, bq, qc,
+                            nn_ets if has_nn else None, pn)
             if etype == neg_et:
                 # open interval (match_ts, match_ts+T] — a pending
                 # match at the SAME timestamp survives, matching the
@@ -2632,7 +2849,7 @@ def _cep_gap_neg_fn(steps, within_us, gap_us, neg_et, neg_within_us):
 def cep_gap_negation_stream(
     spark: SparkSession, files_dir: str, sf_dir: str,
     steps: list, within_us, gap_us: int, neg_et: str,
-    neg_within_us: int,
+    neg_within_us: int, nn_ets=None,
 ) -> DataFrame:
     """True-streaming compile of terminal negation + per-gap bound
     (see _cep_gap_neg_fn). Watermark + event-time timers exactly as
@@ -2645,6 +2862,7 @@ def cep_gap_negation_stream(
     if n < 1:
         raise ValueError("gap-negation stream needs >= 2 steps")
     has_mneg = any(st[2] is not None for st in steps)
+    has_nn = nn_ets is not None and any(e is not None for e in nn_ets)
     fields = (
         [f"bts_{i} ARRAY<BIGINT>" for i in range(n)]
         + [f"bh_{i} ARRAY<BIGINT>" for i in range(n)]
@@ -2655,10 +2873,12 @@ def cep_gap_negation_stream(
         + ["prev_ts BIGINT",
            "pend_mid ARRAY<BIGINT>", "pend_mus ARRAY<BIGINT>",
            "pend_sus ARRAY<BIGINT>"]
+        + (["pnn_ts ARRAY<BIGINT>", "pnn_h ARRAY<BIGINT>",
+            "pnn_q ARRAY<BIGINT>"] if has_nn else [])
     )
     return ev.groupBy("user_id").applyInPandasWithState(
         _cep_gap_neg_fn(list(steps), within_us, gap_us, neg_et,
-                        neg_within_us),
+                        neg_within_us, nn_ets),
         outputStructType=(
             "user_id BIGINT, match_id BIGINT, match_us BIGINT, "
             "start_us BIGINT"
@@ -3701,10 +3921,319 @@ def cep_until_stream(
     )
 
 
+def _cep_until_split_fn(variant_steps, within_us, counted,
+                        neg_et=None, neg_within_us=None):
+    """r16 (r15 verdict item 2): until()-gated loops COMPOSED with a
+    both-strict oneOrMore/times(1, m) split elsewhere in the pattern —
+    the freeze-rider machinery of _cep_until_fn run over the
+    OR-of-variant-chains of _cep_or_split_fn. Each variant is one
+    quantifier expansion of the same pattern (1-rep / >=2-rep per
+    split step), each carrying its own C/L/BP/LQ gates, count-at-start
+    pairs AND freeze riders; running counts and the row counter are
+    shared. Emission is EXISTS-any with the lexicographic
+    (h, c.., u-as-inf..) max across satisfied variants — the same
+    batch struct GREATEST, riders joining the compare after the counts
+    with unknown encoded as +inf (the f994a3d rule: a not-yet-frozen
+    rider is always >= any frozen one because NB is nondecreasing in
+    start position). Stop events freeze every variant's riders BEFORE
+    the row's hits, exactly _cep_until_fn's discipline. With a
+    terminal negation the winner row holds in pending arrays until
+    the watermark passes its deadline (pools are causal at the match
+    row)."""
+    sizes = [len(steps) - 1 for steps in variant_steps]
+    qtypes = [[st[2] for st in steps[1:]] for steps in variant_steps]
+    nvar = len(variant_steps)
+    cnt_names = [c[0] for c in counted]
+    cnt_ets = [c[1] for c in counted]
+    up_tos = [c[2] for c in counted]
+    u_ets = [c[3] for c in counted]
+    K = len(counted)
+    uks = [k for k in range(K) if u_ets[k] is not None]
+    NO_STOP = 1 << 62
+    NP = 3 + K
+
+    def fn(
+        key: Tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        # flat layout per variant v (size n): C L BP LQ, per k:
+        # Ccs Lcs, per k-with-until: Cu Lu — variants concatenated
+        per_var = [4 * n + 2 * K * n + 2 * len(uks) * n for n in sizes]
+        base = sum(per_var)
+        if state.exists:
+            vals = list(state.get)
+            flat = list(vals[0])
+            QCs = list(vals[1])
+            pos = vals[2]
+            pend = ([list(vals[3 + j]) for j in range(NP)]
+                    if neg_et is not None else None)
+        else:
+            flat = [-1] * base
+            QCs = [0] * K
+            pos = 0
+            pend = ([[] for _ in range(NP)]
+                    if neg_et is not None else None)
+        V = []  # per variant: (C, L, BP, LQ, Ccs, Lcs, Cu, Lu)
+        off = 0
+        for v, n in enumerate(sizes):
+            C = flat[off:off + n]; off += n
+            L = flat[off:off + n]; off += n
+            BP = flat[off:off + n]; off += n
+            LQ = flat[off:off + n]; off += n
+            Ccs, Lcs = [], []
+            for _k in range(K):
+                Ccs.append(flat[off:off + n]); off += n
+                Lcs.append(flat[off:off + n]); off += n
+            Cu, Lu = {}, {}
+            for k in uks:
+                Cu[k] = flat[off:off + n]; off += n
+                Lu[k] = flat[off:off + n]; off += n
+            V.append((C, L, BP, LQ, Ccs, Lcs, Cu, Lu))
+
+        def pack_flat():
+            new_flat = []
+            for C, L, BP, LQ, Ccs, Lcs, Cu, Lu in V:
+                new_flat += C + L + BP + LQ
+                for k in range(K):
+                    new_flat += Ccs[k] + Lcs[k]
+                for k in uks:
+                    new_flat += Cu[k] + Lu[k]
+            return new_flat
+
+        def flush(wm_us):
+            o = {"match_id": [], "match_us": [], "start_us": [],
+                 **{f"n_{nm}": [] for nm in cnt_names}}
+            keep = [[] for _ in range(NP)]
+            for row in zip(*pend):
+                if row[1] + neg_within_us < wm_us:
+                    o["match_id"].append(row[0])
+                    o["match_us"].append(row[1])
+                    o["start_us"].append(row[2])
+                    for k, nm in enumerate(cnt_names):
+                        o[f"n_{nm}"].append(row[3 + k])
+                else:
+                    for j, v in enumerate(row):
+                        keep[j].append(v)
+            return o, keep
+
+        def save_neg(keep):
+            state.update((pack_flat(), QCs, pos) + tuple(keep))
+            if keep[1]:
+                state.setTimeoutTimestamp(
+                    (min(keep[1]) + neg_within_us) // 1000 + 1
+                )
+
+        if neg_et is not None and state.hasTimedOut:
+            o, keep = flush(state.getCurrentWatermarkMs() * 1000)
+            save_neg(keep)
+            if o["match_id"]:
+                yield pd.DataFrame(
+                    {"user_id": [key[0]] * len(o["match_id"]), **o}
+                )
+            return
+
+        chunks = [p for p in pdf_iter if len(p)]
+        if not chunks:
+            return
+        pdf = pd.concat(chunks).sort_values(["ts", "event_id"])
+        if _ts_us(pdf["ts"]).min() < 0:
+            raise ValueError(
+                "cep_compiled_stream requires event times >= 1970-01-01 "
+                "(the -1 no-hit state sentinel; the batch compile has "
+                "no such limit)"
+            )
+        out = {"match_id": [], "match_us": [], "start_us": []}
+        for nm in cnt_names:
+            out[f"n_{nm}"] = []
+
+        def ok(vv, t):
+            return vv >= 0 and (within_us is None
+                                or t - vv <= within_us)
+
+        for eid, etype, t in zip(
+            pdf["event_id"].to_numpy(),
+            pdf["event_type"].to_numpy(),
+            _ts_us(pdf["ts"]).to_numpy(),
+        ):
+            t = int(t)
+            # (1) stop events freeze EVERY variant's riders first
+            for k in uks:
+                if etype == u_ets[k]:
+                    for (C, L, _BP, _LQ, _Ccs, _Lcs, Cu, Lu) in V:
+                        for i in range(len(C)):
+                            if C[i] >= 0 and Cu[k][i] == -1:
+                                Cu[k][i] = QCs[k]
+                            if L[i] >= 0 and Lu[k][i] == -1:
+                                Lu[k][i] = QCs[k]
+            # (2) hits per variant against the pre-row carries
+            hits = []
+            for v, ((C, L, BP, LQ, Ccs, Lcs, Cu, Lu), steps) in \
+                    enumerate(zip(V, variant_steps)):
+                m = len(steps)
+                hh = [-1] * m
+                hcs = [[-1] * m for _ in range(K)]
+                hu = {k: [-1] * m for k in uks}
+                for i, (et, trans, _gate) in enumerate(steps):
+                    if etype != et:
+                        continue
+                    if i == 0:
+                        hh[0] = t
+                        for k in range(K):
+                            hcs[k][0] = QCs[k] + (
+                                1 if etype == cnt_ets[k] else 0)
+                    else:
+                        if trans == "followed_by":
+                            ch = C[i - 1]
+                            ccs = [Ccs[k][i - 1] for k in range(K)]
+                            cus = {k: Cu[k][i - 1] for k in uks}
+                        else:
+                            ch = L[i - 1]
+                            ccs = [Lcs[k][i - 1] for k in range(K)]
+                            cus = {k: Lu[k][i - 1] for k in uks}
+                        if ch >= 0 and (
+                            qtypes[v][i - 1] is None
+                            or LQ[i - 1] <= BP[i - 1]
+                        ):
+                            hh[i] = ch
+                            for k in range(K):
+                                hcs[k][i] = ccs[k]
+                            for k in uks:
+                                hu[k][i] = cus[k]
+                hits.append((hh, hcs, hu))
+            # (3) emission — lexicographic (h, c.., u-as-inf..) winner
+            # across satisfied variants, pools from the winner
+            if neg_et is not None and etype == neg_et:
+                kept = [row for row in zip(*pend)
+                        if not (row[1] < t <= row[1] + neg_within_us)]
+                pend = ([list(z) for z in zip(*kept)]
+                        or [[] for _ in range(NP)])
+            oks = [ok(hh[-1], t) for hh, _hcs, _hu in hits]
+            if any(oks):
+                win = max(
+                    (hh[-1],)
+                    + tuple(hcs[k][-1] for k in range(K))
+                    + tuple(
+                        (hu[k][-1] if hu[k][-1] != -1 else NO_STOP)
+                        for k in uks
+                    )
+                    for (hh, hcs, hu), okv in zip(hits, oks) if okv
+                )
+                row = [int(eid), t, win[0]]
+                for k in range(K):
+                    incl = QCs[k] + (1 if etype == cnt_ets[k] else 0)
+                    if k in uks:
+                        incl = min(incl, win[1 + K + uks.index(k)])
+                    pool = incl - win[1 + k]
+                    row.append(
+                        pool if up_tos[k] is None
+                        else min(pool, up_tos[k])
+                    )
+                if neg_et is not None:
+                    for j, v in enumerate(row):
+                        pend[j].append(v)
+                else:
+                    out["match_id"].append(row[0])
+                    out["match_us"].append(row[1])
+                    out["start_us"].append(row[2])
+                    for k, nm in enumerate(cnt_names):
+                        out[f"n_{nm}"].append(row[3 + k])
+            # (4) absorb per variant — riders join the compare
+            for v, ((C, L, BP, LQ, Ccs, Lcs, Cu, Lu),
+                    (hh, hcs, hu)) in enumerate(zip(V, hits)):
+                for i in range(len(C)):
+                    htup = (
+                        (hh[i],)
+                        + tuple(hcs[k][i] for k in range(K))
+                        + tuple(
+                            (hu[k][i] if hu[k][i] != -1 else NO_STOP)
+                            for k in uks
+                        )
+                    )
+                    ctup = (
+                        (C[i],)
+                        + tuple(Ccs[k][i] for k in range(K))
+                        + tuple(
+                            (Cu[k][i] if Cu[k][i] != -1 else NO_STOP)
+                            for k in uks
+                        )
+                    )
+                    if htup > ctup:
+                        C[i] = hh[i]
+                        for k in range(K):
+                            Ccs[k][i] = hcs[k][i]
+                        for k in uks:
+                            Cu[k][i] = hu[k][i]
+                    L[i] = hh[i]
+                    for k in range(K):
+                        Lcs[k][i] = hcs[k][i]
+                    for k in uks:
+                        Lu[k][i] = hu[k][i]
+                    if hh[i] >= 0:
+                        BP[i] = pos
+                    if qtypes[v][i] is not None \
+                            and etype == qtypes[v][i]:
+                        LQ[i] = pos
+            # (5) shared running counts + row counter
+            for k in range(K):
+                if etype == cnt_ets[k]:
+                    QCs[k] += 1
+            pos += 1
+        if neg_et is not None:
+            o, keep = flush(state.getCurrentWatermarkMs() * 1000)
+            save_neg(keep)
+            if o["match_id"]:
+                yield pd.DataFrame(
+                    {"user_id": [key[0]] * len(o["match_id"]), **o}
+                )
+            return
+        state.update((pack_flat(), QCs, pos))
+        if out["match_id"]:
+            yield pd.DataFrame(
+                {"user_id": [key[0]] * len(out["match_id"]), **out}
+            )
+
+    return fn
+
+
+def cep_until_split_stream(
+    spark: SparkSession, files_dir: str, sf_dir: str,
+    variant_steps: list, within_us, counted: list,
+    neg_et: str | None = None, neg_within_us: int | None = None,
+) -> DataFrame:
+    """True-streaming compile of until() × both-strict OR-split (see
+    _cep_until_split_fn)."""
+    ev = _events_stream(spark, files_dir, sf_dir)
+    if neg_et is not None:
+        ev = ev.withWatermark("ts", "0 seconds")
+    if any(len(steps) < 2 for steps in variant_steps):
+        raise ValueError("streaming compile needs >= 2 positive steps")
+    fields = ["flat ARRAY<BIGINT>", "qcs ARRAY<BIGINT>", "pos BIGINT"]
+    if neg_et is not None:
+        fields += ["pend_mid ARRAY<BIGINT>", "pend_mus ARRAY<BIGINT>",
+                   "pend_sus ARRAY<BIGINT>"]
+        fields += [f"pend_n{k} ARRAY<BIGINT>"
+                   for k in range(len(counted))]
+    out_fields = (
+        "user_id BIGINT, match_id BIGINT, match_us BIGINT, "
+        "start_us BIGINT"
+        + "".join(f", n_{c[0]} BIGINT" for c in counted)
+    )
+    return ev.groupBy("user_id").applyInPandasWithState(
+        _cep_until_split_fn([list(s) for s in variant_steps],
+                            within_us, list(counted),
+                            neg_et, neg_within_us),
+        outputStructType=out_fields,
+        stateStructType=", ".join(fields),
+        outputMode="append",
+        timeoutConf=(GroupStateTimeout.EventTimeTimeout
+                     if neg_et is not None
+                     else GroupStateTimeout.NoTimeout),
+    )
+
+
 def cep_compiled_stream(
     spark: SparkSession, files_dir: str, sf_dir: str,
     steps: list, within_us, flag_variants=(), skip="no_skip",
-    anchor_idx=None, counted=None, enum=None,
+    anchor_idx=None, counted=None, enum=None, nn_ets=None,
 ) -> DataFrame:
     """True-streaming execution of a compiled CEP pattern (reached via
     cep.CepPattern.compile_stream): any begin/next/followedBy/times
@@ -3729,6 +4258,8 @@ def cep_compiled_stream(
                 "combination)"
             )
         anchored = skip in ("skip_to_first", "skip_to_last")
+        has_nn = (nn_ets is not None
+                  and any(e is not None for e in nn_ets))
         n = len(steps) - 1
         fields = (
             [f"cts_{i} BIGINT" for i in range(n)]
@@ -3740,10 +4271,15 @@ def cep_compiled_stream(
             + ([f"cap_{i} BIGINT" for i in range(n)]
                + [f"lap_{i} BIGINT" for i in range(n)] if anchored else [])
             + ["last_acc BIGINT", "pos BIGINT"]
+            + ([f"pnn_ts_{i} BIGINT" for i in range(n)]
+               + [f"pnn_sp_{i} BIGINT" for i in range(n)]
+               + [f"pnn_ap_{i} BIGINT" for i in range(n)]
+               + [f"pnn_pos_{i} BIGINT" for i in range(n)]
+               if has_nn else [])
         )
         return ev.groupBy("user_id").applyInPandasWithState(
             _cep_skip_fn(list(steps), within_us, strategy=skip,
-                         anchor_idx=anchor_idx),
+                         anchor_idx=anchor_idx, nn_ets=nn_ets),
             outputStructType=(
                 "user_id BIGINT, match_id BIGINT, match_us BIGINT, "
                 "start_us BIGINT"

@@ -2141,11 +2141,55 @@ def test_until_streaming_twin(spark, sf_small, tmp_path_factory):
     pd.testing.assert_frame_equal(got, want_us, check_dtype=False)
 
 
+def test_until_split_streaming_twin(spark, sf_small, tmp_path_factory):
+    """until() × both-strict OR-split STREAMS (r16): compile_stream
+    routes the composed pattern to the per-variant freeze-rider
+    machine (stateful._cep_until_split_fn) — matches, greedy starts,
+    and both pools must equal the batch compile across real
+    micro-batch boundaries."""
+    from sparkflow.streaming import stateful
+
+    stream_dir = stateful.split_events_to_files(
+        spark, sf_small,
+        str(tmp_path_factory.mktemp("cep_until_split_stream")), 3
+    )
+    pat = (
+        CepPattern.begin("signup", etype="signup")
+        .followed_by("view", etype="view")
+        .one_or_more()
+        .until("stop", etype="error")
+        .next("click", etype="click")
+        .one_or_more()
+        .next("purchase", etype="purchase")
+        .within("72 hours")
+    )
+    sdf = pat.compile_stream(spark, stream_dir, sf_small)
+    stateful.run_to_memory(sdf, "t_cepuntilsplit", "append")
+    got = (
+        spark.table("t_cepuntilsplit").toPandas()
+        .sort_values("match_id").reset_index(drop=True)
+    )
+    want = (
+        pat.compile(table(spark, sf_small, "events")).toPandas()
+        .sort_values("match_id").reset_index(drop=True)
+    )
+    assert len(want) > 0
+    want_us = want.assign(
+        match_us=pd.to_datetime(want["match_ts"])
+        .astype("datetime64[us]").astype("int64"),
+        start_us=pd.to_datetime(want["start_ts"])
+        .astype("datetime64[us]").astype("int64"),
+    )[["user_id", "match_id", "match_us", "start_us",
+       "n_view", "n_click"]]
+    pd.testing.assert_frame_equal(got, want_us, check_dtype=False)
+
+
 def test_until_builder_rules(spark):
     """until()'s refusals are loud and mirrored batch/stream (the r15
     parity invariant): non-looping step, double until, negated-gap
-    collision, strict entry, optional anywhere, terminal negation,
-    both-strict split in the same pattern."""
+    collision, strict entry, optional anywhere. r16: the both-strict
+    split in the same pattern now COMPOSES (stream_cep_until_split +
+    test_cep_until_or_split_fuzz)."""
     base = CepPattern.begin("a", etype="A").followed_by("b", etype="B")
     with pytest.raises(ValueError, match="looping"):
         base.until("u", etype="U")
@@ -2237,6 +2281,55 @@ def test_not_next_streaming_twin(spark, sf_small, tmp_path_factory):
     pd.testing.assert_frame_equal(got, want_us, check_dtype=False)
 
 
+@pytest.mark.parametrize("mode", ["skip", "gap", "gap_skip"])
+def test_not_next_composition_streaming_twin(spark, sf_small,
+                                             tmp_path_factory, mode):
+    """notNext × {skip, gap, gap×skip} STREAMS (r16, r15 verdict item
+    1): compile_stream routes the gated pattern to the skip / gap /
+    gap-skip machines with nn_ets threaded, and the result must be
+    bit-equal to the batch compile across real micro-batch
+    boundaries (the delayed absorption's pending state surviving the
+    availableNow splits)."""
+    from sparkflow.streaming import stateful
+
+    stream_dir = stateful.split_events_to_files(
+        spark, sf_small,
+        str(tmp_path_factory.mktemp(f"cep_nnc_{mode}")), 3
+    )
+    pat = (
+        CepPattern.begin("view", etype="view")
+        .not_next("error", etype="error")
+        .followed_by("click", etype="click")
+        .followed_by("purchase", etype="purchase")
+    )
+    if mode == "skip":
+        pat = pat.within("36 hours") \
+                 .after_match_skip("skip_past_last_event")
+    elif mode == "gap":
+        pat = pat.within("12 hours", "previous_and_current")
+    else:
+        pat = pat.within("12 hours", "previous_and_current") \
+                 .after_match_skip("skip_to_next")
+    sdf = pat.compile_stream(spark, stream_dir, sf_small)
+    stateful.run_to_memory(sdf, f"t_cepnnc_{mode}", "append")
+    got = (
+        spark.table(f"t_cepnnc_{mode}").toPandas()
+        .sort_values("match_id").reset_index(drop=True)
+    )
+    want = (
+        pat.compile(table(spark, sf_small, "events")).toPandas()
+        .sort_values("match_id").reset_index(drop=True)
+    )
+    assert len(want) > 0
+    want_us = want.assign(
+        match_us=pd.to_datetime(want["match_ts"])
+        .astype("datetime64[us]").astype("int64"),
+        start_us=pd.to_datetime(want["start_ts"])
+        .astype("datetime64[us]").astype("int64"),
+    )[["user_id", "match_id", "match_us", "start_us"]]
+    pd.testing.assert_frame_equal(got, want_us, check_dtype=False)
+
+
 def test_not_next_builder_rules(spark):
     """notNext refusals are loud and batch/stream-mirrored (the r15
     parity invariant)."""
@@ -2253,14 +2346,34 @@ def test_not_next_builder_rules(spark):
         end.within(10).compile(None)
     with pytest.raises(ValueError, match="cannot end in notNext"):
         end.within(10).compile_stream(None, "/x", "/x")
-    # refused compositions, both sides
+    # refused compositions, both sides (r16: skip and gap bounds now
+    # COMPOSE — only optional and until() remain refused)
+    optioned = (nn.followed_by("b", etype="B").optional()
+                .followed_by("c", etype="C").within(10))
+    with pytest.raises(ValueError, match="notNext composes with"):
+        optioned.compile(None)
+    with pytest.raises(ValueError, match="notNext composes with"):
+        optioned.compile_stream(None, "/x", "/x")
+    untiled = (nn.followed_by("b", etype="B").one_or_more()
+               .until("stop", etype="S")
+               .followed_by("c", etype="C").within(10))
+    with pytest.raises(ValueError, match="notNext composes with"):
+        untiled.compile(None)
+    with pytest.raises(ValueError, match="notNext composes with"):
+        untiled.compile_stream(None, "/x", "/x")
+    # r16: the previously-refused gap and skip compositions now build
+    df = spark.createDataFrame(
+        [(1, 1, "A", 1), (1, 2, "B", 2), (1, 3, "C", 3)],
+        "user_id INT, event_id INT, event_type STRING, sec INT",
+    ).withColumn("ts", F.timestamp_seconds("sec"))
     gapped = (nn.followed_by("b", etype="B")
               .followed_by("c", etype="C")
               .within(10, "previous_and_current"))
-    with pytest.raises(ValueError, match="notNext composes with"):
-        gapped.compile(None)
-    with pytest.raises(ValueError, match="notNext composes with"):
-        gapped.compile_stream(None, "/x", "/x")
+    assert gapped.compile(df).count() == 1
+    skipped = (nn.followed_by("b", etype="B")
+               .followed_by("c", etype="C").within(10)
+               .after_match_skip("skip_to_next"))
+    assert skipped.compile(df).count() == 1
 
 
 def test_followed_by_any_streaming_twin(spark, sf_small,

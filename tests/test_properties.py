@@ -3616,6 +3616,239 @@ def test_cep_until_state_fuzz(streams, types, quant, cap, within_s,
     assert got == want
 
 
+def _until_split_brute(rows, types, cap_c, within_s):
+    """Reference semantics of until() composed with a both-strict
+    split step elsewhere in the pattern (r16, r15 verdict item 2):
+    begin(a).followedBy(b)+.until(u).next(c)+.next(d) — the b-bind's
+    entering gap must be stop-clean, the c block is the OR of the
+    1-rep chain (b directly before c, d directly after c) and the
+    >=2-rep chain (b directly before c1, a later absorbed c2 directly
+    before d); the winner is the lexicographic (sec, cb, cc, freeze)
+    max over feasible starts across variants, pools from the winner
+    (b clamped at its freeze, c optionally capped)."""
+    a_t, b_t, c_t, d_t, u_t = types
+    by_user: dict = {}
+    for uid, ev_id, typ, sec in rows:
+        by_user.setdefault(uid, []).append((typ, sec, ev_id))
+    want: dict = {}
+    for uid, seq in by_user.items():
+        n = len(seq)
+        cntb = [0] * (n + 1)
+        cntc = [0] * (n + 1)
+        for j in range(n):
+            cntb[j + 1] = cntb[j] + (1 if seq[j][0] == b_t else 0)
+            cntc[j + 1] = cntc[j] + (1 if seq[j][0] == c_t else 0)
+
+        def u0(p):
+            for j in range(p + 1, n):
+                if seq[j][0] == u_t:
+                    return cntb[j]
+            return _NO_STOP
+
+        def clean(lo, hi):
+            return all(seq[j][0] != u_t for j in range(lo + 1, hi))
+
+        for pd_ in range(n):
+            if seq[pd_][0] != d_t:
+                continue
+            pc_last = pd_ - 1
+            if pc_last < 1 or seq[pc_last][0] != c_t:
+                continue
+            best = None
+            # variant 1-rep: the single c is pc_last; variant >=2-rep:
+            # c1 earlier, pc_last is the absorbed last rep
+            first_cs = [pc_last] + [
+                j for j in range(1, pc_last) if seq[j][0] == c_t
+            ]
+            for pc1 in first_cs:
+                pb = pc1 - 1
+                if pb < 1 or seq[pb][0] != b_t:
+                    continue
+                for pa in range(pb):
+                    if seq[pa][0] != a_t:
+                        continue
+                    if seq[pd_][1] - seq[pa][1] > within_s:
+                        continue
+                    if not clean(pa, pb):
+                        continue
+                    tup = (seq[pa][1], cntb[pa + 1], cntc[pa + 1],
+                           u0(pa))
+                    if best is None or tup > best:
+                        best = tup
+            if best is None:
+                continue
+            _sec, cb0, cc0, uz = best
+            n_b = min(cntb[pd_ + 1], uz) - cb0
+            n_c = cntc[pd_ + 1] - cc0
+            if cap_c is not None:
+                n_c = min(n_c, cap_c)
+            want[(uid, seq[pd_][2])] = (best[0], n_b, n_c)
+    return want
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    streams=st.lists(
+        st.lists(_cep_event, min_size=0, max_size=12),
+        min_size=1, max_size=3,
+    ),
+    types=st.tuples(
+        st.sampled_from(["A", "B", "C"]),
+        st.sampled_from(["A", "B", "C"]),
+        st.sampled_from(["A", "B", "C"]),
+        st.sampled_from(["A", "B", "C"]),
+        st.sampled_from(["A", "B", "C"]),
+    ),
+    cap_c=st.sampled_from([None, 2]),
+    within_s=st.integers(min_value=1, max_value=40),
+)
+def test_cep_until_or_split_fuzz(streams, types, cap_c, within_s):
+    """until() × both-strict OR-split (r16, r15 verdict item 2 — was
+    refused as 'untested with freeze fields'): the freeze riders ride
+    each variant's (h, c..) struct and the cross-variant GREATEST
+    compares (h, cb, cc, u) lexicographically — batch compile vs
+    brute force over begin(a).followedBy(b)+.until(u).next(c)+
+    .next(d).within(T), all five roles colliding over {A, B, C}."""
+    from sparkflow.streaming.cep import CepPattern
+
+    a_t, b_t, c_t, d_t, u_t = types
+    rows, df = _cep_df(_get_spark(), streams)
+    if not rows:
+        return
+
+    pat = (
+        CepPattern.begin("a", etype=a_t)
+        .followed_by("b", etype=b_t).one_or_more().until("u", etype=u_t)
+        .next("c", etype=c_t)
+    )
+    pat = pat.one_or_more() if cap_c is None else pat.times(1, cap_c)
+    pat = pat.next("d", etype=d_t).within(within_s)
+    got = {
+        (r.user_id, r.match_id): (r.start_sec, r.n_b, r.n_c)
+        for r in pat.compile(df).select(
+            "user_id", "match_id", "n_b", "n_c",
+            (F.unix_micros("start_ts") / 1_000_000).cast("int")
+            .alias("start_sec"),
+        ).collect()
+    }
+    want = _until_split_brute(rows, types, cap_c, within_s)
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    streams=st.lists(
+        st.lists(_cep_event, min_size=0, max_size=12),
+        min_size=1, max_size=3,
+    ),
+    types=st.tuples(
+        st.sampled_from(["A", "B", "C"]),
+        st.sampled_from(["A", "B", "C"]),
+        st.sampled_from(["A", "B", "C"]),
+        st.sampled_from(["A", "B", "C"]),
+        st.sampled_from(["A", "B", "C"]),
+    ),
+    cap_c=st.sampled_from([None, 2]),
+    within_s=st.integers(min_value=1, max_value=40),
+    with_neg=st.booleans(),
+    neg_s=st.integers(min_value=1, max_value=20),
+    cut=st.integers(min_value=1, max_value=10),
+)
+def test_cep_until_or_split_state_fuzz(streams, types, cap_c,
+                                       within_s, with_neg, neg_s,
+                                       cut):
+    """until() × both-strict OR-split STREAMS (r16):
+    _cep_until_split_fn (per-variant freeze-rider chains, shared
+    counts, cross-variant (h, c.., u-as-inf..) winner) driven through
+    a fake (timer) GroupState with a random micro-batch split must
+    emit exactly the batch rows; with_neg adds the terminal-negation
+    watermark hold on top."""
+    import pandas as pd
+
+    from sparkflow.streaming.cep import CepPattern
+    from sparkflow.streaming.stateful import _cep_until_split_fn
+
+    a_t, b_t, c_t, d_t, u_t = types
+    rows, df = _cep_df(_get_spark(), streams)
+    if not rows:
+        return
+
+    pat = (
+        CepPattern.begin("a", etype=a_t)
+        .followed_by("b", etype=b_t).one_or_more().until("u", etype=u_t)
+        .next("c", etype=c_t)
+    )
+    pat = pat.one_or_more() if cap_c is None else pat.times(1, cap_c)
+    pat = pat.next("d", etype=d_t).within(within_s)
+    if with_neg:
+        pat = pat.not_followed_by("y", etype="A", within=neg_s)
+    want = {
+        (r.user_id, r.match_id, int(r.start_sec), r.n_b, r.n_c)
+        for r in pat.compile(df).select(
+            "user_id", "match_id", "n_b", "n_c",
+            (F.unix_micros("start_ts") / 1_000_000).cast("int")
+            .alias("start_sec"),
+        ).collect()
+    }
+
+    from dataclasses import replace as _replace
+
+    req = [s for s in pat.steps if not s.optional]
+    split = [
+        st_ for i, st_ in enumerate(req)
+        if st_.contiguity == "next" and st_.times == 1
+        and (st_.one_or_more
+             or (st_.up_to is not None and st_.up_to >= 2))
+        and i + 1 < len(req) and req[i + 1].contiguity == "next"
+    ]
+    assert split, "fuzz pattern must contain a both-strict split step"
+    variant_steps = []
+    for mask in range(1 << len(split)):
+        var = []
+        for s in req:
+            if s in split:
+                j = split.index(s)
+                var.append(_replace(s, times=2) if mask >> j & 1
+                           else _replace(s, one_or_more=False,
+                                         times=1, up_to=None))
+            else:
+                var.append(s)
+        variant_steps.append(pat._until_expansion(var))
+    fn = _cep_until_split_fn(
+        variant_steps, within_s * 1_000_000,
+        [("b", b_t, None, u_t), ("c", c_t, cap_c, None)],
+        "A" if with_neg else None,
+        neg_s * 1_000_000 if with_neg else None,
+    )
+    got = set()
+    by_user: dict = {}
+    for uid, ev_id, typ, sec in rows:
+        by_user.setdefault(uid, []).append((ev_id, typ, sec))
+    for uid, seq in by_user.items():
+        state = _FakeTimerGroupState()
+        for batch in (seq[:cut], seq[cut:]):
+            if not batch:
+                continue
+            state.wm_ms = max(e[2] for e in batch) * 1000
+            pdf = pd.DataFrame({
+                "event_id": [e[0] for e in batch],
+                "event_type": [e[1] for e in batch],
+                "ts": pd.to_datetime([e[2] for e in batch], unit="s"),
+            })
+            for out in fn((uid,), iter([pdf]), state):
+                for r in out.itertuples():
+                    got.add((uid, r.match_id, r.start_us // 1_000_000,
+                             r.n_b, r.n_c))
+        if with_neg:
+            state.hasTimedOut = True
+            state.wm_ms = 10 ** 9
+            for out in fn((uid,), iter([]), state):
+                for r in out.itertuples():
+                    got.add((uid, r.match_id,
+                             r.start_us // 1_000_000, r.n_b, r.n_c))
+    assert got == want
+
+
 @settings(max_examples=12, deadline=None)
 @given(
     streams=st.lists(
@@ -3803,6 +4036,528 @@ def test_cep_not_next_state_fuzz(streams, types, shape, within_s,
                     row = (uid, r.match_id) + (
                         (r.n_b,) if shape == "counted" else ())
                     got.add(row + (r.start_us // 1_000_000,))
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    streams=st.lists(
+        st.lists(_cep_event, min_size=0, max_size=12),
+        min_size=1, max_size=3,
+    ),
+    types=st.tuples(
+        st.sampled_from(["A", "B", "C"]),
+        st.sampled_from(["A", "B", "C"]),
+        st.sampled_from(["A", "B", "C"]),
+        st.sampled_from(["A", "B", "C"]),
+    ),
+    strategy=st.sampled_from([
+        "skip_past_last_event", "skip_to_next",
+        "skip_to_first", "skip_to_last",
+    ]),
+    nn_on=st.integers(min_value=0, max_value=1),
+    within_s=st.integers(min_value=1, max_value=40),
+)
+def test_cep_not_next_skip_fuzz(streams, types, strategy, nn_on,
+                                within_s):
+    """notNext × after_match_skip (r16, r15 verdict item 1): the
+    LEAD(1) gate folds into the gated copy's predicate BELOW the
+    position-struct carry, so the acceptance fold must run over
+    exactly the gated candidate set — brute force filters chains by
+    the direct-successor rule, then replays each strategy's cursor
+    scan. nn_on moves the gate between the begin step and a middle
+    step; colliding types exercise gate-kills-the-accepted-chain."""
+    import itertools
+
+    from sparkflow.streaming.cep import CepPattern
+
+    a_t, x_t, b_t, c_t = types
+    rows, df = _cep_df(_get_spark(), streams)
+    if not rows:
+        return
+
+    pat = CepPattern.begin("a", etype=a_t)
+    if nn_on == 0:
+        pat = pat.not_next("x", etype=x_t)
+    pat = pat.followed_by("b", etype=b_t)
+    if nn_on == 1:
+        pat = pat.not_next("x", etype=x_t)
+    pat = pat.followed_by("c", etype=c_t).within(within_s)
+    pat = (pat.after_match_skip(strategy, "b")
+           if strategy in ("skip_to_first", "skip_to_last")
+           else pat.after_match_skip(strategy))
+    got = {
+        (r.user_id, r.match_id, int(r.start_sec))
+        for r in pat.compile(df).select(
+            "user_id", "match_id",
+            (F.unix_micros("start_ts") / 1_000_000).cast("int")
+            .alias("start_sec"),
+        ).collect()
+    }
+
+    by_user: dict = {}
+    for uid, ev_id, typ, sec in rows:
+        by_user.setdefault(uid, []).append((typ, sec, ev_id))
+    want = set()
+    anchored = strategy in ("skip_to_first", "skip_to_last")
+    for uid, seq in by_user.items():
+        n = len(seq)
+        cands: dict = {}
+        for pa, pb, pc in itertools.combinations(range(n), 3):
+            if (seq[pa][0], seq[pb][0], seq[pc][0]) != (a_t, b_t, c_t):
+                continue
+            if seq[pc][1] - seq[pa][1] > within_s:
+                continue
+            gated = pa if nn_on == 0 else pb
+            if gated + 1 < n and seq[gated + 1][0] == x_t:
+                continue  # direct successor matches -> bind infeasible
+            cands.setdefault(pc, []).append((pa, pb))
+        cursor = -1
+        for pc in sorted(cands):
+            # greedy chain = max start pos (== (ts, row) order by
+            # _cep_df construction), anchor ties -> latest b row
+            gsp = max(pa for pa, _pb in cands[pc])
+            gap_anchor = max(pb for pa, pb in cands[pc] if pa == gsp)
+            ok = gsp >= cursor if anchored else gsp > cursor
+            if not ok:
+                continue
+            want.add((uid, seq[pc][2], seq[gsp][1]))
+            cursor = (
+                pc if strategy == "skip_past_last_event"
+                else gap_anchor if anchored
+                else gsp
+            )
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    streams=st.lists(
+        st.lists(_cep_event, min_size=0, max_size=12),
+        min_size=1, max_size=3,
+    ),
+    types=st.tuples(
+        st.sampled_from(["A", "B", "C"]),
+        st.sampled_from(["A", "B", "C"]),
+        st.sampled_from(["A", "B", "C"]),
+        st.sampled_from(["A", "B", "C"]),
+    ),
+    strict_mask=st.integers(min_value=0, max_value=3),
+    nn_on=st.integers(min_value=0, max_value=1),
+    with_midneg=st.booleans(),
+    gap_s=st.integers(min_value=1, max_value=15),
+    whole_s=st.one_of(st.none(), st.integers(min_value=1, max_value=40)),
+)
+def test_cep_not_next_gap_fuzz(streams, types, strict_mask, nn_on,
+                               with_midneg, gap_s, whole_s):
+    """notNext × within(..., 'previous_and_current') (r16, r15 verdict
+    item 1): the LEAD(1) gate must prune binds BEFORE they enter the
+    bounded gap carries (batch) / gap buffers (stream) — brute force
+    enumerates chains with per-gap bounds and drops any whose gated
+    event's direct successor matches. Randomized strict/relaxed
+    transitions cover the LAG(1)-reads-a-gated-level case; the
+    optional mid-negation (both neighbours relaxed only) covers the
+    count-gated bounded max riding gated entries."""
+    import itertools
+
+    from sparkflow.streaming.cep import CepPattern
+
+    a_t, x_t, b_t, c_t = types
+    strict = [False,
+              bool(strict_mask & 1), bool(strict_mask >> 1 & 1)]
+    midneg = with_midneg and not strict[2]
+    rows, df = _cep_df(_get_spark(), streams)
+    if not rows:
+        return
+
+    pat = CepPattern.begin("a", etype=a_t)
+    if nn_on == 0:
+        pat = pat.not_next("x", etype=x_t)
+    pat = (pat.next("b", etype=b_t) if strict[1]
+           else pat.followed_by("b", etype=b_t))
+    if nn_on == 1:
+        pat = pat.not_next("x", etype=x_t)
+    if midneg:
+        pat = pat.not_followed_by("u", etype="A")
+    pat = (pat.next("c", etype=c_t) if strict[2]
+           else pat.followed_by("c", etype=c_t))
+    pat = pat.within(gap_s, "previous_and_current")
+    if whole_s is not None:
+        pat = pat.within(whole_s)
+    got = {
+        (r.user_id, r.match_id, int(r.start_sec))
+        for r in pat.compile(df).select(
+            "user_id", "match_id",
+            (F.unix_micros("start_ts") / 1_000_000).cast("int")
+            .alias("start_sec"),
+        ).collect()
+    }
+
+    by_user: dict = {}
+    for uid, ev_id, typ, sec in rows:
+        by_user.setdefault(uid, []).append((typ, sec, ev_id))
+    want: dict = {}
+    for uid, seq in by_user.items():
+        n = len(seq)
+        for pa, pb, pc in itertools.combinations(range(n), 3):
+            if (seq[pa][0], seq[pb][0], seq[pc][0]) != (a_t, b_t, c_t):
+                continue
+            if strict[1] and pb != pa + 1:
+                continue
+            if strict[2] and pc != pb + 1:
+                continue
+            if seq[pb][1] - seq[pa][1] > gap_s:
+                continue
+            if seq[pc][1] - seq[pb][1] > gap_s:
+                continue
+            if whole_s is not None and \
+                    seq[pc][1] - seq[pa][1] > whole_s:
+                continue
+            gated = pa if nn_on == 0 else pb
+            if gated + 1 < n and seq[gated + 1][0] == x_t:
+                continue
+            if midneg and any(seq[j][0] == "A"
+                              for j in range(pb + 1, pc)):
+                continue
+            k = (uid, seq[pc][2])
+            want[k] = max(want.get(k, -1), seq[pa][1])
+    assert got == {(u, mid, s) for (u, mid), s in want.items()}
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    streams=st.lists(
+        st.lists(_cep_event, min_size=0, max_size=12),
+        min_size=1, max_size=3,
+    ),
+    types=st.tuples(
+        st.sampled_from(["A", "B", "C"]),
+        st.sampled_from(["A", "B", "C"]),
+        st.sampled_from(["A", "B", "C"]),
+        st.sampled_from(["A", "B", "C"]),
+    ),
+    strategy=st.sampled_from([
+        "skip_past_last_event", "skip_to_next",
+        "skip_to_first", "skip_to_last",
+    ]),
+    nn_on=st.integers(min_value=0, max_value=1),
+    within_s=st.integers(min_value=1, max_value=40),
+    cut=st.integers(min_value=1, max_value=10),
+)
+def test_cep_not_next_skip_state_fuzz(streams, types, strategy, nn_on,
+                                      within_s, cut):
+    """notNext × skip STREAMS (r16): _cep_skip_fn's one-row pending
+    slots driven through a fake GroupState with a random micro-batch
+    split must emit exactly the batch rows — including a parked bind
+    whose verdict event sits on the OTHER side of the boundary (the
+    pnn_* state survives), and the cursor must fold over validated
+    binds only."""
+    import pandas as pd
+
+    from sparkflow.streaming.cep import CepPattern
+    from sparkflow.streaming.stateful import _cep_skip_fn
+
+    a_t, x_t, b_t, c_t = types
+    rows, df = _cep_df(_get_spark(), streams)
+    if not rows:
+        return
+
+    pat = CepPattern.begin("a", etype=a_t)
+    if nn_on == 0:
+        pat = pat.not_next("x", etype=x_t)
+    pat = pat.followed_by("b", etype=b_t)
+    if nn_on == 1:
+        pat = pat.not_next("x", etype=x_t)
+    pat = pat.followed_by("c", etype=c_t).within(within_s)
+    pat = (pat.after_match_skip(strategy, "b")
+           if strategy in ("skip_to_first", "skip_to_last")
+           else pat.after_match_skip(strategy))
+    want = {
+        (r.user_id, r.match_id, int(r.start_sec))
+        for r in pat.compile(df).select(
+            "user_id", "match_id",
+            (F.unix_micros("start_ts") / 1_000_000).cast("int")
+            .alias("start_sec"),
+        ).collect()
+    }
+
+    steps_x, nn_ets = pat._not_next_expansion()
+    fn = _cep_skip_fn(steps_x, within_s * 1_000_000, strategy,
+                      pat._skip_anchor_idx(), nn_ets)
+    got = set()
+    by_user: dict = {}
+    for uid, ev_id, typ, sec in rows:
+        by_user.setdefault(uid, []).append((ev_id, typ, sec))
+    for uid, seq in by_user.items():
+        state = _FakeGroupState()
+        for batch in (seq[:cut], seq[cut:]):
+            if not batch:
+                continue
+            pdf = pd.DataFrame({
+                "event_id": [e[0] for e in batch],
+                "event_type": [e[1] for e in batch],
+                "ts": pd.to_datetime([e[2] for e in batch], unit="s"),
+            })
+            for out in fn((uid,), iter([pdf]), state):
+                for r in out.itertuples():
+                    got.add((uid, r.match_id, r.start_us // 1_000_000))
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    streams=st.lists(
+        st.lists(_cep_event, min_size=0, max_size=12),
+        min_size=1, max_size=3,
+    ),
+    types=st.tuples(
+        st.sampled_from(["A", "B", "C"]),
+        st.sampled_from(["A", "B", "C"]),
+        st.sampled_from(["A", "B", "C"]),
+        st.sampled_from(["A", "B", "C"]),
+    ),
+    strict_mask=st.integers(min_value=0, max_value=3),
+    nn_on=st.integers(min_value=0, max_value=1),
+    with_midneg=st.booleans(),
+    gap_s=st.integers(min_value=1, max_value=15),
+    cut=st.integers(min_value=1, max_value=10),
+)
+def test_cep_not_next_gap_state_fuzz(streams, types, strict_mask,
+                                     nn_on, with_midneg, gap_s, cut):
+    """notNext × gap bound STREAMS (r16): _gap_hits' delayed
+    absorption (pending slots joining the horizon-pruned buffers one
+    row late, with the inclusive q recorded at park time) driven
+    through a fake GroupState must emit exactly the batch rows across
+    a random micro-batch split."""
+    import pandas as pd
+
+    from sparkflow.streaming.cep import CepPattern
+    from sparkflow.streaming.stateful import _cep_gap_fn
+
+    a_t, x_t, b_t, c_t = types
+    strict = [False,
+              bool(strict_mask & 1), bool(strict_mask >> 1 & 1)]
+    midneg = with_midneg and not strict[2]
+    rows, df = _cep_df(_get_spark(), streams)
+    if not rows:
+        return
+
+    pat = CepPattern.begin("a", etype=a_t)
+    if nn_on == 0:
+        pat = pat.not_next("x", etype=x_t)
+    pat = (pat.next("b", etype=b_t) if strict[1]
+           else pat.followed_by("b", etype=b_t))
+    if nn_on == 1:
+        pat = pat.not_next("x", etype=x_t)
+    if midneg:
+        pat = pat.not_followed_by("u", etype="A")
+    pat = (pat.next("c", etype=c_t) if strict[2]
+           else pat.followed_by("c", etype=c_t))
+    pat = pat.within(gap_s, "previous_and_current")
+    want = {
+        (r.user_id, r.match_id, int(r.start_sec))
+        for r in pat.compile(df).select(
+            "user_id", "match_id",
+            (F.unix_micros("start_ts") / 1_000_000).cast("int")
+            .alias("start_sec"),
+        ).collect()
+    }
+
+    steps_x, nn_ets = pat._not_next_expansion()
+    fn = _cep_gap_fn(steps_x, None, gap_s * 1_000_000, nn_ets)
+    got = set()
+    by_user: dict = {}
+    for uid, ev_id, typ, sec in rows:
+        by_user.setdefault(uid, []).append((ev_id, typ, sec))
+    for uid, seq in by_user.items():
+        state = _FakeGroupState()
+        for batch in (seq[:cut], seq[cut:]):
+            if not batch:
+                continue
+            pdf = pd.DataFrame({
+                "event_id": [e[0] for e in batch],
+                "event_type": [e[1] for e in batch],
+                "ts": pd.to_datetime([e[2] for e in batch], unit="s"),
+            })
+            for out in fn((uid,), iter([pdf]), state):
+                for r in out.itertuples():
+                    got.add((uid, r.match_id, r.start_us // 1_000_000))
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    streams=st.lists(
+        st.lists(_cep_event, min_size=0, max_size=12),
+        min_size=1, max_size=3,
+    ),
+    types=st.tuples(
+        st.sampled_from(["A", "B", "C"]),
+        st.sampled_from(["A", "B", "C"]),
+        st.sampled_from(["A", "B", "C"]),
+        st.sampled_from(["A", "B", "C"]),
+    ),
+    strategy=st.sampled_from([
+        "skip_past_last_event", "skip_to_next", "skip_to_first",
+    ]),
+    nn_on=st.integers(min_value=0, max_value=1),
+    gap_s=st.integers(min_value=1, max_value=15),
+    cut=st.integers(min_value=1, max_value=10),
+)
+def test_cep_not_next_gap_skip_state_fuzz(streams, types, strategy,
+                                          nn_on, gap_s, cut):
+    """The notNext × gap × skip TRIPLE streams (r16): _gap_skip_hits'
+    position-struct pendings + the causal cursor driven through a
+    fake GroupState must equal the batch compile across a random
+    micro-batch split."""
+    import pandas as pd
+
+    from sparkflow.streaming.cep import CepPattern
+    from sparkflow.streaming.stateful import _cep_gap_skip_fn
+
+    a_t, x_t, b_t, c_t = types
+    rows, df = _cep_df(_get_spark(), streams)
+    if not rows:
+        return
+
+    pat = CepPattern.begin("a", etype=a_t)
+    if nn_on == 0:
+        pat = pat.not_next("x", etype=x_t)
+    pat = pat.followed_by("b", etype=b_t)
+    if nn_on == 1:
+        pat = pat.not_next("x", etype=x_t)
+    pat = pat.followed_by("c", etype=c_t)
+    pat = pat.within(gap_s, "previous_and_current")
+    pat = (pat.after_match_skip(strategy, "b")
+           if strategy == "skip_to_first"
+           else pat.after_match_skip(strategy))
+    want = {
+        (r.user_id, r.match_id, int(r.start_sec))
+        for r in pat.compile(df).select(
+            "user_id", "match_id",
+            (F.unix_micros("start_ts") / 1_000_000).cast("int")
+            .alias("start_sec"),
+        ).collect()
+    }
+
+    steps_x, nn_ets = pat._not_next_expansion()
+    fn = _cep_gap_skip_fn(steps_x, None, gap_s * 1_000_000, strategy,
+                          pat._skip_anchor_idx(), nn_ets)
+    got = set()
+    by_user: dict = {}
+    for uid, ev_id, typ, sec in rows:
+        by_user.setdefault(uid, []).append((ev_id, typ, sec))
+    for uid, seq in by_user.items():
+        state = _FakeGroupState()
+        for batch in (seq[:cut], seq[cut:]):
+            if not batch:
+                continue
+            pdf = pd.DataFrame({
+                "event_id": [e[0] for e in batch],
+                "event_type": [e[1] for e in batch],
+                "ts": pd.to_datetime([e[2] for e in batch], unit="s"),
+            })
+            for out in fn((uid,), iter([pdf]), state):
+                for r in out.itertuples():
+                    got.add((uid, r.match_id, r.start_us // 1_000_000))
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    streams=st.lists(
+        st.lists(_cep_event, min_size=0, max_size=12),
+        min_size=1, max_size=3,
+    ),
+    types=st.tuples(
+        st.sampled_from(["A", "B", "C"]),
+        st.sampled_from(["A", "B", "C"]),
+        st.sampled_from(["A", "B", "C"]),
+    ),
+    mode=st.sampled_from(["skip", "gap", "gap_skip"]),
+    neg_s=st.integers(min_value=1, max_value=20),
+    nn_on=st.integers(min_value=0, max_value=1),
+    cut=st.integers(min_value=1, max_value=10),
+)
+def test_cep_not_next_neg_composites_state_fuzz(streams, types, mode,
+                                                neg_s, nn_on, cut):
+    """notNext × {skip, gap, gap×skip} × TERMINAL negation streams
+    (r16): the watermark hold sees only validated binds — the pending
+    slot, the hold, and (in skip modes) the flush-time cursor driven
+    through a fake timer GroupState must equal the batch compile
+    across a random micro-batch split; the negated type collides with
+    positive and notNext types."""
+    import pandas as pd
+
+    from sparkflow.streaming.cep import CepPattern
+    from sparkflow.streaming.stateful import (
+        _cep_gap_neg_fn,
+        _cep_gap_skip_neg_fn,
+        _cep_skip_neg_fn,
+    )
+
+    a_t, b_t, x_t = types
+    gap_s = 12
+    strategy = "skip_past_last_event"
+    rows, df = _cep_df(_get_spark(), streams)
+    if not rows:
+        return
+
+    pat = CepPattern.begin("a", etype=a_t)
+    if nn_on == 0:
+        pat = pat.not_next("nx", etype=x_t)
+    pat = pat.followed_by("b", etype=b_t)
+    if nn_on == 1:
+        pat = pat.not_next("nx", etype=x_t)
+    pat = pat.followed_by("c", etype=a_t)
+    if mode in ("gap", "gap_skip"):
+        pat = pat.within(gap_s, "previous_and_current")
+    pat = pat.not_followed_by("x", etype=x_t, within=neg_s)
+    if mode in ("skip", "gap_skip"):
+        pat = pat.after_match_skip(strategy)
+    want = {
+        (r.user_id, r.match_id, int(r.start_sec))
+        for r in pat.compile(df).select(
+            "user_id", "match_id",
+            (F.unix_micros("start_ts") / 1_000_000).cast("int")
+            .alias("start_sec"),
+        ).collect()
+    }
+
+    steps_x, nn_ets = pat._not_next_expansion()
+    if mode == "skip":
+        fn = _cep_skip_neg_fn(steps_x, None, strategy, None,
+                              x_t, neg_s * 1_000_000, nn_ets)
+    elif mode == "gap":
+        fn = _cep_gap_neg_fn(steps_x, None, gap_s * 1_000_000,
+                             x_t, neg_s * 1_000_000, nn_ets)
+    else:
+        fn = _cep_gap_skip_neg_fn(steps_x, None, gap_s * 1_000_000,
+                                  strategy, None, x_t,
+                                  neg_s * 1_000_000, nn_ets)
+    got = set()
+    by_user: dict = {}
+    for uid, ev_id, typ, sec in rows:
+        by_user.setdefault(uid, []).append((ev_id, typ, sec))
+    for uid, seq in by_user.items():
+        state = _FakeTimerGroupState()
+        for batch in (seq[:cut], seq[cut:]):
+            if not batch:
+                continue
+            state.wm_ms = max(e[2] for e in batch) * 1000
+            pdf = pd.DataFrame({
+                "event_id": [e[0] for e in batch],
+                "event_type": [e[1] for e in batch],
+                "ts": pd.to_datetime([e[2] for e in batch], unit="s"),
+            })
+            for out in fn((uid,), iter([pdf]), state):
+                for r in out.itertuples():
+                    got.add((uid, r.match_id, r.start_us // 1_000_000))
+        state.hasTimedOut = True
+        state.wm_ms = 10 ** 9
+        for out in fn((uid,), iter([]), state):
+            for r in out.itertuples():
+                got.add((uid, r.match_id, r.start_us // 1_000_000))
     assert got == want
 
 
