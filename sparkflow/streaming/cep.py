@@ -481,16 +481,29 @@ class CepPattern:
         repeated-step count just before each row's NEXT stop event —
         monotone in row position, so it rides the lexicographic count
         struct without disturbing greediness) + a LEAST() in the pool
-        arithmetic. A terminal notFollowedBy COMPOSES (r15 same-round
-        continuation: the negation window is orthogonal in batch, and
-        the causal pool rides the watermark hold in streaming).
-        Refused compositions (loud, mirrored in batch AND streaming
-        so the parity invariant holds): a step whose entering gap
-        already carries notFollowedBy (merge predicates with |),
+        arithmetic. The rider pair (count, freeze) is ENTRY-RELATIVE
+        (r16): stamped at the loop's entry event — the bound event of
+        the step directly before the loop — not at the chain start,
+        so a stop in an unguarded prefix gap (before the loop even
+        starts) has no effect and the pool is always >= the loop's
+        lower bound (the r15 start-stamping clamped it below on
+        prefix patterns — FlinkCEP scopes the stop condition to the
+        looping state, which opens at the entry). A terminal
+        notFollowedBy COMPOSES (r15: the negation window is
+        orthogonal in batch, and the causal pool rides the watermark
+        hold in streaming); a both-strict OR-split elsewhere in the
+        pattern COMPOSES (r16: the riders join each variant's struct
+        compare); optional steps COMPOSE (r16: 2^k FULL variant
+        chains with per-variant entry-stamped riders — the
+        skip-variant shortcut is unsound under stop gates because
+        excluding an optional widens the gated gap). Refused
+        compositions (loud, mirrored in batch AND streaming so the
+        parity invariant holds): a step whose entering gap already
+        carries notFollowedBy (merge predicates with |),
         strict-entered loops (the gate machinery requires a relaxed
-        entering edge, as mid-negation does), optional steps anywhere
-        in the pattern, after-match skip and gap bounds (the latter
-        two are already counted-step refusals)."""
+        entering edge, as mid-negation does), optional steps in a
+        strict-contiguity region (the enum × counted refusal),
+        after-match skip and gap bounds (counted-step refusals)."""
         if not self.steps:
             raise ValueError("until() requires a begin() step first")
         if self.neg is not None or self.pending_neg is not None:
@@ -830,6 +843,29 @@ class CepPattern:
                     u_et if u_et is not None
                     else (neg_et if k == 0 else None),
                 ))
+        return out
+
+    @staticmethod
+    def _until_entry_indices(steps, counted_steps) -> list:
+        """Per counted step, the expanded LEVEL of the until loop's
+        ENTRY event — the copy directly before the loop's first copy
+        (0 for non-until steps and loop-adjacent-to-begin patterns).
+        The freeze riders stamp there (r16 entry-relative freezes);
+        variant chains pass their own step lists since the entry
+        moves with included/excluded optionals."""
+        out = []
+        for c in counted_steps:
+            if c.until is None:
+                out.append(0)
+                continue
+            fi = 0
+            found = 0
+            for s in steps:
+                for k in range(s.times):
+                    if s is c and k == 0:
+                        found = fi - 1
+                    fi += 1
+            out.append(found)
         return out
 
     def _not_next_expansion(self) -> tuple:
@@ -1228,13 +1264,24 @@ class CepPattern:
             # the per-level freeze riders (stateful._cep_until_fn).
             # Every refusal below mirrors a batch refusal — the
             # parity invariant holds for this surface too.
+            # r16 (r15 verdict item 8): until × optional streams as
+            # the 2^k full-variant enumeration through the SAME
+            # per-variant freeze-rider machine as the OR-split
+            # (stateful._cep_until_split_fn with incl_flags) — see
+            # the dispatch below the shared refusals.
             if any(s.optional for s in self.steps):
-                raise ValueError(
-                    "until() does not compose with optional steps — "
-                    "each annotation chain would need its own stop "
-                    "gates and freeze fields; make the optional step "
-                    "required"
-                )
+                if self._needs_variant_enum():
+                    raise ValueError(
+                        "repetition counts do not compose with "
+                        "optional steps in a strict-contiguity "
+                        "region (the batch compile refuses the same "
+                        "combination)"
+                    )
+                if self.steps[-1].optional:
+                    raise ValueError(
+                        "the final step cannot be optional — it "
+                        "anchors the match row"
+                    )
             if self.gap_us is not None:
                 raise ValueError(
                     "oneOrMore/times(n, m) do not compose with "
@@ -1283,6 +1330,12 @@ class CepPattern:
                 # per quantifier expansion, shared counts, winner by
                 # the lexicographic (h, c.., u-as-inf..) max
                 # (stateful._cep_until_split_fn)
+                if any(s.optional for s in self.steps):
+                    raise ValueError(
+                        "optional() does not compose with a "
+                        "both-strict oneOrMore/times(1, m) step (the "
+                        "batch compile refuses the same combination)"
+                    )
                 if len(split) > 3:
                     raise ValueError(
                         f"{len(split)} both-strict "
@@ -1290,7 +1343,7 @@ class CepPattern:
                         f"{2 ** len(split)} OR-variant chains — cap "
                         "is 3"
                     )
-                variant_steps = []
+                variant_steps, variant_lists = [], []
                 for mask in range(1 << len(split)):
                     var = []
                     for s in req:
@@ -1305,18 +1358,65 @@ class CepPattern:
                         else:
                             var.append(s)
                     variant_steps.append(self._until_expansion(var))
+                    variant_lists.append(var)
                 return stateful.cep_until_split_stream(
                     spark, files_dir, sf_dir, variant_steps,
                     self.within_us, counted_arg,
                     self.neg_etype if self.neg is not None else None,
                     self.neg_within_us if self.neg is not None
                     else None,
+                    entry_idx=[
+                        self._until_entry_indices(v, counted_steps)
+                        for v in variant_lists
+                    ],
+                )
+            if any(s.optional for s in self.steps):
+                # r16 (r15 verdict item 8): until × optional — the
+                # 2^k include/exclude variants each run a FULL
+                # freeze-rider chain (the skip-variant shortcut is
+                # unsound under stop gates: excluding an optional
+                # widens the gated gap), combined by the same
+                # per-variant machine as the OR-split, plus
+                # with_<name> flags from the satisfied-variant set
+                opts = [(i, s) for i, s in enumerate(self.steps)
+                        if s.optional]
+                if len(opts) > 6:
+                    raise ValueError(
+                        f"{len(opts)} optional steps would enumerate "
+                        f"{2 ** len(opts)} until-gated variant "
+                        "chains — cap is 6 (64 chains)"
+                    )
+                variant_steps, incl, variant_lists = [], [], []
+                for mask in range(1 << len(opts)):
+                    inc = {i for j, (i, _s) in enumerate(opts)
+                           if mask >> j & 1}
+                    chain = [s for i, s in enumerate(self.steps)
+                             if not s.optional or i in inc]
+                    variant_steps.append(self._until_expansion(chain))
+                    variant_lists.append(chain)
+                    incl.append(frozenset(
+                        f"with_{s.name}" for i, s in opts if i in inc
+                    ))
+                flag_names = [f"with_{s.name}" for _i, s in opts]
+                return stateful.cep_until_split_stream(
+                    spark, files_dir, sf_dir, variant_steps,
+                    self.within_us, counted_arg,
+                    self.neg_etype if self.neg is not None else None,
+                    self.neg_within_us if self.neg is not None
+                    else None,
+                    incl_flags=incl, flag_names=flag_names,
+                    entry_idx=[
+                        self._until_entry_indices(v, counted_steps)
+                        for v in variant_lists
+                    ],
                 )
             return stateful.cep_until_stream(
                 spark, files_dir, sf_dir, self._until_expansion(),
                 self.within_us, counted_arg,
                 self.neg_etype if self.neg is not None else None,
                 self.neg_within_us if self.neg is not None else None,
+                entry_idx=self._until_entry_indices(
+                    self.steps, counted_steps),
             )
         if self.gap_us is not None:
             # r13: gap-bounded patterns stream with per-level (ts,
@@ -1863,20 +1963,19 @@ class CepPattern:
         # outputs. Monotone in row order, so struct MAX stays greedy.
         counted = [s for s in required
                    if s.one_or_more or s.up_to is not None]
-        if any(s.until is not None for s in self.steps):
-            # r15 until() refusals, mirrored EXACTLY in compile_stream
-            # so the batch/stream parity invariant survives
-            if any(s.optional for s in self.steps):
-                raise ValueError(
-                    "until() does not compose with optional steps — "
-                    "each annotation chain would need its own stop "
-                    "gates and freeze fields; make the optional step "
-                    "required"
-                )
-            # r15 continuation: until() × terminal notFollowedBy
-            # COMPOSES — the forward RANGE negation window is
-            # orthogonal to the stop gates and the freeze arithmetic
-            # (streaming: the causal pool rides the watermark hold)
+        # r16 (r15 verdict item 8): until() × optional COMPOSES — but
+        # NOT via the k+1 annotation-chain shortcut: under stop gates
+        # the skip variant is no longer less constrained (skipping an
+        # optional WIDENS the gated gap: clean(a, b) implies
+        # clean(o, b), not vice versa), so the match gate and pools
+        # come from a FULL 2^k variant enumeration with counts and
+        # freeze riders per variant — the OR-split combination
+        # machinery (see the until-optional branch below).
+        # Strict-contiguity optional regions still refuse via the enum
+        # path's counted guard. r15 continuation: until() × terminal
+        # notFollowedBy COMPOSES — the forward RANGE negation window
+        # is orthogonal to the stop gates and the freeze arithmetic
+        # (streaming: the causal pool rides the watermark hold).
         if any(s.not_next is not None for s in self.steps):
             # r15 notNext refusals, mirrored EXACTLY in compile_stream;
             # r16: skip strategies and gap bounds now COMPOSE — the
@@ -2093,12 +2192,44 @@ class CepPattern:
                          k == 0, at_anchor)
                     )
             use_struct = (with_counts and bool(counted)) or with_pos
+            # r16 ENTRY-RELATIVE freezes: an until step's rider pair
+            # (c{k}, u{k}) is stamped at the LOOP ENTRY — the bound
+            # event of the copy directly before the until step's first
+            # copy — not at the chain start. For the loop-adjacent
+            # class (entry == start, every pre-r16 key and fuzz) the
+            # two coincide; with prefix or optional steps in between,
+            # start-stamping clamped the pool from a stop in an
+            # UNGUARDED prefix gap (latent r15 bug: a matched loop
+            # could report a pool below its lower bound — probed by
+            # test_until_prefix_pool_entry_relative). entry_stamp maps
+            # the expanded ENTRY index -> the counted ks to restamp
+            # there; until_first[k] == 1 means the entry IS the begin
+            # row and start_value stamps it (unchanged fast path).
+            entry_stamp: dict = {}
+            if with_counts:
+                fi = 0
+                for s in steps:
+                    for kk in range(s.times):
+                        if s.until is not None and kk == 0 and fi >= 2:
+                            k_idx = counted.index(s)
+                            entry_stamp.setdefault(fi - 1, []).append(
+                                k_idx)
+                        fi += 1
 
             def start_value(row_ts):
                 if not use_struct:
                     return row_ts
+                late = {k for ks in entry_stamp.values() for k in ks}
                 fields = [row_ts.alias("h")]
                 for k, cs in (enumerate(counted) if with_counts else ()):
+                    if k in late:
+                        # rider stamped later, at the entry hop —
+                        # constant sentinel until then (every chain at
+                        # a pre-entry level shares it, so the
+                        # lexicographic max is untouched)
+                        fields.append(F.lit(-1).cast("long")
+                                      .alias(f"c{k}"))
+                        continue
                     c0 = F.col(cnt_cols[cs.name]) + F.when(
                         cs.pred, F.lit(1)
                     ).otherwise(F.lit(0))
@@ -2109,7 +2240,9 @@ class CepPattern:
                 for k, cs in (enumerate(counted) if with_counts else ()):
                     if cs.until is not None:
                         fields.append(
-                            F.col(nbu_cols[cs.name]).alias(f"u{k}")
+                            (F.lit(-1).cast("long") if k in late
+                             else F.col(nbu_cols[cs.name]))
+                            .alias(f"u{k}")
                         )
                 if with_pos:
                     # start ROW position rides the carry (skip mode):
@@ -2132,6 +2265,33 @@ class CepPattern:
                         F.col(pos_col).alias("ap"),
                     ),
                 )
+
+            def stamp_entry(carry, ks):
+                # r16: replace until-step ks' rider pair with THIS
+                # row's values — the row binding the loop's ENTRY
+                # event (count inclusive of the row itself, nbu =
+                # first-stop-after-this-row). Monotone in row
+                # position, so ties on (h, earlier c's) resolve to
+                # the latest entry row — a deterministic greedy
+                # refinement, and the pool formula then reads
+                # entry-relative values.
+                fields = [carry["h"].alias("h")]
+                for j, cs in enumerate(counted):
+                    if j in ks:
+                        fields.append(
+                            (F.col(cnt_cols[cs.name]) + F.when(
+                                cs.pred, F.lit(1)
+                            ).otherwise(F.lit(0))).alias(f"c{j}")
+                        )
+                    else:
+                        fields.append(carry[f"c{j}"].alias(f"c{j}"))
+                for j, cs in enumerate(counted):
+                    if cs.until is not None:
+                        fields.append(
+                            (F.col(nbu_cols[cs.name]) if j in ks
+                             else carry[f"u{j}"]).alias(f"u{j}")
+                        )
+                return F.when(carry.isNotNull(), F.struct(*fields))
 
             prev_col = None
             for i, (s, pred, trans, first, at_anchor) in enumerate(expanded):
@@ -2237,6 +2397,10 @@ class CepPattern:
                     if at_anchor:
                         carry = stamp_anchor(carry)
                     hit = F.when(pred, carry)
+                if use_struct and i in entry_stamp:
+                    # the loop-entry hop: restamp the until riders
+                    # with this row's entry-relative values
+                    hit = stamp_entry(hit, entry_stamp[i])
                 prev_col = f"{prefix}{i}"
                 cur = cur.withColumn(prev_col, hit)
 
@@ -2405,6 +2569,55 @@ class CepPattern:
                 prev_col = "_cep_or"
                 cur = cur.withColumn(prev_col, winner)
                 flags = []
+            elif any(s.until is not None for s in self.steps) \
+                    and any(s.optional for s in self.steps):
+                # r16 (r15 verdict item 8): until × optional — the
+                # skip-variant dominance shortcut is UNSOUND under
+                # stop gates (excluding an optional widens the gated
+                # gap: the A-to-B gap must be stop-clean where the
+                # O-to-B gap need not be), so BOTH the match gate and
+                # the pools enumerate all 2^k include/exclude
+                # variants, each a full counted chain with gates and
+                # freeze riders, combined exactly like the OR-split:
+                # EXISTS-any match, lexicographic (h, c.., u..)
+                # GREATEST winner, flags = any including variant
+                # completes. Brute-force fuzz:
+                # tests/test_properties.py::test_cep_until_optional_fuzz
+                opts = [(i, s) for i, s in enumerate(self.steps)
+                        if s.optional]
+                if len(opts) > 6:
+                    raise ValueError(
+                        f"{len(opts)} optional steps would enumerate "
+                        f"{2 ** len(opts)} until-gated variant chains "
+                        "— cap is 6 (64 chains); restructure the "
+                        "pattern"
+                    )
+                chain_cols = []
+                start_of = None
+                for mask in range(1 << len(opts)):
+                    inc = {i for j, (i, _s) in enumerate(opts)
+                           if mask >> j & 1}
+                    chain = [s for i, s in enumerate(self.steps)
+                             if not s.optional or i in inc]
+                    cur, vcol, start_of = build_chain(
+                        cur, chain, f"_cep_u{mask}_", with_counts=True
+                    )
+                    chain_cols.append(vcol)
+                oks = [within_ok(c, start_of) for c in chain_cols]
+                winner = F.greatest(*[
+                    F.when(ok, F.col(c))
+                    for ok, c in zip(oks, chain_cols)
+                ])
+                prev_col = "_cep_uo"
+                cur = cur.withColumn(prev_col, winner)
+                flags = []
+                for j, (_i, o) in enumerate(opts):
+                    fl = None
+                    for mask in range(1 << len(opts)):
+                        if mask >> j & 1:
+                            fl = (oks[mask] if fl is None
+                                  else fl | oks[mask])
+                    flags.append(fl.alias(f"with_{o.name}"))
             else:
                 # main chain (required steps) gates the match; one
                 # extra chain per optional step computes its
@@ -4564,6 +4777,159 @@ def stream_cep_until_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .next("click", etype="click")
         .one_or_more()
         .next("purchase", etype="purchase")
+        .within("72 hours")
+    )
+    return pat.compile(
+        table(spark, sf_dir, "events"),
+        key="user_id",
+        ts="ts",
+        tiebreak="event_id",
+    )
+
+
+@register(
+    "stream_cep_until_optional",
+    oracle="""
+    WITH sp AS (
+      SELECT user_id, event_id, event_type, ts,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS pos,
+             COUNT(CASE WHEN event_type = 'click' THEN 1 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS cc
+      FROM events
+    ), s0 AS (
+      SELECT *,
+             MAX(CASE WHEN event_type = 'error' THEN pos END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS lastq,
+             COALESCE(
+               MIN(CASE WHEN event_type = 'error' THEN cc END)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 1 FOLLOWING
+                       AND UNBOUNDED FOLLOWING),
+               4611686018427387904) AS nbu
+      FROM sp
+    ), va0 AS (
+      SELECT *, CASE WHEN event_type = 'signup' THEN
+               {'h': ts,
+                'c0': cc + (CASE WHEN event_type = 'click'
+                            THEN 1 ELSE 0 END),
+                'u0': nbu}
+             END AS a0,
+             CASE WHEN event_type = 'signup' THEN ts END AS b0
+      FROM s0
+    ), vae AS (
+      SELECT *, CASE WHEN a0 IS NOT NULL THEN
+          {'p': pos, 'v': a0} END AS enta
+      FROM va0
+    ), vab AS (
+      SELECT *,
+             MAX(enta) OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING) AS ba,
+             MAX(b0) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING) AS cb0
+      FROM vae
+    ), vb1 AS (
+      SELECT *, CASE WHEN event_type = 'view' AND cb0 IS NOT NULL
+                     THEN {'h': cb0,
+                           'c0': cc + (CASE WHEN event_type = 'click'
+                                       THEN 1 ELSE 0 END),
+                           'u0': nbu}
+                END AS r1
+      FROM vab
+    ), vbe AS (
+      SELECT *, CASE WHEN r1 IS NOT NULL THEN
+          {'p': pos, 'v': r1} END AS entb
+      FROM vb1
+    ), vbb AS (
+      SELECT *,
+             MAX(entb) OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING) AS bb
+      FROM vbe
+    ), hh AS (
+      SELECT *,
+             CASE WHEN event_type = 'click' AND ba.p IS NOT NULL
+                  AND (lastq IS NULL OR lastq <= ba.p)
+                  THEN ba.v END AS h1a,
+             CASE WHEN event_type = 'click' AND bb.p IS NOT NULL
+                  AND (lastq IS NULL OR lastq <= bb.p)
+                  THEN bb.v END AS h1b
+      FROM vbb
+    ), cf AS (
+      SELECT *,
+             CASE WHEN event_type = 'purchase'
+                  THEN MAX(h1a) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING) END AS h2a,
+             CASE WHEN event_type = 'purchase'
+                  THEN MAX(h1b) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING) END AS h2b
+      FROM hh
+    ), fin AS (
+      SELECT *,
+             (h2a.h IS NOT NULL AND epoch_us(ts) - epoch_us(h2a.h)
+                <= 259200000000::BIGINT) AS ok_a,
+             (h2b.h IS NOT NULL AND epoch_us(ts) - epoch_us(h2b.h)
+                <= 259200000000::BIGINT) AS ok_b
+      FROM cf
+    ), win AS (
+      SELECT *, CASE WHEN ok_a AND ok_b THEN
+                       CASE WHEN h2a >= h2b THEN h2a ELSE h2b END
+                     WHEN ok_a THEN h2a
+                     WHEN ok_b THEN h2b END AS w
+      FROM fin
+    )
+    SELECT user_id, event_id AS match_id, ts AS match_ts,
+           w.h AS start_ts,
+           CAST(LEAST(cc + (CASE WHEN event_type = 'click'
+                            THEN 1 ELSE 0 END), w.u0)
+                - w.c0 AS BIGINT) AS n_click,
+           ok_b AS with_view
+    FROM win WHERE w.h IS NOT NULL
+    """,
+)
+def stream_cep_until_optional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """until() × optional (r16 — was refused as needing per-variant
+    stop gates and freeze fields; r15 verdict item 8): `begin(signup)
+    .followedBy(view).optional().followedBy(click).oneOrMore()
+    .until(error).followedBy(purchase).within(72h)` — signup, an
+    optionally-viewed product, a click streak stopped by the first
+    error, a purchase. The k+1 annotation-chain shortcut is UNSOUND
+    here: under stop gates the exclude variant is MORE constrained
+    (its gated gap (signup, click) contains the skipped (view, click)
+    gap), so an error between signup and view kills only the exclude
+    chain and the match exists ONLY through the optional step. Both
+    the match gate and the pools therefore enumerate the 2^k variants
+    — full counted chains with gates and ENTRY-RELATIVE freeze riders
+    (r16: the rider stamps at the loop's entry event, signup or view
+    per variant — the per-variant freeze the r15 refusal named) —
+    combined by the OR-split lexicographic GREATEST; with_view = the
+    including variant completes. Brute-force fuzz with 5 colliding
+    roles, optional before AND after the loop:
+    tests/test_properties.py::test_cep_until_optional_fuzz. STREAMS
+    (r16): the 2^k variants run through the per-variant freeze-rider
+    machine with incl_flags (stateful._cep_until_split_fn);
+    fake-GroupState fuzz + availableNow twin."""
+    pat = (
+        CepPattern.begin("signup", etype="signup")
+        .followed_by("view", etype="view")
+        .optional()
+        .followed_by("click", etype="click")
+        .one_or_more()
+        .until("stop", etype="error")
+        .followed_by("purchase", etype="purchase")
         .within("72 hours")
     )
     return pat.compile(

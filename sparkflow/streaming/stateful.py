@@ -3288,7 +3288,7 @@ def cep_terminal_negation_stream(
 
 
 def _cep_until_fn(steps, within_us, counted, neg_et=None,
-                  neg_within_us=None):
+                  neg_within_us=None, entry_idx=None):
     """r15: keyed-state executor for a pattern with `until(condition)`
     stop-gated loops (FlinkCEP's loop stop condition, compiled batch-
     side as per-copy mid-negation gates + a carried freeze value).
@@ -3315,7 +3315,18 @@ def _cep_until_fn(steps, within_us, counted, neg_et=None,
     nbu(A) = min over stops strictly after A. The pool at a match row
     is then min(incl-count, frozen u) - count-at-start — causal,
     matching the batch LEAST() arithmetic (brute-force fuzz:
-    tests/test_properties.py::test_cep_until_*)."""
+    tests/test_properties.py::test_cep_until_*).
+
+    entry_idx (r16): per counted step, the expanded LEVEL of the
+    loop's entry event (the copy directly before the until step's
+    first copy; None/0 for non-until or loop-adjacent-to-begin). The
+    rider pair (c, u) is stamped there, not at the chain start —
+    entry-relative freezes (the latent r15 bug: a stop in an
+    unguarded prefix gap clamped the pool from the start, below the
+    loop's lower bound). Pre-entry levels carry sentinels (c = -1,
+    u = -2 'not entered'); -2 never freezes and encodes as +inf in
+    the compare exactly like the live -1 (levels are uniformly
+    pre/post entry, so the encodings never mix at one level)."""
     m = len(steps)
     n = m - 1
     qtypes = [st[2] for st in steps[1:]]
@@ -3324,6 +3335,8 @@ def _cep_until_fn(steps, within_us, counted, neg_et=None,
     up_tos = [c[2] for c in counted]
     u_ets = [c[3] for c in counted]
     K = len(counted)
+    E = list(entry_idx) if entry_idx is not None else [0] * K
+    E = [e or 0 for e in E]
     NO_STOP = 1 << 62
     NP = 3 + K  # terminal-negation hold: mid, mus, sus, pools...
 
@@ -3446,9 +3459,14 @@ def _cep_until_fn(steps, within_us, counted, neg_et=None,
                 if i == 0:
                     hh[0] = t
                     for k in range(K):
-                        hcs[k][0] = QCs[k] + (
-                            1 if etype == cnt_ets[k] else 0)
-                        hu[k][0] = -1
+                        if u_ets[k] is not None and E[k] > 0:
+                            # entry-relative rider, stamped later
+                            hcs[k][0] = -1
+                            hu[k][0] = -2
+                        else:
+                            hcs[k][0] = QCs[k] + (
+                                1 if etype == cnt_ets[k] else 0)
+                            hu[k][0] = -1
                 else:
                     if trans == "followed_by":
                         ch = C[i - 1]
@@ -3466,6 +3484,13 @@ def _cep_until_fn(steps, within_us, counted, neg_et=None,
                             hcs[k][i] = ccs[k]
                             if k in cus:
                                 hu[k][i] = cus[k]
+                        for k in range(K):
+                            if u_ets[k] is not None and E[k] == i:
+                                # the loop-entry hop: stamp the rider
+                                # with this row's values
+                                hcs[k][i] = QCs[k] + (
+                                    1 if etype == cnt_ets[k] else 0)
+                                hu[k][i] = -1
             # (3) emission — pool clamped at the chain's freeze; with
             # a terminal negation the match becomes a held candidate
             # instead (the pool is causal at the match row, so it
@@ -3481,7 +3506,8 @@ def _cep_until_fn(steps, within_us, counted, neg_et=None,
                     incl = QCs[k] + (1 if etype == cnt_ets[k] else 0)
                     if u_ets[k] is not None:
                         fz = hu[k][-1]
-                        incl = min(incl, fz if fz != -1 else NO_STOP)
+                        incl = min(incl,
+                                   fz if fz >= 0 else NO_STOP)
                     pool = incl - hcs[k][-1]
                     row.append(
                         pool if up_tos[k] is None
@@ -3505,7 +3531,7 @@ def _cep_until_fn(steps, within_us, counted, neg_et=None,
                     (hh[i],)
                     + tuple(hcs[k][i] for k in range(K))
                     + tuple(
-                        (hu[k][i] if hu[k][i] != -1 else NO_STOP)
+                        (hu[k][i] if hu[k][i] >= 0 else NO_STOP)
                         for k in range(K) if k in Cu
                     )
                 )
@@ -3513,7 +3539,7 @@ def _cep_until_fn(steps, within_us, counted, neg_et=None,
                     (C[i],)
                     + tuple(Ccs[k][i] for k in range(K))
                     + tuple(
-                        (Cu[k][i] if Cu[k][i] != -1 else NO_STOP)
+                        (Cu[k][i] if Cu[k][i] >= 0 else NO_STOP)
                         for k in range(K) if k in Cu
                     )
                 )
@@ -3888,6 +3914,7 @@ def cep_until_stream(
     spark: SparkSession, files_dir: str, sf_dir: str,
     steps: list, within_us, counted: list,
     neg_et: str | None = None, neg_within_us: int | None = None,
+    entry_idx=None,
 ) -> DataFrame:
     """True-streaming compile of until()-gated loops (see
     _cep_until_fn). With a terminal negation (r15 continuation) the
@@ -3911,7 +3938,7 @@ def cep_until_stream(
     )
     return ev.groupBy("user_id").applyInPandasWithState(
         _cep_until_fn(list(steps), within_us, list(counted),
-                      neg_et, neg_within_us),
+                      neg_et, neg_within_us, entry_idx),
         outputStructType=out_fields,
         stateStructType=", ".join(fields),
         outputMode="append",
@@ -3922,7 +3949,9 @@ def cep_until_stream(
 
 
 def _cep_until_split_fn(variant_steps, within_us, counted,
-                        neg_et=None, neg_within_us=None):
+                        neg_et=None, neg_within_us=None,
+                        incl_flags=None, flag_names=None,
+                        entry_idx=None):
     """r16 (r15 verdict item 2): until()-gated loops COMPOSED with a
     both-strict oneOrMore/times(1, m) split elsewhere in the pattern —
     the freeze-rider machinery of _cep_until_fn run over the
@@ -3939,7 +3968,20 @@ def _cep_until_split_fn(variant_steps, within_us, counted,
     the row's hits, exactly _cep_until_fn's discipline. With a
     terminal negation the winner row holds in pending arrays until
     the watermark passes its deadline (pools are causal at the match
-    row)."""
+    row).
+
+    incl_flags/flag_names (r16, until × optional — r15 verdict item
+    8): when the variants are the 2^k include/exclude expansions of
+    optional steps, incl_flags[v] is the set of with_<name> flags
+    variant v includes and the output gains one BOOLEAN per optional
+    step — true iff any including variant completed (causal at the
+    match row, so flags ride the pending hold like the pools).
+
+    entry_idx (r16): per variant, per counted step, the expanded
+    LEVEL of the loop's entry event — riders stamp there
+    (entry-relative freezes, see _cep_until_fn; the optional variants
+    have DIFFERENT entry levels, which is exactly why the freeze must
+    be entry-relative for this composition)."""
     sizes = [len(steps) - 1 for steps in variant_steps]
     qtypes = [[st[2] for st in steps[1:]] for steps in variant_steps]
     nvar = len(variant_steps)
@@ -3949,8 +3991,13 @@ def _cep_until_split_fn(variant_steps, within_us, counted,
     u_ets = [c[3] for c in counted]
     K = len(counted)
     uks = [k for k in range(K) if u_ets[k] is not None]
+    E = (entry_idx if entry_idx is not None
+         else [[0] * K for _ in range(nvar)])
+    E = [[e or 0 for e in ev] for ev in E]
+    flag_names = list(flag_names or [])
+    nf = len(flag_names)
     NO_STOP = 1 << 62
-    NP = 3 + K
+    NP = 3 + K + nf
 
     def fn(
         key: Tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState
@@ -4001,7 +4048,8 @@ def _cep_until_split_fn(variant_steps, within_us, counted,
 
         def flush(wm_us):
             o = {"match_id": [], "match_us": [], "start_us": [],
-                 **{f"n_{nm}": [] for nm in cnt_names}}
+                 **{f"n_{nm}": [] for nm in cnt_names},
+                 **{f: [] for f in flag_names}}
             keep = [[] for _ in range(NP)]
             for row in zip(*pend):
                 if row[1] + neg_within_us < wm_us:
@@ -4010,6 +4058,8 @@ def _cep_until_split_fn(variant_steps, within_us, counted,
                     o["start_us"].append(row[2])
                     for k, nm in enumerate(cnt_names):
                         o[f"n_{nm}"].append(row[3 + k])
+                    for j, f in enumerate(flag_names):
+                        o[f].append(bool(row[3 + K + j]))
                 else:
                     for j, v in enumerate(row):
                         keep[j].append(v)
@@ -4044,6 +4094,8 @@ def _cep_until_split_fn(variant_steps, within_us, counted,
         out = {"match_id": [], "match_us": [], "start_us": []}
         for nm in cnt_names:
             out[f"n_{nm}"] = []
+        for f in flag_names:
+            out[f] = []
 
         def ok(vv, t):
             return vv >= 0 and (within_us is None
@@ -4078,8 +4130,12 @@ def _cep_until_split_fn(variant_steps, within_us, counted,
                     if i == 0:
                         hh[0] = t
                         for k in range(K):
-                            hcs[k][0] = QCs[k] + (
-                                1 if etype == cnt_ets[k] else 0)
+                            if k in uks and E[v][k] > 0:
+                                hcs[k][0] = -1
+                                hu[k][0] = -2
+                            else:
+                                hcs[k][0] = QCs[k] + (
+                                    1 if etype == cnt_ets[k] else 0)
                     else:
                         if trans == "followed_by":
                             ch = C[i - 1]
@@ -4098,6 +4154,13 @@ def _cep_until_split_fn(variant_steps, within_us, counted,
                                 hcs[k][i] = ccs[k]
                             for k in uks:
                                 hu[k][i] = cus[k]
+                            for k in uks:
+                                if E[v][k] == i:
+                                    # loop-entry hop: stamp the rider
+                                    hcs[k][i] = QCs[k] + (
+                                        1 if etype == cnt_ets[k]
+                                        else 0)
+                                    hu[k][i] = -1
                 hits.append((hh, hcs, hu))
             # (3) emission — lexicographic (h, c.., u-as-inf..) winner
             # across satisfied variants, pools from the winner
@@ -4112,7 +4175,7 @@ def _cep_until_split_fn(variant_steps, within_us, counted,
                     (hh[-1],)
                     + tuple(hcs[k][-1] for k in range(K))
                     + tuple(
-                        (hu[k][-1] if hu[k][-1] != -1 else NO_STOP)
+                        (hu[k][-1] if hu[k][-1] >= 0 else NO_STOP)
                         for k in uks
                     )
                     for (hh, hcs, hu), okv in zip(hits, oks) if okv
@@ -4127,6 +4190,11 @@ def _cep_until_split_fn(variant_steps, within_us, counted,
                         pool if up_tos[k] is None
                         else min(pool, up_tos[k])
                     )
+                for f in flag_names:
+                    row.append(int(any(
+                        okv for v, okv in enumerate(oks)
+                        if okv and f in incl_flags[v]
+                    )))
                 if neg_et is not None:
                     for j, v in enumerate(row):
                         pend[j].append(v)
@@ -4136,6 +4204,8 @@ def _cep_until_split_fn(variant_steps, within_us, counted,
                     out["start_us"].append(row[2])
                     for k, nm in enumerate(cnt_names):
                         out[f"n_{nm}"].append(row[3 + k])
+                    for j, f in enumerate(flag_names):
+                        out[f].append(bool(row[3 + K + j]))
             # (4) absorb per variant — riders join the compare
             for v, ((C, L, BP, LQ, Ccs, Lcs, Cu, Lu),
                     (hh, hcs, hu)) in enumerate(zip(V, hits)):
@@ -4144,7 +4214,7 @@ def _cep_until_split_fn(variant_steps, within_us, counted,
                         (hh[i],)
                         + tuple(hcs[k][i] for k in range(K))
                         + tuple(
-                            (hu[k][i] if hu[k][i] != -1 else NO_STOP)
+                            (hu[k][i] if hu[k][i] >= 0 else NO_STOP)
                             for k in uks
                         )
                     )
@@ -4152,7 +4222,7 @@ def _cep_until_split_fn(variant_steps, within_us, counted,
                         (C[i],)
                         + tuple(Ccs[k][i] for k in range(K))
                         + tuple(
-                            (Cu[k][i] if Cu[k][i] != -1 else NO_STOP)
+                            (Cu[k][i] if Cu[k][i] >= 0 else NO_STOP)
                             for k in uks
                         )
                     )
@@ -4198,29 +4268,36 @@ def cep_until_split_stream(
     spark: SparkSession, files_dir: str, sf_dir: str,
     variant_steps: list, within_us, counted: list,
     neg_et: str | None = None, neg_within_us: int | None = None,
+    incl_flags=None, flag_names=None, entry_idx=None,
 ) -> DataFrame:
-    """True-streaming compile of until() × both-strict OR-split (see
-    _cep_until_split_fn)."""
+    """True-streaming compile of until() × both-strict OR-split and
+    until() × optional (see _cep_until_split_fn; the optional form
+    passes incl_flags/flag_names for the with_<name> outputs)."""
     ev = _events_stream(spark, files_dir, sf_dir)
     if neg_et is not None:
         ev = ev.withWatermark("ts", "0 seconds")
     if any(len(steps) < 2 for steps in variant_steps):
         raise ValueError("streaming compile needs >= 2 positive steps")
+    flag_names = list(flag_names or [])
     fields = ["flat ARRAY<BIGINT>", "qcs ARRAY<BIGINT>", "pos BIGINT"]
     if neg_et is not None:
         fields += ["pend_mid ARRAY<BIGINT>", "pend_mus ARRAY<BIGINT>",
                    "pend_sus ARRAY<BIGINT>"]
         fields += [f"pend_n{k} ARRAY<BIGINT>"
                    for k in range(len(counted))]
+        fields += [f"pend_f{j} ARRAY<BIGINT>"
+                   for j in range(len(flag_names))]
     out_fields = (
         "user_id BIGINT, match_id BIGINT, match_us BIGINT, "
         "start_us BIGINT"
         + "".join(f", n_{c[0]} BIGINT" for c in counted)
+        + "".join(f", {f} BOOLEAN" for f in flag_names)
     )
     return ev.groupBy("user_id").applyInPandasWithState(
         _cep_until_split_fn([list(s) for s in variant_steps],
                             within_us, list(counted),
-                            neg_et, neg_within_us),
+                            neg_et, neg_within_us,
+                            incl_flags, flag_names, entry_idx),
         outputStructType=out_fields,
         stateStructType=", ".join(fields),
         outputMode="append",

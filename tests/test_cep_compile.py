@@ -2184,6 +2184,117 @@ def test_until_split_streaming_twin(spark, sf_small, tmp_path_factory):
     pd.testing.assert_frame_equal(got, want_us, check_dtype=False)
 
 
+def test_until_optional_streaming_twin(spark, sf_small,
+                                       tmp_path_factory):
+    """until() × optional STREAMS (r16): compile_stream routes the
+    composed pattern to the per-variant freeze-rider machine with
+    incl_flags — matches, greedy starts, entry-relative pools and the
+    with_view flag must equal the batch compile across real
+    micro-batch boundaries."""
+    from sparkflow.streaming import stateful
+
+    stream_dir = stateful.split_events_to_files(
+        spark, sf_small,
+        str(tmp_path_factory.mktemp("cep_until_opt_stream")), 3
+    )
+    pat = (
+        CepPattern.begin("signup", etype="signup")
+        .followed_by("view", etype="view")
+        .optional()
+        .followed_by("click", etype="click")
+        .one_or_more()
+        .until("stop", etype="error")
+        .followed_by("purchase", etype="purchase")
+        .within("72 hours")
+    )
+    sdf = pat.compile_stream(spark, stream_dir, sf_small)
+    stateful.run_to_memory(sdf, "t_cepuntilopt", "append")
+    got = (
+        spark.table("t_cepuntilopt").toPandas()
+        .sort_values("match_id").reset_index(drop=True)
+    )
+    want = (
+        pat.compile(table(spark, sf_small, "events")).toPandas()
+        .sort_values("match_id").reset_index(drop=True)
+    )
+    assert len(want) > 0
+    want_us = want.assign(
+        match_us=pd.to_datetime(want["match_ts"])
+        .astype("datetime64[us]").astype("int64"),
+        start_us=pd.to_datetime(want["start_ts"])
+        .astype("datetime64[us]").astype("int64"),
+    )[["user_id", "match_id", "match_us", "start_us",
+       "n_click", "with_view"]]
+    pd.testing.assert_frame_equal(got, want_us, check_dtype=False)
+
+
+def test_until_prefix_pool_entry_relative(spark):
+    """r16 fix of a latent r15 bug: with prefix steps between begin()
+    and the until loop, the freeze was measured from the CHAIN START,
+    so a stop inside the unguarded prefix gap clamped the pool below
+    the loop's lower bound (a matched oneOrMore reporting n_b=0 —
+    contradicting the documented 'pool >= lower bound' invariant).
+    The rider now stamps at the LOOP ENTRY (the bound event of the
+    step directly before the loop): a stop before the entry has no
+    effect, stops after it clamp — FlinkCEP's stop-condition scoping.
+    Both batch and the streaming machine (entry_idx threading)."""
+    import pandas as pd
+
+    from sparkflow.streaming.stateful import _cep_until_fn
+
+    # a U x b c : the stop precedes the loop entry x -> pool must be 1
+    df = spark.createDataFrame(
+        [(1, 1, "A", 0), (1, 2, "U", 1), (1, 3, "X", 2),
+         (1, 4, "B", 3), (1, 5, "C", 4),
+         # second user: stop AFTER the entry -> loop never starts
+         (2, 6, "A", 0), (2, 7, "X", 1), (2, 8, "U", 2),
+         (2, 9, "B", 3), (2, 10, "C", 4)],
+        "user_id INT, event_id INT, event_type STRING, sec INT",
+    ).withColumn("ts", F.timestamp_seconds("sec"))
+    pat = (CepPattern.begin("a", etype="A")
+           .followed_by("x", etype="X")
+           .followed_by("b", etype="B").one_or_more()
+           .until("u", etype="U")
+           .followed_by("c", etype="C").within(100))
+    got = [(r.user_id, r.match_id, r.n_b)
+           for r in pat.compile(df).collect()]
+    assert got == [(1, 5, 1)]
+
+    # the streaming machine agrees (entry_idx = [1])
+    cnt_steps = [s for s in pat.steps
+                 if s.one_or_more or s.up_to is not None]
+    fn = _cep_until_fn(
+        pat._until_expansion(), 100 * 1_000_000,
+        [("b", "B", None, "U")],
+        entry_idx=pat._until_entry_indices(pat.steps, cnt_steps),
+    )
+
+    class _S:
+        _v = None
+        exists = property(lambda s: s._v is not None)
+        get = property(lambda s: s._v)
+
+        def update(self, v):
+            self._v = v
+
+    for uid, evs, want in (
+        (1, [(1, "A", 0), (2, "U", 1), (3, "X", 2), (4, "B", 3),
+             (5, "C", 4)], [(5, 1)]),
+        (2, [(6, "A", 0), (7, "X", 1), (8, "U", 2), (9, "B", 3),
+             (10, "C", 4)], []),
+    ):
+        st_ = _S()
+        pdf = pd.DataFrame({
+            "event_id": [e[0] for e in evs],
+            "event_type": [e[1] for e in evs],
+            "ts": pd.to_datetime([e[2] for e in evs], unit="s"),
+        })
+        rows = []
+        for out in fn((uid,), iter([pdf]), st_):
+            rows += [(r.match_id, r.n_b) for r in out.itertuples()]
+        assert rows == want, (uid, rows)
+
+
 def test_until_builder_rules(spark):
     """until()'s refusals are loud and mirrored batch/stream (the r15
     parity invariant): non-looping step, double until, negated-gap
@@ -2211,15 +2322,35 @@ def test_until_builder_rules(spark):
     pat = (ok.followed_by("c", etype="C").within(10)
            .not_followed_by("y", etype="Y", within=5))
     assert pat.neg is not None and pat.steps[1].until is not None
+    # r16 (r15 verdict item 8): until × optional now COMPILES via the
+    # 2^k full-variant enumeration (the annotation-chain shortcut is
+    # unsound under stop gates) — the soundness-critical case: a stop
+    # between a and o kills only the exclude variant, so the match
+    # exists ONLY through the optional step
     opt = (CepPattern.begin("a", etype="A")
            .followed_by("o", etype="O").optional()
            .followed_by("b", etype="B").one_or_more()
            .until("u", etype="U")
            .followed_by("c", etype="C").within(10))
-    with pytest.raises(ValueError, match="optional"):
-        opt.compile(None)
-    with pytest.raises(ValueError, match="optional"):
-        opt.compile_stream(None, "/nonexistent", "/nonexistent")
+    df = spark.createDataFrame(
+        [(1, 1, "A", 0), (1, 2, "U", 1), (1, 3, "O", 2),
+         (1, 4, "B", 3), (1, 5, "C", 4)],
+        "user_id INT, event_id INT, event_type STRING, sec INT",
+    ).withColumn("ts", F.timestamp_seconds("sec"))
+    res = opt.compile(df).collect()
+    assert [(r.match_id, bool(r.with_o), r.n_b) for r in res] \
+        == [(5, True, 1)]
+    # strict-contiguity optional regions still refuse (counted guard)
+    strict_opt = (CepPattern.begin("a", etype="A")
+                  .followed_by("o", etype="O").optional()
+                  .next("x", etype="X")
+                  .followed_by("b", etype="B").one_or_more()
+                  .until("u", etype="U")
+                  .followed_by("c", etype="C").within(10))
+    with pytest.raises(ValueError, match="strict-contiguity"):
+        strict_opt.compile(df)
+    with pytest.raises(ValueError, match="strict-contiguity"):
+        strict_opt.compile_stream(None, "/nonexistent", "/nonexistent")
 
 
 def test_not_next_streaming_twin(spark, sf_small, tmp_path_factory):

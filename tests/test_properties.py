@@ -3735,6 +3735,243 @@ def test_cep_until_or_split_fuzz(streams, types, cap_c, within_s):
     assert got == want
 
 
+def _until_optional_brute(rows, types, opt_pos, cap, within_s):
+    """Reference semantics of until() × optional (r16, r15 verdict
+    item 8): the match gate and pools enumerate BOTH include/exclude
+    variants — under stop gates the exclude variant is NOT less
+    constrained (its gated gap is wider), so a chain may exist only
+    through the optional step. Winner = lexicographic (sec, cb, u)
+    max over feasible starts across variants; with_o = any including
+    chain completes within the window."""
+    a_t, o_t, b_t, c_t, u_t = types
+    by_user: dict = {}
+    for uid, ev_id, typ, sec in rows:
+        by_user.setdefault(uid, []).append((typ, sec, ev_id))
+    want: dict = {}
+    for uid, seq in by_user.items():
+        n = len(seq)
+        cntb = [0] * (n + 1)
+        for j in range(n):
+            cntb[j + 1] = cntb[j] + (1 if seq[j][0] == b_t else 0)
+
+        def u0(p):
+            for j in range(p + 1, n):
+                if seq[j][0] == u_t:
+                    return cntb[j]
+            return _NO_STOP
+
+        def clean(lo, hi):
+            return all(seq[j][0] != u_t for j in range(lo + 1, hi))
+
+        for pc in range(n):
+            if seq[pc][0] != c_t:
+                continue
+            best = None
+            incl_ok = False
+            for pa in range(pc):
+                if seq[pa][0] != a_t or \
+                        seq[pc][1] - seq[pa][1] > within_s:
+                    continue
+                # riders are ENTRY-RELATIVE (r16): stamped at the
+                # bound event of the step directly before the loop —
+                # pa for the exclude variant ('after' include too),
+                # po for the 'before' include variant
+                if any(seq[pb][0] == b_t and clean(pa, pb)
+                       for pb in range(pa + 1, pc)):
+                    tup = (seq[pa][1], cntb[pa + 1], u0(pa))
+                    if best is None or tup > best:
+                        best = tup
+                if opt_pos == "before":
+                    for po in range(pa + 1, pc):
+                        if seq[po][0] != o_t:
+                            continue
+                        if any(seq[pb][0] == b_t and clean(po, pb)
+                               for pb in range(po + 1, pc)):
+                            incl_ok = True
+                            tup = (seq[pa][1], cntb[po + 1], u0(po))
+                            if best is None or tup > best:
+                                best = tup
+                else:
+                    feas = any(
+                        seq[pb][0] == b_t and clean(pa, pb)
+                        and any(seq[po][0] == o_t
+                                for po in range(pb + 1, pc))
+                        for pb in range(pa + 1, pc)
+                    )
+                    if feas:
+                        incl_ok = True
+                        tup = (seq[pa][1], cntb[pa + 1], u0(pa))
+                        if best is None or tup > best:
+                            best = tup
+            if best is None:
+                continue
+            _sec, cb0, uz = best
+            n_b = min(cntb[pc + 1], uz) - cb0
+            if cap is not None:
+                n_b = min(n_b, cap)
+            want[(uid, seq[pc][2])] = (best[0], n_b, incl_ok)
+    return want
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    streams=st.lists(
+        st.lists(_cep_event, min_size=0, max_size=12),
+        min_size=1, max_size=3,
+    ),
+    types=st.tuples(
+        st.sampled_from(["A", "B", "C"]),
+        st.sampled_from(["A", "B", "C"]),
+        st.sampled_from(["A", "B", "C"]),
+        st.sampled_from(["A", "B", "C"]),
+        st.sampled_from(["A", "B", "C"]),
+    ),
+    opt_pos=st.sampled_from(["before", "after"]),
+    cap=st.sampled_from([None, 2]),
+    within_s=st.integers(min_value=1, max_value=40),
+)
+def test_cep_until_optional_fuzz(streams, types, opt_pos, cap,
+                                 within_s):
+    """until() × optional (r16, r15 verdict item 8 — was refused):
+    batch compile vs brute force over begin(a)[.followedBy(o)?]
+    .followedBy(b)+.until(u)[.followedBy(o)?].followedBy(c)
+    .within(T) with the optional before or after the gated loop. The
+    'before' position is the soundness-critical one: a stop between a
+    and o kills only the exclude variant, so matches can exist ONLY
+    through the optional step — the case the k+1 shortcut gets
+    wrong."""
+    from sparkflow.streaming.cep import CepPattern
+
+    a_t, o_t, b_t, c_t, u_t = types
+    rows, df = _cep_df(_get_spark(), streams)
+    if not rows:
+        return
+
+    pat = CepPattern.begin("a", etype=a_t)
+    if opt_pos == "before":
+        pat = pat.followed_by("o", etype=o_t).optional()
+    pat = pat.followed_by("b", etype=b_t)
+    pat = pat.one_or_more() if cap is None else pat.times(1, cap)
+    pat = pat.until("u", etype=u_t)
+    if opt_pos == "after":
+        pat = pat.followed_by("o", etype=o_t).optional()
+    pat = pat.followed_by("c", etype=c_t).within(within_s)
+    got = {
+        (r.user_id, r.match_id): (r.start_sec, r.n_b, r.with_o)
+        for r in pat.compile(df).select(
+            "user_id", "match_id", "n_b", "with_o",
+            (F.unix_micros("start_ts") / 1_000_000).cast("int")
+            .alias("start_sec"),
+        ).collect()
+    }
+    want = _until_optional_brute(rows, types, opt_pos, cap, within_s)
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    streams=st.lists(
+        st.lists(_cep_event, min_size=0, max_size=12),
+        min_size=1, max_size=3,
+    ),
+    types=st.tuples(
+        st.sampled_from(["A", "B", "C"]),
+        st.sampled_from(["A", "B", "C"]),
+        st.sampled_from(["A", "B", "C"]),
+        st.sampled_from(["A", "B", "C"]),
+        st.sampled_from(["A", "B", "C"]),
+    ),
+    opt_pos=st.sampled_from(["before", "after"]),
+    within_s=st.integers(min_value=1, max_value=40),
+    with_neg=st.booleans(),
+    neg_s=st.integers(min_value=1, max_value=20),
+    cut=st.integers(min_value=1, max_value=10),
+)
+def test_cep_until_optional_state_fuzz(streams, types, opt_pos,
+                                       within_s, with_neg, neg_s,
+                                       cut):
+    """until() × optional STREAMS (r16): the 2^k full-variant
+    enumeration through _cep_until_split_fn with incl_flags — match
+    set, greedy starts, clamped pools AND with_o flags must equal the
+    batch compile across a random micro-batch split; with_neg adds
+    the watermark hold (flags ride the pending arrays)."""
+    import pandas as pd
+
+    from sparkflow.streaming.cep import CepPattern
+    from sparkflow.streaming.stateful import _cep_until_split_fn
+
+    a_t, o_t, b_t, c_t, u_t = types
+    rows, df = _cep_df(_get_spark(), streams)
+    if not rows:
+        return
+
+    pat = CepPattern.begin("a", etype=a_t)
+    if opt_pos == "before":
+        pat = pat.followed_by("o", etype=o_t).optional()
+    pat = (pat.followed_by("b", etype=b_t).one_or_more()
+           .until("u", etype=u_t))
+    if opt_pos == "after":
+        pat = pat.followed_by("o", etype=o_t).optional()
+    pat = pat.followed_by("c", etype=c_t).within(within_s)
+    if with_neg:
+        pat = pat.not_followed_by("y", etype="A", within=neg_s)
+    want = {
+        (r.user_id, r.match_id, int(r.start_sec), r.n_b, r.with_o)
+        for r in pat.compile(df).select(
+            "user_id", "match_id", "n_b", "with_o",
+            (F.unix_micros("start_ts") / 1_000_000).cast("int")
+            .alias("start_sec"),
+        ).collect()
+    }
+
+    opts = [(i, s) for i, s in enumerate(pat.steps) if s.optional]
+    cnt_steps = [s for s in pat.steps
+                 if s.one_or_more or s.up_to is not None]
+    variant_steps, incl, entry = [], [], []
+    for mask in range(1 << len(opts)):
+        inc = {i for j, (i, _s) in enumerate(opts) if mask >> j & 1}
+        chain = [s for i, s in enumerate(pat.steps)
+                 if not s.optional or i in inc]
+        variant_steps.append(pat._until_expansion(chain))
+        entry.append(pat._until_entry_indices(chain, cnt_steps))
+        incl.append(frozenset(
+            f"with_{s.name}" for i, s in opts if i in inc))
+    fn = _cep_until_split_fn(
+        variant_steps, within_s * 1_000_000,
+        [("b", b_t, None, u_t)],
+        "A" if with_neg else None,
+        neg_s * 1_000_000 if with_neg else None,
+        incl, ["with_o"], entry,
+    )
+    got = set()
+    by_user: dict = {}
+    for uid, ev_id, typ, sec in rows:
+        by_user.setdefault(uid, []).append((ev_id, typ, sec))
+    for uid, seq in by_user.items():
+        state = _FakeTimerGroupState()
+        for batch in (seq[:cut], seq[cut:]):
+            if not batch:
+                continue
+            state.wm_ms = max(e[2] for e in batch) * 1000
+            pdf = pd.DataFrame({
+                "event_id": [e[0] for e in batch],
+                "event_type": [e[1] for e in batch],
+                "ts": pd.to_datetime([e[2] for e in batch], unit="s"),
+            })
+            for out in fn((uid,), iter([pdf]), state):
+                for r in out.itertuples():
+                    got.add((uid, r.match_id, r.start_us // 1_000_000,
+                             r.n_b, bool(r.with_o)))
+        if with_neg:
+            state.hasTimedOut = True
+            state.wm_ms = 10 ** 9
+            for out in fn((uid,), iter([]), state):
+                for r in out.itertuples():
+                    got.add((uid, r.match_id, r.start_us // 1_000_000,
+                             r.n_b, bool(r.with_o)))
+    assert got == want
+
+
 @settings(max_examples=10, deadline=None)
 @given(
     streams=st.lists(
