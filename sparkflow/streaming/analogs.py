@@ -1321,7 +1321,8 @@ _NTILE_CHECKPOINT = True
 
 
 def _banded_ntile5(base: DataFrame, specs: list,
-                   n_bands: int = 8) -> DataFrame:
+                   n_bands: int = 8, cuts: list | None = None,
+                   n_total: int | None = None) -> DataFrame:
     """Bit-exact NTILE(5) OVER (ORDER BY metric [DESC], user_id) for
     SEVERAL metrics at once, as ONE banded two-pass plan (r15, r14
     verdict item 8 — the r14 form ran three independent pipelines,
@@ -1340,7 +1341,18 @@ def _banded_ntile5(base: DataFrame, specs: list,
     aggregation (replacing |specs| joins). No unpartitioned Window
     anywhere; parallelism is bounded below by each metric's value
     spread (at worst one distinct value per band, still 1/B of the
-    table)."""
+    table).
+
+    cuts / n_total (r16, r15 verdict item 3 — the dispatch-floor
+    fold): when the caller already holds approximate per-metric cut
+    values (ascending, in the SIGN-NORMALIZED long space) and the
+    exact row count — events_rfm computes both in the SAME single
+    aggregation job that materializes its per-user checkpoint — the
+    percentile-sketch job and the count job (and their broadcast
+    exchanges) disappear entirely: banding compares against literal
+    arrays in whole-stage codegen and the NTILE arithmetic reads a
+    literal total. Cuts remain load-balance-only (correctness needs
+    just order-consistency, which ANY literal cut values give)."""
     # LONG-ONLY CONTRACT (r15 advice): the sign-normalize casts each
     # metric to long, which would silently TRUNCATE a fractional metric
     # and mis-rank it — assert integral input types so a future caller
@@ -1368,18 +1380,36 @@ def _banded_ntile5(base: DataFrame, specs: list,
     long = base.select(
         "user_id", F.explode(F.array(*structs)).alias("e")
     ).select("user_id", F.col("e.m").alias("m"), F.col("e.val").alias("val"))
-    # cuts only LOAD-BALANCE the bands — correctness needs just
-    # order-consistency (equal values share a band), which ANY cut
-    # values give — so low accuracy is free: ±1% band-size error vs
-    # a 5x cheaper sketch pass (measured 2.4 s -> ~0.4 s at sf100)
-    cuts = long.groupBy("m").agg(
-        F.percentile_approx(
-            "val", [i / n_bands for i in range(1, n_bands)], 100
-        ).alias("cuts")
-    )
-    local = (
-        long.join(F.broadcast(cuts), "m")
-        .select(
+    if cuts is not None:
+        # literal cuts (see docstring): band assignment is pure
+        # codegen — a per-metric CASE over literal arrays, no sketch
+        # job, no broadcast
+        band_expr = None
+        for m in range(len(specs)):
+            arm = F.lit(m * n_bands) + (
+                F.size(F.filter(
+                    F.array(*[F.lit(int(c)).cast("long")
+                              for c in cuts[m]]),
+                    lambda c: F.col("val") > c,
+                )) if cuts[m] else F.lit(0)
+            )
+            band_expr = (
+                F.when(F.col("m") == m, arm) if band_expr is None
+                else band_expr.when(F.col("m") == m, arm)
+            )
+        banded = long.select(
+            "user_id", "m", "val", band_expr.alias("band"))
+    else:
+        # cuts only LOAD-BALANCE the bands — correctness needs just
+        # order-consistency (equal values share a band), which ANY cut
+        # values give — so low accuracy is free: ±1% band-size error vs
+        # a 5x cheaper sketch pass (measured 2.4 s -> ~0.4 s at sf100)
+        cut_frame = long.groupBy("m").agg(
+            F.percentile_approx(
+                "val", [i / n_bands for i in range(1, n_bands)], 100
+            ).alias("cuts")
+        )
+        banded = long.join(F.broadcast(cut_frame), "m").select(
             "user_id",
             "m",
             "val",
@@ -1388,24 +1418,33 @@ def _banded_ntile5(base: DataFrame, specs: list,
                 + F.size(F.filter("cuts", lambda c: F.col("val") > c))
             ).alias("band"),
         )
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("band").orderBy("val", "user_id")
-            ),
-        )
+    local = banded.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("band").orderBy("val", "user_id")
+        ),
     )
-    # materialize ONCE: the band-count job and the final pivot both
-    # read this frame; without the checkpoint each would re-pay
-    # explode + banding + the window sort. The module flag exists for
-    # tests/test_plans.py: the checkpoint truncates the visible plan,
-    # so the window-shape pin inspects the uncheckpointed construction
-    # and separately pins that production truncates here.
-    if _NTILE_CHECKPOINT:
-        local = local.localCheckpoint(eager=False)
-    # per-band row counts fall out of the window output for free:
-    # n_rows(band) = MAX(rn) — no second pass over the banded rows
-    stats = local.groupBy("band").agg(F.max("rn").alias("n_rows"))
+    if cuts is not None:
+        # literal-cuts path (r16): band counts come from the PRE-window
+        # frame (groupBy count — no sort), so the windowed frame has a
+        # SINGLE consumer and needs no checkpoint materialization: the
+        # offsets broadcast subplan re-runs only the cheap codegen
+        # explode+banding, never the 3·B-band sort
+        stats = banded.groupBy("band").agg(
+            F.count(F.lit(1)).alias("n_rows"))
+    else:
+        # materialize ONCE: the band-count job and the final pivot both
+        # read this frame; without the checkpoint each would re-pay
+        # explode + banding + the window sort. The module flag exists
+        # for tests/test_plans.py: the checkpoint truncates the visible
+        # plan, so the window-shape pin inspects the uncheckpointed
+        # construction and separately pins that production truncates
+        # here.
+        if _NTILE_CHECKPOINT:
+            local = local.localCheckpoint(eager=False)
+        # per-band row counts fall out of the window output for free:
+        # n_rows(band) = MAX(rn) — no second pass over the banded rows
+        stats = local.groupBy("band").agg(F.max("rn").alias("n_rows"))
     a, b = stats.alias("a"), stats.alias("b")
     offsets = (
         a.join(
@@ -1418,20 +1457,24 @@ def _banded_ntile5(base: DataFrame, specs: list,
         .groupBy(F.col("a.band").alias("band"))
         .agg(F.coalesce(F.sum("b.n_rows"), F.lit(0)).alias("off_rows"))
     )
-    # every metric ranks the same user set, so one row count serves all
-    total = base.agg(F.count(F.lit(1)).alias("n_total"))
+    # every metric ranks the same user set, so one row count serves
+    # all; a caller-supplied exact count becomes a literal (no count
+    # job, no broadcast cross join)
     g_rn = F.col("rn") + F.col("off_rows")
     k = 5
-    q = F.floor(F.col("n_total") / k)
-    r = F.col("n_total") % k
+    nt = (F.lit(int(n_total)) if n_total is not None
+          else F.col("n_total"))
+    q = F.floor(nt / k)
+    r = nt % k
     ntile = F.when(
         g_rn <= r * (q + 1), F.ceil(g_rn / (q + 1))
     ).otherwise(r + F.ceil((g_rn - r * (q + 1)) / F.greatest(q, F.lit(1))))
-    scored_long = (
-        local.join(F.broadcast(offsets), "band")
-        .crossJoin(F.broadcast(total))
-        .select("user_id", "m", "val", ntile.cast("int").alias("score"))
-    )
+    scored_long = local.join(F.broadcast(offsets), "band")
+    if n_total is None:
+        total = base.agg(F.count(F.lit(1)).alias("n_total"))
+        scored_long = scored_long.crossJoin(F.broadcast(total))
+    scored_long = scored_long.select(
+        "user_id", "m", "val", ntile.cast("int").alias("score"))
     # pivot scores AND the (exact-long) metric values back to one row
     # per user — val is the sign-normalized metric, so the original
     # column comes back by undoing the normalization; this removes the
@@ -1512,10 +1555,34 @@ def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(cents("value")).alias("monetary_cents"),
     )
     per_user = per_user.localCheckpoint(eager=False)
-    glob = per_user.agg(F.max("last_us").alias("all_us"))
-    base = per_user.crossJoin(F.broadcast(glob)).select(
+    # r16 (r15 verdict item 3): ONE aggregation job computes the
+    # anchor, the exact user count AND all three approximate cut sets
+    # — and its execution materializes the checkpoint, so the whole
+    # pre-window phase is a single job. The recency cuts derive from
+    # last_us percentiles through the monotone sign-normalize map
+    # (cuts only load-balance; order-consistency is automatic), so no
+    # second pass is needed after the anchor is known.
+    n_bands = 8
+    probs = [i / n_bands for i in range(1, n_bands)]
+    st_ = per_user.agg(
+        F.max("last_us").alias("all_us"),
+        F.count(F.lit(1)).alias("n_total"),
+        F.percentile_approx("last_us", probs, 100).alias("p_last"),
+        F.percentile_approx("freq", probs, 100).alias("p_freq"),
+        F.percentile_approx("monetary_cents", probs, 100).alias("p_mon"),
+    ).first()
+    all_us = int(st_["all_us"]) if st_["all_us"] is not None else 0
+    n_total = int(st_["n_total"])
+    day_us = 86400000000
+    rec_cuts = sorted(
+        -((all_us - int(c)) // day_us) for c in (st_["p_last"] or [])
+    )
+    freq_cuts = [int(c) for c in (st_["p_freq"] or [])]
+    mon_cuts = [int(c) for c in (st_["p_mon"] or [])]
+    base = per_user.select(
         "user_id",
-        F.expr("(all_us - last_us) div 86400000000").alias("rec_days"),
+        F.expr(f"({all_us}L - last_us) div {day_us}")
+        .alias("rec_days"),
         "freq",
         "monetary_cents",
     )
@@ -1523,7 +1590,9 @@ def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("rec_days", True, "r_score"),
         ("freq", False, "f_score"),
         ("monetary_cents", False, "m_score"),
-    ]).select(
+    ], n_bands=n_bands, cuts=[rec_cuts, freq_cuts, mon_cuts],
+        n_total=n_total,
+    ).select(
         "user_id", "rec_days", "freq", "monetary_cents",
         "r_score", "f_score", "m_score",
     )

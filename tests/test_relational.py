@@ -907,6 +907,28 @@ def test_rfm_quintiles_balanced_and_code_consistent(spark, sf_small):
     assert by_r["r_score"].is_monotonic_increasing
 
 
+def test_rfm_job_budget_pinned(spark, sf_small):
+    """r16 (r15 verdict item 3): events_rfm's residual vs DuckDB at
+    sf100 is DISPATCH FLOOR — a documented per-job budget, not an
+    unbounded stage count. The r16 fold collapsed the pre-window
+    phase to ONE aggregation job (anchor + exact count + all three
+    approximate cut sets, computed while the per-user checkpoint
+    materializes) and removed the band-frame checkpoint (band counts
+    come from the pre-window frame, so the window has one consumer).
+    This pin keeps the budget honest: one fresh call must stay within
+    10 Spark jobs (AQE's per-stage jobs included) — a regression back
+    toward the r14 ~30-stage shape fails loudly."""
+    sc = spark.sparkContext
+    df = sparkflow.QUERIES["events_rfm"](spark, sf_small)
+    df.collect()  # warm (JIT, catalog)
+    before = set(sc.statusTracker().getJobIdsForGroup(None) or [])
+    df = sparkflow.QUERIES["events_rfm"](spark, sf_small)
+    df.collect()
+    after = set(sc.statusTracker().getJobIdsForGroup(None) or [])
+    n_jobs = len(after - before)
+    assert 0 < n_jobs <= 10, n_jobs
+
+
 def test_banded_ntile5_refuses_fractional_metric(spark):
     """r15 advice: _banded_ntile5 sign-normalizes each metric with a
     cast to long — a fractional metric would silently truncate and

@@ -1754,3 +1754,113 @@ def test_cep_compile_stream_refuses_unstreamable():
         CepPattern.begin("a", etype="view").not_followed_by(
             "p", F.col("event_type") == "purchase", within="1 hour"
         ).expanded_event_steps()
+
+
+def test_cep_streaming_state_bounds(spark, stream_dir, sf_small):
+    """r16 (r15 verdict item 6): the CEP streaming twins' STATE is
+    bounded by the shapes the docstrings claim, asserted from the
+    queries' own progress metrics (stateOperators numRowsTotal):
+
+    - followedByAny = a watermarked stream-stream interval self-join,
+      the riskiest state shape in the repo — held rows must be <= both
+      sides' events inside the (watermark - within) horizon (Spark
+      evicts rows the watermark has passed beyond the join range);
+    - the until and midneg-gap twins are applyInPandasWithState
+      machines with ONE state row per key — held rows <= distinct
+      users, regardless of stream length (the gap machine's buffers
+      live INSIDE the row as arrays bounded by one gap horizon).
+    """
+    import datetime as _dt
+
+    from sparkflow.catalog import table as cat_table
+    from sparkflow.streaming.cep import CepPattern
+
+    ev = cat_table(spark, sf_small, "events")
+    ev_us = [
+        int(r[0]) for r in
+        ev.selectExpr("unix_micros(ts)").collect()
+    ]
+    n_users = ev.select("user_id").distinct().count()
+
+    def wm_us(p):
+        w = (p.get("eventTime") or {}).get("watermark")
+        if not w:
+            return None
+        w = w.replace("Z", "+00:00")
+        return int(_dt.datetime.fromisoformat(w)
+                   .replace(tzinfo=_dt.timezone.utc).timestamp()
+                   * 1_000_000)
+
+    # (1) followedByAny: horizon-bounded interval-join state
+    within_us = 3_600_000_000
+    pat_any = (
+        CepPattern.begin("view", etype="view")
+        .followed_by_any("purchase", etype="purchase")
+        .within("1 hour")
+    )
+    prog = stateful.run_to_memory_progress(
+        pat_any.compile_stream(spark, stream_dir, sf_small), "t_sb_any"
+    )
+    assert prog, "no progress entries recorded"
+    saw_state = False
+    for p in prog:
+        ops = p.get("stateOperators") or []
+        total = sum(op.get("numRowsTotal", 0) for op in ops)
+        if not ops:
+            continue
+        saw_state = True
+        w = wm_us(p)
+        if w is None or w <= 0:
+            bound = 2 * len(ev_us)
+        else:
+            # both join sides hold only rows inside the horizon the
+            # watermark has not yet closed (1s boundary slack)
+            horizon = w - within_us - 1_000_000
+            bound = 2 * sum(1 for t in ev_us if t >= horizon)
+        assert total <= bound, (total, bound, p.get("batchId"))
+    assert saw_state
+    # the final watermark DID evict: the last progress entry's state
+    # is far below the full pair-candidate set
+    last_ops = [p for p in prog if p.get("stateOperators")][-1]
+    last_total = sum(op.get("numRowsTotal", 0)
+                     for op in last_ops["stateOperators"])
+    assert last_total < 2 * len(ev_us)
+
+    # (2) until twin: one state row per key
+    pat_until = (
+        CepPattern.begin("view", etype="view")
+        .followed_by("click", etype="click").one_or_more()
+        .until("stop", etype="error")
+        .followed_by("purchase", etype="purchase")
+        .within("72 hours")
+    )
+    prog = stateful.run_to_memory_progress(
+        pat_until.compile_stream(spark, stream_dir, sf_small),
+        "t_sb_until",
+    )
+    totals = [
+        sum(op.get("numRowsTotal", 0)
+            for op in p.get("stateOperators") or [])
+        for p in prog
+    ]
+    assert max(totals) <= n_users, (max(totals), n_users)
+    assert max(totals) > 0
+
+    # (3) a midneg×gap composite twin: still one state row per key
+    pat_mg = (
+        CepPattern.begin("signup", etype="signup")
+        .followed_by("view", etype="view")
+        .not_followed_by("err", etype="error")
+        .followed_by("purchase", etype="purchase")
+        .within("12 hours", "previous_and_current")
+    )
+    prog = stateful.run_to_memory_progress(
+        pat_mg.compile_stream(spark, stream_dir, sf_small), "t_sb_mg"
+    )
+    totals = [
+        sum(op.get("numRowsTotal", 0)
+            for op in p.get("stateOperators") or [])
+        for p in prog
+    ]
+    assert max(totals) <= n_users, (max(totals), n_users)
+    assert max(totals) > 0
