@@ -591,17 +591,18 @@ class CepPattern:
         in notNext (FlinkCEP refuses the same — there is no following
         step to emit at); a terminal notFollowedBy COMPOSES (r15
         same-round continuation — the held candidates are produced by
-        already-validated binds); skip strategies and gap bounds
-        COMPOSE (r16, r15 verdict item 1 — the LEAD(1) gate is causal
-        at the bind row, so batch-side it folds into the gated copy's
-        predicate underneath the position-struct fold / bounded
-        carries, and stream-side the one-row delayed absorption rides
-        the skip cursors and count-gated gap buffers); compositions
-        with optional steps and until() refuse loudly in BOTH batch
-        and streaming (parity invariant — each optional variant chain
-        / freeze rider would need its own pending slot), and notNext
-        on a looping step refuses (which repetition's successor would
-        it gate?)."""
+        already-validated binds); skip strategies, gap bounds and
+        until() COMPOSE (r16, r15 verdict item 1 — the LEAD(1) gate
+        is causal at the bind row, so batch-side it folds into the
+        gated copy's predicate underneath the position-struct fold /
+        bounded carries / freeze riders, and stream-side the one-row
+        delayed absorption rides the skip cursors, count-gated gap
+        buffers and the until machine's rider block with resolution
+        before the stop freeze); the composition with optional steps
+        refuses loudly in BOTH batch and streaming (parity invariant
+        — each 2^k variant chain would need its own pending slot),
+        and notNext on a looping step refuses (which repetition's
+        successor would it gate?)."""
         if not self.steps:
             raise ValueError("not_next() requires a begin() step first")
         if self.pending_neg is not None:
@@ -1156,17 +1157,16 @@ class CepPattern:
                     "to emit the match at; use a terminal "
                     "notFollowedBy with a within horizon instead"
                 )
-            if any(s.optional for s in self.steps) \
-                    or any(s.until is not None for s in self.steps):
+            if any(s.optional for s in self.steps):
                 raise ValueError(
                     "notNext composes with plain, counted, "
                     "mid-negated and terminal-negated chains, skip "
-                    "strategies and gap bounds (r16) — its "
-                    "combinations with optional steps or until() "
-                    "are not built (each optional variant chain / "
-                    "freeze rider would need its own pending slot; "
-                    "the batch compile and compile_stream refuse "
-                    "the same combinations to keep parity)"
+                    "strategies, gap bounds and until() (r16) — its "
+                    "combination with optional steps is not built "
+                    "(each 2^k variant chain would need its own "
+                    "pending slot; the batch compile and "
+                    "compile_stream refuse the same combination to "
+                    "keep parity)"
                 )
             req = [s for s in self.steps if not s.optional]
             for i, st_ in enumerate(req):
@@ -1199,6 +1199,26 @@ class CepPattern:
                     "compile for streaming"
                 )
             steps_x, nn_ets = self._not_next_expansion()
+            if any(s.until is not None for s in self.steps):
+                # r16: notNext × until streams — the until machine's
+                # freeze riders with one-row delayed absorption
+                # (stateful._cep_until_fn nn handling; resolution
+                # runs before the stop freeze). gap/skip cannot
+                # co-occur (both refuse counted steps) and the
+                # or-split combination was refused above.
+                return stateful.cep_until_stream(
+                    spark, files_dir, sf_dir, self._until_expansion(),
+                    self.within_us,
+                    [(c.name, c.etype, c.up_to,
+                      c.until[2] if c.until is not None else None)
+                     for c in counted_steps],
+                    self.neg_etype if self.neg is not None else None,
+                    self.neg_within_us if self.neg is not None
+                    else None,
+                    entry_idx=self._until_entry_indices(
+                        self.steps, counted_steps),
+                    nn_ets=nn_ets,
+                )
             if self.gap_us is not None:
                 # batch gap refusals re-checked (this branch returns
                 # before the plain gap dispatch runs its mirrors)
@@ -1992,17 +2012,16 @@ class CepPattern:
                     "to emit the match at; use a terminal "
                     "notFollowedBy with a within horizon instead"
                 )
-            if any(s.optional for s in self.steps) \
-                    or any(s.until is not None for s in self.steps):
+            if any(s.optional for s in self.steps):
                 raise ValueError(
                     "notNext composes with plain, counted, "
                     "mid-negated and terminal-negated chains, skip "
-                    "strategies and gap bounds (r16) — its "
-                    "combinations with optional steps or until() "
-                    "are not built (each optional variant chain / "
-                    "freeze rider would need its own pending slot; "
-                    "the batch compile and compile_stream refuse "
-                    "the same combinations to keep parity)"
+                    "strategies, gap bounds and until() (r16) — its "
+                    "combination with optional steps is not built "
+                    "(each 2^k variant chain would need its own "
+                    "pending slot; the batch compile and "
+                    "compile_stream refuse the same combination to "
+                    "keep parity)"
                 )
         skip_mode = self.skip != "no_skip"
         if skip_mode and (counted or any(s.optional for s in self.steps)):

@@ -3307,7 +3307,7 @@ def cep_terminal_negation_stream(
 
 
 def _cep_until_fn(steps, within_us, counted, neg_et=None,
-                  neg_within_us=None, entry_idx=None):
+                  neg_within_us=None, entry_idx=None, nn_ets=None):
     """r15: keyed-state executor for a pattern with `until(condition)`
     stop-gated loops (FlinkCEP's loop stop condition, compiled batch-
     side as per-copy mid-negation gates + a carried freeze value).
@@ -3345,7 +3345,15 @@ def _cep_until_fn(steps, within_us, counted, neg_et=None,
     loop's lower bound). Pre-entry levels carry sentinels (c = -1,
     u = -2 'not entered'); -2 never freezes and encodes as +inf in
     the compare exactly like the live -1 (levels are uniformly
-    pre/post entry, so the encodings never mix at one level)."""
+    pre/post entry, so the encodings never mix at one level).
+
+    nn_ets (r16): notNext gates compose — a gated level PARKS its
+    (h, counts, riders) hit in a one-row pending slot resolved at the
+    next event (the delayed absorption of _cep_not_next_fn), and
+    resolution runs BEFORE the stop-freeze step so a stop event that
+    also validates a parked bind freezes the just-absorbed rider
+    (the stop is strictly after the bind's entry row, exactly the
+    batch forward-MIN)."""
     m = len(steps)
     n = m - 1
     qtypes = [st[2] for st in steps[1:]]
@@ -3356,6 +3364,7 @@ def _cep_until_fn(steps, within_us, counted, neg_et=None,
     K = len(counted)
     E = list(entry_idx) if entry_idx is not None else [0] * K
     E = [e or 0 for e in E]
+    has_nn = nn_ets is not None and any(e is not None for e in nn_ets)
     NO_STOP = 1 << 62
     NP = 3 + K  # terminal-negation hold: mid, mus, sus, pools...
 
@@ -3363,9 +3372,13 @@ def _cep_until_fn(steps, within_us, counted, neg_et=None,
         key: Tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         # flat layout: C(n) L(n) BP(n) LQ(n) then per counted k:
-        # Ccs(n) Lcs(n), then per counted k with until: Cu(n) Lu(n)
+        # Ccs(n) Lcs(n), then per counted k with until: Cu(n) Lu(n),
+        # then (nn only) the pending block: Ph(n) Ppos(n), per k
+        # Pcs(n), per until-k Pu(n)
         nu = sum(1 for u in u_ets if u is not None)
         base = 4 * n + 2 * K * n + 2 * nu * n
+        if has_nn:
+            base += 2 * n + K * n + nu * n
         if state.exists:
             vals = list(state.get)
             flat = list(vals[0])
@@ -3393,6 +3406,16 @@ def _cep_until_fn(steps, within_us, counted, neg_et=None,
             if u_ets[k] is not None:
                 Cu[k] = flat[off:off + n]; off += n
                 Lu[k] = flat[off:off + n]; off += n
+        Ph = Ppos = None
+        Pcs, Pu = [], {}
+        if has_nn:
+            Ph = flat[off:off + n]; off += n
+            Ppos = flat[off:off + n]; off += n
+            for _k in range(K):
+                Pcs.append(flat[off:off + n]); off += n
+            for k in range(K):
+                if u_ets[k] is not None:
+                    Pu[k] = flat[off:off + n]; off += n
 
         def pack_flat():
             new_flat = C + L + BP + LQ
@@ -3401,6 +3424,13 @@ def _cep_until_fn(steps, within_us, counted, neg_et=None,
             for k in range(K):
                 if k in Cu:
                     new_flat += Cu[k] + Lu[k]
+            if has_nn:
+                new_flat += Ph + Ppos
+                for k in range(K):
+                    new_flat += Pcs[k]
+                for k in range(K):
+                    if k in Pu:
+                        new_flat += Pu[k]
             return new_flat
 
         def flush(wm_us):
@@ -3458,6 +3488,57 @@ def _cep_until_fn(steps, within_us, counted, neg_et=None,
             _ts_us(pdf["ts"]).to_numpy(),
         ):
             t = int(t)
+            # (0) resolve notNext pendings (r16) BEFORE the stop
+            # freeze: a just-validated bind's rider must see a stop
+            # arriving on the SAME row (it is strictly after the
+            # bind's entry row)
+            if has_nn:
+                for i in range(n):
+                    if nn_ets[i] is None:
+                        continue
+                    if Ph[i] >= 0 and etype != nn_ets[i]:
+                        ptup = (
+                            (Ph[i],)
+                            + tuple(Pcs[k][i] for k in range(K))
+                            + tuple(
+                                (Pu[k][i] if Pu[k][i] >= 0
+                                 else NO_STOP) for k in range(K)
+                                if k in Cu
+                            )
+                        )
+                        ctup = (
+                            (C[i],)
+                            + tuple(Ccs[k][i] for k in range(K))
+                            + tuple(
+                                (Cu[k][i] if Cu[k][i] >= 0
+                                 else NO_STOP) for k in range(K)
+                                if k in Cu
+                            )
+                        )
+                        if ptup > ctup:
+                            C[i] = Ph[i]
+                            for k in range(K):
+                                Ccs[k][i] = Pcs[k][i]
+                                if k in Cu:
+                                    Cu[k][i] = Pu[k][i]
+                        BP[i] = Ppos[i]
+                        L[i] = Ph[i]
+                        for k in range(K):
+                            Lcs[k][i] = Pcs[k][i]
+                            if k in Lu:
+                                Lu[k][i] = Pu[k][i]
+                    else:
+                        L[i] = -1
+                        for k in range(K):
+                            Lcs[k][i] = -1
+                            if k in Lu:
+                                Lu[k][i] = -1
+                    Ph[i] = -1
+                    Ppos[i] = -1
+                    for k in range(K):
+                        Pcs[k][i] = -1
+                        if k in Pu:
+                            Pu[k][i] = -1
             # (1) stop events freeze riders FIRST: every value in
             # state started strictly before this row, and the hits
             # computed below inherit the frozen rider
@@ -3544,8 +3625,19 @@ def _cep_until_fn(steps, within_us, counted, neg_et=None,
             # (4) absorb hits — the lexicographic compare INCLUDES
             # the riders after the counts (unknown -1 ordered as
             # +inf), matching the batch (h, c.., u..) struct max on
-            # same-ts same-count start ties
+            # same-ts same-count start ties; a notNext-gated level
+            # PARKS instead (resolution above owns its carry/lag/BP)
             for i in range(n):
+                if has_nn and nn_ets[i] is not None:
+                    Ph[i] = hh[i]
+                    Ppos[i] = pos if hh[i] >= 0 else -1
+                    for k in range(K):
+                        Pcs[k][i] = hcs[k][i]
+                        if k in Pu:
+                            Pu[k][i] = hu[k][i]
+                    if qtypes[i] is not None and etype == qtypes[i]:
+                        LQ[i] = pos
+                    continue
                 htup = (
                     (hh[i],)
                     + tuple(hcs[k][i] for k in range(K))
@@ -3933,7 +4025,7 @@ def cep_until_stream(
     spark: SparkSession, files_dir: str, sf_dir: str,
     steps: list, within_us, counted: list,
     neg_et: str | None = None, neg_within_us: int | None = None,
-    entry_idx=None,
+    entry_idx=None, nn_ets=None,
 ) -> DataFrame:
     """True-streaming compile of until()-gated loops (see
     _cep_until_fn). With a terminal negation (r15 continuation) the
@@ -3957,7 +4049,7 @@ def cep_until_stream(
     )
     return ev.groupBy("user_id").applyInPandasWithState(
         _cep_until_fn(list(steps), within_us, list(counted),
-                      neg_et, neg_within_us, entry_idx),
+                      neg_et, neg_within_us, entry_idx, nn_ets),
         outputStructType=out_fields,
         stateStructType=", ".join(fields),
         outputMode="append",

@@ -2412,7 +2412,7 @@ def test_not_next_streaming_twin(spark, sf_small, tmp_path_factory):
     pd.testing.assert_frame_equal(got, want_us, check_dtype=False)
 
 
-@pytest.mark.parametrize("mode", ["skip", "gap", "gap_skip"])
+@pytest.mark.parametrize("mode", ["skip", "gap", "gap_skip", "until"])
 def test_not_next_composition_streaming_twin(spark, sf_small,
                                              tmp_path_factory, mode):
     """notNext × {skip, gap, gap×skip} STREAMS (r16, r15 verdict item
@@ -2427,20 +2427,30 @@ def test_not_next_composition_streaming_twin(spark, sf_small,
         spark, sf_small,
         str(tmp_path_factory.mktemp(f"cep_nnc_{mode}")), 3
     )
-    pat = (
-        CepPattern.begin("view", etype="view")
-        .not_next("error", etype="error")
-        .followed_by("click", etype="click")
-        .followed_by("purchase", etype="purchase")
-    )
-    if mode == "skip":
-        pat = pat.within("36 hours") \
-                 .after_match_skip("skip_past_last_event")
-    elif mode == "gap":
-        pat = pat.within("12 hours", "previous_and_current")
+    if mode == "until":
+        pat = (
+            CepPattern.begin("view", etype="view")
+            .not_next("error", etype="error")
+            .followed_by("click", etype="click").one_or_more()
+            .until("stop", etype="error")
+            .followed_by("purchase", etype="purchase")
+            .within("72 hours")
+        )
     else:
-        pat = pat.within("12 hours", "previous_and_current") \
-                 .after_match_skip("skip_to_next")
+        pat = (
+            CepPattern.begin("view", etype="view")
+            .not_next("error", etype="error")
+            .followed_by("click", etype="click")
+            .followed_by("purchase", etype="purchase")
+        )
+        if mode == "skip":
+            pat = pat.within("36 hours") \
+                     .after_match_skip("skip_past_last_event")
+        elif mode == "gap":
+            pat = pat.within("12 hours", "previous_and_current")
+        else:
+            pat = pat.within("12 hours", "previous_and_current") \
+                     .after_match_skip("skip_to_next")
     sdf = pat.compile_stream(spark, stream_dir, sf_small)
     stateful.run_to_memory(sdf, f"t_cepnnc_{mode}", "append")
     got = (
@@ -2452,12 +2462,14 @@ def test_not_next_composition_streaming_twin(spark, sf_small,
         .sort_values("match_id").reset_index(drop=True)
     )
     assert len(want) > 0
+    cols = ["user_id", "match_id", "match_us", "start_us"] + (
+        ["n_click"] if mode == "until" else [])
     want_us = want.assign(
         match_us=pd.to_datetime(want["match_ts"])
         .astype("datetime64[us]").astype("int64"),
         start_us=pd.to_datetime(want["start_ts"])
         .astype("datetime64[us]").astype("int64"),
-    )[["user_id", "match_id", "match_us", "start_us"]]
+    )[cols]
     pd.testing.assert_frame_equal(got, want_us, check_dtype=False)
 
 
@@ -2485,13 +2497,16 @@ def test_not_next_builder_rules(spark):
         optioned.compile(None)
     with pytest.raises(ValueError, match="notNext composes with"):
         optioned.compile_stream(None, "/x", "/x")
+    # r16 continuation: notNext × until now COMPILES (delayed
+    # absorption riding the freeze riders) — only optional remains
     untiled = (nn.followed_by("b", etype="B").one_or_more()
                .until("stop", etype="S")
                .followed_by("c", etype="C").within(10))
-    with pytest.raises(ValueError, match="notNext composes with"):
-        untiled.compile(None)
-    with pytest.raises(ValueError, match="notNext composes with"):
-        untiled.compile_stream(None, "/x", "/x")
+    dfu = spark.createDataFrame(
+        [(1, 1, "A", 1), (1, 2, "B", 2), (1, 3, "C", 3)],
+        "user_id INT, event_id INT, event_type STRING, sec INT",
+    ).withColumn("ts", F.timestamp_seconds("sec"))
+    assert untiled.compile(dfu).count() == 1
     # r16: the previously-refused gap and skip compositions now build
     df = spark.createDataFrame(
         [(1, 1, "A", 1), (1, 2, "B", 2), (1, 3, "C", 3)],

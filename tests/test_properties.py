@@ -3401,12 +3401,15 @@ def test_cep_enum_neg_state_fuzz(streams, types, within_s, neg_s, cut):
 _NO_STOP = 1 << 62
 
 
-def _until_brute(rows, types, quant, cap, within_s, neg_s=None):
+def _until_brute(rows, types, quant, cap, within_s, neg_s=None,
+                 nn_t=None):
     """Reference semantics of until() (the documented contract): per
     match row, feasible chains need every bound repetition's entering
     gap clean of stop events; the greedy start is the lexicographic
     (sec, count-at-start, freeze-at-start) max over feasible starts;
-    the pool is min(incl-count-at-match, freeze) - count-at-start."""
+    the pool is min(incl-count-at-match, freeze) - count-at-start.
+    nn_t (r16): a notNext gate on the begin step — a start whose
+    direct successor matches the type is infeasible."""
     a_t, b_t, c_t, u_t = types
     by_user: dict = {}
     for uid, ev_id, typ, sec in rows:
@@ -3440,6 +3443,9 @@ def _until_brute(rows, types, quant, cap, within_s, neg_s=None):
                 if seq[pa][0] != a_t or \
                         seq[pc][1] - seq[pa][1] > within_s:
                     continue
+                if nn_t is not None and pa + 1 < n \
+                        and seq[pa + 1][0] == nn_t:
+                    continue  # direct successor matches -> infeasible
                 if quant == 2:
                     feas = any(
                         seq[p1][0] == b_t and seq[p2][0] == b_t
@@ -3614,6 +3620,106 @@ def test_cep_until_state_fuzz(streams, types, quant, cap, within_s,
                     got.add((uid, r.match_id,
                              r.start_us // 1_000_000, r.n_b))
     assert got == want
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    streams=st.lists(
+        st.lists(_cep_event, min_size=0, max_size=12),
+        min_size=1, max_size=3,
+    ),
+    types=st.tuples(
+        st.sampled_from(["A", "B", "C"]),
+        st.sampled_from(["A", "B", "C"]),
+        st.sampled_from(["A", "B", "C"]),
+        st.sampled_from(["A", "B", "C"]),
+    ),
+    nn_t=st.sampled_from(["A", "B", "C"]),
+    cap=st.sampled_from([None, 2]),
+    within_s=st.integers(min_value=1, max_value=40),
+    with_neg=st.booleans(),
+    neg_s=st.integers(min_value=1, max_value=20),
+    cut=st.integers(min_value=1, max_value=10),
+)
+def test_cep_not_next_until_fuzz(streams, types, nn_t, cap, within_s,
+                                 with_neg, neg_s, cut):
+    """notNext × until() (r16 — the last refused pair with a known
+    construction): batch compile vs the nn-gated _until_brute, AND
+    the streaming machine (_cep_until_fn with nn_ets — one-row
+    delayed absorption riding the freeze riders, resolution BEFORE
+    the stop freeze) driven through a fake timer GroupState with a
+    random micro-batch split. All roles collide; with_neg stacks the
+    terminal hold."""
+    import pandas as pd
+
+    from sparkflow.streaming.cep import CepPattern
+    from sparkflow.streaming.stateful import _cep_until_fn
+
+    a_t, b_t, c_t, u_t = types
+    rows, df = _cep_df(_get_spark(), streams)
+    if not rows:
+        return
+
+    pat = (CepPattern.begin("a", etype=a_t)
+           .not_next("nx", etype=nn_t)
+           .followed_by("b", etype=b_t))
+    pat = pat.one_or_more() if cap is None else pat.times(1, cap)
+    pat = (pat.until("u", etype=u_t)
+           .followed_by("c", etype=c_t).within(within_s))
+    if with_neg:
+        pat = pat.not_followed_by("y", etype="A", within=neg_s)
+    got = {
+        (r.user_id, r.match_id): (r.start_sec, r.n_b)
+        for r in pat.compile(df).select(
+            "user_id", "match_id", "n_b",
+            (F.unix_micros("start_ts") / 1_000_000).cast("int")
+            .alias("start_sec"),
+        ).collect()
+    }
+    want = _until_brute(rows, types, 1, cap, within_s,
+                        neg_s if with_neg else None, nn_t)
+    assert got == want
+
+    # streaming machine vs the batch rows
+    cnt_steps = [s for s in pat.steps
+                 if s.one_or_more or s.up_to is not None]
+    steps_u = pat._until_expansion()
+    _sx, nn_ets = pat._not_next_expansion()
+    fn = _cep_until_fn(
+        steps_u, within_s * 1_000_000,
+        [("b", b_t, cap, u_t)],
+        "A" if with_neg else None,
+        neg_s * 1_000_000 if with_neg else None,
+        entry_idx=pat._until_entry_indices(pat.steps, cnt_steps),
+        nn_ets=nn_ets,
+    )
+    got_s = {}
+    by_user: dict = {}
+    for uid, ev_id, typ, sec in rows:
+        by_user.setdefault(uid, []).append((ev_id, typ, sec))
+    for uid, seq in by_user.items():
+        state = _FakeTimerGroupState()
+        for batch in (seq[:cut], seq[cut:]):
+            if not batch:
+                continue
+            state.wm_ms = max(e[2] for e in batch) * 1000
+            pdf = pd.DataFrame({
+                "event_id": [e[0] for e in batch],
+                "event_type": [e[1] for e in batch],
+                "ts": pd.to_datetime([e[2] for e in batch], unit="s"),
+            })
+            for out in fn((uid,), iter([pdf]), state):
+                for r in out.itertuples():
+                    got_s[(uid, r.match_id)] = (
+                        r.start_us // 1_000_000, r.n_b)
+        if with_neg:
+            state.hasTimedOut = True
+            state.wm_ms = 10 ** 9
+            for out in fn((uid,), iter([]), state):
+                for r in out.itertuples():
+                    got_s[(uid, r.match_id)] = (
+                        r.start_us // 1_000_000, r.n_b)
+    assert got_s == want
 
 
 def _until_split_brute(rows, types, cap_c, within_s):
