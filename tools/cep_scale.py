@@ -11,9 +11,11 @@ so neither engine pays a result-transfer bill):
 - stream_cep_compile        — the plain carry-chain class (one sort)
 - stream_cep_until          — gates + freeze riders
 - stream_cep_midneg_gap     — count-gated bounded carries
-- stream_cep_not_next_skip  — LEAD gate + position structs +
-                              recursive-acceptance oracle (the
-                              heaviest DuckDB side: a recursive CTE)
+- stream_cep_not_next_gap   — LEAD gate + bounded GREATEST carries
+  (the skip key's recursive-acceptance ORACLE is quadratic per key in
+  DuckDB and times out already at sf10 — the Spark side is linear; the
+  gap twin exercises the same LEAD-gate machinery with a linear
+  oracle)
 
 The streaming twins' STATE evidence lives in
 tests/test_streaming.py::test_cep_streaming_state_bounds (progress
@@ -43,7 +45,7 @@ KEYS = [
     "stream_cep_compile",
     "stream_cep_until",
     "stream_cep_midneg_gap",
-    "stream_cep_not_next_skip",
+    "stream_cep_not_next_gap",
 ]
 _RUNS = 3
 _CK = ("SELECT COUNT(*) AS n, "
