@@ -1380,28 +1380,39 @@ def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "embedding",
         )
     )
-    dims = e.select(
-        "vec_id", "label", F.posexplode("embedding").alias("dim", "xf")
-    ).select(
+    # r16 (guide §2.3/§3.3 — never explode what an array fold can do):
+    # the old plan exploded every vector to 128 (vec, dim) rows,
+    # shuffled them into a (label, dim) self-join, and re-grouped 128
+    # rows back into each pair's dot. Now vectors stay ARRAYS:
+    # quantization and the norm are JVM array folds, the within-cell
+    # pair join carries one row per vector, and each pair's dot is one
+    # zip_with fold (0.81× in the same-window A/B, tools/ab_r16.py).
+    # Identical int64 arithmetic → identical rows (same products, same
+    # sums, same sqrt). No materialization boundary on q: the join's
+    # two references re-run a projected codegen parquet scan, which the
+    # A/B measured cheaper than persist/localCheckpoint — and AQE's
+    # runtime stage cache already dedupes the identical exchanges.
+    q = e.select(
         "vec_id",
         "label",
-        "dim",
-        F.floor(F.col("xf").cast("double") * 100 + 0.5).cast("long").alias("q"),
+        F.expr(
+            "transform(embedding, x -> "
+            "cast(floor(cast(x as double) * 100 + 0.5) as bigint))"
+        ).alias("qv"),
+    ).withColumn(
+        "n2",
+        F.expr("aggregate(qv, cast(0 as bigint), (acc, x) -> acc + x * x)"),
     )
-    norms = dims.groupBy("vec_id").agg(F.sum(F.col("q") * F.col("q")).alias("n2"))
-    a = dims.toDF("vec_a", "label", "dim", "qa")
-    b = dims.toDF("vec_b", "label", "dim", "qb")
-    dots = (
-        a.join(b, ["label", "dim"])
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .groupBy("label", "vec_a", "vec_b")
-        .agg(F.sum(F.col("qa") * F.col("qb")).alias("dot"))
+    a = q.toDF("vec_a", "label", "qa", "na2")
+    b = q.toDF("vec_b", "label", "qb", "nb2")
+    dot = F.expr(
+        "aggregate(zip_with(qa, qb, (x, y) -> x * y), "
+        "cast(0 as bigint), (acc, x) -> acc + x)"
     )
-    na = norms.toDF("vec_a", "na2")
-    nb = norms.toDF("vec_b", "nb2")
     return (
-        dots.join(F.broadcast(na), "vec_a")
-        .join(F.broadcast(nb), "vec_b")
+        a.join(b, "label")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("dot", dot)
         .filter(
             (F.col("dot") > 0)
             & (400 * F.col("dot") * F.col("dot") >= 361 * F.col("na2") * F.col("nb2"))

@@ -565,22 +565,31 @@ def llm_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
-    chars = words.filter(F.length("tok") >= 2).select(
-        "tok",
-        "freq",
-        # (?s) DOTALL: Java '.' excludes line terminators, so without it
-        # a token containing \n keeps the terminator glued to the prior
-        # char — diverging from the oracle's substr() per-char walk
-        F.posexplode(F.split(F.col("tok"), "(?s)(?!^)(?=.)")).alias("pos", "c1"),
-    )
-    w = Window.partitionBy("tok").orderBy("pos")
+    # (?s) DOTALL: Java '.' excludes line terminators, so without it
+    # a token containing \n keeps the terminator glued to the prior
+    # char — diverging from the oracle's substr() per-char walk.
+    # r16: adjacent pairs via two slices + arrays_zip — the exact shape
+    # llm_bpe_train's per-round count already uses — instead of
+    # posexplode + lead() over a per-token window, which cost an
+    # Exchange + Sort on the exploded char table for an
+    # order-within-array the array itself already encodes (guide §2.4).
+    n = F.size("cs")
     pairs = (
-        chars.withColumn("c2", F.lead("c1").over(w))
-        .filter(F.col("c2").isNotNull())
+        words.filter(F.length("tok") >= 2)
+        .select("freq", F.split(F.col("tok"), "(?s)(?!^)(?=.)").alias("cs"))
+        .select(
+            "freq",
+            F.explode(
+                F.arrays_zip(
+                    F.slice("cs", F.lit(1), n - 1).alias("c1"),
+                    F.slice("cs", F.lit(2), n - 1).alias("c2"),
+                )
+            ).alias("p"),
+        )
     )
-    return pairs.groupBy("c1", "c2").agg(
-        F.sum("freq").cast("bigint").alias("pair_count")
-    )
+    return pairs.groupBy(
+        F.col("p.c1").alias("c1"), F.col("p.c2").alias("c2")
+    ).agg(F.sum("freq").cast("bigint").alias("pair_count"))
 
 
 _BPE_MERGES = 12  # trainer rounds (config: production runs 10k-100k)
