@@ -507,11 +507,36 @@ def llm_dedup_near_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    # r16 (guide §2.3 — shuffle keys, not payloads): dictionary-encode
+    # every shingle to one LONG before the heavy stages, so the posting
+    # self-join (Σdf² rows), the rank window, and the verify arrays all
+    # move/compare 8-byte integers instead of 5-char strings. The
+    # mapping is injective (id = bucket·2^40 + rank-within-bucket over
+    # the distinct-shingle set) and deterministic under retry (xxhash64
+    # bucket + row_number ordered by the shingle itself), built with a
+    # per-bucket window — never a global sort. The shingle VOCABULARY
+    # is charset-bounded (≤ |charset|^k for k-char shingles — 2.1k at
+    # sf0.1 against 1.38M shingle rows), so the dictionary broadcasts
+    # like a BPE vocab. Exactness: an injective recode preserves every
+    # set intersection/size, and the prefix theorem only needs SOME
+    # global total order — (df, sid) is one, exactly as (df, s) was.
+    wd = Window.partitionBy("bkt").orderBy("s")
+    sdict = (
+        sh.select("s")
+        .distinct()
+        .withColumn("bkt", F.pmod(F.xxhash64("s"), F.lit(64)))
+        .withColumn("rk", F.row_number().over(wd))
+        .select(
+            "s",
+            (F.col("bkt") * F.lit(1 << 40) + F.col("rk")).alias("sid"),
+        )
+    )
+    sh = sh.join(F.broadcast(sdict), "s").select("doc_id", "sid")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    df_sh = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
-    w = Window.partitionBy("doc_id").orderBy("df", "s")
+    df_sh = sh.groupBy("sid").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "sid")
     ranked = (
-        sh.join(df_sh, "s")
+        sh.join(df_sh, "sid")
         .withColumn("r", F.row_number().over(w))
         .join(sizes, "doc_id")
     )
@@ -522,13 +547,13 @@ def llm_dedup_near_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix = ranked.filter(
         F.col("r") <= F.col("n")
         - F.expr(f"({num} * n + {den - 1}) div {den}") + 2
-    ).select("doc_id", "s", "r", "n")
+    ).select("doc_id", "sid", "r", "n")
     a = prefix.select(
-        F.col("doc_id").alias("doc_a"), "s",
+        F.col("doc_id").alias("doc_a"), "sid",
         F.col("r").alias("ra"), F.col("n").alias("na"),
     )
     b = prefix.select(
-        F.col("doc_id").alias("doc_b"), "s",
+        F.col("doc_id").alias("doc_b"), "sid",
         F.col("r").alias("rb"), F.col("n").alias("nb"),
     )
     # α = ⌈t/(1+t)·(na+nb)⌉ = ⌈num·(na+nb)/(num+den)⌉, exact integers
@@ -536,7 +561,7 @@ def llm_dedup_near_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"({num} * (na + nb) + {num + den - 1}) div {num + den}"
     )
     cand_sized = (
-        a.join(b, "s")
+        a.join(b, "sid")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .filter(  # size filter inside the posting join: min·den ≥ max·num
             F.least("na", "nb") * den >= F.greatest("na", "nb") * num
@@ -561,8 +586,12 @@ def llm_dedup_near_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sorted shingle ARRAYS instead computes the intersection JVM-side
     # (array_intersect is a hash probe, O(na+nb) per pair) with one row
     # per candidate in flight — same arithmetic, no explode shuffle.
+    # r16: the arrays hold the dictionary LONGS, so array_intersect
+    # runs on Spark's primitive-specialized hash set (no UTF8String
+    # hashing/copying in the 2.4M-pair hot loop) and the broadcast
+    # rows are 8 B/element with no offset vector.
     arrs = sh.groupBy("doc_id").agg(
-        F.sort_array(F.collect_list("s")).alias("arr")
+        F.sort_array(F.collect_list("sid")).alias("arr")
     )
     aa = arrs.select(F.col("doc_id").alias("doc_a"), F.col("arr").alias("arr_a"))
     ab = arrs.select(F.col("doc_id").alias("doc_b"), F.col("arr").alias("arr_b"))
