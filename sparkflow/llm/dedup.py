@@ -864,21 +864,35 @@ def llm_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     set: trigram overlap collapses for shuffled/boilerplate text where
     unigram Jaccard stays high, so pipelines threshold on BOTH. Reuses
     the session-memoized pair set (the LSH pipeline runs once across
-    llm_dedup_near / _clusters / _ngram); trigram sets are built with
-    one posexplode + two leads — no per-element lambdas."""
+    llm_dedup_near / _clusters / _ngram); trigram sets are built from
+    three aligned array slices zipped together (r16) — no per-element
+    lambdas and no per-doc window sort."""
     pairs = _near_pairs(spark, sf_dir).select("doc_a", "doc_b")
     corpus = dup_corpus(spark, sf_dir)
-    toks = corpus.select(
-        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
-    )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("doc_id").orderBy("pos")
+    # r16: adjacent word triples via three aligned slices + arrays_zip
+    # (the shape llm_bpe_train / llm_bpe_pair_counts use) instead of
+    # posexplode + two lead() windows — the token order is already
+    # encoded in the split array, so the per-doc Exchange + Sort the
+    # window needed buys nothing (guide §2.4).
+    ws = F.split("text", " ")
+    n = F.size("ws")
     tri = (
-        toks.withColumn("w2", F.lead("w", 1).over(w))
-        .withColumn("w3", F.lead("w", 2).over(w))
-        .filter(F.col("w3").isNotNull())
-        .select("doc_id", F.concat_ws(" ", "w", "w2", "w3").alias("g"))
+        corpus.select("doc_id", ws.alias("ws"))
+        .filter(n >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.arrays_zip(
+                    F.slice("ws", F.lit(1), n - 2).alias("w1"),
+                    F.slice("ws", F.lit(2), n - 2).alias("w2"),
+                    F.slice("ws", F.lit(3), n - 2).alias("w3"),
+                )
+            ).alias("t"),
+        )
+        .select(
+            "doc_id",
+            F.concat_ws(" ", "t.w1", "t.w2", "t.w3").alias("g"),
+        )
         .distinct()
     )
     sizes = tri.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
@@ -1183,20 +1197,31 @@ def word_kgrams(d: DataFrame, k: int) -> DataFrame:
     llm_repeated_spans (curation.py) catalogs it, so tokenization and
     the window boundary cannot drift between the two (and their oracle
     twins mirror the same construction)."""
-    toks = d.select(
-        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
-    )
-    win = Window.partitionBy("doc_id").orderBy("pos")
-    gram = F.concat_ws(
-        " ", "w", *[F.lead("w", i).over(win) for i in range(1, k)]
-    )
+    # r16: k aligned slices of the split array zipped together instead
+    # of posexplode + k-1 lead() windows — the array already encodes
+    # token order, so the per-doc Exchange + Sort the window needed is
+    # pure overhead (guide §2.4). posexplode of the zipped slices
+    # yields the same 0-based start position the old construction kept.
+    n = F.size("ws")
     return (
-        toks.select(
-            "doc_id", "pos", gram.alias("g"),
-            F.lead("w", k - 1).over(win).alias("w_last"),
+        d.select("doc_id", F.split("text", " ").alias("ws"))
+        .filter(n >= k)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.arrays_zip(
+                    *[
+                        F.slice("ws", F.lit(i + 1), n - (k - 1)).alias(f"w{i}")
+                        for i in range(k)
+                    ]
+                )
+            ).alias("pos", "t"),
         )
-        .filter(F.col("w_last").isNotNull())
-        .drop("w_last")
+        .select(
+            "doc_id",
+            "pos",
+            F.concat_ws(" ", *[F.col(f"t.w{i}") for i in range(k)]).alias("g"),
+        )
     )
 
 
