@@ -149,6 +149,11 @@ def llm_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     Each fraction is 1 - distinct/total with integer operands: exact
     IEEE doubles, bit-identical to the oracle."""
     d = table(spark, sf_dir, "documents")
+    # (r16 note: the slices+arrays_zip rewrite that removed the window
+    # in llm_decontaminate / llm_bigram_fluency was A/B'd here too and
+    # measured a wash — 1.03× over 6 interleaved pairs; the
+    # countDistinct expand dominates this key, so the window shape
+    # stays.)
     toks = d.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w1"))
     w = Window.partitionBy("doc_id").orderBy("pos")
     grams = toks.select(
@@ -211,18 +216,27 @@ def llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     a broadcast-hash lookup. Real pipelines at extreme benchmark sizes
     put a bloom filter in front; the join shape is unchanged."""
     d = table(spark, sf_dir, "documents")
-    toks = d.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w1"))
-    w = Window.partitionBy("doc_id").orderBy("pos")
+    # r16: full trigrams from three aligned slices + arrays_zip — no
+    # per-doc window sort (guide §2.4); the n >= 3 filter replaces the
+    # old lead(2)-isNotNull trailing-row drop.
+    d2 = d.select("doc_id", F.split("text", " ").alias("ws"))
+    n = F.size("ws")
     grams = (
-        toks.select(
+        d2.filter(n >= 3)
+        .select(
             "doc_id",
-            F.concat_ws(
-                " ", "w1", F.lead("w1", 1).over(w), F.lead("w1", 2).over(w)
-            ).alias("gram"),
-            (F.lead("w1", 2).over(w).isNotNull()).alias("full"),
+            F.explode(
+                F.arrays_zip(
+                    F.slice("ws", F.lit(1), n - 2).alias("w1"),
+                    F.slice("ws", F.lit(2), n - 2).alias("w2"),
+                    F.slice("ws", F.lit(3), n - 2).alias("w3"),
+                )
+            ).alias("t"),
         )
-        .filter("full")
-        .drop("full")
+        .select(
+            "doc_id",
+            F.concat_ws(" ", "t.w1", "t.w2", "t.w3").alias("gram"),
+        )
     )
     bench = (
         grams.filter(F.col("doc_id") % _BENCH_MOD == 0)

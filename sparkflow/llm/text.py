@@ -432,15 +432,29 @@ def llm_bigram_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-sized — n12 joins by (w1,w2) hash; n1 is broadcast. One
     explode pass over the corpus, aggregations with map-side combine."""
     d = table(spark, sf_dir, "documents")
-    # posexplode once + lead() per doc — NOT transform(sequence(...)):
-    # higher-order lambdas are interpreted and re-evaluate split() per
-    # element (O(len²) per doc, measured 20× slower than this shape)
-    toks = d.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w1"))
-    w = Window.partitionBy("doc_id").orderBy("pos")
+    # Adjacent pairs via two aligned slices + arrays_zip (r16) — NOT
+    # transform(sequence(...)): higher-order lambdas are interpreted
+    # and re-evaluate split() per element (O(len²) per doc, measured
+    # 20× slower). slice/arrays_zip stay codegen'd, and unlike the old
+    # posexplode + lead() shape there is no per-doc Exchange + Sort.
+    d2 = d.select("doc_id", F.split("text", " ").alias("ws"))
+    n = F.size("ws")
     bg = (
-        toks.withColumn("w2", F.lead("w1").over(w))
-        .filter(F.col("w2").isNotNull())
-        .select("doc_id", "w1", "w2")
+        d2.filter(n >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.arrays_zip(
+                    F.slice("ws", F.lit(1), n - 1).alias("w1"),
+                    F.slice("ws", F.lit(2), n - 1).alias("w2"),
+                )
+            ).alias("t"),
+        )
+        .select(
+            "doc_id",
+            F.col("t.w1").alias("w1"),
+            F.col("t.w2").alias("w2"),
+        )
     )
     c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n12"))
     # n1 = Σ_w2 n12: roll the unigram table up from the (vocab²-sized)
