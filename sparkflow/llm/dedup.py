@@ -74,6 +74,45 @@ def dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.unionByName(exact_copies).unionByName(near_copies)
 
 
+def char_kgrams(d: DataFrame, k: int) -> DataFrame:
+    """(doc_id, pos0, g): every k-char window of each doc's text,
+    0-based start position. THE one definition of char-gram windows —
+    the MinHash pipeline, the prefix-filter dedup, the containment
+    blocker and the winnowing fingerprints all gram through it.
+
+    r16 shape (guide §2.4 / §4.1): k aligned slices of the per-char
+    split array zipped together, instead of
+    transform(sequence(1, n-k+1), i -> substring(text, i, k)) — the
+    higher-order lambda is interpreted per element while split /
+    slice / arrays_zip / concat_ws stay whole-stage codegen (measured
+    0.8× warm, 0.5× cold on the sf0.1 5-gram pass; row-identical
+    output, symdiff 0). (?s) DOTALL in the split so line terminators
+    split like any other char — the BPE ops' per-char idiom. Docs
+    shorter than k produce no rows, exactly like the oracles'
+    naturally-empty range()."""
+    n = F.size("cs")
+    return (
+        d.filter(F.length("text") >= k)
+        .select("doc_id", F.split("text", "(?s)(?!^)(?=.)").alias("cs"))
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.arrays_zip(
+                    *[
+                        F.slice("cs", F.lit(i + 1), n - (k - 1)).alias(f"c{i}")
+                        for i in range(k)
+                    ]
+                )
+            ).alias("pos0", "t"),
+        )
+        .select(
+            "doc_id",
+            "pos0",
+            F.concat_ws("", *[F.col(f"t.c{i}") for i in range(k)]).alias("g"),
+        )
+    )
+
+
 @register(
     "llm_dedup_exact",
     oracle=f"""
@@ -255,18 +294,11 @@ def _near_pairs_plan(
     # the exchange. The digests are materialized in their own projection
     # so the six lane-parses provably share one digest each (no reliance
     # on codegen subexpression elimination).
-    # Docs shorter than the shingle width are filtered out — Spark's
-    # `sequence(1, len-4)` would otherwise DESCEND for len<5 and emit
-    # junk shingles; the oracle's range() is naturally empty for them,
-    # so both engines agree: short docs have no signature.
-    shingles = corpus.filter(F.length("text") >= _SHINGLE).select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.length("text") - (_SHINGLE - 1)),
-                lambda i: F.substring(F.col("text"), i, _SHINGLE),
-            )
-        ).alias("sh"),
+    # Shingle windows come from the shared char_kgrams helper (short
+    # docs produce no rows there, matching the oracle's naturally-empty
+    # range()); position is unused here and pruned.
+    shingles = char_kgrams(corpus, _SHINGLE).select(
+        "doc_id", F.col("g").alias("sh")
     )
     digests = shingles.select(
         "doc_id",
@@ -495,16 +527,8 @@ def llm_dedup_near_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.sparkContext.defaultParallelism
     )
     sh = (
-        corpus.filter(F.length("text") >= _SHINGLE)
-        .select(
-            "doc_id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.length("text") - (_SHINGLE - 1)),
-                    lambda i: F.substring(F.col("text"), i, _SHINGLE),
-                )
-            ).alias("s"),
-        )
+        char_kgrams(corpus, _SHINGLE)
+        .select("doc_id", F.col("g").alias("s"))
         .distinct()
     )
     # r16 (guide §2.3 — shuffle keys, not payloads): dictionary-encode
@@ -1123,6 +1147,11 @@ def _containment_pairs(corpus: DataFrame) -> DataFrame:
     """Core of llm_dedup_containment over any (doc_id, text) frame."""
     # distinct char-8-gram set per doc (same explode-amplification
     # repartition rationale as _near_pairs_plan)
+    # NOTE r16: char_kgrams (the zipped-slice shape) was A/B'd here and
+    # REJECTED at 1.10× — at k=8 the arrays_zip struct is 8 columns wide
+    # and the concat_ws re-assembly costs more than the interpreted
+    # transform() lambda saves; the helper wins at the k=5 sites (0.53×–
+    # 0.83×), loses at 8. Keep the transform shape for the 8-gram.
     sh = (
         corpus.filter(F.length("text") >= _CONTAIN_GRAM)
         .select(

@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 from ..catalog import table
 from ..registry import register
 from .dedup import CORPUS_SQL as _DUP_CORPUS_SQL
-from .dedup import dup_corpus
+from .dedup import char_kgrams, dup_corpus
 
 # Winnowing parameters. Guarantee: any shared substring of length
 # >= _WIN_W + _WIN_K - 1 chars produces at least one shared fingerprint,
@@ -61,15 +61,7 @@ def _fpset(docs: DataFrame) -> DataFrame:
     """Spark twin of _fp_ctes: distinct (doc_id, fp) winnowing
     fingerprints of a (doc_id, text) DataFrame, fp = packed
     (20-bit gram hash)·2³² + position."""
-    grams = docs.filter(F.length("text") >= _WIN_K).select(
-        "doc_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(1), F.length("text") - (_WIN_K - 1)),
-                lambda i: F.substring(F.col("text"), i, _WIN_K),
-            )
-        ).alias("pos0", "g"),
-    ).select(
+    grams = char_kgrams(docs, _WIN_K).select(
         "doc_id",
         (F.col("pos0") + 1).alias("pos"),
         (
