@@ -666,36 +666,34 @@ def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(F.split("text", " ")).alias("tok")
     )
     odd_hex = ["1", "3", "5", "7", "9", "b", "d", "f"]
-    # one md5 per token row, then explode the 16 (bit, vote) pairs from
-    # that single digest — the oracle's crossjoin-with-range phrasing
-    # computes identical votes, but recomputing md5(tok) on each of the
-    # 16 bit-rows would make the digest the hot loop for no reason
-    bits = toks.select("doc_id", F.md5("tok").alias("hx")).select(
+    # one md5 per token row (its own projection — no reliance on codegen
+    # subexpression elimination), then the 16 bit-votes as 16 WIDE ±1
+    # columns and ONE groupBy(doc_id) with 16 sums. r16 (guide §2.3/
+    # §2.4): the previous shape exploded each token row into 16
+    # (bit, vote) rows and aggregated twice (doc,bit → doc), paying a
+    # Generate plus two exchanges; the wide form ships the same 16
+    # tallies per doc through a single exchange with no row fanout.
+    # Bit-for-bit identical output: per-bit vote sums are the same
+    # integers, and the bit assembly Σ_b (w_b>0)·2^b is the same
+    # arithmetic the per-row SUM(shiftleft) computed.
+    hx = toks.select("doc_id", F.md5("tok").alias("hx"))
+    votes = hx.select(
         "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("bit"),
-                        F.when(
-                            F.substring("hx", b + 1, 1).isin(odd_hex), 1
-                        )
-                        .otherwise(-1)
-                        .alias("vote"),
-                    )
-                    for b in range(16)
-                ]
-            )
-        ).alias("x"),
-    ).select("doc_id", "x.bit", "x.vote")
-    tallies = bits.groupBy("doc_id", "bit").agg(F.sum("vote").alias("w"))
-    return tallies.groupBy("doc_id").agg(
-        F.sum(
-            F.when(F.col("w") > 0, F.expr("shiftleft(1, bit)")).otherwise(0)
-        )
-        .cast("long")
-        .alias("simhash16")
+        *[
+            F.when(F.substring("hx", b + 1, 1).isin(odd_hex), 1)
+            .otherwise(-1)
+            .alias(f"v{b}")
+            for b in range(16)
+        ],
     )
+    tallies = votes.groupBy("doc_id").agg(
+        *[F.sum(f"v{b}").alias(f"w{b}") for b in range(16)]
+    )
+    fp = None
+    for b in range(16):
+        term = F.when(F.col(f"w{b}") > 0, F.lit(1 << b)).otherwise(0)
+        fp = term if fp is None else fp + term
+    return tallies.select("doc_id", fp.cast("long").alias("simhash16"))
 
 
 def _cc_doubling_oracle(rounds: int) -> str:
