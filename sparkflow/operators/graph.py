@@ -183,6 +183,11 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     da = deg.select(F.col("u").alias("a"), F.col("deg").alias("deg_a"))
     db = deg.select(F.col("u").alias("b"), F.col("deg").alias("deg_b"))
+    # r16 (guide §2.3 — carry metadata, don't re-join it): the oriented
+    # edge keeps its head's degree, so the wedge stage orders (v, w) by
+    # the carried deg columns instead of re-joining the degree table
+    # twice onto the Σ out-deg² wedge rows. Same deg values from the
+    # same deg frame → the same ordering predicate → identical wedges.
     oriented = (
         eu.join(da, "a")
         .join(db, "b")
@@ -190,28 +195,34 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(
                 (F.col("deg_a") < F.col("deg_b"))
                 | ((F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))),
-                F.struct(F.col("a").alias("src"), F.col("b").alias("dst")),
+                F.struct(
+                    F.col("a").alias("src"),
+                    F.col("b").alias("dst"),
+                    F.col("deg_b").alias("deg_dst"),
+                ),
             )
-            .otherwise(F.struct(F.col("b").alias("src"), F.col("a").alias("dst")))
+            .otherwise(
+                F.struct(
+                    F.col("b").alias("src"),
+                    F.col("a").alias("dst"),
+                    F.col("deg_a").alias("deg_dst"),
+                )
+            )
             .alias("e")
         )
-        .select("e.src", "e.dst", )
+        .select("e.src", "e.dst", "e.deg_dst")
     )
-    e1 = oriented.toDF("u", "v")
-    e2 = oriented.toDF("u", "w")
-    dv = deg.select(F.col("u").alias("v"), F.col("deg").alias("deg_v"))
-    dw = deg.select(F.col("u").alias("w"), F.col("deg").alias("deg_w"))
+    e1 = oriented.toDF("u", "v", "deg_v")
+    e2 = oriented.toDF("u", "w", "deg_w")
     wedges = (
         e1.join(e2, "u")
-        .join(dv, "v")
-        .join(dw, "w")
         .filter(
             (F.col("deg_v") < F.col("deg_w"))
             | ((F.col("deg_v") == F.col("deg_w")) & (F.col("v") < F.col("w")))
         )
         .select("u", "v", "w")
     )
-    closing = oriented.toDF("v", "w")
+    closing = oriented.select("src", "dst").toDF("v", "w")
     tri = wedges.join(closing, ["v", "w"])
     members = (
         tri.select(F.col("u").alias("m"))
