@@ -508,14 +508,24 @@ def llm_dedup_near_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
        pair must share ≥ min(2, α) prefix shingles (sound because with
        overlap o ≥ α, the c-th smallest common shingle sits within
        both (n − α + c)-prefixes, and under the size filter α ≥ t·n
-       per doc), AND the minimum-order shared shingle at ranks
-       (ra, rb) bounds the whole overlap: any common shingle ordered
-       before it would itself lie in both prefixes and contradict
-       minimality, so o ≤ 1 + min(na − ra, nb − rb), checked against
-       α = ⌈t/(1+t)·(na+nb)⌉. Both are computed in the SAME aggregate
-       that replaces the candidate distinct — the Σdf² join rows flow
-       through codegen into the group-by and never reach the verify
-       join unless they survive.
+       per doc), AND the LAST-order shared prefix shingle at ranks
+       (ra*, rb*) bounds the whole overlap (r17, tightened from the
+       r8 first-match bound): per-doc ranks restrict the one global
+       (df, sid) order, so a common shingle ordered AFTER the last
+       shared prefix shingle has rank > ra* in a and > rb* in b (at
+       most min(na − ra*, nb − rb*) of them), while a common shingle
+       ordered BEFORE it has ranks < ra* ≤ p_a and < rb* ≤ p_b — i.e.
+       it lies in BOTH prefixes and is itself one of the s counted
+       shared prefix shingles. Hence o ≤ s + min(na − ra*, nb − rb*),
+       checked against α = ⌈t/(1+t)·(na+nb)⌉. This bound dominates
+       the first-match bound 1 + min(na − ra₁, nb − rb₁): the s
+       shared ranks increase consistently in both docs, so
+       ra* ≥ ra₁ + s − 1 and rb* ≥ rb₁ + s − 1, giving
+       s + min(na − ra*, nb − rb*) ≤ 1 + min(na − ra₁, nb − rb₁).
+       All of it is computed in the SAME aggregate that replaces the
+       candidate distinct — the Σdf² join rows flow through codegen
+       into the group-by and never reach the verify join unless they
+       survive.
 
     The ORACLE is deliberately NOT a replay of this machinery: it is
     ground-truth all-pairs shingle Jaccard (feasible at oracle scale),
@@ -590,17 +600,23 @@ def llm_dedup_near_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(  # size filter inside the posting join: min·den ≥ max·num
             F.least("na", "nb") * den >= F.greatest("na", "nb") * num
         )
-        .withColumn(
-            "ub", F.lit(1) + F.least(F.col("na") - F.col("ra"),
-                                     F.col("nb") - F.col("rb"))
-        )
         .groupBy("doc_a", "doc_b", "na", "nb")
         .agg(
             F.count(F.lit(1)).alias("n_shared_prefix"),
-            F.max("ub").alias("ub_max"),  # = the min-order match's bound
+            # the LAST shared prefix shingle maximizes BOTH ranks (the
+            # per-doc rank orders both restrict the one global (df, sid)
+            # order), so max(ra)/max(rb) are the same shingle's ranks
+            F.max("ra").alias("ra_last"),
+            F.max("rb").alias("rb_last"),
         )
         .filter(F.col("n_shared_prefix") >= F.least(F.lit(2), alpha))
-        .filter(F.col("ub_max") >= alpha)
+        # o ≤ s + min(na − ra*, nb − rb*) — docstring filter 3 (r17)
+        .filter(
+            F.col("n_shared_prefix")
+            + F.least(F.col("na") - F.col("ra_last"),
+                      F.col("nb") - F.col("rb_last"))
+            >= alpha
+        )
         .select("doc_a", "doc_b", "na", "nb")
     )
     # ARRAY verify, not the explode-join verify llm_dedup_near uses: at

@@ -1630,32 +1630,102 @@ def _pca_iter_sql(dims: str, duck: bool) -> str:
 )
 def llm_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top principal direction of the embedding cloud — MLlib's PCA
-    recipe done relationally: (1) the 64×64 Gram matrix as a
-    distributed aggregation (dims self-join on vec_id, partial sums —
-    the only data-sized step, one shuffle on vec_id), then (2) power
-    iterations as matrix-vector products over the TINY gram table
-    (4096 rows — every join below is broadcast-sized). Integer
-    fixed-point throughout (coords ×100, vectors renormalized to ±1e6
-    by truncating division with explicitly matched negative semantics)
-    → bit-identical to the unrolled-CTE oracle under any partitioning.
+    recipe: (1) the 64×64 Gram matrix, (2) integer power iterations
+    over it (coords ×100, vectors renormalized to ±1e6 by truncating
+    division with explicitly matched negative semantics) →
+    bit-identical to the unrolled-CTE oracle under any partitioning.
+
+    r17 shape (guide §4.2 — one Arrow boundary beats 263 stage-cached
+    exchanges): the r8 relational form unrolled the three power
+    iterations as CTEs over a dims self-join; CTE inlining exploded the
+    STATIC plan to 263 Exchanges / 264 scans whose runtime was rescued
+    only by AQE's stage cache de-duplicating the identical subtrees
+    (r16 central finding) — plan construction/optimization cost grew
+    with the inlined-CTE count and any AQE-off context re-executed the
+    gram pass ~7×. Now the whole computation is ONE job with one
+    shuffle: a mapInArrow pass computes each task's PARTIAL Gram
+    (float64 BLAS matmul — exact, because every partial sum is an
+    integer ≤ 64·(corpus rows)·1e6·... < 2⁵³; quantization replays
+    floor(x·100 + 0.5) on the same doubles Spark would produce), the
+    4096-entry partials shuffle to ONE group, and applyInPandas sums
+    them and runs the integer recursion (int64 matvec, |w| ≤
+    64·|G|·2e6 < 2⁶³) with the same truncate-toward-zero division the
+    SQL `div` used. pytest's bit-exact numpy replay pins the recursion.
 
     A curation tool, not decoration: the top component is the
     'dominant direction' whose removal (ABTT, Mu 2018) de-biases
     embedding spaces, and the projection onto it is a 1-D curriculum/
     diversity axis. Three iterations demonstrate the machinery; the
     convergence rate is the spectral-gap ratio (measured ~1.07 on this
-    corpus — production raises ITER or deflates), so pytest asserts a
-    bit-exact numpy replay of the integer recursion plus the Rayleigh-
-    quotient increase every power step guarantees."""
-    e = table(spark, sf_dir, "embeddings")
-    dims = e.select(
-        "vec_id", F.posexplode("embedding").alias("dim", "xf")
-    ).select(
-        "vec_id",
-        "dim",
-        F.floor(F.col("xf").cast("double") * _PCA_Q + 0.5).cast("long").alias("q"),
-    )
-    dims.createOrReplaceTempView("sparkflow_pca_dims")
-    return spark.sql(
-        "WITH " + _pca_iter_sql("sparkflow_pca_dims", duck=False)
+    corpus — production raises ITER or deflates)."""
+    e = table(spark, sf_dir, "embeddings").select("embedding")
+
+    def gram_partials(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        G: dict[int, "np.ndarray"] = {}  # max-dim -> running partial
+        for batch in batches:
+            arr = batch.column(0)
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            n = len(arr)
+            if n == 0:
+                continue
+            offs = np.asarray(arr.offsets)
+            vals = np.asarray(arr.values, dtype=np.float64)
+            lens = np.diff(offs)
+            for d in np.unique(lens):
+                d = int(d)
+                if d == 0:
+                    continue
+                rows = np.flatnonzero(lens == d)
+                idx = (offs[rows][:, None] + np.arange(d)).ravel()
+                V = vals[idx].reshape(len(rows), d)
+                # floor(x·100 + 0.5): the same IEEE double ops Spark's
+                # floor(cast(x as double) * 100 + 0.5) performs
+                Q = np.floor(V * float(_PCA_Q) + 0.5)
+                P = Q.T @ Q  # integer-valued float64, exact (< 2^53)
+                if d not in G:
+                    G[d] = np.zeros((d, d), dtype=np.int64)
+                G[d] += P.astype(np.int64)
+        if G:
+            dmax = max(G)
+            acc = np.zeros((dmax, dmax), dtype=np.int64)
+            for d, P in G.items():
+                acc[:d, :d] += P
+            i = np.repeat(np.arange(dmax, dtype=np.int32), dmax)
+            j = np.tile(np.arange(dmax, dtype=np.int32), dmax)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(i), pa.array(j), pa.array(acc.ravel())],
+                names=["i", "j", "g"],
+            )
+
+    partials = e.mapInArrow(gram_partials, "i int, j int, g long")
+
+    def power_iterate(pdf):
+        import numpy as np
+        import pandas as pd
+
+        d = int(pdf["i"].max()) + 1
+        G = np.zeros((d, d), dtype=np.int64)
+        np.add.at(
+            G,
+            (pdf["i"].to_numpy(), pdf["j"].to_numpy()),
+            pdf["g"].to_numpy(),
+        )
+        v = np.full(d, 1_000_000, dtype=np.int64)
+        for _ in range(_PCA_ITER):
+            w = G @ v
+            m = max(int(np.abs(w).max()) // 1_000_000, 1)
+            # truncating div matched to Spark SQL's `div` (toward zero)
+            v = np.where(w < 0, -((-w) // m), w // m)
+        return pd.DataFrame(
+            {"dim": np.arange(d, dtype=np.int32), "component_e6": v}
+        )
+
+    return (
+        partials.withColumn("gk", F.lit(0))
+        .groupBy("gk")
+        .applyInPandas(power_iterate, "dim int, component_e6 long")
     )
