@@ -74,22 +74,16 @@ def dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.unionByName(exact_copies).unionByName(near_copies)
 
 
-def char_kgrams(d: DataFrame, k: int) -> DataFrame:
-    """(doc_id, pos0, g): every k-char window of each doc's text,
-    0-based start position. THE one definition of char-gram windows —
-    the MinHash pipeline, the prefix-filter dedup, the containment
-    blocker and the winnowing fingerprints all gram through it.
-
-    r16 shape (guide §2.4 / §4.1): k aligned slices of the per-char
-    split array zipped together, instead of
-    transform(sequence(1, n-k+1), i -> substring(text, i, k)) — the
-    higher-order lambda is interpreted per element while split /
-    slice / arrays_zip / concat_ws stay whole-stage codegen (measured
-    0.8× warm, 0.5× cold on the sf0.1 5-gram pass; row-identical
-    output, symdiff 0). (?s) DOTALL in the split so line terminators
-    split like any other char — the BPE ops' per-char idiom. Docs
-    shorter than k produce no rows, exactly like the oracles'
-    naturally-empty range()."""
+def _char_kgram_structs(d: DataFrame, k: int) -> DataFrame:
+    """(doc_id, pos0, t): every k-char window of each doc's text as a
+    struct of the k aligned slice columns t.c0..t.c{k-1} — the shared
+    zipped-slice core of char_kgrams / char_kgram_ids (guide §2.4 /
+    §4.1: split / slice / arrays_zip stay whole-stage codegen where the
+    transform(sequence(...), i -> substring(...)) lambda is interpreted
+    per element). (?s) DOTALL in the split so line terminators split
+    like any other char — the BPE ops' per-char idiom. Docs shorter
+    than k produce no rows, exactly like the oracles' naturally-empty
+    range()."""
     n = F.size("cs")
     return (
         d.filter(F.length("text") >= k)
@@ -105,11 +99,47 @@ def char_kgrams(d: DataFrame, k: int) -> DataFrame:
                 )
             ).alias("pos0", "t"),
         )
-        .select(
-            "doc_id",
-            "pos0",
-            F.concat_ws("", *[F.col(f"t.c{i}") for i in range(k)]).alias("g"),
-        )
+    )
+
+
+def char_kgrams(d: DataFrame, k: int) -> DataFrame:
+    """(doc_id, pos0, g): every k-char window of each doc's text,
+    0-based start position. THE one definition of char-gram windows —
+    the MinHash pipeline, the prefix-filter dedup and the winnowing
+    fingerprints all gram through it (the containment blocker uses the
+    hashed-id view, char_kgram_ids).
+
+    r16 shape (guide §2.4 / §4.1, zipped slices via
+    _char_kgram_structs; measured 0.8× warm, 0.5× cold on the sf0.1
+    5-gram pass; row-identical output, symdiff 0). Precondition: the
+    slice columns are never NULL (split() yields no null elements), so
+    the concat_ws re-assembly is exact — a caller feeding nullable
+    array sources would get silently shortened grams (concat_ws skips
+    NULLs) instead of an error."""
+    return _char_kgram_structs(d, k).select(
+        "doc_id",
+        "pos0",
+        F.concat_ws("", *[F.col(f"t.c{i}") for i in range(k)]).alias("g"),
+    )
+
+
+def char_kgram_ids(d: DataFrame, k: int) -> DataFrame:
+    """(doc_id, g): every k-char window of each doc's text as a 64-bit
+    gram id — xxhash64 over the k slice columns directly, never
+    re-assembling the string (r17; at k=8 the concat_ws over the 8-wide
+    struct cost more than the interpreted lambda it replaced, which is
+    why r16 left the containment gram pass alone). The char
+    decomposition of a gram is unique (fixed one-char fields), so two
+    gram ids differ unless xxhash64 collides: P ≈ V²/2⁶⁵ over a
+    vocabulary of V distinct grams — ~5·10⁻⁸ at sf0.1 (V ≈ 10⁶) and
+    still ≪ 1 expected corrupted candidate at a 10¹²-gram corpus (a
+    collision must additionally land crosswise inside one candidate
+    pair to perturb a count). Use for gram-set BLOCKING / counting
+    stages whose downstream verify tolerates that bound; keep
+    char_kgrams for anything that must surface the gram text."""
+    return _char_kgram_structs(d, k).select(
+        "doc_id",
+        F.xxhash64(*[F.col(f"t.c{i}") for i in range(k)]).alias("g"),
     )
 
 
@@ -1159,28 +1189,20 @@ def llm_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _containment_pairs(corpus: DataFrame) -> DataFrame:
     """Core of llm_dedup_containment over any (doc_id, text) frame."""
-    # distinct char-8-gram set per doc (same explode-amplification
-    # repartition rationale as _near_pairs_plan)
-    # NOTE r16: char_kgrams (the zipped-slice shape) was A/B'd here and
-    # REJECTED at 1.10× — at k=8 the arrays_zip struct is 8 columns wide
-    # and the concat_ws re-assembly costs more than the interpreted
-    # transform() lambda saves; the helper wins at the k=5 sites (0.53×–
-    # 0.83×), loses at 8. Keep the transform shape for the 8-gram.
-    sh = (
-        corpus.filter(F.length("text") >= _CONTAIN_GRAM)
-        .select(
-            "doc_id",
-            F.explode(
-                F.transform(
-                    F.sequence(
-                        F.lit(1), F.length("text") - (_CONTAIN_GRAM - 1)
-                    ),
-                    lambda i: F.substring(F.col("text"), i, _CONTAIN_GRAM),
-                )
-            ).alias("g"),
-        )
-        .distinct()
-    )
+    # distinct char-8-gram-ID set per doc (same explode-amplification
+    # repartition rationale as _near_pairs_plan). r17: the gram never
+    # becomes a string — char_kgram_ids hashes the 8 zipped slice
+    # columns straight to a LONG (r16 had rejected the zipped-slice
+    # shape here at 1.10× because of the 8-wide concat_ws re-assembly;
+    # hashing the slices skips the re-assembly entirely), so the
+    # interpreted transform() lambda is gone AND every downstream
+    # stage — distinct, df/size counts, the rare-gram posting
+    # self-join, the intersection join — shuffles and compares 8-byte
+    # ints instead of 8-char strings (guide §2.3/§2.4). Containment is
+    # a set measure over the per-doc gram sets, and the id map is
+    # injective up to xxhash64 collisions (bound in char_kgram_ids'
+    # docstring; differential-checked EXACT at every test SF).
+    sh = char_kgram_ids(corpus, _CONTAIN_GRAM).distinct()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     rare = (
         sh.groupBy("g")
