@@ -578,24 +578,49 @@ def llm_dedup_near_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     # mapping is injective (id = bucket·2^40 + rank-within-bucket over
     # the distinct-shingle set) and deterministic under retry (xxhash64
     # bucket + row_number ordered by the shingle itself), built with a
-    # per-bucket window — never a global sort. The shingle VOCABULARY
-    # is charset-bounded (≤ |charset|^k for k-char shingles — 2.1k at
-    # sf0.1 against 1.38M shingle rows), so the dictionary broadcasts
-    # like a BPE vocab. Exactness: an injective recode preserves every
-    # set intersection/size, and the prefix theorem only needs SOME
-    # global total order — (df, sid) is one, exactly as (df, s) was.
+    # per-bucket window — never a global sort. Exactness: an injective
+    # recode preserves every set intersection/size, and the prefix
+    # theorem only needs SOME global total order — (df, sid) is one,
+    # exactly as (df, s) was.
+    #
+    # r17 scale guards (r16 verdict item 3 / ADVICE item 1):
+    # - the bucket count is parallelism-derived, not the fixed 64 (at
+    #   100 TB the 5-gram vocabulary on a wide charset is millions-plus
+    #   and a 64-partition window under-parallelizes the dictionary
+    #   build; any bucket count yields the same final pairs — it only
+    #   permutes the (df, sid) tie-break order).
+    # - the forced broadcast is CONF-GATED: at a vocabulary beyond the
+    #   broadcast ceiling set spark.sparkflow.dedup.dictBroadcast=false
+    #   and the recode becomes a plain equi-join the planner/AQE sizes
+    #   from runtime stats (shuffle join at scale). The default stays
+    #   the hint because the no-hint plan was MEASURED slower here —
+    #   AQE's conversion still materializes the probe-side shuffle
+    #   write first (1.15× interleaved at sf0.1) — and a counted-vocab
+    #   gate would re-scan the corpus for the count. Both paths are
+    #   pinned row-identical by test_prefix_dict_broadcast_gate_paths.
+    #   (Also measured and REJECTED here: folding the df count into the
+    #   dictionary groupBy to drop the separate df_sh stages — bimodal
+    #   9–50 s at sf0.1, the planner flips the recode join's build side
+    #   to the 1.38M-row gram table; see OPTIMIZATION_r17.md ledger.)
+    par = spark.sparkContext.defaultParallelism
+    nbkt = min(1 << 22, max(64, 4 * par))  # sid = bkt·2^40 + rk < 2^63
     wd = Window.partitionBy("bkt").orderBy("s")
     sdict = (
         sh.select("s")
         .distinct()
-        .withColumn("bkt", F.pmod(F.xxhash64("s"), F.lit(64)))
+        .withColumn("bkt", F.pmod(F.xxhash64("s"), F.lit(nbkt)))
         .withColumn("rk", F.row_number().over(wd))
         .select(
             "s",
             (F.col("bkt") * F.lit(1 << 40) + F.col("rk")).alias("sid"),
         )
     )
-    sh = sh.join(F.broadcast(sdict), "s").select("doc_id", "sid")
+    bcast = (
+        spark.conf.get("spark.sparkflow.dedup.dictBroadcast", "true")
+        == "true"
+    )
+    sdict_side = F.broadcast(sdict) if bcast else sdict
+    sh = sh.join(sdict_side, "s").select("doc_id", "sid")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     df_sh = sh.groupBy("sid").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy("doc_id").orderBy("df", "sid")

@@ -1094,3 +1094,25 @@ def test_knn_arrow_prune_keeps_nan_cosines(spark):
     assert set(got_small["vec_id"]) == {1, 2, 7}
     assert got_small.iloc[-1]["vec_id"] == 7
     assert got_small["cos_sim"].isna().iloc[-1]
+
+
+def test_prefix_dict_broadcast_gate_paths(spark, sf_small):
+    """llm_dedup_near_prefix's shingle-dictionary recode is conf-gated
+    (r17 scale guard): the default forced-broadcast path and the
+    spark.sparkflow.dedup.dictBroadcast=false shuffle-join fallback
+    (the 100 TB posture when the vocabulary outgrows the broadcast
+    ceiling) must return IDENTICAL pairs — the recode is injective
+    under either join strategy."""
+    key = "spark.sparkflow.dedup.dictBroadcast"
+    hinted = sorted(
+        map(tuple, sparkflow.QUERIES["llm_dedup_near_prefix"](spark, sf_small).collect())
+    )
+    spark.conf.set(key, "false")
+    try:
+        unhinted_df = sparkflow.QUERIES["llm_dedup_near_prefix"](spark, sf_small)
+        assert "ResolvedHint" not in unhinted_df._jdf.queryExecution().analyzed().toString()
+        unhinted = sorted(map(tuple, unhinted_df.collect()))
+    finally:
+        spark.conf.unset(key)
+    assert hinted == unhinted
+    assert len(hinted) > 0
