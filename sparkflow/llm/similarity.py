@@ -1308,6 +1308,16 @@ def llm_knn_ivf_kmeans(
     )
 
 
+# llm_semdedup hot-cell guard (r17, guide §2.5): cells larger than this
+# pair through the triangle-blocked join (B = ceil(cn / cap) blocks →
+# per-task pair work bounded by ~cap²·d MACs); everything smaller keeps
+# the plain one-key within-cell join. 4096²/2 · 128-dim int64 dots ≈
+# 10⁹ MACs ≈ single-digit seconds per task — the largest block a
+# straggler budget tolerates. Balanced cells here are O(100) vectors,
+# so the local plan is bit-identical to the unguarded one.
+_SEMDEDUP_CELL_CAP = 4096
+
+
 @register(
     "llm_semdedup",
     oracle="""
@@ -1359,8 +1369,13 @@ def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: cost is Σ_cells |cell|² — the whole point of SemDeDup: the
     quantizer bounds the quadratic term to within-cell work, and cells
     are processed independently (embarrassingly parallel across the
-    cluster). When cells grow too big, re-quantize finer or fall back
-    to the LSH-confirm pipeline (llm_dedup_embedding). The %4 subsample
+    cluster). r17: one HOT cell is no longer one task — cells beyond
+    _SEMDEDUP_CELL_CAP vectors pair through a triangle-blocked join
+    (see the inline comment) that spreads their quadratic work over
+    B(B+1)/2 independent join keys; balanced cells keep the plain
+    one-key join (B = 1). When cells grow too big structurally,
+    re-quantize finer or fall back to the LSH-confirm pipeline
+    (llm_dedup_embedding). The %4 subsample
     keeps the demo cells small (config, not architecture); injected
     exact copies at vec_id + MAX(vec_id)+1 are the ground-truth
     duplicates (the natural within-cell max cosine is ~0.47). The
@@ -1403,17 +1418,91 @@ def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n2",
         F.expr("aggregate(qv, cast(0 as bigint), (acc, x) -> acc + x * x)"),
     )
-    a = q.toDF("vec_a", "label", "qa", "na2")
-    b = q.toDF("vec_b", "label", "qb", "nb2")
+    # r17 cell-size guard (guide §2.5 — AQE's skew handling cannot
+    # split one enormous join key, and a hot quantizer cell is exactly
+    # that), CONF-GATED on spark.sparkflow.semdedup.cellCap: when a cap
+    # is set, a tiny per-label count splits cells into COLD (cn ≤ cap —
+    # the r16 plain within-cell join, byte-identical shape) and HOT,
+    # which pair through a TRIANGLE-BLOCKED self-join: a cell of cn
+    # vectors gets B = ⌈cn / cap⌉ hash blocks; the left side replicates
+    # block i to keys (i, j≥i), the right side block j to keys
+    # (i≤j, j), so every unordered pair meets on exactly one
+    # (label, i, j) key — B(B+1)/2 independent keys spread the cell's
+    # quadratic work across the cluster with per-task cost ≤ ~cap².
+    # The default is UNGUARDED because at bench scale every extra
+    # stage is pure fixed cost (measured: always-blocked 1.72×,
+    # hot/cold split 1.88× interleaved — both on data whose cells are
+    # O(100) vectors; ledger), while on a synthesized hot cell the
+    # blocked path wins (see test_semdedup_hot_cell_guard_* and the
+    # r17 ledger's skew rung). Production sets the cap
+    # (_SEMDEDUP_CELL_CAP is the recommended value) the same way
+    # shuffle parallelism is sized — per deployment, not per query.
+    # Pair set is IDENTICAL under any cap: a label is entirely hot or
+    # entirely cold (one cn per label); in the hot branch (i < j)
+    # keeps cross-block pairs exactly once (va's block ≤ vb's block by
+    # key construction), (i == j) falls back to the vec_a < vec_b
+    # order, and least/greatest restore the ordered output columns
+    # (dot, the int threshold and the n2 product are all symmetric).
+    cap = int(spark.conf.get("spark.sparkflow.semdedup.cellCap", "0"))
     dot = F.expr(
         "aggregate(zip_with(qa, qb, (x, y) -> x * y), "
         "cast(0 as bigint), (acc, x) -> acc + x)"
     )
-    return (
-        a.join(b, "label")
+    if cap <= 0:
+        cold = q
+        hot_pairs = None
+    else:
+        cells = q.groupBy("label").agg(F.count(F.lit(1)).alias("cn"))
+        qs = q.join(F.broadcast(cells), "label")
+        cold = qs.filter(F.col("cn") <= cap).drop("cn")
+        hot = (
+            qs.filter(F.col("cn") > cap)
+            .withColumn("nb_", F.ceil(F.col("cn") / F.lit(cap)).cast("int"))
+            .withColumn(
+                "blk", F.pmod(F.xxhash64("vec_id"), F.col("nb_")).cast("int")
+            )
+        )
+        ha = hot.select(
+            F.col("vec_id").alias("va"), "label",
+            F.col("qv").alias("qa"), F.col("n2").alias("ha_n2"),
+            F.col("blk").alias("bi"),
+            F.explode(F.sequence(F.col("blk"), F.col("nb_") - 1)).alias("bj"),
+        )
+        hb = hot.select(
+            F.col("vec_id").alias("vb"), "label",
+            F.col("qv").alias("qb"), F.col("n2").alias("hb_n2"),
+            F.explode(F.sequence(F.lit(0), F.col("blk"))).alias("bi"),
+            F.col("blk").alias("bj"),
+        )
+        hot_pairs = (
+            ha.join(hb, ["label", "bi", "bj"])
+            .filter((F.col("bi") < F.col("bj")) | (F.col("va") < F.col("vb")))
+            .select(
+                "label",
+                F.least("va", "vb").alias("vec_a"),
+                F.greatest("va", "vb").alias("vec_b"),
+                F.col("ha_n2").alias("na2"),
+                F.col("hb_n2").alias("nb2"),
+                dot.alias("dot"),
+            )
+        )
+    ca = cold.select(
+        F.col("vec_id").alias("vec_a"), "label",
+        F.col("qv").alias("qa"), F.col("n2").alias("na2"),
+    )
+    cb = cold.select(
+        F.col("vec_id").alias("vec_b"), "label",
+        F.col("qv").alias("qb"), F.col("n2").alias("nb2"),
+    )
+    pairs = (
+        ca.join(cb, "label")
         .filter(F.col("vec_a") < F.col("vec_b"))
-        .withColumn("dot", dot)
-        .filter(
+        .select("label", "vec_a", "vec_b", "na2", "nb2", dot.alias("dot"))
+    )
+    if hot_pairs is not None:
+        pairs = pairs.unionByName(hot_pairs)
+    return (
+        pairs.filter(
             (F.col("dot") > 0)
             & (400 * F.col("dot") * F.col("dot") >= 361 * F.col("na2") * F.col("nb2"))
         )

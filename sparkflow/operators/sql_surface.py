@@ -154,6 +154,36 @@ _RECURSIVE_SQL = """
 """
 
 
+# the same statement split at the edges/walk boundary for the Spark
+# side (r17): the edges CTE materializes once per invocation so the
+# UnionLoop's per-iteration re-execution only touches the tiny walk
+# join; concatenated they are semantically the _RECURSIVE_SQL the
+# oracle still runs whole.
+_EDGES_SQL = """
+    SELECT DISTINCT src, dst FROM (
+      SELECT event_type AS src,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS dst
+      FROM {events}
+    ) t
+    WHERE dst IS NOT NULL AND dst <> src
+"""
+
+_WALK_SQL = """
+    WITH RECURSIVE walk(node, hops) AS (
+      SELECT 'signup', 0
+      UNION ALL
+      SELECT e.dst, w.hops + 1
+      FROM walk w JOIN {edges} e ON e.src = w.node
+      WHERE w.hops < 3
+    )
+    SELECT node, MIN(hops) AS min_hops, COUNT(*) AS n_walks
+    FROM walk
+    GROUP BY node
+    ORDER BY min_hops, node
+"""
+
+
 @register(
     "sql_recursive",
     oracle=_RECURSIVE_SQL.format(events="events"),
@@ -173,9 +203,27 @@ def sql_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows regardless of event count), so every step is a broadcast join;
     the only data-sized work is the one window pass deriving edges. For
     unbounded-depth reachability on big graphs, pointer doubling
-    (llm_dedup_clusters) is the O(log d) alternative."""
+    (llm_dedup_clusters) is the O(log d) alternative.
+
+    r17 (guide §3.3 — materialize to truncate a repeated subtree): the
+    UnionLoop executor re-runs the recursive term's WHOLE subplan every
+    iteration, edges window included (measured at sf0.1: full op
+    2.28 s = 4 iterations × 0.27 s edges pass + 0.79 s loop machinery).
+    The edges CTE is therefore localCheckpoint'ed ONCE per invocation —
+    a vocabulary-bounded table (|types|² rows — 20 here — at ANY event
+    count), so the materialization is O(1)-sized and the data-sized
+    window pass runs exactly once. This is the one place in the repo
+    where the r16 anti-checkpoint finding inverts: the loop executor
+    has no stage cache across iterations, so the repeated subtree is
+    REALLY re-executed (interleaved A/B at sf0.1: 3.11 s → 1.63 s
+    median, 0.53×). Same rows: the recursion consumes the identical
+    edge set."""
     table(spark, sf_dir, "events").createOrReplaceTempView("sparkflow_sql_events")
-    return spark.sql(_RECURSIVE_SQL.format(events="sparkflow_sql_events"))
+    edges = spark.sql(
+        _EDGES_SQL.format(events="sparkflow_sql_events")
+    ).localCheckpoint()
+    edges.createOrReplaceTempView("sparkflow_sql_edges")
+    return spark.sql(_WALK_SQL.format(edges="sparkflow_sql_edges"))
 
 
 _CORRELATED_EXISTS_SQL = """

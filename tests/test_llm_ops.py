@@ -1116,3 +1116,26 @@ def test_prefix_dict_broadcast_gate_paths(spark, sf_small):
         spark.conf.unset(key)
     assert hinted == unhinted
     assert len(hinted) > 0
+
+
+def test_semdedup_cell_cap_guard_paths(spark, sf_small):
+    """llm_semdedup's hot-cell guard is conf-gated
+    (spark.sparkflow.semdedup.cellCap, r17): with a cap small enough
+    that real cells go 'hot', the triangle-blocked pairing must appear
+    in the plan AND return exactly the rows of the default unguarded
+    within-cell join — the block decomposition covers every unordered
+    pair exactly once under any cap."""
+    key = "spark.sparkflow.semdedup.cellCap"
+    base = sorted(
+        map(tuple, sparkflow.QUERIES["llm_semdedup"](spark, sf_small).collect())
+    )
+    spark.conf.set(key, "8")
+    try:
+        df = sparkflow.QUERIES["llm_semdedup"](spark, sf_small)
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "sequence(" in plan, plan[:2000]  # blocked replication present
+        got = sorted(map(tuple, df.collect()))
+    finally:
+        spark.conf.unset(key)
+    assert len(base) > 0
+    assert got == base
