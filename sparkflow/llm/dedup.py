@@ -967,6 +967,13 @@ def llm_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     # posexplode + two lead() windows — the token order is already
     # encoded in the split array, so the per-doc Exchange + Sort the
     # window needed buys nothing (guide §2.4).
+    # r17: the trigram never becomes a string — the three slice columns
+    # hash straight to a LONG id (the char_kgram_ids move): the trigram
+    # only feeds set COUNTING (distinct, sizes, the pair-intersection
+    # join), so an id injective-up-to-xxhash64-collision (words carry
+    # no spaces → the (w1,w2,w3) decomposition is unique; collision
+    # bound as in char_kgram_ids) shuffles 8-byte ints where 3-word
+    # strings moved before, and the concat_ws re-assembly disappears.
     ws = F.split("text", " ")
     n = F.size("ws")
     tri = (
@@ -984,7 +991,7 @@ def llm_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "doc_id",
-            F.concat_ws(" ", "t.w1", "t.w2", "t.w3").alias("g"),
+            F.xxhash64("t.w1", "t.w2", "t.w3").alias("g"),
         )
         .distinct()
     )
