@@ -219,6 +219,13 @@ def llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r16: full trigrams from three aligned slices + arrays_zip — no
     # per-doc window sort (guide §2.4); the n >= 3 filter replaces the
     # old lead(2)-isNotNull trailing-row drop.
+    # r17: the trigram never becomes a string — the slice columns hash
+    # straight to a LONG id (the llm_dedup_ngram / char_kgram_ids
+    # move): the gram only feeds the broadcast membership lookup and
+    # counting, so the concat_ws re-assembly disappears and the
+    # benchmark set broadcasts 8-byte ids instead of 3-word strings
+    # (words carry no spaces → the triple decomposition is unique;
+    # collision bound as in char_kgram_ids).
     d2 = d.select("doc_id", F.split("text", " ").alias("ws"))
     n = F.size("ws")
     grams = (
@@ -235,7 +242,7 @@ def llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "doc_id",
-            F.concat_ws(" ", "t.w1", "t.w2", "t.w3").alias("gram"),
+            F.xxhash64("t.w1", "t.w2", "t.w3").alias("gram"),
         )
     )
     bench = (
