@@ -621,22 +621,40 @@ def llm_dedup_near_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sdict_side = F.broadcast(sdict) if bcast else sdict
     sh = sh.join(sdict_side, "s").select("doc_id", "sid")
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     df_sh = sh.groupBy("sid").agg(F.count(F.lit(1)).alias("df"))
-    w = Window.partitionBy("doc_id").orderBy("df", "sid")
-    ranked = (
+    # r17 (guide §2.4 — remove shuffles outright): ONE groupBy(doc_id)
+    # collecting the sorted (df, sid) struct array replaces THREE
+    # doc_id-keyed passes — the sizes groupBy, the row_number window
+    # (its own Exchange + Sort), and the verify-array groupBy. Rank is
+    # recovered as 1 + position in the sorted array (sort_array orders
+    # structs lexicographically = the window's (df, sid) order; sid is
+    # distinct per doc, so ranks are unique), n = array size, and the
+    # verify array is transform(ps, x -> x.sid) — array_intersect is a
+    # hash probe, so it needs the distinct elements, not sid order.
+    docs = (
         sh.join(df_sh, "sid")
-        .withColumn("r", F.row_number().over(w))
-        .join(sizes, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("df", "sid"))).alias("ps")
+        )
+        .withColumn("n", F.size("ps"))
     )
     # c=2 extended prefix: +2 instead of +1 so requiring two shared
     # prefix shingles stays sound (see docstring filter 3). ⌈t·n⌉ in
     # exact integers: (num·n + den − 1) div den.
     num, den = _PREFIX_T_NUM, _PREFIX_T_DEN
-    prefix = ranked.filter(
-        F.col("r") <= F.col("n")
-        - F.expr(f"({num} * n + {den - 1}) div {den}") + 2
-    ).select("doc_id", "sid", "r", "n")
+    prefix = docs.select(
+        "doc_id",
+        "n",
+        F.posexplode(
+            F.expr(f"slice(ps, 1, n - ({num} * n + {den - 1}) div {den} + 2)")
+        ),
+    ).select(
+        "doc_id",
+        F.col("col.sid").alias("sid"),
+        (F.col("pos") + 1).alias("r"),
+        "n",
+    )
     a = prefix.select(
         F.col("doc_id").alias("doc_a"), "sid",
         F.col("r").alias("ra"), F.col("n").alias("na"),
@@ -684,9 +702,11 @@ def llm_dedup_near_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r16: the arrays hold the dictionary LONGS, so array_intersect
     # runs on Spark's primitive-specialized hash set (no UTF8String
     # hashing/copying in the 2.4M-pair hot loop) and the broadcast
-    # rows are 8 B/element with no offset vector.
-    arrs = sh.groupBy("doc_id").agg(
-        F.sort_array(F.collect_list("sid")).alias("arr")
+    # rows are 8 B/element with no offset vector. r17: the array is a
+    # projection of the one grouped (df, sid) pass above — no separate
+    # groupBy, and no sid re-sort (intersection size is order-blind).
+    arrs = docs.select(
+        "doc_id", F.expr("transform(ps, x -> x.sid)").alias("arr")
     )
     aa = arrs.select(F.col("doc_id").alias("doc_a"), F.col("arr").alias("arr_a"))
     ab = arrs.select(F.col("doc_id").alias("doc_b"), F.col("arr").alias("arr_b"))
@@ -1264,13 +1284,29 @@ def _containment_pairs(corpus: DataFrame) -> DataFrame:
             F.greatest("na", "nb").alias("n_outer"),
         )
     )
-    si = sh.select(F.col("doc_id").alias("inner_id"), "g")
-    so = sh.select(F.col("doc_id").alias("outer_id"), "g")
+    # r17 ARRAY verify (the same move llm_dedup_near_prefix made in r8,
+    # guide §2.3 — don't re-shuffle every gram of every candidate doc):
+    # the old verify exploded each candidate's inner-doc gram set back
+    # into rows (cand ⨝ grams on inner_id, then ⨝ on (outer_id, g) +
+    # a count aggregate — two more Σ|doc| shuffles). Instead each doc
+    # carries its gram-id ARRAY once (one row/doc), the pair join moves
+    # one row per candidate, and array_intersect computes ni JVM-side
+    # on primitive longs. Pairs with ni = 0 now reach the filter (the
+    # old inner join dropped them) but 0 < _CONTAIN_MIN·n_inner always,
+    # so the output set is unchanged.
+    arrs = sh.groupBy("doc_id").agg(F.collect_list("g").alias("arr"))
+    ai = arrs.select(F.col("doc_id").alias("inner_id"), F.col("arr").alias("arr_i"))
+    ao = arrs.select(F.col("doc_id").alias("outer_id"), F.col("arr").alias("arr_o"))
     inter = (
-        cand.join(si, "inner_id")
-        .join(so, ["outer_id", "g"])
-        .groupBy("inner_id", "outer_id", "n_inner", "n_outer")
-        .agg(F.count(F.lit(1)).alias("ni"))
+        cand.join(ai, "inner_id")
+        .join(ao, "outer_id")
+        .select(
+            "inner_id",
+            "outer_id",
+            "n_inner",
+            "n_outer",
+            F.size(F.array_intersect("arr_i", "arr_o")).alias("ni"),
+        )
     )
     contain = F.col("ni").cast("double") / F.col("n_inner")
     return inter.filter(contain >= _CONTAIN_MIN).select(

@@ -175,9 +175,12 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    # r17 (guide §3.3 — wide unions duplicate the input subtree in the
+    # static plan): explode both endpoints out of ONE pass over eu
+    # instead of union-ing two selects of it. Same multiset of u rows,
+    # half the eu subtrees in the plan.
     deg = (
-        eu.select(F.col("a").alias("u"))
-        .union(eu.select(F.col("b").alias("u")))
+        eu.select(F.explode(F.array("a", "b")).alias("u"))
         .groupBy("u")
         .agg(F.count(F.lit(1)).alias("deg"))
     )
@@ -224,11 +227,11 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     closing = oriented.select("src", "dst").toDF("v", "w")
     tri = wedges.join(closing, ["v", "w"])
-    members = (
-        tri.select(F.col("u").alias("m"))
-        .union(tri.select(F.col("v").alias("m")))
-        .union(tri.select(F.col("w").alias("m")))
-    )
+    # r17: one explode instead of a 3-way union — the tri subtree (the
+    # whole wedge pipeline) appears ONCE in the static plan instead of
+    # 3×. Same multiset of member rows (explode(array(u,v,w)) emits
+    # exactly the three fields per triangle), so counts are identical.
+    members = tri.select(F.explode(F.array("u", "v", "w")).alias("m"))
     return members.groupBy(F.col("m").alias("user_id")).agg(
         F.count(F.lit(1)).alias("n_triangles")
     )
