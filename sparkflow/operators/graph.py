@@ -92,9 +92,11 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("user_id").alias("src"), F.col("next_user").alias("dst"))
         .distinct()
     )
+    # r17 (guide §3.3): explode both endpoints out of ONE pass over
+    # edges instead of union-ing two selects of it — the window+distinct
+    # edge subtree appears once in the static plan, not twice.
     nodes = (
-        edges.select(F.col("src").alias("u"))
-        .union(edges.select(F.col("dst").alias("u")))
+        edges.select(F.explode(F.array("src", "dst")).alias("u"))
         .distinct()
     )
     deg = edges.groupBy(F.col("src").alias("u")).agg(F.count(F.lit(1)).alias("deg"))
@@ -313,9 +315,17 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    bidir = eu.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
-        eu.select(F.col("b").alias("src"), F.col("a").alias("dst"))
-    )
+    # r17 (guide §3.3): emit both directions of each undirected edge
+    # with one explode instead of a 2-way union — the eu subtree
+    # (window + distinct) appears once in the static plan, not twice.
+    bidir = eu.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("a").alias("src"), F.col("b").alias("dst")),
+                F.struct(F.col("b").alias("src"), F.col("a").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
     nodes = bidir.select(F.col("dst").alias("u")).distinct()
     labels = nodes.withColumn("lbl", F.col("u"))
     per_node = Window.partitionBy("u").orderBy(F.col("c").desc(), F.col("lbl"))
@@ -419,9 +429,17 @@ def graph_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    bidir = eu.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
-        eu.select(F.col("b").alias("src"), F.col("a").alias("dst"))
-    )
+    # r17 (guide §3.3): emit both directions of each undirected edge
+    # with one explode instead of a 2-way union — the eu subtree
+    # (window + distinct) appears once in the static plan, not twice.
+    bidir = eu.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("a").alias("src"), F.col("b").alias("dst")),
+                F.struct(F.col("b").alias("src"), F.col("a").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
     # Round k's plan embeds dist_{k-1} twice (frontier expansion + the
     # settled anti-join), so without truncation the DAG doubles per
     # round — localCheckpoint per round keeps it linear, exactly the
