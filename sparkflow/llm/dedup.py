@@ -1015,21 +1015,29 @@ def llm_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    sizes = tri.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    ta = tri.toDF("doc_a", "g")
-    tb = tri.toDF("doc_b", "g")
-    inter = (
-        pairs.join(ta, "doc_a")
-        .join(tb, ["doc_b", "g"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("ni"))
-    )
-    sa = sizes.toDF("doc_a", "na")
-    sb = sizes.toDF("doc_b", "nb")
+    # r17 ARRAY verify (the containment/near_prefix move): the old
+    # verify exploded each pair's trigram sets back into rows (pairs ⨝
+    # tri on doc_a, ⨝ on (doc_b, g), count agg) and then joined a
+    # separate sizes aggregate twice. One collect_list per doc gives
+    # the intersection via array_intersect on primitive longs AND the
+    # sizes for free (size(arr)), one row per pair in flight. The old
+    # inner join only emitted pairs sharing ≥ 1 trigram, so ni ≥ 1 is
+    # kept as an explicit filter (oracle's inter3 is an inner join).
+    arrs = tri.groupBy("doc_id").agg(F.collect_list("g").alias("arr"))
+    aa = arrs.select(F.col("doc_id").alias("doc_a"), F.col("arr").alias("arr_a"))
+    ab = arrs.select(F.col("doc_id").alias("doc_b"), F.col("arr").alias("arr_b"))
     jac = F.col("ni").cast("double") / (F.col("na") + F.col("nb") - F.col("ni"))
     return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        pairs.join(aa, "doc_a")
+        .join(ab, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("arr_a", "arr_b")).alias("ni"),
+            F.size("arr_a").alias("na"),
+            F.size("arr_b").alias("nb"),
+        )
+        .filter(F.col("ni") >= 1)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard3"))
     )
 
