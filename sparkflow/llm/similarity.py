@@ -706,10 +706,40 @@ def llm_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = flat.groupBy("label", "dim").agg(
         (F.sum("val") / F.count(F.lit(1))).alias("c")
     )
+    # r17 (guide §3.3 — explode before a join multiplies the shuffle):
+    # the distance pass used to join the 64×-exploded (label, dim, val)
+    # rows against cent on (label, dim) — a shuffle of dims × vectors
+    # rows — and re-aggregate them back to one row per vector. Instead
+    # the per-label centroid folds into ONE array row (|labels| rows,
+    # broadcast), each vector joins it on label without leaving its
+    # partition, and Σ(val − c)² runs as a zip_with/aggregate fold over
+    # the 64 dims in place. Same arithmetic per dim; the per-vector sum
+    # is now in fixed dim order where the grouped F.sum was
+    # partition-order-dependent — both land identically after the
+    # 6-decimal rounding (the docstring's 1e-15 note).
+    cent_arr = cent.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "c"))),
+            lambda s: s["c"],
+        ).alias("carr")
+    )
     dists = (
-        flat.join(cent, ["label", "dim"])
-        .groupBy("label", "vec_id")
-        .agg(F.sqrt(F.sum((F.col("val") - F.col("c")) * (F.col("val") - F.col("c")))).alias("d"))
+        e.join(F.broadcast(cent_arr), "label")
+        .select(
+            "label",
+            "vec_id",
+            F.sqrt(
+                F.aggregate(
+                    F.zip_with(
+                        F.transform("embedding", lambda x: x.cast("double")),
+                        "carr",
+                        lambda x, c: (x - c) * (x - c),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            ).alias("d"),
+        )
     )
     norms = cent.groupBy("label").agg(
         F.round(F.sqrt(F.sum(F.col("c") * F.col("c"))), 6).alias("centroid_norm")

@@ -1139,3 +1139,30 @@ def test_semdedup_cell_cap_guard_paths(spark, sf_small):
         spark.conf.unset(key)
     assert len(base) > 0
     assert got == base
+
+
+def test_centroids_match_numpy_reference(spark, sf_small):
+    """llm_centroids' r17 distance pass (per-label centroid ARRAY
+    broadcast + zip_with fold, replacing the 64x-exploded (label, dim)
+    join) must match a transparent NumPy reference of the oracle's
+    formula — per-label mean vector, per-vector Euclidean distance to
+    it, 6-decimal rounding — on the real fixture."""
+    import numpy as np
+    import pandas as pd
+
+    got = (
+        sparkflow.QUERIES["llm_centroids"](spark, sf_small)
+        .toPandas()
+        .set_index("label")
+        .sort_index()
+    )
+    raw = pd.read_parquet(f"{sf_small}/embeddings.parquet")
+    for label, grp in raw.groupby("label"):
+        m = np.stack(grp["embedding"].to_numpy()).astype("float64")
+        c = m.mean(axis=0)
+        d = np.sqrt(((m - c) ** 2).sum(axis=1))
+        row = got.loc[label]
+        assert int(row["n_vecs"]) == len(grp)
+        assert abs(row["avg_dist"] - round(d.mean(), 6)) <= 1e-6
+        assert abs(row["centroid_norm"] - round(float(np.sqrt((c * c).sum())), 6)) <= 1e-6
+    assert len(got) == raw["label"].nunique()
