@@ -752,7 +752,14 @@ def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     differ in O(1) bits — Hamming-ball lookup replaces pairwise
     comparison at scale. SQL-oracle-exact because the bit derivation is
     md5-based in both engines."""
-    corpus = dup_corpus(spark, sf_dir)
+    # r17: round-robin the compact doc rows before the ~n_tokens×
+    # explode (same §2.5 rationale as _near_pairs_plan/_fpset — the
+    # sub-MB scan union yields ≤3 input splits, so the whole
+    # explode+md5+vote map stage otherwise runs on ≤3 cores). Vote
+    # sums per doc are integers — placement-invariant.
+    corpus = dup_corpus(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
     toks = corpus.select(
         "doc_id", F.explode(F.split("text", " ")).alias("tok")
     )
@@ -981,6 +988,10 @@ def llm_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     three aligned array slices zipped together (r16) — no per-element
     lambdas and no per-doc window sort."""
     pairs = _near_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    # (r17: a pre-explode round-robin like _fpset's was tried here and
+    # REJECTED by the interleaved A/B at 1.19× — the zip+xxhash64
+    # trigram pass is too cheap per row to pay for the extra exchange;
+    # see OPTIMIZATION_r17.md ledger.)
     corpus = dup_corpus(spark, sf_dir)
     # r16: adjacent word triples via three aligned slices + arrays_zip
     # (the shape llm_bpe_train / llm_bpe_pair_counts use) instead of

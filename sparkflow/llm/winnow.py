@@ -60,7 +60,18 @@ def _fp_ctes(src: str) -> str:
 def _fpset(docs: DataFrame) -> DataFrame:
     """Spark twin of _fp_ctes: distinct (doc_id, fp) winnowing
     fingerprints of a (doc_id, text) DataFrame, fp = packed
-    (20-bit gram hash)·2³² + position."""
+    (20-bit gram hash)·2³² + position.
+
+    The compact doc rows are round-robin repartitioned BEFORE the
+    ~n_chars× gram explode for the same reason _near_pairs_plan does
+    it (guide §2.5 input-skew note): a sub-MB parquet scan (or a
+    union of a few filtered selects of one) yields 1–3 input splits,
+    so without this the whole gram + md5 + window shuffle-write map
+    stage runs on as many cores (r17: _fpset alone measured 2.26 s →
+    0.92 s at sf0.1 from this line). Row placement cannot affect
+    results: everything downstream is keyed per doc_id (window,
+    count, distinct)."""
+    docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
     grams = char_kgrams(docs, _WIN_K).select(
         "doc_id",
         (F.col("pos0") + 1).alias("pos"),
