@@ -1274,7 +1274,6 @@ def _containment_pairs(corpus: DataFrame) -> DataFrame:
     # injective up to xxhash64 collisions (bound in char_kgram_ids'
     # docstring; differential-checked EXACT at every test SF).
     sh = char_kgram_ids(corpus, _CONTAIN_GRAM).distinct()
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     rare = (
         sh.groupBy("g")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -1290,19 +1289,6 @@ def _containment_pairs(corpus: DataFrame) -> DataFrame:
         .select("da", "db")
         .distinct()
     )
-    sa = sizes.select(F.col("doc_id").alias("da"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("db"), F.col("n").alias("nb"))
-    small_first = F.col("na") <= F.col("nb")
-    cand = (
-        cand0.join(sa, "da")
-        .join(sb, "db")
-        .select(
-            F.when(small_first, F.col("da")).otherwise(F.col("db")).alias("inner_id"),
-            F.when(small_first, F.col("db")).otherwise(F.col("da")).alias("outer_id"),
-            F.least("na", "nb").alias("n_inner"),
-            F.greatest("na", "nb").alias("n_outer"),
-        )
-    )
     # r17 ARRAY verify (the same move llm_dedup_near_prefix made in r8,
     # guide §2.3 — don't re-shuffle every gram of every candidate doc):
     # the old verify exploded each candidate's inner-doc gram set back
@@ -1313,18 +1299,31 @@ def _containment_pairs(corpus: DataFrame) -> DataFrame:
     # on primitive longs. Pairs with ni = 0 now reach the filter (the
     # old inner join dropped them) but 0 < _CONTAIN_MIN·n_inner always,
     # so the output set is unchanged.
-    arrs = sh.groupBy("doc_id").agg(F.collect_list("g").alias("arr"))
-    ai = arrs.select(F.col("doc_id").alias("inner_id"), F.col("arr").alias("arr_i"))
-    ao = arrs.select(F.col("doc_id").alias("outer_id"), F.col("arr").alias("arr_o"))
+    #
+    # r17 session 3: ONE groupBy(doc_id) serves sizes AND arrays —
+    # sh is distinct, so n = size(arr) — replacing the separate sizes
+    # aggregate (its own full pass + exchange over the gram set) and
+    # folding the four per-pair attach joins into two. ni needs no
+    # inner/outer selection: |arr_a ∩ arr_b| is symmetric.
+    docs = sh.groupBy("doc_id").agg(F.collect_list("g").alias("arr"))
+    da = docs.select(
+        F.col("doc_id").alias("da"), F.size("arr").alias("na"),
+        F.col("arr").alias("arr_a"),
+    )
+    db = docs.select(
+        F.col("doc_id").alias("db"), F.size("arr").alias("nb"),
+        F.col("arr").alias("arr_b"),
+    )
+    small_first = F.col("na") <= F.col("nb")
     inter = (
-        cand.join(ai, "inner_id")
-        .join(ao, "outer_id")
+        cand0.join(da, "da")
+        .join(db, "db")
         .select(
-            "inner_id",
-            "outer_id",
-            "n_inner",
-            "n_outer",
-            F.size(F.array_intersect("arr_i", "arr_o")).alias("ni"),
+            F.when(small_first, F.col("da")).otherwise(F.col("db")).alias("inner_id"),
+            F.when(small_first, F.col("db")).otherwise(F.col("da")).alias("outer_id"),
+            F.least("na", "nb").alias("n_inner"),
+            F.greatest("na", "nb").alias("n_outer"),
+            F.size(F.array_intersect("arr_a", "arr_b")).alias("ni"),
         )
     )
     contain = F.col("ni").cast("double") / F.col("n_inner")
