@@ -392,9 +392,21 @@ def _near_pairs_plan(
         .distinct()
     )
 
-    toks = corpus.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("tok")
-    ).distinct()
+    # r17 session 3 (§2.3 — shuffle keys, not payloads): the verify
+    # join only COUNTS shared tokens, so the token is hashed to an
+    # xxhash64 long before the distinct/verify stages — every shuffle
+    # and comparison below moves 8-byte ints instead of strings (the
+    # same move, with the same documented collision bound, that
+    # containment/ngram/decontaminate made in this round; the oracle
+    # replays string-token Jaccard, so a collision would FAIL the
+    # board rather than hide).
+    toks = (
+        corpus.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("t")
+        )
+        .select("doc_id", F.xxhash64("t").alias("tok"))
+        .distinct()
+    )
     sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
