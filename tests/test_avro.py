@@ -1415,3 +1415,72 @@ def test_rebase_scopes_mutate_kept_to_read_snapshot(
         assert "clustered" not in v3[e["path"]], e["path"]
     for e in fresh_a:
         assert v3[e["path"]]["clustered"] is False, e["path"]
+
+
+def test_tv_stats_footer_matches_spark_agg_and_falls_back(spark, tmp_path):
+    """r17: manifest (min,max)/n_rows stats come from parquet FOOTERS
+    (_pq_footer_stats — zero Spark jobs) instead of one Spark aggregate
+    job per file. Pins (a) footer path == Spark-agg path on normal
+    Spark-written files, (b) the Spark fallback engages and yields the
+    same entries when row-group statistics are absent, (c) zero-row
+    files still fail loudly."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from sparkflow.sources.io import (
+        _pq_footer_stats, _tv_with_stats, _tv_with_stats2,
+    )
+
+    d = os.path.join(str(tmp_path), "t")
+    (
+        spark.range(0, 1000)
+        .select(
+            F.col("id").alias("k1"),
+            (F.lit(999) - F.col("id")).alias("k2"),
+        )
+        .repartitionByRange(4, "k1")
+        .write.mode("overwrite")
+        .parquet(d)
+    )
+    import glob
+
+    paths = sorted(glob.glob(os.path.join(d, "*.parquet")))
+    assert len(paths) == 4
+
+    ents = _tv_with_stats(spark, paths, "k1")
+    ents2 = _tv_with_stats2(spark, paths, "k1", "k2")
+    for f, e, e2 in zip(paths, ents, ents2):
+        sdf = spark.read.parquet(f)
+        mn, mx, mn2, mx2 = sdf.agg(
+            F.min("k1"), F.max("k1"), F.min("k2"), F.max("k2")
+        ).first()
+        assert (e["min_key"], e["max_key"]) == (mn, mx)
+        assert (e2["min_key"], e2["max_key"]) == (mn, mx)
+        assert (e2["min_key2"], e2["max_key2"]) == (mn2, mx2)
+        # and the footer really is what served it (no silent fallback)
+        fs = _pq_footer_stats(f, ["k1", "k2"])
+        assert fs is not None and fs[0] == sdf.count()
+
+    # (b) statistics disabled => footer path refuses, Spark fallback
+    # produces identical entries
+    nostats = os.path.join(str(tmp_path), "nostats.parquet")
+    pq.write_table(
+        pa.table({"k1": pa.array([7, 3, 9], pa.int64())}),
+        nostats,
+        write_statistics=False,
+    )
+    assert _pq_footer_stats(nostats, ["k1"]) is None
+    ent = _tv_with_stats(spark, [nostats], "k1")[0]
+    assert (ent["min_key"], ent["max_key"]) == (3, 9)
+
+    # (c) zero-row file rejected loudly on both paths
+    empty = os.path.join(str(tmp_path), "empty.parquet")
+    pq.write_table(pa.table({"k1": pa.array([], pa.int64())}), empty)
+    assert _pq_footer_stats(empty, ["k1"]) == (0, [])
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="zero-row"):
+        _tv_with_stats(spark, [empty], "k1")
