@@ -213,26 +213,47 @@ def _overlap_positional(docs: DataFrame) -> DataFrame:
     )
     indexed = fpset.join(kept, "fp").select("doc_id", "fp")
     sizes = indexed.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    a = indexed.toDF("doc_a", "fp")
-    b = indexed.toDF("doc_b", "fp")
+    # r17 (guide §2.3/§3.3): POSTING-LIST ARRAYS replace the fp
+    # self-join, and each posting CARRIES its document's index size.
+    # Measured first (sf0.1, /tmp/probe_overlap.py): the index is 793 k
+    # rows but the pair stage emits 3.17 M candidate pairs, so the old
+    # shape's two doc-keyed sizes joins AFTER the pair aggregate were
+    # the single largest stage (~1.2 s of 4.5 s) — attaching sz to the
+    # 793 k index rows BEFORE pairing moves the attachment to the small
+    # side (§2.3: shuffle keys/metadata, not the wide side). Each
+    # df-capped bucket collects its sorted (doc_id, sz) structs once
+    # (fpset is distinct per (doc_id, fp); the cap bounds every array
+    # at _WFP_MAX_DF = 64), and every unordered pair is generated by
+    # POSITION inside the sorted array (j > i ⟺ doc_a < doc_b), so the
+    # pair stage materializes exactly the df·(df−1)/2 surviving
+    # combinations instead of probing a hash relation with df² ordered
+    # row pairs and filtering half away. Multiset identity with the old
+    # a⨝b-on-fp + doc_a<doc_b: each bucket contributes each unordered
+    # doc pair exactly once either way; sa/sb are functions of
+    # doc_a/doc_b, so grouping on them changes no group.
+    buckets = (
+        indexed.join(sizes, "doc_id")
+        .groupBy("fp")
+        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "sz"))).alias("ds"))
+    )
     shared = (
-        a.join(b, "fp")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
+        buckets.select(F.posexplode("ds").alias("i", "a"), "ds")
+        .select(
+            "a",
+            F.explode(F.expr("slice(ds, i + 2, size(ds) - i - 1)")).alias("b"),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sz").alias("sa"),
+            F.col("b.sz").alias("sb"),
+        )
         .agg(F.count(F.lit(1)).alias("shared_fps"))
     )
-    sa = sizes.toDF("doc_a", "sa")
-    sb = sizes.toDF("doc_b", "sb")
     ppm = F.expr("shared_fps * 1000000 DIV least(sa, sb)")
-    return (
-        shared.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .filter(
-            (F.col("shared_fps") >= _WFP_MIN_SHARED)
-            & (ppm >= _WFP_MIN_PPM)
-        )
-        .select("doc_a", "doc_b", "shared_fps", ppm.alias("containment_ppm"))
-    )
+    return shared.filter(
+        (F.col("shared_fps") >= _WFP_MIN_SHARED) & (ppm >= _WFP_MIN_PPM)
+    ).select("doc_a", "doc_b", "shared_fps", ppm.alias("containment_ppm"))
 
 
 @register(
@@ -310,12 +331,40 @@ def _overlap_aligned(docs: DataFrame) -> DataFrame:
     )
     indexed = hx.join(kept, "h").select("doc_id", "h", "pos")
     sizes = indexed.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    a = indexed.toDF("doc_a", "h", "pos_a")
-    b = indexed.toDF("doc_b", "h", "pos_b")
+    # r17: the same posting-array + carried-size rewrite as
+    # _overlap_positional (see its comment): every h-bucket is ≤
+    # _WFP_MAX_DF OCCURRENCES by the cap, so the bucket collects its
+    # sorted (doc_id, pos, sz) structs once and emits each cross-doc
+    # row pair by position (the sort is doc_id-major, so j > i with
+    # doc_id different ⟺ doc_a < doc_b, x carrying the a-side pos
+    # exactly like the old join's a-table); sa/sb ride the vote rows,
+    # killing the two pair-keyed sizes joins after the mode window.
+    # One doc CAN appear several times per bucket (several positions) —
+    # those same-doc combinations are excluded by the != filter, as
+    # they were by doc_a < doc_b.
+    buckets = (
+        indexed.join(sizes, "doc_id")
+        .groupBy("h")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("doc_id", "pos", "sz"))
+            ).alias("ds")
+        )
+    )
     votes = (
-        a.join(b, "h")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b", (F.col("pos_a") - F.col("pos_b")).alias("shift"))
+        buckets.select(F.posexplode("ds").alias("i", "a"), "ds")
+        .select(
+            "a",
+            F.explode(F.expr("slice(ds, i + 2, size(ds) - i - 1)")).alias("b"),
+        )
+        .filter(F.col("a.doc_id") != F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            (F.col("a.pos") - F.col("b.pos")).alias("shift"),
+            F.col("a.sz").alias("sa"),
+            F.col("b.sz").alias("sb"),
+        )
         .agg(F.count(F.lit(1)).cast("bigint").alias("aligned_fps"))
     )
     w = Window.partitionBy("doc_a", "doc_b").orderBy(
@@ -326,19 +375,12 @@ def _overlap_aligned(docs: DataFrame) -> DataFrame:
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
-    sa = sizes.toDF("doc_a", "sa")
-    sb = sizes.toDF("doc_b", "sb")
     ppm = F.expr("aligned_fps * 1000000 DIV least(sa, sb)")
-    return (
-        best.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .filter(
-            (F.col("aligned_fps") >= _WFP_MIN_SHARED) & (ppm >= _WFP_MIN_PPM)
-        )
-        .select(
-            "doc_a", "doc_b", "shift", "aligned_fps",
-            ppm.alias("containment_ppm"),
-        )
+    return best.filter(
+        (F.col("aligned_fps") >= _WFP_MIN_SHARED) & (ppm >= _WFP_MIN_PPM)
+    ).select(
+        "doc_a", "doc_b", "shift", "aligned_fps",
+        ppm.alias("containment_ppm"),
     )
 
 

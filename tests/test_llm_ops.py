@@ -1166,3 +1166,86 @@ def test_centroids_match_numpy_reference(spark, sf_small):
         assert abs(row["avg_dist"] - round(d.mean(), 6)) <= 1e-6
         assert abs(row["centroid_norm"] - round(float(np.sqrt((c * c).sum())), 6)) <= 1e-6
     assert len(got) == raw["label"].nunique()
+
+
+def test_winnowing_overlap_array_pairs_match_self_join(spark):
+    """r17: both overlap detectors generate pairs from sorted per-bucket
+    posting ARRAYS (posexplode + slice) instead of the fp/h self-join.
+    Pin the rewritten operators row-identical to an inline reference
+    built the OLD way (a⨝b on the capped key, doc_a < doc_b, sizes
+    joined after the aggregate) on a corpus with exact copies, shifted
+    copies, multi-way duplicate groups and an in-bucket repeated doc."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from sparkflow.llm.winnow import (
+        _WFP_MAX_DF, _WFP_MIN_PPM, _WFP_MIN_SHARED,
+        _fpset, _overlap_aligned, _overlap_positional,
+    )
+
+    base = (
+        "pack my box with five dozen liquor jugs while the wizard "
+        "quickly jinxed the gnomes before they vexed a fedora wearing "
+        "sphinx of black quartz judging my vow near the riverbank"
+    )
+    rows = [(1, base), (2, base), (3, "zz " + base), (4, base + " zz"),
+            (5, base[: len(base) // 2] + " unrelated tail of words here"),
+            (6, "totally different text about alpine glaciers slowly "
+                "carving granite valleys under pale winter light for "
+                "many thousands of patient years")]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+
+    # reference: the pre-r17 self-join formulation, verbatim
+    fpset = _fpset(docs)
+    kept = (fpset.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= _WFP_MAX_DF).select("fp"))
+    indexed = fpset.join(kept, "fp").select("doc_id", "fp")
+    sizes = indexed.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = indexed.toDF("doc_a", "fp")
+    b = indexed.toDF("doc_b", "fp")
+    shared = (a.join(b, "fp").filter(F.col("doc_a") < F.col("doc_b"))
+              .groupBy("doc_a", "doc_b")
+              .agg(F.count(F.lit(1)).alias("shared_fps")))
+    sa = sizes.toDF("doc_a", "sa")
+    sb = sizes.toDF("doc_b", "sb")
+    ppm = F.expr("shared_fps * 1000000 DIV least(sa, sb)")
+    ref_pos = (shared.join(sa, "doc_a").join(sb, "doc_b")
+               .filter((F.col("shared_fps") >= _WFP_MIN_SHARED)
+                       & (ppm >= _WFP_MIN_PPM))
+               .select("doc_a", "doc_b", "shared_fps",
+                       ppm.alias("containment_ppm")))
+    got_pos = _overlap_positional(docs)
+    key = ["doc_a", "doc_b"]
+    assert sorted(map(tuple, got_pos.collect())) == sorted(
+        map(tuple, ref_pos.collect()))
+    assert got_pos.count() > 0  # the corpus actually exercises pairing
+
+    hx = fpset.select(
+        "doc_id", F.expr("fp DIV 4294967296").alias("h"),
+        (F.col("fp") % 4294967296).alias("pos"))
+    kept_h = (hx.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+              .filter(F.col("df") <= _WFP_MAX_DF).select("h"))
+    idx_h = hx.join(kept_h, "h").select("doc_id", "h", "pos")
+    sizes_h = idx_h.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    ah = idx_h.toDF("doc_a", "h", "pos_a")
+    bh = idx_h.toDF("doc_b", "h", "pos_b")
+    votes = (ah.join(bh, "h").filter(F.col("doc_a") < F.col("doc_b"))
+             .groupBy("doc_a", "doc_b",
+                      (F.col("pos_a") - F.col("pos_b")).alias("shift"))
+             .agg(F.count(F.lit(1)).cast("bigint").alias("aligned_fps")))
+    w = Window.partitionBy("doc_a", "doc_b").orderBy(
+        F.col("aligned_fps").desc(), "shift")
+    best = (votes.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1).drop("rn"))
+    sa2 = sizes_h.toDF("doc_a", "sa")
+    sb2 = sizes_h.toDF("doc_b", "sb")
+    ppm2 = F.expr("aligned_fps * 1000000 DIV least(sa, sb)")
+    ref_ali = (best.join(sa2, "doc_a").join(sb2, "doc_b")
+               .filter((F.col("aligned_fps") >= _WFP_MIN_SHARED)
+                       & (ppm2 >= _WFP_MIN_PPM))
+               .select("doc_a", "doc_b", "shift", "aligned_fps",
+                       ppm2.alias("containment_ppm")))
+    got_ali = _overlap_aligned(docs)
+    assert sorted(map(tuple, got_ali.collect())) == sorted(
+        map(tuple, ref_ali.collect()))
+    assert got_ali.count() > 0
